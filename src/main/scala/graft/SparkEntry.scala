@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 registers one query in
+  * [[queries]] and (when ANSI-SQL-expressible) a DuckDB twin in
+  * [[oracleSql]] with identical output column names, total ordering,
+  * and cross-engine-exact numerics (see [[Num]]).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Aggregates.queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  private val modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
+    (Aggregates.queries, Aggregates.oracles),
+    (Joins.queries, Joins.oracles),
+    (WindowOps.queries, WindowOps.oracles),
+    (SetOps.queries, SetOps.oracles),
+    (Scalars.queries, Scalars.oracles),
+    (TextOps.queries, TextOps.oracles))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.iterator.flatMap(_._1).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    modules.iterator.flatMap(_._2).toMap
 }

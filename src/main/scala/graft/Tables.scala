@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Parquet table loader for the driver-generated fixture schema
+  * (TESTDATA.md / FIXTURES.md). */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events` carries parquet TIMESTAMP(NANOS), which Spark only reads
+    * as a long (`nanosAsLong`). Normalize to a microsecond timestamp —
+    * flooring, exactly what DuckDB does when it reads the same file —
+    * so event-time queries hash-match the oracle. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}
+
+/** Cross-engine-exact numeric helpers.
+  *
+  * The DuckDB oracle hash-compares values, so floating-point aggregates
+  * must be bit-identical despite different partial-aggregation orders.
+  * Strategy (SURVEY.md §7.3): route every double sum through
+  * DECIMAL(38,6) (exact, order-independent), round, and cast back to
+  * DOUBLE so the output schema stays `double` in both engines.
+  */
+object Num {
+  private val Dec = DecimalType(38, 6)
+
+  /** Exact sum of a double column; emits DOUBLE rounded to 4 dp.
+    * Oracle twin: `CAST(round(sum(CAST(x AS DECIMAL(38,6))), 4) AS DOUBLE)` */
+  def dsum(c: Column): Column = round(sum(c.cast(Dec)), 4).cast(DoubleType)
+
+  /** Exact-numerator average: exact decimal sum → double → double
+    * division (matching DuckDB, whose `/` on decimal yields double);
+    * emits DOUBLE rounded to 4 dp. Oracle twin:
+    * `CAST(round(CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / count(x), 4) AS DOUBLE)` */
+  def davg(c: Column): Column =
+    round(sum(c.cast(Dec)).cast(DoubleType) / count(c), 4).cast(DoubleType)
+
+  /** Round a scalar double expression to `s` dp (post-arithmetic). */
+  def r(c: Column, s: Int = 4): Column = round(c, s).cast(DoubleType)
+}

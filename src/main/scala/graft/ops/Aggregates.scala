@@ -1,0 +1,219 @@
+package graft.ops
+
+import graft.{Num, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Group-by aggregation library — the canonical Reduce-side derivations
+  * of the reference pipeline (SURVEY.md §2c "aggregation" rows; the
+  * reference's shuffle *is* a sort-based grouping, MRFCore.cpp:162-164,
+  * and every aggregate below is "Reduce over V2_VEC" re-expressed so
+  * Catalyst gets partial (map-side) + final aggregation instead of the
+  * reference's whole-group materialization).
+  *
+  * Scale notes: every query here is a single hash-aggregate over a
+  * parquet scan — one shuffle on the group keys, partial aggregation
+  * before the exchange, no driver-side collection. Low-cardinality
+  * group keys (returnflag × linestatus = 6 groups) make the exchange a
+  * few bytes per partition at any SF.
+  */
+object Aggregates {
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1-style pricing summary: the flagship scan→agg→sort.
+    "q1_agg" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1999-12-31").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Num.dsum(col("l_quantity")).as("sum_qty"),
+          Num.dsum(col("l_extendedprice")).as("sum_base_price"),
+          Num.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          Num.davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Exact min/max/count-distinct battery (all order-independent).
+    "q_agg_funcs" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"),
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          sum(col("l_linenumber").cast("long")).as("sum_line"))
+        .orderBy("l_returnflag")
+    }),
+
+    // DISTINCT as an operator (the "group by value, emit once" derivation).
+    "q_distinct" -> ((s, dir) => {
+      Tables(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_nationkey"))
+        .distinct()
+        .orderBy("c_mktsegment", "c_nationkey")
+    }),
+
+    // HAVING (post-aggregation filter).
+    "q_having" -> ((s, dir) => {
+      Tables(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          Num.dsum(col("c_acctbal")).as("sum_bal"))
+        .filter(col("n_cust") >= 5)
+        .orderBy("c_nationkey")
+    }),
+
+    // CASE WHEN bucketing + conditional aggregation.
+    "q_case_when" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      o.select(
+          when(col("o_totalprice") < 100000, "small")
+            .when(col("o_totalprice") < 300000, "medium")
+            .otherwise("large").as("band"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .groupBy(col("band"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+          Num.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("band")
+    }),
+
+    // ROLLUP region → nation hierarchy (grouping-set nulls coalesced so
+    // the sort order is engine-independent).
+    "q_rollup" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("n_cust"))
+        .orderBy("region", "nation")
+    }),
+
+    // CUBE over two independent dims.
+    "q_cube" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), Num.dsum(col("o_totalprice")).as("sum_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("sum_price"))
+        .orderBy("status", "priority")
+    }),
+
+    // Explicit GROUPING SETS (SQL form; the DSL only exposes rollup/cube).
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority""")
+    }),
+
+    // Scalar subquery: orders above the global average price. The
+    // average is computed through DECIMAL so the threshold is exact and
+    // identical in both engines (SURVEY.md §7.3 determinism rule).
+    "q_scalar_subquery" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val avgPrice = o.agg(
+        (sum(col("o_totalprice").cast("decimal(38,6)")).cast("double") /
+          count(lit(1))).as("a"))
+      o.join(broadcast(avgPrice))
+        .filter(col("o_totalprice") > col("a"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_above"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Approximate distinct (HLL++). No DuckDB oracle — HLL estimates are
+    // implementation-specific; the driver records a rows-only check.
+    "q_approx_distinct" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy("l_returnflag")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> """
+      SELECT l_returnflag, l_linestatus,
+        CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_qty,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_base_price,
+        CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_disc_price,
+        CAST(round(CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / count(l_discount), 4) AS DOUBLE) AS avg_disc,
+        count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1999-12-31'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+    "q_agg_funcs" -> """
+      SELECT l_returnflag,
+        min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+        count(DISTINCT l_suppkey) AS n_supp,
+        CAST(sum(l_linenumber) AS BIGINT) AS sum_line
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_distinct" -> """
+      SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+      ORDER BY c_mktsegment, c_nationkey""",
+    "q_having" -> """
+      SELECT c_nationkey, count(*) AS n_cust,
+        CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_bal
+      FROM customer GROUP BY c_nationkey HAVING count(*) >= 5
+      ORDER BY c_nationkey""",
+    "q_case_when" -> """
+      SELECT band, count(*) AS n,
+        count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_price
+      FROM (
+        SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+                    WHEN o_totalprice < 300000 THEN 'medium'
+                    ELSE 'large' END AS band,
+               o_orderstatus, o_totalprice
+        FROM orders)
+      GROUP BY band ORDER BY band""",
+    "q_rollup" -> """
+      SELECT coalesce(r_name, 'ALL') AS region,
+             coalesce(n_name, 'ALL') AS nation,
+             count(*) AS n_cust
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY region, nation""",
+    "q_cube" -> """
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             count(*) AS n,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_price
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY status, priority""",
+    "q_grouping_sets" -> """
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             count(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY status, priority""",
+    "q_scalar_subquery" -> """
+      SELECT o_orderpriority, count(*) AS n_above
+      FROM orders
+      WHERE o_totalprice >
+        (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / count(*) FROM orders)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+}

@@ -1,0 +1,198 @@
+package graft.ops
+
+import graft.{Num, Tables}
+import org.apache.spark.sql.functions._
+
+/** Join library — every join flavor the reference model can derive
+  * (SURVEY.md §2c): repartition (reduce-side) join, broadcast (map-side)
+  * join, semi/anti/outer variants, and multi-way star joins.
+  *
+  * Scale strategy, stated per query below. The rule of thumb encoded
+  * here for the 100 TB case:
+  *  - dimension tables (region 5, nation 25, supplier, part) are
+  *    `broadcast()` explicitly — a broadcast hash join costs zero
+  *    shuffle of the fact side;
+  *  - fact-fact joins (orders ⋈ lineitem, customer ⋈ orders) are left
+  *    to Catalyst's sort-merge/shuffled-hash choice on the join key —
+  *    both sides exchange once on the key, AQE handles skew;
+  *  - aggregate *before* joining where the join is only needed for
+  *    dimension attributes (classic partial-agg pushdown), shrinking
+  *    the exchanged side by orders of magnitude.
+  */
+object Joins {
+
+  val queries: Map[String, Q] = Map(
+    // Map-side (broadcast) join: fact lineitem ⋈ dim part. The
+    // reference's analog is the `g_substring` global visible to every
+    // map thread (Search.cpp:9) — a broadcast variable in miniature.
+    "q_join_broadcast" -> ((s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+      val p = Tables(s, dir, "part")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          Num.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    }),
+
+    // Reduce-side (repartition) join: customer ⋈ orders, both scale
+    // with SF → shuffle both on the key; partial-agg orders first so
+    // the exchange carries one row per customer, not per order.
+    "q_join_shuffle" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      val perCust = o.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          Num.dsum(col("o_totalprice")).as("sum_price"))
+      c.join(perCust, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(col("n_orders")).as("n_orders"),
+          Num.dsum(col("sum_price")).as("sum_price"),
+          count(lit(1)).as("n_cust"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Left outer join preserving empty groups (count(col) skips nulls).
+    "q_join_left" -> ((s, dir) => {
+      val n = Tables(s, dir, "nation")
+      val c = Tables(s, dir, "customer")
+      n.join(c, col("n_nationkey") === col("c_nationkey"), "left")
+        .groupBy(col("n_name"))
+        .agg(count(col("c_custkey")).as("n_cust"))
+        .orderBy("n_name")
+    }),
+
+    // Left-semi: customers with ≥1 order in 2001 (EXISTS).
+    "q_join_semi" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    // Left-anti: parts never shipped in 2001 (NOT EXISTS).
+    "q_join_anti" -> ((s, dir) => {
+      val p = Tables(s, dir, "part")
+      val l = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
+      p.join(l, col("p_partkey") === col("l_partkey"), "left_anti")
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy("p_partkey")
+    }),
+
+    // Full outer: per-nation customer counts vs supplier counts —
+    // either side may be absent; nulls coalesced away for determinism.
+    "q_join_full_outer" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer").groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sp = Tables(s, dir, "supplier").groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(sp, col("c_nationkey") === col("s_nationkey"), "full_outer")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    }),
+
+    // TPC-H Q3-style: 3-way join + agg + top-k with total tiebreak.
+    "q_join_q3" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables(s, dir, "orders")
+      val l = Tables(s, dir, "lineitem")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(Num.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    // TPC-H Q5-style: 6-way star join, revenue per nation. Dims
+    // broadcast; facts sort-merge on their keys.
+    "q_join_q5" -> ((s, dir) => {
+      val r = Tables(s, dir, "region")
+      val n = Tables(s, dir, "nation")
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      val l = Tables(s, dir, "lineitem")
+      val sp = Tables(s, dir, "supplier")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(sp, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(Num.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_join_broadcast" -> """
+      SELECT p_brand,
+        CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 4) AS DOUBLE) AS revenue,
+        count(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand""",
+    "q_join_shuffle" -> """
+      SELECT c_mktsegment,
+        CAST(sum(n_orders) AS BIGINT) AS n_orders,
+        CAST(round(sum(CAST(sum_price AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_price,
+        count(*) AS n_cust
+      FROM customer JOIN (
+        SELECT o_custkey, count(*) AS n_orders,
+          CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY o_custkey) ON c_custkey = o_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_join_left" -> """
+      SELECT n_name, count(c_custkey) AS n_cust
+      FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+      GROUP BY n_name ORDER BY n_name""",
+    "q_join_semi" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01')
+      ORDER BY c_custkey""",
+    "q_join_anti" -> """
+      SELECT p_partkey, p_name FROM part
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        WHERE l_partkey = p_partkey AND l_shipdate >= TIMESTAMP '2001-01-01')
+      ORDER BY p_partkey""",
+    "q_join_full_outer" -> """
+      SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+        coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+      FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+      FULL OUTER JOIN (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+        ON c_nationkey = s_nationkey
+      ORDER BY nationkey""",
+    "q_join_q3" -> """
+      SELECT o_orderkey, o_orderdate,
+        CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 4) AS DOUBLE) AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY o_orderkey, o_orderdate
+      ORDER BY revenue DESC, o_orderkey ASC
+      LIMIT 10""",
+    "q_join_q5" -> """
+      SELECT r_name, n_name,
+        CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 4) AS DOUBLE) AS revenue,
+        count(*) AS n_items
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name ORDER BY r_name, n_name""")
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Set operations + scan/filter/projection (SURVEY.md §2c "set ops",
+  * "projection", "filter"). Union is the reference's input-vector
+  * concatenation (Search.cpp:25-33); intersect/except are its
+  * tag-group-inspect derivation — Spark plans both as a single
+  * aggregate/join over the union, no driver involvement.
+  */
+object SetOps {
+
+  val queries: Map[String, Q] = Map(
+    // UNION ALL (bag semantics — duplicates preserved, like the
+    // reference's vector concat).
+    "q_union_all" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+        .select(col("c_nationkey").as("nk"), lit("customer").as("side"))
+      val sp = Tables(s, dir, "supplier")
+        .select(col("s_nationkey").as("nk"), lit("supplier").as("side"))
+      c.union(sp).groupBy(col("nk"), col("side"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("nk", "side")
+    }),
+
+    // INTERSECT (set semantics): nations having both customers and
+    // suppliers.
+    "q_intersect" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val sp = Tables(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      c.intersect(sp).orderBy("nk")
+    }),
+
+    // EXCEPT (set semantics): nations with customers but no suppliers.
+    "q_except" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val sp = Tables(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      c.except(sp).orderBy("nk")
+    }),
+
+    // Pure scan + pushed filter + pruned projection: the plan must show
+    // PushedFilters + a 3-column ReadSchema at any SF.
+    "q_filter_project" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("2001-06-01").cast("timestamp") &&
+          col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_union_all" -> """
+      SELECT nk, side, count(*) AS n FROM (
+        SELECT c_nationkey AS nk, 'customer' AS side FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nk, 'supplier' AS side FROM supplier)
+      GROUP BY nk, side ORDER BY nk, side""",
+    "q_intersect" -> """
+      SELECT c_nationkey AS nk FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier
+      ORDER BY nk""",
+    "q_except" -> """
+      SELECT c_nationkey AS nk FROM customer
+      EXCEPT
+      SELECT s_nationkey FROM supplier
+      ORDER BY nk""",
+    "q_filter_project" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '2001-06-01' AND l_quantity > 45
+      ORDER BY l_orderkey, l_linenumber""")
+}

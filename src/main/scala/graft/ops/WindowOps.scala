@@ -1,0 +1,124 @@
+package graft.ops
+
+import graft.{Num, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Sort, top-k, and window-function library (SURVEY.md §2c "sort",
+  * "limit / top-k", "window functions").
+  *
+  * The reference only has the global key sort (MRFCore.cpp:417-420);
+  * per-group top-k is its textbook bounded-heap Reduce derivation —
+  * here expressed as `row_number()` over a window so Catalyst plans a
+  * single sort-per-partition, and global top-k as `orderBy().limit(k)`
+  * which Spark executes as TakeOrderedAndProject: each partition keeps
+  * only k rows, the driver merges N×k — no global sort at any SF.
+  *
+  * Determinism: every window ORDER BY ends in a unique key so rank and
+  * frame contents are total; windowed double sums go through DECIMAL
+  * because DuckDB's segment-tree window aggregation adds in a different
+  * order than Spark's running accumulation (SURVEY.md §7.3).
+  */
+object WindowOps {
+  private val Dec = DecimalType(38, 6)
+
+  val queries: Map[String, Q] = Map(
+    // Global top-k: TakeOrderedAndProject, deterministic tiebreak.
+    "q_topk" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(15)
+    }),
+
+    // Per-group top-k via ranking window (row_number ≤ k).
+    "q_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+      Tables(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("l_returnflag"), col("rn"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice"))
+        .orderBy("l_returnflag", "rn")
+    }),
+
+    // Ranking family: rank / dense_rank / ntile over one pass.
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"))
+        .filter(col("rnk") <= 5)
+        .orderBy("c_nationkey", "rnk", "c_custkey")
+    }),
+
+    // Running (cumulative) aggregate over an explicit frame.
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "orders")
+        .filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          round(sum(col("o_totalprice").cast(Dec)).over(w), 4)
+            .cast(DoubleType).as("running_total"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    }),
+
+    // lag/lead across event time per user (nulls at partition edges
+    // coalesced; sort key unique → stable).
+    "q_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"), col("value"),
+          coalesce(lag(col("value"), 1).over(w), lit(0.0)).as("prev_value"),
+          coalesce(lead(col("event_id"), 1).over(w), lit(-1L)).as("next_event"))
+        .orderBy("user_id", "event_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_topk" -> """
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15""",
+    "q_topk_per_group" -> """
+      SELECT l_returnflag, rn, l_orderkey, l_linenumber, l_extendedprice
+      FROM (
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+          CAST(row_number() OVER (PARTITION BY l_returnflag
+            ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS INT) AS rn
+        FROM lineitem)
+      WHERE rn <= 3 ORDER BY l_returnflag, rn""",
+    "q_window_rank" -> """
+      SELECT c_nationkey, c_custkey, c_acctbal, rnk, drnk, quartile
+      FROM (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+          CAST(rank() OVER w AS INT) AS rnk,
+          CAST(dense_rank() OVER w AS INT) AS drnk,
+          CAST(ntile(4) OVER w AS INT) AS quartile
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC))
+      WHERE rnk <= 5 ORDER BY c_nationkey, rnk, c_custkey""",
+    "q_window_running" -> """
+      SELECT o_custkey, o_orderkey, o_orderdate,
+        CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
+          AS running_total
+      FROM orders WHERE o_custkey < 100
+      ORDER BY o_custkey, o_orderdate, o_orderkey""",
+    "q_window_lag" -> """
+      SELECT user_id, event_id, value,
+        coalesce(lag(value, 1) OVER w, 0.0) AS prev_value,
+        coalesce(lead(event_id, 1) OVER w, -1) AS next_event
+      FROM events WHERE user_id < 20
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      ORDER BY user_id, event_id""")
+}

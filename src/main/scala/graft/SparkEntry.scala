@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ops._
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +24,12 @@ object SparkEntry {
     (WindowOps.queries, WindowOps.oracles),
     (SetOps.queries, SetOps.oracles),
     (Scalars.queries, Scalars.oracles),
-    (TextOps.queries, TextOps.oracles))
+    (TextOps.queries, TextOps.oracles),
+    (Dedup.queries, Dedup.oracles),
+    (Similarity.queries, Similarity.oracles),
+    (TextAnalysis.queries, TextAnalysis.oracles),
+    (Multimodal.queries, Multimodal.oracles),
+    (Streams.queries, Streams.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,104 @@
+package graft.llm
+
+import graft.ops.Q
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor similarity search over the
+  * `embeddings.embedding` column (north-star extension; the reference
+  * has no vector ops — this is the map/shuffle/reduce "score then
+  * per-key top-k" composition over its model).
+  *
+  * Numerics: vectors are quantized to int64 fixed-point (×10⁴,
+  * [[Dedup.quantized]]) so every dot product/norm is exact integer
+  * arithmetic and the final cosine is one deterministic IEEE division —
+  * hash-identical across Spark and the DuckDB oracle.
+  *
+  * Scale (100 TB): brute force is the correctness baseline — a
+  * broadcast of the (small) query set against a full scan of the
+  * corpus, each partition keeping only its local top-k before the final
+  * window (Catalyst plans the row_number filter with a per-partition
+  * sort, no global materialization). The production path is the
+  * IVF-style variant: corpus bucketed by a coarse quantizer (here: the
+  * sign pattern of the leading components), queries probe only their
+  * own cell — candidate count drops by the bucket fan-out (16×), and
+  * the bucket join is a plain equality shuffle that AQE can skew-split.
+  */
+object Similarity {
+
+  val queries: Map[String, Q] = Map(
+    // Brute-force top-5 cosine neighbors for each query vector
+    // (vec_id < 10), self excluded. Query side is broadcast: the fact
+    // (corpus) side never shuffles before scoring.
+    "q_knn_brute" -> ((s, dir) => {
+      val qe = Dedup.quantized(s, dir)
+      val queriesDf = qe.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("q").as("qa"), col("norm").as("na"))
+      val corpus = qe
+        .select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("norm").as("nb"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      corpus.join(broadcast(queriesDf), col("query_id") =!= col("neighbor_id"))
+        .withColumn("dot", expr(Dedup.dotExpr))
+        .withColumn("cosine", Dedup.cosine())
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    // IVF/LSH-bucketed ANN: coarse cell = sign bits of the first 4
+    // quantized components (a deterministic stand-in for learned IVF
+    // centroids); queries (vec_id < 50) probe only their own cell.
+    // Recall is traded for a 16× candidate cut — by design.
+    "q_knn_ann" -> ((s, dir) => {
+      val qe = Dedup.quantized(s, dir).withColumn("bucket", expr(
+        "cast(q[0] >= 0 as int) * 8 + cast(q[1] >= 0 as int) * 4 + " +
+          "cast(q[2] >= 0 as int) * 2 + cast(q[3] >= 0 as int)"))
+      val queriesDf = qe.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("bucket"),
+          col("q").as("qa"), col("norm").as("na"))
+      val corpus = qe.select(col("vec_id").as("neighbor_id"),
+        col("bucket").as("nbucket"), col("q").as("qb"), col("norm").as("nb"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      queriesDf.join(corpus, col("bucket") === col("nbucket") &&
+          col("query_id") =!= col("neighbor_id"))
+        .withColumn("dot", expr(Dedup.dotExpr))
+        .withColumn("cosine", Dedup.cosine())
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("query_id"), col("bucket"), col("rnk"),
+          col("neighbor_id"), col("cosine"))
+        .orderBy("query_id", "rnk")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_knn_brute" -> ("WITH " + Dedup.QE + s""",
+      pairs AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                  a.q AS qa, b.q AS qb, a.norm AS na, b.norm AS nb
+                FROM qn a JOIN qn b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+      cos AS (SELECT query_id, neighbor_id,
+                round(CAST(${Dedup.dotOracle} AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+              FROM pairs),
+      rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rnk
+             FROM cos)
+      SELECT query_id, rnk, neighbor_id, cosine FROM rk WHERE rnk <= 5
+      ORDER BY query_id, rnk"""),
+    "q_knn_ann" -> ("WITH " + Dedup.QE + """,
+      qb AS (SELECT vec_id, q, norm,
+               CAST(q[1] >= 0 AS INT) * 8 + CAST(q[2] >= 0 AS INT) * 4 +
+               CAST(q[3] >= 0 AS INT) * 2 + CAST(q[4] >= 0 AS INT) AS bucket
+             FROM qn),
+      pairs AS (SELECT a.vec_id AS query_id, a.bucket AS bucket, b.vec_id AS neighbor_id,
+                  a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+                FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id < 50 AND a.vec_id <> b.vec_id),
+      cos AS (SELECT query_id, bucket, neighbor_id,
+                round(CAST(CAST(list_sum(list_transform(generate_series(1, len(qa)), i -> qa[i] * qb2[i])) AS BIGINT) AS DOUBLE)
+                      / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+              FROM pairs),
+      rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rnk
+             FROM cos)
+      SELECT query_id, bucket, rnk, neighbor_id, cosine FROM rk WHERE rnk <= 3
+      ORDER BY query_id, rnk"""))
+}

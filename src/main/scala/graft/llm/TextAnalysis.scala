@@ -1,0 +1,154 @@
+package graft.llm
+
+import graft.Tables
+import graft.ops.Q
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` — language ID, quality
+  * scoring, token counting, and winnowing fingerprints (north-star
+  * extensions; each is the reference model's map-emit-features /
+  * group / reduce-score composition).
+  *
+  * All arithmetic is exact (integer counts; doubles only via one final
+  * division), so every query here is oracle-hash-checkable.
+  *
+  * Scale notes: every query is embarrassingly parallel per document —
+  * a single scan projection with generators, no shuffle except the
+  * final stats aggregation; at 100 TB these run at I/O speed.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language lexicons for the n-gram/stopword language-ID
+    * heuristic. Deterministic argmax with fixed priority tiebreak. */
+  private val lex = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "de", "y"),
+    "fr" -> Seq("le", "les", "et", "une"))
+
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+  private def scoreExpr(l: String) =
+    s"size(filter(t, x -> x IN (${inList(lex(l))})))"
+  private def scoreOracle(l: String) =
+    s"len(list_filter(t, x -> x IN (${inList(lex(l))})))"
+
+  val queries: Map[String, Q] = Map(
+    // Language ID: count lexicon hits per language over the token
+    // array (array ops inside codegen, zero shuffle), argmax with
+    // priority tiebreak, then confusion-matrix style rollup vs the
+    // labeled lang column.
+    "q_lang_id" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+        .withColumn("s_en", expr(scoreExpr("en")))
+        .withColumn("s_de", expr(scoreExpr("de")))
+        .withColumn("s_es", expr(scoreExpr("es")))
+        .withColumn("s_fr", expr(scoreExpr("fr")))
+        .withColumn("pred", expr(
+          """CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+            |     WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+            |     WHEN s_es >= s_fr THEN 'es'
+            |     ELSE 'fr' END""".stripMargin))
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")
+    }),
+
+    // Quality scoring: token count, exact mean token length, stopword
+    // ratio, and a composite [0,1] score — the standard pre-training
+    // filter features.
+    "q_text_quality" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .withColumn("n_tok", size(col("t")))
+        .withColumn("sum_len",
+          expr("aggregate(transform(t, x -> length(x)), 0L, (acc, v) -> acc + v)"))
+        .withColumn("n_stop", expr(scoreExpr("en")))
+        .select(
+          col("doc_id"), col("n_tok"),
+          round(col("sum_len").cast("double") / col("n_tok"), 4).as("avg_tok_len"),
+          round(col("n_stop").cast("double") / col("n_tok"), 4).as("stop_ratio"),
+          round(least(lit(1.0), col("n_tok").cast("double") / 100.0) * 0.5 +
+            (lit(1.0) - col("n_stop").cast("double") / col("n_tok")) * 0.5, 4)
+            .as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Token counting: whitespace tokens vs a BPE-ish regex lexer
+    // (letter runs | digit runs | single punctuation) vs chars.
+    "q_token_count" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("ws_tokens"),
+          regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("bpe_tokens"),
+          length(col("text")).as("n_chars_computed"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprinting by winnowing (Schleimer et al.): hash
+    // every 3-shingle, keep the min hash of each 4-window of positions,
+    // dedupe — a robust sub-document copy-detection sketch. Window-min
+    // per doc partition; no cross-doc shuffle until the final sort.
+    "q_fingerprint" -> ((s, dir) => {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.currentRow, 3)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, size(t) - 3), " +
+            "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")))
+        .select(col("doc_id"), col("pos"), md5(col("col")).as("h"))
+        .withColumn("fp", min(col("h")).over(w))
+        .withColumn("wn", count(lit(1)).over(w))
+        .filter(col("wn") === 4)
+        .select(col("doc_id"), col("fp"))
+        .distinct()
+        .orderBy("doc_id", "fp")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_lang_id" -> s"""
+      WITH sc AS (
+        SELECT doc_id, lang,
+               ${scoreOracle("en")} AS s_en, ${scoreOracle("de")} AS s_de,
+               ${scoreOracle("es")} AS s_es, ${scoreOracle("fr")} AS s_fr
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents))
+      SELECT lang,
+             CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                  WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                  WHEN s_es >= s_fr THEN 'es'
+                  ELSE 'fr' END AS pred,
+             count(*) AS n
+      FROM sc GROUP BY 1, 2 ORDER BY lang, pred""",
+    "q_text_quality" -> s"""
+      WITH f AS (
+        SELECT doc_id, CAST(len(t) AS INT) AS n_tok,
+               CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_len,
+               ${scoreOracle("en")} AS n_stop
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+      SELECT doc_id, n_tok,
+             round(CAST(sum_len AS DOUBLE) / n_tok, 4) AS avg_tok_len,
+             round(CAST(n_stop AS DOUBLE) / n_tok, 4) AS stop_ratio,
+             round(least(1.0, CAST(n_tok AS DOUBLE) / 100.0) * 0.5 +
+                   (1.0 - CAST(n_stop AS DOUBLE) / n_tok) * 0.5, 4) AS quality
+      FROM f ORDER BY doc_id""",
+    "q_token_count" -> """
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_tokens,
+             CAST(length(text) AS INT) AS n_chars_computed
+      FROM documents ORDER BY doc_id""",
+    "q_fingerprint" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (SELECT doc_id, i AS pos, md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS h
+             FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)),
+      win AS (SELECT doc_id,
+                min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+              FROM sh)
+      SELECT DISTINCT doc_id, fp FROM win WHERE wn = 4 ORDER BY doc_id, fp""")
+}

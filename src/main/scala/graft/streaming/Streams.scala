@@ -1,0 +1,143 @@
+package graft.streaming
+
+import graft.{Num, Tables}
+import graft.ops.Q
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time windowing — batch analogs (oracle-checkable) plus the
+  * Structured Streaming forms (north-star; the reference is batch-only,
+  * SURVEY.md §2c "streaming" row).
+  *
+  * Each batch query below computes exactly what its streaming twin
+  * emits after all data has arrived, so the driver's DuckDB oracle can
+  * gate correctness; the streaming wrappers in [[Streams]] run the same
+  * logical plan incrementally (exercised by StreamsSpec on a
+  * MemoryStream — there is no oracle for incremental emission).
+  *
+  * Scale notes: tumbling/sliding aggregation is one hash-aggregate on
+  * (window, key) — sliding fan-out (duration/slide rows per event) is
+  * generated in the scan projection, never materialized to the driver;
+  * sessionization is a per-user window sort (shuffle on user_id), the
+  * same exchange the streaming `session_window` state store keys by.
+  */
+object Streams {
+
+  // ---------- batch analogs (oracle-checked) ----------
+
+  val queries: Map[String, Q] = Map(
+    // Tumbling 1-day event-time windows per event type.
+    "q_stream_tumbling" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_value"))
+        .select(col("w.start").as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("w_start", "event_type")
+    }),
+
+    // Sliding 2-day windows every 1 day: each event lands in 2 windows.
+    "q_stream_sliding" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "2 days", "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_value"))
+        .select(col("w.start").as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("w_start", "event_type")
+    }),
+
+    // Sessionization: per-user sessions split on >1h inactivity gaps
+    // (lag + cumulative sum — the batch twin of session_window).
+    "q_stream_session" -> ((s, dir) => {
+      val byTime = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .filter(col("user_id") < 50)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byTime))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 3600L * 1000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_sess")).over(
+          byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          Num.dsum(col("value")).as("sum_value"))
+        .orderBy("user_id", "session_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_stream_tumbling" -> """
+      SELECT date_trunc('day', ts) AS w_start, event_type, count(*) AS n,
+        CAST(round(sum(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""",
+    "q_stream_sliding" -> """
+      SELECT w_start, event_type, count(*) AS n,
+        CAST(round(sum(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_value
+      FROM (SELECT date_trunc('day', ts) - o * INTERVAL '1 day' AS w_start,
+                   event_type, value
+            FROM events, UNNEST(generate_series(0, 1)) AS g(o))
+      GROUP BY 1, 2 ORDER BY w_start, event_type""",
+    "q_stream_session" -> """
+      WITH seq AS (
+        SELECT user_id, event_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events WHERE user_id < 50),
+      flagged AS (
+        SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '1 hour'
+                       THEN 1 ELSE 0 END AS new_sess
+        FROM seq),
+      sess AS (
+        SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM flagged)
+      SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events,
+             CAST(round(sum(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_value
+      FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""")
+
+  // ---------- Structured Streaming forms ----------
+
+  /** Tumbling event-time counts with a watermark — append-mode safe.
+    * Same logical shape as q_stream_tumbling, run incrementally. */
+  def tumblingCounts(events: DataFrame, windowLen: String = "1 day",
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Native session windows (gap-based), the incremental twin of
+    * q_stream_session. */
+  def sessionAgg(events: DataFrame, gap: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("user_id"), col("n_events"))
+
+  /** Streaming exact dedup on event_id within the watermark horizon —
+    * the streaming face of Dedup. */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom state: running per-user event counts via
+    * mapGroupsWithState (the reference Reduce's stateful streaming
+    * analog — arbitrary per-key state the built-ins can't express). */
+  def runningUserCounts(events: Dataset[(Long, Long)]): Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (user, n)
+      }
+  }
+}

@@ -1,0 +1,67 @@
+package graft.llm
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Unit fixtures for the dedup operators: known duplicates in, known
+  * survivors out. Runs the registered queries against a temp parquet
+  * dir shaped like the driver tables. */
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** (doc_id, text): 0/1 exact dups; 2/3 near-dups (one token edited);
+    * 4 a reordering of 0 (bag-dup but not exact-dup); 5 unrelated. */
+  private lazy val dir = {
+    val d = java.nio.file.Files.createTempDirectory("dedup").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, base, "en", "src1", base.length.toLong),
+      (2L, base + " extra tail words here", "en", "src0", 1L),
+      (3L, base + " extra tail words tweak", "en", "src0", 1L),
+      (4L, base.split(" ").reverse.mkString(" "), "en", "src0", 1L),
+      (5L, "totally different content with no overlap at all whatsoever", "en", "src0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("exact dedup groups identical texts, keeper = min id") {
+    val r = Dedup.queries("q_dedup_exact")(spark, dir)
+      .select("keeper", "n_copies").as[(Long, Long)].collect().toMap
+    assert(r(0L) == 2L)               // docs 0 and 1 collapse
+    assert(r.values.sum == 6L)        // nothing lost
+    assert(!r.contains(1L))           // 1 is not a keeper
+  }
+
+  test("bag dedup also catches the reordered copy") {
+    val r = Dedup.queries("q_dedup_bag")(spark, dir)
+      .select("keeper", "n_copies").as[(Long, Long)].collect().toMap
+    assert(r(0L) == 3L)               // 0, 1, and reordered 4 collapse
+  }
+
+  test("jaccard and minhash both find the near-dup pair (2,3)") {
+    val jac = Dedup.queries("q_dedup_jaccard")(spark, dir)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(jac.contains((2L, 3L)))
+    assert(!jac.exists { case (a, b) => a == 5L || b == 5L })
+    val mh = Dedup.queries("q_dedup_minhash")(spark, dir)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(mh.contains((2L, 3L)))
+    // exact dups are jaccard-1.0 candidates in both
+    assert(jac.contains((0L, 1L)) && mh.contains((0L, 1L)))
+  }
+
+  test("jaccard value is exact for the identical pair") {
+    val j = Dedup.queries("q_dedup_jaccard")(spark, dir)
+      .filter(col("d1") === 0 && col("d2") === 1)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("simhash groups identical docs into one bucket") {
+    val pairs = Dedup.queries("q_dedup_simhash")(spark, dir)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // identical shingle sets → identical simhash
+  }
+}

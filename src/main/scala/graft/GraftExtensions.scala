@@ -1,0 +1,19 @@
+package graft
+
+import graft.functions.DotLong
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension that installs graft's native expressions
+  * permanently (usable as `--conf spark.sql.extensions=graft.GraftExtensions`
+  * on a real cluster). Local entry points also register imperatively
+  * via [[graft.functions.GraftFunctions.register]] so queries work
+  * under any driver-provided session. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectFunction((
+      FunctionIdentifier("dot_long"),
+      new ExpressionInfo(classOf[DotLong].getName, "dot_long"),
+      (children: Seq[Expression]) => DotLong(children.head, children(1))))
+}

@@ -1,10 +1,12 @@
 package graft.llm
 
 import graft.Tables
+import graft.functions.GraftFunctions
 import graft.ops.Q
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators over `documents` — the north-star
   * training-data-pipeline extensions (BASELINE.json; SURVEY.md §2c last
@@ -25,19 +27,27 @@ import org.apache.spark.sql.functions._
   *  - MinHash+LSH is the scale path for near-dup: candidates come from
   *    an equality self-join on (band, band-signature) — shuffle on the
   *    band key, never an O(n²) cross join; only candidates pay the
-  *    verify join;
+  *    verify join. The 16 signatures cost 4 md5s per shingle (one per
+  *    band; 4×8-hex-char rows sliced from each digest) and aggregate
+  *    column-wise in ONE partial-agg shuffle — no row fan-out;
   *  - the brute-force shingle self-join (q_dedup_jaccard) is the
   *    correctness baseline — at scale, hot shingles (stopword n-grams)
   *    must be frequency-capped first; LSH is the production path;
+  *  - per-doc size/intersection tables are broadcast into the verify
+  *    joins (one row per doc ≪ pair count); on a 1000-executor run
+  *    with billions of docs these become shuffle joins automatically
+  *    once past `autoBroadcastJoinThreshold`;
   *  - embedding near-dup blocks by `label` (an IVF-style coarse
-  *    quantizer cell) so each block's pair count is bounded.
+  *    quantizer cell) so each block's pair count is bounded; the dot
+  *    product is graft's codegen `dot_long` expression, not an
+  *    interpreted lambda chain.
   */
 object Dedup {
 
   /** Distinct 3-token shingles per document. Generator (explode) inside
     * whole-stage codegen; no shuffle until the consumer aggregates.
     * Docs with <3 tokens yield no shingles (matches the oracle's empty
-    * generate_series). */
+    * generate_series). Persisted by multi-pass consumers. */
   private def shingles(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -56,12 +66,15 @@ object Dedup {
   /** Embeddings quantized to int64 fixed-point (×10⁴) so dot products
     * and norms are exact integer arithmetic — bit-identical across
     * engines and partial-aggregation orders. float→double is exact;
-    * both engines round half away from zero. */
-  private[llm] def quantized(s: SparkSession, dir: String): DataFrame =
+    * both engines round half away from zero. Norm via the codegen
+    * `dot_long` (registered here for every downstream consumer). */
+  private[llm] def quantized(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
     Tables(s, dir, "embeddings").select(
       col("vec_id"), col("label"),
       expr("transform(embedding, x -> cast(round(cast(x as double) * 10000) as bigint))").as("q"))
-      .withColumn("norm", expr("aggregate(transform(q, x -> x * x), 0L, (acc, v) -> acc + v)"))
+      .withColumn("norm", expr("dot_long(q, q)"))
+  }
 
   private[llm] val QE =
     """qe AS (SELECT vec_id, label,
@@ -71,9 +84,9 @@ object Dedup {
       |         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS norm
       |       FROM qe)""".stripMargin
 
-  /** Exact integer dot product of two quantized vectors. */
-  private[llm] val dotExpr =
-    "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+  /** Exact integer dot product of two quantized vectors — graft's
+    * native codegen expression (functions/ArrayNumeric.scala). */
+  private[llm] val dotExpr = "dot_long(qa, qb)"
   private[llm] val dotOracle =
     "CAST(list_sum(list_transform(generate_series(1, len(qa)), i -> qa[i] * qb[i])) AS BIGINT)"
 
@@ -81,6 +94,51 @@ object Dedup {
   private[llm] def cosine(): org.apache.spark.sql.Column =
     round(col("dot").cast("double") / sqrt(col("na").cast("double"))
       / sqrt(col("nb").cast("double")), 4)
+
+  /** Shared tail of the near-dup pipelines: given per-pair (d1 < d2)
+    * intersection counts over the distinct-shingle sets, compute
+    * Jaccard and keep ≥ thr. Sizes (one row per doc ≪ pair count) are
+    * broadcast into both enrichment joins. */
+  private def jaccardFinish(inter: DataFrame, sh: DataFrame, thr: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    inter
+      .join(broadcast(sizes.select(col("doc_id").as("d1"), col("n").as("n1"))), "d1")
+      .join(broadcast(sizes.select(col("doc_id").as("d2"), col("n").as("n2"))), "d2")
+      .withColumn("jac", col("inter").cast("double") /
+        (col("n1") + col("n2") - col("inter")).cast("double"))
+      .filter(col("jac") >= thr)
+      .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  /** Intersection counts for an explicit candidate-pair set: each
+    * candidate joins its two shingle sets; shared shingles count once
+    * (sh is distinct per doc). */
+  private def candIntersections(cand: DataFrame, sh: DataFrame): DataFrame =
+    cand
+      .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sh.as("s2"), col("d2") === col("s2.doc_id") &&
+        col("s1.shingle") === col("s2.shingle"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+
+  /** Oracle twin of [[candIntersections]] given CTEs `cand` and `sh`. */
+  private val candInterSql: String =
+    """,
+      inter AS (SELECT c.d1, c.d2, count(*) AS inter
+                FROM cand c JOIN sh s1 ON c.d1 = s1.doc_id
+                JOIN sh s2 ON c.d2 = s2.doc_id AND s1.shingle = s2.shingle
+                GROUP BY 1, 2)"""
+
+  /** Oracle twin of [[jaccardFinish]] given CTEs `inter` and `sh`. */
+  private def jaccardFinishSql(thr: String): String =
+    s""",
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+      SELECT d1, d2,
+             round(CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE), 4) AS jaccard
+      FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+      WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= $thr
+      ORDER BY d1, d2"""
 
   val queries: Map[String, Q] = Map(
     // Exact dedup: group by content digest, elect min-id keeper.
@@ -107,75 +165,61 @@ object Dedup {
     // pair intersection counts → |A∩B| / |A∪B| ≥ 0.8. The verify
     // baseline for LSH; the join shuffles on the shingle string.
     "q_dedup_jaccard" -> ((s, dir) => {
-      val sh = shingles(s, dir)
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val sh = shingles(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
       val inter = sh.as("x")
         .join(sh.as("y"), col("x.shingle") === col("y.shingle") &&
           col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
-        .withColumn("jac", col("inter").cast("double") /
-          (col("n1") + col("n2") - col("inter")).cast("double"))
-        .filter(col("jac") >= 0.8)
-        .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
-        .orderBy("d1", "d2")
+      jaccardFinish(inter, sh, 0.8)
     }),
 
-    // MinHash + LSH banding: 16 signatures (min over md5(i:shingle)),
-    // 4 bands × 4 rows; docs sharing any band bucket become candidates;
+    // MinHash + LSH banding: 16 signatures = 4 bands × 4 rows. Band g
+    // hashes each shingle once (md5(g + ':' + shingle)) and slices the
+    // digest into 4 independent 8-hex-char rows; per-doc signature =
+    // column-wise min — a single partial-agg shuffle, no fan-out.
+    // Docs sharing any band's 4-row signature become candidates;
     // candidates alone are Jaccard-verified at ≥ 0.7. THE scale path:
-    // the only shuffles are groupBys on (doc, i)/(doc, band) and an
-    // equality join on the band key — no cross join at any SF.
+    // the only shuffles are one groupBy(doc) and an equality join on
+    // the band key — no cross join at any SF.
     "q_dedup_minhash" -> ((s, dir) => {
-      val sh = shingles(s, dir)
-      val sig = sh
-        .select(col("doc_id"), col("shingle"), explode(expr("sequence(0, 15)")).as("i"))
-        .groupBy(col("doc_id"), col("i"))
-        .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("shingle")))).as("mh"))
+      val sh = shingles(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      val hashed = sh.select(
+        col("doc_id") +: (0 to 3).map(g =>
+          md5(concat(lit(s"$g:"), col("shingle"))).as(s"h$g")): _*)
+      val minCols = for { g <- 0 to 3; j <- 0 to 3 }
+        yield min(substring(col(s"h$g"), j * 8 + 1, 8)).as(s"m$g$j")
+      val sig = hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      val bandStructs = (0 to 3).map(g => struct(
+        lit(g).as("band"),
+        concat_ws(",", (0 to 3).map(j => col(s"m$g$j")): _*).as("bkey")))
       val bands = sig
-        .groupBy(col("doc_id"), expr("i div 4").as("band"))
-        .agg(concat_ws(",", sort_array(collect_list(col("mh")))).as("bkey"))
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
       val cand = bands.as("a")
         .join(bands.as("b"), col("a.band") === col("b.band") &&
           col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
-        .join(sh.as("s2"), col("d2") === col("s2.doc_id") &&
-          col("s1.shingle") === col("s2.shingle"))
-        .groupBy(col("d1"), col("d2"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
-        .withColumn("jac", col("inter").cast("double") /
-          (col("n1") + col("n2") - col("inter")).cast("double"))
-        .filter(col("jac") >= 0.7)
-        .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
-        .orderBy("d1", "d2")
+      jaccardFinish(candIntersections(cand, sh), sh, 0.7)
     }),
 
     // SimHash-16 over shingles: per-bit majority vote of feature-hash
     // bits (bit j = high bit of md5 nibble j); identical fingerprints
-    // are near-dup candidate pairs. One groupBy(doc) + an equality
-    // self-join on the 16-bit fingerprint — the cheapest near-dup
-    // screen, with simhash's false +/- semantics by design.
+    // are near-dup candidate pairs. ONE groupBy(doc) with 16
+    // conditional-sum columns (no row fan-out) + an equality self-join
+    // on the 16-bit fingerprint — the cheapest near-dup screen, with
+    // simhash's false +/- semantics by design.
     "q_dedup_simhash" -> ((s, dir) => {
-      val sh = shingles(s, dir)
-      val votes = sh
-        .select(col("doc_id"), md5(col("shingle")).as("h"),
-          explode(expr("sequence(1, 16)")).as("j"))
-        .groupBy(col("doc_id"), col("j"))
-        .agg(sum(when(expr("substr(h, j, 1)")
-          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)).as("vote"))
-      val fp = votes.groupBy(col("doc_id"))
-        .agg(sum(when(col("vote") >= 0, expr("cast(pow(2, j - 1) as bigint)"))
-          .otherwise(lit(0L))).as("simhash"))
+      val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+      val sh = shingles(s, dir).select(col("doc_id"), md5(col("shingle")).as("h"))
+      val voteCols = (1 to 16).map(j =>
+        sum(when(substring(col("h"), j, 1).isin(hexHigh: _*), 1).otherwise(-1))
+          .as(s"v$j"))
+      val fp = sh.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+        .select(col("doc_id"),
+          (1 to 16).map(j => when(col(s"v$j") >= 0, lit(1L << (j - 1)))
+            .otherwise(lit(0L))).reduce(_ + _).as("simhash"))
       fp.as("a").join(fp.as("b"), col("a.simhash") === col("b.simhash") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
@@ -203,6 +247,22 @@ object Dedup {
         .orderBy(col("label"), col("cosine").desc, col("v1"), col("v2"))
     }))
 
+  /** DuckDB minhash signature/band CTEs (twin of the Spark columns). */
+  private val minhashSql: String = {
+    val mins = (for { g <- 0 to 3; j <- 0 to 3 }
+      yield s"min(substr(md5('$g:' || shingle), ${j * 8 + 1}, 8)) AS m$g$j").mkString(", ")
+    val bandRows = (0 to 3).map(g =>
+      s"SELECT doc_id, $g AS band, " +
+        (0 to 3).map(j => s"m$g$j").mkString(" || ',' || ") + " AS bkey FROM sig")
+      .mkString(" UNION ALL ")
+    s""",
+      sig AS (SELECT doc_id, $mins FROM sh GROUP BY 1),
+      bands AS ($bandRows),
+      cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+               FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
+  }
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> """
       SELECT md5(text) AS content_hash, min(doc_id) AS keeper,
@@ -213,33 +273,11 @@ object Dedup {
              min(doc_id) AS keeper, count(*) AS n_copies
       FROM documents GROUP BY 1 ORDER BY bag_hash""",
     "q_dedup_jaccard" -> (SH + """,
-      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       inter AS (SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS inter
                 FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-                GROUP BY 1, 2)
-      SELECT d1, d2,
-             round(CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE), 4) AS jaccard
-      FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-      WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.8
-      ORDER BY d1, d2"""),
-    "q_dedup_minhash" -> (SH + """,
-      sig AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS mh
-              FROM sh, UNNEST(generate_series(0, 15)) AS g(i) GROUP BY 1, 2),
-      bands AS (SELECT doc_id, i // 4 AS band, string_agg(mh, ',' ORDER BY mh) AS bkey
-                FROM sig GROUP BY 1, 2),
-      cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-               FROM bands a JOIN bands b
-               ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-      inter AS (SELECT c.d1, c.d2, count(*) AS inter
-                FROM cand c JOIN sh s1 ON c.d1 = s1.doc_id
-                JOIN sh s2 ON c.d2 = s2.doc_id AND s1.shingle = s2.shingle
-                GROUP BY 1, 2)
-      SELECT d1, d2,
-             round(CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE), 4) AS jaccard
-      FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-      WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.7
-      ORDER BY d1, d2"""),
+                GROUP BY 1, 2)"""
+      + jaccardFinishSql("0.8")),
+    "q_dedup_minhash" -> (SH + minhashSql + candInterSql + jaccardFinishSql("0.7")),
     "q_dedup_simhash" -> (SH + """,
       votes AS (SELECT doc_id, j,
                   sum(CASE WHEN substr(md5(shingle), j, 1) IN ('8','9','a','b','c','d','e','f')

@@ -2,7 +2,6 @@ package graft.llm
 
 import graft.Tables
 import graft.ops.Q
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` — language ID, quality
@@ -87,23 +86,23 @@ object TextAnalysis {
     }),
 
     // Document fingerprinting by winnowing (Schleimer et al.): hash
-    // every 3-shingle, keep the min hash of each 4-window of positions,
-    // dedupe — a robust sub-document copy-detection sketch. Window-min
-    // per doc partition; no cross-doc shuffle until the final sort.
+    // every 3-shingle, keep the min hash of each complete 4-window of
+    // positions, dedupe — a robust sub-document copy-detection sketch.
+    // Evaluated entirely as array ops inside whole-stage codegen (hash
+    // array → per-window array_min over slices) — zero shuffle before
+    // the final distinct, where the old two-window-function plan paid
+    // a full (doc_id, pos) sort exchange. Equivalent by construction:
+    // windows [i, i+3] with 4 rows ⟺ 0 ≤ i ≤ m-4, m = shingle count.
     "q_fingerprint" -> ((s, dir) => {
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        .rowsBetween(Window.currentRow, 3)
       Tables(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .filter(size(col("t")) >= 3)
-        .select(col("doc_id"), posexplode(expr(
+        .filter(size(col("t")) >= 6) // m = size-2 shingles; need m ≥ 4
+        .select(col("doc_id"), expr(
           "transform(sequence(0, size(t) - 3), " +
-            "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")))
-        .select(col("doc_id"), col("pos"), md5(col("col")).as("h"))
-        .withColumn("fp", min(col("h")).over(w))
-        .withColumn("wn", count(lit(1)).over(w))
-        .filter(col("wn") === 4)
-        .select(col("doc_id"), col("fp"))
+            "i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2])))").as("hs"))
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(0, size(hs) - 4), " +
+            "i -> array_min(slice(hs, i + 1, 4))))")).as("fp"))
         .distinct()
         .orderBy("doc_id", "fp")
     }))

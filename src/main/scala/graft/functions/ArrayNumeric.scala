@@ -70,13 +70,16 @@ case class DotLong(left: Expression, right: Expression)
 }
 
 object GraftFunctions {
-  /** Register graft's native expressions on a session so they are
-    * usable from `expr(...)`/SQL text. Idempotent; called by every
+  /** Register graft's native expressions and UDAFs on a session so they
+    * are usable from `expr(...)`/SQL text. Idempotent; called by every
     * query builder that needs them (works under any session the
     * driver hands us, no `spark.sql.extensions` config required). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_long",
       (children: Seq[Expression]) => DotLong(children.head, children(1)),
       "built-in")
+    spark.udf.register("wmean",
+      org.apache.spark.sql.functions.udaf(WeightedMean, WeightedMean.inputEncoder))
+  }
 }

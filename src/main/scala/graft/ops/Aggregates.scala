@@ -139,6 +139,23 @@ object Aggregates {
         .orderBy("o_orderpriority")
     }),
 
+    // UDAF: quantity-weighted mean price via a typed Aggregator
+    // (functions/WeightedMean.scala) — partial+final aggregation, the
+    // idiomatic upgrade of the reference's whole-group Reduce
+    // (MapReduceClient.h:50). Inputs pre-cast to DECIMAL(38,6) per the
+    // Num convention so both engines sum exactly.
+    "q_udaf_wavg" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          Num.r(expr("""wmean(cast(l_extendedprice as decimal(38,6)),
+                               cast(l_quantity as decimal(38,6)))"""))
+            .as("wavg_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // Approximate distinct (HLL++). No DuckDB oracle — HLL estimates are
     // implementation-specific; the driver records a rows-only check.
     "q_approx_distinct" -> ((s, dir) => {
@@ -210,6 +227,13 @@ object Aggregates {
       FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       ORDER BY status, priority""",
+    "q_udaf_wavg" -> """
+      SELECT l_returnflag,
+        CAST(round(
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)) * CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) /
+          CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 4) AS DOUBLE) AS wavg_price,
+        count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_scalar_subquery" -> """
       SELECT o_orderpriority, count(*) AS n_above
       FROM orders

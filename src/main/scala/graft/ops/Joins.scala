@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Num, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join library — every join flavor the reference model can derive
@@ -134,6 +135,68 @@ object Joins {
           .as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("r_name", "n_name")
+    }),
+
+    // As-of join (event-time point lookup): each purchase matched to
+    // the same user's latest click at-or-before its timestamp.
+    // Implementation is the scale path for as-of: tag both sides, union,
+    // ONE shuffle on the key, and a per-key ordered scan carrying the
+    // right side forward with last(ignoreNulls) — no range cross join,
+    // no per-row probe. Right side is pre-deduped per (user, ts) with a
+    // max(event_id) tiebreak so the matched row is well-defined in both
+    // engines (DuckDB ASOF leaves equal-ts ties unspecified).
+    "q_join_asof" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+        .select(col("user_id"), col("ts"), lit(0).as("side"),
+          lit(null).cast("bigint").as("event_id"),
+          col("click_id"), col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("side"),
+          col("event_id"),
+          lit(null).cast("bigint").as("click_id"),
+          lit(null).cast("timestamp").as("click_ts"))
+      // side 0 < 1 sorts a click before purchases at the same instant,
+      // so ts-equality counts as "before" (ASOF's >= semantics).
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("m_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+        .withColumn("m_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1 && col("m_click_id").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("m_click_ts").as("click_ts"), col("m_click_id").as("click_id"))
+        .orderBy("event_id")
+    }),
+
+    // Interval (range) self-join: pairs of same-user events ≤ 10 min
+    // apart. Scale path: a theta join is made equi by time-bucketing —
+    // the probe side explodes to its bucket ±1 (3 rows), the build side
+    // keeps 1 row, the join shuffles on (user, bucket), and the exact
+    // band predicate filters after. Pair count per key is bounded by
+    // bucket density, never |user|² — the classic range-join rewrite
+    // Catalyst doesn't do automatically.
+    "q_join_range" -> ((s, dir) => {
+      val W = 600L * 1000000L // 10 min in µs
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+      val probe = e.withColumn("bucket",
+        explode(expr(s"array(us div $W - 1, us div $W, us div $W + 1)")))
+      val build = e.withColumn("bucket", expr(s"us div $W"))
+      probe.as("a")
+        .join(build.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.event_id") < col("b.event_id") &&
+            abs(col("b.us") - col("a.us")) <= W)
+        .select(col("a.user_id").as("user_id"),
+          col("a.event_id").as("e1"), col("b.event_id").as("e2"),
+          abs(col("b.us") - col("a.us")).as("gap_us"))
+        .orderBy("user_id", "e1", "e2")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -194,5 +257,20 @@ object Joins {
       JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
       JOIN nation ON s_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
-      GROUP BY r_name, n_name ORDER BY r_name, n_name""")
+      GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q_join_asof" -> """
+      WITH p AS (SELECT user_id, event_id, ts FROM events
+                 WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      SELECT p.user_id, p.event_id, p.ts, c.click_ts, c.click_id
+      FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+      ORDER BY event_id""",
+    "q_join_range" -> """
+      SELECT a.user_id, a.event_id AS e1, b.event_id AS e2,
+             abs(epoch_us(b.ts) - epoch_us(a.ts)) AS gap_us
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id AND a.event_id < b.event_id
+       AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 600000000
+      ORDER BY a.user_id, e1, e2""")
 }

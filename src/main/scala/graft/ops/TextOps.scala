@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.Tables
+import graft.{Num, Tables}
 import graft.clients.Search
 import org.apache.spark.sql.functions._
 
@@ -44,6 +44,31 @@ object TextOps {
           concat_ws(",", sort_array(collect_set(col("doc_id"))))
             .as("postings"))
         .orderBy("word")
+    }),
+
+    // TF-IDF: term frequency per (doc, word) × ln(N/df). Corpus-wide
+    // stats (df, N) are computed over ALL docs; the reported rows are a
+    // 1-in-20 doc sample purely to bound the compare size. Scale shape:
+    // two hash-aggregates (on (doc,word) and word) + one shuffle join
+    // on word + a broadcast scalar for N — the tf side is pre-filtered
+    // before the join so only sampled docs pay the exchange.
+    "q_tfidf" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val toks = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+      val tf = toks.groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+        .filter(col("doc_id") % 20 === 0)
+      val df = toks.distinct().groupBy(col("word"))
+        .agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(df, "word")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("word"), col("tf"), col("df"),
+          Num.r(col("tf") * log(col("n_docs").cast("double") /
+            col("df").cast("double"))).as("tfidf"))
+        .orderBy("doc_id", "word")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -59,5 +84,18 @@ object TextOps {
       FROM (SELECT DISTINCT doc_id, word FROM
              (SELECT doc_id, unnest(string_split(text, ' ')) AS word
               FROM documents))
-      WHERE word <> '' GROUP BY word ORDER BY word""")
+      WHERE word <> '' GROUP BY word ORDER BY word""",
+    "q_tfidf" -> """
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                    FROM documents),
+      t AS (SELECT doc_id, word, count(*) AS tf FROM toks
+            WHERE word <> '' GROUP BY 1, 2),
+      d AS (SELECT word, count(DISTINCT doc_id) AS df FROM toks
+            WHERE word <> '' GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents)
+      SELECT doc_id, t.word AS word, tf, df,
+        CAST(round(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 4) AS DOUBLE) AS tfidf
+      FROM t JOIN d ON t.word = d.word CROSS JOIN n
+      WHERE doc_id % 20 = 0
+      ORDER BY doc_id, word""")
 }

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Incremental execution of the Structured Streaming wrappers in
+  * [[Streams]] on a MemoryStream — proves the same logical plans run
+  * under the micro-batch engine with watermarks and state (SURVEY.md
+  * §2c "streaming" row; the batch twins are oracle-checked by the
+  * driver, incremental emission has no oracle). */
+class StreamsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+  private val day1 = Seq(
+    Ev(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0),
+    Ev(2, ts("2024-01-01 00:20:00"), 1, "click", 2.0),
+    Ev(3, ts("2024-01-01 10:00:00"), 2, "view", 3.0),
+    Ev(2, ts("2024-01-01 00:20:00"), 1, "click", 2.0)) // dup event_id
+  private val day2 = Seq(
+    Ev(4, ts("2024-01-02 00:05:00"), 1, "click", 4.0),
+    Ev(5, ts("2024-01-02 12:00:00"), 2, "view", 5.0))
+
+  test("tumblingCounts aggregates event-time windows incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streams.tumblingCounts(in.toDF(), "1 day", "1 hour")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(day1: _*); q.processAllAvailable()
+      in.addData(day2: _*); q.processAllAvailable()
+      val got = spark.table("tumbling")
+        .orderBy("w_start", "event_type")
+        .as[(Timestamp, String, Long)].collect().toSeq
+      assert(got === Seq(
+        (ts("2024-01-01 00:00:00"), "click", 3L),
+        (ts("2024-01-01 00:00:00"), "view", 1L),
+        (ts("2024-01-02 00:00:00"), "click", 1L),
+        (ts("2024-01-02 00:00:00"), "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionAgg merges gap-based session windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streams.sessionAgg(in.toDF(), "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(day1 ++ day2: _*); q.processAllAvailable()
+      val got = spark.table("sessions")
+        .orderBy("user_id", "session_start")
+        .as[(Timestamp, Timestamp, Long, Long)].collect().toSeq
+      // user 1: events at 00:10/00:20 merge (gap < 1h), day-2 event is
+      // its own session; user 2: two singleton sessions.
+      assert(got.map { case (start, _, user, n) => (user, start, n) } === Seq(
+        (1L, ts("2024-01-01 00:10:00"), 3L),
+        (1L, ts("2024-01-02 00:05:00"), 1L),
+        (2L, ts("2024-01-01 10:00:00"), 1L),
+        (2L, ts("2024-01-02 12:00:00"), 1L)))
+    } finally q.stop()
+  }
+
+  test("dedupStream drops duplicate event_ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streams.dedupStream(in.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(day1: _*); q.processAllAvailable()
+      val ids = spark.table("deduped").select("event_id")
+        .as[Long].collect().toSeq.sorted
+      assert(ids === Seq(1L, 2L, 3L)) // dup of event 2 dropped
+    } finally q.stop()
+  }
+
+  test("runningUserCounts keeps per-key state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val q = Streams.runningUserCounts(in.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData((1L, 10L), (1L, 11L), (2L, 20L)); q.processAllAvailable()
+      in.addData((1L, 12L)); q.processAllAvailable()
+      val last = spark.table("running").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      // user 1 saw 2 then 3 cumulative; user 2 saw 1.
+      assert(last === Map(1L -> 3L, 2L -> 1L))
+    } finally q.stop()
+  }
+}

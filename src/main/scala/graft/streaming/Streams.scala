@@ -5,7 +5,13 @@ import graft.ops.Q
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Open-session state for [[Streams.sessionsWithState]] (epoch ms).
+  * Top-level so the state encoder's generated code can construct it. */
+case class OpenSession(start: Long, end: Long, n: Long)
 
 /** Event-time windowing — batch analogs (oracle-checkable) plus the
   * Structured Streaming forms (north-star; the reference is batch-only,
@@ -126,6 +132,54 @@ object Streams {
   def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** A closed session emitted by [[sessionsWithState]]. */
+  case class ClosedSession(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long)
+
+  /** Custom sessionization via flatMapGroupsWithState with an
+    * event-time timeout — the fully-general stateful operator
+    * (`session_window` covers gap sessions; this shape is what you
+    * reach for when the state machine is richer: carts, funnels,
+    * fraud windows). Sessions close either when a later event for the
+    * key arrives past the gap, or when the watermark passes
+    * session_end + gap (timeout path) — so quiet keys still flush.
+    *
+    * State per key is one (start, end, n) triple — O(keys) state store
+    * size, the same bound the built-in session window has. */
+  def sessionsWithState(events: DataFrame, gapMs: Long = 3600L * 1000,
+      watermark: String = "1 hour"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.selectExpr("user_id", "ts")
+      .withWatermark("ts", watermark)
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, Timestamp)], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(user, new Timestamp(s.start), new Timestamp(s.end), s.n))
+          } else {
+            val times = rows.map(_._2.getTime).toSeq.sorted
+            // fold the batch (+ any open session) into gap-delimited segments
+            val init = state.getOption.map(s => Vector(s)).getOrElse(Vector.empty)
+            val segs = times.foldLeft(init) { (acc, t) =>
+              acc.lastOption match {
+                case Some(seg) if t - seg.end <= gapMs =>
+                  acc.init :+ OpenSession(seg.start, t, seg.n + 1)
+                case _ => acc :+ OpenSession(t, t, 1)
+              }
+            }
+            val closed = segs.init
+            val open = segs.last
+            state.update(open)
+            state.setTimeoutTimestamp(open.end + gapMs)
+            closed.iterator.map(s =>
+              ClosedSession(user, new Timestamp(s.start), new Timestamp(s.end), s.n))
+          }
+      }
+  }
 
   /** Custom state: running per-user event counts via
     * mapGroupsWithState (the reference Reduce's stateful streaming

@@ -84,6 +84,32 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("sessionsWithState closes a session when a later event passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streams.sessionsWithState(in.toDF(), gapMs = 3600L * 1000, "1 hour")
+      .writeStream.format("memory").queryName("state_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: user 1 has two events 20 min apart → one open session
+      in.addData(
+        Ev(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 00:20:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("state_sessions").count() === 0) // still open
+      // batch 2: an event 5 h later closes it (gap exceeded in-key)
+      in.addData(Ev(3, ts("2024-01-01 05:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // append sinks emit on the NEXT trigger after state commits; nudge
+      in.addData(Ev(4, ts("2024-01-01 05:01:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("state_sessions")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSeq
+      assert(got === Seq(
+        (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:20:00"), 2L)))
+    } finally q.stop()
+  }
+
   test("runningUserCounts keeps per-key state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long)]

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Num, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 
@@ -156,6 +157,71 @@ object Aggregates {
         .orderBy("l_returnflag")
     }),
 
+    // PIVOT: order counts by priority × status. Explicit pivot-value
+    // list (no extra distinct-scan pass to discover columns — mandatory
+    // at scale); empty cells coalesced to 0 to match conditional-agg
+    // semantics.
+    "q_pivot" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Exact discrete percentiles (p25/p50/p90 of order price per
+    // priority) at rank ceil(p·n), computed with INTEGER arithmetic
+    // ((a·n + a) div b) — float p·n differs between engines' literal
+    // typing (decimal vs double) exactly at integer boundaries, the
+    // one place ceil flips. One window sort per group + one aggregate.
+    "q_percentile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1))
+          .over(Window.partitionBy(col("o_orderpriority"))))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          min(when(expr("rn = (n + 3) div 4"), col("o_totalprice"))).as("p25"),
+          min(when(expr("rn = (n + 1) div 2"), col("o_totalprice"))).as("p50"),
+          min(when(expr("rn = (9 * n + 9) div 10"), col("o_totalprice"))).as("p90"),
+          max(col("n")).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Moment statistics (stddev, correlation) from exact decimal sums:
+    // the five power sums are order-independent DECIMAL(38,6) partial
+    // aggregates; the closed-form variance/corr arithmetic then runs in
+    // IEEE double identically in any engine. Built-in stddev/corr use
+    // streaming update formulas whose result depends on partition
+    // order — unusable under a hash-compare oracle.
+    "q_stats" -> ((s, dir) => {
+      val d = "decimal(38,6)"
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(d)).cast("double").as("sx"),
+          sum((col("l_quantity") * col("l_quantity")).cast(d)).cast("double").as("sx2"),
+          sum(col("l_extendedprice").cast(d)).cast("double").as("sy"),
+          sum((col("l_extendedprice") * col("l_extendedprice")).cast(d)).cast("double").as("sy2"),
+          sum((col("l_quantity") * col("l_extendedprice")).cast(d)).cast("double").as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          Num.r(sqrt((col("n") * col("sx2") - col("sx") * col("sx")) /
+            (col("n") * (col("n") - 1)))).as("stddev_qty"),
+          Num.r((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sx2") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("sy2") - col("sy") * col("sy"))))
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // Approximate distinct (HLL++). No DuckDB oracle — HLL estimates are
     // implementation-specific; the driver records a rows-only check.
     "q_approx_distinct" -> ((s, dir) => {
@@ -227,6 +293,39 @@ object Aggregates {
       FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       ORDER BY status, priority""",
+    "q_pivot" -> """
+      SELECT o_orderpriority,
+        count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+        count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+        count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_percentile" -> """
+      WITH t AS (
+        SELECT o_orderpriority, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders)
+      SELECT o_orderpriority,
+        min(CASE WHEN rn = (n + 3) // 4 THEN o_totalprice END) AS p25,
+        min(CASE WHEN rn = (n + 1) // 2 THEN o_totalprice END) AS p50,
+        min(CASE WHEN rn = (9 * n + 9) // 10 THEN o_totalprice END) AS p90,
+        max(n) AS n
+      FROM t GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_stats" -> """
+      WITH s AS (
+        SELECT l_returnflag, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx2,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+          CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy2,
+          CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        CAST(round(sqrt((n * sx2 - sx * sx) / (n * (n - 1))), 4) AS DOUBLE) AS stddev_qty,
+        CAST(round((n * sxy - sx * sy) /
+          (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 4) AS DOUBLE) AS corr_qty_price
+      FROM s ORDER BY l_returnflag""",
     "q_udaf_wavg" -> """
       SELECT l_returnflag,
         CAST(round(

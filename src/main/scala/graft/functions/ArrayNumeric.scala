@@ -81,5 +81,9 @@ object GraftFunctions {
       "built-in")
     spark.udf.register("wmean",
       org.apache.spark.sql.functions.udaf(WeightedMean, WeightedMean.inputEncoder))
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "max_k",
+      (children: Seq[Expression]) => MaxK(children.head, children(1)),
+      "built-in")
   }
 }

@@ -45,6 +45,25 @@ object WindowOps {
         .orderBy("l_returnflag", "rn")
     }),
 
+    // Per-group top-k AS AN AGGREGATE: graft's native max_k
+    // TypedImperativeAggregate (functions/TopK.scala) — a k-bounded
+    // heap with partial+final merge, so the exchange carries k doubles
+    // per (group, map task) instead of sorting every row like the
+    // window form above. The window form is kept as the row-level
+    // variant; this is the 100 TB shape.
+    "q_topk_agg" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("max_k(o_totalprice, 3)").as("top3"))
+        // flattened to scalars: the compare harness hashes flat columns
+        .select(col("o_orderpriority"),
+          element_at(col("top3"), 1).as("t1"),
+          element_at(col("top3"), 2).as("t2"),
+          element_at(col("top3"), 3).as("t3"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Ranking family: rank / dense_rank / ntile over one pass.
     "q_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_nationkey"))
@@ -96,6 +115,12 @@ object WindowOps {
             ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS INT) AS rn
         FROM lineitem)
       WHERE rn <= 3 ORDER BY l_returnflag, rn""",
+    "q_topk_agg" -> """
+      WITH t AS (SELECT o_orderpriority,
+                        list_sort(list(o_totalprice), 'DESC') AS top3
+                 FROM orders GROUP BY o_orderpriority)
+      SELECT o_orderpriority, top3[1] AS t1, top3[2] AS t2, top3[3] AS t3
+      FROM t ORDER BY o_orderpriority""",
     "q_window_rank" -> """
       SELECT c_nationkey, c_custkey, c_acctbal, rnk, drnk, quartile
       FROM (

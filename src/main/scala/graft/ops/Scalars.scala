@@ -66,6 +66,25 @@ object Scalars {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Array + map function battery over the token array (higher-order
+    // functions run inside whole-stage codegen — no UDF, no shuffle).
+    "q_array_funcs" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(
+          col("doc_id"),
+          size(col("t")).as("n_tok"),
+          concat_ws(" ", slice(col("t"), 1, 3)).as("first3"),
+          array_contains(col("t"), "select").as("has_select"),
+          array_min(col("t")).as("min_tok"),
+          array_max(col("t")).as("max_tok"),
+          size(array_distinct(col("t"))).as("n_uniq"),
+          array_position(col("t"), "from").as("pos_from"),
+          expr("map('len', size(t), 'uniq', size(array_distinct(t)))['uniq']")
+            .as("map_uniq"))
+        .orderBy("doc_id")
+    }),
+
     // JSON extraction from the events.props payload column.
     "q_json" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -118,6 +137,20 @@ object Scalars {
         CAST(sign(l_extendedprice - 50000) AS DOUBLE) AS sign_dev
       FROM lineitem WHERE l_orderkey < 500
       ORDER BY l_orderkey, l_linenumber""",
+    "q_array_funcs" -> """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      SELECT doc_id,
+        CAST(len(t) AS INT) AS n_tok,
+        array_to_string(t[1:3], ' ') AS first3,
+        list_contains(t, 'select') AS has_select,
+        list_min(t) AS min_tok,
+        list_max(t) AS max_tok,
+        CAST(len(list_distinct(t)) AS INT) AS n_uniq,
+        CAST(list_position(t, 'from') AS BIGINT) AS pos_from,
+        (map(['len', 'uniq'],
+             [CAST(len(t) AS INT), CAST(len(list_distinct(t)) AS INT)])['uniq'])[1]
+          AS map_uniq
+      FROM d ORDER BY doc_id""",
     "q_json" -> """
       SELECT event_type, count(*) AS n,
         CAST(sum(k) AS BIGINT) AS sum_k,

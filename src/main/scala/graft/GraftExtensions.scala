@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.DotLong
+import graft.functions.{DotLong, MaxK}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -11,9 +11,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * via [[graft.functions.GraftFunctions.register]] so queries work
   * under any driver-provided session. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("dot_long"),
       new ExpressionInfo(classOf[DotLong].getName, "dot_long"),
       (children: Seq[Expression]) => DotLong(children.head, children(1))))
+    e.injectFunction((
+      FunctionIdentifier("max_k"),
+      new ExpressionInfo(classOf[MaxK].getName, "max_k"),
+      (children: Seq[Expression]) => MaxK(children.head, children(1))))
+  }
 }

@@ -84,6 +84,31 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("watermark drops late data in append-mode tumbling windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streams.tumblingCounts(in.toDF(), "1 day", "1 hour")
+      .writeStream.format("memory").queryName("late_tumbling")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(day1: _*); q.processAllAvailable()
+      // advance watermark far past day 1 → day-1 windows finalize
+      in.addData(Ev(9, ts("2024-01-05 00:00:00"), 3, "view", 0.0))
+      q.processAllAvailable()
+      val before = spark.table("late_tumbling")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(before === Set(
+        (ts("2024-01-01 00:00:00"), "click", 3L),
+        (ts("2024-01-01 00:00:00"), "view", 1L)))
+      // a straggler for day 1 arrives past the watermark → dropped
+      in.addData(Ev(10, ts("2024-01-01 02:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val after = spark.table("late_tumbling")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(after === before) // no re-emission, no count change
+    } finally q.stop()
+  }
+
   test("sessionsWithState closes a session when a later event passes the gap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]

@@ -52,3 +52,26 @@ object Search {
       .select(col(nameCol))
       .orderBy(col(nameCol))
 }
+
+/** CLI parity with the reference binary: `Search <substring> <dir>...`
+  * over the live filesystem, printing the sorted matching names
+  * space-separated with a trailing space + newline — byte-identical
+  * output format to reference Search.cpp:44-49 (argv parsing :59-64). */
+object SearchMain {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: Search <substring> <dir> [<dir> ...]")
+      sys.exit(1)
+    }
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val listing = graft.sources.DirListing(spark, args.drop(1).toSeq)
+    val names = Search.dataframe(listing, "dir", "name", args(0))
+      .collect().map(_.getString(0))
+    println(names.map(_ + " ").mkString)
+    spark.stop()
+  }
+}

@@ -181,6 +181,30 @@ object Streams {
       }
   }
 
+  /** Stream-stream interval join: each purchase matched to the same
+    * user's clicks in the preceding `windowLen`. Both sides carry a
+    * watermark so the join state store evicts rows older than
+    * (watermark + interval) — bounded state, the only way a
+    * stream-stream join survives unbounded input. The batch twin of
+    * this shape is q_join_range / q_join_asof. */
+  def purchaseClickJoin(events: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", watermark)
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("p_ts"), col("c_ts"))
+  }
+
   /** Custom state: running per-user event counts via
     * mapGroupsWithState (the reference Reduce's stateful streaming
     * analog — arbitrary per-key state the built-ins can't express). */

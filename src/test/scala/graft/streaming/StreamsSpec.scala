@@ -135,6 +135,27 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("purchaseClickJoin matches clicks within 10 minutes before purchase") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streams.purchaseClickJoin(in.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 00:10:00"), 1, "purchase", 9.0), // joins click 1
+        Ev(3, ts("2024-01-01 00:50:00"), 1, "click", 1.0),
+        Ev(4, ts("2024-01-01 02:00:00"), 1, "purchase", 9.0), // >10 min: no click
+        Ev(5, ts("2024-01-01 02:00:00"), 2, "purchase", 9.0)) // other user: none
+      q.processAllAvailable()
+      val got = spark.table("ss_join")
+        .selectExpr("purchase_id", "click_id")
+        .as[(Long, Long)].collect().toSeq
+      assert(got === Seq((2L, 1L)))
+    } finally q.stop()
+  }
+
   test("runningUserCounts keeps per-key state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long)]

@@ -1,3 +1,5 @@
+// (see also Aggregates for pivot; unpivot lives here with the
+// shape-changing operators)
 package graft.ops
 
 import graft.Tables
@@ -39,6 +41,34 @@ object SetOps {
       c.except(sp).orderBy("nk")
     }),
 
+    // UNPIVOT (melt): wide per-row metrics to long (metric, value)
+    // rows — the inverse of q_pivot, a scan-side generator with no
+    // shuffle before the sort.
+    "q_unpivot" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    }),
+
+    // Deterministic hash sample: ~1/16 of orders chosen by a content
+    // hash (md5 first hex digit), NOT rand()/TABLESAMPLE — at scale a
+    // sample must be reproducible across engines, retries, and stages,
+    // which only content hashing gives. One pushed scan + filter.
+    "q_sample_hash" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "7")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          graft.Num.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Pure scan + pushed filter + pruned projection: the plan must show
     // PushedFilters + a 3-column ReadSchema at any SF.
     "q_filter_project" -> ((s, dir) => {
@@ -66,6 +96,23 @@ object SetOps {
       EXCEPT
       SELECT s_nationkey FROM supplier
       ORDER BY nk""",
+    "q_unpivot" -> """
+      SELECT l_orderkey, l_linenumber, metric, value
+      FROM (
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+      WHERE l_orderkey < 100
+      ORDER BY l_orderkey, l_linenumber, metric""",
+    "q_sample_hash" -> """
+      SELECT o_orderstatus, count(*) AS n,
+        CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_price
+      FROM orders
+      WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '7'
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_filter_project" -> """
       SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '2001-06-01' AND l_quantity > 45

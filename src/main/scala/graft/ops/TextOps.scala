@@ -54,14 +54,17 @@ object TextOps {
     // before the join so only sampled docs pay the exchange.
     "q_tfidf" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val toks = docs
+      // ONE tokenize+aggregate pass: tfAll is unique per (doc, word),
+      // so df is a count over it (no second explode of the corpus) and
+      // tf is its sampled-doc slice.
+      val tfAll = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .filter(col("word") =!= "")
-      val tf = toks.groupBy(col("doc_id"), col("word"))
+        .groupBy(col("doc_id"), col("word"))
         .agg(count(lit(1)).as("tf"))
-        .filter(col("doc_id") % 20 === 0)
-      val df = toks.distinct().groupBy(col("word"))
-        .agg(count(lit(1)).as("df"))
+        .persist()
+      val tf = tfAll.filter(col("doc_id") % 20 === 0)
+      val df = tfAll.groupBy(col("word")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       tf.join(df, "word")
         .crossJoin(broadcast(n))

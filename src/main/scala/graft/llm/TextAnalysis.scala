@@ -85,6 +85,18 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Redaction / normalization (the PII-scrub shape every training
+    // pipeline needs): global regex replacement of digit runs in the
+    // raw props payload, plus the redaction count — pure scan-side
+    // projection, runs at I/O speed at any SF.
+    "q_redact" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          regexp_replace(col("props"), "[0-9]+", "#NUM").as("props_redacted"),
+          regexp_count(col("props"), lit("[0-9]+")).as("n_redactions"))
+        .orderBy("event_id")
+    }),
+
     // Document fingerprinting by winnowing (Schleimer et al.): hash
     // every 3-shingle, keep the min hash of each complete 4-window of
     // positions, dedupe — a robust sub-document copy-detection sketch.
@@ -139,6 +151,11 @@ object TextAnalysis {
              CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_tokens,
              CAST(length(text) AS INT) AS n_chars_computed
       FROM documents ORDER BY doc_id""",
+    "q_redact" -> """
+      SELECT event_id,
+             regexp_replace(props, '[0-9]+', '#NUM', 'g') AS props_redacted,
+             CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT) AS n_redactions
+      FROM events ORDER BY event_id""",
     "q_fingerprint" -> """
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       sh AS (SELECT doc_id, i AS pos, md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS h

@@ -140,6 +140,22 @@ object Aggregates {
         .orderBy("o_orderpriority")
     }),
 
+    // Correlated scalar subquery: orders more than 2× their own
+    // customer's average. Catalyst decorrelates this into an aggregate
+    // + join — no per-row re-execution (the naive reading would be
+    // O(rows × groups) at 100 TB). Average through exact decimal sums.
+    "q_corr_subquery" -> ((s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_cs")
+      s.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders_cs o
+        WHERE o_totalprice > 2 * (
+          SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*)
+          FROM orders_cs o2 WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")
+    }),
+
     // UDAF: quantity-weighted mean price via a typed Aggregator
     // (functions/WeightedMean.scala) — partial+final aggregation, the
     // idiomatic upgrade of the reference's whole-group Reduce
@@ -326,6 +342,14 @@ object Aggregates {
         CAST(round((n * sxy - sx * sy) /
           (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 4) AS DOUBLE) AS corr_qty_price
       FROM s ORDER BY l_returnflag""",
+    "q_corr_subquery" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders o
+      WHERE o_totalprice > 2 * (
+        SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               / count(*)
+        FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey""",
     "q_udaf_wavg" -> """
       SELECT l_returnflag,
         CAST(round(

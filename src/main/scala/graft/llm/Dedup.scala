@@ -140,6 +140,66 @@ object Dedup {
       WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= $thr
       ORDER BY d1, d2"""
 
+  /** Connected components over an undirected near-dup pair list →
+    * (doc_id, keeper = min doc in its component). The last stage of a
+    * production dedup pipeline: pairwise verdicts become clusters, one
+    * keeper survives per cluster. Only docs appearing in `pairs`
+    * participate (singletons need no election).
+    *
+    * Algorithm: min-label propagation to fixpoint — each iteration
+    * joins labels across edges and takes the min; labels only decrease,
+    * so `changed == 0` is convergence. Iterations are bounded by the
+    * component diameter, and near-dup components are dense (clique-ish
+    * around a template), so 3-5 rounds is typical at any SF. The
+    * per-iteration cost is one shuffle join on the edge list; at
+    * extreme scale swap in the large-star/small-star variant (Kiveris
+    * et al., "Connected Components in MapReduce"), same DataFrame
+    * shape. The convergence check is a scalar `count` — control flow,
+    * not data collection. */
+  def keepers(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val d1 = col("d1"); val d2 = col("d2")
+    val edges = pairs.select(d1.as("src"), d2.as("dst"))
+      .union(pairs.select(d2.as("src"), d1.as("dst")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint CUTS LINEAGE each round — every iteration
+    // references the previous labels several times, so without the cut
+    // the logical plan doubles per round (exponential analyze/optimize
+    // cost, then OOM around diameter ~8). On a cluster use
+    // `checkpoint` to reliable storage for fault tolerance instead.
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("label", col("doc"))
+      .localCheckpoint(true)
+    var iters = 0
+    var done = false
+    while (!done && iters < maxIters) {
+      // min over self-label and every neighbor's label
+      val viaEdges = edges.join(labels, col("dst") === col("doc"))
+        .select(col("src").as("doc"), col("label"))
+      val next = labels.select(col("doc"), col("label")).union(viaEdges)
+        .groupBy("doc").agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.doc") === col("o.doc"))
+        .filter(col("n.label") < col("o.label")).count()
+      labels = next
+      done = changed == 0
+      iters += 1
+    }
+    labels.select(col("doc").as("doc_id"), col("label").as("keeper"))
+  }
+
+  /** Brute-force Jaccard ≥ 0.8 near-dup pairs (shared by
+    * q_dedup_jaccard and q_dedup_cluster). */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val inter = sh.as("x")
+      .join(sh.as("y"), col("x.shingle") === col("y.shingle") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    jaccardFinish(inter, sh, 0.8)
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: group by content digest, elect min-id keeper.
     // One hash-aggregate; at 100 TB the digest is computed in the scan
@@ -164,15 +224,14 @@ object Dedup {
     // Brute-force n-gram Jaccard near-dup: distinct-shingle self-join →
     // pair intersection counts → |A∩B| / |A∪B| ≥ 0.8. The verify
     // baseline for LSH; the join shuffles on the shingle string.
-    "q_dedup_jaccard" -> ((s, dir) => {
-      val sh = shingles(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-      val inter = sh.as("x")
-        .join(sh.as("y"), col("x.shingle") === col("y.shingle") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .agg(count(lit(1)).as("inter"))
-      jaccardFinish(inter, sh, 0.8)
-    }),
+    "q_dedup_jaccard" -> ((s, dir) => jaccardPairs(s, dir)),
+
+    // Near-dup CLUSTERS: Jaccard ≥ 0.8 pairs → connected components →
+    // min-id keeper per component ([[keepers]]). Oracle: recursive-CTE
+    // transitive closure over the same pair set.
+    "q_dedup_cluster" -> ((s, dir) =>
+      keepers(jaccardPairs(s, dir).select(col("d1"), col("d2")))
+        .orderBy("doc_id")),
 
     // MinHash + LSH banding: 16 signatures = 4 bands × 4 rows. Band g
     // hashes each shingle once (md5(g + ':' + shingle)) and slices the
@@ -278,6 +337,21 @@ object Dedup {
                 GROUP BY 1, 2)"""
       + jaccardFinishSql("0.8")),
     "q_dedup_minhash" -> (SH + minhashSql + candInterSql + jaccardFinishSql("0.7")),
+    "q_dedup_cluster" -> ("WITH RECURSIVE " + SH.stripPrefix("WITH ") + """,
+      inter AS (SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS inter
+                FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      pairs AS (SELECT d1, d2 FROM inter
+                JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+                WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.8),
+      sym AS (SELECT d1 AS a, d2 AS b FROM pairs
+              UNION SELECT d2, d1 FROM pairs),
+      r(a, b) AS (SELECT DISTINCT a, a FROM sym
+                  UNION
+                  SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a)
+      SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS keeper
+      FROM r GROUP BY a ORDER BY doc_id"""),
     "q_dedup_simhash" -> (SH + """,
       votes AS (SELECT doc_id, j,
                   sum(CASE WHEN substr(md5(shingle), j, 1) IN ('8','9','a','b','c','d','e','f')

@@ -1,0 +1,27 @@
+package graft.llm
+
+import graft.SparkSuite
+
+/** Pins [[Dedup.keepers]] (connected components + keeper election):
+  * multi-hop chains collapse to one component, disjoint components
+  * stay apart, and every participating doc gets its component min. */
+class DedupClusterSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("keepers labels every doc with its component minimum") {
+    // components: {1,2,3,4} via chain 4-3, 3-2, 2-1; {10,11}; {20,21,22}
+    val pairs = Seq((2L, 1L), (3L, 2L), (4L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("d1", "d2")
+    val got = Dedup.keepers(pairs).as[(Long, Long)].collect().toMap
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("keepers converges on a long path graph (diameter > 2)") {
+    val pairs = (1L until 9L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val got = Dedup.keepers(pairs).as[(Long, Long)].collect().toMap
+    assert(got === (1L to 9L).map(_ -> 1L).toMap)
+  }
+}

@@ -1,3 +1,4 @@
+// (cluster/keeper election tests live in DedupClusterSpec)
 package graft.llm
 
 import graft.SparkSuite

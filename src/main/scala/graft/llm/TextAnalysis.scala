@@ -105,19 +105,43 @@ object TextAnalysis {
     // the final distinct, where the old two-window-function plan paid
     // a full (doc_id, pos) sort exchange. Equivalent by construction:
     // windows [i, i+3] with 4 rows ⟺ 0 ≤ i ≤ m-4, m = shingle count.
-    "q_fingerprint" -> ((s, dir) => {
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .filter(size(col("t")) >= 6) // m = size-2 shingles; need m ≥ 4
-        .select(col("doc_id"), expr(
-          "transform(sequence(0, size(t) - 3), " +
-            "i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2])))").as("hs"))
-        .select(col("doc_id"), explode(expr(
-          "array_distinct(transform(sequence(0, size(hs) - 4), " +
-            "i -> array_min(slice(hs, i + 1, 4))))")).as("fp"))
-        .distinct()
-        .orderBy("doc_id", "fp")
+    "q_fingerprint" -> ((s, dir) =>
+      fingerprints(s, dir).orderBy("doc_id", "fp")),
+
+    // Decontamination: corpus docs sharing winnowing fingerprints with
+    // a benchmark set (here: doc_id < 10 stands in for the held-out
+    // eval data). Scale shape: the benchmark fingerprint set is tiny →
+    // broadcast join against the corpus fingerprints; the corpus side
+    // never shuffles. Output: overlapping (corpus, benchmark) doc pairs
+    // with shared-fingerprint counts — the report a training pipeline
+    // acts on before a run.
+    "q_contamination" -> ((s, dir) => {
+      val fp = fingerprints(s, dir)
+      val bench = fp.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("bench_doc"), col("fp"))
+      val corpus = fp.filter(col("doc_id") >= 10)
+        .select(col("doc_id").as("corpus_doc"), col("fp"))
+      corpus.join(broadcast(bench), "fp")
+        .groupBy(col("corpus_doc"), col("bench_doc"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("corpus_doc", "bench_doc")
     }))
+
+  /** Distinct winnowing fingerprints per doc (shared by q_fingerprint
+    * and q_contamination): md5 per 3-shingle, min per complete
+    * 4-window, deduped — all array ops inside whole-stage codegen. */
+  private def fingerprints(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 6) // m = size-2 shingles; need m ≥ 4
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, size(t) - 3), " +
+          "i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2])))").as("hs"))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(0, size(hs) - 4), " +
+          "i -> array_min(slice(hs, i + 1, 4))))")).as("fp"))
+      .distinct()
 
   val oracles: Map[String, String] = Map(
     "q_lang_id" -> s"""
@@ -156,7 +180,18 @@ object TextAnalysis {
              regexp_replace(props, '[0-9]+', '#NUM', 'g') AS props_redacted,
              CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT) AS n_redactions
       FROM events ORDER BY event_id""",
-    "q_fingerprint" -> """
+    "q_fingerprint" -> (FpCte + """
+      SELECT doc_id, fp FROM fps ORDER BY doc_id, fp"""),
+    "q_contamination" -> (FpCte + """
+      SELECT c.doc_id AS corpus_doc, b.doc_id AS bench_doc,
+             count(*) AS n_shared
+      FROM fps c JOIN fps b ON c.fp = b.fp
+      WHERE c.doc_id >= 10 AND b.doc_id < 10
+      GROUP BY 1, 2 ORDER BY corpus_doc, bench_doc"""))
+
+  /** Winnowing-fingerprint CTE shared by the fingerprint oracles
+    * (lazy: referenced by the `oracles` initializer above). */
+  private lazy val FpCte = """
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       sh AS (SELECT doc_id, i AS pos, md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS h
              FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)),
@@ -165,6 +200,6 @@ object TextAnalysis {
                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
                 count(*) OVER (PARTITION BY doc_id ORDER BY pos
                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
-              FROM sh)
-      SELECT DISTINCT doc_id, fp FROM win WHERE wn = 4 ORDER BY doc_id, fp""")
+              FROM sh),
+      fps AS (SELECT DISTINCT doc_id, fp FROM win WHERE wn = 4)"""
 }

@@ -189,6 +189,38 @@ object TextAnalysis {
       WHERE c.doc_id >= 10 AND b.doc_id < 10
       GROUP BY 1, 2 ORDER BY corpus_doc, bench_doc"""))
 
+  /** Compression-ratio quality signal (the Gopher/CCNet-style filter:
+    * highly repetitive text compresses too well, random noise barely
+    * at all — both are low-quality for training). Deflate level 6,
+    * deterministic bytes for a fixed JDK; no SQL oracle exists (DuckDB
+    * has no deflate), so this ships library+test rather than as a
+    * driver-checked query.
+    *
+    * Scale shape: mapPartitions with ONE Deflater per partition, reset
+    * per row — native zlib handles are exactly the per-partition
+    * resource the multimodal decode stub models; a per-row allocation
+    * would dominate the runtime. */
+  def compressionRatio(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        rows.map { case (id, text) =>
+          val in = text.getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(in)
+          deflater.finish()
+          var out = 0
+          while (!deflater.finished()) out += deflater.deflate(buf)
+          (id, in.length, out,
+            math.round(out.toDouble / math.max(in.length, 1) * 10000) / 10000.0)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_compressed", "ratio")
+  }
+
   /** Winnowing-fingerprint CTE shared by the fingerprint oracles
     * (lazy: referenced by the `oracles` initializer above). */
   private lazy val FpCte = """

@@ -246,8 +246,16 @@ object Dedup {
       val hashed = sh.select(
         col("doc_id") +: (0 to 3).map(g =>
           md5(concat(lit(s"$g:"), col("shingle"))).as(s"h$g")): _*)
+      // min over LONGS, not hex strings: a string agg buffer forces the
+      // planner down to SortAggregate (per-partition sort of the whole
+      // shingle set); fixed-width lowercase hex is order-isomorphic to
+      // its numeric value, so min picks the same element and the band
+      // candidate set is unchanged — but the agg stays HashAggregate.
+      // (The DuckDB twin keeps hex-string mins; the values never reach
+      // the output, only band-key equality.)
       val minCols = for { g <- 0 to 3; j <- 0 to 3 }
-        yield min(substring(col(s"h$g"), j * 8 + 1, 8)).as(s"m$g$j")
+        yield min(conv(substring(col(s"h$g"), j * 8 + 1, 8), 16, 10)
+          .cast("long")).as(s"m$g$j")
       val sig = hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
       val bandStructs = (0 to 3).map(g => struct(
         lit(g).as("band"),

@@ -158,9 +158,19 @@ object Dedup {
     * not data collection. */
   def keepers(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val d1 = col("d1"); val d2 = col("d2")
+    val spark = pairs.sparkSession
     val edges = pairs.select(d1.as("src"), d2.as("dst"))
       .union(pairs.select(d2.as("src"), d1.as("dst")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    // Size the loop's exchanges to the GRAPH, not the corpus: near-dup
+    // edge lists are orders of magnitude smaller than their corpus, and
+    // each iteration is several scheduled stages — at ~500k edges per
+    // partition a small graph converges in single-task stages while a
+    // billion-edge graph still spreads. Restored after the loop.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val parts = math.min(400L, edges.count() / 500000L + 1).toInt
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    val finalLabels = try {
     // localCheckpoint CUTS LINEAGE each round — every iteration
     // references the previous labels several times, so without the cut
     // the logical plan doubles per round (exponential analyze/optimize
@@ -185,7 +195,9 @@ object Dedup {
       done = changed == 0
       iters += 1
     }
-    labels.select(col("doc").as("doc_id"), col("label").as("keeper"))
+    labels // each round was eagerly checkpointed — safe past the conf reset
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    finalLabels.select(col("doc").as("doc_id"), col("label").as("keeper"))
   }
 
   /** Brute-force Jaccard ≥ 0.8 near-dup pairs (shared by

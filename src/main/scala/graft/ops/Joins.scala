@@ -137,6 +137,43 @@ object Joins {
         .orderBy("r_name", "n_name")
     }),
 
+    // NOT IN subquery — null-aware anti join. NOT IN is NOT the same
+    // operator as NOT EXISTS (q_join_anti): one NULL in the subquery
+    // result empties the output under three-valued logic, so Spark
+    // plans a dedicated BroadcastNestedLoopJoin/NullAwareAntiJoin.
+    // Column chosen is non-null here, so results align with anti join —
+    // the point is exercising the null-aware plan + SQL semantics.
+    "q_not_in" -> ((s, dir) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("customer_ni")
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_ni")
+      s.sql("""
+        SELECT c_custkey, c_name FROM customer_ni
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders_ni)
+        ORDER BY c_custkey""")
+    }),
+
+    // Gap-fill / resample: daily order counts per priority with
+    // zero-filled missing days over the GLOBAL date span. The calendar
+    // is generated (sequence + explode — a few KB regardless of SF) and
+    // broadcast against the aggregated counts: the fact table is
+    // aggregated BEFORE the calendar join, so the join input is
+    // O(days × priorities), never O(rows).
+    "q_gapfill" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .withColumn("day", date_trunc("day", col("o_orderdate")))
+      val counts = o.groupBy(col("day"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val span = o.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val calendar = span.select(explode(expr(
+        "sequence(d0, d1, interval 1 day)")).as("day"))
+      val prios = o.select(col("o_orderpriority")).distinct()
+      calendar.crossJoin(prios)
+        .join(counts, Seq("day", "o_orderpriority"), "left")
+        .select(col("day"), col("o_orderpriority"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("day", "o_orderpriority")
+    }),
+
     // As-of join (event-time point lookup): each purchase matched to
     // the same user's latest click at-or-before its timestamp.
     // Implementation is the scale path for as-of: tag both sides, union,
@@ -258,6 +295,23 @@ object Joins {
       JOIN nation ON s_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q_not_in" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      ORDER BY c_custkey""",
+    "q_gapfill" -> """
+      WITH o AS (SELECT date_trunc('day', o_orderdate) AS day, o_orderpriority
+                 FROM orders),
+      counts AS (SELECT day, o_orderpriority, count(*) AS n FROM o GROUP BY 1, 2),
+      span AS (SELECT min(day) AS d0, max(day) AS d1 FROM o),
+      calendar AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+                   FROM span),
+      prios AS (SELECT DISTINCT o_orderpriority FROM o)
+      SELECT c.day, p.o_orderpriority, coalesce(n, 0) AS n
+      FROM calendar c CROSS JOIN prios p
+      LEFT JOIN counts ON counts.day = c.day
+        AND counts.o_orderpriority = p.o_orderpriority
+      ORDER BY c.day, p.o_orderpriority""",
     "q_join_asof" -> """
       WITH p AS (SELECT user_id, event_id, ts FROM events
                  WHERE event_type = 'purchase'),

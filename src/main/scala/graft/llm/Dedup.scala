@@ -182,16 +182,20 @@ object Dedup {
     var iters = 0
     var done = false
     while (!done && iters < maxIters) {
-      // min over self-label and every neighbor's label
+      // min over self-label and every neighbor's label; carry the old
+      // label through the aggregate so convergence is read from the
+      // ALREADY-CHECKPOINTED result — one materializing action per
+      // round, not a second recompute-and-count pass.
       val viaEdges = edges.join(labels, col("dst") === col("doc"))
-        .select(col("src").as("doc"), col("label"))
-      val next = labels.select(col("doc"), col("label")).union(viaEdges)
-        .groupBy("doc").agg(min(col("label")).as("label"))
+        .select(col("src").as("doc"), col("label"), lit(null).cast("long").as("old"))
+      val next = labels
+        .select(col("doc"), col("label"), col("label").as("old"))
+        .union(viaEdges)
+        .groupBy("doc")
+        .agg(min(col("label")).as("label"), min(col("old")).as("old"))
         .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.doc") === col("o.doc"))
-        .filter(col("n.label") < col("o.label")).count()
-      labels = next
+      val changed = next.filter(col("label") < col("old")).count() // cached scan
+      labels = next.select(col("doc"), col("label"))
       done = changed == 0
       iters += 1
     }

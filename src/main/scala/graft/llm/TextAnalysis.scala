@@ -129,8 +129,15 @@ object TextAnalysis {
 
   /** Distinct winnowing fingerprints per doc (shared by q_fingerprint
     * and q_contamination): md5 per 3-shingle, min per complete
-    * 4-window, deduped — all array ops inside whole-stage codegen. */
+    * 4-window, deduped — all array ops inside whole-stage codegen.
+    * Persisted so the two consumers share one computation per session
+    * (CacheManager dedupes on the identical plan). */
   private def fingerprints(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    fingerprintsRaw(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def fingerprintsRaw(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     Tables(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("t"))

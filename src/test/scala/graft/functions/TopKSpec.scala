@@ -17,6 +17,22 @@ class TopKSpec extends SparkSuite {
       ("b", Seq(5.0)))) // group smaller than k
   }
 
+  test("max_k equals sort-take on arbitrary data and partitioning") {
+    GraftFunctions.register(spark)
+    val gen = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val rows = Seq.fill(200 + trial * 100)(
+        (gen.nextInt(6).toString, (gen.nextInt(50) / 4.0)))
+      val df = rows.toDF("g", "x").repartition(1 + trial % 7)
+      val got = df.groupBy("g").agg(expr("max_k(x, 4)").as("t"))
+        .as[(String, Seq[Double])].collect().toMap
+      val want = rows.groupBy(_._1).map { case (g, vs) =>
+        g -> vs.map(_._2).sorted(Ordering[Double].reverse).take(4)
+      }
+      assert(got === want, s"trial $trial")
+    }
+  }
+
   test("max_k ignores nulls") {
     GraftFunctions.register(spark)
     val df = Seq(Some(1.0), None, Some(2.0)).toDF("x").withColumn("g", lit("z"))

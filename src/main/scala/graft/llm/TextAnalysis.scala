@@ -97,6 +97,30 @@ object TextAnalysis {
         .orderBy("event_id")
     }),
 
+    // Repetition metrics (Gopher-style repetitiousness filters):
+    // duplicate-bigram fraction and the share of the most frequent
+    // token — exact integer ratios, computed as array ops in the scan
+    // projection (zero shuffle).
+    "q_repetition" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"),
+          size(col("t")).as("n_tok"),
+          expr("size(t) - 1").as("n_bigrams"),
+          expr("size(array_distinct(transform(sequence(0, size(t) - 2), " +
+            "i -> concat_ws(' ', t[i], t[i+1]))))").as("n_uniq_bigrams"),
+          expr("array_max(transform(array_distinct(t), " +
+            "w -> size(filter(t, x -> x = w))))").as("top_tok_n"))
+        .select(col("doc_id"), col("n_tok"), col("n_bigrams"),
+          col("n_uniq_bigrams"),
+          round((col("n_bigrams") - col("n_uniq_bigrams")).cast("double") /
+            col("n_bigrams"), 4).as("dup_bigram_frac"),
+          round(col("top_tok_n").cast("double") / col("n_tok"), 4)
+            .as("top_tok_share"))
+        .orderBy("doc_id")
+    }),
+
     // Document fingerprinting by winnowing (Schleimer et al.): hash
     // every 3-shingle, keep the min hash of each complete 4-window of
     // positions, dedupe — a robust sub-document copy-detection sketch.
@@ -187,6 +211,21 @@ object TextAnalysis {
              regexp_replace(props, '[0-9]+', '#NUM', 'g') AS props_redacted,
              CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT) AS n_redactions
       FROM events ORDER BY event_id""",
+    "q_repetition" -> """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      f AS (SELECT doc_id,
+              CAST(len(t) AS INT) AS n_tok,
+              CAST(len(t) - 1 AS INT) AS n_bigrams,
+              CAST(len(list_distinct(list_transform(generate_series(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1]))) AS INT) AS n_uniq_bigrams,
+              CAST(list_max(list_transform(list_distinct(t),
+                w -> len(list_filter(t, x -> x = w)))) AS INT) AS top_tok_n
+            FROM d WHERE len(t) >= 2)
+      SELECT doc_id, n_tok, n_bigrams, n_uniq_bigrams,
+             round(CAST(n_bigrams - n_uniq_bigrams AS DOUBLE) / n_bigrams, 4)
+               AS dup_bigram_frac,
+             round(CAST(top_tok_n AS DOUBLE) / n_tok, 4) AS top_tok_share
+      FROM f ORDER BY doc_id""",
     "q_fingerprint" -> (FpCte + """
       SELECT doc_id, fp FROM fps ORDER BY doc_id, fp"""),
     "q_contamination" -> (FpCte + """

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-regression guard: the scale-critical physical-plan properties
+  * (PLANS.md) must survive refactors. A silently de-optimized plan
+  * still passes the value oracle — only the plan text shows it. */
+class PlanSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q1_agg pushes the shipdate filter into the parquet scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"))
+    assert(p.contains("partial_sum"), "aggregation must be partial+final")
+  }
+
+  test("q_filter_project prunes the read schema to 4 columns") {
+    val p = plan("q_filter_project")
+    val read = p.linesIterator.find(_.startsWith("ReadSchema")).get
+    assert(read.count(_ == ',') == 3, s"expected 4 columns in: $read")
+  }
+
+  test("q_join_broadcast builds a broadcast hash join") {
+    assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q_topk_agg plans max_k as partial+final ObjectHashAggregate") {
+    val p = plan("q_topk_agg")
+    assert(p.contains("ObjectHashAggregate"))
+    assert(p.contains("partial_max_k"), "partial aggregation must survive")
+  }
+
+  test("q_knn_brute keeps per-partition top-k before the exchange") {
+    assert(plan("q_knn_brute").contains("WindowGroupLimit"))
+  }
+
+  test("q_dedup_minhash signature aggregation stays hash-based") {
+    val p = plan("q_dedup_minhash")
+    assert(!p.contains("SortAggregate"),
+      "string-buffer min would fall back to SortAggregate")
+  }
+
+  test("q_join_asof has exactly one pre-sort exchange (the user key)") {
+    val p = plan("q_join_asof")
+    // one hash exchange for the window, one for the right-side dedup
+    // agg, one range exchange for the final sort — and NO join node
+    assert(!p.contains("Join"), "as-of must not plan a join")
+    assert(p.contains("Window"))
+  }
+}

@@ -84,6 +84,30 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("file-stream source gives the same tumbling counts as the batch twin") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fstream").toString
+    // stage the fixture events as the streamed input (micro-batch file source)
+    graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(dir)
+    val batch = spark.read.parquet(dir)
+    val expected = batch
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+      .as[(Timestamp, String, Long)].collect().toSet
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = Streams.tumblingCounts(stream, "1 day", "1 hour")
+      .writeStream.format("memory").queryName("fstream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("fstream")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(got === expected)
+    } finally q.stop()
+  }
+
   test("aggregation state recovers from checkpoint across query restarts") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString

@@ -20,5 +20,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("max_k"),
       new ExpressionInfo(classOf[MaxK].getName, "max_k"),
       (children: Seq[Expression]) => MaxK(children.head, children(1))))
+    e.injectOptimizerRule(_ => graft.functions.DotProductRewrite)
   }
 }

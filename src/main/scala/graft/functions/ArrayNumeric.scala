@@ -17,11 +17,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * cost. This fuses the loop into generated Java inside the enclosing
   * WholeStageCodegen stage: no allocation, no virtual calls.
   *
-  * Semantics: `dot_long(a, b) = Σ a[i]*b[i]` over the common prefix;
-  * null if either array is null. Elements are assumed non-null (the
-  * quantized-embedding producers guarantee it). Identical to the
-  * DuckDB oracle's `list_sum(list_transform(...))` on the fixture
-  * domain (values ≤ 1e4-scaled floats: no 64-bit overflow).
+  * Semantics: `dot_long(a, b) = Σ a[i]*b[i]`; null if either array is
+  * null OR lengths differ — the exact behavior of the portable
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0L, (acc,v) -> acc+v)`
+  * form (zip_with null-pads the shorter side, which nulls the sum), so
+  * [[DotProductRewrite]] is semantics-preserving on every input.
+  * Elements are assumed non-null (the quantized-embedding producers
+  * guarantee it). Identical to the DuckDB oracle's
+  * `list_sum(list_transform(...))` on the fixture domain (fixed-length
+  * vectors; values ≤ 1e4-scaled floats: no 64-bit overflow).
   */
 case class DotLong(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -37,16 +41,20 @@ case class DotLong(left: Expression, right: Expression)
         s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
   }
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true // also null on length mismatch
   override def prettyName: String = "dot_long"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0L
-    var i = 0
-    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
-    acc
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var acc = 0L
+      var i = 0
+      while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+      acc
+    }
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -55,12 +63,16 @@ case class DotLong(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $x.getLong($i) * $y.getLong($i);
+         |final int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $x.getLong($i) * $y.getLong($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -85,5 +97,8 @@ object GraftFunctions {
       "max_k",
       (children: Seq[Expression]) => MaxK(children.head, children(1)),
       "built-in")
+    if (!spark.experimental.extraOptimizations.contains(DotProductRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ DotProductRewrite
   }
 }

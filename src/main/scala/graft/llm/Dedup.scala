@@ -249,7 +249,9 @@ object Dedup {
       keepers(jaccardPairs(s, dir).select(col("d1"), col("d2")))
         .orderBy("doc_id")),
 
-    // MinHash + LSH banding: 16 signatures = 4 bands × 4 rows. Band g
+    // MinHash + LSH banding (Broder, "On the resemblance and
+    // containment of documents", 1997; banding per Leskovec/Rajaraman/
+    // Ullman ch. 3): 16 signatures = 4 bands × 4 rows. Band g
     // hashes each shingle once (md5(g + ':' + shingle)) and slices the
     // digest into 4 independent 8-hex-char rows; per-doc signature =
     // column-wise min — a single partial-agg shuffle, no fan-out.
@@ -287,7 +289,8 @@ object Dedup {
       jaccardFinish(candIntersections(cand, sh), sh, 0.7)
     }),
 
-    // SimHash-16 over shingles: per-bit majority vote of feature-hash
+    // SimHash-16 (Charikar, "Similarity estimation techniques from
+    // rounding algorithms", 2002) over shingles: per-bit majority vote of feature-hash
     // bits (bit j = high bit of md5 nibble j); identical fingerprints
     // are near-dup candidate pairs. ONE groupBy(doc) with 16
     // conditional-sum columns (no row fan-out) + an equality self-join

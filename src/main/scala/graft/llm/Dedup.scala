@@ -32,7 +32,8 @@ import org.apache.spark.storage.StorageLevel
   *    column-wise in ONE partial-agg shuffle — no row fan-out;
   *  - the brute-force shingle self-join (q_dedup_jaccard) is the
   *    correctness baseline — at scale, hot shingles (stopword n-grams)
-  *    must be frequency-capped first; LSH is the production path;
+  *    must be frequency-capped first (q_dedup_jaccard_capped implements
+  *    the cap); LSH is the production path;
   *  - per-doc size/intersection tables are broadcast into the verify
   *    joins (one row per doc ≪ pair count); on a 1000-executor run
   *    with billions of docs these become shuffle joins automatically
@@ -98,7 +99,10 @@ object Dedup {
   /** Shared tail of the near-dup pipelines: given per-pair (d1 < d2)
     * intersection counts over the distinct-shingle sets, compute
     * Jaccard and keep ≥ thr. Sizes (one row per doc ≪ pair count) are
-    * broadcast into both enrichment joins. */
+    * broadcast into both enrichment joins. UNSORTED by design — the
+    * cluster pipeline consumes this and immediately re-shuffles, so a
+    * global sort here would be a wasted range exchange; display
+    * consumers add their own `orderBy`. */
   private def jaccardFinish(inter: DataFrame, sh: DataFrame, thr: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     inter
@@ -108,7 +112,6 @@ object Dedup {
         (col("n1") + col("n2") - col("inter")).cast("double"))
       .filter(col("jac") >= thr)
       .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
-      .orderBy("d1", "d2")
   }
 
   /** Intersection counts for an explicit candidate-pair set: each
@@ -157,20 +160,31 @@ object Dedup {
     * shape. The convergence check is a scalar `count` — control flow,
     * not data collection. */
   def keepers(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val d1 = col("d1"); val d2 = col("d2")
     val spark = pairs.sparkSession
-    val edges = pairs.select(d1.as("src"), d2.as("dst"))
-      .union(pairs.select(d2.as("src"), d1.as("dst")))
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    // Materialize the (possibly expensive) upstream pair pipeline ONCE:
+    // the edge build, the partition sizing, and every loop iteration all
+    // read this cache instead of re-evaluating the verify-join tree.
+    val p = pairs.select(col("d1"), col("d2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nPairs = p.count() // runs the pair pipeline at full parallelism
     // Size the loop's exchanges to the GRAPH, not the corpus: near-dup
     // edge lists are orders of magnitude smaller than their corpus, and
     // each iteration is several scheduled stages — at ~500k edges per
     // partition a small graph converges in single-task stages while a
-    // billion-edge graph still spreads. Restored after the loop.
+    // billion-edge graph still spreads. Set BEFORE any edge
+    // materialization so the symmetrize/distinct shuffle is graph-sized
+    // too. Restored after the loop.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val parts = math.min(400L, edges.count() / 500000L + 1).toInt
+    val parts = math.min(400L, 2 * nPairs / 500000L + 1).toInt
     spark.conf.set("spark.sql.shuffle.partitions", parts)
     val finalLabels = try {
+    // Symmetrize in ONE pass over the cached pairs — explode of a
+    // 2-struct array, not a union of two scans.
+    val edges = p.select(explode(array(
+        struct(col("d1").as("src"), col("d2").as("dst")),
+        struct(col("d2").as("src"), col("d1").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     // localCheckpoint CUTS LINEAGE each round — every iteration
     // references the previous labels several times, so without the cut
     // the logical plan doubles per round (exponential analyze/optimize
@@ -178,7 +192,8 @@ object Dedup {
     // `checkpoint` to reliable storage for fault tolerance instead.
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("label", col("doc"))
-      .localCheckpoint(true)
+      .localCheckpoint(true) // eager — also materializes the edge cache
+    p.unpersist(false) // edges are cached; the raw pair set is dead now
     var iters = 0
     var done = false
     while (!done && iters < maxIters) {
@@ -199,21 +214,26 @@ object Dedup {
       done = changed == 0
       iters += 1
     }
+    edges.unpersist(false) // labels live in checkpoint blocks, not this cache
     labels // each round was eagerly checkpointed — safe past the conf reset
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     finalLabels.select(col("doc").as("doc_id"), col("label").as("keeper"))
   }
 
-  /** Brute-force Jaccard ≥ 0.8 near-dup pairs (shared by
-    * q_dedup_jaccard and q_dedup_cluster). */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-    val inter = sh.as("x")
+  /** All-pairs intersection counts via the distinct-shingle self-join —
+    * the brute-force candidate generator (shuffles on the shingle). */
+  private def bruteInter(sh: DataFrame): DataFrame =
+    sh.as("x")
       .join(sh.as("y"), col("x.shingle") === col("y.shingle") &&
         col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
-    jaccardFinish(inter, sh, 0.8)
+
+  /** Brute-force Jaccard ≥ 0.8 near-dup pairs, unsorted (shared by
+    * q_dedup_jaccard and q_dedup_cluster). */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    jaccardFinish(bruteInter(sh), sh, 0.8)
   }
 
   val queries: Map[String, Q] = Map(
@@ -240,14 +260,40 @@ object Dedup {
     // Brute-force n-gram Jaccard near-dup: distinct-shingle self-join →
     // pair intersection counts → |A∩B| / |A∪B| ≥ 0.8. The verify
     // baseline for LSH; the join shuffles on the shingle string.
-    "q_dedup_jaccard" -> ((s, dir) => jaccardPairs(s, dir)),
+    "q_dedup_jaccard" -> ((s, dir) => jaccardPairs(s, dir).orderBy("d1", "d2")),
+
+    // Frequency-capped Jaccard: drop hot shingles (df > 5 here — at
+    // production scale the cap is a corpus fraction, e.g. df > 0.1%·N)
+    // BEFORE the self-join. Hot shingles (stopword n-grams, boilerplate)
+    // are the skew bomb in the shingle shuffle: one shingle shared by k
+    // docs emits k²/2 join rows. The cap bounds per-key fan-out, and
+    // Jaccard is computed over the capped shingle space on BOTH axes
+    // (intersections and sizes) so the metric stays a true Jaccard.
+    "q_dedup_jaccard_capped" -> ((s, dir) => {
+      val shAll = shingles(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      // hot set = distinct shingles above the cap — tiny, auto-broadcast
+      // into the anti join; the corpus side never shuffles for it.
+      val hot = shAll.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df")).filter(col("df") > 5)
+        .select(col("shingle"))
+      val sh = shAll.join(hot, Seq("shingle"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      jaccardFinish(bruteInter(sh), sh, 0.8).orderBy("d1", "d2")
+    }),
 
     // Near-dup CLUSTERS: Jaccard ≥ 0.8 pairs → connected components →
     // min-id keeper per component ([[keepers]]). Oracle: recursive-CTE
-    // transitive closure over the same pair set.
-    "q_dedup_cluster" -> ((s, dir) =>
-      keepers(jaccardPairs(s, dir).select(col("d1"), col("d2")))
-        .orderBy("doc_id")),
+    // transitive closure over the same pair set. `keepers` materializes
+    // the pair pipeline eagerly (one pass), so the shingle cache can be
+    // dropped before the label loop starts.
+    "q_dedup_cluster" -> ((s, dir) => {
+      val sh = shingles(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      val pairs = jaccardFinish(bruteInter(sh), sh, 0.8)
+        .select(col("d1"), col("d2"))
+      val result = keepers(pairs) // eager: loop has run when this returns
+      sh.unpersist(false)
+      result.orderBy("doc_id")
+    }),
 
     // MinHash + LSH banding (Broder, "On the resemblance and
     // containment of documents", 1997; banding per Leskovec/Rajaraman/
@@ -286,7 +332,7 @@ object Dedup {
           col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
-      jaccardFinish(candIntersections(cand, sh), sh, 0.7)
+      jaccardFinish(candIntersections(cand, sh), sh, 0.7).orderBy("d1", "d2")
     }),
 
     // SimHash-16 (Charikar, "Similarity estimation techniques from
@@ -363,6 +409,19 @@ object Dedup {
                 FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
                 GROUP BY 1, 2)"""
       + jaccardFinishSql("0.8")),
+    "q_dedup_jaccard_capped" -> (SH + """,
+      hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 5),
+      shc AS (SELECT doc_id, shingle FROM sh
+              WHERE shingle NOT IN (SELECT shingle FROM hot)),
+      inter AS (SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS inter
+                FROM shc x JOIN shc y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1)
+      SELECT d1, d2,
+             round(CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE), 4) AS jaccard
+      FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+      WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.8
+      ORDER BY d1, d2"""),
     "q_dedup_minhash" -> (SH + minhashSql + candInterSql + jaccardFinishSql("0.7")),
     "q_dedup_cluster" -> ("WITH RECURSIVE " + SH.stripPrefix("WITH ") + """,
       inter AS (SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS inter

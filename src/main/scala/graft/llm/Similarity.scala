@@ -26,51 +26,78 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  val queries: Map[String, Q] = Map(
-    // Brute-force top-5 cosine neighbors for each query vector
-    // (vec_id < 10), self excluded. Query side is broadcast: the fact
-    // (corpus) side never shuffles before scoring.
-    "q_knn_brute" -> ((s, dir) => {
-      val qe = Dedup.quantized(s, dir)
-      val queriesDf = qe.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("q").as("qa"), col("norm").as("na"))
-      val corpus = qe
-        .select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("norm").as("nb"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("neighbor_id").asc)
-      corpus.join(broadcast(queriesDf), col("query_id") =!= col("neighbor_id"))
-        .withColumn("dot", expr(Dedup.dotExpr))
-        .withColumn("cosine", Dedup.cosine())
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
-        .orderBy("query_id", "rnk")
-    }),
+  import org.apache.spark.sql.{DataFrame, SparkSession}
 
-    // IVF/LSH-bucketed ANN: coarse cell = sign bits of the first 4
-    // quantized components (a deterministic stand-in for learned IVF
-    // centroids); queries (vec_id < 50) probe only their own cell.
-    // Recall is traded for a 16× candidate cut — by design.
-    "q_knn_ann" -> ((s, dir) => {
-      val qe = Dedup.quantized(s, dir).withColumn("bucket", expr(
-        "cast(q[0] >= 0 as int) * 8 + cast(q[1] >= 0 as int) * 4 + " +
-          "cast(q[2] >= 0 as int) * 2 + cast(q[3] >= 0 as int)"))
-      val queriesDf = qe.filter(col("vec_id") < 50)
-        .select(col("vec_id").as("query_id"), col("bucket"),
-          col("q").as("qa"), col("norm").as("na"))
-      val corpus = qe.select(col("vec_id").as("neighbor_id"),
-        col("bucket").as("nbucket"), col("q").as("qb"), col("norm").as("nb"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("neighbor_id").asc)
-      queriesDf.join(corpus, col("bucket") === col("nbucket") &&
-          col("query_id") =!= col("neighbor_id"))
-        .withColumn("dot", expr(Dedup.dotExpr))
-        .withColumn("cosine", Dedup.cosine())
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
-        .select(col("query_id"), col("bucket"), col("rnk"),
-          col("neighbor_id"), col("cosine"))
-        .orderBy("query_id", "rnk")
+  /** Brute-force top-k cosine neighbors for query vectors (vec_id <
+    * qmax), self excluded. Query side is broadcast: the fact (corpus)
+    * side never shuffles before scoring; WindowGroupLimit keeps each
+    * partition's local top-k before the single final exchange. */
+  private def bruteTop(s: SparkSession, dir: String, qmax: Int, k: Int): DataFrame = {
+    val qe = Dedup.quantized(s, dir)
+    val queriesDf = qe.filter(col("vec_id") < qmax)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"), col("norm").as("na"))
+    val corpus = qe
+      .select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("norm").as("nb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    corpus.join(broadcast(queriesDf), col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", expr(Dedup.dotExpr))
+      .withColumn("cosine", Dedup.cosine())
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** IVF/LSH-bucketed ANN top-k: coarse cell = sign bits of the first 4
+    * quantized components (a deterministic stand-in for learned IVF
+    * centroids); queries (vec_id < qmax) probe only their own cell.
+    * Recall is traded for a 16× candidate cut — by design. */
+  private def annTop(s: SparkSession, dir: String, qmax: Int, k: Int): DataFrame = {
+    val qe = Dedup.quantized(s, dir).withColumn("bucket", expr(
+      "cast(q[0] >= 0 as int) * 8 + cast(q[1] >= 0 as int) * 4 + " +
+        "cast(q[2] >= 0 as int) * 2 + cast(q[3] >= 0 as int)"))
+    val queriesDf = qe.filter(col("vec_id") < qmax)
+      .select(col("vec_id").as("query_id"), col("bucket"),
+        col("q").as("qa"), col("norm").as("na"))
+    val corpus = qe.select(col("vec_id").as("neighbor_id"),
+      col("bucket").as("nbucket"), col("q").as("qb"), col("norm").as("nb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    queriesDf.join(corpus, col("bucket") === col("nbucket") &&
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", expr(Dedup.dotExpr))
+      .withColumn("cosine", Dedup.cosine())
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("bucket"), col("rnk"),
+        col("neighbor_id"), col("cosine"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_knn_brute" -> ((s, dir) =>
+      bruteTop(s, dir, qmax = 10, k = 5).orderBy("query_id", "rnk")),
+
+    "q_knn_ann" -> ((s, dir) =>
+      annTop(s, dir, qmax = 50, k = 3).orderBy("query_id", "rnk")),
+
+    // ANN quality metric: recall@3 of the bucketed ANN vs the exact
+    // brute-force top-3, per query vector — the number a production
+    // pipeline tunes nprobe/bucket fan-out against. Both sides are
+    // deterministic (exact integer cosine, total tiebreak), so the
+    // DuckDB twin is exact. Scale shape: two top-k pipelines over the
+    // same corpus scan + a broadcast-sized join on (query, neighbor) —
+    // the corpus never shuffles.
+    "q_knn_recall" -> ((s, dir) => {
+      val exact = bruteTop(s, dir, qmax = 50, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = annTop(s, dir, qmax = 50, k = 3)
+        .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+      exact.join(approx,
+          col("query_id") === col("aq") && col("neighbor_id") === col("an"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(round(count(col("an")).cast("double") / 3.0, 4).as("recall_at_3"))
+        .orderBy("query_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -100,5 +127,39 @@ object Similarity {
       rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rnk
              FROM cos)
       SELECT query_id, bucket, rnk, neighbor_id, cosine FROM rk WHERE rnk <= 3
-      ORDER BY query_id, rnk"""))
+      ORDER BY query_id, rnk"""),
+    "q_knn_recall" -> {
+      val dot2 =
+        "CAST(list_sum(list_transform(generate_series(1, len(qa)), i -> qa[i] * qb2[i])) AS BIGINT)"
+      "WITH " + Dedup.QE + s""",
+      qb AS (SELECT vec_id, q, norm,
+               CAST(q[1] >= 0 AS INT) * 8 + CAST(q[2] >= 0 AS INT) * 4 +
+               CAST(q[3] >= 0 AS INT) * 2 + CAST(q[4] >= 0 AS INT) AS bucket
+             FROM qn),
+      bp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+             FROM qn a JOIN qn b ON a.vec_id < 50 AND a.vec_id <> b.vec_id),
+      bcos AS (SELECT query_id, neighbor_id,
+                 round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+               FROM bp),
+      brk AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM bcos),
+      brute AS (SELECT query_id, neighbor_id FROM brk WHERE rnk <= 3),
+      ap AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+             FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id < 50 AND a.vec_id <> b.vec_id),
+      acos AS (SELECT query_id, neighbor_id,
+                 round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+               FROM ap),
+      ark AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM acos),
+      ann AS (SELECT query_id, neighbor_id FROM ark WHERE rnk <= 3)
+      SELECT b.query_id,
+             round(CAST(count(a.neighbor_id) AS DOUBLE) / 3.0, 4) AS recall_at_3
+      FROM brute b LEFT JOIN ann a
+        ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+      GROUP BY b.query_id ORDER BY b.query_id"""
+    })
 }

@@ -1,0 +1,57 @@
+package graft
+
+import graft.llm.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only scale probe (BASELINE.md §10×): measures the
+  * connected-components label-propagation loop ([[graft.llm.Dedup.keepers]])
+  * at 1× and 10× edge counts to verify near-linear behavior in |E|.
+  *
+  * The 10× graph replicates the REAL sf0.1 Jaccard pair set with
+  * shifted doc ids (component structure preserved, 10× components —
+  * no synthetic topology), matching the r3 probe methodology of
+  * unioning shifted copies of real data.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Real near-dup pairs once; the probe times ONLY the CC loop.
+    val pairs = SparkEntry.queries("q_dedup_jaccard")(spark, sfDir)
+      .select(col("d1"), col("d2"))
+      .persist()
+    val nPairs = pairs.count()
+
+    def timed(label: String, mult: Int): Unit = {
+      // Replicate via ONE explode pass, not an N-way union — a union of
+      // N branches over the 32-partition cache yields 32·N near-empty
+      // tasks and the probe measures the scheduler instead of the loop.
+      val scaled = pairs
+        .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
+          col("d1"), col("d2"))
+        .select((col("d1") + col("i") * lit(10000000L)).as("d1"),
+          (col("d2") + col("i") * lit(10000000L)).as("d2"))
+      val t0 = System.nanoTime()
+      val n = Dedup.keepers(scaled).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      // keepers() unpersists its own internals; `pairs` must stay cached
+      // for the next multiplier, so no blanket clearCache here.
+      println(f"""{"probe":"cc_$label","edges":${nPairs * 2 * mult},"labeled_docs":$n,"sec":$dt%.2f}""")
+    }
+
+    timed("1x", 1)
+    timed("10x", 10)
+    timed("100x", 100)
+    timed("1000x", 1000)
+    spark.stop()
+  }
+}

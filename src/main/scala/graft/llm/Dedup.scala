@@ -213,6 +213,8 @@ object Dedup {
       labels = next.select(col("doc"), col("label"))
       done = changed == 0
       iters += 1
+      if (sys.env.contains("GRAFT_CC_VERBOSE"))
+        System.err.println(s"[keepers] iter=$iters changed=$changed")
     }
     edges.unpersist(false) // labels live in checkpoint blocks, not this cache
     labels // each round was eagerly checkpointed — safe past the conf reset

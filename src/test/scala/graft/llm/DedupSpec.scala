@@ -65,4 +65,29 @@ class DedupSpec extends SparkSuite {
       .select("d1", "d2").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L))) // identical shingle sets → identical simhash
   }
+
+  test("frequency cap kills boilerplate-only pairs, keeps true near-dups") {
+    // Docs 0-7: a 10-token boilerplate prefix + one unique token. Any
+    // two share 8 of their 9 shingles → uncapped jaccard 0.8 (spurious
+    // "near-dups" glued by boilerplate; every boilerplate shingle has
+    // df = 8 > 5). Docs 8-9: 11 rare tokens, last one edited → share
+    // 8 of 10 shingles via df=2 shingles → survive the cap at 0.8.
+    val d = java.nio.file.Files.createTempDirectory("dedupcap").toString
+    val boiler = (0 until 10).map(i => s"b$i").mkString(" ")
+    val rare = (0 until 11).map(i => s"r$i").mkString(" ")
+    ((0L until 8L).map(i => (i, s"$boiler u$i", "en", "src", 1L)) ++ Seq(
+      (8L, rare, "en", "src", 1L),
+      (9L, rare.split(" ").dropRight(1).mkString(" ") + " redit", "en", "src", 1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    val uncapped = Dedup.queries("q_dedup_jaccard")(spark, d)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val capped = Dedup.queries("q_dedup_jaccard_capped")(spark, d)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((0L, 1L)))       // boilerplate glues 0-7
+    assert(uncapped.contains((8L, 9L)))
+    assert(capped.contains((8L, 9L)))         // rare-shingle pair survives
+    assert(!capped.exists { case (a, b) => a < 8L && b < 8L }) // boilerplate pairs gone
+  }
 }

@@ -1,0 +1,63 @@
+package graft.llm
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Unit fixtures for the ANN operators and the recall@3 quality
+  * metric. Embeddings are crafted so the coarse sign-bucket quantizer
+  * is either trivial (all vectors share a bucket → ANN ≡ brute →
+  * recall exactly 1.0) or split (true neighbors in another bucket →
+  * recall strictly < 1), pinning both sides of the trade. */
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def writeEmb(rows: Seq[(Long, Array[Float], Int)]): String = {
+    val d = java.nio.file.Files.createTempDirectory("sim").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("recall@3 is exactly 1.0 when every vector shares one bucket") {
+    // First 4 components all positive → single coarse cell (bucket 15).
+    val dir = writeEmb((0L until 8L).map { i =>
+      (i, Array(1f, 1f, 1f, 1f, i.toFloat / 10f, 1f - i.toFloat / 10f), 0)
+    })
+    val r = Similarity.queries("q_knn_recall")(spark, dir)
+      .select("query_id", "recall_at_3").as[(Long, Double)].collect().toMap
+    assert(r.nonEmpty)
+    assert(r.values.forall(_ == 1.0))
+  }
+
+  test("recall@3 drops below 1 when true neighbors sit in another bucket") {
+    // Queries 0-2 sit in bucket 15 (+ + + +); their NEAREST vectors
+    // (same direction, tiny perturbation) sit in bucket 0 (- - - -) via
+    // sign flip of the leading components with large tail agreement.
+    val near = (3L until 6L).map { i =>
+      (i, Array(-0.01f, -0.01f, -0.01f, -0.01f, 5f, 5f), 0)
+    }
+    val far = (6L until 9L).map { i =>
+      (i, Array(1f, 1f, 1f, 1f, -5f + i.toFloat, -5f), 0)
+    }
+    val qs = (0L until 3L).map { i =>
+      (i, Array(0.01f, 0.01f, 0.01f, 0.01f, 5f, 5f - i.toFloat / 10f), 0)
+    }
+    val dir = writeEmb(qs ++ near ++ far)
+    val r = Similarity.queries("q_knn_recall")(spark, dir)
+      .select("query_id", "recall_at_3").as[(Long, Double)].collect().toMap
+    assert(r.values.forall(v => v >= 0.0 && v <= 1.0))
+    // queries 0-2's top-3 by cosine are the `near` trio in bucket 0 —
+    // the bucketed ANN cannot see them, so recall < 1 for those ids.
+    assert((0L until 3L).forall(i => r(i) < 1.0))
+  }
+
+  test("q_knn_recall output is one row per query with pairs, sorted") {
+    val dir = writeEmb((0L until 6L).map { i =>
+      (i, Array(1f, 1f, 1f, 1f, i.toFloat, 1f), 0)
+    })
+    val rows = Similarity.queries("q_knn_recall")(spark, dir)
+      .select("query_id").as[Long].collect()
+    assert(rows.toSeq == rows.toSeq.sorted)
+    assert(rows.length == rows.distinct.length)
+  }
+}

@@ -11,9 +11,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm up session machinery (codegen compiler, parquet footer reader,
-    // shuffle system) so startup cost isn't billed to the first query.
-    Tables(spark, sfDir, "region").groupBy("r_name").count().count()
+    // Warm up session machinery (janino codegen compiler, parquet footer
+    // reader, shuffle system, decimal/window/join codegen paths) on the
+    // two O(10)-row dim tables so startup cost isn't billed to the first
+    // queries. Plan-specific generated classes still compile per query —
+    // this warms the shared infrastructure underneath them.
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val r = Tables(spark, sfDir, "region")
+      val n = Tables(spark, sfDir, "nation")
+      n.join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(sum(col("n_nationkey").cast("decimal(38,6)")).as("s"),
+          count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("c")).orderBy(col("s"))))
+        .count()
+      spark.catalog.clearCache()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

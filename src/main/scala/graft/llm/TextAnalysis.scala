@@ -130,7 +130,7 @@ object TextAnalysis {
     // a full (doc_id, pos) sort exchange. Equivalent by construction:
     // windows [i, i+3] with 4 rows ⟺ 0 ≤ i ≤ m-4, m = shingle count.
     "q_fingerprint" -> ((s, dir) =>
-      fingerprints(s, dir).orderBy("doc_id", "fp")),
+      fingerprints(s, dir, lit(true)).orderBy("doc_id", "fp")),
 
     // Decontamination: corpus docs sharing winnowing fingerprints with
     // a benchmark set (here: doc_id < 10 stands in for the held-out
@@ -140,10 +140,13 @@ object TextAnalysis {
     // with shared-fingerprint counts — the report a training pipeline
     // acts on before a run.
     "q_contamination" -> ((s, dir) => {
-      val fp = fingerprints(s, dir)
-      val bench = fp.filter(col("doc_id") < 10)
+      // Each side computes its OWN fingerprints with the doc predicate
+      // pushed into the parquet scan: the (tiny) benchmark side reads
+      // only its row-group-pruned slice, the corpus side makes exactly
+      // one full pass — no shared cache to materialize or evict.
+      val bench = fingerprints(s, dir, col("doc_id") < 10)
         .select(col("doc_id").as("bench_doc"), col("fp"))
-      val corpus = fp.filter(col("doc_id") >= 10)
+      val corpus = fingerprints(s, dir, col("doc_id") >= 10)
         .select(col("doc_id").as("corpus_doc"), col("fp"))
       corpus.join(broadcast(bench), "fp")
         .groupBy(col("corpus_doc"), col("bench_doc"))
@@ -151,19 +154,15 @@ object TextAnalysis {
         .orderBy("corpus_doc", "bench_doc")
     }))
 
-  /** Distinct winnowing fingerprints per doc (shared by q_fingerprint
-    * and q_contamination): md5 per 3-shingle, min per complete
-    * 4-window, deduped — all array ops inside whole-stage codegen.
-    * Persisted so the two consumers share one computation per session
-    * (CacheManager dedupes on the identical plan). */
+  /** Distinct winnowing fingerprints for docs matching `docPred`
+    * (pushed down to the parquet scan): md5 per 3-shingle, min per
+    * complete 4-window, deduped — all array ops inside whole-stage
+    * codegen. */
   private def fingerprints(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame =
-    fingerprintsRaw(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-  private def fingerprintsRaw(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame =
+      dir: String,
+      docPred: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
     Tables(s, dir, "documents")
+      .filter(docPred)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 6) // m = size-2 shingles; need m ≥ 4
       .select(col("doc_id"), expr(

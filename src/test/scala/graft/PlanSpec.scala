@@ -53,4 +53,37 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), "as-of must not plan a join")
     assert(p.contains("Window"))
   }
+
+  test("q_join_range plans the bucketed rewrite as an equi hash/merge join") {
+    val p = plan("q_join_range")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "range join must stay an equality join on (user, bucket), never a cross product")
+  }
+
+  test("q_join_q5 broadcasts both dims and equi-joins the facts") {
+    val p = plan("q_join_q5")
+    assert(p.contains("BroadcastHashJoin"), "nation/region must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+  }
+
+  test("q_contamination pushes the benchmark doc predicate into the scan") {
+    val p = plan("q_contamination")
+    assert(p.contains("LessThan(doc_id,10)"),
+      "bench-side doc_id < 10 must reach the parquet scan as a pushed filter")
+    assert(p.contains("BroadcastHashJoin"), "benchmark fingerprints must broadcast")
+  }
+
+  test("q_dedup_jaccard_capped anti-joins the hot set without a cross product") {
+    val p = plan("q_dedup_jaccard_capped")
+    assert(p.contains("LeftAnti"), "hot-shingle cap must plan as an anti join")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+  }
+
+  test("q_knn_recall never shuffles the corpus before scoring") {
+    val p = plan("q_knn_recall")
+    // brute side: corpus scan feeds the broadcast join directly;
+    // per-partition top-k bounds rows before any exchange
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+  }
 }

@@ -45,18 +45,21 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dedup {
 
-  /** Distinct 3-token shingles per document. Generator (explode) inside
-    * whole-stage codegen; no shuffle until the consumer aggregates.
-    * Docs with <3 tokens yield no shingles (matches the oracle's empty
-    * generate_series). Persisted by multi-pass consumers. */
+  /** Distinct 3-token shingles per document. Dedup happens PER ROW with
+    * `array_distinct` before the generator — `doc_id` is the table's
+    * primary key, so per-doc array dedup ≡ global `DISTINCT (doc_id,
+    * shingle)` while staying entirely inside whole-stage codegen: ZERO
+    * shuffle (the old explode→distinct paid a full exchange of the
+    * (doc_id, shingle) string pairs before any consumer did its own
+    * work). Docs with <3 tokens yield no shingles (matches the oracle's
+    * empty generate_series). Persisted by multi-pass consumers. */
   private def shingles(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(t) - 3), " +
-          "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("shingle"))
-      .distinct()
+        "array_distinct(transform(sequence(0, size(t) - 3), " +
+          "i -> concat_ws(' ', t[i], t[i+1], t[i+2])))")).as("shingle"))
 
   /** Oracle twin of [[shingles]] (DuckDB arrays are 1-based). */
   private val SH =

@@ -50,20 +50,29 @@ object Similarity {
 
   /** IVF/LSH-bucketed ANN top-k: coarse cell = sign bits of the first 4
     * quantized components (a deterministic stand-in for learned IVF
-    * centroids); queries (vec_id < qmax) probe only their own cell.
-    * Recall is traded for a 16× candidate cut — by design. */
-  private def annTop(s: SparkSession, dir: String, qmax: Int, k: Int): DataFrame = {
+    * centroids); queries (vec_id < qmax) probe the cells at XOR
+    * distance `probeMasks` from their own (mask 0 = own cell — the
+    * single-probe 16× candidate cut; masks 0,8,4,2,1 = multiprobe over
+    * every Hamming-1 neighbor cell, the standard recall knob: ~5/16 of
+    * the corpus instead of 1/16, recovering neighbors that fall just
+    * across a sign boundary). Probe fan-out explodes the QUERY side
+    * only — the corpus never duplicates, and each (query, neighbor)
+    * pair arises at most once since a neighbor lives in one cell. */
+  private def annTop(s: SparkSession, dir: String, qmax: Int, k: Int,
+      probeMasks: Seq[Int] = Seq(0)): DataFrame = {
     val qe = Dedup.quantized(s, dir).withColumn("bucket", expr(
       "cast(q[0] >= 0 as int) * 8 + cast(q[1] >= 0 as int) * 4 + " +
         "cast(q[2] >= 0 as int) * 2 + cast(q[3] >= 0 as int)"))
     val queriesDf = qe.filter(col("vec_id") < qmax)
       .select(col("vec_id").as("query_id"), col("bucket"),
         col("q").as("qa"), col("norm").as("na"))
+      .withColumn("probe", explode(array(
+        probeMasks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
     val corpus = qe.select(col("vec_id").as("neighbor_id"),
       col("bucket").as("nbucket"), col("q").as("qb"), col("norm").as("nb"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    queriesDf.join(corpus, col("bucket") === col("nbucket") &&
+    queriesDf.join(corpus, col("probe") === col("nbucket") &&
         col("query_id") =!= col("neighbor_id"))
       .withColumn("dot", expr(Dedup.dotExpr))
       .withColumn("cosine", Dedup.cosine())
@@ -73,12 +82,33 @@ object Similarity {
         col("neighbor_id"), col("cosine"))
   }
 
+  /** recall@k of an approximate top-k against the exact one, per
+    * query id — both inputs are (query_id, neighbor_id) top-k sets. */
+  private def recallOf(exact: DataFrame, approx: DataFrame, k: Int): DataFrame =
+    exact.join(
+        approx.select(col("query_id").as("aq"), col("neighbor_id").as("an")),
+        col("query_id") === col("aq") && col("neighbor_id") === col("an"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(round(count(col("an")).cast("double") / k.toDouble, 4)
+        .as(s"recall_at_$k"))
+      .orderBy("query_id")
+
+  private val hamming1 = Seq(0, 8, 4, 2, 1)
+
   val queries: Map[String, Q] = Map(
     "q_knn_brute" -> ((s, dir) =>
       bruteTop(s, dir, qmax = 10, k = 5).orderBy("query_id", "rnk")),
 
     "q_knn_ann" -> ((s, dir) =>
       annTop(s, dir, qmax = 50, k = 3).orderBy("query_id", "rnk")),
+
+    // Multiprobe ANN (Lv et al., "Multi-probe LSH", VLDB 2007 idea at
+    // its simplest): probe the query's own cell plus every Hamming-1
+    // sign-flip cell — the production recall knob when single-probe
+    // recall is too low for the candidate-cut budget.
+    "q_knn_ann_mp" -> ((s, dir) =>
+      annTop(s, dir, qmax = 50, k = 3, hamming1).orderBy("query_id", "rnk")),
 
     // ANN quality metric: recall@3 of the bucketed ANN vs the exact
     // brute-force top-3, per query vector — the number a production
@@ -87,18 +117,20 @@ object Similarity {
     // DuckDB twin is exact. Scale shape: two top-k pipelines over the
     // same corpus scan + a broadcast-sized join on (query, neighbor) —
     // the corpus never shuffles.
-    "q_knn_recall" -> ((s, dir) => {
-      val exact = bruteTop(s, dir, qmax = 50, k = 3)
-        .select(col("query_id"), col("neighbor_id"))
-      val approx = annTop(s, dir, qmax = 50, k = 3)
-        .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
-      exact.join(approx,
-          col("query_id") === col("aq") && col("neighbor_id") === col("an"),
-          "left")
-        .groupBy(col("query_id"))
-        .agg(round(count(col("an")).cast("double") / 3.0, 4).as("recall_at_3"))
-        .orderBy("query_id")
-    }))
+    "q_knn_recall" -> ((s, dir) =>
+      recallOf(
+        bruteTop(s, dir, qmax = 50, k = 3).select("query_id", "neighbor_id"),
+        annTop(s, dir, qmax = 50, k = 3).select("query_id", "neighbor_id"),
+        k = 3)),
+
+    // Same metric for the multiprobe variant — with q_knn_recall this
+    // IS the nprobe tuning loop: recall@3 vs candidate volume.
+    "q_knn_recall_mp" -> ((s, dir) =>
+      recallOf(
+        bruteTop(s, dir, qmax = 50, k = 3).select("query_id", "neighbor_id"),
+        annTop(s, dir, qmax = 50, k = 3, hamming1)
+          .select("query_id", "neighbor_id"),
+        k = 3)))
 
   val oracles: Map[String, String] = Map(
     "q_knn_brute" -> ("WITH " + Dedup.QE + s""",
@@ -112,30 +144,42 @@ object Similarity {
              FROM cos)
       SELECT query_id, rnk, neighbor_id, cosine FROM rk WHERE rnk <= 5
       ORDER BY query_id, rnk"""),
-    "q_knn_ann" -> ("WITH " + Dedup.QE + """,
+    "q_knn_ann" -> annSql(multi = false),
+    "q_knn_ann_mp" -> annSql(multi = true),
+    "q_knn_recall" -> recallSql(multi = false),
+    "q_knn_recall_mp" -> recallSql(multi = true))
+
+  /** DuckDB twin of the probe condition: own cell, or every Hamming-1
+    * sign-flip cell too (xor is DuckDB's bitwise xor). */
+  private def probeCond(multi: Boolean): String =
+    if (multi)
+      "b.bucket IN (a.bucket, xor(a.bucket, 8), xor(a.bucket, 4), xor(a.bucket, 2), xor(a.bucket, 1))"
+    else "a.bucket = b.bucket"
+
+  private lazy val dot2 =
+    "CAST(list_sum(list_transform(generate_series(1, len(qa)), i -> qa[i] * qb2[i])) AS BIGINT)"
+
+  private lazy val qbCte = """
       qb AS (SELECT vec_id, q, norm,
                CAST(q[1] >= 0 AS INT) * 8 + CAST(q[2] >= 0 AS INT) * 4 +
                CAST(q[3] >= 0 AS INT) * 2 + CAST(q[4] >= 0 AS INT) AS bucket
-             FROM qn),
+             FROM qn)"""
+
+  private def annSql(multi: Boolean): String =
+    "WITH " + Dedup.QE + "," + qbCte + s""",
       pairs AS (SELECT a.vec_id AS query_id, a.bucket AS bucket, b.vec_id AS neighbor_id,
                   a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
-                FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id < 50 AND a.vec_id <> b.vec_id),
+                FROM qb a JOIN qb b ON ${probeCond(multi)} AND a.vec_id < 50 AND a.vec_id <> b.vec_id),
       cos AS (SELECT query_id, bucket, neighbor_id,
-                round(CAST(CAST(list_sum(list_transform(generate_series(1, len(qa)), i -> qa[i] * qb2[i])) AS BIGINT) AS DOUBLE)
-                      / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+                round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
               FROM pairs),
       rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rnk
              FROM cos)
       SELECT query_id, bucket, rnk, neighbor_id, cosine FROM rk WHERE rnk <= 3
-      ORDER BY query_id, rnk"""),
-    "q_knn_recall" -> {
-      val dot2 =
-        "CAST(list_sum(list_transform(generate_series(1, len(qa)), i -> qa[i] * qb2[i])) AS BIGINT)"
-      "WITH " + Dedup.QE + s""",
-      qb AS (SELECT vec_id, q, norm,
-               CAST(q[1] >= 0 AS INT) * 8 + CAST(q[2] >= 0 AS INT) * 4 +
-               CAST(q[3] >= 0 AS INT) * 2 + CAST(q[4] >= 0 AS INT) AS bucket
-             FROM qn),
+      ORDER BY query_id, rnk"""
+
+  private def recallSql(multi: Boolean): String =
+    "WITH " + Dedup.QE + "," + qbCte + s""",
       bp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                 a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
              FROM qn a JOIN qn b ON a.vec_id < 50 AND a.vec_id <> b.vec_id),
@@ -148,7 +192,7 @@ object Similarity {
       brute AS (SELECT query_id, neighbor_id FROM brk WHERE rnk <= 3),
       ap AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                 a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
-             FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id < 50 AND a.vec_id <> b.vec_id),
+             FROM qb a JOIN qb b ON ${probeCond(multi)} AND a.vec_id < 50 AND a.vec_id <> b.vec_id),
       acos AS (SELECT query_id, neighbor_id,
                  round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
                FROM ap),
@@ -161,5 +205,4 @@ object Similarity {
       FROM brute b LEFT JOIN ann a
         ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
       GROUP BY b.query_id ORDER BY b.query_id"""
-    })
 }

@@ -51,6 +51,30 @@ class SimilaritySpec extends SparkSuite {
     assert((0L until 3L).forall(i => r(i) < 1.0))
   }
 
+  test("multiprobe recovers Hamming-1 neighbors single-probe misses") {
+    // Queries 0-2 in bucket 15 (+ + + +); their TRUE nearest trio has
+    // only the FIRST sign flipped (bucket 7, Hamming-1) — invisible to
+    // single-probe, recovered by the Hamming-1 multiprobe. A far trio
+    // shares bucket 15 so single-probe still returns 3 rows.
+    val near = (3L until 6L).map { i =>
+      (i, Array(-0.01f, 0.01f, 0.01f, 0.01f, 5f, 5f), 0)
+    }
+    val far = (6L until 9L).map { i =>
+      (i, Array(1f, 1f, 1f, 1f, -5f + i.toFloat, -5f), 0)
+    }
+    val qs = (0L until 3L).map { i =>
+      (i, Array(0.01f, 0.01f, 0.01f, 0.01f, 5f, 5f - i.toFloat / 10f), 0)
+    }
+    val dir = writeEmb(qs ++ near ++ far)
+    val single = Similarity.queries("q_knn_recall")(spark, dir)
+      .select("query_id", "recall_at_3").as[(Long, Double)].collect().toMap
+    val multi = Similarity.queries("q_knn_recall_mp")(spark, dir)
+      .select("query_id", "recall_at_3").as[(Long, Double)].collect().toMap
+    assert((0L until 3L).forall(i => single(i) < 1.0))
+    assert((0L until 3L).forall(i => multi(i) == 1.0))
+    assert(multi.keySet.forall(i => multi(i) >= single(i)))
+  }
+
   test("q_knn_recall output is one row per query with pairs, sorted") {
     val dir = writeEmb((0L until 6L).map { i =>
       (i, Array(1f, 1f, 1f, 1f, i.toFloat, 1f), 0)

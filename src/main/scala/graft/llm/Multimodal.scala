@@ -13,6 +13,10 @@ case class BinaryDoc(doc_id: Long, payload: Array[Byte])
 case class ImageMeta(doc_id: Long, width: Int, height: Int,
     channels: Int, mean_intensity: Double)
 
+/** Output schema of the resize stage. */
+case class ResizedMeta(doc_id: Long, width: Int, height: Int,
+    out_w: Int, out_h: Int)
+
 /** Multimodal-column plumbing: media as opaque `binary` columns with
   * typed, schema'd metadata extraction (north-star extension — the
   * reference has nothing beyond strings).
@@ -59,6 +63,24 @@ object Multimodal {
     }
   }
 
+  /** STUB resize — stands in for the pixel-resample kernel: fit into a
+    * 224×224 box preserving aspect ratio. All-integer arithmetic
+    * (`w·224 div max(w,h)`) so the oracle twin is bit-exact. Same
+    * per-partition shape as [[decodeStub]]: a real resampler allocates
+    * its buffers once per partition. */
+  def resizeStub(ds: Dataset[ImageMeta], box: Int = 224): Dataset[ResizedMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      // per-partition resample-buffer allocation would go here
+      rows.map { m =>
+        val longSide = math.max(m.width, m.height)
+        ResizedMeta(m.doc_id, m.width, m.height,
+          out_w = m.width * box / longSide,
+          out_h = m.height * box / longSide)
+      }
+    }
+  }
+
   /** Hex-digit value via ascii — portable to the oracle verbatim. */
   private def hv(pos: Int) =
     s"(ascii(substr(h, $pos, 1)) - (CASE WHEN substr(h, $pos, 1) >= 'a' THEN 87 ELSE 48 END))"
@@ -72,6 +94,15 @@ object Multimodal {
       import s.implicits._
       val docs = attachPayload(Tables(s, dir, "documents")).as[BinaryDoc]
       decodeStub(docs).toDF().orderBy("doc_id")
+    }),
+
+    // Resize stage: decode → aspect-preserving fit into 224×224 —
+    // the standard vision-pipeline preprocessing step, typed end to
+    // end (Dataset[BinaryDoc] → Dataset[ImageMeta] → Dataset[ResizedMeta]).
+    "q_multimodal_resize" -> ((s, dir) => {
+      import s.implicits._
+      val docs = attachPayload(Tables(s, dir, "documents")).as[BinaryDoc]
+      resizeStub(decodeStub(docs)).toDF().orderBy("doc_id")
     }),
 
     // Frame-sampling analog: the 16-byte payload split into 4 fixed
@@ -102,6 +133,15 @@ object Multimodal {
              CAST(1 + b2 % 3 AS INT) AS channels,
              CAST(b0 + b1 + b2 + b3 AS DOUBLE) / 4 AS mean_intensity
       FROM b ORDER BY doc_id""",
+    "q_multimodal_resize" -> s"""
+      WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+      b AS (SELECT doc_id, ${byteAt(0)} AS b0, ${byteAt(1)} AS b1 FROM hx),
+      wh AS (SELECT doc_id, 64 + b0 % 64 AS w, 64 + b1 % 64 AS hh FROM b)
+      SELECT doc_id,
+             CAST(w AS INT) AS width, CAST(hh AS INT) AS height,
+             CAST(w * 224 // greatest(w, hh) AS INT) AS out_w,
+             CAST(hh * 224 // greatest(w, hh) AS INT) AS out_h
+      FROM wh ORDER BY doc_id""",
     "q_multimodal_frames" -> """
       WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents)
       SELECT doc_id, CAST(frame AS INT) AS frame,

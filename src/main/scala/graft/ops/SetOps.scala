@@ -69,6 +69,26 @@ object SetOps {
         .orderBy("o_orderstatus")
     }),
 
+    // Stratified sample: a fixed quota per stratum (20 docs per lang),
+    // chosen by content-hash rank — the data-mixing primitive of a
+    // training pipeline (per-language/source quotas), deterministic
+    // across engines and retries like q_sample_hash. Plan shape: the
+    // rank filter becomes WindowGroupLimit, so each partition keeps at
+    // most 20 rows per stratum BEFORE the exchange — the shuffle
+    // carries O(strata × quota) rows per partition, not the corpus.
+    "q_sample_stratified" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("hk"), col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          md5(col("doc_id").cast("string")).as("hk"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .orderBy("lang", "rk")
+    }),
+
     // Pure scan + pushed filter + pruned projection: the plan must show
     // PushedFilters + a 3-column ReadSchema at any SF.
     "q_filter_project" -> ((s, dir) => {
@@ -113,6 +133,14 @@ object SetOps {
       FROM orders
       WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '7'
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_sample_stratified" -> """
+      WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hk
+                 FROM documents),
+      r AS (SELECT doc_id, lang,
+              CAST(row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS INT) AS rk
+            FROM h)
+      SELECT lang, rk, doc_id FROM r WHERE rk <= 20
+      ORDER BY lang, rk""",
     "q_filter_project" -> """
       SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '2001-06-01' AND l_quantity > 45

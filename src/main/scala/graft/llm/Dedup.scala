@@ -182,12 +182,15 @@ object Dedup {
     spark.conf.set("spark.sql.shuffle.partitions", parts)
     val finalLabels = try {
     // Symmetrize in ONE pass over the cached pairs — explode of a
-    // 2-struct array, not a union of two scans.
+    // 2-struct array, not a union of two scans. NO distinct: the pair
+    // set is already unique per (d1,d2), and the loop's min-aggregate
+    // is idempotent under duplicate edges anyway — a dedup here would
+    // be a pure extra shuffle.
     val edges = p.select(explode(array(
         struct(col("d1").as("src"), col("d2").as("dst")),
         struct(col("d2").as("src"), col("d1").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // localCheckpoint CUTS LINEAGE each round — every iteration
     // references the previous labels several times, so without the cut
     // the logical plan doubles per round (exponential analyze/optimize

@@ -24,4 +24,13 @@ class DedupClusterSpec extends SparkSuite {
     val got = Dedup.keepers(pairs).as[(Long, Long)].collect().toMap
     assert(got === (1L to 9L).map(_ -> 1L).toMap)
   }
+
+  test("keepers is insensitive to duplicate and reversed input pairs") {
+    // keepers skips an edge-dedup shuffle because min-label propagation
+    // is idempotent under multi-edges — this pins that contract.
+    val base = Seq((2L, 1L), (3L, 2L), (10L, 11L))
+    val noisy = (base ++ base ++ base.map(_.swap)).toDF("d1", "d2")
+    val got = Dedup.keepers(noisy).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
 }

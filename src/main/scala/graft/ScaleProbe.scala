@@ -52,6 +52,36 @@ object ScaleProbe {
     timed("10x", 10)
     timed("100x", 100)
     timed("1000x", 1000)
+    pairs.unpersist(false)
+
+    // Range-join probe: same per-user event density, N× the users —
+    // output and work should both scale linearly with N.
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .persist()
+    ev.count()
+    def timedRange(label: String, mult: Int): Unit = {
+      val scaled = ev
+        .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
+          col("user_id"), col("event_id"), col("us"))
+        .select((col("user_id") + col("i") * lit(10000000L)).as("user_id"),
+          (col("event_id") + col("i") * lit(100000000L)).as("event_id"),
+          col("us"))
+      val rp = graft.ops.Joins.rangePairs(scaled)
+      if (sys.env.contains("GRAFT_PROBE_EXPLAIN"))
+        System.err.println(rp.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          .linesIterator.filter(l => l.contains("Join") || l.contains("Exchange"))
+          .mkString(s"[range_$label plan]\n", "\n", ""))
+      val t0 = System.nanoTime()
+      val n = rp.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"range_$label","rows":${n},"sec":$dt%.2f}""")
+    }
+    timedRange("1x", 1)
+    timedRange("10x", 10)
+    timedRange("100x", 100)
     spark.stop()
   }
 }

@@ -216,25 +216,42 @@ object Joins {
     // band predicate filters after. Pair count per key is bounded by
     // bucket density, never |user|² — the classic range-join rewrite
     // Catalyst doesn't do automatically.
-    "q_join_range" -> ((s, dir) => {
-      val W = 600L * 1000000L // 10 min in µs
-      val e = Tables.events(s, dir)
-        .select(col("user_id"), col("event_id"),
-          unix_micros(col("ts")).as("us"))
-      val probe = e.withColumn("bucket",
-        explode(expr(s"array(us div $W - 1, us div $W, us div $W + 1)")))
-      val build = e.withColumn("bucket", expr(s"us div $W"))
-      probe.as("a")
-        .join(build.as("b"),
-          col("a.user_id") === col("b.user_id") &&
-            col("a.bucket") === col("b.bucket") &&
-            col("a.event_id") < col("b.event_id") &&
-            abs(col("b.us") - col("a.us")) <= W)
-        .select(col("a.user_id").as("user_id"),
-          col("a.event_id").as("e1"), col("b.event_id").as("e2"),
-          abs(col("b.us") - col("a.us")).as("gap_us"))
-        .orderBy("user_id", "e1", "e2")
-    }))
+    "q_join_range" -> ((s, dir) =>
+      rangePairs(Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us")))
+        .orderBy("user_id", "e1", "e2")))
+
+  /** Bucketed range-join core over (user_id, event_id, us): same-user
+    * event pairs within `windowUs`, unsorted. Public so the scale probe
+    * can drive it on replicated inputs.
+    *
+    * The `shuffle_hash` hint is load-bearing at scale: Catalyst's
+    * size estimate for the exploded probe side ignores the 3× fan-out,
+    * so without it the planner happily BROADCASTS the fan-out side
+    * once the pre-explode estimate sits under the threshold — measured
+    * 272 s vs 18.6 s at the 100× probe (ScaleProbe `range_100x`), a
+    * 1.7 GB "broadcast". With the hint the plan is a shuffled hash
+    * join (no per-partition sort, unlike `merge`; same 100× wall,
+    * faster at small scale) driven by RUNTIME sizes: AQE can still
+    * re-plan from actual exchanged bytes, which is the only size
+    * signal you can trust below a fan-out operator. */
+  def rangePairs(e: org.apache.spark.sql.DataFrame,
+      windowUs: Long = 600L * 1000000L): org.apache.spark.sql.DataFrame = {
+    val W = windowUs
+    val probe = e.withColumn("bucket",
+      explode(expr(s"array(us div $W - 1, us div $W, us div $W + 1)")))
+    val build = e.withColumn("bucket", expr(s"us div $W"))
+    probe.as("a").hint("shuffle_hash")
+      .join(build.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.event_id") < col("b.event_id") &&
+          abs(col("b.us") - col("a.us")) <= W)
+      .select(col("a.user_id").as("user_id"),
+        col("a.event_id").as("e1"), col("b.event_id").as("e2"),
+        abs(col("b.us") - col("a.us")).as("gap_us"))
+  }
 
   val oracles: Map[String, String] = Map(
     "q_join_broadcast" -> """

@@ -58,6 +58,11 @@ class PlanSpec extends SparkSuite {
     val p = plan("q_join_range")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       "range join must stay an equality join on (user, bucket), never a cross product")
+    // Catalyst's size estimate below the 3× explode ignores fan-out, so
+    // an estimate-driven broadcast here is a scale bomb (ScaleProbe
+    // range_100x: 272 s vs 18.6 s). The shuffle_hash hint must hold.
+    assert(p.contains("ShuffledHashJoin"),
+      "the fan-out side must never be broadcast from pre-explode estimates")
   }
 
   test("q_join_q5 broadcasts both dims and equi-joins the facts") {

@@ -237,6 +237,37 @@ object Dedup {
       .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
 
+  /** MinHash+LSH candidate pairs from the 4-band × 4-row signature
+    * (shared by q_dedup_minhash and q_dedup_lsh_recall).
+    *
+    * min over LONGS, not hex strings: a string agg buffer forces the
+    * planner down to SortAggregate (per-partition sort of the whole
+    * shingle set); fixed-width lowercase hex is order-isomorphic to
+    * its numeric value, so min picks the same element and the band
+    * candidate set is unchanged — but the agg stays HashAggregate.
+    * (The DuckDB twin keeps hex-string mins; the values never reach
+    * the output, only band-key equality.) */
+  private def bandCandidates(sh: DataFrame): DataFrame = {
+    val hashed = sh.select(
+      col("doc_id") +: (0 to 3).map(g =>
+        md5(concat(lit(s"$g:"), col("shingle"))).as(s"h$g")): _*)
+    val minCols = for { g <- 0 to 3; j <- 0 to 3 }
+      yield min(conv(substring(col(s"h$g"), j * 8 + 1, 8), 16, 10)
+        .cast("long")).as(s"m$g$j")
+    val sig = hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val bandStructs = (0 to 3).map(g => struct(
+      lit(g).as("band"),
+      concat_ws(",", (0 to 3).map(j => col(s"m$g$j")): _*).as("bkey")))
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+    bands.as("a")
+      .join(bands.as("b"), col("a.band") === col("b.band") &&
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
   /** Brute-force Jaccard ≥ 0.8 near-dup pairs, unsorted (shared by
     * q_dedup_jaccard and q_dedup_cluster). */
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
@@ -315,32 +346,26 @@ object Dedup {
     // the band key — no cross join at any SF.
     "q_dedup_minhash" -> ((s, dir) => {
       val sh = shingles(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-      val hashed = sh.select(
-        col("doc_id") +: (0 to 3).map(g =>
-          md5(concat(lit(s"$g:"), col("shingle"))).as(s"h$g")): _*)
-      // min over LONGS, not hex strings: a string agg buffer forces the
-      // planner down to SortAggregate (per-partition sort of the whole
-      // shingle set); fixed-width lowercase hex is order-isomorphic to
-      // its numeric value, so min picks the same element and the band
-      // candidate set is unchanged — but the agg stays HashAggregate.
-      // (The DuckDB twin keeps hex-string mins; the values never reach
-      // the output, only band-key equality.)
-      val minCols = for { g <- 0 to 3; j <- 0 to 3 }
-        yield min(conv(substring(col(s"h$g"), j * 8 + 1, 8), 16, 10)
-          .cast("long")).as(s"m$g$j")
-      val sig = hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-      val bandStructs = (0 to 3).map(g => struct(
-        lit(g).as("band"),
-        concat_ws(",", (0 to 3).map(j => col(s"m$g$j")): _*).as("bkey")))
-      val bands = sig
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
-      val cand = bands.as("a")
-        .join(bands.as("b"), col("a.band") === col("b.band") &&
-          col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
-      jaccardFinish(candIntersections(cand, sh), sh, 0.7).orderBy("d1", "d2")
+      jaccardFinish(candIntersections(bandCandidates(sh), sh), sh, 0.7)
+        .orderBy("d1", "d2")
+    }),
+
+    // LSH banding recall: what fraction of the TRUE Jaccard ≥ 0.8 pairs
+    // does the 4×4 banding surface as candidates? The dedup analog of
+    // q_knn_recall — the number that tunes bands × rows against the
+    // candidate-volume budget. One row; both sides deterministic.
+    "q_dedup_lsh_recall" -> ((s, dir) => {
+      val sh = shingles(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      val truePairs = jaccardFinish(bruteInter(sh), sh, 0.8)
+        .select(col("d1"), col("d2"))
+      val cand = bandCandidates(sh)
+        .select(col("d1").as("c1"), col("d2").as("c2"))
+      truePairs.join(cand,
+          col("d1") === col("c1") && col("d2") === col("c2"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          count(col("c1")).as("n_found"),
+          round(count(col("c1")).cast("double") /
+            count(lit(1)).cast("double"), 4).as("recall"))
     }),
 
     // SimHash-16 (Charikar, "Similarity estimation techniques from
@@ -431,6 +456,17 @@ object Dedup {
       WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.8
       ORDER BY d1, d2"""),
     "q_dedup_minhash" -> (SH + minhashSql + candInterSql + jaccardFinishSql("0.7")),
+    "q_dedup_lsh_recall" -> (SH + minhashSql + """,
+      inter AS (SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS inter
+                FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      tp AS (SELECT d1, d2 FROM inter
+             JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+             WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.8)
+      SELECT count(*) AS n_true, count(c.d1) AS n_found,
+             round(CAST(count(c.d1) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS recall
+      FROM tp LEFT JOIN cand c ON tp.d1 = c.d1 AND tp.d2 = c.d2"""),
     "q_dedup_cluster" -> ("WITH RECURSIVE " + SH.stripPrefix("WITH ") + """,
       inter AS (SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS inter
                 FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id

@@ -161,7 +161,12 @@ object Dedup {
     * extreme scale swap in the large-star/small-star variant (Kiveris
     * et al., "Connected Components in MapReduce"), same DataFrame
     * shape. The convergence check is a scalar `count` — control flow,
-    * not data collection. */
+    * not data collection.
+    *
+    * NOTE: tunes `spark.sql.shuffle.partitions` for the loop's graph-
+    * sized exchanges and restores it on exit — session-global state, so
+    * don't run concurrent queries on the same SparkSession while a
+    * keepers loop is in flight (the driver harnesses are sequential). */
   def keepers(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
     // Materialize the (possibly expensive) upstream pair pipeline ONCE:

@@ -34,10 +34,12 @@ import org.apache.spark.storage.StorageLevel
   *    correctness baseline — at scale, hot shingles (stopword n-grams)
   *    must be frequency-capped first (q_dedup_jaccard_capped implements
   *    the cap); LSH is the production path;
-  *  - per-doc size/intersection tables are broadcast into the verify
-  *    joins (one row per doc ≪ pair count); on a 1000-executor run
-  *    with billions of docs these become shuffle joins automatically
-  *    once past `autoBroadcastJoinThreshold`;
+  *  - join strategies below the shingle explode come from RUNTIME
+  *    sizes, never estimates: Catalyst's estimate under the explode
+  *    ignores the ~100× fan-out, so self-joins carry `shuffle_hash`
+  *    hints and nothing is force-`broadcast()` — AQE re-broadcasts the
+  *    genuinely small sides (per-doc size table) from actual exchange
+  *    bytes at small SF, and keeps shuffles at billions of docs;
   *  - embedding near-dup blocks by `label` (an IVF-style coarse
   *    quantizer cell) so each block's pair count is bounded; the dot
   *    product is graft's codegen `dot_long` expression, not an
@@ -101,16 +103,20 @@ object Dedup {
 
   /** Shared tail of the near-dup pipelines: given per-pair (d1 < d2)
     * intersection counts over the distinct-shingle sets, compute
-    * Jaccard and keep ≥ thr. Sizes (one row per doc ≪ pair count) are
-    * broadcast into both enrichment joins. UNSORTED by design — the
-    * cluster pipeline consumes this and immediately re-shuffles, so a
-    * global sort here would be a wasted range exchange; display
-    * consumers add their own `orderBy`. */
+    * Jaccard and keep ≥ thr. The per-doc size table (one row per doc ≪
+    * shingle count) joins WITHOUT a forced broadcast: an explicit
+    * `broadcast()` would pin the strategy at any scale — fatal once
+    * sizes is a billion docs — while leaving it to AQE gets the
+    * broadcast back at small scale from RUNTIME exchange sizes (the
+    * only size signal that survives the explode fan-out upstream).
+    * UNSORTED by design — the cluster pipeline consumes this and
+    * immediately re-shuffles, so a global sort here would be a wasted
+    * range exchange; display consumers add their own `orderBy`. */
   private def jaccardFinish(inter: DataFrame, sh: DataFrame, thr: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     inter
-      .join(broadcast(sizes.select(col("doc_id").as("d1"), col("n").as("n1"))), "d1")
-      .join(broadcast(sizes.select(col("doc_id").as("d2"), col("n").as("n2"))), "d2")
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
       .withColumn("jac", col("inter").cast("double") /
         (col("n1") + col("n2") - col("inter")).cast("double"))
       .filter(col("jac") >= thr)
@@ -119,11 +125,13 @@ object Dedup {
 
   /** Intersection counts for an explicit candidate-pair set: each
     * candidate joins its two shingle sets; shared shingles count once
-    * (sh is distinct per doc). */
+    * (sh is distinct per doc). The shingle sides carry below-explode
+    * size estimates → `shuffle_hash`, strategy from runtime sizes
+    * (see [[bruteInter]]). */
   private def candIntersections(cand: DataFrame, sh: DataFrame): DataFrame =
     cand
-      .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
-      .join(sh.as("s2"), col("d2") === col("s2.doc_id") &&
+      .join(sh.as("s1").hint("shuffle_hash"), col("d1") === col("s1.doc_id"))
+      .join(sh.as("s2").hint("shuffle_hash"), col("d2") === col("s2.doc_id") &&
         col("s1.shingle") === col("s2.shingle"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("inter"))
@@ -234,9 +242,14 @@ object Dedup {
   }
 
   /** All-pairs intersection counts via the distinct-shingle self-join —
-    * the brute-force candidate generator (shuffles on the shingle). */
+    * the brute-force candidate generator (shuffles on the shingle).
+    * `shuffle_hash` is load-bearing: the size estimate under the
+    * shingle explode ignores the ~100× fan-out, so the planner would
+    * happily broadcast a side that materializes to the full shingle
+    * set (same failure ScaleProbe measured on the range join — see
+    * Joins.rangePairs). Strategy must come from runtime sizes. */
   private def bruteInter(sh: DataFrame): DataFrame =
-    sh.as("x")
+    sh.as("x").hint("shuffle_hash")
       .join(sh.as("y"), col("x.shingle") === col("y.shingle") &&
         col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
@@ -266,7 +279,9 @@ object Dedup {
     val bands = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
-    bands.as("a")
+    // band table inherits a below-explode size estimate → shuffle_hash,
+    // strategy from runtime sizes (see bruteInter).
+    bands.as("a").hint("shuffle_hash")
       .join(bands.as("b"), col("a.band") === col("b.band") &&
         col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -390,7 +405,9 @@ object Dedup {
         .select(col("doc_id"),
           (1 to 16).map(j => when(col(s"v$j") >= 0, lit(1L << (j - 1)))
             .otherwise(lit(0L))).reduce(_ + _).as("simhash"))
-      fp.as("a").join(fp.as("b"), col("a.simhash") === col("b.simhash") &&
+      // fp inherits a below-explode size estimate → shuffle_hash
+      fp.as("a").hint("shuffle_hash")
+        .join(fp.as("b"), col("a.simhash") === col("b.simhash") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
           col("a.simhash").as("simhash"))

@@ -26,6 +26,9 @@ object Joins {
     // Map-side (broadcast) join: fact lineitem ⋈ dim part. The
     // reference's analog is the `g_substring` global visible to every
     // map thread (Search.cpp:9) — a broadcast variable in miniature.
+    // (part grows with SF; the forced broadcast is this query's POINT —
+    // demonstrating the operator — not a universal recommendation: past
+    // executor memory you drop the hint and AQE picks the strategy.)
     "q_join_broadcast" -> ((s, dir) => {
       val l = Tables(s, dir, "lineitem")
       val p = Tables(s, dir, "part")

@@ -66,7 +66,12 @@ object TextOps {
       val tf = tfAll.filter(col("doc_id") % 20 === 0)
       val df = tfAll.groupBy(col("word")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
-      tf.join(df, "word")
+      // df is the full vocabulary — its size estimate sits below the
+      // tokenize explode (fan-out invisible to Catalyst), so force the
+      // shuffle shape and let AQE re-broadcast from runtime sizes;
+      // a stale-estimate broadcast of a 100M-word vocab is a 100 TB
+      // failure (same rule as Joins.rangePairs / llm.Dedup).
+      tf.hint("shuffle_hash").join(df, "word")
         .crossJoin(broadcast(n))
         .select(col("doc_id"), col("word"), col("tf"), col("df"),
           Num.r(col("tf") * log(col("n_docs").cast("double") /

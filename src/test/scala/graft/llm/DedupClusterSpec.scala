@@ -25,6 +25,16 @@ class DedupClusterSpec extends SparkSuite {
     assert(got === (1L to 9L).map(_ -> 1L).toMap)
   }
 
+  test("keepers refuses to return unconverged labels") {
+    // 9-node path has diameter 8 — a 2-iteration budget cannot cover
+    // it; silent truncation would hand back wrong keepers.
+    val pairs = (1L until 9L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val e = intercept[IllegalStateException] {
+      Dedup.keepers(pairs, maxIters = 2).count()
+    }
+    assert(e.getMessage.contains("not converged"))
+  }
+
   test("keepers is insensitive to duplicate and reversed input pairs") {
     // keepers skips an edge-dedup shuffle because min-label propagation
     // is idempotent under multi-edges — this pins that contract.

@@ -165,11 +165,11 @@ object Dedup {
     * so `changed == 0` is convergence. Iterations are bounded by the
     * component diameter, and near-dup components are dense (clique-ish
     * around a template), so 3-5 rounds is typical at any SF. The
-    * per-iteration cost is one shuffle join on the edge list; at
-    * extreme scale swap in the large-star/small-star variant (Kiveris
-    * et al., "Connected Components in MapReduce"), same DataFrame
-    * shape. The convergence check is a scalar `count` — control flow,
-    * not data collection.
+    * per-iteration cost is one shuffle join on the edge list; when
+    * components CHAIN (diameter ≫ rounds budget) use
+    * [[keepersBigStar]] — O(log²) rounds on any topology, equivalence
+    * property-tested. The convergence check is a scalar `count` —
+    * control flow, not data collection.
     *
     * NOTE: tunes `spark.sql.shuffle.partitions` for the loop's graph-
     * sized exchanges and restores it on exit — session-global state, so
@@ -261,6 +261,75 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
+
+  /** Diameter-proof connected components: alternating large-star /
+    * small-star rounds (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC 2014) → same (doc_id, keeper) contract
+    * as [[keepers]]. Min-label propagation pays one round per hop of
+    * component diameter — fine for near-dup clusters (clique-ish,
+    * 2-3 rounds) but a 100 TB liability when near-dups CHAIN (template
+    * drift: A~B~C~…, diameter in the hundreds). Star contraction
+    * converges in O(log²) rounds on ANY topology:
+    *  - large-star (per node u): point every LARGER neighbor at the
+    *    minimum of u's closed neighborhood;
+    *  - small-star: point every smaller-or-self node at that minimum.
+    * Each half-round is one groupBy + one equi join on the edge list;
+    * edges stay normalized (big, small); fixpoint = edge set unchanged
+    * (count + order-free hash signature, two scalar actions per round).
+    * At fixpoint the edge set IS the answer: every non-root points
+    * straight at its component minimum. */
+  def keepersBigStar(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    var edges = pairs
+      .select(greatest(col("d1"), col("d2")).as("u"),
+        least(col("d1"), col("d2")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    def signature(e: DataFrame): (Long, Long) = {
+      // order-free set fingerprint; bit_xor can't overflow under ANSI
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var sig = signature(edges)
+    var done = false
+    var iters = 0
+    while (!done && iters < maxIters) {
+      // large-star over undirected neighborhoods; emitted (bigger
+      // neighbor, closed-neighborhood min) pairs are normalized by
+      // construction (v > u ≥ m).
+      val nbrs = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = nbrs.groupBy("u")
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val ls = nbrs.filter(col("v") > col("u"))
+        .join(lsMin, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      // small-star over the downward edges: everything in u's closed
+      // in-neighborhood re-points at its min.
+      val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val withMin = ls.join(ssMin, "u")
+      val ss = withMin.select(col("v").as("n"), col("m"))
+        .union(withMin.select(col("u").as("n"), col("m")))
+        .filter(col("n") =!= col("m"))
+        .select(greatest(col("n"), col("m")).as("u"),
+          least(col("n"), col("m")).as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      val nextSig = signature(ss)
+      done = nextSig == sig
+      sig = nextSig
+      edges = ss
+      iters += 1
+      if (sys.env.contains("GRAFT_CC_VERBOSE"))
+        System.err.println(s"[keepersBigStar] iter=$iters edges=${nextSig._1}")
+    }
+    if (!done) throw new IllegalStateException(
+      s"keepersBigStar: not converged after $maxIters rounds")
+    edges.select(col("u").as("doc_id"), col("v").as("keeper"))
+      .union(edges.select(col("v"), col("v")).distinct())
+      .distinct()
+  }
 
   /** MinHash+LSH candidate pairs from the 4-band × 4-row signature
     * (shared by q_dedup_minhash and q_dedup_lsh_recall).

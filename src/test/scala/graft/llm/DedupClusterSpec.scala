@@ -35,6 +35,35 @@ class DedupClusterSpec extends SparkSuite {
     assert(e.getMessage.contains("not converged"))
   }
 
+  test("keepersBigStar matches keepers on random graphs (20 seeds)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 20) {
+      val n = 5 + rnd.nextInt(25)
+      val edges = (1 to n).flatMap { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        if (a == b) None else Some((math.max(a, b), math.min(a, b)))
+      }.distinct
+      if (edges.nonEmpty) {
+        val df = edges.toDF("d1", "d2")
+        val slow = Dedup.keepers(df).as[(Long, Long)].collect().toMap
+        val fast = Dedup.keepersBigStar(df).as[(Long, Long)].collect().toMap
+        assert(fast === slow, s"divergence on edge set $edges")
+      }
+    }
+  }
+
+  test("keepersBigStar converges on a long path within a log-size budget") {
+    // 64-node path: diameter 63. Min-label propagation covers one hop
+    // per round (needs >60 rounds); star contraction is done in ~log.
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("d1", "d2")
+    intercept[IllegalStateException] {
+      Dedup.keepers(pairs, maxIters = 10).count()
+    }
+    val got = Dedup.keepersBigStar(pairs, maxIters = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got === (1L to 64L).map(_ -> 1L).toMap)
+  }
+
   test("keepers is insensitive to duplicate and reversed input pairs") {
     // keepers skips an edge-dedup shuffle because min-label propagation
     // is idempotent under multi-edges — this pins that contract.

@@ -82,6 +82,22 @@ object ScaleProbe {
     timedRange("1x", 1)
     timedRange("10x", 10)
     timedRange("100x", 100)
+    ev.unpersist(false)
+
+    // Adversarial-topology CC probe: a single path of N nodes (diameter
+    // N-1) — min-label propagation would need N-1 rounds; big-star
+    // needs O(log²). Built with spark.range: no driver-side data.
+    def timedPath(n: Long): Unit = {
+      import spark.implicits._
+      val path = spark.range(1, n)
+        .select(col("id").as("d1"), (col("id") + 1).as("d2"))
+      val t0 = System.nanoTime()
+      val labeled = Dedup.keepersBigStar(path, maxIters = 60).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"bigstar_path_$n","labeled_docs":$labeled,"sec":$dt%.2f}""")
+    }
+    timedPath(10000L)
+    timedPath(1000000L)
     spark.stop()
   }
 }

@@ -238,10 +238,10 @@ object Dedup {
     // Unconverged labels are silently WRONG (pairs beyond maxIters hops
     // keep distinct keepers) — refuse to return them. High-diameter
     // graphs need a larger budget or the large-star/small-star variant.
-    if (!done) throw new IllegalStateException(
+    if (!done) { edges.unpersist(false); throw new IllegalStateException(
       s"keepers: not converged after $maxIters iterations — component " +
         "diameter exceeds the budget; raise maxIters (propagation covers " +
-        "one hop per round) or switch to large-star/small-star")
+        "one hop per round) or switch to large-star/small-star") }
     edges.unpersist(false) // labels live in checkpoint blocks, not this cache
     labels // each round was eagerly checkpointed — safe past the conf reset
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)

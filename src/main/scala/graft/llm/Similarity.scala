@@ -48,21 +48,39 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
   }
 
-  /** IVF/LSH-bucketed ANN top-k: coarse cell = sign bits of the first 4
-    * quantized components (a deterministic stand-in for learned IVF
+  /** 4 × 64 ±1 hyperplanes for sign-random-projection LSH (Charikar,
+    * STOC 2002): P[bit differs] = angle/π, so near-cosine neighbors
+    * share cells with high probability — far better balanced than the
+    * leading-component signs used pre-r4 (recall@3 at the same 16×
+    * cut: 0.12 → see BASELINE.md). Fixed seed; the SAME literal matrix
+    * is embedded in the Spark plan and the DuckDB twin. */
+  private[llm] val srp: Seq[Seq[Int]] = {
+    val r = new scala.util.Random(7)
+    Seq.fill(4)(Seq.fill(64)(if (r.nextBoolean()) 1 else -1))
+  }
+
+  /** Spark-side bucket expression: 4 SRP sign bits via the codegen
+    * `dot_long` against literal hyperplanes. */
+  private def srpBucket: String =
+    (0 to 3).map { g =>
+      val w = srp(g).mkString(",")
+      s"cast(dot_long(q, cast(array($w) as array<bigint>)) >= 0 as int) * ${1 << (3 - g)}"
+    }.mkString(" + ")
+
+  /** IVF/LSH-bucketed ANN top-k: coarse cell = 4 sign-random-projection
+    * bits ([[srp]]; a deterministic stand-in for learned IVF
     * centroids); queries (vec_id < qmax) probe the cells at XOR
     * distance `probeMasks` from their own (mask 0 = own cell — the
     * single-probe 16× candidate cut; masks 0,8,4,2,1 = multiprobe over
     * every Hamming-1 neighbor cell, the standard recall knob: ~5/16 of
     * the corpus instead of 1/16, recovering neighbors that fall just
-    * across a sign boundary). Probe fan-out explodes the QUERY side
-    * only — the corpus never duplicates, and each (query, neighbor)
-    * pair arises at most once since a neighbor lives in one cell. */
+    * across a hyperplane boundary). Probe fan-out explodes the QUERY
+    * side only — the corpus never duplicates, and each (query,
+    * neighbor) pair arises at most once since a neighbor lives in one
+    * cell. */
   private def annTop(s: SparkSession, dir: String, qmax: Int, k: Int,
       probeMasks: Seq[Int] = Seq(0)): DataFrame = {
-    val qe = Dedup.quantized(s, dir).withColumn("bucket", expr(
-      "cast(q[0] >= 0 as int) * 8 + cast(q[1] >= 0 as int) * 4 + " +
-        "cast(q[2] >= 0 as int) * 2 + cast(q[3] >= 0 as int)"))
+    val qe = Dedup.quantized(s, dir).withColumn("bucket", expr(srpBucket))
     val queriesDf = qe.filter(col("vec_id") < qmax)
       .select(col("vec_id").as("query_id"), col("bucket"),
         col("q").as("qa"), col("norm").as("na"))
@@ -159,11 +177,16 @@ object Similarity {
   private lazy val dot2 =
     "CAST(list_sum(list_transform(generate_series(1, len(qa)), i -> qa[i] * qb2[i])) AS BIGINT)"
 
-  private lazy val qbCte = """
-      qb AS (SELECT vec_id, q, norm,
-               CAST(q[1] >= 0 AS INT) * 8 + CAST(q[2] >= 0 AS INT) * 4 +
-               CAST(q[3] >= 0 AS INT) * 2 + CAST(q[4] >= 0 AS INT) AS bucket
-             FROM qn)"""
+  /** DuckDB twin of [[srpBucket]] — same literal hyperplanes, 1-based
+    * list indexing. */
+  private lazy val qbCte = {
+    val bits = (0 to 3).map { g =>
+      val w = srp(g).mkString("[", ",", "]")
+      s"CAST(list_sum(list_transform(generate_series(1, 64), i -> q[i] * ($w)[i])) >= 0 AS INT) * ${1 << (3 - g)}"
+    }.mkString(" + ")
+    s"""
+      qb AS (SELECT vec_id, q, norm, $bits AS bucket FROM qn)"""
+  }
 
   private def annSql(multi: Boolean): String =
     "WITH " + Dedup.QE + "," + qbCte + s""",

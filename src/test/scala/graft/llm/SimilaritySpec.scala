@@ -4,10 +4,14 @@ import graft.SparkSuite
 import org.apache.spark.sql.functions._
 
 /** Unit fixtures for the ANN operators and the recall@3 quality
-  * metric. Embeddings are crafted so the coarse sign-bucket quantizer
-  * is either trivial (all vectors share a bucket → ANN ≡ brute →
-  * recall exactly 1.0) or split (true neighbors in another bucket →
-  * recall strictly < 1), pinning both sides of the trade. */
+  * metric — written quantizer-agnostic (they must survive swapping the
+  * coarse quantizer, as r4 did going component-signs → SRP):
+  *  - an identical-vector corpus shares one cell under ANY linear-sign
+  *    quantizer → recall exactly 1.0;
+  *  - multiprobe candidates are a superset of single-probe candidates,
+  *    so recall@k is provably monotone in the probe set — checked as
+  *    an invariant, with STRICT aggregate improvement demonstrated on
+  *    the real sf0.001 embeddings. */
 class SimilaritySpec extends SparkSuite {
   import spark.implicits._
 
@@ -18,67 +22,36 @@ class SimilaritySpec extends SparkSuite {
     d
   }
 
-  test("recall@3 is exactly 1.0 when every vector shares one bucket") {
-    // First 4 components all positive → single coarse cell (bucket 15).
-    val dir = writeEmb((0L until 8L).map { i =>
-      (i, Array(1f, 1f, 1f, 1f, i.toFloat / 10f, 1f - i.toFloat / 10f), 0)
-    })
+  test("recall@3 is exactly 1.0 on an identical-vector corpus") {
+    // identical vectors → identical bucket bits under any sign
+    // quantizer → ANN candidates == brute candidates → recall 1.0
+    val v = Array.tabulate(64)(i => (math.sin(i + 1) * 2).toFloat)
+    val dir = writeEmb((0L until 8L).map(i => (i, v, 0)))
     val r = Similarity.queries("q_knn_recall")(spark, dir)
       .select("query_id", "recall_at_3").as[(Long, Double)].collect().toMap
     assert(r.nonEmpty)
     assert(r.values.forall(_ == 1.0))
   }
 
-  test("recall@3 drops below 1 when true neighbors sit in another bucket") {
-    // Queries 0-2 sit in bucket 15 (+ + + +); their NEAREST vectors
-    // (same direction, tiny perturbation) sit in bucket 0 (- - - -) via
-    // sign flip of the leading components with large tail agreement.
-    val near = (3L until 6L).map { i =>
-      (i, Array(-0.01f, -0.01f, -0.01f, -0.01f, 5f, 5f), 0)
-    }
-    val far = (6L until 9L).map { i =>
-      (i, Array(1f, 1f, 1f, 1f, -5f + i.toFloat, -5f), 0)
-    }
-    val qs = (0L until 3L).map { i =>
-      (i, Array(0.01f, 0.01f, 0.01f, 0.01f, 5f, 5f - i.toFloat / 10f), 0)
-    }
-    val dir = writeEmb(qs ++ near ++ far)
-    val r = Similarity.queries("q_knn_recall")(spark, dir)
+  test("multiprobe recall dominates single-probe recall (real sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val sp = Similarity.queries("q_knn_recall")(spark, dir)
       .select("query_id", "recall_at_3").as[(Long, Double)].collect().toMap
-    assert(r.values.forall(v => v >= 0.0 && v <= 1.0))
-    // queries 0-2's top-3 by cosine are the `near` trio in bucket 0 —
-    // the bucketed ANN cannot see them, so recall < 1 for those ids.
-    assert((0L until 3L).forall(i => r(i) < 1.0))
-  }
-
-  test("multiprobe recovers Hamming-1 neighbors single-probe misses") {
-    // Queries 0-2 in bucket 15 (+ + + +); their TRUE nearest trio has
-    // only the FIRST sign flipped (bucket 7, Hamming-1) — invisible to
-    // single-probe, recovered by the Hamming-1 multiprobe. A far trio
-    // shares bucket 15 so single-probe still returns 3 rows.
-    val near = (3L until 6L).map { i =>
-      (i, Array(-0.01f, 0.01f, 0.01f, 0.01f, 5f, 5f), 0)
-    }
-    val far = (6L until 9L).map { i =>
-      (i, Array(1f, 1f, 1f, 1f, -5f + i.toFloat, -5f), 0)
-    }
-    val qs = (0L until 3L).map { i =>
-      (i, Array(0.01f, 0.01f, 0.01f, 0.01f, 5f, 5f - i.toFloat / 10f), 0)
-    }
-    val dir = writeEmb(qs ++ near ++ far)
-    val single = Similarity.queries("q_knn_recall")(spark, dir)
+    val mp = Similarity.queries("q_knn_recall_mp")(spark, dir)
       .select("query_id", "recall_at_3").as[(Long, Double)].collect().toMap
-    val multi = Similarity.queries("q_knn_recall_mp")(spark, dir)
-      .select("query_id", "recall_at_3").as[(Long, Double)].collect().toMap
-    assert((0L until 3L).forall(i => single(i) < 1.0))
-    assert((0L until 3L).forall(i => multi(i) == 1.0))
-    assert(multi.keySet.forall(i => multi(i) >= single(i)))
+    assert(sp.keySet == mp.keySet)
+    assert(sp.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(mp.values.forall(v => v >= 0.0 && v <= 1.0))
+    // superset of candidates ⇒ per-query monotone …
+    assert(sp.keySet.forall(q => mp(q) >= sp(q)))
+    // … and on real data the wider probe strictly helps in aggregate
+    assert(mp.values.sum > sp.values.sum)
   }
 
   test("q_knn_recall output is one row per query with pairs, sorted") {
-    val dir = writeEmb((0L until 6L).map { i =>
-      (i, Array(1f, 1f, 1f, 1f, i.toFloat, 1f), 0)
-    })
+    val v = Array.tabulate(64)(i => (math.cos(i) * 3).toFloat)
+    val dir = writeEmb((0L until 6L).map(i =>
+      (i, v.updated(i.toInt, v(i.toInt) + 0.5f), 0)))
     val rows = Similarity.queries("q_knn_recall")(spark, dir)
       .select("query_id").as[Long].collect()
     assert(rows.toSeq == rows.toSeq.sorted)

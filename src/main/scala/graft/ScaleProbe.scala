@@ -4,14 +4,23 @@ import graft.llm.Dedup
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev-only scale probe (BASELINE.md §10×): measures the
-  * connected-components label-propagation loop ([[graft.llm.Dedup.keepers]])
-  * at 1× and 10× edge counts to verify near-linear behavior in |E|.
+/** Dev-only scale probes (BASELINE.md): each takes a hot path against
+  * inputs replicated far past the test SF to expose behavior the small
+  * SFs hide. Replication is always ONE explode pass over real data —
+  * an N-way union over a cache yields 32·N near-empty tasks and
+  * measures the scheduler instead of the operator.
   *
-  * The 10× graph replicates the REAL sf0.1 Jaccard pair set with
-  * shifted doc ids (component structure preserved, 10× components —
-  * no synthetic topology), matching the r3 probe methodology of
-  * unioning shifted copies of real data.
+  *  - cc_{1,10,100,1000}x: min-label propagation
+  *    ([[graft.llm.Dedup.keepers]]) on the real sf0.1 Jaccard pair set
+  *    with shifted doc ids — rounds stay constant, wall flat to ~10⁶
+  *    edges then linear;
+  *  - range_{1,10,100}x: the bucketed range join
+  *    ([[graft.ops.Joins.rangePairs]]) on shifted-user copies of the
+  *    real events — caught the below-fan-out broadcast bug (272 s →
+  *    18.6 s at 100×);
+  *  - bigstar_path_N: [[graft.llm.Dedup.keepersBigStar]] on a single
+  *    N-node path — propagation's worst case (diameter N−1), star
+  *    contraction converges in ~log rounds.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {

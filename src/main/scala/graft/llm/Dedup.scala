@@ -430,6 +430,20 @@ object Dedup {
       result.orderBy("doc_id")
     }),
 
+    // Same clusters via large-star/small-star contraction — the
+    // diameter-proof path, oracle-gated against the SAME recursive-CTE
+    // transitive closure as q_dedup_cluster (both must agree exactly).
+    "q_dedup_cluster_bigstar" -> ((s, dir) => {
+      val sh = shingles(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      val pairs = jaccardFinish(bruteInter(sh), sh, 0.8)
+        .select(col("d1"), col("d2")).persist(StorageLevel.MEMORY_AND_DISK)
+      pairs.count() // run the verify tree once, at full parallelism
+      sh.unpersist(false)
+      val result = keepersBigStar(pairs)
+      pairs.unpersist(false)
+      result.orderBy("doc_id")
+    }),
+
     // MinHash + LSH banding (Broder, "On the resemblance and
     // containment of documents", 1997; banding per Leskovec/Rajaraman/
     // Ullman ch. 3): 16 signatures = 4 bands × 4 rows. Band g
@@ -526,6 +540,24 @@ object Dedup {
                ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
   }
 
+  /** Recursive-CTE transitive closure — the twin for BOTH CC paths. */
+  private lazy val clusterSql: String =
+    "WITH RECURSIVE " + SH.stripPrefix("WITH ") + """,
+      inter AS (SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS inter
+                FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      pairs AS (SELECT d1, d2 FROM inter
+                JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+                WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.8),
+      sym AS (SELECT d1 AS a, d2 AS b FROM pairs
+              UNION SELECT d2, d1 FROM pairs),
+      r(a, b) AS (SELECT DISTINCT a, a FROM sym
+                  UNION
+                  SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a)
+      SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS keeper
+      FROM r GROUP BY a ORDER BY doc_id"""
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> """
       SELECT md5(text) AS content_hash, min(doc_id) AS keeper,
@@ -565,21 +597,9 @@ object Dedup {
       SELECT count(*) AS n_true, count(c.d1) AS n_found,
              round(CAST(count(c.d1) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS recall
       FROM tp LEFT JOIN cand c ON tp.d1 = c.d1 AND tp.d2 = c.d2"""),
-    "q_dedup_cluster" -> ("WITH RECURSIVE " + SH.stripPrefix("WITH ") + """,
-      inter AS (SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS inter
-                FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-                GROUP BY 1, 2),
-      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-      pairs AS (SELECT d1, d2 FROM inter
-                JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-                WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.8),
-      sym AS (SELECT d1 AS a, d2 AS b FROM pairs
-              UNION SELECT d2, d1 FROM pairs),
-      r(a, b) AS (SELECT DISTINCT a, a FROM sym
-                  UNION
-                  SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a)
-      SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS keeper
-      FROM r GROUP BY a ORDER BY doc_id"""),
+    "q_dedup_cluster" -> clusterSql,
+    // identical expected output — the two CC algorithms must agree
+    "q_dedup_cluster_bigstar" -> clusterSql,
     "q_dedup_simhash" -> (SH + """,
       votes AS (SELECT doc_id, j,
                   sum(CASE WHEN substr(md5(shingle), j, 1) IN ('8','9','a','b','c','d','e','f')

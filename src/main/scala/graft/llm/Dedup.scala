@@ -262,6 +262,30 @@ object Dedup {
       .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
 
+  /** SimHash-16 candidate pairs: per-bit majority vote of feature-hash
+    * bits (bit j = high bit of md5 nibble j) → 16-bit fingerprint; docs
+    * with IDENTICAL fingerprints are candidates. ONE groupBy(doc) with
+    * 16 conditional-sum columns (no row fan-out) + an equality
+    * self-join on the fingerprint (shuffle_hash — fp inherits a
+    * below-explode size estimate). Shared by q_dedup_simhash and
+    * q_dedup_simhash_precision. */
+  private def simhashPairs(shRaw: DataFrame): DataFrame = {
+    val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val sh = shRaw.select(col("doc_id"), md5(col("shingle")).as("h"))
+    val voteCols = (1 to 16).map(j =>
+      sum(when(substring(col("h"), j, 1).isin(hexHigh: _*), 1).otherwise(-1))
+        .as(s"v$j"))
+    val fp = sh.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (1 to 16).map(j => when(col(s"v$j") >= 0, lit(1L << (j - 1)))
+          .otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+    fp.as("a").hint("shuffle_hash")
+      .join(fp.as("b"), col("a.simhash") === col("b.simhash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.simhash").as("simhash"))
+  }
+
   /** Diameter-proof connected components: alternating large-star /
     * small-star rounds (Kiveris et al., "Connected Components in
     * MapReduce and Beyond", SoCC 2014) → same (doc_id, keeper) contract
@@ -485,23 +509,26 @@ object Dedup {
     // conditional-sum columns (no row fan-out) + an equality self-join
     // on the 16-bit fingerprint — the cheapest near-dup screen, with
     // simhash's false +/- semantics by design.
-    "q_dedup_simhash" -> ((s, dir) => {
-      val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-      val sh = shingles(s, dir).select(col("doc_id"), md5(col("shingle")).as("h"))
-      val voteCols = (1 to 16).map(j =>
-        sum(when(substring(col("h"), j, 1).isin(hexHigh: _*), 1).otherwise(-1))
-          .as(s"v$j"))
-      val fp = sh.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
-        .select(col("doc_id"),
-          (1 to 16).map(j => when(col(s"v$j") >= 0, lit(1L << (j - 1)))
-            .otherwise(lit(0L))).reduce(_ + _).as("simhash"))
-      // fp inherits a below-explode size estimate → shuffle_hash
-      fp.as("a").hint("shuffle_hash")
-        .join(fp.as("b"), col("a.simhash") === col("b.simhash") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          col("a.simhash").as("simhash"))
-        .orderBy("d1", "d2")
+    "q_dedup_simhash" -> ((s, dir) =>
+      simhashPairs(shingles(s, dir)).orderBy("d1", "d2")),
+
+    // SimHash screen PRECISION: of the identical-fingerprint candidate
+    // pairs, what fraction are TRUE near-dups (Jaccard ≥ 0.7)? The
+    // simhash Scaladoc promises "false +/- semantics by design" — this
+    // makes the false-positive side quantitative, the way
+    // q_dedup_lsh_recall quantifies banding's false negatives. One
+    // deterministic row (n_pairs, n_near, precision).
+    "q_dedup_simhash_precision" -> ((s, dir) => {
+      val sh = shingles(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      val cand = simhashPairs(sh).select(col("d1"), col("d2"))
+      val near = jaccardFinish(candIntersections(cand, sh), sh, 0.7)
+        .select(col("d1").as("j1"), col("d2").as("j2"))
+      cand.join(near,
+          col("d1") === col("j1") && col("d2") === col("j2"), "left")
+        .agg(count(lit(1)).as("n_pairs"),
+          count(col("j1")).as("n_near"),
+          round(count(col("j1")).cast("double") /
+            count(lit(1)).cast("double"), 4).as("precision"))
     }),
 
     // Embedding-cosine near-dup, blocked by `label` (IVF-style coarse
@@ -539,6 +566,16 @@ object Dedup {
                FROM bands a JOIN bands b
                ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
   }
+
+  /** SimHash vote/fingerprint CTEs (twin of [[simhashPairs]]'s agg). */
+  private lazy val simhashCtes: String = """,
+      votes AS (SELECT doc_id, j,
+                  sum(CASE WHEN substr(md5(shingle), j, 1) IN ('8','9','a','b','c','d','e','f')
+                      THEN 1 ELSE -1 END) AS vote
+                FROM sh, UNNEST(generate_series(1, 16)) AS g(j) GROUP BY 1, 2),
+      fp AS (SELECT doc_id,
+               CAST(sum(CASE WHEN vote >= 0 THEN CAST(pow(2, j - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+             FROM votes GROUP BY 1)"""
 
   /** Recursive-CTE transitive closure — the twin for BOTH CC paths. */
   private lazy val clusterSql: String =
@@ -600,17 +637,21 @@ object Dedup {
     "q_dedup_cluster" -> clusterSql,
     // identical expected output — the two CC algorithms must agree
     "q_dedup_cluster_bigstar" -> clusterSql,
-    "q_dedup_simhash" -> (SH + """,
-      votes AS (SELECT doc_id, j,
-                  sum(CASE WHEN substr(md5(shingle), j, 1) IN ('8','9','a','b','c','d','e','f')
-                      THEN 1 ELSE -1 END) AS vote
-                FROM sh, UNNEST(generate_series(1, 16)) AS g(j) GROUP BY 1, 2),
-      fp AS (SELECT doc_id,
-               CAST(sum(CASE WHEN vote >= 0 THEN CAST(pow(2, j - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-             FROM votes GROUP BY 1)
+    "q_dedup_simhash" -> (SH + simhashCtes + """
       SELECT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS simhash
       FROM fp a JOIN fp b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
       ORDER BY d1, d2"""),
+    "q_dedup_simhash_precision" -> (SH + simhashCtes + """,
+      cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+               FROM fp a JOIN fp b ON a.simhash = b.simhash AND a.doc_id < b.doc_id)"""
+      + candInterSql.replace("FROM cand c", "FROM cand c ") + """,
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      near AS (SELECT d1, d2 FROM inter
+               JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+               WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.7)
+      SELECT count(*) AS n_pairs, count(n.d1) AS n_near,
+             round(CAST(count(n.d1) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS precision
+      FROM cand c LEFT JOIN near n ON c.d1 = n.d1 AND c.d2 = n.d2"""),
     "q_dedup_cosine" -> ("WITH " + QE + s""",
       pairs AS (SELECT a.label, a.vec_id AS v1, b.vec_id AS v2,
                   a.q AS qa, b.q AS qb, a.norm AS na, b.norm AS nb

@@ -84,6 +84,20 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
   }
 
+  test("dedup self-joins and tfidf vocab join never broadcast from below-fan-out estimates") {
+    // the r4 runtime-size rule: size estimates under an explode ignore
+    // fan-out, so these joins must stay shuffled (ScaleProbe measured
+    // a 1.7 GB mis-broadcast, 272 s vs 18.6 s, on the same pattern)
+    for (q <- Seq("q_dedup_jaccard", "q_dedup_simhash", "q_tfidf")) {
+      assert(plan(q).contains("ShuffledHashJoin"),
+        s"$q must keep its shuffle_hash-hinted join")
+    }
+  }
+
+  test("q_sample_stratified bounds per-partition rows before the exchange") {
+    assert(plan("q_sample_stratified").contains("WindowGroupLimit"))
+  }
+
   test("q_knn_recall never shuffles the corpus before scoring") {
     val p = plan("q_knn_recall")
     // brute side: corpus scan feeds the broadcast join directly;

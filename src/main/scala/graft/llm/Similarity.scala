@@ -19,10 +19,13 @@ import org.apache.spark.sql.functions._
   * corpus, each partition keeping only its local top-k before the final
   * window (Catalyst plans the row_number filter with a per-partition
   * sort, no global materialization). The production path is the
-  * IVF-style variant: corpus bucketed by a coarse quantizer (here: the
-  * sign pattern of the leading components), queries probe only their
-  * own cell — candidate count drops by the bucket fan-out (16×), and
-  * the bucket join is a plain equality shuffle that AQE can skew-split.
+  * IVF-style variant: corpus bucketed by a coarse quantizer (4 seeded
+  * sign-random-projection hyperplanes, [[Similarity.srp]]), queries
+  * probe their own cell — or its Hamming-1 neighbors too (multiprobe,
+  * the recall knob, with `q_knn_recall`/`q_knn_recall_mp` measuring
+  * the trade) — candidate count drops by the bucket fan-out (16× or
+  * 16/5×), and the bucket join is a plain equality shuffle that AQE
+  * can skew-split.
   */
 object Similarity {
 

@@ -40,10 +40,16 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // One JSON line, but key order matters for the harness: it keeps only
+    // the last ~2 KB of stdout, and at 78+ queries the per-query map alone
+    // exceeds that. Headline fields go LAST so a tail truncation eats the
+    // front of the queries map, never the metric/value; 3-decimal rounding
+    // keeps the whole line short enough that usually nothing is truncated.
+    def s3(v: Double): String = java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","value":${s3(total)}}""")
     spark.stop()
   }
 }

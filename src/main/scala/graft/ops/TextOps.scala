@@ -57,7 +57,43 @@ object TextOps {
     // (ReusedExchange) — measured faster at sf0.1 than persisting
     // termFreqs (columnar cache write + non-fused reads) and than
     // checkpointing the result (~2 s RDD-materialization overhead).
-    "q_tfidf" -> ((s, dir) => tfidfTree(s, dir, termFreqs(s, dir))))
+    "q_tfidf" -> ((s, dir) => tfidfTree(s, dir, termFreqs(s, dir))),
+
+    // Bigram collocations by pointwise mutual information — the n-gram
+    // statistics pass of a corpus-analysis pipeline. Scale shape: two
+    // hash-aggregates (unigrams, adjacent-pair bigrams from the SAME
+    // per-row token array — a codegen transform, no second corpus
+    // explode), two joins on word (the unigram side is vocabulary-
+    // sized; AQE re-broadcasts it from runtime bytes at small SF), and
+    // two broadcast scalars for the normalizers. PMI goes through one
+    // ln over exact-integer ratios, rounded — cross-engine-stable the
+    // same way q_tfidf's idf is.
+    "q_ngram_pmi" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(split(col("text"), " ").as("t"))
+      val uni = toks.select(explode(col("t")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val bi = toks.filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(t) - 2), " +
+            "i -> struct(t[i] as w1, t[i+1] as w2))")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .filter(col("w1") =!= "" && col("w2") =!= "")
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      val nUni = uni.agg(sum(col("c")).as("n_uni"))
+      val nBi = bi.agg(sum(col("c_xy")).as("n_bi"))
+      bi.filter(col("c_xy") >= 5)
+        .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+        .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+        .select(col("w1"), col("w2"), col("c_xy"),
+          Num.r(log((col("c_xy").cast("double") / col("n_bi").cast("double")) /
+            ((col("c1").cast("double") / col("n_uni").cast("double")) *
+              (col("c2").cast("double") / col("n_uni").cast("double")))))
+            .as("pmi"))
+        .orderBy("w1", "w2")
+    }))
 
   /** ONE tokenize+aggregate pass: the result is unique per (doc, word),
     * so df is a count over it (no second explode of the corpus) and tf
@@ -118,5 +154,23 @@ object TextOps {
         CAST(round(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 4) AS DOUBLE) AS tfidf
       FROM t JOIN d ON t.word = d.word CROSS JOIN n
       WHERE doc_id % 20 = 0
-      ORDER BY doc_id, word""")
+      ORDER BY doc_id, word""",
+    "q_ngram_pmi" -> """
+      WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+      uni AS (SELECT w, count(*) AS c
+              FROM (SELECT unnest(t) AS w FROM toks)
+              WHERE w <> '' GROUP BY 1),
+      bi AS (SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS c_xy
+             FROM toks, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+             WHERE t[i] <> '' AND t[i+1] <> '' GROUP BY 1, 2),
+      nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni),
+      nb AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_bi FROM bi)
+      SELECT w1, w2, c_xy,
+        CAST(round(ln((CAST(c_xy AS DOUBLE) / CAST(n_bi AS DOUBLE)) /
+          ((CAST(u1.c AS DOUBLE) / CAST(n_uni AS DOUBLE)) *
+           (CAST(u2.c AS DOUBLE) / CAST(n_uni AS DOUBLE)))), 4) AS DOUBLE) AS pmi
+      FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w
+      CROSS JOIN nu CROSS JOIN nb
+      WHERE c_xy >= 5
+      ORDER BY w1, w2""")
 }

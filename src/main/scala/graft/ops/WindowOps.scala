@@ -101,6 +101,34 @@ object WindowOps {
           coalesce(lag(col("value"), 1).over(w), lit(0.0)).as("prev_value"),
           coalesce(lead(col("event_id"), 1).over(w), lit(-1L)).as("next_event"))
         .orderBy("user_id", "event_id")
+    }),
+
+    // Batch sessionization — the classic gaps-and-islands derivation
+    // every behavioral pipeline needs (the streaming twin is
+    // q_stream_session): a session breaks when the same-user gap
+    // exceeds 30 min. Two window passes over ONE partitioning (lag →
+    // running sum of break flags), so Spark plans a single exchange on
+    // user_id and both Window operators ride it; the aggregate then
+    // re-uses the same key prefix. Event time is integer microseconds
+    // end to end — no FP, hash-exact across engines.
+    "q_sessionize" -> ((s, dir) => {
+      val gapUs = 1800L * 1000000L
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("new_sess",
+          when(lag(col("us"), 1).over(w).isNull ||
+            col("us") - lag(col("us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+        .withColumn("session_idx", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("us")).as("start_us"),
+          max(col("us")).as("end_us"))
+        .withColumn("duration_us", col("end_us") - col("start_us"))
+        .orderBy("user_id", "session_idx")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -145,5 +173,23 @@ object WindowOps {
         coalesce(lead(event_id, 1) OVER w, -1) AS next_event
       FROM events WHERE user_id < 20
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
-      ORDER BY user_id, event_id""")
+      ORDER BY user_id, event_id""",
+    "q_sessionize" -> """
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      f AS (SELECT user_id, event_id, us,
+              CASE WHEN lag(us) OVER w IS NULL
+                     OR us - lag(us) OVER w > 1800000000
+                   THEN 1 ELSE 0 END AS new_sess
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)),
+      s AS (SELECT user_id, us,
+              CAST(sum(new_sess) OVER (
+                PARTITION BY user_id ORDER BY us ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS session_idx
+            FROM f)
+      SELECT user_id, session_idx, count(*) AS n_events,
+             min(us) AS start_us, max(us) AS end_us,
+             max(us) - min(us) AS duration_us
+      FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""")
 }

@@ -41,15 +41,17 @@ object Bench {
       name -> dt
     }
     // One JSON line, but key order matters for the harness: it keeps only
-    // the last ~2 KB of stdout, and at 78+ queries the per-query map alone
-    // exceeds that. Headline fields go LAST so a tail truncation eats the
-    // front of the queries map, never the metric/value; 3-decimal rounding
-    // keeps the whole line short enough that usually nothing is truncated.
-    def s3(v: Double): String = java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + s3(v) }
+    // the last ~2 KB of stdout, and at 80+ queries the per-query map alone
+    // approaches that. Headline fields go LAST so a tail truncation eats
+    // the front of the queries map, never the metric/value; 2-decimal
+    // per-query rounding (well under run-to-run noise) keeps the whole
+    // line short enough that normally nothing is truncated at all.
+    def fmt(v: Double, p: String): String =
+      java.lang.String.format(java.util.Locale.ROOT, p, Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, "%.2f") }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","value":${s3(total)}}""")
+    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","value":${fmt(total, "%.3f")}}""")
     spark.stop()
   }
 }

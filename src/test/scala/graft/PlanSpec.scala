@@ -100,6 +100,33 @@ class PlanSpec extends SparkSuite {
     assert(plan("q_sample_stratified").contains("WindowGroupLimit"))
   }
 
+  test("q_sessionize rides one hash exchange through both windows and the aggregate") {
+    // lag, the running session-index sum, AND the per-session aggregate
+    // all cluster on user_id — one exchange total (plus the display
+    // sort's range exchange); a second hashpartitioning means a window
+    // or the aggregate stopped reusing the partitioning
+    val p = plan("q_sessionize")
+    val hashEx = p.linesIterator.count(_.contains("hashpartitioning("))
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx")
+  }
+
+  test("hinted shuffle-hash joins build on the bounded side, never the fan-out side") {
+    // the hinted side becomes the SHJ build side — its per-partition
+    // hash map must be the candidate/vocab/un-exploded side (ADVICE r4:
+    // building on the fan-out side is the executor-OOM risk at scale)
+    def shj(q: String) = plan(q).linesIterator
+      .filter(l => l.contains("ShuffledHashJoin") && l.contains("Build")).toSeq
+    val range = shj("q_join_range")
+    assert(range.nonEmpty && range.forall(_.contains("BuildRight")),
+      s"range join must build on the un-exploded side: $range")
+    val tfidf = shj("q_tfidf")
+    assert(tfidf.nonEmpty && tfidf.forall(_.contains("BuildRight")),
+      s"tfidf must build on the vocabulary side: $tfidf")
+    val mh = shj("q_dedup_minhash")
+    assert(mh.nonEmpty && mh.forall(_.contains("BuildLeft")),
+      s"minhash must build on the candidate-derived sides: $mh")
+  }
+
   test("q_knn_recall never shuffles the corpus before scoring") {
     val p = plan("q_knn_recall")
     // brute side: corpus scan feeds the broadcast join directly;

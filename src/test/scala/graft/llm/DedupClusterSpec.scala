@@ -64,6 +64,19 @@ class DedupClusterSpec extends SparkSuite {
     assert(got === (1L to 64L).map(_ -> 1L).toMap)
   }
 
+  test("keepersBigStar matches keepers on self-loop-only nodes") {
+    // A doc whose only pair is (d, d) participates in `pairs`, so both
+    // CC contracts must return it as its own keeper; star contraction
+    // drops self-loops up front and re-attaches exactly these nodes
+    // (ADVICE r4 divergence). 7 also has a real edge — its self-loop
+    // must NOT duplicate or override the component label.
+    val pairs = Seq((5L, 5L), (7L, 7L), (7L, 8L), (2L, 1L)).toDF("d1", "d2")
+    val slow = Dedup.keepers(pairs).as[(Long, Long)].collect().toMap
+    val fast = Dedup.keepersBigStar(pairs).as[(Long, Long)].collect().toMap
+    assert(slow === Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 7L -> 7L, 8L -> 7L))
+    assert(fast === slow)
+  }
+
   test("keepers is insensitive to duplicate and reversed input pairs") {
     // keepers skips an edge-dedup shuffle because min-label propagation
     // is idempotent under multi-edges — this pins that contract.

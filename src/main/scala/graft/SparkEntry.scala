@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ops._
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Clustering, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -27,6 +27,7 @@ object SparkEntry {
     (TextOps.queries, TextOps.oracles),
     (Dedup.queries, Dedup.oracles),
     (Similarity.queries, Similarity.oracles),
+    (Clustering.queries, Clustering.oracles),
     (TextAnalysis.queries, TextAnalysis.oracles),
     (Multimodal.queries, Multimodal.oracles),
     (Streams.queries, Streams.oracles))

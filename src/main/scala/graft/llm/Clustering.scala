@@ -1,0 +1,139 @@
+package graft.llm
+
+import graft.ops.Q
+import org.apache.spark.sql.functions._
+
+/** K-means (Lloyd) building blocks over the quantized embedding space —
+  * the "train the coarse quantizer" step a production IVF index needs
+  * (the SRP cells in [[Similarity]] are its untrained stand-in). One
+  * Lloyd step = assignment (argmin squared distance to K centroids) +
+  * update (per-cluster sums → new centroids); both are exact integer
+  * arithmetic here, so the step is oracle-hash-checkable.
+  *
+  * Scale (100 TB): assignment is a scan-side projection — K codegen
+  * `dot_long`s against LITERAL centroids, no join, no shuffle; the
+  * update is ONE partial-agg hash aggregate on the cluster id (K rows
+  * out of the exchange). A full iteration over a 100 TB corpus is one
+  * pass + one K-row shuffle — the textbook MapReduce k-means, and the
+  * driver loop (collect K centroids, re-literalize, repeat) moves K×64
+  * ints per round, never data.
+  *
+  * Numerics: dist²(q,c) = q·q − 2·q·c + c·c with q·q the precomputed
+  * norm ([[Dedup.quantized]]), q·c one `dot_long` per centroid, c·c a
+  * literal. All int64 (|q_i| ≲ 4·10³ quantized, dims = 64 ⇒ dist² ≲
+  * 3·10⁹; inertia overflows i64 only past ~10⁹ rows — switch the sum
+  * to DECIMAL(38,0) at that scale). Tiebreak: lowest cluster id.
+  */
+object Clustering {
+
+  /** K=4 deterministic initial centroids in the quantized (×10⁴)
+    * space: seeded ±2000 per dimension (≈ ±0.2, inside the data's
+    * ±0.37 range). Fixed seed; the SAME literals are embedded in both
+    * engines' plans (the [[Similarity.srp]] pattern). */
+  private[llm] val centroids: Seq[Seq[Int]] = {
+    val r = new scala.util.Random(11)
+    Seq.fill(4)(Seq.fill(64)(if (r.nextBoolean()) 2000 else -2000))
+  }
+
+  private def cNormSq(k: Int): Long =
+    centroids(k).map(v => v.toLong * v).sum
+
+  /** Assignment projection against an arbitrary K-centroid matrix:
+    * K `dot_long` columns + lowest-id argmin + min distance — all
+    * scan-side, no shuffle. */
+  private def assign(qe: org.apache.spark.sql.DataFrame,
+      cents: Seq[Seq[Long]]): org.apache.spark.sql.DataFrame = {
+    val k = cents.size
+    val withD = cents.zipWithIndex.foldLeft(qe) { case (df, (c, i)) =>
+      df.withColumn(s"d$i",
+        col("norm") - lit(2L) * expr(
+          s"dot_long(q, cast(array(${c.mkString(",")}) as array<bigint>))") +
+          lit(c.map(v => v * v).sum))
+    }
+    val argmin = (0 until k).map(i =>
+      ((0 until k).filter(_ != i).map(j => s"d$i <= d$j") :+ "true")
+        .mkString(" AND ")).zipWithIndex
+      .map { case (cond, i) => s"WHEN $cond THEN $i" }
+      .mkString("CASE ", " ", " END")
+    withD
+      .withColumn("cluster", expr(argmin))
+      .withColumn("min_d", least((0 until k).map(i => col(s"d$i")): _*))
+  }
+
+  /** Full Lloyd iterations. Each round is one corpus pass (scan-side
+    * assignment + a K-row hash aggregate); only the K×64 centroid ints
+    * and the scalar inertia ever reach the driver, which literalizes
+    * them into the next round's plan — the 100 TB-legal driver loop.
+    * Empty clusters keep their previous centroid. Returns the final
+    * centroids and the per-round inertia history (non-increasing up to
+    * integer centroid rounding). */
+  def lloyd(s: org.apache.spark.sql.SparkSession, dir: String,
+      iters: Int = 3): (Seq[Seq[Long]], Seq[Long]) = {
+    val qe = Dedup.quantized(s, dir)
+    var cents: Seq[Seq[Long]] = centroids.map(_.map(_.toLong))
+    val history = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (_ <- 1 to iters) {
+      val dims = 0 until 64
+      val aggs = Seq(count(lit(1)).as("n"), sum(col("min_d")).as("inertia")) ++
+        dims.map(i => sum(expr(s"q[$i]")).as(s"s$i"))
+      val rows = assign(qe, cents).groupBy(col("cluster"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect() // K rows of scalars — centroids, never data
+      history += rows.map(_.getAs[Long]("inertia")).sum
+      val byCluster = rows.map(r => r.getAs[Int]("cluster") -> r).toMap
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        byCluster.get(i) match {
+          case Some(r) =>
+            val n = r.getAs[Long]("n")
+            dims.map(d => math.round(r.getAs[Long](s"s$d").toDouble / n)).toSeq
+          case None => old
+        }
+      }
+    }
+    (cents, history.toSeq)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // One Lloyd step: per cluster, membership count, exact inertia
+    // (sum of min squared distances — the quantity Lloyd's descends),
+    // and the first 4 coordinates of the UPDATED centroid (exact int
+    // sums ÷ count; 4 of 64 dims keeps the compare surface small, the
+    // aggregate computes the same shape for all dims at no extra
+    // shuffle).
+    "q_kmeans_step" -> ((s, dir) => {
+      val aggs = Seq(
+        count(lit(1)).as("n"),
+        sum(col("min_d")).as("inertia")) ++
+        (0 to 3).map(i =>
+          round(sum(expr(s"q[$i]")).cast("double") / count(lit(1)), 4)
+            .as(s"c$i"))
+      assign(Dedup.quantized(s, dir), centroids.map(_.map(_.toLong)))
+        .groupBy(col("cluster"))
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy("cluster")
+    }))
+
+  /** DuckDB dot product against centroid k's literal (1-based lists). */
+  private def dotC(k: Int): String = {
+    val w = centroids(k).mkString("[", ",", "]")
+    s"CAST(list_sum(list_transform(generate_series(1, 64), i -> q[i] * ($w)[i])) AS BIGINT)"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_kmeans_step" -> ("WITH " + Dedup.QE + s""",
+      d AS (SELECT vec_id, q,
+              ${(0 to 3).map(k =>
+                s"norm - 2 * ${dotC(k)} + ${cNormSq(k)} AS d$k").mkString(", ")}
+            FROM qn),
+      a AS (SELECT q,
+              CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+                   WHEN d1 <= d2 AND d1 <= d3 THEN 1
+                   WHEN d2 <= d3 THEN 2 ELSE 3 END AS cluster,
+              least(d0, d1, d2, d3) AS min_d
+            FROM d)
+      SELECT cluster, count(*) AS n, CAST(sum(min_d) AS BIGINT) AS inertia,
+             ${(0 to 3).map(i =>
+               s"round(CAST(sum(q[${i + 1}]) AS DOUBLE) / count(*), 4) AS c$i")
+               .mkString(", ")}
+      FROM a GROUP BY 1 ORDER BY cluster"""))
+}

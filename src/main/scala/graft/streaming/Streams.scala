@@ -74,6 +74,29 @@ object Streams {
           count(lit(1)).as("n_events"),
           Num.dsum(col("value")).as("sum_value"))
         .orderBy("user_id", "session_id")
+    }),
+
+    // Batch twin of the stream-stream interval join
+    // ([[purchaseClickJoin]]): each purchase matched to the same
+    // user's clicks in the preceding 10 minutes. Equi join on user_id
+    // + integer-µs band post-filter — per-key pair count bounded by
+    // per-user event density (the streaming form bounds the same
+    // thing with watermark state eviction).
+    "q_stream_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"),
+          unix_micros(col("ts")).as("c_us"), col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us"),
+          col("event_id").as("purchase_id"))
+      purchases.join(clicks,
+          col("user_id") === col("c_user") &&
+            col("c_us") >= col("p_us") - lit(600L * 1000000L) &&
+            col("c_us") <= col("p_us"))
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          col("p_us"), col("c_us"))
+        .orderBy("user_id", "purchase_id", "click_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -104,7 +127,16 @@ object Streams {
       SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
              count(*) AS n_events,
              CAST(round(sum(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_value
-      FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""")
+      FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""",
+    "q_stream_join" -> """
+      SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+             epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us
+      FROM events p JOIN events c
+        ON p.event_type = 'purchase' AND c.event_type = 'click'
+       AND p.user_id = c.user_id
+       AND epoch_us(c.ts) >= epoch_us(p.ts) - 600000000
+       AND epoch_us(c.ts) <= epoch_us(p.ts)
+      ORDER BY p.user_id, purchase_id, click_id""")
 
   // ---------- Structured Streaming forms ----------
 

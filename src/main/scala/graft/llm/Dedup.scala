@@ -560,18 +560,21 @@ object Dedup {
     "q_dedup_minhash_est" -> ((s, dir) => {
       val sh = shingles(s, dir)
       val sig = signatures(sh)
-      val cand = bandCandidates(sh)
       val agree = (for { g <- 0 to 3; j <- 0 to 3 }
         yield when(col(s"a.m$g$j") === col(s"b.m$g$j"), 1).otherwise(0))
         .reduce(_ + _)
-      val est = cand
+      // Signatures join onto the VERIFIED pair output (1:1 per pair),
+      // so the band-candidate tree evaluates once — and sig's
+      // groupBy(doc_id) exchange is identical to the one inside
+      // bandCandidates, so it plans once too (ReusedExchange).
+      val truth = jaccardFinish(
+        candIntersections(bandCandidates(sh), sh), sh, 0.0)
+      truth
         .join(sig.as("a"), col("d1") === col("a.doc_id"))
         .join(sig.as("b"), col("d2") === col("b.doc_id"))
         .select(col("d1"), col("d2"),
-          round(agree.cast("double") / 16.0, 4).as("est_jaccard"))
-      val truth = jaccardFinish(candIntersections(cand, sh), sh, 0.0)
-      est.join(truth, Seq("d1", "d2"))
-        .select(col("d1"), col("d2"), col("est_jaccard"), col("jaccard"))
+          round(agree.cast("double") / 16.0, 4).as("est_jaccard"),
+          col("jaccard"))
         .orderBy("d1", "d2")
     }),
 

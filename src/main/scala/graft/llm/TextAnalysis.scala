@@ -98,6 +98,27 @@ object TextAnalysis {
         .orderBy("lang", "doc_id")
     }),
 
+    // Sequence chunking/packing — the step that turns documents into
+    // fixed-size training sequences: split each doc's token stream into
+    // 16-token chunks (last chunk ragged). Pure scan-side generate
+    // (explode bounded by len/16 — no shuffle until the display sort);
+    // chunks are reported as (count, md5) so the compare surface stays
+    // small while still pinning exact chunk CONTENT.
+    "q_chunk_pack" -> ((s, dir) => {
+      val C = 16
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .withColumn("n_tok", size(col("t")))
+        .select(col("doc_id"), explode(expr(
+          s"sequence(0, cast(ceil(n_tok / $C.0) as int) - 1)")).as("chunk_idx"),
+          col("t"))
+        .withColumn("c", expr(s"slice(t, chunk_idx * $C + 1, $C)"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("c")).as("chunk_tokens"),
+          md5(concat_ws(" ", col("c"))).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // Token counting: whitespace tokens vs a BPE-ish regex lexer
     // (letter runs | digit runs | single punctuation) vs chars.
     "q_token_count" -> ((s, dir) => {
@@ -238,6 +259,18 @@ object TextAnalysis {
       FROM q
       WINDOW w AS (PARTITION BY lang ORDER BY quality ASC, doc_id ASC)
       ORDER BY lang, doc_id""",
+    "q_chunk_pack" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t,
+                           len(string_split(text, ' ')) AS n_tok
+                    FROM documents),
+      ch AS (SELECT doc_id, i AS chunk_idx,
+               t[i * 16 + 1 : least((i + 1) * 16, n_tok)] AS c
+             FROM toks,
+                  UNNEST(generate_series(0, CAST(ceil(n_tok / 16.0) AS INT) - 1)) AS g(i))
+      SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+             CAST(len(c) AS INT) AS chunk_tokens,
+             md5(array_to_string(c, ' ')) AS chunk_hash
+      FROM ch ORDER BY doc_id, chunk_idx""",
     "q_token_count" -> """
       SELECT doc_id,
              CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,

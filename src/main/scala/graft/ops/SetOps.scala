@@ -69,6 +69,28 @@ object SetOps {
         .orderBy("o_orderstatus")
     }),
 
+    // Mixture weighting — per-source sampling RATES (the data-mixing
+    // knob of a pre-training recipe: upsample books, downsample web).
+    // Keep rate per source via a deterministic hash threshold: the
+    // first two md5 hex chars compare LEXICOGRAPHICALLY like their
+    // numeric value, so "< '80'" is an exact 128/256 rate in both
+    // engines with no hex→int conversion. One scan-side projection +
+    // one conditional aggregate; retry/engine-stable like
+    // q_sample_hash.
+    "q_sample_weighted" -> ((s, dir) => {
+      val thr = expr(
+        """CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 'zz'
+          |     WHEN source IN ('src5','src6','src7','src8','src9') THEN '80'
+          |     ELSE '40' END""".stripMargin)
+      Tables(s, dir, "documents")
+        .withColumn("keep",
+          substring(md5(col("doc_id").cast("string")), 1, 2) < thr)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("keep").cast("long")).as("n_kept"))
+        .orderBy("source")
+    }),
+
     // Stratified sample: a fixed quota per stratum (20 docs per lang),
     // chosen by content-hash rank — the data-mixing primitive of a
     // training pipeline (per-language/source quotas), deterministic
@@ -133,6 +155,14 @@ object SetOps {
       FROM orders
       WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '7'
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_sample_weighted" -> """
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          (CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 'zz'
+                WHEN source IN ('src5','src6','src7','src8','src9') THEN '80'
+                ELSE '40' END)
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM documents GROUP BY source ORDER BY source""",
     "q_sample_stratified" -> """
       WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hk
                  FROM documents),

@@ -127,6 +127,24 @@ class PlanSpec extends SparkSuite {
       s"minhash must build on the candidate-derived sides: $mh")
   }
 
+  test("q_kmeans_step assigns scan-side: no join, one K-row aggregate exchange") {
+    val p = plan("q_kmeans_step")
+    assert(!p.contains("Join"), "assignment must be a projection, never a join")
+    assert(p.linesIterator.count(_.contains("hashpartitioning(")) == 1,
+      "exactly one exchange (the K-row centroid update)")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "update must be partial+final aggregate")
+  }
+
+  test("q_chunk_pack generates chunks with zero hash exchanges") {
+    // chunking is scan-side: explode bounded by len/16, no shuffle
+    // before the display sort's range exchange
+    val p = plan("q_chunk_pack")
+    assert(p.linesIterator.count(_.contains("hashpartitioning(")) == 0,
+      "chunk generation must not shuffle")
+    assert(!p.contains("Join"))
+  }
+
   test("q_knn_recall never shuffles the corpus before scoring") {
     val p = plan("q_knn_recall")
     // brute side: corpus scan feeds the broadcast join directly;

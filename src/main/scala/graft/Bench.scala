@@ -51,7 +51,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, "%.2f") }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","value":${fmt(total, "%.3f")}}""")
+    // sf as the directory BASENAME — identifies the scale factor while
+    // keeping the one-line JSON inside the harness's 2 KB log tail.
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"queries":$qs,"sf":"$sfName","metric":"total","unit":"sec","value":${fmt(total, "%.3f")}}""")
     spark.stop()
   }
 }

@@ -238,6 +238,28 @@ object Aggregates {
         .orderBy("l_returnflag")
     }),
 
+    // Conversion funnel — first-occurrence ordering semantics (a user
+    // converts a stage when min(view) < min(click) < min(purchase); the
+    // common funnel-tool definition, stated here because stricter
+    // "first click AFTER first view" variants exist). Two aggregates:
+    // per-user conditional-min timestamps (one shuffle on user_id),
+    // then a scalar rollup — at 100 TB the second agg input is one row
+    // per user, and everything is integer µs.
+    "q_funnel" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("us"))).as("v"),
+          min(when(col("event_type") === "click", col("us"))).as("c"),
+          min(when(col("event_type") === "purchase", col("us"))).as("p"))
+        .agg(count(lit(1)).as("n_users"),
+          count(col("v")).as("n_view"),
+          sum(when(col("v") < col("c"), 1L).otherwise(0L)).as("n_view_click"),
+          sum(when(col("v") < col("c") && col("c") < col("p"), 1L)
+            .otherwise(0L)).as("n_funnel"))
+    }),
+
     // Approximate distinct (HLL++). No DuckDB oracle — HLL estimates are
     // implementation-specific; the driver records a rows-only check.
     "q_approx_distinct" -> ((s, dir) => {
@@ -248,6 +270,16 @@ object Aggregates {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_funnel" -> """
+      WITH m AS (SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+               min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS c,
+               min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+             FROM events GROUP BY 1)
+      SELECT count(*) AS n_users, count(v) AS n_view,
+        CAST(sum(CASE WHEN v < c THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+        CAST(sum(CASE WHEN v < c AND c < p THEN 1 ELSE 0 END) AS BIGINT) AS n_funnel
+      FROM m""",
     "q1_agg" -> """
       SELECT l_returnflag, l_linestatus,
         CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_qty,

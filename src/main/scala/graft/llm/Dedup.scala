@@ -374,8 +374,7 @@ object Dedup {
         .select(col("doc_id"), col("doc_id").as("keeper")))
   }
 
-  /** MinHash+LSH candidate pairs from the 4-band × 4-row signature
-    * (shared by q_dedup_minhash and q_dedup_lsh_recall).
+  /** Per-doc 4-band × 4-row minhash signature (columns m00..m33).
     *
     * min over LONGS, not hex strings: a string agg buffer forces the
     * planner down to SortAggregate (per-partition sort of the whole
@@ -383,9 +382,7 @@ object Dedup {
     * its numeric value, so min picks the same element and the band
     * candidate set is unchanged — but the agg stays HashAggregate.
     * (The DuckDB twin keeps hex-string mins; the values never reach
-    * the output, only band-key equality.) */
-  /** Per-doc 4-band × 4-row minhash signature (columns m00..m33, as
-    * longs — see the HashAggregate note on [[bandCandidates]]). */
+    * the output, only band-key equality and slot-agreement counts.) */
   private def signatures(sh: DataFrame): DataFrame = {
     val hashed = sh.select(
       col("doc_id") +: (0 to 3).map(g =>
@@ -396,6 +393,9 @@ object Dedup {
     hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
   }
 
+  /** MinHash+LSH candidate pairs: docs sharing any band's 4-row
+    * [[signatures]] slice (shared by q_dedup_minhash, q_dedup_lsh_recall
+    * and q_dedup_minhash_est). */
   private def bandCandidates(sh: DataFrame): DataFrame = {
     val sig = signatures(sh)
     val bandStructs = (0 to 3).map(g => struct(

@@ -48,7 +48,13 @@ object Bench {
     // line short enough that normally nothing is truncated at all.
     def fmt(v: Double, p: String): String =
       java.lang.String.format(java.util.Locale.ROOT, p, Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, "%.2f") }
+    // trailing zeros stripped ("0.50"→"0.5", "4.00"→"4") — still valid
+    // JSON numbers, ~1 char saved per query keeps the line under 2 KB
+    def compact(v: Double): String = {
+      val s = fmt(v, "%.2f").reverse.dropWhile(_ == '0').reverse
+      if (s.endsWith(".")) s.dropRight(1) else s
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + compact(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // sf as the directory BASENAME — identifies the scale factor while

@@ -103,6 +103,28 @@ object WindowOps {
         .orderBy("user_id", "event_id")
     }),
 
+    // RANGE-frame window — the trailing-24h rolling aggregate (rate
+    // limiting, rolling quotas, trend features). Unlike a ROWS frame,
+    // the frame is bounded by the ORDER-BY VALUE (event time in µs), so
+    // tied timestamps are all peers and the result is deterministic
+    // without a tiebreak column. One exchange on user_id; the window
+    // sum rides DECIMAL for cross-engine exactness (SURVEY §7.3).
+    "q_window_range_frame" -> ((s, dir) => {
+      val dayUs = 86400L * 1000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-dayUs, 0)
+      Tables.events(s, dir)
+        .filter(col("user_id") < 50)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        .withColumn("n_24h", count(lit(1)).over(w))
+        .withColumn("sum_24h",
+          round(sum(col("value").cast(Dec)).over(w), 4).cast(DoubleType))
+        .select(col("user_id"), col("event_id"), col("us"),
+          col("n_24h"), col("sum_24h"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // Batch sessionization — the classic gaps-and-islands derivation
     // every behavioral pipeline needs (the streaming twin is
     // q_stream_session): a session breaks when the same-user gap
@@ -173,6 +195,14 @@ object WindowOps {
         coalesce(lead(event_id, 1) OVER w, -1) AS next_event
       FROM events WHERE user_id < 20
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      ORDER BY user_id, event_id""",
+    "q_window_range_frame" -> """
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+        count(*) OVER w AS n_24h,
+        CAST(round(sum(CAST(value AS DECIMAL(38,6))) OVER w, 4) AS DOUBLE) AS sum_24h
+      FROM events WHERE user_id < 50
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
       ORDER BY user_id, event_id""",
     "q_sessionize" -> """
       WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

@@ -93,6 +93,43 @@ object TextOps {
               (col("c2").cast("double") / col("n_uni").cast("double")))))
             .as("pmi"))
         .orderBy("w1", "w2")
+    }),
+
+    // TextRank (Mihalcea & Tarau 2004): PageRank over the undirected
+    // word co-occurrence (bigram) graph — keyword extraction as graph
+    // centrality. All arithmetic is FIXED-POINT INTEGER (ranks scaled
+    // ×10¹², damping via `(85 * x) div 100`, contributions via
+    // `r div degree`) so five iterations are bit-identical in both
+    // engines — no FP accumulation order to disagree on. The five
+    // rounds are UNROLLED into one lazy plan: the graph is
+    // vocabulary-sized (sublinear in corpus), so plan depth is the
+    // only cost; for corpus-scale graphs switch to the checkpointed
+    // loop pattern ([[graft.llm.Dedup.keepers]]) — same per-iteration
+    // shape: one equi join rank⋈edges + one hash aggregate on dst.
+    "q_textrank" -> ((s, dir) => {
+      val bi = Tables(s, dir, "documents")
+        .select(split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(t) - 2), " +
+            "i -> struct(t[i] as w1, t[i+1] as w2))")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .filter(col("w1") =!= "" && col("w2") =!= "" && col("w1") =!= col("w2"))
+        .distinct()
+      val edges = bi.union(bi.select(col("w2"), col("w1"))).distinct()
+      val deg = edges.groupBy(col("w1")).agg(count(lit(1)).as("d"))
+      var ranks = edges.select(col("w1").as("w")).distinct()
+        .withColumn("r", lit(1000000000000L))
+      for (_ <- 1 to 5) {
+        ranks = edges
+          .join(ranks, col("w1") === col("w"))
+          .join(deg, "w1")
+          .select(col("w2").as("dst"), expr("r div d").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+          .select(col("dst").as("w"),
+            (lit(150000000000L) + expr("(85 * cs) div 100")).as("r"))
+      }
+      ranks.select(col("w"), col("r").as("rank")).orderBy("w")
     }))
 
   /** ONE tokenize+aggregate pass: the result is unique per (doc, word),
@@ -172,5 +209,26 @@ object TextOps {
       FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w
       CROSS JOIN nu CROSS JOIN nb
       WHERE c_xy >= 5
-      ORDER BY w1, w2""")
+      ORDER BY w1, w2""",
+    "q_textrank" -> {
+      // five unrolled fixed-point iterations (twin of the Spark loop)
+      val iters = (1 to 5).map { i =>
+        s""",
+      r$i AS (SELECT e.w2 AS w,
+                150000000000 + (85 * sum(p.r // d.d)) // 100 AS r
+              FROM edges e JOIN r${i - 1} p ON e.w1 = p.w
+                           JOIN deg d ON e.w1 = d.w1
+              GROUP BY 1)"""
+      }.mkString
+      s"""
+      WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+      bi AS (SELECT DISTINCT t[i] AS w1, t[i+1] AS w2
+             FROM toks, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+             WHERE t[i] <> '' AND t[i+1] <> '' AND t[i] <> t[i+1]),
+      edges AS (SELECT w1, w2 FROM bi UNION SELECT w2, w1 FROM bi),
+      deg AS (SELECT w1, count(*) AS d FROM edges GROUP BY 1),
+      r0 AS (SELECT DISTINCT w1 AS w, CAST(1000000000000 AS BIGINT) AS r
+             FROM edges)$iters
+      SELECT w, CAST(r AS BIGINT) AS rank FROM r5 ORDER BY w"""
+    })
 }

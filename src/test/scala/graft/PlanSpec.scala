@@ -145,6 +145,15 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"))
   }
 
+  test("q_textrank iterations stay hash-aggregated equi joins") {
+    // five unrolled PageRank rounds: every rank update must be a hash
+    // aggregate fed by equi joins — a SortAggregate or cross product
+    // would multiply per-iteration cost on a corpus-scale vocab graph
+    val p = plan("q_textrank")
+    assert(!p.contains("SortAggregate"))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+  }
+
   test("q_knn_recall never shuffles the corpus before scoring") {
     val p = plan("q_knn_recall")
     // brute side: corpus scan feeds the broadcast join directly;

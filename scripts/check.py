@@ -39,10 +39,22 @@ def main():
         elif len(got) != len(exp):
             ok, why = False, f"rows {len(got)} vs {len(exp)}"
         else:
+            import math
+            def bitdiff(x, y):
+                # Mirror the driver's bit-level hash: NaN == NaN, but
+                # -0.0 != +0.0 (Spark round emits +0.0, DuckDB keeps
+                # the sign of a tiny-negative rounded value).
+                if x != x and y != y:
+                    return False
+                if x != y:
+                    return True
+                if isinstance(x, float) and x == 0.0 and y == 0.0:
+                    return math.copysign(1, x) != math.copysign(1, y)
+                return False
             for c in got.columns:
                 a, b = got[c].tolist(), exp[c].tolist()
                 bad = [(i, x, y) for i, (x, y) in enumerate(zip(a, b))
-                       if x != y and not (x != x and y != y)]
+                       if bitdiff(x, y)]
                 if bad:
                     ok, why = False, f"col {c}: first diff @{bad[0]}"
                     break

@@ -32,6 +32,16 @@ object Tables {
   * Strategy (SURVEY.md §7.3): route every double sum through
   * DECIMAL(38,6) (exact, order-independent), round, and cast back to
   * DOUBLE so the output schema stays `double` in both engines.
+  *
+  * SIGNED-ZERO TRAP: Spark's `round` (BigDecimal-based) normalizes a
+  * tiny-negative double to +0.0, but DuckDB's C `round` preserves the
+  * sign (-0.00003 -> -0.0). The driver hash-compares BITS, so the two
+  * zeros mismatch even though they compare `==` everywhere else. Any
+  * ORACLE twin whose rounded double can be slightly negative must
+  * canonicalize with `round(...) + 0.0` (IEEE: -0.0 + 0.0 = +0.0;
+  * identity for every other value). The Spark side needs nothing —
+  * these helpers can never emit -0.0. scripts/check.py fails on any
+  * signed-zero divergence so the trap can't pass pre-flight silently.
   */
 object Num {
   private val Dec = DecimalType(38, 6)

@@ -203,9 +203,14 @@ object TextOps {
       nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni),
       nb AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_bi FROM bi)
       SELECT w1, w2, c_xy,
+        -- `+ 0.0` canonicalizes IEEE -0.0: DuckDB round() preserves the
+        -- sign of a tiny-negative PMI (-0.00003 -> -0.0) while Spark's
+        -- BigDecimal round yields +0.0; the driver hash-compares BITS,
+        -- so the two zeros differ (r5's one red entry). x + 0.0 is +0.0
+        -- for x = -0.0 and identity otherwise.
         CAST(round(ln((CAST(c_xy AS DOUBLE) / CAST(n_bi AS DOUBLE)) /
           ((CAST(u1.c AS DOUBLE) / CAST(n_uni AS DOUBLE)) *
-           (CAST(u2.c AS DOUBLE) / CAST(n_uni AS DOUBLE)))), 4) AS DOUBLE) AS pmi
+           (CAST(u2.c AS DOUBLE) / CAST(n_uni AS DOUBLE)))), 4) + 0.0 AS DOUBLE) AS pmi
       FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w
       CROSS JOIN nu CROSS JOIN nb
       WHERE c_xy >= 5

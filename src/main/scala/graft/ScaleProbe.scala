@@ -81,6 +81,10 @@ object ScaleProbe {
     // can never collide with real ids whatever SF directory is probed.
     val (userStride, eventStride) = {
       val r = ev.agg(max(col("user_id")), max(col("event_id"))).head
+      // max() over zero rows is NULL — fail with a diagnostic instead
+      // of an opaque NPE when the probed directory is empty.
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        s"empty probe input: $sfDir/events.parquet has no rows")
       (r.getLong(0) + 1L, r.getLong(1) + 1L)
     }
     def timedRange(label: String, mult: Int): Unit = {

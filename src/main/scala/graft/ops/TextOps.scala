@@ -106,6 +106,17 @@ object TextOps {
     // only cost; for corpus-scale graphs switch to the checkpointed
     // loop pattern ([[graft.llm.Dedup.keepers]]) — same per-iteration
     // shape: one equi join rank⋈edges + one hash aggregate on dst.
+    //
+    // OVERFLOW BOUND for `85 * cs`: cs is one node's incoming rank
+    // mass, bounded by the TOTAL mass ~= V * 10^12 (each rank starts
+    // at 10^12 and damping keeps the sum ~constant). int64 holds
+    // 85 * cs only while cs < 2^63/85 ~= 1.08e17, i.e. V below ~10^5
+    // vocabulary words even if a single hub absorbed ALL mass (real
+    // hubs hold a small share, so the practical envelope is far
+    // larger). Past that, Spark wraps silently (non-ANSI) while
+    // DuckDB errors — the twins diverge. Beyond V ~ 10^5: cast ranks
+    // to DECIMAL(38,0) in both engines (Clustering.scala's rule), or
+    // divide first (`(cs div 100) * 85`, which costs exactness).
     "q_textrank" -> ((s, dir) => {
       val bi = Tables(s, dir, "documents")
         .select(split(col("text"), " ").as("t"))

@@ -41,8 +41,15 @@ class BucketingSpec extends SparkSuite {
       assert(joined.count() === expected)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      // external tables: DROP removes only the catalog entry, so the
+      // bucket files need explicit deletion along with the temp dir
       spark.sql("DROP TABLE IF EXISTS b_orders")
       spark.sql("DROP TABLE IF EXISTS b_customer")
+      scala.util.Using.resource(
+          java.nio.file.Files.walk(java.nio.file.Paths.get(dir))) { walk =>
+        walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     }
   }
 }

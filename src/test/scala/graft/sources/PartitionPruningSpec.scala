@@ -37,11 +37,14 @@ class PartitionPruningSpec extends SparkSuite {
     // behavioral proof of pruning: corrupt every OTHER partition's
     // files — the purchase-filtered read must not notice
     val root = java.nio.file.Paths.get(s"$dir/events")
-    java.nio.file.Files.walk(root).forEach { p =>
-      val s = p.toString
-      if (s.endsWith(".parquet") && s.contains("event_type=") &&
-          !s.contains("event_type=purchase"))
-        java.nio.file.Files.write(p, "not a parquet file".getBytes)
+    // Files.walk must be closed (it holds directory handles open)
+    scala.util.Using.resource(java.nio.file.Files.walk(root)) { walk =>
+      walk.forEach { p =>
+        val s = p.toString
+        if (s.endsWith(".parquet") && s.contains("event_type=") &&
+            !s.contains("event_type=purchase"))
+          java.nio.file.Files.write(p, "not a parquet file".getBytes)
+      }
     }
     val expected = src.filter(col("event_type") === "purchase").count()
     assert(q.count() === expected,

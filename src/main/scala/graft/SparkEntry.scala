@@ -20,6 +20,7 @@ object SparkEntry {
 
   private val modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
     (Aggregates.queries, Aggregates.oracles),
+    (Analytics.queries, Analytics.oracles),
     (Joins.queries, Joins.oracles),
     (WindowOps.queries, WindowOps.oracles),
     (SetOps.queries, SetOps.oracles),

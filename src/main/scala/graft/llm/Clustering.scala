@@ -1,6 +1,7 @@
 package graft.llm
 
 import graft.ops.Q
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** K-means (Lloyd) building blocks over the quantized embedding space —
@@ -111,6 +112,42 @@ object Clustering {
         .groupBy(col("cluster"))
         .agg(aggs.head, aggs.tail: _*)
         .orderBy("cluster")
+    }),
+
+    // Embedding QA: the 3 vectors farthest from their label's mean —
+    // mislabeled/corrupt-embedding candidates, the outlier sweep an
+    // embedding pipeline runs before indexing. Exact integers
+    // throughout: dist² to the MEAN scaled by n² is
+    // n²·|v|² − 2n·(v·s) + |s|² with s the per-label coordinate SUM —
+    // no division ever happens, so the score is hash-exact. Scale
+    // shape: s comes from one hash aggregate (64 integer sums,
+    // map-side partial); the label-count join is an explicit broadcast
+    // (label cardinality is a bounded dimension, and the aggregate's
+    // post-fan-out size estimate can't be trusted to auto-broadcast);
+    // the top-3 window prunes with WindowGroupLimit before any
+    // exchange. Overflow: |q_i| ≤ 4·10³, 64 dims ⇒ score ≲ n²·10⁹ —
+    // int64-safe to n ≈ 10⁴·label; past that switch s and the score
+    // to DECIMAL(38,0) (same rule as inertia above).
+    "q_embed_outlier" -> ((s, dir) => {
+      val qe = Dedup.quantized(s, dir)
+      val dims = 0 until 64
+      val aggs = Seq(count(lit(1)).as("n")) ++
+        dims.map(i => sum(expr(s"q[$i]")).as(s"s$i"))
+      val sums = qe.groupBy(col("label"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("label"), col("n"),
+          array(dims.map(i => col(s"s$i")): _*).as("sv"))
+      qe.join(broadcast(sums), "label")
+        .select(col("label"), col("vec_id"),
+          (col("n") * col("n") * col("norm")
+            - lit(2L) * col("n") * expr("dot_long(q, sv)")
+            + expr("dot_long(sv, sv)")).as("score"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("label"))
+            .orderBy(col("score").desc, col("vec_id").asc)))
+        .filter(col("rn") <= 3)
+        .select(col("label"), col("rn"), col("vec_id"), col("score"))
+        .orderBy("label", "rn")
     }))
 
   /** DuckDB dot product against centroid k's literal (1-based lists). */
@@ -135,5 +172,26 @@ object Clustering {
              ${(0 to 3).map(i =>
                s"round(CAST(sum(q[${i + 1}]) AS DOUBLE) / count(*), 4) AS c$i")
                .mkString(", ")}
-      FROM a GROUP BY 1 ORDER BY cluster"""))
+      FROM a GROUP BY 1 ORDER BY cluster"""),
+    "q_embed_outlier" -> ("WITH " + Dedup.QE + """,
+      sums AS (SELECT label, i, CAST(sum(q[i]) AS BIGINT) AS s_i
+               FROM qn, UNNEST(generate_series(1, 64)) AS u(i)
+               GROUP BY 1, 2),
+      sv AS (SELECT label, list(s_i ORDER BY i) AS sv FROM sums GROUP BY 1),
+      cnt AS (SELECT label, count(*) AS n FROM qn GROUP BY 1),
+      d AS (SELECT qn.label, qn.vec_id,
+              CAST(cnt.n * cnt.n * qn.norm
+                - 2 * cnt.n * CAST(list_sum(list_transform(
+                    generate_series(1, 64), i -> qn.q[i] * sv.sv[i])) AS BIGINT)
+                + CAST(list_sum(list_transform(
+                    generate_series(1, 64), i -> sv.sv[i] * sv.sv[i])) AS BIGINT)
+              AS BIGINT) AS score
+            FROM qn JOIN sv ON qn.label = sv.label
+                    JOIN cnt ON qn.label = cnt.label)
+      SELECT label, CAST(rn AS INT) AS rn, vec_id, score FROM (
+        SELECT label, vec_id, score,
+               row_number() OVER (PARTITION BY label
+                 ORDER BY score DESC, vec_id ASC) AS rn
+        FROM d)
+      WHERE rn <= 3 ORDER BY label, rn"""))
 }

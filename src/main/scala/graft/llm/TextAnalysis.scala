@@ -1,6 +1,6 @@
 package graft.llm
 
-import graft.Tables
+import graft.{Num, Tables}
 import graft.ops.Q
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -197,6 +197,40 @@ object TextAnalysis {
         .groupBy(col("corpus_doc"), col("bench_doc"))
         .agg(count(lit(1)).as("n_shared"))
         .orderBy("corpus_doc", "bench_doc")
+    }),
+
+    // Per-document surprisal under the corpus unigram LM — the
+    // cheapest "perplexity-ish" quality signal a pre-training filter
+    // uses (rare-token-heavy docs score high, boilerplate scores
+    // low). Scale shape: tokens re-join their corpus count in a
+    // shuffle join whose BUILD side is the hinted, vocabulary-sized
+    // count table (SHJ build-side rule, PLANS.md); the normalizer N
+    // is a broadcast scalar computed as a SHUFFLE-FREE scan-side sum
+    // of per-document token counts — summing the vocabulary counts
+    // instead would re-evaluate the tokenize+aggregate subtree
+    // (Catalyst does not reuse that exchange here). Numerics:
+    // each token's -ln(c/N) is one ln over the same exact-integer
+    // ratio in both engines, rounded to 6 dp BEFORE the sum, and the
+    // sum runs in DECIMAL(38,6) — order-independent, so the partial
+    // aggregation order can't move the hash.
+    "q_doc_surprisal" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val n = Tables(s, dir, "documents")
+        .select(expr("size(filter(split(text, ' '), x -> x <> ''))").as("k"))
+        .agg(sum(col("k")).as("n_tok"))
+      toks.join(counts.hint("shuffle_hash"), "w")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"),
+          round(log(col("n_tok").cast("double") / col("c").cast("double")), 6)
+            .as("surp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok_doc"),
+          Num.dsum(col("surp")).as("sum_surp"),
+          Num.davg(col("surp")).as("avg_surp"))
+        .orderBy("doc_id")
     }))
 
   /** Distinct winnowing fingerprints for docs matching `docPred`
@@ -304,7 +338,24 @@ object TextAnalysis {
              count(*) AS n_shared
       FROM fps c JOIN fps b ON c.fp = b.fp
       WHERE c.doc_id >= 10 AND b.doc_id < 10
-      GROUP BY 1, 2 ORDER BY corpus_doc, bench_doc"""))
+      GROUP BY 1, 2 ORDER BY corpus_doc, bench_doc"""),
+    "q_doc_surprisal" -> """
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                    FROM documents),
+      t AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+      c AS (SELECT w, count(*) AS c FROM t GROUP BY 1),
+      n AS (SELECT CAST(sum(len(list_filter(string_split(text, ' '),
+                     x -> x <> ''))) AS BIGINT) AS n_tok
+            FROM documents),
+      surp AS (SELECT doc_id,
+                 round(ln(CAST(n_tok AS DOUBLE) / CAST(c.c AS DOUBLE)), 6)
+                   AS surp
+               FROM t JOIN c ON t.w = c.w CROSS JOIN n)
+      SELECT doc_id, count(*) AS n_tok_doc,
+        CAST(round(sum(CAST(surp AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_surp,
+        CAST(round(CAST(sum(CAST(surp AS DECIMAL(38,6))) AS DOUBLE)
+          / count(surp), 4) AS DOUBLE) AS avg_surp
+      FROM surp GROUP BY doc_id ORDER BY doc_id""")
 
   /** Compression-ratio quality signal (the Gopher/CCNet-style filter:
     * highly repetitive text compresses too well, random noise barely

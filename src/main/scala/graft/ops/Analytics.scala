@@ -1,0 +1,128 @@
+package graft.ops
+
+import graft.{Num, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-analytics composites over the event stream and orders —
+  * cohort retention, rolling-window distinct users, and CDC-style
+  * merge/upsert. The reference's surface stops at re-keyed map/reduce
+  * passes (MRFCore.cpp:417-420 sort-by-key collect); these are the
+  * higher-order report shapes a user of any analytics engine runs
+  * daily, each expressed as a lazy Catalyst plan with an exact DuckDB
+  * twin.
+  */
+object Analytics {
+
+  val queries: Map[String, Q] = Map(
+
+    // Weekly cohort retention: users grouped by their first-seen week
+    // (the cohort), counted again in every later week they return.
+    // Scale shape (the q_sessionize trick — ONE event-scale exchange):
+    // the distinct (user, week) set partial-aggregates map-side, the
+    // cohort week is a window MIN over the user partition — no self
+    // join, no second shuffle of event-scale data; the final grid
+    // aggregate is O(weeks²) rows whatever the corpus size. Because
+    // (user, week) rows are unique and week→offset is injective per
+    // user, the grid count is a plain count(*), not a countDistinct —
+    // no expand, no second distinct pass.
+    "q_cohort_retention" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("wk"))
+        .groupBy(col("user_id"), col("wk")).agg(count(lit(1)).as("_n"))
+        .withColumn("cwk", min(col("wk")).over(w))
+        .select(col("cwk"), expr("datediff(wk, cwk) div 7").as("offset_w"))
+        .groupBy(col("cwk"), col("offset_w"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cwk", "offset_w")
+    }),
+
+    // Trailing-7-day distinct users per day — the "rolling DAU/WAU"
+    // report. A RANGE-frame COUNT(DISTINCT) window doesn't exist in
+    // either engine (and a collect_set frame would buffer the user set
+    // per row); the scalable rewrite is contribution explode: each
+    // event day contributes to exactly 7 report days, so the fan-out
+    // is a constant ×7 on the DISTINCT (day, user) set — linear scan,
+    // one hash distinct, one hash aggregate, no per-row set state.
+    // Report days are restricted to days that actually have events
+    // (join with the observed-day set) so the output needs no
+    // calendar fixture.
+    "q_rolling_distinct" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      val days = e.select(col("d").as("wd")).distinct()
+      e.select(explode(expr("sequence(d, date_add(d, 6))")).as("wd"),
+          col("user_id"))
+        .join(days.hint("shuffle_hash"), "wd")
+        .groupBy(col("wd"))
+        .agg(countDistinct(col("user_id")).as("u7"))
+        .orderBy("wd")
+    }),
+
+    // CDC merge (MERGE INTO semantics without a table format): base =
+    // orders; the change stream re-prices every 1-URGENT order +10%
+    // (WHEN MATCHED UPDATE) and retires every filled 5-LOW order
+    // (WHEN MATCHED DELETE). One full-outer join on the key, coalesce
+    // per column, anti-filter for deletes — the exact plan a MERGE
+    // compiles to. Scale shape: a single co-partitioned shuffle join
+    // on o_orderkey (bucket both sides on the merge key to make the
+    // daily merge exchange-free — BucketingSpec pins that plan); the
+    // change stream is typically ≪ base, so AQE's runtime size turns
+    // it into a broadcast when it fits.
+    "q_merge_upsert" -> ((s, dir) => {
+      val base = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      val changes = Tables(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" ||
+          (col("o_orderpriority") === "5-LOW" && col("o_orderstatus") === "F"))
+        .select(col("o_orderkey"),
+          when(col("o_orderpriority") === "1-URGENT", "U").otherwise("D")
+            .as("op"),
+          Num.r(col("o_totalprice") * 1.1).as("new_price"))
+      base.join(changes, Seq("o_orderkey"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(col("o_orderkey"),
+          when(col("op") === "U", col("new_price"))
+            .otherwise(col("o_totalprice")).as("totalprice"),
+          when(col("op") === "U", lit("U"))
+            .otherwise(col("o_orderstatus")).as("status"))
+        .orderBy("o_orderkey")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_cohort_retention" -> """
+      WITH e AS (SELECT DISTINCT user_id,
+                        CAST(date_trunc('week', ts) AS DATE) AS wk
+                 FROM events),
+      c AS (SELECT user_id, wk,
+                   min(wk) OVER (PARTITION BY user_id) AS cwk
+            FROM e)
+      SELECT cwk, datediff('day', cwk, wk) // 7 AS offset_w,
+             count(*) AS n_users
+      FROM c GROUP BY 1, 2 ORDER BY cwk, offset_w""",
+    "q_rolling_distinct" -> """
+      WITH e AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+      days AS (SELECT DISTINCT d AS wd FROM e)
+      SELECT days.wd, count(DISTINCT e.user_id) AS u7
+      FROM e JOIN days ON days.wd BETWEEN e.d AND e.d + 6
+      GROUP BY 1 ORDER BY wd""",
+    "q_merge_upsert" -> """
+      WITH changes AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 'U' ELSE 'D' END AS op,
+               CAST(round(o_totalprice * 1.1, 4) AS DOUBLE) AS new_price
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+           OR (o_orderpriority = '5-LOW' AND o_orderstatus = 'F'))
+      SELECT b.o_orderkey,
+             CASE WHEN c.op = 'U' THEN c.new_price
+                  ELSE b.o_totalprice END AS totalprice,
+             CASE WHEN c.op = 'U' THEN 'U'
+                  ELSE b.o_orderstatus END AS status
+      FROM orders b LEFT JOIN changes c ON b.o_orderkey = c.o_orderkey
+      WHERE c.op IS NULL OR c.op <> 'D'
+      ORDER BY b.o_orderkey""")
+}

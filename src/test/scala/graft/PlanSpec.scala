@@ -161,4 +161,48 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("WindowGroupLimit"))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q_cohort_retention plans without a join (window-min cohort)") {
+    // cohort assignment is a window MIN over the user partition on the
+    // deduped (user, week) set — a self join on user_id would shuffle
+    // event-scale data twice
+    val p = plan("q_cohort_retention")
+    assert(!p.contains("Join"), "cohort must come from a window, not a join")
+    assert(p.contains("Window"))
+  }
+
+  test("q_rolling_distinct builds the hash join on the bounded day set") {
+    val p = plan("q_rolling_distinct")
+    // the exploded ×7 contribution stream must be the probe side; the
+    // observed-day dimension (bounded by the calendar) is the build
+    assert(p.contains("ShuffledHashJoin Inner BuildRight") ||
+      p.contains("BroadcastHashJoin"),
+      s"day set must be build/broadcast side:\n$p")
+  }
+
+  test("q_embed_outlier broadcasts label sums and prunes top-3 pre-exchange") {
+    val p = plan("q_embed_outlier")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-label sums (bounded dimension) must broadcast")
+    assert(p.contains("WindowGroupLimit"),
+      "top-3-per-label must prune before the window exchange")
+  }
+
+  test("q_doc_surprisal: hinted vocabulary is the SHJ build side, N is scan-side") {
+    val p = plan("q_doc_surprisal")
+    assert(p.contains("ShuffledHashJoin Inner BuildRight"),
+      "token⋈count join must build on the bounded vocabulary side")
+    // the N normalizer joins in as a broadcast scalar, not a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+  }
+
+  test("q_merge_upsert is one co-partitioned full-outer merge join") {
+    val p = plan("q_merge_upsert")
+    assert(p.contains("FullOuter"), "merge must preserve unmatched base rows")
+    // exactly one join operator in the whole plan (full outer can't
+    // broadcast; both sides exchange once on the merge key)
+    assert(p.contains("SortMergeJoin FullOuter") ||
+      p.contains("ShuffledHashJoin FullOuter"))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+  }
 }

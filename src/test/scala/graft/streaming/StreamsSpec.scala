@@ -13,12 +13,10 @@ import org.apache.spark.sql.streaming.OutputMode
   * §2c "streaming" row; the batch twins are oracle-checked by the
   * driver, incremental emission has no oracle). */
 class StreamsSpec extends SparkSuite {
+  import StreamsSpec.Ev
   import spark.implicits._
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
-
-  private case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
-    event_type: String, value: Double)
 
   private val day1 = Seq(
     Ev(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0),
@@ -219,4 +217,13 @@ class StreamsSpec extends SparkSuite {
       assert(last === Map(1L -> 3L, 2L -> 1L))
     } finally q.stop()
   }
+}
+
+object StreamsSpec {
+  /** Top-level (not nested in the suite class): a case class inside the
+    * spec instance makes the Dataset encoder's generated code reference
+    * the enclosing instance, which Janino can't compile — Spark falls
+    * back to interpreted projections for every streaming test batch. */
+  private[streaming] case class Ev(event_id: Long, ts: Timestamp,
+    user_id: Long, event_type: String, value: Double)
 }

@@ -97,6 +97,11 @@ object GraftFunctions {
       "max_k",
       (children: Seq[Expression]) => MaxK(children.head, children(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cms_sketch",
+      (children: Seq[Expression]) =>
+        CmsSketch(children.head, children(1), children(2)),
+      "built-in")
     if (!spark.experimental.extraOptimizations.contains(DotProductRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ DotProductRewrite

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Num, Tables}
 import graft.clients.Search
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.functions._
 
 /** Text/token operators over `documents` — the reference model's home
@@ -93,6 +94,48 @@ object TextOps {
               (col("c2").cast("double") / col("n_uni").cast("double")))))
             .as("pmi"))
         .orderBy("w1", "w2")
+    }),
+
+    // Count-Min sketch of the token stream (Cormode & Muthukrishnan
+    // 2005) — the fixed-memory frequency summary for streams/corpora
+    // whose exact counts don't fit. The sketch is graft's native
+    // mergeable aggregate (functions/CountMin.scala): each task folds
+    // its partition into 4×256 counters, the exchange carries ONE 8 KB
+    // buffer per task (vs the token stream), partial+final merge is
+    // elementwise add. Counters are multiset sums — order-independent,
+    // so the whole sketch hash-matches a GROUP BY oracle that builds
+    // the same cells. Output: the non-empty cells, row-major index.
+    "q_cms_sketch" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .agg(expr("cms_sketch(w, 4, 256)").as("sk"))
+        .select(posexplode(col("sk")).as(Seq("idx", "cnt")))
+        .filter(col("cnt") > 0)
+        .select(col("idx").cast("long").as("idx"), col("cnt"))
+        .orderBy("idx")
+    }),
+
+    // Point-estimate quality of the same sketch: for the 20 most
+    // frequent tokens, the CMS estimate min_d sk[d·256 + cell_d(w)]
+    // next to the true count — est ≥ true always (the CMS guarantee),
+    // and the margin shows the collision cost at this width. The
+    // 1-row sketch broadcasts; cell indices are computed in-plan with
+    // md5/conv so both engines derive identical cells.
+    "q_cms_estimate" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val toks = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val sketch = toks.agg(expr("cms_sketch(w, 4, 256)").as("sk"))
+      val top = toks.groupBy(col("w")).agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("w").asc).limit(20)
+      val ests = (0 to 3).map(d => expr(
+        s"sk[$d * 256 + cast(cast(conv(substring(md5(concat('$d', ':', w)), 1, 8), 16, 10) as bigint) % 256 as int)]"))
+      top.crossJoin(broadcast(sketch))
+        .select(col("w"), col("true_cnt"), least(ests: _*).as("est"))
+        .orderBy(col("true_cnt").desc, col("w").asc)
     }),
 
     // TextRank (Mihalcea & Tarau 2004): PageRank over the undirected
@@ -226,6 +269,33 @@ object TextOps {
       CROSS JOIN nu CROSS JOIN nb
       WHERE c_xy >= 5
       ORDER BY w1, w2""",
+    "q_cms_sketch" -> """
+      WITH t AS (SELECT w FROM (SELECT unnest(string_split(text, ' ')) AS w
+                                FROM documents) WHERE w <> ''),
+      d AS (SELECT unnest(generate_series(0, 3)) AS d),
+      cells AS (SELECT d.d * 256 +
+                  (('0x' || substr(md5(d.d || ':' || t.w), 1, 8))::BIGINT % 256)
+                    AS idx,
+                  count(*) AS cnt
+                FROM t CROSS JOIN d GROUP BY 1)
+      SELECT idx, cnt FROM cells ORDER BY idx""",
+    "q_cms_estimate" -> """
+      WITH t AS (SELECT w FROM (SELECT unnest(string_split(text, ' ')) AS w
+                                FROM documents) WHERE w <> ''),
+      top AS (SELECT w, count(*) AS true_cnt FROM t GROUP BY 1
+              ORDER BY true_cnt DESC, w ASC LIMIT 20),
+      d AS (SELECT unnest(generate_series(0, 3)) AS d),
+      cells AS (SELECT d.d AS d,
+                  ('0x' || substr(md5(d.d || ':' || t.w), 1, 8))::BIGINT % 256
+                    AS cell,
+                  count(*) AS cnt
+                FROM t CROSS JOIN d GROUP BY 1, 2)
+      SELECT top.w, top.true_cnt, CAST(min(cells.cnt) AS BIGINT) AS est
+      FROM top CROSS JOIN d
+      JOIN cells ON cells.d = d.d AND cells.cell =
+        ('0x' || substr(md5(d.d || ':' || top.w), 1, 8))::BIGINT % 256
+      GROUP BY 1, 2
+      ORDER BY true_cnt DESC, w ASC""",
     "q_textrank" -> {
       // five unrolled fixed-point iterations (twin of the Spark loop)
       val iters = (1 to 5).map { i =>

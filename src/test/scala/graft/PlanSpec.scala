@@ -196,6 +196,15 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
   }
 
+  test("q_cms_sketch folds map-side: partial+final ObjectHashAggregate") {
+    // the sketch's reason to exist at 100 TB: each task folds its
+    // partition into one 8 KB buffer, so the exchange carries buffers,
+    // not the token stream — partial aggregation must survive
+    val p = plan("q_cms_sketch")
+    assert(p.contains("ObjectHashAggregate"))
+    assert(p.contains("partial_cms_sketch"), "map-side fold must survive")
+  }
+
   test("q_merge_upsert is one co-partitioned full-outer merge join") {
     val p = plan("q_merge_upsert")
     assert(p.contains("FullOuter"), "merge must preserve unmatched base rows")

@@ -102,6 +102,11 @@ object GraftFunctions {
       (children: Seq[Expression]) =>
         CmsSketch(children.head, children(1), children(2)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_agg",
+      (children: Seq[Expression]) =>
+        BloomAgg(children.head, children(1), children(2)),
+      "built-in")
     if (!spark.experimental.extraOptimizations.contains(DotProductRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ DotProductRewrite

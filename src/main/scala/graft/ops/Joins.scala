@@ -118,6 +118,38 @@ object Joins {
         .limit(10)
     }),
 
+    // Bloom-filter semi-join reduction: the selective dim side builds
+    // graft's mergeable bitset aggregate (functions/Bloom.scala — one
+    // bitset per map task, OR-merged, a few KB total), the 1-row
+    // bitset broadcasts, and the FACT side drops non-matching rows at
+    // the scan with built-in codegen'd xxhash64 arithmetic — BEFORE
+    // paying its shuffle. At 100 TB a 90%-selective dim predicate cuts
+    // the fact exchange ~90% for the cost of k hashes per row; false
+    // positives are removed by the real join, so the result is
+    // EXACTLY the plain join's — which is what the oracle checks (the
+    // bloom is a plan property, not a semantics change; BloomSpec pins
+    // no-false-negatives bit-for-bit vs the SQL probe).
+    "q_join_bloom" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val dim = Tables(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val bloom = dim.agg(expr("bloom_agg(o_orderkey, 8192, 3)").as("bl"))
+      val facts = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .crossJoin(broadcast(bloom))
+        .filter(expr(graft.functions.Bloom.containsSql(
+          "bl", "l_orderkey", 8192, 3)))
+      facts
+        .join(dim.hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+        .agg(Num.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("month")
+    }),
+
     // TPC-H Q5-style: 6-way star join, revenue per nation. Dims
     // broadcast; facts sort-merge on their keys.
     "q_join_q5" -> ((s, dir) => {
@@ -326,6 +358,14 @@ object Joins {
       GROUP BY o_orderkey, o_orderdate
       ORDER BY revenue DESC, o_orderkey ASC
       LIMIT 10""",
+    "q_join_bloom" -> """
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+          AS DECIMAL(38,6))), 4) AS DOUBLE) AS revenue,
+        count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY 1 ORDER BY month""",
     "q_join_q5" -> """
       SELECT r_name, n_name,
         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 4) AS DOUBLE) AS revenue,

@@ -196,6 +196,15 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
   }
 
+  test("q_join_bloom filters the fact scan before its shuffle") {
+    val p = plan("q_join_bloom")
+    // the xxhash64 membership predicate must sit on the probe side
+    // upstream of the join — that pre-shuffle prune is the operator's
+    // entire reason to exist
+    assert(p.contains("xxhash64"), "bloom probe must be in-plan")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"))
+  }
+
   test("q_cms_sketch folds map-side: partial+final ObjectHashAggregate") {
     // the sketch's reason to exist at 100 TB: each task folds its
     // partition into one 8 KB buffer, so the exchange carries buffers,

@@ -244,6 +244,38 @@ object Joins {
         .orderBy("event_id")
     }),
 
+    // FORWARD as-of: each purchase matched to the NEXT click at or
+    // after it — the other half of the as-of family (backward above).
+    // Same merged-stream shape mirrored: purchases sort BEFORE a
+    // same-instant click (side 0 < 1, so ts-equality counts as
+    // "after"), and the match is FIRST-ignoreNulls over the
+    // current-row→unbounded-following frame. Still one user_id
+    // exchange, no join node.
+    "q_join_asof_fwd" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(0).as("side"),
+          col("event_id"),
+          lit(null).cast("bigint").as("click_id"),
+          lit(null).cast("timestamp").as("click_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+        .select(col("user_id"), col("ts"), lit(1).as("side"),
+          lit(null).cast("bigint").as("event_id"),
+          col("click_id"), col("ts").as("click_ts"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("side"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      purchases.unionByName(clicks)
+        .withColumn("m_click_id", first(col("click_id"), ignoreNulls = true).over(w))
+        .withColumn("m_click_ts", first(col("click_ts"), ignoreNulls = true).over(w))
+        .filter(col("side") === 0 && col("m_click_id").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("m_click_ts").as("click_ts"), col("m_click_id").as("click_id"))
+        .orderBy("event_id")
+    }),
+
     // Interval (range) self-join: pairs of same-user events ≤ 10 min
     // apart. Scale path: a theta join is made equi by time-bucketing —
     // the probe side explodes to its bucket ±1 (3 rows), the build side
@@ -401,6 +433,14 @@ object Joins {
             FROM events WHERE event_type = 'click' GROUP BY 1, 2)
       SELECT p.user_id, p.event_id, p.ts, c.click_ts, c.click_id
       FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+      ORDER BY event_id""",
+    "q_join_asof_fwd" -> """
+      WITH p AS (SELECT user_id, event_id, ts FROM events
+                 WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      SELECT p.user_id, p.event_id, p.ts, c.click_ts, c.click_id
+      FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts <= c.click_ts
       ORDER BY event_id""",
     "q_join_range" -> """
       SELECT a.user_id, a.event_id AS e1, b.event_id AS e2,

@@ -125,6 +125,27 @@ object WindowOps {
         .orderBy("user_id", "event_id")
     }),
 
+    // Frame-navigation completeness: first/last/nth over the FULL
+    // partition frame (default last_value frame stops at the current
+    // row — a classic silent-wrongness trap, so the unbounded frame is
+    // explicit) + cume_dist. One exchange on nation; every output is
+    // either a raw parquet double (bit-identical pass-through) or an
+    // exact small-integer ratio, so no rounding is needed.
+    "q_window_first_last" -> ((s, dir) => {
+      val ord = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      val full = ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir, "customer")
+        .filter(col("c_nationkey") < 5)
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          first_value(col("c_acctbal")).over(full).as("top_bal"),
+          last_value(col("c_acctbal")).over(full).as("bottom_bal"),
+          nth_value(col("c_acctbal"), 2).over(full).as("second_bal"),
+          Num.r(cume_dist().over(ord)).as("cd"))
+        .orderBy("c_nationkey", "c_custkey")
+    }),
+
     // Batch sessionization — the classic gaps-and-islands derivation
     // every behavioral pipeline needs (the streaming twin is
     // q_stream_session): a session breaks when the same-user gap
@@ -196,6 +217,20 @@ object WindowOps {
       FROM events WHERE user_id < 20
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
       ORDER BY user_id, event_id""",
+    "q_window_first_last" -> """
+      SELECT c_nationkey, c_custkey, c_acctbal,
+        first_value(c_acctbal) OVER wfull AS top_bal,
+        last_value(c_acctbal) OVER wfull AS bottom_bal,
+        nth_value(c_acctbal, 2) OVER wfull AS second_bal,
+        CAST(round(cume_dist() OVER ord, 4) AS DOUBLE) AS cd
+      FROM customer WHERE c_nationkey < 5
+      WINDOW
+        ord AS (PARTITION BY c_nationkey
+                ORDER BY c_acctbal DESC, c_custkey ASC),
+        wfull AS (PARTITION BY c_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY c_nationkey, c_custkey""",
     "q_window_range_frame" -> """
       SELECT user_id, event_id, epoch_us(ts) AS us,
         count(*) OVER w AS n_24h,

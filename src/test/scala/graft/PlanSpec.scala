@@ -56,6 +56,12 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Window"))
   }
 
+  test("q_join_asof_fwd mirrors the join-free merged-stream shape") {
+    val p = plan("q_join_asof_fwd")
+    assert(!p.contains("Join"), "forward as-of must not plan a join")
+    assert(p.contains("Window"))
+  }
+
   test("q_join_range plans the bucketed rewrite as an equi hash/merge join") {
     val p = plan("q_join_range")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),

@@ -124,6 +124,77 @@ object ScaleProbe {
     }
     timedPath(10000L)
     timedPath(1000000L)
+
+    // CMS sketch-build probe: N× the token stream through the
+    // mergeable aggregate (functions/CountMin.scala). Build cost must
+    // scale linearly in tokens while the shuffle payload stays ONE
+    // 8 KB buffer per task at every multiplier — that invariance is
+    // the sketch's 100 TB claim. (The 4×md5-per-token hash is the
+    // price of an oracle-recomputable cell function; a production
+    // sketch would swap in xxhash64 for ~10× cheaper updates at the
+    // cost of DuckDB checkability.)
+    locally {
+      graft.functions.GraftFunctions.register(spark)
+      val toks = graft.Tables(spark, sfDir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "").persist()
+      val nTok = toks.count()
+      def timedCms(mult: Int): Unit = {
+        val scaled = toks.select(
+          explode(expr(s"sequence(0, ${mult - 1})")).as("i"), col("w"))
+        val t0 = System.nanoTime()
+        val cells = scaled.agg(expr("cms_sketch(w, 4, 256)").as("sk"))
+          .select(explode(col("sk")).as("c")).filter(col("c") > 0).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"cms_${mult}x","tokens":${nTok * mult},"cells":$cells,"sec":$dt%.2f}""")
+      }
+      timedCms(1)
+      timedCms(10)
+      timedCms(100)
+      toks.unpersist(false)
+    }
+
+    // Embedding-outlier probe: N× the vectors (vec_id shifted per
+    // replica, labels preserved so per-label n grows ×N). The 64-sum
+    // aggregate, broadcast, and WindowGroupLimit top-3 must all stay
+    // linear; the broadcast payload is labels × 65 longs at every N.
+    locally {
+      val qe = Dedup.quantized(spark, sfDir)
+        .select(col("vec_id"), col("label"), col("q"), col("norm")).persist()
+      val nVec = qe.count()
+      val vecStride = qe.agg(max(col("vec_id"))).head.getLong(0) + 1L
+      def timedOutlier(mult: Int): Unit = {
+        val scaled = qe.select(
+            explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
+            col("vec_id"), col("label"), col("q"), col("norm"))
+          .select((col("vec_id") + col("i") * lit(vecStride)).as("vec_id"),
+            col("label"), col("q"), col("norm"))
+        val dims = 0 until 64
+        val aggs = Seq(count(lit(1)).as("n")) ++
+          dims.map(i => sum(expr(s"q[$i]")).as(s"s$i"))
+        val sums = scaled.groupBy(col("label"))
+          .agg(aggs.head, aggs.tail: _*)
+          .select(col("label"), col("n"),
+            array(dims.map(i => col(s"s$i")): _*).as("sv"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("label"))
+          .orderBy(col("score").desc, col("vec_id").asc)
+        val t0 = System.nanoTime()
+        val top = scaled.join(broadcast(sums), "label")
+          .select(col("label"), col("vec_id"),
+            (col("n") * col("n") * col("norm")
+              - lit(2L) * col("n") * expr("dot_long(q, sv)")
+              + expr("dot_long(sv, sv)")).as("score"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"outlier_${mult}x","vectors":${nVec * mult},"rows":$top,"sec":$dt%.2f}""")
+      }
+      timedOutlier(1)
+      timedOutlier(10)
+      timedOutlier(100)
+      qe.unpersist(false)
+    }
     spark.stop()
   }
 }

@@ -74,7 +74,7 @@ object Dedup {
     * engines and partial-aggregation orders. float→double is exact;
     * both engines round half away from zero. Norm via the codegen
     * `dot_long` (registered here for every downstream consumer). */
-  private[llm] def quantized(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def quantized(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     Tables(s, dir, "embeddings").select(
       col("vec_id"), col("label"),

@@ -61,6 +61,33 @@ object Analytics {
         .orderBy("wd")
     }),
 
+    // Z-order layout assignment — the OPTIMIZE ZORDER story: interleave
+    // the bits of two query dimensions so ONE sort key clusters BOTH,
+    // then any per-file min/max stats prune point/range predicates on
+    // either dimension. This query computes the 16-bit Morton code of
+    // (user bucket, event day), assigns rows to z-range "files" (512 codes per file),
+    // and reports each file's per-dimension min/max envelope — the
+    // artifact a scan would prune against. At 100 TB this runs once at
+    // write time (one range exchange on z) and every later two-dim
+    // query reads a fraction of the files; the 8+8-bit interleave is
+    // plain shift/mask arithmetic, exact in both engines.
+    "q_zorder_layout" -> ((s, dir) => {
+      val x = "pmod(user_id, 256)"
+      val y = "cast(datediff(to_date(ts), date'2024-01-01') as bigint)"
+      val z = (0 until 8).map(i =>
+        s"shiftleft(shiftright($x, $i) & 1, ${2 * i}) + " +
+          s"shiftleft(shiftright($y, $i) & 1, ${2 * i + 1})")
+        .mkString(" + ")
+      Tables.events(s, dir)
+        .select(expr(x).as("xb"), expr(y).as("yb"), expr(z).as("z"))
+        .withColumn("file_id", expr("z div 512"))
+        .groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("xb")).as("min_user"), max(col("xb")).as("max_user"),
+          min(col("yb")).as("min_day"), max(col("yb")).as("max_day"))
+        .orderBy("file_id")
+    }),
+
     // CDC merge (MERGE INTO semantics without a table format): base =
     // orders; the change stream re-prices every 1-URGENT order +10%
     // (WHEN MATCHED UPDATE) and retires every filled 5-LOW order
@@ -109,6 +136,20 @@ object Analytics {
       SELECT days.wd, count(DISTINCT e.user_id) AS u7
       FROM e JOIN days ON days.wd BETWEEN e.d AND e.d + 6
       GROUP BY 1 ORDER BY wd""",
+    "q_zorder_layout" -> {
+      val x = "(user_id % 256)"
+      val y = "datediff('day', DATE '2024-01-01', CAST(ts AS DATE))"
+      val z = (0 until 8).map(i =>
+        s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""
+      WITH e AS (SELECT $x AS xb, $y AS yb, ($z) AS z FROM events),
+      f AS (SELECT xb, yb, z // 512 AS file_id FROM e)
+      SELECT file_id, count(*) AS n_rows,
+             min(xb) AS min_user, max(xb) AS max_user,
+             min(yb) AS min_day, max(yb) AS max_day
+      FROM f GROUP BY 1 ORDER BY file_id"""
+    },
     "q_merge_upsert" -> """
       WITH changes AS (
         SELECT o_orderkey,

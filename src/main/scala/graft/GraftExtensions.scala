@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotLong, MaxK}
+import graft.functions.{BloomAgg, CmsSketch, DotLong, MaxK}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -20,6 +20,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("max_k"),
       new ExpressionInfo(classOf[MaxK].getName, "max_k"),
       (children: Seq[Expression]) => MaxK(children.head, children(1))))
+    e.injectFunction((
+      FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[CmsSketch].getName, "cms_sketch"),
+      (children: Seq[Expression]) =>
+        CmsSketch(children.head, children(1), children(2))))
+    e.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomAgg].getName, "bloom_agg"),
+      (children: Seq[Expression]) =>
+        BloomAgg(children.head, children(1), children(2))))
     e.injectOptimizerRule(_ => graft.functions.DotProductRewrite)
   }
 }

@@ -244,6 +244,38 @@ object Joins {
         .orderBy("event_id")
     }),
 
+    // Fuzzy (edit-distance) join — the entity-resolution primitive:
+    // same-brand part pairs whose names are within Levenshtein 2.
+    // Scale shape: the equality BLOCKING key (brand) turns the fuzzy
+    // theta join into an equi join whose per-block candidate set is
+    // |block|², never |table|² — the same bucketing idea as
+    // q_join_range, with the expensive distance evaluated only inside
+    // blocks, and a free length-band prefilter first (edit distance ≥
+    // length difference, and the cheap predicate short-circuits the
+    // conjunction). At corpus scale you'd add a second blocking level
+    // (length band or q-gram bucket) to cap |block|; the oracle is the
+    // same blocked join, so blocking is checked as semantics, not just
+    // as a plan shape.
+    "q_join_fuzzy" -> ((s, dir) => {
+      val a = Tables(s, dir, "part")
+        .select(col("p_brand"), col("p_partkey").as("k1"),
+          col("p_name").as("n1"))
+      val b = Tables(s, dir, "part")
+        .select(col("p_brand"), col("p_partkey").as("k2"),
+          col("p_name").as("n2"))
+      a.join(b, Seq("p_brand"))
+        .filter(col("k1") < col("k2") &&
+          abs(length(col("n1")) - length(col("n2"))) <= 2)
+        // 3-arg levenshtein runs the BANDED O(n·k) DP and early-exits
+        // past the bound (returns -1) — one eval per candidate, ~2×
+        // cheaper than the unbounded distance at threshold 2
+        .withColumn("dist", expr("levenshtein(n1, n2, 2)"))
+        .filter(col("dist") >= 0)
+        .select(col("p_brand"), col("k1"), col("k2"), col("n1"), col("n2"),
+          col("dist"))
+        .orderBy("p_brand", "k1", "k2")
+    }),
+
     // FORWARD as-of: each purchase matched to the NEXT click at or
     // after it — the other half of the as-of family (backward above).
     // Same merged-stream shape mirrored: purchases sort BEFORE a
@@ -434,6 +466,15 @@ object Joins {
       SELECT p.user_id, p.event_id, p.ts, c.click_ts, c.click_id
       FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
       ORDER BY event_id""",
+    "q_join_fuzzy" -> """
+      SELECT a.p_brand, a.p_partkey AS k1, b.p_partkey AS k2,
+             a.p_name AS n1, b.p_name AS n2,
+             CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+       AND abs(length(a.p_name) - length(b.p_name)) <= 2
+       AND levenshtein(a.p_name, b.p_name) <= 2
+      ORDER BY a.p_brand, k1, k2""",
     "q_join_asof_fwd" -> """
       WITH p AS (SELECT user_id, event_id, ts FROM events
                  WHERE event_type = 'purchase'),

@@ -88,6 +88,38 @@ object Analytics {
         .orderBy("file_id")
     }),
 
+    // Column profiling — the ANALYZE TABLE / data-quality artifact:
+    // per-column row count, null count, distinct count, min/max, all
+    // EXACT. One pass computes every non-distinct stat map-side; the
+    // distinct counts go through Spark's standard two-phase distinct
+    // expansion. Output is long-form (one row per column) so the
+    // profile of a 400-column table is rows, not a 2000-column row.
+    // At 100 TB: this is the scheduled stats job that feeds CBO and
+    // freshness monitors; swap the exact distinct for approx HLL
+    // (q_approx_distinct) when the cardinality itself is corpus-sized.
+    "q_profile" -> ((s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+      val stats = l.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("null_qty"),
+        countDistinct(col("l_quantity")).as("nd_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)).as("null_rf"),
+        countDistinct(col("l_returnflag")).as("nd_rf"),
+        sum(when(col("l_extendedprice").isNull, 1L).otherwise(0L)).as("null_px"),
+        countDistinct(col("l_extendedprice")).as("nd_px"),
+        min(col("l_extendedprice")).as("min_px"),
+        max(col("l_extendedprice")).as("max_px"))
+      stats.selectExpr(
+        """stack(3,
+             'l_quantity', n, null_qty, nd_qty, min_qty, max_qty,
+             'l_returnflag', n, null_rf, nd_rf, cast(null as double), cast(null as double),
+             'l_extendedprice', n, null_px, nd_px, min_px, max_px
+           ) as (col_name, n_rows, n_null, n_distinct, min_val, max_val)""")
+        .orderBy("col_name")
+    }),
+
     // CDC merge (MERGE INTO semantics without a table format): base =
     // orders; the change stream re-prices every 1-URGENT order +10%
     // (WHEN MATCHED UPDATE) and retires every filled 5-LOW order
@@ -150,6 +182,27 @@ object Analytics {
              min(yb) AS min_day, max(yb) AS max_day
       FROM f GROUP BY 1 ORDER BY file_id"""
     },
+    "q_profile" -> """
+      WITH s AS (
+        SELECT count(*) AS n,
+          CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_qty,
+          count(DISTINCT l_quantity) AS nd_qty,
+          min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+          CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_rf,
+          count(DISTINCT l_returnflag) AS nd_rf,
+          CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_px,
+          count(DISTINCT l_extendedprice) AS nd_px,
+          min(l_extendedprice) AS min_px, max(l_extendedprice) AS max_px
+        FROM lineitem)
+      SELECT col_name, n_rows, n_null, n_distinct, min_val, max_val FROM (
+        SELECT 'l_quantity' AS col_name, n AS n_rows, null_qty AS n_null,
+               nd_qty AS n_distinct, min_qty AS min_val, max_qty AS max_val FROM s
+        UNION ALL
+        SELECT 'l_returnflag', n, null_rf, nd_rf,
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM s
+        UNION ALL
+        SELECT 'l_extendedprice', n, null_px, nd_px, min_px, max_px FROM s)
+      ORDER BY col_name""",
     "q_merge_upsert" -> """
       WITH changes AS (
         SELECT o_orderkey,

@@ -96,6 +96,57 @@ object TextOps {
         .orderBy("w1", "w2")
     }),
 
+    // Exact triangle counting on the word co-occurrence graph — the
+    // canonical graph-analytics MapReduce benchmark (Suri &
+    // Vassilvitskii, WWW 2011). The skew-proof formulation: orient
+    // every edge from its lower-(degree, id) endpoint to the higher
+    // one, so each node's OUT-degree is O(√m) whatever its raw degree
+    // — a celebrity hub generates √m-bounded wedge lists instead of
+    // degree² — then a triangle is one wedge (src→x, src→y) whose
+    // closing edge x→y exists in the same oriented set, counted
+    // exactly once. Three hash joins, one explode, one aggregate; the
+    // oracle runs the identical algorithm, so the orientation trick is
+    // value-checked, not just asserted.
+    "q_triangles" -> ((s, dir) => {
+      val bi = Tables(s, dir, "documents")
+        .select(split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(t) - 2), " +
+            "i -> struct(t[i] as w1, t[i+1] as w2))")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .filter(col("w1") =!= "" && col("w2") =!= "" && col("w1") =!= col("w2"))
+        .select(least(col("w1"), col("w2")).as("a"),
+          greatest(col("w1"), col("w2")).as("b"))
+        .distinct()
+      val deg = bi.select(col("a").as("n")).union(bi.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val withDeg = bi
+        .join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+      val oriented = withDeg.select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("src"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("dst"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("db"))
+          .otherwise(col("da")).as("ddst"))
+      val o1 = oriented.select(col("src"), col("dst").as("x"), col("ddst").as("dx"))
+      val o2 = oriented.select(col("src"), col("dst").as("y"), col("ddst").as("dy"))
+      val wedges = o1.join(o2, "src")
+        .filter(col("dx") < col("dy") ||
+          (col("dx") === col("dy") && col("x") < col("y")))
+      val tri = wedges.join(
+        oriented.select(col("src").as("x"), col("dst").as("y")),
+        Seq("x", "y"))
+      tri.select(explode(array(col("src"), col("x"), col("y"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n_tri"))
+        .orderBy("w")
+    }),
+
     // Count-Min sketch of the token stream (Cormode & Muthukrishnan
     // 2005) — the fixed-memory frequency summary for streams/corpora
     // whose exact counts don't fit. The sketch is graft's native
@@ -269,6 +320,30 @@ object TextOps {
       CROSS JOIN nu CROSS JOIN nb
       WHERE c_xy >= 5
       ORDER BY w1, w2""",
+    "q_triangles" -> """
+      WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+      e0 AS (SELECT t[i] AS w1, t[i+1] AS w2
+             FROM toks, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+             WHERE t[i] <> '' AND t[i+1] <> '' AND t[i] <> t[i+1]),
+      bi AS (SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b FROM e0),
+      deg AS (SELECT n, count(*) AS d FROM
+                (SELECT a AS n FROM bi UNION ALL SELECT b AS n FROM bi)
+              GROUP BY 1),
+      wd AS (SELECT bi.a, bi.b, da.d AS da, db.d AS db
+             FROM bi JOIN deg da ON bi.a = da.n JOIN deg db ON bi.b = db.n),
+      o AS (SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS src,
+                   CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS dst,
+                   CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS ddst
+            FROM wd),
+      wg AS (SELECT o1.src, o1.dst AS x, o2.dst AS y
+             FROM o o1 JOIN o o2 ON o1.src = o2.src
+             WHERE o1.ddst < o2.ddst OR (o1.ddst = o2.ddst AND o1.dst < o2.dst)),
+      tri AS (SELECT wg.src, wg.x, wg.y
+              FROM wg JOIN o ON o.src = wg.x AND o.dst = wg.y),
+      nodes AS (SELECT src AS w FROM tri UNION ALL
+                SELECT x AS w FROM tri UNION ALL
+                SELECT y AS w FROM tri)
+      SELECT w, count(*) AS n_tri FROM nodes GROUP BY 1 ORDER BY w""",
     "q_cms_sketch" -> """
       WITH t AS (SELECT w FROM (SELECT unnest(string_split(text, ' ')) AS w
                                 FROM documents) WHERE w <> ''),

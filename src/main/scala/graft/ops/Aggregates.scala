@@ -262,12 +262,94 @@ object Aggregates {
 
     // Approximate distinct (HLL++). No DuckDB oracle — HLL estimates are
     // implementation-specific; the driver records a rows-only check.
+    // For a FULLY oracle-gated approximate-distinct, see q_hll_registers /
+    // q_hll_estimate below: graft's own HyperLogLog whose every bit both
+    // engines derive identically.
     "q_approx_distinct" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
         .orderBy("l_returnflag")
+    }),
+
+    // HyperLogLog register vector, built from scratch (Flajolet et al.
+    // 2007) with CROSS-ENGINE-EXACT hashing so the whole sketch is
+    // oracle-gated — unlike q_approx_distinct, whose engine-internal HLL++
+    // can only be rows-checked. Register j = top 8 md5 bits (the CMS cell
+    // trick: both engines parse the same hex prefix), rho = 1 + leading
+    // zeros of the next 52 bits, derived via length(bin(x)) — exact
+    // integer/string ops only. max(rho) per register is order-independent
+    // AND mergeable: at 100 TB the exchange carries ≤256 (reg, max) pairs
+    // per task — the entire reason sketches beat count(DISTINCT), whose
+    // shuffle carries every distinct value.
+    "q_hll_registers" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .select(col("l_partkey").cast("string").as("w"))
+        .select(
+          expr(s"cast($hllReg as int)").as("reg"),
+          expr(s"cast($hllRho as int)").as("rho"))
+        .groupBy(col("reg")).agg(max(col("rho")).as("m"))
+        .orderBy("reg")
+    }),
+
+    // The HLL raw estimate alpha·m²/Σ2^(−M_j) from those registers, next
+    // to the exact distinct — the quality row a pipeline tunes register
+    // count against. All 256 registers (a sequence-literal grid fills the
+    // empties) feed an EXACT DECIMAL(38,0) harmonic sum (terms 2^(53−M)
+    // are integers; decimal addition is order-independent). The estimate
+    // itself is EXACT INTEGER arithmetic to the last emitted digit:
+    // `round(double, 4)` is NOT cross-engine-stable (Spark's BigDecimal
+    // HALF_UP vs DuckDB's C round disagree within half an ULP of the
+    // 4th decimal — bitten at sf0.1), and Spark's double→decimal cast
+    // goes through Double.toString (17 significant digits), so big
+    // power-of-two constants must be built by integer multiplication
+    // (2⁵³·2²⁴), never cast from power(). est·10⁴ is one decimal
+    // integer `div` (exact in Spark; the DuckDB twin must use HUGEINT —
+    // its `//` on DECIMAL is double-backed and off-by-one here); the
+    // only doubles are final /10⁴ re-scalings of <2⁵³ integers —
+    // bit-identical everywhere.
+    "q_hll_estimate" -> ((s, dir) => {
+      val toks = Tables(s, dir, "lineitem")
+        .select(col("l_partkey").cast("string").as("w"))
+      val regs = toks
+        .select(expr(s"cast($hllReg as int)").as("reg"),
+          expr(s"cast($hllRho as int)").as("rho"))
+        .groupBy(col("reg")).agg(max(col("rho")).as("m"))
+      val grid = s.range(0, 256).select(col("id").cast("int").as("reg"))
+      val est = grid.join(regs, Seq("reg"), "left")
+        .select(coalesce(col("m"), lit(0)).as("m"))
+        .agg(
+          sum(expr("cast(power(2, 53 - m) as decimal(38,0))")).as("hsum"),
+          sum(when(col("m") === 0, 1L).otherwise(0L)).as("zero_regs"))
+        .select(col("zero_regs"),
+          expr(s"cast(($hllEstNum) div (2570790 * hsum) as bigint)").as("est4"))
+      val exact = toks.agg(countDistinct(col("w")).as("exact_distinct"))
+      est.crossJoin(broadcast(exact))
+        .select(col("exact_distinct"), col("zero_regs"),
+          (col("est4").cast("double") / 10000.0).as("est"),
+          (expr("est4 div exact_distinct").cast("double") / 10000.0)
+            .as("ratio"))
     }))
+
+  /** HLL register index: top 32 md5 bits mod 256 (shared hex-prefix trick
+    * with CountMin — BloomSpec/CMS pin the Spark↔DuckDB agreement). */
+  private val hllReg =
+    "cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint) % 256"
+
+  /** rho = 1 + leading zeros of the 52-bit suffix x (md5 hex chars 9-21):
+    * leading zeros = 52 − length(bin(x)); x = 0 (P = 2⁻⁵²) caps at 53. */
+  private val hllRho =
+    "case when cast(conv(substring(md5(w), 9, 13), 16, 10) as bigint) = 0 then 53 " +
+      "else 53 - length(bin(cast(conv(substring(md5(w), 9, 13), 16, 10) as bigint))) end"
+
+  /** est·10⁴ numerator: alpha_256·256²·2⁵³·10⁴ as EXACT integers, with
+    * alpha_256 = 0.7213/(1 + 1.079/256) = 7213·256/2570790 — so
+    * numerator = 7213·2²⁴·10⁴·2⁵³ and denominator carries the 2570790.
+    * 2⁷⁷ is assembled by decimal multiplication of two ≤16-digit exact
+    * factors; `cast(power(2,77) as decimal)` would silently round in
+    * Spark (Double.toString keeps 17 significant digits). */
+  private val hllEstNum =
+    "cast(7213 as decimal(38,0)) * 16777216 * 10000 * 9007199254740992"
 
   val oracles: Map[String, String] = Map(
     "q_funnel" -> """
@@ -394,5 +476,36 @@ object Aggregates {
       FROM orders
       WHERE o_totalprice >
         (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / count(*) FROM orders)
-      GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_hll_registers" -> """
+      WITH t AS (SELECT CAST(l_partkey AS VARCHAR) AS w FROM lineitem),
+      h AS (SELECT CAST(('0x' || substr(md5(w), 1, 8))::BIGINT % 256 AS INT) AS reg,
+                   ('0x' || substr(md5(w), 9, 13))::BIGINT AS x
+            FROM t)
+      SELECT reg, CAST(max(CASE WHEN x = 0 THEN 53
+                                ELSE 53 - length(bin(x)) END) AS INT) AS m
+      FROM h GROUP BY reg ORDER BY reg""",
+    "q_hll_estimate" -> """
+      WITH t AS (SELECT CAST(l_partkey AS VARCHAR) AS w FROM lineitem),
+      h AS (SELECT CAST(('0x' || substr(md5(w), 1, 8))::BIGINT % 256 AS INT) AS reg,
+                   ('0x' || substr(md5(w), 9, 13))::BIGINT AS x
+            FROM t),
+      r AS (SELECT reg, max(CASE WHEN x = 0 THEN 53
+                                 ELSE 53 - length(bin(x)) END) AS m
+            FROM h GROUP BY reg),
+      grid AS (SELECT unnest(generate_series(0, 255)) AS reg),
+      filled AS (SELECT coalesce(r.m, 0) AS m
+                 FROM grid LEFT JOIN r ON grid.reg = r.reg),
+      agg AS (SELECT sum(CAST(power(2, 53 - m) AS DECIMAL(38,0))) AS hsum,
+                     CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_regs
+              FROM filled),
+      e AS (SELECT zero_regs,
+              CAST((7213::HUGEINT * 16777216 * 10000 * 9007199254740992)
+                   // (2570790::HUGEINT * CAST(hsum AS HUGEINT)) AS BIGINT) AS est4
+            FROM agg),
+      ex AS (SELECT count(DISTINCT w) AS exact_distinct FROM t)
+      SELECT exact_distinct, zero_regs,
+             CAST(est4 AS DOUBLE) / 10000.0 AS est,
+             CAST(est4 // exact_distinct AS DOUBLE) / 10000.0 AS ratio
+      FROM e CROSS JOIN ex""")
 }

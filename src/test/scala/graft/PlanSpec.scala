@@ -229,4 +229,13 @@ class PlanSpec extends SparkSuite {
       p.contains("ShuffledHashJoin FullOuter"))
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
   }
+
+  test("q_hll_registers folds map-side: partial max per register") {
+    // the HLL scale story: the exchange carries ≤256 (reg, max) pairs
+    // per task, never the value stream — partial_max must survive,
+    // and int max stays in HashAggregate (no sort-based fallback)
+    val p = plan("q_hll_registers")
+    assert(p.contains("partial_max"), "map-side register fold must survive")
+    assert(!p.contains("SortAggregate"))
+  }
 }

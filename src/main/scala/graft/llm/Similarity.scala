@@ -103,6 +103,52 @@ object Similarity {
         col("neighbor_id"), col("cosine"))
   }
 
+  /** Scalar-quantized (SQ8) codes: every dimension squeezed to one byte
+    * via per-dimension corpus min/max — the FAISS-style memory-compression
+    * path (8× smaller residency than the int64 fixed-point vectors, int8
+    * SIMD distance kernels on real hardware). The stats aggregate is ONE
+    * 64-element min/max row (a broadcast, never a shuffle of the corpus);
+    * codes are a scan-side projection. Quantization is exact integer
+    * arithmetic — `(q[i]−mn)·255 div (mx−mn)` — so codes and symmetric
+    * code-to-code L2² distances hash-match the oracle. Embeddings are
+    * unit-norm, so L2 ranking is cosine ranking and recall@k against the
+    * exact top-k measures precisely the quantization loss. */
+  private def sq8Codes(s: SparkSession, dir: String): DataFrame = {
+    val qe = Dedup.quantized(s, dir)
+    val stats = qe
+      .select(posexplode(col("q")).as(Seq("i", "v")))
+      .groupBy(col("i")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .agg(array_sort(collect_list(struct(col("i"), col("mn"), col("mx"))))
+        .as("st"))
+      .select(expr("transform(st, x -> x.mn)").as("mn"),
+        expr("transform(st, x -> x.mx)").as("mx"))
+    qe.crossJoin(broadcast(stats))
+      .select(col("vec_id"), expr(
+        """transform(sequence(0, size(q) - 1),
+          |  i -> case when mx[i] = mn[i] then cast(0 as bigint)
+          |            else (q[i] - mn[i]) * 255 div (mx[i] - mn[i]) end)"""
+          .stripMargin).as("c"))
+  }
+
+  /** Symmetric (code-to-code) top-k by SQ8 L2² — broadcast queries,
+    * codegen dot_long on the code difference, WindowGroupLimit keeps
+    * local top-k exactly like the exact brute path. */
+  private def sq8Top(s: SparkSession, dir: String, qmax: Int, k: Int): DataFrame = {
+    val codes = sq8Codes(s, dir)
+    val queriesDf = codes.filter(col("vec_id") < qmax)
+      .select(col("vec_id").as("query_id"), col("c").as("ca"))
+    val corpus = codes
+      .select(col("vec_id").as("neighbor_id"), col("c").as("cb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    corpus.join(broadcast(queriesDf), col("query_id") =!= col("neighbor_id"))
+      .withColumn("diff", expr("zip_with(ca, cb, (x, y) -> x - y)"))
+      .withColumn("dist", expr("dot_long(diff, diff)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("dist"))
+  }
+
   /** recall@k of an approximate top-k against the exact one, per
     * query id — both inputs are (query_id, neighbor_id) top-k sets. */
   private def recallOf(exact: DataFrame, approx: DataFrame, k: Int): DataFrame =
@@ -151,6 +197,20 @@ object Similarity {
         bruteTop(s, dir, qmax = 50, k = 3).select("query_id", "neighbor_id"),
         annTop(s, dir, qmax = 50, k = 3, hamming1)
           .select("query_id", "neighbor_id"),
+        k = 3)),
+
+    "q_knn_sq8" -> ((s, dir) =>
+      sq8Top(s, dir, qmax = 50, k = 3).orderBy("query_id", "rnk")),
+
+    // Quantization-loss metric: recall@3 of the int8-code ranking vs the
+    // exact cosine top-3. With q_knn_recall/_mp this completes the ANN
+    // design space the pipeline tunes: candidate CUT (IVF/LSH probes) vs
+    // memory COMPRESSION (SQ8) — orthogonal knobs a production index
+    // composes.
+    "q_knn_sq8_recall" -> ((s, dir) =>
+      recallOf(
+        bruteTop(s, dir, qmax = 50, k = 3).select("query_id", "neighbor_id"),
+        sq8Top(s, dir, qmax = 50, k = 3).select("query_id", "neighbor_id"),
         k = 3)))
 
   val oracles: Map[String, String] = Map(

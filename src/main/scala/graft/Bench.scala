@@ -39,10 +39,16 @@ object Bench {
     // windows, which a single-shot measurement cannot distinguish from
     // a plan regression. min also absorbs per-query codegen compile.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // A query that throws on ANY rep reports the sentinel -1 (never its
+    // partial wall time — a fast failure would otherwise DEFLATE the
+    // total and read as a speedup) and bumps the headline "errors"
+    // count, so a broken query is visible in the JSON instead of
+    // silently folded into the timing.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var ok = true
       val dt = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => ok = false }
         val t = (System.nanoTime() - t0) / 1e9
         // Drop every frame a query persisted before the next timing —
         // otherwise dead caches (dedup shingles, fingerprints) squat on
@@ -50,7 +56,7 @@ object Bench {
         spark.catalog.clearCache()
         t
       }.min
-      name -> dt
+      (name, if (ok) dt else -1.0, ok)
     }
     // One JSON line, but key order matters for the harness: it keeps only
     // the last ~2 KB of stdout, and at 80+ queries the per-query map alone
@@ -66,17 +72,21 @@ object Bench {
       val s = fmt(v, "%.2f").reverse.dropWhile(_ == '0').reverse
       if (s.endsWith(".")) s.dropRight(1) else s
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + compact(v) }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + compact(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // total sums only SUCCESSFUL queries (the -1 sentinels are flags,
+    // not times); errors>0 means the total is not comparable to a
+    // clean round's.
+    val errors = results.count(!_._3)
+    val total = results.collect { case (_, v, true) => v }.sum
     // sf as the directory BASENAME — identifies the scale factor while
     // keeping the one-line JSON inside the harness's 2 KB log tail.
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"queries":$qs,"sf":"$sfName","reps":$reps,"metric":"total","unit":"sec","value":${fmt(total, "%.3f")}}""")
+    println(s"""{"queries":$qs,"sf":"$sfName","reps":$reps,"errors":$errors,"metric":"total","unit":"sec","value":${fmt(total, "%.3f")}}""")
     // Second, SHORT line with just the headline fields: if the harness's
     // ~2 KB stdout tail truncates the full line above mid-JSON (possible
     // as the query count grows), this one still parses on its own.
-    println(s"""{"metric":"total","value":${fmt(total, "%.3f")},"unit":"sec","sf":"$sfName","reps":$reps}""")
+    println(s"""{"metric":"total","value":${fmt(total, "%.3f")},"unit":"sec","sf":"$sfName","reps":$reps,"errors":$errors}""")
     spark.stop()
   }
 }

@@ -16,7 +16,19 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Dev-only subset knob (comma-separated names); driver never sets it.
+    // Misspelling every name would otherwise run ZERO queries and let a
+    // dev verification pass vacuously — fail hard on an empty match,
+    // warn per unknown name on a partial one.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println("[verify] WARNING: SPARK_GRAFT_ONLY names not " +
+          s"registered: ${unknown.toSeq.sorted.mkString(",")}")
+      if ((names -- unknown).isEmpty)
+        sys.error("SPARK_GRAFT_ONLY matched zero registered queries — " +
+          "nothing would be verified")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

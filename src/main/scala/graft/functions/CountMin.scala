@@ -58,10 +58,17 @@ case class CmsSketch(
   override def createAggregationBuffer(): Array[Long] =
     new Array[Long](depth * width)
 
+  /** One digest instance per deserialized aggregate copy (= per task):
+    * `digest()` leaves the instance reset, and update()/merge() run
+    * single-threaded against their buffer, so reuse is safe — vs the
+    * previous per-row-per-depth `getInstance` (4 allocations/row,
+    * ~108M at the 100× probe's 27M tokens, and BASELINE.md already
+    * names the md5 update as the dominant sketch-build cost). */
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
+
   /** First 8 md5 hex digits of "d:s" as an unsigned 32-bit value —
     * the cross-engine-computable row hash (see class doc). */
   private def cell(d: Int, s: String): Int = {
-    val md = MessageDigest.getInstance("MD5")
     val h = md.digest(s"$d:$s".getBytes(StandardCharsets.UTF_8))
     val u = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
       ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)

@@ -107,22 +107,28 @@ object Similarity {
     * via per-dimension corpus min/max — the FAISS-style memory-compression
     * path (8× smaller residency than the int64 fixed-point vectors, int8
     * SIMD distance kernels on real hardware). The stats aggregate is ONE
-    * 64-element min/max row (a broadcast, never a shuffle of the corpus);
-    * codes are a scan-side projection. Quantization is exact integer
-    * arithmetic — `(q[i]−mn)·255 div (mx−mn)` — so codes and symmetric
-    * code-to-code L2² distances hash-match the oracle. Embeddings are
-    * unit-norm, so L2 ranking is cosine ranking and recall@k against the
-    * exact top-k measures precisely the quantization loss. */
+    * 64-element min/max row: it is collected to the driver (2×64 longs —
+    * the K-row Clustering-centroid pattern, not a data collect) and
+    * re-embedded as array literals, so the codes projection is pure
+    * scan-side. The r6 plan kept stats as a broadcast cross-join and
+    * Catalyst planned the whole posexplode→agg subtree once per consumer
+    * branch of [[sq8Top]] (no ReusedExchange) — the literal form runs it
+    * exactly once. Quantization is exact integer arithmetic —
+    * `(q[i]−mn)·255 div (mx−mn)` — so codes and symmetric code-to-code
+    * L2² distances hash-match the oracle. Embeddings are unit-norm, so
+    * L2 ranking is cosine ranking and recall@k against the exact top-k
+    * measures precisely the quantization loss. */
   private def sq8Codes(s: SparkSession, dir: String): DataFrame = {
     val qe = Dedup.quantized(s, dir)
-    val stats = qe
+    val st = qe
       .select(posexplode(col("q")).as(Seq("i", "v")))
       .groupBy(col("i")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
-      .agg(array_sort(collect_list(struct(col("i"), col("mn"), col("mx"))))
-        .as("st"))
-      .select(expr("transform(st, x -> x.mn)").as("mn"),
-        expr("transform(st, x -> x.mx)").as("mx"))
-    qe.crossJoin(broadcast(stats))
+      .orderBy(col("i")).collect()
+    val mns = st.map(_.getLong(1)).mkString(",")
+    val mxs = st.map(_.getLong(2)).mkString(",")
+    qe
+      .withColumn("mn", expr(s"cast(array($mns) as array<bigint>)"))
+      .withColumn("mx", expr(s"cast(array($mxs) as array<bigint>)"))
       .select(col("vec_id"), expr(
         """transform(sequence(0, size(q) - 1),
           |  i -> case when mx[i] = mn[i] then cast(0 as bigint)
@@ -228,7 +234,61 @@ object Similarity {
     "q_knn_ann" -> annSql(multi = false),
     "q_knn_ann_mp" -> annSql(multi = true),
     "q_knn_recall" -> recallSql(multi = false),
-    "q_knn_recall_mp" -> recallSql(multi = true))
+    "q_knn_recall_mp" -> recallSql(multi = true),
+    "q_knn_sq8" -> ("WITH " + Dedup.QE + "," + sq8Cte + s""",
+      pairs AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                  a.c AS ca, b.c AS cb
+                FROM codes a JOIN codes b ON a.vec_id < 50 AND a.vec_id <> b.vec_id),
+      d AS (SELECT query_id, neighbor_id, $sq8Dist AS dist FROM pairs),
+      rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS INT) AS rnk
+             FROM d)
+      SELECT query_id, rnk, neighbor_id, dist FROM rk WHERE rnk <= 3
+      ORDER BY query_id, rnk"""),
+    "q_knn_sq8_recall" -> ("WITH " + Dedup.QE + "," + sq8Cte + s""",
+      bp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+             FROM qn a JOIN qn b ON a.vec_id < 50 AND a.vec_id <> b.vec_id),
+      bcos AS (SELECT query_id, neighbor_id,
+                 round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+               FROM bp),
+      brk AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM bcos),
+      brute AS (SELECT query_id, neighbor_id FROM brk WHERE rnk <= 3),
+      ap AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                a.c AS ca, b.c AS cb
+             FROM codes a JOIN codes b ON a.vec_id < 50 AND a.vec_id <> b.vec_id),
+      ad AS (SELECT query_id, neighbor_id, $sq8Dist AS dist FROM ap),
+      ark AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rnk
+              FROM ad),
+      sq8 AS (SELECT query_id, neighbor_id FROM ark WHERE rnk <= 3)
+      SELECT b.query_id,
+             round(CAST(count(a.neighbor_id) AS DOUBLE) / 3.0, 4) AS recall_at_3
+      FROM brute b LEFT JOIN sq8 a
+        ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+      GROUP BY b.query_id ORDER BY b.query_id"""))
+
+  /** DuckDB twin of [[sq8Codes]]: same per-dimension min/max stats over
+    * the quantized corpus and the same all-BIGINT `(q−mn)*255 // (mx−mn)`
+    * quantization — DuckDB's `//` on BIGINT operands is exact integer
+    * floor division (numerator ≥ 0 here, so floor == Spark's truncating
+    * `div`); the DECIMAL `//` double-backing trap (Aggregates.scala HLL
+    * lesson) never arises because no DECIMAL appears. */
+  private lazy val sq8Cte = """
+      dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+      st AS (SELECT i, min(q[i]) AS mn, max(q[i]) AS mx FROM qn, dims GROUP BY i),
+      stats AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM st),
+      codes AS (SELECT vec_id,
+          list_transform(generate_series(1, len(q)),
+            i -> CASE WHEN mxs[i] = mns[i] THEN CAST(0 AS BIGINT)
+                      ELSE (q[i] - mns[i]) * 255 // (mxs[i] - mns[i]) END) AS c
+        FROM qn, stats)"""
+
+  /** Symmetric SQ8 L2²: twin of `dot_long(diff, diff)` over the
+    * zip_with code difference. */
+  private lazy val sq8Dist =
+    "CAST(list_sum(list_transform(generate_series(1, len(ca)), i -> (ca[i] - cb[i]) * (ca[i] - cb[i]))) AS BIGINT)"
 
   /** DuckDB twin of the probe condition: own cell, or every Hamming-1
     * sign-flip cell too (xor is DuckDB's bitwise xor). */

@@ -212,7 +212,16 @@ object TextAnalysis {
     // each token's -ln(c/N) is one ln over the same exact-integer
     // ratio in both engines, rounded to 6 dp BEFORE the sum, and the
     // sum runs in DECIMAL(38,6) — order-independent, so the partial
-    // aggregation order can't move the hash.
+    // aggregation order can't move the hash. ACCEPTED RESIDUAL RISK
+    // (same discipline as the HLL estimate note, Aggregates.scala):
+    // the 6-dp round runs on a RAW DOUBLE ln() — Spark rounds via
+    // BigDecimal(Double.toString) HALF_UP, DuckDB via C round(), and
+    // ln() itself is not exactly-rounded, so a (c, N) pair whose ln
+    // lands within an ULP of a 5e-7 boundary could round apart and
+    // flip one token's 6th decimal. No exact-integer derivation
+    // exists for a transcendental; sf0.001–sf0.1 pass — if a larger
+    // SF ever goes red HERE first, suspect this boundary, not the
+    // join/aggregation pipeline.
     "q_doc_surprisal" -> ((s, dir) => {
       val toks = Tables(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))

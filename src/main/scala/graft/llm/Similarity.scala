@@ -118,14 +118,15 @@ object Similarity {
     * L2² distances hash-match the oracle. Embeddings are unit-norm, so
     * L2 ranking is cosine ranking and recall@k against the exact top-k
     * measures precisely the quantization loss. */
-  private def sq8Codes(s: SparkSession, dir: String): DataFrame = {
-    val qe = Dedup.quantized(s, dir)
-    val st = qe
+  private def sq8Stats(s: SparkSession, dir: String): (String, String) = {
+    val st = Dedup.quantized(s, dir)
       .select(posexplode(col("q")).as(Seq("i", "v")))
       .groupBy(col("i")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
       .orderBy(col("i")).collect()
-    val mns = st.map(_.getLong(1)).mkString(",")
-    val mxs = st.map(_.getLong(2)).mkString(",")
+    (st.map(_.getLong(1)).mkString(","), st.map(_.getLong(2)).mkString(","))
+  }
+
+  private def sq8CodesFrom(qe: DataFrame, mns: String, mxs: String): DataFrame =
     qe
       .withColumn("mn", expr(s"cast(array($mns) as array<bigint>)"))
       .withColumn("mx", expr(s"cast(array($mxs) as array<bigint>)"))
@@ -134,6 +135,10 @@ object Similarity {
           |  i -> case when mx[i] = mn[i] then cast(0 as bigint)
           |            else (q[i] - mn[i]) * 255 div (mx[i] - mn[i]) end)"""
           .stripMargin).as("c"))
+
+  private def sq8Codes(s: SparkSession, dir: String): DataFrame = {
+    val (mns, mxs) = sq8Stats(s, dir)
+    sq8CodesFrom(Dedup.quantized(s, dir), mns, mxs)
   }
 
   /** Symmetric (code-to-code) top-k by SQ8 L2² — broadcast queries,
@@ -149,6 +154,44 @@ object Similarity {
       .orderBy(col("dist").asc, col("neighbor_id").asc)
     corpus.join(broadcast(queriesDf), col("query_id") =!= col("neighbor_id"))
       .withColumn("diff", expr("zip_with(ca, cb, (x, y) -> x - y)"))
+      .withColumn("dist", expr("dot_long(diff, diff)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("dist"))
+  }
+
+  /** Asymmetric (ADC) top-k: full-precision QUERY against the int8-coded
+    * CORPUS — the production default (FAISS composes exactly this with
+    * IVF: only the corpus, which dominates memory, pays the 8×
+    * compression; the handful of live queries keep full resolution, so
+    * ranking loss is roughly half the symmetric code-to-code path that
+    * [[sq8Top]] measures). Exact integer arithmetic: the dequantized
+    * code value mn[i] + c[i]·(mx[i]−mn[i])/255 is fractional, so both
+    * sides are scaled by 255 — query side da[i] = (q[i]−mn[i])·255,
+    * corpus side db[i] = c[i]·(mx[i]−mn[i]) — and dist is the
+    * 255²-scaled L2², a pure BIGINT sum (≤ 64·(2·10⁴·255)² ≈ 1.7·10¹⁵,
+    * far inside long range), hash-exact against the DuckDB twin. Both
+    * projections are scan-side: the corpus carries codes, the 64-long
+    * rescale happens per-distance exactly as a production kernel (or
+    * its per-dim LUT) would. */
+  private def sq8AdcTop(s: SparkSession, dir: String, qmax: Int, k: Int): DataFrame = {
+    val (mns, mxs) = sq8Stats(s, dir)
+    val qe = Dedup.quantized(s, dir)
+    val queriesDf = qe.filter(col("vec_id") < qmax)
+      .withColumn("mn", expr(s"cast(array($mns) as array<bigint>)"))
+      .select(col("vec_id").as("query_id"),
+        expr("transform(sequence(0, size(q) - 1), i -> (q[i] - mn[i]) * 255)")
+          .as("da"))
+    val corpus = sq8CodesFrom(qe, mns, mxs)
+      .withColumn("mn", expr(s"cast(array($mns) as array<bigint>)"))
+      .withColumn("mx", expr(s"cast(array($mxs) as array<bigint>)"))
+      .select(col("vec_id").as("neighbor_id"),
+        expr("transform(sequence(0, size(c) - 1), i -> c[i] * (mx[i] - mn[i]))")
+          .as("db"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    corpus.join(broadcast(queriesDf), col("query_id") =!= col("neighbor_id"))
+      .withColumn("diff", expr("zip_with(da, db, (x, y) -> x - y)"))
       .withColumn("dist", expr("dot_long(diff, diff)"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -217,6 +260,19 @@ object Similarity {
       recallOf(
         bruteTop(s, dir, qmax = 50, k = 3).select("query_id", "neighbor_id"),
         sq8Top(s, dir, qmax = 50, k = 3).select("query_id", "neighbor_id"),
+        k = 3)),
+
+    "q_knn_sq8_adc" -> ((s, dir) =>
+      sq8AdcTop(s, dir, qmax = 50, k = 3).orderBy("query_id", "rnk")),
+
+    // ADC quality metric: recall@3 of asymmetric (full-precision query
+    // vs coded corpus) ranking against the exact cosine top-3 — read
+    // next to q_knn_sq8_recall it measures how much ranking quality the
+    // asymmetric kernel buys back at the same 8× corpus compression.
+    "q_knn_sq8_adc_recall" -> ((s, dir) =>
+      recallOf(
+        bruteTop(s, dir, qmax = 50, k = 3).select("query_id", "neighbor_id"),
+        sq8AdcTop(s, dir, qmax = 50, k = 3).select("query_id", "neighbor_id"),
         k = 3)))
 
   val oracles: Map[String, String] = Map(
@@ -267,6 +323,39 @@ object Similarity {
              round(CAST(count(a.neighbor_id) AS DOUBLE) / 3.0, 4) AS recall_at_3
       FROM brute b LEFT JOIN sq8 a
         ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+      GROUP BY b.query_id ORDER BY b.query_id"""),
+    "q_knn_sq8_adc" -> ("WITH " + Dedup.QE + "," + sq8Cte + s""",
+      d AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+              $adcDist AS dist
+            FROM qn a, codes b, stats
+            WHERE a.vec_id < 50 AND a.vec_id <> b.vec_id),
+      rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS INT) AS rnk
+             FROM d)
+      SELECT query_id, rnk, neighbor_id, dist FROM rk WHERE rnk <= 3
+      ORDER BY query_id, rnk"""),
+    "q_knn_sq8_adc_recall" -> ("WITH " + Dedup.QE + "," + sq8Cte + s""",
+      bp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+             FROM qn a JOIN qn b ON a.vec_id < 50 AND a.vec_id <> b.vec_id),
+      bcos AS (SELECT query_id, neighbor_id,
+                 round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+               FROM bp),
+      brk AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM bcos),
+      brute AS (SELECT query_id, neighbor_id FROM brk WHERE rnk <= 3),
+      ad AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               $adcDist AS dist
+             FROM qn a, codes b, stats
+             WHERE a.vec_id < 50 AND a.vec_id <> b.vec_id),
+      ark AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rnk
+              FROM ad),
+      adc AS (SELECT query_id, neighbor_id FROM ark WHERE rnk <= 3)
+      SELECT b.query_id,
+             round(CAST(count(a.neighbor_id) AS DOUBLE) / 3.0, 4) AS recall_at_3
+      FROM brute b LEFT JOIN adc a
+        ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
       GROUP BY b.query_id ORDER BY b.query_id"""))
 
   /** DuckDB twin of [[sq8Codes]]: same per-dimension min/max stats over
@@ -289,6 +378,14 @@ object Similarity {
     * zip_with code difference. */
   private lazy val sq8Dist =
     "CAST(list_sum(list_transform(generate_series(1, len(ca)), i -> (ca[i] - cb[i]) * (ca[i] - cb[i]))) AS BIGINT)"
+
+  /** Asymmetric (ADC) 255²-scaled L2²: twin of [[sq8AdcTop]]'s
+    * `(q[i]−mn[i])·255 − c[i]·(mx[i]−mn[i])` squared-sum — all-BIGINT,
+    * `stats` (mns/mxs lists) in scope from [[sq8Cte]]. */
+  private lazy val adcDist =
+    "CAST(list_sum(list_transform(generate_series(1, len(b.c)), i -> " +
+      "((a.q[i] - mns[i]) * 255 - b.c[i] * (mxs[i] - mns[i])) * " +
+      "((a.q[i] - mns[i]) * 255 - b.c[i] * (mxs[i] - mns[i])))) AS BIGINT)"
 
   /** DuckDB twin of the probe condition: own cell, or every Hamming-1
     * sign-flip cell too (xor is DuckDB's bitwise xor). */

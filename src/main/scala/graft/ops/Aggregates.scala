@@ -329,12 +329,71 @@ object Aggregates {
           (col("est4").cast("double") / 10000.0).as("est"),
           (expr("est4 div exact_distinct").cast("double") / 10000.0)
             .as("ratio"))
+    }),
+
+    // HLL register-count tuning row: the estimate at m = 64/256/1024
+    // from ONE register build — the error-vs-exchange-size trade a
+    // pipeline tunes against (same pattern as q_knn_recall for nprobe).
+    // Because 64 | 256 | 1024, register j at a smaller m is EXACTLY
+    // reg₁₀₂₄ mod m ((x mod 1024) mod m = x mod m) and max-of-max
+    // folds the registers — the same mergeability that carries the
+    // sketch across the 100 TB exchange carries it across register
+    // granularities, so ONE register build feeds all three rows. Per-m
+    // alpha stays exact-integer: alpha₆₄ = 709/1000 (the paper's small-m
+    // constant), alpha_m = 7213·m/(10000·(m+1.079)) for m ≥ 128 — each
+    // numerator is assembled by integer multiplication (never
+    // cast(power()) — the q_hll_estimate Double.toString lesson).
+    "q_hll_tuning" -> ((s, dir) => {
+      import s.implicits._
+      val toks = Tables(s, dir, "lineitem")
+        .select(col("l_partkey").cast("string").as("w"))
+      // The m=1024 register vector IS the whole sketch — ≤1024 (reg, rh)
+      // rows whatever the data scale — so it is built once and collected
+      // (the Clustering K-row pattern). Keeping it lazy instead triples
+      // the lineitem scan: a union's arms re-plan a shared subtree with
+      // fresh attribute IDs and neither ReuseExchange nor AQE stage
+      // reuse dedupes them (verified on the executed plan).
+      val regs1024 = toks
+        .select(expr(s"cast(${hllRegAt(1024)} as int)").as("reg"),
+          expr(s"cast($hllRho as int)").as("rho"))
+        .groupBy(col("reg")).agg(max(col("rho")).as("rh"))
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+        .toDF("reg", "rh")
+      def estRow(m: Int, aNum: String, aDen: String) = {
+        val folded = regs1024.groupBy((col("reg") % m).as("reg"))
+          .agg(max(col("rh")).as("rh"))
+        val grid = s.range(0, m).select(col("id").cast("int").as("reg"))
+        grid.join(folded, Seq("reg"), "left")
+          .select(coalesce(col("rh"), lit(0)).as("rh"))
+          .agg(
+            sum(expr("cast(power(2, 53 - rh) as decimal(38,0))")).as("hsum"),
+            sum(when(col("rh") === 0, 1L).otherwise(0L)).as("zero_regs"))
+          .select(lit(m).as("m"), col("zero_regs"),
+            expr(s"cast(($aNum) div ($aDen * hsum) as bigint)").as("est4"))
+      }
+      val rows = estRow(64,
+          "cast(709 as decimal(38,0)) * 4096 * 10000 * 9007199254740992",
+          "1000")
+        .unionByName(estRow(256, hllEstNum, "2570790"))
+        .unionByName(estRow(1024,
+          "cast(7213 as decimal(38,0)) * 1073741824 * 10000 * 9007199254740992",
+          "10250790"))
+      val exact = toks.agg(countDistinct(col("w")).as("exact_distinct"))
+      rows.crossJoin(broadcast(exact))
+        .select(col("m"), col("exact_distinct"), col("zero_regs"),
+          (col("est4").cast("double") / 10000.0).as("est"),
+          (expr("est4 div exact_distinct").cast("double") / 10000.0)
+            .as("ratio"))
+        .orderBy("m")
     }))
 
-  /** HLL register index: top 32 md5 bits mod 256 (shared hex-prefix trick
-    * with CountMin — BloomSpec/CMS pin the Spark↔DuckDB agreement). */
-  private val hllReg =
-    "cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint) % 256"
+  /** HLL register index at m registers: top 32 md5 bits mod m (shared
+    * hex-prefix trick with CountMin — BloomSpec/CMS pin the Spark↔DuckDB
+    * agreement). */
+  private def hllRegAt(m: Int): String =
+    s"cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint) % $m"
+
+  private val hllReg = hllRegAt(256)
 
   /** rho = 1 + leading zeros of the 52-bit suffix x (md5 hex chars 9-21):
     * leading zeros = 52 − length(bin(x)); x = 0 (P = 2⁻⁵²) caps at 53. */
@@ -507,5 +566,37 @@ object Aggregates {
       SELECT exact_distinct, zero_regs,
              CAST(est4 AS DOUBLE) / 10000.0 AS est,
              CAST(est4 // exact_distinct AS DOUBLE) / 10000.0 AS ratio
-      FROM e CROSS JOIN ex""")
+      FROM e CROSS JOIN ex""",
+    // Per-m twin of q_hll_tuning: register index recomputed directly as
+    // hb % m (identical to folding — (x mod 1024) mod m = x mod m);
+    // HUGEINT division mirrors the Spark decimal `div` exactly.
+    "q_hll_tuning" -> {
+      def block(m: Int, num: String, den: String) = s"""
+      r$m AS (SELECT CAST(hb % $m AS INT) AS reg, max(rho) AS rh FROM hr GROUP BY 1),
+      g$m AS (SELECT CAST(unnest(generate_series(0, ${m - 1})) AS INT) AS reg),
+      f$m AS (SELECT coalesce(rh, 0) AS rh FROM g$m LEFT JOIN r$m ON g$m.reg = r$m.reg),
+      a$m AS (SELECT sum(CAST(power(2, 53 - rh) AS DECIMAL(38,0))) AS hsum,
+                     CAST(sum(CASE WHEN rh = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_regs
+              FROM f$m),
+      e$m AS (SELECT $m AS m, zero_regs,
+                CAST(($num) // ($den * CAST(hsum AS HUGEINT)) AS BIGINT) AS est4
+              FROM a$m)"""
+      s"""
+      WITH t AS (SELECT CAST(l_partkey AS VARCHAR) AS w FROM lineitem),
+      h AS (SELECT ('0x' || substr(md5(w), 1, 8))::BIGINT AS hb,
+                   ('0x' || substr(md5(w), 9, 13))::BIGINT AS x
+            FROM t),
+      hr AS (SELECT hb, CASE WHEN x = 0 THEN 53
+                             ELSE 53 - length(bin(x)) END AS rho
+             FROM h),
+      ex AS (SELECT count(DISTINCT w) AS exact_distinct FROM t),
+      ${block(64, "709::HUGEINT * 4096 * 10000 * 9007199254740992", "1000::HUGEINT")},
+      ${block(256, "7213::HUGEINT * 16777216 * 10000 * 9007199254740992", "2570790::HUGEINT")},
+      ${block(1024, "7213::HUGEINT * 1073741824 * 10000 * 9007199254740992", "10250790::HUGEINT")},
+      u AS (SELECT * FROM e64 UNION ALL SELECT * FROM e256 UNION ALL SELECT * FROM e1024)
+      SELECT m, exact_distinct, zero_regs,
+             CAST(est4 AS DOUBLE) / 10000.0 AS est,
+             CAST(est4 // exact_distinct AS DOUBLE) / 10000.0 AS ratio
+      FROM u CROSS JOIN ex ORDER BY m"""
+    })
 }

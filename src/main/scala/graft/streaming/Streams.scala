@@ -237,6 +237,21 @@ object Streams {
         col("p_ts"), col("c_ts"))
   }
 
+  /** Streaming sketch fold: the CountMin aggregate
+    * ([[graft.functions.CountMin]], a mergeable TypedImperativeAggregate)
+    * as a keyed streaming aggregation. Each micro-batch folds its tokens
+    * into the per-key sketch buffer held in the state store — the same
+    * partial/merge path the batch exchange exercises, which is exactly
+    * why mergeable sketches are what incremental execution wants: state
+    * per key is the constant 8·depth·width-byte buffer, never the token
+    * stream, and the emitted sketch after any prefix of batches equals
+    * the batch sketch over the same rows (StreamsSpec pins this).
+    * Requires [[graft.functions.GraftFunctions.register]] (or the
+    * session extensions) so `cms_sketch` resolves. */
+  def streamingCms(tokens: DataFrame, depth: Int = 4, width: Int = 64): DataFrame =
+    tokens.groupBy(col("k"))
+      .agg(expr(s"cms_sketch(w, $depth, $width)").as("sk"))
+
   /** Custom state: running per-user event counts via
     * mapGroupsWithState (the reference Reduce's stateful streaming
     * analog — arbitrary per-key state the built-ins can't express). */

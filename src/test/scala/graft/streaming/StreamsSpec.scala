@@ -202,6 +202,30 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streamed cms_sketch equals the batch sketch over the same tokens") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    // two micro-batches of (key, token) — overlapping tokens across
+    // batches so the state-store merge path actually combines counts
+    val b1 = Seq("a" -> "x", "a" -> "y", "a" -> "x", "b" -> "z")
+    val b2 = Seq("a" -> "x", "b" -> "z", "b" -> "w", "a" -> "q")
+    val in = MemoryStream[(String, String)]
+    val q = Streams.streamingCms(in.toDF().toDF("k", "w"))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("cms_stream")
+        .as[(String, Seq[Long])].collect().toMap
+      val batch = Streams.streamingCms((b1 ++ b2).toDF("k", "w"))
+        .as[(String, Seq[Long])].collect().toMap
+      assert(streamed === batch)
+      // and the sketch is non-trivial: key a saw 5 tokens
+      assert(streamed("a").sum === 4L * 5) // depth rows × 5 tokens each
+    } finally q.stop()
+  }
+
   test("runningUserCounts keeps per-key state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long)]

@@ -33,7 +33,12 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Dev-only section filter (comma list: cc,range,bigstar,cms,outlier,
+    // fuzzy); unset = run everything, as BASELINE.md's tables expect.
+    val sections = sys.env.get("SPARK_GRAFT_PROBES").map(_.split(",").toSet)
+    def want(s: String): Boolean = sections.forall(_.contains(s))
 
+    if (want("cc")) {
     // Real near-dup pairs once; the probe times ONLY the CC loop.
     val pairs = SparkEntry.queries("q_dedup_jaccard")(spark, sfDir)
       .select(col("d1"), col("d2"))
@@ -69,7 +74,9 @@ object ScaleProbe {
     timed("100x", 100)
     timed("1000x", 1000)
     pairs.unpersist(false)
+    }
 
+    if (want("range")) {
     // Range-join probe: same per-user event density, N× the users —
     // output and work should both scale linearly with N.
     val ev = graft.Tables.events(spark, sfDir)
@@ -109,7 +116,9 @@ object ScaleProbe {
     timedRange("10x", 10)
     timedRange("100x", 100)
     ev.unpersist(false)
+    }
 
+    if (want("bigstar")) {
     // Adversarial-topology CC probe: a single path of N nodes (diameter
     // N-1) — min-label propagation would need N-1 rounds; big-star
     // needs O(log²). Built with spark.range: no driver-side data.
@@ -124,7 +133,9 @@ object ScaleProbe {
     }
     timedPath(10000L)
     timedPath(1000000L)
+    }
 
+    if (want("cms"))
     // CMS sketch-build probe: N× the token stream through the
     // mergeable aggregate (functions/CountMin.scala). Build cost must
     // scale linearly in tokens while the shuffle payload stays ONE
@@ -154,6 +165,7 @@ object ScaleProbe {
       toks.unpersist(false)
     }
 
+    if (want("outlier"))
     // Embedding-outlier probe: N× the vectors (vec_id shifted per
     // replica, labels preserved so per-label n grows ×N). The 64-sum
     // aggregate, broadcast, and WindowGroupLimit top-3 must all stay
@@ -194,6 +206,44 @@ object ScaleProbe {
       timedOutlier(10)
       timedOutlier(100)
       qe.unpersist(false)
+    }
+    if (want("fuzzy"))
+    // Fuzzy-join probe: plain |block|² blocking vs the PassJoin
+    // segment level (Joins.fuzzyPairs / fuzzyPairsSegmented) under two
+    // growth regimes. fuzzy_*_Nx: N× the parts with per-replica BRANDS
+    // (block count ×N, block size constant) — both plans must scale
+    // ~linearly, pinning the Σ|block|² claim. fuzzy_*_hotNx: N× with
+    // brands KEPT (every block grows ×N) — the plain join goes
+    // quadratic by design; the segmented level must grow far slower
+    // (per-key segment buckets cap candidates), which is the whole
+    // reason the second level exists.
+    locally {
+      val part = graft.Tables(spark, sfDir, "part")
+        .select(col("p_brand"), col("p_partkey"), col("p_name")).persist()
+      val nPart = part.count()
+      val keyStride = part.agg(max(col("p_partkey"))).head.getLong(0) + 1L
+      def scaledPart(mult: Int, hot: Boolean) = part
+        .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
+          col("p_brand"), col("p_partkey"), col("p_name"))
+        .select(
+          (if (hot) col("p_brand")
+           else concat(col("p_brand"), lit("~"), col("i"))).as("p_brand"),
+          (col("p_partkey") + col("i") * lit(keyStride)).as("p_partkey"),
+          col("p_name"))
+      def timedFuzzy(label: String, mult: Int, hot: Boolean,
+          fn: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val n = fn(scaledPart(mult, hot)).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"$label","parts":${nPart * mult},"pairs":$n,"sec":$dt%.2f}""")
+      }
+      timedFuzzy("fuzzy_plain_1x", 1, hot = false, graft.ops.Joins.fuzzyPairs)
+      timedFuzzy("fuzzy_plain_10x", 10, hot = false, graft.ops.Joins.fuzzyPairs)
+      timedFuzzy("fuzzy_seg_1x", 1, hot = false, graft.ops.Joins.fuzzyPairsSegmented)
+      timedFuzzy("fuzzy_seg_10x", 10, hot = false, graft.ops.Joins.fuzzyPairsSegmented)
+      timedFuzzy("fuzzy_plain_hot10x", 10, hot = true, graft.ops.Joins.fuzzyPairs)
+      timedFuzzy("fuzzy_seg_hot10x", 10, hot = true, graft.ops.Joins.fuzzyPairsSegmented)
+      part.unpersist(false)
     }
     spark.stop()
   }

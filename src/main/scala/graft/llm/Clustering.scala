@@ -41,8 +41,9 @@ object Clustering {
 
   /** Assignment projection against an arbitrary K-centroid matrix:
     * K `dot_long` columns + lowest-id argmin + min distance — all
-    * scan-side, no shuffle. */
-  private def assign(qe: org.apache.spark.sql.DataFrame,
+    * scan-side, no shuffle. (private[llm]: [[Similarity]]'s IVF path
+    * trains its coarse quantizer through this.) */
+  private[llm] def assign(qe: org.apache.spark.sql.DataFrame,
       cents: Seq[Seq[Long]]): org.apache.spark.sql.DataFrame = {
     val k = cents.size
     val withD = cents.zipWithIndex.foldLeft(qe) { case (df, (c, i)) =>
@@ -149,6 +150,20 @@ object Clustering {
         .select(col("label"), col("rn"), col("vec_id"), col("score"))
         .orderBy("label", "rn")
     }))
+
+  /** DuckDB twin of [[assign]] on the SEED centroids, as reusable CTEs
+    * `ivd`/`iva` over `qn` — the IVF oracle in [[Similarity]] trains
+    * its cells from exactly this assignment. */
+  private[llm] lazy val assignCtes: String = s"""
+      ivd AS (SELECT vec_id, q, norm,
+                ${(0 to 3).map(k =>
+                  s"norm - 2 * ${dotC(k)} + ${cNormSq(k)} AS d$k").mkString(", ")}
+              FROM qn),
+      iva AS (SELECT vec_id, q, norm,
+                CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+                     WHEN d1 <= d2 AND d1 <= d3 THEN 1
+                     WHEN d2 <= d3 THEN 2 ELSE 3 END AS cluster
+              FROM ivd)"""
 
   /** DuckDB dot product against centroid k's literal (1-based lists). */
   private def dotC(k: Int): String = {

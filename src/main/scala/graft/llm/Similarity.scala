@@ -198,6 +198,77 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("dist"))
   }
 
+  /** TRAINED-quantizer IVF cells: every vector assigned to the nearest
+    * of K=4 centroids refined by one exact Lloyd update from
+    * [[Clustering.centroids]] — the learned replacement for the
+    * data-independent SRP hyperplanes of [[annTop]] (the
+    * assign→sum→literalize round-trip is [[Clustering.lloyd]]'s, K×65
+    * ints through the driver, never data). The refined centroid is
+    * kept as the exact pair (n_k, s_k = Σv) — NO division, so the
+    * assignment stays cross-engine hash-exact: argmin_k |v − s_k/n_k|²
+    * via the cross-multiplied integer comparison
+    * n_j²·(|s_k|² − 2·n_k·v·s_k) ≤ n_k²·(|s_j|² − 2·n_j·v·s_j)
+    * (the |v|² term cancels). DECIMAL(38,0) here, HUGEINT in the twin:
+    * |n²·u| ≲ 10²² at sf0.1 — at ~10⁹-row corpora the n⁴-scaled
+    * products pass 10³⁸, where you renormalize s_k (gcd or a shared
+    * shift) exactly as the inertia comment in Clustering prescribes. */
+  private def ivfCells(s: SparkSession, dir: String): DataFrame = {
+    val qe = Dedup.quantized(s, dir)
+    val dims = 0 until 64
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      dims.map(i => sum(expr(s"q[$i]")).as(s"s$i"))
+    val byK = Clustering.assign(qe, Clustering.centroids.map(_.map(_.toLong)))
+      .groupBy(col("cluster")).agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getAs[Int]("cluster") -> r).toMap
+    require(byK.size == 4, s"IVF training: ${byK.size} of 4 cells non-empty")
+    val parts = (0 to 3).map { k =>
+      val r = byK(k)
+      val n = r.getAs[Long]("n")
+      val sv = dims.map(d => r.getAs[Long](s"s$d"))
+      val s2 = sv.map(v => BigInt(v) * BigInt(v)).sum
+      (n, sv, s2)
+    }
+    val withU = parts.zipWithIndex.foldLeft(qe) { case (df, ((n, sv, s2), k)) =>
+      df.withColumn(s"u$k",
+        expr(s"cast('$s2' as decimal(38,0)) - 2 * $n * " +
+          s"cast(dot_long(q, cast(array(${sv.mkString(",")}) as array<bigint>)) as decimal(38,0))"))
+    }
+    def cond(k: Int, j: Int): String = {
+      val (nk, nj) = (parts(k)._1, parts(j)._1)
+      s"cast($nj as decimal(38,0)) * $nj * u$k <= cast($nk as decimal(38,0)) * $nk * u$j"
+    }
+    val argmin = (0 to 3).map(k =>
+        ((0 to 3).filter(_ != k).map(j => cond(k, j)) :+ "true")
+          .mkString(" AND "))
+      .zipWithIndex.map { case (c, k) => s"WHEN $c THEN $k" }
+      .mkString("CASE ", " ", " END")
+    withU.withColumn("cell", expr(argmin))
+      .select(col("vec_id"), col("q"), col("norm"), col("cell"))
+  }
+
+  /** IVF top-k: queries probe their own trained cell (nprobe = 1), the
+    * candidate join is a plain cell equality — same shuffle shape as
+    * [[annTop]], but the cells track the data distribution instead of
+    * fixed hyperplanes. */
+  private def ivfTop(s: SparkSession, dir: String, qmax: Int, k: Int): DataFrame = {
+    val cells = ivfCells(s, dir)
+    val queriesDf = cells.filter(col("vec_id") < qmax)
+      .select(col("vec_id").as("query_id"), col("cell"),
+        col("q").as("qa"), col("norm").as("na"))
+    val corpus = cells.select(col("vec_id").as("neighbor_id"),
+      col("cell").as("ncell"), col("q").as("qb"), col("norm").as("nb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    queriesDf.join(corpus, col("cell") === col("ncell") &&
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", expr(Dedup.dotExpr))
+      .withColumn("cosine", Dedup.cosine())
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cell"), col("rnk"),
+        col("neighbor_id"), col("cosine"))
+  }
+
   /** recall@k of an approximate top-k against the exact one, per
     * query id — both inputs are (query_id, neighbor_id) top-k sets. */
   private def recallOf(exact: DataFrame, approx: DataFrame, k: Int): DataFrame =
@@ -265,6 +336,19 @@ object Similarity {
     "q_knn_sq8_adc" -> ((s, dir) =>
       sq8AdcTop(s, dir, qmax = 50, k = 3).orderBy("query_id", "rnk")),
 
+    "q_knn_ivf" -> ((s, dir) =>
+      ivfTop(s, dir, qmax = 50, k = 3).orderBy("query_id", "rnk")),
+
+    // IVF quality metric: recall@3 of the trained-cell candidate cut vs
+    // the exact top-3 — read against q_knn_recall (the untrained SRP
+    // cells at the same nprobe = 1) it measures what TRAINING the
+    // quantizer buys at the same candidate budget.
+    "q_knn_ivf_recall" -> ((s, dir) =>
+      recallOf(
+        bruteTop(s, dir, qmax = 50, k = 3).select("query_id", "neighbor_id"),
+        ivfTop(s, dir, qmax = 50, k = 3).select("query_id", "neighbor_id"),
+        k = 3)),
+
     // ADC quality metric: recall@3 of asymmetric (full-precision query
     // vs coded corpus) ranking against the exact cosine top-3 — read
     // next to q_knn_sq8_recall it measures how much ranking quality the
@@ -322,6 +406,45 @@ object Similarity {
       SELECT b.query_id,
              round(CAST(count(a.neighbor_id) AS DOUBLE) / 3.0, 4) AS recall_at_3
       FROM brute b LEFT JOIN sq8 a
+        ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+      GROUP BY b.query_id ORDER BY b.query_id"""),
+    "q_knn_ivf" -> ("WITH " + Dedup.QE + "," + Clustering.assignCtes + "," + ivfCte + s""",
+      pairs AS (SELECT a.vec_id AS query_id, a.cell, b.vec_id AS neighbor_id,
+                  a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+                FROM ivcell a JOIN ivcell b
+                  ON a.cell = b.cell AND a.vec_id < 50 AND a.vec_id <> b.vec_id),
+      cos AS (SELECT query_id, cell, neighbor_id,
+                round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+              FROM pairs),
+      rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rnk
+             FROM cos)
+      SELECT query_id, cell, rnk, neighbor_id, cosine FROM rk WHERE rnk <= 3
+      ORDER BY query_id, rnk"""),
+    "q_knn_ivf_recall" -> ("WITH " + Dedup.QE + "," + Clustering.assignCtes + "," + ivfCte + s""",
+      bp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+             FROM qn a JOIN qn b ON a.vec_id < 50 AND a.vec_id <> b.vec_id),
+      bcos AS (SELECT query_id, neighbor_id,
+                 round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+               FROM bp),
+      brk AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM bcos),
+      brute AS (SELECT query_id, neighbor_id FROM brk WHERE rnk <= 3),
+      ap AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+             FROM ivcell a JOIN ivcell b
+               ON a.cell = b.cell AND a.vec_id < 50 AND a.vec_id <> b.vec_id),
+      acos AS (SELECT query_id, neighbor_id,
+                 round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+               FROM ap),
+      ark AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM acos),
+      ivf AS (SELECT query_id, neighbor_id FROM ark WHERE rnk <= 3)
+      SELECT b.query_id,
+             round(CAST(count(a.neighbor_id) AS DOUBLE) / 3.0, 4) AS recall_at_3
+      FROM brute b LEFT JOIN ivf a
         ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
       GROUP BY b.query_id ORDER BY b.query_id"""),
     "q_knn_sq8_adc" -> ("WITH " + Dedup.QE + "," + sq8Cte + s""",
@@ -386,6 +509,38 @@ object Similarity {
     "CAST(list_sum(list_transform(generate_series(1, len(b.c)), i -> " +
       "((a.q[i] - mns[i]) * 255 - b.c[i] * (mxs[i] - mns[i])) * " +
       "((a.q[i] - mns[i]) * 255 - b.c[i] * (mxs[i] - mns[i])))) AS BIGINT)"
+
+  /** DuckDB twin of [[ivfCells]]: seed assignment from
+    * [[Clustering.assignCtes]] (`iva`), per-cell (n, Σv, |Σv|²) in
+    * HUGEINT, then the same cross-multiplied divisionless argmin.
+    * The conditional-aggregation pivot (`ivp`) carries each vector's
+    * four (uₖ, nₖ) pairs to one row; the CASE mirrors the Spark
+    * lowest-id tiebreak exactly. */
+  private lazy val ivfCte = s"""
+      ivn AS (SELECT cluster, count(*) AS n FROM iva GROUP BY 1),
+      ivs AS (SELECT cluster, i, CAST(sum(q[i]) AS BIGINT) AS si
+              FROM iva, UNNEST(generate_series(1, 64)) AS u(i)
+              GROUP BY 1, 2),
+      ivv AS (SELECT cluster, list(si ORDER BY i) AS sv FROM ivs GROUP BY 1),
+      ivc AS (SELECT ivn.cluster, ivn.n, ivv.sv,
+                CAST(list_sum(list_transform(generate_series(1, 64),
+                  i -> CAST(sv[i] AS HUGEINT) * sv[i])) AS HUGEINT) AS s2
+              FROM ivn JOIN ivv ON ivn.cluster = ivv.cluster),
+      ivu AS (SELECT qn.vec_id, ivc.cluster AS k, CAST(ivc.n AS HUGEINT) AS n,
+                ivc.s2 - 2 * ivc.n * CAST(list_sum(list_transform(
+                  generate_series(1, 64), i -> qn.q[i] * ivc.sv[i])) AS HUGEINT) AS u
+              FROM qn, ivc),
+      ivp AS (SELECT vec_id,
+                max(CASE WHEN k = 0 THEN u END) AS u0, max(CASE WHEN k = 0 THEN n END) AS n0,
+                max(CASE WHEN k = 1 THEN u END) AS u1, max(CASE WHEN k = 1 THEN n END) AS n1,
+                max(CASE WHEN k = 2 THEN u END) AS u2, max(CASE WHEN k = 2 THEN n END) AS n2,
+                max(CASE WHEN k = 3 THEN u END) AS u3, max(CASE WHEN k = 3 THEN n END) AS n3
+              FROM ivu GROUP BY vec_id),
+      ivcell AS (SELECT qn.vec_id, qn.q, qn.norm,
+                   CASE WHEN n1*n1*u0 <= n0*n0*u1 AND n2*n2*u0 <= n0*n0*u2 AND n3*n3*u0 <= n0*n0*u3 THEN 0
+                        WHEN n2*n2*u1 <= n1*n1*u2 AND n3*n3*u1 <= n1*n1*u3 THEN 1
+                        WHEN n3*n3*u2 <= n2*n2*u3 THEN 2 ELSE 3 END AS cell
+                 FROM ivp JOIN qn ON ivp.vec_id = qn.vec_id)"""
 
   /** DuckDB twin of the probe condition: own cell, or every Hamming-1
     * sign-flip cell too (xor is DuckDB's bitwise xor). */

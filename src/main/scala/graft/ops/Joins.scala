@@ -252,29 +252,22 @@ object Joins {
     // q_join_range, with the expensive distance evaluated only inside
     // blocks, and a free length-band prefilter first (edit distance ≥
     // length difference, and the cheap predicate short-circuits the
-    // conjunction). At corpus scale you'd add a second blocking level
-    // (length band or q-gram bucket) to cap |block|; the oracle is the
-    // same blocked join, so blocking is checked as semantics, not just
-    // as a plan shape.
-    "q_join_fuzzy" -> ((s, dir) => {
-      val a = Tables(s, dir, "part")
-        .select(col("p_brand"), col("p_partkey").as("k1"),
-          col("p_name").as("n1"))
-      val b = Tables(s, dir, "part")
-        .select(col("p_brand"), col("p_partkey").as("k2"),
-          col("p_name").as("n2"))
-      a.join(b, Seq("p_brand"))
-        .filter(col("k1") < col("k2") &&
-          abs(length(col("n1")) - length(col("n2"))) <= 2)
-        // 3-arg levenshtein runs the BANDED O(n·k) DP and early-exits
-        // past the bound (returns -1) — one eval per candidate, ~2×
-        // cheaper than the unbounded distance at threshold 2
-        .withColumn("dist", expr("levenshtein(n1, n2, 2)"))
-        .filter(col("dist") >= 0)
-        .select(col("p_brand"), col("k1"), col("k2"), col("n1"), col("n2"),
-          col("dist"))
-        .orderBy("p_brand", "k1", "k2")
-    }),
+    // conjunction). The second blocking level for when a block
+    // outgrows the |block|² budget is q_join_fuzzy_seg below; the
+    // oracle is the same blocked join, so blocking is checked as
+    // semantics, not just as a plan shape.
+    "q_join_fuzzy" -> ((s, dir) =>
+      fuzzyPairs(Tables(s, dir, "part")
+        .select(col("p_brand"), col("p_partkey"), col("p_name")))),
+
+    // The SAME pair set through the PassJoin-style second blocking
+    // level ([[fuzzyPairsSegmented]]) — oracle-identical to
+    // q_join_fuzzy, so the candidate-pruning level is verified as
+    // semantics (a lost pair fails the hash compare), not trusted as
+    // a plan shape.
+    "q_join_fuzzy_seg" -> ((s, dir) =>
+      fuzzyPairsSegmented(Tables(s, dir, "part")
+        .select(col("p_brand"), col("p_partkey"), col("p_name")))),
 
     // FORWARD as-of: each purchase matched to the NEXT click at or
     // after it — the other half of the as-of family (backward above).
@@ -357,6 +350,88 @@ object Joins {
     * the UN-exploded side: the hinted side becomes the SHJ build side,
     * and its per-partition hash map should be the 1-row-per-event
     * side, not the 3× fan-out. */
+  /** Brand-blocked edit-distance(≤2) self-join over (p_brand,
+    * p_partkey, p_name): every same-brand pair k1 < k2 within the
+    * length band, banded 3-arg levenshtein evaluated once per
+    * candidate. Candidates per block are |block|² — fine while blocks
+    * are bounded; [[fuzzyPairsSegmented]] is the second level for when
+    * they are not. ScaleProbe drives both on replicated parts. */
+  def fuzzyPairs(part: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val a = part.select(col("p_brand"), col("p_partkey").as("k1"),
+      col("p_name").as("n1"))
+    val b = part.select(col("p_brand"), col("p_partkey").as("k2"),
+      col("p_name").as("n2"))
+    a.join(b, Seq("p_brand"))
+      .filter(col("k1") < col("k2") &&
+        abs(length(col("n1")) - length(col("n2"))) <= 2)
+      // 3-arg levenshtein runs the BANDED O(n·k) DP and early-exits
+      // past the bound (returns -1) — one eval per candidate, ~2×
+      // cheaper than the unbounded distance at threshold 2
+      .withColumn("dist", expr("levenshtein(n1, n2, 2)"))
+      .filter(col("dist") >= 0)
+      .select(col("p_brand"), col("k1"), col("k2"), col("n1"), col("n2"),
+        col("dist"))
+      .orderBy("p_brand", "k1", "k2")
+  }
+
+  /** The second blocking level: PassJoin-style pigeonhole segmenting
+    * (Li, Deng, Feng, VLDB 2011 idea at τ = 2). Split every BUILD name
+    * into τ+1 = 3 contiguous segments — ≤ 2 edits cannot touch all
+    * three, so for any pair within distance 2 at least one build
+    * segment occurs VERBATIM in the probe name, displaced by at most
+    * τ positions. Candidates are therefore an EQUALITY join on
+    * (brand, build-length, segment-index, segment-text): the build
+    * side emits 3 keys per name; the probe side enumerates its
+    * substrings of the matching segment length within the ±τ position
+    * window (≤ ~45 keys for 7–12-char names after clipping+dedup) —
+    * per-key bucket sizes replace the |block|² blowup, which is the
+    * whole point when one brand floods (ScaleProbe's fuzzy_hot rows
+    * measure exactly that). A candidate pair can match several
+    * segments, so pairs are deduplicated before the one banded
+    * levenshtein eval. The length band is implied: only build lengths
+    * within ±2 of the probe length are enumerated. Output is
+    * row-identical to [[fuzzyPairs]] (q_join_fuzzy_seg shares
+    * q_join_fuzzy's oracle), so losslessness of the pigeonhole is
+    * hash-checked, not assumed. */
+  def fuzzyPairsSegmented(part: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // build: name → its 3 segments, keyed by (brand, own length, j, text)
+    val build = part.select(col("p_brand"), col("p_partkey").as("k2"),
+        col("p_name").as("n2"))
+      .withColumn("lb", length(col("n2")))
+      .withColumn("j", explode(expr("sequence(0, 2)")))
+      .withColumn("pj", expr("(j * lb) div 3"))
+      .withColumn("lj", expr("((j + 1) * lb) div 3 - (j * lb) div 3"))
+      .select(col("p_brand"), col("k2"), col("n2"), col("lb"), col("j"),
+        expr("substring(n2, pj + 1, lj)").as("seg"))
+    // probe: for each candidate build length lb in ±2 and segment j,
+    // every substring of that segment's length starting within ±2 of
+    // the segment's home position (clipped to the string)
+    val probe = part.select(col("p_brand"), col("p_partkey").as("k1"),
+        col("p_name").as("n1"))
+      .withColumn("la", length(col("n1")))
+      .withColumn("lb", explode(expr("sequence(la - 2, la + 2)")))
+      .filter(col("lb") >= 3)
+      .withColumn("j", explode(expr("sequence(0, 2)")))
+      .withColumn("pj", expr("(j * lb) div 3"))
+      .withColumn("lj", expr("((j + 1) * lb) div 3 - (j * lb) div 3"))
+      .withColumn("lo", greatest(lit(0), col("pj") - 2))
+      .withColumn("hi", least(col("la") - col("lj"), col("pj") + 2))
+      .filter(col("hi") >= col("lo"))
+      .withColumn("p", explode(expr("sequence(lo, hi)")))
+      .select(col("p_brand"), col("k1"), col("n1"), col("lb"), col("j"),
+        expr("substring(n1, p + 1, lj)").as("seg"))
+      .distinct()
+    probe.join(build, Seq("p_brand", "lb", "j", "seg"))
+      .filter(col("k1") < col("k2"))
+      .select(col("p_brand"), col("k1"), col("k2"), col("n1"), col("n2"))
+      .distinct()
+      .withColumn("dist", expr("levenshtein(n1, n2, 2)"))
+      .filter(col("dist") >= 0)
+      .select(col("p_brand"), col("k1"), col("k2"), col("n1"), col("n2"),
+        col("dist"))
+      .orderBy("p_brand", "k1", "k2")
+  }
+
   def rangePairs(e: org.apache.spark.sql.DataFrame,
       windowUs: Long = 600L * 1000000L): org.apache.spark.sql.DataFrame = {
     val W = windowUs
@@ -373,6 +448,16 @@ object Joins {
         col("a.event_id").as("e1"), col("b.event_id").as("e2"),
         abs(col("b.us") - col("a.us")).as("gap_us"))
   }
+
+  private val fuzzyOracle = """
+      SELECT a.p_brand, a.p_partkey AS k1, b.p_partkey AS k2,
+             a.p_name AS n1, b.p_name AS n2,
+             CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+       AND abs(length(a.p_name) - length(b.p_name)) <= 2
+       AND levenshtein(a.p_name, b.p_name) <= 2
+      ORDER BY a.p_brand, k1, k2"""
 
   val oracles: Map[String, String] = Map(
     "q_join_broadcast" -> """
@@ -466,15 +551,10 @@ object Joins {
       SELECT p.user_id, p.event_id, p.ts, c.click_ts, c.click_id
       FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
       ORDER BY event_id""",
-    "q_join_fuzzy" -> """
-      SELECT a.p_brand, a.p_partkey AS k1, b.p_partkey AS k2,
-             a.p_name AS n1, b.p_name AS n2,
-             CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
-      FROM part a JOIN part b
-        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-       AND abs(length(a.p_name) - length(b.p_name)) <= 2
-       AND levenshtein(a.p_name, b.p_name) <= 2
-      ORDER BY a.p_brand, k1, k2""",
+    "q_join_fuzzy" -> fuzzyOracle,
+    // Same oracle on purpose: the segmented plan must reproduce the
+    // plain blocked join's pair set exactly.
+    "q_join_fuzzy_seg" -> fuzzyOracle,
     "q_join_asof_fwd" -> """
       WITH p AS (SELECT user_id, event_id, ts FROM events
                  WHERE event_type = 'purchase'),

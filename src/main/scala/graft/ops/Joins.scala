@@ -392,10 +392,38 @@ object Joins {
     * within ±2 of the probe length are enumerated. Output is
     * row-identical to [[fuzzyPairs]] (q_join_fuzzy_seg shares
     * q_join_fuzzy's oracle), so losslessness of the pigeonhole is
-    * hash-checked, not assumed. */
+    * hash-checked, not assumed.
+    *
+    * Names SHORTER than 3 characters cannot form 3 non-empty segments,
+    * so any pair touching one routes through the plain blocked path
+    * instead (the `short` union arm) — a bounded set in any real
+    * corpus (strings of length ≤ 2 have tiny cardinality), and on this
+    * dataset (name lengths 7–12) an empty one; FuzzyJoinSpec pins the
+    * equality on synthetic data where the arm is non-empty. */
   def fuzzyPairsSegmented(part: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // pairs with a <3-char name on either side: plain path on the tiny
+    // short-name slice (length band bounds the other side to ≤ 4)
+    val shortA = part.filter(length(col("p_name")) < 3)
+      .select(col("p_brand"), col("p_partkey").as("ka"),
+        col("p_name").as("na"))
+    val anyB = part.filter(length(col("p_name")) <= 4)
+      .select(col("p_brand"), col("p_partkey").as("kb"),
+        col("p_name").as("nb"))
+    val short = shortA.join(anyB, Seq("p_brand"))
+      .filter(col("ka") =!= col("kb") &&
+        abs(length(col("na")) - length(col("nb"))) <= 2)
+      // canonicalize so (short, long≥3) pairs keep k1 < k2 regardless
+      // of which side carried the short name, then dedupe the
+      // (short, short) pairs that arrive in both orientations
+      .select(col("p_brand"),
+        least(col("ka"), col("kb")).as("k1"),
+        greatest(col("ka"), col("kb")).as("k2"),
+        when(col("ka") < col("kb"), col("na")).otherwise(col("nb")).as("n1"),
+        when(col("ka") < col("kb"), col("nb")).otherwise(col("na")).as("n2"))
+      .distinct()
     // build: name → its 3 segments, keyed by (brand, own length, j, text)
-    val build = part.select(col("p_brand"), col("p_partkey").as("k2"),
+    val build = part.filter(length(col("p_name")) >= 3)
+      .select(col("p_brand"), col("p_partkey").as("k2"),
         col("p_name").as("n2"))
       .withColumn("lb", length(col("n2")))
       .withColumn("j", explode(expr("sequence(0, 2)")))
@@ -406,7 +434,8 @@ object Joins {
     // probe: for each candidate build length lb in ±2 and segment j,
     // every substring of that segment's length starting within ±2 of
     // the segment's home position (clipped to the string)
-    val probe = part.select(col("p_brand"), col("p_partkey").as("k1"),
+    val probe = part.filter(length(col("p_name")) >= 3)
+      .select(col("p_brand"), col("p_partkey").as("k1"),
         col("p_name").as("n1"))
       .withColumn("la", length(col("n1")))
       .withColumn("lb", explode(expr("sequence(la - 2, la + 2)")))
@@ -425,6 +454,7 @@ object Joins {
       .filter(col("k1") < col("k2"))
       .select(col("p_brand"), col("k1"), col("k2"), col("n1"), col("n2"))
       .distinct()
+      .unionByName(short)
       .withColumn("dist", expr("levenshtein(n1, n2, 2)"))
       .filter(col("dist") >= 0)
       .select(col("p_brand"), col("k1"), col("k2"), col("n1"), col("n2"),

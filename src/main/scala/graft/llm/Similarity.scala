@@ -93,7 +93,11 @@ object Similarity {
       col("bucket").as("nbucket"), col("q").as("qb"), col("norm").as("nb"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    queriesDf.join(corpus, col("probe") === col("nbucket") &&
+    // The query batch (qmax rows × nprobe) is the bounded side BY
+    // CONSTRUCTION — broadcast it explicitly: left to estimates, small
+    // SFs broadcast the CORPUS (fine until it isn't), and at scale the
+    // fallback is a shuffle join on ≤16 bucket keys — a dop ceiling.
+    broadcast(queriesDf).join(corpus, col("probe") === col("nbucket") &&
         col("query_id") =!= col("neighbor_id"))
       .withColumn("dot", expr(Dedup.dotExpr))
       .withColumn("cosine", Dedup.cosine())
@@ -259,7 +263,9 @@ object Similarity {
       col("cell").as("ncell"), col("q").as("qb"), col("norm").as("nb"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    queriesDf.join(corpus, col("cell") === col("ncell") &&
+    // Same rule as [[annTop]]: the query batch broadcasts explicitly —
+    // the K=4 cell key would otherwise cap the shuffle join's dop at 4.
+    broadcast(queriesDf).join(corpus, col("cell") === col("ncell") &&
         col("query_id") =!= col("neighbor_id"))
       .withColumn("dot", expr(Dedup.dotExpr))
       .withColumn("cosine", Dedup.cosine())

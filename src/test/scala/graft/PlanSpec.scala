@@ -230,6 +230,41 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
   }
 
+  test("ANN cell joins broadcast the query batch, never the corpus") {
+    // the query side is bounded BY CONSTRUCTION (qmax rows × nprobe);
+    // the corpus must never be the broadcast/build side — estimates
+    // would pick it at small SFs and fall back to a shuffle join on
+    // ≤16 cell keys (a dop ceiling) at scale
+    for (q <- Seq("q_knn_ann", "q_knn_ivf")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin Inner BuildLeft"),
+        s"$q must broadcast the query side:\n" +
+          p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    }
+  }
+
+  test("q_knn_sq8_adc rescales codes scan-side and prunes top-k pre-exchange") {
+    val p = plan("q_knn_sq8_adc")
+    // stats are literals (collected once) — no stats aggregate, no join
+    // below the single broadcast of the query batch
+    assert(p.contains("WindowGroupLimit"))
+    assert(!p.contains("posexplode"),
+      "min/max stats must be embedded literals, not a live aggregate subtree")
+  }
+
+  test("q_hll_tuning scans lineitem twice: register build + exact count") {
+    // the three per-m branches fold the COLLECTED 1024-register vector
+    // (LocalTableScan), never re-scanning lineitem — union arms get
+    // fresh attribute IDs and no exchange reuse fires, so a lazy
+    // shared subtree would scan 4×
+    val p = plan("q_hll_tuning")
+    val scans = p.linesIterator.count(_.trim.startsWith("ReadSchema"))
+    assert(scans == 1, s"expected 1 parquet scan in the PLAN (exact count; " +
+      s"the register build runs eagerly at construction), got $scans")
+    assert(p.contains("LocalTableScan"),
+      "per-m folds must read the collected register vector")
+  }
+
   test("q_hll_registers folds map-side: partial max per register") {
     // the HLL scale story: the exchange carries ≤256 (reg, max) pairs
     // per task, never the value stream — partial_max must survive,

@@ -241,23 +241,28 @@ object Similarity {
       val (nk, nj) = (parts(k)._1, parts(j)._1)
       s"cast($nj as decimal(38,0)) * $nj * u$k <= cast($nk as decimal(38,0)) * $nk * u$j"
     }
-    val argmin = (0 to 3).map(k =>
-        ((0 to 3).filter(_ != k).map(j => cond(k, j)) :+ "true")
-          .mkString(" AND "))
-      .zipWithIndex.map { case (c, k) => s"WHEN $c THEN $k" }
-      .mkString("CASE ", " ", " END")
-    withU.withColumn("cell", expr(argmin))
-      .select(col("vec_id"), col("q"), col("norm"), col("cell"))
+    withU.withColumn("cell", expr(Similarity.argminCase(cond)))
+      // second-nearest cell — the nprobe = 2 target ([[ivfTop]]'s
+      // multiprobe): same comparisons, best cell excluded
+      .withColumn("cell2", expr(Similarity.secondCase("cell", cond)))
+      .select(col("vec_id"), col("q"), col("norm"), col("cell"), col("cell2"))
   }
 
-  /** IVF top-k: queries probe their own trained cell (nprobe = 1), the
-    * candidate join is a plain cell equality — same shuffle shape as
-    * [[annTop]], but the cells track the data distribution instead of
-    * fixed hyperplanes. */
-  private def ivfTop(s: SparkSession, dir: String, qmax: Int, k: Int): DataFrame = {
+  /** IVF top-k: queries probe their own trained cell (nprobe = 1) or
+    * their two nearest (nprobe = 2, the IVF recall knob — the exact
+    * parameter a FAISS deployment tunes), the candidate join is a
+    * plain cell equality — same shuffle shape as [[annTop]], but the
+    * cells track the data distribution instead of fixed hyperplanes.
+    * The probe fan-out explodes the QUERY side only; a neighbor lives
+    * in one cell, so no pair ever arises twice. */
+  private def ivfTop(s: SparkSession, dir: String, qmax: Int, k: Int,
+      nprobe: Int = 1): DataFrame = {
     val cells = ivfCells(s, dir)
+    val probeCols =
+      if (nprobe >= 2) array(col("cell"), col("cell2")) else array(col("cell"))
     val queriesDf = cells.filter(col("vec_id") < qmax)
       .select(col("vec_id").as("query_id"), col("cell"),
+        explode(probeCols).as("probe"),
         col("q").as("qa"), col("norm").as("na"))
     val corpus = cells.select(col("vec_id").as("neighbor_id"),
       col("cell").as("ncell"), col("q").as("qb"), col("norm").as("nb"))
@@ -265,7 +270,7 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     // Same rule as [[annTop]]: the query batch broadcasts explicitly —
     // the K=4 cell key would otherwise cap the shuffle join's dop at 4.
-    broadcast(queriesDf).join(corpus, col("cell") === col("ncell") &&
+    broadcast(queriesDf).join(corpus, col("probe") === col("ncell") &&
         col("query_id") =!= col("neighbor_id"))
       .withColumn("dot", expr(Dedup.dotExpr))
       .withColumn("cosine", Dedup.cosine())
@@ -288,6 +293,31 @@ object Similarity {
       .orderBy("query_id")
 
   private val hamming1 = Seq(0, 8, 4, 2, 1)
+
+  /** Lowest-id 4-way argmin as a fall-through CASE: candidate k wins
+    * when `cond(k, j)` (k at-least-as-close-as j) holds for every
+    * LATER candidate j — earlier candidates already failed their
+    * branch. Shared shape between the Spark plan and the DuckDB twin
+    * (each passes its own cond renderer), so the tiebreak is identical
+    * by construction. */
+  private[llm] def argminCase(cond: (Int, Int) => String): String =
+    (0 to 3).map(k =>
+        ((k + 1 to 3).map(j => cond(k, j)) :+ "true").mkString(" AND "))
+      .zipWithIndex.map { case (c, k) => s"WHEN $c THEN $k" }
+      .mkString("CASE ", " ", " END")
+
+  /** Second-nearest candidate given the argmin in column `best`: the
+    * same fall-through argmin over the remaining three. */
+  private[llm] def secondCase(best: String, cond: (Int, Int) => String): String = {
+    val arms = (0 to 3).map { b =>
+      val rest = (0 to 3).filter(_ != b)
+      val inner = rest.init.zipWithIndex.map { case (k, i) =>
+        s"WHEN ${rest.drop(i + 1).map(j => cond(k, j)).mkString(" AND ")} THEN $k"
+      }.mkString(" ")
+      s"WHEN $best = $b THEN (CASE $inner ELSE ${rest.last} END)"
+    }
+    arms.mkString("CASE ", " ", " END")
+  }
 
   val queries: Map[String, Q] = Map(
     "q_knn_brute" -> ((s, dir) =>
@@ -355,6 +385,19 @@ object Similarity {
         ivfTop(s, dir, qmax = 50, k = 3).select("query_id", "neighbor_id"),
         k = 3)),
 
+    // nprobe = 2 over the trained cells — THE IVF recall knob (what a
+    // FAISS deployment tunes): each query also probes its second-
+    // nearest cell, doubling the candidate budget.
+    "q_knn_ivf_mp" -> ((s, dir) =>
+      ivfTop(s, dir, qmax = 50, k = 3, nprobe = 2).orderBy("query_id", "rnk")),
+
+    "q_knn_ivf_mp_recall" -> ((s, dir) =>
+      recallOf(
+        bruteTop(s, dir, qmax = 50, k = 3).select("query_id", "neighbor_id"),
+        ivfTop(s, dir, qmax = 50, k = 3, nprobe = 2)
+          .select("query_id", "neighbor_id"),
+        k = 3)),
+
     // ADC quality metric: recall@3 of asymmetric (full-precision query
     // vs coded corpus) ranking against the exact cosine top-3 — read
     // next to q_knn_sq8_recall it measures how much ranking quality the
@@ -414,45 +457,10 @@ object Similarity {
       FROM brute b LEFT JOIN sq8 a
         ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
       GROUP BY b.query_id ORDER BY b.query_id"""),
-    "q_knn_ivf" -> ("WITH " + Dedup.QE + "," + Clustering.assignCtes + "," + ivfCte + s""",
-      pairs AS (SELECT a.vec_id AS query_id, a.cell, b.vec_id AS neighbor_id,
-                  a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
-                FROM ivcell a JOIN ivcell b
-                  ON a.cell = b.cell AND a.vec_id < 50 AND a.vec_id <> b.vec_id),
-      cos AS (SELECT query_id, cell, neighbor_id,
-                round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
-              FROM pairs),
-      rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rnk
-             FROM cos)
-      SELECT query_id, cell, rnk, neighbor_id, cosine FROM rk WHERE rnk <= 3
-      ORDER BY query_id, rnk"""),
-    "q_knn_ivf_recall" -> ("WITH " + Dedup.QE + "," + Clustering.assignCtes + "," + ivfCte + s""",
-      bp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-                a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
-             FROM qn a JOIN qn b ON a.vec_id < 50 AND a.vec_id <> b.vec_id),
-      bcos AS (SELECT query_id, neighbor_id,
-                 round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
-               FROM bp),
-      brk AS (SELECT query_id, neighbor_id,
-                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
-              FROM bcos),
-      brute AS (SELECT query_id, neighbor_id FROM brk WHERE rnk <= 3),
-      ap AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-                a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
-             FROM ivcell a JOIN ivcell b
-               ON a.cell = b.cell AND a.vec_id < 50 AND a.vec_id <> b.vec_id),
-      acos AS (SELECT query_id, neighbor_id,
-                 round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
-               FROM ap),
-      ark AS (SELECT query_id, neighbor_id,
-                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
-              FROM acos),
-      ivf AS (SELECT query_id, neighbor_id FROM ark WHERE rnk <= 3)
-      SELECT b.query_id,
-             round(CAST(count(a.neighbor_id) AS DOUBLE) / 3.0, 4) AS recall_at_3
-      FROM brute b LEFT JOIN ivf a
-        ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
-      GROUP BY b.query_id ORDER BY b.query_id"""),
+    "q_knn_ivf" -> ivfSql(multi = false),
+    "q_knn_ivf_recall" -> ivfRecallSql(multi = false),
+    "q_knn_ivf_mp" -> ivfSql(multi = true),
+    "q_knn_ivf_mp_recall" -> ivfRecallSql(multi = true),
     "q_knn_sq8_adc" -> ("WITH " + Dedup.QE + "," + sq8Cte + s""",
       d AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
               $adcDist AS dist
@@ -542,11 +550,64 @@ object Similarity {
                 max(CASE WHEN k = 2 THEN u END) AS u2, max(CASE WHEN k = 2 THEN n END) AS n2,
                 max(CASE WHEN k = 3 THEN u END) AS u3, max(CASE WHEN k = 3 THEN n END) AS n3
               FROM ivu GROUP BY vec_id),
-      ivcell AS (SELECT qn.vec_id, qn.q, qn.norm,
-                   CASE WHEN n1*n1*u0 <= n0*n0*u1 AND n2*n2*u0 <= n0*n0*u2 AND n3*n3*u0 <= n0*n0*u3 THEN 0
-                        WHEN n2*n2*u1 <= n1*n1*u2 AND n3*n3*u1 <= n1*n1*u3 THEN 1
-                        WHEN n3*n3*u2 <= n2*n2*u3 THEN 2 ELSE 3 END AS cell
-                 FROM ivp JOIN qn ON ivp.vec_id = qn.vec_id)"""
+      ivcp AS (SELECT vec_id, ${argminCase(sqlCond)} AS cell FROM ivp),
+      ivcell AS (SELECT qn.vec_id, qn.q, qn.norm, ivcp.cell,
+                   ${secondCase("ivcp.cell", sqlCond)} AS cell2
+                 FROM ivcp JOIN ivp ON ivcp.vec_id = ivp.vec_id
+                           JOIN qn ON ivcp.vec_id = qn.vec_id)"""
+
+  /** SQL renderer of the cross-multiplied closeness comparison over the
+    * pivoted (uₖ, nₖ) columns — shared CASE structure with the Spark
+    * plan via [[argminCase]]/[[secondCase]]. */
+  private def sqlCond(k: Int, j: Int): String =
+    s"n$j * n$j * u$k <= n$k * n$k * u$j"
+
+  /** Twin of the IVF probe condition: own cell, or the two nearest. */
+  private def ivfProbeCond(multi: Boolean): String =
+    if (multi) "b.cell IN (a.cell, a.cell2)" else "a.cell = b.cell"
+
+  private def ivfSql(multi: Boolean): String =
+    "WITH " + Dedup.QE + "," + Clustering.assignCtes + "," + ivfCte + s""",
+      pairs AS (SELECT a.vec_id AS query_id, a.cell, b.vec_id AS neighbor_id,
+                  a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+                FROM ivcell a JOIN ivcell b
+                  ON ${ivfProbeCond(multi)} AND a.vec_id < 50 AND a.vec_id <> b.vec_id),
+      cos AS (SELECT query_id, cell, neighbor_id,
+                round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+              FROM pairs),
+      rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rnk
+             FROM cos)
+      SELECT query_id, cell, rnk, neighbor_id, cosine FROM rk WHERE rnk <= 3
+      ORDER BY query_id, rnk"""
+
+  private def ivfRecallSql(multi: Boolean): String =
+    "WITH " + Dedup.QE + "," + Clustering.assignCtes + "," + ivfCte + s""",
+      bp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+             FROM qn a JOIN qn b ON a.vec_id < 50 AND a.vec_id <> b.vec_id),
+      bcos AS (SELECT query_id, neighbor_id,
+                 round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+               FROM bp),
+      brk AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM bcos),
+      brute AS (SELECT query_id, neighbor_id FROM brk WHERE rnk <= 3),
+      ap AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+             FROM ivcell a JOIN ivcell b
+               ON ${ivfProbeCond(multi)} AND a.vec_id < 50 AND a.vec_id <> b.vec_id),
+      acos AS (SELECT query_id, neighbor_id,
+                 round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+               FROM ap),
+      ark AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM acos),
+      ivf AS (SELECT query_id, neighbor_id FROM ark WHERE rnk <= 3)
+      SELECT b.query_id,
+             round(CAST(count(a.neighbor_id) AS DOUBLE) / 3.0, 4) AS recall_at_3
+      FROM brute b LEFT JOIN ivf a
+        ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+      GROUP BY b.query_id ORDER BY b.query_id"""
 
   /** DuckDB twin of the probe condition: own cell, or every Hamming-1
     * sign-flip cell too (xor is DuckDB's bitwise xor). */

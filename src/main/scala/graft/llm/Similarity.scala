@@ -280,6 +280,44 @@ object Similarity {
         col("neighbor_id"), col("cosine"))
   }
 
+  /** The composed production index — FAISS's IndexIVF+SQ8 shape,
+    * oracle-gated end to end: candidates from the two nearest TRAINED
+    * cells ([[ivfCells]], nprobe = 2), ranked by the ASYMMETRIC SQ8
+    * distance ([[sq8AdcTop]]'s 255²-scaled all-BIGINT kernel) — the
+    * corpus pays 8× compression AND the candidate cut, queries keep
+    * full precision. The corpus side derives its scaled codes straight
+    * from the cells projection (quantize→rescale fused scan-side: no
+    * code/cell self-join), so the whole plan is still scan + one
+    * broadcast of the query batch + per-partition top-k. */
+  private def ivfAdcTop(s: SparkSession, dir: String, qmax: Int, k: Int): DataFrame = {
+    val (mns, mxs) = sq8Stats(s, dir)
+    val cells = ivfCells(s, dir)
+    val queriesDf = cells.filter(col("vec_id") < qmax)
+      .withColumn("mn", expr(s"cast(array($mns) as array<bigint>)"))
+      .select(col("vec_id").as("query_id"), col("cell"),
+        explode(array(col("cell"), col("cell2"))).as("probe"),
+        expr("transform(sequence(0, size(q) - 1), i -> (q[i] - mn[i]) * 255)")
+          .as("da"))
+    val corpus = cells
+      .withColumn("mn", expr(s"cast(array($mns) as array<bigint>)"))
+      .withColumn("mx", expr(s"cast(array($mxs) as array<bigint>)"))
+      .select(col("vec_id").as("neighbor_id"), col("cell").as("ncell"),
+        expr("""transform(sequence(0, size(q) - 1),
+          |  i -> case when mx[i] = mn[i] then cast(0 as bigint)
+          |            else ((q[i] - mn[i]) * 255 div (mx[i] - mn[i])) * (mx[i] - mn[i]) end)"""
+          .stripMargin).as("db"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    broadcast(queriesDf).join(corpus, col("probe") === col("ncell") &&
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("diff", expr("zip_with(da, db, (x, y) -> x - y)"))
+      .withColumn("dist", expr("dot_long(diff, diff)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cell"), col("rnk"),
+        col("neighbor_id"), col("dist"))
+  }
+
   /** recall@k of an approximate top-k against the exact one, per
     * query id — both inputs are (query_id, neighbor_id) top-k sets. */
   private def recallOf(exact: DataFrame, approx: DataFrame, k: Int): DataFrame =
@@ -398,6 +436,20 @@ object Similarity {
           .select("query_id", "neighbor_id"),
         k = 3)),
 
+    // The composed index: IVF candidate cut (nprobe = 2 trained cells)
+    // × ADC compressed ranking — both knobs at once, the configuration
+    // a production deployment actually runs. Its recall row closes the
+    // tuning matrix: cut-only (q_knn_ivf_mp_recall 0.64), compression-
+    // only (q_knn_sq8_adc_recall 0.96), composed here.
+    "q_knn_ivf_adc" -> ((s, dir) =>
+      ivfAdcTop(s, dir, qmax = 50, k = 3).orderBy("query_id", "rnk")),
+
+    "q_knn_ivf_adc_recall" -> ((s, dir) =>
+      recallOf(
+        bruteTop(s, dir, qmax = 50, k = 3).select("query_id", "neighbor_id"),
+        ivfAdcTop(s, dir, qmax = 50, k = 3).select("query_id", "neighbor_id"),
+        k = 3)),
+
     // ADC quality metric: recall@3 of asymmetric (full-precision query
     // vs coded corpus) ranking against the exact cosine top-3 — read
     // next to q_knn_sq8_recall it measures how much ranking quality the
@@ -461,6 +513,43 @@ object Similarity {
     "q_knn_ivf_recall" -> ivfRecallSql(multi = false),
     "q_knn_ivf_mp" -> ivfSql(multi = true),
     "q_knn_ivf_mp_recall" -> ivfRecallSql(multi = true),
+    "q_knn_ivf_adc" -> ("WITH " + Dedup.QE + "," + Clustering.assignCtes + "," +
+      ivfCte + "," + sq8Cte + s""",
+      d AS (SELECT a.vec_id AS query_id, a.cell, v.vec_id AS neighbor_id,
+              $adcDist AS dist
+            FROM ivcell a, ivcell v, codes b, stats
+            WHERE v.vec_id = b.vec_id AND v.cell IN (a.cell, a.cell2)
+              AND a.vec_id < 50 AND a.vec_id <> v.vec_id),
+      rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS INT) AS rnk
+             FROM d)
+      SELECT query_id, cell, rnk, neighbor_id, dist FROM rk WHERE rnk <= 3
+      ORDER BY query_id, rnk"""),
+    "q_knn_ivf_adc_recall" -> ("WITH " + Dedup.QE + "," + Clustering.assignCtes + "," +
+      ivfCte + "," + sq8Cte + s""",
+      bp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+             FROM qn a JOIN qn b ON a.vec_id < 50 AND a.vec_id <> b.vec_id),
+      bcos AS (SELECT query_id, neighbor_id,
+                 round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+               FROM bp),
+      brk AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM bcos),
+      brute AS (SELECT query_id, neighbor_id FROM brk WHERE rnk <= 3),
+      ad AS (SELECT a.vec_id AS query_id, v.vec_id AS neighbor_id,
+               $adcDist AS dist
+             FROM ivcell a, ivcell v, codes b, stats
+             WHERE v.vec_id = b.vec_id AND v.cell IN (a.cell, a.cell2)
+               AND a.vec_id < 50 AND a.vec_id <> v.vec_id),
+      ark AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rnk
+              FROM ad),
+      comp AS (SELECT query_id, neighbor_id FROM ark WHERE rnk <= 3)
+      SELECT b.query_id,
+             round(CAST(count(a.neighbor_id) AS DOUBLE) / 3.0, 4) AS recall_at_3
+      FROM brute b LEFT JOIN comp a
+        ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+      GROUP BY b.query_id ORDER BY b.query_id"""),
     "q_knn_sq8_adc" -> ("WITH " + Dedup.QE + "," + sq8Cte + s""",
       d AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
               $adcDist AS dist

@@ -48,6 +48,30 @@ class SimilaritySpec extends SparkSuite {
     assert(mp.values.sum > sp.values.sum)
   }
 
+  test("argmin/second-argmin CASE generators rank every distance permutation") {
+    // the IVF cell assignment rides on these generated fall-through
+    // CASEs (Spark plan AND DuckDB twin share the structure) — pin
+    // them against a reference argmin over all 4-element distance
+    // vectors from {0,5,9}, ties included (lowest id must win)
+    val vals = Seq(0, 5, 9)
+    val cases = for (a <- vals; b <- vals; c <- vals; d <- vals)
+      yield Seq(a, b, c, d)
+    val results = cases.map { ds =>
+      val cond = (k: Int, j: Int) => s"${ds(k)} <= ${ds(j)}"
+      spark.range(1).selectExpr(
+        s"${Similarity.argminCase(cond)} as best",
+        s"${Similarity.secondCase(s"(${Similarity.argminCase(cond)})", cond)} as second")
+        .as[(Int, Int)].head()
+    }
+    cases.zip(results).foreach { case (ds, (best, second)) =>
+      val expBest = ds.zipWithIndex.minBy { case (v, i) => (v, i) }._2
+      val expSecond = ds.zipWithIndex.filter(_._2 != expBest)
+        .minBy { case (v, i) => (v, i) }._2
+      assert(best === expBest, s"argmin of $ds")
+      assert(second === expSecond, s"second-argmin of $ds")
+    }
+  }
+
   test("q_knn_recall output is one row per query with pairs, sorted") {
     val v = Array.tabulate(64)(i => (math.cos(i) * 3).toFloat)
     val dir = writeEmb((0L until 6L).map(i =>

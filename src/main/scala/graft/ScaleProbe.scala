@@ -207,6 +207,57 @@ object ScaleProbe {
       timedOutlier(100)
       qe.unpersist(false)
     }
+    // IVF probe: N× the corpus (shifted vec_ids — replicas land in the
+    // same data region, so cells must stay balanced as the corpus
+    // grows). Times the WHOLE pipeline a deployment runs per batch:
+    // train (assign→K-row collect→literalize), assign corpus, search
+    // 50 broadcast queries at nprobe=2 with per-partition top-3. All
+    // of it is scan-shaped (no corpus shuffle), so wall must stay
+    // linear; the per-cell histogram is the balance evidence.
+    if (want("ivf"))
+    locally {
+      val qe = Dedup.quantized(spark, sfDir)
+        .select(col("vec_id"), col("q"), col("norm")).persist()
+      val nVec = qe.count()
+      val stride = qe.agg(max(col("vec_id"))).head.getLong(0) + 1L
+      def timedIvf(mult: Int): Unit = {
+        val scaled = qe
+          .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
+            col("vec_id"), col("q"), col("norm"))
+          .select((col("vec_id") + col("i") * lit(stride)).as("vec_id"),
+            col("q"), col("norm"))
+        val t0 = System.nanoTime()
+        val cells = graft.llm.Similarity.ivfCellsFrom(scaled)
+        val queriesDf = cells.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("query_id"),
+            explode(array(col("cell"), col("cell2"))).as("probe"),
+            col("q").as("qa"), col("norm").as("na"))
+        val corpus = cells.select(col("vec_id").as("neighbor_id"),
+          col("cell").as("ncell"), col("q").as("qb"), col("norm").as("nb"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)
+        val topk = broadcast(queriesDf)
+          .join(corpus, col("probe") === col("ncell") &&
+            col("query_id") =!= col("neighbor_id"))
+          .withColumn("dot", expr("dot_long(qa, qb)"))
+          .withColumn("cosine", round(col("dot").cast("double")
+            / sqrt(col("na").cast("double"))
+            / sqrt(col("nb").cast("double")), 4))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val hist = cells.groupBy(col("cell")).count()
+          .orderBy("cell").collect()
+          .map(r => r.getLong(1)).mkString("[", ",", "]")
+        println(f"""{"probe":"ivf_${mult}x","vectors":${nVec * mult},"topk_rows":$topk,"cells":$hist,"sec":$dt%.2f}""")
+      }
+      timedIvf(1)
+      timedIvf(10)
+      timedIvf(100)
+      qe.unpersist(false)
+    }
+
     if (want("fuzzy"))
     // Fuzzy-join probe: plain |block|² blocking vs the PassJoin
     // segment level (Joins.fuzzyPairs / fuzzyPairsSegmented) under two

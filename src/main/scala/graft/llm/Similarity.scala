@@ -216,8 +216,12 @@ object Similarity {
     * |n²·u| ≲ 10²² at sf0.1 — at ~10⁹-row corpora the n⁴-scaled
     * products pass 10³⁸, where you renormalize s_k (gcd or a shared
     * shift) exactly as the inertia comment in Clustering prescribes. */
-  private def ivfCells(s: SparkSession, dir: String): DataFrame = {
-    val qe = Dedup.quantized(s, dir)
+  private def ivfCells(s: SparkSession, dir: String): DataFrame =
+    ivfCellsFrom(Dedup.quantized(s, dir))
+
+  /** Frame-taking variant: (vec_id, q, norm) in, (…, cell, cell2) out —
+    * ScaleProbe drives this on replicated corpora. */
+  private[graft] def ivfCellsFrom(qe: DataFrame): DataFrame = {
     val dims = 0 until 64
     val aggs = Seq(count(lit(1)).as("n")) ++
       dims.map(i => sum(expr(s"q[$i]")).as(s"s$i"))

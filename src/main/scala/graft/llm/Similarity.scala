@@ -18,14 +18,21 @@ import org.apache.spark.sql.functions._
   * broadcast of the (small) query set against a full scan of the
   * corpus, each partition keeping only its local top-k before the final
   * window (Catalyst plans the row_number filter with a per-partition
-  * sort, no global materialization). The production path is the
-  * IVF-style variant: corpus bucketed by a coarse quantizer (4 seeded
-  * sign-random-projection hyperplanes, [[Similarity.srp]]), queries
-  * probe their own cell — or its Hamming-1 neighbors too (multiprobe,
-  * the recall knob, with `q_knn_recall`/`q_knn_recall_mp` measuring
-  * the trade) — candidate count drops by the bucket fan-out (16× or
-  * 16/5×), and the bucket join is a plain equality shuffle that AQE
-  * can skew-split.
+  * sort, no global materialization). On top of it, the two orthogonal
+  * production knobs, each with oracle-gated recall rows:
+  *
+  *  - candidate CUT: cells from a data-independent quantizer (4 seeded
+  *    sign-random-projection hyperplanes, [[Similarity.srp]]; single-
+  *    probe or Hamming-1 multiprobe) or from TRAINED centroids
+  *    ([[ivfCells]], one exact Lloyd refinement, nprobe 1/2). Every
+  *    cell join broadcasts the bounded query batch — never the corpus,
+  *    and never a shuffle on the handful of cell keys;
+  *  - memory COMPRESSION: SQ8 one-byte codes with symmetric
+  *    ([[sq8Top]]) or asymmetric ([[sq8AdcTop]]) all-integer kernels.
+  *
+  * [[ivfAdcTop]] composes both — the FAISS IndexIVF+SQ shape — and the
+  * ScaleProbe ivf section measures the whole pipeline linear in corpus
+  * size with balanced cells.
   */
 object Similarity {
 

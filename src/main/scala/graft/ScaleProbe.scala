@@ -50,7 +50,7 @@ object ScaleProbe {
     // components and corrupting the probe numbers BASELINE.md cites.
     val docStride = pairs
       .agg(greatest(max(col("d1")), max(col("d2"))).as("m"))
-      .head.getLong(0) + 1L
+      .head().getLong(0) + 1L
 
     def timed(label: String, mult: Int): Unit = {
       // Replicate via ONE explode pass, not an N-way union — a union of
@@ -87,7 +87,7 @@ object ScaleProbe {
     // Same rule as the CC probe: strides from max(id) + 1, so replicas
     // can never collide with real ids whatever SF directory is probed.
     val (userStride, eventStride) = {
-      val r = ev.agg(max(col("user_id")), max(col("event_id"))).head
+      val r = ev.agg(max(col("user_id")), max(col("event_id"))).head()
       // max() over zero rows is NULL — fail with a diagnostic instead
       // of an opaque NPE when the probed directory is empty.
       require(!r.isNullAt(0) && !r.isNullAt(1),
@@ -174,7 +174,7 @@ object ScaleProbe {
       val qe = Dedup.quantized(spark, sfDir)
         .select(col("vec_id"), col("label"), col("q"), col("norm")).persist()
       val nVec = qe.count()
-      val vecStride = qe.agg(max(col("vec_id"))).head.getLong(0) + 1L
+      val vecStride = qe.agg(max(col("vec_id"))).head().getLong(0) + 1L
       def timedOutlier(mult: Int): Unit = {
         val scaled = qe.select(
             explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
@@ -219,7 +219,7 @@ object ScaleProbe {
       val qe = Dedup.quantized(spark, sfDir)
         .select(col("vec_id"), col("q"), col("norm")).persist()
       val nVec = qe.count()
-      val stride = qe.agg(max(col("vec_id"))).head.getLong(0) + 1L
+      val stride = qe.agg(max(col("vec_id"))).head().getLong(0) + 1L
       def timedIvf(mult: Int): Unit = {
         val scaled = qe
           .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
@@ -272,7 +272,7 @@ object ScaleProbe {
       val part = graft.Tables(spark, sfDir, "part")
         .select(col("p_brand"), col("p_partkey"), col("p_name")).persist()
       val nPart = part.count()
-      val keyStride = part.agg(max(col("p_partkey"))).head.getLong(0) + 1L
+      val keyStride = part.agg(max(col("p_partkey"))).head().getLong(0) + 1L
       def scaledPart(mult: Int, hot: Boolean) = part
         .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
           col("p_brand"), col("p_partkey"), col("p_name"))

@@ -36,7 +36,7 @@ object SkewJoin {
       saltBuckets: Int): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
     val bigS = big.withColumn(SaltCol,
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(saltBuckets))
+      pmod(xxhash64(struct(big.columns.toIndexedSeq.map(col): _*)), lit(saltBuckets))
         .cast("int"))
     val smallS = small.withColumn(SaltCol,
       explode(sequence(lit(0), lit(saltBuckets - 1))))

@@ -393,14 +393,22 @@ object Dedup {
     hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
   }
 
-  /** MinHash+LSH candidate pairs: docs sharing any band's 4-row
-    * [[signatures]] slice (shared by q_dedup_minhash, q_dedup_lsh_recall
-    * and q_dedup_minhash_est). */
-  private def bandCandidates(sh: DataFrame): DataFrame = {
+  /** Fixed slot order of the 16 minhash values — banding configs slice
+    * CONSECUTIVE runs of this, so every (16/r) × r grid reuses the same
+    * signature aggregate. */
+  private val sigSlots: Seq[String] =
+    for { g <- 0 to 3; j <- 0 to 3 } yield s"m$g$j"
+
+  /** MinHash+LSH candidate pairs at r rows per band over the 16-slot
+    * signature (16/r bands — band i keys on slots [i·r, (i+1)·r)).
+    * r = 4 is the production default shared by q_dedup_minhash,
+    * q_dedup_lsh_recall and q_dedup_minhash_est; the other grid points
+    * exist for q_dedup_lsh_tuning's S-curve row. */
+  private def bandCandidatesAt(sh: DataFrame, r: Int): DataFrame = {
     val sig = signatures(sh)
-    val bandStructs = (0 to 3).map(g => struct(
-      lit(g).as("band"),
-      concat_ws(",", (0 to 3).map(j => col(s"m$g$j")): _*).as("bkey")))
+    val bandStructs = (0 until 16 / r).map(i => struct(
+      lit(i).as("band"),
+      concat_ws(",", sigSlots.slice(i * r, (i + 1) * r).map(col): _*).as("bkey")))
     val bands = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
@@ -412,6 +420,9 @@ object Dedup {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
   }
+
+  private def bandCandidates(sh: DataFrame): DataFrame =
+    bandCandidatesAt(sh, 4)
 
   // ---- Operator trees. All LAZY and CACHE-FREE by design, measured
   // against the persist-the-shingles and checkpoint-the-result
@@ -454,6 +465,32 @@ object Dedup {
         count(col("c1")).as("n_found"),
         round(count(col("c1")).cast("double") /
           count(lit(1)).cast("double"), 4).as("recall"))
+  }
+
+  /** The bands × rows S-curve over ONE 16-slot signature — recall AND
+    * candidate volume at every grid point (16×1, 8×2, 4×4, 2×8), next
+    * to the true Jaccard ≥ 0.8 pair count. The LSH analog of
+    * q_hll_tuning's m-curve and q_knn_recall's nprobe loop: banding
+    * theory says the candidate threshold sits near (1/b)^(1/r) (≈ .06,
+    * .35, .71, .92 here), so recall falls and precision rises with r —
+    * this row is the measured curve a pipeline picks its operating
+    * point from. All four configs fold the SAME signature aggregate,
+    * only the band-key slicing differs. */
+  private def lshTuningTree(sh: DataFrame): DataFrame = {
+    val truePairs = jaccardFinish(bruteInter(sh), sh, 0.8)
+      .select(col("d1"), col("d2"))
+    Seq(1, 2, 4, 8).map { r =>
+      val cand = bandCandidatesAt(sh, r)
+      val stats = cand.agg(count(lit(1)).as("n_candidates"))
+      truePairs.join(cand.select(col("d1").as("c1"), col("d2").as("c2")),
+          col("d1") === col("c1") && col("d2") === col("c2"), "left")
+        .agg(count(lit(1)).as("n_true"), count(col("c1")).as("n_found"),
+          round(count(col("c1")).cast("double") /
+            count(lit(1)).cast("double"), 4).as("recall"))
+        .crossJoin(broadcast(stats))
+        .select(lit(16 / r).as("bands"), lit(r).as("rows_per_band"),
+          col("n_candidates"), col("n_true"), col("n_found"), col("recall"))
+    }.reduce(_ unionByName _).orderBy("rows_per_band")
   }
 
   /** SimHash screen precision vs Jaccard ≥ 0.7 truth (one row). */
@@ -549,6 +586,10 @@ object Dedup {
     // candidate-volume budget. One row; both sides deterministic.
     "q_dedup_lsh_recall" -> ((s, dir) => lshRecallTree(shingles(s, dir))),
 
+    // The full bands × rows grid behind that single recall number —
+    // see [[lshTuningTree]].
+    "q_dedup_lsh_tuning" -> ((s, dir) => lshTuningTree(shingles(s, dir))),
+
     // MinHash ESTIMATOR quality: for each banding candidate pair, the
     // signature-agreement estimate of Jaccard (fraction of the 16
     // minhash slots that agree — the unbiased MinHash estimator,
@@ -638,6 +679,45 @@ object Dedup {
                ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
   }
 
+  /** Twin of [[lshTuningTree]]: one `sig` CTE (hex-string mins —
+    * order-isomorphic to the Spark longs, same elements chosen), four
+    * generated band/cand CTE pairs sliced with the SAME slot
+    * arithmetic, the brute ≥ 0.8 truth once. */
+  private lazy val lshTuningSql: String = {
+    val mins = (for { g <- 0 to 3; j <- 0 to 3 }
+      yield s"min(substr(md5('$g:' || shingle), ${j * 8 + 1}, 8)) AS m$g$j")
+      .mkString(", ")
+    def block(r: Int): String = {
+      val bandRows = (0 until 16 / r).map(i =>
+        s"SELECT doc_id, $i AS band, " +
+          sigSlots.slice(i * r, (i + 1) * r).mkString(" || ',' || ") +
+          " AS bkey FROM sig").mkString(" UNION ALL ")
+      s""",
+      bands$r AS ($bandRows),
+      cand$r AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                 FROM bands$r a JOIN bands$r b
+                 ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      row$r AS (SELECT ${16 / r} AS bands, $r AS rows_per_band,
+                  (SELECT count(*) FROM cand$r) AS n_candidates,
+                  count(*) AS n_true, count(c.d1) AS n_found,
+                  round(CAST(count(c.d1) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS recall
+                FROM tp LEFT JOIN cand$r c ON tp.d1 = c.d1 AND tp.d2 = c.d2)"""
+    }
+    SH + s""",
+      sig AS (SELECT doc_id, $mins FROM sh GROUP BY 1),
+      inter AS (SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS inter
+                FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      tp AS (SELECT d1, d2 FROM inter
+             JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+             WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.8)""" +
+      block(1) + block(2) + block(4) + block(8) + """
+      SELECT * FROM row1 UNION ALL SELECT * FROM row2
+      UNION ALL SELECT * FROM row4 UNION ALL SELECT * FROM row8
+      ORDER BY rows_per_band"""
+  }
+
   /** SimHash vote/fingerprint CTEs (twin of [[simhashPairs]]'s agg). */
   private lazy val simhashCtes: String = """,
       votes AS (SELECT doc_id, j,
@@ -719,6 +799,7 @@ object Dedup {
       SELECT count(*) AS n_true, count(c.d1) AS n_found,
              round(CAST(count(c.d1) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS recall
       FROM tp LEFT JOIN cand c ON tp.d1 = c.d1 AND tp.d2 = c.d2"""),
+    "q_dedup_lsh_tuning" -> lshTuningSql,
     "q_dedup_cluster" -> clusterSql,
     // identical expected output — the two CC algorithms must agree
     "q_dedup_cluster_bigstar" -> clusterSql,

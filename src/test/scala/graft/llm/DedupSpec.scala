@@ -90,4 +90,25 @@ class DedupSpec extends SparkSuite {
     assert(capped.contains((8L, 9L)))         // rare-shingle pair survives
     assert(!capped.exists { case (a, b) => a < 8L && b < 8L }) // boilerplate pairs gone
   }
+
+  test("lsh tuning grid: candidates and recall are monotone in rows-per-band") {
+    // banding nesting theorem: a run of 2r consecutive equal slots
+    // contains an aligned run of r, so cand(2x8) <= cand(4x4) <=
+    // cand(8x2) <= cand(16x1) as SETS -- volumes and recall must both
+    // be non-increasing in r, and the truth column constant. Pins the
+    // slot-slicing arithmetic on the real sf0.001 corpus.
+    val rows = Dedup.queries("q_dedup_lsh_tuning")(spark, "/root/testdata/sf0.001")
+      .orderBy("rows_per_band")
+      .select("rows_per_band", "n_candidates", "n_true", "n_found", "recall")
+      .as[(Int, Long, Long, Long, Double)].collect().toSeq
+    assert(rows.map(_._1) === Seq(1, 2, 4, 8))
+    val cands = rows.map(_._2)
+    assert(cands === cands.sorted.reverse,
+      s"candidate volume must shrink as r grows: $cands")
+    val rec = rows.map(_._5)
+    assert(rec === rec.sorted.reverse,
+      s"recall must not rise as r grows: $rec")
+    assert(rows.map(_._3).distinct.size == 1, "truth set differs across rows")
+    assert(rows.forall(r => r._4 <= r._3))
+  }
 }

@@ -477,20 +477,35 @@ object Dedup {
     * point from. All four configs fold the SAME signature aggregate,
     * only the band-key slicing differs. */
   private def lshTuningTree(sh: DataFrame): DataFrame = {
-    val truePairs = jaccardFinish(bruteInter(sh), sh, 0.8)
+    val configs = Seq(1, 2, 4, 8)
+    // The expensive brute-truth subtree is evaluated ONCE and
+    // replicated per config by a 4-row explode — NOT once per union
+    // arm (the r6 sq8 double-eval lesson: arms re-plan shared subtrees
+    // under fresh attribute IDs with no exchange reuse). One full-outer
+    // join then yields volume, truth and intersection per config from
+    // a single pass over each side. The four candidate arms still
+    // re-aggregate the 16-min signature each (a union cannot share it);
+    // at corpus scale the signature table is a materialized index
+    // artifact and all four configs would read it, not recompute it.
+    val truthX = jaccardFinish(bruteInter(sh), sh, 0.8)
       .select(col("d1"), col("d2"))
-    Seq(1, 2, 4, 8).map { r =>
-      val cand = bandCandidatesAt(sh, r)
-      val stats = cand.agg(count(lit(1)).as("n_candidates"))
-      truePairs.join(cand.select(col("d1").as("c1"), col("d2").as("c2")),
-          col("d1") === col("c1") && col("d2") === col("c2"), "left")
-        .agg(count(lit(1)).as("n_true"), count(col("c1")).as("n_found"),
-          round(count(col("c1")).cast("double") /
-            count(lit(1)).cast("double"), 4).as("recall"))
-        .crossJoin(broadcast(stats))
-        .select(lit(16 / r).as("bands"), lit(r).as("rows_per_band"),
-          col("n_candidates"), col("n_true"), col("n_found"), col("recall"))
-    }.reduce(_ unionByName _).orderBy("rows_per_band")
+      .withColumn("r", explode(array(configs.map(lit): _*)))
+      .withColumn("tr", lit(1))
+    val allCands = configs.map(r =>
+        bandCandidatesAt(sh, r).withColumn("r", lit(r)))
+      .reduce(_ unionByName _)
+      .withColumn("hit", lit(1))
+    allCands.join(truthX, Seq("r", "d1", "d2"), "full_outer")
+      .groupBy(col("r"))
+      .agg(count(col("hit")).as("n_candidates"),
+        count(col("tr")).as("n_true"),
+        count(when(col("hit") === 1 && col("tr") === 1, 1)).as("n_found"),
+        round(count(when(col("hit") === 1 && col("tr") === 1, 1)).cast("double") /
+          count(col("tr")).cast("double"), 4).as("recall"))
+      .select(expr("cast(16 div r as int)").as("bands"),
+        col("r").as("rows_per_band"),
+        col("n_candidates"), col("n_true"), col("n_found"), col("recall"))
+      .orderBy("rows_per_band")
   }
 
   /** SimHash screen precision vs Jaccard ≥ 0.7 truth (one row). */

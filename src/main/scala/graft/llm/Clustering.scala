@@ -95,6 +95,37 @@ object Clustering {
     (cents, history.toSeq)
   }
 
+  /** One divisionless Lloyd refinement ENTIRELY IN-PLAN: per-cell
+    * (n, Σv) from a 4-row aggregate, pivoted to ONE row and broadcast
+    * (a single consumer chain, so the r6 multi-branch re-plan trap
+    * does not apply), then the [[Similarity]] cross-multiplied argmin
+    * against those COLUMNS — no collect, no literalization, no
+    * driver barrier. An empty cell yields NULL comparisons, which both
+    * engines' CASE skip identically. */
+  private def refineInPlan(qe: org.apache.spark.sql.DataFrame,
+      assigned: org.apache.spark.sql.DataFrame, grp: String): org.apache.spark.sql.DataFrame = {
+    val dims = 0 until 64
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      dims.map(i => sum(expr(s"q[$i]")).as(s"s$i"))
+    val sums = assigned.groupBy(col(grp)).agg(aggs.head, aggs.tail: _*)
+    val pivotCols = (0 to 3).flatMap { k =>
+      max(when(col(grp) === k, col("n"))).as(s"n$k") +:
+        dims.map(i => max(when(col(grp) === k, col(s"s$i"))).as(s"sv${k}_$i"))
+    }
+    val stats = sums.agg(pivotCols.head, pivotCols.tail: _*)
+      .select((0 to 3).flatMap(k => Seq(col(s"n$k"),
+        array(dims.map(i => col(s"sv${k}_$i")): _*).as(s"sv$k"))): _*)
+    val withU = (0 to 3).foldLeft(qe.crossJoin(broadcast(stats))) { (df, k) =>
+      df.withColumn(s"u$k",
+        expr(s"cast(dot_long(sv$k, sv$k) as decimal(38,0)) - 2 * n$k * " +
+          s"cast(dot_long(q, sv$k) as decimal(38,0))"))
+    }
+    def cond(k: Int, j: Int): String =
+      s"cast(n$j as decimal(38,0)) * n$j * u$k <= cast(n$k as decimal(38,0)) * n$k * u$j"
+    withU.withColumn("cell", expr(Similarity.argminCase(cond)))
+      .select(col("vec_id"), col("q"), col("norm"), col("cell"))
+  }
+
   val queries: Map[String, Q] = Map(
     // One Lloyd step: per cluster, membership count, exact inertia
     // (sum of min squared distances — the quantity Lloyd's descends),
@@ -113,6 +144,40 @@ object Clustering {
         .groupBy(col("cluster"))
         .agg(aggs.head, aggs.tail: _*)
         .orderBy("cluster")
+    }),
+
+    // TWO Lloyd refinements UNROLLED INTO ONE PLAN — the in-engine
+    // counterpart of the [[lloyd]] driver loop: no collect, no
+    // division, no per-iteration job barrier; each step's centroids
+    // live as (n, Σv) integer pairs in a one-row broadcast and
+    // assignment is the cross-multiplied DECIMAL argmin. Output is the
+    // per-cell census after step 2 with the n²-scaled EXACT inertia:
+    // Σ_{v∈k}|n_k·v − s_k|² telescopes to n_k²·Σ|v|² − n_k·|s_k|²
+    // (the cross term collapses because Σv over the cell IS s_k), so
+    // the objective needs only the aggregates already in hand. Fits
+    // BIGINT to ~2·10³ vectors/cell at these norms; past that the
+    // output column switches to DECIMAL (the standing inertia rule).
+    // The trade vs the driver loop, stated for 100 TB: unrolling
+    // re-scans the corpus per step inside one job; the driver loop
+    // re-scans per iteration too but pays a barrier + K-row collect
+    // each round — for a fixed small iteration count the unrolled
+    // plan pipelines better and is what a scheduled pipeline stage
+    // should run.
+    "q_kmeans_2step" -> ((s, dir) => {
+      val qe = Dedup.quantized(s, dir)
+      val c1 = refineInPlan(qe,
+        assign(qe, centroids.map(_.map(_.toLong))), "cluster")
+      val c2 = refineInPlan(qe, c1, "cell")
+      val dims = 0 until 64
+      val aggs = Seq(count(lit(1)).as("n"), sum(col("norm")).as("sn")) ++
+        dims.map(i => sum(expr(s"q[$i]")).as(s"s$i"))
+      c2.groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
+        .withColumn("sv", array(dims.map(i => col(s"s$i")): _*))
+        .select(col("cell"), col("n"),
+          expr("""cast(cast(n as decimal(38,0)) * n * sn
+                |  - n * cast(dot_long(sv, sv) as decimal(38,0)) as bigint)"""
+            .stripMargin).as("inertia_n2"))
+        .orderBy("cell")
     }),
 
     // Embedding QA: the 3 vectors farthest from their label's mean —
@@ -171,7 +236,48 @@ object Clustering {
     s"CAST(list_sum(list_transform(generate_series(1, 64), i -> q[i] * ($w)[i])) AS BIGINT)"
   }
 
+  /** Step-2 + finale CTEs for the q_kmeans_2step twin: the same
+    * n/Σv/|Σv|² → cross-multiplied argmin block as [[Similarity.ivfCte]]
+    * but sourced from its step-1 `ivcell` output, then the telescoped
+    * per-cell objective n²·Σnorm − n·|s|² in HUGEINT. */
+  private lazy val twoStepSql: String = {
+    "WITH " + Dedup.QE + "," + assignCtes + "," + Similarity.ivfCte + s""",
+      ivn2 AS (SELECT cell, count(*) AS n FROM ivcell GROUP BY 1),
+      ivs2 AS (SELECT cell, i, CAST(sum(q[i]) AS BIGINT) AS si
+               FROM ivcell, UNNEST(generate_series(1, 64)) AS u(i)
+               GROUP BY 1, 2),
+      ivv2 AS (SELECT cell, list(si ORDER BY i) AS sv FROM ivs2 GROUP BY 1),
+      ivc2 AS (SELECT ivn2.cell, ivn2.n, ivv2.sv,
+                 CAST(list_sum(list_transform(generate_series(1, 64),
+                   i -> CAST(sv[i] AS HUGEINT) * sv[i])) AS HUGEINT) AS s2
+               FROM ivn2 JOIN ivv2 ON ivn2.cell = ivv2.cell),
+      ivu2 AS (SELECT qn.vec_id, ivc2.cell AS k, CAST(ivc2.n AS HUGEINT) AS n,
+                 ivc2.s2 - 2 * ivc2.n * CAST(list_sum(list_transform(
+                   generate_series(1, 64), i -> qn.q[i] * ivc2.sv[i])) AS HUGEINT) AS u
+               FROM qn, ivc2),
+      ivp2 AS (SELECT vec_id,
+                 max(CASE WHEN k = 0 THEN u END) AS u0, max(CASE WHEN k = 0 THEN n END) AS n0,
+                 max(CASE WHEN k = 1 THEN u END) AS u1, max(CASE WHEN k = 1 THEN n END) AS n1,
+                 max(CASE WHEN k = 2 THEN u END) AS u2, max(CASE WHEN k = 2 THEN n END) AS n2,
+                 max(CASE WHEN k = 3 THEN u END) AS u3, max(CASE WHEN k = 3 THEN n END) AS n3
+               FROM ivu2 GROUP BY vec_id),
+      cellb AS (SELECT qn.vec_id, qn.q, qn.norm,
+                  ${Similarity.argminCase(Similarity.sqlCond)} AS cell
+                FROM ivp2 JOIN qn ON ivp2.vec_id = qn.vec_id),
+      f1 AS (SELECT cell, count(*) AS n, CAST(sum(norm) AS HUGEINT) AS sn
+             FROM cellb GROUP BY 1),
+      f2 AS (SELECT cell, i, CAST(sum(q[i]) AS BIGINT) AS si
+             FROM cellb, UNNEST(generate_series(1, 64)) AS u(i)
+             GROUP BY 1, 2),
+      f3 AS (SELECT cell, sum(CAST(si AS HUGEINT) * si) AS ss FROM f2 GROUP BY 1)
+      SELECT f1.cell, f1.n,
+             CAST(CAST(f1.n AS HUGEINT) * f1.n * sn - f1.n * ss AS BIGINT) AS inertia_n2
+      FROM f1 JOIN f3 ON f1.cell = f3.cell
+      ORDER BY f1.cell"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_kmeans_2step" -> twoStepSql,
     "q_kmeans_step" -> ("WITH " + Dedup.QE + s""",
       d AS (SELECT vec_id, q,
               ${(0 to 3).map(k =>

@@ -630,7 +630,7 @@ object Similarity {
     * The conditional-aggregation pivot (`ivp`) carries each vector's
     * four (uₖ, nₖ) pairs to one row; the CASE mirrors the Spark
     * lowest-id tiebreak exactly. */
-  private lazy val ivfCte = s"""
+  private[llm] lazy val ivfCte = s"""
       ivn AS (SELECT cluster, count(*) AS n FROM iva GROUP BY 1),
       ivs AS (SELECT cluster, i, CAST(sum(q[i]) AS BIGINT) AS si
               FROM iva, UNNEST(generate_series(1, 64)) AS u(i)
@@ -659,7 +659,7 @@ object Similarity {
   /** SQL renderer of the cross-multiplied closeness comparison over the
     * pivoted (uₖ, nₖ) columns — shared CASE structure with the Spark
     * plan via [[argminCase]]/[[secondCase]]. */
-  private def sqlCond(k: Int, j: Int): String =
+  private[llm] def sqlCond(k: Int, j: Int): String =
     s"n$j * n$j * u$k <= n$k * n$k * u$j"
 
   /** Twin of the IVF probe condition: own cell, or the two nearest. */

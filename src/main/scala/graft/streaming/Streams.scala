@@ -252,6 +252,18 @@ object Streams {
     tokens.groupBy(col("k"))
       .agg(expr(s"cms_sketch(w, $depth, $width)").as("sk"))
 
+  /** The sketch composed with EVENT-TIME windows: one CMS per tumbling
+    * window, watermark-evicted — the shape a production token-frequency
+    * monitor runs (per-hour sketches, state bounded by windows in
+    * flight × the constant buffer, finalized windows emitted in append
+    * mode and never revisited). */
+  def windowedCms(tokens: DataFrame, windowLen: String = "1 day",
+      watermark: String = "1 hour", depth: Int = 4, width: Int = 64): DataFrame =
+    tokens.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("win"))
+      .agg(expr(s"cms_sketch(w, $depth, $width)").as("sk"))
+      .select(col("win.start").as("w_start"), col("sk"))
+
   /** Custom state: running per-user event counts via
     * mapGroupsWithState (the reference Reduce's stateful streaming
     * analog — arbitrary per-key state the built-ins can't express). */

@@ -226,6 +226,37 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("windowed cms_sketch finalizes per event-time window under the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val in = MemoryStream[(Timestamp, String)]
+    val q = Streams.windowedCms(in.toDF().toDF("ts", "w"))
+      .writeStream.format("memory").queryName("cms_win")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (ts("2024-01-01 01:00:00"), "x"), (ts("2024-01-01 02:00:00"), "x"),
+        (ts("2024-01-01 03:00:00"), "y"), (ts("2024-01-02 01:00:00"), "x"))
+      q.processAllAvailable()
+      // advance the watermark past day 2 → both day windows finalize
+      in.addData((ts("2024-01-05 00:00:00"), "z"))
+      q.processAllAvailable()
+      val got = spark.table("cms_win")
+        .as[(Timestamp, Seq[Long])].collect().toMap
+      val batchDay1 = Seq("x", "x", "y").toDF("w")
+        .agg(expr("cms_sketch(w, 4, 64)")).as[Seq[Long]].head()
+      val batchDay2 = Seq("x").toDF("w")
+        .agg(expr("cms_sketch(w, 4, 64)")).as[Seq[Long]].head()
+      assert(got(ts("2024-01-01 00:00:00")) === batchDay1)
+      assert(got(ts("2024-01-02 00:00:00")) === batchDay2)
+      // a straggler for day 1 behind the watermark never reopens it
+      in.addData((ts("2024-01-01 05:00:00"), "late"))
+      q.processAllAvailable()
+      assert(spark.table("cms_win")
+        .filter(col("w_start") === ts("2024-01-01 00:00:00")).count() === 1)
+    } finally q.stop()
+  }
+
   test("streamed cms_sketch state survives a checkpoint restart") {
     implicit val sqlCtx = spark.sqlContext
     graft.functions.GraftFunctions.register(spark)

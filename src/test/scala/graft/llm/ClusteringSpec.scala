@@ -27,4 +27,25 @@ class ClusteringSpec extends SparkSuite {
     assert(c1 === c2)
     assert(h1 === h2)
   }
+
+  test("in-plan 2-step refinement survives a degenerate corpus") {
+    // 3 vectors leave most seed cells empty: the NULL cross-multiplied
+    // comparisons must fall through the argmin CASE identically in
+    // both engines (the oracle pins cross-engine equality; this pins
+    // that the plan neither crashes nor loses vectors), empty cells
+    // simply don't emit rows, and a singleton cell has EXACTLY zero
+    // n²-scaled inertia (its sum IS n·v).
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("tiny_ivf").toString
+    val v = Array.tabulate(64)(i => (math.sin(i + 1) * 0.1).toFloat)
+    Seq((0L, v, 0), (1L, v.map(-_), 0), (2L, v.map(x => (x * 2).toFloat), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val rows = Clustering.queries("q_kmeans_2step")(spark, d)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(rows.map(_._2).sum === 3L, s"vectors lost: $rows")
+    rows.filter(_._2 == 1L).foreach { r =>
+      assert(r._3 === 0L, s"singleton cell with nonzero inertia: $r")
+    }
+  }
 }

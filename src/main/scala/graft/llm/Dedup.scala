@@ -676,6 +676,52 @@ object Dedup {
         .filter(col("rn") <= 3)
         .select(col("label"), col("v1"), col("v2"), col("cosine"))
         .orderBy(col("label"), col("cosine").desc, col("v1"), col("v2"))
+    }),
+
+    // Exact-SUBSTRING dedup (Lee et al. 2021, "Deduplicating Training
+    // Data Makes Language Models Better"): find duplicated ≥8-token
+    // spans shared ACROSS documents — the signal their suffix-array
+    // pass computes, here as its scalable MapReduce twin: every 8-token
+    // sliding window (positions kept — unlike [[shingles]] this is NOT
+    // per-doc distinct, a doc's repeated boilerplate occupies several
+    // positions) is hashed, and a window is "duplicated" iff its hash
+    // occurs in ≥2 distinct docs. Output = per-doc duplicated-window
+    // count and ratio — the per-document fraction a pipeline thresholds
+    // on ("drop docs that are >50% shared boilerplate").
+    //
+    // Scale shape: ONE pass over the exploded windows (no self-join, no
+    // |block|² anywhere). (whash, doc_id) pre-aggregate runs partial
+    // map-side, so a hot boilerplate window crosses the exchange once
+    // per doc, not once per position; the cross-doc test is a count
+    // window over whash on rows already ≤ #docs per hash. Total-window
+    // denominators come straight off the documents scan (size(t)−7 —
+    // no second pass over the explode).
+    "q_dedup_substring" -> ((s, dir) => {
+      val W = 8
+      val win = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, size(t) - $W), " +
+            s"i -> concat_ws(' ', slice(t, i + 1, $W)))")).as("win"))
+        .select(col("doc_id"), md5(col("win")).as("whash"))
+      val dupPerDoc = win
+        .groupBy(col("whash"), col("doc_id")).agg(count(lit(1)).as("k"))
+        .withColumn("nd",
+          count(lit(1)).over(Window.partitionBy(col("whash"))))
+        .filter(col("nd") >= 2)
+        .groupBy(col("doc_id")).agg(sum(col("k")).as("n_dup_win"))
+      val perDoc = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          (size(split(col("text"), " ")) - (W - 1)).as("n_win"))
+        .filter(col("n_win") >= 1)
+      // dupPerDoc sits under the explode → size estimates are junk;
+      // shuffle_hash and let AQE broadcast from actual bytes.
+      perDoc.join(dupPerDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .withColumn("n_dup_win", coalesce(col("n_dup_win"), lit(0L)))
+        .select(col("doc_id"), col("n_win"), col("n_dup_win"),
+          round(col("n_dup_win").cast("double") /
+            col("n_win").cast("double"), 4).as("dup_ratio"))
+        .orderBy("doc_id")
     }))
 
   /** DuckDB minhash signature/band CTEs (twin of the Spark columns). */
@@ -843,5 +889,25 @@ object Dedup {
       rk AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY cosine DESC, v1 ASC, v2 ASC) AS rn
              FROM cos)
       SELECT label, v1, v2, cosine FROM rk WHERE rn <= 3
-      ORDER BY label, cosine DESC, v1, v2"""))
+      ORDER BY label, cosine DESC, v1, v2"""),
+    // Windows keep positions (no DISTINCT); t[i : i + 7] is the 1-based
+    // inclusive 8-token slice twin of Spark's slice(t, i + 1, 8).
+    // generate_series(1, len - 7) is empty when len < 8, matching the
+    // empty Spark sequence. DuckDB sum() is HUGEINT → CAST to BIGINT.
+    "q_dedup_substring" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      win AS (SELECT doc_id, md5(array_to_string(t[i : i + 7], ' ')) AS whash
+              FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)),
+      g AS (SELECT whash, doc_id, count(*) AS k FROM win GROUP BY 1, 2),
+      d AS (SELECT doc_id, sum(k) AS n_dup_win
+            FROM (SELECT g.*, count(*) OVER (PARTITION BY whash) AS nd FROM g)
+            WHERE nd >= 2 GROUP BY 1),
+      per AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) - 7 AS n_win
+              FROM documents WHERE len(string_split(text, ' ')) >= 8)
+      SELECT p.doc_id, p.n_win,
+             CAST(coalesce(d.n_dup_win, 0) AS BIGINT) AS n_dup_win,
+             round(CAST(coalesce(d.n_dup_win, 0) AS DOUBLE) /
+                   CAST(p.n_win AS DOUBLE), 4) AS dup_ratio
+      FROM per p LEFT JOIN d ON p.doc_id = d.doc_id
+      ORDER BY p.doc_id""")
 }

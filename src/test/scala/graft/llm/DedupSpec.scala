@@ -111,4 +111,21 @@ class DedupSpec extends SparkSuite {
     assert(rows.map(_._3).distinct.size == 1, "truth set differs across rows")
     assert(rows.forall(r => r._4 <= r._3))
   }
+
+  test("substring dedup counts cross-doc duplicated 8-token windows") {
+    // docs 0/1 identical (10 tokens -> 3 windows, all shared): ratio 1.
+    // doc 2 (14 tokens, 7 windows) shares its first 6 window positions
+    // with doc 3 (they diverge only at token 13), window 6 is unique.
+    // doc 4 (reversed base) and doc 5 share no window with anyone.
+    val r = Dedup.queries("q_dedup_substring")(spark, dir)
+      .select("doc_id", "n_win", "n_dup_win", "dup_ratio")
+      .as[(Long, Int, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(r(0L) == ((3, 3L, 1.0)))
+    assert(r(1L) == ((3, 3L, 1.0)))
+    assert(r(2L) == ((7, 6L, 0.8571)))
+    assert(r(3L) == ((7, 6L, 0.8571)))
+    assert(r(4L)._2 == 0L)
+    assert(r(5L) == ((2, 0L, 0.0)))
+  }
 }

@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.{Num, Tables}
 import graft.ops.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -33,6 +34,44 @@ object TextAnalysis {
   private def scoreOracle(l: String) =
     s"len(list_filter(t, x -> x IN (${inList(lex(l))})))"
 
+  /** Deterministic language argmax with fixed priority tiebreak —
+    * identical SQL text in both engines (over s_en..s_fr columns). */
+  private val langArgmax =
+    """CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+      |     WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+      |     WHEN s_es >= s_fr THEN 'es'
+      |     ELSE 'fr' END""".stripMargin
+
+  /** Stage-1 features of the e2e preprocessing funnel: per-doc
+    * language argmax + composite quality (the q_lang_id / q_text_quality
+    * formulas verbatim), all on one scan projection inside codegen. */
+  private def pipelineFeatures(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("t"))
+      .withColumn("s_en", expr(scoreExpr("en")))
+      .withColumn("s_de", expr(scoreExpr("de")))
+      .withColumn("s_es", expr(scoreExpr("es")))
+      .withColumn("s_fr", expr(scoreExpr("fr")))
+      .withColumn("pred", expr(langArgmax))
+      .withColumn("n_tok", size(col("t")))
+      .withColumn("quality",
+        round(least(lit(1.0), col("n_tok").cast("double") / 100.0) * 0.5 +
+          (lit(1.0) - col("s_en").cast("double") / col("n_tok")) * 0.5, 4))
+
+  /** Oracle twin of [[pipelineFeatures]] (`pf` CTE). */
+  private val pipelineSql = s"""
+    WITH sc AS (SELECT doc_id, text, t,
+                  ${scoreOracle("en")} AS s_en, ${scoreOracle("de")} AS s_de,
+                  ${scoreOracle("es")} AS s_es, ${scoreOracle("fr")} AS s_fr,
+                  CAST(len(t) AS INT) AS n_tok
+                FROM (SELECT doc_id, text, string_split(text, ' ') AS t
+                      FROM documents)),
+    pf AS (SELECT doc_id, text, t, n_tok,
+             $langArgmax AS pred,
+             round(least(1.0, CAST(n_tok AS DOUBLE) / 100.0) * 0.5 +
+                   (1.0 - CAST(s_en AS DOUBLE) / n_tok) * 0.5, 4) AS quality
+           FROM sc)"""
+
   val queries: Map[String, Q] = Map(
     // Language ID: count lexicon hits per language over the token
     // array (array ops inside codegen, zero shuffle), argmax with
@@ -45,11 +84,7 @@ object TextAnalysis {
         .withColumn("s_de", expr(scoreExpr("de")))
         .withColumn("s_es", expr(scoreExpr("es")))
         .withColumn("s_fr", expr(scoreExpr("fr")))
-        .withColumn("pred", expr(
-          """CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
-            |     WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
-            |     WHEN s_es >= s_fr THEN 'es'
-            |     ELSE 'fr' END""".stripMargin))
+        .withColumn("pred", expr(langArgmax))
         .groupBy(col("lang"), col("pred"))
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "pred")
@@ -117,6 +152,43 @@ object TextAnalysis {
           size(col("c")).as("chunk_tokens"),
           md5(concat_ws(" ", col("c"))).as("chunk_hash"))
         .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // The END-TO-END preprocessing funnel as ONE Catalyst plan — what
+    // a user of this library schedules nightly: language filter →
+    // quality filter → exact-dedup keeper election → fixed-size
+    // chunking, no intermediate materialization. Scan-side features
+    // (codegen), one filter, ONE window exchange on the content hash
+    // for the keeper election (hash-uniform, skew-free), then a
+    // scan-side chunk generator: at 100 TB the whole funnel is a
+    // single pass over the corpus plus one shuffle of the survivors.
+    "q_pipeline_chunks" -> ((s, dir) => {
+      val C = 16
+      val keepW = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      pipelineFeatures(s, dir)
+        .filter(col("pred") === "en" && col("quality") >= 0.5)
+        .withColumn("rn", row_number().over(keepW))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("t"), explode(expr(
+          s"sequence(0, cast(ceil(n_tok / $C.0) as int) - 1)")).as("chunk_idx"))
+        .withColumn("c", expr(s"slice(t, chunk_idx * $C + 1, $C)"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("c")).as("chunk_tokens"),
+          md5(concat_ws(" ", col("c"))).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // Funnel observability twin: per-stage survivor counts in ONE
+    // aggregate over the same scan — the numbers a pipeline dashboard
+    // alarms on when a filter suddenly eats the corpus.
+    "q_pipeline_funnel" -> ((s, dir) => {
+      pipelineFeatures(s, dir)
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("pred") === "en", 1)).as("n_lang"),
+          count(when(col("pred") === "en" && col("quality") >= 0.5, 1))
+            .as("n_quality"),
+          countDistinct(when(col("pred") === "en" && col("quality") >= 0.5,
+            md5(col("text")))).as("n_kept"))
     }),
 
     // Token counting: whitespace tokens vs a BPE-ish regex lexer
@@ -314,6 +386,25 @@ object TextAnalysis {
              CAST(len(c) AS INT) AS chunk_tokens,
              md5(array_to_string(c, ' ')) AS chunk_hash
       FROM ch ORDER BY doc_id, chunk_idx""",
+    "q_pipeline_chunks" -> (pipelineSql + """,
+      keep AS (SELECT doc_id, t, n_tok,
+                 row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+               FROM pf WHERE pred = 'en' AND quality >= 0.5),
+      ch AS (SELECT doc_id, i AS chunk_idx,
+               t[i * 16 + 1 : least((i + 1) * 16, n_tok)] AS c
+             FROM (SELECT * FROM keep WHERE rn = 1) k,
+                  UNNEST(generate_series(0, CAST(ceil(n_tok / 16.0) AS INT) - 1)) AS g(i))
+      SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+             CAST(len(c) AS INT) AS chunk_tokens,
+             md5(array_to_string(c, ' ')) AS chunk_hash
+      FROM ch ORDER BY doc_id, chunk_idx"""),
+    "q_pipeline_funnel" -> (pipelineSql + """
+      SELECT count(*) AS n_docs,
+             count(CASE WHEN pred = 'en' THEN 1 END) AS n_lang,
+             count(CASE WHEN pred = 'en' AND quality >= 0.5 THEN 1 END) AS n_quality,
+             count(DISTINCT CASE WHEN pred = 'en' AND quality >= 0.5
+                                 THEN md5(text) END) AS n_kept
+      FROM pf"""),
     "q_token_count" -> """
       SELECT doc_id,
              CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,

@@ -27,4 +27,28 @@ class TextAnalysisSpec extends SparkSuite {
     val b = TextAnalysis.compressionRatio(docs).collect().toSeq.sortBy(_.getLong(0))
     assert(a === b)
   }
+
+  test("e2e pipeline: lang + quality filters, dedup keeper, chunking") {
+    // 10 = good english (18 tokens -> chunks of 16 + 2); 11 = exact
+    // copy (deduped, 10 is keeper); 12 = german (lang-filtered);
+    // 13 = all-stopword english (quality 0.05 < 0.5, filtered).
+    val en = "the quick brown fox jumps over a lazy dog while birds " +
+      "watch quietly from tall green trees nearby"
+    val dir = java.nio.file.Files.createTempDirectory("pipe").toString
+    Seq((10L, en), (11L, en),
+      (12L, "der hund und die katze und das haus und der baum"),
+      (13L, "the the the the the the the the the the"))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val funnel = TextAnalysis.queries("q_pipeline_funnel")(spark, dir)
+      .as[(Long, Long, Long, Long)].head()
+    assert(funnel == ((4L, 3L, 2L, 1L)))
+
+    val chunks = TextAnalysis.queries("q_pipeline_chunks")(spark, dir)
+      .select("doc_id", "chunk_idx", "chunk_tokens")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(chunks == Seq((10L, 0, 16), (10L, 1, 2)))
+  }
 }

@@ -680,8 +680,11 @@ object Dedup {
 
     // Exact-SUBSTRING dedup (Lee et al. 2021, "Deduplicating Training
     // Data Makes Language Models Better"): find duplicated ≥8-token
-    // spans shared ACROSS documents — the signal their suffix-array
-    // pass computes, here as its scalable MapReduce twin: every 8-token
+    // spans shared ACROSS documents. NOTE: this is the cross-document
+    // restriction of their suffix-array signal — a span repeated only
+    // WITHIN one doc (nd counts distinct docs, not occurrences) is not
+    // flagged here, whereas the suffix-array pass also catches
+    // within-doc repeats. Mechanics: every 8-token
     // sliding window (positions kept — unlike [[shingles]] this is NOT
     // per-doc distinct, a doc's repeated boilerplate occupies several
     // positions) is hashed, and a window is "duplicated" iff its hash
@@ -698,8 +701,13 @@ object Dedup {
     // no second pass over the explode).
     "q_dedup_substring" -> ((s, dir) => {
       val W = 8
+      // Docs shorter than W tokens have no window: guard BEFORE the
+      // explode (mirrors the shingles guard) — sequence(0, size(t)-W)
+      // with a negative stop is a DESCENDING sequence in Spark, and
+      // slice(t, i+1, W) at i = -1 throws, it does not return empty.
       val win = Tables(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= W)
         .select(col("doc_id"), explode(expr(
           s"transform(sequence(0, size(t) - $W), " +
             s"i -> concat_ws(' ', slice(t, i + 1, $W)))")).as("win"))
@@ -722,6 +730,48 @@ object Dedup {
           round(col("n_dup_win").cast("double") /
             col("n_win").cast("double"), 4).as("dup_ratio"))
         .orderBy("doc_id")
+    }),
+
+    // MAXIMAL duplicated spans — the second half of Lee et al. 2021's
+    // pass: [[q_dedup_substring]] counts duplicated windows; this one
+    // coalesces ADJACENT duplicated window positions into one maximal
+    // interval per doc, producing the removable byte-ranges their
+    // suffix-array tool emits: (doc_id, span_start, span_len) in token
+    // units. A run of duplicated windows at positions [a..b] covers
+    // tokens [a, b + W - 1] → span_len = b − a + W. Coalescing is the
+    // gaps-and-islands pattern (q_sessionize's): pos − row_number() is
+    // constant exactly on a run of consecutive positions.
+    //
+    // Scale shape: positions must be KEPT (unlike the count query there
+    // is no per-(whash, doc) pre-agg — a position is the payload), so
+    // the cross-doc test is a groupBy(whash) on distinct docs + a
+    // LEFT-SEMI join back on whash: same key both sides → the exchange
+    // from the explode is reused, and the semi join carries no payload
+    // fan-out. The islands window shuffles once on doc_id — rows at
+    // that point are only the duplicated positions, ≤ corpus windows
+    // and in practice a small fraction.
+    "q_dedup_substring_spans" -> ((s, dir) => {
+      val W = 8
+      val win = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= W)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, size(t) - $W), " +
+            s"i -> concat_ws(' ', slice(t, i + 1, $W)))")))
+        .select(col("doc_id"), col("pos"), md5(col("col")).as("whash"))
+      val dupHashes = win
+        .groupBy(col("whash"))
+        .agg(count_distinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("whash"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      win.join(dupHashes.hint("shuffle_hash"), Seq("whash"), "left_semi")
+        .withColumn("grp", col("pos") - row_number().over(w))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("pos")).as("span_start"),
+          (max(col("pos")) - min(col("pos")) + lit(W)).as("span_len"))
+        .select(col("doc_id"), col("span_start"), col("span_len"))
+        .orderBy("doc_id", "span_start")
     }))
 
   /** DuckDB minhash signature/band CTEs (twin of the Spark columns). */
@@ -893,7 +943,9 @@ object Dedup {
     // Windows keep positions (no DISTINCT); t[i : i + 7] is the 1-based
     // inclusive 8-token slice twin of Spark's slice(t, i + 1, 8).
     // generate_series(1, len - 7) is empty when len < 8, matching the
-    // empty Spark sequence. DuckDB sum() is HUGEINT → CAST to BIGINT.
+    // Spark side's explicit size(t) >= 8 filter (Spark's sequence() with
+    // a negative stop would DESCEND, not return empty — hence the guard
+    // there). DuckDB sum() is HUGEINT → CAST to BIGINT.
     "q_dedup_substring" -> """
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       win AS (SELECT doc_id, md5(array_to_string(t[i : i + 7], ' ')) AS whash
@@ -909,5 +961,24 @@ object Dedup {
              round(CAST(coalesce(d.n_dup_win, 0) AS DOUBLE) /
                    CAST(p.n_win AS DOUBLE), 4) AS dup_ratio
       FROM per p LEFT JOIN d ON p.doc_id = d.doc_id
-      ORDER BY p.doc_id""")
+      ORDER BY p.doc_id""",
+    // Twin of the islands coalescing: pos is the 0-based window start
+    // (i − 1 under DuckDB's 1-based series); HAVING count(DISTINCT
+    // doc_id) >= 2 is the cross-doc test; pos − row_number() groups
+    // consecutive positions; INT casts match Spark's IntegerType pos.
+    "q_dedup_substring_spans" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      win AS (SELECT doc_id, i - 1 AS pos,
+                     md5(array_to_string(t[i : i + 7], ' ')) AS whash
+              FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)),
+      dup AS (SELECT whash FROM win GROUP BY 1
+              HAVING count(DISTINCT doc_id) >= 2),
+      dp AS (SELECT w.doc_id, w.pos FROM win w JOIN dup d ON w.whash = d.whash),
+      isl AS (SELECT doc_id, pos,
+                     pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+              FROM dp)
+      SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+             CAST(max(pos) - min(pos) + 8 AS INT) AS span_len
+      FROM isl GROUP BY doc_id, grp
+      ORDER BY doc_id, span_start""")
 }

@@ -235,14 +235,21 @@ object Similarity {
     val byK = Clustering.assign(qe, Clustering.centroids.map(_.map(_.toLong)))
       .groupBy(col("cluster")).agg(aggs.head, aggs.tail: _*)
       .collect().map(r => r.getAs[Int]("cluster") -> r).toMap
-    require(byK.size == 4, s"IVF training: ${byK.size} of 4 cells non-empty")
-    val parts = (0 to 3).map { k =>
+    // Empty-cell fallback (the k-means empty-cluster standard): a
+    // degenerate corpus that leaves some seed cells empty DEGRADES to
+    // the m ≤ 4 non-empty cells (re-indexed 0..m-1 in ascending seed
+    // order) instead of failing the query. m = 1 is still an index —
+    // one cell scanned fully, cell2 degenerate (IvfDegenerateSpec).
+    require(byK.nonEmpty, "IVF training: empty corpus")
+    val present = byK.keys.toSeq.sorted
+    val parts = present.map { k =>
       val r = byK(k)
       val n = r.getAs[Long]("n")
       val sv = dims.map(d => r.getAs[Long](s"s$d"))
       val s2 = sv.map(v => BigInt(v) * BigInt(v)).sum
       (n, sv, s2)
     }
+    val m = parts.size
     val withU = parts.zipWithIndex.foldLeft(qe) { case (df, ((n, sv, s2), k)) =>
       df.withColumn(s"u$k",
         expr(s"cast('$s2' as decimal(38,0)) - 2 * $n * " +
@@ -252,10 +259,14 @@ object Similarity {
       val (nk, nj) = (parts(k)._1, parts(j)._1)
       s"cast($nj as decimal(38,0)) * $nj * u$k <= cast($nk as decimal(38,0)) * $nk * u$j"
     }
-    withU.withColumn("cell", expr(Similarity.argminCase(cond)))
+    withU.withColumn("cell", expr(Similarity.argminCase(cond, m)))
       // second-nearest cell — the nprobe = 2 target ([[ivfTop]]'s
-      // multiprobe): same comparisons, best cell excluded
-      .withColumn("cell2", expr(Similarity.secondCase("cell", cond)))
+      // multiprobe): same comparisons, best cell excluded; with a
+      // single non-empty cell there is no second-nearest — cell2 =
+      // cell, and ivfTop's array_distinct keeps the probe set a set
+      .withColumn("cell2",
+        if (m == 1) lit(0)
+        else expr(Similarity.secondCase("cell", cond, m)))
       .select(col("vec_id"), col("q"), col("norm"), col("cell"), col("cell2"))
   }
 
@@ -269,8 +280,11 @@ object Similarity {
   private def ivfTop(s: SparkSession, dir: String, qmax: Int, k: Int,
       nprobe: Int = 1): DataFrame = {
     val cells = ivfCells(s, dir)
+    // array_distinct: with a degenerate single-cell index cell2 == cell
+    // and a duplicate probe would double every candidate row
     val probeCols =
-      if (nprobe >= 2) array(col("cell"), col("cell2")) else array(col("cell"))
+      if (nprobe >= 2) array_distinct(array(col("cell"), col("cell2")))
+      else array(col("cell"))
     val queriesDf = cells.filter(col("vec_id") < qmax)
       .select(col("vec_id").as("query_id"), col("cell"),
         explode(probeCols).as("probe"),
@@ -349,21 +363,24 @@ object Similarity {
     * branch. Shared shape between the Spark plan and the DuckDB twin
     * (each passes its own cond renderer), so the tiebreak is identical
     * by construction. */
-  private[llm] def argminCase(cond: (Int, Int) => String): String =
-    (0 to 3).map(k =>
-        ((k + 1 to 3).map(j => cond(k, j)) :+ "true").mkString(" AND "))
+  private[llm] def argminCase(cond: (Int, Int) => String, m: Int = 4): String =
+    (0 until m).map(k =>
+        ((k + 1 until m).map(j => cond(k, j)) :+ "true").mkString(" AND "))
       .zipWithIndex.map { case (c, k) => s"WHEN $c THEN $k" }
       .mkString("CASE ", " ", " END")
 
   /** Second-nearest candidate given the argmin in column `best`: the
-    * same fall-through argmin over the remaining three. */
-  private[llm] def secondCase(best: String, cond: (Int, Int) => String): String = {
-    val arms = (0 to 3).map { b =>
-      val rest = (0 to 3).filter(_ != b)
+    * same fall-through argmin over the remaining m−1 cells. Caller
+    * guarantees m ≥ 2 (with one cell there is no second-nearest). */
+  private[llm] def secondCase(best: String, cond: (Int, Int) => String,
+      m: Int = 4): String = {
+    val arms = (0 until m).map { b =>
+      val rest = (0 until m).filter(_ != b)
       val inner = rest.init.zipWithIndex.map { case (k, i) =>
         s"WHEN ${rest.drop(i + 1).map(j => cond(k, j)).mkString(" AND ")} THEN $k"
       }.mkString(" ")
-      s"WHEN $best = $b THEN (CASE $inner ELSE ${rest.last} END)"
+      if (rest.size == 1) s"WHEN $best = $b THEN ${rest.head}"
+      else s"WHEN $best = $b THEN (CASE $inner ELSE ${rest.last} END)"
     }
     arms.mkString("CASE ", " ", " END")
   }

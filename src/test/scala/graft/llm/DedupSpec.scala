@@ -115,7 +115,8 @@ class DedupSpec extends SparkSuite {
   test("substring dedup counts cross-doc duplicated 8-token windows") {
     // docs 0/1 identical (10 tokens -> 3 windows, all shared): ratio 1.
     // doc 2 (14 tokens, 7 windows) shares its first 6 window positions
-    // with doc 3 (they diverge only at token 13), window 6 is unique.
+    // with doc 3 (they diverge only at token 14, 'here' vs 'tweak'), so
+    // the 7th window (0-based index 6) is each doc's unique one.
     // doc 4 (reversed base) and doc 5 share no window with anyone.
     val r = Dedup.queries("q_dedup_substring")(spark, dir)
       .select("doc_id", "n_win", "n_dup_win", "dup_ratio")
@@ -127,5 +128,59 @@ class DedupSpec extends SparkSuite {
     assert(r(3L) == ((7, 6L, 0.8571)))
     assert(r(4L)._2 == 0L)
     assert(r(5L) == ((2, 0L, 0.0)))
+  }
+
+  test("substring spans coalesce adjacent duplicated windows into maximal intervals") {
+    // docs 0/1: all 3 windows duplicated -> positions 0..2 -> one span
+    // covering the whole 10-token doc: (0, 10). docs 2/3: positions
+    // 0..5 duplicated, 6 unique -> one span (0, 5 - 0 + 8) = (0, 13).
+    // docs 4/5: no duplicated window -> no row at all.
+    val r = Dedup.queries("q_dedup_substring_spans")(spark, dir)
+      .select("doc_id", "span_start", "span_len")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(r.sorted === Seq(
+      (0L, 0, 10), (1L, 0, 10), (2L, 0, 13), (3L, 0, 13)))
+  }
+
+  test("substring spans split on a gap between duplicated runs") {
+    // Two docs share an 8-token prefix AND an 8-token suffix but differ
+    // in the middle -> two islands per doc, not one merged span.
+    val d = java.nio.file.Files.createTempDirectory("dedupspan").toString
+    val pre = (0 until 8).map(i => s"p$i").mkString(" ")
+    val suf = (0 until 8).map(i => s"s$i").mkString(" ")
+    Seq(
+      (0L, s"$pre mid0a mid0b $suf", "en", "src", 1L),
+      (1L, s"$pre mid1a mid1b $suf", "en", "src", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = Dedup.queries("q_dedup_substring_spans")(spark, d)
+      .select("doc_id", "span_start", "span_len")
+      .as[(Long, Int, Int)].collect().toSeq
+    // 18 tokens, windows 0..10; only window 0 (= pre) and window 10
+    // (= suf) are cross-doc duplicated -> spans (0, 8) and (10, 8).
+    assert(r.sorted === Seq((0L, 0, 8), (0L, 10, 8), (1L, 0, 8), (1L, 10, 8)))
+  }
+
+  test("substring dedup survives docs shorter than the window") {
+    // Regression: sequence(0, size(t)-8) with a negative stop DESCENDS
+    // in Spark, and slice(t, i+1, 8) at i = -1 throws — so a <8-token
+    // doc used to kill the whole query. The guard drops such docs the
+    // same way the DuckDB twin's empty generate_series does.
+    val d = java.nio.file.Files.createTempDirectory("dedupshort").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq(
+      (0L, base, "en", "src", 1L),
+      (1L, base, "en", "src", 1L),
+      (2L, "too short", "en", "src", 1L),            // 2 tokens
+      (3L, "a b c d e f g", "en", "src", 1L),        // 7 tokens: still short
+      (4L, "a b c d e f g h", "en", "src", 1L))      // exactly 8: 1 window
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = Dedup.queries("q_dedup_substring")(spark, d)
+      .select("doc_id", "n_win", "n_dup_win")
+      .as[(Long, Int, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(!r.contains(2L) && !r.contains(3L))  // no window → no row
+    assert(r(4L) == ((1, 0L)))                  // exactly one, unshared
+    assert(r(0L) == ((3, 3L)) && r(1L) == ((3, 3L)))
   }
 }

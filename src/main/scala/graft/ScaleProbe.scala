@@ -255,6 +255,58 @@ object ScaleProbe {
       timedIvf(1)
       timedIvf(10)
       timedIvf(100)
+      // Recall at scale: the wall-clock rows above prove the candidate
+      // cut stays CHEAP as the corpus grows; this proves it stays
+      // GOOD — recall@3 (nprobe = 2) against the exact top-3 over the
+      // SAME N× corpus. Replicas of a query's true neighbors land in
+      // the replica's own data region with shifted ids, so the truth
+      // set genuinely changes with N; recall holding ≈ the fixture
+      // value is the evidence the tuning curve transfers off the
+      // fixture point (BASELINE.md cites 1x vs 10x).
+      def recallIvf(mult: Int): Unit = {
+        val scaled = qe
+          .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
+            col("vec_id"), col("q"), col("norm"))
+          .select((col("vec_id") + col("i") * lit(stride)).as("vec_id"),
+            col("q"), col("norm"))
+        val t0 = System.nanoTime()
+        val cells = graft.llm.Similarity.ivfCellsFrom(scaled).persist()
+        val queriesDf = cells.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("query_id"),
+            array_distinct(array(col("cell"), col("cell2"))).as("probes"),
+            col("q").as("qa"), col("norm").as("na"))
+        val corpus = cells.select(col("vec_id").as("neighbor_id"),
+          col("cell").as("ncell"), col("q").as("qb"), col("norm").as("nb"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)
+        def top3(pairs: org.apache.spark.sql.DataFrame) = pairs
+          .withColumn("dot", expr("dot_long(qa, qb)"))
+          .withColumn("cosine", round(col("dot").cast("double")
+            / sqrt(col("na").cast("double"))
+            / sqrt(col("nb").cast("double")), 4))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("query_id"), col("neighbor_id"))
+        val approx = top3(
+          broadcast(queriesDf.withColumn("probe", explode(col("probes"))))
+            .join(corpus, col("probe") === col("ncell") &&
+              col("query_id") =!= col("neighbor_id")))
+          .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+        val exact = top3(broadcast(queriesDf)
+          .join(corpus, col("query_id") =!= col("neighbor_id")))
+        val r = exact.join(approx,
+            col("query_id") === col("aq") && col("neighbor_id") === col("an"),
+            "left")
+          .agg(count(lit(1)).as("n_true"), count(col("an")).as("n_found"))
+          .head()
+        val dt = (System.nanoTime() - t0) / 1e9
+        cells.unpersist(false)
+        val (nt, nf) = (r.getLong(0), r.getLong(1))
+        println(f"""{"probe":"ivf_recall_${mult}x","vectors":${nVec * mult},"n_true":$nt,"n_found":$nf,"recall":${nf.toDouble / nt}%.4f,"sec":$dt%.2f}""")
+      }
+      recallIvf(1)
+      recallIvf(10)
       qe.unpersist(false)
     }
 

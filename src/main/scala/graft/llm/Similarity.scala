@@ -278,8 +278,13 @@ object Similarity {
     * The probe fan-out explodes the QUERY side only; a neighbor lives
     * in one cell, so no pair ever arises twice. */
   private def ivfTop(s: SparkSession, dir: String, qmax: Int, k: Int,
-      nprobe: Int = 1): DataFrame = {
-    val cells = ivfCells(s, dir)
+      nprobe: Int = 1): DataFrame =
+    ivfTopFrom(ivfCells(s, dir), qmax, k, nprobe)
+
+  /** Cells-taking form: the recall grid trains the index ONCE and runs
+    * every (k, nprobe) operating point against the same cells frame. */
+  private def ivfTopFrom(cells: DataFrame, qmax: Int, k: Int,
+      nprobe: Int): DataFrame = {
     // array_distinct: with a degenerate single-cell index cell2 == cell
     // and a duplicate probe would double every candidate row
     val probeCols =
@@ -320,7 +325,8 @@ object Similarity {
     val queriesDf = cells.filter(col("vec_id") < qmax)
       .withColumn("mn", expr(s"cast(array($mns) as array<bigint>)"))
       .select(col("vec_id").as("query_id"), col("cell"),
-        explode(array(col("cell"), col("cell2"))).as("probe"),
+        // array_distinct: degenerate single-cell index has cell2 == cell
+        explode(array_distinct(array(col("cell"), col("cell2")))).as("probe"),
         expr("transform(sequence(0, size(q) - 1), i -> (q[i] - mn[i]) * 255)")
           .as("da"))
     val corpus = cells
@@ -464,6 +470,35 @@ object Similarity {
           .select("query_id", "neighbor_id"),
         k = 3)),
 
+    // The K × nprobe OPERATING-POINT GRID (the q_dedup_lsh_tuning /
+    // q_hll_tuning pattern applied to the IVF index): aggregate
+    // recall@K over all 50 queries at every (K, nprobe) ∈ {3,10}×{1,2}
+    // — the tuning curve an ANN deployment picks its point on, so the
+    // per-query recall rows above stop being a single-K story. The
+    // index trains ONCE ([[ivfCells]]'s bounded K-row collect happens
+    // once, not per grid row), and the brute/IVF ranking subtrees are
+    // identical across rows up to the rnk filter, so their exchanges
+    // plan once (ReusedExchange) — the grid costs one extra rank pass
+    // per row, not 4× the index.
+    "q_knn_ivf_recall_grid" -> ((s, dir) => {
+      val cells = ivfCells(s, dir)
+      val rows = for (k <- Seq(3, 10); np <- Seq(1, 2)) yield {
+        val exact = bruteTop(s, dir, qmax = 50, k = k)
+          .select(col("query_id"), col("neighbor_id"))
+        val approx = ivfTopFrom(cells, qmax = 50, k = k, nprobe = np)
+          .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+        exact.join(approx,
+            col("query_id") === col("aq") && col("neighbor_id") === col("an"),
+            "left")
+          .agg(count(lit(1)).as("n_true"), count(col("an")).as("n_found"))
+          .select(lit(k).as("k"), lit(np).as("nprobe"),
+            col("n_true"), col("n_found"),
+            round(col("n_found").cast("double") / col("n_true"), 4)
+              .as("recall"))
+      }
+      rows.reduce(_.unionByName(_)).orderBy("k", "nprobe")
+    }),
+
     // The composed index: IVF candidate cut (nprobe = 2 trained cells)
     // × ADC compressed ranking — both knobs at once, the configuration
     // a production deployment actually runs. Its recall row closes the
@@ -541,6 +576,7 @@ object Similarity {
     "q_knn_ivf_recall" -> ivfRecallSql(multi = false),
     "q_knn_ivf_mp" -> ivfSql(multi = true),
     "q_knn_ivf_mp_recall" -> ivfRecallSql(multi = true),
+    "q_knn_ivf_recall_grid" -> ivfRecallGridSql,
     "q_knn_ivf_adc" -> ("WITH " + Dedup.QE + "," + Clustering.assignCtes + "," +
       ivfCte + "," + sq8Cte + s""",
       d AS (SELECT a.vec_id AS query_id, a.cell, v.vec_id AS neighbor_id,
@@ -682,6 +718,44 @@ object Similarity {
   /** Twin of the IVF probe condition: own cell, or the two nearest. */
   private def ivfProbeCond(multi: Boolean): String =
     if (multi) "b.cell IN (a.cell, a.cell2)" else "a.cell = b.cell"
+
+  /** Twin of the (K, nprobe) operating-point grid: ONE brute ranking
+    * and one IVF ranking per nprobe; each grid row just re-filters the
+    * shared `rnk` columns — mirroring the Spark plan's reused
+    * subtrees. */
+  private lazy val ivfRecallGridSql: String = {
+    def approxCtes(np: Int): String = s""",
+      ap$np AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                  a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+                FROM ivcell a JOIN ivcell b
+                  ON ${ivfProbeCond(np == 2)} AND a.vec_id < 50 AND a.vec_id <> b.vec_id),
+      acos$np AS (SELECT query_id, neighbor_id,
+                    round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+                  FROM ap$np),
+      ark$np AS (SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+                 FROM acos$np)"""
+    def gridRow(k: Int, np: Int): String = s"""
+      SELECT $k AS k, $np AS nprobe,
+             count(*) AS n_true, count(a.neighbor_id) AS n_found,
+             round(CAST(count(a.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS recall
+      FROM (SELECT query_id, neighbor_id FROM brk WHERE rnk <= $k) b
+      LEFT JOIN (SELECT query_id, neighbor_id FROM ark$np WHERE rnk <= $k) a
+        ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id"""
+    "WITH " + Dedup.QE + "," + Clustering.assignCtes + "," + ivfCte + s""",
+      bp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+             FROM qn a JOIN qn b ON a.vec_id < 50 AND a.vec_id <> b.vec_id),
+      bcos AS (SELECT query_id, neighbor_id,
+                 round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+               FROM bp),
+      brk AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM bcos)""" +
+      approxCtes(1) + approxCtes(2) +
+      Seq((3, 1), (3, 2), (10, 1), (10, 2)).map((gridRow _).tupled)
+        .mkString("", " UNION ALL ", " ORDER BY k, nprobe")
+  }
 
   private def ivfSql(multi: Boolean): String =
     "WITH " + Dedup.QE + "," + Clustering.assignCtes + "," + ivfCte + s""",

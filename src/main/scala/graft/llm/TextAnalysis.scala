@@ -46,7 +46,13 @@ object TextAnalysis {
     * language argmax + composite quality (the q_lang_id / q_text_quality
     * formulas verbatim), all on one scan projection inside codegen. */
   private def pipelineFeatures(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    pipelineFeaturesOf(Tables(s, dir, "documents"))
+
+  /** Frame-taking form: works on any (batch OR streaming) frame with
+    * the documents schema — [[graft.streaming.Streams.pipelineChunks]]
+    * runs the same projection incrementally. */
+  private[graft] def pipelineFeaturesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("t"))
       .withColumn("s_en", expr(scoreExpr("en")))
       .withColumn("s_de", expr(scoreExpr("de")))

@@ -433,24 +433,40 @@ object Joins {
         expr("substring(n2, pj + 1, lj)").as("seg"))
     // probe: for each candidate build length lb in ±2 and segment j,
     // every substring of that segment's length starting within ±2 of
-    // the segment's home position (clipped to the string)
+    // the segment's home position (clipped to the string). The join
+    // key includes (lb, j), so duplicate candidates only MATTER within
+    // one (lb, j) group — and there they only arise from nearby start
+    // positions yielding the same substring (k1 is the table's key, so
+    // this per-group dedup ≡ the old global .distinct()). Dedup is
+    // therefore an `array_distinct` over the ≤5-element STRING array
+    // of one segment's windows, map-side inside the generator chain:
+    // the full exchange of the ~45×-fanned-out probe rows that
+    // `.distinct()` paid (the r7 verdict's suspect) is gone, and the
+    // string fast path costs ~nothing (a struct-array distinct here
+    // measured 3× worse than the exchange it replaced). The start
+    // range is always non-empty: pj + lj = ((j+1)·lb) div 3 ≤ lb ≤
+    // la + 2 gives hi ≥ lo, so no empty-sequence guard is needed.
     val probe = part.filter(length(col("p_name")) >= 3)
       .select(col("p_brand"), col("p_partkey").as("k1"),
         col("p_name").as("n1"))
       .withColumn("la", length(col("n1")))
-      .withColumn("lb", explode(expr("sequence(la - 2, la + 2)")))
-      .filter(col("lb") >= 3)
+      .withColumn("lb", explode(expr("sequence(greatest(la - 2, 3), la + 2)")))
       .withColumn("j", explode(expr("sequence(0, 2)")))
       .withColumn("pj", expr("(j * lb) div 3"))
       .withColumn("lj", expr("((j + 1) * lb) div 3 - (j * lb) div 3"))
       .withColumn("lo", greatest(lit(0), col("pj") - 2))
       .withColumn("hi", least(col("la") - col("lj"), col("pj") + 2))
-      .filter(col("hi") >= col("lo"))
-      .withColumn("p", explode(expr("sequence(lo, hi)")))
+      .withColumn("seg", explode(expr(
+        "array_distinct(transform(sequence(lo, hi), p -> substring(n1, p + 1, lj)))")))
       .select(col("p_brand"), col("k1"), col("n1"), col("lb"), col("j"),
-        expr("substring(n1, p + 1, lj)").as("seg"))
-      .distinct()
-    probe.join(build, Seq("p_brand", "lb", "j", "seg"))
+        col("seg"))
+    // The segment join follows the repo's runtime-size rule (see the
+    // Dedup header): BOTH sides sit under generators, so Catalyst's
+    // estimates are garbage — unhinted, it broadcast the ~45×-fanned
+    // probe side (measured: seg_10x probe 27 → 82 s, hot10x 63 →
+    // 325 s). The hinted side is the BOUNDED one (3 segments/name);
+    // AQE sizes the exchanges from actual bytes.
+    probe.join(build.hint("shuffle_hash"), Seq("p_brand", "lb", "j", "seg"))
       .filter(col("k1") < col("k2"))
       .select(col("p_brand"), col("k1"), col("k2"), col("n1"), col("n2"))
       .distinct()

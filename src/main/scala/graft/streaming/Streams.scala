@@ -165,6 +165,35 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** The q_pipeline_chunks funnel run INCREMENTALLY — the shape a
+    * production ingest schedules continuously: the same scan-side
+    * language/quality features and filters (literally the same
+    * projection, [[graft.llm.TextAnalysis.pipelineFeaturesOf]]), with
+    * the one batch-only operator swapped for its streaming-native
+    * form: the min-doc_id keeper election (a row_number window — needs
+    * the whole key group, impossible incrementally) becomes stateful
+    * `dropDuplicates` on the content hash, i.e. FIRST-ARRIVAL keeper.
+    * Survivor CONTENT is identical either way (duplicates share their
+    * text byte-for-byte), so the streamed chunk set equals the batch
+    * plan's up to which duplicate's doc_id is reported — StreamsSpec
+    * pins exactly that equality, keyed by content hash.
+    *
+    * State: one md5 per distinct surviving document, forever — the
+    * documents fixture has no event time, so there is no watermark to
+    * bound it; a production deployment keys retention with
+    * `dropDuplicatesWithinWatermark` on an ingest timestamp. */
+  def pipelineChunks(docs: DataFrame, C: Int = 16): DataFrame =
+    graft.llm.TextAnalysis.pipelineFeaturesOf(docs)
+      .filter(col("pred") === "en" && col("quality") >= 0.5)
+      .withColumn("thash", md5(col("text")))
+      .dropDuplicates("thash")
+      .select(col("doc_id"), col("thash"), col("t"), explode(expr(
+        s"sequence(0, cast(ceil(n_tok / $C.0) as int) - 1)")).as("chunk_idx"))
+      .withColumn("c", expr(s"slice(t, chunk_idx * $C + 1, $C)"))
+      .select(col("doc_id"), col("thash"), col("chunk_idx"),
+        size(col("c")).as("chunk_tokens"),
+        md5(concat_ws(" ", col("c"))).as("chunk_hash"))
+
   /** A closed session emitted by [[sessionsWithState]]. */
   case class ClosedSession(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long)

@@ -235,12 +235,33 @@ class PlanSpec extends SparkSuite {
     // the corpus must never be the broadcast/build side — estimates
     // would pick it at small SFs and fall back to a shuffle join on
     // ≤16 cell keys (a dop ceiling) at scale
-    for (q <- Seq("q_knn_ann", "q_knn_ivf")) {
+    for (q <- Seq("q_knn_ann", "q_knn_ivf", "q_knn_ivf_mp", "q_knn_ivf_adc")) {
       val p = plan(q)
       assert(p.contains("BroadcastHashJoin Inner BuildLeft"),
         s"$q must broadcast the query side:\n" +
           p.linesIterator.filter(_.contains("Join")).mkString("\n"))
     }
+  }
+
+  test("q_join_fuzzy_seg: hinted SHJ on the segment keys, five exchanges, no broadcast of the fan-out") {
+    // the segment join's scale shape (r8): probe-side candidate dedup
+    // is map-side (array_distinct on the ≤5-string window array — the
+    // old .distinct() paid a full exchange of the ~45× fan-out), and
+    // the segment join is a HINTED ShuffledHashJoin — both sides sit
+    // under generators, so an unhinted plan broadcast the fanned-out
+    // probe side from a garbage estimate (measured: seg_10x 27 → 82 s).
+    // Exactly 5 shuffle exchanges: the two segment-join sides, the
+    // post-join pair dedup, the short-arm pair dedup, the final sort.
+    // The one BroadcastExchange allowed is the short arm's tiny slice.
+    val p = plan("q_join_fuzzy_seg")
+    val shuffles = "\\(\\d+\\) Exchange\\b".r.findAllIn(p).length
+    assert(shuffles == 5, s"expected 5 shuffle exchanges, got $shuffles:\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(p.contains("ShuffledHashJoin"),
+      "segment join must be the hinted SHJ, not an estimate-driven broadcast")
+    val bcasts = "\\(\\d+\\) BroadcastExchange".r.findAllIn(p).length
+    assert(bcasts <= 1, s"unexpected broadcast in the segment path:\n" +
+      p.linesIterator.filter(_.contains("Broadcast")).mkString("\n"))
   }
 
   test("q_knn_sq8_adc rescales codes scan-side and prunes top-k pre-exchange") {

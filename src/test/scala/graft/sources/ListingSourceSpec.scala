@@ -44,4 +44,36 @@ class ListingSourceSpec extends SparkSuite {
     assert(q.schema.fieldNames.toSeq === Seq("name"))
     assert(q.count() === 5)
   }
+
+  test("pushdown lands in the SCAN NODE and the reader filters, not a post-scan Filter") {
+    // Two pins that fail if pushdown silently stops:
+    //  1. the pushed filter must appear in the scan node's own
+    //     description (ListingScan prints `pushed=…` — a generic
+    //     "StringContains somewhere in the plan" would also match a
+    //     leftover post-scan Filter node and miss the regression);
+    //  2. behaviorally, the scan must EMIT only the matching rows
+    //     (numOutputRows == 3 of 5) — the PartitionPruningSpec trick:
+    //     if the predicate were re-evaluated above the scan instead,
+    //     the scan's own output count reverts to 5.
+    val q = read().filter(col("name").contains("needle")).select("name")
+    q.collect()
+    val scanLine = q.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("ListingScan")).getOrElse(fail("no ListingScan node"))
+    assert(scanLine.contains("pushed=") && scanLine.contains("StringContains"),
+      s"pushed-filters string missing from the scan node: $scanLine")
+    val scan = q.queryExecution.executedPlan.collectLeaves()
+      .find(_.toString.contains("ListingScan"))
+      .getOrElse(fail("no BatchScan leaf"))
+    assert(scan.metrics("numOutputRows").value === 3,
+      "scan emitted unfiltered rows — the reader is not applying the pushed filter")
+  }
+
+  test("pruned read schema reaches the scan node (name only, no dir)") {
+    val q = read().filter(col("name").contains("needle")).select("name")
+    val scanLine = q.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("ListingScan")).getOrElse(fail("no ListingScan node"))
+    // DSv2 prints the scan's output attribute list: dir must be gone
+    assert(!scanLine.contains("dir#"),
+      s"dir survived pruning in the scan node: $scanLine")
+  }
 }

@@ -283,6 +283,38 @@ class StreamsSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("funnel chunks: streamed file source equals the batch plan, keyed by content") {
+    // The composed q_pipeline_chunks funnel run incrementally over the
+    // real documents fixture (file source, one file per micro-batch).
+    // Keeper identity differs by design (batch = min doc_id, stream =
+    // first arrival), so equality is pinned on the keeper-invariant
+    // surface: the (content-hash, chunk) set — identical because
+    // duplicates share their text byte-for-byte.
+    val fixture = "/root/testdata/sf0.001"
+    val stage = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    val docs = spark.read.parquet(s"$fixture/documents.parquet")
+    docs.repartition(8).write.mode("overwrite").parquet(stage) // >1 micro-batch
+    val docHash = docs.select(col("doc_id"), md5(col("text")).as("thash"))
+    val expected = graft.llm.TextAnalysis.queries("q_pipeline_chunks")(spark, fixture)
+      .join(docHash, "doc_id")
+      .select("thash", "chunk_idx", "chunk_tokens", "chunk_hash")
+      .as[(String, Int, Int, String)].collect().toSet
+    assert(expected.nonEmpty)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val q = Streams.pipelineChunks(stream)
+      .writeStream.format("memory").queryName("funnelchunks")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("funnelchunks")
+        .select("thash", "chunk_idx", "chunk_tokens", "chunk_hash")
+        .as[(String, Int, Int, String)].collect()
+      assert(got.length == got.toSet.size) // exactly-once, no replay dup
+      assert(got.toSet === expected)       // same survivors, same chunks
+    } finally q.stop()
+  }
+
   test("runningUserCounts keeps per-key state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long)]

@@ -750,29 +750,112 @@ object Dedup {
     // fan-out. The islands window shuffles once on doc_id — rows at
     // that point are only the duplicated positions, ≤ corpus windows
     // and in practice a small fraction.
-    "q_dedup_substring_spans" -> ((s, dir) => {
+    "q_dedup_substring_spans" -> ((s, dir) =>
+      substringSpans(s, dir).orderBy("doc_id", "span_start")),
+
+    // The FULL Lee et al. duplicated-window test: a window counts iff
+    // its TOTAL occurrences across the corpus ≥ 2 — including repeats
+    // WITHIN one document (a doc's own repeated boilerplate), which
+    // [[q_dedup_substring]]'s cross-document nd ≥ 2 deliberately
+    // excludes. Same per-doc output shape; read the two side by side
+    // and the difference column is exactly the self-repetition signal
+    // (cf. q_repetition's bigram view of the same phenomenon). Plan
+    // shape identical: only the window predicate changes — sum(k)
+    // over whash instead of a row count.
+    "q_dedup_substring_rep" -> ((s, dir) => {
       val W = 8
       val win = Tables(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .filter(size(col("t")) >= W)
-        .select(col("doc_id"), posexplode(expr(
+        .select(col("doc_id"), explode(expr(
           s"transform(sequence(0, size(t) - $W), " +
-            s"i -> concat_ws(' ', slice(t, i + 1, $W)))")))
-        .select(col("doc_id"), col("pos"), md5(col("col")).as("whash"))
-      val dupHashes = win
-        .groupBy(col("whash"))
-        .agg(count_distinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2)
-        .select(col("whash"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      win.join(dupHashes.hint("shuffle_hash"), Seq("whash"), "left_semi")
-        .withColumn("grp", col("pos") - row_number().over(w))
-        .groupBy(col("doc_id"), col("grp"))
-        .agg(min(col("pos")).as("span_start"),
-          (max(col("pos")) - min(col("pos")) + lit(W)).as("span_len"))
-        .select(col("doc_id"), col("span_start"), col("span_len"))
-        .orderBy("doc_id", "span_start")
+            s"i -> concat_ws(' ', slice(t, i + 1, $W)))")).as("win"))
+        .select(col("doc_id"), md5(col("win")).as("whash"))
+      val dupPerDoc = win
+        .groupBy(col("whash"), col("doc_id")).agg(count(lit(1)).as("k"))
+        .withColumn("occ",
+          sum(col("k")).over(Window.partitionBy(col("whash"))))
+        .filter(col("occ") >= 2)
+        .groupBy(col("doc_id")).agg(sum(col("k")).as("n_dup_win"))
+      val perDoc = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          (size(split(col("text"), " ")) - (W - 1)).as("n_win"))
+        .filter(col("n_win") >= 1)
+      perDoc.join(dupPerDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .withColumn("n_dup_win", coalesce(col("n_dup_win"), lit(0L)))
+        .select(col("doc_id"), col("n_win"), col("n_dup_win"),
+          round(col("n_dup_win").cast("double") /
+            col("n_win").cast("double"), 4).as("dup_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // Span EXCISION — the artifact the whole substring-dedup chain
+    // exists to produce: every token covered by a duplicated span
+    // ([[substringSpans]]) is removed and the survivors reassembled,
+    // per document. Output pins content exactly while keeping the
+    // compare surface small: (doc_id, n_tok, n_kept, clean_hash =
+    // md5 of the space-joined kept tokens); a fully-duplicated doc
+    // (e.g. an exact copy) keeps 0 tokens and hashes the empty
+    // string. Scale shape: token stream and span list co-partition on
+    // doc_id (hinted SHJ — spans sit under the islands window, so
+    // estimates are junk), the range predicate is the join residual,
+    // and the ordered reassembly is one sort_array over each doc's
+    // kept (pos, tok) pairs inside the final doc_id aggregate — one
+    // shuffle each for the anti join and the aggregate, both on the
+    // same key.
+    "q_dedup_substring_clean" -> ((s, dir) => {
+      val spans = substringSpans(s, dir)
+        .select(col("doc_id").as("sd"), col("span_start"), col("span_len"))
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+      val pos = toks
+        .select(col("doc_id"), size(col("t")).as("n_tok"),
+          posexplode(col("t")))
+        .withColumnRenamed("col", "tok")
+      val kept = pos.join(spans.hint("shuffle_hash"),
+        col("doc_id") === col("sd") &&
+          col("pos") >= col("span_start") &&
+          col("pos") < col("span_start") + col("span_len"),
+        "left_anti")
+      val agg = kept.groupBy(col("doc_id"), col("n_tok"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(concat_ws(" ", expr(
+            "transform(sort_array(collect_list(struct(pos, tok))), x -> x.tok)")))
+            .as("clean_hash"))
+      toks.select(col("doc_id"), size(col("t")).as("n_tok"))
+        .join(agg.hint("shuffle_hash"), Seq("doc_id", "n_tok"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("clean_hash"), md5(lit(""))).as("clean_hash"))
+        .orderBy("doc_id")
     }))
+
+  /** Shared spans frame of q_dedup_substring_spans /
+    * q_dedup_substring_clean (unordered; queries add presentation
+    * sorts). See the q_dedup_substring_spans registration comment for
+    * the plan-shape argument. */
+  private def substringSpans(s: SparkSession, dir: String): DataFrame = {
+    val W = 8
+    val win = Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= W)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(t) - $W), " +
+          s"i -> concat_ws(' ', slice(t, i + 1, $W)))")))
+      .select(col("doc_id"), col("pos"), md5(col("col")).as("whash"))
+    val dupHashes = win
+      .groupBy(col("whash"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("whash"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    win.join(dupHashes.hint("shuffle_hash"), Seq("whash"), "left_semi")
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + lit(W)).as("span_len"))
+      .select(col("doc_id"), col("span_start"), col("span_len"))
+  }
 
   /** DuckDB minhash signature/band CTEs (twin of the Spark columns). */
   private val minhashSql: String = {
@@ -980,5 +1063,53 @@ object Dedup {
       SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
              CAST(max(pos) - min(pos) + 8 AS INT) AS span_len
       FROM isl GROUP BY doc_id, grp
-      ORDER BY doc_id, span_start""")
+      ORDER BY doc_id, span_start""",
+    // Total-occurrence variant: sum(k) OVER whash (all occurrences,
+    // incl. within-doc) replaces the cross-doc row count.
+    "q_dedup_substring_rep" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      win AS (SELECT doc_id, md5(array_to_string(t[i : i + 7], ' ')) AS whash
+              FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)),
+      g AS (SELECT whash, doc_id, count(*) AS k FROM win GROUP BY 1, 2),
+      d AS (SELECT doc_id, sum(k) AS n_dup_win
+            FROM (SELECT g.*, sum(k) OVER (PARTITION BY whash) AS occ FROM g)
+            WHERE occ >= 2 GROUP BY 1),
+      per AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) - 7 AS n_win
+              FROM documents WHERE len(string_split(text, ' ')) >= 8)
+      SELECT p.doc_id, p.n_win,
+             CAST(coalesce(d.n_dup_win, 0) AS BIGINT) AS n_dup_win,
+             round(CAST(coalesce(d.n_dup_win, 0) AS DOUBLE) /
+                   CAST(p.n_win AS DOUBLE), 4) AS dup_ratio
+      FROM per p LEFT JOIN d ON p.doc_id = d.doc_id
+      ORDER BY p.doc_id""",
+    // Excision twin: NOT EXISTS against the span list is the anti
+    // range-join; string_agg(tok ORDER BY pos) is the ordered
+    // reassembly twin of sort_array(collect_list(struct(pos, tok))).
+    "q_dedup_substring_clean" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      win AS (SELECT doc_id, i - 1 AS pos,
+                     md5(array_to_string(t[i : i + 7], ' ')) AS whash
+              FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)),
+      dup AS (SELECT whash FROM win GROUP BY 1
+              HAVING count(DISTINCT doc_id) >= 2),
+      dp AS (SELECT w.doc_id, w.pos FROM win w JOIN dup d ON w.whash = d.whash),
+      isl AS (SELECT doc_id, pos,
+                     pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+              FROM dp),
+      spans AS (SELECT doc_id, min(pos) AS s, max(pos) - min(pos) + 8 AS l
+                FROM isl GROUP BY doc_id, grp),
+      ptok AS (SELECT doc_id, CAST(len(t) AS INT) AS n_tok, i - 1 AS pos, t[i] AS tok
+               FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)),
+      kept AS (SELECT p.* FROM ptok p
+               WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                                 WHERE sp.doc_id = p.doc_id
+                                   AND p.pos >= sp.s AND p.pos < sp.s + sp.l)),
+      agg AS (SELECT doc_id, n_tok, count(*) AS n_kept,
+                     md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_hash
+              FROM kept GROUP BY doc_id, n_tok)
+      SELECT t.doc_id, CAST(len(t.t) AS INT) AS n_tok,
+             CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+             coalesce(a.clean_hash, md5('')) AS clean_hash
+      FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+      ORDER BY t.doc_id""")
 }

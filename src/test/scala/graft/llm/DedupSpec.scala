@@ -161,6 +161,44 @@ class DedupSpec extends SparkSuite {
     assert(r.sorted === Seq((0L, 0, 8), (0L, 10, 8), (1L, 0, 8), (1L, 10, 8)))
   }
 
+  test("total-occurrence variant also counts within-doc repeats") {
+    // One doc = the same 8 tokens twice (its 9 interior windows
+    // include the repeated start window), another unrelated: the
+    // cross-doc query sees NO duplication, the total-occurrence one
+    // flags the self-repeated windows. Window 0 (tokens 0-7) and
+    // window 8 (tokens 8-15) are the identical repeated block.
+    val d = java.nio.file.Files.createTempDirectory("dedupselfrep").toString
+    val block = (0 until 8).map(i => s"w$i").mkString(" ")
+    Seq(
+      (0L, s"$block $block", "en", "src", 1L),
+      (1L, (0 until 16).map(i => s"u$i").mkString(" "), "en", "src", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val cross = Dedup.queries("q_dedup_substring")(spark, d)
+      .select("doc_id", "n_dup_win").as[(Long, Long)].collect().toMap
+    val total = Dedup.queries("q_dedup_substring_rep")(spark, d)
+      .select("doc_id", "n_dup_win").as[(Long, Long)].collect().toMap
+    assert(cross(0L) == 0L && cross(1L) == 0L) // nothing cross-doc
+    assert(total(0L) == 2L)  // the two copies of the repeated window
+    assert(total(1L) == 0L)
+  }
+
+  test("span excision removes exactly the duplicated ranges and reassembles the rest") {
+    // dir fixture: docs 0/1 fully duplicated -> everything excised;
+    // docs 2/3 keep only the token past their shared 13-token span;
+    // docs 4/5 untouched (no duplicated window).
+    val r = Dedup.queries("q_dedup_substring_clean")(spark, dir)
+      .select("doc_id", "n_tok", "n_kept", "clean_hash")
+      .as[(Long, Int, Long, String)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    val md5Empty = "d41d8cd98f00b204e9800998ecf8427e"
+    assert(r(0L) == ((10, 0L, md5Empty)) && r(1L) == ((10, 0L, md5Empty)))
+    assert(r(2L)._2 == 1L && r(3L)._2 == 1L)   // one surviving token
+    assert(r(2L)._3 != r(3L)._3)               // 'here' vs 'tweak'
+    assert(r(4L) == ((10, 10L, r(4L)._3)) && r(4L)._3 != md5Empty)
+    assert(r(5L)._1 == 9 && r(5L)._2 == 9L)    // short doc kept whole
+  }
+
   test("substring dedup survives docs shorter than the window") {
     // Regression: sequence(0, size(t)-8) with a negative stop DESCENDS
     // in Spark, and slice(t, i+1, 8) at i = -1 throws — so a <8-token

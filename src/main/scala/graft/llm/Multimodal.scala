@@ -105,6 +105,40 @@ object Multimodal {
       resizeStub(decodeStub(docs)).toDF().orderBy("doc_id")
     }),
 
+    // Format sniffing + byte-level QA stats — the one multimodal stage
+    // that needs NO codec and is therefore fully real here: magic-byte
+    // classification (the dispatch step that routes a payload to the
+    // right decoder) and exact integer corruption-screen stats
+    // (distinct-byte count, modal byte frequency, byte checksum — a
+    // truncated/zero-filled payload shows up as collapsed byte
+    // diversity long before a decoder rejects it). Everything is
+    // integer-exact, so the oracle hash-gates it like any relational
+    // query; Shannon entropy is deliberately NOT computed — log() is
+    // transcendental and cross-engine bit-equality would be luck, and
+    // (n_distinct, max_freq) carries the same screen signal exactly.
+    // On md5-synthesized payloads the magic arms rarely fire (each is
+    // a 2⁻¹⁶ prefix match) — the dispatch CODE is what ships; real
+    // payloads hit real arms.
+    "q_multimodal_sniff" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .withColumn("bytes", expr(
+          "transform(sequence(0, 15), i -> " +
+            "(ascii(substr(h, 2*i+1, 1)) - (CASE WHEN substr(h, 2*i+1, 1) >= 'a' THEN 87 ELSE 48 END)) * 16 + " +
+            "(ascii(substr(h, 2*i+2, 1)) - (CASE WHEN substr(h, 2*i+2, 1) >= 'a' THEN 87 ELSE 48 END)))"))
+        .select(col("doc_id"),
+          expr("""CASE WHEN substring(h, 1, 4) = 'ffd8' THEN 'jpeg'
+                |     WHEN substring(h, 1, 8) = '89504e47' THEN 'png'
+                |     WHEN substring(h, 1, 6) = '474946' THEN 'gif'
+                |     WHEN substring(h, 1, 8) = '52494646' THEN 'riff'
+                |     ELSE 'unknown' END""".stripMargin).as("format"),
+          size(array_distinct(col("bytes"))).as("n_distinct"),
+          expr("array_max(transform(array_distinct(bytes), " +
+            "w -> size(filter(bytes, x -> x = w))))").as("max_freq"),
+          expr("aggregate(bytes, 0L, (a, x) -> a + x)").as("checksum"))
+        .orderBy("doc_id")
+    }),
+
     // Frame-sampling analog: the 16-byte payload split into 4 fixed
     // "frames", each with an index + checksum — the schema/partitioning
     // shape of video frame extraction, minus the codec.
@@ -142,6 +176,23 @@ object Multimodal {
              CAST(w * 224 // greatest(w, hh) AS INT) AS out_w,
              CAST(hh * 224 // greatest(w, hh) AS INT) AS out_h
       FROM wh ORDER BY doc_id""",
+    "q_multimodal_sniff" -> """
+      WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+      bt AS (SELECT doc_id, h, list_transform(generate_series(0, 15), i ->
+               (ascii(substr(h, 2*i+1, 1)) - (CASE WHEN substr(h, 2*i+1, 1) >= 'a' THEN 87 ELSE 48 END)) * 16 +
+               (ascii(substr(h, 2*i+2, 1)) - (CASE WHEN substr(h, 2*i+2, 1) >= 'a' THEN 87 ELSE 48 END))) AS bytes
+             FROM hx)
+      SELECT doc_id,
+             CASE WHEN substr(h, 1, 4) = 'ffd8' THEN 'jpeg'
+                  WHEN substr(h, 1, 8) = '89504e47' THEN 'png'
+                  WHEN substr(h, 1, 6) = '474946' THEN 'gif'
+                  WHEN substr(h, 1, 8) = '52494646' THEN 'riff'
+                  ELSE 'unknown' END AS format,
+             CAST(len(list_distinct(bytes)) AS INT) AS n_distinct,
+             CAST(list_max(list_transform(list_distinct(bytes),
+               w -> len(list_filter(bytes, x -> x = w)))) AS INT) AS max_freq,
+             CAST(list_sum(bytes) AS BIGINT) AS checksum
+      FROM bt ORDER BY doc_id""",
     "q_multimodal_frames" -> """
       WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents)
       SELECT doc_id, CAST(frame AS INT) AS frame,

@@ -264,6 +264,20 @@ class PlanSpec extends SparkSuite {
       p.linesIterator.filter(_.contains("Broadcast")).mkString("\n"))
   }
 
+  test("q_dedup_substring_clean: excision is a co-partitioned SHJ anti join, never a nested loop") {
+    // equality on doc_id is the join key and the span-range test is
+    // the RESIDUAL — if the equality conjunct ever stops being
+    // extracted (or the hint is lost), Spark's fallback for a
+    // non-equi anti join is BroadcastNestedLoopJoin: O(tokens ×
+    // spans) and a broadcast of an under-generator frame
+    val p = plan("q_dedup_substring_clean")
+    assert(p.contains("ShuffledHashJoin LeftAnti"),
+      "excision must be the hinted SHJ anti join:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(!p.contains("NestedLoop"),
+      "range-predicate anti join fell back to a nested loop")
+  }
+
   test("q_knn_sq8_adc rescales codes scan-side and prunes top-k pre-exchange") {
     val p = plan("q_knn_sq8_adc")
     // stats are literals (collected once) — no stats aggregate, no join

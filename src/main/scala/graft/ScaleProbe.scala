@@ -310,6 +310,39 @@ object ScaleProbe {
       qe.unpersist(false)
     }
 
+    // Substring-dedup probe: N× the documents (shifted doc_ids,
+    // identical text) through spans + excision. Replication makes
+    // EVERY window cross-doc duplicated — the worst case for the
+    // chain: span volume = corpus volume, the islands window and the
+    // anti join both carry every position. Both stages are one
+    // generator pass + key-partitioned shuffles (whash, doc_id), so
+    // wall must stay ~linear even at full-duplication load; the
+    // kept-token count collapsing to 0 at N≥2 is the correctness
+    // echo (every doc is a copy, so everything is removable).
+    if (want("substr"))
+    locally {
+      val docs = graft.Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text")).persist()
+      val nDoc = docs.count()
+      val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      def scaledDocs(mult: Int) = docs
+        .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
+          col("doc_id"), col("text"))
+        .select((col("doc_id") + col("i") * lit(stride)).as("doc_id"),
+          col("text"))
+      def timedSubstr(mult: Int): Unit = {
+        val t0 = System.nanoTime()
+        val spans = graft.llm.Dedup.substringSpansFrom(scaledDocs(mult)).count()
+        val kept = graft.llm.Dedup.substringCleanFrom(scaledDocs(mult))
+          .agg(sum(col("n_kept"))).head().getLong(0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"substr_${mult}x","docs":${nDoc * mult},"spans":$spans,"kept_tokens":$kept,"sec":$dt%.2f}""")
+      }
+      timedSubstr(1)
+      timedSubstr(10)
+      docs.unpersist(false)
+    }
+
     if (want("fuzzy"))
     // Fuzzy-join probe: plain |block|² blocking vs the PassJoin
     // segment level (Joins.fuzzyPairs / fuzzyPairsSegmented) under two

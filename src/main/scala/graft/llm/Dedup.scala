@@ -803,40 +803,49 @@ object Dedup {
     // kept (pos, tok) pairs inside the final doc_id aggregate — one
     // shuffle each for the anti join and the aggregate, both on the
     // same key.
-    "q_dedup_substring_clean" -> ((s, dir) => {
-      val spans = substringSpans(s, dir)
-        .select(col("doc_id").as("sd"), col("span_start"), col("span_len"))
-      val toks = Tables(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-      val pos = toks
-        .select(col("doc_id"), size(col("t")).as("n_tok"),
-          posexplode(col("t")))
-        .withColumnRenamed("col", "tok")
-      val kept = pos.join(spans.hint("shuffle_hash"),
-        col("doc_id") === col("sd") &&
-          col("pos") >= col("span_start") &&
-          col("pos") < col("span_start") + col("span_len"),
-        "left_anti")
-      val agg = kept.groupBy(col("doc_id"), col("n_tok"))
-        .agg(count(lit(1)).as("n_kept"),
-          md5(concat_ws(" ", expr(
-            "transform(sort_array(collect_list(struct(pos, tok))), x -> x.tok)")))
-            .as("clean_hash"))
-      toks.select(col("doc_id"), size(col("t")).as("n_tok"))
-        .join(agg.hint("shuffle_hash"), Seq("doc_id", "n_tok"), "left")
-        .select(col("doc_id"), col("n_tok"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          coalesce(col("clean_hash"), md5(lit(""))).as("clean_hash"))
-        .orderBy("doc_id")
-    }))
+    "q_dedup_substring_clean" -> ((s, dir) =>
+      substringCleanFrom(Tables(s, dir, "documents")).orderBy("doc_id")))
+
+  /** Frame-taking span-excision body (unordered) — shared by the
+    * registered query and ScaleProbe's replicated-corpus rows. */
+  private[graft] def substringCleanFrom(docs: DataFrame): DataFrame = {
+    val spans = substringSpansFrom(docs)
+      .select(col("doc_id").as("sd"), col("span_start"), col("span_len"))
+    val toks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val pos = toks
+      .select(col("doc_id"), size(col("t")).as("n_tok"),
+        posexplode(col("t")))
+      .withColumnRenamed("col", "tok")
+    val kept = pos.join(spans.hint("shuffle_hash"),
+      col("doc_id") === col("sd") &&
+        col("pos") >= col("span_start") &&
+        col("pos") < col("span_start") + col("span_len"),
+      "left_anti")
+    val agg = kept.groupBy(col("doc_id"), col("n_tok"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ", expr(
+          "transform(sort_array(collect_list(struct(pos, tok))), x -> x.tok)")))
+          .as("clean_hash"))
+    toks.select(col("doc_id"), size(col("t")).as("n_tok"))
+      .join(agg.hint("shuffle_hash"), Seq("doc_id", "n_tok"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_hash"), md5(lit(""))).as("clean_hash"))
+  }
 
   /** Shared spans frame of q_dedup_substring_spans /
     * q_dedup_substring_clean (unordered; queries add presentation
     * sorts). See the q_dedup_substring_spans registration comment for
     * the plan-shape argument. */
-  private def substringSpans(s: SparkSession, dir: String): DataFrame = {
+  private def substringSpans(s: SparkSession, dir: String): DataFrame =
+    substringSpansFrom(Tables(s, dir, "documents"))
+
+  /** Frame-taking form — ScaleProbe drives this on replicated
+    * corpora. */
+  private[graft] def substringSpansFrom(docs: DataFrame): DataFrame = {
     val W = 8
-    val win = Tables(s, dir, "documents")
+    val win = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= W)
       .select(col("doc_id"), posexplode(expr(

@@ -59,6 +59,22 @@ class IvfDegenerateSpec extends SparkSuite {
     r.foreach { case (q, _, _, n) => assert((q < 10) == (n < 10)) }
   }
 
+  test("composed IVF×ADC survives a single-cell corpus") {
+    // sq8 stats on a near-constant corpus give mn == mx on every
+    // dimension the jitter doesn't move — the rescale CASE must emit
+    // 0 codes, the duplicate probe must collapse, and every query
+    // still gets k=3 distinct neighbors.
+    val dir = writeCorpus((0L until 20L).map(i =>
+      i -> Seq.fill(64)(0.1f + 0.001f * i)))
+    val r = Similarity.queries("q_knn_ivf_adc")(spark, dir)
+      .select("query_id", "rnk", "neighbor_id")
+      .as[(Long, Int, Long)].collect()
+    assert(r.length == 20 * 3)
+    r.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).distinct.length == rows.length)
+    }
+  }
+
   test("empty corpus still fails loudly (not an index with zero cells)") {
     val dir = writeCorpus(Seq.empty)
     val e = intercept[IllegalArgumentException] {

@@ -315,6 +315,43 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("funnel keeper state survives a checkpoint restart") {
+    // The dropDuplicates keeper state must round-trip the state store:
+    // a post-restart document that duplicates a pre-restart one must
+    // be suppressed, not re-chunked — the exactly-once guarantee a
+    // continuous ingest depends on across deploys.
+    // memory sink refuses append-mode recovery — the parquet FILE sink
+    // is the fault-tolerant one (and the sink a real ingest writes)
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_funnel_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_funnel_out").toString
+    val in = MemoryStream[(Long, String)]
+    // enough tokens for quality >= 0.5, 'the'/'a' for the en argmax
+    def text(tag: String) =
+      s"the a $tag " + (0 until 17).map(i => s"tok$tag$i").mkString(" ")
+    def start() = Streams.pipelineChunks(
+        in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    try {
+      in.addData((0L, text("A")), (1L, text("B")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start() // restart from the same checkpoint
+    try {
+      in.addData((2L, text("A")), (3L, text("C"))) // doc 2 = dup of doc 0
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .select("doc_id", "chunk_idx", "chunk_hash")
+        .as[(Long, Int, String)].collect()
+      assert(got.map(_._1).distinct.sorted.toSeq === Seq(0L, 1L, 3L),
+        "the post-restart duplicate must be suppressed by restored state")
+      assert(got.length == got.toSet.size) // no replay doubling either
+    } finally q2.stop()
+  }
+
   test("runningUserCounts keeps per-key state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long)]

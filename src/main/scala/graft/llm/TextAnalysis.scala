@@ -160,6 +160,33 @@ object TextAnalysis {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // Sequence PACKING (the training-efficiency step after chunking):
+    // concatenate documents in a deterministic order and cut at a
+    // fixed token budget B — each doc lands in the bin where its
+    // first token falls (the GPT-style concat-and-cut, so bins can
+    // straddle; fill ≈ 1 except each shard's tail). Packing is PER
+    // SOURCE shard: the running-sum window partitions by `source`, so
+    // the operator parallelizes across shards instead of forcing one
+    // global sort — exactly how a production packer shards at 100 TB
+    // (a single global window would serialize the corpus through one
+    // partition). Output is the bin manifest a data loader consumes:
+    // (source, bin, n_docs, bin_tokens, fill).
+    "q_pack_bins" -> ((s, dir) => {
+      val B = 256
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("bin", expr(s"cast((cum - n_tok) div $B as int)"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
+        .withColumn("fill",
+          round(col("bin_tokens").cast("double") / B, 4))
+        .orderBy("source", "bin")
+    }),
+
     // The END-TO-END preprocessing funnel as ONE Catalyst plan — what
     // a user of this library schedules nightly: language filter →
     // quality filter → exact-dedup keeper election → fixed-size
@@ -392,6 +419,19 @@ object TextAnalysis {
              CAST(len(c) AS INT) AS chunk_tokens,
              md5(array_to_string(c, ' ')) AS chunk_hash
       FROM ch ORDER BY doc_id, chunk_idx""",
+    // Per-source running sum, bin = where the doc's first token falls.
+    "q_pack_bins" -> """
+      WITH d AS (SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_tok
+                 FROM documents),
+      c AS (SELECT doc_id, source, n_tok,
+              sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+            FROM d)
+      SELECT source, CAST((cum - n_tok) // 256 AS INT) AS bin,
+             count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+             round(CAST(sum(n_tok) AS DOUBLE) / 256, 4) AS fill
+      FROM c GROUP BY 1, 2 ORDER BY source, bin""",
     "q_pipeline_chunks" -> (pipelineSql + """,
       keep AS (SELECT doc_id, t, n_tok,
                  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn

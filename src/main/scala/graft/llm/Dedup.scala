@@ -80,15 +80,22 @@ object Dedup {
       col("vec_id"), col("label"),
       expr("transform(embedding, x -> cast(round(cast(x as double) * 10000) as bigint))").as("q"))
       .withColumn("norm", expr("dot_long(q, q)"))
+      // Zero-norm vectors are EXCLUDED at ingest (the FAISS-style
+      // contract): they have no direction, so cosine is undefined —
+      // under ANSI mode the division would THROW and one degenerate
+      // row would kill a whole-corpus query (DegenerateSweepSpec).
+      // The oracle twin carries the same WHERE.
+      .filter(col("norm") > 0)
   }
 
   private[llm] val QE =
     """qe AS (SELECT vec_id, label,
       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
       |       FROM embeddings),
-      |qn AS (SELECT vec_id, label, q,
-      |         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS norm
-      |       FROM qe)""".stripMargin
+      |qn AS (SELECT * FROM (
+      |         SELECT vec_id, label, q,
+      |           CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS norm
+      |         FROM qe) WHERE norm > 0)""".stripMargin
 
   /** Exact integer dot product of two quantized vectors — graft's
     * native codegen expression (functions/ArrayNumeric.scala). */

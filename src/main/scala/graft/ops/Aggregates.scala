@@ -228,12 +228,16 @@ object Aggregates {
           sum(col("l_extendedprice").cast(d)).cast("double").as("sy"),
           sum((col("l_extendedprice") * col("l_extendedprice")).cast(d)).cast("double").as("sy2"),
           sum((col("l_quantity") * col("l_extendedprice")).cast(d)).cast("double").as("sxy"))
+        // Degenerate groups follow standard SQL semantics: stddev of a
+        // 1-row group and corr of a constant series are NULL (nullif'd
+        // denominators — under ANSI the raw division would throw on
+        // one such group and kill the query; DegenerateSweepSpec).
         .select(col("l_returnflag"), col("n"),
           Num.r(sqrt((col("n") * col("sx2") - col("sx") * col("sx")) /
-            (col("n") * (col("n") - 1)))).as("stddev_qty"),
+            nullif(col("n") * (col("n") - 1), lit(0)))).as("stddev_qty"),
           Num.r((col("n") * col("sxy") - col("sx") * col("sy")) /
-            (sqrt(col("n") * col("sx2") - col("sx") * col("sx")) *
-              sqrt(col("n") * col("sy2") - col("sy") * col("sy"))))
+            nullif(sqrt(col("n") * col("sx2") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("sy2") - col("sy") * col("sy")), lit(0.0)))
             .as("corr_qty_price"))
         .orderBy("l_returnflag")
     }),
@@ -511,9 +515,9 @@ object Aggregates {
           CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
         FROM lineitem GROUP BY l_returnflag)
       SELECT l_returnflag, n,
-        CAST(round(sqrt((n * sx2 - sx * sx) / (n * (n - 1))), 4) AS DOUBLE) AS stddev_qty,
+        CAST(round(sqrt((n * sx2 - sx * sx) / nullif(n * (n - 1), 0)), 4) AS DOUBLE) AS stddev_qty,
         CAST(round((n * sxy - sx * sy) /
-          (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 4) AS DOUBLE) AS corr_qty_price
+          nullif(sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy), 0), 4) AS DOUBLE) AS corr_qty_price
       FROM s ORDER BY l_returnflag""",
     "q_corr_subquery" -> """
       SELECT o_orderkey, o_custkey, o_totalprice

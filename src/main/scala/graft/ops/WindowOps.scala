@@ -57,10 +57,13 @@ object WindowOps {
         .groupBy(col("o_orderpriority"))
         .agg(expr("max_k(o_totalprice, 3)").as("top3"))
         // flattened to scalars: the compare harness hashes flat columns
+        // try_: a group with <3 rows yields NULLs exactly like the
+        // oracle's out-of-range list index — plain element_at THROWS
+        // under ANSI (DegenerateSweepSpec)
         .select(col("o_orderpriority"),
-          element_at(col("top3"), 1).as("t1"),
-          element_at(col("top3"), 2).as("t2"),
-          element_at(col("top3"), 3).as("t3"))
+          expr("try_element_at(top3, 1)").as("t1"),
+          expr("try_element_at(top3, 2)").as("t2"),
+          expr("try_element_at(top3, 3)").as("t3"))
         .orderBy("o_orderpriority")
     }),
 

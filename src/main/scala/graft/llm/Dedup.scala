@@ -56,7 +56,12 @@ object Dedup {
     * work). Docs with <3 tokens yield no shingles (matches the oracle's
     * empty generate_series). Persisted by multi-pass consumers. */
   private def shingles(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    shinglesOf(Tables(s, dir, "documents"))
+
+  /** Frame-taking form: [[q_dedup_incremental]] shingles the delta and
+    * the standing corpus separately. */
+  private def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -411,14 +416,19 @@ object Dedup {
     * r = 4 is the production default shared by q_dedup_minhash,
     * q_dedup_lsh_recall and q_dedup_minhash_est; the other grid points
     * exist for q_dedup_lsh_tuning's S-curve row. */
-  private def bandCandidatesAt(sh: DataFrame, r: Int): DataFrame = {
-    val sig = signatures(sh)
+  /** (doc_id, band, bkey) banding table at r rows per band — the
+    * materialized LSH index artifact a standing corpus keeps. */
+  private def bandsAt(sh: DataFrame, r: Int): DataFrame = {
     val bandStructs = (0 until 16 / r).map(i => struct(
       lit(i).as("band"),
       concat_ws(",", sigSlots.slice(i * r, (i + 1) * r).map(col): _*).as("bkey")))
-    val bands = sig
+    signatures(sh)
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+  }
+
+  private def bandCandidatesAt(sh: DataFrame, r: Int): DataFrame = {
+    val bands = bandsAt(sh, r)
     // band table inherits a below-explode size estimate → shuffle_hash,
     // strategy from runtime sizes (see bruteInter).
     bands.as("a").hint("shuffle_hash")
@@ -683,6 +693,41 @@ object Dedup {
         .filter(col("rn") <= 3)
         .select(col("label"), col("v1"), col("v2"), col("cosine"))
         .orderBy(col("label"), col("cosine").desc, col("v1"), col("v2"))
+    }),
+
+    // INCREMENTAL dedup — the nightly-ingest shape: the DELTA (here
+    // source = 'src1') is screened AGAINST the standing corpus without
+    // ever self-joining the corpus. Two asymmetric probes: an exact
+    // content-hash left join (corpus side = the distinct hash set) and
+    // an LSH band join (corpus side = the banding table, the
+    // materialized index artifact [[bandsAt]] builds). Output is the
+    // ingest decision per delta doc: exact_dup / near_dup / new, plus
+    // the matched corpus doc. At 100 TB both corpus sides are standing
+    // indexes the delta streams against — cost scales with |delta|,
+    // not |corpus|, which is the entire point of the shape (the batch
+    // queries above rebuild corpus-wide structures every run).
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val delta = docs.filter(col("source") === "src1")
+      val corpus = docs.filter(col("source") =!= "src1")
+      val exactIdx = corpus
+        .groupBy(md5(col("text")).as("chash"))
+        .agg(min(col("doc_id")).as("exact_match"))
+      val near = bandsAt(shinglesOf(delta), 4).as("a")
+        .join(bandsAt(shinglesOf(corpus), 4)
+            .withColumnRenamed("doc_id", "cdoc").as("b").hint("shuffle_hash"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+        .groupBy(col("a.doc_id").as("doc_id"))
+        .agg(min(col("cdoc")).as("near_match"))
+      delta.select(col("doc_id"), md5(col("text")).as("chash"))
+        .join(exactIdx.hint("shuffle_hash"), Seq("chash"), "left")
+        .join(near.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("exact_match").isNotNull, "exact_dup")
+            .when(col("near_match").isNotNull, "near_dup")
+            .otherwise("new").as("status"),
+          coalesce(col("exact_match"), col("near_match")).as("match_id"))
+        .orderBy("doc_id")
     }),
 
     // Exact-SUBSTRING dedup (Lee et al. 2021, "Deduplicating Training
@@ -1039,6 +1084,38 @@ object Dedup {
              FROM cos)
       SELECT label, v1, v2, cosine FROM rk WHERE rn <= 3
       ORDER BY label, cosine DESC, v1, v2"""),
+    // Twin of the incremental screen: bands over ALL docs once (same
+    // hex-min slots as minhashSql — order-isomorphic to Spark's
+    // numeric mins, same elements chosen), sides restricted by source
+    // in the join; exact arm is a grouped min over corpus hashes.
+    "q_dedup_incremental" -> {
+      val mins = (for { g <- 0 to 3; j <- 0 to 3 }
+        yield s"min(substr(md5('$g:' || shingle), ${j * 8 + 1}, 8)) AS m$g$j")
+        .mkString(", ")
+      val bandRows = (0 until 4).map(i =>
+        s"SELECT doc_id, $i AS band, " +
+          sigSlots.slice(i * 4, (i + 1) * 4).mkString(" || ',' || ") +
+          " AS bkey FROM sig").mkString(" UNION ALL ")
+      SH + s""",
+      sig AS (SELECT doc_id, $mins FROM sh GROUP BY 1),
+      bands AS ($bandRows),
+      del AS (SELECT doc_id, md5(text) AS chash FROM documents WHERE source = 'src1'),
+      corp AS (SELECT md5(text) AS chash, min(doc_id) AS exact_match
+               FROM documents WHERE source <> 'src1' GROUP BY 1),
+      nearc AS (SELECT a.doc_id AS doc_id, min(b.doc_id) AS near_match
+                FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                JOIN documents da ON a.doc_id = da.doc_id AND da.source = 'src1'
+                JOIN documents db ON b.doc_id = db.doc_id AND db.source <> 'src1'
+                GROUP BY 1)
+      SELECT d.doc_id,
+             CASE WHEN c.exact_match IS NOT NULL THEN 'exact_dup'
+                  WHEN n.near_match IS NOT NULL THEN 'near_dup'
+                  ELSE 'new' END AS status,
+             coalesce(c.exact_match, n.near_match) AS match_id
+      FROM del d LEFT JOIN corp c ON d.chash = c.chash
+                 LEFT JOIN nearc n ON d.doc_id = n.doc_id
+      ORDER BY d.doc_id"""
+    },
     // Windows keep positions (no DISTINCT); t[i : i + 7] is the 1-based
     // inclusive 8-token slice twin of Spark's slice(t, i + 1, 8).
     // generate_series(1, len - 7) is empty when len < 8, matching the

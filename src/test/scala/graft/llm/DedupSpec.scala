@@ -130,6 +130,31 @@ class DedupSpec extends SparkSuite {
     assert(r(5L) == ((2, 0L, 0.0)))
   }
 
+  test("incremental screen: exact beats near, delta never self-matches") {
+    val d = java.nio.file.Files.createTempDirectory("dedupincr").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two three four five six seven eight nine ten eleven"
+    Seq(
+      // standing corpus (not src1)
+      (0L, base, "en", "src0", 1L),
+      (2L, other, "en", "src2", 1L),
+      // delta
+      (10L, base, "en", "src1", 1L),           // exact copy of corpus 0
+      (11L, other + " twelve", "en", "src1", 1L), // near-dup of corpus 2
+      (12L, base, "en", "src1", 1L),           // second exact copy
+      (13L, "totally unrelated content with zero overlap anywhere at all", "en", "src1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = Dedup.queries("q_dedup_incremental")(spark, d)
+      .select("doc_id", "status")
+      .as[(Long, String)].collect().toMap
+    assert(r(10L) == "exact_dup")
+    assert(r(12L) == "exact_dup") // both delta copies match the CORPUS,
+                                  // never each other (no delta self-join)
+    assert(r(11L) == "near_dup")
+    assert(r(13L) == "new")
+  }
+
   test("substring spans coalesce adjacent duplicated windows into maximal intervals") {
     // docs 0/1: all 3 windows duplicated -> positions 0..2 -> one span
     // covering the whole 10-token doc: (0, 10). docs 2/3: positions

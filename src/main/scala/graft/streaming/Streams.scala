@@ -165,6 +165,25 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** The q_dedup_incremental EXACT arm run continuously — a
+    * STREAM-STATIC join, the micro-batch form of "screen each arriving
+    * document against the standing corpus index": the streaming delta
+    * left-joins the static content-hash index (at scale: the
+    * materialized artifact of the standing corpus, reloaded per
+    * deployment), emitting the ingest decision per document in append
+    * mode with no state at all — the index IS the state, and it lives
+    * outside the query. (The LSH near-dup arm needs the banding index
+    * the same way; its signature aggregate is batch-shaped, so the
+    * batch query owns it and ships the index this join consumes.) */
+  def incrementalExactScreen(delta: DataFrame, corpusIndex: DataFrame): DataFrame =
+    delta
+      .withColumn("chash", md5(col("text")))
+      .join(corpusIndex.hint("broadcast"), Seq("chash"), "left")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, "exact_dup")
+          .otherwise("new").as("status"),
+        col("exact_match").as("match_id"))
+
   /** The q_pipeline_chunks funnel run INCREMENTALLY — the shape a
     * production ingest schedules continuously: the same scan-side
     * language/quality features and filters (literally the same

@@ -315,6 +315,30 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("incremental exact screen joins the stream against the static corpus index") {
+    // stream-static join: the arriving delta probes the standing
+    // corpus hash index; decisions are append-mode and stateless
+    implicit val sqlCtx = spark.sqlContext
+    val corpusIndex = Seq(("known doc text here now", 0L))
+      .toDF("text", "doc_id")
+      .select(md5(col("text")).as("chash"), col("doc_id").as("exact_match"))
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.incrementalExactScreen(
+        in.toDF().toDF("doc_id", "text"), corpusIndex)
+      .writeStream.format("memory").queryName("incrscreen")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((10L, "known doc text here now"), (11L, "something else"))
+      q.processAllAvailable()
+      in.addData((12L, "known doc text here now")) // later batch, same hit
+      q.processAllAvailable()
+      val got = spark.table("incrscreen")
+        .select("doc_id", "status")
+        .as[(Long, String)].collect().toMap
+      assert(got === Map(10L -> "exact_dup", 11L -> "new", 12L -> "exact_dup"))
+    } finally q.stop()
+  }
+
   test("funnel keeper state survives a checkpoint restart") {
     // The dropDuplicates keeper state must round-trip the state store:
     // a post-restart document that duplicates a pre-restart one must

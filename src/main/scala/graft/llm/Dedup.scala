@@ -60,7 +60,7 @@ object Dedup {
 
   /** Frame-taking form: [[q_dedup_incremental]] shingles the delta and
     * the standing corpus separately. */
-  private def shinglesOf(docs: DataFrame): DataFrame =
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
@@ -418,7 +418,7 @@ object Dedup {
     * exist for q_dedup_lsh_tuning's S-curve row. */
   /** (doc_id, band, bkey) banding table at r rows per band — the
     * materialized LSH index artifact a standing corpus keeps. */
-  private def bandsAt(sh: DataFrame, r: Int): DataFrame = {
+  private[graft] def bandsAt(sh: DataFrame, r: Int): DataFrame = {
     val bandStructs = (0 until 16 / r).map(i => struct(
       lit(i).as("band"),
       concat_ws(",", sigSlots.slice(i * r, (i + 1) * r).map(col): _*).as("bkey")))

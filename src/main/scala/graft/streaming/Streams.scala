@@ -165,24 +165,58 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** The q_dedup_incremental EXACT arm run continuously — a
-    * STREAM-STATIC join, the micro-batch form of "screen each arriving
-    * document against the standing corpus index": the streaming delta
-    * left-joins the static content-hash index (at scale: the
-    * materialized artifact of the standing corpus, reloaded per
-    * deployment), emitting the ingest decision per document in append
-    * mode with no state at all — the index IS the state, and it lives
-    * outside the query. (The LSH near-dup arm needs the banding index
-    * the same way; its signature aggregate is batch-shaped, so the
-    * batch query owns it and ships the index this join consumes.) */
-  def incrementalExactScreen(delta: DataFrame, corpusIndex: DataFrame): DataFrame =
-    delta
-      .withColumn("chash", md5(col("text")))
-      .join(corpusIndex.hint("broadcast"), Seq("chash"), "left")
-      .select(col("doc_id"),
-        when(col("exact_match").isNotNull, "exact_dup")
-          .otherwise("new").as("status"),
-        col("exact_match").as("match_id"))
+  /** The FULL q_dedup_incremental screen run continuously — exact AND
+    * near-dup arms, entirely STATELESS stream-static joins. The trick
+    * that makes the near arm streamable: the 16-slot minhash signature
+    * is computed SCAN-SIDE per row (array higher-order functions over
+    * the row's own shingle set — the batch form's explode + groupBy
+    * aggregate would need stateful aggregation on a stream), so the
+    * four band keys are plain columns and each probes its slice of the
+    * static banding index with an ordinary left join. Per-band minima
+    * `least`-fold to the global nearest corpus doc — equal to the
+    * batch query's min over all candidates (min of a union = least of
+    * per-part mins; DedupSpec pins row-level parity). The signature
+    * arithmetic is bit-identical to [[graft.llm.Dedup.bandsAt]]'s:
+    * same md5 slices, same conv-to-long, same comma join.
+    *
+    * `exactIndex` = (chash, exact_match), `bandIndex` = (band, bkey,
+    * cdoc) — the materialized corpus artifacts a deployment reloads;
+    * both broadcast (bounded: the standing index is the small,
+    * pre-reduced side of a delta screen). */
+  def incrementalScreen(delta: DataFrame, exactIndex: DataFrame,
+      bandIndex: DataFrame): DataFrame = {
+    val hs =
+      """if(size(t) >= 3,
+        |   transform(
+        |     array_distinct(transform(sequence(0, size(t) - 3),
+        |       i -> concat_ws(' ', t[i], t[i+1], t[i+2]))),
+        |     s -> array(md5(concat('0:', s)), md5(concat('1:', s)),
+        |                md5(concat('2:', s)), md5(concat('3:', s)))),
+        |   cast(null as array<array<string>>))""".stripMargin
+    def slot(g: Int, j: Int) =
+      s"array_min(transform(hs, h -> " +
+        s"cast(conv(substring(h[$g], ${j * 8 + 1}, 8), 16, 10) as bigint)))"
+    val keyed = (0 to 3).foldLeft(
+      delta.withColumn("chash", md5(col("text")))
+        .withColumn("t", split(col("text"), " "))
+        .withColumn("hs", expr(hs))) { (df, g) =>
+      df.withColumn(s"bkey_$g",
+        concat_ws(",", (0 to 3).map(j => expr(slot(g, j))): _*))
+    }
+    val probed = (0 to 3).foldLeft(
+      keyed.join(exactIndex.hint("broadcast"), Seq("chash"), "left")) { (df, g) =>
+      df.join(bandIndex.filter(col("band") === g)
+          .select(col("bkey").as(s"bkey_$g"), col("cdoc").as(s"cdoc_$g"))
+          .hint("broadcast"),
+        Seq(s"bkey_$g"), "left")
+    }
+    val nearMatch = least((0 to 3).map(g => col(s"cdoc_$g")): _*)
+    probed.select(col("doc_id"),
+      when(col("exact_match").isNotNull, "exact_dup")
+        .when(nearMatch.isNotNull, "near_dup")
+        .otherwise("new").as("status"),
+      coalesce(col("exact_match"), nearMatch).as("match_id"))
+  }
 
   /** The q_pipeline_chunks funnel run INCREMENTALLY — the shape a
     * production ingest schedules continuously: the same scan-side

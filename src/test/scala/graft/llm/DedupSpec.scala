@@ -155,6 +155,43 @@ class DedupSpec extends SparkSuite {
     assert(r(13L) == "new")
   }
 
+  test("streamed incremental screen is row-identical to the batch query (static parity)") {
+    // Streams.incrementalScreen computes the minhash signature
+    // SCAN-SIDE (per-row array ops) where the batch query uses the
+    // explode + groupBy aggregate — this pins that the two signature
+    // paths produce identical band keys, statuses and match ids.
+    val d = java.nio.file.Files.createTempDirectory("dedupincrpar").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two three four five six seven eight nine ten eleven"
+    Seq(
+      (0L, base, "en", "src0", 1L),
+      (2L, other, "en", "src2", 1L),
+      (10L, base, "en", "src1", 1L),
+      (11L, other + " twelve", "en", "src1", 1L),
+      (12L, "xy", "en", "src1", 1L),            // <3 tokens: no shingles
+      (13L, "totally unrelated content with zero overlap anywhere at all", "en", "src1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val corpus = docs.filter(col("source") =!= "src1")
+    val exactIdx = corpus.groupBy(md5(col("text")).as("chash"))
+      .agg(min(col("doc_id")).as("exact_match"))
+    val bandIdx = Dedup.bandsAt(Dedup.shinglesOf(corpus), 4)
+      .groupBy(col("band"), col("bkey"))
+      .agg(min(col("doc_id")).as("cdoc"))
+    val streamed = graft.streaming.Streams
+      .incrementalScreen(docs.filter(col("source") === "src1"), exactIdx, bandIdx)
+      .select("doc_id", "status", "match_id")
+      .as[(Long, String, Option[Long])].collect().toSet
+    val batch = Dedup.queries("q_dedup_incremental")(spark, d)
+      .select("doc_id", "status", "match_id")
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(streamed === batch)
+    assert(batch.contains((10L, "exact_dup", Some(0L))))
+    assert(batch.contains((11L, "near_dup", Some(2L))))
+    assert(batch.contains((12L, "new", None)))
+  }
+
   test("substring spans coalesce adjacent duplicated windows into maximal intervals") {
     // docs 0/1: all 3 windows duplicated -> positions 0..2 -> one span
     // covering the whole 10-token doc: (0, 10). docs 2/3: positions

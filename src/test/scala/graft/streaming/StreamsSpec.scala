@@ -315,27 +315,32 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
-  test("incremental exact screen joins the stream against the static corpus index") {
-    // stream-static join: the arriving delta probes the standing
-    // corpus hash index; decisions are append-mode and stateless
+  test("full incremental screen streams both arms statelessly") {
+    // exact AND near arms as stream-static joins: the scan-side
+    // signature makes the banding probe a stateless column join
     implicit val sqlCtx = spark.sqlContext
-    val corpusIndex = Seq(("known doc text here now", 0L))
-      .toDF("text", "doc_id")
-      .select(md5(col("text")).as("chash"), col("doc_id").as("exact_match"))
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two three four five six seven eight nine ten eleven"
+    val corpus = Seq((0L, base), (2L, other)).toDF("doc_id", "text")
+    val exactIdx = corpus.groupBy(md5(col("text")).as("chash"))
+      .agg(min(col("doc_id")).as("exact_match"))
+    val bandIdx = graft.llm.Dedup.bandsAt(graft.llm.Dedup.shinglesOf(corpus), 4)
+      .groupBy(col("band"), col("bkey"))
+      .agg(min(col("doc_id")).as("cdoc"))
     val in = MemoryStream[(Long, String)]
-    val q = Streams.incrementalExactScreen(
-        in.toDF().toDF("doc_id", "text"), corpusIndex)
-      .writeStream.format("memory").queryName("incrscreen")
+    val q = Streams.incrementalScreen(
+        in.toDF().toDF("doc_id", "text"), exactIdx, bandIdx)
+      .writeStream.format("memory").queryName("incrfull")
       .outputMode(OutputMode.Append()).start()
     try {
-      in.addData((10L, "known doc text here now"), (11L, "something else"))
+      in.addData((10L, base), (11L, other + " twelve"))
       q.processAllAvailable()
-      in.addData((12L, "known doc text here now")) // later batch, same hit
+      in.addData((13L, "nothing in common with anything at all here truly"))
       q.processAllAvailable()
-      val got = spark.table("incrscreen")
+      val got = spark.table("incrfull")
         .select("doc_id", "status")
         .as[(Long, String)].collect().toMap
-      assert(got === Map(10L -> "exact_dup", 11L -> "new", 12L -> "exact_dup"))
+      assert(got === Map(10L -> "exact_dup", 11L -> "near_dup", 13L -> "new"))
     } finally q.stop()
   }
 

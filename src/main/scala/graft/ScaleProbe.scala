@@ -310,6 +310,54 @@ object ScaleProbe {
       qe.unpersist(false)
     }
 
+    // Incremental-screen probe: a FIXED delta (the src1 shard) against
+    // an N×-replicated standing corpus. Two timings per N: building
+    // the corpus indexes (exact hash set + banding table — linear in
+    // the corpus, amortized in production where the index is a
+    // materialized artifact) and the SCREEN itself against the
+    // prebuilt, persisted indexes — which must stay ~flat in corpus
+    // size, because the delta only probes; that flatness is the entire
+    // claim of the incremental shape vs the corpus-wide batch queries.
+    if (want("incr"))
+    locally {
+      import graft.streaming.Streams
+      val docs = graft.Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"), col("source")).persist()
+      val delta = docs.filter(col("source") === "src1")
+        .select(col("doc_id"), col("text")).persist()
+      val nDelta = delta.count()
+      val corpus0 = docs.filter(col("source") =!= "src1")
+      val nCorp = corpus0.count()
+      val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      def timedIncr(mult: Int): Unit = {
+        val corpus = corpus0
+          .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
+            col("doc_id"), col("text"))
+          .select((col("doc_id") + col("i") * lit(stride)).as("doc_id"),
+            col("text"))
+        val t0 = System.nanoTime()
+        val exactIdx = corpus.groupBy(md5(col("text")).as("chash"))
+          .agg(min(col("doc_id")).as("exact_match")).persist()
+        val bandIdx = graft.llm.Dedup
+          .bandsAt(graft.llm.Dedup.shinglesOf(corpus), 4)
+          .groupBy(col("band"), col("bkey"))
+          .agg(min(col("doc_id")).as("cdoc")).persist()
+        val idxRows = exactIdx.count() + bandIdx.count() // materialize
+        val tIdx = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val decisions = Streams.incrementalScreen(delta, exactIdx, bandIdx)
+          .groupBy(col("status")).count().orderBy("status").collect()
+          .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").mkString(",")
+        val tScreen = (System.nanoTime() - t1) / 1e9
+        exactIdx.unpersist(false); bandIdx.unpersist(false)
+        println(f"""{"probe":"incr_${mult}x","corpus":${nCorp * mult},"delta":$nDelta,"index_rows":$idxRows,"index_sec":$tIdx%.2f,"screen_sec":$tScreen%.2f,"decisions":{$decisions}}""")
+      }
+      timedIncr(1)
+      timedIncr(10)
+      timedIncr(100)
+      delta.unpersist(false); docs.unpersist(false)
+    }
+
     // Substring-dedup probe: N× the documents (shifted doc_ids,
     // identical text) through spans + excision. Replication makes
     // EVERY window cross-doc duplicated — the worst case for the

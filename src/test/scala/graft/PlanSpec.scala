@@ -278,6 +278,17 @@ class PlanSpec extends SparkSuite {
       "range-predicate anti join fell back to a nested loop")
   }
 
+  test("q_dedup_incremental probes the corpus indexes with hash joins only") {
+    // both arms are equi probes of standing indexes (hash set, banding
+    // table) — a nested loop or a broadcast of the under-generator
+    // delta/bands side would break the |delta|-scaling contract
+    val p = plan("q_dedup_incremental")
+    assert(p.contains("ShuffledHashJoin"),
+      "index probes must stay hash joins:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(!p.contains("NestedLoop"), "incremental screen fell back to a nested loop")
+  }
+
   test("q_knn_sq8_adc rescales codes scan-side and prunes top-k pre-exchange") {
     val p = plan("q_knn_sq8_adc")
     // stats are literals (collected once) — no stats aggregate, no join

@@ -349,6 +349,185 @@ object Similarity {
         col("neighbor_id"), col("dist"))
   }
 
+  /** Product-quantization codebooks (Jégou/Douze/Schmid, "Product
+    * Quantization for Nearest Neighbor Search", IEEE TPAMI 2011 — the
+    * FAISS IndexPQ shape, PQ16x4): the 64-dim space splits into
+    * m = 16 4-dim subspaces, each with its own 16-centroid codebook,
+    * so a corpus vector compresses to 16 codes of 4 bits — 8 bytes
+    * against SQ8's 64 (8×) and the raw int64 vectors' 512 (64×), the
+    * compression step that actually matters at 10⁹ vectors. (A
+    * numpy sweep at this corpus picked the shape: m = 4 recalls 0.05
+    * — subspaces too wide for 16 cells — m = 16 recalls 0.22 after
+    * one refinement, the honest no-re-ranking PQ range.)
+    *
+    * Training is the [[Clustering]] Lloyd machinery per subspace:
+    * seeded ±2000 initial centroids ([[pqSeeds]], the srp/centroids
+    * fixed-seed pattern — identical literals in both engines), one
+    * scan-side seed assignment, then ONE exact refinement from a
+    * 256-row aggregate ((g, cl) → count + 4 coordinate sums; ≤ 256
+    * rows of 6 ints through the driver — codebooks, never data). The
+    * refined centroid is the TRUNCATING integer division sum/n —
+    * Scala's `Long` `/` and DuckDB's BIGINT `//` both truncate toward
+    * zero, so the literalized codebook is cross-engine exact. An empty
+    * seed cell keeps its seed centroid (the k-means empty-cluster
+    * standard; [[Clustering.lloyd]] does the same), so a degenerate
+    * corpus degrades instead of crashing. */
+  private[llm] val pqM = 16   // subspaces
+  private[llm] val pqSub = 4  // dims per subspace
+  private[llm] val pqK = 16   // centroids per codebook
+  private[llm] val pqSeeds: Seq[Seq[Seq[Int]]] = {
+    val r = new scala.util.Random(13)
+    Seq.fill(pqM)(Seq.fill(pqK)(Seq.fill(pqSub)(if (r.nextBoolean()) 2000 else -2000)))
+  }
+
+  private def pqNormSq(c: Seq[Long]): Long = c.map(v => v * v).sum
+
+  /** Subspace g's K squared distances against a literal flattened
+    * codebook, via the native codegen `pq_dists` loop
+    * (functions/ArrayNumeric.scala). An unrolled per-centroid
+    * expression tree here — 256 literal dot products across the 16
+    * subspaces — blew janino's method limits and dropped the stage to
+    * interpreted; the loop form keeps generated code O(1) in K·d. */
+  private def pqDistsExpr(g: Int, book: Seq[Seq[Long]]): String =
+    s"pq_dists(slice(q, ${pqSub * g + 1}, $pqSub), " +
+      s"cast(array(${book.flatten.mkString(",")}) as array<bigint>))"
+
+  /** Add per-subspace argmin columns against an arbitrary codebook: the
+    * K full distances |q_g − c|² per subspace land in ONE array and the
+    * argmin is `array_position(d, array_min(d)) − 1` — first occurrence
+    * of the minimum, i.e. the same lowest-code tiebreak as the twin's
+    * row_number. All scan-side: no join, no shuffle — 100 TB encoding
+    * is one pass. */
+  private def pqAssign(df: DataFrame, cb: Seq[Seq[Seq[Long]]],
+      out: Int => String): DataFrame = {
+    // Two flat projections (all m distance arrays, then all m argmins)
+    // instead of a 2m-deep withColumn chain: the chain kept every layer
+    // as its own Project operator and the whole-stage codegen compile
+    // of that tower dominated the query's bench cost.
+    val dists = df.select(col("*") +: (0 until pqM).map(g =>
+      expr(pqDistsExpr(g, cb(g))).as(s"pds$g")): _*)
+    dists.select(df.columns.map(col) ++ (0 until pqM).map(g =>
+      (array_position(col(s"pds$g"), array_min(col(s"pds$g"))) - 1)
+        .cast("int").as(out(g))): _*)
+  }
+
+  /** Train the m × K PQ codebooks: seed assignment, one exploded
+    * (g, cl, slice) pass, one ≤ m·K-row hash aggregate,
+    * truncating-integer centroid update on the driver. */
+  private def pqCodebooks(s: SparkSession, dir: String): Seq[Seq[Seq[Long]]] = {
+    val seeds = pqSeeds.map(_.map(_.map(_.toLong)))
+    val assigned = pqAssign(Dedup.quantized(s, dir), seeds, g => s"a$g")
+    val exploded = assigned.select(explode(array((0 until pqM).map(g =>
+        struct(lit(g).as("g"), col(s"a$g").as("cl"),
+          expr(s"slice(q, ${pqSub * g + 1}, $pqSub)").as("qs"))): _*)).as("e"))
+      .select(col("e.g").as("g"), col("e.cl").as("cl"), col("e.qs").as("qs"))
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      (0 until pqSub).map(i => sum(expr(s"qs[$i]")).as(s"s$i"))
+    val rows = exploded.groupBy(col("g"), col("cl"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // ≤ m·K = 256 rows × 6 ints — codebooks, never data
+      .map(r => (r.getAs[Int]("g"), r.getAs[Int]("cl")) -> r).toMap
+    (0 until pqM).map { g =>
+      (0 until pqK).map { k =>
+        rows.get((g, k)) match {
+          case Some(r) =>
+            val n = r.getAs[Long]("n")
+            (0 until pqSub).map(i => r.getAs[Long](s"s$i") / n)
+          case None => seeds(g)(k) // empty seed cell: keep the seed
+        }
+      }
+    }
+  }
+
+  /** Per-query ADC lookup tables: `lut$g[k]` = |q_g − c_{g,k}|² in
+    * exact BIGINT (≤ 4·(2·10⁴)² per subspace — far inside long range) —
+    * the SAME `pq_dists` arrays the encoder computes. m arrays of K
+    * longs per QUERY row only; the corpus never carries them. */
+  private def pqLut(df: DataFrame, cb: Seq[Seq[Seq[Long]]]): DataFrame =
+    df.select(col("*") +: (0 until pqM).map(g =>
+      expr(pqDistsExpr(g, cb(g))).as(s"lut$g")): _*)
+
+  /** The ADC distance as m table lookups + adds (`lut$g[code$g]`,
+    * Spark's 0-based array indexing — codes are always 0..K−1, so ANSI
+    * never throws). */
+  private def pqLookupDist: String =
+    (0 until pqM).map(g => s"lut$g[code$g]").mkString(" + ")
+
+  private def pqCodeCols: Seq[org.apache.spark.sql.Column] =
+    (0 until pqM).map(g => col(s"code$g"))
+  private def pqLutCols: Seq[org.apache.spark.sql.Column] =
+    (0 until pqM).map(g => col(s"lut$g"))
+
+  /** PQ-ADC top-k — FAISS IndexPQ search: the corpus is m codes/vector
+    * (encoded scan-side by [[pqAssign]] against the refined codebooks),
+    * each query carries its m×K distance LUT, and the pair distance is
+    * m table lookups + adds. Same join scaffold as [[sq8AdcTop]]:
+    * broadcast query batch, corpus never shuffles, WindowGroupLimit
+    * top-k. */
+  private def pqAdcTop(s: SparkSession, dir: String, qmax: Int, k: Int): DataFrame = {
+    val cb = pqCodebooks(s, dir)
+    val qe = Dedup.quantized(s, dir)
+    // The code table goes through an explicit exchange: (1) it IS the
+    // stored index a production PQ deployment materializes at ingest —
+    // 16 ints/row, so even a 10⁹-row corpus shuffles ~100 GB once;
+    // (2) without the stage break, BroadcastNestedLoopJoin's codegen
+    // DEFERS the stream-side encode into the per-broadcast-row inner
+    // loop and the corpus re-encodes once per (row × query) pair —
+    // measured 5.4 s vs 0.6 s for this query at sf0.1.
+    val corpus = pqAssign(qe, cb, g => s"code$g")
+      .select(col("vec_id").as("neighbor_id") +: pqCodeCols: _*)
+      .repartition(col("neighbor_id"))
+    val queriesDf = pqLut(qe.filter(col("vec_id") < qmax), cb)
+      .select(col("vec_id").as("query_id") +: pqLutCols: _*)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    corpus.join(broadcast(queriesDf), col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist", expr(pqLookupDist))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("dist"))
+  }
+
+  /** The composed IVF×PQ index — FAISS IndexIVFPQ, the standard
+    * billion-scale configuration: candidates from the two nearest
+    * TRAINED coarse cells ([[ivfCells]], nprobe = 2), ranked by the
+    * PQ-ADC table lookup. Corpus rows carry (cell, 4 codes); the
+    * broadcast query batch carries (probe cells, 4 LUTs). */
+  private def ivfPqTop(s: SparkSession, dir: String, qmax: Int, k: Int): DataFrame = {
+    val cb = pqCodebooks(s, dir)
+    val cells = ivfCells(s, dir)
+    // Same materialized code table as [[pqAdcTop]] (production stores
+    // it; the exchange also stops the join from re-encoding per pair).
+    // Keyed by vector id, NOT the coarse cell — K ≈ 4 cell keys would
+    // cap the exchange's dop at K.
+    val corpus = pqAssign(cells, cb, g => s"code$g")
+      .select(col("vec_id").as("neighbor_id") +: col("cell").as("ncell") +:
+        pqCodeCols: _*)
+      .repartition(col("neighbor_id"))
+    // Probe explode happens BEFORE the LUT projection (on ≤ 2·qmax
+    // rows, so the duplicated LUT arithmetic is noise): a Generate in
+    // the same projection as the LUT columns trips a Catalyst pruning
+    // bug (ATTRIBUTE_NOT_FOUND) when a downstream consumer keeps only
+    // a subset of the LUTs — the recall row over a degenerate corpus.
+    val queriesDf = pqLut(
+        cells.filter(col("vec_id") < qmax)
+          .select(col("vec_id"), col("q"), col("cell"),
+            // array_distinct: degenerate single-cell index has cell2 == cell
+            explode(array_distinct(array(col("cell"), col("cell2")))).as("probe")),
+        cb)
+      .select(col("vec_id").as("query_id") +: col("cell") +: col("probe") +:
+        pqLutCols: _*)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    broadcast(queriesDf).join(corpus, col("probe") === col("ncell") &&
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist", expr(pqLookupDist))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cell"), col("rnk"),
+        col("neighbor_id"), col("dist"))
+  }
+
   /** recall@k of an approximate top-k against the exact one, per
     * query id — both inputs are (query_id, neighbor_id) top-k sets. */
   private def recallOf(exact: DataFrame, approx: DataFrame, k: Int): DataFrame =
@@ -521,6 +700,33 @@ object Similarity {
       recallOf(
         bruteTop(s, dir, qmax = 50, k = 3).select("query_id", "neighbor_id"),
         sq8AdcTop(s, dir, qmax = 50, k = 3).select("query_id", "neighbor_id"),
+        k = 3)),
+
+    // Product quantization (the third FAISS compression leg next to
+    // SQ8 and IVF): 4 codes × 4 bits per corpus vector — 32× smaller
+    // residency than SQ8 codes — ranked by per-query table lookup.
+    "q_knn_pq" -> ((s, dir) =>
+      pqAdcTop(s, dir, qmax = 50, k = 3).orderBy("query_id", "rnk")),
+
+    // PQ quality metric: recall@3 of the 2-byte-code ranking vs the
+    // exact cosine top-3 — read against q_knn_sq8_adc_recall it is the
+    // compression-vs-recall trade at 32× deeper compression (the row a
+    // deployment consults before committing to PQ at 10⁹ vectors).
+    "q_knn_pq_recall" -> ((s, dir) =>
+      recallOf(
+        bruteTop(s, dir, qmax = 50, k = 3).select("query_id", "neighbor_id"),
+        pqAdcTop(s, dir, qmax = 50, k = 3).select("query_id", "neighbor_id"),
+        k = 3)),
+
+    // The composed billion-scale index: IVF candidate cut (nprobe = 2
+    // trained cells) × PQ table-lookup ranking — FAISS IndexIVFPQ.
+    "q_knn_ivf_pq" -> ((s, dir) =>
+      ivfPqTop(s, dir, qmax = 50, k = 3).orderBy("query_id", "rnk")),
+
+    "q_knn_ivf_pq_recall" -> ((s, dir) =>
+      recallOf(
+        bruteTop(s, dir, qmax = 50, k = 3).select("query_id", "neighbor_id"),
+        ivfPqTop(s, dir, qmax = 50, k = 3).select("query_id", "neighbor_id"),
         k = 3)))
 
   val oracles: Map[String, String] = Map(
@@ -646,7 +852,144 @@ object Similarity {
              round(CAST(count(a.neighbor_id) AS DOUBLE) / 3.0, 4) AS recall_at_3
       FROM brute b LEFT JOIN adc a
         ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+      GROUP BY b.query_id ORDER BY b.query_id"""),
+    "q_knn_pq" -> ("WITH " + Dedup.QE + "," + pqCtes + s""",
+      d AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+              ${pqDistSql("a")} AS dist
+            FROM qn a, pqcodes b, $pqJoinTables
+            WHERE ${pqJoinCond("b")}
+              AND a.vec_id < 50 AND a.vec_id <> b.vec_id),
+      rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS INT) AS rnk
+             FROM d)
+      SELECT query_id, rnk, neighbor_id, dist FROM rk WHERE rnk <= 3
+      ORDER BY query_id, rnk"""),
+    "q_knn_pq_recall" -> ("WITH " + Dedup.QE + "," + pqCtes + "," + bruteCtes + s""",
+      ad AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ${pqDistSql("a")} AS dist
+             FROM qn a, pqcodes b, $pqJoinTables
+             WHERE ${pqJoinCond("b")}
+               AND a.vec_id < 50 AND a.vec_id <> b.vec_id),
+      ark AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rnk
+              FROM ad),
+      pq AS (SELECT query_id, neighbor_id FROM ark WHERE rnk <= 3)
+      SELECT b.query_id,
+             round(CAST(count(a.neighbor_id) AS DOUBLE) / 3.0, 4) AS recall_at_3
+      FROM brute b LEFT JOIN pq a
+        ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+      GROUP BY b.query_id ORDER BY b.query_id"""),
+    "q_knn_ivf_pq" -> ("WITH " + Dedup.QE + "," + Clustering.assignCtes + "," +
+      ivfCte + "," + pqCtes + s""",
+      d AS (SELECT a.vec_id AS query_id, a.cell, v.vec_id AS neighbor_id,
+              ${pqDistSql("a")} AS dist
+            FROM ivcell a, ivcell v, pqcodes b, $pqJoinTables
+            WHERE b.vec_id = v.vec_id AND v.cell IN (a.cell, a.cell2)
+              AND ${pqJoinCond("b")}
+              AND a.vec_id < 50 AND a.vec_id <> v.vec_id),
+      rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS INT) AS rnk
+             FROM d)
+      SELECT query_id, cell, rnk, neighbor_id, dist FROM rk WHERE rnk <= 3
+      ORDER BY query_id, rnk"""),
+    "q_knn_ivf_pq_recall" -> ("WITH " + Dedup.QE + "," + Clustering.assignCtes + "," +
+      ivfCte + "," + pqCtes + "," + bruteCtes + s""",
+      ad AS (SELECT a.vec_id AS query_id, v.vec_id AS neighbor_id,
+               ${pqDistSql("a")} AS dist
+             FROM ivcell a, ivcell v, pqcodes b, $pqJoinTables
+             WHERE b.vec_id = v.vec_id AND v.cell IN (a.cell, a.cell2)
+               AND ${pqJoinCond("b")}
+               AND a.vec_id < 50 AND a.vec_id <> v.vec_id),
+      ark AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rnk
+              FROM ad),
+      ivfpq AS (SELECT query_id, neighbor_id FROM ark WHERE rnk <= 3)
+      SELECT b.query_id,
+             round(CAST(count(a.neighbor_id) AS DOUBLE) / 3.0, 4) AS recall_at_3
+      FROM brute b LEFT JOIN ivfpq a
+        ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
       GROUP BY b.query_id ORDER BY b.query_id"""))
+
+  /** The exact brute-force top-3 block every recall twin repeats, as a
+    * shared CTE string (`brute` = (query_id, neighbor_id) truth set). */
+  private lazy val bruteCtes: String = s"""
+      bp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+             FROM qn a JOIN qn b ON a.vec_id < 50 AND a.vec_id <> b.vec_id),
+      bcos AS (SELECT query_id, neighbor_id,
+                 round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+               FROM bp),
+      brk AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM bcos),
+      brute AS (SELECT query_id, neighbor_id FROM brk WHERE rnk <= 3)"""
+
+  /** DuckDB twin of the PQ pipeline ([[pqSeeds]] seed assignment → one
+    * truncating-integer refinement → scan-side encoding): same seed
+    * literals, the same fall-through argmin rendered over the seed
+    * distance columns, the same BIGINT `//` centroid update (DuckDB and
+    * Scala Long division both truncate toward zero), seed fallback for
+    * empty cells, and encoding via row_number (dist ASC, code ASC) —
+    * provably the same lowest-code-tiebreak argmin as the Spark CASE. */
+  private lazy val pqCtes: String = {
+    val seeds = pqSeeds.map(_.map(_.map(_.toLong)))
+    def dotSub(g: Int, c: Seq[Long]): String = {
+      val w = c.mkString("[", ",", "]")
+      s"CAST(list_sum(list_transform(generate_series(1, $pqSub), i -> q[i + ${pqSub * g}] * ($w)[i])) AS BIGINT)"
+    }
+    // Seed distances per subspace land in one LIST and the argmin is
+    // list_position(d, list_min(d)) − 1 — first occurrence of the
+    // minimum, the same lowest-code tiebreak as the Spark
+    // array_position form and the refined-encoding row_number below.
+    val aCols = (0 until pqM).map { g =>
+      val ds = seeds(g).map(c => s"${pqNormSq(c)} - 2 * ${dotSub(g, c)}")
+        .mkString("[", ",\n            ", "]")
+      s"list_position($ds, list_min($ds)) - 1 AS a$g"
+    }.mkString(",\n          ")
+    val perG = (0 until pqM).map { g =>
+      val sums = (1 to pqSub).map(i =>
+        s"CAST(sum(q[${pqSub * g} + $i]) AS BIGINT) AS s$i").mkString(", ")
+      val seedRows = seeds(g).zipWithIndex.map { case (c, k) =>
+        s"($k, CAST(${c.mkString("[", ",", "]")} AS BIGINT[]))"
+      }.mkString(", ")
+      val refined = (1 to pqSub).map(i => s"t.s$i // t.n").mkString("[", ", ", "]")
+      s"""
+      pqt$g AS (SELECT a$g AS cl, count(*) AS n, $sums
+                FROM qn JOIN pqa USING (vec_id) GROUP BY 1),
+      pqs$g AS (SELECT * FROM (VALUES $seedRows) AS t(cl, sc)),
+      pqc$g AS (SELECT sd.cl,
+                  CASE WHEN t.n IS NULL THEN sd.sc ELSE $refined END AS c
+                FROM pqs$g sd LEFT JOIN pqt$g t ON sd.cl = t.cl),
+      pqe$g AS (SELECT vec_id, cl AS code$g FROM (
+          SELECT qn.vec_id, cb.cl,
+                 row_number() OVER (PARTITION BY qn.vec_id ORDER BY
+                   CAST(list_sum(list_transform(generate_series(1, $pqSub),
+                     i -> (qn.q[i + ${pqSub * g}] - cb.c[i]) * (qn.q[i + ${pqSub * g}] - cb.c[i]))) AS BIGINT) ASC,
+                   cb.cl ASC) AS rn
+          FROM qn, pqc$g cb) WHERE rn = 1)"""
+    }.mkString(",")
+    val codeJoins = (1 until pqM).map(g => s"JOIN pqe$g p$g USING (vec_id)")
+      .mkString("\n                       ")
+    val codeCols = (0 until pqM).map(g => s"p$g.code$g").mkString(", ")
+    s"""
+      pqa AS (SELECT vec_id,
+          $aCols
+        FROM qn),$perG,
+      pqcodes AS (SELECT p0.vec_id, $codeCols
+                  FROM pqe0 p0 $codeJoins)"""
+  }
+
+  /** The m centroid-table joins every PQ oracle repeats. */
+  private lazy val pqJoinTables: String =
+    (0 until pqM).map(g => s"pqc$g c$g").mkString(", ")
+  private def pqJoinCond(bref: String): String =
+    (0 until pqM).map(g => s"c$g.cl = $bref.code$g").mkString(" AND ")
+
+  /** ADC pair distance, directly from the neighbor's m joined centroid
+    * rows (`c0..c15` in scope): Σ_g |q_g − c_g|² in exact BIGINT —
+    * arithmetically identical to the Spark LUT lookups. */
+  private def pqDistSql(qref: String): String =
+    "CAST(" + (0 until pqM).map(g =>
+      s"list_sum(list_transform(generate_series(1, $pqSub), i -> ($qref.q[i + ${pqSub * g}] - c$g.c[i]) * ($qref.q[i + ${pqSub * g}] - c$g.c[i])))")
+      .mkString(" + ") + " AS BIGINT)"
 
   /** DuckDB twin of [[sq8Codes]]: same per-dimension min/max stats over
     * the quantized corpus and the same all-BIGINT `(q−mn)*255 // (mx−mn)`

@@ -180,9 +180,16 @@ object Streams {
     * same md5 slices, same conv-to-long, same comma join.
     *
     * `exactIndex` = (chash, exact_match), `bandIndex` = (band, bkey,
-    * cdoc) — the materialized corpus artifacts a deployment reloads;
-    * both broadcast (bounded: the standing index is the small,
-    * pre-reduced side of a delta screen). */
+    * cdoc) — the materialized corpus artifacts a deployment reloads.
+    * Join shape: the DELTA micro-batch is the `shuffle_hash` BUILD
+    * side — it is the bounded side of the screen; a 100 TB corpus's
+    * standing index is NOT broadcastable, and an estimate-driven
+    * broadcast of it would break the screen's contract (cost scales
+    * with |delta|). Same rule as the batch twin (Dedup.scala
+    * q_dedup_incremental), pinned by StreamsSpec's plan assertion. At
+    * deployment the index sides are bucketed tables on (chash) /
+    * (band, bkey), so their exchange is storage-side and the
+    * per-micro-batch cost really is |delta| alone. */
   def incrementalScreen(delta: DataFrame, exactIndex: DataFrame,
       bandIndex: DataFrame): DataFrame = {
     val hs =
@@ -200,14 +207,22 @@ object Streams {
       delta.withColumn("chash", md5(col("text")))
         .withColumn("t", split(col("text"), " "))
         .withColumn("hs", expr(hs))) { (df, g) =>
+      // A <3-token doc has hs NULL, and every slot of a NULL hs is
+      // NULL — but concat_ws over all-NULL args yields "", not NULL.
+      // Emit the band key as explicit NULL so the probe join can never
+      // match a degenerate corpus key: today's bkeys are comma-joined
+      // numerics (never empty), but that is an invariant of the index
+      // BUILDER, and the probe should not depend on it.
       df.withColumn(s"bkey_$g",
-        concat_ws(",", (0 to 3).map(j => expr(slot(g, j))): _*))
+        when(col("hs").isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(",", (0 to 3).map(j => expr(slot(g, j))): _*)))
     }
     val probed = (0 to 3).foldLeft(
-      keyed.join(exactIndex.hint("broadcast"), Seq("chash"), "left")) { (df, g) =>
-      df.join(bandIndex.filter(col("band") === g)
-          .select(col("bkey").as(s"bkey_$g"), col("cdoc").as(s"cdoc_$g"))
-          .hint("broadcast"),
+      keyed.hint("shuffle_hash")
+        .join(exactIndex, Seq("chash"), "left")) { (df, g) =>
+      df.hint("shuffle_hash")
+        .join(bandIndex.filter(col("band") === g)
+          .select(col("bkey").as(s"bkey_$g"), col("cdoc").as(s"cdoc_$g")),
         Seq(s"bkey_$g"), "left")
     }
     val nearMatch = least((0 to 3).map(g => col(s"cdoc_$g")): _*)

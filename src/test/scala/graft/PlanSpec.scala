@@ -254,8 +254,12 @@ class PlanSpec extends SparkSuite {
     // post-join pair dedup, the short-arm pair dedup, the final sort.
     // The one BroadcastExchange allowed is the short arm's tiny slice.
     val p = plan("q_join_fuzzy_seg")
+    // Upper bound, not an exact pin (ADVICE r8): the defended property
+    // is "hinted SHJ, no broadcast of the fan-out" — a benign planner
+    // change that REUSES an exchange should not fail this test, while
+    // an extra shuffle (or a lost dedup) still does.
     val shuffles = "\\(\\d+\\) Exchange\\b".r.findAllIn(p).length
-    assert(shuffles == 5, s"expected 5 shuffle exchanges, got $shuffles:\n" +
+    assert(shuffles <= 5, s"expected at most 5 shuffle exchanges, got $shuffles:\n" +
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
     assert(p.contains("ShuffledHashJoin"),
       "segment join must be the hinted SHJ, not an estimate-driven broadcast")
@@ -289,6 +293,33 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("NestedLoop"), "incremental screen fell back to a nested loop")
   }
 
+  test("streamed incrementalScreen never broadcasts the corpus indexes") {
+    // Same function the streaming twin runs per micro-batch, planned
+    // over a batch delta (stream-static joins plan each batch exactly
+    // like this). The standing indexes are the 100 TB-side artifacts —
+    // an estimate-driven broadcast of them breaks the screen's
+    // |delta|-scaling contract; the hinted SHJ build side must be the
+    // bounded DELTA batch.
+    import org.apache.spark.sql.functions._
+    val corpus = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val exactIdx = corpus.groupBy(md5(col("text")).as("chash"))
+      .agg(min(col("doc_id")).as("exact_match"))
+    val bandIdx = graft.llm.Dedup.bandsAt(graft.llm.Dedup.shinglesOf(corpus), 4)
+      .groupBy(col("band"), col("bkey"))
+      .agg(min(col("doc_id")).as("cdoc"))
+    val p = graft.streaming.Streams
+      .incrementalScreen(corpus.limit(5), exactIdx, bandIdx)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("ShuffledHashJoin"),
+      "index probes must be hinted SHJs:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(!p.contains("BroadcastExchange"),
+      "a corpus-side index reached a broadcast:\n" +
+        p.linesIterator.filter(_.contains("Broadcast")).mkString("\n"))
+    assert(!p.contains("NestedLoop"), "screen fell back to a nested loop")
+  }
+
   test("q_knn_sq8_adc rescales codes scan-side and prunes top-k pre-exchange") {
     val p = plan("q_knn_sq8_adc")
     // stats are literals (collected once) — no stats aggregate, no join
@@ -309,6 +340,28 @@ class PlanSpec extends SparkSuite {
       s"the register build runs eagerly at construction), got $scans")
     assert(p.contains("LocalTableScan"),
       "per-m folds must read the collected register vector")
+  }
+
+  test("PQ rankings broadcast the query LUTs and materialize the code table once") {
+    // The corpus side must NEVER broadcast (it is the 10⁹-row side),
+    // and its encode projection must sit under its own exchange: the
+    // BroadcastNestedLoopJoin codegen defers stream-side expressions
+    // into the per-broadcast-row inner loop, so an un-materialized
+    // code table re-encodes the corpus once per (row × query) pair
+    // (measured 5.4 s vs 0.6 s at sf0.1).
+    for (q <- Seq("q_knn_pq", "q_knn_ivf_pq")) {
+      val p = plan(q)
+      val bcasts = p.linesIterator.filter(_.contains("BroadcastExchange")).toSeq
+      assert(bcasts.nonEmpty, s"$q must broadcast the bounded query batch")
+      assert(p.contains("REPARTITION_BY_COL"),
+        s"$q must materialize the corpus code table through an exchange:\n" +
+          p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+      assert(p.contains("pq_dists"), s"$q must encode via the native pq_dists loop")
+    }
+    // the composed index keeps the equi probe on cells a hash join with
+    // the query batch as build side, same rule as the other cell joins
+    assert(plan("q_knn_ivf_pq").contains("BroadcastHashJoin Inner BuildLeft"),
+      "q_knn_ivf_pq must broadcast the query side of the cell probe")
   }
 
   test("q_hll_registers folds map-side: partial max per register") {

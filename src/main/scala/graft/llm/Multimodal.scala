@@ -17,6 +17,14 @@ case class ImageMeta(doc_id: Long, width: Int, height: Int,
 case class ResizedMeta(doc_id: Long, width: Int, height: Int,
     out_w: Int, out_h: Int)
 
+/** Typed output of the REAL (non-stub) PPM decode: parse status,
+  * header fields, and exact raster stats. Nullable fields are None
+  * wherever the parse did not get far enough to produce them. */
+case class PpmMeta(doc_id: Long, status: String,
+    width: Option[Int], height: Option[Int], maxval: Option[Int],
+    r_sum: Option[Long], g_sum: Option[Long], b_sum: Option[Long],
+    px_min: Option[Int], px_max: Option[Int])
+
 /** Multimodal-column plumbing: media as opaque `binary` columns with
   * typed, schema'd metadata extraction (north-star extension — the
   * reference has nothing beyond strings).
@@ -42,6 +50,106 @@ object Multimodal {
     * fixture tables carry no media bytes. */
   def attachPayload(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), unhex(md5(col("text"))).as("payload"))
+
+  /** Synthesize a REAL P6 (binary) PPM byte stream per document,
+    * deterministically from the doc's md5 — the fixture tables carry no
+    * media bytes, but the PAYLOAD built here is a genuine netpbm file:
+    * ASCII header (`P6`, optional `#` comment line, width, height,
+    * maxval) followed by a `w·h·3`-byte RGB raster (raster bytes cycle
+    * the 16 md5 bytes). Three md5-derived arms exercise the parser's
+    * failure paths exactly like a real crawl does: a corrupted magic
+    * (`X6`, ~6%), a comment line in the header (~25%), and a raster
+    * truncated 2 bytes short (~12.5%). Dimensions are 1..4 so the
+    * raster never outruns `repeat(h, 3)`'s 48 bytes. */
+  def ppmPayload(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("b0", expr(byteAt(0)))
+      .withColumn("b1", expr(byteAt(1)))
+      .withColumn("b13", expr(byteAt(13)))
+      .withColumn("b14", expr(byteAt(14)))
+      .withColumn("b15", expr(byteAt(15)))
+      .withColumn("w", expr("1 + b0 % 4"))
+      .withColumn("hh", expr("1 + b1 % 4"))
+      .withColumn("rhex", expr(
+        "substring(repeat(h, 3), 1, 2 * (w * hh * 3) - " +
+          "(CASE WHEN b15 % 8 = 0 THEN 4 ELSE 0 END))"))
+      .withColumn("hdr", expr(
+        "concat(CASE WHEN b13 % 16 = 0 THEN 'X6' ELSE 'P6' END, '\n', " +
+          "CASE WHEN b14 % 4 = 0 THEN '# synthetic fixture\n' ELSE '' END, " +
+          "cast(w AS string), ' ', cast(hh AS string), '\n255\n')"))
+      .select(col("doc_id"),
+        concat(encode(col("hdr"), "UTF-8"), unhex(col("rhex"))).as("payload"))
+
+  /** REAL from-scratch P6 PPM parser — the honest decode path the
+    * stubs below can't be (no codec library in the container, but
+    * netpbm needs none): magic check, whitespace/`#`-comment skipping,
+    * ASCII integer header fields, the single post-maxval whitespace
+    * byte, then exact integer raster stats (per-channel sums, global
+    * min/max). Malformed inputs degrade to a status, never a throw —
+    * at 100 TB a decode stage that crashes on one truncated crawl blob
+    * kills the task, so every failure is a ROW (`bad_magic`,
+    * `bad_header`, `unsupported_maxval`, `truncated`), filterable
+    * downstream like any other QA signal. */
+  private[llm] def parsePpm(id: Long, p: Array[Byte]): PpmMeta = {
+    val none = PpmMeta(id, "bad_magic", None, None, None, None, None, None, None, None)
+    if (p == null || p.length < 2 || p(0) != 'P' || p(1) != '6') return none
+    var i = 2
+    def eof = i >= p.length
+    def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
+    def parseInt(): Int = { // -1 = parse failure
+      var go = true
+      while (go && !eof) { // skip whitespace and # comments
+        if (isWs(p(i))) i += 1
+        else if (p(i) == '#') { while (!eof && p(i) != '\n') i += 1 }
+        else go = false
+      }
+      var v = 0L
+      var any = false
+      while (!eof && p(i) >= '0' && p(i) <= '9') {
+        v = v * 10 + (p(i) - '0'); any = true; i += 1
+        if (v > Int.MaxValue) return -1
+      }
+      if (any) v.toInt else -1
+    }
+    val w = parseInt(); val h = parseInt(); val mv = parseInt()
+    if (w <= 0 || h <= 0 || mv <= 0)
+      return none.copy(status = "bad_header")
+    if (mv > 255) // 2-byte samples — out of scope for this decoder
+      return none.copy(status = "unsupported_maxval",
+        width = Some(w), height = Some(h), maxval = Some(mv))
+    if (!eof && isWs(p(i))) i += 1 // exactly ONE whitespace, then raster
+    val need = w.toLong * h * 3
+    if (p.length - i < need)
+      return none.copy(status = "truncated",
+        width = Some(w), height = Some(h), maxval = Some(mv))
+    var rs = 0L; var gs = 0L; var bs = 0L
+    var mn = 255; var mx = 0
+    var k = 0
+    while (k < need) {
+      val v = p(i + k) & 0xff
+      (k % 3: @annotation.switch) match {
+        case 0 => rs += v
+        case 1 => gs += v
+        case _ => bs += v
+      }
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      k += 1
+    }
+    PpmMeta(id, "ok", Some(w), Some(h), Some(mv),
+      Some(rs), Some(gs), Some(bs), Some(mn), Some(mx))
+  }
+
+  /** The typed decode stage over [[parsePpm]] — same per-partition
+    * shape as the stubs (a real decoder's buffers/handles initialize
+    * once per partition, rows stream through). */
+  def decodePpm(ds: Dataset[BinaryDoc]): Dataset[PpmMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      // per-partition decode-buffer allocation would go here
+      rows.map(d => parsePpm(d.doc_id, d.payload))
+    }
+  }
 
   /** STUB decoder — stands in for image decode + feature extraction.
     * Deterministic: width/height/channels from the first 3 bytes, mean
@@ -103,6 +211,20 @@ object Multimodal {
       import s.implicits._
       val docs = attachPayload(Tables(s, dir, "documents")).as[BinaryDoc]
       resizeStub(decodeStub(docs)).toDF().orderBy("doc_id")
+    }),
+
+    // The REAL decode path (netpbm P6 needs no codec): synthesized
+    // genuine PPM byte streams — ASCII header with comment/corruption
+    // arms + binary RGB raster — parsed by the from-scratch
+    // [[parsePpm]], exact per-channel sums and min/max out the other
+    // side. The oracle recomputes the EXPECTED stats from the same md5
+    // digits the synthesizer used; the Spark side actually parses the
+    // bytes, so a parser bug (offset, comment handling, truncation
+    // check) breaks the hash gate.
+    "q_multimodal_decode_ppm" -> ((s, dir) => {
+      import s.implicits._
+      val docs = ppmPayload(Tables(s, dir, "documents")).as[BinaryDoc]
+      decodePpm(docs).toDF().orderBy("doc_id")
     }),
 
     // Format sniffing + byte-level QA stats — the one multimodal stage
@@ -176,6 +298,34 @@ object Multimodal {
              CAST(w * 224 // greatest(w, hh) AS INT) AS out_w,
              CAST(hh * 224 // greatest(w, hh) AS INT) AS out_h
       FROM wh ORDER BY doc_id""",
+    "q_multimodal_decode_ppm" -> s"""
+      WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+      b AS (SELECT doc_id, h, ${byteAt(0)} AS b0, ${byteAt(1)} AS b1,
+                   ${byteAt(13)} AS b13, ${byteAt(15)} AS b15
+            FROM hx),
+      d AS (SELECT doc_id, h, b13 % 16 = 0 AS badmagic, b15 % 8 = 0 AS trunc,
+                   1 + b0 % 4 AS w, 1 + b1 % 4 AS hh
+            FROM b),
+      r AS (SELECT doc_id, badmagic, trunc, w, hh,
+              list_transform(generate_series(0, w * hh * 3 - 1), i ->
+                (ascii(substr(h, 2*(i%16)+1, 1)) - (CASE WHEN substr(h, 2*(i%16)+1, 1) >= 'a' THEN 87 ELSE 48 END)) * 16 +
+                (ascii(substr(h, 2*(i%16)+2, 1)) - (CASE WHEN substr(h, 2*(i%16)+2, 1) >= 'a' THEN 87 ELSE 48 END))) AS raster
+            FROM d)
+      SELECT doc_id,
+             CASE WHEN badmagic THEN 'bad_magic'
+                  WHEN trunc THEN 'truncated' ELSE 'ok' END AS status,
+             CASE WHEN badmagic THEN NULL ELSE CAST(w AS INT) END AS width,
+             CASE WHEN badmagic THEN NULL ELSE CAST(hh AS INT) END AS height,
+             CASE WHEN badmagic THEN NULL ELSE CAST(255 AS INT) END AS maxval,
+             CASE WHEN badmagic OR trunc THEN NULL ELSE CAST(list_sum(
+               list_transform(generate_series(0, w * hh - 1), p -> raster[3*p+1])) AS BIGINT) END AS r_sum,
+             CASE WHEN badmagic OR trunc THEN NULL ELSE CAST(list_sum(
+               list_transform(generate_series(0, w * hh - 1), p -> raster[3*p+2])) AS BIGINT) END AS g_sum,
+             CASE WHEN badmagic OR trunc THEN NULL ELSE CAST(list_sum(
+               list_transform(generate_series(0, w * hh - 1), p -> raster[3*p+3])) AS BIGINT) END AS b_sum,
+             CASE WHEN badmagic OR trunc THEN NULL ELSE CAST(list_min(raster) AS INT) END AS px_min,
+             CASE WHEN badmagic OR trunc THEN NULL ELSE CAST(list_max(raster) AS INT) END AS px_max
+      FROM r ORDER BY doc_id""",
     "q_multimodal_sniff" -> """
       WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
       bt AS (SELECT doc_id, h, list_transform(generate_series(0, 15), i ->

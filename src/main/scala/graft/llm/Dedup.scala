@@ -695,6 +695,63 @@ object Dedup {
         .orderBy(col("label"), col("cosine").desc, col("v1"), col("v2"))
     }),
 
+    // SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    // web-scale through semantic deduplication", 2023): k-means the
+    // EMBEDDINGS (the trained IVF coarse quantizer — the same index
+    // [[Similarity]] probes), then prune within-cluster cosine ≥ τ
+    // pairs keeping the CENTROID-NEAREST doc. Candidates are bounded
+    // to Σ|cell|² by the cluster — never all-pairs (the paper's whole
+    // point: at web scale the n² similarity matrix exists only inside
+    // a cell). A doc is pruned iff SOME centroid-nearer (tie: lower
+    // id) doc in its cell is ≥ τ-similar to it — one keyed self-join +
+    // one window, no iteration; `pruned_by` reports the nearest such
+    // eliminator. τ = 0.35 is fixture-scaled (the synthetic embeddings
+    // are near-orthogonal — within-label max cosine is 0.47 where the
+    // paper's web corpus used ~0.95); the published shape is the
+    // threshold's POSITION in the pipeline, not its value.
+    // Distance-to-centroid is exact: n²·d = n²·‖q‖² − 2n·⟨q, Σv⟩ +
+    // ‖Σv‖² in decimal(38,0) — no integer division of the centroid,
+    // so the keeper election is bit-stable across engines.
+    "q_dedup_semantic" -> ((s, dir) => {
+      val cells = Similarity.ivfCellsFrom(quantized(s, dir))
+        .select(col("vec_id"), col("q"), col("norm"), col("cell"))
+      val dims = 0 until 64
+      val aggs = Seq(count(lit(1)).as("n")) ++
+        dims.map(i => sum(expr(s"q[$i]")).as(s"s$i"))
+      // K-row per-cell stats (K = trained cell count ≤ 4): broadcast is
+      // size-safe at ANY corpus scale — the frame is K rows by
+      // construction, not by estimate.
+      val stats = cells.groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
+        .select(col("cell"), col("n").cast("decimal(38,0)").as("n"),
+          array(dims.map(i => col(s"s$i")): _*).as("sv"))
+        .withColumn("s2", expr(
+          "aggregate(sv, cast(0 as decimal(38,0)), (a, x) -> a + cast(x as decimal(38,0)) * x)"))
+      val scored = cells.join(broadcast(stats), "cell")
+        .withColumn("n2d", expr(
+          "n * n * cast(norm as decimal(38,0)) - 2 * n * cast(dot_long(q, sv) as decimal(38,0)) + s2"))
+        .select(col("cell"), col("vec_id"), col("q"), col("norm"), col("n2d"))
+      val x = scored.select(col("cell"), col("vec_id"), col("q").as("qa"),
+        col("norm").as("na"), col("n2d"))
+      val y = scored.select(col("cell").as("cellb"), col("vec_id").as("vb"),
+        col("q").as("qb"), col("norm").as("nb"), col("n2d").as("n2db"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("n2db").asc, col("vb").asc)
+      val eliminated = x.join(y, col("cell") === col("cellb") &&
+          col("vec_id") =!= col("vb") &&
+          (col("n2db") < col("n2d") ||
+            (col("n2db") === col("n2d") && col("vb") < col("vec_id"))))
+        .withColumn("dot", expr(dotExpr))
+        .filter(cosine() >= 0.35)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("vb").as("pruned_by"))
+      scored.join(eliminated, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          when(col("pruned_by").isNull, "kept").otherwise("pruned").as("status"),
+          col("pruned_by"))
+        .orderBy("vec_id")
+    }),
+
     // INCREMENTAL dedup — the nightly-ingest shape: the DELTA (here
     // source = 'src1') is screened AGAINST the standing corpus without
     // ever self-joining the corpus. Two asymmetric probes: an exact
@@ -1084,6 +1141,40 @@ object Dedup {
              FROM cos)
       SELECT label, v1, v2, cosine FROM rk WHERE rn <= 3
       ORDER BY label, cosine DESC, v1, v2"""),
+    // Twin of SemDeDup: the SAME trained coarse cells (assignCtes +
+    // ivfCte literal seeds → one refinement), per-cell (n, Σv, ‖Σv‖²)
+    // stats in HUGEINT, the identical divisionless n²·d
+    // distance-to-centroid, the identical (n2d, id) keeper election,
+    // and the identical rounded-cosine τ gate.
+    "q_dedup_semantic" -> ("WITH " + QE + "," +
+      graft.llm.Clustering.assignCtes + "," + Similarity.ivfCte + s""",
+      sdn AS (SELECT cell, count(*) AS n FROM ivcell GROUP BY 1),
+      sds AS (SELECT cell, i, CAST(sum(q[i]) AS BIGINT) AS si
+              FROM ivcell, UNNEST(generate_series(1, 64)) AS u(i)
+              GROUP BY 1, 2),
+      sdv AS (SELECT cell, list(si ORDER BY i) AS sv FROM sds GROUP BY 1),
+      sdc AS (SELECT sdn.cell, CAST(sdn.n AS HUGEINT) AS n, sdv.sv,
+                CAST(list_sum(list_transform(generate_series(1, 64),
+                  i -> CAST(sv[i] AS HUGEINT) * sv[i])) AS HUGEINT) AS s2
+              FROM sdn JOIN sdv ON sdn.cell = sdv.cell),
+      sdd AS (SELECT v.vec_id, v.cell, v.q, v.norm,
+                c.n * c.n * v.norm - 2 * c.n * CAST(list_sum(list_transform(
+                  generate_series(1, 64), i -> v.q[i] * c.sv[i])) AS HUGEINT) + c.s2 AS n2d
+              FROM ivcell v JOIN sdc c ON v.cell = c.cell),
+      sdp AS (SELECT x.vec_id, y.vec_id AS vb,
+                row_number() OVER (PARTITION BY x.vec_id
+                  ORDER BY y.n2d ASC, y.vec_id ASC) AS rn
+              FROM (SELECT vec_id, cell, q AS qa, norm AS na, n2d FROM sdd) x
+              JOIN (SELECT vec_id, cell, q AS qb, norm AS nb, n2d FROM sdd) y
+                ON x.cell = y.cell AND x.vec_id <> y.vec_id
+                AND (y.n2d < x.n2d OR (y.n2d = x.n2d AND y.vec_id < x.vec_id))
+              WHERE round(CAST($dotOracle AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) >= 0.35)
+      SELECT d.vec_id, CAST(d.cell AS INT) AS cell,
+             CASE WHEN e.vb IS NULL THEN 'kept' ELSE 'pruned' END AS status,
+             e.vb AS pruned_by
+      FROM sdd d LEFT JOIN (SELECT vec_id, vb FROM sdp WHERE rn = 1) e
+        ON d.vec_id = e.vec_id
+      ORDER BY d.vec_id"""),
     // Twin of the incremental screen: bands over ALL docs once (same
     // hex-min slots as minhashSql — order-isomorphic to Spark's
     // numeric mins, same elements chosen), sides restricted by source

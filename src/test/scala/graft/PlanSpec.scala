@@ -320,6 +320,20 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("NestedLoop"), "screen fell back to a nested loop")
   }
 
+  test("q_dedup_semantic bounds candidates to the cell: keyed join, never all-pairs") {
+    // SemDeDup's published scale property IS the cluster bound: the
+    // pair join must stay keyed on the trained cell (Σ|cell|² pairs),
+    // and the only broadcast allowed is the K-row per-cell stats frame
+    // — a nested loop or a cartesian here is the n² similarity matrix
+    // the clustering exists to avoid.
+    val p = plan("q_dedup_semantic")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "semantic dedup went all-pairs:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"),
+      "the K-row per-cell stats frame should broadcast")
+  }
+
   test("q_knn_sq8_adc rescales codes scan-side and prunes top-k pre-exchange") {
     val p = plan("q_knn_sq8_adc")
     // stats are literals (collected once) — no stats aggregate, no join

@@ -228,7 +228,18 @@ object Similarity {
 
   /** Frame-taking variant: (vec_id, q, norm) in, (…, cell, cell2) out —
     * ScaleProbe drives this on replicated corpora. */
-  private[graft] def ivfCellsFrom(qe: DataFrame): DataFrame = {
+  private[graft] def ivfCellsFrom(qe: DataFrame): DataFrame =
+    ivfCellsAndCentroids(qe)._1
+
+  /** [[ivfCellsFrom]] plus the trained coarse centroids as EXACT
+    * integer vectors c_k = s_k / n_k (truncating Long division — the
+    * same `//` DuckDB applies, so residuals v − c_k computed from the
+    * literalized table are cross-engine hash-exact). The assignment
+    * itself stays the divisionless cross-multiplied argmin; the
+    * truncated centroid is only materialized for consumers that need
+    * the vector itself (residual PQ encoding, [[ivfPqResTop]]). */
+  private[graft] def ivfCellsAndCentroids(
+      qe: DataFrame): (DataFrame, Seq[Seq[Long]]) = {
     val dims = 0 until 64
     val aggs = Seq(count(lit(1)).as("n")) ++
       dims.map(i => sum(expr(s"q[$i]")).as(s"s$i"))
@@ -259,7 +270,7 @@ object Similarity {
       val (nk, nj) = (parts(k)._1, parts(j)._1)
       s"cast($nj as decimal(38,0)) * $nj * u$k <= cast($nk as decimal(38,0)) * $nk * u$j"
     }
-    withU.withColumn("cell", expr(Similarity.argminCase(cond, m)))
+    val cellsDf = withU.withColumn("cell", expr(Similarity.argminCase(cond, m)))
       // second-nearest cell — the nprobe = 2 target ([[ivfTop]]'s
       // multiprobe): same comparisons, best cell excluded; with a
       // single non-empty cell there is no second-nearest — cell2 =
@@ -268,6 +279,7 @@ object Similarity {
         if (m == 1) lit(0)
         else expr(Similarity.secondCase("cell", cond, m)))
       .select(col("vec_id"), col("q"), col("norm"), col("cell"), col("cell2"))
+    (cellsDf, parts.map { case (n, sv, _) => sv.map(_ / n) })
   }
 
   /** IVF top-k: queries probe their own trained cell (nprobe = 1) or
@@ -414,9 +426,15 @@ object Similarity {
   /** Train the m × K PQ codebooks: seed assignment, one exploded
     * (g, cl, slice) pass, one ≤ m·K-row hash aggregate,
     * truncating-integer centroid update on the driver. */
-  private def pqCodebooks(s: SparkSession, dir: String): Seq[Seq[Seq[Long]]] = {
+  private def pqCodebooks(s: SparkSession, dir: String): Seq[Seq[Seq[Long]]] =
+    pqCodebooksFrom(Dedup.quantized(s, dir))
+
+  /** Frame-taking form: trains the codebooks over whatever `q` the
+    * frame carries — the raw corpus for [[pqAdcTop]]/[[ivfPqTop]], the
+    * per-cell RESIDUALS for [[ivfPqResTop]]. */
+  private def pqCodebooksFrom(qe: DataFrame): Seq[Seq[Seq[Long]]] = {
     val seeds = pqSeeds.map(_.map(_.map(_.toLong)))
-    val assigned = pqAssign(Dedup.quantized(s, dir), seeds, g => s"a$g")
+    val assigned = pqAssign(qe, seeds, g => s"a$g")
     val exploded = assigned.select(explode(array((0 until pqM).map(g =>
         struct(lit(g).as("g"), col(s"a$g").as("cl"),
           expr(s"slice(q, ${pqSub * g + 1}, $pqSub)").as("qs"))): _*)).as("e"))
@@ -514,6 +532,63 @@ object Similarity {
           .select(col("vec_id"), col("q"), col("cell"),
             // array_distinct: degenerate single-cell index has cell2 == cell
             explode(array_distinct(array(col("cell"), col("cell2")))).as("probe")),
+        cb)
+      .select(col("vec_id").as("query_id") +: col("cell") +: col("probe") +:
+        pqLutCols: _*)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    broadcast(queriesDf).join(corpus, col("probe") === col("ncell") &&
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist", expr(pqLookupDist))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cell"), col("rnk"),
+        col("neighbor_id"), col("dist"))
+  }
+
+  /** RESIDUAL IVF×PQ — the actual FAISS IndexIVFPQ encoding: the PQ
+    * codebooks train on, and the corpus codes encode, the residual
+    * r = v − c_cell (v's own coarse centroid) instead of the raw
+    * vector, and each query's ADC LUT is built from ITS residual
+    * against the PROBED cell's centroid — so a pair's distance
+    * approximates |(q − c) − (v − c)|² = |q − v|² with codebooks that
+    * only have to cover the residual energy, a fraction of the
+    * vector energy. That is the published reason 4-bit codes stay
+    * usable at high K (Jégou et al. 2011 §IV; FAISS IndexIVFPQ).
+    * Everything stays exact BIGINT: centroids are the truncating
+    * integer division [[ivfCellsAndCentroids]] materializes
+    * identically in both engines, so residuals — and the whole
+    * downstream codebook train / encode / LUT chain — are
+    * cross-engine hash-exact. Plan shape is [[ivfPqTop]]'s: the
+    * centroid table rides along as a literal m×64 array indexed by
+    * the cell column (scan-side, no join), the materialized code
+    * table takes one exchange, the query batch broadcasts. */
+  private def ivfPqResTop(s: SparkSession, dir: String, qmax: Int, k: Int): DataFrame = {
+    val (cells, cents) = ivfCellsAndCentroids(Dedup.quantized(s, dir))
+    val centsLit = "cast(array(" +
+      cents.map(c => s"array(${c.mkString(",")})").mkString(",") +
+      ") as array<array<bigint>>)"
+    def residual(cellCol: String) =
+      expr(s"zip_with(q, $centsLit[$cellCol], (x, c) -> x - c)")
+    val res = cells.withColumn("rq", residual("cell"))
+    val cb = pqCodebooksFrom(res.select(col("vec_id"), col("rq").as("q")))
+    // Same materialized code table as [[ivfPqTop]]: keyed by vector id
+    // (not the ≤4 cell keys — dop preserved), one exchange, and the
+    // stage break stops the BNLJ from re-encoding per pair.
+    val corpus = pqAssign(
+        res.select(col("vec_id"), col("cell"), col("rq").as("q")),
+        cb, g => s"code$g")
+      .select(col("vec_id").as("neighbor_id") +: col("cell").as("ncell") +:
+        pqCodeCols: _*)
+      .repartition(col("neighbor_id"))
+    // Probe explode BEFORE the LUT projection (the ivfPqTop pruning-bug
+    // note applies unchanged); the query residual is per-PROBE — the
+    // same literal centroid table indexed by the probe column.
+    val queriesDf = pqLut(
+        cells.filter(col("vec_id") < qmax)
+          .select(col("vec_id"), col("q"), col("cell"),
+            explode(array_distinct(array(col("cell"), col("cell2")))).as("probe"))
+          .withColumn("q", residual("probe")),
         cb)
       .select(col("vec_id").as("query_id") +: col("cell") +: col("probe") +:
         pqLutCols: _*)
@@ -727,6 +802,20 @@ object Similarity {
       recallOf(
         bruteTop(s, dir, qmax = 50, k = 3).select("query_id", "neighbor_id"),
         ivfPqTop(s, dir, qmax = 50, k = 3).select("query_id", "neighbor_id"),
+        k = 3)),
+
+    // Residual refinement of the composed index — the one FAISS
+    // IndexIVFPQ property the raw-vector q_knn_ivf_pq lacks: codes
+    // cover v − c_cell, LUTs cover q − c_probe. Read its recall row
+    // against q_knn_ivf_pq_recall: residual encoding is the published
+    // recall-at-identical-code-budget claim.
+    "q_knn_ivf_pq_res" -> ((s, dir) =>
+      ivfPqResTop(s, dir, qmax = 50, k = 3).orderBy("query_id", "rnk")),
+
+    "q_knn_ivf_pq_res_recall" -> ((s, dir) =>
+      recallOf(
+        bruteTop(s, dir, qmax = 50, k = 3).select("query_id", "neighbor_id"),
+        ivfPqResTop(s, dir, qmax = 50, k = 3).select("query_id", "neighbor_id"),
         k = 3)))
 
   val oracles: Map[String, String] = Map(
@@ -906,6 +995,37 @@ object Similarity {
              round(CAST(count(a.neighbor_id) AS DOUBLE) / 3.0, 4) AS recall_at_3
       FROM brute b LEFT JOIN ivfpq a
         ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+      GROUP BY b.query_id ORDER BY b.query_id"""),
+    "q_knn_ivf_pq_res" -> ("WITH " + Dedup.QE + "," + Clustering.assignCtes + "," +
+      ivfCte + "," + resPqCtes + s""",
+      d AS (SELECT a.vec_id AS query_id, a.cell, v.vec_id AS neighbor_id,
+              ${resPqDistSql("a")} AS dist
+            FROM ivcell a, ivcell v, rpqcodes b, ${pqJoinTablesOn("rpq")}, ivcent ct
+            WHERE b.vec_id = v.vec_id AND v.cell IN (a.cell, a.cell2)
+              AND ct.cluster = v.cell
+              AND ${pqJoinCond("b")}
+              AND a.vec_id < 50 AND a.vec_id <> v.vec_id),
+      rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS INT) AS rnk
+             FROM d)
+      SELECT query_id, cell, rnk, neighbor_id, dist FROM rk WHERE rnk <= 3
+      ORDER BY query_id, rnk"""),
+    "q_knn_ivf_pq_res_recall" -> ("WITH " + Dedup.QE + "," + Clustering.assignCtes + "," +
+      ivfCte + "," + resPqCtes + "," + bruteCtes + s""",
+      ad AS (SELECT a.vec_id AS query_id, v.vec_id AS neighbor_id,
+               ${resPqDistSql("a")} AS dist
+             FROM ivcell a, ivcell v, rpqcodes b, ${pqJoinTablesOn("rpq")}, ivcent ct
+             WHERE b.vec_id = v.vec_id AND v.cell IN (a.cell, a.cell2)
+               AND ct.cluster = v.cell
+               AND ${pqJoinCond("b")}
+               AND a.vec_id < 50 AND a.vec_id <> v.vec_id),
+      ark AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rnk
+              FROM ad),
+      ivfpqr AS (SELECT query_id, neighbor_id FROM ark WHERE rnk <= 3)
+      SELECT b.query_id,
+             round(CAST(count(a.neighbor_id) AS DOUBLE) / 3.0, 4) AS recall_at_3
+      FROM brute b LEFT JOIN ivfpqr a
+        ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
       GROUP BY b.query_id ORDER BY b.query_id"""))
 
   /** The exact brute-force top-3 block every recall twin repeats, as a
@@ -929,7 +1049,14 @@ object Similarity {
     * Scala Long division both truncate toward zero), seed fallback for
     * empty cells, and encoding via row_number (dist ASC, code ASC) —
     * provably the same lowest-code-tiebreak argmin as the Spark CASE. */
-  private lazy val pqCtes: String = {
+  private lazy val pqCtes: String = pqCtesOn("qn", "pq")
+
+  /** Parameterized renderer of the PQ train/encode CTE chain: `src` is
+    * any CTE exposing (vec_id, q BIGINT[]) — `qn` for the raw-vector
+    * indexes, the residual frame for [[ivfPqResTop]]'s twin — and `p`
+    * prefixes every CTE name so two trainings can coexist in one
+    * query. */
+  private def pqCtesOn(src: String, p: String): String = {
     val seeds = pqSeeds.map(_.map(_.map(_.toLong)))
     def dotSub(g: Int, c: Seq[Long]): String = {
       val w = c.mkString("[", ",", "]")
@@ -952,44 +1079,72 @@ object Similarity {
       }.mkString(", ")
       val refined = (1 to pqSub).map(i => s"t.s$i // t.n").mkString("[", ", ", "]")
       s"""
-      pqt$g AS (SELECT a$g AS cl, count(*) AS n, $sums
-                FROM qn JOIN pqa USING (vec_id) GROUP BY 1),
-      pqs$g AS (SELECT * FROM (VALUES $seedRows) AS t(cl, sc)),
-      pqc$g AS (SELECT sd.cl,
+      ${p}t$g AS (SELECT a$g AS cl, count(*) AS n, $sums
+                FROM $src JOIN ${p}a USING (vec_id) GROUP BY 1),
+      ${p}s$g AS (SELECT * FROM (VALUES $seedRows) AS t(cl, sc)),
+      ${p}c$g AS (SELECT sd.cl,
                   CASE WHEN t.n IS NULL THEN sd.sc ELSE $refined END AS c
-                FROM pqs$g sd LEFT JOIN pqt$g t ON sd.cl = t.cl),
-      pqe$g AS (SELECT vec_id, cl AS code$g FROM (
-          SELECT qn.vec_id, cb.cl,
-                 row_number() OVER (PARTITION BY qn.vec_id ORDER BY
+                FROM ${p}s$g sd LEFT JOIN ${p}t$g t ON sd.cl = t.cl),
+      ${p}e$g AS (SELECT vec_id, cl AS code$g FROM (
+          SELECT $src.vec_id, cb.cl,
+                 row_number() OVER (PARTITION BY $src.vec_id ORDER BY
                    CAST(list_sum(list_transform(generate_series(1, $pqSub),
-                     i -> (qn.q[i + ${pqSub * g}] - cb.c[i]) * (qn.q[i + ${pqSub * g}] - cb.c[i]))) AS BIGINT) ASC,
+                     i -> ($src.q[i + ${pqSub * g}] - cb.c[i]) * ($src.q[i + ${pqSub * g}] - cb.c[i]))) AS BIGINT) ASC,
                    cb.cl ASC) AS rn
-          FROM qn, pqc$g cb) WHERE rn = 1)"""
+          FROM $src, ${p}c$g cb) WHERE rn = 1)"""
     }.mkString(",")
-    val codeJoins = (1 until pqM).map(g => s"JOIN pqe$g p$g USING (vec_id)")
+    val codeJoins = (1 until pqM).map(g => s"JOIN ${p}e$g p$g USING (vec_id)")
       .mkString("\n                       ")
     val codeCols = (0 until pqM).map(g => s"p$g.code$g").mkString(", ")
     s"""
-      pqa AS (SELECT vec_id,
+      ${p}a AS (SELECT vec_id,
           $aCols
-        FROM qn),$perG,
-      pqcodes AS (SELECT p0.vec_id, $codeCols
-                  FROM pqe0 p0 $codeJoins)"""
+        FROM $src),$perG,
+      ${p}codes AS (SELECT p0.vec_id, $codeCols
+                  FROM ${p}e0 p0 $codeJoins)"""
   }
 
   /** The m centroid-table joins every PQ oracle repeats. */
-  private lazy val pqJoinTables: String =
-    (0 until pqM).map(g => s"pqc$g c$g").mkString(", ")
+  private lazy val pqJoinTables: String = pqJoinTablesOn("pq")
+  private def pqJoinTablesOn(p: String): String =
+    (0 until pqM).map(g => s"${p}c$g c$g").mkString(", ")
   private def pqJoinCond(bref: String): String =
     (0 until pqM).map(g => s"c$g.cl = $bref.code$g").mkString(" AND ")
 
   /** ADC pair distance, directly from the neighbor's m joined centroid
     * rows (`c0..c15` in scope): Σ_g |q_g − c_g|² in exact BIGINT —
-    * arithmetically identical to the Spark LUT lookups. */
-  private def pqDistSql(qref: String): String =
+    * arithmetically identical to the Spark LUT lookups. `qelem(g)` is
+    * the query's i-th element of subspace g (`i` bound by the
+    * list_transform) — the raw `a.q[…]` for the plain indexes, the
+    * probe-cell residual for [[ivfPqResTop]]'s twin. */
+  private def pqDistSqlOn(qelem: Int => String): String =
     "CAST(" + (0 until pqM).map(g =>
-      s"list_sum(list_transform(generate_series(1, $pqSub), i -> ($qref.q[i + ${pqSub * g}] - c$g.c[i]) * ($qref.q[i + ${pqSub * g}] - c$g.c[i])))")
+      s"list_sum(list_transform(generate_series(1, $pqSub), i -> (${qelem(g)} - c$g.c[i]) * (${qelem(g)} - c$g.c[i])))")
       .mkString(" + ") + " AS BIGINT)"
+  private def pqDistSql(qref: String): String =
+    pqDistSqlOn(g => s"$qref.q[i + ${pqSub * g}]")
+
+  /** Residual-PQ twin CTEs: the trained coarse centroids as the SAME
+    * truncating BIGINT division [[ivfCellsAndCentroids]] performs
+    * (DuckDB `//` truncates toward zero on BIGINT, verified), the
+    * per-vector residual frame, and the full PQ train/encode chain
+    * over it under the `rpq` prefix. */
+  private lazy val resPqCtes: String = s"""
+      ivcent AS (SELECT cluster,
+                   list_transform(generate_series(1, 64), i -> sv[i] // n) AS c
+                 FROM ivc),
+      rres AS (SELECT v.vec_id,
+                 list_transform(generate_series(1, 64), i -> v.q[i] - ct.c[i]) AS q
+               FROM ivcell v JOIN ivcent ct ON v.cell = ct.cluster),""" +
+    pqCtesOn("rres", "rpq")
+
+  /** The residual ADC distance: query element = q − c_probe, where the
+    * probe centroid row `ct` is joined on the NEIGHBOR's cell (the
+    * matched probe under the `v.cell IN (a.cell, a.cell2)`
+    * candidate condition — exactly the Spark side's
+    * `$centsLit[probe]`). */
+  private def resPqDistSql(qref: String): String =
+    pqDistSqlOn(g => s"($qref.q[i + ${pqSub * g}] - ct.c[i + ${pqSub * g}])")
 
   /** DuckDB twin of [[sq8Codes]]: same per-dimension min/max stats over
     * the quantized corpus and the same all-BIGINT `(q−mn)*255 // (mx−mn)`

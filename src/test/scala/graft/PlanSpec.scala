@@ -363,7 +363,7 @@ class PlanSpec extends SparkSuite {
     // into the per-broadcast-row inner loop, so an un-materialized
     // code table re-encodes the corpus once per (row × query) pair
     // (measured 5.4 s vs 0.6 s at sf0.1).
-    for (q <- Seq("q_knn_pq", "q_knn_ivf_pq")) {
+    for (q <- Seq("q_knn_pq", "q_knn_ivf_pq", "q_knn_ivf_pq_res")) {
       val p = plan(q)
       val bcasts = p.linesIterator.filter(_.contains("BroadcastExchange")).toSeq
       assert(bcasts.nonEmpty, s"$q must broadcast the bounded query batch")
@@ -372,10 +372,13 @@ class PlanSpec extends SparkSuite {
           p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
       assert(p.contains("pq_dists"), s"$q must encode via the native pq_dists loop")
     }
-    // the composed index keeps the equi probe on cells a hash join with
-    // the query batch as build side, same rule as the other cell joins
-    assert(plan("q_knn_ivf_pq").contains("BroadcastHashJoin Inner BuildLeft"),
-      "q_knn_ivf_pq must broadcast the query side of the cell probe")
+    // the composed indexes keep the equi probe on cells a hash join
+    // with the query batch as build side, same rule as the other cell
+    // joins (the residual variant must not change the join shape — the
+    // centroid table rides along as a literal, never a join input)
+    for (q <- Seq("q_knn_ivf_pq", "q_knn_ivf_pq_res"))
+      assert(plan(q).contains("BroadcastHashJoin Inner BuildLeft"),
+        s"$q must broadcast the query side of the cell probe")
   }
 
   test("q_hll_registers folds map-side: partial max per register") {

@@ -49,10 +49,20 @@ object Bench {
     // which no observed contention burst does.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // Optional comma-separated filter for targeted idle-host reruns of
-    // one family (same env var Verify honours).
+    // one family (same env var Verify honours — and the same guard:
+    // a typo'd filter must not yield a tiny/empty bench JSON that
+    // reads as a real run).
     val selected = sys.env.get("SPARK_GRAFT_ONLY") match {
       case Some(f) => val keep = f.split(",").map(_.trim).toSet
-        ordered.filter(q => keep(q._1))
+        val unknown = keep -- ordered.map(_._1).toSet
+        if (unknown.nonEmpty)
+          System.err.println("[bench] WARNING: SPARK_GRAFT_ONLY names not " +
+            s"registered: ${unknown.toSeq.sorted.mkString(",")}")
+        val kept = ordered.filter(q => keep(q._1))
+        if (kept.isEmpty)
+          sys.error("SPARK_GRAFT_ONLY matched zero registered queries — " +
+            "nothing would be benchmarked")
+        kept
       case None => ordered
     }
     // A query that throws on ANY rep reports the sentinel -1 (never its

@@ -121,7 +121,7 @@ case class PqDists(left: Expression, right: Expression)
     val cb = b.asInstanceOf[ArrayData]
     val n = v.numElements()
     val m = cb.numElements()
-    if (n == 0 || m % n != 0) null
+    if (n == 0 || m == 0 || m % n != 0) null
     else {
       val k = m / n
       val out = new Array[Long](k)
@@ -154,7 +154,7 @@ case class PqDists(left: Expression, right: Expression)
       s"""
          |final int $n = $v.numElements();
          |final int $m = $cb.numElements();
-         |if ($n == 0 || $m % $n != 0) {
+         |if ($n == 0 || $m == 0 || $m % $n != 0) {
          |  ${ev.isNull} = true;
          |} else {
          |  final int $k = $m / $n;

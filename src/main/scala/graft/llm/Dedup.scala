@@ -711,7 +711,17 @@ object Dedup {
     // threshold's POSITION in the pipeline, not its value.
     // Distance-to-centroid is exact: n²·d = n²·‖q‖² − 2n·⟨q, Σv⟩ +
     // ‖Σv‖² in decimal(38,0) — no integer division of the centroid,
-    // so the keeper election is bit-stable across engines.
+    // so the keeper election is bit-stable across engines UP TO the
+    // Long range of the inner ⟨q, Σv⟩: dot_long computes in Long, and
+    // sv elements scale with the cell count n — with the ×10⁴
+    // fixed-point quantization (|q_i| ≲ 2·10⁴ for unit-ish embeddings)
+    // |⟨q, Σv⟩| ≲ 64·(2·10⁴)²·n, which wraps silently past n ≈ 3.6e8
+    // rows per cell (the DuckDB twin's BIGINT products RAISE on
+    // overflow instead, so past the bound the engines diverge
+    // loudly-vs-silently, not just drift). Past that, cast sv inside
+    // the product (`cast(x as decimal(38,0)) * …`, as s2 already does)
+    // or renormalize sv by a shared shift, exactly as the n⁴ note on
+    // the IVF comparison prescribes (Similarity.ivfCellsFrom).
     "q_dedup_semantic" -> ((s, dir) => {
       val cells = Similarity.ivfCellsFrom(quantized(s, dir))
         .select(col("vec_id"), col("q"), col("norm"), col("cell"))

@@ -923,7 +923,54 @@ object Dedup {
     // shuffle each for the anti join and the aggregate, both on the
     // same key.
     "q_dedup_substring_clean" -> ((s, dir) =>
-      substringCleanFrom(Tables(s, dir, "documents")).orderBy("doc_id")))
+      substringCleanFrom(Tables(s, dir, "documents")).orderBy("doc_id")),
+
+    // PARAGRAPH-grain dedup — the production corpus shape (dedup the
+    // paragraphs, reassemble the documents; cf. Penedo et al. 2023
+    // RefinedWeb §3.3's line-wise variant): each distinct paragraph
+    // keeps its FIRST occurrence in (doc_id, pno) order, every later
+    // copy — across docs or within one — is excised, and survivors
+    // reassemble in document order with the content md5-pinned like
+    // q_dedup_substring_clean. The fixture corpus carries no '\n\n',
+    // so a paragraph here is a fixed-width P=16-token block (ragged
+    // tail kept) — the grain, keeper election, and reassembly are the
+    // production pipeline's; only the splitter differs.
+    //
+    // Scale shape: the keeper election is ONE row_number window keyed
+    // by the paragraph hash (no join back — an instance survives iff
+    // rn = 1), the reassembly ONE doc_id aggregate over the ordered
+    // survivor structs, and n_par is computed scan-side from the token
+    // count (never a third shuffle). Paragraph rows ≈ tokens/P, so
+    // the exploded frame is SMALLER than the substring-chain's
+    // window frame by a factor of P; never all-pairs.
+    "q_dedup_paragraph" -> ((s, dir) => {
+      val P = 16
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+      val par = toks
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, cast(ceil(size(t) / cast($P as double)) as int) - 1), " +
+            s"i -> concat_ws(' ', slice(t, i * $P + 1, $P)))")))
+        .select(col("doc_id"), col("pos").as("pno"), col("col").as("ptext"))
+      val w = Window.partitionBy(md5(col("ptext")))
+        .orderBy(col("doc_id"), col("pno"))
+      val reasm = par
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(concat_ws(" ", expr(
+            "transform(sort_array(collect_list(struct(pno, ptext))), x -> x.ptext)")))
+            .as("clean_hash"))
+      toks
+        .select(col("doc_id"),
+          expr(s"cast(ceil(size(t) / cast($P as double)) as bigint)").as("n_par"))
+        .join(reasm.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_par"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("clean_hash"), md5(lit(""))).as("clean_hash"))
+        .orderBy("doc_id")
+    }))
 
   /** Frame-taking span-excision body (unordered) — shared by the
     * registered query and ScaleProbe's replicated-corpus rows. */
@@ -1305,5 +1352,27 @@ object Dedup {
              CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
              coalesce(a.clean_hash, md5('')) AS clean_hash
       FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+      ORDER BY t.doc_id""",
+    // Paragraph twin: the same fixed-width blocks via 1-based
+    // inclusive list slicing, first-occurrence keeper as row_number
+    // over the paragraph hash, string_agg(ORDER BY pno) reassembly.
+    "q_dedup_paragraph" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      par AS (SELECT doc_id, i AS pno,
+                     array_to_string(t[(i * 16) + 1 : (i + 1) * 16], ' ') AS ptext
+              FROM toks,
+                   UNNEST(generate_series(0, CAST(ceil(len(t) / 16.0) AS INT) - 1)) AS u(i)),
+      kept AS (SELECT doc_id, pno, ptext FROM (
+                 SELECT par.*,
+                        row_number() OVER (PARTITION BY md5(ptext)
+                                           ORDER BY doc_id, pno) AS rn
+                 FROM par) WHERE rn = 1),
+      reasm AS (SELECT doc_id, count(*) AS n_kept,
+                       md5(string_agg(ptext, ' ' ORDER BY pno)) AS clean_hash
+                FROM kept GROUP BY 1)
+      SELECT t.doc_id, CAST(ceil(len(t.t) / 16.0) AS BIGINT) AS n_par,
+             CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+             coalesce(r.clean_hash, md5('')) AS clean_hash
+      FROM toks t LEFT JOIN reasm r ON t.doc_id = r.doc_id
       ORDER BY t.doc_id""")
 }

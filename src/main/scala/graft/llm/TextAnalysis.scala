@@ -187,6 +187,60 @@ object TextAnalysis {
         .orderBy("source", "bin")
     }),
 
+    // Packing QUALITY row — best-fit-decreasing vs arrival-order
+    // next-fit, per shard (Johnson 1973: BFD ≤ 11/9·OPT + 4 bins,
+    // next-fit ≤ 2·OPT; the delta is what the bound buys when docs
+    // stay WHOLE, unlike q_pack_bins' concat-and-cut which straddles).
+    // Both packers are the same sequential fold over the shard's doc
+    // sizes — next-fit probes only the open bin, BFD probes all bins
+    // for the tightest fit (first such index on ties, both engines).
+    // A doc longer than B opens its own straddle-free bin (fill > 1).
+    //
+    // Scale shape: packing is inherently sequential WITHIN a shard —
+    // that is the parallel grain (same argument as q_pack_bins' per-
+    // shard window). The fold state is the shard's bin-load vector
+    // and its input the shard's doc-size ints (~4 B/doc), both
+    // shard-bounded; one groupBy(source) exchange total, and the two
+    // folds share it. Never a global sort, never a second shuffle.
+    "q_pack_bins_bfd" -> ((s, dir) => {
+      val B = 256
+      Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).as("n_tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          expr("sort_array(collect_list(struct(doc_id, n_tok)), true)")
+            .as("xs_arr"),
+          expr("sort_array(collect_list(struct(n_tok, doc_id)), false)")
+            .as("xs_bfd"))
+        .withColumn("bins_nf", expr(
+          s"""aggregate(xs_arr, cast(array() as array<int>), (bins, x) ->
+                case when size(bins) = 0 then array(x.n_tok)
+                     when element_at(bins, size(bins)) + x.n_tok <= $B
+                       then concat(slice(bins, 1, size(bins) - 1),
+                                   array(element_at(bins, size(bins)) + x.n_tok))
+                     else concat(bins, array(x.n_tok)) end)"""))
+        .withColumn("bins_bfd", expr(
+          s"""aggregate(xs_bfd, cast(array() as array<int>), (bins, x) ->
+                case when size(filter(bins, b -> b + x.n_tok <= $B)) = 0
+                       then concat(bins, array(x.n_tok))
+                     else transform(bins, (b, i) ->
+                       if(i = cast(array_position(bins,
+                            array_max(filter(bins, b2 -> b2 + x.n_tok <= $B)))
+                            as int) - 1,
+                          b + x.n_tok, b)) end)"""))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          size(col("bins_nf")).as("n_bins_nf"),
+          round(col("total_tokens").cast("double") / (size(col("bins_nf")) * B), 4)
+            .as("fill_nf"),
+          size(col("bins_bfd")).as("n_bins_bfd"),
+          round(col("total_tokens").cast("double") / (size(col("bins_bfd")) * B), 4)
+            .as("fill_bfd"))
+        .withColumn("fill_gain", round(col("fill_bfd") - col("fill_nf"), 4))
+        .orderBy("source")
+    }),
+
     // The END-TO-END preprocessing funnel as ONE Catalyst plan — what
     // a user of this library schedules nightly: language filter →
     // quality filter → exact-dedup keeper election → fixed-size
@@ -432,6 +486,64 @@ object TextAnalysis {
              count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
              round(CAST(sum(n_tok) AS DOUBLE) / 256, 4) AS fill
       FROM c GROUP BY 1, 2 ORDER BY source, bin""",
+    // BFD twin: the two packing folds as recursive CTEs — next-fit
+    // probes the open (last) bin, best-fit-decreasing replaces the
+    // tightest fitting bin (first index on ties = list_indexof /
+    // array_position first-occurrence in both engines).
+    "q_pack_bins_bfd" -> """
+      WITH RECURSIVE
+      d AS (SELECT source, doc_id,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_tok
+            FROM documents),
+      o AS (SELECT source, doc_id, n_tok,
+              row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn_arr,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY n_tok DESC, doc_id DESC) AS rn_bfd
+            FROM d),
+      nf AS (
+        SELECT source, rn_arr AS rn, [n_tok] AS bins FROM o WHERE rn_arr = 1
+        UNION ALL
+        SELECT source, rn,
+               CASE WHEN bins[len(bins)] + n_tok <= 256
+                 THEN list_slice(bins, 1, len(bins) - 1) || [bins[len(bins)] + n_tok]
+                 ELSE list_append(bins, n_tok) END AS bins
+        FROM (SELECT s.source, x.rn_arr AS rn, x.n_tok, s.bins
+              FROM nf s JOIN o x ON x.source = s.source AND x.rn_arr = s.rn + 1)
+      ),
+      bf AS (
+        SELECT source, rn_bfd AS rn, [n_tok] AS bins FROM o WHERE rn_bfd = 1
+        UNION ALL
+        SELECT source, rn,
+               CASE WHEN nfit = 0 THEN list_append(bins, n_tok)
+                 ELSE list_slice(bins, 1, pos - 1) || [bins[pos] + n_tok]
+                      || list_slice(bins, pos + 1, len(bins)) END AS bins
+        FROM (SELECT s.source, x.rn_bfd AS rn, x.n_tok, s.bins,
+                     len(list_filter(s.bins, b -> b + x.n_tok <= 256)) AS nfit,
+                     list_indexof(s.bins, list_aggregate(
+                       list_filter(s.bins, b -> b + x.n_tok <= 256), 'max')) AS pos
+              FROM bf s JOIN o x ON x.source = s.source AND x.rn_bfd = s.rn + 1)
+      ),
+      tot AS (SELECT source, count(*) AS n_docs,
+                     CAST(sum(n_tok) AS BIGINT) AS total_tokens
+              FROM d GROUP BY 1),
+      nff AS (SELECT source, bins FROM (
+                SELECT source, bins,
+                       row_number() OVER (PARTITION BY source ORDER BY rn DESC) AS rr
+                FROM nf) WHERE rr = 1),
+      bff AS (SELECT source, bins FROM (
+                SELECT source, bins,
+                       row_number() OVER (PARTITION BY source ORDER BY rn DESC) AS rr
+                FROM bf) WHERE rr = 1)
+      SELECT t.source, t.n_docs, t.total_tokens,
+             CAST(len(n.bins) AS INT) AS n_bins_nf,
+             round(CAST(t.total_tokens AS DOUBLE) / (len(n.bins) * 256), 4) AS fill_nf,
+             CAST(len(b.bins) AS INT) AS n_bins_bfd,
+             round(CAST(t.total_tokens AS DOUBLE) / (len(b.bins) * 256), 4) AS fill_bfd,
+             round(round(CAST(t.total_tokens AS DOUBLE) / (len(b.bins) * 256), 4)
+                   - round(CAST(t.total_tokens AS DOUBLE) / (len(n.bins) * 256), 4), 4)
+               AS fill_gain
+      FROM tot t JOIN nff n USING (source) JOIN bff b USING (source)
+      ORDER BY t.source""",
     "q_pipeline_chunks" -> (pipelineSql + """,
       keep AS (SELECT doc_id, t, n_tok,
                  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn

@@ -25,6 +25,13 @@ case class PpmMeta(doc_id: Long, status: String,
     r_sum: Option[Long], g_sum: Option[Long], b_sum: Option[Long],
     px_min: Option[Int], px_max: Option[Int])
 
+/** Typed output of the REAL WAV decode: parse status, fmt-chunk
+  * fields, and exact PCM sample stats (8-bit unsigned). */
+case class WavMeta(doc_id: Long, status: String,
+    n_channels: Option[Int], sample_rate: Option[Int], bits: Option[Int],
+    n_samples: Option[Long], s_sum: Option[Long],
+    s_min: Option[Int], s_max: Option[Int], n_clip: Option[Long])
+
 /** Multimodal-column plumbing: media as opaque `binary` columns with
   * typed, schema'd metadata extraction (north-star extension — the
   * reference has nothing beyond strings).
@@ -151,6 +158,106 @@ object Multimodal {
     }
   }
 
+  /** Synthesize a REAL RIFF/WAVE byte stream from a doc's md5 hex — a
+    * genuine canonical-form WAV file (RIFF size + `WAVE` + `fmt `
+    * PCM/8-bit header + `data` chunk, all little-endian per the spec),
+    * with md5-driven arms exercising the parser's failure and
+    * chunk-walk paths the way a real crawl does: corrupted magic
+    * (`XIFF`, ~6%), an extra `LIST`/`INFO` chunk before `fmt ` that a
+    * correct RIFF walk must SKIP (~25%), and a data chunk truncated
+    * one byte short of its declared size (~12.5%). Samples are the
+    * md5's own bytes (1..8 per channel, 1..2 channels ⇒ ≤16 bytes, no
+    * wrap), so the oracle recomputes the expected stats from the hex
+    * digits while the Spark side parses actual bytes. */
+  private[llm] def wavBytes(h: String): Array[Byte] = {
+    val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
+    val badMagic = b(13) % 16 == 0
+    val hasList = b(14) % 4 == 0
+    val trunc = b(15) % 8 == 0
+    val nch = 1 + b(2) % 2
+    val n = 1 + b(3) % 8 // samples per channel
+    val dataLen = n * nch
+    val out = new java.io.ByteArrayOutputStream(64)
+    def w32(v: Int): Unit = { out.write(v & 255); out.write((v >> 8) & 255)
+      out.write((v >> 16) & 255); out.write((v >> 24) & 255) }
+    def w16(v: Int): Unit = { out.write(v & 255); out.write((v >> 8) & 255) }
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    tag(if (badMagic) "XIFF" else "RIFF")
+    w32(4 + (if (hasList) 12 else 0) + 24 + 8 + dataLen)
+    tag("WAVE")
+    if (hasList) { tag("LIST"); w32(4); tag("INFO") }
+    tag("fmt "); w32(16); w16(1); w16(nch); w32(8000); w32(8000 * nch)
+    w16(nch); w16(8)
+    tag("data"); w32(dataLen)
+    var k = 0
+    val actual = if (trunc) dataLen - 1 else dataLen
+    while (k < actual) { out.write(b(k % 16)); k += 1 }
+    out.toByteArray
+  }
+
+  /** REAL from-scratch RIFF/WAV parser — the second honest decode path
+    * (canonical PCM WAV needs no codec): magic + `WAVE` check, a
+    * word-aligned chunk WALK that skips unknown chunks (the property
+    * that makes real-world WAVs with `LIST`/`bext`/`cue ` metadata
+    * parseable), `fmt ` field extraction, declared-vs-available data
+    * length check, then exact integer sample stats (sum, min, max, and
+    * the clipped-sample count — the audio-QA signal). 8-bit unsigned
+    * mono/stereo PCM only; anything else degrades to a `bad_fmt` ROW,
+    * truncation to `truncated`, a non-RIFF payload to `bad_magic` —
+    * never a throw, for the same reason as [[parsePpm]]. */
+  private[llm] def parseWav(id: Long, p: Array[Byte]): WavMeta = {
+    val none = WavMeta(id, "bad_magic", None, None, None, None, None, None, None, None)
+    if (p == null || p.length < 12) return none
+    def u32(i: Int): Long = (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+      ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+    def u16(i: Int): Int = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+    def tag(i: Int): String = new String(p, i, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return none
+    var i = 12
+    var fmt = -1; var nch = -1; var rate = -1; var bits = -1; var haveFmt = false
+    while (i + 8 <= p.length) {
+      val t = tag(i); val sz = u32(i + 4)
+      if (sz > p.length) { // corrupt declared size: can't even skip it
+        if (t != "data") return none.copy(status = "bad_fmt")
+      }
+      if (t == "fmt " && i + 8 + 16 <= p.length) {
+        fmt = u16(i + 8); nch = u16(i + 10); rate = u32(i + 12).toInt
+        bits = u16(i + 22); haveFmt = true
+      } else if (t == "data") {
+        if (!haveFmt || fmt != 1 || bits != 8 || nch <= 0)
+          return none.copy(status = "bad_fmt")
+        val avail = p.length - (i + 8)
+        if (avail < sz)
+          return none.copy(status = "truncated", n_channels = Some(nch),
+            sample_rate = Some(rate), bits = Some(bits))
+        var ss = 0L; var mn = 255; var mx = 0; var clip = 0L
+        var k = 0
+        while (k < sz) {
+          val v = p(i + 8 + k) & 0xff
+          ss += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          if (v == 0 || v == 255) clip += 1
+          k += 1
+        }
+        return WavMeta(id, "ok", Some(nch), Some(rate), Some(bits),
+          Some(sz / nch), Some(ss), Some(mn), Some(mx), Some(clip))
+      }
+      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    none.copy(status = "bad_fmt") // RIFF/WAVE but no usable data chunk
+  }
+
+  /** The typed WAV decode stage over [[parseWav]] — same per-partition
+    * shape as [[decodePpm]]. */
+  def decodeWav(ds: Dataset[BinaryDoc]): Dataset[WavMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      // per-partition decode-buffer allocation would go here
+      rows.map(d => parseWav(d.doc_id, d.payload))
+    }
+  }
+
   /** STUB decoder — stands in for image decode + feature extraction.
     * Deterministic: width/height/channels from the first 3 bytes, mean
     * intensity over the first 4 (exact: quarters are binary-exact
@@ -225,6 +332,24 @@ object Multimodal {
       import s.implicits._
       val docs = ppmPayload(Tables(s, dir, "documents")).as[BinaryDoc]
       decodePpm(docs).toDF().orderBy("doc_id")
+    }),
+
+    // The second REAL decode path (canonical PCM WAV needs no codec):
+    // synthesized genuine RIFF/WAVE byte streams — little-endian
+    // chunked header with magic/LIST/truncation arms + an 8-bit PCM
+    // data chunk — parsed by the from-scratch [[parseWav]] chunk walk,
+    // exact sample stats (sum/min/max/clip count) out the other side.
+    // The LIST arm (~25%) only exercises the Spark-side walk: the
+    // oracle recomputes expected stats from the md5 digits and is
+    // blind to chunk layout, so a walk bug (skipping, alignment,
+    // declared-size check) breaks the hash gate.
+    "q_multimodal_decode_wav" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Tables(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, h) => BinaryDoc(id, wavBytes(h)) })
+      decodeWav(payloads).toDF().orderBy("doc_id")
     }),
 
     // Format sniffing + byte-level QA stats — the one multimodal stage
@@ -325,6 +450,31 @@ object Multimodal {
                list_transform(generate_series(0, w * hh - 1), p -> raster[3*p+3])) AS BIGINT) END AS b_sum,
              CASE WHEN badmagic OR trunc THEN NULL ELSE CAST(list_min(raster) AS INT) END AS px_min,
              CASE WHEN badmagic OR trunc THEN NULL ELSE CAST(list_max(raster) AS INT) END AS px_max
+      FROM r ORDER BY doc_id""",
+    "q_multimodal_decode_wav" -> s"""
+      WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+      b AS (SELECT doc_id, h, ${byteAt(2)} AS b2, ${byteAt(3)} AS b3,
+                   ${byteAt(13)} AS b13, ${byteAt(15)} AS b15
+            FROM hx),
+      d AS (SELECT doc_id, h, b13 % 16 = 0 AS badmagic, b15 % 8 = 0 AS trunc,
+                   1 + b2 % 2 AS nch, 1 + b3 % 8 AS n
+            FROM b),
+      r AS (SELECT doc_id, badmagic, trunc, nch, n,
+              list_transform(generate_series(0, n * nch - 1), i ->
+                (ascii(substr(h, 2*(i%16)+1, 1)) - (CASE WHEN substr(h, 2*(i%16)+1, 1) >= 'a' THEN 87 ELSE 48 END)) * 16 +
+                (ascii(substr(h, 2*(i%16)+2, 1)) - (CASE WHEN substr(h, 2*(i%16)+2, 1) >= 'a' THEN 87 ELSE 48 END))) AS smp
+            FROM d)
+      SELECT doc_id,
+             CASE WHEN badmagic THEN 'bad_magic'
+                  WHEN trunc THEN 'truncated' ELSE 'ok' END AS status,
+             CASE WHEN badmagic THEN NULL ELSE CAST(nch AS INT) END AS n_channels,
+             CASE WHEN badmagic THEN NULL ELSE CAST(8000 AS INT) END AS sample_rate,
+             CASE WHEN badmagic THEN NULL ELSE CAST(8 AS INT) END AS bits,
+             CASE WHEN badmagic OR trunc THEN NULL ELSE CAST(n AS BIGINT) END AS n_samples,
+             CASE WHEN badmagic OR trunc THEN NULL ELSE CAST(list_sum(smp) AS BIGINT) END AS s_sum,
+             CASE WHEN badmagic OR trunc THEN NULL ELSE CAST(list_min(smp) AS INT) END AS s_min,
+             CASE WHEN badmagic OR trunc THEN NULL ELSE CAST(list_max(smp) AS INT) END AS s_max,
+             CASE WHEN badmagic OR trunc THEN NULL ELSE CAST(len(list_filter(smp, x -> x = 0 OR x = 255)) AS BIGINT) END AS n_clip
       FROM r ORDER BY doc_id""",
     "q_multimodal_sniff" -> """
       WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),

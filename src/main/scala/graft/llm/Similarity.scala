@@ -333,12 +333,21 @@ object Similarity {
     * broadcast of the query batch + per-partition top-k. */
   private def ivfAdcTop(s: SparkSession, dir: String, qmax: Int, k: Int): DataFrame = {
     val (mns, mxs) = sq8Stats(s, dir)
-    val cells = ivfCells(s, dir)
+    ivfAdcTopFrom(ivfCells(s, dir), mns, mxs, qmax, k, nprobe = 2)
+  }
+
+  /** Index-taking, nprobe-parameterized form: the compressed-leg recall
+    * grid trains cells + stats ONCE and runs every operating point
+    * against the same frames. */
+  private def ivfAdcTopFrom(cells: DataFrame, mns: String, mxs: String,
+      qmax: Int, k: Int, nprobe: Int): DataFrame = {
     val queriesDf = cells.filter(col("vec_id") < qmax)
       .withColumn("mn", expr(s"cast(array($mns) as array<bigint>)"))
       .select(col("vec_id").as("query_id"), col("cell"),
         // array_distinct: degenerate single-cell index has cell2 == cell
-        explode(array_distinct(array(col("cell"), col("cell2")))).as("probe"),
+        explode(if (nprobe >= 2)
+          array_distinct(array(col("cell"), col("cell2")))
+        else array(col("cell"))).as("probe"),
         expr("transform(sequence(0, size(q) - 1), i -> (q[i] - mn[i]) * 255)")
           .as("da"))
     val corpus = cells
@@ -511,9 +520,12 @@ object Similarity {
     * TRAINED coarse cells ([[ivfCells]], nprobe = 2), ranked by the
     * PQ-ADC table lookup. Corpus rows carry (cell, 4 codes); the
     * broadcast query batch carries (probe cells, 4 LUTs). */
-  private def ivfPqTop(s: SparkSession, dir: String, qmax: Int, k: Int): DataFrame = {
-    val cb = pqCodebooks(s, dir)
-    val cells = ivfCells(s, dir)
+  private def ivfPqTop(s: SparkSession, dir: String, qmax: Int, k: Int): DataFrame =
+    ivfPqTopFrom(ivfCells(s, dir), pqCodebooks(s, dir), qmax, k, nprobe = 2)
+
+  /** Index-taking, nprobe-parameterized form (see [[ivfAdcTopFrom]]). */
+  private def ivfPqTopFrom(cells: DataFrame, cb: Seq[Seq[Seq[Long]]],
+      qmax: Int, k: Int, nprobe: Int): DataFrame = {
     // Same materialized code table as [[pqAdcTop]] (production stores
     // it; the exchange also stops the join from re-encoding per pair).
     // Keyed by vector id, NOT the coarse cell — K ≈ 4 cell keys would
@@ -531,7 +543,9 @@ object Similarity {
         cells.filter(col("vec_id") < qmax)
           .select(col("vec_id"), col("q"), col("cell"),
             // array_distinct: degenerate single-cell index has cell2 == cell
-            explode(array_distinct(array(col("cell"), col("cell2")))).as("probe")),
+            explode(if (nprobe >= 2)
+              array_distinct(array(col("cell"), col("cell2")))
+            else array(col("cell"))).as("probe")),
         cb)
       .select(col("vec_id").as("query_id") +: col("cell") +: col("probe") +:
         pqLutCols: _*)
@@ -816,7 +830,44 @@ object Similarity {
       recallOf(
         bruteTop(s, dir, qmax = 50, k = 3).select("query_id", "neighbor_id"),
         ivfPqResTop(s, dir, qmax = 50, k = 3).select("query_id", "neighbor_id"),
-        k = 3)))
+        k = 3)),
+
+    // The q_knn_ivf_recall_grid pattern extended to the COMPRESSED
+    // composed legs: aggregate recall@K at every (family, K, nprobe) ∈
+    // {ivf_adc, ivf_pq} × {3,10} × {1,2} — the operating-point curves
+    // a deployment consults when picking cut × compression together
+    // (nprobe buys candidates, the compression leg sets how faithfully
+    // they rank). Each family's index trains ONCE (cells + SQ8 stats,
+    // cells + PQ codebooks — three bounded collects total, not 8×),
+    // and the brute truth ranking at each K is shared across families
+    // and nprobes, so the identical subtrees plan as ReusedExchange —
+    // a grid row costs one extra rank pass, never a re-train.
+    "q_knn_compressed_grid" -> ((s, dir) => {
+      val cells = ivfCells(s, dir)
+      val (mns, mxs) = sq8Stats(s, dir)
+      val cb = pqCodebooks(s, dir)
+      val fams: Seq[(String, (Int, Int) => DataFrame)] = Seq(
+        "ivf_adc" -> ((k: Int, np: Int) =>
+          ivfAdcTopFrom(cells, mns, mxs, qmax = 50, k = k, nprobe = np)),
+        "ivf_pq" -> ((k: Int, np: Int) =>
+          ivfPqTopFrom(cells, cb, qmax = 50, k = k, nprobe = np)))
+      val rows = for ((fam, top) <- fams; k <- Seq(3, 10); np <- Seq(1, 2))
+        yield {
+          val exact = bruteTop(s, dir, qmax = 50, k = k)
+            .select(col("query_id"), col("neighbor_id"))
+          val approx = top(k, np)
+            .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+          exact.join(approx,
+              col("query_id") === col("aq") && col("neighbor_id") === col("an"),
+              "left")
+            .agg(count(lit(1)).as("n_true"), count(col("an")).as("n_found"))
+            .select(lit(fam).as("family"), lit(k).as("k"), lit(np).as("nprobe"),
+              col("n_true"), col("n_found"),
+              round(col("n_found").cast("double") / col("n_true"), 4)
+                .as("recall"))
+        }
+      rows.reduce(_.unionByName(_)).orderBy("family", "k", "nprobe")
+    }))
 
   val oracles: Map[String, String] = Map(
     "q_knn_brute" -> ("WITH " + Dedup.QE + s""",
@@ -1026,7 +1077,8 @@ object Similarity {
              round(CAST(count(a.neighbor_id) AS DOUBLE) / 3.0, 4) AS recall_at_3
       FROM brute b LEFT JOIN ivfpqr a
         ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
-      GROUP BY b.query_id ORDER BY b.query_id"""))
+      GROUP BY b.query_id ORDER BY b.query_id"""),
+    "q_knn_compressed_grid" -> compressedGridSql)
 
   /** The exact brute-force top-3 block every recall twin repeats, as a
     * shared CTE string (`brute` = (query_id, neighbor_id) truth set). */
@@ -1253,6 +1305,58 @@ object Similarity {
       approxCtes(1) + approxCtes(2) +
       Seq((3, 1), (3, 2), (10, 1), (10, 2)).map((gridRow _).tupled)
         .mkString("", " UNION ALL ", " ORDER BY k, nprobe")
+  }
+
+  /** Twin of the compressed-leg operating-point grid: ONE brute
+    * ranking, one ADC ranking and one PQ ranking per nprobe; the 8
+    * grid rows re-filter the shared `rnk` columns — mirroring the
+    * Spark plan's reused subtrees. */
+  private lazy val compressedGridSql: String = {
+    def probeCond(np: Int): String =
+      if (np == 2) "v.cell IN (a.cell, a.cell2)" else "v.cell = a.cell"
+    def adcCtes(np: Int): String = s""",
+      gad$np AS (SELECT a.vec_id AS query_id, v.vec_id AS neighbor_id,
+                   $adcDist AS dist
+                 FROM ivcell a, ivcell v, codes b, stats
+                 WHERE v.vec_id = b.vec_id AND ${probeCond(np)}
+                   AND a.vec_id < 50 AND a.vec_id <> v.vec_id),
+      gadrk$np AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rnk
+                   FROM gad$np)"""
+    def pqGridCtes(np: Int): String = s""",
+      gpq$np AS (SELECT a.vec_id AS query_id, v.vec_id AS neighbor_id,
+                   ${pqDistSql("a")} AS dist
+                 FROM ivcell a, ivcell v, pqcodes b, $pqJoinTables
+                 WHERE b.vec_id = v.vec_id AND ${probeCond(np)}
+                   AND ${pqJoinCond("b")}
+                   AND a.vec_id < 50 AND a.vec_id <> v.vec_id),
+      gpqrk$np AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rnk
+                   FROM gpq$np)"""
+    def gridRow(fam: String, pre: String, k: Int, np: Int): String = s"""
+      SELECT '$fam' AS family, $k AS k, $np AS nprobe,
+             count(*) AS n_true, count(a.neighbor_id) AS n_found,
+             round(CAST(count(a.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS recall
+      FROM (SELECT query_id, neighbor_id FROM brk WHERE rnk <= $k) b
+      LEFT JOIN (SELECT query_id, neighbor_id FROM ${pre}rk$np WHERE rnk <= $k) a
+        ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id"""
+    "WITH " + Dedup.QE + "," + Clustering.assignCtes + "," + ivfCte + "," +
+      sq8Cte + "," + pqCtes + s""",
+      bp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+             FROM qn a JOIN qn b ON a.vec_id < 50 AND a.vec_id <> b.vec_id),
+      bcos AS (SELECT query_id, neighbor_id,
+                 round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+               FROM bp),
+      brk AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM bcos)""" +
+      adcCtes(1) + adcCtes(2) + pqGridCtes(1) + pqGridCtes(2) +
+      (for {
+        (fam, pre) <- Seq(("ivf_adc", "gad"), ("ivf_pq", "gpq"))
+        k <- Seq(3, 10); np <- Seq(1, 2)
+      } yield gridRow(fam, pre, k, np))
+        .mkString("", " UNION ALL ", " ORDER BY family, k, nprobe")
   }
 
   private def ivfSql(multi: Boolean): String =

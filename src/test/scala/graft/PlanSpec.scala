@@ -381,6 +381,24 @@ class PlanSpec extends SparkSuite {
         s"$q must broadcast the query side of the cell probe")
   }
 
+  test("q_knn_compressed_grid reuses the trained-index exchanges across grid rows") {
+    // The operating-point grid's scale contract: 8 (family, K, nprobe)
+    // rows share ONE trained index per family and ONE brute truth
+    // ranking per K. Static planning re-plans each union arm under
+    // fresh attribute IDs (the q_hll_tuning lesson), so the dedup
+    // happens at runtime: AQE stage reuse must replace the repeated
+    // shuffle subtrees with ReusedExchange — without it a grid row
+    // costs a full re-rank + re-train scan instead of a re-filter.
+    val df = SparkEntry.plans("q_knn_compressed_grid")(spark, sf)
+    df.collect() // materialize: AQE only reuses stages during execution
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("isFinalPlan=true"))
+    val reused = p.linesIterator.count(_.contains("ReusedExchange"))
+    assert(reused >= 8,
+      s"expected >=8 reused stages across the 8 grid rows, got $reused:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).take(40).mkString("\n"))
+  }
+
   test("q_hll_registers folds map-side: partial max per register") {
     // the HLL scale story: the exchange carries ≤256 (reg, max) pairs
     // per task, never the value stream — partial_max must survive,

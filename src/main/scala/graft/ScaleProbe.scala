@@ -310,6 +310,39 @@ object ScaleProbe {
       qe.unpersist(false)
     }
 
+    // PQ pipeline probe: N× the corpus through the WHOLE IndexPQ path
+    // ([[graft.llm.Similarity.pqAdcTopFrom]]) — codebook train (seed
+    // assignment + the ≤256-row (g, cl) aggregate; the collect stays
+    // 256 rows × 6 ints at EVERY N), scan-side encode (pq_dists
+    // argmin, no shuffle), the one code-table exchange (16 ints/row —
+    // the stored index), LUT build, and the broadcast-query ADC scan
+    // with per-partition top-k. Everything except the code-table
+    // exchange is scan-shaped, so wall must stay ~linear in corpus
+    // size — the same claim the ivf/cms/outlier probes pin.
+    if (want("pq"))
+    locally {
+      val qe = Dedup.quantized(spark, sfDir)
+        .select(col("vec_id"), col("q"), col("norm")).persist()
+      val nVec = qe.count()
+      val stride = qe.agg(max(col("vec_id"))).head().getLong(0) + 1L
+      def timedPq(mult: Int): Unit = {
+        val scaled = qe
+          .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
+            col("vec_id"), col("q"), col("norm"))
+          .select((col("vec_id") + col("i") * lit(stride)).as("vec_id"),
+            col("q"), col("norm"))
+        val t0 = System.nanoTime()
+        val topk = graft.llm.Similarity.pqAdcTopFrom(scaled, qmax = 50, k = 3)
+          .count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"pq_${mult}x","vectors":${nVec * mult},"topk_rows":$topk,"sec":$dt%.2f}""")
+      }
+      timedPq(1)
+      timedPq(10)
+      timedPq(100)
+      qe.unpersist(false)
+    }
+
     // Incremental-screen probe: a FIXED delta (the src1 shard) against
     // an N×-replicated standing corpus. Two timings per N: building
     // the corpus indexes (exact hash set + banding table — linear in

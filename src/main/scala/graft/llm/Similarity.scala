@@ -251,6 +251,9 @@ object Similarity {
     // the m ≤ 4 non-empty cells (re-indexed 0..m-1 in ascending seed
     // order) instead of failing the query. m = 1 is still an index —
     // one cell scanned fully, cell2 degenerate (IvfDegenerateSpec).
+    // The DuckDB twin ([[ivfCte]]) renders m from the same training
+    // rows (zero-losses pairwise argmin over the non-empty cells), so
+    // the oracle contract holds on degenerate corpora too.
     require(byK.nonEmpty, "IVF training: empty corpus")
     val present = byK.keys.toSeq.sorted
     val parts = present.map { k =>
@@ -491,9 +494,15 @@ object Similarity {
     * m table lookups + adds. Same join scaffold as [[sq8AdcTop]]:
     * broadcast query batch, corpus never shuffles, WindowGroupLimit
     * top-k. */
-  private def pqAdcTop(s: SparkSession, dir: String, qmax: Int, k: Int): DataFrame = {
-    val cb = pqCodebooks(s, dir)
-    val qe = Dedup.quantized(s, dir)
+  private def pqAdcTop(s: SparkSession, dir: String, qmax: Int, k: Int): DataFrame =
+    pqAdcTopFrom(Dedup.quantized(s, dir), qmax, k)
+
+  /** Frame-taking form of the whole IndexPQ pipeline — train (the
+    * ≤256-row codebook aggregate), scan-side encode, LUT build, ADC
+    * search — over whatever quantized frame the caller supplies;
+    * [[graft.ScaleProbe]] drives this on replicated corpora. */
+  private[graft] def pqAdcTopFrom(qe: DataFrame, qmax: Int, k: Int): DataFrame = {
+    val cb = pqCodebooksFrom(qe)
     // The code table goes through an explicit exchange: (1) it IS the
     // stored index a production PQ deployment materializes at ingest —
     // 16 ints/row, so even a 10⁹-row corpus shuffles ~100 GB once;
@@ -1182,9 +1191,9 @@ object Similarity {
     * per-vector residual frame, and the full PQ train/encode chain
     * over it under the `rpq` prefix. */
   private lazy val resPqCtes: String = s"""
-      ivcent AS (SELECT cluster,
+      ivcent AS (SELECT ivm.k AS cluster,
                    list_transform(generate_series(1, 64), i -> sv[i] // n) AS c
-                 FROM ivc),
+                 FROM ivc JOIN ivm ON ivc.cluster = ivm.cluster),
       rres AS (SELECT v.vec_id,
                  list_transform(generate_series(1, 64), i -> v.q[i] - ct.c[i]) AS q
                FROM ivcell v JOIN ivcent ct ON v.cell = ct.cluster),""" +
@@ -1230,38 +1239,62 @@ object Similarity {
   /** DuckDB twin of [[ivfCells]]: seed assignment from
     * [[Clustering.assignCtes]] (`iva`), per-cell (n, Σv, |Σv|²) in
     * HUGEINT, then the same cross-multiplied divisionless argmin.
-    * The conditional-aggregation pivot (`ivp`) carries each vector's
-    * four (uₖ, nₖ) pairs to one row; the CASE mirrors the Spark
-    * lowest-id tiebreak exactly. */
+    *
+    * The twin renders m from the SAME training rows the Spark side
+    * trains on (ADVICE r8 / VERDICT r9 #5): only non-empty seed
+    * cells produce `ivc` rows, `ivm` re-indexes them 0..m−1 in
+    * ascending seed order (identity on a non-degenerate corpus —
+    * exactly [[ivfCellsAndCentroids]]' `present.sorted.zipWithIndex`),
+    * and the argmin is the pairwise zero-losses form: cell k wins
+    * when NO cell j is strictly closer under the cross-multiplied
+    * comparison, lowest re-indexed id among ties (`min(k)` over the
+    * losses = 0 set ≡ the Spark fall-through CASE's first-true arm —
+    * both are the lowest-index global minimum). cell2 repeats the
+    * election with the winner excluded; with m = 1 the exclusion
+    * leaves no candidates and cell2 degrades to cell, matching the
+    * Spark `m == 1 → lit(0)` arm. The oracle-twinned-guard contract
+    * therefore holds on degenerate corpora too, not just when all 4
+    * seed cells are inhabited. */
   private[llm] lazy val ivfCte = s"""
       ivn AS (SELECT cluster, count(*) AS n FROM iva GROUP BY 1),
       ivs AS (SELECT cluster, i, CAST(sum(q[i]) AS BIGINT) AS si
               FROM iva, UNNEST(generate_series(1, 64)) AS u(i)
               GROUP BY 1, 2),
       ivv AS (SELECT cluster, list(si ORDER BY i) AS sv FROM ivs GROUP BY 1),
+      ivm AS (SELECT cluster,
+                CAST(dense_rank() OVER (ORDER BY cluster) - 1 AS INTEGER) AS k
+              FROM ivn),
       ivc AS (SELECT ivn.cluster, ivn.n, ivv.sv,
                 CAST(list_sum(list_transform(generate_series(1, 64),
                   i -> CAST(sv[i] AS HUGEINT) * sv[i])) AS HUGEINT) AS s2
               FROM ivn JOIN ivv ON ivn.cluster = ivv.cluster),
-      ivu AS (SELECT qn.vec_id, ivc.cluster AS k, CAST(ivc.n AS HUGEINT) AS n,
+      ivu AS (SELECT qn.vec_id, ivm.k, CAST(ivc.n AS HUGEINT) AS n,
                 ivc.s2 - 2 * ivc.n * CAST(list_sum(list_transform(
                   generate_series(1, 64), i -> qn.q[i] * ivc.sv[i])) AS HUGEINT) AS u
-              FROM qn, ivc),
-      ivp AS (SELECT vec_id,
-                max(CASE WHEN k = 0 THEN u END) AS u0, max(CASE WHEN k = 0 THEN n END) AS n0,
-                max(CASE WHEN k = 1 THEN u END) AS u1, max(CASE WHEN k = 1 THEN n END) AS n1,
-                max(CASE WHEN k = 2 THEN u END) AS u2, max(CASE WHEN k = 2 THEN n END) AS n2,
-                max(CASE WHEN k = 3 THEN u END) AS u3, max(CASE WHEN k = 3 THEN n END) AS n3
-              FROM ivu GROUP BY vec_id),
-      ivcp AS (SELECT vec_id, ${argminCase(sqlCond)} AS cell FROM ivp),
+              FROM qn, ivc JOIN ivm ON ivc.cluster = ivm.cluster),
+      ivlose AS (SELECT a.vec_id, a.k,
+                   count(CASE WHEN a.n * a.n * b.u < b.n * b.n * a.u THEN 1 END) AS losses
+                 FROM ivu a JOIN ivu b ON a.vec_id = b.vec_id
+                 GROUP BY a.vec_id, a.k),
+      ivcp AS (SELECT vec_id, min(k) AS cell FROM ivlose
+               WHERE losses = 0 GROUP BY vec_id),
+      ivlose2 AS (SELECT a.vec_id, a.k,
+                    count(CASE WHEN a.n * a.n * b.u < b.n * b.n * a.u THEN 1 END) AS losses
+                  FROM ivu a JOIN ivcp c ON a.vec_id = c.vec_id AND a.k <> c.cell
+                       JOIN ivu b ON a.vec_id = b.vec_id AND b.k <> c.cell
+                  GROUP BY a.vec_id, a.k),
+      ivsec AS (SELECT vec_id, min(k) AS cell2 FROM ivlose2
+                WHERE losses = 0 GROUP BY vec_id),
       ivcell AS (SELECT qn.vec_id, qn.q, qn.norm, ivcp.cell,
-                   ${secondCase("ivcp.cell", sqlCond)} AS cell2
-                 FROM ivcp JOIN ivp ON ivcp.vec_id = ivp.vec_id
-                           JOIN qn ON ivcp.vec_id = qn.vec_id)"""
+                   coalesce(ivsec.cell2, ivcp.cell) AS cell2
+                 FROM qn JOIN ivcp ON qn.vec_id = ivcp.vec_id
+                      LEFT JOIN ivsec ON qn.vec_id = ivsec.vec_id)"""
 
-  /** SQL renderer of the cross-multiplied closeness comparison over the
-    * pivoted (uₖ, nₖ) columns — shared CASE structure with the Spark
-    * plan via [[argminCase]]/[[secondCase]]. */
+  /** SQL renderer of the cross-multiplied closeness comparison over
+    * pivoted (uₖ, nₖ) columns — still the [[Clustering]] two-step
+    * twin's step-2 CASE (whose Spark side shares the fixed-K pivot by
+    * construction); [[ivfCte]] itself now elects cells via the
+    * m-agnostic zero-losses join above. */
   private[llm] def sqlCond(k: Int, j: Int): String =
     s"n$j * n$j * u$k <= n$k * n$k * u$j"
 

@@ -524,6 +524,37 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("dist"))
   }
 
+  /** Exact re-rank of the PQ shortlist — the FAISS refine step
+    * (IndexRefineFlat wrapped around IndexPQ): the compressed ADC
+    * ranking supplies kShort candidates per query, then ONLY those
+    * candidates are re-scored with the exact cosine. This is the
+    * standard production answer to lossy-code recall: the 100 TB
+    * corpus is ranked entirely through 8-byte codes, and the refine
+    * fetches kShort raw vectors per query — a qmax × kShort
+    * broadcast-sized set, never a corpus re-scan. The re-rank join is
+    * a BHJ keyed on the vector id (candidates build side), i.e. the
+    * random-access fetch a vector store serves from its primary key. */
+  private def pqRerankTop(s: SparkSession, dir: String, qmax: Int, k: Int,
+      kShort: Int): DataFrame = {
+    val qe = Dedup.quantized(s, dir)
+    val shortlist = pqAdcTopFrom(qe, qmax, kShort)
+      .select(col("query_id"), col("neighbor_id"))
+    val queriesDf = qe.filter(col("vec_id") < qmax)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"),
+        col("norm").as("na"))
+    val corpus = qe.select(col("vec_id").as("neighbor_id"),
+      col("q").as("qb"), col("norm").as("nb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    corpus.join(broadcast(shortlist.join(queriesDf, "query_id")),
+        "neighbor_id")
+      .withColumn("dot", expr(Dedup.dotExpr))
+      .withColumn("cosine", Dedup.cosine())
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+  }
+
   /** The composed IVF×PQ index — FAISS IndexIVFPQ, the standard
     * billion-scale configuration: candidates from the two nearest
     * TRAINED coarse cells ([[ivfCells]], nprobe = 2), ranked by the
@@ -816,6 +847,24 @@ object Similarity {
         pqAdcTop(s, dir, qmax = 50, k = 3).select("query_id", "neighbor_id"),
         k = 3)),
 
+    // The refine step over the PQ shortlist (FAISS IndexRefineFlat):
+    // ADC ranks the whole corpus through 8-byte codes, exact cosine
+    // re-scores only the top-12 candidates per query — the standard
+    // fix for lossy-code recall at a bounded raw-vector fetch budget.
+    "q_knn_pq_rerank" -> ((s, dir) =>
+      pqRerankTop(s, dir, qmax = 50, k = 3, kShort = 12)
+        .orderBy("query_id", "rnk")),
+
+    // Refine quality: recall@3 after the exact re-rank — read against
+    // q_knn_pq_recall (no re-ranking) it is the recall the 4× shortlist
+    // fetch buys back; the ceiling is P(true top-3 ⊆ ADC top-12).
+    "q_knn_pq_rerank_recall" -> ((s, dir) =>
+      recallOf(
+        bruteTop(s, dir, qmax = 50, k = 3).select("query_id", "neighbor_id"),
+        pqRerankTop(s, dir, qmax = 50, k = 3, kShort = 12)
+          .select("query_id", "neighbor_id"),
+        k = 3)),
+
     // The composed billion-scale index: IVF candidate cut (nprobe = 2
     // trained cells) × PQ table-lookup ranking — FAISS IndexIVFPQ.
     "q_knn_ivf_pq" -> ((s, dir) =>
@@ -1027,6 +1076,18 @@ object Similarity {
       FROM brute b LEFT JOIN pq a
         ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
       GROUP BY b.query_id ORDER BY b.query_id"""),
+    "q_knn_pq_rerank" -> ("WITH " + Dedup.QE + "," + pqCtes +
+      rerankCtes + s"""
+      SELECT query_id, rnk, neighbor_id, cosine FROM rrk WHERE rnk <= 3
+      ORDER BY query_id, rnk"""),
+    "q_knn_pq_rerank_recall" -> ("WITH " + Dedup.QE + "," + pqCtes + "," +
+      bruteCtes + rerankCtes + s""",
+      rr3 AS (SELECT query_id, neighbor_id FROM rrk WHERE rnk <= 3)
+      SELECT b.query_id,
+             round(CAST(count(a.neighbor_id) AS DOUBLE) / 3.0, 4) AS recall_at_3
+      FROM brute b LEFT JOIN rr3 a
+        ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+      GROUP BY b.query_id ORDER BY b.query_id"""),
     "q_knn_ivf_pq" -> ("WITH " + Dedup.QE + "," + Clustering.assignCtes + "," +
       ivfCte + "," + pqCtes + s""",
       d AS (SELECT a.vec_id AS query_id, a.cell, v.vec_id AS neighbor_id,
@@ -1102,6 +1163,34 @@ object Similarity {
                 row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
               FROM bcos),
       brute AS (SELECT query_id, neighbor_id FROM brk WHERE rnk <= 3)"""
+
+  /** DuckDB twin of [[pqRerankTop]]: the ADC shortlist at rnk ≤ 12
+    * (same pqcodes/centroid tables and lowest-neighbor tiebreak as the
+    * `q_knn_pq` twin — the dists are exact BIGINT, so the shortlist is
+    * bit-identical across engines), then the exact cosine re-score of
+    * ONLY the shortlisted pairs, re-ranked with the same
+    * (cosine DESC, neighbor_id ASC) order the Spark window uses.
+    * Leading comma: always appended to a preceding CTE block. */
+  private lazy val rerankCtes: String = s""",
+      rsd AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                ${pqDistSql("a")} AS dist
+              FROM qn a, pqcodes b, $pqJoinTables
+              WHERE ${pqJoinCond("b")}
+                AND a.vec_id < 50 AND a.vec_id <> b.vec_id),
+      rss AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rnk
+              FROM rsd),
+      rsl AS (SELECT query_id, neighbor_id FROM rss WHERE rnk <= 12),
+      rex AS (SELECT s.query_id, s.neighbor_id, a.q AS qa, b.q AS qb2,
+                a.norm AS na, b.norm AS nb
+              FROM rsl s JOIN qn a ON a.vec_id = s.query_id
+                         JOIN qn b ON b.vec_id = s.neighbor_id),
+      rco AS (SELECT query_id, neighbor_id,
+                round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+              FROM rex),
+      rrk AS (SELECT query_id, neighbor_id, cosine,
+                CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rnk
+              FROM rco)"""
 
   /** DuckDB twin of the PQ pipeline ([[pqSeeds]] seed assignment → one
     * truncating-integer refinement → scan-side encoding): same seed

@@ -381,6 +381,26 @@ class PlanSpec extends SparkSuite {
         s"$q must broadcast the query side of the cell probe")
   }
 
+  test("q_knn_pq_rerank fetches the shortlist by key, never re-scans the corpus") {
+    // The refine step's scale contract (FAISS IndexRefineFlat): the
+    // ONLY exhaustive pass is the ADC code scan (one BNLJ against the
+    // bounded query-LUT broadcast, by design); the exact re-score must
+    // be a keyed BroadcastHashJoin on the vector id — the qmax×kShort
+    // shortlist is the build side, so the raw-vector "fetch" costs one
+    // corpus probe, not a second corpus × queries product.
+    val p = plan("q_knn_pq_rerank")
+    // count detail-section headers only — formatted explain prints
+    // every node twice (tree line + "(n) Node" detail header)
+    val bnlj = p.linesIterator.count(
+      _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin"""))
+    assert(bnlj == 1,
+      s"exactly the ADC scan may be a BNLJ, got $bnlj:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"),
+      "the exact re-score must be a keyed fetch (BHJ on neighbor_id):\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
   test("q_knn_compressed_grid reuses the trained-index exchanges across grid rows") {
     // The operating-point grid's scale contract: 8 (family, K, nprobe)
     // rows share ONE trained index per family and ONE brute truth

@@ -32,6 +32,16 @@ case class WavMeta(doc_id: Long, status: String,
     n_samples: Option[Long], s_sum: Option[Long],
     s_min: Option[Int], s_max: Option[Int], n_clip: Option[Long])
 
+/** Typed output of the REAL BMP decode: parse status, header fields
+  * (height always positive — `top_down` carries the sign bit), exact
+  * per-channel sums over the LOGICAL image, and the top-row checksum
+  * that makes row order observable in the hash gate. */
+case class BmpMeta(doc_id: Long, status: String,
+    width: Option[Int], height: Option[Int], bpp: Option[Int],
+    top_down: Option[Int], r_sum: Option[Long], g_sum: Option[Long],
+    b_sum: Option[Long], px_min: Option[Int], px_max: Option[Int],
+    top_row_sum: Option[Long])
+
 /** Multimodal-column plumbing: media as opaque `binary` columns with
   * typed, schema'd metadata extraction (north-star extension — the
   * reference has nothing beyond strings).
@@ -258,6 +268,118 @@ object Multimodal {
     }
   }
 
+  /** Synthesize a REAL uncompressed 24-bit BMP from a doc's md5 hex —
+    * a genuine BITMAPFILEHEADER + BITMAPINFOHEADER + padded pixel
+    * raster, all little-endian per the spec. The format brings the two
+    * parsing hazards PPM and WAV don't have: rows are stored BOTTOM-UP
+    * unless the height field is negative (the top-down arm, ~25%), and
+    * every row is padded to a 4-byte boundary (w ∈ 1..4 at 24 bpp ⇒
+    * pad ∈ {1,2,3,0} — all four cases occur). Pixel bytes are keyed by
+    * LOGICAL position ((row·w + col)·3 + channel, cycling the 16 md5
+    * bytes) while rows are WRITTEN in storage order, so a parser that
+    * mis-walks direction or stride reconstructs the wrong logical
+    * image and breaks the hash gate. Arms: corrupted magic (`XM`,
+    * ~6%), top-down height, raster truncated one byte short (~12.5%). */
+  private[llm] def bmpBytes(h: String): Array[Byte] = {
+    val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
+    val badMagic = b(13) % 16 == 0
+    val topDown = b(14) % 4 == 0
+    val trunc = b(15) % 8 == 0
+    val w = 1 + b(0) % 4
+    val ht = 1 + b(1) % 4
+    val stride = (w * 3 + 3) & ~3
+    val need = stride * ht
+    val out = new java.io.ByteArrayOutputStream(128)
+    def w32(v: Int): Unit = { out.write(v & 255); out.write((v >> 8) & 255)
+      out.write((v >> 16) & 255); out.write((v >> 24) & 255) }
+    def w16(v: Int): Unit = { out.write(v & 255); out.write((v >> 8) & 255) }
+    out.write(if (badMagic) 'X' else 'B'); out.write('M')
+    w32(14 + 40 + need); w16(0); w16(0); w32(54)
+    w32(40); w32(w); w32(if (topDown) -ht else ht)
+    w16(1); w16(24); w32(0); w32(need); w32(2835); w32(2835); w32(0); w32(0)
+    var sr = 0
+    while (sr < ht) {
+      val logical = if (topDown) sr else ht - 1 - sr
+      var c = 0
+      while (c < w * 3) { out.write(b((logical * w * 3 + c) % 16)); c += 1 }
+      while (c < stride) { out.write(0); c += 1 }
+      sr += 1
+    }
+    val full = out.toByteArray
+    if (trunc) full.dropRight(1) else full
+  }
+
+  /** REAL from-scratch BMP parser — the third honest decode path
+    * (uncompressed 24-bit BMP needs no codec): `BM` magic, little-
+    * endian header fields read at their spec offsets (pixel offset at
+    * 10 — honored, not assumed, since real files put palettes there),
+    * signed height (negative = top-down), planes/bpp/compression
+    * validation, declared-vs-available raster check against the padded
+    * stride, then the row walk in LOGICAL top-down order with exact
+    * integer stats: per-channel sums (BGR byte order — the BMP gotcha),
+    * global min/max, and the top-row checksum that pins row order.
+    * Malformed input degrades to a status ROW (`bad_magic`,
+    * `bad_header`, `unsupported`, `truncated`), never a throw — same
+    * 100 TB survival property as [[parsePpm]]/[[parseWav]]. */
+  private[llm] def parseBmp(id: Long, p: Array[Byte]): BmpMeta = {
+    val none = BmpMeta(id, "bad_magic", None, None, None, None, None,
+      None, None, None, None, None)
+    if (p == null || p.length < 2 || p(0) != 'B' || p(1) != 'M') return none
+    if (p.length < 54) return none.copy(status = "bad_header")
+    def u32(i: Int): Int = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8) |
+      ((p(i + 2) & 0xff) << 16) | ((p(i + 3) & 0xff) << 24)
+    def u16(i: Int): Int = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+    val dataOff = u32(10)
+    val hdrSize = u32(14)
+    val w = u32(18) // signed per spec; negative width is invalid
+    val hRaw = u32(22) // signed: negative = top-down row order
+    val planes = u16(26)
+    val bpp = u16(28)
+    val comp = u32(30)
+    if (hdrSize < 40 || w <= 0 || hRaw == 0 || planes != 1 || dataOff < 54)
+      return none.copy(status = "bad_header")
+    val topDown = hRaw < 0
+    val ht = math.abs(hRaw)
+    val meta = none.copy(width = Some(w), height = Some(ht),
+      bpp = Some(bpp), top_down = Some(if (topDown) 1 else 0))
+    if (bpp != 24 || comp != 0) return meta.copy(status = "unsupported")
+    val stride = (w * 3 + 3) & ~3
+    val need = stride.toLong * ht
+    if (p.length - dataOff < need) return meta.copy(status = "truncated")
+    var rs = 0L; var gs = 0L; var bs = 0L; var trs = 0L
+    var mn = 255; var mx = 0
+    var r = 0
+    while (r < ht) {
+      val stored = if (topDown) r else ht - 1 - r
+      val off = dataOff + stored * stride
+      var c = 0
+      while (c < w) {
+        val bb = p(off + 3 * c) & 0xff // BGR on disk
+        val gg = p(off + 3 * c + 1) & 0xff
+        val rr = p(off + 3 * c + 2) & 0xff
+        bs += bb; gs += gg; rs += rr
+        if (r == 0) trs += bb + gg + rr
+        if (bb < mn) mn = bb; if (gg < mn) mn = gg; if (rr < mn) mn = rr
+        if (bb > mx) mx = bb; if (gg > mx) mx = gg; if (rr > mx) mx = rr
+        c += 1
+      }
+      r += 1
+    }
+    meta.copy(status = "ok", r_sum = Some(rs), g_sum = Some(gs),
+      b_sum = Some(bs), px_min = Some(mn), px_max = Some(mx),
+      top_row_sum = Some(trs))
+  }
+
+  /** The typed BMP decode stage over [[parseBmp]] — same per-partition
+    * shape as [[decodePpm]]/[[decodeWav]]. */
+  def decodeBmp(ds: Dataset[BinaryDoc]): Dataset[BmpMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      // per-partition decode-buffer allocation would go here
+      rows.map(d => parseBmp(d.doc_id, d.payload))
+    }
+  }
+
   /** STUB decoder — stands in for image decode + feature extraction.
     * Deterministic: width/height/channels from the first 3 bytes, mean
     * intensity over the first 4 (exact: quarters are binary-exact
@@ -352,6 +474,24 @@ object Multimodal {
       decodeWav(payloads).toDF().orderBy("doc_id")
     }),
 
+    // The third REAL decode path (uncompressed 24-bit BMP needs no
+    // codec): synthesized genuine BMP byte streams — little-endian
+    // dual headers, signed-height row direction, 4-byte row padding —
+    // parsed by the from-scratch [[parseBmp]] walk. The oracle
+    // recomputes expected stats from the md5 digits in LOGICAL image
+    // space and is blind to the file layout, so a direction, stride,
+    // or BGR-order bug in the walk breaks the hash gate (top_row_sum
+    // pins row order specifically; the padded-stride arithmetic is
+    // exercised at all four pad widths since w ∈ 1..4).
+    "q_multimodal_decode_bmp" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Tables(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, h) => BinaryDoc(id, bmpBytes(h)) })
+      decodeBmp(payloads).toDF().orderBy("doc_id")
+    }),
+
     // Format sniffing + byte-level QA stats — the one multimodal stage
     // that needs NO codec and is therefore fully real here: magic-byte
     // classification (the dispatch step that routes a payload to the
@@ -378,6 +518,7 @@ object Multimodal {
                 |     WHEN substring(h, 1, 8) = '89504e47' THEN 'png'
                 |     WHEN substring(h, 1, 6) = '474946' THEN 'gif'
                 |     WHEN substring(h, 1, 8) = '52494646' THEN 'riff'
+                |     WHEN substring(h, 1, 4) = '424d' THEN 'bmp'
                 |     ELSE 'unknown' END""".stripMargin).as("format"),
           size(array_distinct(col("bytes"))).as("n_distinct"),
           expr("array_max(transform(array_distinct(bytes), " +
@@ -476,6 +617,38 @@ object Multimodal {
              CASE WHEN badmagic OR trunc THEN NULL ELSE CAST(list_max(smp) AS INT) END AS s_max,
              CASE WHEN badmagic OR trunc THEN NULL ELSE CAST(len(list_filter(smp, x -> x = 0 OR x = 255)) AS BIGINT) END AS n_clip
       FROM r ORDER BY doc_id""",
+    "q_multimodal_decode_bmp" -> s"""
+      WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+      b AS (SELECT doc_id, h, ${byteAt(0)} AS b0, ${byteAt(1)} AS b1,
+                   ${byteAt(13)} AS b13, ${byteAt(14)} AS b14,
+                   ${byteAt(15)} AS b15
+            FROM hx),
+      d AS (SELECT doc_id, h, b13 % 16 = 0 AS badmagic, b14 % 4 = 0 AS topdown,
+                   b15 % 8 = 0 AS trunc, 1 + b0 % 4 AS w, 1 + b1 % 4 AS hh
+            FROM b),
+      r AS (SELECT doc_id, badmagic, topdown, trunc, w, hh,
+              list_transform(generate_series(0, w * hh * 3 - 1), i ->
+                (ascii(substr(h, 2*(i%16)+1, 1)) - (CASE WHEN substr(h, 2*(i%16)+1, 1) >= 'a' THEN 87 ELSE 48 END)) * 16 +
+                (ascii(substr(h, 2*(i%16)+2, 1)) - (CASE WHEN substr(h, 2*(i%16)+2, 1) >= 'a' THEN 87 ELSE 48 END))) AS raster
+            FROM d)
+      SELECT doc_id,
+             CASE WHEN badmagic THEN 'bad_magic'
+                  WHEN trunc THEN 'truncated' ELSE 'ok' END AS status,
+             CASE WHEN badmagic THEN NULL ELSE CAST(w AS INT) END AS width,
+             CASE WHEN badmagic THEN NULL ELSE CAST(hh AS INT) END AS height,
+             CASE WHEN badmagic THEN NULL ELSE CAST(24 AS INT) END AS bpp,
+             CASE WHEN badmagic THEN NULL ELSE CAST(topdown AS INT) END AS top_down,
+             CASE WHEN badmagic OR trunc THEN NULL ELSE CAST(list_sum(
+               list_transform(generate_series(0, w * hh - 1), p -> raster[3*p+3])) AS BIGINT) END AS r_sum,
+             CASE WHEN badmagic OR trunc THEN NULL ELSE CAST(list_sum(
+               list_transform(generate_series(0, w * hh - 1), p -> raster[3*p+2])) AS BIGINT) END AS g_sum,
+             CASE WHEN badmagic OR trunc THEN NULL ELSE CAST(list_sum(
+               list_transform(generate_series(0, w * hh - 1), p -> raster[3*p+1])) AS BIGINT) END AS b_sum,
+             CASE WHEN badmagic OR trunc THEN NULL ELSE CAST(list_min(raster) AS INT) END AS px_min,
+             CASE WHEN badmagic OR trunc THEN NULL ELSE CAST(list_max(raster) AS INT) END AS px_max,
+             CASE WHEN badmagic OR trunc THEN NULL ELSE CAST(list_sum(
+               list_transform(generate_series(1, w * 3), i -> raster[i])) AS BIGINT) END AS top_row_sum
+      FROM r ORDER BY doc_id""",
     "q_multimodal_sniff" -> """
       WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
       bt AS (SELECT doc_id, h, list_transform(generate_series(0, 15), i ->
@@ -487,6 +660,7 @@ object Multimodal {
                   WHEN substr(h, 1, 8) = '89504e47' THEN 'png'
                   WHEN substr(h, 1, 6) = '474946' THEN 'gif'
                   WHEN substr(h, 1, 8) = '52494646' THEN 'riff'
+                  WHEN substr(h, 1, 4) = '424d' THEN 'bmp'
                   ELSE 'unknown' END AS format,
              CAST(len(list_distinct(bytes)) AS INT) AS n_distinct,
              CAST(list_max(list_transform(list_distinct(bytes),

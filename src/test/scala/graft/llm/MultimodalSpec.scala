@@ -50,4 +50,79 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m.status == "ok")
     assert(m.r_sum.contains(0x0aL) && m.g_sum.contains(0x20L) && m.b_sum.contains(0x09L))
   }
+
+  /** Hand-built BMP: headers at spec offsets, caller controls the data
+    * offset (gap = palette-style bytes the walk must skip), the signed
+    * height, and the raw stored rows (already padded). */
+  private def bmp(w: Int, h: Int, dataOff: Int, bpp: Int,
+      stored: Array[Int], magic: String = "BM", comp: Int = 0): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = (0 to 3).foreach(s => out.write((v >> (8 * s)) & 255))
+    def w16(v: Int): Unit = (0 to 1).foreach(s => out.write((v >> (8 * s)) & 255))
+    out.write(magic(0)); out.write(magic(1))
+    w32(14 + 40 + stored.length); w16(0); w16(0); w32(dataOff)
+    w32(40); w32(w); w32(h); w16(1); w16(bpp); w32(comp)
+    w32(stored.length); w32(2835); w32(2835); w32(0); w32(0)
+    (0 until dataOff - 54).foreach(_ => out.write(0xee)) // palette gap
+    stored.foreach(out.write)
+    out.toByteArray
+  }
+
+  test("bottom-up BMP with padded rows: logical top row is the LAST stored row") {
+    // 2×2, stride 8 (2 pad bytes of 0xFF that must NOT enter stats).
+    // Stored first row = logical BOTTOM (b,g,r per pixel):
+    //   bottom: (1,2,3)(4,5,6) | top: (10,20,30)(40,50,60)
+    val stored = Array(1, 2, 3, 4, 5, 6, 255, 255,
+      10, 20, 30, 40, 50, 60, 255, 255)
+    val m = Multimodal.parseBmp(20L, bmp(2, 2, 54, 24, stored))
+    assert(m.status == "ok" && m.top_down.contains(0))
+    assert(m.width.contains(2) && m.height.contains(2))
+    assert(m.b_sum.contains(1L + 4 + 10 + 40) && m.g_sum.contains(2L + 5 + 20 + 50)
+      && m.r_sum.contains(3L + 6 + 30 + 60))
+    assert(m.top_row_sum.contains(10L + 20 + 30 + 40 + 50 + 60),
+      "top row must be the LAST stored row in a bottom-up BMP")
+    assert(m.px_min.contains(1) && m.px_max.contains(60),
+      "pad bytes (0xFF here) must never enter pixel stats")
+  }
+
+  test("negative height flips to top-down row order") {
+    val stored = Array(10, 20, 30, 0, // top row first when height < 0
+      1, 2, 3, 0)
+    val m = Multimodal.parseBmp(21L, bmp(1, -2, 54, 24, stored))
+    assert(m.status == "ok" && m.top_down.contains(1) && m.height.contains(2))
+    assert(m.top_row_sum.contains(10L + 20 + 30))
+  }
+
+  test("pixel offset field is honored: palette-style gap before the raster") {
+    val m = Multimodal.parseBmp(22L, bmp(1, 1, 54 + 12, 24, Array(7, 8, 9, 0)))
+    assert(m.status == "ok")
+    assert(m.b_sum.contains(7L) && m.g_sum.contains(8L) && m.r_sum.contains(9L))
+  }
+
+  test("BMP failure paths are rows, never throws") {
+    assert(Multimodal.parseBmp(23L, null).status == "bad_magic")
+    assert(Multimodal.parseBmp(24L, "BM".getBytes).status == "bad_header")
+    assert(Multimodal.parseBmp(25L,
+      bmp(1, 1, 54, 24, Array(1, 2, 3, 0), magic = "XM")).status == "bad_magic")
+    assert(Multimodal.parseBmp(26L, bmp(0, 1, 54, 24, Array())).status == "bad_header")
+    val u8 = Multimodal.parseBmp(27L, bmp(1, 1, 54, 8, Array(1, 2, 3, 0)))
+    assert(u8.status == "unsupported" && u8.bpp.contains(8) && u8.width.contains(1))
+    val rle = Multimodal.parseBmp(28L, bmp(1, 1, 54, 24, Array(1, 2, 3, 0), comp = 1))
+    assert(rle.status == "unsupported")
+    val tr = Multimodal.parseBmp(29L, bmp(2, 2, 54, 24, Array(1, 2, 3)))
+    assert(tr.status == "truncated" && tr.width.contains(2) && tr.r_sum.isEmpty)
+  }
+
+  test("synthesized BMP round-trips through the parser") {
+    // an all-arms-off hex (b13=0x01, b14=0x01, b15=0x01): parse must
+    // succeed and agree with the logical-position byte rule
+    val h = "000102030405060708090a0b0c010101"
+    val m = Multimodal.parseBmp(30L, Multimodal.bmpBytes(h))
+    assert(m.status == "ok")
+    // w = 1 + 0 % 4 = 1, ht = 1 + 1 % 4 = 2; logical bytes are
+    // b(i % 16) over i = 0..5 → rows (0,1,2) top, (3,4,5) bottom
+    assert(m.width.contains(1) && m.height.contains(2) && m.top_down.contains(0))
+    assert(m.top_row_sum.contains(0L + 1 + 2))
+    assert(m.b_sum.contains(0L + 3) && m.g_sum.contains(1L + 4) && m.r_sum.contains(2L + 5))
+  }
 }

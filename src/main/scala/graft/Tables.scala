@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loader for the driver-generated fixture schema
   * (TESTDATA.md / FIXTURES.md). */
@@ -14,14 +14,25 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events` carries parquet TIMESTAMP(NANOS), which Spark only reads
-    * as a long (`nanosAsLong`). Normalize to a microsecond timestamp —
-    * flooring, exactly what DuckDB does when it reads the same file —
-    * so event-time queries hash-match the oracle. */
+  /** Normalize `events.ts` to a session-zoned microsecond TIMESTAMP
+    * regardless of how the fixture generation wrote it. Two layouts
+    * exist in the wild: parquet TIMESTAMP(NANOS), which Spark only
+    * reads as a long (`nanosAsLong` — normalize by flooring to micros,
+    * exactly what DuckDB does on the same file), and plain
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false, which Spark 4 infers
+    * as TIMESTAMP_NTZ (cast to LTZ — identity under the UTC session
+    * timezone every entrypoint pins). Either way downstream event-time
+    * queries see one `ts` type and hash-match the oracle. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = apply(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 }
 

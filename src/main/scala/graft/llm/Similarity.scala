@@ -325,6 +325,63 @@ object Similarity {
         col("neighbor_id"), col("cosine"))
   }
 
+  /** k-NN GRAPH — EVERY corpus vector gets its top-k neighbors, the
+    * precursor artifact of the graph-based curation pipelines
+    * (SemDeDup-style pruning, connected components over near-dup
+    * edges, graph-diversity sampling) where the "query set" IS the
+    * corpus. The shape difference vs [[ivfTopFrom]] is structural: the
+    * query side can no longer broadcast (it is all N rows), so the
+    * candidate join becomes the SemDeDup self-join keyed on the
+    * trained cell — the PROBE side explodes each node into its
+    * nprobe = 2 nearest cells ([[ivfCellsFrom]]'s `cell`/`cell2`,
+    * deduped so a degenerate single-cell index contributes one probe),
+    * the corpus side stays home-cell, and every candidate edge arises
+    * exactly once per probe-set membership. Candidates are bounded by
+    * Σ_c |probe⁻¹(c)|·|c| ≤ nprobe·Σ|cell|² — never N². The
+    * `shuffle_hash` hint keeps the join a hash join keyed on the cell
+    * (a broadcast of either side would be a corpus broadcast; a
+    * nested loop would be the N² matrix the index exists to avoid).
+    * K = 4 cells is fixture-scaled: a real deployment trains
+    * K ∝ √N cells, so the cell-keyed join's parallelism grows with
+    * the corpus, and per-cell candidate blocks stay ~√N-sized. */
+  private def knnGraphFrom(cells: DataFrame, k: Int): DataFrame = {
+    val probes = cells.select(col("vec_id"),
+      explode(array_distinct(array(col("cell"), col("cell2")))).as("probe"),
+      col("q").as("qa"), col("norm").as("na"))
+    val corpus = cells.select(col("vec_id").as("neighbor_id"),
+      col("cell").as("ncell"), col("q").as("qb"), col("norm").as("nb"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probes.join(corpus.hint("shuffle_hash"),
+        col("probe") === col("ncell") && col("vec_id") =!= col("neighbor_id"))
+      .withColumn("dot", expr(Dedup.dotExpr))
+      .withColumn("cosine", Dedup.cosine())
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Brute-force top-k restricted to the deterministic 1-in-5 node
+    * sample (`vec_id % 5 = 0`) — the recall DENOMINATOR for the graph:
+    * at corpus scale the exact graph is unaffordable by definition, so
+    * graph recall is always ESTIMATED on a bounded node sample (the
+    * sample, not the corpus, broadcasts — [[bruteTop]]'s plan). */
+  private def bruteGraphSampled(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val qe = Dedup.quantized(s, dir)
+    val queriesDf = qe.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"), col("norm").as("na"))
+    val corpus = qe
+      .select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("norm").as("nb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    corpus.join(broadcast(queriesDf), col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", expr(Dedup.dotExpr))
+      .withColumn("cosine", Dedup.cosine())
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
   /** The composed production index — FAISS's IndexIVF+SQ8 shape,
     * oracle-gated end to end: candidates from the two nearest TRAINED
     * cells ([[ivfCells]], nprobe = 2), ranked by the ASYMMETRIC SQ8
@@ -890,6 +947,21 @@ object Similarity {
         ivfPqResTop(s, dir, qmax = 50, k = 3).select("query_id", "neighbor_id"),
         k = 3)),
 
+    // k-NN graph: every vector's top-3 neighbors, IVF-blocked
+    // (nprobe = 2) — the all-nodes generalization of q_knn_ivf_mp.
+    "q_knn_graph" -> ((s, dir) =>
+      knnGraphFrom(ivfCells(s, dir), k = 3).orderBy("vec_id", "rnk")),
+
+    // Graph recall@3, estimated on the deterministic 1-in-5 node
+    // sample against the brute-force graph rows for those nodes.
+    "q_knn_graph_recall" -> ((s, dir) =>
+      recallOf(
+        bruteGraphSampled(s, dir, k = 3),
+        knnGraphFrom(ivfCells(s, dir), k = 3)
+          .filter(col("vec_id") % 5 === 0)
+          .select(col("vec_id").as("query_id"), col("neighbor_id")),
+        k = 3)),
+
     // The q_knn_ivf_recall_grid pattern extended to the COMPRESSED
     // composed legs: aggregate recall@K at every (family, K, nprobe) ∈
     // {ivf_adc, ivf_pq} × {3,10} × {1,2} — the operating-point curves
@@ -981,6 +1053,8 @@ object Similarity {
     "q_knn_ivf_mp" -> ivfSql(multi = true),
     "q_knn_ivf_mp_recall" -> ivfRecallSql(multi = true),
     "q_knn_ivf_recall_grid" -> ivfRecallGridSql,
+    "q_knn_graph" -> knnGraphSql,
+    "q_knn_graph_recall" -> knnGraphRecallSql,
     "q_knn_ivf_adc" -> ("WITH " + Dedup.QE + "," + Clustering.assignCtes + "," +
       ivfCte + "," + sq8Cte + s""",
       d AS (SELECT a.vec_id AS query_id, a.cell, v.vec_id AS neighbor_id,
@@ -1494,6 +1568,53 @@ object Similarity {
              FROM cos)
       SELECT query_id, cell, rnk, neighbor_id, cosine FROM rk WHERE rnk <= 3
       ORDER BY query_id, rnk"""
+
+  /** DuckDB twin of the k-NN graph: [[ivfSql]]'s multiprobe pair join
+    * with the query-batch filter dropped — every node is a query. */
+  private lazy val knnGraphSql =
+    "WITH " + Dedup.QE + "," + Clustering.assignCtes + "," + ivfCte + s""",
+      pairs AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                  a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+                FROM ivcell a JOIN ivcell b
+                  ON b.cell IN (a.cell, a.cell2) AND a.vec_id <> b.vec_id),
+      cos AS (SELECT vec_id, neighbor_id,
+                round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+              FROM pairs),
+      rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rnk
+             FROM cos)
+      SELECT vec_id, rnk, neighbor_id, cosine FROM rk WHERE rnk <= 3
+      ORDER BY vec_id, rnk"""
+
+  /** Graph recall twin: brute and IVF graphs restricted to the same
+    * 1-in-5 node sample, per-node recall@3. */
+  private lazy val knnGraphRecallSql =
+    "WITH " + Dedup.QE + "," + Clustering.assignCtes + "," + ivfCte + s""",
+      bp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+             FROM qn a JOIN qn b ON a.vec_id % 5 = 0 AND a.vec_id <> b.vec_id),
+      bcos AS (SELECT query_id, neighbor_id,
+                 round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+               FROM bp),
+      brk AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM bcos),
+      brute AS (SELECT query_id, neighbor_id FROM brk WHERE rnk <= 3),
+      ap AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+             FROM ivcell a JOIN ivcell b
+               ON b.cell IN (a.cell, a.cell2) AND a.vec_id % 5 = 0 AND a.vec_id <> b.vec_id),
+      acos AS (SELECT query_id, neighbor_id,
+                 round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+               FROM ap),
+      ark AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM acos),
+      ivf AS (SELECT query_id, neighbor_id FROM ark WHERE rnk <= 3)
+      SELECT b.query_id,
+             round(CAST(count(a.neighbor_id) AS DOUBLE) / 3.0, 4) AS recall_at_3
+      FROM brute b LEFT JOIN ivf a
+        ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+      GROUP BY b.query_id ORDER BY b.query_id"""
 
   private def ivfRecallSql(multi: Boolean): String =
     "WITH " + Dedup.QE + "," + Clustering.assignCtes + "," + ivfCte + s""",

@@ -399,7 +399,136 @@ object TextAnalysis {
           Num.dsum(col("surp")).as("sum_surp"),
           Num.davg(col("surp")).as("avg_surp"))
         .orderBy("doc_id")
+    }),
+
+    // BPE merge training (Sennrich/Haddow/Birch, "Neural Machine
+    // Translation of Rare Words with Subword Units", ACL 2016) — the
+    // REAL iterative algorithm, not a pair-count approximation: 3
+    // merge rounds, each = (count adjacent symbol pairs weighted by
+    // word frequency) → (argmax pair, ties broken lexicographically)
+    // → (apply the merge to every word in one greedy leftmost
+    // non-overlapping pass — subword-nmt's regex-replace semantics).
+    // State between rounds is the exploded symbol table
+    // (word, freq, pos, symbol) over the DISTINCT-WORD dictionary:
+    // BPE never touches the corpus after the one scan that builds the
+    // dict, which is what makes it train on a 100 TB corpus — the
+    // dict is vocab-bounded, pair counting is a map-side-combinable
+    // aggregate, the argmax is a global top-1 (TakeOrdered on a
+    // vocab²-bounded frame), and the merge pass is per-word windows,
+    // ONE exchange per round (every window — lead, the run-origin
+    // max, lag, renumber — shares the (word, pos) key and order).
+    // The greedy pass is set-based, not sequential: a candidate
+    // position merges iff its offset from the last NON-candidate
+    // position before it is odd — within a run of consecutive
+    // candidates (only possible when left = right, e.g. 'aaaa') that
+    // selects the 1st, 3rd, … exactly as the leftmost-greedy scan
+    // does, and isolated candidates always merge. Output per round:
+    // the learned merge, its weighted pair count, and the surviving
+    // symbol-instance count — the curve a tokenizer build monitors.
+    "q_bpe_train" -> ((s, dir) => {
+      val wd = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy(col("word").as("w")).agg(count(lit(1)).as("f"))
+      var cur = wd.select(col("w"), col("f"),
+          explode(expr("sequence(1, length(w))")).as("i"))
+        .withColumn("s", expr("substring(w, i, 1)"))
+      val rows = (1 to 3).map { k =>
+        val (best, next) = bpeStep(cur)
+        cur = next
+        best.select(lit(k).as("step"), col("lft"), col("rgt"),
+            col("pair_cnt"))
+          .crossJoin(broadcast(next.agg(count(lit(1)).as("n_syms_after"))))
+      }
+      rows.reduce(_.unionByName(_)).orderBy("step")
+    }),
+
+    // Multinomial Naive Bayes language classifier, trained and applied
+    // in ONE plan — "model training as aggregation, inference as
+    // join", the in-engine supervised shape (a quality/language
+    // classifier is the standard gate in front of a training-data
+    // pipeline; CCNet trains fastText where this trains NB, but the
+    // dataflow is identical). Train split doc_id % 4 ≠ 0: the model is
+    // three aggregates — per-(class, word) Laplace counts (the
+    // vocab×classes-bounded CPT), per-class token totals, class
+    // priors. Inference: test tokens × the 5-row class frame (bounded
+    // broadcast), left-joined to the CPT via `shuffle_hash` — at
+    // 100 TB the CPT is GBs (vocab-bounded, corpus-independent), which
+    // is exactly the build side a hash join wants and a broadcast
+    // can't hold. Determinism: each token's log-likelihood rounds to
+    // 6 dp BEFORE the per-(doc, class) sum runs through
+    // DECIMAL(38,6) (Num's order-independent discipline), so the
+    // argmax — score DESC, class ASC — is cross-engine exact. On the
+    // synthetic fixtures the lang labels are near-independent of the
+    // shared vocabulary, so the posterior correctly collapses to the
+    // prior (mostly 'en') — the oracle pins the exact Bayes
+    // arithmetic; TextAnalysisSpec pins perfect separation on a
+    // corpus whose classes actually differ. */
+    "q_nb_classify" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 4 =!= 0)
+      val trTok = train
+        .select(col("lang").as("cl"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val cnt = trTok.groupBy(col("cl"), col("w")).agg(count(lit(1)).as("c"))
+      val tot = trTok.groupBy(col("cl")).agg(count(lit(1)).as("t"))
+      val voc = trTok.agg(countDistinct(col("w")).as("v"))
+      val classes = train.groupBy(col("lang").as("cl"))
+        .agg(count(lit(1)).as("dc"))
+        .crossJoin(broadcast(train.agg(count(lit(1)).as("dtot"))))
+        .join(tot, "cl").crossJoin(broadcast(voc))
+      val teTok = docs.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("cl").asc)
+      teTok.crossJoin(broadcast(classes))
+        .join(cnt.hint("shuffle_hash"), Seq("cl", "w"), "left")
+        .withColumn("term", round(
+          log((coalesce(col("c"), lit(0L)) + 1).cast("double")
+            / (col("t") + col("v")).cast("double")), 6))
+        .groupBy(col("doc_id"), col("lang"), col("cl"), col("dc"), col("dtot"))
+        .agg(expr("sum(cast(term as decimal(38,6)))").as("sterm"))
+        .withColumn("score", expr(
+          "cast(round(ln(cast(dc as double) / cast(dtot as double)), 6) " +
+            "as decimal(38,6)) + sterm"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("doc_id"), col("lang"), col("cl").as("pred"),
+          round(col("score"), 4).cast("double").as("score"))
+        .orderBy("doc_id")
     }))
+
+  /** One BPE round over the symbol table (w, f, i, s): returns the
+    * 1-row best-pair frame and the post-merge symbol table. The best
+    * pair re-enters the plan as a broadcast 1-row cross join (the
+    * aggregate-row pattern), never through the driver. */
+  private def bpeStep(syms: DataFrame): (DataFrame, DataFrame) = {
+    val byPos = Window.partitionBy(col("w")).orderBy(col("i"))
+    val run = byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val paired = syms.withColumn("r", lead(col("s"), 1).over(byPos))
+    val best = paired.filter(col("r").isNotNull)
+      .groupBy(col("s").as("lft"), col("r").as("rgt"))
+      .agg(sum(col("f")).as("pair_cnt"))
+      .orderBy(col("pair_cnt").desc, col("lft"), col("rgt"))
+      .limit(1)
+    val flagged = paired.crossJoin(broadcast(best))
+      .withColumn("cand", col("r").isNotNull &&
+        col("s") === col("lft") && col("r") === col("rgt"))
+      // Last non-candidate position at-or-before this row: the origin
+      // of the current candidate run. Greedy-leftmost = merge at odd
+      // offsets from it (runs longer than 1 only arise when lft = rgt).
+      .withColumn("last_nc", max(when(!col("cand"), col("i"))).over(run))
+      .withColumn("m", col("cand") &&
+        (col("i") - coalesce(col("last_nc"), lit(0))) % 2 === 1)
+      .withColumn("consumed", coalesce(lag(col("m"), 1).over(byPos), lit(false)))
+    val next = flagged.filter(!col("consumed"))
+      .withColumn("i2", row_number().over(byPos))
+      .select(col("w"), col("f"), col("i2").as("i"),
+        when(col("m"), concat(col("s"), col("r"))).otherwise(col("s")).as("s"))
+    (best, next)
+  }
 
   /** Distinct winnowing fingerprints for docs matching `docPred`
     * (pushed down to the parquet scan): md5 per 3-shingle, min per
@@ -613,7 +742,39 @@ object TextAnalysis {
         CAST(round(sum(CAST(surp AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_surp,
         CAST(round(CAST(sum(CAST(surp AS DECIMAL(38,6))) AS DOUBLE)
           / count(surp), 4) AS DOUBLE) AS avg_surp
-      FROM surp GROUP BY doc_id ORDER BY doc_id""")
+      FROM surp GROUP BY doc_id ORDER BY doc_id""",
+    "q_bpe_train" -> bpeSql,
+    "q_nb_classify" -> """
+      WITH tr AS (SELECT * FROM documents WHERE doc_id % 4 <> 0),
+      trt AS (SELECT cl, w FROM
+                (SELECT lang AS cl, unnest(string_split(text, ' ')) AS w
+                 FROM tr)
+              WHERE w <> ''),
+      cnt AS (SELECT cl, w, count(*) AS c FROM trt GROUP BY 1, 2),
+      tot AS (SELECT cl, count(*) AS t FROM trt GROUP BY 1),
+      voc AS (SELECT count(DISTINCT w) AS v FROM trt),
+      dt AS (SELECT count(*) AS dtot FROM tr),
+      cls AS (SELECT p.cl, p.dc, dtot, t, v
+              FROM (SELECT lang AS cl, count(*) AS dc FROM tr GROUP BY 1) p
+              JOIN tot USING (cl) CROSS JOIN dt CROSS JOIN voc),
+      tet AS (SELECT doc_id, lang, w FROM
+                (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+                 FROM documents WHERE doc_id % 4 = 0)
+              WHERE w <> ''),
+      sc AS (SELECT doc_id, lang, cls.cl, dc, dtot,
+               round(ln(CAST(coalesce(c, 0) + 1 AS DOUBLE)
+                 / CAST(t + v AS DOUBLE)), 6) AS term
+             FROM tet CROSS JOIN cls
+             LEFT JOIN cnt ON cnt.cl = cls.cl AND cnt.w = tet.w),
+      ag AS (SELECT doc_id, lang, cl,
+               CAST(round(ln(CAST(dc AS DOUBLE) / CAST(dtot AS DOUBLE)), 6)
+                 AS DECIMAL(38,6)) + sum(CAST(term AS DECIMAL(38,6))) AS score
+             FROM sc GROUP BY doc_id, lang, cl, dc, dtot),
+      rk AS (SELECT *, row_number() OVER
+               (PARTITION BY doc_id ORDER BY score DESC, cl ASC) AS rnk
+             FROM ag)
+      SELECT doc_id, lang, cl AS pred, CAST(round(score, 4) AS DOUBLE) AS score
+      FROM rk WHERE rnk = 1 ORDER BY doc_id""")
 
   /** Compression-ratio quality signal (the Gopher/CCNet-style filter:
     * highly repetitive text compresses too well, random noise barely
@@ -646,6 +807,56 @@ object TextAnalysis {
       }
       .toDF("doc_id", "n_bytes", "n_compressed", "ratio")
   }
+
+  /** DuckDB twin of one BPE round: CTE suffix `k` in, `s{k+1}` out —
+    * the same lead/argmax/run-origin/lag/renumber chain, windows
+    * keyed identically. */
+  private def bpeStepCtes(k: Int): String = s"""
+      p$k AS (SELECT w, f, i, s,
+                lead(s) OVER (PARTITION BY w ORDER BY i) AS r
+              FROM s$k),
+      b$k AS (SELECT s AS lft, r AS rgt, CAST(sum(f) AS BIGINT) AS pair_cnt
+              FROM p$k WHERE r IS NOT NULL GROUP BY s, r
+              ORDER BY pair_cnt DESC, lft, rgt LIMIT 1),
+      c$k AS (SELECT p.w, p.f, p.i, p.s, p.r,
+                (p.r IS NOT NULL AND p.s = b.lft AND p.r = b.rgt) AS cand
+              FROM p$k p CROSS JOIN b$k b),
+      g$k AS (SELECT *,
+                max(CASE WHEN NOT cand THEN i END)
+                  OVER (PARTITION BY w ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS last_nc
+              FROM c$k),
+      h$k AS (SELECT *,
+                cand AND (i - coalesce(last_nc, 0)) % 2 = 1 AS m
+              FROM g$k),
+      j$k AS (SELECT *,
+                coalesce(lag(m) OVER (PARTITION BY w ORDER BY i), false)
+                  AS consumed
+              FROM h$k),
+      s${k + 1} AS (SELECT w, f,
+                CAST(row_number() OVER (PARTITION BY w ORDER BY i) AS INT) AS i,
+                CASE WHEN m THEN s || r ELSE s END AS s
+              FROM j$k WHERE NOT consumed)"""
+
+  private lazy val bpeSql = s"""
+      WITH wd AS (SELECT word AS w, count(*) AS f FROM
+                    (SELECT unnest(string_split(text, ' ')) AS word
+                     FROM documents)
+                  WHERE regexp_full_match(word, '[a-z]+') GROUP BY word),
+      s1 AS (SELECT w, f, CAST(i AS INT) AS i, substr(w, CAST(i AS INT), 1) AS s
+             FROM wd, UNNEST(generate_series(1, len(w))) AS u(i)),
+      ${bpeStepCtes(1)}, ${bpeStepCtes(2)}, ${bpeStepCtes(3)}
+      SELECT * FROM (
+        SELECT 1 AS step, lft, rgt, pair_cnt,
+               (SELECT count(*) FROM s2) AS n_syms_after FROM b1
+        UNION ALL
+        SELECT 2, lft, rgt, pair_cnt,
+               (SELECT count(*) FROM s3) FROM b2
+        UNION ALL
+        SELECT 3, lft, rgt, pair_cnt,
+               (SELECT count(*) FROM s4) FROM b3)
+      ORDER BY step"""
 
   /** Winnowing-fingerprint CTE shared by the fingerprint oracles
     * (lazy: referenced by the `oracles` initializer above). */

@@ -320,6 +320,22 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("NestedLoop"), "screen fell back to a nested loop")
   }
 
+  test("q_knn_graph stays a cell-keyed hash join: no broadcast, no all-pairs") {
+    // The graph's query side IS the corpus, so the ivfTop rule
+    // (broadcast the bounded query batch) cannot apply: a broadcast of
+    // either side is a corpus broadcast, a nested loop is the N²
+    // matrix. The only legal shape is the SemDeDup one — a hash join
+    // keyed on the trained cell.
+    val p = plan("q_knn_graph")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "knn graph went all-pairs:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(p.contains("ShuffledHashJoin"),
+      "the cell-keyed candidate join must stay a shuffled hash join")
+    assert(!p.contains("BroadcastHashJoin"),
+      "neither graph side may broadcast — both are corpus-sized")
+  }
+
   test("q_dedup_semantic bounds candidates to the cell: keyed join, never all-pairs") {
     // SemDeDup's published scale property IS the cluster bound: the
     // pair join must stay keyed on the trained cell (Σ|cell|² pairs),

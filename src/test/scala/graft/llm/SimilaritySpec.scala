@@ -81,4 +81,30 @@ class SimilaritySpec extends SparkSuite {
     assert(rows.toSeq == rows.toSeq.sorted)
     assert(rows.length == rows.distinct.length)
   }
+
+  test("q_knn_graph generalizes q_knn_ivf_mp: same rows on the query batch") {
+    // The graph is "ivf_mp with every node as a query" — restricting
+    // it to ivf_mp's vec_id < 50 batch must reproduce ivf_mp's rows
+    // exactly (same index, same probes, same ranking). Pins the two
+    // plans to one semantic even as either is refactored.
+    val dir = "/root/testdata/sf0.001"
+    val g = Similarity.queries("q_knn_graph")(spark, dir)
+      .filter($"vec_id" < 50)
+      .select($"vec_id", $"rnk", $"neighbor_id", $"cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val mp = Similarity.queries("q_knn_ivf_mp")(spark, dir)
+      .select($"query_id", $"rnk", $"neighbor_id", $"cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(mp.nonEmpty)
+    assert(g == mp)
+  }
+
+  test("q_knn_graph covers every corpus node with exactly k rows (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val n = graft.Tables(spark, dir, "embeddings").count()
+    val perNode = Similarity.queries("q_knn_graph")(spark, dir)
+      .groupBy("vec_id").count().as[(Long, Long)].collect()
+    assert(perNode.length.toLong == n, "every node appears in the graph")
+    assert(perNode.forall(_._2 == 3L), "exactly k = 3 neighbors per node")
+  }
 }

@@ -51,4 +51,38 @@ class TextAnalysisSpec extends SparkSuite {
       .as[(Long, Int, Int)].collect().toSeq
     assert(chunks == Seq((10L, 0, 16), (10L, 1, 2)))
   }
+
+  test("q_bpe_train learns the hand-computed merges, greedy pass included") {
+    // Dict: aaaa (f=2), ab (f=1).
+    //  round 1: pairs (a,a)=3·2=6, (a,b)=1 → merge (a,a); greedy on
+    //    'aaaa' takes positions 1 and 3 → [aa, aa]; 4 symbols survive.
+    //  round 2: (aa,aa)=2, (a,b)=1 → merge (aa,aa) → [aaaa]; 3 left.
+    //  round 3: only (a,b)=1 → merge (a,b) → [ab]; 2 left.
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    Seq((1L, "aaaa aaaa ab"))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.queries("q_bpe_train")(spark, dir)
+      .as[(Int, String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, "a", "a", 6L, 4L),
+      (2, "aa", "aa", 2L, 3L),
+      (3, "a", "b", 1L, 2L)))
+  }
+
+  test("q_nb_classify separates a separable corpus perfectly") {
+    // Train (doc_id % 4 != 0): class x says only "aa", class y only
+    // "bb". Test (doc_id % 4 == 0): 4 is pure-x text, 8 pure-y.
+    val dir = java.nio.file.Files.createTempDirectory("nb").toString
+    Seq((1L, "aa aa aa", "x"), (2L, "aa aa", "x"),
+      (3L, "bb bb bb", "y"), (5L, "bb bb", "y"),
+      (4L, "aa aa aa aa", "x"), (8L, "bb", "y"))
+      .map { case (id, t, l) => (id, t, l, "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val preds = TextAnalysis.queries("q_nb_classify")(spark, dir)
+      .select("doc_id", "pred").as[(Long, String)].collect().toMap
+    assert(preds == Map(4L -> "x", 8L -> "y"))
+  }
 }

@@ -343,6 +343,40 @@ object ScaleProbe {
       qe.unpersist(false)
     }
 
+    // k-NN graph probe: N× the corpus through the cell-blocked
+    // all-nodes graph ([[graft.llm.Similarity.knnGraphFrom]]). With
+    // the cell count FIXED at K = 4 the candidate set is Σ|cell|² —
+    // quadratic in N — so this probe pins the documented LIMIT, not
+    // linearity: wall and candidate volume must grow ~mult² (probe
+    // side mult·N nodes × corpus side |cell| ∝ mult), which is
+    // exactly why a real deployment trains K ∝ √N cells (then
+    // per-cell blocks stay √N-sized and the graph build stays ~N^1.5
+    // total work spread over K-way parallelism). A flat-looking
+    // number here would mean the join stopped being cell-keyed.
+    if (want("graph"))
+    locally {
+      val qe = Dedup.quantized(spark, sfDir)
+        .select(col("vec_id"), col("q"), col("norm")).persist()
+      val nVec = qe.count()
+      val stride = qe.agg(max(col("vec_id"))).head().getLong(0) + 1L
+      def timedGraph(mult: Int): Unit = {
+        val scaled = qe
+          .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
+            col("vec_id"), col("q"), col("norm"))
+          .select((col("vec_id") + col("i") * lit(stride)).as("vec_id"),
+            col("q"), col("norm"))
+        val t0 = System.nanoTime()
+        val cells = graft.llm.Similarity.ivfCellsFrom(scaled)
+        val edges = graft.llm.Similarity.knnGraphFrom(cells, k = 3).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"graph_${mult}x","vectors":${nVec * mult},"edges":$edges,"sec":$dt%.2f}""")
+      }
+      timedGraph(1)
+      timedGraph(2)
+      timedGraph(4)
+      qe.unpersist(false)
+    }
+
     // Incremental-screen probe: a FIXED delta (the src1 shard) against
     // an N×-replicated standing corpus. Two timings per N: building
     // the corpus indexes (exact hash set + banding table — linear in

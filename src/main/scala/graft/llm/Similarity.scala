@@ -344,7 +344,7 @@ object Similarity {
     * K = 4 cells is fixture-scaled: a real deployment trains
     * K ∝ √N cells, so the cell-keyed join's parallelism grows with
     * the corpus, and per-cell candidate blocks stay ~√N-sized. */
-  private def knnGraphFrom(cells: DataFrame, k: Int): DataFrame = {
+  private[graft] def knnGraphFrom(cells: DataFrame, k: Int): DataFrame = {
     val probes = cells.select(col("vec_id"),
       explode(array_distinct(array(col("cell"), col("cell2")))).as("probe"),
       col("q").as("qa"), col("norm").as("na"))

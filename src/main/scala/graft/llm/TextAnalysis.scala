@@ -426,13 +426,7 @@ object TextAnalysis {
     // the learned merge, its weighted pair count, and the surviving
     // symbol-instance count — the curve a tokenizer build monitors.
     "q_bpe_train" -> ((s, dir) => {
-      val wd = Tables(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("word"))
-        .filter(col("word").rlike("^[a-z]+$"))
-        .groupBy(col("word").as("w")).agg(count(lit(1)).as("f"))
-      var cur = wd.select(col("w"), col("f"),
-          explode(expr("sequence(1, length(w))")).as("i"))
-        .withColumn("s", expr("substring(w, i, 1)"))
+      var cur = bpeSymbols(s, dir)
       val rows = (1 to 3).map { k =>
         val (best, next) = bpeStep(cur)
         cur = next
@@ -441,6 +435,31 @@ object TextAnalysis {
           .crossJoin(broadcast(next.agg(count(lit(1)).as("n_syms_after"))))
       }
       rows.reduce(_.unionByName(_)).orderBy("step")
+    }),
+
+    // The trained tokenizer APPLIED — train→apply closing the loop:
+    // the 3-round merge chain runs on the dictionary exactly as in
+    // q_bpe_train, the final symbol table collapses to a per-word
+    // unit count (the stored tokenizer artifact — vocab-bounded), and
+    // the corpus tokenizes by joining its words against it via
+    // `shuffle_hash` (at 100 TB the segmentation table is GBs — hash
+    // join build side, not a broadcast; the corpus never re-runs the
+    // merge logic). Output is the per-doc token-budget row a pipeline
+    // actually consumes: word count, BPE unit count, units/word.
+    "q_bpe_tokenize" -> ((s, dir) => {
+      var cur = bpeSymbols(s, dir)
+      (1 to 3).foreach { _ => cur = bpeStep(cur)._2 }
+      val seg = cur.groupBy(col("w")).agg(count(lit(1)).as("n_units"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+        .join(seg.hint("shuffle_hash"), "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_units")).as("n_bpe_units"),
+          round(sum(col("n_units")).cast("double") / count(lit(1)), 4)
+            .cast("double").as("units_per_word"))
+        .orderBy("doc_id")
     }),
 
     // Multinomial Naive Bayes language classifier, trained and applied
@@ -499,6 +518,18 @@ object TextAnalysis {
           round(col("score"), 4).cast("double").as("score"))
         .orderBy("doc_id")
     }))
+
+  /** The round-0 BPE symbol table: the distinct-word dictionary of
+    * the lowercase-alpha corpus words, exploded to one row per
+    * (word, freq, position, single-char symbol). */
+  private def bpeSymbols(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("word").as("w")).agg(count(lit(1)).as("f"))
+      .select(col("w"), col("f"),
+        explode(expr("sequence(1, length(w))")).as("i"))
+      .withColumn("s", expr("substring(w, i, 1)"))
 
   /** One BPE round over the symbol table (w, f, i, s): returns the
     * 1-row best-pair frame and the post-merge symbol table. The best
@@ -744,6 +775,18 @@ object TextAnalysis {
           / count(surp), 4) AS DOUBLE) AS avg_surp
       FROM surp GROUP BY doc_id ORDER BY doc_id""",
     "q_bpe_train" -> bpeSql,
+    "q_bpe_tokenize" -> (bpeCtes + """,
+      seg AS (SELECT w, count(*) AS n_units FROM s4 GROUP BY w),
+      dtok AS (SELECT doc_id, w FROM
+                 (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+               WHERE regexp_full_match(w, '[a-z]+'))
+      SELECT doc_id, count(*) AS n_words,
+             CAST(sum(n_units) AS BIGINT) AS n_bpe_units,
+             CAST(round(CAST(sum(n_units) AS DOUBLE) / count(*), 4)
+               AS DOUBLE) AS units_per_word
+      FROM dtok JOIN seg USING (w)
+      GROUP BY doc_id ORDER BY doc_id"""),
     "q_nb_classify" -> """
       WITH tr AS (SELECT * FROM documents WHERE doc_id % 4 <> 0),
       trt AS (SELECT cl, w FROM
@@ -839,14 +882,18 @@ object TextAnalysis {
                 CASE WHEN m THEN s || r ELSE s END AS s
               FROM j$k WHERE NOT consumed)"""
 
-  private lazy val bpeSql = s"""
+  /** Shared CTE prefix: dictionary, round-0 symbols, and the three
+    * chained merge rounds ending in `s4` — the trained tokenizer. */
+  private lazy val bpeCtes = s"""
       WITH wd AS (SELECT word AS w, count(*) AS f FROM
                     (SELECT unnest(string_split(text, ' ')) AS word
                      FROM documents)
                   WHERE regexp_full_match(word, '[a-z]+') GROUP BY word),
       s1 AS (SELECT w, f, CAST(i AS INT) AS i, substr(w, CAST(i AS INT), 1) AS s
              FROM wd, UNNEST(generate_series(1, len(w))) AS u(i)),
-      ${bpeStepCtes(1)}, ${bpeStepCtes(2)}, ${bpeStepCtes(3)}
+      ${bpeStepCtes(1)}, ${bpeStepCtes(2)}, ${bpeStepCtes(3)}"""
+
+  private lazy val bpeSql = bpeCtes + s"""
       SELECT * FROM (
         SELECT 1 AS step, lft, rgt, pair_cnt,
                (SELECT count(*) FROM s2) AS n_syms_after FROM b1

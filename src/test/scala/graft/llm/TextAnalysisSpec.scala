@@ -71,6 +71,19 @@ class TextAnalysisSpec extends SparkSuite {
       (3, "a", "b", 1L, 2L)))
   }
 
+  test("q_bpe_tokenize applies the trained merges: hand corpus collapses to 1 unit/word") {
+    // After the three merges of the q_bpe_train test both dict words
+    // segment to a single unit, so every doc word costs exactly 1.
+    val dir = java.nio.file.Files.createTempDirectory("bpet").toString
+    Seq((1L, "aaaa aaaa ab"))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.queries("q_bpe_tokenize")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 3L, 3L, 1.0)))
+  }
+
   test("q_nb_classify separates a separable corpus perfectly") {
     // Train (doc_id % 4 != 0): class x says only "aa", class y only
     // "bb". Test (doc_id % 4 == 0): 4 is pure-x text, 8 pure-y.

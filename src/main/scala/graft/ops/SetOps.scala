@@ -91,6 +91,51 @@ object SetOps {
         .orderBy("source")
     }),
 
+    // TEMPERATURE mixing — q_sample_weighted with the rates LEARNED
+    // from the data instead of hard-coded: w_s = n_s^α (α = 0.5, the
+    // published multilingual/data-mixing temperature knob — raising
+    // low-resource sources, flattening the head), p_s = w_s / Σw,
+    // quota = p_s · B for a budget of half the corpus, per-source keep
+    // rate = min(1, quota/n_s). Membership stays the deterministic
+    // hash threshold, but against a COMPUTED bound: the rate (exact
+    // DECIMAL(38,6) after one rounded IEEE division each step — Σw is
+    // an order-independent decimal sum, never a float accumulation)
+    // scales to a 32-bit integer threshold rendered as 8 lowercase
+    // hex chars, compared lexicographically against the doc's first 8
+    // md5 chars — fixed-width lowercase hex is order-isomorphic to
+    // the numeric value (the LSH signature lesson), so no hex→int
+    // conversion on the corpus side. Plan: two bounded aggregates
+    // (sources × counts), the 20-row rate frame broadcast onto one
+    // corpus scan — at 100 TB this is a scan plus dimension joins.
+    "q_mix_temperature" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val src = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .withColumn("wgt",
+          expr("cast(round(sqrt(cast(n as double)), 6) as decimal(38,6))"))
+      val tot = src.agg(expr("sum(wgt)").as("wtot"),
+        sum(col("n")).as("ntot"))
+      val rates = src.crossJoin(broadcast(tot))
+        .withColumn("p_mix", expr(
+          "cast(round(cast(wgt as double) / cast(wtot as double), 6) as decimal(38,6))"))
+        .withColumn("quota", expr("p_mix * (ntot div 2)"))
+        .withColumn("rate", expr(
+          "cast(round(least(cast(1.0 as double), cast(quota as double) / cast(n as double)), 6) as decimal(38,6))"))
+        .withColumn("thr_hex", expr(
+          "lower(lpad(hex(cast(floor(rate * 4294967296) as bigint)), 8, '0'))"))
+      val kept = docs
+        .join(broadcast(rates.select(col("source"), col("rate"), col("thr_hex"))),
+          "source")
+        .filter(expr(
+          "rate >= 1.0 or substring(md5(cast(doc_id as string)), 1, 8) < thr_hex"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      rates.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n").as("n_docs"),
+          col("p_mix").cast("double").as("p_mix"),
+          col("rate").cast("double").as("rate"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("source")
+    }),
+
     // Stratified sample: a fixed quota per stratum (20 docs per lang),
     // chosen by content-hash rank — the data-mixing primitive of a
     // training pipeline (per-language/source quotas), deterministic
@@ -163,6 +208,37 @@ object SetOps {
                 ELSE '40' END)
           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       FROM documents GROUP BY source ORDER BY source""",
+    "q_mix_temperature" -> """
+      WITH src AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+      sw AS (SELECT source, n,
+               CAST(round(sqrt(CAST(n AS DOUBLE)), 6) AS DECIMAL(38,6)) AS wgt
+             FROM src),
+      tot AS (SELECT CAST(sum(wgt) AS DECIMAL(38,6)) AS wtot,
+                CAST(sum(n) AS BIGINT) AS ntot
+              FROM sw),
+      rates AS (SELECT source, n,
+          CAST(round(CAST(wgt AS DOUBLE) / CAST(wtot AS DOUBLE), 6)
+            AS DECIMAL(38,6)) AS p_mix,
+          CAST(round(least(1.0,
+              CAST(CAST(round(CAST(wgt AS DOUBLE) / CAST(wtot AS DOUBLE), 6)
+                     AS DECIMAL(38,6)) * (ntot // 2) AS DOUBLE)
+              / CAST(n AS DOUBLE)), 6) AS DECIMAL(38,6)) AS rate
+        FROM sw CROSS JOIN tot),
+      thr AS (SELECT *,
+                lower(lpad(to_hex(CAST(floor(rate * 4294967296) AS BIGINT)),
+                  8, '0')) AS thr_hex
+              FROM rates),
+      kept AS (SELECT d.source, count(*) AS n_kept
+               FROM documents d JOIN thr t ON d.source = t.source
+               WHERE t.rate >= 1.0
+                  OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr_hex
+               GROUP BY d.source)
+      SELECT t.source, t.n AS n_docs,
+             CAST(t.p_mix AS DOUBLE) AS p_mix,
+             CAST(t.rate AS DOUBLE) AS rate,
+             coalesce(k.n_kept, 0) AS n_kept
+      FROM thr t LEFT JOIN kept k ON t.source = k.source
+      ORDER BY t.source""",
     "q_sample_stratified" -> """
       WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hk
                  FROM documents),

@@ -42,6 +42,16 @@ case class BmpMeta(doc_id: Long, status: String,
     b_sum: Option[Long], px_min: Option[Int], px_max: Option[Int],
     top_row_sum: Option[Long])
 
+/** Typed output of the REAL QOI decode (the first COMPRESSED format
+  * in the decode family): parse status, header dims, exact per-channel
+  * sums over the decoded pixels, and the count of run-emitted pixels —
+  * the decoder-path evidence that run-length chunks were actually
+  * taken, observable in the hash gate. */
+case class QoiMeta(doc_id: Long, status: String,
+    width: Option[Int], height: Option[Int],
+    r_sum: Option[Long], g_sum: Option[Long], b_sum: Option[Long],
+    px_min: Option[Int], px_max: Option[Int], n_run_px: Option[Long])
+
 /** Multimodal-column plumbing: media as opaque `binary` columns with
   * typed, schema'd metadata extraction (north-star extension — the
   * reference has nothing beyond strings).
@@ -380,6 +390,179 @@ object Multimodal {
     }
   }
 
+  /** Synthesize a REAL QOI image (qoiformat.org spec — public domain)
+    * from a doc's md5 hex: a genuine 14-byte big-endian header and a
+    * genuinely COMPRESSED chunk stream produced by a from-scratch
+    * spec-faithful encoder (run-length with the prev-pixel rule,
+    * 64-entry color index with the r·3+g·5+b·7+a·11 hash, 2-bit DIFF
+    * and LUMA deltas with mod-256 wraparound, RGB literals, 8-byte end
+    * marker). The LOGICAL pixels are a pure function of the md5 bytes
+    * — color blocks of 3 pixels cycling (c0, c0+1, c0, c3) — chosen so
+    * every op class the encoder can emit actually occurs: intra-block
+    * repeats take RUN, the +1 block takes DIFF, c0's return takes
+    * INDEX, c3 takes RGB. The oracle recomputes the stats from that
+    * pure function and never sees the compressed bytes, so ANY
+    * encoder/decoder disagreement — a wrong index hash, an unbiased
+    * delta, a run miscount — breaks the hash gate. Arms: corrupted
+    * magic (~6%), channels = 4 header (unsupported, ~12.5%), stream
+    * truncated one byte + end marker dropped (~12.5%). */
+  private[llm] def qoiBytes(h: String): Array[Byte] = {
+    val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
+    val badMagic = b(12) % 16 == 0
+    val badChan = b(14) % 8 == 0
+    val trunc = b(15) % 8 == 1
+    val w = 1 + b(0) % 4
+    val ht = 1 + b(1) % 3
+    val n = w * ht
+    def blockColor(bi: Int): (Int, Int, Int) = (bi % 4) match {
+      case 0 => (b(2), b(3), b(4))
+      case 1 => ((b(2) + 1) % 256, (b(3) + 1) % 256, (b(4) + 1) % 256)
+      case 2 => (b(2), b(3), b(4))
+      case _ => (b(5), b(6), b(7))
+    }
+    val out = new java.io.ByteArrayOutputStream(96)
+    def w32be(v: Int): Unit = { out.write((v >>> 24) & 255)
+      out.write((v >>> 16) & 255); out.write((v >>> 8) & 255)
+      out.write(v & 255) }
+    out.write(if (badMagic) 'x' else 'q')
+    out.write('o'); out.write('i'); out.write('f')
+    w32be(w); w32be(ht)
+    out.write(if (badChan) 4 else 3); out.write(0)
+    val header = out.size()
+    var pr = 0; var pg = 0; var pb = 0 // spec initial prev (a = 255)
+    val idx = Array.fill(64 * 3)(-1)
+    var run = 0
+    def flushRun(): Unit = if (run > 0) { out.write(0xC0 | (run - 1)); run = 0 }
+    def sd(x: Int): Int = { val v = x & 0xff; if (v > 127) v - 256 else v }
+    var i = 0
+    while (i < n) {
+      val (r, g, bl) = blockColor(i / 3)
+      if (r == pr && g == pg && bl == pb) {
+        run += 1
+        if (run == 62) flushRun()
+      } else {
+        flushRun()
+        val hi = (r * 3 + g * 5 + bl * 7 + 255 * 11) % 64
+        if (idx(hi * 3) == r && idx(hi * 3 + 1) == g && idx(hi * 3 + 2) == bl)
+          out.write(hi) // QOI_OP_INDEX
+        else {
+          idx(hi * 3) = r; idx(hi * 3 + 1) = g; idx(hi * 3 + 2) = bl
+          val (dr, dg, db) = (sd(r - pr), sd(g - pg), sd(bl - pb))
+          if (dr >= -2 && dr <= 1 && dg >= -2 && dg <= 1 && db >= -2 && db <= 1)
+            out.write(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+          else if (dg >= -32 && dg <= 31 &&
+              dr - dg >= -8 && dr - dg <= 7 && db - dg >= -8 && db - dg <= 7) {
+            out.write(0x80 | (dg + 32))
+            out.write(((dr - dg + 8) << 4) | (db - dg + 8))
+          } else {
+            out.write(0xFE); out.write(r); out.write(g); out.write(bl)
+          }
+        }
+        pr = r; pg = g; pb = bl
+      }
+      i += 1
+    }
+    flushRun()
+    val full = out.toByteArray
+    if (trunc) full.take(math.max(header, full.length - 1))
+    else {
+      (0 until 7).foreach(_ => out.write(0)); out.write(1)
+      out.toByteArray
+    }
+  }
+
+  /** REAL from-scratch QOI decoder — the fourth honest decode path and
+    * the first over a genuinely COMPRESSED stream: magic + big-endian
+    * header, then the op walk (RGB/RGBA literals, INDEX with the spec
+    * hash table, DIFF/LUMA with biased wraparound deltas, RUN
+    * expansion), every read bounds-checked, the pixel count capped by
+    * the declared dims, and the 8-byte end marker required. Exact
+    * integer stats over the DECODED pixels; `n_run_px` counts pixels
+    * materialized by RUN chunks — evidence in the hash gate that the
+    * compressed path, not a literal path, produced the image.
+    * Malformed input degrades to a status ROW (`bad_magic`,
+    * `bad_header`, `unsupported`, `truncated`), never a throw — the
+    * property that keeps a 100 TB decode stage alive. */
+  private[llm] def parseQoi(id: Long, p: Array[Byte]): QoiMeta = {
+    val none = QoiMeta(id, "bad_magic", None, None, None, None, None,
+      None, None, None)
+    if (p == null || p.length < 4 || p(0) != 'q' || p(1) != 'o' ||
+      p(2) != 'i' || p(3) != 'f') return none
+    if (p.length < 14) return none.copy(status = "bad_header")
+    def u32be(i: Int): Long = ((p(i) & 0xffL) << 24) | ((p(i + 1) & 0xffL) << 16) |
+      ((p(i + 2) & 0xffL) << 8) | (p(i + 3) & 0xffL)
+    val w = u32be(4); val ht = u32be(8)
+    val ch = p(12) & 0xff; val cs = p(13) & 0xff
+    if (w <= 0 || ht <= 0 || w > (1 << 16) || ht > (1 << 16))
+      return none.copy(status = "bad_header")
+    val meta = none.copy(width = Some(w.toInt), height = Some(ht.toInt))
+    if (ch != 3 || cs > 1) return meta.copy(status = "unsupported")
+    val n = (w * ht).toInt
+    val idx = new Array[Int](64 * 4)
+    var pr = 0; var pg = 0; var pb = 0; var pa = 255
+    var rs = 0L; var gs = 0L; var bs = 0L; var nRun = 0L
+    var mn = 255; var mx = 0
+    var produced = 0
+    var off = 14
+    def emit(k: Int): Unit = {
+      rs += pr.toLong * k; gs += pg.toLong * k; bs += pb.toLong * k
+      mn = math.min(mn, math.min(pr, math.min(pg, pb)))
+      mx = math.max(mx, math.max(pr, math.max(pg, pb)))
+      val hi = (pr * 3 + pg * 5 + pb * 7 + pa * 11) % 64
+      idx(hi * 4) = pr; idx(hi * 4 + 1) = pg; idx(hi * 4 + 2) = pb
+      idx(hi * 4 + 3) = pa
+      produced += k
+    }
+    while (produced < n) {
+      if (off >= p.length) return meta.copy(status = "truncated")
+      val op = p(off) & 0xff; off += 1
+      if (op == 0xFE) { // RGB literal
+        if (off + 3 > p.length) return meta.copy(status = "truncated")
+        pr = p(off) & 0xff; pg = p(off + 1) & 0xff; pb = p(off + 2) & 0xff
+        off += 3; emit(1)
+      } else if (op == 0xFF) { // RGBA literal (spec-complete)
+        if (off + 4 > p.length) return meta.copy(status = "truncated")
+        pr = p(off) & 0xff; pg = p(off + 1) & 0xff; pb = p(off + 2) & 0xff
+        pa = p(off + 3) & 0xff; off += 4; emit(1)
+      } else (op >> 6) match {
+        case 0 => // INDEX
+          pr = idx(op * 4); pg = idx(op * 4 + 1); pb = idx(op * 4 + 2)
+          pa = idx(op * 4 + 3); emit(1)
+        case 1 => // DIFF
+          pr = (pr + ((op >> 4) & 3) - 2) & 0xff
+          pg = (pg + ((op >> 2) & 3) - 2) & 0xff
+          pb = (pb + (op & 3) - 2) & 0xff
+          emit(1)
+        case 2 => // LUMA
+          if (off >= p.length) return meta.copy(status = "truncated")
+          val dg = (op & 0x3f) - 32
+          val b2 = p(off) & 0xff; off += 1
+          pr = (pr + dg + ((b2 >> 4) & 15) - 8) & 0xff
+          pg = (pg + dg) & 0xff
+          pb = (pb + dg + (b2 & 15) - 8) & 0xff
+          emit(1)
+        case _ => // RUN
+          val k = (op & 0x3f) + 1
+          if (produced + k > n) return meta.copy(status = "truncated")
+          nRun += k; emit(k)
+      }
+    }
+    // spec trailer: exactly 7 zero bytes then 0x01
+    if (p.length - off != 8 || (0 until 7).exists(j => p(off + j) != 0) ||
+      p(off + 7) != 1) return meta.copy(status = "truncated")
+    meta.copy(status = "ok", r_sum = Some(rs), g_sum = Some(gs),
+      b_sum = Some(bs), px_min = Some(mn), px_max = Some(mx),
+      n_run_px = Some(nRun))
+  }
+
+  def decodeQoi(ds: Dataset[BinaryDoc]): Dataset[QoiMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      // per-partition decode-buffer allocation would go here
+      rows.map(d => parseQoi(d.doc_id, d.payload))
+    }
+  }
+
   /** STUB decoder — stands in for image decode + feature extraction.
     * Deterministic: width/height/channels from the first 3 bytes, mean
     * intensity over the first 4 (exact: quarters are binary-exact
@@ -490,6 +673,26 @@ object Multimodal {
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, h) => BinaryDoc(id, bmpBytes(h)) })
       decodeBmp(payloads).toDF().orderBy("doc_id")
+    }),
+
+    // The fourth REAL decode path and the first over a COMPRESSED
+    // stream (QOI needs no codec library, but its stream is genuinely
+    // entropy-reduced): synthesized QOI files — big-endian header +
+    // run/index/diff/luma/literal chunks from the from-scratch
+    // spec-faithful encoder — decoded by [[parseQoi]]. The oracle
+    // recomputes expected stats from the md5-keyed LOGICAL pixels and
+    // never sees the compressed bytes: the hash gate therefore proves
+    // the encoder→decoder round trip bit-exact, including the run
+    // accounting (`n_run_px` is recomputed as the equal-to-previous
+    // pixel count, which the prev-pixel rule makes identical to the
+    // decoder's RUN-emitted tally).
+    "q_multimodal_decode_qoi" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Tables(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, h) => BinaryDoc(id, qoiBytes(h)) })
+      decodeQoi(payloads).toDF().orderBy("doc_id")
     }),
 
     // Format sniffing + byte-level QA stats — the one multimodal stage
@@ -649,6 +852,51 @@ object Multimodal {
              CASE WHEN badmagic OR trunc THEN NULL ELSE CAST(list_sum(
                list_transform(generate_series(1, w * 3), i -> raster[i])) AS BIGINT) END AS top_row_sum
       FROM r ORDER BY doc_id""",
+    "q_multimodal_decode_qoi" -> s"""
+      WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+      b AS (SELECT doc_id, ${byteAt(0)} AS b0, ${byteAt(1)} AS b1,
+               ${byteAt(2)} AS b2, ${byteAt(3)} AS b3, ${byteAt(4)} AS b4,
+               ${byteAt(5)} AS b5, ${byteAt(6)} AS b6, ${byteAt(7)} AS b7,
+               ${byteAt(12)} AS b12, ${byteAt(14)} AS b14, ${byteAt(15)} AS b15
+            FROM hx),
+      d AS (SELECT *, b12 % 16 = 0 AS badmagic, b14 % 8 = 0 AS badchan,
+               b15 % 8 = 1 AS trunc, 1 + b0 % 4 AS w, 1 + b1 % 3 AS hh
+            FROM b),
+      px AS (SELECT doc_id, i,
+               CASE (i // 3) % 4 WHEN 0 THEN b2 WHEN 1 THEN (b2 + 1) % 256
+                    WHEN 2 THEN b2 ELSE b5 END AS r,
+               CASE (i // 3) % 4 WHEN 0 THEN b3 WHEN 1 THEN (b3 + 1) % 256
+                    WHEN 2 THEN b3 ELSE b6 END AS g,
+               CASE (i // 3) % 4 WHEN 0 THEN b4 WHEN 1 THEN (b4 + 1) % 256
+                    WHEN 2 THEN b4 ELSE b7 END AS bb
+             FROM d, UNNEST(generate_series(0, w * hh - 1)) AS u(i)),
+      pr AS (SELECT doc_id, r, g, bb,
+               coalesce(lag(r) OVER (PARTITION BY doc_id ORDER BY i), 0) AS lr,
+               coalesce(lag(g) OVER (PARTITION BY doc_id ORDER BY i), 0) AS lg,
+               coalesce(lag(bb) OVER (PARTITION BY doc_id ORDER BY i), 0) AS lb
+             FROM px),
+      st AS (SELECT doc_id, CAST(sum(r) AS BIGINT) AS r_sum,
+               CAST(sum(g) AS BIGINT) AS g_sum,
+               CAST(sum(bb) AS BIGINT) AS b_sum,
+               CAST(least(min(r), min(g), min(bb)) AS INT) AS px_min,
+               CAST(greatest(max(r), max(g), max(bb)) AS INT) AS px_max,
+               CAST(sum(CASE WHEN r = lr AND g = lg AND bb = lb
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_run_px
+             FROM pr GROUP BY doc_id)
+      SELECT d.doc_id,
+             CASE WHEN badmagic THEN 'bad_magic'
+                  WHEN badchan THEN 'unsupported'
+                  WHEN trunc THEN 'truncated' ELSE 'ok' END AS status,
+             CASE WHEN badmagic THEN NULL ELSE CAST(w AS INT) END AS width,
+             CASE WHEN badmagic THEN NULL ELSE CAST(hh AS INT) END AS height,
+             CASE WHEN badmagic OR badchan OR trunc THEN NULL ELSE r_sum END AS r_sum,
+             CASE WHEN badmagic OR badchan OR trunc THEN NULL ELSE g_sum END AS g_sum,
+             CASE WHEN badmagic OR badchan OR trunc THEN NULL ELSE b_sum END AS b_sum,
+             CASE WHEN badmagic OR badchan OR trunc THEN NULL ELSE px_min END AS px_min,
+             CASE WHEN badmagic OR badchan OR trunc THEN NULL ELSE px_max END AS px_max,
+             CASE WHEN badmagic OR badchan OR trunc THEN NULL ELSE n_run_px END AS n_run_px
+      FROM d JOIN st ON d.doc_id = st.doc_id
+      ORDER BY d.doc_id""",
     "q_multimodal_sniff" -> """
       WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
       bt AS (SELECT doc_id, h, list_transform(generate_series(0, 15), i ->

@@ -125,4 +125,75 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m.top_row_sum.contains(0L + 1 + 2))
     assert(m.b_sum.contains(0L + 3) && m.g_sum.contains(1L + 4) && m.r_sum.contains(2L + 5))
   }
+
+  // ---- QOI (the compressed-format decoder) ----
+
+  private def qoi(w: Int, h: Int, chunks: Array[Int],
+      marker: Boolean = true, channels: Int = 3): Array[Byte] = {
+    val hdr = Array[Int]('q', 'o', 'i', 'f',
+      w >>> 24, (w >>> 16) & 255, (w >>> 8) & 255, w & 255,
+      h >>> 24, (h >>> 16) & 255, (h >>> 8) & 255, h & 255,
+      channels, 0)
+    val tail = if (marker) Array(0, 0, 0, 0, 0, 0, 0, 1) else Array[Int]()
+    (hdr ++ chunks ++ tail).map(_.toByte)
+  }
+
+  test("hand-built QOI stream: RGB literal, RUN, DIFF, INDEX all decode") {
+    // px0 RGB(10,20,30); px1 RUN×1 (repeat); px2 DIFF(+1,+1,+1) →
+    // (11,21,31); px3 INDEX → (10,20,30) at spec-hash slot
+    // (10·3+20·5+30·7+255·11) % 64 = 9.
+    val m = Multimodal.parseQoi(40L, qoi(4, 1,
+      Array(0xFE, 10, 20, 30, 0xC0, 0x7F, 0x09)))
+    assert(m.status == "ok")
+    assert(m.r_sum.contains(10L + 10 + 11 + 10))
+    assert(m.g_sum.contains(20L + 20 + 21 + 20))
+    assert(m.b_sum.contains(30L + 30 + 31 + 30))
+    assert(m.px_min.contains(10) && m.px_max.contains(31))
+    assert(m.n_run_px.contains(1L))
+  }
+
+  test("hand-built QOI stream: LUMA deltas and DIFF wraparound") {
+    // px0 LUMA from initial prev (0,0,0): dg=+10, dr−dg=+2, db−dg=−3
+    // → (12,10,7); px1 DIFF all −2 wraps to (10,8,5).
+    val m = Multimodal.parseQoi(41L, qoi(2, 1, Array(0xAA, 0xA5, 0x40)))
+    assert(m.status == "ok")
+    assert(m.r_sum.contains(12L + 10) && m.g_sum.contains(10L + 8)
+      && m.b_sum.contains(7L + 5))
+    assert(m.n_run_px.contains(0L))
+    // pure wraparound: DIFF −2 from (0,0,0) → (254,254,254)
+    val w = Multimodal.parseQoi(42L, qoi(1, 1, Array(0x40)))
+    assert(w.status == "ok" && w.r_sum.contains(254L) && w.px_min.contains(254))
+  }
+
+  test("QOI failure paths are rows, never throws") {
+    assert(Multimodal.parseQoi(43L, null).status == "bad_magic")
+    assert(Multimodal.parseQoi(44L, "qoif".getBytes).status == "bad_header")
+    assert(Multimodal.parseQoi(45L,
+      qoi(1, 1, Array(0x40), channels = 4)).status == "unsupported")
+    // stream ends before the declared pixel count
+    assert(Multimodal.parseQoi(46L,
+      qoi(2, 1, Array(0xFE, 1, 2), marker = false)).status == "truncated")
+    // pixels complete but the 8-byte end marker is missing
+    assert(Multimodal.parseQoi(47L,
+      qoi(1, 1, Array(0x40), marker = false)).status == "truncated")
+    // a RUN that overruns the declared dims is malformed, not a crash
+    assert(Multimodal.parseQoi(48L,
+      qoi(1, 1, Array(0xC5))).status == "truncated")
+  }
+
+  test("synthesized QOI round-trips through the decoder") {
+    // all-arms-off hex: b12=26 (magic ok), b14=28 (channels 3),
+    // b15=3 (no truncation); w = 1+b0%4 = 3, ht = 1+b1%3 = 2 → six
+    // pixels: block0 = (b2,b3,b4) = (6,8,10) ×3, block1 = +1 each
+    // = (7,9,11) ×3 (the DIFF-encodable step).
+    val h = "020406080a0c0e10121416181a031c03"
+    val m = Multimodal.parseQoi(49L, Multimodal.qoiBytes(h))
+    assert(m.status == "ok")
+    assert(m.width.contains(3) && m.height.contains(2))
+    assert(m.r_sum.contains(3L * 6 + 3L * 7))
+    assert(m.g_sum.contains(3L * 8 + 3L * 9))
+    assert(m.b_sum.contains(3L * 10 + 3L * 11))
+    // two intra-block repeats per 3-pixel block, no cross-block run
+    assert(m.n_run_px.contains(4L))
+  }
 }

@@ -377,6 +377,37 @@ object ScaleProbe {
       qe.unpersist(false)
     }
 
+    // BPE probe: N× the documents (same text, shifted doc_ids), so the
+    // corpus grows but the distinct-word DICTIONARY does not. BPE's
+    // 100 TB claim is precisely that everything after the dict-building
+    // scan is vocab-bounded — so train wall must stay near-FLAT while
+    // the learned merges stay identical and their weighted pair counts
+    // scale exactly ×N (the evidence the corpus really grew).
+    if (want("bpe"))
+    locally {
+      val docs = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text")).persist()
+      val nDocs = docs.count()
+      val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      def timedBpe(mult: Int): Unit = {
+        val scaled = docs
+          .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
+            col("doc_id"), col("text"))
+          .select((col("doc_id") + col("i") * lit(stride)).as("doc_id"),
+            col("text"))
+        val t0 = System.nanoTime()
+        val merges = graft.llm.TextAnalysis.bpeTrainOn(scaled)
+          .collect().map(r => s"${r.getString(1)}+${r.getString(2)}:${r.getLong(3)}")
+          .mkString("[\"", "\",\"", "\"]")
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"bpe_${mult}x","docs":${nDocs * mult},"merges":$merges,"sec":$dt%.2f}""")
+      }
+      timedBpe(1)
+      timedBpe(10)
+      timedBpe(100)
+      docs.unpersist(false)
+    }
+
     // Incremental-screen probe: a FIXED delta (the src1 shard) against
     // an N×-replicated standing corpus. Two timings per N: building
     // the corpus indexes (exact hash set + banding table — linear in

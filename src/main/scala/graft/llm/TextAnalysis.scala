@@ -425,17 +425,8 @@ object TextAnalysis {
     // does, and isolated candidates always merge. Output per round:
     // the learned merge, its weighted pair count, and the surviving
     // symbol-instance count — the curve a tokenizer build monitors.
-    "q_bpe_train" -> ((s, dir) => {
-      var cur = bpeSymbols(s, dir)
-      val rows = (1 to 3).map { k =>
-        val (best, next) = bpeStep(cur)
-        cur = next
-        best.select(lit(k).as("step"), col("lft"), col("rgt"),
-            col("pair_cnt"))
-          .crossJoin(broadcast(next.agg(count(lit(1)).as("n_syms_after"))))
-      }
-      rows.reduce(_.unionByName(_)).orderBy("step")
-    }),
+    "q_bpe_train" -> ((s, dir) =>
+      bpeTrainOn(Tables(s, dir, "documents"))),
 
     // The trained tokenizer APPLIED — train→apply closing the loop:
     // the 3-round merge chain runs on the dictionary exactly as in
@@ -447,7 +438,7 @@ object TextAnalysis {
     // merge logic). Output is the per-doc token-budget row a pipeline
     // actually consumes: word count, BPE unit count, units/word.
     "q_bpe_tokenize" -> ((s, dir) => {
-      var cur = bpeSymbols(s, dir)
+      var cur = bpeSymbolsOf(Tables(s, dir, "documents"))
       (1 to 3).foreach { _ => cur = bpeStep(cur)._2 }
       val seg = cur.groupBy(col("w")).agg(count(lit(1)).as("n_units"))
       Tables(s, dir, "documents")
@@ -522,14 +513,30 @@ object TextAnalysis {
   /** The round-0 BPE symbol table: the distinct-word dictionary of
     * the lowercase-alpha corpus words, exploded to one row per
     * (word, freq, position, single-char symbol). */
-  private def bpeSymbols(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+  private def bpeSymbolsOf(docs: DataFrame): DataFrame =
+    docs
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
       .groupBy(col("word").as("w")).agg(count(lit(1)).as("f"))
       .select(col("w"), col("f"),
         explode(expr("sequence(1, length(w))")).as("i"))
       .withColumn("s", expr("substring(w, i, 1)"))
+
+  /** Frame-taking trainer: 3 merge rounds over `docs`, one output row
+    * per learned merge — ScaleProbe drives this on replicated corpora
+    * (same text, more docs → identical dict, so train wall must stay
+    * FLAT past the dict-building scan). */
+  private[graft] def bpeTrainOn(docs: DataFrame): DataFrame = {
+    var cur = bpeSymbolsOf(docs)
+    val rows = (1 to 3).map { k =>
+      val (best, next) = bpeStep(cur)
+      cur = next
+      best.select(lit(k).as("step"), col("lft"), col("rgt"),
+          col("pair_cnt"))
+        .crossJoin(broadcast(next.agg(count(lit(1)).as("n_syms_after"))))
+    }
+    rows.reduce(_.unionByName(_)).orderBy("step")
+  }
 
   /** One BPE round over the symbol table (w, f, i, s): returns the
     * 1-row best-pair frame and the post-merge symbol table. The best

@@ -962,6 +962,25 @@ object Similarity {
           .select(col("vec_id").as("query_id"), col("neighbor_id")),
         k = 3)),
 
+    // MUTUAL k-NN graph — the reciprocal-edge filter (edge kept iff
+    // each endpoint ranks the other in its top-3), the standard
+    // denoising step before graph clustering: asymmetric hub edges
+    // (a low-degree point claiming a hub that never claims it back)
+    // are exactly what mutual-kNN removes. One self-join of the 3N-row
+    // edge list keyed on the (src, dst) pair — fine-grained keys, so
+    // the join parallelism is unconstrained by the cell count; cosine
+    // is symmetric, so either endpoint's value reports the pair.
+    "q_knn_graph_mutual" -> ((s, dir) => {
+      val g = knnGraphFrom(ivfCells(s, dir), k = 3)
+        .select(col("vec_id"), col("neighbor_id"), col("cosine"))
+      val rev = g.select(col("vec_id").as("nb"), col("neighbor_id").as("vb"))
+      g.join(rev, col("vec_id") === col("vb") &&
+          col("neighbor_id") === col("nb"))
+        .filter(col("vec_id") < col("neighbor_id"))
+        .select(col("vec_id"), col("neighbor_id"), col("cosine"))
+        .orderBy("vec_id", "neighbor_id")
+    }),
+
     // The q_knn_ivf_recall_grid pattern extended to the COMPRESSED
     // composed legs: aggregate recall@K at every (family, K, nprobe) ∈
     // {ivf_adc, ivf_pq} × {3,10} × {1,2} — the operating-point curves
@@ -1055,6 +1074,7 @@ object Similarity {
     "q_knn_ivf_recall_grid" -> ivfRecallGridSql,
     "q_knn_graph" -> knnGraphSql,
     "q_knn_graph_recall" -> knnGraphRecallSql,
+    "q_knn_graph_mutual" -> knnGraphMutualSql,
     "q_knn_ivf_adc" -> ("WITH " + Dedup.QE + "," + Clustering.assignCtes + "," +
       ivfCte + "," + sq8Cte + s""",
       d AS (SELECT a.vec_id AS query_id, a.cell, v.vec_id AS neighbor_id,
@@ -1570,8 +1590,9 @@ object Similarity {
       ORDER BY query_id, rnk"""
 
   /** DuckDB twin of the k-NN graph: [[ivfSql]]'s multiprobe pair join
-    * with the query-batch filter dropped — every node is a query. */
-  private lazy val knnGraphSql =
+    * with the query-batch filter dropped — every node is a query.
+    * Split as CTEs + select so the mutual-graph twin can extend it. */
+  private lazy val knnGraphCtes =
     "WITH " + Dedup.QE + "," + Clustering.assignCtes + "," + ivfCte + s""",
       pairs AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
                   a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
@@ -1581,9 +1602,21 @@ object Similarity {
                 round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
               FROM pairs),
       rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rnk
-             FROM cos)
+             FROM cos)"""
+
+  private lazy val knnGraphSql = knnGraphCtes + s"""
       SELECT vec_id, rnk, neighbor_id, cosine FROM rk WHERE rnk <= 3
       ORDER BY vec_id, rnk"""
+
+  /** Mutual-graph twin: the reciprocal-edge filter over the same
+    * ranked CTEs, each mutual pair reported once (low id first). */
+  private lazy val knnGraphMutualSql = knnGraphCtes + s""",
+      edges AS (SELECT vec_id, neighbor_id, cosine FROM rk WHERE rnk <= 3)
+      SELECT a.vec_id, a.neighbor_id, a.cosine
+      FROM edges a JOIN edges b
+        ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
+      WHERE a.vec_id < a.neighbor_id
+      ORDER BY a.vec_id, a.neighbor_id"""
 
   /** Graph recall twin: brute and IVF graphs restricted to the same
     * 1-in-5 node sample, per-node recall@3. */

@@ -336,6 +336,21 @@ class PlanSpec extends SparkSuite {
       "neither graph side may broadcast — both are corpus-sized")
   }
 
+  test("q_nb_classify: CPT stays a hash-join build side, argmax prunes map-side") {
+    // The per-(class, word) count table is vocab-bounded but
+    // corpus-independent — GBs at scale, exactly what a hash join's
+    // build side wants and a broadcast can't hold. The only broadcasts
+    // allowed are the bounded class frames (BNLJ crosses by design).
+    // The rnk = 1 argmax must keep its WindowGroupLimit so per-doc
+    // candidates prune before the window exchange.
+    val p = plan("q_nb_classify")
+    assert(p.contains("ShuffledHashJoin"),
+      "the CPT probe join must stay a shuffled hash join")
+    assert(p.contains("WindowGroupLimit"),
+      "the argmax should prune map-side via WindowGroupLimit")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_dedup_semantic bounds candidates to the cell: keyed join, never all-pairs") {
     // SemDeDup's published scale property IS the cluster bound: the
     // pair join must stay keyed on the trained cell (Σ|cell|² pairs),

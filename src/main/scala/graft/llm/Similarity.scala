@@ -382,6 +382,49 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
   }
 
+  /** 1-bit binary-quantized top-k: sign codes scan-side, Hamming
+    * ranking (ties: lower neighbor id). All-integer — hash-exact. */
+  private def bqTop(s: SparkSession, dir: String, qmax: Int, k: Int): DataFrame = {
+    val signs = Dedup.quantized(s, dir)
+      .select(col("vec_id"),
+        expr("transform(q, x -> case when x >= 0 then 1 else 0 end)").as("sg"))
+    val queriesDf = signs.filter(col("vec_id") < qmax)
+      .select(col("vec_id").as("query_id"), col("sg").as("sa"))
+    val corpus = signs
+      .select(col("vec_id").as("neighbor_id"), col("sg").as("sb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    corpus.join(broadcast(queriesDf), col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(sa, sb, (x, y) -> case when x = y then 0L else 1L end), 0L, (a, v) -> a + v)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("hamming"))
+  }
+
+  /** Prefix-d cosine top-k (Matryoshka leg): slice to the first d
+    * dims, exact integer dot/norms within the prefix, zero-norm
+    * prefixes excluded from both sides. */
+  private def mrlTop(s: SparkSession, dir: String, d: Int, qmax: Int,
+      k: Int): DataFrame = {
+    val sliced = Dedup.quantized(s, dir)
+      .select(col("vec_id"), expr(s"slice(q, 1, $d)").as("qd"))
+      .withColumn("nd", expr("dot_long(qd, qd)"))
+      .filter(col("nd") > 0)
+    val queriesDf = sliced.filter(col("vec_id") < qmax)
+      .select(col("vec_id").as("query_id"), col("qd").as("qa"), col("nd").as("na"))
+    val corpus = sliced
+      .select(col("vec_id").as("neighbor_id"), col("qd").as("qb"), col("nd").as("nb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    corpus.join(broadcast(queriesDf), col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", expr(Dedup.dotExpr))
+      .withColumn("cosine", Dedup.cosine())
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+  }
+
   /** The composed production index — FAISS's IndexIVF+SQ8 shape,
     * oracle-gated end to end: candidates from the two nearest TRAINED
     * cells ([[ivfCells]], nprobe = 2), ranked by the ASYMMETRIC SQ8
@@ -962,6 +1005,49 @@ object Similarity {
           .select(col("vec_id").as("query_id"), col("neighbor_id")),
         k = 3)),
 
+    // BINARY quantization — the 1-bit leg completing the compression
+    // ladder (float → SQ8 → PQ4 → BQ1; FAISS IndexBinaryFlat): each
+    // dimension collapses to its sign bit, ranking is Hamming distance
+    // (mismatched-sign count — exact integer, trivially SIMD/popcount
+    // at deployment), 64× smaller codes than raw. Same plan shape as
+    // bruteTop: broadcast query batch, scan-side sign projection,
+    // per-partition top-k. The recall row prices the 1-bit budget
+    // against exact cosine truth.
+    "q_knn_bq" -> ((s, dir) =>
+      bqTop(s, dir, qmax = 50, k = 3).orderBy("query_id", "rnk")),
+
+    "q_knn_bq_recall" -> ((s, dir) =>
+      recallOf(
+        bruteTop(s, dir, qmax = 50, k = 3).select("query_id", "neighbor_id"),
+        bqTop(s, dir, qmax = 50, k = 3).select("query_id", "neighbor_id"),
+        k = 3)),
+
+    // MATRYOSHKA dimension grid — recall@3 when ranking uses only the
+    // first d ∈ {8,16,32,64} dimensions (the MRL deployment question:
+    // how much of the vector do you actually need to pay for?). Exact
+    // cosine within each prefix (slice + dot_long), truth = the full
+    // 64-dim brute ranking, shared across the four rows. Vectors whose
+    // d-prefix is all-zero are excluded from that leg (the zero-norm
+    // ingest contract extended to the truncated space) — their truth
+    // rows stay in the denominator, so prefix collapse costs recall
+    // instead of crashing or silently flattering the curve.
+    "q_knn_mrl_grid" -> ((s, dir) => {
+      val truth = bruteTop(s, dir, qmax = 50, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val rows = Seq(8, 16, 32, 64).map { d =>
+        val approx = mrlTop(s, dir, d, qmax = 50, k = 3)
+          .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+        truth.join(approx,
+            col("query_id") === col("aq") && col("neighbor_id") === col("an"),
+            "left")
+          .agg(count(lit(1)).as("n_true"), count(col("an")).as("n_found"))
+          .select(lit(d).as("dims"), col("n_true"), col("n_found"),
+            round(col("n_found").cast("double") / col("n_true"), 4)
+              .as("recall"))
+      }
+      rows.reduce(_.unionByName(_)).orderBy("dims")
+    }),
+
     // MUTUAL k-NN graph — the reciprocal-edge filter (edge kept iff
     // each endpoint ranks the other in its top-3), the standard
     // denoising step before graph clustering: asymmetric hub edges
@@ -1075,6 +1161,36 @@ object Similarity {
     "q_knn_graph" -> knnGraphSql,
     "q_knn_graph_recall" -> knnGraphRecallSql,
     "q_knn_graph_mutual" -> knnGraphMutualSql,
+    "q_knn_bq" -> ("WITH " + Dedup.QE + "," + bqCte + s""",
+      pairs AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                  a.sg AS sa, b.sg AS sb
+                FROM sg a JOIN sg b ON a.vec_id < 50 AND a.vec_id <> b.vec_id),
+      hm AS (SELECT query_id, neighbor_id,
+               CAST(list_sum(list_transform(generate_series(1, len(sa)),
+                 i -> CASE WHEN sa[i] = sb[i] THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+             FROM pairs),
+      rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) AS INT) AS rnk
+             FROM hm)
+      SELECT query_id, rnk, neighbor_id, hamming FROM rk WHERE rnk <= 3
+      ORDER BY query_id, rnk"""),
+    "q_knn_bq_recall" -> ("WITH " + Dedup.QE + "," + bqCte + "," + bruteCtes + s""",
+      ap AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               a.sg AS sa, b.sg AS sb
+             FROM sg a JOIN sg b ON a.vec_id < 50 AND a.vec_id <> b.vec_id),
+      ah AS (SELECT query_id, neighbor_id,
+               CAST(list_sum(list_transform(generate_series(1, len(sa)),
+                 i -> CASE WHEN sa[i] = sb[i] THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+             FROM ap),
+      ar AS (SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) AS rnk
+             FROM ah),
+      bq AS (SELECT query_id, neighbor_id FROM ar WHERE rnk <= 3)
+      SELECT b.query_id,
+             round(CAST(count(a.neighbor_id) AS DOUBLE) / 3.0, 4) AS recall_at_3
+      FROM brute b LEFT JOIN bq a
+        ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+      GROUP BY b.query_id ORDER BY b.query_id"""),
+    "q_knn_mrl_grid" -> mrlGridSql,
     "q_knn_ivf_adc" -> ("WITH " + Dedup.QE + "," + Clustering.assignCtes + "," +
       ivfCte + "," + sq8Cte + s""",
       d AS (SELECT a.vec_id AS query_id, a.cell, v.vec_id AS neighbor_id,
@@ -1648,6 +1764,41 @@ object Similarity {
       FROM brute b LEFT JOIN ivf a
         ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
       GROUP BY b.query_id ORDER BY b.query_id"""
+
+  /** Sign-code CTE shared by the BQ twins. */
+  private lazy val bqCte = """
+      sg AS (SELECT vec_id,
+               list_transform(q, x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS sg
+             FROM qn)"""
+
+  /** Matryoshka grid twin: one prefix-sliced ranking block per d, the
+    * shared full-dim truth, four aggregate rows. */
+  private lazy val mrlGridSql = {
+    val blocks = Seq(8, 16, 32, 64).map { d => s"""
+      sd$d AS (SELECT vec_id, q[1:$d] AS qd,
+                 CAST(list_sum(list_transform(q[1:$d], x -> x * x)) AS BIGINT) AS nd
+               FROM qn
+               WHERE CAST(list_sum(list_transform(q[1:$d], x -> x * x)) AS BIGINT) > 0),
+      ap$d AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 a.qd AS qa, b.qd AS qb2, a.nd AS na, b.nd AS nb
+               FROM sd$d a JOIN sd$d b ON a.vec_id < 50 AND a.vec_id <> b.vec_id),
+      ac$d AS (SELECT query_id, neighbor_id,
+                 round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+               FROM ap$d),
+      ar$d AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+               FROM ac$d),
+      at$d AS (SELECT query_id, neighbor_id FROM ar$d WHERE rnk <= 3)"""
+    }.mkString(",")
+    val rows = Seq(8, 16, 32, 64).map { d => s"""
+      SELECT $d AS dims, count(*) AS n_true, count(a.neighbor_id) AS n_found,
+             round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 4) AS recall
+      FROM brute b LEFT JOIN at$d a
+        ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id"""
+    }.mkString(" UNION ALL ")
+    "WITH " + Dedup.QE + "," + bruteCtes + "," + blocks +
+      s" SELECT * FROM ($rows) ORDER BY dims"
+  }
 
   private def ivfRecallSql(multi: Boolean): String =
     "WITH " + Dedup.QE + "," + Clustering.assignCtes + "," + ivfCte + s""",

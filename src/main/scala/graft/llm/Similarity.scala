@@ -1048,6 +1048,43 @@ object Similarity {
       rows.reduce(_.unionByName(_)).orderBy("dims")
     }),
 
+    // LABEL-PROPAGATION communities over the k-NN graph (Raghavan/
+    // Albert/Kumara 2007) — the MODE-label variant, deliberately
+    // distinct from the min-label connected components the dedup
+    // family runs: LPA converges to dense neighborhoods (communities),
+    // CC to reachability classes. Two synchronous rounds unrolled
+    // in-plan: each node adopts the most frequent label among its
+    // neighbors in the SYMMETRIZED edge set (union of both directions,
+    // deduped), ties broken by lowest label — deterministic, so the
+    // whole per-node assignment hash-gates. Per round: one join of the
+    // 6N-row edge list against the N-row label table (vec_id-keyed,
+    // full dop), one count aggregate, one WindowGroupLimit argmax —
+    // the textbook Pregel superstep as three relational ops.
+    "q_graph_communities" -> ((s, dir) => {
+      val g = knnGraphFrom(ivfCells(s, dir), k = 3)
+        .select(col("vec_id"), col("neighbor_id"))
+      val edges = g.unionByName(
+          g.select(col("neighbor_id").as("vec_id"), col("vec_id").as("neighbor_id")))
+        .distinct()
+      def lpaRound(labels: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("c").desc, col("lbl").asc)
+        val winners = edges
+          .join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+          .groupBy(col("vec_id"), col("lbl")).agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("lbl").as("newl"))
+        labels.join(winners, Seq("vec_id"), "left")
+          .select(col("vec_id"), coalesce(col("newl"), col("lbl")).as("lbl"))
+      }
+      val l0 = Dedup.quantized(s, dir)
+        .select(col("vec_id"), col("vec_id").as("lbl"))
+      lpaRound(lpaRound(l0))
+        .select(col("vec_id"), col("lbl").as("community"))
+        .orderBy("vec_id")
+    }),
+
     // MUTUAL k-NN graph — the reciprocal-edge filter (edge kept iff
     // each endpoint ranks the other in its top-3), the standard
     // denoising step before graph clustering: asymmetric hub edges
@@ -1161,6 +1198,7 @@ object Similarity {
     "q_knn_graph" -> knnGraphSql,
     "q_knn_graph_recall" -> knnGraphRecallSql,
     "q_knn_graph_mutual" -> knnGraphMutualSql,
+    "q_graph_communities" -> graphCommunitiesSql,
     "q_knn_bq" -> ("WITH " + Dedup.QE + "," + bqCte + s""",
       pairs AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                   a.sg AS sa, b.sg AS sb
@@ -1733,6 +1771,35 @@ object Similarity {
         ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
       WHERE a.vec_id < a.neighbor_id
       ORDER BY a.vec_id, a.neighbor_id"""
+
+  /** LPA twin: same symmetrized edges, two unrolled mode-label rounds
+    * with the identical (count DESC, label ASC) tie-break. */
+  private lazy val graphCommunitiesSql = knnGraphCtes + s""",
+      ged AS (SELECT vec_id, neighbor_id FROM rk WHERE rnk <= 3),
+      sym AS (SELECT DISTINCT vec_id, neighbor_id FROM
+                (SELECT vec_id, neighbor_id FROM ged
+                 UNION ALL
+                 SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM ged)),
+      l0 AS (SELECT vec_id, vec_id AS lbl FROM qn),
+      r1c AS (SELECT s.vec_id, l.lbl, count(*) AS c
+              FROM sym s JOIN l0 l ON s.neighbor_id = l.vec_id
+              GROUP BY s.vec_id, l.lbl),
+      r1w AS (SELECT vec_id, lbl FROM
+                (SELECT *, row_number() OVER
+                   (PARTITION BY vec_id ORDER BY c DESC, lbl ASC) AS rn
+                 FROM r1c) WHERE rn = 1),
+      l1 AS (SELECT l.vec_id, coalesce(w.lbl, l.lbl) AS lbl
+             FROM l0 l LEFT JOIN r1w w ON l.vec_id = w.vec_id),
+      r2c AS (SELECT s.vec_id, l.lbl, count(*) AS c
+              FROM sym s JOIN l1 l ON s.neighbor_id = l.vec_id
+              GROUP BY s.vec_id, l.lbl),
+      r2w AS (SELECT vec_id, lbl FROM
+                (SELECT *, row_number() OVER
+                   (PARTITION BY vec_id ORDER BY c DESC, lbl ASC) AS rn
+                 FROM r2c) WHERE rn = 1),
+      l2 AS (SELECT l.vec_id, coalesce(w.lbl, l.lbl) AS lbl
+             FROM l1 l LEFT JOIN r2w w ON l.vec_id = w.vec_id)
+      SELECT vec_id, lbl AS community FROM l2 ORDER BY vec_id"""
 
   /** Graph recall twin: brute and IVF graphs restricted to the same
     * 1-in-5 node sample, per-node recall@3. */

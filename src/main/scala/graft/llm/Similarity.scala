@@ -361,14 +361,17 @@ object Similarity {
       .select(col("vec_id"), col("rnk"), col("neighbor_id"), col("cosine"))
   }
 
-  /** Brute-force top-k restricted to the deterministic 1-in-5 node
-    * sample (`vec_id % 5 = 0`) — the recall DENOMINATOR for the graph:
-    * at corpus scale the exact graph is unaffordable by definition, so
-    * graph recall is always ESTIMATED on a bounded node sample (the
-    * sample, not the corpus, broadcasts — [[bruteTop]]'s plan). */
+  /** Brute-force top-k restricted to the deterministic BOUNDED node
+    * panel (`vec_id % 5 = 0 AND vec_id < 1000` — ≤ 200 nodes at ANY
+    * corpus size) — the recall DENOMINATOR for the graph: at corpus
+    * scale the exact graph is unaffordable by definition, so graph
+    * recall is always ESTIMATED on a sample, and the sample must be
+    * ABSOLUTE-size-bounded, not a fraction (a 1-in-5 slice of a
+    * 100 TB corpus is 20 TB — not a broadcastable query batch; the
+    * capped panel is). */
   private def bruteGraphSampled(s: SparkSession, dir: String, k: Int): DataFrame = {
     val qe = Dedup.quantized(s, dir)
-    val queriesDf = qe.filter(col("vec_id") % 5 === 0)
+    val queriesDf = qe.filter(col("vec_id") % 5 === 0 && col("vec_id") < 1000)
       .select(col("vec_id").as("query_id"), col("q").as("qa"), col("norm").as("na"))
     val corpus = qe
       .select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("norm").as("nb"))
@@ -995,13 +998,13 @@ object Similarity {
     "q_knn_graph" -> ((s, dir) =>
       knnGraphFrom(ivfCells(s, dir), k = 3).orderBy("vec_id", "rnk")),
 
-    // Graph recall@3, estimated on the deterministic 1-in-5 node
-    // sample against the brute-force graph rows for those nodes.
+    // Graph recall@3, estimated on the deterministic bounded node
+    // panel against the brute-force graph rows for those nodes.
     "q_knn_graph_recall" -> ((s, dir) =>
       recallOf(
         bruteGraphSampled(s, dir, k = 3),
         knnGraphFrom(ivfCells(s, dir), k = 3)
-          .filter(col("vec_id") % 5 === 0)
+          .filter(col("vec_id") % 5 === 0 && col("vec_id") < 1000)
           .select(col("vec_id").as("query_id"), col("neighbor_id")),
         k = 3)),
 
@@ -1802,12 +1805,13 @@ object Similarity {
       SELECT vec_id, lbl AS community FROM l2 ORDER BY vec_id"""
 
   /** Graph recall twin: brute and IVF graphs restricted to the same
-    * 1-in-5 node sample, per-node recall@3. */
+    * bounded node panel, per-node recall@3. */
   private lazy val knnGraphRecallSql =
     "WITH " + Dedup.QE + "," + Clustering.assignCtes + "," + ivfCte + s""",
       bp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                 a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
-             FROM qn a JOIN qn b ON a.vec_id % 5 = 0 AND a.vec_id <> b.vec_id),
+             FROM qn a JOIN qn b
+               ON a.vec_id % 5 = 0 AND a.vec_id < 1000 AND a.vec_id <> b.vec_id),
       bcos AS (SELECT query_id, neighbor_id,
                  round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
                FROM bp),
@@ -1818,7 +1822,8 @@ object Similarity {
       ap AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                 a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
              FROM ivcell a JOIN ivcell b
-               ON b.cell IN (a.cell, a.cell2) AND a.vec_id % 5 = 0 AND a.vec_id <> b.vec_id),
+               ON b.cell IN (a.cell, a.cell2) AND a.vec_id % 5 = 0
+                  AND a.vec_id < 1000 AND a.vec_id <> b.vec_id),
       acos AS (SELECT query_id, neighbor_id,
                  round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
                FROM ap),

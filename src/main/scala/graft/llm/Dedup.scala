@@ -135,6 +135,27 @@ object Dedup {
       .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
   }
 
+  /** PPJoin prefix candidates at τ = num/den: rank each doc's
+    * shingles rarest-first (global df ASC, shingle ASC — a total
+    * order), keep the first s − ⌈τ·s⌉ + 1, and pair docs sharing a
+    * prefix shingle. ⌈τ·s⌉ = (num·s + den − 1) div den stays in
+    * integers. */
+  private def prefixCandidates(sh: DataFrame, num: Int, den: Int): DataFrame = {
+    val dfq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val ranked = sh.join(dfq.hint("shuffle_hash"), "shingle")
+      .withColumn("pos", row_number().over(
+        wDoc.orderBy(col("df").asc, col("shingle").asc)))
+      .withColumn("sz", count(lit(1)).over(wDoc))
+    val prefix = ranked.filter(col("pos") <=
+      col("sz") - expr(s"($num * sz + $den - 1) div $den") + 1)
+    prefix.select(col("shingle"), col("doc_id").as("d1"))
+      .hint("shuffle_hash")
+      .join(prefix.select(col("shingle"), col("doc_id").as("d2")), "shingle")
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+  }
+
   /** Intersection counts for an explicit candidate-pair set: each
     * candidate joins its two shingle sets; shared shingles count once
     * (sh is distinct per doc). Everything here sits below an explode,
@@ -562,6 +583,29 @@ object Dedup {
     // pair intersection counts → |A∩B| / |A∪B| ≥ 0.8. The verify
     // baseline for LSH; the join shuffles on the shingle string.
     "q_dedup_jaccard" -> ((s, dir) => jaccardTree(shingles(s, dir), 0.8)),
+
+    // PREFIX-FILTERED exact similarity join (Chaudhuri/Ganti/Kaushik
+    // ICDE'06 SSJoin; Bayardo/Ma/Srikant WWW'07 AllPairs; Xiao et al.
+    // WWW'08 PPJoin): the LOSSLESS alternative to the df-cap — under a
+    // global rarest-first shingle order, any pair with Jaccard ≥ τ
+    // must share a shingle inside both docs' first
+    // s − ⌈τ·s⌉ + 1 shingles, so the candidate join runs on PREFIXES
+    // only and still misses nothing (DedupSpec pins result-set
+    // equality with the unfiltered q_dedup_jaccard). The prefix is
+    // the algorithm's skew guard too: it keeps each doc's RAREST
+    // shingles, so per-key fan-out in the candidate join is small by
+    // construction — where q_dedup_jaccard_capped buys the same bound
+    // by discarding hot shingles from the metric itself. ⌈τ·s⌉ is
+    // integer-exact ((4s + 4) div 5 — never a float ceil, whose
+    // 0.8·5 = 4.000000000000000222 would silently shrink the prefix
+    // and break losslessness). Verification reuses the shared
+    // candidate-intersection + Jaccard tail, so the metric is
+    // bit-identical to the plain query's.
+    "q_dedup_ppjoin" -> ((s, dir) => {
+      val sh = shingles(s, dir)
+      jaccardFinish(candIntersections(prefixCandidates(sh, 4, 5), sh), sh, 0.8)
+        .orderBy("d1", "d2")
+    }),
 
     // Frequency-capped Jaccard: drop hot shingles (df > 5 here — at
     // production scale the cap is a corpus fraction, e.g. df > 0.1%·N)
@@ -1129,6 +1173,19 @@ object Dedup {
                 FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
                 GROUP BY 1, 2)"""
       + jaccardFinishSql("0.8")),
+    "q_dedup_ppjoin" -> (SH + """,
+      dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+      rkd AS (SELECT s.doc_id, s.shingle,
+                row_number() OVER (PARTITION BY s.doc_id
+                                   ORDER BY d.df ASC, s.shingle ASC) AS pos,
+                count(*) OVER (PARTITION BY s.doc_id) AS sz
+              FROM sh s JOIN dfq d USING (shingle)),
+      pfx AS (SELECT doc_id, shingle FROM rkd
+              WHERE pos <= sz - ((4 * sz + 4) // 5) + 1),
+      cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+               FROM pfx a JOIN pfx b
+                 ON a.shingle = b.shingle AND a.doc_id < b.doc_id)"""
+      + candInterSql + jaccardFinishSql("0.8")),
     "q_dedup_jaccard_capped" -> (SH + """,
       hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 5),
       shc AS (SELECT doc_id, shingle FROM sh

@@ -283,4 +283,16 @@ class DedupSpec extends SparkSuite {
     assert(r(4L) == ((1, 0L)))                  // exactly one, unshared
     assert(r(0L) == ((3, 3L)) && r(1L) == ((3, 3L)))
   }
+
+  test("q_dedup_ppjoin is LOSSLESS: identical result set to the unfiltered join") {
+    // The prefix filter's whole claim — candidates restricted to the
+    // rarest s − ⌈τ·s⌉ + 1 shingles per doc miss NOTHING at τ = 0.8.
+    val dir = "/root/testdata/sf0.001"
+    val pp = Dedup.queries("q_dedup_ppjoin")(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = Dedup.queries("q_dedup_jaccard")(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(full.nonEmpty)
+    assert(pp == full)
+  }
 }

@@ -99,6 +99,25 @@ class SimilaritySpec extends SparkSuite {
     assert(g == mp)
   }
 
+  test("q_graph_communities: two cliques converge to per-clique labels") {
+    // Two groups of 4 identical vectors, mutually negated: within a
+    // group cosine = 1.0 (top-3 = the other three members, ids
+    // ascending on the tie), across groups −1.0. LPA round 1: every
+    // node adopts the lowest OTHER id among its neighbors (0→1,
+    // {1,2,3}→0; 4→5, {5,6,7}→4); round 2 folds the stragglers back
+    // (0 sees {0,0,0}→0; 1 sees {1,0,0}→0) — final labels are the
+    // clique minima.
+    val v = Array.tabulate(64)(i => (math.sin(i + 1) * 3).toFloat)
+    val neg = v.map(x => -x)
+    val dir = writeEmb(
+      (0L until 4L).map(i => (i, v, 0)) ++
+        (4L until 8L).map(i => (i, neg, 1)))
+    val got = Similarity.queries("q_graph_communities")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 4L))
+  }
+
   test("q_knn_graph covers every corpus node with exactly k rows (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val n = graft.Tables(spark, dir, "embeddings").count()

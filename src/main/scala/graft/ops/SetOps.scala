@@ -136,6 +136,33 @@ object SetOps {
         .orderBy("source")
     }),
 
+    // WEIGHTED sampling WITHOUT replacement (Efraimidis & Spirakis,
+    // IPL 2006 — the weighted-reservoir key trick): each doc draws a
+    // deterministic uniform u ∈ (0, 1] from its md5 and exposes the
+    // order key u^(1/w) (w = n_chars: longer docs proportionally more
+    // likely); the global top-20 by key IS a weighted sample without
+    // replacement. This is THE distributed shape for weighted
+    // sampling: no sequential reservoir, no rejection loop — one
+    // scan-side key projection and one top-k (TakeOrdered), trivially
+    // mergeable across partitions, which is why it appears in every
+    // map-reduce sampling library. Keys round to 6 dp before ranking
+    // (pow is transcendental — the established cross-engine
+    // discipline) with doc_id as the total-order tiebreak.
+    "q_sample_es" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("es_key").desc, col("doc_id").asc)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("u", expr(
+          "(cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) + 1) / 4294967296.0"))
+        .withColumn("es_key", expr("round(pow(u, 1.0 / n_chars), 6)"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .select(col("rk"), col("doc_id"), col("source"), col("n_chars"),
+          col("es_key"))
+        .orderBy("rk")
+    }),
+
     // Stratified sample: a fixed quota per stratum (20 docs per lang),
     // chosen by content-hash rank — the data-mixing primitive of a
     // training pipeline (per-language/source quotas), deterministic
@@ -239,6 +266,24 @@ object SetOps {
              coalesce(k.n_kept, 0) AS n_kept
       FROM thr t LEFT JOIN kept k ON t.source = k.source
       ORDER BY t.source""",
+    "q_sample_es" -> """
+      WITH hx AS (SELECT doc_id, source, n_chars,
+                    md5(CAST(doc_id AS VARCHAR)) AS h
+                  FROM documents),
+      uu AS (SELECT doc_id, source, n_chars,
+               (CAST(list_sum(list_transform(generate_series(1, 8), i ->
+                  (ascii(substr(h, i, 1))
+                   - CASE WHEN substr(h, i, 1) >= 'a' THEN 87 ELSE 48 END)
+                  * power(16, 8 - i))) AS BIGINT) + 1) / 4294967296.0 AS u
+             FROM hx),
+      ky AS (SELECT doc_id, source, n_chars,
+               round(power(u, 1.0 / n_chars), 6) AS es_key
+             FROM uu),
+      rk AS (SELECT *, CAST(row_number() OVER
+               (ORDER BY es_key DESC, doc_id ASC) AS INT) AS rk
+             FROM ky)
+      SELECT rk, doc_id, source, n_chars, es_key
+      FROM rk WHERE rk <= 20 ORDER BY rk""",
     "q_sample_stratified" -> """
       WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hk
                  FROM documents),

@@ -406,7 +406,7 @@ object Multimodal {
     * delta, a run miscount — breaks the hash gate. Arms: corrupted
     * magic (~6%), channels = 4 header (unsupported, ~12.5%), stream
     * truncated one byte + end marker dropped (~12.5%). */
-  private[llm] def qoiBytes(h: String): Array[Byte] = {
+  private[graft] def qoiBytes(h: String): Array[Byte] = {
     val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
     val badMagic = b(12) % 16 == 0
     val badChan = b(14) % 8 == 0

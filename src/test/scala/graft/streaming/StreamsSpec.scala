@@ -406,3 +406,41 @@ object StreamsSpec {
   private[streaming] case class Ev(event_id: Long, ts: Timestamp,
     user_id: Long, event_type: String, value: Double)
 }
+
+/** The multimodal decode stage under Structured Streaming: the decoder
+  * is a stateless typed mapPartitions, so the SAME function runs
+  * unchanged on a stream — the property that lets a 100 TB ingest
+  * decode incrementally. Pinned by row-level parity with the batch
+  * decode over identical payloads, failure arms included. */
+class StreamedDecodeSpec extends graft.SparkSuite {
+  import graft.llm.{BinaryDoc, Multimodal}
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import org.apache.spark.sql.streaming.OutputMode
+
+  test("streamed QOI decode equals the batch decode, arm for arm") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // md5-style hexes covering ok / bad-magic / unsupported / truncated
+    val hexes = (0 until 40).map { i =>
+      val h = Integer.toHexString(i)
+      (i.toLong, (h + "0123456789abcdef0123456789abcdef").substring(0, 32))
+    }
+    val batch = Multimodal.decodeQoi(
+        spark.createDataset(hexes.map { case (id, h) => BinaryDoc(id, Multimodal.qoiBytes(h)) }))
+      .collect().toSet
+    val in = MemoryStream[(Long, String)]
+    val q = Multimodal.decodeQoi(
+        in.toDS().map { case (id, h) => BinaryDoc(id, Multimodal.qoiBytes(h)) })
+      .writeStream.format("memory").queryName("qoi_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(hexes.take(20): _*); q.processAllAvailable()
+      in.addData(hexes.drop(20): _*); q.processAllAvailable()
+      val got = spark.table("qoi_stream")
+        .as[graft.llm.QoiMeta].collect().toSet
+      assert(got.nonEmpty)
+      assert(got == batch)
+      assert(got.map(_.status).intersect(Set("ok")).nonEmpty)
+    } finally q.stop()
+  }
+}

@@ -584,6 +584,28 @@ object Dedup {
     // baseline for LSH; the join shuffles on the shingle string.
     "q_dedup_jaccard" -> ((s, dir) => jaccardTree(shingles(s, dir), 0.8)),
 
+    // CONTAINMENT (Broder 1997's asymmetric companion to resemblance):
+    // C(A,B) = |A∩B| / |A| — the metric that catches a SHORT doc
+    // quoted wholesale inside a long one, where Jaccard stays low
+    // because the union is dominated by the long doc (the
+    // boilerplate/quotation/partial-duplicate case every production
+    // dedup screens separately from near-identity). Same shingle
+    // intersection as q_dedup_jaccard; the finish divides by each
+    // side's OWN size and keeps pairs where either direction ≥ 0.9.
+    "q_dedup_containment" -> ((s, dir) => {
+      val sh = shingles(s, dir)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      bruteInter(sh)
+        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+        .withColumn("c1", col("inter").cast("double") / col("n1").cast("double"))
+        .withColumn("c2", col("inter").cast("double") / col("n2").cast("double"))
+        .filter(greatest(col("c1"), col("c2")) >= 0.9)
+        .select(col("d1"), col("d2"), round(col("c1"), 4).as("cont1"),
+          round(col("c2"), 4).as("cont2"))
+        .orderBy("d1", "d2")
+    }),
+
     // PREFIX-FILTERED exact similarity join (Chaudhuri/Ganti/Kaushik
     // ICDE'06 SSJoin; Bayardo/Ma/Srikant WWW'07 AllPairs; Xiao et al.
     // WWW'08 PPJoin): the LOSSLESS alternative to the df-cap — under a
@@ -1173,6 +1195,18 @@ object Dedup {
                 FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
                 GROUP BY 1, 2)"""
       + jaccardFinishSql("0.8")),
+    "q_dedup_containment" -> (SH + """,
+      inter AS (SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS inter
+                FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+      SELECT d1, d2,
+             round(CAST(inter AS DOUBLE) / CAST(s1.n AS DOUBLE), 4) AS cont1,
+             round(CAST(inter AS DOUBLE) / CAST(s2.n AS DOUBLE), 4) AS cont2
+      FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+      WHERE greatest(CAST(inter AS DOUBLE) / CAST(s1.n AS DOUBLE),
+                     CAST(inter AS DOUBLE) / CAST(s2.n AS DOUBLE)) >= 0.9
+      ORDER BY d1, d2"""),
     "q_dedup_ppjoin" -> (SH + """,
       dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
       rkd AS (SELECT s.doc_id, s.shingle,

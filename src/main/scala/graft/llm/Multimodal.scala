@@ -493,7 +493,13 @@ object Multimodal {
       ((p(i + 2) & 0xffL) << 8) | (p(i + 3) & 0xffL)
     val w = u32be(4); val ht = u32be(8)
     val ch = p(12) & 0xff; val cs = p(13) & 0xff
-    if (w <= 0 || ht <= 0 || w > (1 << 16) || ht > (1 << 16))
+    // The per-dim cap alone is not enough: 65536×65536 makes the Long
+    // product 2^32, whose Int truncation is 0 (or negative for nearby
+    // dims), so a header+trailer-only payload would skip the op walk and
+    // report `ok` with zero pixels. Reject any product that does not fit
+    // an Int before entering the walk.
+    if (w <= 0 || ht <= 0 || w > (1 << 16) || ht > (1 << 16) ||
+      w * ht > Int.MaxValue.toLong)
       return none.copy(status = "bad_header")
     val meta = none.copy(width = Some(w.toInt), height = Some(ht.toInt))
     if (ch != 3 || cs > 1) return meta.copy(status = "unsupported")

@@ -551,9 +551,16 @@ object TextAnalysis {
       .agg(sum(col("f")).as("pair_cnt"))
       .orderBy(col("pair_cnt").desc, col("lft"), col("rgt"))
       .limit(1)
-    val flagged = paired.crossJoin(broadcast(best))
-      .withColumn("cand", col("r").isNotNull &&
-        col("s") === col("lft") && col("r") === col("rgt"))
+    // LEFT join on true, not a crossJoin: if a round finds no adjacent
+    // pairs (every word already one symbol, or a degenerate corpus),
+    // `best` is empty and a crossJoin would silently EMPTY the symbol
+    // table — dropping the remaining rounds' rows and every document
+    // from the tokenize join. With the left join the rows survive with
+    // NULL lft/rgt, cand coalesces to false, and the table passes
+    // through unchanged while the round emits no merge row.
+    val flagged = paired.join(broadcast(best), lit(true), "left")
+      .withColumn("cand", coalesce(col("r").isNotNull &&
+        col("s") === col("lft") && col("r") === col("rgt"), lit(false)))
       // Last non-candidate position at-or-before this row: the origin
       // of the current candidate run. Greedy-leftmost = merge at odd
       // offsets from it (runs longer than 1 only arise when lft = rgt).
@@ -869,8 +876,9 @@ object TextAnalysis {
               FROM p$k WHERE r IS NOT NULL GROUP BY s, r
               ORDER BY pair_cnt DESC, lft, rgt LIMIT 1),
       c$k AS (SELECT p.w, p.f, p.i, p.s, p.r,
-                (p.r IS NOT NULL AND p.s = b.lft AND p.r = b.rgt) AS cand
-              FROM p$k p CROSS JOIN b$k b),
+                coalesce(p.r IS NOT NULL AND p.s = b.lft AND p.r = b.rgt,
+                         false) AS cand
+              FROM p$k p LEFT JOIN b$k b ON true),
       g$k AS (SELECT *,
                 max(CASE WHEN NOT cand THEN i END)
                   OVER (PARTITION BY w ORDER BY i

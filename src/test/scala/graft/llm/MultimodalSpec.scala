@@ -179,6 +179,14 @@ class MultimodalSpec extends AnyFunSuite {
     // a RUN that overruns the declared dims is malformed, not a crash
     assert(Multimodal.parseQoi(48L,
       qoi(1, 1, Array(0xC5))).status == "truncated")
+    // dims within the per-dim cap whose PRODUCT overflows Int: the
+    // truncated pixel count would be 0 (65536×65536 → 2^32) or
+    // negative (65536×65535), letting a header+trailer-only payload
+    // claim `ok` with zero pixels — must be rejected at the header
+    assert(Multimodal.parseQoi(50L,
+      qoi(65536, 65536, Array())).status == "bad_header")
+    assert(Multimodal.parseQoi(51L,
+      qoi(65536, 65535, Array())).status == "bad_header")
   }
 
   test("synthesized QOI round-trips through the decoder") {

@@ -71,6 +71,22 @@ class TextAnalysisSpec extends SparkSuite {
       (3, "a", "b", 1L, 2L)))
   }
 
+  test("BPE survives a pairless round: no merges learned, docs still tokenize") {
+    // Every dict word is a single character, so round 1 finds NO
+    // adjacent pairs — `best` is empty. The old crossJoin emptied the
+    // symbol table (dropping every doc from tokenize); the left-join
+    // guard must pass the table through unchanged instead.
+    val dir = java.nio.file.Files.createTempDirectory("bpe0").toString
+    Seq((1L, "a b"))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(TextAnalysis.queries("q_bpe_train")(spark, dir).count() == 0L)
+    val got = TextAnalysis.queries("q_bpe_tokenize")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L, 1.0)))
+  }
+
   test("q_bpe_tokenize applies the trained merges: hand corpus collapses to 1 unit/word") {
     // After the three merges of the q_bpe_train test both dict words
     // segment to a single unit, so every doc word costs exactly 1.

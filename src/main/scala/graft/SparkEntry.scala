@@ -38,9 +38,38 @@ object SparkEntry {
     modules.iterator.flatMap(_._1).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * Every oracle passes through [[materializeShared]]: DuckDB (1.0)
+    * INLINES each CTE reference, re-evaluating its whole upstream
+    * chain per use — the 16-subspace PQ encode chain references its
+    * residual frame ~30×, which turned the q_knn_ivf_pq_res twin into
+    * a 339 s query at sf0.01 (measured; 7 s materialized) and timed
+    * out the r10 correctness gate. Rewriting multiply-referenced CTEs
+    * to `AS MATERIALIZED` is semantically neutral and evaluates each
+    * shared frame once. */
   def oracleSql: Map[String, String] =
     modules.iterator.flatMap(_._2).toMap
+      .map { case (k, v) => k -> materializeShared(v) }
+
+  /** A definition site is rewritten only when its body starts with
+    * SELECT — every CTE body here does, while the other `name AS (`
+    * sites (named windows, possibly several per WINDOW clause) open
+    * with PARTITION BY / ORDER BY, and derived-table aliases are
+    * `) AS t(cols)`. A CTE referenced once stays inline — inlining
+    * preserves filter pushdown into its body. */
+  private def materializeShared(sql: String): String = {
+    val cteDef = """(?<![A-Za-z0-9_])([A-Za-z_][A-Za-z0-9_]*) AS \(\s*SELECT""".r
+    val names = cteDef.findAllMatchIn(sql).map(_.group(1)).toSet
+    names.foldLeft(sql) { (acc, n) =>
+      val uses = s"""(?<![A-Za-z0-9_])$n(?![A-Za-z0-9_])""".r
+        .findAllIn(sql).size
+      if (uses > 2) // definition + at least two references
+        acc.replaceAll(s"""(?<![A-Za-z0-9_])$n AS \\((\\s*)SELECT""",
+          s"$n AS MATERIALIZED ($$1SELECT")
+      else acc
+    }
+  }
 
   /** Plan-inspection view (Explain, PlanSpec). All registered queries
     * are lazy and cache-free, so today this IS [[queries]]; kept as a

@@ -102,6 +102,65 @@ object Dedup {
       |           CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS norm
       |         FROM qe) WHERE norm > 0)""".stripMargin
 
+  /** Hex digit i (1-based) of the md5 column `h`, as 0–15 — written in
+    * the ascii/CASE dialect BOTH engines evaluate identically (the
+    * q_multimodal_sniff idiom). */
+  private def hd(i: Int): String =
+    s"(ascii(substr(h, $i, 1)) - (CASE WHEN substr(h, $i, 1) >= 'a' THEN 87 ELSE 48 END))"
+
+  /** Messy-URL synthesis from the doc's md5 digits — VERBATIM-shared
+    * between the Spark query and the DuckDB twin (concat/CASE/ascii
+    * only). Arms: scheme casing, host casing, default port (:80 with
+    * http collapses, :80 with https must SURVIVE), explicit :8080,
+    * trailing slash, three query-string layouts (with a utm_ tracking
+    * param, param order shuffled), fragment. */
+  private[llm] val urlSynthSql: String = s"""concat(
+      CASE WHEN ${hd(1)} % 2 = 0 THEN 'HTTP' ELSE 'https' END, '://',
+      CASE WHEN ${hd(3)} % 2 = 0 THEN concat('EX', ${hd(2)} % 8, '.COM')
+           ELSE concat('ex', ${hd(2)} % 8, '.com') END,
+      CASE ${hd(4)} % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+           WHEN 2 THEN ':8080' ELSE '' END,
+      concat('/p', ${hd(5)}),
+      CASE WHEN ${hd(6)} % 2 = 0 THEN '/' ELSE '' END,
+      CASE ${hd(7)} % 4
+        WHEN 0 THEN concat('?a=', ${hd(8)} % 4, '&b=', ${hd(9)} % 4, '&utm_src=x')
+        WHEN 1 THEN concat('?b=', ${hd(9)} % 4, '&a=', ${hd(8)} % 4)
+        WHEN 2 THEN concat('?utm_src=x&b=', ${hd(9)} % 4, '&a=', ${hd(8)} % 4)
+        ELSE '' END,
+      CASE WHEN ${hd(10)} % 2 = 0 THEN '#sec' ELSE '' END)"""
+
+  /** The URL canonicalizer: adds `canon` to a frame with a `url`
+    * string column. Lowercase scheme+host, strip :80/http and
+    * :443/https (a non-default port survives — :80 under https is NOT
+    * default), strip the trailing slash off a non-root path, drop the
+    * fragment, drop utm_* params and sort the survivors. Pure
+    * regexp/array built-ins — all codegen'd in the scan projection. */
+  private[llm] def canonicalizeUrl(df: DataFrame): DataFrame =
+    df
+      .withColumn("scheme_l",
+        expr("lower(regexp_extract(url, '^([A-Za-z]+)://', 1))"))
+      .withColumn("hostport",
+        expr("regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)"))
+      .withColumn("host_l", expr("lower(CASE WHEN instr(hostport, ':') > 0" +
+        " THEN substr(hostport, 1, instr(hostport, ':') - 1)" +
+        " ELSE hostport END)"))
+      .withColumn("port", expr("CASE WHEN instr(hostport, ':') > 0" +
+        " THEN substr(hostport, instr(hostport, ':') + 1) ELSE '' END"))
+      .withColumn("path0",
+        expr("regexp_extract(url, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1)"))
+      .withColumn("path", expr("CASE WHEN length(path0) > 1 AND " +
+        "substr(path0, length(path0), 1) = '/' " +
+        "THEN substr(path0, 1, length(path0) - 1) ELSE path0 END"))
+      .withColumn("qs", expr("regexp_extract(url, '[?]([^#]*)', 1)"))
+      .withColumn("params", expr("array_join(array_sort(filter(" +
+        "split(qs, '&'), p -> p != '' AND substr(p, 1, 4) != 'utm_'))," +
+        " '&')"))
+      .withColumn("canon", expr("concat(scheme_l, '://', host_l, " +
+        "CASE WHEN port != '' AND NOT ((scheme_l = 'http' AND port = '80')" +
+        " OR (scheme_l = 'https' AND port = '443'))" +
+        " THEN concat(':', port) ELSE '' END, path, " +
+        "CASE WHEN params != '' THEN concat('?', params) ELSE '' END)"))
+
   /** Exact integer dot product of two quantized vectors — graft's
     * native codegen expression (functions/ArrayNumeric.scala). */
   private[llm] val dotExpr = "dot_long(qa, qb)"
@@ -577,6 +636,32 @@ object Dedup {
           .as("bag_hash"))
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
         .orderBy("bag_hash")
+    }),
+
+    // URL-canonicalization dedup — the crawl-frontier/WARC dedup step
+    // every web corpus runs BEFORE content dedup (CCNet/RefinedWeb
+    // shape): the same page fetched as `HTTP://EX3.COM:80/p7/?utm_src=x
+    // &b=1&a=2#sec` and `http://ex3.com/p7?a=2&b=1` is ONE document.
+    // The fixture tables carry no URLs, so a messy URL is synthesized
+    // per doc from its md5 hex digits (casing, default-port, tracking-
+    // param, param-order, trailing-slash, fragment arms — the
+    // established md5-driven synthesis pattern, Multimodal.scala:85);
+    // the OPERATOR then parses the URL STRING with regexp/array
+    // built-ins only: lowercase scheme+host, strip :80/http and
+    // :443/https default ports (non-default ports survive), strip the
+    // trailing slash, drop utm_* params, sort the survivors, drop the
+    // fragment. Canonicalization is all codegen'd string ops in the
+    // scan projection; the dedup itself is ONE hash-aggregate on the
+    // canonical string — q_dedup_exact's 100 TB shape exactly.
+    "q_dedup_url" -> ((s, dir) => {
+      canonicalizeUrl(Tables(s, dir, "documents")
+        .withColumn("h", md5(col("text")))
+        .withColumn("url", expr(urlSynthSql)))
+        .groupBy(col("canon").as("canon_url"))
+        .agg(min(col("doc_id")).as("keeper"),
+          count(lit(1)).as("n_copies"),
+          countDistinct(col("url")).as("n_raw_forms"))
+        .orderBy("canon_url")
     }),
 
     // Brute-force n-gram Jaccard near-dup: distinct-shingle self-join →
@@ -1190,6 +1275,43 @@ object Dedup {
       SELECT md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS bag_hash,
              min(doc_id) AS keeper, count(*) AS n_copies
       FROM documents GROUP BY 1 ORDER BY bag_hash""",
+    // Same synthesis expression verbatim; the canonicalization chain
+    // mirrors the Spark columns 1:1 (DuckDB list_* names for the
+    // param sort/filter, instr/substr/regexp_extract otherwise
+    // identical).
+    "q_dedup_url" -> s"""
+      WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+      u AS (SELECT doc_id, $urlSynthSql AS url FROM hx),
+      p1 AS (SELECT doc_id, url,
+               lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme_l,
+               regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1) AS hostport,
+               regexp_extract(url, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1) AS path0,
+               regexp_extract(url, '[?]([^#]*)', 1) AS qs
+             FROM u),
+      p2 AS (SELECT doc_id, url, scheme_l, path0, qs,
+               lower(CASE WHEN instr(hostport, ':') > 0
+                 THEN substr(hostport, 1, CAST(instr(hostport, ':') AS INT) - 1)
+                 ELSE hostport END) AS host_l,
+               CASE WHEN instr(hostport, ':') > 0
+                 THEN substr(hostport, CAST(instr(hostport, ':') AS INT) + 1)
+                 ELSE '' END AS port
+             FROM p1),
+      p3 AS (SELECT doc_id, url, scheme_l, host_l, port,
+               CASE WHEN length(path0) > 1 AND substr(path0, length(path0), 1) = '/'
+                 THEN substr(path0, 1, length(path0) - 1) ELSE path0 END AS path,
+               array_to_string(list_sort(list_filter(string_split(qs, '&'),
+                 p -> p <> '' AND substr(p, 1, 4) <> 'utm_')), '&') AS params
+             FROM p2),
+      c AS (SELECT doc_id, url,
+              concat(scheme_l, '://', host_l,
+                CASE WHEN port <> '' AND NOT ((scheme_l = 'http' AND port = '80')
+                  OR (scheme_l = 'https' AND port = '443'))
+                  THEN concat(':', port) ELSE '' END, path,
+                CASE WHEN params <> '' THEN concat('?', params) ELSE '' END) AS canon
+            FROM p3)
+      SELECT canon AS canon_url, min(doc_id) AS keeper,
+             count(*) AS n_copies, count(DISTINCT url) AS n_raw_forms
+      FROM c GROUP BY 1 ORDER BY canon_url""",
     "q_dedup_jaccard" -> (SH + """,
       inter AS (SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS inter
                 FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id

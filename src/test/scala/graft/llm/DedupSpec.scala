@@ -295,4 +295,35 @@ class DedupSpec extends SparkSuite {
     assert(full.nonEmpty)
     assert(pp == full)
   }
+
+  test("URL canonicalizer: casing, default ports, utm params, slash, fragment") {
+    val urls = Seq(
+      // all the collapse arms at once → one canonical form
+      "HTTP://EX3.COM:80/p7/?utm_src=x&b=1&a=2#sec",
+      "http://ex3.com/p7?a=2&b=1",
+      // https keeps :80 (NOT its default port)
+      "https://ex3.com:80/p7",
+      // non-default port survives; root path keeps its slash
+      "http://ex3.com:8080/",
+      // empty query after utm_ removal → no '?'
+      "http://ex3.com/p7?utm_src=x")
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("doc_id", "url")
+    val got = Dedup.canonicalizeUrl(urls)
+      .select("doc_id", "canon").as[(Long, String)].collect().toMap
+    assert(got(0L) == "http://ex3.com/p7?a=2&b=1")
+    assert(got(1L) == "http://ex3.com/p7?a=2&b=1")
+    assert(got(2L) == "https://ex3.com:80/p7")
+    assert(got(3L) == "http://ex3.com:8080/")
+    assert(got(4L) == "http://ex3.com/p7")
+  }
+
+  test("q_dedup_url groups collapse raw variants: n_raw_forms <= n_copies") {
+    val got = Dedup.queries("q_dedup_url")(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall { case (_, _, nc, nr) => nr <= nc && nr >= 1 })
+    // the synthesis arms guarantee every canon starts with http(s)://
+    assert(got.forall(_._1.matches("^https?://ex[0-7]\\.com.*")))
+  }
 }

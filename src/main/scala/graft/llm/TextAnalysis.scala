@@ -508,7 +508,109 @@ object TextAnalysis {
         .select(col("doc_id"), col("lang"), col("cl").as("pred"),
           round(col("score"), 4).cast("double").as("score"))
         .orderBy("doc_id")
+    }),
+
+    // Interpolated Kneser-Ney bigram LM, trained as THREE aggregates
+    // over the train split's adjacent-pair stream (doc_id % 4 ≠ 0):
+    // per-history totals c(v)/N1+(v·), per-token continuation counts
+    // N1+(·w), and the global bigram-type count N — the exact
+    // statistics KenLM materializes, which CCNet/RefinedWeb then use
+    // as the perplexity quality gate. This query emits the trained
+    // model itself, one row per token (the vocab-bounded artifact a
+    // pipeline persists): its history mass, forward type count, and
+    // continuation count, in pure BIGINT.
+    "q_lm_kn_train" -> ((s, dir) => {
+      val (cv, contw, _) = knModel(Tables(s, dir, "documents"))
+      cv.join(contw, Seq("tok"), "full_outer")
+        .select(col("tok"),
+          coalesce(col("c_hist"), lit(0L)).as("c_hist"),
+          coalesce(col("n1p_fwd"), lit(0L)).as("n1p_fwd"),
+          coalesce(col("n1p_bwd"), lit(0L)).as("n1p_bwd"))
+        .orderBy("tok")
+    }),
+
+    // The model APPLIED — held-out perplexity scoring (doc_id % 4 = 0)
+    // with absolute discount D = 3/4 kept as an exact rational:
+    //   P(w|v) = [(4·c(vw) − 3)⁺·N + 3·N1+(v·)·N1+(·w)] / (4·c(v)·N)
+    // when v was seen, backing off to the continuation unigram
+    // N1+(·w)/N for an unseen history and to the floor 1/(4·max(N,1))
+    // for a fully unseen pair — numerator and denominator BIGINT, so
+    // the only doubles are one IEEE divide + ln, rounded to 6 dp
+    // before the DECIMAL(38,6) per-doc sum (the q_nb_classify
+    // discipline; order-independent, cross-engine exact). Scale shape:
+    // the model tables are vocab-bounded, so scoring joins them via
+    // `shuffle_hash` (GBs at 100 TB — hash-join build side, never a
+    // broadcast), and the corpus stream is touched once. The decile
+    // uses one global ntile at verify scale; at 100 TB the same
+    // column feeds approx-quantile cutoffs + a scan-side bucket
+    // compare instead (documented, PLANS.md).
+    "q_lm_perplexity" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val (cv, contw, cvw) = knModel(docs)
+      val nn = cvw.agg(count(lit(1)).as("nt"))
+      val testBi = bigrams(docs.filter(col("doc_id") % 4 === 0))
+      val scored = testBi
+        .join(cvw.withColumnRenamed("tok", "v")
+          .withColumnRenamed("nxt", "w").hint("shuffle_hash"),
+          Seq("v", "w"), "left")
+        .join(cv.withColumnRenamed("tok", "v")
+          .hint("shuffle_hash"), Seq("v"), "left")
+        .join(contw.withColumnRenamed("tok", "w")
+          .hint("shuffle_hash"), Seq("w"), "left")
+        .crossJoin(broadcast(nn))
+        .withColumn("num", expr("CASE WHEN c_hist IS NOT NULL THEN " +
+          "greatest(4 * coalesce(c, 0L) - 3, 0L) * nt " +
+          "+ 3 * n1p_fwd * coalesce(n1p_bwd, 0L) " +
+          "WHEN n1p_bwd IS NOT NULL THEN n1p_bwd ELSE 1L END"))
+        .withColumn("den", expr("CASE WHEN c_hist IS NOT NULL THEN " +
+          "4 * c_hist * nt WHEN n1p_bwd IS NOT NULL THEN nt " +
+          "ELSE 4 * greatest(nt, 1L) END"))
+        .withColumn("term", when(col("num") === 0L, lit(BigDecimal("-18.420681")))
+          .otherwise(round(log(col("num").cast("double")
+            / col("den").cast("double")), 6)).cast("decimal(38,6)"))
+      scored.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("term")).as("sum_ll"))
+        .withColumn("avg_ll", round(col("sum_ll").cast("double")
+          / col("n_bigrams"), 6))
+        .withColumn("decile", ntile(10).over(
+          Window.orderBy(col("avg_ll").asc, col("doc_id").asc)).cast("int"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("sum_ll"), 4).cast("double").as("sum_ll"),
+          col("avg_ll"), col("decile"),
+          (col("decile") > 1).as("keep"))
+        .orderBy("doc_id")
     }))
+
+  /** The ordered adjacent-pair (bigram) stream of a doc frame:
+    * empty tokens dropped BEFORE pairing (so `a  b` still yields
+    * (a,b)), docs with fewer than 2 surviving tokens contribute
+    * nothing — one scan, the pairs built by a codegen'd
+    * transform/sequence, no window exchange. */
+  private def bigrams(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x != '')").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> struct(t[i] AS v, t[i + 1] AS w))")).as("p"))
+      .select(col("doc_id"), col("p.v").as("v"), col("p.w").as("w"))
+
+  /** The three Kneser-Ney model aggregates over the train split:
+    * (per-history stats, per-token continuation counts, raw bigram
+    * counts) — each one shuffle on its own key, all vocab-bounded. */
+  private def knModel(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val bi = bigrams(docs.filter(col("doc_id") % 4 =!= 0))
+    val cvw = bi.groupBy(col("v").as("tok"), col("w").as("nxt"))
+      .agg(count(lit(1)).as("c"))
+    val cv = cvw.groupBy(col("tok"))
+      .agg(sum(col("c")).as("c_hist"), count(lit(1)).as("n1p_fwd"))
+    val contw = cvw.groupBy(col("nxt").as("tok"))
+      .agg(count(lit(1)).as("n1p_bwd"))
+    (cv, contw, cvw)
+  }
 
   /** The round-0 BPE symbol table: the distinct-word dictionary of
     * the lowercase-alpha corpus words, exploded to one row per
@@ -831,7 +933,69 @@ object TextAnalysis {
                (PARTITION BY doc_id ORDER BY score DESC, cl ASC) AS rnk
              FROM ag)
       SELECT doc_id, lang, cl AS pred, CAST(round(score, 4) AS DOUBLE) AS score
-      FROM rk WHERE rnk = 1 ORDER BY doc_id""")
+      FROM rk WHERE rnk = 1 ORDER BY doc_id""",
+    "q_lm_kn_train" -> (knCtes + """
+      SELECT coalesce(cv.tok, ct.tok) AS tok,
+             coalesce(cv.c_hist, 0) AS c_hist,
+             coalesce(cv.n1p_fwd, 0) AS n1p_fwd,
+             coalesce(ct.n1p_bwd, 0) AS n1p_bwd
+      FROM cv FULL OUTER JOIN ct ON cv.tok = ct.tok
+      ORDER BY tok"""),
+    "q_lm_perplexity" -> (knCtes + """,
+      tbi AS (SELECT doc_id, t[i] AS v, t[i + 1] AS w
+              FROM (SELECT doc_id, t FROM toks
+                    WHERE doc_id % 4 = 0 AND len(t) >= 2),
+                   UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+      sc AS (SELECT tb.doc_id,
+               CASE WHEN cv.c_hist IS NOT NULL THEN
+                      greatest(4 * coalesce(cvw.c, 0) - 3, 0) * nt.nt
+                      + 3 * cv.n1p_fwd * coalesce(ct.n1p_bwd, 0)
+                    WHEN ct.n1p_bwd IS NOT NULL THEN ct.n1p_bwd
+                    ELSE 1 END AS num,
+               CASE WHEN cv.c_hist IS NOT NULL THEN 4 * cv.c_hist * nt.nt
+                    WHEN ct.n1p_bwd IS NOT NULL THEN nt.nt
+                    ELSE 4 * greatest(nt.nt, 1) END AS den
+             FROM tbi tb
+             LEFT JOIN cvw ON cvw.tok = tb.v AND cvw.nxt = tb.w
+             LEFT JOIN cv ON cv.tok = tb.v
+             LEFT JOIN ct ON ct.tok = tb.w
+             CROSS JOIN nt),
+      tm AS (SELECT doc_id,
+               CASE WHEN num = 0 THEN CAST(-18.420681 AS DECIMAL(38,6))
+                    ELSE CAST(round(ln(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)), 6)
+                         AS DECIMAL(38,6)) END AS term
+             FROM sc),
+      ag AS (SELECT doc_id, count(*) AS n_bigrams, sum(term) AS sum_ll
+             FROM tm GROUP BY 1),
+      av AS (SELECT doc_id, n_bigrams, sum_ll,
+               round(CAST(sum_ll AS DOUBLE) / n_bigrams, 6) AS avg_ll
+             FROM ag),
+      dcl AS (SELECT *, CAST(ntile(10) OVER
+                (ORDER BY avg_ll ASC, doc_id ASC) AS INT) AS decile
+              FROM av)
+      SELECT doc_id, n_bigrams, CAST(round(sum_ll, 4) AS DOUBLE) AS sum_ll,
+             avg_ll, decile, decile > 1 AS keep
+      FROM dcl ORDER BY doc_id"""))
+
+  /** Shared Kneser-Ney CTE prefix: the filtered token stream, the
+    * train split's bigram counts, the per-history and continuation
+    * aggregates (sums cast back to BIGINT — the DuckDB HUGEINT trap),
+    * and the global type count. */
+  private lazy val knCtes = """
+      WITH toks AS (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+             FROM documents),
+      bi AS (SELECT doc_id, t[i] AS v, t[i + 1] AS w
+             FROM (SELECT doc_id, t FROM toks
+                   WHERE doc_id % 4 <> 0 AND len(t) >= 2),
+                  UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+      cvw AS (SELECT v AS tok, w AS nxt, count(*) AS c
+              FROM bi GROUP BY 1, 2),
+      cv AS (SELECT tok, CAST(sum(c) AS BIGINT) AS c_hist,
+               count(*) AS n1p_fwd
+             FROM cvw GROUP BY 1),
+      ct AS (SELECT nxt AS tok, count(*) AS n1p_bwd FROM cvw GROUP BY 1),
+      nt AS (SELECT count(*) AS nt FROM cvw)"""
 
   /** Compression-ratio quality signal (the Gopher/CCNet-style filter:
     * highly repetitive text compresses too well, random noise barely

@@ -71,6 +71,26 @@ class TextAnalysisSpec extends SparkSuite {
       (3, "a", "b", 1L, 2L)))
   }
 
+  test("Kneser-Ney bigram model and held-out scoring match hand arithmetic") {
+    // Train (ids 1,2): "a b a b c" -> (a,b)x2,(b,a),(b,c); "c a" -> (c,a).
+    // cvw types N=4. cv: a(2,1) b(2,2) c(1,1). cont: a<-2, b<-1, c<-1.
+    val dir = java.nio.file.Files.createTempDirectory("kn").toString
+    Seq((1L, "a b a b c"), (2L, "c a"), (4L, "a b x"))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val model = TextAnalysis.queries("q_lm_kn_train")(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(model == Seq(("a", 2L, 1L, 2L), ("b", 2L, 2L, 1L),
+      ("c", 1L, 1L, 1L)))
+    // Test doc 4 "a b x": (a,b): num = (4*2-3)*4 + 3*1*1 = 23,
+    // den = 4*2*4 = 32, term = round(ln(23/32),6) = -0.330242;
+    // (b,x): x never continues anything -> num = 0 -> floor -18.420681.
+    val got = TextAnalysis.queries("q_lm_perplexity")(spark, dir)
+      .as[(Long, Long, Double, Double, Int, Boolean)].collect().toSeq
+    assert(got == Seq((4L, 2L, -18.7509, -9.375462, 1, false)))
+  }
+
   test("BPE survives a pairless round: no merges learned, docs still tokenize") {
     // Every dict word is a single character, so round 1 finds NO
     // adjacent pairs — `best` is empty. The old crossJoin emptied the

@@ -52,6 +52,20 @@ case class QoiMeta(doc_id: Long, status: String,
     r_sum: Option[Long], g_sum: Option[Long], b_sum: Option[Long],
     px_min: Option[Int], px_max: Option[Int], n_run_px: Option[Long])
 
+/** Typed output of the REAL GIF decode — the second COMPRESSED format
+  * and the first DICTIONARY coder (LZW with variable-width codes): parse
+  * status, logical-screen dims, palette size, exact per-channel sums
+  * through the global color table, and the logical-top-row checksum
+  * that makes DE-INTERLACING observable in the hash gate (an interlaced
+  * GIF stores rows in 4-pass order; a decoder that skips the
+  * permutation gets row0_sum wrong while all whole-image sums stay
+  * right). */
+case class GifMeta(doc_id: Long, status: String,
+    width: Option[Int], height: Option[Int], n_colors: Option[Int],
+    interlaced: Option[Int], r_sum: Option[Long], g_sum: Option[Long],
+    b_sum: Option[Long], px_min: Option[Int], px_max: Option[Int],
+    row0_sum: Option[Long])
+
 /** Multimodal-column plumbing: media as opaque `binary` columns with
   * typed, schema'd metadata extraction (north-star extension — the
   * reference has nothing beyond strings).
@@ -569,6 +583,293 @@ object Multimodal {
     }
   }
 
+  /** Interlaced GIFs store rows in four passes (GIF87a appendix E):
+    * every 8th from 0, every 8th from 4, every 4th from 2, every 2nd
+    * from 1. Returns the STORAGE order of logical row indices. */
+  private def interlaceOrder(h: Int): Array[Int] =
+    Array((0, 8), (4, 8), (2, 4), (1, 2))
+      .flatMap { case (start, step) => start until h by step }
+
+  /** Synthesize a REAL GIF87a file (CompuServe spec — public) from a
+    * doc's md5 hex: logical screen descriptor, 4-entry global color
+    * table, image descriptor, and a genuinely LZW-COMPRESSED index
+    * stream (variable-width codes starting at 3 bits, clear/EOI codes,
+    * LSB-first bit packing, 255-byte sub-blocks) from a from-scratch
+    * spec-faithful encoder. Logical pixels are a pure function of the
+    * md5 bytes (3-pixel blocks sharing one palette index, so LZW run
+    * entries genuinely fire); the oracle recomputes stats from that
+    * pure function and never sees the compressed bytes — the hash gate
+    * proves the LZW encoder→decoder round trip bit-exact. Arms:
+    * corrupted magic (~6%), INTERLACED row order (~25% — the pass
+    * permutation a correct decoder must invert; row0_sum pins it), and
+    * the trailer byte dropped (~12.5% → `truncated`). */
+  private[llm] def gifBytes(h: String): Array[Byte] = {
+    val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
+    val badMagic = b(11) % 16 == 0
+    val interlaced = b(13) % 4 == 0
+    val trunc = b(15) % 8 == 3
+    val w = 1 + b(0) % 4
+    val ht = 1 + b(1) % 4
+    val idx = Array.tabulate(w * ht)(i => b(5 + (i / 3) % 8) % 4)
+    val out = new java.io.ByteArrayOutputStream(128)
+    def w16(v: Int): Unit = { out.write(v & 255); out.write((v >> 8) & 255) }
+    out.write((if (badMagic) "XIF87a" else "GIF87a").getBytes("US-ASCII"))
+    w16(w); w16(ht)
+    out.write(0xF1) // GCT present, 8-bit color res, size 2^(1+1) = 4
+    out.write(0); out.write(0) // bg index, aspect
+    (0 until 4).foreach { j =>
+      out.write((b(2) + 7 * j) % 256)
+      out.write((b(3) + 11 * j) % 256)
+      out.write((b(4) + 13 * j) % 256)
+    }
+    out.write(0x2C); w16(0); w16(0); w16(w); w16(ht)
+    out.write(if (interlaced) 0x40 else 0x00)
+    // storage-order index stream: interlace permutation of logical rows
+    val order = if (interlaced) interlaceOrder(ht) else (0 until ht).toArray
+    val stream = order.flatMap(r => (0 until w).map(c => idx(r * w + c)))
+    out.write(2) // LZW minimum code size
+    val lzw = lzwEncode(stream, minCode = 2)
+    var off = 0
+    while (off < lzw.length) { // 255-byte sub-blocks
+      val n = math.min(255, lzw.length - off)
+      out.write(n); out.write(lzw, off, n); off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3B) // trailer
+    val full = out.toByteArray
+    if (trunc) full.dropRight(1) else full
+  }
+
+  /** From-scratch GIF-variant LZW encoder: clear code emitted first,
+    * dictionary keyed (prefixCode, symbol), EOI last, LSB-first
+    * packing. The width bump is checked after EVERY emitted code
+    * against the next-free counter (`next >= 2^width`, the giflib
+    * discipline) — NOT only when an entry is added: the decoder adds
+    * one entry per data code it READS, so after the encoder's final
+    * data code (which adds no entry) the decoder may still cross a
+    * power of two and read the EOI one bit wider. Tying the check to
+    * emission keeps the two trajectories identical including that
+    * final code. */
+  private[llm] def lzwEncode(syms: Array[Int], minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream(64)
+    var acc = 0L; var nbits = 0
+    var width = minCode + 1
+    var next = eoi + 1
+    def emit(code: Int): Unit = {
+      acc |= code.toLong << nbits; nbits += width
+      while (nbits >= 8) { out.write((acc & 255).toInt); acc >>>= 8; nbits -= 8 }
+      if (next >= (1 << width) && width < 12) width += 1
+    }
+    var dict = Map.empty[(Int, Int), Int]
+    emit(clear)
+    if (syms.nonEmpty) {
+      var cur = syms(0)
+      var i = 1
+      while (i < syms.length) {
+        val s = syms(i)
+        dict.get((cur, s)) match {
+          case Some(c) => cur = c
+          case None =>
+            emit(cur)
+            if (next < 4096) {
+              dict += ((cur, s)) -> next; next += 1
+            } else { // dictionary full: reset (never hit by ≤16-px fixtures)
+              emit(clear); dict = Map.empty; next = eoi + 1; width = minCode + 1
+            }
+            cur = s
+        }
+        i += 1
+      }
+      emit(cur)
+    }
+    emit(eoi)
+    if (nbits > 0) out.write((acc & 255).toInt) // flush partial byte
+    out.toByteArray
+  }
+
+  /** REAL from-scratch GIF87a decoder — the fifth honest decode path
+    * and the first DICTIONARY-coded one: header + logical screen
+    * descriptor, global color table, extension-block skipping (real
+    * GIFs carry GCE/comment blocks — a correct walk skips what it
+    * doesn't know), image descriptor with the interlace flag, then the
+    * LZW walk: sub-block reassembly, LSB-first variable-width code
+    * reading, clear/EOI handling, the KwKwK `code == next` case, the
+    * decoder-side width bump at `next == 2^width`, every read
+    * bounds-checked and the output capped at the declared pixel count.
+    * Interlaced images are de-permuted to LOGICAL rows before stats —
+    * row0_sum is the observable that catches a skipped de-interlace.
+    * Malformed input degrades to a status ROW (`bad_magic`,
+    * `bad_header`, `unsupported`, `truncated`, `bad_data`), never a
+    * throw — the 100 TB survival property shared by the whole family. */
+  private[llm] def parseGif(id: Long, p: Array[Byte]): GifMeta = {
+    val none = GifMeta(id, "bad_magic", None, None, None, None, None,
+      None, None, None, None, None)
+    if (p == null || p.length < 6 || p(0) != 'G' || p(1) != 'I' || p(2) != 'F')
+      return none
+    val ver = new String(p, 3, 3, "US-ASCII")
+    if (ver != "87a" && ver != "89a") return none.copy(status = "bad_header")
+    if (p.length < 13) return none.copy(status = "bad_header")
+    def u16(i: Int): Int = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+    val w = u16(6); val ht = u16(8)
+    val packed = p(10) & 0xff
+    if (w <= 0 || ht <= 0) return none.copy(status = "bad_header")
+    val nColors = 1 << ((packed & 7) + 1)
+    if ((packed & 0x80) == 0) // no global color table: can't resolve pixels
+      return none.copy(status = "unsupported",
+        width = Some(w), height = Some(ht))
+    val meta = none.copy(width = Some(w), height = Some(ht),
+      n_colors = Some(nColors))
+    var i = 13
+    if (i + 3 * nColors > p.length) return meta.copy(status = "truncated")
+    val pal = Array.tabulate(3 * nColors)(j => p(i + j) & 0xff)
+    i += 3 * nColors
+    // block walk to the image descriptor, skipping extensions
+    var guard = true
+    while (guard) {
+      if (i >= p.length) return meta.copy(status = "truncated")
+      (p(i) & 0xff) match {
+        case 0x21 => // extension: label + sub-blocks
+          i += 2
+          var sz = if (i < p.length) p(i) & 0xff else -1
+          while (sz > 0) {
+            i += 1 + sz
+            sz = if (i < p.length) p(i) & 0xff else -1
+          }
+          if (sz < 0) return meta.copy(status = "truncated")
+          i += 1 // terminator
+        case 0x2C => guard = false
+        case 0x3B => return meta.copy(status = "bad_data") // trailer, no image
+        case _ => return meta.copy(status = "bad_data")
+      }
+    }
+    if (i + 10 > p.length) return meta.copy(status = "truncated")
+    val iw = u16(i + 5); val ih = u16(i + 7)
+    val ipacked = p(i + 9) & 0xff
+    if ((ipacked & 0x80) != 0) // local color table — out of scope
+      return meta.copy(status = "unsupported")
+    val interlaced = (ipacked & 0x40) != 0
+    val m2 = meta.copy(interlaced = Some(if (interlaced) 1 else 0))
+    if (iw != w || ih != ht || iw.toLong * ih > Int.MaxValue)
+      return m2.copy(status = "bad_header")
+    i += 10
+    if (i >= p.length) return m2.copy(status = "truncated")
+    val minCode = p(i) & 0xff; i += 1
+    if (minCode < 1 || minCode > 8) return m2.copy(status = "bad_data")
+    // reassemble the LZW stream from sub-blocks
+    val data = new java.io.ByteArrayOutputStream(64)
+    var sz = if (i < p.length) p(i) & 0xff else -1
+    while (sz > 0) {
+      if (i + 1 + sz > p.length) return m2.copy(status = "truncated")
+      data.write(p, i + 1, sz)
+      i += 1 + sz
+      sz = if (i < p.length) p(i) & 0xff else -1
+    }
+    if (sz < 0) return m2.copy(status = "truncated")
+    i += 1 // sub-block terminator
+    val lzw = data.toByteArray
+    val n = iw * ih
+    val px = new Array[Int](n)
+    // LZW decode: prefix/suffix tables, KwKwK case, width bump at 2^width
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    var next = eoi + 1
+    var width = minCode + 1
+    var acc = 0L; var nbits = 0; var pos = 0
+    var produced = 0
+    var prev = -1
+    val stack = new Array[Int](4096)
+    def readCode(): Int = {
+      while (nbits < width) {
+        if (pos >= lzw.length) return -1
+        acc |= (lzw(pos) & 0xffL) << nbits; nbits += 8; pos += 1
+      }
+      val c = (acc & ((1 << width) - 1)).toInt
+      acc >>>= width; nbits -= width
+      c
+    }
+    var done = false
+    while (!done) {
+      val c = readCode()
+      if (c < 0) return m2.copy(status = "truncated")
+      if (c == clear) { next = eoi + 1; width = minCode + 1; prev = -1 }
+      else if (c == eoi) done = true
+      else {
+        if (c > next || (c == next && prev < 0)) return m2.copy(status = "bad_data")
+        var top = 0
+        var cc = if (c == next) prev else c // KwKwK: expand prev, append first
+        val kwk = c == next
+        while (cc >= clear + 2) { stack(top) = suffix(cc); top += 1; cc = prefix(cc) }
+        if (cc >= clear) return m2.copy(status = "bad_data")
+        val first = cc
+        stack(top) = cc; top += 1
+        // KwKwK: the entry is prev-string + its own first symbol — emit
+        // the expanded prev-string, then `first` once more at the end.
+        val count = top + (if (kwk) 1 else 0)
+        if (produced + count > n) return m2.copy(status = "bad_data")
+        while (top > 0) { top -= 1; px(produced) = stack(top); produced += 1 }
+        if (kwk) { px(produced) = first; produced += 1 }
+        if (prev >= 0 && next < 4096) {
+          prefix(next) = prev; suffix(next) = first; next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = c
+        if (produced == n) {
+          // image complete: next code must be EOI (or stream may clear)
+          val e = readCode()
+          if (e != eoi) return m2.copy(status = "bad_data")
+          done = true
+        }
+      }
+    }
+    if (produced < n) return m2.copy(status = "truncated")
+    var j = 0
+    while (j < n) { if (px(j) >= nColors) return m2.copy(status = "bad_data"); j += 1 }
+    // de-interlace: storage row k holds logical row order(k)
+    val logical =
+      if (!interlaced) px
+      else {
+        val order = interlaceOrder(ih)
+        val out2 = new Array[Int](n)
+        var k = 0
+        while (k < ih) {
+          System.arraycopy(px, k * iw, out2, order(k) * iw, iw)
+          k += 1
+        }
+        out2
+      }
+    if (i >= p.length || (p(i) & 0xff) != 0x3B) // trailer required
+      return m2.copy(status = "truncated")
+    var rs = 0L; var gs = 0L; var bs = 0L; var r0 = 0L
+    var mn = 255; var mx = 0
+    j = 0
+    while (j < n) {
+      val ci = logical(j)
+      val rr = pal(3 * ci); val gg = pal(3 * ci + 1); val bb = pal(3 * ci + 2)
+      rs += rr; gs += gg; bs += bb
+      if (j < iw) r0 += rr + gg + bb
+      if (rr < mn) mn = rr; if (gg < mn) mn = gg; if (bb < mn) mn = bb
+      if (rr > mx) mx = rr; if (gg > mx) mx = gg; if (bb > mx) mx = bb
+      j += 1
+    }
+    m2.copy(status = "ok", r_sum = Some(rs), g_sum = Some(gs),
+      b_sum = Some(bs), px_min = Some(mn), px_max = Some(mx),
+      row0_sum = Some(r0))
+  }
+
+  /** The typed GIF decode stage over [[parseGif]] — same per-partition
+    * shape as the rest of the decode family. */
+  def decodeGif(ds: Dataset[BinaryDoc]): Dataset[GifMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      // per-partition decode-buffer allocation would go here
+      rows.map(d => parseGif(d.doc_id, d.payload))
+    }
+  }
+
   /** STUB decoder — stands in for image decode + feature extraction.
     * Deterministic: width/height/channels from the first 3 bytes, mean
     * intensity over the first 4 (exact: quarters are binary-exact
@@ -699,6 +1000,26 @@ object Multimodal {
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, h) => BinaryDoc(id, qoiBytes(h)) })
       decodeQoi(payloads).toDF().orderBy("doc_id")
+    }),
+
+    // The fifth REAL decode path and the first DICTIONARY-coded one:
+    // synthesized genuine GIF87a files — logical screen descriptor,
+    // global color table, and an LZW stream (variable-width codes,
+    // clear/EOI, sub-blocks) from the from-scratch spec-faithful
+    // encoder — decoded by [[parseGif]]. The oracle recomputes expected
+    // stats from the md5-keyed LOGICAL pixels and never sees the
+    // compressed bytes, so the hash gate proves the LZW round trip
+    // bit-exact (code-width bumps, KwKwK, sub-block reassembly). The
+    // interlace arm (~25%) permutes storage rows; row0_sum is computed
+    // over the LOGICAL top row on both sides, so a skipped or wrong
+    // de-interlace breaks the gate while whole-image sums would not.
+    "q_multimodal_decode_gif" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Tables(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, h) => BinaryDoc(id, gifBytes(h)) })
+      decodeGif(payloads).toDF().orderBy("doc_id")
     }),
 
     // Format sniffing + byte-level QA stats — the one multimodal stage
@@ -901,6 +1222,48 @@ object Multimodal {
              CASE WHEN badmagic OR badchan OR trunc THEN NULL ELSE px_min END AS px_min,
              CASE WHEN badmagic OR badchan OR trunc THEN NULL ELSE px_max END AS px_max,
              CASE WHEN badmagic OR badchan OR trunc THEN NULL ELSE n_run_px END AS n_run_px
+      FROM d JOIN st ON d.doc_id = st.doc_id
+      ORDER BY d.doc_id""",
+    "q_multimodal_decode_gif" -> s"""
+      WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+      b AS (SELECT doc_id, ${byteAt(0)} AS b0, ${byteAt(1)} AS b1,
+               ${byteAt(2)} AS b2, ${byteAt(3)} AS b3, ${byteAt(4)} AS b4,
+               list_value(${byteAt(5)}, ${byteAt(6)}, ${byteAt(7)},
+                 ${byteAt(8)}, ${byteAt(9)}, ${byteAt(10)}, ${byteAt(11)},
+                 ${byteAt(12)}) AS bl,
+               ${byteAt(11)} AS b11, ${byteAt(13)} AS b13, ${byteAt(15)} AS b15
+            FROM hx),
+      d AS (SELECT doc_id, b2, b3, b4, bl, b11 % 16 = 0 AS badmagic,
+               b13 % 4 = 0 AS il, b15 % 8 = 3 AS trunc,
+               1 + b0 % 4 AS w, 1 + b1 % 4 AS hh
+            FROM b),
+      px AS (SELECT doc_id, i, w,
+               (b2 + 7 * (bl[(i // 3) % 8 + 1] % 4)) % 256 AS r,
+               (b3 + 11 * (bl[(i // 3) % 8 + 1] % 4)) % 256 AS g,
+               (b4 + 13 * (bl[(i // 3) % 8 + 1] % 4)) % 256 AS bb
+             FROM d, UNNEST(generate_series(0, w * hh - 1)) AS u(i)),
+      st AS (SELECT doc_id, CAST(sum(r) AS BIGINT) AS r_sum,
+               CAST(sum(g) AS BIGINT) AS g_sum,
+               CAST(sum(bb) AS BIGINT) AS b_sum,
+               CAST(least(min(r), min(g), min(bb)) AS INT) AS px_min,
+               CAST(greatest(max(r), max(g), max(bb)) AS INT) AS px_max,
+               CAST(sum(CASE WHEN i < w THEN r + g + bb ELSE 0 END)
+                 AS BIGINT) AS row0_sum
+             FROM px GROUP BY doc_id)
+      SELECT d.doc_id,
+             CASE WHEN badmagic THEN 'bad_magic'
+                  WHEN trunc THEN 'truncated' ELSE 'ok' END AS status,
+             CASE WHEN badmagic THEN NULL ELSE CAST(w AS INT) END AS width,
+             CASE WHEN badmagic THEN NULL ELSE CAST(hh AS INT) END AS height,
+             CASE WHEN badmagic THEN NULL ELSE CAST(4 AS INT) END AS n_colors,
+             CASE WHEN badmagic THEN NULL
+                  ELSE CAST(il AS INT) END AS interlaced,
+             CASE WHEN badmagic OR trunc THEN NULL ELSE r_sum END AS r_sum,
+             CASE WHEN badmagic OR trunc THEN NULL ELSE g_sum END AS g_sum,
+             CASE WHEN badmagic OR trunc THEN NULL ELSE b_sum END AS b_sum,
+             CASE WHEN badmagic OR trunc THEN NULL ELSE px_min END AS px_min,
+             CASE WHEN badmagic OR trunc THEN NULL ELSE px_max END AS px_max,
+             CASE WHEN badmagic OR trunc THEN NULL ELSE row0_sum END AS row0_sum
       FROM d JOIN st ON d.doc_id = st.doc_id
       ORDER BY d.doc_id""",
     "q_multimodal_sniff" -> """

@@ -204,4 +204,57 @@ class MultimodalSpec extends AnyFunSuite {
     // two intra-block repeats per 3-pixel block, no cross-block run
     assert(m.n_run_px.contains(4L))
   }
+
+  // ---- GIF (the LZW dictionary-coded decoder) ----
+
+  test("synthesized GIF round-trips through the LZW decoder") {
+    // arms off: b11=0x19 (magic ok), b13=0x1b (not interlaced),
+    // b15=0x05 (no truncation); w=2, ht=4, indexes [3,3,3,1,1,1,3,3]
+    // — every 3-pixel block is a run, so the encoder's (cur,s) chain
+    // emits a code equal to `next` and the decoder's KwKwK arm fires.
+    val h = "01030507090b0d0f11131517191b1d05"
+    val m = Multimodal.parseGif(60L, Multimodal.gifBytes(h))
+    assert(m.status == "ok")
+    assert(m.width.contains(2) && m.height.contains(4))
+    assert(m.n_colors.contains(4) && m.interlaced.contains(0))
+    assert(m.r_sum.contains(166L) && m.g_sum.contains(254L) &&
+      m.b_sum.contains(306L))
+    assert(m.px_min.contains(12) && m.px_max.contains(48))
+    assert(m.row0_sum.contains(228L)) // logical top row: two j=3 pixels
+  }
+
+  test("interlaced GIF is de-permuted to logical rows before stats") {
+    // b13=0x04 → interlace arm ON; w=4, ht=4, so the storage order is
+    // rows [0,2,1,3] — whole-image sums are permutation-blind, but
+    // row0_sum is computed over the LOGICAL top row [1,1,1,3] and
+    // catches a skipped or wrong de-interlace.
+    val h = "030307090b0d0f11131517191b040101"
+    val m = Multimodal.parseGif(61L, Multimodal.gifBytes(h))
+    assert(m.status == "ok")
+    assert(m.interlaced.contains(1))
+    assert(m.r_sum.contains(322L) && m.g_sum.contains(474L) &&
+      m.b_sum.contains(566L))
+    assert(m.px_min.contains(14) && m.px_max.contains(50))
+    assert(m.row0_sum.contains(294L))
+  }
+
+  test("GIF failure paths are rows, never throws") {
+    assert(Multimodal.parseGif(62L, null).status == "bad_magic")
+    assert(Multimodal.parseGif(63L,
+      "JIF87a".getBytes("US-ASCII")).status == "bad_magic")
+    assert(Multimodal.parseGif(64L,
+      "GIF88a".getBytes("US-ASCII")).status == "bad_header")
+    // trailer-drop arm (b15=0x03): decodes fully, then misses 0x3B
+    val t = Multimodal.parseGif(65L,
+      Multimodal.gifBytes("01030507090b0d0f11131517191b1d03"))
+    assert(t.status == "truncated")
+    assert(t.width.contains(2) && t.height.contains(4))
+    assert(t.r_sum.isEmpty)
+    // cut INSIDE the LZW sub-block: declared size outruns the payload
+    val full = Multimodal.gifBytes("01030507090b0d0f11131517191b1d05")
+    assert(Multimodal.parseGif(66L,
+      full.dropRight(3)).status == "truncated")
+    // header cut mid-color-table
+    assert(Multimodal.parseGif(67L, full.take(15)).status == "truncated")
+  }
 }

@@ -52,6 +52,14 @@ case class QoiMeta(doc_id: Long, status: String,
     r_sum: Option[Long], g_sum: Option[Long], b_sum: Option[Long],
     px_min: Option[Int], px_max: Option[Int], n_run_px: Option[Long])
 
+/** One fixed-length analysis frame of decoded audio — the feature
+  * stage downstream of [[Multimodal.parseWav]]: exact integer energy
+  * (sum of squared deviations from the 8-bit midpoint 128) and the
+  * zero-crossing count (sign changes across the midpoint), the two
+  * classic speech/music discriminators, plus the raw sample sum. */
+case class AudioFrame(doc_id: Long, frame: Int, n_s: Int,
+    s_sum: Long, energy: Long, zcr: Int)
+
 /** Typed output of the REAL GIF decode — the second COMPRESSED format
   * and the first DICTIONARY coder (LZW with variable-width codes): parse
   * status, logical-screen dims, palette size, exact per-channel sums
@@ -289,6 +297,59 @@ object Multimodal {
     ds.mapPartitions { rows =>
       // per-partition decode-buffer allocation would go here
       rows.map(d => parseWav(d.doc_id, d.payload))
+    }
+  }
+
+  /** Audio FEATURE EXTRACTION over the decoded PCM — the stage a
+    * training pipeline runs after decode (VAD screens, music/speech
+    * routing, silence trimming all start from frame energy + ZCR).
+    * Channel 0 of each `ok` decode is cut into fixed 4-sample frames
+    * (a ragged tail frame keeps its true n_s); per frame: exact
+    * integer energy Σ(v−128)², midpoint zero-crossing count, and the
+    * sample sum. Failed decodes contribute ZERO rows — the upstream
+    * status row already carries the failure, and a feature stage that
+    * invents frames for undecodable audio would poison downstream
+    * aggregates. flatMap keeps it one pass, no shuffle: at 100 TB this
+    * stage is scan-shaped, embarrassingly parallel, and its output is
+    * a bounded ~n/4 rows per doc. */
+  def audioFrames(ds: Dataset[BinaryDoc], frameLen: Int = 4): Dataset[AudioFrame] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      // per-partition frame-buffer allocation would go here
+      rows.flatMap { d =>
+        val m = parseWav(d.doc_id, d.payload)
+        if (m.status != "ok") Iterator.empty
+        else {
+          val p = d.payload
+          val nch = m.n_channels.get
+          // locate the data chunk (walk is safe: status ok proved it)
+          def u32(i: Int): Long = (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+            ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+          var i = 12
+          while (new String(p, i, 4, "US-ASCII") != "data")
+            i += 8 + u32(i + 4).toInt + (u32(i + 4).toInt & 1)
+          val off = i + 8
+          val n = m.n_samples.get.toInt // per-channel count
+          Iterator.range(0, (n + frameLen - 1) / frameLen).map { f =>
+            val lo = f * frameLen
+            val hi = math.min(n, lo + frameLen)
+            var ss = 0L; var en = 0L; var zc = 0
+            var k = lo
+            while (k < hi) {
+              val v = p(off + k * nch) & 0xff // channel 0
+              ss += v
+              val dev = v - 128
+              en += dev.toLong * dev
+              if (k > lo) {
+                val prev = p(off + (k - 1) * nch) & 0xff
+                if ((v >= 128) != (prev >= 128)) zc += 1
+              }
+              k += 1
+            }
+            AudioFrame(d.doc_id, f, hi - lo, ss, en, zc)
+          }
+        }
+      }
     }
   }
 
@@ -1002,6 +1063,22 @@ object Multimodal {
       decodeQoi(payloads).toDF().orderBy("doc_id")
     }),
 
+    // Decode → FEATURE-EXTRACT: the WAV decode's channel-0 PCM cut
+    // into 4-sample frames with exact integer energy / zero-crossing /
+    // sum features (the VAD + music/speech primitives). Failure-status
+    // docs emit zero frames by contract. The oracle recomputes the
+    // features from the md5 digits for the non-failed docs and is
+    // blind to the RIFF layout — a stride bug (reading interleaved
+    // stereo as mono) or an off-frame boundary breaks the hash gate.
+    "q_audio_features" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Tables(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, h) => BinaryDoc(id, wavBytes(h)) })
+      audioFrames(payloads).toDF().orderBy("doc_id", "frame")
+    }),
+
     // The fifth REAL decode path and the first DICTIONARY-coded one:
     // synthesized genuine GIF87a files — logical screen descriptor,
     // global color table, and an LZW stream (variable-width codes,
@@ -1224,6 +1301,29 @@ object Multimodal {
              CASE WHEN badmagic OR badchan OR trunc THEN NULL ELSE n_run_px END AS n_run_px
       FROM d JOIN st ON d.doc_id = st.doc_id
       ORDER BY d.doc_id""",
+    "q_audio_features" -> s"""
+      WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+      b AS (SELECT doc_id, h, ${byteAt(2)} AS b2, ${byteAt(3)} AS b3,
+                   ${byteAt(13)} AS b13, ${byteAt(15)} AS b15
+            FROM hx),
+      d AS (SELECT doc_id, h, 1 + b2 % 2 AS nch, 1 + b3 % 8 AS n
+            FROM b WHERE b13 % 16 <> 0 AND b15 % 8 <> 0),
+      s AS (SELECT doc_id, n, list_transform(generate_series(0, n - 1), i ->
+              (ascii(substr(h, 2*((i*nch)%16)+1, 1)) - (CASE WHEN substr(h, 2*((i*nch)%16)+1, 1) >= 'a' THEN 87 ELSE 48 END)) * 16 +
+              (ascii(substr(h, 2*((i*nch)%16)+2, 1)) - (CASE WHEN substr(h, 2*((i*nch)%16)+2, 1) >= 'a' THEN 87 ELSE 48 END))) AS smp
+            FROM d),
+      fr AS (SELECT doc_id, n, smp, f, 4 * f AS lo, least(n, 4 * f + 4) AS hi
+             FROM s, UNNEST(generate_series(0, (n + 3) // 4 - 1)) AS u(f))
+      SELECT doc_id, CAST(f AS INT) AS frame, CAST(hi - lo AS INT) AS n_s,
+             CAST(list_sum(list_transform(generate_series(lo, hi - 1),
+               i -> smp[i + 1])) AS BIGINT) AS s_sum,
+             CAST(list_sum(list_transform(generate_series(lo, hi - 1),
+               i -> (smp[i + 1] - 128) * (smp[i + 1] - 128))) AS BIGINT) AS energy,
+             CAST(coalesce(list_sum(list_transform(
+               generate_series(lo + 1, hi - 1), i ->
+                 CASE WHEN (smp[i + 1] >= 128) <> (smp[i] >= 128)
+                      THEN 1 ELSE 0 END)), 0) AS INT) AS zcr
+      FROM fr ORDER BY doc_id, frame""",
     "q_multimodal_decode_gif" -> s"""
       WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
       b AS (SELECT doc_id, ${byteAt(0)} AS b0, ${byteAt(1)} AS b1,

@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * fixture corpus cannot produce (multi-digit dimensions, multiple
   * comment lines, 2-byte-sample maxval), so the parser is proven
   * against the format, not just against the synthesizer. */
-class MultimodalSpec extends AnyFunSuite {
+class MultimodalSpec extends graft.SparkSuite {
 
   private def ppm(header: String, raster: Array[Int]): Array[Byte] =
     header.getBytes("UTF-8") ++ raster.map(_.toByte)
@@ -203,6 +203,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m.b_sum.contains(3L * 10 + 3L * 11))
     // two intra-block repeats per 3-pixel block, no cross-block run
     assert(m.n_run_px.contains(4L))
+  }
+
+  // ---- audio feature frames (decode → feature-extract) ----
+
+  test("audio frames: stereo stride, ragged tail, energy and ZCR") {
+    import spark.implicits._
+    // b2=0x05 → nch=2; b3=0x06 → n=7 per channel; no failure arms
+    // (b13=0x1b: 27%16≠0, b15=0x05: 5%8≠0). Channel-0 sample i is
+    // md5 byte (2i)%16 — the even bytes 01,05,09,0d,11,15,19.
+    val h = "01030506090b0d0f11131517191b1d05"
+    val ds = spark.createDataset(Seq((7L, h)))
+      .map { case (id, hx) => BinaryDoc(id, Multimodal.wavBytes(hx)) }
+    val fr = Multimodal.audioFrames(ds).collect().sortBy(_.frame)
+    assert(fr.length == 2) // 7 samples → frames of 4 + 3
+    val f0 = fr(0); val f1 = fr(1)
+    assert(f0.n_s == 4 && f1.n_s == 3)
+    // ch0 samples: 0x01,0x09,0x11,0x19 then 0x05? no — byte (2i)%16:
+    // i=0..6 → bytes 0,2,4,6,8,10,12 → 0x01,0x05,0x09,0x0d,0x11,0x15,0x19
+    assert(f0.s_sum == 0x01 + 0x05 + 0x09 + 0x0d)
+    assert(f1.s_sum == 0x11 + 0x15 + 0x19)
+    def en(vs: Int*) = vs.map(v => (v - 128).toLong * (v - 128)).sum
+    assert(f0.energy == en(0x01, 0x05, 0x09, 0x0d))
+    assert(f1.energy == en(0x11, 0x15, 0x19))
+    assert(f0.zcr == 0 && f1.zcr == 0) // all samples below midpoint
+  }
+
+  test("audio frames: failed decodes emit zero rows") {
+    import spark.implicits._
+    val bad = spark.createDataset(Seq(
+      BinaryDoc(1L, "XIFFnope".getBytes("US-ASCII"))))
+    assert(Multimodal.audioFrames(bad).count() == 0L)
   }
 
   // ---- GIF (the LZW dictionary-coded decoder) ----

@@ -913,6 +913,51 @@ object Dedup {
         .orderBy("vec_id")
     }),
 
+    // SEMANTIC DECONTAMINATION — the eval-leakage screen run before
+    // every serious training run: flag TRAIN documents whose embedding
+    // is ≥ τ-cosine-similar to any BENCHMARK document (the
+    // embedding-space complement of the 13-gram token screen
+    // `q_contamination` — paraphrased eval items share no n-grams but
+    // sit next to the benchmark in embedding space). Fixture split:
+    // vec_id % 10 == 0 plays the benchmark. Candidates are bounded by
+    // the trained coarse quantizer exactly as SemDeDup above: the
+    // benchmark index is keyed by its primary cell; each train vector
+    // probes its nprobe=2 nearest cells (recall insurance at the cell
+    // boundary), so cost is Σ|train_cell|·|bench_cell| — never
+    // train×bench. At 100 TB the bench side is tiny (eval suites are
+    // thousands of rows) and the probe is a shuffle-hash join against
+    // it; the train side streams. Output: per train vector, the
+    // verdict + the closest matching benchmark id.
+    "q_decontaminate_semantic" -> ((s, dir) => {
+      val cells = Similarity.ivfCellsFrom(quantized(s, dir))
+        .select(col("vec_id"), col("q"), col("norm"),
+          col("cell"), col("cell2"))
+      val bench = cells.filter(col("vec_id") % 10 === 0)
+        .select(col("cell").as("bcell"), col("vec_id").as("bid"),
+          col("q").as("qb"), col("norm").as("nb"))
+      val train = cells.filter(col("vec_id") % 10 =!= 0)
+      val probes = train.select(col("vec_id"), col("q").as("qa"),
+        col("norm").as("na"),
+        explode(array(col("cell"), col("cell2"))).as("pcell"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("bid").asc)
+      val hits = probes
+        .join(bench.hint("shuffle_hash"), col("pcell") === col("bcell"))
+        .withColumn("dot", expr(dotExpr))
+        .withColumn("cos", cosine())
+        .filter(col("cos") >= 0.35)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("bid").as("matched_bench"),
+          col("cos").as("max_cos"))
+      train.select("vec_id").join(hits, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          when(col("matched_bench").isNull, "clean")
+            .otherwise("contaminated").as("status"),
+          col("matched_bench"), col("max_cos"))
+        .orderBy("vec_id")
+    }),
+
     // INCREMENTAL dedup — the nightly-ingest shape: the DELTA (here
     // source = 'src1') is screened AGAINST the standing corpus without
     // ever self-joining the corpus. Two asymmetric probes: an exact
@@ -1445,6 +1490,35 @@ object Dedup {
       FROM sdd d LEFT JOIN (SELECT vec_id, vb FROM sdp WHERE rn = 1) e
         ON d.vec_id = e.vec_id
       ORDER BY d.vec_id"""),
+    // Twin of the semantic decontamination screen: same trained cells
+    // (assignCtes + ivfCte), same % 10 bench/train split, probes =
+    // UNION ALL of the two probed cells (Spark's explode), same
+    // rounded-cosine τ gate and (cos DESC, bid ASC) best-match
+    // election.
+    "q_decontaminate_semantic" -> ("WITH " + QE + "," +
+      graft.llm.Clustering.assignCtes + "," + Similarity.ivfCte + s""",
+      bench AS (SELECT cell AS bcell, vec_id AS bid, q AS qb, norm AS nb
+                FROM ivcell WHERE vec_id % 10 = 0),
+      train AS (SELECT vec_id, q, norm, cell, cell2 FROM ivcell
+                WHERE vec_id % 10 <> 0),
+      probes AS (SELECT vec_id, q AS qa, norm AS na, cell AS pcell FROM train
+                 UNION ALL
+                 SELECT vec_id, q AS qa, norm AS na, cell2 AS pcell FROM train),
+      hits AS (SELECT p.vec_id, b.bid,
+                 round(CAST($dotOracle AS DOUBLE) / sqrt(CAST(na AS DOUBLE))
+                   / sqrt(CAST(nb AS DOUBLE)), 4) AS cos
+               FROM probes p JOIN bench b ON p.pcell = b.bcell),
+      best AS (SELECT vec_id, bid, cos,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, bid ASC) AS rn
+               FROM hits WHERE cos >= 0.35)
+      SELECT t.vec_id,
+             CASE WHEN e.bid IS NULL THEN 'clean'
+                  ELSE 'contaminated' END AS status,
+             e.bid AS matched_bench, e.cos AS max_cos
+      FROM train t LEFT JOIN (SELECT vec_id, bid, cos FROM best
+        WHERE rn = 1) e ON t.vec_id = e.vec_id
+      ORDER BY t.vec_id"""),
     // Twin of the incremental screen: bands over ALL docs once (same
     // hex-min slots as minhashSql — order-isomorphic to Spark's
     // numeric mins, same elements chosen), sides restricted by source

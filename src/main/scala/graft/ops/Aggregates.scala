@@ -389,6 +389,43 @@ object Aggregates {
           (expr("est4 div exact_distinct").cast("double") / 10000.0)
             .as("ratio"))
         .orderBy("m")
+    }),
+
+    // Mergeable HISTOGRAM-QUANTILE sketch — the third constant-payload
+    // sketch next to CMS and HLL: p50/p90/p99 of l_extendedprice (in
+    // exact cents) estimated from a 32-bin equi-width histogram. Two
+    // scan-shaped passes (exact min/max/count, then bin counts) whose
+    // exchange payload is ≤ 32 rows at ANY scale — bin counts are
+    // trivially mergeable (partial aggregation sums them map-side), so
+    // at 100 TB every executor ships 32 longs where an exact quantile
+    // ships a global sort. The estimate is all-integer (ceil-rank +
+    // within-bin linear interpolation via truncating division over
+    // non-negative operands), so the twin is hash-exact; the accuracy
+    // contract (|est − true| < one bin width by construction) is pinned
+    // in AggregatesSpec rather than here — keeping the registered
+    // query free of the global sort it exists to avoid.
+    "q_quantile_sketch" -> ((s, dir) => {
+      val v = Tables(s, dir, "lineitem")
+        .select(expr("cast(l_extendedprice * 100 as bigint)").as("v"))
+      val wd = v.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+          count(lit(1)).as("n"))
+        .withColumn("width", expr("(hi - lo) div 32 + 1"))
+      val bins = v.crossJoin(broadcast(wd))
+        .groupBy(expr("(v - lo) div width").as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = bins.withColumn("cum",
+        sum(col("cnt")).over(Window.orderBy(col("bin")))) // ≤ 32 rows
+      val ranks = wd.select(col("lo"), col("width"), explode(expr(
+        "array(named_struct('q_pct', 50, 'r', (n + 1) div 2), " +
+          "named_struct('q_pct', 90, 'r', (9 * n + 9) div 10), " +
+          "named_struct('q_pct', 99, 'r', (99 * n + 99) div 100))")).as("s"))
+        .select(col("lo"), col("width"), col("s.q_pct"), col("s.r"))
+      ranks.join(cum, col("cum") >= col("r") &&
+          col("cum") - col("cnt") < col("r"))
+        .select(col("q_pct"), col("r"), col("bin"), col("cnt"),
+          expr("lo + bin * width + ((r - (cum - cnt)) * width) div cnt")
+            .as("est_cents"))
+        .orderBy("q_pct")
     }))
 
   /** HLL register index at m registers: top 32 md5 bits mod m (shared
@@ -415,6 +452,28 @@ object Aggregates {
     "cast(7213 as decimal(38,0)) * 16777216 * 10000 * 9007199254740992"
 
   val oracles: Map[String, String] = Map(
+    // Twin of the histogram-quantile sketch: identical integer bin
+    // geometry, ceil-ranks, and within-bin interpolation; DuckDB's //
+    // floor-division equals Spark's truncating `div` because every
+    // operand is non-negative by construction (v ≥ lo, cum ≥ r).
+    "q_quantile_sketch" -> """
+      WITH v AS (SELECT CAST(l_extendedprice * 100 AS BIGINT) AS v
+                 FROM lineitem),
+      wd AS (SELECT min(v) AS lo, max(v) AS hi, count(*) AS n,
+                    (max(v) - min(v)) // 32 + 1 AS width FROM v),
+      b AS (SELECT (v.v - wd.lo) // wd.width AS bin, count(*) AS cnt
+            FROM v, wd GROUP BY 1),
+      c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM b),
+      r AS (SELECT q_pct, CASE q_pct WHEN 50 THEN (n + 1) // 2
+                   WHEN 90 THEN (9 * n + 9) // 10
+                   ELSE (99 * n + 99) // 100 END AS r, lo, width
+            FROM wd, (VALUES (50), (90), (99)) t(q_pct))
+      SELECT CAST(q_pct AS INT) AS q_pct, CAST(r.r AS BIGINT) AS r,
+             CAST(bin AS BIGINT) AS bin, CAST(cnt AS BIGINT) AS cnt,
+             CAST(lo + bin * width + ((r.r - (cum - cnt)) * width) // cnt
+               AS BIGINT) AS est_cents
+      FROM r JOIN c ON c.cum >= r.r AND c.cum - c.cnt < r.r
+      ORDER BY q_pct""",
     "q_funnel" -> """
       WITH m AS (SELECT user_id,
                min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,

@@ -510,6 +510,67 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): score every
+    // non-target doc by the log-ratio of two hashed-unigram bucket LMs
+    // — target (lang = 'en', standing in for the high-quality corpus)
+    // vs raw — then SELECT the top quintile. The two LMs are 64-row
+    // add-1-smoothed bucket tables (constant exchange payload,
+    // broadcast back to the token stream); per-doc weight = Σ over
+    // tokens of round(ln p_t(b) − ln p_r(b), 6) in decimal(38,6) (the
+    // q_nb_classify log discipline). Selection deliberately uses the
+    // 32-bin histogram-quantile sketch for the p80 threshold instead
+    // of a global rank: at 100 TB "take the top 20%" as a window is a
+    // single-partition sort — the sketch makes the cut two scan-shaped
+    // passes with a ≤32-row exchange, the same reason DSIR itself
+    // exists (never materialize a global order over the corpus).
+    "q_dsir_select" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .withColumn("b",
+          expr("cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint) % 64"))
+      val tgt = toks.filter(col("lang") === "en")
+      val raw = toks.filter(col("lang") =!= "en")
+      val grid = s.range(0, 64).select(col("id").as("b"))
+      val totals = tgt.agg(count(lit(1)).as("nt"))
+        .crossJoin(raw.agg(count(lit(1)).as("nr")))
+      val lm = grid
+        .join(tgt.groupBy("b").agg(count(lit(1)).as("ct")), Seq("b"), "left")
+        .join(raw.groupBy("b").agg(count(lit(1)).as("cr")), Seq("b"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("b"), expr(
+          "round(ln(cast(coalesce(ct, 0) + 1 as double) / cast(nt + 64 as double)) - " +
+            "ln(cast(coalesce(cr, 0) + 1 as double) / cast(nr + 64 as double)), 6)")
+          .as("term"))
+      val scored = raw.join(broadcast(lm), "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          expr("sum(cast(term as decimal(38,6)))").as("logw"))
+        .withColumn("vm", expr("cast(logw * 1000000 as bigint)"))
+      // p80 threshold via the histogram sketch (exact integer bins
+      // over micro-units; vm − lo ≥ 0, so div is floor on both engines)
+      val wd = scored.agg(min(col("vm")).as("lo"), max(col("vm")).as("hi"),
+          count(lit(1)).as("n"))
+        .withColumn("width", expr("(hi - lo) div 32 + 1"))
+      val cum = scored.crossJoin(broadcast(wd))
+        .groupBy(expr("(vm - lo) div width").as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("bin"))))
+      val thr = wd.withColumn("r", expr("(4 * n + 4) div 5"))
+        .join(cum, col("cum") >= col("r") &&
+          col("cum") - col("cnt") < col("r"))
+        .select(expr("lo + bin * width + ((r - (cum - cnt)) * width) div cnt")
+          .as("thr"))
+      scored.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("n_tok"),
+          round(col("logw"), 4).cast("double").as("logw"),
+          when(col("vm") >= col("thr"), "selected").otherwise("rest")
+            .as("status"))
+        .orderBy("doc_id")
+    }),
+
     // Interpolated Kneser-Ney bigram LM, trained as THREE aggregates
     // over the train split's adjacent-pair stream (doc_id % 4 ≠ 0):
     // per-history totals c(v)/N1+(v·), per-token continuation counts
@@ -903,6 +964,51 @@ object TextAnalysis {
                AS DOUBLE) AS units_per_word
       FROM dtok JOIN seg USING (w)
       GROUP BY doc_id ORDER BY doc_id"""),
+    // Twin of the DSIR selector: same 64 hashed buckets (the CMS/HLL
+    // hex-prefix idiom), same add-1 bucket LMs and 6-dp log-ratio
+    // terms, same decimal(38,6) per-doc sum, and the same 32-bin
+    // sketch arithmetic for the p80 cut (floor division equals Spark's
+    // `div` because vm − lo and the interpolation operands are
+    // non-negative).
+    "q_dsir_select" -> """
+      WITH tk AS (SELECT doc_id, lang, w FROM
+              (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+               FROM documents) WHERE w <> ''),
+      tb AS (SELECT doc_id, lang,
+               ('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS b FROM tk),
+      tgt AS (SELECT b FROM tb WHERE lang = 'en'),
+      rw AS (SELECT doc_id, b FROM tb WHERE lang <> 'en'),
+      tot AS (SELECT (SELECT count(*) FROM tgt) AS nt,
+                     (SELECT count(*) FROM rw) AS nr),
+      grid AS (SELECT i AS b FROM UNNEST(generate_series(0, 63)) AS g(i)),
+      lm AS (SELECT g.b,
+               round(ln(CAST(coalesce(tc.ct, 0) + 1 AS DOUBLE)
+                        / CAST(nt + 64 AS DOUBLE)) -
+                     ln(CAST(coalesce(rc.cr, 0) + 1 AS DOUBLE)
+                        / CAST(nr + 64 AS DOUBLE)), 6) AS term
+             FROM grid g
+             LEFT JOIN (SELECT b, count(*) AS ct FROM tgt GROUP BY 1) tc
+               ON g.b = tc.b
+             LEFT JOIN (SELECT b, count(*) AS cr FROM rw GROUP BY 1) rc
+               ON g.b = rc.b, tot),
+      sc AS (SELECT doc_id, count(*) AS n_tok,
+               sum(CAST(term AS DECIMAL(38,6))) AS logw
+             FROM rw JOIN lm ON rw.b = lm.b GROUP BY doc_id),
+      scv AS (SELECT doc_id, n_tok, logw,
+                CAST(logw * 1000000 AS BIGINT) AS vm FROM sc),
+      wd AS (SELECT min(vm) AS lo, count(*) AS n,
+                    (max(vm) - min(vm)) // 32 + 1 AS width FROM scv),
+      bc AS (SELECT (vm - lo) // width AS bin, count(*) AS cnt
+             FROM scv, wd GROUP BY 1),
+      cc AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM bc),
+      thr AS (SELECT lo + bin * width +
+                ((((4 * n + 4) // 5) - (cum - cnt)) * width) // cnt AS thr
+              FROM wd, cc
+              WHERE cum >= (4 * n + 4) // 5
+                AND cum - cnt < (4 * n + 4) // 5)
+      SELECT doc_id, n_tok, CAST(round(logw, 4) AS DOUBLE) AS logw,
+             CASE WHEN vm >= thr THEN 'selected' ELSE 'rest' END AS status
+      FROM scv, thr ORDER BY doc_id""",
     "q_nb_classify" -> """
       WITH tr AS (SELECT * FROM documents WHERE doc_id % 4 <> 0),
       trt AS (SELECT cl, w FROM

@@ -525,50 +525,70 @@ object TextAnalysis {
     // passes with a ≤32-row exchange, the same reason DSIR itself
     // exists (never materialize a global order over the corpus).
     "q_dsir_select" -> ((s, dir) => {
-      val toks = Tables(s, dir, "documents")
+      import s.implicits._
+      def toks = Tables(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")
         .withColumn("b",
           expr("cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint) % 64"))
-      val tgt = toks.filter(col("lang") === "en")
-      val raw = toks.filter(col("lang") =!= "en")
-      val grid = s.range(0, 64).select(col("id").as("b"))
-      val totals = tgt.agg(count(lit(1)).as("nt"))
-        .crossJoin(raw.agg(count(lit(1)).as("nr")))
-      val lm = grid
-        .join(tgt.groupBy("b").agg(count(lit(1)).as("ct")), Seq("b"), "left")
-        .join(raw.groupBy("b").agg(count(lit(1)).as("cr")), Seq("b"), "left")
-        .crossJoin(broadcast(totals))
+      // LM training = ONE token-stream scan for both bucket tables; the
+      // artifact is ≤64 (ct, cr) INTEGER rows — collected and re-rooted
+      // as literals (the HLL-tuning/SQ8/codebook pattern: re-planned
+      // shared subtrees get fresh attribute IDs and neither
+      // ReuseExchange nor AQE dedupes them, so leaving this lazy
+      // multiplies the explode scan into every downstream pass). The
+      // ln() itself stays IN-PLAN over those literal counts — driver
+      // math would have to replicate the engines' shared round(ln(x), 6)
+      // discipline bit-for-bit, which only the engines themselves pin.
+      val lmCounts = toks.groupBy("b").agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
+          sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("cr"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val nt = lmCounts.valuesIterator.map(_._1).sum
+      val nr = lmCounts.valuesIterator.map(_._2).sum
+      val lm = (0L until 64L)
+        .map(b => (b, lmCounts.getOrElse(b, (0L, 0L))._1,
+          lmCounts.getOrElse(b, (0L, 0L))._2))
+        .toDF("b", "ct", "cr")
         .select(col("b"), expr(
-          "round(ln(cast(coalesce(ct, 0) + 1 as double) / cast(nt + 64 as double)) - " +
-            "ln(cast(coalesce(cr, 0) + 1 as double) / cast(nr + 64 as double)), 6)")
+          s"round(ln(cast(ct + 1 as double) / cast($nt + 64 as double)) - " +
+            s"ln(cast(cr + 1 as double) / cast($nr + 64 as double)), 6)")
           .as("term"))
-      val scored = raw.join(broadcast(lm), "b")
+      def scored = toks.filter(col("lang") =!= "en")
+        .join(broadcast(lm), "b")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tok"),
           expr("sum(cast(term as decimal(38,6)))").as("logw"))
         .withColumn("vm", expr("cast(logw * 1000000 as bigint)"))
-      // p80 threshold via the histogram sketch (exact integer bins
-      // over micro-units; vm − lo ≥ 0, so div is floor on both engines)
-      val wd = scored.agg(min(col("vm")).as("lo"), max(col("vm")).as("hi"),
-          count(lit(1)).as("n"))
-        .withColumn("width", expr("(hi - lo) div 32 + 1"))
-      val cum = scored.crossJoin(broadcast(wd))
-        .groupBy(expr("(vm - lo) div width").as("bin"))
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("bin"))))
-      val thr = wd.withColumn("r", expr("(4 * n + 4) div 5"))
-        .join(cum, col("cum") >= col("r") &&
-          col("cum") - col("cnt") < col("r"))
-        .select(expr("lo + bin * width + ((r - (cum - cnt)) * width) div cnt")
-          .as("thr"))
-      scored.crossJoin(broadcast(thr))
-        .select(col("doc_id"), col("n_tok"),
+      // p80 threshold via the 32-bin histogram sketch: two scan-shaped
+      // passes whose artifacts (one stats row, ≤32 bin rows — pure
+      // integers) come back to the driver, where the rank/interpolation
+      // arithmetic is the same all-integer expression both engines run
+      // in q_quantile_sketch. vm − lo ≥ 0 keeps div floor-equal.
+      val wd = scored.agg(min(col("vm")).as("lo"), count(lit(1)).as("n"),
+          expr("(max(vm) - min(vm)) div 32 + 1").as("width")).head()
+      if (wd.getLong(1) == 0)
+        scored.select(col("doc_id"), col("n_tok"),
           round(col("logw"), 4).cast("double").as("logw"),
-          when(col("vm") >= col("thr"), "selected").otherwise("rest")
-            .as("status"))
-        .orderBy("doc_id")
+          lit("rest").as("status")).where(lit(false)).orderBy("doc_id")
+      else {
+        val (lo, n, width) = (wd.getLong(0), wd.getLong(1), wd.getLong(2))
+        val bins = scored
+          .groupBy(expr(s"(vm - $lo) div $width").as("bin"))
+          .agg(count(lit(1)).as("cnt"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        val r = (4 * n + 4) / 5 // ceil(0.8 n): all operands non-negative
+        var cum = 0L
+        val (bin, cnt, cumBefore) = bins.iterator
+          .map { case (b, c) => cum += c; (b, c, cum - c) }
+          .find { case (_, c, before) => before + c >= r && before < r }.get
+        val thr = lo + bin * width + ((r - cumBefore) * width) / cnt
+        scored.select(col("doc_id"), col("n_tok"),
+          round(col("logw"), 4).cast("double").as("logw"),
+          when(col("vm") >= thr, "selected").otherwise("rest").as("status"))
+          .orderBy("doc_id")
+      }
     }),
 
     // Interpolated Kneser-Ney bigram LM, trained as THREE aggregates

@@ -458,4 +458,65 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_max"), "map-side register fold must survive")
     assert(!p.contains("SortAggregate"))
   }
+
+  test("q_decontaminate_semantic probes cells with a hash join, never all-pairs") {
+    // the screen's scale contract: train probes × bench index must be
+    // a CELL-KEYED join with the bounded bench side as build side, and
+    // the per-vector best-match election must prune per-partition
+    // (WindowGroupLimit) before the rank exchange — a nested loop or
+    // cartesian here is the train×bench product the quantizer avoids
+    val p = plan("q_decontaminate_semantic")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "decontamination went all-pairs:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(p.contains("ShuffledHashJoin"),
+      "the bench index should be a hash-join build side")
+    assert(p.contains("WindowGroupLimit"),
+      "best-match election should prune map-side")
+  }
+
+  test("q_quantile_sketch aggregates partially and never sorts the values") {
+    // the sketch's 100 TB property: bin counts fold map-side
+    // (partial_count) and the only sorts in the plan order the ≤32-bin
+    // window frame and the 3-row output — a Sort above the lineitem
+    // scan would mean the global order the sketch exists to avoid
+    val p = plan("q_quantile_sketch")
+    assert(p.contains("partial_count"), "bin counts must fold map-side")
+    assert(!p.contains("SortMergeJoin"),
+      "rank→bin matching must stay a broadcast of the O(1) frames")
+    assert(!p.contains("SortAggregate"))
+  }
+
+  test("q_dsir_select scores tokens in one scan against a literal-rooted LM") {
+    // after LM training + threshold election (bounded collects), the
+    // registered plan is ONE token scan joined to the 64-row literal
+    // LM by broadcast — no re-planned training subtrees, no cartesian,
+    // one aggregation exchange
+    val p = plan("q_dsir_select")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 64-row LM should broadcast to the token stream")
+    assert(p.contains("LocalTableScan"),
+      "the LM must be literal-rooted, not a re-planned training subtree")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 2, s"expected one scored scan, got $scans")
+  }
+
+  test("decode-family queries stay single-scan map-only pipelines") {
+    // decode + feature extraction are scan-shaped: one parquet scan,
+    // fused MapPartitions, and no exchange except the final order-by —
+    // a join or aggregate appearing here would mean the decode stage
+    // grew a shuffle it doesn't need at 100 TB
+    for (q <- Seq("q_multimodal_decode_gif", "q_audio_features")) {
+      val p = plan(q)
+      val scanIds = """\((\d+)\) Scan parquet""".r
+        .findAllMatchIn(p).map(_.group(1)).toSet
+      assert(scanIds.size == 1, s"$q: expected one scan node, got $scanIds")
+      assert(p.contains("MapPartitions"), q)
+      assert(!p.contains("Join") && !p.contains("HashAggregate"), q)
+      val exchanges = p.linesIterator
+        .count(l => l.contains("- Exchange") || l.contains("- BroadcastExchange"))
+      assert(exchanges <= 1, s"$q: decode pipeline grew exchanges:\n$p")
+    }
+  }
 }

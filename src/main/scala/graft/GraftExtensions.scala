@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BloomAgg, CmsSketch, DotLong, MaxK}
+import graft.functions.{BloomAgg, CmsSketch, DotLong, MaxK, VecSum}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("max_k"),
       new ExpressionInfo(classOf[MaxK].getName, "max_k"),
       (children: Seq[Expression]) => MaxK(children.head, children(1))))
+    e.injectFunction((
+      FunctionIdentifier("vec_sum"),
+      new ExpressionInfo(classOf[VecSum].getName, "vec_sum"),
+      (children: Seq[Expression]) => VecSum(children.head, children(1))))
     e.injectFunction((
       FunctionIdentifier("cms_sketch"),
       new ExpressionInfo(classOf[CmsSketch].getName, "cms_sketch"),

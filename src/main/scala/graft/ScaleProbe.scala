@@ -181,13 +181,8 @@ object ScaleProbe {
             col("vec_id"), col("label"), col("q"), col("norm"))
           .select((col("vec_id") + col("i") * lit(vecStride)).as("vec_id"),
             col("label"), col("q"), col("norm"))
-        val dims = 0 until 64
-        val aggs = Seq(count(lit(1)).as("n")) ++
-          dims.map(i => sum(expr(s"q[$i]")).as(s"s$i"))
         val sums = scaled.groupBy(col("label"))
-          .agg(aggs.head, aggs.tail: _*)
-          .select(col("label"), col("n"),
-            array(dims.map(i => col(s"s$i")): _*).as("sv"))
+          .agg(count(lit(1)).as("n"), expr("vec_sum(q, 64)").as("sv"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("label"))
           .orderBy(col("score").desc, col("vec_id").asc)

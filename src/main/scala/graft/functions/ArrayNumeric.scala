@@ -199,6 +199,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => MaxK(children.head, children(1)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_sum",
+      (children: Seq[Expression]) => VecSum(children.head, children(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cms_sketch",
       (children: Seq[Expression]) =>
         CmsSketch(children.head, children(1), children(2)),

@@ -75,11 +75,9 @@ object Clustering {
     var cents: Seq[Seq[Long]] = centroids.map(_.map(_.toLong))
     val history = scala.collection.mutable.ArrayBuffer.empty[Long]
     for (_ <- 1 to iters) {
-      val dims = 0 until 64
-      val aggs = Seq(count(lit(1)).as("n"), sum(col("min_d")).as("inertia")) ++
-        dims.map(i => sum(expr(s"q[$i]")).as(s"s$i"))
       val rows = assign(qe, cents).groupBy(col("cluster"))
-        .agg(aggs.head, aggs.tail: _*)
+        .agg(count(lit(1)).as("n"), sum(col("min_d")).as("inertia"),
+          expr("vec_sum(q, 64)").as("sv")) // one buffer, not 64 columns
         .collect() // K rows of scalars — centroids, never data
       history += rows.map(_.getAs[Long]("inertia")).sum
       val byCluster = rows.map(r => r.getAs[Int]("cluster") -> r).toMap
@@ -87,7 +85,8 @@ object Clustering {
         byCluster.get(i) match {
           case Some(r) =>
             val n = r.getAs[Long]("n")
-            dims.map(d => math.round(r.getAs[Long](s"s$d").toDouble / n)).toSeq
+            r.getAs[scala.collection.Seq[Long]]("sv").toSeq
+              .map(x => math.round(x.toDouble / n))
           case None => old
         }
       }
@@ -104,17 +103,15 @@ object Clustering {
     * engines' CASE skip identically. */
   private def refineInPlan(qe: org.apache.spark.sql.DataFrame,
       assigned: org.apache.spark.sql.DataFrame, grp: String): org.apache.spark.sql.DataFrame = {
-    val dims = 0 until 64
-    val aggs = Seq(count(lit(1)).as("n")) ++
-      dims.map(i => sum(expr(s"q[$i]")).as(s"s$i"))
-    val sums = assigned.groupBy(col(grp)).agg(aggs.head, aggs.tail: _*)
+    val sums = assigned.groupBy(col(grp))
+      .agg(count(lit(1)).as("n"), expr("vec_sum(q, 64)").as("sv"))
+    // K=4 rows pivot to one: at most one non-null per (k, column), so
+    // max() selects it (array max is fine in the 4-row ObjectHashAgg)
     val pivotCols = (0 to 3).flatMap { k =>
-      max(when(col(grp) === k, col("n"))).as(s"n$k") +:
-        dims.map(i => max(when(col(grp) === k, col(s"s$i"))).as(s"sv${k}_$i"))
+      Seq(max(when(col(grp) === k, col("n"))).as(s"n$k"),
+        max(when(col(grp) === k, col("sv"))).as(s"sv$k"))
     }
     val stats = sums.agg(pivotCols.head, pivotCols.tail: _*)
-      .select((0 to 3).flatMap(k => Seq(col(s"n$k"),
-        array(dims.map(i => col(s"sv${k}_$i")): _*).as(s"sv$k"))): _*)
     val withU = (0 to 3).foldLeft(qe.crossJoin(broadcast(stats))) { (df, k) =>
       df.withColumn(s"u$k",
         expr(s"cast(dot_long(sv$k, sv$k) as decimal(38,0)) - 2 * n$k * " +
@@ -168,11 +165,9 @@ object Clustering {
       val c1 = refineInPlan(qe,
         assign(qe, centroids.map(_.map(_.toLong))), "cluster")
       val c2 = refineInPlan(qe, c1, "cell")
-      val dims = 0 until 64
-      val aggs = Seq(count(lit(1)).as("n"), sum(col("norm")).as("sn")) ++
-        dims.map(i => sum(expr(s"q[$i]")).as(s"s$i"))
-      c2.groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
-        .withColumn("sv", array(dims.map(i => col(s"s$i")): _*))
+      c2.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), sum(col("norm")).as("sn"),
+          expr("vec_sum(q, 64)").as("sv"))
         .select(col("cell"), col("n"),
           expr("""cast(cast(n as decimal(38,0)) * n * sn
                 |  - n * cast(dot_long(sv, sv) as decimal(38,0)) as bigint)"""
@@ -196,13 +191,8 @@ object Clustering {
     // to DECIMAL(38,0) (same rule as inertia above).
     "q_embed_outlier" -> ((s, dir) => {
       val qe = Dedup.quantized(s, dir)
-      val dims = 0 until 64
-      val aggs = Seq(count(lit(1)).as("n")) ++
-        dims.map(i => sum(expr(s"q[$i]")).as(s"s$i"))
       val sums = qe.groupBy(col("label"))
-        .agg(aggs.head, aggs.tail: _*)
-        .select(col("label"), col("n"),
-          array(dims.map(i => col(s"s$i")): _*).as("sv"))
+        .agg(count(lit(1)).as("n"), expr("vec_sum(q, 64)").as("sv"))
       qe.join(broadcast(sums), "label")
         .select(col("label"), col("vec_id"),
           (col("n") * col("n") * col("norm")

@@ -876,15 +876,14 @@ object Dedup {
     "q_dedup_semantic" -> ((s, dir) => {
       val cells = Similarity.ivfCellsFrom(quantized(s, dir))
         .select(col("vec_id"), col("q"), col("norm"), col("cell"))
-      val dims = 0 until 64
-      val aggs = Seq(count(lit(1)).as("n")) ++
-        dims.map(i => sum(expr(s"q[$i]")).as(s"s$i"))
       // K-row per-cell stats (K = trained cell count ≤ 4): broadcast is
       // size-safe at ANY corpus scale — the frame is K rows by
-      // construction, not by estimate.
-      val stats = cells.groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
-        .select(col("cell"), col("n").cast("decimal(38,0)").as("n"),
-          array(dims.map(i => col(s"s$i")): _*).as("sv"))
+      // construction, not by estimate. vec_sum keeps the generated
+      // aggregate class small (see ivfCellsAndCentroids).
+      val stats = cells.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n0"), expr("vec_sum(q, 64)").as("sv"))
+        .select(col("cell"), col("n0").cast("decimal(38,0)").as("n"),
+          col("sv"))
         .withColumn("s2", expr(
           "aggregate(sv, cast(0 as decimal(38,0)), (a, x) -> a + cast(x as decimal(38,0)) * x)"))
       val scored = cells.join(broadcast(stats), "cell")

@@ -8,6 +8,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // The 168-query suite generates far more codegen classes than
+      // the default 100-entry cache holds, so interleaved reps were
+      // re-paying each heavy plan's janino compile (measured: the
+      // SemDeDup family 8.6 s cold vs 2.2 s warm at sf0.1 — compile,
+      // not data). Sized to hold every plan in the suite once.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -33,8 +33,8 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Dev-only section filter (comma list: cc,range,bigstar,cms,outlier,
-    // fuzzy); unset = run everything, as BASELINE.md's tables expect.
+    // Dev-only section filter (comma list: cc,range,bigstar,cms,quantile,
+    // outlier, fuzzy, …); unset = run everything, as BASELINE.md's tables expect.
     val sections = sys.env.get("SPARK_GRAFT_PROBES").map(_.split(",").toSet)
     def want(s: String): Boolean = sections.forall(_.contains(s))
 
@@ -163,6 +163,44 @@ object ScaleProbe {
       timedCms(10)
       timedCms(100)
       toks.unpersist(false)
+    }
+
+    if (want("quantile"))
+    // Histogram-quantile probe: N× the value stream. The sketch's
+    // 100 TB claim is the constant exchange — ≤ 32 bin rows at every
+    // multiplier — with wall linear in values; and because replication
+    // scales every bin count uniformly, the p99 estimate must stay
+    // (within one integer-rounding step of) the 1× estimate: a probe
+    // that also catches any accidental order-dependence in the bins.
+    locally {
+      val v = graft.Tables(spark, sfDir, "lineitem")
+        .select(expr("cast(l_extendedprice * 100 as bigint)").as("v")).persist()
+      val nVal = v.count()
+      def timedQuantile(mult: Int): Unit = {
+        val scaled = v.select(
+          explode(expr(s"sequence(0, ${mult - 1})")).as("i"), col("v"))
+          .select(col("v"))
+        val t0 = System.nanoTime()
+        val wd = scaled.agg(min(col("v")).as("lo"), count(lit(1)).as("n"),
+            expr("(max(v) - min(v)) div 32 + 1").as("width")).head()
+        val (lo, n, width) = (wd.getLong(0), wd.getLong(1), wd.getLong(2))
+        val bins = scaled
+          .groupBy(expr(s"(v - $lo) div $width").as("bin"))
+          .agg(count(lit(1)).as("cnt"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        val r99 = (99 * n + 99) / 100
+        var cum = 0L
+        val (bin, cnt, before) = bins.iterator
+          .map { case (b, c) => cum += c; (b, c, cum - c) }
+          .find { case (_, c, bf) => bf + c >= r99 && bf < r99 }.get
+        val est = lo + bin * width + ((r99 - before) * width) / cnt
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"quantile_${mult}x","values":${nVal * mult},"bins":${bins.length},"p99_cents":$est,"sec":$dt%.2f}""")
+      }
+      timedQuantile(1)
+      timedQuantile(10)
+      timedQuantile(100)
+      v.unpersist(false)
     }
 
     if (want("outlier"))

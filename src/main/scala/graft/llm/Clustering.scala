@@ -130,6 +130,60 @@ object Clustering {
     // sums ÷ count; 4 of 64 dims keeps the compare surface small, the
     // aggregate computes the same shape for all dims at no extra
     // shuffle).
+    // Deterministic k-center seeding (Gonzalez 1985 farthest-first
+    // traversal — the derandomized shape of k-means++ D² seeding, and
+    // the init step the Lloyd loop/IVF training above consume): start
+    // from the lowest vec_id, then K−1 rounds of "argmax over the
+    // corpus of the min distance to any chosen center". All-integer:
+    // d² = |v|² − 2⟨v,c⟩ + |c|² with c an ACTUAL corpus vector (no
+    // centroid division ever), so the twin is hash-exact. Scale shape:
+    // each round is ONE scan + a 1-row struct-max aggregate (partial
+    // map-side, nothing but 66 longs crosses the exchange); chosen
+    // centers re-enter as literals — K×64 longs on the driver, never
+    // data (the Lloyd-loop contract). The argmax ties break to the
+    // lower vec_id on both engines (struct max on (dmin, −vec_id) ≡
+    // ORDER BY dmin DESC, vec_id ASC LIMIT 1). At web scale this is
+    // the exact seeding FAISS/k-means|| deployments run first — the
+    // Bahmani et al. oversampled variant replaces the argmax with a
+    // threshold sample but keeps the same per-round scan shape.
+    "q_kmeans_kcenter" -> ((s, dir) => {
+      import s.implicits._
+      val qe = Dedup.quantized(s, dir)
+        .select(col("vec_id"), col("q"), col("norm"))
+      val firstOpt = qe.orderBy("vec_id").head(1).headOption
+      require(firstOpt.nonEmpty, "k-center seeding: empty corpus")
+      val first = firstOpt.get
+      var centers = List((first.getLong(0),
+        first.getAs[scala.collection.Seq[Long]]("q").toSeq,
+        first.getLong(2), 0L))
+      var exhausted = false
+      for (_ <- 2 to 4 if !exhausted) {
+        val terms = centers.map { case (_, c, cn, _) =>
+          s"(norm - 2 * dot_long(q, cast(array(${c.mkString(",")}) as array<bigint>)) + $cn)"
+        }
+        // Spark's least() wants ≥2 args — round 2 has a single center
+        val minExpr =
+          if (terms.size == 1) terms.head
+          else terms.mkString("least(", ", ", ")")
+        val chosen = centers.map(_._1)
+        val m = qe.filter(!col("vec_id").isInCollection(chosen))
+          .withColumn("dmin", expr(minExpr))
+          .agg(max(struct(col("dmin"), (-col("vec_id")).as("nid"),
+            col("q"), col("norm"))).as("m"))
+          .select(col("m.dmin"), (-col("m.nid")).as("vec_id"),
+            col("m.q"), col("m.norm"))
+          .head()
+        if (m.isNullAt(0)) exhausted = true // fewer vectors than K
+        else centers = centers :+ ((m.getLong(1),
+          m.getAs[scala.collection.Seq[Long]]("q").toSeq,
+          m.getLong(3), m.getLong(0)))
+      }
+      centers.zipWithIndex
+        .map { case ((vid, _, _, d), i) => (i + 1, vid, d) }
+        .toDF("round", "vec_id", "d2")
+        .orderBy("round")
+    }),
+
     "q_kmeans_step" -> ((s, dir) => {
       val aggs = Seq(
         count(lit(1)).as("n"),
@@ -268,6 +322,42 @@ object Clustering {
 
   val oracles: Map[String, String] = Map(
     "q_kmeans_2step" -> twoStepSql,
+    // Twin of the k-center seeding: the same unrolled farthest-first
+    // rounds — LIMIT-1 argmax per round (dmin DESC, vec_id ASC ≡ the
+    // Spark struct-max), chosen ids excluded, exact integer distances
+    // to ACTUAL corpus vectors.
+    "q_kmeans_kcenter" -> {
+      def vdot(a: String) =
+        s"CAST(list_sum(list_transform(generate_series(1, 64), i -> v.q[i] * $a.q[i])) AS BIGINT)"
+      "WITH " + Dedup.QE + s""",
+      kc1 AS (SELECT vec_id, q, norm FROM qn ORDER BY vec_id LIMIT 1),
+      kr2 AS (SELECT v.vec_id, v.q, v.norm,
+                v.norm - 2 * ${vdot("a")} + a.norm AS dmin
+              FROM qn v, kc1 a WHERE v.vec_id <> a.vec_id),
+      kc2 AS (SELECT vec_id, q, norm, dmin FROM kr2
+              ORDER BY dmin DESC, vec_id ASC LIMIT 1),
+      kr3 AS (SELECT v.vec_id, v.q, v.norm,
+                least(v.norm - 2 * ${vdot("a")} + a.norm,
+                      v.norm - 2 * ${vdot("b")} + b.norm) AS dmin
+              FROM qn v, kc1 a, kc2 b
+              WHERE v.vec_id <> a.vec_id AND v.vec_id <> b.vec_id),
+      kc3 AS (SELECT vec_id, q, norm, dmin FROM kr3
+              ORDER BY dmin DESC, vec_id ASC LIMIT 1),
+      kr4 AS (SELECT v.vec_id, v.q, v.norm,
+                least(v.norm - 2 * ${vdot("a")} + a.norm,
+                      v.norm - 2 * ${vdot("b")} + b.norm,
+                      v.norm - 2 * ${vdot("c")} + c.norm) AS dmin
+              FROM qn v, kc1 a, kc2 b, kc3 c
+              WHERE v.vec_id <> a.vec_id AND v.vec_id <> b.vec_id
+                AND v.vec_id <> c.vec_id),
+      kc4 AS (SELECT vec_id, q, norm, dmin FROM kr4
+              ORDER BY dmin DESC, vec_id ASC LIMIT 1)
+      SELECT CAST(1 AS INT) AS round, vec_id, CAST(0 AS BIGINT) AS d2 FROM kc1
+      UNION ALL SELECT 2, vec_id, CAST(dmin AS BIGINT) FROM kc2
+      UNION ALL SELECT 3, vec_id, CAST(dmin AS BIGINT) FROM kc3
+      UNION ALL SELECT 4, vec_id, CAST(dmin AS BIGINT) FROM kc4
+      ORDER BY round"""
+    },
     "q_kmeans_step" -> ("WITH " + Dedup.QE + s""",
       d AS (SELECT vec_id, q,
               ${(0 to 3).map(k =>

@@ -48,4 +48,29 @@ class ClusteringSpec extends SparkSuite {
       assert(r._3 === 0L, s"singleton cell with nonzero inertia: $r")
     }
   }
+
+  test("k-center seeding: distinct centers, non-increasing max-min radius") {
+    val rows = Clustering.queries("q_kmeans_kcenter")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getAs[Int]("round"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("d2")))
+    assert(rows.length == 4)
+    assert(rows.map(_._2).distinct.length == 4, "centers must be distinct")
+    // farthest-first invariant: adding a center can only shrink every
+    // point's min-distance, so the selected argmax is non-increasing
+    val radii = rows.sortBy(_._1).drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a },
+      s"max-min radius increased: $radii")
+  }
+
+  test("k-center seeding stops early when the corpus has fewer vectors than K") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("tiny_kc").toString
+    val v = Array.tabulate(64)(i => (math.cos(i + 1) * 0.1).toFloat)
+    Seq((0L, v, 0), (1L, v.map(-_), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val rows = Clustering.queries("q_kmeans_kcenter")(spark, d).collect()
+    assert(rows.length == 2, s"expected 2 seeds from a 2-vector corpus")
+  }
 }

@@ -507,7 +507,8 @@ class PlanSpec extends SparkSuite {
     // fused MapPartitions, and no exchange except the final order-by —
     // a join or aggregate appearing here would mean the decode stage
     // grew a shuffle it doesn't need at 100 TB
-    for (q <- Seq("q_multimodal_decode_gif", "q_audio_features")) {
+    for (q <- Seq("q_multimodal_decode_gif", "q_multimodal_decode_png",
+        "q_audio_features")) {
       val p = plan(q)
       val scanIds = """\((\d+)\) Scan parquet""".r
         .findAllMatchIn(p).map(_.group(1)).toSet

@@ -288,4 +288,131 @@ class MultimodalSpec extends graft.SparkSuite {
     // header cut mid-color-table
     assert(Multimodal.parseGif(67L, full.take(15)).status == "truncated")
   }
+
+  // ----------------------------- PNG -----------------------------
+
+  /** Independent mini-model of the fixture's logical pixels + arms —
+    * mirrors the DuckDB twin, never the Scala encoder/decoder. */
+  private def pngModel(h: String): (Array[Int], Int, Int, Map[String, Boolean]) = {
+    val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
+    val w = 1 + b(0) % 4; val ht = 1 + b(1) % 4
+    val px = Array.tabulate(w * ht * 3) { k =>
+      val i = k / 3
+      val idx = b(5 + (i / 3) % 8) % 4
+      (k % 3) match {
+        case 0 => (b(2) + 7 * idx) % 256
+        case 1 => (b(3) + 11 * idx) % 256
+        case _ => (b(4) + 13 * idx) % 256
+      }
+    }
+    (px, w, ht, Map(
+      "badMagic" -> (b(12) % 16 == 0), "badCrc" -> (b(8) % 16 == 7),
+      "trunc" -> (b(14) % 8 == 3), "badAdler" -> (b(15) % 16 == 5),
+      "split" -> (b(10) % 4 == 0)))
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("PNG sweep: 300 synthesized files match the independent pixel model") {
+    var oks = 0; var arms = Map.empty[String, Int].withDefaultValue(0)
+    for (i <- 0 until 300) {
+      val h = md5hex(s"png-sweep-$i")
+      val (px, w, ht, a) = pngModel(h)
+      val m = Multimodal.parsePng(i.toLong, Multimodal.pngBytes(h))
+      val expected =
+        if (a("badMagic")) "bad_magic"
+        else if (a("badCrc")) "bad_header"
+        else if (a("trunc")) "truncated"
+        else if (a("badAdler")) "bad_data"
+        else "ok"
+      assert(m.status == expected, s"$h: ${m.status} != $expected")
+      if (expected == "ok") {
+        oks += 1
+        assert(m.width.contains(w) && m.height.contains(ht))
+        assert(m.n_idat.contains(if (a("split")) 2 else 1))
+        assert(m.r_sum.contains(
+          (0 until w * ht).map(j => px(3 * j).toLong).sum))
+        assert(m.g_sum.contains(
+          (0 until w * ht).map(j => px(3 * j + 1).toLong).sum))
+        assert(m.b_sum.contains(
+          (0 until w * ht).map(j => px(3 * j + 2).toLong).sum))
+        assert(m.px_min.contains(px.min) && m.px_max.contains(px.max))
+        assert(m.row0_sum.contains((0 until 3 * w).map(px(_).toLong).sum))
+      } else arms += expected -> (arms(expected) + 1)
+    }
+    // every arm and the ok path must actually fire across the sweep
+    assert(oks > 100, s"only $oks ok fixtures")
+    for (s <- Seq("bad_magic", "bad_header", "truncated", "bad_data"))
+      assert(arms(s) > 0, s"arm $s never fired in the sweep")
+  }
+
+  test("PNG inflate decodes java.util.zip.Deflater output (dynamic Huffman)") {
+    // an INDEPENDENT reference encoder: JDK zlib at several levels over
+    // data shapes that force dynamic-Huffman blocks and long matches
+    val rnd = new scala.util.Random(42)
+    val shapes = Seq(
+      Array.fill(2000)(rnd.nextInt(8).toByte), // low-entropy → dynamic
+      Array.tabulate(4096)(i => (i % 97).toByte), // periodic → LZ77
+      Array.fill(300)(rnd.nextInt(256).toByte), // high-entropy
+      Array.fill(70000)(rnd.nextInt(4).toByte)) // multi-block
+    for (data <- shapes; level <- Seq(1, 6, 9)) {
+      val d = new java.util.zip.Deflater(level)
+      d.setInput(data); d.finish()
+      val buf = new Array[Byte](data.length + 1024)
+      val n = d.deflate(buf)
+      d.end()
+      val (out, adOk) = Multimodal.zlibInflate(buf, 0, n, data.length)
+      assert(adOk, s"adler mismatch at level $level")
+      assert(java.util.Arrays.equals(out, data),
+        s"inflate mismatch: ${data.length} bytes at level $level")
+    }
+  }
+
+  test("PNG: all five filter types invert (fixed-Huffman and stored)") {
+    // b(6..9) drive row filters ft = b(6+r%8) % 5; find hashes whose
+    // first rows exercise each filter type and both compression arms
+    var seen = Set.empty[(Int, Boolean)]
+    var i = 0
+    while (seen.size < 10 && i < 4000) {
+      val h = md5hex(s"png-filter-$i")
+      val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
+      val (px, w, ht, a) = pngModel(h)
+      if (!a("badMagic") && !a("badCrc") && !a("trunc") && !a("badAdler")) {
+        val m = Multimodal.parsePng(0L, Multimodal.pngBytes(h))
+        assert(m.status == "ok")
+        assert(m.r_sum.contains(
+          (0 until w * ht).map(j => px(3 * j).toLong).sum), s"h=$h")
+        for (r <- 0 until ht) seen += ((b(6 + r % 8) % 5, b(13) % 2 == 0))
+      }
+      i += 1
+    }
+    assert(seen.map(_._1) == Set(0, 1, 2, 3, 4),
+      s"filters seen: ${seen.map(_._1)}")
+    assert(seen.map(_._2) == Set(true, false)) // both compression arms
+  }
+
+  test("PNG failure paths are rows, never throws") {
+    assert(Multimodal.parsePng(90L, null).status == "bad_magic")
+    assert(Multimodal.parsePng(91L,
+      Array[Byte](0x42, 0x4d, 0, 0)).status == "bad_magic")
+    // a no-arm fixture, then surgical corruption
+    val h = Iterator.from(0).map(i => md5hex(s"png-ok-$i")).find { hh =>
+      val (_, _, _, a) = pngModel(hh)
+      !a("badMagic") && !a("badCrc") && !a("trunc") && !a("badAdler")
+    }.get
+    val full = Multimodal.pngBytes(h)
+    assert(Multimodal.parsePng(92L, full).status == "ok")
+    // cut mid-IDAT: chunk length outruns the payload
+    assert(Multimodal.parsePng(93L, full.take(full.length - 20))
+      .status == "truncated")
+    // cut inside IHDR
+    assert(Multimodal.parsePng(94L, full.take(12)).status == "truncated")
+    // flip one IDAT payload byte: the chunk CRC catches it → bad_data
+    val flipped = full.clone()
+    flipped(full.length - 20) = (flipped(full.length - 20) ^ 0x7f).toByte
+    val st = Multimodal.parsePng(95L, flipped).status
+    assert(st == "bad_data" || st == "bad_header", st)
+  }
 }

@@ -1173,7 +1173,7 @@ object Multimodal {
     ihdr(8) = 8 // bit depth
     ihdr(9) = 2 // color type: truecolor RGB
     chunk("IHDR", ihdr, corrupt = badCrc)
-    if (textChunk) chunk("tEXt", "origin synthetic".getBytes("US-ASCII"))
+    if (textChunk) chunk("tEXt", "origin\u0000synthetic".getBytes("US-ASCII"))
     if (splitIdat) {
       val m = zlib.length / 2
       chunk("IDAT", zlib.take(m)); chunk("IDAT", zlib.drop(m))

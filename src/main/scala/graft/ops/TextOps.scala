@@ -60,6 +60,66 @@ object TextOps {
     // checkpointing the result (~2 s RDD-materialization overhead).
     "q_tfidf" -> ((s, dir) => tfidfTree(s, dir, termFreqs(s, dir))),
 
+    // Okapi BM25 ranked retrieval (Robertson & Spärck Jones; the
+    // Lucene `+1` idf variant, k1=1.2, b=0.75) — the classic
+    // full-text-search scoring pass over the inverted index. The
+    // query set is data-derived (every 61st doc contributes its 3
+    // lexicographically-first distinct words of length ≥ 4), so the
+    // whole operator stays relational and oracle-twinned. Scale
+    // shape — the POSTING-LIST join, never query×corpus: the bounded
+    // query-term table (|queries|×3 rows) first picks up df through
+    // one vocab-sized SHJ (build = the hinted df side, same rule as
+    // tf-idf), then BROADCASTS into the corpus tf scan, so only
+    // postings of query terms survive the map side; doc lengths
+    // attach by one doc-keyed SHJ; corpus stats ride a broadcast
+    // scalar. Scores follow the nb_classify cross-engine discipline:
+    // each per-term double rounds to 6 dp, sums exactly in
+    // decimal(38,6), and the final rank is over the exact decimal.
+    "q_bm25" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tfAll = termFreqs(s, dir)
+      val dl = tfAll.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val df = tfAll.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("tok_total"))
+      val qw = Window.partitionBy(col("query_id")).orderBy(col("word"))
+      val qterms = tfAll
+        .filter(col("doc_id") % 61 === 0 && length(col("word")) >= 4)
+        .select(col("doc_id").as("query_id"), col("word"))
+        .withColumn("rn", row_number().over(qw))
+        .filter(col("rn") <= 3).drop("rn")
+      val qd = qterms.join(df.hint("shuffle_hash"), "word")
+      // dl is CORPUS-sized (one row per doc) — unlike the vocab-sized
+      // df build above, hinting it as an SHJ build side would hold
+      // N/P doc rows per partition hash map at 100 TB; unhinted, the
+      // doc-keyed attach stays a sort-merge join between two streams
+      // (AQE may still downgrade to a local join at small SF).
+      val postings = tfAll.join(broadcast(qd), "word")
+        .filter(col("doc_id") =!= col("query_id"))
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+      val perTerm = postings
+        .withColumn("idf", round(log(
+          ((col("n_docs") - col("df")).cast("double") + 0.5) /
+            (col("df").cast("double") + 0.5) + 1.0), 6))
+        .withColumn("tfn", col("tf").cast("double") * 2.2 /
+          (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
+            lit(0.75) * col("dl").cast("double") *
+              col("n_docs").cast("double") / col("tok_total").cast("double"))))
+        .withColumn("term_score",
+          expr("cast(round(idf * tfn, 6) as decimal(38,6))"))
+      val agg = perTerm.groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_terms"),
+          sum(col("term_score")).as("s6"))
+      val rw = Window.partitionBy(col("query_id"))
+        .orderBy(col("s6").desc, col("doc_id"))
+      agg.withColumn("rank", row_number().over(rw))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("doc_id"), col("n_terms"),
+          round(col("s6"), 4).cast("double").as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Bigram collocations by pointwise mutual information — the n-gram
     // statistics pass of a corpus-analysis pipeline. Scale shape: two
     // hash-aggregates (unigrams, adjacent-pair bigrams from the SAME
@@ -297,6 +357,42 @@ object TextOps {
       FROM t JOIN d ON t.word = d.word CROSS JOIN n
       WHERE doc_id % 20 = 0
       ORDER BY doc_id, word""",
+    "q_bm25" -> """
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                    FROM documents),
+      tf AS (SELECT doc_id, word, count(*) AS tf FROM toks
+             WHERE word <> '' GROUP BY 1, 2),
+      dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+      st AS (SELECT count(*) AS n_docs, sum(dl) AS tok_total FROM dl),
+      qt AS (SELECT query_id, word FROM (
+               SELECT doc_id AS query_id, word,
+                      row_number() OVER (PARTITION BY doc_id ORDER BY word) AS rn
+               FROM tf WHERE doc_id % 61 = 0 AND length(word) >= 4) q
+             WHERE rn <= 3),
+      pt AS (SELECT q.query_id, t.doc_id, t.tf, d.df, l.dl, s.n_docs, s.tok_total
+             FROM qt q JOIN tf t ON q.word = t.word
+             JOIN df d ON q.word = d.word
+             JOIN dl l ON t.doc_id = l.doc_id CROSS JOIN st s
+             WHERE t.doc_id <> q.query_id),
+      ts AS (SELECT query_id, doc_id, CAST(round(
+               round(ln((CAST(n_docs - df AS DOUBLE) + 0.5) /
+                        (CAST(df AS DOUBLE) + 0.5) + 1.0), 6) *
+               (CAST(tf AS DOUBLE) * 2.2 / (CAST(tf AS DOUBLE) + 1.2 *
+                 (0.25 + 0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) /
+                   CAST(tok_total AS DOUBLE)))), 6) AS DECIMAL(38,6)) AS term_score
+             FROM pt),
+      ag AS (SELECT query_id, doc_id, CAST(count(*) AS INT) AS n_terms,
+                    sum(term_score) AS s6
+             FROM ts GROUP BY 1, 2),
+      rk AS (SELECT query_id, doc_id, n_terms, s6,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY s6 DESC, doc_id) AS rank
+             FROM ag)
+      SELECT query_id, CAST(rank AS INT) AS rank, doc_id, n_terms,
+             CAST(round(s6, 4) AS DOUBLE) AS score
+      FROM rk WHERE rank <= 3
+      ORDER BY query_id, rank""",
     "q_ngram_pmi" -> """
       WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
       uni AS (SELECT w, count(*) AS c

@@ -502,6 +502,22 @@ class PlanSpec extends SparkSuite {
     assert(scans <= 2, s"expected one scored scan, got $scans")
   }
 
+  test("q_bm25 broadcasts query terms into the corpus postings scan") {
+    // the posting-list join must stream the corpus tf side through a
+    // BroadcastHashJoin against the bounded (|queries|×3 terms + df)
+    // build — a shuffle of the corpus keyed by word, or worse a
+    // query×corpus product, is the 100 TB failure shape
+    val p = plan("q_bm25")
+    assert(p.contains("BroadcastHashJoin"), "query terms must broadcast")
+    assert(p.contains("WindowGroupLimit"), "top-k must pre-limit per group")
+    // the only nested-loop node allowed is the 1-row stats broadcast
+    // (count detail headers — formatted explain lists each node twice)
+    val bnlj = """(?m)^\(\d+\) BroadcastNestedLoopJoin""".r
+      .findAllIn(p).size
+    assert(bnlj <= 1, s"unexpected nested loops:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("decode-family queries stay single-scan map-only pipelines") {
     // decode + feature extraction are scan-shaped: one parquet scan,
     // fused MapPartitions, and no exchange except the final order-by —

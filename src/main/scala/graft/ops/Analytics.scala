@@ -88,6 +88,34 @@ object Analytics {
         .orderBy("file_id")
     }),
 
+    // Rendezvous (highest-random-weight) sharding — the STABLE shard
+    // assignment a 100 TB corpus store needs (Thaler & Ravishankar
+    // 1998; the scheme inside Ceph/CRUSH-style placement): each doc
+    // hashes once per shard id and lands on the argmax. The query
+    // demonstrates the property that justifies the scheme: growing 8
+    // shards to 9 moves ONLY docs whose new-shard hash wins — every
+    // mover lands on the NEW shard (moved_in = 0 for shards 0–7, and
+    // shard 8 receives ≈ 1/9 of the corpus), where a mod-N split would
+    // reshuffle ~8/9 of all docs. Weights compare as md5 hex strings
+    // (lexicographic = numeric on hex — the q_sample_hash idiom);
+    // assignment is ONE scan, a 9-way generate, and one max_by
+    // aggregate per doc — map-side partials, a single doc-keyed
+    // exchange, then a 9-row matrix.
+    "q_shard_rendezvous" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(expr("sequence(0, 8)")).as("s"))
+        .withColumn("w", md5(concat(col("doc_id").cast("string"),
+          lit(":"), col("s").cast("string"))))
+        .groupBy(col("doc_id"))
+        .agg(
+          max_by(col("s"), when(col("s") <= 7, col("w"))).as("shard8"),
+          max_by(col("s"), col("w")).as("shard9"))
+        .groupBy(col("shard9").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("shard8") =!= col("shard9")).cast("long")).as("moved_in"))
+        .orderBy("shard")
+    }),
+
     // Column profiling — the ANALYZE TABLE / data-quality artifact:
     // per-column row count, null count, distinct count, min/max, all
     // EXACT. One pass computes every non-distinct stat map-side; the
@@ -168,6 +196,21 @@ object Analytics {
       SELECT days.wd, count(DISTINCT e.user_id) AS u7
       FROM e JOIN days ON days.wd BETWEEN e.d AND e.d + 6
       GROUP BY 1 ORDER BY wd""",
+    "q_shard_rendezvous" -> """
+      WITH e AS (SELECT doc_id, s
+                 FROM documents, UNNEST(generate_series(0, 8)) AS g(s)),
+      w AS (SELECT doc_id, s,
+              md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)) AS w
+            FROM e),
+      a AS (SELECT doc_id,
+              CAST(arg_max(CASE WHEN s <= 7 THEN s END,
+                           CASE WHEN s <= 7 THEN w END) AS INT) AS shard8,
+              CAST(arg_max(s, w) AS INT) AS shard9
+            FROM w GROUP BY doc_id)
+      SELECT shard9 AS shard, count(*) AS n_docs,
+             CAST(sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) AS BIGINT)
+               AS moved_in
+      FROM a GROUP BY 1 ORDER BY 1""",
     "q_zorder_layout" -> {
       val x = "(user_id % 256)"
       val y = "datediff('day', DATE '2024-01-01', CAST(ts AS DATE))"

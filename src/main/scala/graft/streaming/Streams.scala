@@ -361,6 +361,24 @@ object Streams {
       .agg(expr(s"cms_sketch(w, $depth, $width)").as("sk"))
       .select(col("win.start").as("w_start"), col("sk"))
 
+  /** The histogram-quantile sketch's streaming form: 32 clamped
+    * equi-width bins over a PRE-DECLARED [lo, lo + 32·width) range —
+    * a streaming histogram must fix its geometry up front (the batch
+    * q_quantile_sketch derives lo/width from an exact min/max pass the
+    * unbounded stream cannot run), which is exactly how production
+    * latency/price monitors operate: bins are part of the metric
+    * contract. Bin counts are plain mergeable longs, so the state
+    * store holds ≤ 32 rows whatever the stream length, and the
+    * streamed histogram after any prefix of batches equals the batch
+    * histogram over the same rows (StreamsSpec pins parity and the
+    * checkpoint restart). Quantile read-out from 32 bins is a trivial
+    * batch-side epilogue wherever the sink lands. */
+  def streamingHistogram(values: DataFrame, lo: Long,
+      width: Long): DataFrame =
+    values.groupBy(
+        expr(s"least(greatest((v - $lo) div $width, 0), 31)").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Custom state: running per-user event counts via
     * mapGroupsWithState (the reference Reduce's stateful streaming
     * analog — arbitrary per-key state the built-ins can't express). */

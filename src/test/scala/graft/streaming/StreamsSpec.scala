@@ -283,6 +283,35 @@ class StreamsSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("streamed histogram equals the batch histogram and survives restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_hist_ckpt").toString
+    // values straddling bins, below-range and above-range clamps
+    val b1 = Seq(100L, 105L, 131L, 99L, 50L)   // bins 0,0,3,0(clamped),0
+    val b2 = Seq(100L, 420L, 5000L, 131L)      // 0, 31(clamped), 31, 3
+    val in = MemoryStream[Long]
+    def start() = Streams.streamingHistogram(in.toDF().toDF("v"), lo = 100L, width = 10L)
+      .writeStream.format("memory").queryName("hist_stream")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Complete()).start()
+    val q1 = start()
+    try { in.addData(b1: _*); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start() // restart: bin counts must reload from the checkpoint
+    try {
+      in.addData(b2: _*); q2.processAllAvailable()
+      val streamed = spark.table("hist_stream")
+        .as[(Long, Long)].collect().toMap
+      val batch = Streams.streamingHistogram((b1 ++ b2).toDF("v"),
+          lo = 100L, width = 10L)
+        .as[(Long, Long)].collect().toMap
+      assert(streamed === batch)
+      // the merge path genuinely combined counts across batches
+      assert(streamed(0L) === 5L) // 100,105,99→clamp,50→clamp,100
+      assert(streamed(3L) === 2L)
+      assert(streamed(31L) === 2L) // both above-range values clamp high
+    } finally q2.stop()
+  }
+
   test("funnel chunks: streamed file source equals the batch plan, keyed by content") {
     // The composed q_pipeline_chunks funnel run incrementally over the
     // real documents fixture (file source, one file per micro-batch).

@@ -487,6 +487,38 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("hamming"))
   }
 
+  /** PACKED binary quantization — the deployment encoding of the
+    * 1-bit leg: all 64 sign bits in two 32-bit words (two positive
+    * BIGINTs, overflow-safe in both engines), Hamming distance =
+    * bit_count(xor) per word — two xors and two popcounts where the
+    * array form evaluates a 64-element zip_with lambda per pair.
+    * Ranking is IDENTICAL to [[bqTop]] by construction
+    * (SimilaritySpec pins row equality); this variant exists because
+    * at 100 TB the 16-byte code column and the popcount kernel are
+    * what a production scan actually ships and runs. */
+  private def bqPackedTop(s: SparkSession, dir: String, qmax: Int,
+      k: Int): DataFrame = {
+    def packWord(from: Int): String =
+      s"aggregate(sequence($from, ${from + 31}), 0L, (acc, i) -> acc + " +
+        s"CASE WHEN element_at(q, i + 1) >= 0 THEN shiftleft(1L, i - $from) ELSE 0L END)"
+    val codes = Dedup.quantized(s, dir)
+      .select(col("vec_id"), expr(packWord(0)).as("lo"),
+        expr(packWord(32)).as("hi"))
+    val queriesDf = codes.filter(col("vec_id") < qmax)
+      .select(col("vec_id").as("query_id"),
+        col("lo").as("qlo"), col("hi").as("qhi"))
+    val corpus = codes.select(col("vec_id").as("neighbor_id"),
+      col("lo"), col("hi"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    corpus.join(broadcast(queriesDf), col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", expr(
+        "cast(bit_count(lo ^ qlo) as bigint) + cast(bit_count(hi ^ qhi) as bigint)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("hamming"))
+  }
+
   /** Prefix-d cosine top-k (Matryoshka leg): slice to the first d
     * dims, exact integer dot/norms within the prefix, zero-norm
     * prefixes excluded from both sides. */
@@ -1123,6 +1155,11 @@ object Similarity {
         bqTop(s, dir, qmax = 50, k = 3).select("query_id", "neighbor_id"),
         k = 3)),
 
+    // The packed-word deployment form of the same 1-bit index:
+    // identical ranking, 16-byte codes, popcount kernel.
+    "q_knn_bq_packed" -> ((s, dir) =>
+      bqPackedTop(s, dir, qmax = 50, k = 3).orderBy("query_id", "rnk")),
+
     // MATRYOSHKA dimension grid — recall@3 when ranking uses only the
     // first d ∈ {8,16,32,64} dimensions (the MRL deployment question:
     // how much of the vector do you actually need to pay for?). Exact
@@ -1312,6 +1349,23 @@ object Similarity {
              FROM pairs),
       rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) AS INT) AS rnk
              FROM hm)
+      SELECT query_id, rnk, neighbor_id, hamming FROM rk WHERE rnk <= 3
+      ORDER BY query_id, rnk"""),
+    "q_knn_bq_packed" -> ("WITH " + Dedup.QE + s""",
+      pk AS (SELECT vec_id,
+               CAST(list_sum(list_transform(generate_series(0, 31), i ->
+                 CASE WHEN q[i + 1] >= 0 THEN (CAST(1 AS BIGINT) << i)
+                      ELSE 0 END)) AS BIGINT) AS lo,
+               CAST(list_sum(list_transform(generate_series(32, 63), i ->
+                 CASE WHEN q[i + 1] >= 0 THEN (CAST(1 AS BIGINT) << (i - 32))
+                      ELSE 0 END)) AS BIGINT) AS hi
+             FROM qn),
+      pairs AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                  CAST(bit_count(xor(a.lo, b.lo)) AS BIGINT) +
+                  CAST(bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+                FROM pk a JOIN pk b ON a.vec_id < 50 AND a.vec_id <> b.vec_id),
+      rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) AS INT) AS rnk
+             FROM pairs)
       SELECT query_id, rnk, neighbor_id, hamming FROM rk WHERE rnk <= 3
       ORDER BY query_id, rnk"""),
     "q_knn_bq_recall" -> ("WITH " + Dedup.QE + "," + bqCte + "," + bruteCtes + s""",

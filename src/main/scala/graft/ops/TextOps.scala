@@ -120,6 +120,53 @@ object TextOps {
         .orderBy("query_id", "rank")
     }),
 
+    // Distinct-n n-gram diversity (the distinct-1/2/3 metric of Li et
+    // al. 2016) per source — the generation-quality / memorization
+    // screen a corpus report carries: a crawl slice whose trigram
+    // diversity collapses is template boilerplate. One tokenize scan
+    // per n-level feeding a count + count-distinct aggregate; the
+    // ratio is the only double and rounds after exact integer counts.
+    "q_ngram_diversity" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("source"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("t"))
+      def level(n: Int) = toks.filter(size(col("t")) >= n)
+        .select(col("source"), explode(expr(
+          s"transform(sequence(0, size(t) - $n), " +
+            s"i -> concat_ws(' ', slice(t, i + 1, $n)))")).as("g"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("total_ngrams"),
+          countDistinct(col("g")).as("n_distinct"))
+        .withColumn("n", lit(n))
+      level(1).unionByName(level(2)).unionByName(level(3))
+        .select(col("source"), col("n"), col("total_ngrams"), col("n_distinct"),
+          Num.r(col("n_distinct").cast("double") /
+            col("total_ngrams").cast("double")).as("diversity"))
+        .orderBy("source", "n")
+    }),
+
+    // Length-bucket manifest for batch packing: docs grouped by the
+    // power-of-two token-length bucket a length-grouped data loader
+    // pads to, with the exact padding-waste fraction per bucket — the
+    // number that decides bucketed vs packed batching. Integer-only
+    // bucket assignment (1 << length(bin(len − 1)) — the hllRho
+    // bin-length idiom, cross-engine exact); one scan, one ≤log₂(max)
+    // -row aggregate.
+    "q_length_buckets" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(expr("size(filter(split(text, ' '), x -> x <> ''))").as("len"))
+        .filter(col("len") > 0)
+        .withColumn("bucket", expr("CASE WHEN len <= 1 THEN 1L " +
+          "ELSE shiftleft(1L, length(bin(cast(len - 1 as bigint)))) END"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_tokens"))
+        .withColumn("padded_tokens", col("bucket") * col("n_docs"))
+        .withColumn("pad_waste", Num.r(
+          (col("padded_tokens") - col("sum_tokens")).cast("double") /
+            col("padded_tokens").cast("double")))
+        .orderBy("bucket")
+    }),
+
     // Bigram collocations by pointwise mutual information — the n-gram
     // statistics pass of a corpus-analysis pipeline. Scale shape: two
     // hash-aggregates (unigrams, adjacent-pair bigrams from the SAME
@@ -393,6 +440,42 @@ object TextOps {
              CAST(round(s6, 4) AS DOUBLE) AS score
       FROM rk WHERE rank <= 3
       ORDER BY query_id, rank""",
+    "q_ngram_diversity" -> """
+      WITH t AS (SELECT source,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+                 FROM documents),
+      g1 AS (SELECT source, unnest(t) AS g FROM t WHERE len(t) >= 1),
+      g2 AS (SELECT source, t[i] || ' ' || t[i + 1] AS g
+             FROM t, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) u(i)
+             WHERE len(t) >= 2),
+      g3 AS (SELECT source, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+             FROM t, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) u(i)
+             WHERE len(t) >= 3),
+      a AS (SELECT source, 1 AS n, count(*) AS total_ngrams,
+                   count(DISTINCT g) AS n_distinct FROM g1 GROUP BY 1
+            UNION ALL
+            SELECT source, 2, count(*), count(DISTINCT g) FROM g2 GROUP BY 1
+            UNION ALL
+            SELECT source, 3, count(*), count(DISTINCT g) FROM g3 GROUP BY 1)
+      SELECT source, CAST(n AS INT) AS n, total_ngrams, n_distinct,
+             CAST(round(CAST(n_distinct AS DOUBLE) /
+               CAST(total_ngrams AS DOUBLE), 4) AS DOUBLE) AS diversity
+      FROM a ORDER BY source, n""",
+    "q_length_buckets" -> """
+      WITH d AS (SELECT len(list_filter(string_split(text, ' '),
+                   x -> x <> '')) AS len FROM documents),
+      b AS (SELECT CASE WHEN len <= 1 THEN CAST(1 AS BIGINT)
+                 ELSE (CAST(1 AS BIGINT) << length(bin(CAST(len - 1 AS BIGINT))))
+               END AS bucket, len
+            FROM d WHERE len > 0),
+      a AS (SELECT bucket, count(*) AS n_docs,
+                   CAST(sum(len) AS BIGINT) AS sum_tokens
+            FROM b GROUP BY 1)
+      SELECT bucket, n_docs, sum_tokens,
+             bucket * n_docs AS padded_tokens,
+             CAST(round(CAST(bucket * n_docs - sum_tokens AS DOUBLE) /
+               CAST(bucket * n_docs AS DOUBLE), 4) AS DOUBLE) AS pad_waste
+      FROM a ORDER BY bucket""",
     "q_ngram_pmi" -> """
       WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
       uni AS (SELECT w, count(*) AS c

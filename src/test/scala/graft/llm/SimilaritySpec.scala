@@ -126,4 +126,16 @@ class SimilaritySpec extends SparkSuite {
     assert(perNode.length.toLong == n, "every node appears in the graph")
     assert(perNode.forall(_._2 == 3L), "exactly k = 3 neighbors per node")
   }
+
+  test("packed BQ ranks identically to the array form (real sf0.001)") {
+    // the 2×32-bit popcount encoding is a pure re-representation of
+    // the sign vector — every (query, rank, neighbor, hamming) row
+    // must match the zip_with array form exactly
+    val dir = "/root/testdata/sf0.001"
+    val arr = Similarity.queries("q_knn_bq")(spark, dir)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    val packed = Similarity.queries("q_knn_bq_packed")(spark, dir)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(arr.nonEmpty && arr == packed)
+  }
 }

@@ -17,6 +17,16 @@ case class ImageMeta(doc_id: Long, width: Int, height: Int,
 case class ResizedMeta(doc_id: Long, width: Int, height: Int,
     out_w: Int, out_h: Int)
 
+/** Typed output of the REAL resize stage (nearest-neighbor over
+  * genuinely decoded P6 pixels): status, source and target dims, exact
+  * per-channel sums over the SAMPLED pixels, and the packed top-left
+  * sample (r·65536 + g·256 + b) that pins the index map's rounding
+  * direction in the hash gate. */
+case class ResizedRealMeta(doc_id: Long, status: String,
+    width: Option[Int], height: Option[Int], out_w: Option[Int],
+    out_h: Option[Int], r_sum: Option[Long], g_sum: Option[Long],
+    b_sum: Option[Long], top_left: Option[Long])
+
 /** Typed output of the REAL (non-stub) PPM decode: parse status,
   * header fields, and exact raster stats. Nullable fields are None
   * wherever the parse did not get far enough to produce them. */
@@ -154,9 +164,14 @@ object Multimodal {
     * kills the task, so every failure is a ROW (`bad_magic`,
     * `bad_header`, `unsupported_maxval`, `truncated`), filterable
     * downstream like any other QA signal. */
-  private[llm] def parsePpm(id: Long, p: Array[Byte]): PpmMeta = {
-    val none = PpmMeta(id, "bad_magic", None, None, None, None, None, None, None, None)
-    if (p == null || p.length < 2 || p(0) != 'P' || p(1) != '6') return none
+  /** P6 header walk shared by the decode and resize stages: magic,
+    * whitespace/`#`-comment skipping, ASCII header ints, the single
+    * post-maxval whitespace. Returns (status, w, h, mv, rasterOffset);
+    * rasterOffset is valid only when status == "ok" (full raster
+    * present). */
+  private def ppmHeader(p: Array[Byte]): (String, Int, Int, Int, Int) = {
+    if (p == null || p.length < 2 || p(0) != 'P' || p(1) != '6')
+      return ("bad_magic", -1, -1, -1, -1)
     var i = 2
     def eof = i >= p.length
     def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
@@ -176,21 +191,27 @@ object Multimodal {
       if (any) v.toInt else -1
     }
     val w = parseInt(); val h = parseInt(); val mv = parseInt()
-    if (w <= 0 || h <= 0 || mv <= 0)
-      return none.copy(status = "bad_header")
+    if (w <= 0 || h <= 0 || mv <= 0) return ("bad_header", -1, -1, -1, -1)
     if (mv > 255) // 2-byte samples — out of scope for this decoder
-      return none.copy(status = "unsupported_maxval",
-        width = Some(w), height = Some(h), maxval = Some(mv))
+      return ("unsupported_maxval", w, h, mv, -1)
     if (!eof && isWs(p(i))) i += 1 // exactly ONE whitespace, then raster
-    val need = w.toLong * h * 3
-    if (p.length - i < need)
-      return none.copy(status = "truncated",
+    if (p.length - i < w.toLong * h * 3) return ("truncated", w, h, mv, -1)
+    ("ok", w, h, mv, i)
+  }
+
+  private[llm] def parsePpm(id: Long, p: Array[Byte]): PpmMeta = {
+    val none = PpmMeta(id, "bad_magic", None, None, None, None, None, None, None, None)
+    val (st, w, h, mv, off) = ppmHeader(p)
+    if (st == "bad_magic" || st == "bad_header") return none.copy(status = st)
+    if (st != "ok")
+      return none.copy(status = st,
         width = Some(w), height = Some(h), maxval = Some(mv))
+    val need = w.toLong * h * 3
     var rs = 0L; var gs = 0L; var bs = 0L
     var mn = 255; var mx = 0
     var k = 0
     while (k < need) {
-      val v = p(i + k) & 0xff
+      val v = p(off + k) & 0xff
       (k % 3: @annotation.switch) match {
         case 0 => rs += v
         case 1 => gs += v
@@ -202,6 +223,42 @@ object Multimodal {
     }
     PpmMeta(id, "ok", Some(w), Some(h), Some(mv),
       Some(rs), Some(gs), Some(bs), Some(mn), Some(mx))
+  }
+
+  /** REAL resize over genuinely decoded pixels — the decode→transform
+    * stage the stub below stands in for when no decoder exists:
+    * nearest-neighbor sampling (src = (out·in) div out_dim, the
+    * classic integer NN index map) of the parsed P6 raster down to
+    * ow×oh, with exact per-channel sums over the sampled pixels and
+    * the packed top-left sample pinning WHICH pixels were chosen (a
+    * wrong rounding direction in the index map changes top_left before
+    * it changes any sum). Failure statuses flow through from the
+    * header walk as rows, decode-family contract. */
+  private[llm] def resizePpm(id: Long, p: Array[Byte], ow: Int,
+      oh: Int): ResizedRealMeta = {
+    val none = ResizedRealMeta(id, "bad_magic", None, None, None, None,
+      None, None, None, None)
+    val (st, w, h, _, off) = ppmHeader(p)
+    if (st == "bad_magic" || st == "bad_header") return none.copy(status = st)
+    if (st != "ok")
+      return none.copy(status = st, width = Some(w), height = Some(h))
+    var rs = 0L; var gs = 0L; var bs = 0L; var tl = 0L
+    var r = 0
+    while (r < oh) {
+      var c = 0
+      while (c < ow) {
+        val base = off + ((r * h / oh) * w + (c * w / ow)) * 3
+        val rr = p(base) & 0xff
+        val gg = p(base + 1) & 0xff
+        val bb = p(base + 2) & 0xff
+        rs += rr; gs += gg; bs += bb
+        if (r == 0 && c == 0) tl = rr * 65536L + gg * 256L + bb
+        c += 1
+      }
+      r += 1
+    }
+    ResizedRealMeta(id, "ok", Some(w), Some(h), Some(ow), Some(oh),
+      Some(rs), Some(gs), Some(bs), Some(tl))
   }
 
   /** The typed decode stage over [[parsePpm]] — same per-partition
@@ -1664,6 +1721,21 @@ object Multimodal {
       decodePng(payloads).toDF().orderBy("doc_id")
     }),
 
+    // REAL decode→resize chain over the P6 payloads: every output
+    // pixel is a genuinely parsed raster byte chosen by the integer
+    // nearest-neighbor index map — the oracle recomputes the same
+    // samples from the hex function, so the hash gate pins both the
+    // parse and the sampling geometry.
+    "q_multimodal_resize_real" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = ppmPayload(Tables(s, dir, "documents"))
+        .as[BinaryDoc]
+      payloads.mapPartitions { rows =>
+        // per-partition resize-buffer allocation would go here
+        rows.map(d => resizePpm(d.doc_id, d.payload, ow = 2, oh = 2))
+      }.toDF().orderBy("doc_id")
+    }),
+
     // Format sniffing + byte-level QA stats — the one multimodal stage
     // that needs NO codec and is therefore fully real here: magic-byte
     // classification (the dispatch step that routes a payload to the
@@ -1764,6 +1836,45 @@ object Multimodal {
              CASE WHEN badmagic OR trunc THEN NULL ELSE CAST(list_min(raster) AS INT) END AS px_min,
              CASE WHEN badmagic OR trunc THEN NULL ELSE CAST(list_max(raster) AS INT) END AS px_max
       FROM r ORDER BY doc_id""",
+    // Resize twin: identical raster reconstruction, then the SAME
+    // integer NN index map ((out·in) // out_dim) picks the 4 sampled
+    // pixels; top_left pins the rounding direction.
+    "q_multimodal_resize_real" -> s"""
+      WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+      b AS (SELECT doc_id, h, ${byteAt(0)} AS b0, ${byteAt(1)} AS b1,
+                   ${byteAt(13)} AS b13, ${byteAt(15)} AS b15
+            FROM hx),
+      d AS (SELECT doc_id, h, b13 % 16 = 0 AS badmagic, b15 % 8 = 0 AS trunc,
+                   1 + b0 % 4 AS w, 1 + b1 % 4 AS hh
+            FROM b),
+      r AS (SELECT doc_id, badmagic, trunc, w, hh,
+              list_transform(generate_series(0, w * hh * 3 - 1), i ->
+                (ascii(substr(h, 2*(i%16)+1, 1)) - (CASE WHEN substr(h, 2*(i%16)+1, 1) >= 'a' THEN 87 ELSE 48 END)) * 16 +
+                (ascii(substr(h, 2*(i%16)+2, 1)) - (CASE WHEN substr(h, 2*(i%16)+2, 1) >= 'a' THEN 87 ELSE 48 END))) AS raster
+            FROM d),
+      sm AS (SELECT doc_id, badmagic, trunc, w, hh, raster,
+               list_transform(generate_series(0, 3), k ->
+                 ((k // 2) * hh // 2) * w + ((k % 2) * w // 2)) AS idx
+             FROM r)
+      SELECT doc_id,
+             CASE WHEN badmagic THEN 'bad_magic'
+                  WHEN trunc THEN 'truncated' ELSE 'ok' END AS status,
+             CASE WHEN badmagic THEN NULL ELSE CAST(w AS INT) END AS width,
+             CASE WHEN badmagic THEN NULL ELSE CAST(hh AS INT) END AS height,
+             CASE WHEN badmagic OR trunc THEN NULL
+                  ELSE CAST(2 AS INT) END AS out_w,
+             CASE WHEN badmagic OR trunc THEN NULL
+                  ELSE CAST(2 AS INT) END AS out_h,
+             CASE WHEN badmagic OR trunc THEN NULL ELSE CAST(list_sum(
+               list_transform(idx, i -> raster[3*i+1])) AS BIGINT) END AS r_sum,
+             CASE WHEN badmagic OR trunc THEN NULL ELSE CAST(list_sum(
+               list_transform(idx, i -> raster[3*i+2])) AS BIGINT) END AS g_sum,
+             CASE WHEN badmagic OR trunc THEN NULL ELSE CAST(list_sum(
+               list_transform(idx, i -> raster[3*i+3])) AS BIGINT) END AS b_sum,
+             CASE WHEN badmagic OR trunc THEN NULL ELSE
+               CAST(raster[1] * 65536 + raster[2] * 256 + raster[3] AS BIGINT)
+             END AS top_left
+      FROM sm ORDER BY doc_id""",
     "q_multimodal_decode_wav" -> s"""
       WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
       b AS (SELECT doc_id, h, ${byteAt(2)} AS b2, ${byteAt(3)} AS b3,

@@ -289,6 +289,25 @@ class MultimodalSpec extends graft.SparkSuite {
     assert(Multimodal.parseGif(67L, full.take(15)).status == "truncated")
   }
 
+  test("real NN resize samples the exact raster pixels the index map names") {
+    // 4×2 raster with distinct per-pixel values: out(r,c) must sample
+    // src (r·2/2, c·4/2) = rows 0,1 × cols 0,2 under floor-NN
+    val px = Array.tabulate(8)(i => Array(10 * i + 1, 10 * i + 2, 10 * i + 3))
+    val raster = px.flatten
+    val m = Multimodal.resizePpm(70L, ppm("P6\n4 2\n255\n", raster), 2, 2)
+    assert(m.status == "ok")
+    assert(m.out_w.contains(2) && m.out_h.contains(2))
+    // sampled pixels: 0, 2, 4, 6
+    assert(m.r_sum.contains((1 + 21 + 41 + 61).toLong))
+    assert(m.g_sum.contains((2 + 22 + 42 + 62).toLong))
+    assert(m.b_sum.contains((3 + 23 + 43 + 63).toLong))
+    assert(m.top_left.contains(1L * 65536 + 2 * 256 + 3))
+    // failure statuses flow through from the shared header walk
+    assert(Multimodal.resizePpm(71L, null, 2, 2).status == "bad_magic")
+    assert(Multimodal.resizePpm(72L,
+      ppm("P6\n4 2\n255\n", raster.take(10)), 2, 2).status == "truncated")
+  }
+
   // ----------------------------- PNG -----------------------------
 
   /** Independent mini-model of the fixture's logical pixels + arms —

@@ -560,6 +560,40 @@ object ScaleProbe {
       timedFuzzy("fuzzy_seg_hot10x", 10, hot = true, graft.ops.Joins.fuzzyPairsSegmented)
       part.unpersist(false)
     }
+
+    // PNG decode probe: N× the documents (same text, shifted ids)
+    // through the full synthesize→chunk-walk→inflate→unfilter chain.
+    // Decode is a map-only stage, so wall must scale ~linearly with
+    // rows, and because replicas share their md5 the status mix and
+    // r_sum must scale EXACTLY ×N — visible proof the stage never
+    // looks across rows (the property that lets a 100 TB decode run
+    // embarrassingly parallel).
+    if (want("png"))
+    locally {
+      val docs = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text")).persist()
+      val nDocs = docs.count()
+      val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      def timedPng(mult: Int): Unit = {
+        val scaled = docs
+          .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
+            col("doc_id"), col("text"))
+          .select((col("doc_id") + col("i") * lit(stride)).as("doc_id"),
+            col("text"))
+        val t0 = System.nanoTime()
+        val r = graft.llm.Multimodal.pngDecodeStats(scaled)
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CASE WHEN status = 'ok' THEN 1L ELSE 0L END")).as("ok"),
+            sum(coalesce(col("r_sum"), lit(0L))).as("rsum"))
+          .head()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"png_${mult}x","docs":${nDocs * mult},"ok":${r.getLong(1)},"r_sum":${r.getLong(2)},"sec":$dt%.2f}""")
+      }
+      timedPng(1)
+      timedPng(10)
+      timedPng(100)
+      docs.unpersist(false)
+    }
     spark.stop()
   }
 }

@@ -1544,6 +1544,18 @@ object Multimodal {
     }
   }
 
+  /** Frame-taking synthesize→decode chain over any (doc_id, text)
+    * frame — shared by the registered query and the ScaleProbe
+    * replication harness. */
+  def pngDecodeStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val payloads = docs
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, h) => BinaryDoc(id, pngBytes(h)) })
+    decodePng(payloads).toDF()
+  }
+
   /** STUB decoder — stands in for image decode + feature extraction.
     * Deterministic: width/height/channels from the first 3 bytes, mean
     * intensity over the first 4 (exact: quarters are binary-exact
@@ -1712,14 +1724,8 @@ object Multimodal {
       decodeGif(payloads).toDF().orderBy("doc_id")
     }),
 
-    "q_multimodal_decode_png" -> ((s, dir) => {
-      import s.implicits._
-      val payloads = Tables(s, dir, "documents")
-        .select(col("doc_id"), md5(col("text")).as("h"))
-        .as[(Long, String)]
-        .mapPartitions(_.map { case (id, h) => BinaryDoc(id, pngBytes(h)) })
-      decodePng(payloads).toDF().orderBy("doc_id")
-    }),
+    "q_multimodal_decode_png" -> ((s, dir) =>
+      pngDecodeStats(Tables(s, dir, "documents")).orderBy("doc_id")),
 
     // REAL decode→resize chain over the P6 payloads: every output
     // pixel is a genuinely parsed raster byte chosen by the integer

@@ -379,6 +379,25 @@ object Streams {
         expr(s"least(greatest((v - $lo) div $width, 0), 31)").as("bin"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Per-key top-k through the state store: `max_k`'s heap buffer is
+    * mergeable, so incremental execution folds each micro-batch into
+    * the per-key heap — state per key is the constant k-element
+    * buffer, never the value stream, and the emitted top-k after any
+    * prefix of batches equals the batch top-k over the same rows
+    * (StreamsSpec pins parity). Requires
+    * [[graft.functions.GraftFunctions.register]]. */
+  def streamingTopK(values: DataFrame, k: Int = 3): DataFrame =
+    values.groupBy(col("k")).agg(expr(s"max_k(v, $k)").as("top"))
+
+  /** Per-key bloom membership index through the state store — the
+    * streaming build of the semi-join reduction filter
+    * (ops/Joins.scala bloom path): each micro-batch ORs its keys into
+    * the per-key bitset buffer; constant 8·(m/64)-byte state, streamed
+    * bitset after any prefix equals the batch bitset (StreamsSpec). */
+  def streamingBloom(values: DataFrame, mBits: Int = 1024,
+      k: Int = 3): DataFrame =
+    values.groupBy(col("k")).agg(expr(s"bloom_agg(v, $mBits, $k)").as("bl"))
+
   /** Custom state: running per-user event counts via
     * mapGroupsWithState (the reference Reduce's stateful streaming
     * analog — arbitrary per-key state the built-ins can't express). */

@@ -283,6 +283,53 @@ class StreamsSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("streamed max_k heap equals the batch top-k over the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    // values arriving out of order across batches: the per-key heap
+    // must keep the global top-3, evicting batch-1 values when batch-2
+    // brings larger ones
+    val b1 = Seq("a" -> 5.0, "a" -> 1.0, "a" -> 9.0, "b" -> 2.0)
+    val b2 = Seq("a" -> 7.0, "a" -> 3.0, "b" -> 8.0, "b" -> 4.0)
+    val in = MemoryStream[(String, Double)]
+    val q = Streams.streamingTopK(in.toDF().toDF("k", "v"))
+      .writeStream.format("memory").queryName("topk_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("topk_stream")
+        .as[(String, Seq[Double])].collect().toMap
+      val batch = Streams.streamingTopK((b1 ++ b2).toDF("k", "v"))
+        .as[(String, Seq[Double])].collect().toMap
+      assert(streamed === batch)
+      assert(streamed("a") === Seq(9.0, 7.0, 5.0)) // 1 and 3 evicted
+      assert(streamed("b") === Seq(8.0, 4.0, 2.0))
+    } finally q.stop()
+  }
+
+  test("streamed bloom_agg bitset equals the batch bitset") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val b1 = Seq("a" -> 11L, "a" -> 42L, "b" -> 7L)
+    val b2 = Seq("a" -> 99L, "b" -> 7L, "b" -> 1000L)
+    val in = MemoryStream[(String, Long)]
+    val q = Streams.streamingBloom(in.toDF().toDF("k", "v"))
+      .writeStream.format("memory").queryName("bloom_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("bloom_stream")
+        .as[(String, Seq[Long])].collect().toMap
+      val batch = Streams.streamingBloom((b1 ++ b2).toDF("k", "v"))
+        .as[(String, Seq[Long])].collect().toMap
+      // bit-identical bitsets: the OR-merge path is order-insensitive
+      assert(streamed === batch)
+      assert(streamed("a").exists(_ != 0L)) // non-trivial index
+    } finally q.stop()
+  }
+
   test("streamed histogram equals the batch histogram and survives restart") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_hist_ckpt").toString

@@ -242,6 +242,40 @@ object Aggregates {
         .orderBy("l_returnflag")
     }),
 
+    // Ordinary-least-squares trend line per group — the drift/trend
+    // fit a metrics pipeline runs (price-per-quantity slope here).
+    // Same discipline as q_stats: every sum is exact DECIMAL(38,6)
+    // (order-independent, no partial-aggregation drift), converted to
+    // double ONCE, then the closed-form slope/intercept are a few IEEE
+    // ops rounded at the end; degenerate groups (constant x) get NULL
+    // via the nullif'd denominator rather than an ANSI throw.
+    "q_linreg" -> ((s, dir) => {
+      val d = "decimal(38,6)"
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(d)).cast("double").as("sx"),
+          sum((col("l_quantity") * col("l_quantity")).cast(d)).cast("double").as("sx2"),
+          sum(col("l_extendedprice").cast(d)).cast("double").as("sy"),
+          sum((col("l_extendedprice") * col("l_extendedprice")).cast(d)).cast("double").as("sy2"),
+          sum((col("l_quantity") * col("l_extendedprice")).cast(d)).cast("double").as("sxy"))
+        .withColumn("slope_raw",
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            nullif(col("n") * col("sx2") - col("sx") * col("sx"), lit(0.0)))
+        .select(col("l_returnflag"), col("n"),
+          Num.r(col("slope_raw"), 6).as("slope"),
+          Num.r((col("sy") - col("slope_raw") * col("sx")) / col("n"), 6)
+            .as("intercept"),
+          Num.r(
+            ((col("n") * col("sxy") - col("sx") * col("sy")) *
+              (col("n") * col("sxy") - col("sx") * col("sy"))) /
+              nullif((col("n") * col("sx2") - col("sx") * col("sx")) *
+                (col("n") * col("sy2") - col("sy") * col("sy")), lit(0.0)), 6)
+            .as("r2"))
+        .orderBy("l_returnflag")
+    }),
+
     // Conversion funnel — first-occurrence ordering semantics (a user
     // converts a stage when min(view) < min(click) < min(purchase); the
     // common funnel-tool definition, stated here because stricter
@@ -578,6 +612,26 @@ object Aggregates {
         CAST(round((n * sxy - sx * sy) /
           nullif(sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy), 0), 4) AS DOUBLE) AS corr_qty_price
       FROM s ORDER BY l_returnflag""",
+    "q_linreg" -> """
+      WITH s AS (
+        SELECT l_returnflag, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx2,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+          CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy2,
+          CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag),
+      sl AS (
+        SELECT *, (n * sxy - sx * sy) /
+                  nullif(n * sx2 - sx * sx, 0.0) AS slope_raw
+        FROM s)
+      SELECT l_returnflag, n,
+        CAST(round(slope_raw, 6) AS DOUBLE) AS slope,
+        CAST(round((sy - slope_raw * sx) / n, 6) AS DOUBLE) AS intercept,
+        CAST(round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+          nullif((n * sx2 - sx * sx) * (n * sy2 - sy * sy), 0.0), 6)
+          AS DOUBLE) AS r2
+      FROM sl ORDER BY l_returnflag""",
     "q_corr_subquery" -> """
       SELECT o_orderkey, o_custkey, o_totalprice
       FROM orders o

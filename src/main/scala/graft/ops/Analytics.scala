@@ -88,6 +88,36 @@ object Analytics {
         .orderBy("file_id")
     }),
 
+    // Per-user daily-volume anomaly screen — the observability query a
+    // pipeline runs over its own event stream (bot spikes, stuck
+    // producers): each user's daily counts z-scored against their own
+    // history, days above 3σ flagged. Exact-integer sums of counts and
+    // squares (DECIMAL through the exchange, q_stats discipline), ONE
+    // double conversion, and the unrounded z drives the filter so both
+    // engines cut the identical row set; constant-history users
+    // (variance 0) are excluded rather than divided by zero. Plan: two
+    // aggregates sharing the daily frame + one user-keyed join — the
+    // stats side is one row per user, exactly what the join streams.
+    "q_anomaly_events" -> ((s, dir) => {
+      val d6 = "decimal(38,6)"
+      val daily = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .groupBy(col("user_id"), col("d"))
+        .agg(count(lit(1)).as("n"))
+      val stats = daily.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("days"),
+          sum(col("n").cast(d6)).cast("double").as("sx"),
+          sum((col("n") * col("n")).cast(d6)).cast("double").as("sx2"))
+      daily.join(stats, "user_id")
+        .filter(col("days") * col("sx2") - col("sx") * col("sx") > 0)
+        .withColumn("z", (col("n") - col("sx") / col("days")) /
+          sqrt((col("days") * col("sx2") - col("sx") * col("sx")) /
+            (col("days") * (col("days") - 1))))
+        .filter(col("z") > 3.0)
+        .select(col("user_id"), col("d"), col("n"), Num.r(col("z"), 4).as("z"))
+        .orderBy("user_id", "d")
+    }),
+
     // Rendezvous (highest-random-weight) sharding — the STABLE shard
     // assignment a 100 TB corpus store needs (Thaler & Ravishankar
     // 1998; the scheme inside Ceph/CRUSH-style placement): each doc
@@ -196,6 +226,24 @@ object Analytics {
       SELECT days.wd, count(DISTINCT e.user_id) AS u7
       FROM e JOIN days ON days.wd BETWEEN e.d AND e.d + 6
       GROUP BY 1 ORDER BY wd""",
+    "q_anomaly_events" -> """
+      WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n
+        FROM events GROUP BY 1, 2),
+      st AS (
+        SELECT user_id, count(*) AS days,
+          CAST(sum(CAST(n AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(n * n AS DECIMAL(38,6))) AS DOUBLE) AS sx2
+        FROM daily GROUP BY 1),
+      z AS (
+        SELECT daily.user_id AS user_id, d, n,
+          (n - sx / days) / sqrt((days * sx2 - sx * sx) /
+            (days * (days - 1))) AS z
+        FROM daily JOIN st ON daily.user_id = st.user_id
+        WHERE days * sx2 - sx * sx > 0)
+      SELECT user_id, d, n, CAST(round(z, 4) AS DOUBLE) AS z
+      FROM z WHERE z > 3.0
+      ORDER BY user_id, d""",
     "q_shard_rendezvous" -> """
       WITH e AS (SELECT doc_id, s
                  FROM documents, UNNEST(generate_series(0, 8)) AS g(s)),

@@ -129,6 +129,48 @@ object Joins {
     // EXACTLY the plain join's — which is what the oracle checks (the
     // bloom is a plan property, not a semantics change; BloomSpec pins
     // no-false-negatives bit-for-bit vs the SQL probe).
+    // TPC-H Q8-shaped market share: the DEEP multi-join (lineitem ×
+    // part × supplier × nation ×2 × orders × customer × region — 8
+    // relations) whose whole point is leaving join ORDER to Catalyst:
+    // the declared tree is lineitem-first, but CBO/AQE reorders and
+    // broadcasts the dimension chain from runtime sizes — exactly the
+    // freedom a hand-scheduled engine doesn't have. Money stays exact:
+    // volume = price_cents × (100 − discount_pct) is pure BIGINT per
+    // row, summed in DECIMAL(38,0); the yearly market share is the one
+    // double, rounded after exact inputs.
+    "q_join_q8" -> ((s, dir) => {
+      val volCents =
+        expr("cast(round(l_extendedprice * 100) as bigint)") *
+          (lit(100L) - expr("cast(round(l_discount * 100) as bigint)"))
+      val n1 = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+      val n2 = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val region = Tables(s, dir, "region").filter(col("r_name") === "ASIA")
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          volCents.as("vol"))
+        .join(Tables(s, dir, "part").filter(col("p_type") === "ECONOMY"),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(n2, col("s_nationkey") === col("s_nk"))
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(n1, col("c_nationkey") === col("c_nk"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .select(year(col("o_orderdate")).as("yr"), col("supp_nation"),
+          col("vol"))
+        .groupBy(col("yr"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("supp_nation") === "NATION_3", col("vol"))
+            .otherwise(0L).cast("decimal(38,0)")).as("num"),
+          sum(col("vol").cast("decimal(38,0)")).as("den"))
+        .select(col("yr"), col("n_rows"),
+          Num.r(col("num").cast("double") / col("den").cast("double"), 6)
+            .as("mkt_share"))
+        .orderBy("yr")
+    }),
+
     "q_join_bloom" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val dim = Tables(s, dir, "orders")
@@ -553,6 +595,29 @@ object Joins {
       GROUP BY o_orderkey, o_orderdate
       ORDER BY revenue DESC, o_orderkey ASC
       LIMIT 10""",
+    "q_join_q8" -> """
+      WITH v AS (
+        SELECT l.l_orderkey, l.l_partkey, l.l_suppkey,
+               CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+                 (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS vol
+        FROM lineitem l)
+      SELECT CAST(date_part('year', o.o_orderdate) AS INT) AS yr,
+             count(*) AS n_rows,
+             CAST(round(
+               CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+                 THEN CAST(vol AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0))
+                 END) AS DOUBLE) /
+               CAST(sum(CAST(vol AS DECIMAL(38,0))) AS DOUBLE), 6)
+               AS DOUBLE) AS mkt_share
+      FROM v
+      JOIN part p ON v.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+      JOIN supplier s ON v.l_suppkey = s.s_suppkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      JOIN orders o ON v.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+      GROUP BY 1 ORDER BY 1""",
     "q_join_bloom" -> """
       SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)

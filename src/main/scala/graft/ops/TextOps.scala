@@ -296,6 +296,35 @@ object TextOps {
         .orderBy(col("true_cnt").desc, col("w").asc)
     }),
 
+    // Self-join size (second frequency moment F₂ = Σ c(w)²) estimated
+    // from the SAME Count-Min sketch — the classic sketch application
+    // an optimizer uses to price a join without touching the data
+    // (Alon-Matias-Szegedy lineage): the inner product of a CMS row
+    // with itself over-estimates F₂ by exactly the collision mass, and
+    // min over the 4 rows is the estimate. Everything is BIGINT; the
+    // one double is the reported overshoot fraction. At 100 TB the
+    // sketch is the constant 8 KB artifact a stats service stores per
+    // column — this query prices its accuracy against exact truth.
+    "q_join_size_cms" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val toks = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      // width 16 (vs the monitoring sketch's 256) so the fixture
+      // vocabulary genuinely collides and the overshoot is non-zero —
+      // the accuracy-vs-width trade is the point of the row
+      val sketch = toks.agg(expr("cms_sketch(w, 4, 16)").as("sk"))
+      val exact = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("f2_exact"))
+      val rowF2 = (0 to 3).map(d => expr(
+        s"aggregate(slice(sk, $d * 16 + 1, 16), 0L, (a, x) -> a + x * x)"))
+      sketch.crossJoin(broadcast(exact))
+        .select(col("f2_exact"), least(rowF2: _*).as("f2_est"))
+        .withColumn("over_pct", Num.r(
+          (col("f2_est") - col("f2_exact")).cast("double") /
+            col("f2_exact").cast("double")))
+    }),
+
     // TextRank (Mihalcea & Tarau 2004): PageRank over the undirected
     // word co-occurrence (bigram) graph — keyword extraction as graph
     // centrality. All arithmetic is FIXED-POINT INTEGER (ranks scaled
@@ -550,6 +579,23 @@ object TextOps {
         ('0x' || substr(md5(d.d || ':' || top.w), 1, 8))::BIGINT % 256
       GROUP BY 1, 2
       ORDER BY true_cnt DESC, w ASC""",
+    "q_join_size_cms" -> """
+      WITH t AS (SELECT w FROM (SELECT unnest(string_split(text, ' ')) AS w
+                                FROM documents) WHERE w <> ''),
+      d AS (SELECT unnest(generate_series(0, 3)) AS d),
+      cells AS (SELECT d.d AS d,
+                  ('0x' || substr(md5(d.d || ':' || t.w), 1, 8))::BIGINT % 16
+                    AS cell,
+                  count(*) AS cnt
+                FROM t CROSS JOIN d GROUP BY 1, 2),
+      rowsum AS (SELECT d, sum(cnt * cnt) AS f2 FROM cells GROUP BY 1),
+      est AS (SELECT CAST(min(f2) AS BIGINT) AS f2_est FROM rowsum),
+      ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact FROM
+               (SELECT w, count(*) AS c FROM t GROUP BY 1))
+      SELECT f2_exact, f2_est,
+             CAST(round(CAST(f2_est - f2_exact AS DOUBLE) /
+               CAST(f2_exact AS DOUBLE), 4) AS DOUBLE) AS over_pct
+      FROM ex CROSS JOIN est""",
     "q_textrank" -> {
       // five unrolled fixed-point iterations (twin of the Spark loop)
       val iters = (1 to 5).map { i =>

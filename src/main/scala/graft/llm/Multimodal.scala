@@ -99,6 +99,15 @@ case class PngMeta(doc_id: Long, status: String,
     b_sum: Option[Long], px_min: Option[Int], px_max: Option[Int],
     row0_sum: Option[Long])
 
+/** Typed output of the REAL gzip decode — the crawl-decompression
+  * stage (RFC 1952; WARC payloads arrive as gzip members): status,
+  * the FNAME-flag evidence the optional-field walk ran, and exact
+  * text-ingest stats over the decoded payload (byte count, byte sum,
+  * separator count, first byte). */
+case class GzipMeta(doc_id: Long, status: String, has_name: Option[Int],
+    n_bytes: Option[Int], sum_bytes: Option[Long], n_sep: Option[Long],
+    first_byte: Option[Int])
+
 /** Multimodal-column plumbing: media as opaque `binary` columns with
   * typed, schema'd metadata extraction (north-star extension — the
   * reference has nothing beyond strings).
@@ -1544,6 +1553,137 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // gzip (RFC 1952): the wrapper a web crawl actually arrives in —
+  // WARC/CDX payloads are gzip members. Header with optional
+  // FEXTRA/FNAME fields a correct walk must skip, DEFLATE body
+  // (reusing the PNG family's inflate), CRC-32 + ISIZE footer both
+  // verified. The decoded payload is TEXT, so the stats are the
+  // text-ingest ones: exact byte count / byte sum / separator count.
+  // ---------------------------------------------------------------------
+
+  /** Synthesize a REAL RFC 1952 gzip member from a doc's md5: the
+    * payload text is `(h ++ " " ++ reverse(h) ++ " ") × k` (repetition
+    * makes LZ77 back-references genuinely fire at distance 66), the
+    * body is the from-scratch DEFLATE encoder (stored or
+    * fixed-Huffman, md5-driven), the footer carries real CRC-32 and
+    * ISIZE. Arms: corrupted magic (~6%), FNAME header field (~25% — a
+    * skip path), FEXTRA field (~25%), footer truncation (~12.5%),
+    * corrupted CRC-32 (~6% → `bad_data`). */
+  private[llm] def gzipBytes(h: String): Array[Byte] = {
+    val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
+    val badMagic = b(12) % 16 == 1
+    val hasName = b(9) % 4 == 2
+    val hasExtra = b(10) % 4 == 1
+    val trunc = b(14) % 8 == 5
+    val badCrc = b(15) % 16 == 9
+    val fixedHuff = b(13) % 2 == 1
+    val k = 1 + b(2) % 3
+    val text = (h + " " + h.reverse + " ") * k
+    val data = text.getBytes("US-ASCII")
+    val out = new java.io.ByteArrayOutputStream(256)
+    out.write(if (badMagic) 0x2f else 0x1f); out.write(0x8b)
+    out.write(8) // CM = deflate
+    out.write((if (hasExtra) 4 else 0) | (if (hasName) 8 else 0)) // FLG
+    out.write(b(3)); out.write(b(4)); out.write(b(5)); out.write(b(6)) // MTIME
+    out.write(0); out.write(255) // XFL, OS = unknown
+    if (hasExtra) {
+      out.write(4); out.write(0) // XLEN = 4, little-endian
+      out.write(b(7)); out.write(b(8)); out.write(b(9)); out.write(b(10))
+    }
+    if (hasName) {
+      out.write("f.txt".getBytes("US-ASCII"), 0, 5); out.write(0)
+    }
+    val headerLen = out.size()
+    val defl = if (fixedHuff) deflateFixed(data) else deflateStored(data)
+    out.write(defl, 0, defl.length)
+    val crc = crc32Png(data)
+    def le32(v: Int): Unit = {
+      out.write(v & 255); out.write((v >>> 8) & 255)
+      out.write((v >>> 16) & 255); out.write((v >>> 24) & 255)
+    }
+    le32(if (badCrc) crc ^ 0x5500 else crc)
+    le32(data.length)
+    val full = out.toByteArray
+    // truncation cuts to 5 body bytes — deterministically below the
+    // 8-byte footer minimum, so the arm is `truncated` for EVERY doc
+    // (a cut that leaves a near-complete bitstream could otherwise
+    // surface as bad_data on md5-unlucky rows and split the oracle)
+    if (trunc) full.take(headerLen + 5) else full
+  }
+
+  /** REAL from-scratch gzip decoder — the crawl-decompression stage:
+    * RFC 1952 header walk (magic, CM=8, FLG with FEXTRA/FNAME/
+    * FCOMMENT/FHCRC skip paths), DEFLATE body through the shared
+    * [[inflate]], CRC-32 and ISIZE footer both verified, then exact
+    * text-ingest stats over the decoded payload. Malformed input
+    * degrades to a status ROW — decode-family contract. */
+  private[llm] def parseGzip(id: Long, p: Array[Byte]): GzipMeta = {
+    val none = GzipMeta(id, "bad_magic", None, None, None, None, None)
+    try {
+      if (p == null || p.length < 10 ||
+        (p(0) & 0xff) != 0x1f || (p(1) & 0xff) != 0x8b) return none
+      if ((p(2) & 0xff) != 8) return none.copy(status = "unsupported")
+      val flg = p(3) & 0xff
+      if ((flg & 0xe0) != 0) return none.copy(status = "bad_header")
+      var i = 10
+      def need(n: Int): Unit = if (i + n > p.length) throw PngTrunc
+      if ((flg & 4) != 0) { // FEXTRA
+        need(2)
+        val xlen = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+        i += 2; need(xlen); i += xlen
+      }
+      if ((flg & 8) != 0) { // FNAME: zero-terminated
+        while (i < p.length && p(i) != 0) i += 1
+        need(1); i += 1
+      }
+      if ((flg & 16) != 0) { // FCOMMENT
+        while (i < p.length && p(i) != 0) i += 1
+        need(1); i += 1
+      }
+      if ((flg & 2) != 0) { need(2); i += 2 } // FHCRC
+      if (p.length - i < 8) throw PngTrunc // body + 8-byte footer minimum
+      // ISIZE bounds the output buffer; sanity-capped so a corrupt
+      // field can't allocate unbounded memory
+      val until = p.length - 8
+      val isize = ((p(p.length - 4) & 0xffL) | ((p(p.length - 3) & 0xffL) << 8) |
+        ((p(p.length - 2) & 0xffL) << 16) | ((p(p.length - 1) & 0xffL) << 24))
+      if (isize > (1L << 24)) return none.copy(status = "bad_header")
+      val data = inflate(p, i, until, isize.toInt)
+      val hasName = if ((flg & 8) != 0) 1 else 0
+      if (data.length.toLong != isize)
+        return none.copy(status = "bad_data", has_name = Some(hasName))
+      val crc = ((p(until) & 0xff) | ((p(until + 1) & 0xff) << 8) |
+        ((p(until + 2) & 0xff) << 16) | ((p(until + 3) & 0xff) << 24))
+      if (crc != crc32Png(data))
+        return none.copy(status = "bad_data", has_name = Some(hasName))
+      var sum = 0L; var seps = 0L
+      var j = 0
+      while (j < data.length) {
+        val v = data(j) & 0xff
+        sum += v
+        if (v == ' ') seps += 1
+        j += 1
+      }
+      GzipMeta(id, "ok", Some(hasName), Some(data.length), Some(sum),
+        Some(seps), Some(if (data.isEmpty) 0 else data(0) & 0xff))
+    } catch {
+      case e: RuntimeException if e eq PngTrunc =>
+        none.copy(status = "truncated")
+      case e: RuntimeException if e eq PngBad =>
+        none.copy(status = "bad_data")
+    }
+  }
+
+  /** The typed gzip decode stage over [[parseGzip]]. */
+  def decodeGzip(ds: Dataset[BinaryDoc]): Dataset[GzipMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      // per-partition decode-buffer allocation would go here
+      rows.map(d => parseGzip(d.doc_id, d.payload))
+    }
+  }
+
   /** Frame-taking synthesize→decode chain over any (doc_id, text)
     * frame — shared by the registered query and the ScaleProbe
     * replication harness. */
@@ -1727,6 +1867,15 @@ object Multimodal {
     "q_multimodal_decode_png" -> ((s, dir) =>
       pngDecodeStats(Tables(s, dir, "documents")).orderBy("doc_id")),
 
+    "q_multimodal_decode_gzip" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Tables(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, h) => BinaryDoc(id, gzipBytes(h)) })
+      decodeGzip(payloads).toDF().orderBy("doc_id")
+    }),
+
     // REAL decode→resize chain over the P6 payloads: every output
     // pixel is a genuinely parsed raster byte chosen by the integer
     // nearest-neighbor index map — the oracle recomputes the same
@@ -1842,6 +1991,38 @@ object Multimodal {
              CASE WHEN badmagic OR trunc THEN NULL ELSE CAST(list_min(raster) AS INT) END AS px_min,
              CASE WHEN badmagic OR trunc THEN NULL ELSE CAST(list_max(raster) AS INT) END AS px_max
       FROM r ORDER BY doc_id""",
+    // gzip twin: text stats recomputed from the md5 pure function —
+    // payload = (h ++ ' ' ++ reverse(h) ++ ' ') × k, so n_bytes = 66k,
+    // sum = k·(2·Σascii(h) + 64), seps = 2k. The oracle never sees the
+    // DEFLATE bits or the CRC/ISIZE footer; a hash-green row proves
+    // the header walk + inflate + footer verification round-trips.
+    "q_multimodal_decode_gzip" -> s"""
+      WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+      b AS (SELECT doc_id, h, ${byteAt(2)} AS b2, ${byteAt(9)} AS b9,
+               ${byteAt(12)} AS b12, ${byteAt(14)} AS b14, ${byteAt(15)} AS b15
+            FROM hx),
+      d AS (SELECT doc_id, h, b12 % 16 = 1 AS badmagic,
+               CASE WHEN b9 % 4 = 2 THEN 1 ELSE 0 END AS hasname,
+               b14 % 8 = 5 AS trunc, b15 % 16 = 9 AS badcrc,
+               1 + b2 % 3 AS k,
+               list_sum(list_transform(generate_series(1, 32),
+                 i -> ascii(substr(h, i, 1)))) AS hsum
+            FROM b)
+      SELECT doc_id,
+             CASE WHEN badmagic THEN 'bad_magic'
+                  WHEN trunc THEN 'truncated'
+                  WHEN badcrc THEN 'bad_data' ELSE 'ok' END AS status,
+             CASE WHEN badmagic OR trunc THEN NULL
+                  ELSE CAST(hasname AS INT) END AS has_name,
+             CASE WHEN badmagic OR trunc OR badcrc THEN NULL
+                  ELSE CAST(66 * k AS INT) END AS n_bytes,
+             CASE WHEN badmagic OR trunc OR badcrc THEN NULL
+                  ELSE CAST(k * (2 * hsum + 64) AS BIGINT) END AS sum_bytes,
+             CASE WHEN badmagic OR trunc OR badcrc THEN NULL
+                  ELSE CAST(2 * k AS BIGINT) END AS n_sep,
+             CASE WHEN badmagic OR trunc OR badcrc THEN NULL
+                  ELSE ascii(substr(h, 1, 1)) END AS first_byte
+      FROM d ORDER BY doc_id""",
     // Resize twin: identical raster reconstruction, then the SAME
     // integer NN index map ((out·in) // out_dim) picks the 4 sampled
     // pixels; top_left pins the rounding direction.

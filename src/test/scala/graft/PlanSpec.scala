@@ -524,7 +524,8 @@ class PlanSpec extends SparkSuite {
     // a join or aggregate appearing here would mean the decode stage
     // grew a shuffle it doesn't need at 100 TB
     for (q <- Seq("q_multimodal_decode_gif", "q_multimodal_decode_png",
-        "q_multimodal_resize_real", "q_audio_features")) {
+        "q_multimodal_decode_gzip", "q_multimodal_resize_real",
+        "q_audio_features")) {
       val p = plan(q)
       val scanIds = """\((\d+)\) Scan parquet""".r
         .findAllMatchIn(p).map(_.group(1)).toSet

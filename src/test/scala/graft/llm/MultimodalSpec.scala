@@ -308,6 +308,44 @@ class MultimodalSpec extends graft.SparkSuite {
       ppm("P6\n4 2\n255\n", raster.take(10)), 2, 2).status == "truncated")
   }
 
+  test("gzip: decodes java.util.zip.GZIPOutputStream members (independent encoder)") {
+    val text = ("the quick brown fox " * 40).getBytes("US-ASCII")
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(text); gz.close()
+    val m = Multimodal.parseGzip(80L, bos.toByteArray)
+    assert(m.status == "ok", m.status)
+    assert(m.n_bytes.contains(text.length))
+    assert(m.sum_bytes.contains(text.map(_ & 0xff).map(_.toLong).sum))
+    assert(m.n_sep.contains(text.count(_ == ' ').toLong))
+  }
+
+  test("gzip: synthesized members round-trip and every arm fires") {
+    var arms = Map.empty[String, Int].withDefaultValue(0)
+    var names = 0
+    for (i <- 0 until 300) {
+      val h = md5hex(s"gz-$i")
+      val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
+      val m = Multimodal.parseGzip(i.toLong, Multimodal.gzipBytes(h))
+      val expected =
+        if (b(12) % 16 == 1) "bad_magic"
+        else if (b(14) % 8 == 5) "truncated"
+        else if (b(15) % 16 == 9) "bad_data"
+        else "ok"
+      assert(m.status == expected, s"$h: ${m.status} != $expected")
+      arms += expected -> (arms(expected) + 1)
+      if (expected == "ok") {
+        val k = 1 + b(2) % 3
+        assert(m.n_bytes.contains(66 * k))
+        assert(m.n_sep.contains(2L * k))
+        if (m.has_name.contains(1)) names += 1
+      }
+    }
+    for (s <- Seq("ok", "bad_magic", "truncated", "bad_data"))
+      assert(arms(s) > 0, s"arm $s never fired")
+    assert(names > 0, "FNAME skip path never exercised")
+  }
+
   // ----------------------------- PNG -----------------------------
 
   /** Independent mini-model of the fixture's logical pixels + arms —

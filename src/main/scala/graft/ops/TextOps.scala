@@ -296,6 +296,98 @@ object TextOps {
         .orderBy(col("true_cnt").desc, col("w").asc)
     }),
 
+    // Hashing-trick bag-of-words vectorizer (Weinberger et al. 2009):
+    // each token hashes to one of 16 dims with a ±1 sign from a second
+    // hash — the fixed-width featurizer that needs NO vocabulary pass,
+    // which is why it's the 100 TB-friendly text encoder (one scan,
+    // no dictionary shuffle, collisions priced by the signed sum).
+    // All-integer; reported for the 1-in-20 doc sample to bound rows.
+    "q_feature_hash" -> ((s, dir) => {
+      def hx(prefix: String) =
+        s"cast(conv(substring(md5(concat('$prefix', w)), 1, 8), 16, 10) as bigint)"
+      val toks = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .withColumn("dim", expr(s"${hx("fh:")} % 16"))
+        .withColumn("sgn", expr(s"CASE WHEN ${hx("sg:")} % 2 = 0 THEN 1L ELSE -1L END"))
+      val dims = (0 until 16).map(d =>
+        sum(when(col("dim") === d, col("sgn")).otherwise(0L)).as(s"f$d"))
+      toks.groupBy(col("doc_id"))
+        .agg(dims.head, dims.tail: _*)
+        .orderBy("doc_id")
+    }),
+
+    // Zipf-law slope of the corpus frequency curve: OLS over
+    // (ln rank, ln count) for the top-100 words — the one-number
+    // distributional fingerprint a corpus datasheet reports (natural
+    // text sits near −1; templated/synthetic text drifts). ln runs on
+    // identical exact integers in both engines, each product rounds to
+    // 6 dp into DECIMAL(38,6), and the closed form divides once
+    // (q_linreg discipline).
+    "q_zipf_slope" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val freq = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("c").desc, col("w").asc)))
+        .filter(col("rnk") <= 100)
+      val terms = freq.select(
+        expr("cast(round(ln(cast(rnk as double)), 6) as decimal(38,6))").as("x"),
+        expr("cast(round(ln(cast(c as double)), 6) as decimal(38,6))").as("y"))
+        .select(col("x"), col("y"),
+          expr("cast(round(cast(x as double) * cast(x as double), 6) as decimal(38,6))").as("xx"),
+          expr("cast(round(cast(x as double) * cast(y as double), 6) as decimal(38,6))").as("xy"))
+      terms.agg(count(lit(1)).as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("xx")).cast("double").as("sxx"),
+          sum(col("xy")).cast("double").as("sxy"))
+        .select(col("n"),
+          Num.r((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("slope"))
+    }),
+
+    // The corpus DATASHEET composite — the one-glance report a dataset
+    // card carries (Gebru et al.'s datasheets shape, the numeric
+    // rows): volume, vocabulary, duplication, and length mix, emitted
+    // LONG-FORM (metric, value) so a 400-metric report is rows, not
+    // columns. Exact integers where possible; ratios round once.
+    "q_dataset_card" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        expr("size(filter(split(text, ' '), x -> x <> ''))").as("len"))
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(md5(col("text"))).as("n_distinct_texts"))
+      val tok = toks.agg(sum(col("len")).as("n_tokens"),
+        sum(when(col("len") < 32, 1L).otherwise(0L)).as("n_short"))
+      val voc = docs.select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .agg(countDistinct(col("w")).as("vocab"))
+      base.crossJoin(tok).crossJoin(voc).select(explode(array(
+        struct(lit("n_docs").as("metric"),
+          col("n_docs").cast("double").as("value")),
+        struct(lit("n_sources").as("metric"),
+          col("n_sources").cast("double").as("value")),
+        struct(lit("n_tokens").as("metric"),
+          col("n_tokens").cast("double").as("value")),
+        struct(lit("vocab_size").as("metric"),
+          col("vocab").cast("double").as("value")),
+        struct(lit("avg_doc_tokens").as("metric"),
+          round(col("n_tokens").cast("double") / col("n_docs"), 4).as("value")),
+        struct(lit("dup_doc_pct").as("metric"),
+          round((col("n_docs") - col("n_distinct_texts")).cast("double") /
+            col("n_docs"), 4).as("value")),
+        struct(lit("short_doc_pct").as("metric"),
+          round(col("n_short").cast("double") / col("n_docs"), 4).as("value"))
+      )).as("m")).select(col("m.metric"), col("m.value"))
+        .orderBy("metric")
+    }),
+
     // Self-join size (second frequency moment F₂ = Σ c(w)²) estimated
     // from the SAME Count-Min sketch — the classic sketch application
     // an optimizer uses to price a join without touching the data
@@ -579,6 +671,74 @@ object TextOps {
         ('0x' || substr(md5(d.d || ':' || top.w), 1, 8))::BIGINT % 256
       GROUP BY 1, 2
       ORDER BY true_cnt DESC, w ASC""",
+    "q_feature_hash" -> ("""
+      WITH t AS (SELECT doc_id, w FROM (
+                   SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                   FROM documents WHERE doc_id % 20 = 0)
+                 WHERE w <> ''),
+      hv AS (SELECT doc_id,
+               ('0x' || substr(md5('fh:' || w), 1, 8))::BIGINT % 16 AS dim,
+               CASE WHEN ('0x' || substr(md5('sg:' || w), 1, 8))::BIGINT % 2 = 0
+                    THEN 1 ELSE -1 END AS sgn
+             FROM t)
+      SELECT doc_id, """ +
+      (0 until 16).map(d =>
+        s"CAST(sum(CASE WHEN dim = $d THEN sgn ELSE 0 END) AS BIGINT) AS f$d")
+        .mkString(",\n             ") + """
+      FROM hv GROUP BY doc_id ORDER BY doc_id"""),
+    "q_zipf_slope" -> """
+      WITH f AS (SELECT w, count(*) AS c FROM (
+                   SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                 WHERE w <> '' GROUP BY 1),
+      rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS rnk
+             FROM f QUALIFY rnk <= 100),
+      tm AS (SELECT
+               CAST(round(ln(CAST(rnk AS DOUBLE)), 6) AS DECIMAL(38,6)) AS x,
+               CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(38,6)) AS y
+             FROM rk),
+      tm2 AS (SELECT x, y,
+                CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 6)
+                  AS DECIMAL(38,6)) AS xx,
+                CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 6)
+                  AS DECIMAL(38,6)) AS xy
+              FROM tm),
+      s AS (SELECT count(*) AS n,
+              CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+              CAST(sum(xx) AS DOUBLE) AS sxx, CAST(sum(xy) AS DOUBLE) AS sxy
+            FROM tm2)
+      SELECT n, CAST(round((n * sxy - sx * sy) /
+        (n * sxx - sx * sx), 4) AS DOUBLE) AS slope
+      FROM s""",
+    "q_dataset_card" -> """
+      WITH toks AS (SELECT doc_id,
+                      len(list_filter(string_split(text, ' '),
+                        x -> x <> '')) AS len
+                    FROM documents),
+      base AS (SELECT count(*) AS n_docs,
+                 count(DISTINCT source) AS n_sources,
+                 count(DISTINCT md5(text)) AS n_distinct_texts
+               FROM documents),
+      tok AS (SELECT sum(len) AS n_tokens,
+                sum(CASE WHEN len < 32 THEN 1 ELSE 0 END) AS n_short
+              FROM toks),
+      voc AS (SELECT count(DISTINCT w) AS vocab FROM (
+                SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+              WHERE w <> '')
+      SELECT metric, value FROM base CROSS JOIN tok CROSS JOIN voc,
+      LATERAL (VALUES
+        ('n_docs', CAST(n_docs AS DOUBLE)),
+        ('n_sources', CAST(n_sources AS DOUBLE)),
+        ('n_tokens', CAST(n_tokens AS DOUBLE)),
+        ('vocab_size', CAST(vocab AS DOUBLE)),
+        ('avg_doc_tokens',
+          CAST(round(CAST(n_tokens AS DOUBLE) / n_docs, 4) AS DOUBLE)),
+        ('dup_doc_pct',
+          CAST(round(CAST(n_docs - n_distinct_texts AS DOUBLE) / n_docs, 4)
+            AS DOUBLE)),
+        ('short_doc_pct',
+          CAST(round(CAST(n_short AS DOUBLE) / n_docs, 4) AS DOUBLE))
+      ) AS v(metric, value)
+      ORDER BY metric""",
     "q_join_size_cms" -> """
       WITH t AS (SELECT w FROM (SELECT unnest(string_split(text, ' ')) AS w
                                 FROM documents) WHERE w <> ''),

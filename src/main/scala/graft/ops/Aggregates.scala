@@ -438,6 +438,39 @@ object Aggregates {
     // contract (|est − true| < one bin width by construction) is pinned
     // in AggregatesSpec rather than here — keeping the registered
     // query free of the global sort it exists to avoid.
+    // The GROUPED form of the histogram-quantile sketch — per-group
+    // p50/p99 is the monitoring workhorse (latency per endpoint, price
+    // per segment). Same two scan-shaped passes keyed by the group:
+    // exact per-group min/max/count, then per-(group, bin) counts —
+    // the exchange carries ≤ 32·|groups| rows at any SF. Bin geometry
+    // is per group (each group's own [lo, hi] range), the estimate is
+    // the same all-integer ceil-rank + interpolation, and the ≤32-row
+    // per-group cumulative window is partitioned by group.
+    "q_quantile_sketch_group" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables(s, dir, "orders")
+        .select(col("o_orderpriority").as("g"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("v"))
+      val wd = v.groupBy(col("g")).agg(min(col("v")).as("lo"),
+          max(col("v")).as("hi"), count(lit(1)).as("n"))
+        .withColumn("width", expr("(hi - lo) div 32 + 1"))
+      val bins = v.join(wd.hint("shuffle_hash"), "g")
+        .groupBy(col("g"), expr("(v - lo) div width").as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = bins.withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy(col("g")).orderBy(col("bin"))))
+      val ranks = wd.select(col("g"), col("lo"), col("width"), explode(expr(
+        "array(named_struct('q_pct', 50, 'r', (n + 1) div 2), " +
+          "named_struct('q_pct', 99, 'r', (99 * n + 99) div 100))")).as("s"))
+        .select(col("g"), col("lo"), col("width"), col("s.q_pct"), col("s.r"))
+      ranks.join(cum, Seq("g"))
+        .filter(col("cum") >= col("r") && col("cum") - col("cnt") < col("r"))
+        .select(col("g"), col("q_pct"), col("r"), col("bin"), col("cnt"),
+          expr("lo + bin * width + ((r - (cum - cnt)) * width) div cnt")
+            .as("est_cents"))
+        .orderBy("g", "q_pct")
+    }),
+
     "q_quantile_sketch" -> ((s, dir) => {
       val v = Tables(s, dir, "lineitem")
         .select(expr("cast(l_extendedprice * 100 as bigint)").as("v"))
@@ -490,6 +523,28 @@ object Aggregates {
     // geometry, ceil-ranks, and within-bin interpolation; DuckDB's //
     // floor-division equals Spark's truncating `div` because every
     // operand is non-negative by construction (v ≥ lo, cum ≥ r).
+    "q_quantile_sketch_group" -> """
+      WITH v AS (SELECT o_orderpriority AS g,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS v
+                 FROM orders),
+      wd AS (SELECT g, min(v) AS lo, max(v) AS hi, count(*) AS n,
+                    (max(v) - min(v)) // 32 + 1 AS width
+             FROM v GROUP BY 1),
+      b AS (SELECT v.g AS g, (v.v - wd.lo) // wd.width AS bin,
+                   count(*) AS cnt
+            FROM v JOIN wd ON v.g = wd.g GROUP BY 1, 2),
+      c AS (SELECT g, bin, cnt,
+                   sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum
+            FROM b),
+      r AS (SELECT g, q_pct, CASE q_pct WHEN 50 THEN (n + 1) // 2
+                   ELSE (99 * n + 99) // 100 END AS r, lo, width
+            FROM wd, (VALUES (50), (99)) t(q_pct))
+      SELECT r.g AS g, CAST(q_pct AS INT) AS q_pct, CAST(r.r AS BIGINT) AS r,
+             CAST(bin AS BIGINT) AS bin, CAST(cnt AS BIGINT) AS cnt,
+             CAST(lo + bin * width + ((r.r - (cum - cnt)) * width) // cnt
+               AS BIGINT) AS est_cents
+      FROM r JOIN c ON c.g = r.g AND c.cum >= r.r AND c.cum - c.cnt < r.r
+      ORDER BY g, q_pct""",
     "q_quantile_sketch" -> """
       WITH v AS (SELECT CAST(l_extendedprice * 100 AS BIGINT) AS v
                  FROM lineitem),

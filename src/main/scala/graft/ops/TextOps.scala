@@ -77,46 +77,62 @@ object TextOps {
     // decimal(38,6), and the final rank is over the exact decimal.
     "q_bm25" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val tfAll = termFreqs(s, dir)
-      val dl = tfAll.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      val df = tfAll.groupBy(col("word")).agg(count(lit(1)).as("df"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"),
-        sum(col("dl")).as("tok_total"))
-      val qw = Window.partitionBy(col("query_id")).orderBy(col("word"))
-      val qterms = tfAll
-        .filter(col("doc_id") % 61 === 0 && length(col("word")) >= 4)
-        .select(col("doc_id").as("query_id"), col("word"))
-        .withColumn("rn", row_number().over(qw))
-        .filter(col("rn") <= 3).drop("rn")
-      val qd = qterms.join(df.hint("shuffle_hash"), "word")
-      // dl is CORPUS-sized (one row per doc) — unlike the vocab-sized
-      // df build above, hinting it as an SHJ build side would hold
-      // N/P doc rows per partition hash map at 100 TB; unhinted, the
-      // doc-keyed attach stays a sort-merge join between two streams
-      // (AQE may still downgrade to a local join at small SF).
-      val postings = tfAll.join(broadcast(qd), "word")
-        .filter(col("doc_id") =!= col("query_id"))
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-      val perTerm = postings
-        .withColumn("idf", round(log(
-          ((col("n_docs") - col("df")).cast("double") + 0.5) /
-            (col("df").cast("double") + 0.5) + 1.0), 6))
-        .withColumn("tfn", col("tf").cast("double") * 2.2 /
-          (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
-            lit(0.75) * col("dl").cast("double") *
-              col("n_docs").cast("double") / col("tok_total").cast("double"))))
-        .withColumn("term_score",
-          expr("cast(round(idf * tfn, 6) as decimal(38,6))"))
-      val agg = perTerm.groupBy(col("query_id"), col("doc_id"))
-        .agg(count(lit(1)).cast("int").as("n_terms"),
-          sum(col("term_score")).as("s6"))
       val rw = Window.partitionBy(col("query_id"))
         .orderBy(col("s6").desc, col("doc_id"))
-      agg.withColumn("rank", row_number().over(rw))
+      bm25Scored(s, dir).withColumn("rank", row_number().over(rw))
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("rank"), col("doc_id"), col("n_terms"),
           round(col("s6"), 4).cast("double").as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Hybrid retrieval by RECIPROCAL RANK FUSION (Cormack, Clarke &
+    // Büttcher 2009, k = 60) — the modern search stack's default way
+    // to combine lexical and dense rankers: BM25 top-10 and embedding
+    // cosine top-10 (documents ↔ vectors share ids in the fixtures,
+    // the usual doc-store layout), fused as Σ 1/(60 + rank) over the
+    // systems that returned the doc, re-ranked on the EXACT decimal
+    // fusion score. Both source rankers reuse their production plans
+    // (the BM25 posting probe; the broadcast-query brute scan) — the
+    // fusion itself is one (query, doc)-keyed full outer join and a
+    // WindowGroupLimit, the cheap part by design. in_bm25/in_knn make
+    // each system's contribution visible in the hash gate.
+    "q_rrf_fusion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val aw = Window.partitionBy(col("query_id"))
+        .orderBy(col("s6").desc, col("doc_id"))
+      val ranksA = bm25Scored(s, dir)
+        .withColumn("rank_a", row_number().over(aw))
+        .filter(col("rank_a") <= 10)
+        .select(col("query_id"), col("doc_id"), col("rank_a"))
+      val qe = graft.llm.Dedup.quantized(s, dir)
+      val kq = qe.filter(col("vec_id") % 61 === 0)
+        .select(col("vec_id").as("query_id"), col("q").as("qa"),
+          col("norm").as("na"))
+      val bw = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("doc_id"))
+      val ranksB = qe
+        .select(col("vec_id").as("doc_id"), col("q").as("qb"),
+          col("norm").as("nb"))
+        .join(broadcast(kq), col("query_id") =!= col("doc_id"))
+        .withColumn("cosine", expr("round(cast(dot_long(qa, qb) as double) " +
+          "/ sqrt(cast(na as double)) / sqrt(cast(nb as double)), 4)"))
+        .withColumn("rank_b", row_number().over(bw))
+        .filter(col("rank_b") <= 10)
+        .select(col("query_id"), col("doc_id"), col("rank_b"))
+      val fused = ranksA
+        .join(ranksB, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          expr("cast(coalesce(round(1.0 / (60 + rank_a), 6), 0.0) as decimal(38,6))") +
+            expr("cast(coalesce(round(1.0 / (60 + rank_b), 6), 0.0) as decimal(38,6))"))
+      val fw = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+      fused.withColumn("rank", row_number().over(fw))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          expr("cast(rank_a is not null as int)").as("in_bm25"),
+          expr("cast(rank_b is not null as int)").as("in_knn"),
+          col("rrf").cast("double").as("rrf"))
         .orderBy("query_id", "rank")
     }),
 
@@ -468,6 +484,48 @@ object TextOps {
   /** ONE tokenize+aggregate pass: the result is unique per (doc, word),
     * so df is a count over it (no second explode of the corpus) and tf
     * is its sampled-doc slice. */
+  /** The BM25 scoring pipeline through the per-(query, doc) exact
+    * decimal sum — shared by q_bm25 (top-3 report) and q_rrf_fusion
+    * (top-10 lexical leg). See q_bm25's comment for the plan shape. */
+  private def bm25Scored(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tfAll = termFreqs(s, dir)
+    val dl = tfAll.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val df = tfAll.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("tok_total"))
+    val qw = Window.partitionBy(col("query_id")).orderBy(col("word"))
+    val qterms = tfAll
+      .filter(col("doc_id") % 61 === 0 && length(col("word")) >= 4)
+      .select(col("doc_id").as("query_id"), col("word"))
+      .withColumn("rn", row_number().over(qw))
+      .filter(col("rn") <= 3).drop("rn")
+    val qd = qterms.join(df.hint("shuffle_hash"), "word")
+    // dl is CORPUS-sized (one row per doc) — unlike the vocab-sized
+    // df build above, hinting it as an SHJ build side would hold
+    // N/P doc rows per partition hash map at 100 TB; unhinted, the
+    // doc-keyed attach stays a sort-merge join between two streams
+    // (AQE may still downgrade to a local join at small SF).
+    val postings = tfAll.join(broadcast(qd), "word")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+    postings
+      .withColumn("idf", round(log(
+        ((col("n_docs") - col("df")).cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5) + 1.0), 6))
+      .withColumn("tfn", col("tf").cast("double") * 2.2 /
+        (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
+          lit(0.75) * col("dl").cast("double") *
+            col("n_docs").cast("double") / col("tok_total").cast("double"))))
+      .withColumn("term_score",
+        expr("cast(round(idf * tfn, 6) as decimal(38,6))"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_terms"),
+        sum(col("term_score")).as("s6"))
+  }
+
   private def termFreqs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
@@ -525,34 +583,7 @@ object TextOps {
       FROM t JOIN d ON t.word = d.word CROSS JOIN n
       WHERE doc_id % 20 = 0
       ORDER BY doc_id, word""",
-    "q_bm25" -> """
-      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-                    FROM documents),
-      tf AS (SELECT doc_id, word, count(*) AS tf FROM toks
-             WHERE word <> '' GROUP BY 1, 2),
-      dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
-      df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
-      st AS (SELECT count(*) AS n_docs, sum(dl) AS tok_total FROM dl),
-      qt AS (SELECT query_id, word FROM (
-               SELECT doc_id AS query_id, word,
-                      row_number() OVER (PARTITION BY doc_id ORDER BY word) AS rn
-               FROM tf WHERE doc_id % 61 = 0 AND length(word) >= 4) q
-             WHERE rn <= 3),
-      pt AS (SELECT q.query_id, t.doc_id, t.tf, d.df, l.dl, s.n_docs, s.tok_total
-             FROM qt q JOIN tf t ON q.word = t.word
-             JOIN df d ON q.word = d.word
-             JOIN dl l ON t.doc_id = l.doc_id CROSS JOIN st s
-             WHERE t.doc_id <> q.query_id),
-      ts AS (SELECT query_id, doc_id, CAST(round(
-               round(ln((CAST(n_docs - df AS DOUBLE) + 0.5) /
-                        (CAST(df AS DOUBLE) + 0.5) + 1.0), 6) *
-               (CAST(tf AS DOUBLE) * 2.2 / (CAST(tf AS DOUBLE) + 1.2 *
-                 (0.25 + 0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) /
-                   CAST(tok_total AS DOUBLE)))), 6) AS DECIMAL(38,6)) AS term_score
-             FROM pt),
-      ag AS (SELECT query_id, doc_id, CAST(count(*) AS INT) AS n_terms,
-                    sum(term_score) AS s6
-             FROM ts GROUP BY 1, 2),
+    "q_bm25" -> (bm25Ctes + """,
       rk AS (SELECT query_id, doc_id, n_terms, s6,
                     row_number() OVER (PARTITION BY query_id
                       ORDER BY s6 DESC, doc_id) AS rank
@@ -560,7 +591,51 @@ object TextOps {
       SELECT query_id, CAST(rank AS INT) AS rank, doc_id, n_terms,
              CAST(round(s6, 4) AS DOUBLE) AS score
       FROM rk WHERE rank <= 3
-      ORDER BY query_id, rank""",
+      ORDER BY query_id, rank"""),
+    "q_rrf_fusion" -> (bm25Ctes + """,
+      ra AS (SELECT query_id, doc_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY s6 DESC, doc_id) AS rank_a
+             FROM ag QUALIFY rank_a <= 10),
+      qe2 AS (SELECT vec_id,
+                list_transform(embedding, x ->
+                  CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+              FROM embeddings),
+      qn2 AS (SELECT * FROM (
+                SELECT vec_id, q,
+                  CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS norm
+                FROM qe2) WHERE norm > 0),
+      kq AS (SELECT vec_id AS query_id, q AS qa, norm AS na
+             FROM qn2 WHERE vec_id % 61 = 0),
+      kp AS (SELECT kq.query_id, b.vec_id AS doc_id,
+               round(CAST(list_sum(list_transform(generate_series(1, len(qa)),
+                   i -> qa[i] * b.q[i])) AS BIGINT)::DOUBLE /
+                 sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(b.norm AS DOUBLE)), 4)
+                 AS cosine
+             FROM kq JOIN qn2 b ON b.vec_id <> kq.query_id),
+      rb AS (SELECT query_id, doc_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, doc_id) AS rank_b
+             FROM kp QUALIFY rank_b <= 10),
+      fu AS (SELECT coalesce(ra.query_id, rb.query_id) AS query_id,
+                    coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+                    rank_a, rank_b,
+                    CAST(coalesce(round(1.0 / (60 + rank_a), 6), 0.0)
+                      AS DECIMAL(38,6)) +
+                    CAST(coalesce(round(1.0 / (60 + rank_b), 6), 0.0)
+                      AS DECIMAL(38,6)) AS rrf
+             FROM ra FULL OUTER JOIN rb
+               ON ra.query_id = rb.query_id AND ra.doc_id = rb.doc_id),
+      fr AS (SELECT query_id, doc_id, rank_a, rank_b, rrf,
+                    CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY rrf DESC, doc_id) AS INT) AS rank
+             FROM fu)
+      SELECT query_id, rank, doc_id,
+             CAST(rank_a IS NOT NULL AS INT) AS in_bm25,
+             CAST(rank_b IS NOT NULL AS INT) AS in_knn,
+             CAST(rrf AS DOUBLE) AS rrf
+      FROM fr WHERE rank <= 3
+      ORDER BY query_id, rank"""),
     "q_ngram_diversity" -> """
       WITH t AS (SELECT source,
                    list_filter(string_split(text, ' '), x -> x <> '') AS t

@@ -556,6 +556,41 @@ object TextOps {
       .orderBy("doc_id", "word")
   }
 
+  /** Shared DuckDB CTE prefix for the BM25 family (`q_bm25`, `q_rrf_fusion`).
+    * Ends at the `ag` CTE: (query_id, doc_id, n_terms, s6) — per-(query, doc)
+    * exact-decimal BM25 scores over the data-derived query panel
+    * (doc_id % 61 = 0, 3 longest-sorted terms of length >= 4 per query).
+    * Callers append their own ranking tail with `bm25Ctes + ", rk AS (...)"`.
+    */
+  private val bm25Ctes: String = """
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                    FROM documents),
+      tf AS (SELECT doc_id, word, count(*) AS tf FROM toks
+             WHERE word <> '' GROUP BY 1, 2),
+      dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+      st AS (SELECT count(*) AS n_docs, sum(dl) AS tok_total FROM dl),
+      qt AS (SELECT query_id, word FROM (
+               SELECT doc_id AS query_id, word,
+                      row_number() OVER (PARTITION BY doc_id ORDER BY word) AS rn
+               FROM tf WHERE doc_id % 61 = 0 AND length(word) >= 4) q
+             WHERE rn <= 3),
+      pt AS (SELECT q.query_id, t.doc_id, t.tf, d.df, l.dl, s.n_docs, s.tok_total
+             FROM qt q JOIN tf t ON q.word = t.word
+             JOIN df d ON q.word = d.word
+             JOIN dl l ON t.doc_id = l.doc_id CROSS JOIN st s
+             WHERE t.doc_id <> q.query_id),
+      ts AS (SELECT query_id, doc_id, CAST(round(
+               round(ln((CAST(n_docs - df AS DOUBLE) + 0.5) /
+                        (CAST(df AS DOUBLE) + 0.5) + 1.0), 6) *
+               (CAST(tf AS DOUBLE) * 2.2 / (CAST(tf AS DOUBLE) + 1.2 *
+                 (0.25 + 0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) /
+                   CAST(tok_total AS DOUBLE)))), 6) AS DECIMAL(38,6)) AS term_score
+             FROM pt),
+      ag AS (SELECT query_id, doc_id, CAST(count(*) AS INT) AS n_terms,
+                    sum(term_score) AS s6
+             FROM ts GROUP BY 1, 2)"""
+
   val oracles: Map[String, String] = Map(
     "q_search" -> """
       SELECT p_name FROM part WHERE p_name LIKE '%wid%' ORDER BY p_name""",

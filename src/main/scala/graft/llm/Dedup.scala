@@ -93,7 +93,7 @@ object Dedup {
       .filter(col("norm") > 0)
   }
 
-  private[llm] val QE =
+  private[graft] val QE =
     """qe AS (SELECT vec_id, label,
       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
       |       FROM embeddings),

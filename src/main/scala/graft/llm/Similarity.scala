@@ -42,9 +42,16 @@ object Similarity {
     * qmax), self excluded. Query side is broadcast: the fact (corpus)
     * side never shuffles before scoring; WindowGroupLimit keeps each
     * partition's local top-k before the single final exchange. */
-  private def bruteTop(s: SparkSession, dir: String, qmax: Int, k: Int): DataFrame = {
+  private def bruteTop(s: SparkSession, dir: String, qmax: Int, k: Int): DataFrame =
+    bruteTopWhere(s, dir, col("vec_id") < qmax, k)
+
+  /** [[bruteTop]] with an arbitrary query-panel predicate — lets other
+    * modules (the RRF fusion quality row) reuse the exact brute
+    * ground-truth plan on their own panel. */
+  private[graft] def bruteTopWhere(s: SparkSession, dir: String,
+      qpred: org.apache.spark.sql.Column, k: Int): DataFrame = {
     val qe = Dedup.quantized(s, dir)
-    val queriesDf = qe.filter(col("vec_id") < qmax)
+    val queriesDf = qe.filter(qpred)
       .select(col("vec_id").as("query_id"), col("q").as("qa"), col("norm").as("na"))
     val corpus = qe
       .select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("norm").as("nb"))
@@ -89,9 +96,16 @@ object Similarity {
     * neighbor) pair arises at most once since a neighbor lives in one
     * cell. */
   private def annTop(s: SparkSession, dir: String, qmax: Int, k: Int,
+      probeMasks: Seq[Int] = Seq(0)): DataFrame =
+    annTopWhere(s, dir, col("vec_id") < qmax, k, probeMasks)
+
+  /** [[annTop]] with an arbitrary query-panel predicate (same reuse
+    * contract as [[bruteTopWhere]]). */
+  private[graft] def annTopWhere(s: SparkSession, dir: String,
+      qpred: org.apache.spark.sql.Column, k: Int,
       probeMasks: Seq[Int] = Seq(0)): DataFrame = {
     val qe = Dedup.quantized(s, dir).withColumn("bucket", expr(srpBucket))
-    val queriesDf = qe.filter(col("vec_id") < qmax)
+    val queriesDf = qe.filter(qpred)
       .select(col("vec_id").as("query_id"), col("bucket"),
         col("q").as("qa"), col("norm").as("na"))
       .withColumn("probe", explode(array(
@@ -2126,17 +2140,17 @@ object Similarity {
 
   /** DuckDB twin of the probe condition: own cell, or every Hamming-1
     * sign-flip cell too (xor is DuckDB's bitwise xor). */
-  private def probeCond(multi: Boolean): String =
+  private[graft] def probeCond(multi: Boolean): String =
     if (multi)
       "b.bucket IN (a.bucket, xor(a.bucket, 8), xor(a.bucket, 4), xor(a.bucket, 2), xor(a.bucket, 1))"
     else "a.bucket = b.bucket"
 
-  private lazy val dot2 =
+  private[graft] lazy val dot2 =
     "CAST(list_sum(list_transform(generate_series(1, len(qa)), i -> qa[i] * qb2[i])) AS BIGINT)"
 
   /** DuckDB twin of [[srpBucket]] — same literal hyperplanes, 1-based
     * list indexing. */
-  private lazy val qbCte = {
+  private[graft] lazy val qbCte = {
     val bits = (0 to 3).map { g =>
       val w = srp(g).mkString("[", ",", "]")
       s"CAST(list_sum(list_transform(generate_series(1, 64), i -> q[i] * ($w)[i])) >= 0 AS INT) * ${1 << (3 - g)}"

@@ -136,6 +136,75 @@ object TextOps {
         .orderBy("query_id", "rank")
     }),
 
+    // RRF fusion QUALITY row — the metric q_rrf_fusion itself cannot
+    // show (its dense leg is exact brute cosine, so fused ≤ knn by
+    // construction there). Here the dense leg is the PRODUCTION
+    // configuration — the SRP single-probe ANN (the 16× candidate
+    // cut) — and ground truth is the exact brute cosine top-3 on the
+    // same % 61 query panel. Three recall@3 rows make each system's
+    // contribution measurable: lexical-only (bm25), approximate-dense-
+    // only (knn_ann), and RRF(bm25 top-10, ann top-10) (Cormack et
+    // al. 2009). On these fixtures the text and embedding columns are
+    // statistically INDEPENDENT, so the lexical leg scores 0 against
+    // cosine truth and the row demonstrates RRF's robustness property
+    // rather than its lift: fused recall equals the dense leg — the
+    // k=60 damping keeps ten noise docs per query from displacing the
+    // informative leg's top-3 (on real corpora, where the legs
+    // correlate, the same three rows surface the fusion lift). Scale
+    // shape: every leg reuses its production plan (posting-list
+    // probe; broadcast panel × bucketed corpus); the metric itself is
+    // three broadcast-sized (query, doc) joins and 1-row aggregates.
+    "q_rrf_fusion_recall" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pred = col("vec_id") % 61 === 0
+      val truth = graft.llm.Similarity.bruteTopWhere(s, dir, pred, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val aw = Window.partitionBy(col("query_id"))
+        .orderBy(col("s6").desc, col("doc_id"))
+      val bm10 = bm25Scored(s, dir)
+        .withColumn("rank_a", row_number().over(aw))
+        .filter(col("rank_a") <= 10)
+        .select(col("query_id"), col("doc_id"), col("rank_a"))
+      val ann10 = graft.llm.Similarity.annTopWhere(s, dir, pred, k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rnk").as("rank_b"))
+      val fw = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+      val fused = bm10
+        .join(ann10, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          expr("cast(coalesce(round(1.0 / (60 + rank_a), 6), 0.0) as decimal(38,6))") +
+            expr("cast(coalesce(round(1.0 / (60 + rank_b), 6), 0.0) as decimal(38,6))"))
+        .withColumn("rank", row_number().over(fw))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("doc_id"))
+      // One metric join, not three: predictions union under a system
+      // tag, the truth set explodes the same three tags, and recall
+      // reduces to a single (system, query, doc) equi join + a 3-row
+      // aggregate — the brute truth leg plans (and scans) ONCE instead
+      // of once per metric branch.
+      val preds = bm10.filter(col("rank_a") <= 3)
+        .select(col("query_id"), col("doc_id"))
+        .withColumn("system", lit("bm25"))
+        .unionByName(ann10.filter(col("rank_b") <= 3)
+          .select(col("query_id"), col("doc_id"))
+          .withColumn("system", lit("knn_ann")))
+        .unionByName(fused.withColumn("system", lit("rrf_fused")))
+      truth
+        .withColumn("system",
+          explode(array(lit("bm25"), lit("knn_ann"), lit("rrf_fused"))))
+        .join(preds.select(col("system").as("ps"),
+            col("query_id").as("aq"), col("doc_id").as("an")),
+          col("system") === col("ps") && col("query_id") === col("aq") &&
+            col("neighbor_id") === col("an"), "left")
+        .groupBy(col("system"))
+        .agg(count(lit(1)).as("n_true"), count(col("an")).as("n_found"))
+        .select(col("system"), col("n_true"), col("n_found"),
+          round(col("n_found").cast("double") / col("n_true").cast("double"), 4)
+            .as("recall_at_3"))
+        .orderBy("system")
+    }),
+
     // Distinct-n n-gram diversity (the distinct-1/2/3 metric of Li et
     // al. 2016) per source — the generation-quality / memorization
     // screen a corpus report carries: a crawl slice whose trigram
@@ -671,6 +740,64 @@ object TextOps {
              CAST(rrf AS DOUBLE) AS rrf
       FROM fr WHERE rank <= 3
       ORDER BY query_id, rank"""),
+    "q_rrf_fusion_recall" -> (bm25Ctes + "," +
+      graft.llm.Dedup.QE + "," + graft.llm.Similarity.qbCte + s""",
+      pan AS (SELECT vec_id, q, norm, bucket FROM qb WHERE vec_id % 61 = 0),
+      tp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+             FROM pan a JOIN qn b ON a.vec_id <> b.vec_id),
+      tcos AS (SELECT query_id, neighbor_id,
+                 round(CAST(${graft.llm.Similarity.dot2} AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+               FROM tp),
+      trk AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM tcos),
+      truth AS (SELECT query_id, neighbor_id FROM trk WHERE rnk <= 3),
+      bq10 AS (SELECT query_id, doc_id, rank_a FROM (
+                 SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY s6 DESC, doc_id) AS rank_a
+                 FROM ag) WHERE rank_a <= 10),
+      apr AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+              FROM pan a JOIN qb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+      acos AS (SELECT query_id, neighbor_id,
+                 round(CAST(${graft.llm.Similarity.dot2} AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+               FROM apr),
+      ark AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM acos),
+      ann10 AS (SELECT query_id, neighbor_id, rnk FROM ark WHERE rnk <= 10),
+      fu2 AS (SELECT coalesce(a.query_id, b.query_id) AS query_id,
+                     coalesce(a.doc_id, b.neighbor_id) AS doc_id,
+                     CAST(coalesce(round(1.0 / (60 + a.rank_a), 6), 0.0)
+                       AS DECIMAL(38,6)) +
+                     CAST(coalesce(round(1.0 / (60 + b.rnk), 6), 0.0)
+                       AS DECIMAL(38,6)) AS rrf
+              FROM bq10 a FULL OUTER JOIN ann10 b
+                ON a.query_id = b.query_id AND a.doc_id = b.neighbor_id),
+      fr2 AS (SELECT query_id, doc_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY rrf DESC, doc_id) AS rank
+              FROM fu2),
+      fused AS (SELECT query_id, doc_id FROM fr2 WHERE rank <= 3),
+      bm3 AS (SELECT query_id, doc_id FROM bq10 WHERE rank_a <= 3),
+      ann3 AS (SELECT query_id, neighbor_id AS doc_id FROM ann10 WHERE rnk <= 3),
+      m AS (
+        SELECT 'bm25' AS system, count(*) AS n_true, count(a.doc_id) AS n_found
+        FROM truth t LEFT JOIN bm3 a
+          ON t.query_id = a.query_id AND t.neighbor_id = a.doc_id
+        UNION ALL
+        SELECT 'knn_ann', count(*), count(a.doc_id)
+        FROM truth t LEFT JOIN ann3 a
+          ON t.query_id = a.query_id AND t.neighbor_id = a.doc_id
+        UNION ALL
+        SELECT 'rrf_fused', count(*), count(a.doc_id)
+        FROM truth t LEFT JOIN fused a
+          ON t.query_id = a.query_id AND t.neighbor_id = a.doc_id)
+      SELECT system, n_true, n_found,
+             CAST(round(CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE), 4) AS DOUBLE) AS recall_at_3
+      FROM m ORDER BY system"""),
     "q_ngram_diversity" -> """
       WITH t AS (SELECT source,
                    list_filter(string_split(text, ' '), x -> x <> '') AS t

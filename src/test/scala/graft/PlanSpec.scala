@@ -518,6 +518,77 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_join_q8 broadcasts every dimension; facts never cartesian") {
+    // the 8-table market-share star: region/nation/part/supplier are
+    // dimension-sized and must reach the lineitem scan as broadcast
+    // builds; the only shuffle-worthy joins are the fact-fact ones
+    // (lineitem↔orders). A CartesianProduct or a broadcast of a FACT
+    // side is the 100 TB failure shape
+    val p = plan("q_join_q8")
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_sum"), "market-share agg must fold map-side")
+  }
+
+  test("q_join_size_cms folds the sketch map-side; exact side broadcasts") {
+    // the CMS is the constant 8 KB artifact — its aggregate must be
+    // partial+final (ObjectHashAggregate) so the exchange carries ONE
+    // sketch per partition, and the exact-F2 scalar rides the single
+    // 1-row broadcast nested loop
+    val p = plan("q_join_size_cms")
+    assert(p.contains("ObjectHashAggregate"))
+    assert(p.contains("partial_cms_sketch"), "sketch must fold map-side")
+    val bnlj = """(?m)^\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size
+    assert(bnlj <= 1, s"only the 1-row exact-F2 broadcast is allowed:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_quantile_sketch_group keeps per-group payload bounded") {
+    // per-group histogram: bin counts fold map-side (partial_count →
+    // ≤ 32 rows per group on the exchange); the width frame attaches
+    // by a ShuffledHashJoin with the 5-row stats side as build — a
+    // SortMergeJoin would globally sort the value stream the sketch
+    // exists to avoid
+    val p = plan("q_quantile_sketch_group")
+    assert(p.contains("partial_count"), "bin counts must fold map-side")
+    assert(p.contains("ShuffledHashJoin"), "width frame must hash-attach")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_rrf_fusion fuses two pre-limited rankers by one keyed join") {
+    // both ranker legs must pre-limit per query (WindowGroupLimit)
+    // before fusion, and the fusion itself is a keyed FULL OUTER join
+    // on (query, doc) — never a re-rank over an unlimited product.
+    // Allowed nested loops: the 1-row BM25 corpus-stats broadcast and
+    // the bounded dense query panel (the deliberate brute leg)
+    val p = plan("q_rrf_fusion")
+    assert(p.contains("FullOuter"), "fusion must be a full outer join")
+    assert(p.contains("WindowGroupLimit"), "legs must pre-limit top-10")
+    val bnlj = """(?m)^\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size
+    assert(bnlj <= 2, s"unexpected nested loops:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_rrf_fusion_recall reuses the production leg plans") {
+    // three systems, one plan: the ANN leg must stay the bucket-keyed
+    // BroadcastHashJoin (panel broadcast, corpus streamed), the brute
+    // truth leg is the bounded-panel nested loop, fusion is the keyed
+    // full outer — and every ranked set pre-limits per query
+    val p = plan("q_rrf_fusion_recall")
+    assert(p.contains("FullOuter"))
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("BroadcastHashJoin"), "ANN leg must stay bucket-keyed")
+    // allowed nested loops, each bounded: the brute-truth panel (once —
+    // the tag-exploded metric join must not replan it per system) and
+    // the 1-row BM25 stats broadcast in each of its two union branches
+    val bnlj = """(?m)^\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size
+    assert(bnlj <= 3,
+      s"truth panel must plan once; stats rows twice at most:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("decode-family queries stay single-scan map-only pipelines") {
     // decode + feature extraction are scan-shaped: one parquet scan,
     // fused MapPartitions, and no exchange except the final order-by —

@@ -108,6 +108,12 @@ case class GzipMeta(doc_id: Long, status: String, has_name: Option[Int],
     n_bytes: Option[Int], sum_bytes: Option[Long], n_sep: Option[Long],
     first_byte: Option[Int])
 
+/** Typed output of the WARC-record ingest stage: gzip-member decode
+  * status, the WARC-Target-URI pulled from the record header, and the
+  * record/body sizes the downstream funnel gates on. */
+case class WarcMeta(doc_id: Long, status: String, url: Option[String],
+    n_bytes: Option[Int], body_bytes: Option[Int])
+
 /** Multimodal-column plumbing: media as opaque `binary` columns with
   * typed, schema'd metadata extraction (north-star extension — the
   * reference has nothing beyond strings).
@@ -1620,12 +1626,36 @@ object Multimodal {
     * degrades to a status ROW — decode-family contract. */
   private[llm] def parseGzip(id: Long, p: Array[Byte]): GzipMeta = {
     val none = GzipMeta(id, "bad_magic", None, None, None, None, None)
+    gunzip(p) match {
+      case (status, hasName, None) =>
+        none.copy(status = status, has_name = hasName)
+      case (_, hasName, Some(data)) =>
+        var sum = 0L; var seps = 0L
+        var j = 0
+        while (j < data.length) {
+          val v = data(j) & 0xff
+          sum += v
+          if (v == ' ') seps += 1
+          j += 1
+        }
+        GzipMeta(id, "ok", hasName, Some(data.length), Some(sum),
+          Some(seps), Some(if (data.isEmpty) 0 else data(0) & 0xff))
+    }
+  }
+
+  /** The shared RFC 1952 member walk: (status, FNAME flag once the
+    * optional-field walk has run, decoded payload iff status "ok").
+    * Factored out of [[parseGzip]] so the WARC ingest stage reuses the
+    * IDENTICAL header/inflate/footer discipline on its records. */
+  private[llm] def gunzip(
+      p: Array[Byte]): (String, Option[Int], Option[Array[Byte]]) = {
     try {
       if (p == null || p.length < 10 ||
-        (p(0) & 0xff) != 0x1f || (p(1) & 0xff) != 0x8b) return none
-      if ((p(2) & 0xff) != 8) return none.copy(status = "unsupported")
+        (p(0) & 0xff) != 0x1f || (p(1) & 0xff) != 0x8b)
+        return ("bad_magic", None, None)
+      if ((p(2) & 0xff) != 8) return ("unsupported", None, None)
       val flg = p(3) & 0xff
-      if ((flg & 0xe0) != 0) return none.copy(status = "bad_header")
+      if ((flg & 0xe0) != 0) return ("bad_header", None, None)
       var i = 10
       def need(n: Int): Unit = if (i + n > p.length) throw PngTrunc
       if ((flg & 4) != 0) { // FEXTRA
@@ -1648,30 +1678,108 @@ object Multimodal {
       val until = p.length - 8
       val isize = ((p(p.length - 4) & 0xffL) | ((p(p.length - 3) & 0xffL) << 8) |
         ((p(p.length - 2) & 0xffL) << 16) | ((p(p.length - 1) & 0xffL) << 24))
-      if (isize > (1L << 24)) return none.copy(status = "bad_header")
+      if (isize > (1L << 24)) return ("bad_header", None, None)
       val data = inflate(p, i, until, isize.toInt)
-      val hasName = if ((flg & 8) != 0) 1 else 0
-      if (data.length.toLong != isize)
-        return none.copy(status = "bad_data", has_name = Some(hasName))
+      val hasName = Some(if ((flg & 8) != 0) 1 else 0)
+      if (data.length.toLong != isize) return ("bad_data", hasName, None)
       val crc = ((p(until) & 0xff) | ((p(until + 1) & 0xff) << 8) |
         ((p(until + 2) & 0xff) << 16) | ((p(until + 3) & 0xff) << 24))
-      if (crc != crc32Png(data))
-        return none.copy(status = "bad_data", has_name = Some(hasName))
-      var sum = 0L; var seps = 0L
-      var j = 0
-      while (j < data.length) {
-        val v = data(j) & 0xff
-        sum += v
-        if (v == ' ') seps += 1
-        j += 1
-      }
-      GzipMeta(id, "ok", Some(hasName), Some(data.length), Some(sum),
-        Some(seps), Some(if (data.isEmpty) 0 else data(0) & 0xff))
+      if (crc != crc32Png(data)) return ("bad_data", hasName, None)
+      ("ok", hasName, Some(data))
     } catch {
-      case e: RuntimeException if e eq PngTrunc =>
-        none.copy(status = "truncated")
-      case e: RuntimeException if e eq PngBad =>
-        none.copy(status = "bad_data")
+      case e: RuntimeException if e eq PngTrunc => ("truncated", None, None)
+      case e: RuntimeException if e eq PngBad => ("bad_data", None, None)
+    }
+  }
+
+  /** Scala mirror of [[Dedup.urlSynthSql]] — the SAME messy-URL
+    * synthesis from the doc's md5 hex digits, needed in the JVM so the
+    * URL can be embedded INSIDE the gzip-compressed WARC record. The
+    * q_warc_ingest hash gate proves the two implementations agree: the
+    * Spark side extracts this string back out of the decoded bytes
+    * while the DuckDB twin recomputes it with the SQL expression. */
+  private[llm] def urlSynth(h: String): String = {
+    def hd(i: Int): Int = {
+      val c = h.charAt(i - 1); if (c >= 'a') c - 87 else c - 48
+    }
+    val scheme = if (hd(1) % 2 == 0) "HTTP" else "https"
+    val host =
+      if (hd(3) % 2 == 0) s"EX${hd(2) % 8}.COM" else s"ex${hd(2) % 8}.com"
+    val port = (hd(4) % 4) match {
+      case 0 => ":80"; case 1 => ":443"; case 2 => ":8080"; case _ => ""
+    }
+    val path = s"/p${hd(5)}" + (if (hd(6) % 2 == 0) "/" else "")
+    val qs = (hd(7) % 4) match {
+      case 0 => s"?a=${hd(8) % 4}&b=${hd(9) % 4}&utm_src=x"
+      case 1 => s"?b=${hd(9) % 4}&a=${hd(8) % 4}"
+      case 2 => s"?utm_src=x&b=${hd(9) % 4}&a=${hd(8) % 4}"
+      case _ => ""
+    }
+    val frag = if (hd(10) % 2 == 0) "#sec" else ""
+    scheme + "://" + host + port + path + qs + frag
+  }
+
+  /** Synthesize a WARC-shaped crawl record as a REAL gzip member: the
+    * decompressed payload is `WARC/1.0\nWARC-Target-URI: <messy url>`
+    * + blank line + a repeated text body (66·k bytes, k ∈ 1..3 —
+    * repetition makes the LZ77 back-references genuinely fire).
+    * Failure arms share the gzip family's md5 bits — corrupted magic
+    * (b12), footer truncation (b14), corrupted CRC-32 (b15) — so a
+    * fixed fraction of the crawl genuinely fails decode, which is
+    * what the funnel exists to count. */
+  private[llm] def warcBytes(h: String): Array[Byte] = {
+    val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
+    val badMagic = b(12) % 16 == 1
+    val trunc = b(14) % 8 == 5
+    val badCrc = b(15) % 16 == 9
+    val fixedHuff = b(13) % 2 == 1
+    val k = 1 + b(2) % 3
+    val record = "WARC/1.0\nWARC-Target-URI: " + urlSynth(h) + "\n\n" +
+      (h + " " + h.reverse + " ") * k
+    val data = record.getBytes("US-ASCII")
+    val out = new java.io.ByteArrayOutputStream(256)
+    out.write(if (badMagic) 0x2f else 0x1f); out.write(0x8b)
+    out.write(8) // CM = deflate
+    out.write(0) // no optional header fields: the gzip query owns those arms
+    out.write(b(3)); out.write(b(4)); out.write(b(5)); out.write(b(6)) // MTIME
+    out.write(0); out.write(255) // XFL, OS = unknown
+    val headerLen = out.size()
+    val defl = if (fixedHuff) deflateFixed(data) else deflateStored(data)
+    out.write(defl, 0, defl.length)
+    val crc = crc32Png(data)
+    def le32(v: Int): Unit = {
+      out.write(v & 255); out.write((v >>> 8) & 255)
+      out.write((v >>> 16) & 255); out.write((v >>> 24) & 255)
+    }
+    le32(if (badCrc) crc ^ 0x5500 else crc)
+    le32(data.length)
+    val full = out.toByteArray
+    // below the 8-byte footer minimum, so the arm is `truncated` for
+    // every doc (the gzipBytes reasoning)
+    if (trunc) full.take(headerLen + 5) else full
+  }
+
+  /** WARC-record parse over the shared [[gunzip]] walk: decode the
+    * member, require the `WARC/1.0` version line, and pull the
+    * `WARC-Target-URI` header — the crawl front-door stage that turns
+    * raw fetched bytes into (url, body) rows. Malformed input degrades
+    * to a status ROW (decode-family contract); a member that decodes
+    * but is not a WARC record is `bad_record`, not a throw. */
+  private[llm] def parseWarc(id: Long, p: Array[Byte]): WarcMeta = {
+    gunzip(p) match {
+      case (status, _, None) => WarcMeta(id, status, None, None, None)
+      case (_, _, Some(data)) =>
+        val text = new String(data, "US-ASCII")
+        val sep = text.indexOf("\n\n")
+        val hdr = if (sep >= 0) text.substring(0, sep) else text
+        val body = if (sep >= 0) text.substring(sep + 2) else ""
+        val tag = "WARC-Target-URI: "
+        val uri = hdr.linesIterator.collectFirst {
+          case l if l.startsWith(tag) => l.substring(tag.length)
+        }
+        if (!hdr.startsWith("WARC/1.0") || uri.isEmpty)
+          WarcMeta(id, "bad_record", None, Some(data.length), None)
+        else WarcMeta(id, "ok", uri, Some(data.length), Some(body.length))
     }
   }
 
@@ -1876,6 +1984,47 @@ object Multimodal {
       decodeGzip(payloads).toDF().orderBy("doc_id")
     }),
 
+    // The crawl FRONT-DOOR, end to end in one plan: WARC-shaped gzip
+    // records (REAL RFC 1952 members, synthesized with genuine failure
+    // arms) → the shared gunzip walk → WARC-Target-URI extraction →
+    // URL canonicalization (the q_dedup_url rules) → the ingest funnel
+    // (fetched → decoded → min-length → unique canonical URL). This is
+    // the composition the decoder family exists for: what a 100 TB
+    // crawl slice loses at each gate, as one number per stage. Scale
+    // shape: ONE parquet scan, a fused synthesize+decode MapPartitions,
+    // the canonicalizer as codegen'd scan-side projections, a single
+    // 1-row aggregate (count-distinct canon is its only exchange), and
+    // a 4-row long-form explode — no join anywhere.
+    "q_warc_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val metas = Tables(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, h) =>
+          parseWarc(id, warcBytes(h))
+        }).toDF()
+      // canonicalize unconditionally: url is NULL on failed decodes, so
+      // canon is NULL and the conditional count-distinct ignores it
+      val canon = Dedup.canonicalizeUrl(metas)
+      val pass = col("status") === "ok" && col("body_bytes") >= 132
+      canon.agg(
+          count(lit(1)).as("fetched"),
+          sum(when(col("status") === "ok", 1L).otherwise(0L)).as("decoded"),
+          sum(when(pass, 1L).otherwise(0L)).as("min_length"),
+          countDistinct(when(pass, col("canon"))).as("unique_url"))
+        .select(explode(array(
+          struct(lit(1).as("stage_no"), lit("fetched").as("stage"),
+            col("fetched").as("n_docs")),
+          struct(lit(2).as("stage_no"), lit("decoded").as("stage"),
+            col("decoded").as("n_docs")),
+          struct(lit(3).as("stage_no"), lit("min_length").as("stage"),
+            col("min_length").as("n_docs")),
+          struct(lit(4).as("stage_no"), lit("unique_url").as("stage"),
+            col("unique_url").as("n_docs")))).as("s"))
+        .select(col("s.stage_no"), col("s.stage"), col("s.n_docs"))
+        .orderBy("stage_no")
+    }),
+
     // REAL decode→resize chain over the P6 payloads: every output
     // pixel is a genuinely parsed raster byte chosen by the integer
     // nearest-neighbor index map — the oracle recomputes the same
@@ -2023,6 +2172,60 @@ object Multimodal {
              CASE WHEN badmagic OR trunc OR badcrc THEN NULL
                   ELSE ascii(substr(h, 1, 1)) END AS first_byte
       FROM d ORDER BY doc_id""",
+    // WARC-ingest twin: the funnel recomputed entirely from the md5
+    // pure functions — decode arms from the failure bits, the URL from
+    // the SHARED synth SQL, canonicalization by the q_dedup_url rules.
+    // The twin never touches compressed bytes, so a hash match proves
+    // the record round trip AND that the JVM urlSynth mirror agrees
+    // with the SQL expression character-for-character.
+    "q_warc_ingest" -> s"""
+      WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+      bb AS (SELECT doc_id, h, ${byteAt(2)} AS b2, ${byteAt(12)} AS b12,
+                ${byteAt(14)} AS b14, ${byteAt(15)} AS b15
+             FROM hx),
+      dd AS (SELECT doc_id, h, b12 % 16 = 1 AS badmagic, b14 % 8 = 5 AS trunc,
+                b15 % 16 = 9 AS badcrc, 1 + b2 % 3 AS k
+             FROM bb),
+      okr AS (SELECT doc_id, h, k FROM dd
+              WHERE NOT badmagic AND NOT trunc AND NOT badcrc),
+      u AS (SELECT doc_id, k, ${Dedup.urlSynthSql} AS url FROM okr),
+      p1 AS (SELECT doc_id, k, url,
+               lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme_l,
+               regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1) AS hostport,
+               regexp_extract(url, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1) AS path0,
+               regexp_extract(url, '[?]([^#]*)', 1) AS qs
+             FROM u),
+      p2 AS (SELECT doc_id, k, url, scheme_l, path0, qs,
+               lower(CASE WHEN instr(hostport, ':') > 0
+                 THEN substr(hostport, 1, CAST(instr(hostport, ':') AS INT) - 1)
+                 ELSE hostport END) AS host_l,
+               CASE WHEN instr(hostport, ':') > 0
+                 THEN substr(hostport, CAST(instr(hostport, ':') AS INT) + 1)
+                 ELSE '' END AS port
+             FROM p1),
+      p3 AS (SELECT doc_id, k, url, scheme_l, host_l, port,
+               CASE WHEN length(path0) > 1 AND substr(path0, length(path0), 1) = '/'
+                 THEN substr(path0, 1, length(path0) - 1) ELSE path0 END AS path,
+               array_to_string(list_sort(list_filter(string_split(qs, '&'),
+                 p -> p <> '' AND substr(p, 1, 4) <> 'utm_')), '&') AS params
+             FROM p2),
+      c AS (SELECT doc_id, k,
+              concat(scheme_l, '://', host_l,
+                CASE WHEN port <> '' AND NOT ((scheme_l = 'http' AND port = '80')
+                  OR (scheme_l = 'https' AND port = '443'))
+                  THEN concat(':', port) ELSE '' END, path,
+                CASE WHEN params <> '' THEN concat('?', params) ELSE '' END) AS canon
+            FROM p3),
+      m AS (SELECT
+        (SELECT count(*) FROM dd) AS fetched,
+        (SELECT count(*) FROM okr) AS decoded,
+        (SELECT count(*) FROM c WHERE k >= 2) AS min_length,
+        (SELECT count(DISTINCT canon) FROM c WHERE k >= 2) AS unique_url)
+      SELECT CAST(1 AS INT) AS stage_no, 'fetched' AS stage, fetched AS n_docs FROM m
+      UNION ALL SELECT CAST(2 AS INT), 'decoded', decoded FROM m
+      UNION ALL SELECT CAST(3 AS INT), 'min_length', min_length FROM m
+      UNION ALL SELECT CAST(4 AS INT), 'unique_url', unique_url FROM m
+      ORDER BY stage_no""",
     // Resize twin: identical raster reconstruction, then the SAME
     // integer NN index map ((out·in) // out_dim) picks the 4 sampled
     // pixels; top_left pins the rounding direction.

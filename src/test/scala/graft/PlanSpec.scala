@@ -589,6 +589,20 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_warc_ingest runs the whole crawl funnel join-free on one scan") {
+    // synthesize+decode fuse into the scan's MapPartitions, the URL
+    // canonicalizer is scan-side projection, and the funnel reduces
+    // through ONE aggregation pipeline — a join or second scan here
+    // means the front-door re-reads the crawl
+    val p = plan("q_warc_ingest")
+    val scanIds = """\((\d+)\) Scan parquet""".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(scanIds.size == 1, s"expected one scan node, got $scanIds")
+    assert(p.contains("MapPartitions"))
+    assert(!p.contains("Join"), "the funnel must not join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("decode-family queries stay single-scan map-only pipelines") {
     // decode + feature extraction are scan-shaped: one parquet scan,
     // fused MapPartitions, and no exchange except the final order-by —

@@ -346,6 +346,43 @@ class MultimodalSpec extends graft.SparkSuite {
     assert(names > 0, "FNAME skip path never exercised")
   }
 
+  test("warc: records round-trip, arms fire, and the URI survives the member") {
+    var arms = Map.empty[String, Int].withDefaultValue(0)
+    for (i <- 0 until 300) {
+      val h = md5hex(s"warc-$i")
+      val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
+      val m = Multimodal.parseWarc(i.toLong, Multimodal.warcBytes(h))
+      val expected =
+        if (b(12) % 16 == 1) "bad_magic"
+        else if (b(14) % 8 == 5) "truncated"
+        else if (b(15) % 16 == 9) "bad_data"
+        else "ok"
+      assert(m.status == expected, s"$h: ${m.status} != $expected")
+      arms += expected -> (arms(expected) + 1)
+      if (expected == "ok") {
+        assert(m.url.contains(Multimodal.urlSynth(h)))
+        assert(m.body_bytes.contains(66 * (1 + b(2) % 3)))
+      } else assert(m.url.isEmpty)
+    }
+    for (s <- Seq("ok", "bad_magic", "truncated", "bad_data"))
+      assert(arms(s) > 0, s"arm $s never fired")
+  }
+
+  test("warc: a decodable non-WARC member is bad_record, never a throw") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write("just some text, no record header".getBytes("US-ASCII"))
+    gz.close()
+    val m = Multimodal.parseWarc(90L, bos.toByteArray)
+    assert(m.status == "bad_record" && m.url.isEmpty)
+    // and a record with version line but no URI header
+    val bos2 = new java.io.ByteArrayOutputStream()
+    val gz2 = new java.util.zip.GZIPOutputStream(bos2)
+    gz2.write("WARC/1.0\nWARC-Type: response\n\nbody".getBytes("US-ASCII"))
+    gz2.close()
+    assert(Multimodal.parseWarc(91L, bos2.toByteArray).status == "bad_record")
+  }
+
   // ----------------------------- PNG -----------------------------
 
   /** Independent mini-model of the fixture's logical pixels + arms —

@@ -978,6 +978,48 @@ object Similarity {
         sq8Top(s, dir, qmax = 50, k = 3).select("query_id", "neighbor_id"),
         k = 3)),
 
+    // nDCG@3 of the single-probe ANN — the GRADED companion to
+    // q_knn_recall (Järvelin & Kekäläinen 2002): recall treats the
+    // exact top-3 as a set, nDCG weights POSITION, so an ANN that
+    // returns the true top-1 at rank 3 scores lower than one that
+    // returns it at rank 1. Judgments are data-derived: the exact
+    // cosine top-3 graded 3/2/1 by true rank, everything else 0. The
+    // transcendental discount follows the BM25 cross-engine
+    // discipline — each per-position term rounds to 6 dp and sums in
+    // DECIMAL(38,6); the ideal DCG comes from the SAME truth frame
+    // (grades sorted desc = true rank asc), so ndcg = 1.0 iff the ANN
+    // reproduces the exact ordering. Scale shape: the two top-k
+    // pipelines of the recall family plus a broadcast-sized
+    // (query, doc) join; the corpus never shuffles.
+    "q_knn_ndcg" -> ((s, dir) => {
+      val truth = bruteTop(s, dir, qmax = 50, k = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          (lit(4) - col("rnk")).as("grade"), col("rnk"))
+      val dcgTerm = "cast(round(cast(grade as double) / " +
+        "log2(cast(pos + 1 as double)), 6) as decimal(38,6))"
+      val idcg = truth
+        .select(col("query_id"), col("grade"), col("rnk").as("pos"))
+        .groupBy(col("query_id"))
+        .agg(sum(expr(dcgTerm)).as("idcg"))
+      val dcg = annTop(s, dir, qmax = 50, k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rnk").as("pos"))
+        .join(truth.select(col("query_id").as("tq"),
+            col("neighbor_id").as("tn"), col("grade")),
+          col("query_id") === col("tq") && col("neighbor_id") === col("tn"),
+          "left")
+        .withColumn("grade", coalesce(col("grade"), lit(0)))
+        .groupBy(col("query_id"))
+        .agg(sum(expr(dcgTerm)).as("dcg"))
+      idcg.join(dcg, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("dcg"), lit(0).cast("decimal(38,6)")).cast("double")
+            .as("dcg"),
+          col("idcg").cast("double").as("idcg"),
+          round(coalesce(col("dcg"), lit(0).cast("decimal(38,6)"))
+              .cast("double") / col("idcg").cast("double"), 4).as("ndcg"))
+        .orderBy("query_id")
+    }),
+
     "q_knn_sq8_adc" -> ((s, dir) =>
       sq8AdcTop(s, dir, qmax = 50, k = 3).orderBy("query_id", "rnk")),
 
@@ -1307,6 +1349,46 @@ object Similarity {
       ORDER BY query_id, rnk"""),
     "q_knn_ann" -> annSql(multi = false),
     "q_knn_ann_mp" -> annSql(multi = true),
+    "q_knn_ndcg" -> ("WITH " + Dedup.QE + "," + qbCte + s""",
+      bp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+             FROM qn a JOIN qn b ON a.vec_id < 50 AND a.vec_id <> b.vec_id),
+      bcos AS (SELECT query_id, neighbor_id,
+                 round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+               FROM bp),
+      brk AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM bcos),
+      truth AS (SELECT query_id, neighbor_id, 4 - rnk AS grade, rnk
+                FROM brk WHERE rnk <= 3),
+      idcg AS (SELECT query_id,
+                 sum(CAST(round(CAST(grade AS DOUBLE) /
+                   log2(CAST(rnk + 1 AS DOUBLE)), 6) AS DECIMAL(38,6))) AS idcg
+               FROM truth GROUP BY 1),
+      ap AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+             FROM qb a JOIN qb b ON a.bucket = b.bucket
+               AND a.vec_id < 50 AND a.vec_id <> b.vec_id),
+      acos AS (SELECT query_id, neighbor_id,
+                 round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+               FROM ap),
+      ark AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM acos),
+      ann AS (SELECT query_id, neighbor_id, rnk AS pos FROM ark WHERE rnk <= 3),
+      g AS (SELECT ann.query_id, coalesce(t.grade, 0) AS grade, pos
+            FROM ann LEFT JOIN truth t
+              ON ann.query_id = t.query_id AND ann.neighbor_id = t.neighbor_id),
+      dcg AS (SELECT query_id,
+                sum(CAST(round(CAST(grade AS DOUBLE) /
+                  log2(CAST(pos + 1 AS DOUBLE)), 6) AS DECIMAL(38,6))) AS dcg
+              FROM g GROUP BY 1)
+      SELECT i.query_id,
+             CAST(coalesce(d.dcg, 0) AS DOUBLE) AS dcg,
+             CAST(i.idcg AS DOUBLE) AS idcg,
+             round(CAST(coalesce(d.dcg, 0) AS DOUBLE) / CAST(i.idcg AS DOUBLE), 4) AS ndcg
+      FROM idcg i LEFT JOIN dcg d ON i.query_id = d.query_id
+      ORDER BY i.query_id"""),
     "q_knn_recall" -> recallSql(multi = false),
     "q_knn_recall_mp" -> recallSql(multi = true),
     "q_knn_sq8" -> ("WITH " + Dedup.QE + "," + sq8Cte + s""",

@@ -16,6 +16,33 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Hex digit i (1-based) of the md5 column `h` as 0–15, in the
+    * shared ascii/CASE dialect (the urlSynthSql idiom). */
+  private def hd(i: Int): String =
+    s"(ascii(substr(h, $i, 1)) - (CASE WHEN substr(h, $i, 1) >= 'a' THEN 87 ELSE 48 END))"
+
+  /** PII-bearing text synthesized from the doc's md5 — VERBATIM-shared
+    * between the Spark query and the DuckDB twin: the original text
+    * plus md5-armed injections of an email (~50%, doubled ~25% of the
+    * time), a 555-prefix phone (~50%), and a 10.x.y.z IP (~50%). */
+  private val piiSynthSql: String = s"""concat(text,
+      CASE WHEN ${hd(11)} % 2 = 0 THEN
+        concat(' user', ${hd(12)}, '@mail', ${hd(13)} % 4, '.com') ELSE '' END,
+      CASE WHEN ${hd(11)} % 2 = 0 AND ${hd(19)} % 4 = 0 THEN
+        concat(' user', ${hd(20)}, '@mail', ${hd(21)} % 4, '.com') ELSE '' END,
+      CASE WHEN ${hd(14)} % 2 = 0 THEN
+        concat(' 555-01', ${hd(15)} % 10, ${hd(16)} % 10) ELSE '' END,
+      CASE WHEN ${hd(17)} % 2 = 0 THEN
+        concat(' 10.', ${hd(18)}, '.', ${hd(22)}, '.', ${hd(23)}) ELSE '' END)"""
+
+  /** The three detector regexes — written with `[.]` classes instead of
+    * backslash escapes so the SAME pattern string parses identically
+    * under Java regex (Spark) and RE2 (DuckDB), and single-quoted SQL
+    * literals need no engine-specific escaping. */
+  private val piiEmailRe = "[a-z]+[0-9]+@mail[0-9][.]com"
+  private val piiPhoneRe = "555-01[0-9][0-9]"
+  private val piiIpRe = "10[.][0-9]+[.][0-9]+[.][0-9]+"
+
   val queries: Map[String, Q] = Map(
     // The reference's Search, idiomatic form: pushed Contains filter +
     // projection + sort (SearchMRC.cpp:78-98 semantics — case-sensitive,
@@ -387,6 +414,35 @@ object TextOps {
     // which is why it's the 100 TB-friendly text encoder (one scan,
     // no dictionary shuffle, collisions priced by the signed sum).
     // All-integer; reported for the 1-in-20 doc sample to bound rows.
+    // PII detect + MASK — the redaction pass every training-data
+    // pipeline runs before anything else sees the text (emails, phone
+    // numbers, IPs → typed placeholders). PII is synthesized into the
+    // docs from their md5 (piiSynthSql, shared verbatim with the twin)
+    // so a known fraction of rows genuinely carries each type; the
+    // detectors and the three-stage masking chain are plain regexp
+    // built-ins, codegen'd in the scan projection — at 100 TB this is
+    // a map-only pass with zero exchanges besides the output sort. The
+    // masked text ships as its md5: the hash gate then proves the two
+    // engines produced IDENTICAL redacted bytes, not just identical
+    // counts (Spark's regexp_replace is global; the twin passes 'g').
+    "q_pii_scrub" -> ((s, dir) => {
+      val masked = "regexp_replace(regexp_replace(regexp_replace(pii, " +
+        s"'$piiEmailRe', '<EMAIL>'), '$piiPhoneRe', '<PHONE>'), " +
+        s"'$piiIpRe', '<IP>')"
+      Tables(s, dir, "documents")
+        .withColumn("h", md5(col("text")))
+        .withColumn("pii", expr(piiSynthSql))
+        .select(col("doc_id"),
+          expr(s"cast(size(regexp_extract_all(pii, '$piiEmailRe', 0)) as int)")
+            .as("n_email"),
+          expr(s"cast(size(regexp_extract_all(pii, '$piiPhoneRe', 0)) as int)")
+            .as("n_phone"),
+          expr(s"cast(size(regexp_extract_all(pii, '$piiIpRe', 0)) as int)")
+            .as("n_ip"),
+          expr(s"md5($masked)").as("masked_md5"))
+        .orderBy("doc_id")
+    }),
+
     "q_feature_hash" -> ((s, dir) => {
       def hx(prefix: String) =
         s"cast(conv(substring(md5(concat('$prefix', w)), 1, 8), 16, 10) as bigint)"
@@ -908,6 +964,21 @@ object TextOps {
         ('0x' || substr(md5(d.d || ':' || top.w), 1, 8))::BIGINT % 256
       GROUP BY 1, 2
       ORDER BY true_cnt DESC, w ASC""",
+    "q_pii_scrub" -> s"""
+      WITH hx AS (SELECT doc_id, text, md5(text) AS h FROM documents),
+      p AS (SELECT doc_id, $piiSynthSql AS pii FROM hx),
+      m AS (SELECT doc_id, pii,
+              regexp_replace(regexp_replace(regexp_replace(pii,
+                '$piiEmailRe', '<EMAIL>', 'g'),
+                '$piiPhoneRe', '<PHONE>', 'g'),
+                '$piiIpRe', '<IP>', 'g') AS masked
+            FROM p)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(pii, '$piiEmailRe', 0)) AS INT) AS n_email,
+             CAST(len(regexp_extract_all(pii, '$piiPhoneRe', 0)) AS INT) AS n_phone,
+             CAST(len(regexp_extract_all(pii, '$piiIpRe', 0)) AS INT) AS n_ip,
+             md5(masked) AS masked_md5
+      FROM m ORDER BY doc_id""",
     "q_feature_hash" -> ("""
       WITH t AS (SELECT doc_id, w FROM (
                    SELECT doc_id, unnest(string_split(text, ' ')) AS w

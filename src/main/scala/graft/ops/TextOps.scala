@@ -443,6 +443,44 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style repetition filters (Rae et al. 2021, the "repetition
+    // removal" table) at DOC grain: top-word fraction and duplicate
+    // 2-/3-gram fractions, each an exact integer ratio rounded once,
+    // plus the keep/drop verdict at the paper's 0.2 thresholds. Unlike
+    // q_ngram_diversity (per SOURCE, an aggregate), this is the
+    // per-document gate a cleaning pipeline applies row-by-row — so it
+    // is computed row-by-row: higher-order array functions inside the
+    // scan projection, ZERO exchanges except the output sort. At
+    // 100 TB the filter costs one codegen'd pass over each doc.
+    "q_gopher_repetition" -> ((s, dir) => {
+      def dupFrac(n: Int) =
+        s"""CASE WHEN size(t) >= $n + 1 THEN round(
+           |  cast(size(g$n) - size(array_distinct(g$n)) as double) /
+           |  cast(size(g$n) as double), 4)
+           |ELSE cast(0.0 as double) END""".stripMargin
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("t"))
+        .filter(size(col("t")) > 0)
+        // guard the construction, not just the ratio: Spark's
+        // sequence(1, 0) is a DESCENDING [1, 0], not empty
+        .withColumn("g2", expr(
+          "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), " +
+            "i -> concat_ws(' ', slice(t, i, 2))) ELSE array() END"))
+        .withColumn("g3", expr(
+          "CASE WHEN size(t) >= 3 THEN transform(sequence(1, size(t) - 2), " +
+            "i -> concat_ws(' ', slice(t, i, 3))) ELSE array() END"))
+        .select(col("doc_id"), size(col("t")).as("n_tokens"),
+          expr("round(cast(array_max(transform(array_distinct(t), " +
+            "w -> size(filter(t, x -> x = w)))) as double) / " +
+            "cast(size(t) as double), 4)").as("top_word_frac"),
+          expr(dupFrac(2)).as("dup_2gram_frac"),
+          expr(dupFrac(3)).as("dup_3gram_frac"))
+        .withColumn("keep", col("top_word_frac") <= 0.2 &&
+          col("dup_2gram_frac") <= 0.2 && col("dup_3gram_frac") <= 0.2)
+        .orderBy("doc_id")
+    }),
+
     "q_feature_hash" -> ((s, dir) => {
       def hx(prefix: String) =
         s"cast(conv(substring(md5(concat('$prefix', w)), 1, 8), 16, 10) as bigint)"
@@ -964,6 +1002,36 @@ object TextOps {
         ('0x' || substr(md5(d.d || ':' || top.w), 1, 8))::BIGINT % 256
       GROUP BY 1, 2
       ORDER BY true_cnt DESC, w ASC""",
+    "q_gopher_repetition" -> """
+      WITH d AS (SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+                 FROM documents),
+      f AS (SELECT doc_id, t FROM d WHERE len(t) > 0),
+      g AS (SELECT doc_id, t,
+              CASE WHEN len(t) >= 2 THEN
+                list_transform(generate_series(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i + 1]) ELSE [] END AS g2,
+              CASE WHEN len(t) >= 3 THEN
+                list_transform(generate_series(1, len(t) - 2),
+                  i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) ELSE [] END AS g3
+            FROM f),
+      sel AS (SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+                CAST(round(CAST(list_max(list_transform(list_distinct(t),
+                  w -> len(list_filter(t, x -> x = w)))) AS DOUBLE) /
+                  CAST(len(t) AS DOUBLE), 4) AS DOUBLE) AS top_word_frac,
+                CAST(CASE WHEN len(t) >= 3 THEN
+                  round(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) /
+                    CAST(len(g2) AS DOUBLE), 4)
+                  ELSE 0.0 END AS DOUBLE) AS dup_2gram_frac,
+                CAST(CASE WHEN len(t) >= 4 THEN
+                  round(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) /
+                    CAST(len(g3) AS DOUBLE), 4)
+                  ELSE 0.0 END AS DOUBLE) AS dup_3gram_frac
+              FROM g)
+      SELECT doc_id, n_tokens, top_word_frac, dup_2gram_frac, dup_3gram_frac,
+             (top_word_frac <= 0.2 AND dup_2gram_frac <= 0.2
+               AND dup_3gram_frac <= 0.2) AS keep
+      FROM sel ORDER BY doc_id""",
     "q_pii_scrub" -> s"""
       WITH hx AS (SELECT doc_id, text, md5(text) AS h FROM documents),
       p AS (SELECT doc_id, $piiSynthSql AS pii FROM hx),

@@ -594,6 +594,37 @@ object ScaleProbe {
       timedPng(100)
       docs.unpersist(false)
     }
+
+    // WARC funnel probe: N× the crawl (same text, shifted ids) through
+    // synthesize→gunzip→URI-extract→canonicalize→funnel. Replicas share
+    // their md5, so fetched/decoded/min_length must scale EXACTLY ×N
+    // (map-only stages never look across rows) while unique_url stays
+    // FLAT — the replicas are url-duplicates of each other, and the
+    // funnel's last gate is precisely the dedup that catches them. Wall
+    // must stay ~linear: the only exchange is the count-distinct.
+    if (want("warc"))
+    locally {
+      val docs = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text")).persist()
+      val nDocs = docs.count()
+      val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      def timedWarc(mult: Int): Unit = {
+        val scaled = docs
+          .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
+            col("doc_id"), col("text"))
+          .select((col("doc_id") + col("i") * lit(stride)).as("doc_id"),
+            col("text"))
+        val t0 = System.nanoTime()
+        val rows = graft.llm.Multimodal.warcFunnel(scaled)
+          .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"warc_${mult}x","docs":${nDocs * mult},"decoded":${rows("decoded")},"min_length":${rows("min_length")},"unique_url":${rows("unique_url")},"sec":$dt%.2f}""")
+      }
+      timedWarc(1)
+      timedWarc(10)
+      timedWarc(100)
+      docs.unpersist(false)
+    }
     spark.stop()
   }
 }

@@ -1792,6 +1792,41 @@ object Multimodal {
     }
   }
 
+  /** The frame-taking WARC ingest funnel over any (doc_id, text) frame
+    * — shared by the registered query and the ScaleProbe replication
+    * harness. One scan, fused synthesize+decode MapPartitions, the URL
+    * canonicalizer as codegen'd projections, a single 1-row aggregate,
+    * a 4-row long-form explode; no join anywhere. */
+  def warcFunnel(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val metas = docs
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, h) =>
+        parseWarc(id, warcBytes(h))
+      }).toDF()
+    // canonicalize unconditionally: url is NULL on failed decodes, so
+    // canon is NULL and the conditional count-distinct ignores it
+    val canon = Dedup.canonicalizeUrl(metas)
+    val pass = col("status") === "ok" && col("body_bytes") >= 132
+    canon.agg(
+        count(lit(1)).as("fetched"),
+        sum(when(col("status") === "ok", 1L).otherwise(0L)).as("decoded"),
+        sum(when(pass, 1L).otherwise(0L)).as("min_length"),
+        countDistinct(when(pass, col("canon"))).as("unique_url"))
+      .select(explode(array(
+        struct(lit(1).as("stage_no"), lit("fetched").as("stage"),
+          col("fetched").as("n_docs")),
+        struct(lit(2).as("stage_no"), lit("decoded").as("stage"),
+          col("decoded").as("n_docs")),
+        struct(lit(3).as("stage_no"), lit("min_length").as("stage"),
+          col("min_length").as("n_docs")),
+        struct(lit(4).as("stage_no"), lit("unique_url").as("stage"),
+          col("unique_url").as("n_docs")))).as("s"))
+      .select(col("s.stage_no"), col("s.stage"), col("s.n_docs"))
+      .orderBy("stage_no")
+  }
+
   /** Frame-taking synthesize→decode chain over any (doc_id, text)
     * frame — shared by the registered query and the ScaleProbe
     * replication harness. */
@@ -1995,35 +2030,8 @@ object Multimodal {
     // the canonicalizer as codegen'd scan-side projections, a single
     // 1-row aggregate (count-distinct canon is its only exchange), and
     // a 4-row long-form explode — no join anywhere.
-    "q_warc_ingest" -> ((s, dir) => {
-      import s.implicits._
-      val metas = Tables(s, dir, "documents")
-        .select(col("doc_id"), md5(col("text")).as("h"))
-        .as[(Long, String)]
-        .mapPartitions(_.map { case (id, h) =>
-          parseWarc(id, warcBytes(h))
-        }).toDF()
-      // canonicalize unconditionally: url is NULL on failed decodes, so
-      // canon is NULL and the conditional count-distinct ignores it
-      val canon = Dedup.canonicalizeUrl(metas)
-      val pass = col("status") === "ok" && col("body_bytes") >= 132
-      canon.agg(
-          count(lit(1)).as("fetched"),
-          sum(when(col("status") === "ok", 1L).otherwise(0L)).as("decoded"),
-          sum(when(pass, 1L).otherwise(0L)).as("min_length"),
-          countDistinct(when(pass, col("canon"))).as("unique_url"))
-        .select(explode(array(
-          struct(lit(1).as("stage_no"), lit("fetched").as("stage"),
-            col("fetched").as("n_docs")),
-          struct(lit(2).as("stage_no"), lit("decoded").as("stage"),
-            col("decoded").as("n_docs")),
-          struct(lit(3).as("stage_no"), lit("min_length").as("stage"),
-            col("min_length").as("n_docs")),
-          struct(lit(4).as("stage_no"), lit("unique_url").as("stage"),
-            col("unique_url").as("n_docs")))).as("s"))
-        .select(col("s.stage_no"), col("s.stage"), col("s.n_docs"))
-        .orderBy("stage_no")
-    }),
+    "q_warc_ingest" -> ((s, dir) =>
+      warcFunnel(Tables(s, dir, "documents"))),
 
     // REAL decode→resize chain over the P6 payloads: every output
     // pixel is a genuinely parsed raster byte chosen by the integer

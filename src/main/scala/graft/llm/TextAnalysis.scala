@@ -453,6 +453,30 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Tokenizer FERTILITY by source — the tokenizer-qualification
+    // number multilingual reports carry (avg BPE units per word; the
+    // BLOOM/XGLM-style fairness check: a subcorpus whose fertility
+    // runs high pays proportionally more sequence budget under the
+    // shared tokenizer). Identical plan to q_bpe_tokenize — the
+    // trained segmentation joined back shuffle_hash — with the
+    // aggregate keyed by SOURCE instead of doc: same dict-bounded
+    // build side, one keyed exchange, a |sources|-row result.
+    "q_bpe_fertility" -> ((s, dir) => {
+      var cur = bpeSymbolsOf(Tables(s, dir, "documents"))
+      (1 to 3).foreach { _ => cur = bpeStep(cur)._2 }
+      val seg = cur.groupBy(col("w")).agg(count(lit(1)).as("n_units"))
+      Tables(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+        .join(seg.hint("shuffle_hash"), "w")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_units")).as("n_bpe_units"),
+          round(sum(col("n_units")).cast("double") / count(lit(1)), 4)
+            .cast("double").as("fertility"))
+        .orderBy("source")
+    }),
+
     // Multinomial Naive Bayes language classifier, trained and applied
     // in ONE plan — "model training as aggregation, inference as
     // join", the in-engine supervised shape (a quality/language
@@ -984,6 +1008,18 @@ object TextAnalysis {
                AS DOUBLE) AS units_per_word
       FROM dtok JOIN seg USING (w)
       GROUP BY doc_id ORDER BY doc_id"""),
+    "q_bpe_fertility" -> (bpeCtes + """,
+      seg AS (SELECT w, count(*) AS n_units FROM s4 GROUP BY w),
+      dtok AS (SELECT source, w FROM
+                 (SELECT source, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+               WHERE regexp_full_match(w, '[a-z]+'))
+      SELECT source, count(*) AS n_words,
+             CAST(sum(n_units) AS BIGINT) AS n_bpe_units,
+             CAST(round(CAST(sum(n_units) AS DOUBLE) / count(*), 4)
+               AS DOUBLE) AS fertility
+      FROM dtok JOIN seg USING (w)
+      GROUP BY source ORDER BY source"""),
     // Twin of the DSIR selector: same 64 hashed buckets (the CMS/HLL
     // hex-prefix idiom), same add-1 bucket LMs and 6-dp log-ratio
     // terms, same decimal(38,6) per-doc sum, and the same 32-bin

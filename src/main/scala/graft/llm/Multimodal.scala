@@ -1727,7 +1727,7 @@ object Multimodal {
     * (b12), footer truncation (b14), corrupted CRC-32 (b15) — so a
     * fixed fraction of the crawl genuinely fails decode, which is
     * what the funnel exists to count. */
-  private[llm] def warcBytes(h: String): Array[Byte] = {
+  private[graft] def warcBytes(h: String): Array[Byte] = {
     val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
     val badMagic = b(12) % 16 == 1
     val trunc = b(14) % 8 == 5
@@ -1765,7 +1765,7 @@ object Multimodal {
     * raw fetched bytes into (url, body) rows. Malformed input degrades
     * to a status ROW (decode-family contract); a member that decodes
     * but is not a WARC record is `bad_record`, not a throw. */
-  private[llm] def parseWarc(id: Long, p: Array[Byte]): WarcMeta = {
+  private[graft] def parseWarc(id: Long, p: Array[Byte]): WarcMeta = {
     gunzip(p) match {
       case (status, _, None) => WarcMeta(id, status, None, None, None)
       case (_, _, Some(data)) =>

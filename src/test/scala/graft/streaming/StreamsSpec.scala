@@ -519,4 +519,37 @@ class StreamedDecodeSpec extends graft.SparkSuite {
       assert(got.map(_.status).intersect(Set("ok")).nonEmpty)
     } finally q.stop()
   }
+
+  test("streamed WARC record parse equals the batch parse, URIs included") {
+    // the crawl front-door's decode+extract stage is stateless, so the
+    // SAME parseWarc runs unchanged on a stream — incremental ingest of
+    // new crawl records needs no batch re-run; parity covers the
+    // failure arms AND the extracted canonical-input URLs
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // genuine md5s, not a synthetic hex pattern: the failure arms key
+    // off tail digits a shared-suffix panel would hold constant
+    val hexes = (0 until 40).map { i =>
+      (i.toLong, java.security.MessageDigest.getInstance("MD5")
+        .digest(s"warc-stream-$i".getBytes("US-ASCII"))
+        .map("%02x".format(_)).mkString)
+    }
+    val batch = hexes.map { case (id, h) =>
+      Multimodal.parseWarc(id, Multimodal.warcBytes(h))
+    }.toSet
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDS()
+      .map { case (id, h) => Multimodal.parseWarc(id, Multimodal.warcBytes(h)) }
+      .writeStream.format("memory").queryName("warc_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(hexes.take(20): _*); q.processAllAvailable()
+      in.addData(hexes.drop(20): _*); q.processAllAvailable()
+      val got = spark.table("warc_stream")
+        .as[graft.llm.WarcMeta].collect().toSet
+      assert(got == batch)
+      assert(got.exists(m => m.status == "ok" && m.url.isDefined))
+      assert(got.exists(_.status != "ok"), "no failure arm in the panel")
+    } finally q.stop()
+  }
 }

@@ -443,6 +443,44 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // T5/UL2-style SPAN-CORRUPTION mask manifest (Raffel et al. 2020,
+    // §3.1.4 denoising objective): every token draws a deterministic
+    // ~15% mask decision from the hash of its (doc, position), and
+    // adjacent masked tokens coalesce into SPANS (the sessionize
+    // gaps-and-islands shape) — the per-doc manifest a denoising data
+    // loader consumes (how many sentinel spans, how much of the budget
+    // is masked, mean span length). Mask decisions depend only on
+    // (doc_id, pos), so the whole op is positions, never strings:
+    // one scan, one doc-keyed window exchange, a per-doc aggregate.
+    // The hash-to-rate trick is the feature_hash/DSIR hex-prefix
+    // idiom, exact in both engines.
+    "q_span_corruption" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("size(filter(split(text, ' '), x -> x <> ''))").as("n"))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), explode(expr("sequence(0, n - 1)")).as("pos"))
+        .withColumn("m", expr("cast(conv(substring(md5(concat(" +
+          "cast(doc_id as string), ':', cast(pos as string))), 1, 4), " +
+          "16, 10) as bigint) % 20 < 3"))
+        .withColumn("new_span", when(col("m") &&
+          !coalesce(lag(col("m"), 1).over(w), lit(false)), 1L).otherwise(0L))
+        .withColumn("span_idx", sum(col("new_span")).over(run))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("m"), 1L).otherwise(0L)).as("n_masked"),
+          countDistinct(when(col("m"), col("span_idx"))).as("n_spans"),
+          round(sum(when(col("m"), 1L).otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double"), 4).as("mask_ratio"))
+        .withColumn("avg_span_len", when(col("n_spans") > 0,
+          round(col("n_masked").cast("double") /
+            col("n_spans").cast("double"), 4)).otherwise(0.0))
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition filters (Rae et al. 2021, the "repetition
     // removal" table) at DOC grain: top-word fraction and duplicate
     // 2-/3-gram fractions, each an exact integer ratio rounded once,
@@ -1002,6 +1040,37 @@ object TextOps {
         ('0x' || substr(md5(d.d || ':' || top.w), 1, 8))::BIGINT % 256
       GROUP BY 1, 2
       ORDER BY true_cnt DESC, w ASC""",
+    "q_span_corruption" -> """
+      WITH t AS (SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+                 FROM documents),
+      tok AS (SELECT doc_id, i - 1 AS pos
+              FROM t, UNNEST(generate_series(1, n)) u(i)
+              WHERE n > 0),
+      mk AS (SELECT doc_id, pos,
+               ('0x' || substr(md5(concat(doc_id, ':', pos)), 1, 4))::BIGINT
+                 % 20 < 3 AS m
+             FROM tok),
+      sp AS (SELECT doc_id, pos, m,
+               CASE WHEN m AND NOT coalesce(lag(m) OVER w, false)
+                    THEN 1 ELSE 0 END AS new_span
+             FROM mk
+             WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      si AS (SELECT doc_id, m,
+               sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_idx
+             FROM sp),
+      ag2 AS (SELECT doc_id, count(*) AS n_tokens,
+                CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+                count(DISTINCT CASE WHEN m THEN span_idx END) AS n_spans,
+                CAST(round(CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS DOUBLE) /
+                  CAST(count(*) AS DOUBLE), 4) AS DOUBLE) AS mask_ratio
+              FROM si GROUP BY 1)
+      SELECT doc_id, n_tokens, n_masked, n_spans, mask_ratio,
+             CAST(CASE WHEN n_spans > 0 THEN
+               round(CAST(n_masked AS DOUBLE) / CAST(n_spans AS DOUBLE), 4)
+               ELSE 0.0 END AS DOUBLE) AS avg_span_len
+      FROM ag2 ORDER BY doc_id""",
     "q_gopher_repetition" -> """
       WITH d AS (SELECT doc_id,
                    list_filter(string_split(text, ' '), x -> x <> '') AS t

@@ -343,6 +343,53 @@ object Joins {
         .orderBy("event_id")
     }),
 
+    // NEAREST as-of: each purchase matched to its closest click in
+    // TIME, either direction, ties to the backward click (classic
+    // sensor/trade alignment — pandas merge_asof direction='nearest').
+    // Same join-free merged-stream shape as q_join_asof/_fwd, but BOTH
+    // candidates come out of ONE sorted pass: clicks sort before
+    // purchases at equal ts, the backward frame takes last(click) up
+    // to the row, the forward frame takes first(click) after it (an
+    // equal-ts click lands in the backward frame with gap 0, which
+    // always wins — so the frames never double-count), and a
+    // three-way CASE elects the winner. One user-keyed exchange, one
+    // sort, two frames — never a join, never |p|×|c|.
+    "q_join_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+        .select(col("user_id"), col("ts"), lit(0).as("side"),
+          lit(null).cast("bigint").as("event_id"),
+          col("click_id"), col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("side"),
+          col("event_id"),
+          lit(null).cast("bigint").as("click_id"),
+          lit(null).cast("timestamp").as("click_ts"))
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("side"))
+      val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      clicks.unionByName(purchases)
+        .withColumn("b_id", last(col("click_id"), ignoreNulls = true).over(back))
+        .withColumn("b_ts", last(col("click_ts"), ignoreNulls = true).over(back))
+        .withColumn("f_id", first(col("click_id"), ignoreNulls = true).over(fwd))
+        .withColumn("f_ts", first(col("click_ts"), ignoreNulls = true).over(fwd))
+        .filter(col("side") === 1 &&
+          (col("b_id").isNotNull || col("f_id").isNotNull))
+        .withColumn("g_b", unix_micros(col("ts")) - unix_micros(col("b_ts")))
+        .withColumn("g_f", unix_micros(col("f_ts")) - unix_micros(col("ts")))
+        .withColumn("take_back", col("f_id").isNull ||
+          (col("b_id").isNotNull && col("g_b") <= col("g_f")))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          when(col("take_back"), col("b_ts")).otherwise(col("f_ts")).as("click_ts"),
+          when(col("take_back"), col("b_id")).otherwise(col("f_id")).as("click_id"),
+          when(col("take_back"), col("g_b")).otherwise(col("g_f")).as("gap_us"),
+          when(col("take_back"), lit("back")).otherwise(lit("fwd")).as("direction"))
+        .orderBy("event_id")
+    }),
+
     // Interval (range) self-join: pairs of same-user events ≤ 10 min
     // apart. Scale path: a theta join is made equi by time-bucketing —
     // the probe side explodes to its bucket ±1 (3 rows), the build side
@@ -674,6 +721,23 @@ object Joins {
       SELECT p.user_id, p.event_id, p.ts, c.click_ts, c.click_id
       FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts <= c.click_ts
       ORDER BY event_id""",
+    // brute nearest as the oracle: every (purchase, click) pair ranked
+    // by absolute gap with the backward tiebreak — the semantics the
+    // merged-stream plan must reproduce without the |p|×|c| join
+    "q_join_asof_nearest" -> """
+      WITH p AS (SELECT user_id, event_id, ts FROM events
+                 WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      j AS (SELECT p.user_id, p.event_id, p.ts, c.click_ts, c.click_id,
+              abs(epoch_us(p.ts) - epoch_us(c.click_ts)) AS gap_us,
+              CASE WHEN c.click_ts <= p.ts THEN 'back' ELSE 'fwd' END AS direction,
+              row_number() OVER (PARTITION BY p.event_id
+                ORDER BY abs(epoch_us(p.ts) - epoch_us(c.click_ts)),
+                         CASE WHEN c.click_ts <= p.ts THEN 0 ELSE 1 END) AS rn
+            FROM p JOIN c ON p.user_id = c.user_id)
+      SELECT user_id, event_id, ts, click_ts, click_id, gap_us, direction
+      FROM j WHERE rn = 1 ORDER BY event_id""",
     "q_join_range" -> """
       SELECT a.user_id, a.event_id AS e1, b.event_id AS e2,
              abs(epoch_us(b.ts) - epoch_us(a.ts)) AS gap_us

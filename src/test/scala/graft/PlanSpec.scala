@@ -56,6 +56,15 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Window"))
   }
 
+  test("q_join_asof_nearest stays join-free: both frames on one sort") {
+    // the brute oracle is a |p|×|c| join; the plan must instead be the
+    // merged stream with BOTH direction frames over a single
+    // (user)-keyed sort — a join node here means the rewrite regressed
+    val p = plan("q_join_asof_nearest")
+    assert(!p.contains("Join"), "nearest as-of must not plan a join")
+    assert(p.contains("Window"))
+  }
+
   test("q_join_asof_fwd mirrors the join-free merged-stream shape") {
     val p = plan("q_join_asof_fwd")
     assert(!p.contains("Join"), "forward as-of must not plan a join")

@@ -129,6 +129,40 @@ object Dedup {
         ELSE '' END,
       CASE WHEN ${hd(10)} % 2 = 0 THEN '#sec' ELSE '' END)"""
 
+  /** DuckDB twin of [[canonicalizeUrl]] as a reusable CTE chain: given
+    * a CTE `u` with (doc_id, url, <carry> extra columns), appends
+    * p1→p2→p3→c where `c` carries (doc_id, <carry>, url, canon)-minus
+    * whatever the caller projects. `carry` is a comma-led column list
+    * (e.g. ", k") threaded through every stage. */
+  private[graft] def urlCanonCtes(carry: String = ""): String = s"""
+      p1 AS (SELECT doc_id$carry, url,
+               lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme_l,
+               regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1) AS hostport,
+               regexp_extract(url, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1) AS path0,
+               regexp_extract(url, '[?]([^#]*)', 1) AS qs
+             FROM u),
+      p2 AS (SELECT doc_id$carry, url, scheme_l, path0, qs,
+               lower(CASE WHEN instr(hostport, ':') > 0
+                 THEN substr(hostport, 1, CAST(instr(hostport, ':') AS INT) - 1)
+                 ELSE hostport END) AS host_l,
+               CASE WHEN instr(hostport, ':') > 0
+                 THEN substr(hostport, CAST(instr(hostport, ':') AS INT) + 1)
+                 ELSE '' END AS port
+             FROM p1),
+      p3 AS (SELECT doc_id$carry, url, scheme_l, host_l, port,
+               CASE WHEN length(path0) > 1 AND substr(path0, length(path0), 1) = '/'
+                 THEN substr(path0, 1, length(path0) - 1) ELSE path0 END AS path,
+               array_to_string(list_sort(list_filter(string_split(qs, '&'),
+                 p -> p <> '' AND substr(p, 1, 4) <> 'utm_')), '&') AS params
+             FROM p2),
+      c AS (SELECT doc_id$carry, url,
+              concat(scheme_l, '://', host_l,
+                CASE WHEN port <> '' AND NOT ((scheme_l = 'http' AND port = '80')
+                  OR (scheme_l = 'https' AND port = '443'))
+                  THEN concat(':', port) ELSE '' END, path,
+                CASE WHEN params <> '' THEN concat('?', params) ELSE '' END) AS canon
+            FROM p3)"""
+
   /** The URL canonicalizer: adds `canon` to a frame with a `url`
     * string column. Lowercase scheme+host, strip :80/http and
     * :443/https (a non-default port survives — :80 under https is NOT
@@ -692,6 +726,36 @@ object Dedup {
           count(lit(1)).as("n_copies"),
           countDistinct(col("url")).as("n_raw_forms"))
         .orderBy("canon_url")
+    }),
+
+    // Shard-local vs GLOBAL dedup loss (see the oracle comment): the
+    // rendezvous 4-way placement of q_shard_rendezvous composed with
+    // the canonical-URL dedup key, reduced to one row of exact counts.
+    // Scale shape: scan-side canonicalization, a 4-way generate +
+    // per-doc max_by (map-side partials, one doc-keyed exchange), and
+    // ONE aggregate whose count-distincts are the only other shuffle.
+    "q_dedup_shard_loss" -> ((s, dir) => {
+      val canon = canonicalizeUrl(Tables(s, dir, "documents")
+        .withColumn("h", md5(col("text")))
+        .withColumn("url", expr(urlSynthSql)))
+        .select(col("doc_id"), col("canon"))
+      canon
+        .select(col("doc_id"), col("canon"),
+          explode(expr("sequence(0, 3)")).as("sh"))
+        .withColumn("w", md5(concat(col("doc_id").cast("string"),
+          lit(":"), col("sh").cast("string"))))
+        .groupBy(col("doc_id"), col("canon"))
+        .agg(expr("max_by(sh, w)").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("canon")).as("n_canon"),
+          countDistinct(col("shard"), col("canon")).as("n_shard_canon"))
+        .select(col("n_docs"), col("n_canon"),
+          (col("n_docs") - col("n_canon")).as("global_removable"),
+          (col("n_docs") - col("n_shard_canon")).as("local_removable"),
+          (col("n_shard_canon") - col("n_canon")).as("missed"),
+          round((col("n_shard_canon") - col("n_canon")).cast("double") /
+            (col("n_docs") - col("n_canon")).cast("double"), 4)
+            .as("missed_frac"))
     }),
 
     // Brute-force n-gram Jaccard near-dup: distinct-shingle self-join →
@@ -1374,36 +1438,38 @@ object Dedup {
     "q_dedup_url" -> s"""
       WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
       u AS (SELECT doc_id, $urlSynthSql AS url FROM hx),
-      p1 AS (SELECT doc_id, url,
-               lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme_l,
-               regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1) AS hostport,
-               regexp_extract(url, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1) AS path0,
-               regexp_extract(url, '[?]([^#]*)', 1) AS qs
-             FROM u),
-      p2 AS (SELECT doc_id, url, scheme_l, path0, qs,
-               lower(CASE WHEN instr(hostport, ':') > 0
-                 THEN substr(hostport, 1, CAST(instr(hostport, ':') AS INT) - 1)
-                 ELSE hostport END) AS host_l,
-               CASE WHEN instr(hostport, ':') > 0
-                 THEN substr(hostport, CAST(instr(hostport, ':') AS INT) + 1)
-                 ELSE '' END AS port
-             FROM p1),
-      p3 AS (SELECT doc_id, url, scheme_l, host_l, port,
-               CASE WHEN length(path0) > 1 AND substr(path0, length(path0), 1) = '/'
-                 THEN substr(path0, 1, length(path0) - 1) ELSE path0 END AS path,
-               array_to_string(list_sort(list_filter(string_split(qs, '&'),
-                 p -> p <> '' AND substr(p, 1, 4) <> 'utm_')), '&') AS params
-             FROM p2),
-      c AS (SELECT doc_id, url,
-              concat(scheme_l, '://', host_l,
-                CASE WHEN port <> '' AND NOT ((scheme_l = 'http' AND port = '80')
-                  OR (scheme_l = 'https' AND port = '443'))
-                  THEN concat(':', port) ELSE '' END, path,
-                CASE WHEN params <> '' THEN concat('?', params) ELSE '' END) AS canon
-            FROM p3)
+      ${urlCanonCtes()}
       SELECT canon AS canon_url, min(doc_id) AS keeper,
              count(*) AS n_copies, count(DISTINCT url) AS n_raw_forms
       FROM c GROUP BY 1 ORDER BY canon_url""",
+    // Shard-local vs global dedup loss — THE practical 100 TB dedup
+    // design question: a shard-local pass is embarrassingly parallel
+    // (no cross-shard shuffle) but misses every duplicate group that
+    // straddles shards. Rendezvous-shard the corpus 4 ways, dedup on
+    // the canonical URL both globally and within shards, and report
+    // the missed-removal fraction — the number that decides whether
+    // the corpus pays for the global shuffle.
+    "q_dedup_shard_loss" -> s"""
+      WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+      u AS (SELECT doc_id, $urlSynthSql AS url FROM hx),
+      ${urlCanonCtes()},
+      e2 AS (SELECT doc_id, canon, s
+             FROM c, UNNEST(generate_series(0, 3)) g(s)),
+      w2 AS (SELECT doc_id, canon, s,
+               md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)) AS w
+             FROM e2),
+      a2 AS (SELECT doc_id, canon, CAST(arg_max(s, w) AS INT) AS shard
+             FROM w2 GROUP BY 1, 2),
+      m AS (SELECT count(*) AS n_docs, count(DISTINCT canon) AS n_canon,
+              count(DISTINCT (shard, canon)) AS n_shard_canon
+            FROM a2)
+      SELECT n_docs, n_canon,
+             n_docs - n_canon AS global_removable,
+             n_docs - n_shard_canon AS local_removable,
+             n_shard_canon - n_canon AS missed,
+             CAST(round(CAST(n_shard_canon - n_canon AS DOUBLE) /
+               CAST(n_docs - n_canon AS DOUBLE), 4) AS DOUBLE) AS missed_frac
+      FROM m""",
     "q_dedup_jaccard" -> (SH + """,
       inter AS (SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS inter
                 FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id

@@ -728,6 +728,44 @@ object Dedup {
         .orderBy("canon_url")
     }),
 
+    // The OPERATING CURVE behind q_dedup_shard_loss: missed-removal
+    // fraction at 2/4/8/16 rendezvous shards, all four placements from
+    // ONE 16-way generate (restricting the argmax to s < S re-derives
+    // the S-shard placement — rendezvous stability means smaller
+    // grids are exact prefixes of the decision). The curve is what a
+    // deployment consults when trading dedup completeness against
+    // shard-local parallelism: more shards, more straddled groups.
+    // One scan, one doc-keyed exchange, one aggregate, a 4-row result.
+    "q_dedup_shard_loss_grid" -> ((s, dir) => {
+      val grid = Seq(2, 4, 8, 16)
+      val canon = canonicalizeUrl(Tables(s, dir, "documents")
+        .withColumn("h", md5(col("text")))
+        .withColumn("url", expr(urlSynthSql)))
+        .select(col("doc_id"), col("canon"))
+      val shardAggs = grid.map(n =>
+        max_by(col("sh"), when(col("sh") < n, col("w"))).as(s"shard$n"))
+      val sharded = canon
+        .select(col("doc_id"), col("canon"),
+          explode(expr("sequence(0, 15)")).as("sh"))
+        .withColumn("w", md5(concat(col("doc_id").cast("string"),
+          lit(":"), col("sh").cast("string"))))
+        .groupBy(col("doc_id"), col("canon"))
+        .agg(shardAggs.head, shardAggs.tail: _*)
+      val cdAggs = grid.map(n =>
+        countDistinct(col(s"shard$n"), col("canon")).as(s"nc$n"))
+      sharded
+        .agg(count(lit(1)).as("n_docs"),
+          (countDistinct(col("canon")).as("n_canon") +: cdAggs): _*)
+        .select(explode(array(grid.map(n =>
+          struct(lit(n).as("n_shards"),
+            (col(s"nc$n") - col("n_canon")).as("missed"),
+            round((col(s"nc$n") - col("n_canon")).cast("double") /
+              (col("n_docs") - col("n_canon")).cast("double"), 4)
+              .as("missed_frac"))): _*)).as("g"))
+        .select(col("g.n_shards"), col("g.missed"), col("g.missed_frac"))
+        .orderBy("n_shards")
+    }),
+
     // Shard-local vs GLOBAL dedup loss (see the oracle comment): the
     // rendezvous 4-way placement of q_shard_rendezvous composed with
     // the canonical-URL dedup key, reduced to one row of exact counts.
@@ -1449,6 +1487,30 @@ object Dedup {
     // the canonical URL both globally and within shards, and report
     // the missed-removal fraction — the number that decides whether
     // the corpus pays for the global shuffle.
+    "q_dedup_shard_loss_grid" -> s"""
+      WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+      u AS (SELECT doc_id, $urlSynthSql AS url FROM hx),
+      ${urlCanonCtes()},
+      e2 AS (SELECT doc_id, canon, s
+             FROM c, UNNEST(generate_series(0, 15)) g(s)),
+      w2 AS (SELECT doc_id, canon, s,
+               md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)) AS w
+             FROM e2),
+      a2 AS (SELECT doc_id, canon,
+               ${Seq(2, 4, 8, 16).map(n =>
+                 s"arg_max(CASE WHEN s < $n THEN s END, " +
+                 s"CASE WHEN s < $n THEN w END) AS shard$n").mkString(",\n               ")}
+             FROM w2 GROUP BY 1, 2),
+      m AS (SELECT count(*) AS n_docs, count(DISTINCT canon) AS n_canon,
+              ${Seq(2, 4, 8, 16).map(n =>
+                s"count(DISTINCT (shard$n, canon)) AS nc$n").mkString(",\n              ")}
+            FROM a2)
+      ${Seq(2, 4, 8, 16).map(n => s"""
+      SELECT CAST($n AS INT) AS n_shards, nc$n - n_canon AS missed,
+             CAST(round(CAST(nc$n - n_canon AS DOUBLE) /
+               CAST(n_docs - n_canon AS DOUBLE), 4) AS DOUBLE) AS missed_frac
+      FROM m""").mkString(" UNION ALL ")}
+      ORDER BY n_shards""",
     "q_dedup_shard_loss" -> s"""
       WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
       u AS (SELECT doc_id, $urlSynthSql AS url FROM hx),

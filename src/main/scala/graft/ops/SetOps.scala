@@ -107,6 +107,38 @@ object SetOps {
     // conversion on the corpus side. Plan: two bounded aggregates
     // (sources × counts), the 20-row rate frame broadcast onto one
     // corpus scan — at 100 TB this is a scan plus dimension joins.
+    // The data RECIPE table — q_mix_temperature's other half: that
+    // query DOWNSAMPLES to hit the mixture (rate ≤ 1); this one fixes
+    // a token BUDGET (2× the corpus) and reports how many EPOCHS of
+    // each source the temperature mixture implies — the
+    // repeats-per-source number a LLaMA-style data card publishes
+    // (sources above their natural share repeat, epochs > 1; below,
+    // they are subsampled, epochs < 1). Token-weighted (not docs):
+    // one tokenize scan, a |sources|-row aggregate, a broadcast 1-row
+    // total; exact decimal weights, one rounding per ratio.
+    "q_mix_epochs" -> ((s, dir) => {
+      val src = Tables(s, dir, "documents")
+        .select(col("source"),
+          expr("size(filter(split(text, ' '), x -> x <> ''))").as("tk"))
+        .groupBy(col("source")).agg(sum(col("tk")).as("n_tokens"))
+        .withColumn("wgt", expr(
+          "cast(round(sqrt(cast(n_tokens as double)), 6) as decimal(38,6))"))
+      val tot = src.agg(expr("cast(sum(wgt) as decimal(38,6))").as("wtot"),
+        sum(col("n_tokens")).as("ntot"))
+      src.crossJoin(broadcast(tot))
+        .withColumn("p_mix", expr(
+          "cast(round(cast(wgt as double) / cast(wtot as double), 6) as decimal(38,6))"))
+        .withColumn("quota_tokens",
+          expr("cast(p_mix * (2 * ntot) as decimal(38,6))"))
+        .withColumn("epochs", expr(
+          "cast(round(cast(quota_tokens as double) / cast(n_tokens as double), 4) as double)"))
+        .select(col("source"), col("n_tokens"),
+          col("p_mix").cast("double").as("p_mix"),
+          expr("cast(floor(quota_tokens) as bigint)").as("quota_tokens"),
+          col("epochs"))
+        .orderBy("source")
+    }),
+
     "q_mix_temperature" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       val src = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
@@ -235,6 +267,31 @@ object SetOps {
                 ELSE '40' END)
           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       FROM documents GROUP BY source ORDER BY source""",
+    "q_mix_epochs" -> """
+      WITH tk AS (SELECT source,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) AS tk
+             FROM documents),
+      src AS (SELECT source, CAST(sum(tk) AS BIGINT) AS n_tokens
+              FROM tk GROUP BY source),
+      sw AS (SELECT source, n_tokens,
+               CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(38,6)) AS wgt
+             FROM src),
+      tot AS (SELECT CAST(sum(wgt) AS DECIMAL(38,6)) AS wtot,
+                CAST(sum(n_tokens) AS BIGINT) AS ntot
+              FROM sw),
+      r AS (SELECT source, n_tokens,
+              CAST(round(CAST(wgt AS DOUBLE) / CAST(wtot AS DOUBLE), 6)
+                AS DECIMAL(38,6)) AS p_mix, ntot
+            FROM sw CROSS JOIN tot),
+      q AS (SELECT source, n_tokens, p_mix,
+              CAST(p_mix * (2 * ntot) AS DECIMAL(38,6)) AS quota_tokens
+            FROM r)
+      SELECT source, n_tokens,
+             CAST(p_mix AS DOUBLE) AS p_mix,
+             CAST(floor(quota_tokens) AS BIGINT) AS quota_tokens,
+             CAST(round(CAST(quota_tokens AS DOUBLE) /
+               CAST(n_tokens AS DOUBLE), 4) AS DOUBLE) AS epochs
+      FROM q ORDER BY source""",
     "q_mix_temperature" -> """
       WITH src AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
       sw AS (SELECT source, n,

@@ -188,6 +188,34 @@ object Analytics {
     // daily merge exchange-free — BucketingSpec pins that plan); the
     // change stream is typically ≪ base, so AQE's runtime size turns
     // it into a broadcast when it fits.
+    // SCD TYPE-2 history build — the other half of the CDC story
+    // (q_merge_upsert is the type-1 overwrite): collapse each user's
+    // event-type stream into validity intervals [valid_from, valid_to)
+    // with version numbers and a current flag — the
+    // dimension-table-history artifact every warehouse maintains.
+    // Consecutive duplicates collapse first (lag ≠ current), then
+    // lead() closes each interval — two frames on ONE user-keyed
+    // sort, join-free (the as-of discipline). Event-id tiebreak makes
+    // the interval build deterministic under equal timestamps.
+    "q_scd2_history" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        .withColumn("changed",
+          lag(col("event_type"), 1).over(w).isNull ||
+            lag(col("event_type"), 1).over(w) =!= col("event_type"))
+        .filter(col("changed"))
+        .withColumn("version", row_number().over(w))
+        .withColumn("valid_to", lead(col("us"), 1).over(w))
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("us").as("valid_from_us"), col("valid_to").as("valid_to_us"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "version")
+    }),
+
     "q_merge_upsert" -> ((s, dir) => {
       val base = Tables(s, dir, "orders")
         .select(col("o_orderkey"), col("o_totalprice"),
@@ -294,6 +322,21 @@ object Analytics {
         UNION ALL
         SELECT 'l_extendedprice', n, null_px, nd_px, min_px, max_px FROM s)
       ORDER BY col_name""",
+    "q_scd2_history" -> """
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+                 FROM events),
+      f AS (SELECT user_id, event_id, us, event_type,
+              lag(event_type) OVER w AS prev
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      g AS (SELECT user_id, event_id, us, event_type FROM f
+            WHERE prev IS NULL OR prev <> event_type),
+      h AS (SELECT user_id, event_type, us,
+              CAST(row_number() OVER w2 AS INT) AS version,
+              lead(us) OVER w2 AS valid_to
+            FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id))
+      SELECT user_id, version, event_type, us AS valid_from_us,
+             valid_to AS valid_to_us, valid_to IS NULL AS is_current
+      FROM h ORDER BY user_id, version""",
     "q_merge_upsert" -> """
       WITH changes AS (
         SELECT o_orderkey,

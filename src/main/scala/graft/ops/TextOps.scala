@@ -446,35 +446,35 @@ object TextOps {
     // T5/UL2-style SPAN-CORRUPTION mask manifest (Raffel et al. 2020,
     // §3.1.4 denoising objective): every token draws a deterministic
     // ~15% mask decision from the hash of its (doc, position), and
-    // adjacent masked tokens coalesce into SPANS (the sessionize
-    // gaps-and-islands shape) — the per-doc manifest a denoising data
-    // loader consumes (how many sentinel spans, how much of the budget
-    // is masked, mean span length). Mask decisions depend only on
-    // (doc_id, pos), so the whole op is positions, never strings:
-    // one scan, one doc-keyed window exchange, a per-doc aggregate.
-    // The hash-to-rate trick is the feature_hash/DSIR hex-prefix
-    // idiom, exact in both engines.
+    // adjacent masked tokens coalesce into SPANS — the per-doc
+    // manifest a denoising data loader consumes (how many sentinel
+    // spans, how much of the budget is masked, mean span length).
+    // Mask decisions depend only on (doc_id, pos), and a span start
+    // only on (mask[i], mask[i−1]) — so the WHOLE op is higher-order
+    // array functions inside the scan projection (the gopher-gate
+    // shape): ZERO exchanges except the output sort. The first cut
+    // exploded positions through a doc-keyed window — correct, but it
+    // shuffled the entire token stream; at 100 TB that exchange IS
+    // the cost, and nothing here needs cross-row context. The
+    // window-based form survives as the DuckDB twin, so the gate
+    // cross-checks two independent span constructions. The
+    // hash-to-rate trick is the feature_hash/DSIR hex-prefix idiom.
     "q_span_corruption" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val maskBit = "cast(conv(substring(md5(concat(" +
+        "cast(doc_id as string), ':', cast(i as string))), 1, 4), " +
+        "16, 10) as bigint) % 20 < 3"
       Tables(s, dir, "documents")
         .select(col("doc_id"),
           expr("size(filter(split(text, ' '), x -> x <> ''))").as("n"))
         .filter(col("n") > 0)
-        .select(col("doc_id"), explode(expr("sequence(0, n - 1)")).as("pos"))
-        .withColumn("m", expr("cast(conv(substring(md5(concat(" +
-          "cast(doc_id as string), ':', cast(pos as string))), 1, 4), " +
-          "16, 10) as bigint) % 20 < 3"))
-        .withColumn("new_span", when(col("m") &&
-          !coalesce(lag(col("m"), 1).over(w), lit(false)), 1L).otherwise(0L))
-        .withColumn("span_idx", sum(col("new_span")).over(run))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(when(col("m"), 1L).otherwise(0L)).as("n_masked"),
-          countDistinct(when(col("m"), col("span_idx"))).as("n_spans"),
-          round(sum(when(col("m"), 1L).otherwise(0L)).cast("double") /
-            count(lit(1)).cast("double"), 4).as("mask_ratio"))
+        .withColumn("mask", expr(s"transform(sequence(0, n - 1), i -> $maskBit)"))
+        .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+          expr("cast(size(filter(mask, x -> x)) as long)").as("n_masked"),
+          expr("cast(size(filter(sequence(1, n), i -> element_at(mask, i) " +
+            "AND (i = 1 OR NOT element_at(mask, i - 1)))) as long)")
+            .as("n_spans"))
+        .withColumn("mask_ratio", round(col("n_masked").cast("double") /
+          col("n_tokens").cast("double"), 4))
         .withColumn("avg_span_len", when(col("n_spans") > 0,
           round(col("n_masked").cast("double") /
             col("n_spans").cast("double"), 4)).otherwise(0.0))

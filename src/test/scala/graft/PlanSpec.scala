@@ -598,6 +598,20 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("per-doc cleaning gates are pure scan projections") {
+    // gopher repetition, PII scrub, and the span-corruption manifest
+    // all compute per-row — a Window, join, or aggregate appearing
+    // here means the gate grew a token-stream shuffle it doesn't need
+    for (q <- Seq("q_gopher_repetition", "q_pii_scrub", "q_span_corruption")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q must not window")
+      assert(!p.contains("Join") && !p.contains("HashAggregate"), q)
+      val exchanges = p.linesIterator
+        .count(l => l.contains("- Exchange") || l.contains("- BroadcastExchange"))
+      assert(exchanges <= 1, s"$q: only the output sort may exchange:\n$p")
+    }
+  }
+
   test("q_warc_ingest runs the whole crawl funnel join-free on one scan") {
     // synthesize+decode fuse into the scan's MapPartitions, the URL
     // canonicalizer is scan-side projection, and the funnel reduces

@@ -964,6 +964,37 @@ object Similarity {
           .select("query_id", "neighbor_id"),
         k = 3)),
 
+    // HARD-NEGATIVE mining for contrastive training (the ANCE/DPR
+    // data-prep step): for each anchor, the top-3 highest-cosine
+    // vectors whose LABEL differs — the confusable-but-wrong examples
+    // a metric-learning loss needs (easy negatives teach nothing;
+    // same-label neighbors are positives, not negatives). Identical
+    // scale shape to the brute ranking: bounded anchor panel
+    // broadcast, cross-label predicate fused into the join, per-query
+    // WindowGroupLimit — the corpus never shuffles. In production the
+    // brute leg swaps for any of this module's ANN cuts; the mining
+    // predicate is unchanged.
+    "q_hard_negatives" -> ((s, dir) => {
+      val qe = Dedup.quantized(s, dir)
+      val anchors = qe.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("q").as("qa"), col("norm").as("na"))
+      val corpus = qe.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlabel"), col("q").as("qb"), col("norm").as("nb"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      corpus.join(broadcast(anchors),
+          col("query_id") =!= col("neighbor_id") &&
+            col("qlabel") =!= col("nlabel"))
+        .withColumn("dot", expr(Dedup.dotExpr))
+        .withColumn("cosine", Dedup.cosine())
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("query_id"), col("qlabel"), col("rnk"),
+          col("neighbor_id"), col("nlabel"), col("cosine"))
+        .orderBy("query_id", "rnk")
+    }),
+
     "q_knn_sq8" -> ((s, dir) =>
       sq8Top(s, dir, qmax = 50, k = 3).orderBy("query_id", "rnk")),
 
@@ -1349,6 +1380,19 @@ object Similarity {
       ORDER BY query_id, rnk"""),
     "q_knn_ann" -> annSql(multi = false),
     "q_knn_ann_mp" -> annSql(multi = true),
+    "q_hard_negatives" -> ("WITH " + Dedup.QE + s""",
+      pairs AS (SELECT a.vec_id AS query_id, a.label AS qlabel,
+                  b.vec_id AS neighbor_id, b.label AS nlabel,
+                  a.q AS qa, b.q AS qb, a.norm AS na, b.norm AS nb
+                FROM qn a JOIN qn b ON a.vec_id < 20
+                  AND a.vec_id <> b.vec_id AND a.label <> b.label),
+      cos AS (SELECT query_id, qlabel, neighbor_id, nlabel,
+                round(CAST(${Dedup.dotOracle} AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+              FROM pairs),
+      rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rnk
+             FROM cos)
+      SELECT query_id, qlabel, rnk, neighbor_id, nlabel, cosine
+      FROM rk WHERE rnk <= 3 ORDER BY query_id, rnk"""),
     "q_knn_ndcg" -> ("WITH " + Dedup.QE + "," + qbCte + s""",
       bp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                 a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb

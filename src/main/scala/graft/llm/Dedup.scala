@@ -114,7 +114,7 @@ object Dedup {
     * http collapses, :80 with https must SURVIVE), explicit :8080,
     * trailing slash, three query-string layouts (with a utm_ tracking
     * param, param order shuffled), fragment. */
-  private[llm] val urlSynthSql: String = s"""concat(
+  private[graft] val urlSynthSql: String = s"""concat(
       CASE WHEN ${hd(1)} % 2 = 0 THEN 'HTTP' ELSE 'https' END, '://',
       CASE WHEN ${hd(3)} % 2 = 0 THEN concat('EX', ${hd(2)} % 8, '.COM')
            ELSE concat('ex', ${hd(2)} % 8, '.com') END,
@@ -169,7 +169,7 @@ object Dedup {
     * default), strip the trailing slash off a non-root path, drop the
     * fragment, drop utm_* params and sort the survivors. Pure
     * regexp/array built-ins — all codegen'd in the scan projection. */
-  private[llm] def canonicalizeUrl(df: DataFrame): DataFrame =
+  private[graft] def canonicalizeUrl(df: DataFrame): DataFrame =
     df
       .withColumn("scheme_l",
         expr("lower(regexp_extract(url, '^([A-Za-z]+)://', 1))"))

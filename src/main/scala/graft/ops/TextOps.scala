@@ -43,6 +43,45 @@ object TextOps {
   private val piiPhoneRe = "555-01[0-9][0-9]"
   private val piiIpRe = "10[.][0-9]+[.][0-9]+[.][0-9]+"
 
+  /** The span-corruption mask bit for token `i` of `doc_id` — shared
+    * by q_span_corruption and the cleaning report. */
+  private val spanMaskBit = "cast(conv(substring(md5(concat(" +
+    "cast(doc_id as string), ':', cast(i as string))), 1, 4), " +
+    "16, 10) as bigint) % 20 < 3"
+
+  /** The Gopher repetition gate as a frame-taking projection —
+    * (doc_id, n_tokens, fractions, keep) for every non-empty doc;
+    * shared by q_gopher_repetition and the cleaning report. Pure
+    * higher-order array functions: zero exchanges (PlanSpec-pinned). */
+  private def gopherFlags(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def dupFrac(n: Int) =
+      s"""CASE WHEN size(t) >= $n + 1 THEN round(
+         |  cast(size(g$n) - size(array_distinct(g$n)) as double) /
+         |  cast(size(g$n) as double), 4)
+         |ELSE cast(0.0 as double) END""".stripMargin
+    docs
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("t"))
+      .filter(size(col("t")) > 0)
+      // guard the construction, not just the ratio: Spark's
+      // sequence(1, 0) is a DESCENDING [1, 0], not empty
+      .withColumn("g2", expr(
+        "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), " +
+          "i -> concat_ws(' ', slice(t, i, 2))) ELSE array() END"))
+      .withColumn("g3", expr(
+        "CASE WHEN size(t) >= 3 THEN transform(sequence(1, size(t) - 2), " +
+          "i -> concat_ws(' ', slice(t, i, 3))) ELSE array() END"))
+      .select(col("doc_id"), size(col("t")).as("n_tokens"),
+        expr("round(cast(array_max(transform(array_distinct(t), " +
+          "w -> size(filter(t, x -> x = w)))) as double) / " +
+          "cast(size(t) as double), 4)").as("top_word_frac"),
+        expr(dupFrac(2)).as("dup_2gram_frac"),
+        expr(dupFrac(3)).as("dup_3gram_frac"))
+      .withColumn("keep", col("top_word_frac") <= 0.2 &&
+        col("dup_2gram_frac") <= 0.2 && col("dup_3gram_frac") <= 0.2)
+  }
+
   val queries: Map[String, Q] = Map(
     // The reference's Search, idiomatic form: pushed Contains filter +
     // projection + sort (SearchMRC.cpp:78-98 semantics — case-sensitive,
@@ -460,9 +499,7 @@ object TextOps {
     // cross-checks two independent span constructions. The
     // hash-to-rate trick is the feature_hash/DSIR hex-prefix idiom.
     "q_span_corruption" -> ((s, dir) => {
-      val maskBit = "cast(conv(substring(md5(concat(" +
-        "cast(doc_id as string), ':', cast(i as string))), 1, 4), " +
-        "16, 10) as bigint) % 20 < 3"
+      val maskBit = spanMaskBit
       Tables(s, dir, "documents")
         .select(col("doc_id"),
           expr("size(filter(split(text, ' '), x -> x <> ''))").as("n"))
@@ -490,33 +527,60 @@ object TextOps {
     // is computed row-by-row: higher-order array functions inside the
     // scan projection, ZERO exchanges except the output sort. At
     // 100 TB the filter costs one codegen'd pass over each doc.
-    "q_gopher_repetition" -> ((s, dir) => {
-      def dupFrac(n: Int) =
-        s"""CASE WHEN size(t) >= $n + 1 THEN round(
-           |  cast(size(g$n) - size(array_distinct(g$n)) as double) /
-           |  cast(size(g$n) as double), 4)
-           |ELSE cast(0.0 as double) END""".stripMargin
-      Tables(s, dir, "documents")
+    "q_gopher_repetition" -> ((s, dir) =>
+      gopherFlags(Tables(s, dir, "documents")).orderBy("doc_id")),
+
+    // The corpus CLEANING REPORT — the one-glance composite over the
+    // r12 gates (the q_dataset_card shape, cleaning edition): PII
+    // incidence, Gopher drop rate, span-corruption mask budget, and
+    // canonical-URL duplication, long-form (metric, value). Each
+    // metric is its own scan-shaped 1-row aggregate riding a
+    // broadcast cross join (the dataset_card idiom) — no shuffles
+    // except the count-distinct; every ratio rounds once over exact
+    // integer counts.
+    "q_cleaning_report" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val base = docs.agg(count(lit(1)).as("n_docs"))
+      def hits(re: String) = s"size(regexp_extract_all(pii, '$re', 0)) > 0"
+      val pii = docs.withColumn("h", md5(col("text")))
+        .withColumn("pii", expr(piiSynthSql))
+        .agg(sum(when(expr(s"${hits(piiEmailRe)} OR ${hits(piiPhoneRe)} " +
+          s"OR ${hits(piiIpRe)}"), 1L).otherwise(0L)).as("n_pii_docs"))
+      val gop = gopherFlags(docs)
+        .agg(count(lit(1)).as("n_scored"),
+          sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"))
+      val mask = docs
         .select(col("doc_id"),
-          expr("filter(split(text, ' '), x -> x <> '')").as("t"))
-        .filter(size(col("t")) > 0)
-        // guard the construction, not just the ratio: Spark's
-        // sequence(1, 0) is a DESCENDING [1, 0], not empty
-        .withColumn("g2", expr(
-          "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), " +
-            "i -> concat_ws(' ', slice(t, i, 2))) ELSE array() END"))
-        .withColumn("g3", expr(
-          "CASE WHEN size(t) >= 3 THEN transform(sequence(1, size(t) - 2), " +
-            "i -> concat_ws(' ', slice(t, i, 3))) ELSE array() END"))
-        .select(col("doc_id"), size(col("t")).as("n_tokens"),
-          expr("round(cast(array_max(transform(array_distinct(t), " +
-            "w -> size(filter(t, x -> x = w)))) as double) / " +
-            "cast(size(t) as double), 4)").as("top_word_frac"),
-          expr(dupFrac(2)).as("dup_2gram_frac"),
-          expr(dupFrac(3)).as("dup_3gram_frac"))
-        .withColumn("keep", col("top_word_frac") <= 0.2 &&
-          col("dup_2gram_frac") <= 0.2 && col("dup_3gram_frac") <= 0.2)
-        .orderBy("doc_id")
+          expr("size(filter(split(text, ' '), x -> x <> ''))").as("n"))
+        .filter(col("n") > 0)
+        .select(col("n"), expr("cast(size(filter(sequence(0, n - 1), " +
+          s"i -> $spanMaskBit)) as long)").as("masked"))
+        .agg(sum(col("n").cast("long")).as("n_tokens"),
+          sum(col("masked")).as("n_masked"))
+      val url = graft.llm.Dedup.canonicalizeUrl(docs
+          .withColumn("h", md5(col("text")))
+          .withColumn("url", expr(graft.llm.Dedup.urlSynthSql)))
+        .agg(count(lit(1)).as("n_u"),
+          countDistinct(col("canon")).as("n_canon"))
+      base.crossJoin(broadcast(pii)).crossJoin(broadcast(gop))
+        .crossJoin(broadcast(mask)).crossJoin(broadcast(url))
+        .select(explode(array(
+          struct(lit("n_docs").as("metric"),
+            col("n_docs").cast("double").as("value")),
+          struct(lit("pii_doc_frac").as("metric"),
+            round(col("n_pii_docs").cast("double") /
+              col("n_docs").cast("double"), 4).as("value")),
+          struct(lit("gopher_drop_frac").as("metric"),
+            round(col("n_dropped").cast("double") /
+              col("n_scored").cast("double"), 4).as("value")),
+          struct(lit("span_mask_ratio").as("metric"),
+            round(col("n_masked").cast("double") /
+              col("n_tokens").cast("double"), 4).as("value")),
+          struct(lit("url_dup_frac").as("metric"),
+            round((col("n_u") - col("n_canon")).cast("double") /
+              col("n_u").cast("double"), 4).as("value")))).as("m"))
+        .select(col("m.metric"), col("m.value"))
+        .orderBy("metric")
     }),
 
     "q_feature_hash" -> ((s, dir) => {
@@ -1071,6 +1135,70 @@ object TextOps {
                round(CAST(n_masked AS DOUBLE) / CAST(n_spans AS DOUBLE), 4)
                ELSE 0.0 END AS DOUBLE) AS avg_span_len
       FROM ag2 ORDER BY doc_id""",
+    "q_cleaning_report" -> s"""
+      WITH base AS (SELECT count(*) AS n_docs FROM documents),
+      hx AS (SELECT doc_id, text, md5(text) AS h FROM documents),
+      pp AS (SELECT $piiSynthSql AS pii FROM hx),
+      pc AS (SELECT CAST(sum(CASE WHEN
+               len(regexp_extract_all(pii, '$piiEmailRe', 0)) > 0 OR
+               len(regexp_extract_all(pii, '$piiPhoneRe', 0)) > 0 OR
+               len(regexp_extract_all(pii, '$piiIpRe', 0)) > 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs FROM pp),
+      gt AS (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+             FROM documents),
+      gf AS (SELECT t FROM gt WHERE len(t) > 0),
+      gg AS (SELECT t,
+               CASE WHEN len(t) >= 2 THEN
+                 list_transform(generate_series(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i + 1]) ELSE [] END AS g2,
+               CASE WHEN len(t) >= 3 THEN
+                 list_transform(generate_series(1, len(t) - 2),
+                   i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) ELSE [] END AS g3
+             FROM gf),
+      gk AS (SELECT
+               CAST(round(CAST(list_max(list_transform(list_distinct(t),
+                 w -> len(list_filter(t, x -> x = w)))) AS DOUBLE) /
+                 CAST(len(t) AS DOUBLE), 4) AS DOUBLE) <= 0.2
+               AND CAST(CASE WHEN len(t) >= 3 THEN
+                 round(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) /
+                   CAST(len(g2) AS DOUBLE), 4)
+                 ELSE 0.0 END AS DOUBLE) <= 0.2
+               AND CAST(CASE WHEN len(t) >= 4 THEN
+                 round(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) /
+                   CAST(len(g3) AS DOUBLE), 4)
+                 ELSE 0.0 END AS DOUBLE) <= 0.2 AS keep
+             FROM gg),
+      ga AS (SELECT count(*) AS n_scored,
+               CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dropped FROM gk),
+      mt AS (SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+             FROM documents),
+      mm AS (SELECT n, len(list_filter(generate_series(0, n - 1),
+               i -> ('0x' || substr(md5(doc_id || ':' || i), 1, 4))::BIGINT
+                 % 20 < 3)) AS masked
+             FROM mt WHERE n > 0),
+      ma AS (SELECT CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(sum(masked) AS BIGINT) AS n_masked FROM mm),
+      u AS (SELECT doc_id, ${graft.llm.Dedup.urlSynthSql} AS url FROM hx),
+      ${graft.llm.Dedup.urlCanonCtes()},
+      ua AS (SELECT count(*) AS n_u, count(DISTINCT canon) AS n_canon FROM c),
+      j AS (SELECT * FROM base, pc, ga, ma, ua)
+      SELECT 'gopher_drop_frac' AS metric,
+             CAST(round(CAST(n_dropped AS DOUBLE) / CAST(n_scored AS DOUBLE), 4)
+               AS DOUBLE) AS value FROM j
+      UNION ALL SELECT 'n_docs', CAST(n_docs AS DOUBLE) FROM j
+      UNION ALL SELECT 'pii_doc_frac',
+        CAST(round(CAST(n_pii_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)
+          AS DOUBLE) FROM j
+      UNION ALL SELECT 'span_mask_ratio',
+        CAST(round(CAST(n_masked AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)
+          AS DOUBLE) FROM j
+      UNION ALL SELECT 'url_dup_frac',
+        CAST(round(CAST(n_u - n_canon AS DOUBLE) / CAST(n_u AS DOUBLE), 4)
+          AS DOUBLE) FROM j
+      ORDER BY metric""",
     "q_gopher_repetition" -> """
       WITH d AS (SELECT doc_id,
                    list_filter(string_split(text, ' '), x -> x <> '') AS t

@@ -886,6 +886,43 @@ object Similarity {
         col("neighbor_id"), col("dist"))
   }
 
+  /** nDCG@3 of a ranked top-3 against the exact cosine top-3 graded
+    * 3/2/1 by true rank (Järvelin & Kekäläinen 2002). The
+    * transcendental discount follows the BM25 discipline — each
+    * per-position term rounds to 6 dp and sums in DECIMAL(38,6); the
+    * ideal DCG comes from the truth frame itself, so ndcg = 1.0 iff
+    * the ranker reproduces the exact ORDER (recall can't see order).
+    * `ranked` must carry (query_id, neighbor_id, rnk ≤ 3). */
+  private def ndcgOf(s: SparkSession, dir: String,
+      ranked: DataFrame): DataFrame = {
+    val truth = bruteTop(s, dir, qmax = 50, k = 3)
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(4) - col("rnk")).as("grade"), col("rnk"))
+    val dcgTerm = "cast(round(cast(grade as double) / " +
+      "log2(cast(pos + 1 as double)), 6) as decimal(38,6))"
+    val idcg = truth
+      .select(col("query_id"), col("grade"), col("rnk").as("pos"))
+      .groupBy(col("query_id"))
+      .agg(sum(expr(dcgTerm)).as("idcg"))
+    val dcg = ranked
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("pos"))
+      .join(truth.select(col("query_id").as("tq"),
+          col("neighbor_id").as("tn"), col("grade")),
+        col("query_id") === col("tq") && col("neighbor_id") === col("tn"),
+        "left")
+      .withColumn("grade", coalesce(col("grade"), lit(0)))
+      .groupBy(col("query_id"))
+      .agg(sum(expr(dcgTerm)).as("dcg"))
+    idcg.join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("dcg"), lit(0).cast("decimal(38,6)")).cast("double")
+          .as("dcg"),
+        col("idcg").cast("double").as("idcg"),
+        round(coalesce(col("dcg"), lit(0).cast("decimal(38,6)"))
+            .cast("double") / col("idcg").cast("double"), 4).as("ndcg"))
+      .orderBy("query_id")
+  }
+
   /** recall@k of an approximate top-k against the exact one, per
     * query id — both inputs are (query_id, neighbor_id) top-k sets. */
   private def recallOf(exact: DataFrame, approx: DataFrame, k: Int): DataFrame =
@@ -1022,34 +1059,16 @@ object Similarity {
     // reproduces the exact ordering. Scale shape: the two top-k
     // pipelines of the recall family plus a broadcast-sized
     // (query, doc) join; the corpus never shuffles.
-    "q_knn_ndcg" -> ((s, dir) => {
-      val truth = bruteTop(s, dir, qmax = 50, k = 3)
-        .select(col("query_id"), col("neighbor_id"),
-          (lit(4) - col("rnk")).as("grade"), col("rnk"))
-      val dcgTerm = "cast(round(cast(grade as double) / " +
-        "log2(cast(pos + 1 as double)), 6) as decimal(38,6))"
-      val idcg = truth
-        .select(col("query_id"), col("grade"), col("rnk").as("pos"))
-        .groupBy(col("query_id"))
-        .agg(sum(expr(dcgTerm)).as("idcg"))
-      val dcg = annTop(s, dir, qmax = 50, k = 3)
-        .select(col("query_id"), col("neighbor_id"), col("rnk").as("pos"))
-        .join(truth.select(col("query_id").as("tq"),
-            col("neighbor_id").as("tn"), col("grade")),
-          col("query_id") === col("tq") && col("neighbor_id") === col("tn"),
-          "left")
-        .withColumn("grade", coalesce(col("grade"), lit(0)))
-        .groupBy(col("query_id"))
-        .agg(sum(expr(dcgTerm)).as("dcg"))
-      idcg.join(dcg, Seq("query_id"), "left")
-        .select(col("query_id"),
-          coalesce(col("dcg"), lit(0).cast("decimal(38,6)")).cast("double")
-            .as("dcg"),
-          col("idcg").cast("double").as("idcg"),
-          round(coalesce(col("dcg"), lit(0).cast("decimal(38,6)"))
-              .cast("double") / col("idcg").cast("double"), 4).as("ndcg"))
-        .orderBy("query_id")
-    }),
+    "q_knn_ndcg" -> ((s, dir) =>
+      ndcgOf(s, dir, annTop(s, dir, qmax = 50, k = 3))),
+
+    // The same graded metric for the TRAINED index at its production
+    // operating point (nprobe = 2) — read against q_knn_ndcg it
+    // measures what training the quantizer buys in ORDER quality, not
+    // just set recall (an index can hit the right top-3 set in the
+    // wrong order; recall cannot see that, nDCG can).
+    "q_knn_ivf_ndcg" -> ((s, dir) =>
+      ndcgOf(s, dir, ivfTop(s, dir, qmax = 50, k = 3, nprobe = 2))),
 
     "q_knn_sq8_adc" -> ((s, dir) =>
       sq8AdcTop(s, dir, qmax = 50, k = 3).orderBy("query_id", "rnk")),
@@ -1393,46 +1412,18 @@ object Similarity {
              FROM cos)
       SELECT query_id, qlabel, rnk, neighbor_id, nlabel, cosine
       FROM rk WHERE rnk <= 3 ORDER BY query_id, rnk"""),
-    "q_knn_ndcg" -> ("WITH " + Dedup.QE + "," + qbCte + s""",
-      bp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-                a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
-             FROM qn a JOIN qn b ON a.vec_id < 50 AND a.vec_id <> b.vec_id),
-      bcos AS (SELECT query_id, neighbor_id,
-                 round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
-               FROM bp),
-      brk AS (SELECT query_id, neighbor_id,
-                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
-              FROM bcos),
-      truth AS (SELECT query_id, neighbor_id, 4 - rnk AS grade, rnk
-                FROM brk WHERE rnk <= 3),
-      idcg AS (SELECT query_id,
-                 sum(CAST(round(CAST(grade AS DOUBLE) /
-                   log2(CAST(rnk + 1 AS DOUBLE)), 6) AS DECIMAL(38,6))) AS idcg
-               FROM truth GROUP BY 1),
-      ap AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    "q_knn_ndcg" -> ndcgSql(qbCte,
+      """SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                 a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
              FROM qb a JOIN qb b ON a.bucket = b.bucket
-               AND a.vec_id < 50 AND a.vec_id <> b.vec_id),
-      acos AS (SELECT query_id, neighbor_id,
-                 round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
-               FROM ap),
-      ark AS (SELECT query_id, neighbor_id,
-                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
-              FROM acos),
-      ann AS (SELECT query_id, neighbor_id, rnk AS pos FROM ark WHERE rnk <= 3),
-      g AS (SELECT ann.query_id, coalesce(t.grade, 0) AS grade, pos
-            FROM ann LEFT JOIN truth t
-              ON ann.query_id = t.query_id AND ann.neighbor_id = t.neighbor_id),
-      dcg AS (SELECT query_id,
-                sum(CAST(round(CAST(grade AS DOUBLE) /
-                  log2(CAST(pos + 1 AS DOUBLE)), 6) AS DECIMAL(38,6))) AS dcg
-              FROM g GROUP BY 1)
-      SELECT i.query_id,
-             CAST(coalesce(d.dcg, 0) AS DOUBLE) AS dcg,
-             CAST(i.idcg AS DOUBLE) AS idcg,
-             round(CAST(coalesce(d.dcg, 0) AS DOUBLE) / CAST(i.idcg AS DOUBLE), 4) AS ndcg
-      FROM idcg i LEFT JOIN dcg d ON i.query_id = d.query_id
-      ORDER BY i.query_id"""),
+               AND a.vec_id < 50 AND a.vec_id <> b.vec_id"""),
+    "q_knn_ivf_ndcg" -> ndcgSql(
+      Clustering.assignCtes + "," + ivfCte,
+      s"""SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+             FROM ivcell a JOIN ivcell b
+               ON ${ivfProbeCond(multi = true)}
+               AND a.vec_id < 50 AND a.vec_id <> b.vec_id"""),
     "q_knn_recall" -> recallSql(multi = false),
     "q_knn_recall_mp" -> recallSql(multi = true),
     "q_knn_sq8" -> ("WITH " + Dedup.QE + "," + sq8Cte + s""",
@@ -2025,6 +2016,49 @@ object Similarity {
       } yield gridRow(fam, pre, k, np))
         .mkString("", " UNION ALL ", " ORDER BY family, k, nprobe")
   }
+
+  /** DuckDB twin of [[ndcgOf]], parameterized by the approximate leg:
+    * `extraCtes` supplies the leg's index CTEs, `apSelect` its
+    * candidate-pair SELECT (aliases qa/qb2/na/nb). Truth, grading,
+    * discounts, and the idcg/dcg join are shared verbatim. */
+  private def ndcgSql(extraCtes: String, apSelect: String): String =
+    "WITH " + Dedup.QE + "," + extraCtes + s""",
+      bp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+             FROM qn a JOIN qn b ON a.vec_id < 50 AND a.vec_id <> b.vec_id),
+      bcos AS (SELECT query_id, neighbor_id,
+                 round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+               FROM bp),
+      brk AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM bcos),
+      truth AS (SELECT query_id, neighbor_id, 4 - rnk AS grade, rnk
+                FROM brk WHERE rnk <= 3),
+      idcg AS (SELECT query_id,
+                 sum(CAST(round(CAST(grade AS DOUBLE) /
+                   log2(CAST(rnk + 1 AS DOUBLE)), 6) AS DECIMAL(38,6))) AS idcg
+               FROM truth GROUP BY 1),
+      ap AS ($apSelect),
+      acos AS (SELECT query_id, neighbor_id,
+                 round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+               FROM ap),
+      ark AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM acos),
+      topk AS (SELECT query_id, neighbor_id, rnk AS pos FROM ark WHERE rnk <= 3),
+      g AS (SELECT topk.query_id, coalesce(t.grade, 0) AS grade, pos
+            FROM topk LEFT JOIN truth t
+              ON topk.query_id = t.query_id AND topk.neighbor_id = t.neighbor_id),
+      dcg AS (SELECT query_id,
+                sum(CAST(round(CAST(grade AS DOUBLE) /
+                  log2(CAST(pos + 1 AS DOUBLE)), 6) AS DECIMAL(38,6))) AS dcg
+              FROM g GROUP BY 1)
+      SELECT i.query_id,
+             CAST(coalesce(d.dcg, 0) AS DOUBLE) AS dcg,
+             CAST(i.idcg AS DOUBLE) AS idcg,
+             round(CAST(coalesce(d.dcg, 0) AS DOUBLE) / CAST(i.idcg AS DOUBLE), 4) AS ndcg
+      FROM idcg i LEFT JOIN dcg d ON i.query_id = d.query_id
+      ORDER BY i.query_id"""
 
   private def ivfSql(multi: Boolean): String =
     "WITH " + Dedup.QE + "," + Clustering.assignCtes + "," + ivfCte + s""",

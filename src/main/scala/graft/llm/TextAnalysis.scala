@@ -498,41 +498,20 @@ object TextAnalysis {
     // prior (mostly 'en') — the oracle pins the exact Bayes
     // arithmetic; TextAnalysisSpec pins perfect separation on a
     // corpus whose classes actually differ. */
-    "q_nb_classify" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
-      val train = docs.filter(col("doc_id") % 4 =!= 0)
-      val trTok = train
-        .select(col("lang").as("cl"), explode(split(col("text"), " ")).as("w"))
-        .filter(col("w") =!= "")
-      val cnt = trTok.groupBy(col("cl"), col("w")).agg(count(lit(1)).as("c"))
-      val tot = trTok.groupBy(col("cl")).agg(count(lit(1)).as("t"))
-      val voc = trTok.agg(countDistinct(col("w")).as("v"))
-      val classes = train.groupBy(col("lang").as("cl"))
-        .agg(count(lit(1)).as("dc"))
-        .crossJoin(broadcast(train.agg(count(lit(1)).as("dtot"))))
-        .join(tot, "cl").crossJoin(broadcast(voc))
-      val teTok = docs.filter(col("doc_id") % 4 === 0)
-        .select(col("doc_id"), col("lang"),
-          explode(split(col("text"), " ")).as("w"))
-        .filter(col("w") =!= "")
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("score").desc, col("cl").asc)
-      teTok.crossJoin(broadcast(classes))
-        .join(cnt.hint("shuffle_hash"), Seq("cl", "w"), "left")
-        .withColumn("term", round(
-          log((coalesce(col("c"), lit(0L)) + 1).cast("double")
-            / (col("t") + col("v")).cast("double")), 6))
-        .groupBy(col("doc_id"), col("lang"), col("cl"), col("dc"), col("dtot"))
-        .agg(expr("sum(cast(term as decimal(38,6)))").as("sterm"))
-        .withColumn("score", expr(
-          "cast(round(ln(cast(dc as double) / cast(dtot as double)), 6) " +
-            "as decimal(38,6)) + sterm"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") === 1)
-        .select(col("doc_id"), col("lang"), col("cl").as("pred"),
-          round(col("score"), 4).cast("double").as("score"))
-        .orderBy("doc_id")
-    }),
+    "q_nb_classify" -> ((s, dir) =>
+      nbPredictions(s, dir).orderBy("doc_id")),
+
+    // The CLASSIFIER EVAL artifact beside the classifier: the exact
+    // (true, predicted) confusion matrix over the test split — the
+    // standard report a language-ID gate ships with. Same plan as
+    // q_nb_classify through the argmax; one extra |classes|²-bounded
+    // aggregate.
+    "q_nb_confusion" -> ((s, dir) =>
+      nbPredictions(s, dir)
+        .groupBy(col("lang").as("true_lang"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_lang", "pred")),
+
 
     // DSIR-style data selection (Xie et al. 2023, "Data Selection for
     // Language Models via Importance Resampling"): score every
@@ -801,6 +780,78 @@ object TextAnalysis {
           "i -> array_min(slice(hs, i + 1, 4))))")).as("fp"))
       .distinct()
 
+
+  /** The NB train+apply pipeline through the argmax — shared by the
+    * classifier row and its confusion matrix. */
+  private def nbPredictions(s: SparkSession, dir: String): DataFrame = {
+      val docs = Tables(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 4 =!= 0)
+      val trTok = train
+        .select(col("lang").as("cl"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val cnt = trTok.groupBy(col("cl"), col("w")).agg(count(lit(1)).as("c"))
+      val tot = trTok.groupBy(col("cl")).agg(count(lit(1)).as("t"))
+      val voc = trTok.agg(countDistinct(col("w")).as("v"))
+      val classes = train.groupBy(col("lang").as("cl"))
+        .agg(count(lit(1)).as("dc"))
+        .crossJoin(broadcast(train.agg(count(lit(1)).as("dtot"))))
+        .join(tot, "cl").crossJoin(broadcast(voc))
+      val teTok = docs.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("cl").asc)
+      teTok.crossJoin(broadcast(classes))
+        .join(cnt.hint("shuffle_hash"), Seq("cl", "w"), "left")
+        .withColumn("term", round(
+          log((coalesce(col("c"), lit(0L)) + 1).cast("double")
+            / (col("t") + col("v")).cast("double")), 6))
+        .groupBy(col("doc_id"), col("lang"), col("cl"), col("dc"), col("dtot"))
+        .agg(expr("sum(cast(term as decimal(38,6)))").as("sterm"))
+        .withColumn("score", expr(
+          "cast(round(ln(cast(dc as double) / cast(dtot as double)), 6) " +
+            "as decimal(38,6)) + sterm"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("doc_id"), col("lang"), col("cl").as("pred"),
+          round(col("score"), 4).cast("double").as("score"))
+  }
+
+  /** The NB classify twin — shared by q_nb_classify and its
+    * confusion matrix (which wraps it as a subquery). */
+  private lazy val nbSql: String = """
+      WITH tr AS (SELECT * FROM documents WHERE doc_id % 4 <> 0),
+      trt AS (SELECT cl, w FROM
+                (SELECT lang AS cl, unnest(string_split(text, ' ')) AS w
+                 FROM tr)
+              WHERE w <> ''),
+      cnt AS (SELECT cl, w, count(*) AS c FROM trt GROUP BY 1, 2),
+      tot AS (SELECT cl, count(*) AS t FROM trt GROUP BY 1),
+      voc AS (SELECT count(DISTINCT w) AS v FROM trt),
+      dt AS (SELECT count(*) AS dtot FROM tr),
+      cls AS (SELECT p.cl, p.dc, dtot, t, v
+              FROM (SELECT lang AS cl, count(*) AS dc FROM tr GROUP BY 1) p
+              JOIN tot USING (cl) CROSS JOIN dt CROSS JOIN voc),
+      tet AS (SELECT doc_id, lang, w FROM
+                (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+                 FROM documents WHERE doc_id % 4 = 0)
+              WHERE w <> ''),
+      sc AS (SELECT doc_id, lang, cls.cl, dc, dtot,
+               round(ln(CAST(coalesce(c, 0) + 1 AS DOUBLE)
+                 / CAST(t + v AS DOUBLE)), 6) AS term
+             FROM tet CROSS JOIN cls
+             LEFT JOIN cnt ON cnt.cl = cls.cl AND cnt.w = tet.w),
+      ag AS (SELECT doc_id, lang, cl,
+               CAST(round(ln(CAST(dc AS DOUBLE) / CAST(dtot AS DOUBLE)), 6)
+                 AS DECIMAL(38,6)) + sum(CAST(term AS DECIMAL(38,6))) AS score
+             FROM sc GROUP BY doc_id, lang, cl, dc, dtot),
+      rk AS (SELECT *, row_number() OVER
+               (PARTITION BY doc_id ORDER BY score DESC, cl ASC) AS rnk
+             FROM ag)
+      SELECT doc_id, lang, cl AS pred, CAST(round(score, 4) AS DOUBLE) AS score
+      FROM rk WHERE rnk = 1 ORDER BY doc_id"""
+
   val oracles: Map[String, String] = Map(
     "q_lang_id" -> s"""
       WITH sc AS (
@@ -1065,37 +1116,12 @@ object TextAnalysis {
       SELECT doc_id, n_tok, CAST(round(logw, 4) AS DOUBLE) AS logw,
              CASE WHEN vm >= thr THEN 'selected' ELSE 'rest' END AS status
       FROM scv, thr ORDER BY doc_id""",
-    "q_nb_classify" -> """
-      WITH tr AS (SELECT * FROM documents WHERE doc_id % 4 <> 0),
-      trt AS (SELECT cl, w FROM
-                (SELECT lang AS cl, unnest(string_split(text, ' ')) AS w
-                 FROM tr)
-              WHERE w <> ''),
-      cnt AS (SELECT cl, w, count(*) AS c FROM trt GROUP BY 1, 2),
-      tot AS (SELECT cl, count(*) AS t FROM trt GROUP BY 1),
-      voc AS (SELECT count(DISTINCT w) AS v FROM trt),
-      dt AS (SELECT count(*) AS dtot FROM tr),
-      cls AS (SELECT p.cl, p.dc, dtot, t, v
-              FROM (SELECT lang AS cl, count(*) AS dc FROM tr GROUP BY 1) p
-              JOIN tot USING (cl) CROSS JOIN dt CROSS JOIN voc),
-      tet AS (SELECT doc_id, lang, w FROM
-                (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
-                 FROM documents WHERE doc_id % 4 = 0)
-              WHERE w <> ''),
-      sc AS (SELECT doc_id, lang, cls.cl, dc, dtot,
-               round(ln(CAST(coalesce(c, 0) + 1 AS DOUBLE)
-                 / CAST(t + v AS DOUBLE)), 6) AS term
-             FROM tet CROSS JOIN cls
-             LEFT JOIN cnt ON cnt.cl = cls.cl AND cnt.w = tet.w),
-      ag AS (SELECT doc_id, lang, cl,
-               CAST(round(ln(CAST(dc AS DOUBLE) / CAST(dtot AS DOUBLE)), 6)
-                 AS DECIMAL(38,6)) + sum(CAST(term AS DECIMAL(38,6))) AS score
-             FROM sc GROUP BY doc_id, lang, cl, dc, dtot),
-      rk AS (SELECT *, row_number() OVER
-               (PARTITION BY doc_id ORDER BY score DESC, cl ASC) AS rnk
-             FROM ag)
-      SELECT doc_id, lang, cl AS pred, CAST(round(score, 4) AS DOUBLE) AS score
-      FROM rk WHERE rnk = 1 ORDER BY doc_id""",
+    "q_nb_classify" -> nbSql,
+    // confusion matrix = the classify result re-aggregated; the
+    // subquery keeps the two gates pinned to ONE shared definition
+    "q_nb_confusion" ->
+      s"""SELECT lang AS true_lang, pred, count(*) AS n
+          FROM ($nbSql) GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_lm_kn_train" -> (knCtes + """
       SELECT coalesce(cv.tok, ct.tok) AS tok,
              coalesce(cv.c_hist, 0) AS c_hist,

@@ -1,0 +1,64 @@
+package graft.llm
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Totality fuzz for every from-scratch decoder: arbitrary byte
+  * garbage — including inputs that START like each format's magic and
+  * then degenerate — must come back as a STATUS, never a throw. This
+  * is the load-bearing property of the 100 TB decode contract (one
+  * malformed crawl payload must not kill a task); the per-format
+  * crafted arms in MultimodalSpec pin WHICH status, this pins that
+  * there always is one. */
+object DecoderFuzzProps extends Properties("Multimodal.decoders") {
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters) =
+    p.withMinSuccessfulTests(300)
+
+  private val magics: Seq[Array[Byte]] = Seq(
+    "P6\n".getBytes("US-ASCII"),
+    "RIFF".getBytes("US-ASCII"),
+    Array[Byte]('B', 'M'),
+    "qoif".getBytes("US-ASCII"),
+    "GIF87a".getBytes("US-ASCII"),
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte),
+    Array(0x1f, 0x8b, 8).map(_.toByte))
+
+  private val garbage: Gen[Array[Byte]] = for {
+    n <- Gen.chooseNum(0, 512)
+    bs <- Gen.containerOfN[Array, Byte](n,
+      Gen.chooseNum(-128, 127).map(_.toByte))
+    prefix <- Gen.oneOf(Gen.const(Array.emptyByteArray), Gen.oneOf(magics))
+  } yield prefix ++ bs
+
+  property("every decoder is total on arbitrary bytes") = forAll(garbage) {
+    bs =>
+      Multimodal.parsePpm(1L, bs).status.nonEmpty &&
+      Multimodal.parseWav(1L, bs).status.nonEmpty &&
+      Multimodal.parseBmp(1L, bs).status.nonEmpty &&
+      Multimodal.parseQoi(1L, bs).status.nonEmpty &&
+      Multimodal.parseGif(1L, bs).status.nonEmpty &&
+      Multimodal.parsePng(1L, bs).status.nonEmpty &&
+      Multimodal.parseGzip(1L, bs).status.nonEmpty &&
+      Multimodal.parseWarc(1L, bs).status.nonEmpty &&
+      Multimodal.resizePpm(1L, bs, 2, 2).status.nonEmpty
+  }
+}
+
+/** Deterministic companion: every PREFIX of a genuine member is a
+  * valid malformed input — the mid-flight-truncation class a crawl
+  * actually produces — and nulls are rows too. */
+class DecoderTruncationSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("gzip/warc decoders are total on null and on all truncations") {
+    assert(Multimodal.parseGzip(1L, null).status == "bad_magic")
+    assert(Multimodal.parseWarc(1L, null).status == "bad_magic")
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest("fuzz-truncate".getBytes("US-ASCII"))
+      .map("%02x".format(_)).mkString
+    for (full <- Seq(Multimodal.gzipBytes(h), Multimodal.warcBytes(h));
+         n <- 0 to full.length) {
+      assert(Multimodal.parseGzip(1L, full.take(n)).status.nonEmpty)
+      assert(Multimodal.parseWarc(1L, full.take(n)).status.nonEmpty)
+    }
+  }
+}

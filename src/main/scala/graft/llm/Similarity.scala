@@ -1070,6 +1070,14 @@ object Similarity {
     "q_knn_ivf_ndcg" -> ((s, dir) =>
       ndcgOf(s, dir, ivfTop(s, dir, qmax = 50, k = 3, nprobe = 2))),
 
+    // And for the COMPRESSION leg: nDCG@3 of the exhaustive ADC scan
+    // over 8-byte PQ codes — with q_knn_ndcg/q_knn_ivf_ndcg this
+    // grades all three index axes (untrained cut, trained cut,
+    // compression) on ORDER quality, completing the graded companion
+    // to the recall ladder.
+    "q_knn_pq_ndcg" -> ((s, dir) =>
+      ndcgOf(s, dir, pqAdcTop(s, dir, qmax = 50, k = 3))),
+
     "q_knn_sq8_adc" -> ((s, dir) =>
       sq8AdcTop(s, dir, qmax = 50, k = 3).orderBy("query_id", "rnk")),
 
@@ -1417,6 +1425,15 @@ object Similarity {
                 a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
              FROM qb a JOIN qb b ON a.bucket = b.bucket
                AND a.vec_id < 50 AND a.vec_id <> b.vec_id"""),
+    "q_knn_pq_ndcg" -> ndcgSqlRanked(pqCtes, s"""
+      apd AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ${pqDistSql("a")} AS dist
+             FROM qn a, pqcodes b, $pqJoinTables
+             WHERE ${pqJoinCond("b")}
+               AND a.vec_id < 50 AND a.vec_id <> b.vec_id),
+      ark AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rnk
+              FROM apd)"""),
     "q_knn_ivf_ndcg" -> ndcgSql(
       Clustering.assignCtes + "," + ivfCte,
       s"""SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -2018,10 +2035,11 @@ object Similarity {
   }
 
   /** DuckDB twin of [[ndcgOf]], parameterized by the approximate leg:
-    * `extraCtes` supplies the leg's index CTEs, `apSelect` its
-    * candidate-pair SELECT (aliases qa/qb2/na/nb). Truth, grading,
-    * discounts, and the idcg/dcg join are shared verbatim. */
-  private def ndcgSql(extraCtes: String, apSelect: String): String =
+    * `extraCtes` supplies the leg's index CTEs and `arkCtes` its rank
+    * chain ending in `ark(query_id, neighbor_id, rnk)` — cosine legs
+    * rank DESC on cosine, compressed legs ASC on code distance. Truth,
+    * grading, discounts, and the idcg/dcg join are shared verbatim. */
+  private def ndcgSqlRanked(extraCtes: String, arkCtes: String): String =
     "WITH " + Dedup.QE + "," + extraCtes + s""",
       bp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                 a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
@@ -2038,13 +2056,7 @@ object Similarity {
                  sum(CAST(round(CAST(grade AS DOUBLE) /
                    log2(CAST(rnk + 1 AS DOUBLE)), 6) AS DECIMAL(38,6))) AS idcg
                FROM truth GROUP BY 1),
-      ap AS ($apSelect),
-      acos AS (SELECT query_id, neighbor_id,
-                 round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
-               FROM ap),
-      ark AS (SELECT query_id, neighbor_id,
-                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
-              FROM acos),
+      $arkCtes,
       topk AS (SELECT query_id, neighbor_id, rnk AS pos FROM ark WHERE rnk <= 3),
       g AS (SELECT topk.query_id, coalesce(t.grade, 0) AS grade, pos
             FROM topk LEFT JOIN truth t
@@ -2059,6 +2071,17 @@ object Similarity {
              round(CAST(coalesce(d.dcg, 0) AS DOUBLE) / CAST(i.idcg AS DOUBLE), 4) AS ndcg
       FROM idcg i LEFT JOIN dcg d ON i.query_id = d.query_id
       ORDER BY i.query_id"""
+
+  /** Cosine-ranked convenience form of [[ndcgSqlRanked]]: the leg
+    * supplies only its candidate-pair SELECT (aliases qa/qb2/na/nb). */
+  private def ndcgSql(extraCtes: String, apSelect: String): String =
+    ndcgSqlRanked(extraCtes, s"""ap AS ($apSelect),
+      acos AS (SELECT query_id, neighbor_id,
+                 round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+               FROM ap),
+      ark AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM acos)""")
 
   private def ivfSql(multi: Boolean): String =
     "WITH " + Dedup.QE + "," + Clustering.assignCtes + "," + ivfCte + s""",

@@ -65,6 +65,26 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Window"))
   }
 
+  test("q_scd2_history builds intervals join-free on one user sort") {
+    // change-detect lag and interval-close lead are two frames over
+    // the SAME (user_id)-keyed sort; a join or second exchange means
+    // the history build regressed to the naive self-join
+    val p = plan("q_scd2_history")
+    assert(!p.contains("Join"), "SCD2 must not plan a join")
+    assert(p.contains("Window"))
+  }
+
+  test("q_dedup_shard_loss_grid derives all shard counts in one pass") {
+    // 16-way generate + per-doc restricted max_by: ONE doc-keyed
+    // aggregate (map-side partials) feeds every count-distinct — a
+    // join or a second generate would mean the prefix property of
+    // rendezvous placement stopped being exploited
+    val p = plan("q_dedup_shard_loss_grid")
+    assert(!p.contains("Join"))
+    assert(p.contains("partial_max_by"), "placement must fold map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_join_asof_fwd mirrors the join-free merged-stream shape") {
     val p = plan("q_join_asof_fwd")
     assert(!p.contains("Join"), "forward as-of must not plan a join")

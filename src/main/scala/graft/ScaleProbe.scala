@@ -625,6 +625,43 @@ object ScaleProbe {
       timedWarc(100)
       docs.unpersist(false)
     }
+
+    // Shard-loss probe: replicate the corpus (ids shift, text — and so
+    // canonical URL — repeats), re-run the 4-shard loss query. Each
+    // replica deepens every URL-duplicate group ×N, and the measured
+    // missed_frac FALLS (0.78 → 0.57 → 0.19 at 1×/4×/16×): a group of
+    // size m touching s of the 4 shards loses only s−1 ≤ 3 removals to
+    // locality while its global removable grows as m−1. The probe's
+    // honest lesson INVERTS the naive intuition: deep boilerplate
+    // groups are caught by shard-local dedup anyway — what the global
+    // shuffle buys is the LONG TAIL of size-2 groups (the dominant
+    // shape in a real crawl), exactly the regime of the 1× row.
+    if (want("shardloss"))
+    locally {
+      val docs = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text")).persist()
+      val nDocs = docs.count()
+      val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      def timedLoss(mult: Int): Unit = {
+        val scaled = docs
+          .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
+            col("doc_id"), col("text"))
+          .select((col("doc_id") + col("i") * lit(stride)).as("doc_id"),
+            col("text"))
+        val dir = java.nio.file.Files.createTempDirectory("sl").toString
+        scaled.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+          .withColumn("n_chars", expr("cast(length(text) as long)"))
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        val t0 = System.nanoTime()
+        val r = SparkEntry.queries("q_dedup_shard_loss")(spark, dir).head()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"shardloss_${mult}x","docs":${nDocs * mult},"global_removable":${r.getAs[Long]("global_removable")},"missed":${r.getAs[Long]("missed")},"missed_frac":${r.getAs[Double]("missed_frac")},"sec":$dt%.2f}""")
+      }
+      timedLoss(1)
+      timedLoss(4)
+      timedLoss(16)
+      docs.unpersist(false)
+    }
     spark.stop()
   }
 }

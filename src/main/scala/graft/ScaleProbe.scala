@@ -648,14 +648,23 @@ object ScaleProbe {
             col("doc_id"), col("text"))
           .select((col("doc_id") + col("i") * lit(stride)).as("doc_id"),
             col("text"))
-        val dir = java.nio.file.Files.createTempDirectory("sl").toString
-        scaled.withColumn("lang", lit("en")).withColumn("source", lit("s"))
-          .withColumn("n_chars", expr("cast(length(text) as long)"))
-          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-        val t0 = System.nanoTime()
-        val r = SparkEntry.queries("q_dedup_shard_loss")(spark, dir).head()
-        val dt = (System.nanoTime() - t0) / 1e9
-        println(f"""{"probe":"shardloss_${mult}x","docs":${nDocs * mult},"global_removable":${r.getAs[Long]("global_removable")},"missed":${r.getAs[Long]("missed")},"missed_frac":${r.getAs[Double]("missed_frac")},"sec":$dt%.2f}""")
+        val dirPath = java.nio.file.Files.createTempDirectory("sl")
+        val dir = dirPath.toString
+        try {
+          scaled.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+            .withColumn("n_chars", expr("cast(length(text) as long)"))
+            .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+          val t0 = System.nanoTime()
+          val r = SparkEntry.queries("q_dedup_shard_loss")(spark, dir).head()
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"""{"probe":"shardloss_${mult}x","docs":${nDocs * mult},"global_removable":${r.getAs[Long]("global_removable")},"missed":${r.getAs[Long]("missed")},"missed_frac":${r.getAs[Double]("missed_frac")},"sec":$dt%.2f}""")
+        } finally {
+          // The replicated corpus is up to 16x the input — reclaim it
+          // before the next multiplier rather than leaking per run.
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+        }
       }
       timedLoss(1)
       timedLoss(4)

@@ -2197,33 +2197,7 @@ object Multimodal {
       okr AS (SELECT doc_id, h, k FROM dd
               WHERE NOT badmagic AND NOT trunc AND NOT badcrc),
       u AS (SELECT doc_id, k, ${Dedup.urlSynthSql} AS url FROM okr),
-      p1 AS (SELECT doc_id, k, url,
-               lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme_l,
-               regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1) AS hostport,
-               regexp_extract(url, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1) AS path0,
-               regexp_extract(url, '[?]([^#]*)', 1) AS qs
-             FROM u),
-      p2 AS (SELECT doc_id, k, url, scheme_l, path0, qs,
-               lower(CASE WHEN instr(hostport, ':') > 0
-                 THEN substr(hostport, 1, CAST(instr(hostport, ':') AS INT) - 1)
-                 ELSE hostport END) AS host_l,
-               CASE WHEN instr(hostport, ':') > 0
-                 THEN substr(hostport, CAST(instr(hostport, ':') AS INT) + 1)
-                 ELSE '' END AS port
-             FROM p1),
-      p3 AS (SELECT doc_id, k, url, scheme_l, host_l, port,
-               CASE WHEN length(path0) > 1 AND substr(path0, length(path0), 1) = '/'
-                 THEN substr(path0, 1, length(path0) - 1) ELSE path0 END AS path,
-               array_to_string(list_sort(list_filter(string_split(qs, '&'),
-                 p -> p <> '' AND substr(p, 1, 4) <> 'utm_')), '&') AS params
-             FROM p2),
-      c AS (SELECT doc_id, k,
-              concat(scheme_l, '://', host_l,
-                CASE WHEN port <> '' AND NOT ((scheme_l = 'http' AND port = '80')
-                  OR (scheme_l = 'https' AND port = '443'))
-                  THEN concat(':', port) ELSE '' END, path,
-                CASE WHEN params <> '' THEN concat('?', params) ELSE '' END) AS canon
-            FROM p3),
+      ${Dedup.urlCanonCtes(", k")},
       m AS (SELECT
         (SELECT count(*) FROM dd) AS fetched,
         (SELECT count(*) FROM okr) AS decoded,

@@ -892,12 +892,17 @@ object Similarity {
     * per-position term rounds to 6 dp and sums in DECIMAL(38,6); the
     * ideal DCG comes from the truth frame itself, so ndcg = 1.0 iff
     * the ranker reproduces the exact ORDER (recall can't see order).
-    * `ranked` must carry (query_id, neighbor_id, rnk ≤ 3). */
+    * `ranked` must carry (query_id, neighbor_id, rnk ≤ k); rows past
+    * rank k are dropped here so a wider input can't skew the score,
+    * and the truth panel is built from the SAME qmax/k the caller
+    * ranked against (they parameterize the ground truth — a mismatch
+    * would silently score against the wrong panel). */
   private def ndcgOf(s: SparkSession, dir: String,
-      ranked: DataFrame): DataFrame = {
-    val truth = bruteTop(s, dir, qmax = 50, k = 3)
+      ranked0: DataFrame, qmax: Int = 50, k: Int = 3): DataFrame = {
+    val ranked = ranked0.filter(col("rnk") <= k)
+    val truth = bruteTop(s, dir, qmax = qmax, k = k)
       .select(col("query_id"), col("neighbor_id"),
-        (lit(4) - col("rnk")).as("grade"), col("rnk"))
+        (lit(k + 1) - col("rnk")).as("grade"), col("rnk"))
     val dcgTerm = "cast(round(cast(grade as double) / " +
       "log2(cast(pos + 1 as double)), 6) as decimal(38,6))"
     val idcg = truth

@@ -507,8 +507,15 @@ object TextOps {
         .withColumn("mask", expr(s"transform(sequence(0, n - 1), i -> $maskBit)"))
         .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
           expr("cast(size(filter(mask, x -> x)) as long)").as("n_masked"),
-          expr("cast(size(filter(sequence(1, n), i -> element_at(mask, i) " +
-            "AND (i = 1 OR NOT element_at(mask, i - 1)))) as long)")
+          // Span starts: position 1 counted on its own, positions 2..n
+          // by a mask[i] AND NOT mask[i-1] scan that can never form an
+          // index-0 access (sequence(2, 1) is DESCENDING, not empty —
+          // hence the n >= 2 guard). try_element_at is no help here:
+          // Spark rejects index 0 even in the try_ variant.
+          expr("cast((case when element_at(mask, 1) then 1 else 0 end) + " +
+            "(case when n >= 2 then size(filter(sequence(2, n), " +
+            "i -> element_at(mask, i) AND NOT element_at(mask, i - 1))) " +
+            "else 0 end) as long)")
             .as("n_spans"))
         .withColumn("mask_ratio", round(col("n_masked").cast("double") /
           col("n_tokens").cast("double"), 4))

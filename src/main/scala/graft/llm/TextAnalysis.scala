@@ -477,6 +477,55 @@ object TextAnalysis {
         .orderBy("source")
     }),
 
+    // Unigram-LM tokenizer trainer (Kudo 2018 — the SentencePiece
+    // family; see the helper block's algorithm note). Two EM rounds
+    // over the distinct-word dictionary: round 1 segments under the
+    // substring-count seed vocabulary (all chars + top-200 multi-char
+    // pieces), round 2 under the usage-pruned, add-one-smoothed
+    // refresh. One report row per round: vocab size, corpus Viterbi
+    // log-likelihood (the number EM monotonically improves), piece
+    // budget, pieces/word — the curve a tokenizer build monitors,
+    // beside q_bpe_train's merge curve. Scale: ONE corpus scan builds
+    // the dict; each round is a map-only dict pass (broadcast piece
+    // map, sequential in-row DP) plus a vocab-bounded aggregate — at
+    // 100 TB the corpus I/O dominates and EM cost is corpus-free.
+    "q_ulm_train" -> ((s, dir) => {
+      val (v0, seg1, v1, seg2) = ulmChain(Tables(s, dir, "documents"))
+      ulmStats(seg1, v0, 1).unionByName(ulmStats(seg2, v1, 2))
+        .orderBy("em_round")
+    }),
+
+    // Tokenizer-fertility SHOOTOUT by source: the trained BPE (3
+    // merge rounds) and the trained unigram LM (2 EM rounds) applied
+    // to the same corpus in ONE plan — the qualification table a
+    // tokenizer bake-off produces (BLOOM-style fertility, per
+    // subcorpus, one column per tokenizer family). Both segmentation
+    // tables are dict-bounded build sides picked up by shuffle_hash
+    // joins on the single corpus word scan (the q_bpe_fertility
+    // shape, widened by one join). ULM fertility reads lower wherever
+    // frequent whole-substring pieces beat BPE's greedy merges.
+    "q_ulm_fertility" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val (_, _, _, seg2) = ulmChain(docs)
+      val ulmSeg = seg2.select(col("w"), size(col("ks")).as("n_ulm"))
+      var cur = bpeSymbolsOf(docs)
+      (1 to 3).foreach { _ => cur = bpeStep(cur)._2 }
+      val bpeSeg = cur.groupBy(col("w")).agg(count(lit(1)).as("n_bpe"))
+      docs.select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+        .join(bpeSeg.hint("shuffle_hash"), "w")
+        .join(ulmSeg.hint("shuffle_hash"), "w")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_bpe")).as("n_bpe_units"),
+          sum(col("n_ulm").cast("long")).as("n_ulm_units"),
+          round(sum(col("n_bpe")).cast("double") / count(lit(1)), 4)
+            .cast("double").as("fertility_bpe"),
+          round(sum(col("n_ulm").cast("long")).cast("double") / count(lit(1)), 4)
+            .cast("double").as("fertility_ulm"))
+        .orderBy("source")
+    }),
+
     // Multinomial Naive Bayes language classifier, trained and applied
     // in ONE plan — "model training as aggregation, inference as
     // join", the in-engine supervised shape (a quality/language
@@ -759,6 +808,152 @@ object TextAnalysis {
       .select(col("w"), col("f"), col("i2").as("i"),
         when(col("m"), concat(col("s"), col("r"))).otherwise(col("s")).as("s"))
     (best, next)
+  }
+
+  // ---- Unigram-LM tokenizer (Kudo 2018, the SentencePiece family) ----
+  //
+  // The OTHER production tokenizer: instead of learning merges, score
+  // every word's segmentation under a unigram piece LM and keep the
+  // Viterbi-best one; EM alternates (E) Viterbi segmentation of each
+  // DISTINCT word with (M) piece-usage re-estimation. Like BPE, the
+  // corpus is touched exactly once (the dictionary scan) — each EM
+  // round is a map-only pass over the vocab-bounded dictionary with
+  // the piece table riding along as a broadcast map, plus one
+  // vocab-bounded usage aggregate. Viterbi is a SEQUENTIAL per-word
+  // DP, which is exactly what `aggregate()`'s ordered fold gives us
+  // in-plan (DuckDB twin: `list_reduce`): dp[j] = max over piece
+  // length k ≤ 4 of dp[j-k] + logp(w[j-k+1..j]). Numerics: logp =
+  // round(ln(cnt/total), 6) as DECIMAL(18,6), so every dp cell is a
+  // SUM OF EXACT DECIMALS along one deterministic path — cross-engine
+  // bit-exact (the one accepted transcendental-boundary risk is the
+  // 6-dp round on a raw ln, the q_doc_surprisal note).
+
+  /** SentencePiece-style max word length: words longer than this are
+    * excluded from the ULM dictionary (spm_train skips over-long
+    * words the same way). Doubles as the unroll depth of the oracle
+    * twin's set-based Viterbi (a 16-char word has ≤ 16 pieces). */
+  private lazy val UlmMaxWlen = 16
+
+  /** The distinct lowercase-alpha word dictionary (w, f) — the one
+    * corpus scan every tokenizer trainer shares. */
+  private def wordDict(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("word").as("w")).agg(count(lit(1)).as("f"))
+
+  /** Seed vocabulary: every substring of length 1..4, counted with
+    * word frequency; ALL single chars are kept (SentencePiece's
+    * never-prune-characters rule keeps every word segmentable), plus
+    * the top-200 multi-char pieces by (count desc, piece asc). */
+  private def ulmSeedVocab(wd: DataFrame): DataFrame = {
+    val pieces = wd.select(col("f"), explode(expr(
+        "flatten(transform(sequence(1, length(w)), i -> " +
+          "transform(sequence(1, least(4, length(w) - i + 1)), " +
+          "k -> substring(w, i, k))))")).as("p"))
+      .groupBy(col("p")).agg(sum(col("f")).as("cnt"))
+    pieces.filter(length(col("p")) === 1)
+      .unionByName(pieces.filter(length(col("p")) > 1)
+        .orderBy(col("cnt").desc, col("p")).limit(200))
+  }
+
+  /** (piece, cnt) → (piece, logp) with logp = round(ln(cnt/Σcnt), 6)
+    * as DECIMAL(18,6) — the exact currency of the Viterbi DP. */
+  private def ulmScored(v: DataFrame): DataFrame =
+    v.crossJoin(broadcast(v.agg(sum(col("cnt")).as("tot"))))
+      .select(col("p"),
+        round(log(col("cnt").cast("double") / col("tot").cast("double")), 6)
+          .cast("decimal(18,6)").as("lp"))
+
+  /** Forward Viterbi: acc holds dp[0..j-1] (1-based), so at each step
+    * j = size(acc) and dp[j] = max over k of dp[j-k] + logp(piece);
+    * pieces missing from the vocab map null out of the candidate set
+    * (try_element_at — a plain element_at throws under ANSI). */
+  private lazy val ulmDpExpr =
+    """aggregate(sequence(1, length(w)), array(cast(0 as decimal(18,6))),
+      (acc, x) -> array_append(acc, array_max(filter(transform(
+          sequence(1, least(4, size(acc))),
+          k -> cast(element_at(acc, size(acc) - k + 1) +
+               try_element_at(m, substring(w, size(acc) - k + 1, k))
+               as decimal(18,6))),
+        v -> v is not null))))"""
+
+  /** Backtrack fold over the SAME candidate arithmetic: acc[1] is the
+    * remaining-prefix length p, the chosen piece lengths append at the
+    * tail (last piece first); k* = the SMALLEST k whose candidate
+    * equals dp[p] — decimal equality, so the tie-break is exact. Runs
+    * length(w) steps and no-ops once p hits 0. */
+  private lazy val ulmBtExpr = {
+    val p = "element_at(acc, 1)"
+    val kstar = s"""array_min(filter(transform(sequence(1, least(4, $p)),
+         k -> case when cast(element_at(dp, $p - k + 1) +
+                try_element_at(m, substring(w, $p - k + 1, k))
+                as decimal(18,6))
+                = element_at(dp, $p + 1) then k end),
+       v -> v is not null))"""
+    s"""aggregate(sequence(1, length(w)), array(length(w)),
+      (acc, x) -> if($p <= 0, acc,
+        concat(array($p - $kstar), slice(acc, 2, size(acc) - 1),
+          array($kstar))))"""
+  }
+
+  /** The segmentation pieces from the (already reversed) length list:
+    * piece i starts after the lengths of pieces 1..i-1. */
+  private lazy val ulmPiecesExpr =
+    """transform(sequence(1, size(ks)), i ->
+        substring(w, 1 + aggregate(slice(ks, 1, i - 1), 0, (a, b) -> a + b),
+          element_at(ks, i)))"""
+
+  /** One E-step: the dictionary × the broadcast (piece → logp) map,
+    * dp + backtrack folds, `ks` = piece lengths in word order. */
+  private def ulmSegment(wd: DataFrame, scored: DataFrame): DataFrame =
+    wd.crossJoin(broadcast(scored.agg(
+        map_from_entries(collect_list(struct(col("p"), col("lp")))).as("m"))))
+      .withColumn("dp", expr(ulmDpExpr))
+      .withColumn("bt", expr(ulmBtExpr))
+      .withColumn("ks", expr("reverse(slice(bt, 2, size(bt) - 1))"))
+
+  /** M-step usage counts: piece occurrences in the Viterbi-best
+    * segmentations, weighted by word frequency — vocab-bounded. */
+  private def ulmUsage(seg: DataFrame): DataFrame =
+    seg.select(col("f"), explode(expr(ulmPiecesExpr)).as("p"))
+      .groupBy(col("p")).agg(sum(col("f")).as("c"))
+
+  /** M-step vocab refresh: multi-char pieces survive only with usage
+    * > 0 (the pruning flavor), single chars always survive, and the
+    * add-one keeps unused chars finitely probable. */
+  private def ulmRefine(v0: DataFrame, use: DataFrame): DataFrame =
+    v0.filter(length(col("p")) === 1).select(col("p"))
+      .join(use, Seq("p"), "left")
+      .select(col("p"), (coalesce(col("c"), lit(0L)) + 1).as("cnt"))
+      .unionByName(use.filter(length(col("p")) > 1)
+        .select(col("p"), (col("c") + 1).as("cnt")))
+
+  /** Per-round report row: vocab size, corpus Viterbi log-likelihood
+    * (Σ f·dp[n], summed in decimal — order-free), piece counts. */
+  private def ulmStats(seg: DataFrame, vocab: DataFrame, r: Int): DataFrame =
+    seg.select(
+        (col("f").cast("decimal(12,0)") *
+          expr("element_at(dp, length(w) + 1)")).as("fll"),
+        (col("f") * size(col("ks"))).as("fu"), col("f"))
+      .agg(sum(col("fll")).as("lls"), sum(col("fu")).as("nu"),
+        sum(col("f")).as("nw"))
+      .crossJoin(broadcast(vocab.agg(count(lit(1)).as("vocab_size"))))
+      .select(lit(r).as("em_round"), col("vocab_size"),
+        round(col("lls"), 4).cast("double").as("ll"),
+        col("nu").as("n_pieces"),
+        round(col("nu").cast("double") / col("nw").cast("double"), 4)
+          .as("pieces_per_word"))
+
+  /** The full two-round EM chain — shared by the trainer row and the
+    * fertility comparison (which wants seg2, the final tokenizer). */
+  private def ulmChain(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val wd = wordDict(docs).filter(length(col("w")) <= UlmMaxWlen)
+    val v0 = ulmSeedVocab(wd)
+    val seg1 = ulmSegment(wd, ulmScored(v0))
+    val v1 = ulmRefine(v0, ulmUsage(seg1))
+    val seg2 = ulmSegment(wd, ulmScored(v1))
+    (v0, seg1, v1, seg2)
   }
 
   /** Distinct winnowing fingerprints for docs matching `docPred`
@@ -1071,6 +1266,12 @@ object TextAnalysis {
                AS DOUBLE) AS fertility
       FROM dtok JOIN seg USING (w)
       GROUP BY source ORDER BY source"""),
+    // Unigram-LM twins: the full EM chain re-derived in DuckDB — the
+    // Viterbi folds as list_reduce (decimal(18,6) currency, identical
+    // candidate arithmetic and smallest-k tie-break), so every dp
+    // cell, segmentation, and likelihood is bit-equal by construction.
+    "q_ulm_train" -> ulmTrainSql,
+    "q_ulm_fertility" -> ulmFertilitySql,
     // Twin of the DSIR selector: same 64 hashed buckets (the CMS/HLL
     // hex-prefix idiom), same add-1 bucket LMs and 6-dp log-ratio
     // terms, same decimal(38,6) per-doc sum, and the same 32-bin
@@ -1249,16 +1450,148 @@ object TextAnalysis {
                 CASE WHEN m THEN s || r ELSE s END AS s
               FROM j$k WHERE NOT consumed)"""
 
+  /** The distinct-word dictionary CTE shared by every tokenizer twin
+    * (BPE rounds and the unigram-LM chain). */
+  private lazy val wdCte = """wd AS (SELECT word AS w, count(*) AS f FROM
+                    (SELECT unnest(string_split(text, ' ')) AS word
+                     FROM documents)
+                  WHERE regexp_full_match(word, '[a-z]+') GROUP BY word)"""
+
   /** Shared CTE prefix: dictionary, round-0 symbols, and the three
     * chained merge rounds ending in `s4` — the trained tokenizer. */
   private lazy val bpeCtes = s"""
-      WITH wd AS (SELECT word AS w, count(*) AS f FROM
-                    (SELECT unnest(string_split(text, ' ')) AS word
-                     FROM documents)
-                  WHERE regexp_full_match(word, '[a-z]+') GROUP BY word),
+      WITH $wdCte,
       s1 AS (SELECT w, f, CAST(i AS INT) AS i, substr(w, CAST(i AS INT), 1) AS s
              FROM wd, UNNEST(generate_series(1, len(w))) AS u(i)),
       ${bpeStepCtes(1)}, ${bpeStepCtes(2)}, ${bpeStepCtes(3)}"""
+
+  /** DuckDB Viterbi — NOT a list_reduce mirror of ulmDpExpr: DuckDB
+    * 1.0's list_reduce PERMUTES results ACROSS ROWS when the lambda
+    * references another list column of the row (reproduced: identical
+    * fold correct on any small subset, 5/31 words swapped over the
+    * full dictionary; plain list_transform over the same expressions
+    * is correct everywhere). The twin therefore unrolls the sequential
+    * state into ULM_MAX_WLEN set-based CTE steps — the bpeStepCtes
+    * idiom — with per-row list_transform only (the proven-safe
+    * executor path). One dp-append step; no-ops once dp is full. */
+  private lazy val ulmDpStepSql =
+    """CASE WHEN len(t.dp) > len(w) THEN t.dp ELSE list_append(t.dp,
+        list_aggregate(list_filter(list_transform(
+            generate_series(1, least(4, len(t.dp))),
+            k -> CAST(t.dp[len(t.dp) - k + 1] +
+                 map_extract(mm, substr(w, len(t.dp) - k + 1, k))[1]
+                 AS DECIMAL(18,6))),
+          y -> y IS NOT NULL), 'max')) END"""
+
+  /** Per-position smallest matching k (the backtrack tie-break),
+    * computed positionally — no sequential state, plain transform. */
+  private lazy val ulmKsatSql =
+    """list_transform(generate_series(1, len(w)), p ->
+        list_min(list_filter(list_transform(generate_series(1, least(4, p)),
+          k -> CASE WHEN CAST(dp[p - k + 1] +
+                 map_extract(mm, substr(w, p - k + 1, k))[1]
+                 AS DECIMAL(18,6)) = dp[p + 1] THEN k END),
+        y -> y IS NOT NULL)))"""
+
+  /** One pointer-chase step of the backtrack walk: p -> p - ksat[p],
+    * appending the chosen piece length; no-ops once p hits 0. */
+  private lazy val ulmWalkStepSql =
+    """CASE WHEN t.p <= 0 THEN t.p ELSE CAST(t.p - ksat[t.p] AS INT) END AS p,
+       CASE WHEN t.p <= 0 THEN t.ks
+            ELSE list_append(t.ks, CAST(ksat[t.p] AS INT)) END AS ks"""
+
+  /** One segmentation round as unrolled CTEs: r names the round; the
+    * input vocab map CTE must be um{r-1}. Emits uk{r} = (w, f, dp, ks)
+    * with ks in word order. */
+  private def ulmSegCtes(r: Int): String = {
+    val dpSteps = (1 to UlmMaxWlen).map { s =>
+      val prev = if (s == 1) s"ud${r}_0" else s"ud${r}_${s - 1}"
+      s"ud${r}_$s AS (SELECT w, f, mm, $ulmDpStepSql AS dp FROM $prev t)"
+    }.mkString(",\n      ")
+    val walkSteps = (1 to UlmMaxWlen).map { s =>
+      val prev = if (s == 1) s"uw${r}_0" else s"uw${r}_${s - 1}"
+      s"uw${r}_$s AS (SELECT w, f, dp, ksat, $ulmWalkStepSql FROM $prev t)"
+    }.mkString(",\n      ")
+    s"""ud${r}_0 AS (SELECT w, f, mm, [CAST(0 AS DECIMAL(18,6))] AS dp
+                FROM uwd, um${r - 1}),
+      $dpSteps,
+      uq$r AS (SELECT w, f, dp, $ulmKsatSql AS ksat FROM ud${r}_$UlmMaxWlen),
+      uw${r}_0 AS (SELECT w, f, dp, ksat, CAST(len(w) AS INT) AS p,
+                CAST([] AS INT[]) AS ks FROM uq$r),
+      $walkSteps,
+      uk$r AS (SELECT w, f, dp, list_reverse(ks) AS ks FROM uw${r}_$UlmMaxWlen)"""
+  }
+
+  private def ulmStatsSql(r: Int, vocabCte: String, segCte: String) = s"""
+      (SELECT CAST($r AS INT) AS em_round,
+         (SELECT count(*) FROM $vocabCte) AS vocab_size,
+         CAST(round(sum(CAST(f AS DECIMAL(12,0)) * dp[len(w) + 1]), 4)
+           AS DOUBLE) AS ll,
+         CAST(sum(f * len(ks)) AS BIGINT) AS n_pieces,
+         round(CAST(sum(f * len(ks)) AS DOUBLE) / CAST(sum(f) AS DOUBLE), 4)
+           AS pieces_per_word
+       FROM $segCte)"""
+
+  /** The unigram-LM EM chain as CTEs (appends after `wd`): capped dict
+    * uwd, seed vocab up0/uv0, scored us0/map um0, round-1 unrolled
+    * segmentation (ulmSegCtes(1) → uk1), usage usg1, refreshed vocab
+    * uc1/us1/um1, round-2 segmentation (→ uk2) — each stage the
+    * mirror of its Spark frame (modulo the list_reduce workaround,
+    * see ulmDpStepSql). */
+  private lazy val ulmCtes = s"""
+      uwd AS (SELECT w, f FROM wd WHERE len(w) <= $UlmMaxWlen),
+      up0 AS (SELECT p, CAST(sum(f) AS BIGINT) AS cnt FROM (
+                SELECT f, substr(w, CAST(i AS INT), CAST(k AS INT)) AS p
+                FROM uwd, UNNEST(generate_series(1, len(w))) AS ui(i),
+                     UNNEST(generate_series(1, 4)) AS uk(k)
+                WHERE i + k - 1 <= len(w)) GROUP BY p),
+      uv0 AS (SELECT p, cnt FROM up0 WHERE len(p) = 1
+              UNION ALL
+              SELECT p, cnt FROM (SELECT p, cnt FROM up0 WHERE len(p) > 1
+                                  ORDER BY cnt DESC, p LIMIT 200) t),
+      ut0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM uv0),
+      us0 AS (SELECT p, CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)), 6)
+                     AS DECIMAL(18,6)) AS lp FROM uv0, ut0),
+      um0 AS (SELECT map(list(p ORDER BY p), list(lp ORDER BY p)) AS mm FROM us0),
+      ${ulmSegCtes(1)},
+      usg1 AS (SELECT p, CAST(sum(f) AS BIGINT) AS c FROM (
+                 SELECT f, unnest(list_transform(generate_series(1, len(ks)), i ->
+                   substr(w, CAST(1 + coalesce(list_sum(list_slice(ks, 1, i - 1)), 0) AS INT),
+                     CAST(ks[i] AS INT)))) AS p
+                 FROM uk1) t GROUP BY p),
+      uc1 AS (SELECT s.p, coalesce(u.c, 0) + 1 AS cnt
+              FROM (SELECT p FROM uv0 WHERE len(p) = 1) s
+                LEFT JOIN usg1 u USING (p)
+              UNION ALL
+              SELECT p, c + 1 FROM usg1 WHERE len(p) > 1),
+      ut1 AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM uc1),
+      us1 AS (SELECT p, CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)), 6)
+                     AS DECIMAL(18,6)) AS lp FROM uc1, ut1),
+      um1 AS (SELECT map(list(p ORDER BY p), list(lp ORDER BY p)) AS mm FROM us1),
+      ${ulmSegCtes(2)}"""
+
+  private lazy val ulmTrainSql = s"""
+      WITH $wdCte, $ulmCtes
+      SELECT * FROM ${ulmStatsSql(1, "uv0", "uk1")}
+      UNION ALL SELECT * FROM ${ulmStatsSql(2, "uc1", "uk2")}
+      ORDER BY em_round"""
+
+  private lazy val ulmFertilitySql = bpeCtes + s""", $ulmCtes,
+      bseg AS (SELECT w, count(*) AS n_bpe FROM s4 GROUP BY w),
+      useg AS (SELECT w, len(ks) AS n_ulm FROM uk2),
+      dtok AS (SELECT source, w FROM
+                 (SELECT source, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+               WHERE regexp_full_match(w, '[a-z]+'))
+      SELECT source, count(*) AS n_words,
+             CAST(sum(n_bpe) AS BIGINT) AS n_bpe_units,
+             CAST(sum(n_ulm) AS BIGINT) AS n_ulm_units,
+             CAST(round(CAST(sum(n_bpe) AS DOUBLE) / count(*), 4)
+               AS DOUBLE) AS fertility_bpe,
+             CAST(round(CAST(sum(n_ulm) AS DOUBLE) / count(*), 4)
+               AS DOUBLE) AS fertility_ulm
+      FROM dtok JOIN bseg USING (w) JOIN useg USING (w)
+      GROUP BY source ORDER BY source"""
 
   private lazy val bpeSql = bpeCtes + s"""
       SELECT * FROM (

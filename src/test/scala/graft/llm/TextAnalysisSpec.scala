@@ -120,6 +120,58 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got == Seq((1L, 3L, 3L, 1.0)))
   }
 
+  test("q_ulm_train matches the hand-computed EM rounds") {
+    // Dict: abcd(f=2), ab(1), cd(1), x(1). Seed vocab: 5 singles + 6
+    // multi = 11 pieces, total weight 27. Every word Viterbi-segments
+    // to ONE piece (whole-word pieces beat any split), so round 1:
+    // ll = 2·ln(2/27) + ln(3/27)·2 + ln(1/27), each 6-dp rounded,
+    // = −12.8957; 5 pieces / 5 words. Usage prunes the vocab to the
+    // 5 singles (+1 smoothing) + {abcd, ab, cd} = 8 pieces, total 13;
+    // round 2: ll = 2·ln(3/13) + 3·ln(2/13) = −8.5481.
+    val dir = java.nio.file.Files.createTempDirectory("ulm").toString
+    Seq((1L, "abcd abcd ab cd x"))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.queries("q_ulm_train")(spark, dir)
+      .as[(Int, Long, Double, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1, 11L, -12.8957, 5L, 1.0),
+      (2, 8L, -8.5481, 5L, 1.0)))
+  }
+
+  test("ULM: multi-piece Viterbi, pruning to singles, and the word-length cap") {
+    // 'aaaaaaaaaaaaaaaaaaaa' (20 chars) exceeds the 16-char cap and
+    // drops from the dict, leaving 'bb'. Seed: {b: 2, bb: 1}, tot 3 —
+    // the SPLIT [b,b] (2·ln(2/3) = −0.8109) beats [bb] (ln(1/3) =
+    // −1.0986), so round 1 picks 2 pieces and 'bb' prunes out of the
+    // vocab; round 2's vocab is the lone smoothed single {b: 3}/3 →
+    // lp = 0 and ll = 0.
+    val dir = java.nio.file.Files.createTempDirectory("ulmcap").toString
+    Seq((1L, ("a" * 20) + " bb"))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.queries("q_ulm_train")(spark, dir)
+      .as[(Int, Long, Double, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1, 2L, -0.8109, 2L, 2.0),
+      (2, 1L, 0.0, 2L, 2.0)))
+  }
+
+  test("q_ulm_fertility: both tokenizers collapse the hand corpus to 1 unit/word") {
+    // ULM: every word is a whole-word piece (first test). BPE: merges
+    // (a,b) → (c,d) → (ab,cd) leave every dict word a single unit.
+    val dir = java.nio.file.Files.createTempDirectory("ulmf").toString
+    Seq((1L, "abcd abcd ab cd x"))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.queries("q_ulm_fertility")(spark, dir)
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(("src", 5L, 5L, 5L, 1.0, 1.0)))
+  }
+
   test("q_nb_classify separates a separable corpus perfectly") {
     // Train (doc_id % 4 != 0): class x says only "aa", class y only
     // "bb". Test (doc_id % 4 == 0): 4 is pure-x text, 8 pure-y.

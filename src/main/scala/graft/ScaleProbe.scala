@@ -671,6 +671,44 @@ object ScaleProbe {
       timedLoss(16)
       docs.unpersist(false)
     }
+
+    // Incremental-IVF probe: the standing index trains on an N×
+    // corpus (one assignment pass + a K-row aggregate — that cost may
+    // grow with N), but the DELTA ingest is a projection against the
+    // K×65 literal stats, so ingest wall must stay FLAT in N — the
+    // q_dedup_incremental scaling argument applied to index
+    // maintenance. Delta is FIXED (the base corpus's vec_id % 10 = 7
+    // slice) while the training corpus replicates ×1/×4/×16.
+    if (want("ivfincr"))
+    locally {
+      val qe = Dedup.quantized(spark, sfDir)
+        .select(col("vec_id"), col("q"), col("norm")).persist()
+      val delta = qe.filter(col("vec_id") % 10 === 7).persist()
+      val nDelta = delta.count()
+      val corpus0 = qe.filter(col("vec_id") % 10 =!= 7)
+      val nCorp = corpus0.count()
+      val stride = qe.agg(max(col("vec_id"))).head().getLong(0) + 1L
+      def timedIngest(mult: Int): Unit = {
+        val scaled = corpus0
+          .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
+            col("vec_id"), col("q"), col("norm"))
+          .select((col("vec_id") + col("i") * lit(stride)).as("vec_id"),
+            col("q"), col("norm"))
+        val t0 = System.nanoTime()
+        val parts = graft.llm.Similarity.ivfTrainStats(scaled)
+        val tTrain = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val hist = graft.llm.Similarity.ivfAssignWith(parts, delta)
+          .groupBy(col("cell")).count().orderBy("cell").collect()
+          .map(r => r.getLong(1)).mkString("[", ",", "]")
+        val tIngest = (System.nanoTime() - t1) / 1e9
+        println(f"""{"probe":"ivfincr_${mult}x","corpus":${nCorp * mult},"delta":$nDelta,"train_sec":$tTrain%.2f,"ingest_sec":$tIngest%.2f,"delta_cells":$hist}""")
+      }
+      timedIngest(1)
+      timedIngest(4)
+      timedIngest(16)
+      delta.unpersist(false); qe.unpersist(false)
+    }
     spark.stop()
   }
 }

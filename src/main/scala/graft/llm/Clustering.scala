@@ -263,11 +263,15 @@ object Clustering {
   /** DuckDB twin of [[assign]] on the SEED centroids, as reusable CTEs
     * `ivd`/`iva` over `qn` — the IVF oracle in [[Similarity]] trains
     * its cells from exactly this assignment. */
-  private[llm] lazy val assignCtes: String = s"""
+  private[llm] lazy val assignCtes: String = assignCtesOn("qn")
+
+  /** [[assignCtes]] over an arbitrary source CTE — the incremental
+    * ingest twin trains its standing index on the corpus subset. */
+  private[llm] def assignCtesOn(src: String): String = s"""
       ivd AS (SELECT vec_id, q, norm,
                 ${(0 to 3).map(k =>
                   s"norm - 2 * ${dotC(k)} + ${cNormSq(k)} AS d$k").mkString(", ")}
-              FROM qn),
+              FROM $src),
       iva AS (SELECT vec_id, q, norm,
                 CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
                      WHEN d1 <= d2 AND d1 <= d3 THEN 1

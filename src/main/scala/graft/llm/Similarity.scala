@@ -254,6 +254,17 @@ object Similarity {
     * the vector itself (residual PQ encoding, [[ivfPqResTop]]). */
   private[graft] def ivfCellsAndCentroids(
       qe: DataFrame): (DataFrame, Seq[Seq[Long]]) = {
+    val parts = ivfTrainStats(qe)
+    (ivfAssignWith(parts, qe), parts.map { case (n, sv, _) => sv.map(_ / n) })
+  }
+
+  /** The trained coarse quantizer as exact integer stats (n_k, s_k,
+    * |s_k|²) per non-empty cell — the K×65 ints that round-trip the
+    * driver and re-enter downstream plans as literals. Split from the
+    * assignment so an INCREMENTAL ingest can assign a delta against a
+    * STANDING index trained on the corpus alone. */
+  private[graft] def ivfTrainStats(
+      train: DataFrame): Seq[(Long, Seq[Long], BigInt)] = {
     // vec_sum (ONE imperative buffer) instead of 64 sum(q[i]) columns:
     // identical Long sums, same K×64 exchange payload, but the
     // generated aggregate class shrinks from 65 update expressions to
@@ -261,7 +272,7 @@ object Similarity {
     // that class's janino compile (3.9 s vs 0.8 s warm at sf0.1), and
     // under interleaved bench passes the codegen cache always evicts
     // it between reps, so every pass's first family query repaid it.
-    val byK = Clustering.assign(qe, Clustering.centroids.map(_.map(_.toLong)))
+    val byK = Clustering.assign(train, Clustering.centroids.map(_.map(_.toLong)))
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n"), expr("vec_sum(q, 64)").as("sv"))
       .collect().map(r => r.getAs[Int]("cluster") -> r).toMap
@@ -275,15 +286,24 @@ object Similarity {
     // the oracle contract holds on degenerate corpora too.
     require(byK.nonEmpty, "IVF training: empty corpus")
     val present = byK.keys.toSeq.sorted
-    val parts = present.map { k =>
+    present.map { k =>
       val r = byK(k)
       val n = r.getAs[Long]("n")
       val sv = r.getAs[scala.collection.Seq[Long]]("sv").toSeq
       val s2 = sv.map(v => BigInt(v) * BigInt(v)).sum
       (n, sv, s2)
     }
+  }
+
+  /** Assign `apply`'s vectors to the standing cells described by
+    * `parts` — a pure scan-side projection (K literal dot products +
+    * the divisionless cross-multiplied argmin), no shuffle, no
+    * training pass: cost ∝ |apply| regardless of how large the corpus
+    * that trained the index was. */
+  private[graft] def ivfAssignWith(parts: Seq[(Long, Seq[Long], BigInt)],
+      apply: DataFrame): DataFrame = {
     val m = parts.size
-    val withU = parts.zipWithIndex.foldLeft(qe) { case (df, ((n, sv, s2), k)) =>
+    val withU = parts.zipWithIndex.foldLeft(apply) { case (df, ((n, sv, s2), k)) =>
       df.withColumn(s"u$k",
         expr(s"cast('$s2' as decimal(38,0)) - 2 * $n * " +
           s"cast(dot_long(q, cast(array(${sv.mkString(",")}) as array<bigint>)) as decimal(38,0))"))
@@ -292,7 +312,7 @@ object Similarity {
       val (nk, nj) = (parts(k)._1, parts(j)._1)
       s"cast($nj as decimal(38,0)) * $nj * u$k <= cast($nk as decimal(38,0)) * $nk * u$j"
     }
-    val cellsDf = withU.withColumn("cell", expr(Similarity.argminCase(cond, m)))
+    withU.withColumn("cell", expr(Similarity.argminCase(cond, m)))
       // second-nearest cell — the nprobe = 2 target ([[ivfTop]]'s
       // multiprobe): same comparisons, best cell excluded; with a
       // single non-empty cell there is no second-nearest — cell2 =
@@ -301,7 +321,6 @@ object Similarity {
         if (m == 1) lit(0)
         else expr(Similarity.secondCase("cell", cond, m)))
       .select(col("vec_id"), col("q"), col("norm"), col("cell"), col("cell2"))
-    (cellsDf, parts.map { case (n, sv, _) => sv.map(_ / n) })
   }
 
   /** IVF top-k: queries probe their own trained cell (nprobe = 1) or
@@ -318,13 +337,21 @@ object Similarity {
   /** Cells-taking form: the recall grid trains the index ONCE and runs
     * every (k, nprobe) operating point against the same cells frame. */
   private def ivfTopFrom(cells: DataFrame, qmax: Int, k: Int,
+      nprobe: Int): DataFrame =
+    ivfTopOn(cells, col("vec_id") < qmax, k, nprobe)
+
+  /** Panel-predicate form: the incremental-ingest row runs the same
+    * ranking with its query panel restricted to standing (pre-delta)
+    * vectors, against both the before- and after-ingest cell sets. */
+  private def ivfTopOn(cells: DataFrame,
+      qpred: org.apache.spark.sql.Column, k: Int,
       nprobe: Int): DataFrame = {
     // array_distinct: with a degenerate single-cell index cell2 == cell
     // and a duplicate probe would double every candidate row
     val probeCols =
       if (nprobe >= 2) array_distinct(array(col("cell"), col("cell2")))
       else array(col("cell"))
-    val queriesDf = cells.filter(col("vec_id") < qmax)
+    val queriesDf = cells.filter(qpred)
       .select(col("vec_id").as("query_id"), col("cell"),
         explode(probeCols).as("probe"),
         col("q").as("qa"), col("norm").as("na"))
@@ -1112,6 +1139,46 @@ object Similarity {
           .select("query_id", "neighbor_id"),
         k = 3)),
 
+    // INCREMENTAL index maintenance — the ingest-side analog of
+    // q_dedup_incremental: a delta of new vectors (vec_id % 10 = 7,
+    // the arriving batch) is assigned to the STANDING IVF index
+    // trained on the corpus alone — [[ivfAssignWith]], a pure
+    // scan-side projection against the literal (n, Σv) cell stats, so
+    // ingest cost ∝ |delta| with NO retraining pass and NO shuffle
+    // (the FAISS add-without-train contract). The output is the
+    // before/after quality row: recall@3 (nprobe = 2) of the standing
+    // query panel against the brute truth over the FULL corpus —
+    // pre-ingest the index cannot return any delta neighbor (they are
+    // not indexed), post-ingest it can; the delta therefore lifts
+    // recall exactly where the truth set contains new vectors. One
+    // training collect serves both phases; the before-cells frame is
+    // a FILTER of the after-cells frame, so Catalyst plans the
+    // assignment projection once per branch with no extra pass.
+    "q_knn_ivf_incremental" -> ((s, dir) => {
+      val qe = Dedup.quantized(s, dir)
+      val corpusPred = col("vec_id") % 10 =!= 7
+      val parts = ivfTrainStats(qe.filter(corpusPred))
+      val cellsAll = ivfAssignWith(parts, qe)
+      val panel = col("vec_id") < 50 && col("vec_id") % 10 =!= 7
+      val truth = bruteTopWhere(s, dir, panel, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      def statRow(no: Int, name: String, idx: DataFrame): DataFrame =
+        truth.join(
+            ivfTopOn(idx, panel, k = 3, nprobe = 2)
+              .select(col("query_id").as("aq"), col("neighbor_id").as("an")),
+            col("query_id") === col("aq") && col("neighbor_id") === col("an"),
+            "left")
+          .agg(count(lit(1)).as("n_true"), count(col("an")).as("n_found"))
+          .crossJoin(broadcast(idx.agg(count(lit(1)).as("indexed_vectors"))))
+          .select(lit(no).as("stage_no"), lit(name).as("phase"),
+            col("indexed_vectors"), col("n_true"), col("n_found"),
+            round(col("n_found").cast("double") / col("n_true").cast("double"), 4)
+              .as("recall_at_3"))
+      statRow(1, "pre_ingest", cellsAll.filter(corpusPred))
+        .unionByName(statRow(2, "post_ingest", cellsAll))
+        .orderBy("stage_no")
+    }),
+
     // The K × nprobe OPERATING-POINT GRID (the q_dedup_lsh_tuning /
     // q_hll_tuning pattern applied to the IVF index): aggregate
     // recall@K over all 50 queries at every (K, nprobe) ∈ {3,10}×{1,2}
@@ -1483,6 +1550,7 @@ object Similarity {
       GROUP BY b.query_id ORDER BY b.query_id"""),
     "q_knn_ivf" -> ivfSql(multi = false),
     "q_knn_ivf_recall" -> ivfRecallSql(multi = false),
+    "q_knn_ivf_incremental" -> ivfIncrementalSql,
     "q_knn_ivf_mp" -> ivfSql(multi = true),
     "q_knn_ivf_mp_recall" -> ivfRecallSql(multi = true),
     "q_knn_ivf_recall_grid" -> ivfRecallGridSql,
@@ -1902,7 +1970,14 @@ object Similarity {
     * Spark `m == 1 → lit(0)` arm. The oracle-twinned-guard contract
     * therefore holds on degenerate corpora too, not just when all 4
     * seed cells are inhabited. */
-  private[llm] lazy val ivfCte = s"""
+  private[llm] lazy val ivfCte = ivfCteOn("qn")
+
+  /** [[ivfCte]] with the ASSIGNMENT source parameterized: training
+    * always reads `iva` (the seed-centroid assignment the enclosing
+    * query renders — over the full corpus or, for the incremental
+    * ingest twin, the standing subset), while `applySrc` is the set of
+    * vectors assigned to the trained cells (`ivcell`). */
+  private[llm] def ivfCteOn(applySrc: String): String = s"""
       ivn AS (SELECT cluster, count(*) AS n FROM iva GROUP BY 1),
       ivs AS (SELECT cluster, i, CAST(sum(q[i]) AS BIGINT) AS si
               FROM iva, UNNEST(generate_series(1, 64)) AS u(i)
@@ -1915,10 +1990,10 @@ object Similarity {
                 CAST(list_sum(list_transform(generate_series(1, 64),
                   i -> CAST(sv[i] AS HUGEINT) * sv[i])) AS HUGEINT) AS s2
               FROM ivn JOIN ivv ON ivn.cluster = ivv.cluster),
-      ivu AS (SELECT qn.vec_id, ivm.k, CAST(ivc.n AS HUGEINT) AS n,
+      ivu AS (SELECT qs.vec_id, ivm.k, CAST(ivc.n AS HUGEINT) AS n,
                 ivc.s2 - 2 * ivc.n * CAST(list_sum(list_transform(
-                  generate_series(1, 64), i -> qn.q[i] * ivc.sv[i])) AS HUGEINT) AS u
-              FROM qn, ivc JOIN ivm ON ivc.cluster = ivm.cluster),
+                  generate_series(1, 64), i -> qs.q[i] * ivc.sv[i])) AS HUGEINT) AS u
+              FROM $applySrc qs, ivc JOIN ivm ON ivc.cluster = ivm.cluster),
       ivlose AS (SELECT a.vec_id, a.k,
                    count(CASE WHEN a.n * a.n * b.u < b.n * b.n * a.u THEN 1 END) AS losses
                  FROM ivu a JOIN ivu b ON a.vec_id = b.vec_id
@@ -1932,10 +2007,10 @@ object Similarity {
                   GROUP BY a.vec_id, a.k),
       ivsec AS (SELECT vec_id, min(k) AS cell2 FROM ivlose2
                 WHERE losses = 0 GROUP BY vec_id),
-      ivcell AS (SELECT qn.vec_id, qn.q, qn.norm, ivcp.cell,
+      ivcell AS (SELECT qs.vec_id, qs.q, qs.norm, ivcp.cell,
                    coalesce(ivsec.cell2, ivcp.cell) AS cell2
-                 FROM qn JOIN ivcp ON qn.vec_id = ivcp.vec_id
-                      LEFT JOIN ivsec ON qn.vec_id = ivsec.vec_id)"""
+                 FROM $applySrc qs JOIN ivcp ON qs.vec_id = ivcp.vec_id
+                      LEFT JOIN ivsec ON qs.vec_id = ivsec.vec_id)"""
 
   /** SQL renderer of the cross-multiplied closeness comparison over
     * pivoted (uₖ, nₖ) columns — still the [[Clustering]] two-step
@@ -2325,6 +2400,52 @@ object Similarity {
       FROM brute b LEFT JOIN ivf a
         ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
       GROUP BY b.query_id ORDER BY b.query_id"""
+
+  /** Incremental-ingest twin: the standing index trains on qnc (the
+    * corpus minus the delta) via assignCtesOn("qnc"), ivfCteOn("qn")
+    * assigns EVERY vector to those standing cells, and the before
+    * ranking is the after ranking with delta candidates filtered out
+    * — mirroring the Spark side's single assignment projection. */
+  private lazy val ivfIncrementalSql = {
+    def leg(sfx: String, candFilter: String): String = s"""
+      ap$sfx AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+             FROM ivcell a JOIN ivcell b
+               ON b.cell IN (a.cell, a.cell2) AND a.vec_id < 50
+                  AND a.vec_id % 10 <> 7 $candFilter
+                  AND a.vec_id <> b.vec_id),
+      acos$sfx AS (SELECT query_id, neighbor_id,
+                 round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+               FROM ap$sfx),
+      ark$sfx AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM acos$sfx),
+      ivf$sfx AS (SELECT query_id, neighbor_id FROM ark$sfx WHERE rnk <= 3)"""
+    def row(no: Int, phase: String, idxSrc: String, ivfSrc: String): String = s"""
+      SELECT CAST($no AS INT) AS stage_no, '$phase' AS phase,
+             (SELECT count(*) FROM $idxSrc) AS indexed_vectors,
+             count(*) AS n_true, count(a.neighbor_id) AS n_found,
+             round(CAST(count(a.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS recall_at_3
+      FROM brute b LEFT JOIN $ivfSrc a
+        ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id"""
+    "WITH " + Dedup.QE + s""",
+      qnc AS (SELECT * FROM qn WHERE vec_id % 10 <> 7),""" +
+      Clustering.assignCtesOn("qnc") + "," + ivfCteOn("qn") + s""",
+      bp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+             FROM qn a JOIN qn b ON a.vec_id < 50 AND a.vec_id % 10 <> 7
+               AND a.vec_id <> b.vec_id),
+      bcos AS (SELECT query_id, neighbor_id,
+                 round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+               FROM bp),
+      brk AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM bcos),
+      brute AS (SELECT query_id, neighbor_id FROM brk WHERE rnk <= 3),""" +
+      leg("b", "AND b.vec_id % 10 <> 7") + "," + leg("a", "") +
+      row(1, "pre_ingest", "qnc", "ivfb") + " UNION ALL" +
+      row(2, "post_ingest", "qn", "ivfa") + " ORDER BY stage_no"
+  }
 
   /** DuckDB twin of the probe condition: own cell, or every Hamming-1
     * sign-flip cell too (xor is DuckDB's bitwise xor). */

@@ -233,6 +233,20 @@ object Streams {
       coalesce(col("exact_match"), nearMatch).as("match_id"))
   }
 
+  /** The q_knn_ivf_incremental ingest run CONTINUOUSLY — arriving
+    * vectors assigned to the STANDING trained IVF cells. The
+    * assignment ([[graft.llm.Similarity.ivfAssignWith]]) is a pure
+    * projection against the index's literal (n, Σv) cell stats — no
+    * join, no state, no shuffle — so it streams UNCHANGED: the
+    * streaming plan is the batch plan per micro-batch, cost ∝ |delta|
+    * whatever the corpus that trained the index (StreamsSpec pins
+    * row-level parity with the batch assignment and the stateless
+    * plan). `parts` is the standing index: train once in batch
+    * ([[graft.llm.Similarity.ivfTrainStats]]), redeploy per stream. */
+  def ivfIngest(delta: DataFrame,
+      parts: Seq[(Long, Seq[Long], BigInt)]): DataFrame =
+    graft.llm.Similarity.ivfAssignWith(parts, delta)
+
   /** The q_pipeline_chunks funnel run INCREMENTALLY — the shape a
     * production ingest schedules continuously: the same scan-side
     * language/quality features and filters (literally the same

@@ -665,4 +665,68 @@ class PlanSpec extends SparkSuite {
       assert(exchanges <= 1, s"$q: decode pipeline grew exchanges:\n$p")
     }
   }
+
+  test("q_mix_epochs joins only the broadcast 1-row quota frame") {
+    // two scans (weights aggregate, per-source counts), the single
+    // join a Cross BNLJ of the broadcast aggregate row — a shuffled
+    // or cartesian corpus join here would break the mix planner's
+    // aggregate-row pattern
+    val p = plan("q_mix_epochs")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+    assert(scans == 2, s"expected 2 scans, got $scans")
+    assert(p.contains("BroadcastNestedLoopJoin Cross BuildRight"))
+    assert(!p.contains("ShuffledHashJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q_bpe_fertility joins corpus words to the dict-bounded segmentation shuffled-hash") {
+    // the trained segmentation is the GBs-at-100TB build side — it
+    // must stay a ShuffledHashJoin build, never a corpus broadcast or
+    // a plan-estimated fallback to sort-merge
+    val p = plan("q_bpe_fertility")
+    assert(p.contains("ShuffledHashJoin Inner BuildRight"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_ulm_fertility picks up BOTH tokenizers on one corpus word scan") {
+    // two ShuffledHashJoins (BPE seg, ULM seg) stacked on the single
+    // exploded corpus scan; the EM chain itself never touches the
+    // corpus again
+    val p = plan("q_ulm_fertility")
+    val shj = "ShuffledHashJoin Inner BuildRight".r.findAllIn(p).size
+    assert(shj == 2, s"expected 2 shuffled-hash joins, got $shj")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_ulm_train broadcasts the piece map; the EM chain never shuffles words by piece") {
+    // the vocab map rides as the ObjectHashAggregate row under a
+    // Cross BNLJ broadcast (the aggregate-row pattern); dictionary
+    // passes are hash aggregates — no cartesian, no corpus-side
+    // shuffled join anywhere in the chain
+    val p = plan("q_ulm_train")
+    assert(p.contains("ObjectHashAggregate"))
+    assert(p.contains("BroadcastNestedLoopJoin Cross BuildRight"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_hard_negatives broadcasts the query panel; the corpus never shuffles pre-rank") {
+    val p = plan("q_hard_negatives")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+    assert(scans == 2, s"expected 2 scans, got $scans")
+    assert(p.contains("BroadcastNestedLoopJoin Inner BuildRight"))
+    assert(p.contains("WindowGroupLimit"),
+      "per-partition top-k must run before the final exchange")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_knn_ivf_incremental assigns the delta scan-side against literal cell stats") {
+    // both phases rank against broadcast query panels with
+    // WindowGroupLimit cuts; the ingest assignment is a projection
+    // (dot_long against literals), so no join/exchange may appear on
+    // the corpus path before the candidate join
+    val p = plan("q_knn_ivf_incremental")
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin Inner BuildRight"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -420,6 +420,48 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("IVF ingest streams the standing-cell assignment statelessly") {
+    // Train the coarse quantizer ONCE in batch, then assign arriving
+    // vectors per micro-batch: row-level parity with the batch
+    // assignment, zero stateful operators, and a shuffle-free plan —
+    // the add-without-train ANN ingest contract.
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    def vec(seed: Int): Seq[Long] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(64)((r.nextInt(4001) - 2000).toLong)
+    }
+    val corpus = (0 until 20).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "q").withColumn("norm", expr("dot_long(q, q)"))
+    val parts = graft.llm.Similarity.ivfTrainStats(corpus)
+    val delta = (100 until 106).map(i => (i.toLong, vec(i)))
+    val batchDf = Streams.ivfIngest(
+      delta.toDF("vec_id", "q").withColumn("norm", expr("dot_long(q, q)")),
+      parts)
+    assert(!batchDf.queryExecution.executedPlan.toString.contains("Exchange"),
+      "ingest assignment must be a pure scan-side projection")
+    val batch = batchDf.select("vec_id", "cell", "cell2")
+      .as[(Long, Int, Int)].collect().toSet
+    val in = MemoryStream[(Long, Seq[Long])]
+    val q = Streams.ivfIngest(
+        in.toDF().toDF("vec_id", "q")
+          .withColumn("norm", expr("dot_long(q, q)")), parts)
+      .writeStream.format("memory").queryName("ivfingest")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(delta.take(3): _*)
+      q.processAllAvailable()
+      in.addData(delta.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.table("ivfingest").select("vec_id", "cell", "cell2")
+        .as[(Long, Int, Int)].collect()
+      assert(got.length == delta.size) // exactly-once, no replay dup
+      assert(got.toSet === batch)      // row-level batch parity
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "assignment must hold no stream state")
+    } finally q.stop()
+  }
+
   test("funnel keeper state survives a checkpoint restart") {
     // The dropDuplicates keeper state must round-trip the state store:
     // a post-restart document that duplicates a pre-restart one must

@@ -53,7 +53,42 @@ object TextOps {
     * (doc_id, n_tokens, fractions, keep) for every non-empty doc;
     * shared by q_gopher_repetition and the cleaning report. Pure
     * higher-order array functions: zero exchanges (PlanSpec-pinned). */
-  private def gopherFlags(
+  /** DuckDB twin of [[gopherFlags]] as reusable CTEs ending in `gkp`
+    * (doc_id, ratios, keep) — shared by the q_gopher_repetition twin
+    * and the LR-vs-Gopher agreement twin in TextAnalysis. */
+  private[graft] lazy val gopherCtes: String = """
+      gd AS (SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+                 FROM documents),
+      gf AS (SELECT doc_id, t FROM gd WHERE len(t) > 0),
+      gg AS (SELECT doc_id, t,
+              CASE WHEN len(t) >= 2 THEN
+                list_transform(generate_series(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i + 1]) ELSE [] END AS g2,
+              CASE WHEN len(t) >= 3 THEN
+                list_transform(generate_series(1, len(t) - 2),
+                  i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) ELSE [] END AS g3
+            FROM gf),
+      gsel AS (SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+                CAST(round(CAST(list_max(list_transform(list_distinct(t),
+                  w -> len(list_filter(t, x -> x = w)))) AS DOUBLE) /
+                  CAST(len(t) AS DOUBLE), 4) AS DOUBLE) AS top_word_frac,
+                CAST(CASE WHEN len(t) >= 3 THEN
+                  round(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) /
+                    CAST(len(g2) AS DOUBLE), 4)
+                  ELSE 0.0 END AS DOUBLE) AS dup_2gram_frac,
+                CAST(CASE WHEN len(t) >= 4 THEN
+                  round(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) /
+                    CAST(len(g3) AS DOUBLE), 4)
+                  ELSE 0.0 END AS DOUBLE) AS dup_3gram_frac
+              FROM gg),
+      gkp AS (SELECT doc_id, n_tokens, top_word_frac, dup_2gram_frac,
+                dup_3gram_frac,
+                (top_word_frac <= 0.2 AND dup_2gram_frac <= 0.2
+                  AND dup_3gram_frac <= 0.2) AS keep
+              FROM gsel)"""
+
+  private[graft] def gopherFlags(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     def dupFrac(n: Int) =
       s"""CASE WHEN size(t) >= $n + 1 THEN round(
@@ -1206,36 +1241,10 @@ object TextOps {
         CAST(round(CAST(n_u - n_canon AS DOUBLE) / CAST(n_u AS DOUBLE), 4)
           AS DOUBLE) FROM j
       ORDER BY metric""",
-    "q_gopher_repetition" -> """
-      WITH d AS (SELECT doc_id,
-                   list_filter(string_split(text, ' '), x -> x <> '') AS t
-                 FROM documents),
-      f AS (SELECT doc_id, t FROM d WHERE len(t) > 0),
-      g AS (SELECT doc_id, t,
-              CASE WHEN len(t) >= 2 THEN
-                list_transform(generate_series(1, len(t) - 1),
-                  i -> t[i] || ' ' || t[i + 1]) ELSE [] END AS g2,
-              CASE WHEN len(t) >= 3 THEN
-                list_transform(generate_series(1, len(t) - 2),
-                  i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) ELSE [] END AS g3
-            FROM f),
-      sel AS (SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
-                CAST(round(CAST(list_max(list_transform(list_distinct(t),
-                  w -> len(list_filter(t, x -> x = w)))) AS DOUBLE) /
-                  CAST(len(t) AS DOUBLE), 4) AS DOUBLE) AS top_word_frac,
-                CAST(CASE WHEN len(t) >= 3 THEN
-                  round(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) /
-                    CAST(len(g2) AS DOUBLE), 4)
-                  ELSE 0.0 END AS DOUBLE) AS dup_2gram_frac,
-                CAST(CASE WHEN len(t) >= 4 THEN
-                  round(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) /
-                    CAST(len(g3) AS DOUBLE), 4)
-                  ELSE 0.0 END AS DOUBLE) AS dup_3gram_frac
-              FROM g)
+    "q_gopher_repetition" -> ("WITH " + gopherCtes + """
       SELECT doc_id, n_tokens, top_word_frac, dup_2gram_frac, dup_3gram_frac,
-             (top_word_frac <= 0.2 AND dup_2gram_frac <= 0.2
-               AND dup_3gram_frac <= 0.2) AS keep
-      FROM sel ORDER BY doc_id""",
+             keep
+      FROM gkp ORDER BY doc_id"""),
     "q_pii_scrub" -> s"""
       WITH hx AS (SELECT doc_id, text, md5(text) AS h FROM documents),
       p AS (SELECT doc_id, $piiSynthSql AS pii FROM hx),

@@ -172,6 +172,31 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got == Seq(("src", 5L, 5L, 5L, 1.0, 1.0)))
   }
 
+  test("LR quality filter separates a separable corpus; logloss descends") {
+    // en says only "aa" (hash dim 11), de only "bb" (dim 12) — no
+    // feature collision, so two GD steps in micro-units must separate
+    // train AND held-out perfectly while log-loss strictly descends.
+    // Gopher drops BOTH test docs (top_word_frac = 1.0), so the
+    // agreement census is 1/2: LR keeps the en doc, Gopher doesn't.
+    val dir = java.nio.file.Files.createTempDirectory("lrq").toString
+    val docs = Seq(
+      (1L, "aa aa aa", "en"), (2L, "aa aa aa", "en"), (3L, "aa aa aa", "en"),
+      (5L, "bb bb bb", "de"), (6L, "bb bb bb", "de"), (7L, "bb bb bb", "de"),
+      (4L, "aa aa aa", "en"), (8L, "bb bb bb", "de"))
+    docs.map { case (id, t, l) => (id, t, l, "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val steps = TextAnalysis.queries("q_lr_quality")(spark, dir)
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(steps.map(_._1) == Seq(0, 1, 2))
+    assert(steps(0)._3 > steps(1)._3 && steps(1)._3 > steps(2)._3,
+      s"logloss must strictly descend: $steps")
+    assert(steps(2)._4 == 1.0, s"separable corpus must train to 1.0: $steps")
+    val agree = TextAnalysis.queries("q_lr_gopher_agree")(spark, dir)
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    assert(agree == ((2L, 1L, 0L, 1L, 0.5, 1.0)))
+  }
+
   test("q_nb_classify separates a separable corpus perfectly") {
     // Train (doc_id % 4 != 0): class x says only "aa", class y only
     // "bb". Test (doc_id % 4 == 0): 4 is pure-x text, 8 pure-y.

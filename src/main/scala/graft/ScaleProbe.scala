@@ -672,6 +672,37 @@ object ScaleProbe {
       docs.unpersist(false)
     }
 
+    // Crawl-pipeline probe: N× the documents (ids shifted, text — and
+    // so md5, PII arms, URL, content hash — identical). Map stages
+    // (fetched/decoded/pii/gopher) must scale ×N; the keeper stages
+    // (url_unique, exact_unique) and chunks must stay FLAT — every
+    // replica loses its keeper election to the base copy. A keeper
+    // count that grew with N would mean the windows elect per-replica
+    // (a correctness bug the funnel numbers would hide at 1×).
+    if (want("crawlpipe"))
+    locally {
+      val docs = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text")).persist()
+      val nDocs = docs.count()
+      val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      def timedCrawl(mult: Int): Unit = {
+        val scaled = docs
+          .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
+            col("doc_id"), col("text"))
+          .select((col("doc_id") + col("i") * lit(stride)).as("doc_id"),
+            col("text"))
+        val t0 = System.nanoTime()
+        val rows = graft.llm.Multimodal.crawlFunnel(scaled)
+          .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"crawlpipe_${mult}x","docs":${nDocs * mult},"decoded":${rows("decoded")},"gopher_keep":${rows("gopher_keep")},"url_unique":${rows("url_unique")},"exact_unique":${rows("exact_unique")},"chunks":${rows("chunks")},"sec":$dt%.2f}""")
+      }
+      timedCrawl(1)
+      timedCrawl(10)
+      timedCrawl(100)
+      docs.unpersist(false)
+    }
+
     // Incremental-IVF probe: the standing index trains on an N×
     // corpus (one assignment pass + a K-row aggregate — that cost may
     // grow with N), but the DELTA ingest is a projection against the

@@ -3,6 +3,7 @@ package graft.llm
 import graft.Tables
 import graft.ops.Q
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** An opaque binary payload column standing in for image/audio/video
@@ -113,6 +114,11 @@ case class GzipMeta(doc_id: Long, status: String, has_name: Option[Int],
   * record/body sizes the downstream funnel gates on. */
 case class WarcMeta(doc_id: Long, status: String, url: Option[String],
     n_bytes: Option[Int], body_bytes: Option[Int])
+
+/** [[WarcMeta]] with the decoded BODY carried along — the crawl
+  * pipeline's working row (the funnel query only needs sizes). */
+case class WarcDoc(doc_id: Long, status: String, url: Option[String],
+    body: Option[String])
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with
   * typed, schema'd metadata extraction (north-star extension — the
@@ -1728,14 +1734,21 @@ object Multimodal {
     * fixed fraction of the crawl genuinely fails decode, which is
     * what the funnel exists to count. */
   private[graft] def warcBytes(h: String): Array[Byte] = {
+    val k = 1 + Integer.parseInt(h.substring(4, 6), 16) % 3
+    warcMemberBytes(h, (h + " " + h.reverse + " ") * k)
+  }
+
+  /** [[warcBytes]] with the record BODY supplied by the caller — the
+    * crawl pipeline ships the document's own (PII-laced) text through
+    * the real gzip round trip; failure arms and the URI header stay
+    * md5-derived exactly as in the funnel query. */
+  private[graft] def warcMemberBytes(h: String, body: String): Array[Byte] = {
     val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
     val badMagic = b(12) % 16 == 1
     val trunc = b(14) % 8 == 5
     val badCrc = b(15) % 16 == 9
     val fixedHuff = b(13) % 2 == 1
-    val k = 1 + b(2) % 3
-    val record = "WARC/1.0\nWARC-Target-URI: " + urlSynth(h) + "\n\n" +
-      (h + " " + h.reverse + " ") * k
+    val record = "WARC/1.0\nWARC-Target-URI: " + urlSynth(h) + "\n\n" + body
     val data = record.getBytes("US-ASCII")
     val out = new java.io.ByteArrayOutputStream(256)
     out.write(if (badMagic) 0x2f else 0x1f); out.write(0x8b)
@@ -1780,6 +1793,26 @@ object Multimodal {
         if (!hdr.startsWith("WARC/1.0") || uri.isEmpty)
           WarcMeta(id, "bad_record", None, Some(data.length), None)
         else WarcMeta(id, "ok", uri, Some(data.length), Some(body.length))
+    }
+  }
+
+  /** [[parseWarc]] keeping the decoded body text — same status arms,
+    * same header contract; the crawl pipeline's ingest row. */
+  private[graft] def parseWarcDoc(id: Long, p: Array[Byte]): WarcDoc = {
+    gunzip(p) match {
+      case (status, _, None) => WarcDoc(id, status, None, None)
+      case (_, _, Some(data)) =>
+        val text = new String(data, "US-ASCII")
+        val sep = text.indexOf("\n\n")
+        val hdr = if (sep >= 0) text.substring(0, sep) else text
+        val body = if (sep >= 0) text.substring(sep + 2) else ""
+        val tag = "WARC-Target-URI: "
+        val uri = hdr.linesIterator.collectFirst {
+          case l if l.startsWith(tag) => l.substring(tag.length)
+        }
+        if (!hdr.startsWith("WARC/1.0") || uri.isEmpty)
+          WarcDoc(id, "bad_record", None, None)
+        else WarcDoc(id, "ok", uri, Some(body))
     }
   }
 
@@ -1881,6 +1914,73 @@ object Multimodal {
   private def hv(pos: Int) =
     s"(ascii(substr(h, $pos, 1)) - (CASE WHEN substr(h, $pos, 1) >= 'a' THEN 87 ELSE 48 END))"
   private def byteAt(i: Int) = s"(${hv(2 * i + 1)} * 16 + ${hv(2 * i + 2)})"
+
+  /** Frame-taking crawl-to-chunks funnel — shared by the registered
+    * query and the ScaleProbe replication harness (replicas share
+    * text, hence md5, hence URL: keeper/chunk stages must stay FLAT
+    * while fetched grows — the honest-keeper echo). */
+  def crawlFunnel(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    locally {
+      val C = 16
+      val T = graft.ops.TextOps
+      val ingested = docs
+        .withColumn("h", md5(col("text")))
+        .select(col("doc_id"), col("h"), expr(T.piiSynthSql).as("body0"))
+        .as[(Long, String, String)]
+        .mapPartitions(_.map { case (id, h, body0) =>
+          parseWarcDoc(id, warcMemberBytes(h, body0)) })
+        .toDF()
+      val nRed = Seq(T.piiEmailRe, T.piiPhoneRe, T.piiIpRe)
+        .map(re => s"size(regexp_extract_all(body, '$re', 0))")
+        .mkString(" + ")
+      val gop = T.gopherFlagsOn(ingested
+        .withColumn("ok", col("status") === "ok" && col("url").isNotNull)
+        .withColumn("n_red", when(col("ok"), expr(nRed)).otherwise(0))
+        .withColumn("body_m", when(col("ok"), expr(T.piiMaskExpr("body"))))
+        .withColumn("t",
+          expr("filter(split(coalesce(body_m, ''), ' '), x -> x <> '')")))
+      val wUrl = Window.partitionBy(col("canon"))
+        .orderBy(col("s_gopher").desc, col("doc_id"))
+      val wTxt = Window.partitionBy(col("chash"))
+        .orderBy(col("s_url").desc, col("doc_id"))
+      val staged = Dedup.canonicalizeUrl(gop)
+        .withColumn("s_gopher", col("ok") && coalesce(col("keep"), lit(false)))
+        .withColumn("chash", md5(col("body_m")))
+        .withColumn("rn_url", row_number().over(wUrl))
+        .withColumn("s_url", col("s_gopher") && col("rn_url") === 1)
+        .withColumn("rn_txt", row_number().over(wTxt))
+        .withColumn("s_exact", col("s_url") && col("rn_txt") === 1)
+        .withColumn("n_chunks", when(col("s_exact"),
+          expr(s"cast((n_tokens + ${C - 1}) div $C as bigint)")).otherwise(0L))
+      staged.agg(
+          count(lit(1)).as("fetched"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("decoded"),
+          sum(when(col("ok") && col("n_red") > 0, 1L).otherwise(0L))
+            .as("pii_docs"),
+          sum(when(col("s_gopher"), 1L).otherwise(0L)).as("gopher_keep"),
+          sum(when(col("s_url"), 1L).otherwise(0L)).as("url_unique"),
+          sum(when(col("s_exact"), 1L).otherwise(0L)).as("exact_unique"),
+          sum(col("n_chunks")).as("chunks"))
+        .select(explode(array(
+          struct(lit(1).as("stage_no"), lit("fetched").as("stage"),
+            col("fetched").as("n_docs")),
+          struct(lit(2).as("stage_no"), lit("decoded").as("stage"),
+            col("decoded").as("n_docs")),
+          struct(lit(3).as("stage_no"), lit("pii_docs").as("stage"),
+            col("pii_docs").as("n_docs")),
+          struct(lit(4).as("stage_no"), lit("gopher_keep").as("stage"),
+            col("gopher_keep").as("n_docs")),
+          struct(lit(5).as("stage_no"), lit("url_unique").as("stage"),
+            col("url_unique").as("n_docs")),
+          struct(lit(6).as("stage_no"), lit("exact_unique").as("stage"),
+            col("exact_unique").as("n_docs")),
+          struct(lit(7).as("stage_no"), lit("chunks").as("stage"),
+            col("chunks").as("n_docs")))).as("s"))
+        .select(col("s.stage_no"), col("s.stage"), col("s.n_docs"))
+        .orderBy("stage_no")
+    }
+  }
 
   val queries: Map[String, Q] = Map(
     // Full typed path: scan → binary column → Dataset[BinaryDoc] →
@@ -2032,6 +2132,24 @@ object Multimodal {
     // a 4-row long-form explode — no join anywhere.
     "q_warc_ingest" -> ((s, dir) =>
       warcFunnel(Tables(s, dir, "documents"))),
+
+    // The CRAWL-TO-CHUNKS pipeline — the literal front-to-back
+    // training-data preparation run as ONE Catalyst plan: compressed
+    // WARC bytes (the doc's own PII-laced text shipped through a REAL
+    // gzip round trip) → gunzip+parse (MapPartitions, the decode
+    // family's fused stage) → PII mask → Gopher repetition gate →
+    // canonical-URL keeper election → exact-content keeper election →
+    // fixed-size chunk accounting, with the per-stage funnel as the
+    // output (the q_pipeline_funnel observability shape). Stage
+    // booleans are ANNOTATED, not filtered, so the whole funnel is
+    // one pass: scan → map → two window exchanges (canon, content
+    // hash — both hash-uniform) → a 1-row aggregate → 7 long-form
+    // rows. NO JOIN anywhere; at 100 TB this is one corpus pass plus
+    // two keyed shuffles of the survivors. The twin re-derives every
+    // stage from (text, md5 bits) — a hash-exact funnel proves the
+    // real gzip/WARC round trip reproduced the text byte-for-byte.
+    "q_pipeline_crawl" -> ((s, dir) =>
+      crawlFunnel(Tables(s, dir, "documents"))),
 
     // REAL decode→resize chain over the P6 payloads: every output
     // pixel is a genuinely parsed raster byte chosen by the integer
@@ -2208,6 +2326,94 @@ object Multimodal {
       UNION ALL SELECT CAST(3 AS INT), 'min_length', min_length FROM m
       UNION ALL SELECT CAST(4 AS INT), 'unique_url', unique_url FROM m
       ORDER BY stage_no""",
+    // Crawl-pipeline twin: every stage re-derived from (text, md5
+    // bits) — decode arms from the failure bytes, body = the PII
+    // synth over the ORIGINAL text (a hash match therefore proves the
+    // Spark side's real gzip round trip reproduced the text exactly),
+    // mask/gopher/canon/keeper/chunk arithmetic mirrored stage for
+    // stage (windows ordered survivors-first, doc_id tiebreak).
+    "q_pipeline_crawl" -> {
+      val T = graft.ops.TextOps
+      val nRedDuck = Seq(T.piiEmailRe, T.piiPhoneRe, T.piiIpRe)
+        .map(re => s"len(regexp_extract_all(body, '$re'))")
+        .mkString(" + ")
+      s"""
+      WITH hx AS (SELECT doc_id, text, md5(text) AS h FROM documents),
+      arms AS (SELECT doc_id, text, h,
+                 ${byteAt(12)} % 16 = 1 AS badmagic,
+                 ${byteAt(14)} % 8 = 5 AS trunc,
+                 ${byteAt(15)} % 16 = 9 AS badcrc
+               FROM hx),
+      dec AS (SELECT doc_id, h,
+                NOT (badmagic OR trunc OR badcrc) AS ok,
+                CASE WHEN NOT (badmagic OR trunc OR badcrc)
+                     THEN ${T.piiSynthSql} END AS body,
+                CASE WHEN NOT (badmagic OR trunc OR badcrc)
+                     THEN ${Dedup.urlSynthSql} END AS url
+              FROM arms),
+      msk AS (SELECT doc_id, ok, url,
+                CASE WHEN ok THEN $nRedDuck ELSE 0 END AS n_red,
+                CASE WHEN ok THEN ${T.piiMaskSqlDuck("body")} END AS body_m
+              FROM dec),
+      tok AS (SELECT *, list_filter(string_split(coalesce(body_m, ''), ' '),
+                          x -> x <> '') AS t
+              FROM msk),
+      gpr AS (SELECT *,
+                CASE WHEN len(t) >= 2 THEN
+                  list_transform(generate_series(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i + 1]) ELSE [] END AS g2,
+                CASE WHEN len(t) >= 3 THEN
+                  list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) ELSE [] END AS g3
+              FROM tok),
+      gsc AS (SELECT doc_id, ok, url, n_red, body_m,
+                CAST(len(t) AS INT) AS n_tokens,
+                round(CAST(list_max(list_transform(list_distinct(t),
+                  w -> len(list_filter(t, x -> x = w)))) AS DOUBLE) /
+                  CAST(len(t) AS DOUBLE), 4) AS top_word_frac,
+                CAST(CASE WHEN len(t) >= 3 THEN
+                  round(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) /
+                    CAST(len(g2) AS DOUBLE), 4)
+                  ELSE 0.0 END AS DOUBLE) AS dup_2gram_frac,
+                CAST(CASE WHEN len(t) >= 4 THEN
+                  round(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) /
+                    CAST(len(g3) AS DOUBLE), 4)
+                  ELSE 0.0 END AS DOUBLE) AS dup_3gram_frac
+              FROM gpr),
+      u AS (SELECT doc_id, ok, n_red, n_tokens,
+              (ok AND coalesce(top_word_frac <= 0.2
+                AND dup_2gram_frac <= 0.2
+                AND dup_3gram_frac <= 0.2, false)) AS s_gopher,
+              md5(body_m) AS chash, url
+            FROM gsc),
+      ${Dedup.urlCanonCtes(", ok, n_red, n_tokens, s_gopher, chash")},
+      r1 AS (SELECT *, CAST(row_number() OVER (PARTITION BY canon
+               ORDER BY s_gopher DESC, doc_id) AS INT) AS rn_url FROM c),
+      r2 AS (SELECT *, (s_gopher AND rn_url = 1) AS s_url FROM r1),
+      r3 AS (SELECT *, CAST(row_number() OVER (PARTITION BY chash
+               ORDER BY s_url DESC, doc_id) AS INT) AS rn_txt FROM r2),
+      r4 AS (SELECT *, (s_url AND rn_txt = 1) AS s_exact,
+               CASE WHEN s_url AND rn_txt = 1
+                 THEN CAST((n_tokens + 15) // 16 AS BIGINT)
+                 ELSE CAST(0 AS BIGINT) END AS n_chunks
+             FROM r3),
+      agg AS (SELECT count(*) AS fetched,
+                CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS decoded,
+                CAST(sum(CASE WHEN ok AND n_red > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pii_docs,
+                CAST(sum(CASE WHEN s_gopher THEN 1 ELSE 0 END) AS BIGINT) AS gopher_keep,
+                CAST(sum(CASE WHEN s_url THEN 1 ELSE 0 END) AS BIGINT) AS url_unique,
+                CAST(sum(CASE WHEN s_exact THEN 1 ELSE 0 END) AS BIGINT) AS exact_unique,
+                CAST(sum(n_chunks) AS BIGINT) AS chunks
+              FROM r4)
+      SELECT CAST(1 AS INT) AS stage_no, 'fetched' AS stage, fetched AS n_docs FROM agg
+      UNION ALL SELECT CAST(2 AS INT), 'decoded', decoded FROM agg
+      UNION ALL SELECT CAST(3 AS INT), 'pii_docs', pii_docs FROM agg
+      UNION ALL SELECT CAST(4 AS INT), 'gopher_keep', gopher_keep FROM agg
+      UNION ALL SELECT CAST(5 AS INT), 'url_unique', url_unique FROM agg
+      UNION ALL SELECT CAST(6 AS INT), 'exact_unique', exact_unique FROM agg
+      UNION ALL SELECT CAST(7 AS INT), 'chunks', chunks FROM agg
+      ORDER BY stage_no"""
+    },
     // Resize twin: identical raster reconstruction, then the SAME
     // integer NN index map ((out·in) // out_dim) picks the 4 sampled
     // pixels; top_left pins the rounding direction.

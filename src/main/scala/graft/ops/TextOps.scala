@@ -25,7 +25,7 @@ object TextOps {
     * between the Spark query and the DuckDB twin: the original text
     * plus md5-armed injections of an email (~50%, doubled ~25% of the
     * time), a 555-prefix phone (~50%), and a 10.x.y.z IP (~50%). */
-  private val piiSynthSql: String = s"""concat(text,
+  private[graft] val piiSynthSql: String = s"""concat(text,
       CASE WHEN ${hd(11)} % 2 = 0 THEN
         concat(' user', ${hd(12)}, '@mail', ${hd(13)} % 4, '.com') ELSE '' END,
       CASE WHEN ${hd(11)} % 2 = 0 AND ${hd(19)} % 4 = 0 THEN
@@ -39,9 +39,22 @@ object TextOps {
     * backslash escapes so the SAME pattern string parses identically
     * under Java regex (Spark) and RE2 (DuckDB), and single-quoted SQL
     * literals need no engine-specific escaping. */
-  private val piiEmailRe = "[a-z]+[0-9]+@mail[0-9][.]com"
-  private val piiPhoneRe = "555-01[0-9][0-9]"
-  private val piiIpRe = "10[.][0-9]+[.][0-9]+[.][0-9]+"
+  private[graft] val piiEmailRe = "[a-z]+[0-9]+@mail[0-9][.]com"
+  private[graft] val piiPhoneRe = "555-01[0-9][0-9]"
+  private[graft] val piiIpRe = "10[.][0-9]+[.][0-9]+[.][0-9]+"
+
+  /** The three-stage masking chain over an arbitrary column — Spark
+    * regexp_replace is global by default; the DuckDB twin passes 'g'.
+    * Shared by q_pii_scrub and the crawl pipeline. */
+  private[graft] def piiMaskExpr(c: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($c, " +
+      s"'$piiEmailRe', '<EMAIL>'), '$piiPhoneRe', '<PHONE>'), " +
+      s"'$piiIpRe', '<IP>')"
+
+  private[graft] def piiMaskSqlDuck(c: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($c, " +
+      s"'$piiEmailRe', '<EMAIL>', 'g'), '$piiPhoneRe', '<PHONE>', 'g'), " +
+      s"'$piiIpRe', '<IP>', 'g')"
 
   /** The span-corruption mask bit for token `i` of `doc_id` — shared
     * by q_span_corruption and the cleaning report. */
@@ -89,16 +102,26 @@ object TextOps {
               FROM gsel)"""
 
   private[graft] def gopherFlags(
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    gopherFlagsOn(
+        docs.select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("t"))
+          .filter(size(col("t")) > 0))
+      .select(col("doc_id"), col("n_tokens"), col("top_word_frac"),
+        col("dup_2gram_frac"), col("dup_3gram_frac"), col("keep"))
+
+  /** Column-retaining form over a frame already carrying a nonempty
+    * token array `t`: ADDS the ratio/keep columns (and drops the
+    * g2/g3 scratch) so a composed pipeline can gate mid-stream
+    * without a join back. */
+  private[graft] def gopherFlagsOn(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     def dupFrac(n: Int) =
       s"""CASE WHEN size(t) >= $n + 1 THEN round(
          |  cast(size(g$n) - size(array_distinct(g$n)) as double) /
          |  cast(size(g$n) as double), 4)
          |ELSE cast(0.0 as double) END""".stripMargin
-    docs
-      .select(col("doc_id"),
-        expr("filter(split(text, ' '), x -> x <> '')").as("t"))
-      .filter(size(col("t")) > 0)
+    df
       // guard the construction, not just the ratio: Spark's
       // sequence(1, 0) is a DESCENDING [1, 0], not empty
       .withColumn("g2", expr(
@@ -107,14 +130,16 @@ object TextOps {
       .withColumn("g3", expr(
         "CASE WHEN size(t) >= 3 THEN transform(sequence(1, size(t) - 2), " +
           "i -> concat_ws(' ', slice(t, i, 3))) ELSE array() END"))
-      .select(col("doc_id"), size(col("t")).as("n_tokens"),
+      .withColumn("n_tokens", size(col("t")))
+      .withColumn("top_word_frac",
         expr("round(cast(array_max(transform(array_distinct(t), " +
           "w -> size(filter(t, x -> x = w)))) as double) / " +
-          "cast(size(t) as double), 4)").as("top_word_frac"),
-        expr(dupFrac(2)).as("dup_2gram_frac"),
-        expr(dupFrac(3)).as("dup_3gram_frac"))
+          "cast(size(t) as double), 4)"))
+      .withColumn("dup_2gram_frac", expr(dupFrac(2)))
+      .withColumn("dup_3gram_frac", expr(dupFrac(3)))
       .withColumn("keep", col("top_word_frac") <= 0.2 &&
         col("dup_2gram_frac") <= 0.2 && col("dup_3gram_frac") <= 0.2)
+      .drop("g2", "g3")
   }
 
   val queries: Map[String, Q] = Map(
@@ -500,9 +525,7 @@ object TextOps {
     // engines produced IDENTICAL redacted bytes, not just identical
     // counts (Spark's regexp_replace is global; the twin passes 'g').
     "q_pii_scrub" -> ((s, dir) => {
-      val masked = "regexp_replace(regexp_replace(regexp_replace(pii, " +
-        s"'$piiEmailRe', '<EMAIL>'), '$piiPhoneRe', '<PHONE>'), " +
-        s"'$piiIpRe', '<IP>')"
+      val masked = piiMaskExpr("pii")
       Tables(s, dir, "documents")
         .withColumn("h", md5(col("text")))
         .withColumn("pii", expr(piiSynthSql))

@@ -718,6 +718,21 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_pipeline_crawl runs the whole crawl-to-chunks funnel join-free on one scan") {
+    // one parquet scan, the fused gunzip+parse MapPartitions, exactly
+    // two window exchanges (canon keeper, content keeper) feeding the
+    // 1-row aggregate — a join or third exchange appearing here means
+    // a pipeline stage grew a shuffle it doesn't need at 100 TB
+    val p = plan("q_pipeline_crawl")
+    val scanIds = """\((\d+)\) Scan parquet""".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(scanIds.size == 1, s"expected one scan node, got $scanIds")
+    assert(p.contains("MapPartitions"))
+    assert(!p.contains("Join"), "the funnel must not join")
+    assert("""\(\d+\) Window""".r.findAllIn(p).size == 2,
+      s"expected exactly 2 window nodes:\n$p")
+  }
+
   test("q_knn_ivf_incremental assigns the delta scan-side against literal cell stats") {
     // both phases rank against broadcast query panels with
     // WindowGroupLimit cuts; the ingest assignment is a projection

@@ -368,6 +368,31 @@ class MultimodalSpec extends graft.SparkSuite {
       assert(arms(s) > 0, s"arm $s never fired")
   }
 
+  test("warc doc round trip: arbitrary bodies survive the gzip member exactly") {
+    // the crawl pipeline's whole oracle rests on this: an ok-decoded
+    // member must reproduce the caller's body BYTE-FOR-BYTE (both
+    // deflate arms), and the failure arms must degrade to status rows
+    var okSeen = 0
+    for (seed <- 0 until 200) {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"body$seed".getBytes("US-ASCII"))
+        .map("%02x".format(_)).mkString
+      val body = s"doc $seed text with spaces and 555-01$seed digits " * (1 + seed % 4)
+      val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
+      val expectFail = b(12) % 16 == 1 || b(14) % 8 == 5 || b(15) % 16 == 9
+      val m = Multimodal.parseWarcDoc(seed.toLong,
+        Multimodal.warcMemberBytes(h, body))
+      if (expectFail) assert(m.status != "ok" && m.body.isEmpty)
+      else {
+        okSeen += 1
+        assert(m.status == "ok", s"$seed: ${m.status}")
+        assert(m.url.contains(Multimodal.urlSynth(h)))
+        assert(m.body.contains(body), s"$seed: body mangled")
+      }
+    }
+    assert(okSeen > 100, s"only $okSeen ok arms — fixture bits skewed")
+  }
+
   test("warc: a decodable non-WARC member is bad_record, never a throw") {
     val bos = new java.io.ByteArrayOutputStream()
     val gz = new java.util.zip.GZIPOutputStream(bos)

@@ -703,6 +703,55 @@ object ScaleProbe {
       docs.unpersist(false)
     }
 
+    // Hot-key dedup probe: ONE content hash (the crawl boilerplate
+    // page) duplicated 10⁴–10⁶×, unioned with the real corpus. The
+    // keeper election as a min-keyed HASH AGGREGATE partial-aggregates
+    // map-side — each of the 32 partitions reduces its slice of the
+    // hot group to one row, so the exchange carries ≤ 32 rows for the
+    // hot key and wall scales with SCAN volume, not group depth. The
+    // same election as a row_number WINDOW must funnel every hot-key
+    // row through one partition — the skew collapse the aggregate
+    // form exists to avoid; both are timed to price the difference.
+    if (want("hotkey"))
+    locally {
+      val docs = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text")).persist()
+      val nDocs = docs.count()
+      val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val hotText = docs.orderBy("doc_id").select(col("text"))
+        .head().getString(0)
+      def timedHot(copies: Int): Unit = {
+        // substring(id, 1, 0) = '' but NON-foldable: keeps Catalyst from
+        // constant-folding md5(text) for the hot rows — the probe must
+        // price per-row hashing of a deep group, not a folded literal
+        val hot = spark.range(copies.toLong)
+          .select((col("id") + stride).as("doc_id"),
+            concat(lit(hotText),
+              expr("substring(cast(id as string), 1, 0)")).as("text"))
+        val corpus = docs.unionByName(hot)
+        val t0 = System.nanoTime()
+        val agg = corpus.groupBy(md5(col("text")).as("chash"))
+          .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        val (groups, deepest) = {
+          val r = agg.agg(count(lit(1)), max(col("n_copies"))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val tAgg = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+        val winKeepers = corpus
+          .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("rn") === 1).count()
+        val tWin = (System.nanoTime() - t1) / 1e9
+        println(f"""{"probe":"hotkey_$copies","docs":${nDocs + copies},"groups":$groups,"deepest":$deepest,"win_keepers":$winKeepers,"agg_sec":$tAgg%.2f,"window_sec":$tWin%.2f}""")
+      }
+      timedHot(100000)
+      timedHot(1000000)
+      timedHot(8000000)
+      docs.unpersist(false)
+    }
+
     // Incremental-IVF probe: the standing index trains on an N×
     // corpus (one assignment pass + a K-row aggregate — that cost may
     // grow with N), but the DELTA ingest is a projection against the

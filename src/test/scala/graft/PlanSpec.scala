@@ -718,6 +718,19 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("dedup keeper elections aggregate partially map-side (hot-key safe)") {
+    // the hotkey probe's guarantee in plan form: a 10⁶-deep duplicate
+    // group reduces to one row per map partition BEFORE the exchange;
+    // losing partial_min/partial_count here would funnel the crawl
+    // boilerplate page through a single reducer
+    for (q <- Seq("q_dedup_exact", "q_dedup_url")) {
+      val p = plan(q)
+      assert(p.contains("partial_min"), s"$q: keeper min must stay partial")
+      assert(p.contains("partial_count"), s"$q: copy count must stay partial")
+      assert(!p.contains("SortAggregate"), q)
+    }
+  }
+
   test("q_pipeline_crawl runs the whole crawl-to-chunks funnel join-free on one scan") {
     // one parquet scan, the fused gunzip+parse MapPartitions, exactly
     // two window exchanges (canon keeper, content keeper) feeding the

@@ -1091,11 +1091,17 @@ object TextAnalysis {
     * fertility comparison (which wants seg2, the final tokenizer). */
   private def ulmChain(docs: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // Every frame below is vocab-bounded (the dict is |distinct words|
+    // rows, segmentations one row per dict word) — localCheckpoint
+    // materializes each once so the two stats consumers and the
+    // fertility join don't re-run the corpus scan + Viterbi subtree
+    // per branch (the CC-loop discipline; bench 3.3 s → ~1 s).
     val wd = wordDict(docs).filter(length(col("w")) <= UlmMaxWlen)
-    val v0 = ulmSeedVocab(wd)
-    val seg1 = ulmSegment(wd, ulmScored(v0))
-    val v1 = ulmRefine(v0, ulmUsage(seg1))
-    val seg2 = ulmSegment(wd, ulmScored(v1))
+      .localCheckpoint()
+    val v0 = ulmSeedVocab(wd).localCheckpoint()
+    val seg1 = ulmSegment(wd, ulmScored(v0)).localCheckpoint()
+    val v1 = ulmRefine(v0, ulmUsage(seg1)).localCheckpoint()
+    val seg2 = ulmSegment(wd, ulmScored(v1)).localCheckpoint()
     (v0, seg1, v1, seg2)
   }
 

@@ -697,14 +697,19 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q_ulm_train broadcasts the piece map; the EM chain never shuffles words by piece") {
-    // the vocab map rides as the ObjectHashAggregate row under a
-    // Cross BNLJ broadcast (the aggregate-row pattern); dictionary
-    // passes are hash aggregates — no cartesian, no corpus-side
-    // shuffled join anywhere in the chain
+  test("q_ulm_train report reads only the materialized vocab-bounded frames") {
+    // the EM chain localCheckpoints its dict/vocab/segmentation frames
+    // (all vocab-bounded), so the report plan must read those
+    // materialized RDDs and touch the CORPUS zero times — the "EM cost
+    // is corpus-free after the dict scan" claim in plan form; a
+    // parquet scan reappearing here means a chain frame lost its
+    // checkpoint and the corpus re-scans per consumer branch
     val p = plan("q_ulm_train")
-    assert(p.contains("ObjectHashAggregate"))
-    assert(p.contains("BroadcastNestedLoopJoin Cross BuildRight"))
+    assert(!p.contains("Scan parquet"),
+      s"report must not re-scan the corpus:\n$p")
+    assert(p.contains("ExistingRDD"), "chain frames must be materialized")
+    assert(p.contains("BroadcastNestedLoopJoin Cross BuildRight"),
+      "vocab size must ride as the broadcast aggregate row")
     assert(!p.contains("CartesianProduct"))
   }
 

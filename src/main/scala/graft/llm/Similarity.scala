@@ -955,6 +955,29 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** MRR@3 of a ranked frame (query_id, neighbor_id, rnk ≤ 3) against
+    * the exact cosine top-3: first_hit_rank = min rank at which a
+    * true-top-3 neighbor appears, rr = 1/first_hit_rank (0 on a
+    * miss). Queries enumerate from the TRUTH panel so a ranker that
+    * returns nothing for a query still scores 0 rather than
+    * vanishing. */
+  private def mrrOf(s: SparkSession, dir: String,
+      ranked: DataFrame): DataFrame = {
+    val truth = bruteTop(s, dir, qmax = 50, k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = ranked.filter(col("rnk") <= 3)
+      .join(truth.select(col("query_id").as("tq"), col("neighbor_id").as("tn")),
+        col("query_id") === col("tq") && col("neighbor_id") === col("tn"))
+      .groupBy(col("query_id")).agg(min(col("rnk")).as("first_hit_rank"))
+    truth.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("first_hit_rank"),
+        coalesce(
+          round(lit(1.0).cast("double") / col("first_hit_rank").cast("double"), 4),
+          lit(0.0)).cast("double").as("rr"))
+      .orderBy("query_id")
+  }
+
   /** recall@k of an approximate top-k against the exact one, per
     * query id — both inputs are (query_id, neighbor_id) top-k sets. */
   private def recallOf(exact: DataFrame, approx: DataFrame, k: Int): DataFrame =
@@ -1112,6 +1135,23 @@ object Similarity {
 
     "q_knn_sq8_adc" -> ((s, dir) =>
       sq8AdcTop(s, dir, qmax = 50, k = 3).orderBy("query_id", "rnk")),
+
+    // MRR@3 — the third retrieval-quality lens beside recall (set
+    // membership) and nDCG (graded order): the reciprocal rank of the
+    // FIRST true-top-3 neighbor the ranker surfaces, the number a
+    // search product reports when only the top hit matters. 1/1, 1/2,
+    // 1/3 or 0 per query — exact small-integer division, one 4-dp
+    // round, no transcendentals at all. Same plan skeleton as the
+    // recall family: two top-k pipelines + a broadcast-sized
+    // (query, doc) join; the corpus never shuffles.
+    "q_knn_mrr" -> ((s, dir) =>
+      mrrOf(s, dir, annTop(s, dir, qmax = 50, k = 3))),
+
+    // The trained index at its production operating point (nprobe=2)
+    // under the same metric — beside q_knn_ivf_ndcg it completes the
+    // quality triple (recall / nDCG / MRR) for the IVF leg.
+    "q_knn_ivf_mrr" -> ((s, dir) =>
+      mrrOf(s, dir, ivfTop(s, dir, qmax = 50, k = 3, nprobe = 2))),
 
     "q_knn_ivf" -> ((s, dir) =>
       ivfTop(s, dir, qmax = 50, k = 3).orderBy("query_id", "rnk")),
@@ -1496,6 +1536,17 @@ object Similarity {
       """SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                 a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
              FROM qb a JOIN qb b ON a.bucket = b.bucket
+               AND a.vec_id < 50 AND a.vec_id <> b.vec_id"""),
+    "q_knn_mrr" -> mrrSql(qbCte,
+      """SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+             FROM qb a JOIN qb b ON a.bucket = b.bucket
+               AND a.vec_id < 50 AND a.vec_id <> b.vec_id"""),
+    "q_knn_ivf_mrr" -> mrrSql(
+      Clustering.assignCtes + "," + ivfCte,
+      """SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+             FROM ivcell a JOIN ivcell b ON b.cell IN (a.cell, a.cell2)
                AND a.vec_id < 50 AND a.vec_id <> b.vec_id"""),
     "q_knn_pq_ndcg" -> ndcgSqlRanked(pqCtes, s"""
       apd AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -2151,6 +2202,40 @@ object Similarity {
              round(CAST(coalesce(d.dcg, 0) AS DOUBLE) / CAST(i.idcg AS DOUBLE), 4) AS ndcg
       FROM idcg i LEFT JOIN dcg d ON i.query_id = d.query_id
       ORDER BY i.query_id"""
+
+  /** MRR twin over a cosine-ranked leg — the ndcgSql skeleton with
+    * the graded sums replaced by the first-hit minimum; all casts
+    * explicit so 1/rank divides as DOUBLE in both engines (a bare
+    * 1.0 literal is DECIMAL(2,1) in DuckDB). */
+  private def mrrSql(extraCtes: String, apSelect: String): String =
+    "WITH " + Dedup.QE + "," + extraCtes + s""",
+      bp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+             FROM qn a JOIN qn b ON a.vec_id < 50 AND a.vec_id <> b.vec_id),
+      bcos AS (SELECT query_id, neighbor_id,
+                 round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+               FROM bp),
+      brk AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM bcos),
+      truthq AS (SELECT query_id, neighbor_id FROM brk WHERE rnk <= 3),
+      ap AS ($apSelect),
+      acos AS (SELECT query_id, neighbor_id,
+                 round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+               FROM ap),
+      ark AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM acos),
+      hits AS (SELECT a.query_id, CAST(min(a.rnk) AS INT) AS first_hit_rank
+               FROM (SELECT query_id, neighbor_id, rnk FROM ark WHERE rnk <= 3) a
+               JOIN truthq t ON a.query_id = t.query_id
+                 AND a.neighbor_id = t.neighbor_id
+               GROUP BY a.query_id),
+      qs AS (SELECT DISTINCT query_id FROM truthq)
+      SELECT qs.query_id, h.first_hit_rank,
+             CAST(coalesce(round(CAST(1.0 AS DOUBLE) /
+               CAST(h.first_hit_rank AS DOUBLE), 4), 0.0) AS DOUBLE) AS rr
+      FROM qs LEFT JOIN hits h USING (query_id) ORDER BY qs.query_id"""
 
   /** Cosine-ranked convenience form of [[ndcgSqlRanked]]: the leg
     * supplies only its candidate-pair SELECT (aliases qa/qb2/na/nb). */

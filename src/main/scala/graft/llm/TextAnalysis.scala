@@ -572,6 +572,67 @@ object TextAnalysis {
             .as("lr_accuracy"))
     }),
 
+    // The per-doc QUALITY VECTOR — every filter signal this library
+    // computes, materialized ONCE as one wide row per document (the
+    // artifact real pipelines write next to the corpus and threshold
+    // many ways without re-scanning): language argmax + composite
+    // quality (scan-side), the three Gopher repetition ratios + gate,
+    // the PII hit count, unigram surprisal (the KN gate's cheap
+    // cousin — one vocab-sized SHJ), and the TRAINED LR keep
+    // probability (broadcast micro-unit weights), plus the strict
+    // all-gates verdict. Scale shape: scan-side projections + one
+    // token→count shuffle join + three doc-keyed left joins — at
+    // 100 TB everything partitions by doc_id after the one vocab
+    // join; no signal is recomputed downstream.
+    "q_doc_quality_vector" -> ((s, dir) => {
+      val T = graft.ops.TextOps
+      val docs = Tables(s, dir, "documents")
+      val base = pipelineFeaturesOf(docs)
+        .select(col("doc_id"), col("pred").as("lang_pred"), col("quality"))
+      val gop = T.gopherFlags(docs)
+        .select(col("doc_id"), col("n_tokens"), col("top_word_frac"),
+          col("dup_2gram_frac"), col("dup_3gram_frac"),
+          col("keep").as("gopher_keep"))
+      val nPii = Seq(T.piiEmailRe, T.piiPhoneRe, T.piiIpRe)
+        .map(re => s"size(regexp_extract_all(pii, '$re', 0))").mkString(" + ")
+      val pii = docs.withColumn("h", md5(col("text")))
+        .withColumn("pii", expr(T.piiSynthSql))
+        .select(col("doc_id"), expr(s"cast($nPii as int)").as("n_pii"))
+      val toks = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val nTok = docs
+        .select(expr("size(filter(split(text, ' '), x -> x <> ''))").as("k"))
+        .agg(sum(col("k")).as("n_tok"))
+      val surp = toks.join(counts.hint("shuffle_hash"), "w")
+        .crossJoin(broadcast(nTok))
+        .select(col("doc_id"),
+          round(log(col("n_tok").cast("double") / col("c").cast("double")), 6)
+            .as("surp"))
+        .groupBy(col("doc_id"))
+        .agg(Num.davg(col("surp")).as("avg_surp"))
+      val (_, ws) = lrChain(s, docs)
+      val lr = lrScore(lrFeatsWhere(docs, lit(true)), ws(2))
+        .select(col("doc_id"),
+          (col("p_u").cast("double") / 1000000.0).as("lr_p"))
+      base
+        .join(gop.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .join(pii.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .join(surp.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .join(lr.hint("shuffle_hash"), Seq("doc_id"), "left")
+        // the verdict composes the four RULE gates; the learned lr_p
+        // ships as a score column (a deployment picks its own cut)
+        .withColumn("keep_strict",
+          col("lang_pred") === "en" && col("quality") >= 0.5 &&
+            coalesce(col("gopher_keep"), lit(false)) && col("n_pii") === 0)
+        .select(col("doc_id"), col("lang_pred"), col("quality"),
+          col("n_tokens"), col("top_word_frac"), col("dup_2gram_frac"),
+          col("dup_3gram_frac"), col("gopher_keep"), col("n_pii"),
+          col("avg_surp"), col("lr_p"), col("keep_strict"))
+        .orderBy("doc_id")
+    }),
+
     // Multinomial Naive Bayes language classifier, trained and applied
     // in ONE plan — "model training as aggregation, inference as
     // join", the in-engine supervised shape (a quality/language
@@ -1012,12 +1073,16 @@ object TextAnalysis {
   /** Train/test features: (doc_id, y, f0..f15) — the q_feature_hash
     * arithmetic (md5 bucket + md5 sign) over every nonempty-token
     * doc in the split; one generator pass + one doc-keyed aggregate. */
-  private def lrFeats(docs: DataFrame, train: Boolean): DataFrame = {
+  private def lrFeats(docs: DataFrame, train: Boolean): DataFrame =
+    lrFeatsWhere(docs,
+      if (train) col("doc_id") % 4 =!= 0 else col("doc_id") % 4 === 0)
+
+  /** Predicate form — the quality-vector row features EVERY doc. */
+  private def lrFeatsWhere(docs: DataFrame,
+      pred: org.apache.spark.sql.Column): DataFrame = {
     def hx(prefix: String) =
       s"cast(conv(substring(md5(concat('$prefix', w)), 1, 8), 16, 10) as bigint)"
-    val splitPred =
-      if (train) col("doc_id") % 4 =!= 0 else col("doc_id") % 4 === 0
-    val toks = docs.filter(splitPred)
+    val toks = docs.filter(pred)
       .select(col("doc_id"),
         when(col("lang") === "en", 1L).otherwise(0L).as("y"),
         explode(split(col("text"), " ")).as("w"))
@@ -1427,6 +1492,7 @@ object TextAnalysis {
     // IEEE double expressions rounded once.
     "q_lr_quality" -> lrQualitySql,
     "q_lr_gopher_agree" -> lrGopherAgreeSql,
+    "q_doc_quality_vector" -> docQualityVectorSql,
     // Twin of the DSIR selector: same 64 hashed buckets (the CMS/HLL
     // hex-prefix idiom), same add-1 bucket LMs and 6-dp log-ratio
     // terms, same decimal(38,6) per-doc sum, and the same 32-bin
@@ -1730,14 +1796,17 @@ object TextAnalysis {
 
   /** Hashed-feature CTEs for one split; `pfx` keeps train (l*) and
     * test (m*) chains apart in the agreement twin. */
-  private def lrFeatsCte(pfx: String, train: Boolean): String = {
-    val cond = if (train) "<>" else "="
+  private def lrFeatsCte(pfx: String, train: Boolean): String =
+    lrFeatsCteWhere(pfx, s"doc_id % 4 ${if (train) "<>" else "="} 0")
+
+  /** Predicate form of [[lrFeatsCte]]. */
+  private def lrFeatsCteWhere(pfx: String, where: String): String = {
     val featSel = (0 until LrDims).map(d =>
       s"CAST(sum(CASE WHEN dim = $d THEN sgn ELSE 0 END) AS BIGINT) AS f$d")
       .mkString(",\n               ")
     s"""${pfx}t AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, w
                FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
-                     FROM documents WHERE doc_id % 4 $cond 0)
+                     FROM documents WHERE $where)
                WHERE w <> ''),
       ${pfx}hv AS (SELECT doc_id, y,
                 ('0x' || substr(md5('fh:' || w), 1, 8))::BIGINT % $LrDims AS dim,
@@ -1815,6 +1884,51 @@ object TextAnalysis {
              CAST(round(CAST(sum(CASE WHEN lr_keep = (y = 1) THEN 1 ELSE 0 END) AS DOUBLE) /
                CAST(count(*) AS DOUBLE), 4) AS DOUBLE) AS lr_accuracy
       FROM mp JOIN gkp USING (doc_id)"""
+
+  /** Quality-vector twin: the pipeline/gopher/PII/surprisal/LR CTEs
+    * composed and left-joined on doc_id — each block the verbatim
+    * arithmetic of its standalone twin (renamed where CTE names would
+    * collide). */
+  private lazy val docQualityVectorSql = {
+    val T = graft.ops.TextOps
+    val nPiiDuck = Seq(T.piiEmailRe, T.piiPhoneRe, T.piiIpRe)
+      .map(re => s"len(regexp_extract_all(pii, '$re'))").mkString(" + ")
+    pipelineSql + "," + T.gopherCtes + "," +
+    lrTrainCtes + "," +
+    lrFeatsCteWhere("a", "TRUE") + s""",
+      als AS (SELECT f.*, $lrZExpr AS z_u FROM af f, lw2),
+      alp AS (SELECT doc_id, CAST($lrPExpr AS DOUBLE) /
+                CAST(1000000 AS DOUBLE) AS lr_p FROM als),
+      ph AS (SELECT doc_id, text, md5(text) AS h FROM documents),
+      piid AS (SELECT doc_id, CAST($nPiiDuck AS INT) AS n_pii FROM
+                 (SELECT doc_id, ${T.piiSynthSql} AS pii FROM ph)),
+      qtk AS (SELECT doc_id, w FROM
+                (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents) WHERE w <> ''),
+      qwc AS (SELECT w, count(*) AS c FROM qtk GROUP BY 1),
+      qnt AS (SELECT CAST(sum(len(list_filter(string_split(text, ' '),
+                       x -> x <> ''))) AS BIGINT) AS n_tok
+              FROM documents),
+      qsp AS (SELECT doc_id,
+                round(ln(CAST(n_tok AS DOUBLE) / CAST(qwc.c AS DOUBLE)), 6)
+                  AS surp
+              FROM qtk JOIN qwc ON qtk.w = qwc.w CROSS JOIN qnt),
+      savg AS (SELECT doc_id,
+                 CAST(round(CAST(sum(CAST(surp AS DECIMAL(38,6))) AS DOUBLE)
+                   / count(surp), 4) AS DOUBLE) AS avg_surp
+               FROM qsp GROUP BY doc_id)
+      SELECT pf.doc_id, pf.pred AS lang_pred, pf.quality,
+             g.n_tokens, g.top_word_frac, g.dup_2gram_frac,
+             g.dup_3gram_frac, g.keep AS gopher_keep, p.n_pii,
+             s.avg_surp, a.lr_p,
+             (pf.pred = 'en' AND pf.quality >= 0.5
+               AND coalesce(g.keep, false) AND p.n_pii = 0) AS keep_strict
+      FROM pf LEFT JOIN gkp g USING (doc_id)
+        LEFT JOIN piid p USING (doc_id)
+        LEFT JOIN savg s USING (doc_id)
+        LEFT JOIN alp a USING (doc_id)
+      ORDER BY pf.doc_id"""
+  }
 
   private lazy val ulmTrainSql = s"""
       WITH $wdCte, $ulmCtes

@@ -403,6 +403,58 @@ object Joins {
             unix_micros(col("ts")).as("us")))
         .orderBy("user_id", "e1", "e2")),
 
+    // INTERVAL-OVERLAP join — the missing temporal-join shape beside
+    // as-of (nearest event) and range (proximity pairs): two interval
+    // SETS joined where they overlap, the sessions×incidents /
+    // spans×annotations alignment every observability or labeling
+    // pipeline runs. Brute force is |A|×|B|; the rewrite explodes each
+    // interval to its covered 1-hour buckets (bounded: sessions max
+    // ~1.1 h ⇒ ≤ 3 buckets, incident windows ±5 min ⇒ ≤ 2) and joins
+    // on bucket equality + the exact overlap predicate. The DEDUPE
+    // TRICK: a pair sharing k buckets would emit k times — instead of
+    // a distinct, a pair is emitted ONLY in the first bucket both
+    // intervals cover (bucket = greatest of the two start buckets), so
+    // each overlapping pair arises exactly once and no dedup exchange
+    // exists. Per-bucket pair count is bounded by temporal density,
+    // never |A|×|B|; the oracle is the BRUTE overlap join, so the
+    // bucketed rewrite is checked row-identical to the naive
+    // semantics (the rangePairs discipline).
+    "q_join_interval" -> ((s, dir) => {
+      val W = 3600L * 1000000L
+      val gapUs = 1800L * 1000000L
+      val ext = 300L * 1000000L
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc, col("event_id").asc)
+      val sess = ev
+        .withColumn("new_sess",
+          when(lag(col("us"), 1).over(w).isNull ||
+            col("us") - lag(col("us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("us")).as("s"), max(col("us")).as("e"))
+      val sb = sess.withColumn("bucket",
+        explode(expr(s"sequence(s div $W, e div $W)")))
+      val inc = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"),
+          (col("us") - ext).as("i_s"), (col("us") + ext).as("i_e"))
+      val ib = inc.withColumn("bucket",
+        explode(expr(s"sequence(i_s div $W, i_e div $W)")))
+      sb.join(ib.hint("shuffle_hash"),
+          sb("bucket") === ib("bucket") &&
+            col("s") <= col("i_e") && col("i_s") <= col("e") &&
+            sb("bucket") === greatest(expr(s"s div $W"), expr(s"i_s div $W")))
+        .groupBy(col("incident_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          countDistinct(col("user_id")).as("n_users"),
+          max(least(col("e"), col("i_e")) - greatest(col("s"), col("i_s")))
+            .as("max_overlap_us"))
+        .orderBy("incident_id")
+    }),
+
     // Salted skew join (SkewJoin.salted): events ⋈ per-type stats on
     // event_type — a handful of distinct values, so an unsalted shuffle
     // join sends each type's entire row population to ONE task (the
@@ -745,6 +797,32 @@ object Joins {
         ON a.user_id = b.user_id AND a.event_id < b.event_id
        AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 600000000
       ORDER BY a.user_id, e1, e2""",
+    // BRUTE interval-overlap join — the bucketed rewrite must match
+    // the naive overlap semantics row for row
+    "q_join_interval" -> """
+      WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+                  FROM events),
+      sf AS (SELECT user_id, us, event_id,
+               CASE WHEN lag(us) OVER w IS NULL
+                      OR us - lag(us) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS new_sess
+             FROM ev
+             WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      sg AS (SELECT user_id, us,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+             FROM sf),
+      iv AS (SELECT user_id, sid, min(us) AS s, max(us) AS e
+             FROM sg GROUP BY 1, 2),
+      inc AS (SELECT event_id AS incident_id,
+                us - 300000000 AS i_s, us + 300000000 AS i_e
+              FROM ev WHERE event_type = 'error')
+      SELECT incident_id, count(*) AS n_sessions,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(max(least(e, i_e) - greatest(s, i_s)) AS BIGINT)
+               AS max_overlap_us
+      FROM iv JOIN inc ON s <= i_e AND i_s <= e
+      GROUP BY 1 ORDER BY 1""",
     // plain (unsalted) join — the salted rewrite must match it exactly
     "q_join_skew_salted" -> """
       WITH dim AS (SELECT event_type, count(*) AS type_total

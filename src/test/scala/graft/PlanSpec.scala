@@ -723,6 +723,18 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_join_interval joins bucketed intervals hash-keyed, never all-pairs") {
+    // the bucketed rewrite of the brute |A|×|B| overlap join: a
+    // shuffled hash join on the bucket key, and NO distinct/dedup
+    // node — the first-common-bucket emission guard replaces it
+    val p = plan("q_join_interval")
+    assert(p.contains("ShuffledHashJoin"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Deduplicate"),
+      "pair dedup must come from the bucket guard, not an exchange")
+  }
+
   test("dedup keeper elections aggregate partially map-side (hot-key safe)") {
     // the hotkey probe's guarantee in plan form: a 10⁶-deep duplicate
     // group reduces to one row per map partition BEFORE the exchange;

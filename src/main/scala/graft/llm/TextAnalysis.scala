@@ -1152,6 +1152,52 @@ object TextAnalysis {
     (feats, Seq(w0, w1, w2))
   }
 
+  /** The trained 17 micro-unit weights as a driver row — the standing
+    * artifact a deployment reloads (17 longs, the ivfTrainStats
+    * shape): train once in batch, redeploy per stream. */
+  private[graft] def lrTrainedWeights(s: SparkSession,
+      docs: DataFrame): Seq[Long] = {
+    val r = lrChain(s, docs)._2(2).head()
+    (0 to LrDims).map(j => r.getAs[Long](s"w$j"))
+  }
+
+  /** The quality gate as a PURE SCAN PROJECTION against literal
+    * weights: per-doc features via an IN-ROW fold over the token
+    * array (no explode, no groupBy — each of the 16 dims is one
+    * aggregate() over the per-token (dim, sgn) pairs, integer sums so
+    * the result is bit-identical to the batch explode+groupBy
+    * features), then the same micro-unit sigmoid. Stateless and
+    * exchange-free, so it streams unchanged ([[graft.streaming
+    * .Streams.lrGate]]). */
+  private[graft] def lrGateOn(docs: DataFrame,
+      weights: Seq[Long]): DataFrame = {
+    require(weights.size == LrDims + 1, s"need ${LrDims + 1} weights")
+    val pairs =
+      "transform(filter(split(text, ' '), x -> x <> ''), w -> " +
+        "named_struct(" +
+        "'dim', cast(conv(substring(md5(concat('fh:', w)), 1, 8), 16, 10) " +
+        s"as bigint) % $LrDims, " +
+        "'sgn', CASE WHEN cast(conv(substring(md5(concat('sg:', w)), 1, 8), " +
+        "16, 10) as bigint) % 2 = 0 THEN 1L ELSE -1L END))"
+    val fs = s"transform(sequence(0, ${LrDims - 1}), d -> " +
+      "aggregate(ps, 0L, (a, p) -> a + (CASE WHEN p.dim = d THEN p.sgn " +
+      "ELSE 0L END)))"
+    val z = s"${weights.head}L + " + (0 until LrDims)
+      .map(j => s"${weights(j + 1)}L * element_at(fs, ${j + 1})")
+      .mkString(" + ")
+    docs
+      .withColumn("ps", expr(pairs))
+      .filter(size(col("ps")) > 0)
+      .withColumn("fs", expr(fs))
+      .withColumn("z_u", expr(z))
+      .withColumn("p_u", expr(
+        "cast(round((0.5 + 0.5 * (cast(z_u as double) / 1000000.0) / " +
+          "(1.0 + abs(cast(z_u as double) / 1000000.0))) * 1000000) as bigint)"))
+      .select(col("doc_id"),
+        (col("p_u").cast("double") / 1000000.0).as("lr_p"),
+        (col("p_u") >= 500000L).as("keep"))
+  }
+
   /** The full two-round EM chain — shared by the trainer row and the
     * fertility comparison (which wants seg2, the final tokenizer). */
   private def ulmChain(docs: DataFrame)

@@ -247,6 +247,18 @@ object Streams {
       parts: Seq[(Long, Seq[Long], BigInt)]): DataFrame =
     graft.llm.Similarity.ivfAssignWith(parts, delta)
 
+  /** The q_lr_quality gate run CONTINUOUSLY — arriving documents
+    * scored under the STANDING trained micro-unit weights
+    * ([[graft.llm.TextAnalysis.lrTrainedWeights]], the 17-long
+    * artifact a deployment reloads). The projection computes features
+    * by an in-row fold (no explode/groupBy — the batch trainer's
+    * aggregation re-expressed per row with identical integer sums),
+    * so the gate is stateless and exchange-free and streams
+    * unchanged: the learned-filter analog of [[ivfIngest]], pinned
+    * for batch parity and plan shape in StreamsSpec. */
+  def lrGate(delta: DataFrame, weights: Seq[Long]): DataFrame =
+    graft.llm.TextAnalysis.lrGateOn(delta, weights)
+
   /** The q_pipeline_chunks funnel run INCREMENTALLY — the shape a
     * production ingest schedules continuously: the same scan-side
     * language/quality features and filters (literally the same

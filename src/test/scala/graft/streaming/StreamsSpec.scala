@@ -462,6 +462,47 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("LR gate streams the standing-weight scoring statelessly") {
+    // train in batch on the separable corpus (aa=en / bb=de — the
+    // TextAnalysisSpec fixture), redeploy the 17-long artifact on a
+    // stream: per-row fold features must reproduce the batch
+    // explode+groupBy probabilities exactly, with no state and no
+    // exchange in the plan.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("lrgate").toString
+    Seq((1L, "aa aa aa", "en"), (2L, "aa aa aa", "en"), (3L, "aa aa aa", "en"),
+      (5L, "bb bb bb", "de"), (6L, "bb bb bb", "de"), (7L, "bb bb bb", "de"))
+      .map { case (id, t, l) => (id, t, l, "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val w = graft.llm.TextAnalysis.lrTrainedWeights(spark, docs)
+    assert(w.size == 17 && w.exists(_ != 0L))
+    val batchDf = Streams.lrGate(docs, w)
+    assert(!batchDf.queryExecution.executedPlan.toString.contains("Exchange"),
+      "gate must be a pure scan-side projection")
+    val batch = batchDf.select("doc_id", "lr_p", "keep")
+      .as[(Long, Double, Boolean)].collect().toSet
+    assert(batch.forall { case (id, _, keep) => keep == (id <= 3) },
+      s"separable corpus must gate by class: $batch")
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.lrGate(in.toDF().toDF("doc_id", "text"), w)
+      .writeStream.format("memory").queryName("lrgate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((1L, "aa aa aa"), (5L, "bb bb bb"))
+      q.processAllAvailable()
+      in.addData((2L, "aa aa aa"), (6L, "bb bb bb"), (3L, "aa aa aa"),
+        (7L, "bb bb bb"))
+      q.processAllAvailable()
+      val got = spark.table("lrgate").select("doc_id", "lr_p", "keep")
+        .as[(Long, Double, Boolean)].collect()
+      assert(got.length == 6)              // exactly-once
+      assert(got.toSet === batch)          // row-level batch parity
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("funnel keeper state survives a checkpoint restart") {
     // The dropDuplicates keeper state must round-trip the state store:
     // a post-restart document that duplicates a pre-restart one must

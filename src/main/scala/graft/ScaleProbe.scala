@@ -703,6 +703,36 @@ object ScaleProbe {
       docs.unpersist(false)
     }
 
+    // ULM-trainer probe: N× the documents with IDENTICAL text — the
+    // corpus grows, the distinct-word dictionary does not, and the
+    // unigram-LM claim is the same as BPE's: everything after the
+    // dict-building scan is vocab-bounded, so train wall must stay
+    // FLAT (report rows identical up to ×N counts: same vocab, same
+    // segmentations, ×N log-likelihood mass).
+    if (want("ulm"))
+    locally {
+      val docs = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text")).persist()
+      val nDocs = docs.count()
+      val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      def timedUlm(mult: Int): Unit = {
+        val scaled = docs
+          .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
+            col("doc_id"), col("text"))
+          .select((col("doc_id") + col("i") * lit(stride)).as("doc_id"),
+            col("text"))
+        val t0 = System.nanoTime()
+        val rows = graft.llm.TextAnalysis.ulmTrainOn(scaled).collect()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val r2 = rows.last
+        println(f"""{"probe":"ulm_${mult}x","docs":${nDocs * mult},"vocab2":${r2.getAs[Long]("vocab_size")},"ll2":${r2.getAs[Double]("ll")},"pieces_per_word":${r2.getAs[Double]("pieces_per_word")},"sec":$dt%.2f}""")
+      }
+      timedUlm(1)
+      timedUlm(10)
+      timedUlm(100)
+      docs.unpersist(false)
+    }
+
     // Hot-key dedup probe: ONE content hash (the crawl boilerplate
     // page) duplicated 10⁴–10⁶×, unioned with the real corpus. The
     // keeper election as a min-keyed HASH AGGREGATE partial-aggregates

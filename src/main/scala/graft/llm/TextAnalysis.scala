@@ -489,10 +489,28 @@ object TextAnalysis {
     // the dict; each round is a map-only dict pass (broadcast piece
     // map, sequential in-row DP) plus a vocab-bounded aggregate — at
     // 100 TB the corpus I/O dominates and EM cost is corpus-free.
-    "q_ulm_train" -> ((s, dir) => {
-      val (v0, seg1, v1, seg2) = ulmChain(Tables(s, dir, "documents"))
-      ulmStats(seg1, v0, 1).unionByName(ulmStats(seg2, v1, 2))
-        .orderBy("em_round")
+    "q_ulm_train" -> ((s, dir) =>
+      ulmTrainOn(Tables(s, dir, "documents"))),
+
+    // The trained unigram LM APPLIED per document — train→apply
+    // closing the loop exactly as q_bpe_tokenize does for merges: the
+    // 2-round EM chain runs once (vocab-bounded, materialized), the
+    // final segmentation collapses to a per-word unit count, and the
+    // corpus tokenizes by a shuffle_hash join against it. Per-doc
+    // token-budget row: word count, ULM unit count, units/word.
+    "q_ulm_tokenize" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val (_, _, _, seg2) = ulmChain(docs)
+      val seg = seg2.select(col("w"), size(col("ks")).as("n_units"))
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+        .join(seg.hint("shuffle_hash"), "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_units").cast("long")).as("n_ulm_units"),
+          round(sum(col("n_units").cast("long")).cast("double") / count(lit(1)), 4)
+            .cast("double").as("units_per_word"))
+        .orderBy("doc_id")
     }),
 
     // Tokenizer-fertility SHOOTOUT by source: the trained BPE (3
@@ -1198,6 +1216,16 @@ object TextAnalysis {
         (col("p_u") >= 500000L).as("keep"))
   }
 
+  /** Frame-taking trainer report — ScaleProbe drives this on
+    * replicated corpora (identical text ⇒ identical dict ⇒ train wall
+    * must stay FLAT past the dict-building scan, the bpeTrainOn
+    * contract). */
+  private[graft] def ulmTrainOn(docs: DataFrame): DataFrame = {
+    val (v0, seg1, v1, seg2) = ulmChain(docs)
+    ulmStats(seg1, v0, 1).unionByName(ulmStats(seg2, v1, 2))
+      .orderBy("em_round")
+  }
+
   /** The full two-round EM chain — shared by the trainer row and the
     * fertility comparison (which wants seg2, the final tokenizer). */
   private def ulmChain(docs: DataFrame)
@@ -1531,6 +1559,7 @@ object TextAnalysis {
     // candidate arithmetic and smallest-k tie-break), so every dp
     // cell, segmentation, and likelihood is bit-equal by construction.
     "q_ulm_train" -> ulmTrainSql,
+    "q_ulm_tokenize" -> ulmTokenizeSql,
     "q_ulm_fertility" -> ulmFertilitySql,
     // LR twins: the full 2-step GD chain re-derived in DuckDB — all
     // BIGINT micro-units, so weights/gradients are bit-equal by
@@ -1981,6 +2010,20 @@ object TextAnalysis {
       SELECT * FROM ${ulmStatsSql(1, "uv0", "uk1")}
       UNION ALL SELECT * FROM ${ulmStatsSql(2, "uc1", "uk2")}
       ORDER BY em_round"""
+
+  private lazy val ulmTokenizeSql = s"""
+      WITH $wdCte, $ulmCtes,
+      useg AS (SELECT w, len(ks) AS n_units FROM uk2),
+      dtok AS (SELECT doc_id, w FROM
+                 (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+               WHERE regexp_full_match(w, '[a-z]+'))
+      SELECT doc_id, count(*) AS n_words,
+             CAST(sum(n_units) AS BIGINT) AS n_ulm_units,
+             CAST(round(CAST(sum(n_units) AS DOUBLE) / count(*), 4)
+               AS DOUBLE) AS units_per_word
+      FROM dtok JOIN useg USING (w)
+      GROUP BY doc_id ORDER BY doc_id"""
 
   private lazy val ulmFertilitySql = bpeCtes + s""", $ulmCtes,
       bseg AS (SELECT w, count(*) AS n_bpe FROM s4 GROUP BY w),

@@ -453,6 +453,48 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // WORDPIECE merge training (Schuster & Nakajima 2012; the BERT
+    // tokenizer family) — the THIRD production tokenizer beside BPE
+    // and the unigram LM, and the purest contrast with BPE: identical
+    // dictionary, identical greedy merge pass (shared mergeApply),
+    // but the argmax maximizes LIKELIHOOD — ln c(ab) − ln c(a) −
+    // ln c(b), the PMI-shaped score — instead of raw frequency. On
+    // the spec corpus the two genuinely diverge: BPE's first merge is
+    // the frequent (a,a), WordPiece's is (a,b) (rare parts, high
+    // cohesion). Same scale shape as q_bpe_train: dict-bounded after
+    // one corpus scan, one exchange per round plus a vocab-bounded
+    // symbol-count aggregate.
+    "q_wordpiece_train" -> ((s, dir) => {
+      var cur = bpeSymbolsOf(Tables(s, dir, "documents"))
+      val rows = (1 to 3).map { k =>
+        val (best, next) = wordpieceStep(cur)
+        cur = next
+        best.select(lit(k).as("step"), col("lft"), col("rgt"),
+            col("pair_cnt"), col("score"))
+          .crossJoin(broadcast(next.agg(count(lit(1)).as("n_syms_after"))))
+      }
+      rows.reduce(_.unionByName(_)).orderBy("step")
+    }),
+
+    // WordPiece fertility by source — beside q_bpe_fertility /
+    // q_ulm_fertility this completes the three-family tokenizer
+    // bake-off at equal training budget (3 merges / 2 EM rounds).
+    "q_wordpiece_fertility" -> ((s, dir) => {
+      var cur = bpeSymbolsOf(Tables(s, dir, "documents"))
+      (1 to 3).foreach { _ => cur = wordpieceStep(cur)._2 }
+      val seg = cur.groupBy(col("w")).agg(count(lit(1)).as("n_units"))
+      Tables(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+        .join(seg.hint("shuffle_hash"), "w")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_units")).as("n_wp_units"),
+          round(sum(col("n_units")).cast("double") / count(lit(1)), 4)
+            .cast("double").as("fertility"))
+        .orderBy("source")
+    }),
+
     // Tokenizer FERTILITY by source — the tokenizer-qualification
     // number multilingual reports carry (avg BPE units per word; the
     // BLOOM/XGLM-style fairness check: a subcorpus whose fertility
@@ -904,21 +946,56 @@ object TextAnalysis {
     * aggregate-row pattern), never through the driver. */
   private def bpeStep(syms: DataFrame): (DataFrame, DataFrame) = {
     val byPos = Window.partitionBy(col("w")).orderBy(col("i"))
-    val run = byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val paired = syms.withColumn("r", lead(col("s"), 1).over(byPos))
     val best = paired.filter(col("r").isNotNull)
       .groupBy(col("s").as("lft"), col("r").as("rgt"))
       .agg(sum(col("f")).as("pair_cnt"))
       .orderBy(col("pair_cnt").desc, col("lft"), col("rgt"))
       .limit(1)
-    // LEFT join on true, not a crossJoin: if a round finds no adjacent
-    // pairs (every word already one symbol, or a degenerate corpus),
-    // `best` is empty and a crossJoin would silently EMPTY the symbol
-    // table — dropping the remaining rounds' rows and every document
-    // from the tokenize join. With the left join the rows survive with
-    // NULL lft/rgt, cand coalesces to false, and the table passes
-    // through unchanged while the round emits no merge row.
-    val flagged = paired.join(broadcast(best), lit(true), "left")
+    (best, mergeApply(paired, best))
+  }
+
+  /** One WORDPIECE round: same pair counting and the SAME greedy
+    * merge pass as BPE, but the argmax maximizes the LIKELIHOOD score
+    * score(a,b) = ln count(ab) − ln count(a) − ln count(b) (Schuster
+    * & Nakajima 2012; the PMI-shaped objective — merge the pair whose
+    * co-occurrence beats its parts' unigram mass, not the most
+    * frequent pair). Each ln runs over the same exact integer in both
+    * engines and rounds to 6 dp before the comparison (the PMI/BM25
+    * discipline), ties break lexicographically. */
+  private def wordpieceStep(syms: DataFrame): (DataFrame, DataFrame) = {
+    val byPos = Window.partitionBy(col("w")).orderBy(col("i"))
+    val paired = syms.withColumn("r", lead(col("s"), 1).over(byPos))
+    val symCnt = syms.groupBy(col("s")).agg(sum(col("f")).as("cnt"))
+    val best = paired.filter(col("r").isNotNull)
+      .groupBy(col("s").as("lft"), col("r").as("rgt"))
+      .agg(sum(col("f")).as("pair_cnt"))
+      .join(symCnt.select(col("s").as("lft"), col("cnt").as("cl")), "lft")
+      .join(symCnt.select(col("s").as("rgt"), col("cnt").as("cr")), "rgt")
+      .withColumn("score",
+        round(log(col("pair_cnt").cast("double")) -
+          log(col("cl").cast("double")) - log(col("cr").cast("double")), 6)
+          .cast("double"))
+      .orderBy(col("score").desc, col("lft"), col("rgt"))
+      .limit(1)
+      .select(col("lft"), col("rgt"), col("pair_cnt"), col("score"))
+    (best, mergeApply(paired, best))
+  }
+
+  /** The shared greedy-leftmost merge pass: apply the 1-row `best`
+    * (lft, rgt, …) to the paired symbol table. LEFT join on true, not
+    * a crossJoin: if a round finds no adjacent pairs (every word
+    * already one symbol, or a degenerate corpus), `best` is empty and
+    * a crossJoin would silently EMPTY the symbol table — dropping the
+    * remaining rounds' rows and every document from the tokenize
+    * join. With the left join the rows survive with NULL lft/rgt,
+    * cand coalesces to false, and the table passes through unchanged
+    * while the round emits no merge row. */
+  private def mergeApply(paired: DataFrame, best: DataFrame): DataFrame = {
+    val byPos = Window.partitionBy(col("w")).orderBy(col("i"))
+    val run = byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = paired
+      .join(broadcast(best.select(col("lft"), col("rgt"))), lit(true), "left")
       .withColumn("cand", coalesce(col("r").isNotNull &&
         col("s") === col("lft") && col("r") === col("rgt"), lit(false)))
       // Last non-candidate position at-or-before this row: the origin
@@ -928,11 +1005,10 @@ object TextAnalysis {
       .withColumn("m", col("cand") &&
         (col("i") - coalesce(col("last_nc"), lit(0))) % 2 === 1)
       .withColumn("consumed", coalesce(lag(col("m"), 1).over(byPos), lit(false)))
-    val next = flagged.filter(!col("consumed"))
+    flagged.filter(!col("consumed"))
       .withColumn("i2", row_number().over(byPos))
       .select(col("w"), col("f"), col("i2").as("i"),
         when(col("m"), concat(col("s"), col("r"))).otherwise(col("s")).as("s"))
-    (best, next)
   }
 
   // ---- Unigram-LM tokenizer (Kudo 2018, the SentencePiece family) ----
@@ -1530,6 +1606,8 @@ object TextAnalysis {
           / count(surp), 4) AS DOUBLE) AS avg_surp
       FROM surp GROUP BY doc_id ORDER BY doc_id""",
     "q_bpe_train" -> bpeSql,
+    "q_wordpiece_train" -> wpSql,
+    "q_wordpiece_fertility" -> wpFertilitySql,
     "q_bpe_tokenize" -> (bpeCtes + """,
       seg AS (SELECT w, count(*) AS n_units FROM s4 GROUP BY w),
       dtok AS (SELECT doc_id, w FROM
@@ -1717,6 +1795,33 @@ object TextAnalysis {
   /** DuckDB twin of one BPE round: CTE suffix `k` in, `s{k+1}` out —
     * the same lead/argmax/run-origin/lag/renumber chain, windows
     * keyed identically. */
+  /** The shared greedy-leftmost merge chain (the mergeApply twin):
+    * applies the 1-row `b` best-pair CTE to the paired table `p`,
+    * emitting the post-merge symbol table `sNext`. Scratch CTE names
+    * derive from `p` so BPE and WordPiece chains can't collide. */
+  private def mergeChainCtes(p: String, b: String, sNext: String): String = s"""
+      ${p}c AS (SELECT pp.w, pp.f, pp.i, pp.s, pp.r,
+                coalesce(pp.r IS NOT NULL AND pp.s = bb.lft AND pp.r = bb.rgt,
+                         false) AS cand
+              FROM $p pp LEFT JOIN $b bb ON true),
+      ${p}g AS (SELECT *,
+                max(CASE WHEN NOT cand THEN i END)
+                  OVER (PARTITION BY w ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS last_nc
+              FROM ${p}c),
+      ${p}h AS (SELECT *,
+                cand AND (i - coalesce(last_nc, 0)) % 2 = 1 AS m
+              FROM ${p}g),
+      ${p}j AS (SELECT *,
+                coalesce(lag(m) OVER (PARTITION BY w ORDER BY i), false)
+                  AS consumed
+              FROM ${p}h),
+      $sNext AS (SELECT w, f,
+                CAST(row_number() OVER (PARTITION BY w ORDER BY i) AS INT) AS i,
+                CASE WHEN m THEN s || r ELSE s END AS s
+              FROM ${p}j WHERE NOT consumed)"""
+
   private def bpeStepCtes(k: Int): String = s"""
       p$k AS (SELECT w, f, i, s,
                 lead(s) OVER (PARTITION BY w ORDER BY i) AS r
@@ -1724,27 +1829,62 @@ object TextAnalysis {
       b$k AS (SELECT s AS lft, r AS rgt, CAST(sum(f) AS BIGINT) AS pair_cnt
               FROM p$k WHERE r IS NOT NULL GROUP BY s, r
               ORDER BY pair_cnt DESC, lft, rgt LIMIT 1),
-      c$k AS (SELECT p.w, p.f, p.i, p.s, p.r,
-                coalesce(p.r IS NOT NULL AND p.s = b.lft AND p.r = b.rgt,
-                         false) AS cand
-              FROM p$k p LEFT JOIN b$k b ON true),
-      g$k AS (SELECT *,
-                max(CASE WHEN NOT cand THEN i END)
-                  OVER (PARTITION BY w ORDER BY i
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  AS last_nc
-              FROM c$k),
-      h$k AS (SELECT *,
-                cand AND (i - coalesce(last_nc, 0)) % 2 = 1 AS m
-              FROM g$k),
-      j$k AS (SELECT *,
-                coalesce(lag(m) OVER (PARTITION BY w ORDER BY i), false)
-                  AS consumed
-              FROM h$k),
-      s${k + 1} AS (SELECT w, f,
-                CAST(row_number() OVER (PARTITION BY w ORDER BY i) AS INT) AS i,
-                CASE WHEN m THEN s || r ELSE s END AS s
-              FROM j$k WHERE NOT consumed)"""
+      ${mergeChainCtes(s"p$k", s"b$k", s"s${k + 1}")}"""
+
+  /** One WordPiece round: same pair table, likelihood-score argmax
+    * (each ln over the same exact integer, one 6-dp round on the
+    * combined expression — the wordpieceStep mirror), shared merge. */
+  private def wpStepCtes(k: Int): String = s"""
+      vp$k AS (SELECT w, f, i, s,
+                lead(s) OVER (PARTITION BY w ORDER BY i) AS r
+              FROM vs$k),
+      vn$k AS (SELECT s, CAST(sum(f) AS BIGINT) AS cnt FROM vs$k GROUP BY s),
+      vb$k AS (SELECT lft, rgt, pair_cnt,
+                 CAST(round(ln(CAST(pair_cnt AS DOUBLE)) -
+                   ln(CAST(cl AS DOUBLE)) - ln(CAST(cr AS DOUBLE)), 6)
+                   AS DOUBLE) AS score
+               FROM (SELECT pc.lft, pc.rgt, pc.pair_cnt,
+                       a.cnt AS cl, b.cnt AS cr
+                     FROM (SELECT s AS lft, r AS rgt,
+                             CAST(sum(f) AS BIGINT) AS pair_cnt
+                           FROM vp$k WHERE r IS NOT NULL GROUP BY s, r) pc
+                     JOIN vn$k a ON pc.lft = a.s
+                     JOIN vn$k b ON pc.rgt = b.s) t
+               ORDER BY score DESC, lft, rgt LIMIT 1),
+      ${mergeChainCtes(s"vp$k", s"vb$k", s"vs${k + 1}")}"""
+
+  /** WordPiece CTE prefix: the SAME dictionary and round-0 symbols as
+    * BPE (renamed vs1), then three likelihood-argmax rounds. */
+  private lazy val wpCtes = s"""
+      WITH $wdCte,
+      vs1 AS (SELECT w, f, CAST(i AS INT) AS i, substr(w, CAST(i AS INT), 1) AS s
+             FROM wd, UNNEST(generate_series(1, len(w))) AS u(i)),
+      ${wpStepCtes(1)}, ${wpStepCtes(2)}, ${wpStepCtes(3)}"""
+
+  private lazy val wpSql = wpCtes + s"""
+      SELECT * FROM (
+        SELECT 1 AS step, lft, rgt, pair_cnt, score,
+               (SELECT count(*) FROM vs2) AS n_syms_after FROM vb1
+        UNION ALL
+        SELECT 2, lft, rgt, pair_cnt, score,
+               (SELECT count(*) FROM vs3) FROM vb2
+        UNION ALL
+        SELECT 3, lft, rgt, pair_cnt, score,
+               (SELECT count(*) FROM vs4) FROM vb3)
+      ORDER BY step"""
+
+  private lazy val wpFertilitySql = wpCtes + """,
+      wseg AS (SELECT w, count(*) AS n_units FROM vs4 GROUP BY w),
+      wtok AS (SELECT source, w FROM
+                 (SELECT source, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+               WHERE regexp_full_match(w, '[a-z]+'))
+      SELECT source, count(*) AS n_words,
+             CAST(sum(n_units) AS BIGINT) AS n_wp_units,
+             CAST(round(CAST(sum(n_units) AS DOUBLE) / count(*), 4)
+               AS DOUBLE) AS fertility
+      FROM wtok JOIN wseg USING (w)
+      GROUP BY source ORDER BY source"""
 
   /** The distinct-word dictionary CTE shared by every tokenizer twin
     * (BPE rounds and the unigram-LM chain). */

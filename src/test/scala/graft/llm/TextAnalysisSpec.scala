@@ -120,6 +120,27 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got == Seq((1L, 3L, 3L, 1.0)))
   }
 
+  test("q_wordpiece_train diverges from BPE exactly as the likelihood score dictates") {
+    // Same corpus as the BPE test: aaaa(f=2), ab(1). Symbol counts
+    // a=9, b=1; pairs (a,a)=6, (a,b)=1. BPE merges (a,a) first, but
+    // WordPiece scores (a,b): ln1−ln9−ln1 = −2.197225 BEATS (a,a):
+    // ln6−2·ln9 = −2.602690 — rare parts, perfect cohesion. Round 2:
+    // a=8, ab=1, only (a,a)=6: ln6−2·ln8 = −2.367124 → aaaa=[aa,aa].
+    // Round 3: aa=4, ab=1, (aa,aa)=2: ln2−2·ln4 = −2.079442 → [aaaa].
+    // n_syms_after counts DICT rows (4+2 pre-merge): 5 → 3 → 2.
+    val dir = java.nio.file.Files.createTempDirectory("wp").toString
+    Seq((1L, "aaaa aaaa ab"))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.queries("q_wordpiece_train")(spark, dir)
+      .as[(Int, String, String, Long, Double, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, "a", "b", 1L, -2.197225, 5L),
+      (2, "a", "a", 6L, -2.367124, 3L),
+      (3, "aa", "aa", 2L, -2.079442, 2L)))
+  }
+
   test("q_ulm_train matches the hand-computed EM rounds") {
     // Dict: abcd(f=2), ab(1), cd(1), x(1). Seed vocab: 5 singles + 6
     // multi = 11 pieces, total weight 27. Every word Viterbi-segments

@@ -463,11 +463,16 @@ object TextAnalysis {
     // the frequent (a,a), WordPiece's is (a,b) (rare parts, high
     // cohesion). Same scale shape as q_bpe_train: dict-bounded after
     // one corpus scan, one exchange per round plus a vocab-bounded
-    // symbol-count aggregate.
+    // symbol-count aggregate. Unlike BPE, each round consumes its
+    // symbol table THREE ways (pairs, unigram counts, merge), so the
+    // ULM discipline applies: localCheckpoint the dict-bounded table
+    // per round — the corpus is scanned exactly once, and every
+    // round's argmax reads the materialized frame.
     "q_wordpiece_train" -> ((s, dir) => {
-      var cur = bpeSymbolsOf(Tables(s, dir, "documents"))
+      var cur = bpeSymbolsOf(Tables(s, dir, "documents")).localCheckpoint()
       val rows = (1 to 3).map { k =>
-        val (best, next) = wordpieceStep(cur)
+        val (best, next0) = wordpieceStep(cur)
+        val next = next0.localCheckpoint()
         cur = next
         best.select(lit(k).as("step"), col("lft"), col("rgt"),
             col("pair_cnt"), col("score"))
@@ -480,8 +485,8 @@ object TextAnalysis {
     // q_ulm_fertility this completes the three-family tokenizer
     // bake-off at equal training budget (3 merges / 2 EM rounds).
     "q_wordpiece_fertility" -> ((s, dir) => {
-      var cur = bpeSymbolsOf(Tables(s, dir, "documents"))
-      (1 to 3).foreach { _ => cur = wordpieceStep(cur)._2 }
+      var cur = bpeSymbolsOf(Tables(s, dir, "documents")).localCheckpoint()
+      (1 to 3).foreach { _ => cur = wordpieceStep(cur)._2.localCheckpoint() }
       val seg = cur.groupBy(col("w")).agg(count(lit(1)).as("n_units"))
       Tables(s, dir, "documents")
         .select(col("source"), explode(split(col("text"), " ")).as("w"))

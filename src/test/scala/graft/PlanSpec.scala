@@ -687,6 +687,29 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_wordpiece_train reads only the materialized dict-bounded rounds") {
+    // each round consumes its symbol table three ways (pairs, unigram
+    // counts, merge), so the table localCheckpoints per round — the
+    // corpus is scanned once AT CONSTRUCTION and the report plan reads
+    // only the materialized frames; a parquet scan here means a round
+    // lost its checkpoint and the lineage re-expands combinatorially
+    val p = plan("q_wordpiece_train")
+    assert(!p.contains("Scan parquet"),
+      s"report must not re-scan the corpus:\n$p")
+    assert(p.contains("ExistingRDD"), "round frames must be materialized")
+    assert(p.contains("BroadcastNestedLoopJoin Cross BuildRight"),
+      "round-size aggregate must ride as a broadcast 1-row cross")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_wordpiece_fertility joins corpus words to the trained segmentation shuffled-hash") {
+    // same contract as q_bpe_fertility: the vocab-bounded segmentation
+    // is the build side; the corpus word explode streams through it
+    val p = plan("q_wordpiece_fertility")
+    assert(p.contains("ShuffledHashJoin Inner BuildRight"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_ulm_fertility picks up BOTH tokenizers on one corpus word scan") {
     // two ShuffledHashJoins (BPE seg, ULM seg) stacked on the single
     // exploded corpus scan; the EM chain itself never touches the

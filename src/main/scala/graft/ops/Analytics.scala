@@ -216,6 +216,37 @@ object Analytics {
         .orderBy("user_id", "version")
     }),
 
+    // Contiguous global ID assignment (the scalable zipWithIndex):
+    // every training pipeline needs stable dense row ids 0..N-1
+    // before sharding/packing, and the naive row_number() OVER
+    // (ORDER BY key) is a single-reducer global sort — the one shape
+    // that cannot survive 100 TB. The two-pass redesign: (1) a
+    // map-side-combined per-shard count (S rows, S = 32 here; at
+    // cluster scale S = shuffle parallelism), prefix-summed into
+    // shard offsets by a window over the S-row frame; (2) a
+    // row_number per SHARD — S independent partition sorts, no
+    // global exchange — plus the broadcast offsets join. gid =
+    // offset(shard) + rn − 1 is contiguous and deterministic; the
+    // shard function (doc_id % S) is plain arithmetic so both
+    // engines derive identical ids, not merely a permutation.
+    "q_global_ids" -> ((s, dir) => {
+      val S = 32
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(S.toLong)).as("shard"))
+      val offsets = d.groupBy(col("shard"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("off", coalesce(
+          sum(col("c")).over(Window.orderBy(col("shard"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("shard"), col("off"))
+      d.withColumn("rn",
+          row_number().over(Window.partitionBy(col("shard")).orderBy(col("doc_id"))))
+        .join(broadcast(offsets), Seq("shard"))
+        .select(col("doc_id"), col("shard"),
+          (col("off") + col("rn") - 1L).as("gid"))
+        .orderBy("doc_id")
+    }),
+
     "q_merge_upsert" -> ((s, dir) => {
       val base = Tables(s, dir, "orders")
         .select(col("o_orderkey"), col("o_totalprice"),
@@ -238,6 +269,19 @@ object Analytics {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_global_ids" -> """
+      WITH d AS (SELECT doc_id, doc_id % 32 AS shard FROM documents),
+      c AS (SELECT shard, count(*) AS c FROM d GROUP BY shard),
+      o AS (SELECT shard,
+              CAST(coalesce(sum(c) OVER (ORDER BY shard
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS off
+            FROM c),
+      r AS (SELECT doc_id, shard,
+              row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+            FROM d)
+      SELECT r.doc_id, r.shard, CAST(o.off + r.rn - 1 AS BIGINT) AS gid
+      FROM r JOIN o USING (shard) ORDER BY doc_id""",
     "q_cohort_retention" -> """
       WITH e AS (SELECT DISTINCT user_id,
                         CAST(date_trunc('week', ts) AS DATE) AS wk

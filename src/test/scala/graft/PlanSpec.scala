@@ -687,6 +687,23 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_global_ids never sorts the corpus through one partition") {
+    // the scalable-zipWithIndex claim in plan form: the corpus side
+    // is ONE shard-keyed exchange + per-shard windows; the only
+    // SinglePartition exchange is the S-row offsets frame (S = 32),
+    // which then broadcasts. A second SinglePartition exchange means
+    // the global row_number came back.
+    val p = plan("q_global_ids")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+    assert(scans == 2, s"expected 2 pruned scans, got $scans")
+    assert(p.contains("BroadcastHashJoin Inner BuildRight"))
+    assert(p.contains("partial_count"),
+      "shard counts must map-side combine")
+    val single = "SinglePartition".r.findAllIn(p).size
+    assert(single == 1, s"only the 32-row offsets frame may single-partition, got $single:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_wordpiece_train reads only the materialized dict-bounded rounds") {
     // each round consumes its symbol table three ways (pairs, unigram
     // counts, merge), so the table localCheckpoints per round — the

@@ -1,6 +1,7 @@
 package graft.llm
 
 import graft.ops.Q
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -258,6 +259,61 @@ object Clustering {
         .filter(col("rn") <= 3)
         .select(col("label"), col("rn"), col("vec_id"), col("score"))
         .orderBy("label", "rn")
+    }),
+
+    // Top PRINCIPAL COMPONENT by power iteration, fully in-plan — the
+    // embedding-analytics op (whitening, drift monitoring, MRL-style
+    // dimension triage) that normally leaves SQL for a linalg library.
+    // Three iterations of v ← C·v over the CENTERED covariance without
+    // ever materializing C or centering the data: with integer
+    // m = Σx, t = Σ(x·v), s = Σ x(x·v), the identity
+    // Σ(x−μ)((x−μ)·v) = s − μt means N·s − m·t is an exact-integer
+    // vector parallel to C·v (direction is all an eigenvector needs).
+    // One corpus scan per iteration: dot = codegen dot_long against
+    // the broadcast 1-row v, then ONE posexplode aggregate produces
+    // s_j, m_j, t, N per dimension (t and N ride the same 64-row
+    // aggregate — identical per j). Normalization is the LR-sigmoid
+    // discipline: the only doubles are c/g (g = max|c_j|) in one IEEE
+    // expression rounded once to ×10⁶ micro-units for the next round's
+    // literal-like 1-row frame. Sums in DECIMAL(38,0): per-term
+    // x·dot ≤ 1e15 is long-safe, the corpus sum is not (5e19 at sf0.1,
+    // 1e33 at 10⁹ rows — inside 38 digits). Each 64-row c frame
+    // localCheckpoints (the ULM discipline) so the three rounds cost
+    // exactly three corpus scans, and the report reads only
+    // materialized frames. Output: (iter, j, loading) — the unit-free
+    // loadings per round; iteration 3's column is the component.
+    "q_embed_pca" -> ((s, dir) => {
+      val qe = Dedup.quantized(s, dir)
+      def iter(vrow: DataFrame): DataFrame =
+        qe.crossJoin(broadcast(vrow))
+          .withColumn("dot", expr("dot_long(q, varr)"))
+          .select(posexplode(col("q")).as(Seq("j0", "x")), col("dot"))
+          .groupBy((col("j0") + 1).as("j"))
+          .agg(sum(expr("cast(x * dot as decimal(38,0))")).as("s"),
+            sum(col("x").cast("decimal(38,0)")).as("m"),
+            sum(col("dot").cast("decimal(38,0)")).as("t"),
+            count(lit(1)).cast("decimal(38,0)").as("n"))
+          .select(col("j"), (col("n") * col("s") - col("m") * col("t")).as("c"))
+          .localCheckpoint()
+      def vrowOf(cf: DataFrame): DataFrame =
+        cf.agg(max(abs(col("c"))).as("g"),
+            expr("transform(array_sort(collect_list(struct(j, c))), p -> p.c)")
+              .as("cs"))
+          .select(expr("transform(cs, c -> cast(round(" +
+            "cast(c as double) / cast(g as double) * 1000000) as bigint))")
+            .as("varr"))
+      def loadings(k: Int, cf: DataFrame): DataFrame =
+        cf.crossJoin(broadcast(cf.agg(max(abs(col("c"))).as("g"))))
+          .select(lit(k).as("iter"), col("j"),
+            round(col("c").cast("double") / col("g").cast("double"), 6)
+              .cast("double").as("loading"))
+      val v1 = s.range(1).select(
+        expr("transform(sequence(1, 64), i -> cast(1000000 as bigint))").as("varr"))
+      val c1 = iter(v1)
+      val c2 = iter(vrowOf(c1))
+      val c3 = iter(vrowOf(c2))
+      loadings(1, c1).unionByName(loadings(2, c2)).unionByName(loadings(3, c3))
+        .orderBy("iter", "j")
     }))
 
   /** DuckDB twin of [[assign]] on the SEED centroids, as reusable CTEs
@@ -324,7 +380,46 @@ object Clustering {
       ORDER BY f1.cell"""
   }
 
+  /** One DuckDB power-iteration round: v-array CTE `va$k` in, centered
+    * Gram application `c$k` + next-round array `va${k+1}` out — the
+    * same dot / posexplode-aggregate / N·s − m·t / max|c| chain, in
+    * HUGEINT where Spark sums DECIMAL(38,0) (DuckDB binds out
+    * decimal×decimal at p ≥ 38, int128 carries the same exact values). */
+  private def pcaStepCtes(k: Int): String = s"""
+      pd$k AS (SELECT vec_id, q,
+                 CAST(list_sum(list_transform(generate_series(1, 64),
+                   i -> q[i] * varr[i])) AS BIGINT) AS dot
+               FROM qn, va$k),
+      pe$k AS (SELECT j, q[j] AS x, dot
+               FROM pd$k, UNNEST(generate_series(1, 64)) AS u(j)),
+      ps$k AS (SELECT j, sum(CAST(x * dot AS HUGEINT)) AS s,
+                 sum(CAST(x AS HUGEINT)) AS m,
+                 sum(CAST(dot AS HUGEINT)) AS t,
+                 CAST(count(*) AS HUGEINT) AS n
+               FROM pe$k GROUP BY j),
+      pc$k AS (SELECT j, n * s - m * t AS c FROM ps$k),
+      pg$k AS (SELECT max(abs(c)) AS g FROM pc$k),
+      va${k + 1} AS (SELECT list(CAST(round(CAST(c AS DOUBLE) /
+                   CAST(g AS DOUBLE) * 1000000) AS BIGINT) ORDER BY j) AS varr
+               FROM pc$k, pg$k)"""
+
+  private def pcaLoad(k: Int): String = s"""
+      SELECT $k AS iter, CAST(j AS INT) AS j,
+             CAST(round(CAST(c AS DOUBLE) / CAST(g AS DOUBLE), 6) AS DOUBLE)
+               AS loading
+      FROM pc$k, pg$k"""
+
+  private lazy val pcaSql = s"""
+      WITH ${Dedup.QE},
+      va1 AS (SELECT list_transform(generate_series(1, 64),
+                i -> CAST(1000000 AS BIGINT)) AS varr),
+      ${pcaStepCtes(1)}, ${pcaStepCtes(2)}, ${pcaStepCtes(3)}
+      SELECT * FROM (${pcaLoad(1)} UNION ALL ${pcaLoad(2)}
+        UNION ALL ${pcaLoad(3)})
+      ORDER BY iter, j"""
+
   val oracles: Map[String, String] = Map(
+    "q_embed_pca" -> pcaSql,
     "q_kmeans_2step" -> twoStepSql,
     // Twin of the k-center seeding: the same unrolled farthest-first
     // rounds — LIMIT-1 argmax per round (dmin DESC, vec_id ASC ≡ the

@@ -687,6 +687,22 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_embed_pca report reads only the materialized 64-row rounds") {
+    // three power iterations = exactly three corpus scans AT
+    // CONSTRUCTION (each round's 64-row c frame localCheckpoints);
+    // the loadings report joins those materialized frames to their
+    // own 1-row max|c| aggregates — a parquet scan here means a round
+    // lost its checkpoint and the nested lineage re-scans the corpus
+    // per consumer
+    val p = plan("q_embed_pca")
+    assert(!p.contains("Scan parquet"),
+      s"report must not re-scan the corpus:\n$p")
+    assert(p.contains("ExistingRDD"), "round frames must be materialized")
+    assert(p.contains("BroadcastNestedLoopJoin Cross BuildRight"),
+      "max|c| must ride as a broadcast 1-row aggregate")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_global_ids never sorts the corpus through one partition") {
     // the scalable-zipWithIndex claim in plan form: the corpus side
     // is ONE shard-keyed exchange + per-shard windows; the only

@@ -49,6 +49,31 @@ class ClusteringSpec extends SparkSuite {
     }
   }
 
+  test("q_embed_pca recovers a planted principal direction") {
+    // Variance planted almost entirely on dim 1 (±10), a sliver on
+    // dim 2 (±1, correlated with dim 1 through vecs 3/4), zero
+    // elsewhere. Power iteration must converge to ±e1: loading(1)
+    // saturates at exactly 1.0 (it IS the max |c|), dim 2 carries the
+    // small coupled loading, dims 3..64 are exactly 0 (all-integer
+    // zero sums — no float dust).
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("pca").toString
+    def v(a: Float, b: Float) = Array.tabulate(64)(i =>
+      if (i == 0) a else if (i == 1) b else 0f)
+    Seq((1L, v(10f, 0f), 0), (2L, v(-10f, 0f), 0),
+        (3L, v(0.1f, 1f), 0), (4L, v(-0.1f, -1f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val rows = Clustering.queries("q_embed_pca")(spark, d)
+      .as[(Int, Int, Double)].collect().toSeq
+    assert(rows.size == 192)
+    val it3 = rows.filter(_._1 == 3).map(r => r._2 -> r._3).toMap
+    assert(it3(1) == 1.0, s"dominant loading: ${it3(1)}")
+    assert(math.abs(it3(2)) > 0.0 && math.abs(it3(2)) < 0.05,
+      s"coupled loading: ${it3(2)}")
+    (3 to 64).foreach(j => assert(it3(j) == 0.0, s"dim $j: ${it3(j)}"))
+  }
+
   test("k-center seeding: distinct centers, non-increasing max-min radius") {
     val rows = Clustering.queries("q_kmeans_kcenter")(
         spark, "/root/testdata/sf0.001")

@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.ops.Q
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -284,36 +284,71 @@ object Clustering {
     // loadings per round; iteration 3's column is the component.
     "q_embed_pca" -> ((s, dir) => {
       val qe = Dedup.quantized(s, dir)
-      def iter(vrow: DataFrame): DataFrame =
-        qe.crossJoin(broadcast(vrow))
-          .withColumn("dot", expr("dot_long(q, varr)"))
-          .select(posexplode(col("q")).as(Seq("j0", "x")), col("dot"))
-          .groupBy((col("j0") + 1).as("j"))
-          .agg(sum(expr("cast(x * dot as decimal(38,0))")).as("s"),
-            sum(col("x").cast("decimal(38,0)")).as("m"),
-            sum(col("dot").cast("decimal(38,0)")).as("t"),
-            count(lit(1)).cast("decimal(38,0)").as("n"))
-          .select(col("j"), (col("n") * col("s") - col("m") * col("t")).as("c"))
-          .localCheckpoint()
-      def vrowOf(cf: DataFrame): DataFrame =
-        cf.agg(max(abs(col("c"))).as("g"),
-            expr("transform(array_sort(collect_list(struct(j, c))), p -> p.c)")
-              .as("cs"))
-          .select(expr("transform(cs, c -> cast(round(" +
-            "cast(c as double) / cast(g as double) * 1000000) as bigint))")
-            .as("varr"))
-      def loadings(k: Int, cf: DataFrame): DataFrame =
-        cf.crossJoin(broadcast(cf.agg(max(abs(col("c"))).as("g"))))
-          .select(lit(k).as("iter"), col("j"),
-            round(col("c").cast("double") / col("g").cast("double"), 6)
-              .cast("double").as("loading"))
-      val v1 = s.range(1).select(
-        expr("transform(sequence(1, 64), i -> cast(1000000 as bigint))").as("varr"))
-      val c1 = iter(v1)
-      val c2 = iter(vrowOf(c1))
-      val c3 = iter(vrowOf(c2))
-      loadings(1, c1).unionByName(loadings(2, c2)).unionByName(loadings(3, c3))
+      val c1 = pcaIter(qe, pcaV0(s))
+      val c2 = pcaIter(qe, pcaVrow(c1))
+      val c3 = pcaIter(qe, pcaVrow(c2))
+      pcaLoadings(1, c1).unionByName(pcaLoadings(2, c2))
+        .unionByName(pcaLoadings(3, c3))
         .orderBy("iter", "j")
+    }),
+
+    // EXPLAINED-VARIANCE ratio of the converged component — the
+    // "is one direction dominating my embedding space" drift number
+    // (a collapsed encoder shows λ1/trace → 1). Rayleigh quotient on
+    // the power-iterated v: one extra application C·v gives
+    // λ1·N² = (v·c₄)/(v·v), and N²·trace(C) = Σ_j (N·Σx_j² − m_j²)
+    // falls out of the SAME per-dimension aggregate (the trj column)
+    // — so the ratio is three exact integers entering ONE double
+    // division chain rounded once. Four corpus scans total (three
+    // iterations + the Rayleigh application). top_dim is the argmax
+    // loading dimension (|v_j| saturates at exactly 10⁶ there).
+    "q_pca_explained" -> ((s, dir) => {
+      val qe = Dedup.quantized(s, dir)
+      val c1 = pcaIter(qe, pcaV0(s))
+      val c2 = pcaIter(qe, pcaVrow(c1))
+      val c3 = pcaIter(qe, pcaVrow(c2))
+      val v3 = pcaVrow(c3).localCheckpoint()
+      val c4 = pcaIter(qe, v3)
+      val vj = v3.select(posexplode(col("varr")).as(Seq("j0", "vj")))
+        .select((col("j0") + 1).as("j"), col("vj"))
+      c4.join(vj, "j")
+        .agg(sum(col("vj").cast("decimal(38,0)") * col("c")).as("a"),
+          sum(col("vj").cast("decimal(38,0)") * col("vj")).as("b"),
+          sum(col("trj")).as("tr"),
+          min(when(abs(col("vj")) === 1000000L, col("j"))).as("top_dim"))
+        .select(col("top_dim"),
+          round(col("a").cast("double") / col("b").cast("double")
+            / col("tr").cast("double"), 6).cast("double")
+            .as("explained_ratio"))
+    }),
+
+    // The component APPLIED — per-vector PC1 score, the projection
+    // column pipelines materialize beside the corpus (embedding-drift
+    // monitors chart its distribution; MRL-style triage thresholds
+    // it). Centered without centering: N·(x·v) − Σ(x·v) is the
+    // N-scaled centered dot, then ONE double chain normalizes by N,
+    // the L2 norm of v (dot_long(varr, varr) — long-safe), and the
+    // ×10⁴ quantization, rounded once to 4 dp. Cost beyond training:
+    // two corpus scans (score + the 1-row stats aggregate).
+    "q_embed_pca_project" -> ((s, dir) => {
+      val qe = Dedup.quantized(s, dir)
+      val c1 = pcaIter(qe, pcaV0(s))
+      val c2 = pcaIter(qe, pcaVrow(c1))
+      val v3 = pcaVrow(pcaIter(qe, pcaVrow(c2))).localCheckpoint()
+      val dotted = qe.crossJoin(broadcast(v3))
+        .withColumn("dot", expr("dot_long(q, varr)"))
+        .withColumn("b", expr("dot_long(varr, varr)"))
+      val stats = dotted.agg(
+        sum(col("dot").cast("decimal(38,0)")).as("t"),
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        max(col("b")).as("bb"))
+      dotted.crossJoin(broadcast(stats))
+        .select(col("vec_id"),
+          round((col("n") * col("dot") - col("t")).cast("double")
+              / col("n").cast("double") / sqrt(col("bb").cast("double"))
+              / lit(10000.0), 4)
+            .cast("double").as("pc1"))
+        .orderBy("vec_id")
     }))
 
   /** DuckDB twin of [[assign]] on the SEED centroids, as reusable CTEs
@@ -380,6 +415,49 @@ object Clustering {
       ORDER BY f1.cell"""
   }
 
+  /** One power-iteration round: corpus × broadcast 1-row v → codegen
+    * dot → ONE posexplode aggregate (s_j, m_j, t, N — t/N identical
+    * per j, riding the same 64-row exchange) → c = N·s − m·t, the
+    * exact-integer vector parallel to (centered C)·v. Checkpointed:
+    * the 64-row frame feeds 2–3 consumers per round. */
+  private def pcaIter(qe: DataFrame, vrow: DataFrame): DataFrame =
+    qe.crossJoin(broadcast(vrow))
+      .withColumn("dot", expr("dot_long(q, varr)"))
+      .select(posexplode(col("q")).as(Seq("j0", "x")), col("dot"))
+      .groupBy((col("j0") + 1).as("j"))
+      .agg(sum(expr("cast(x * dot as decimal(38,0))")).as("s"),
+        sum(col("x").cast("decimal(38,0)")).as("m"),
+        sum(expr("cast(x * x as decimal(38,0))")).as("x2s"),
+        sum(col("dot").cast("decimal(38,0)")).as("t"),
+        count(lit(1)).cast("decimal(38,0)").as("n"))
+      .select(col("j"), (col("n") * col("s") - col("m") * col("t")).as("c"),
+        // per-dimension N²-scaled variance — Σ_j trj = N²·trace(C),
+        // the explained-ratio denominator (free: same aggregate)
+        (col("n") * col("x2s") - col("m") * col("m")).as("trj"))
+      .localCheckpoint()
+
+  /** Renormalize a round's 64-row c frame into the next round's 1-row
+    * micro-unit v array — the only doubles in the loop, one IEEE
+    * expression rounded once (the LR-sigmoid discipline). */
+  private def pcaVrow(cf: DataFrame): DataFrame =
+    cf.agg(max(abs(col("c"))).as("g"),
+        expr("transform(array_sort(collect_list(struct(j, c))), p -> p.c)")
+          .as("cs"))
+      .select(expr("transform(cs, c -> cast(round(" +
+        "cast(c as double) / cast(g as double) * 1000000) as bigint))")
+        .as("varr"))
+
+  /** Deterministic all-ones micro-unit start vector. */
+  private def pcaV0(s: SparkSession): DataFrame =
+    s.range(1).select(
+      expr("transform(sequence(1, 64), i -> cast(1000000 as bigint))").as("varr"))
+
+  private def pcaLoadings(k: Int, cf: DataFrame): DataFrame =
+    cf.crossJoin(broadcast(cf.agg(max(abs(col("c"))).as("g"))))
+      .select(lit(k).as("iter"), col("j"),
+        round(col("c").cast("double") / col("g").cast("double"), 6)
+          .cast("double").as("loading"))
+
   /** One DuckDB power-iteration round: v-array CTE `va$k` in, centered
     * Gram application `c$k` + next-round array `va${k+1}` out — the
     * same dot / posexplode-aggregate / N·s − m·t / max|c| chain, in
@@ -394,10 +472,12 @@ object Clustering {
                FROM pd$k, UNNEST(generate_series(1, 64)) AS u(j)),
       ps$k AS (SELECT j, sum(CAST(x * dot AS HUGEINT)) AS s,
                  sum(CAST(x AS HUGEINT)) AS m,
+                 sum(CAST(x * x AS HUGEINT)) AS x2s,
                  sum(CAST(dot AS HUGEINT)) AS t,
                  CAST(count(*) AS HUGEINT) AS n
                FROM pe$k GROUP BY j),
-      pc$k AS (SELECT j, n * s - m * t AS c FROM ps$k),
+      pc$k AS (SELECT j, n * s - m * t AS c, n * x2s - m * m AS trj
+               FROM ps$k),
       pg$k AS (SELECT max(abs(c)) AS g FROM pc$k),
       va${k + 1} AS (SELECT list(CAST(round(CAST(c AS DOUBLE) /
                    CAST(g AS DOUBLE) * 1000000) AS BIGINT) ORDER BY j) AS varr
@@ -405,21 +485,62 @@ object Clustering {
 
   private def pcaLoad(k: Int): String = s"""
       SELECT $k AS iter, CAST(j AS INT) AS j,
-             CAST(round(CAST(c AS DOUBLE) / CAST(g AS DOUBLE), 6) AS DOUBLE)
-               AS loading
+             CAST(round(CAST(c AS DOUBLE) / CAST(g AS DOUBLE), 6) + 0.0
+               AS DOUBLE) AS loading
       FROM pc$k, pg$k"""
 
-  private lazy val pcaSql = s"""
+  /** Shared 3-iteration chain prefix (QE → va1 → rounds 1..3). */
+  private lazy val pcaPrefix = s"""
       WITH ${Dedup.QE},
       va1 AS (SELECT list_transform(generate_series(1, 64),
                 i -> CAST(1000000 AS BIGINT)) AS varr),
-      ${pcaStepCtes(1)}, ${pcaStepCtes(2)}, ${pcaStepCtes(3)}
+      ${pcaStepCtes(1)}, ${pcaStepCtes(2)}, ${pcaStepCtes(3)}"""
+
+  private lazy val pcaSql = s"""
+      $pcaPrefix
       SELECT * FROM (${pcaLoad(1)} UNION ALL ${pcaLoad(2)}
         UNION ALL ${pcaLoad(3)})
       ORDER BY iter, j"""
 
+  /** Rayleigh-quotient twin: one extra application (round 4's pc4
+    * carries both c = N²C·v and the trj trace column). */
+  private lazy val pcaExplainedSql = s"""
+      $pcaPrefix, ${pcaStepCtes(4)},
+      pv AS (SELECT j, varr[j] AS vj
+             FROM va4, UNNEST(generate_series(1, 64)) AS u(j)),
+      pax AS (SELECT sum(CAST(vj AS HUGEINT) * c) AS a,
+                sum(CAST(vj AS HUGEINT) * vj) AS b,
+                sum(trj) AS tr,
+                min(CASE WHEN abs(vj) = 1000000 THEN j END) AS top_dim
+              FROM pc4 JOIN pv USING (j))
+      SELECT CAST(top_dim AS INT) AS top_dim,
+             CAST(round(CAST(a AS DOUBLE) / CAST(b AS DOUBLE)
+               / CAST(tr AS DOUBLE), 6) + 0.0 AS DOUBLE) AS explained_ratio
+      FROM pax"""
+
+  private lazy val pcaProjectSql = s"""
+      $pcaPrefix,
+      pj AS (SELECT vec_id,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                 i -> q[i] * varr[i])) AS BIGINT) AS dot,
+               CAST(list_sum(list_transform(varr, x -> x * x)) AS BIGINT) AS b
+             FROM qn, va4),
+      pst AS (SELECT sum(CAST(dot AS HUGEINT)) AS t,
+                CAST(count(*) AS HUGEINT) AS n, max(b) AS bb
+              FROM pj)
+      SELECT vec_id,
+             -- + 0.0 canonicalizes IEEE -0.0 (the q_ngram_pmi idiom):
+             -- Spark's BigDecimal round never emits -0.0, DuckDB's
+             -- round preserves the sign of a tiny negative
+             CAST(round(CAST(n * dot - t AS DOUBLE) / CAST(n AS DOUBLE)
+               / sqrt(CAST(bb AS DOUBLE)) / CAST(10000 AS DOUBLE), 4) + 0.0
+               AS DOUBLE) AS pc1
+      FROM pj, pst ORDER BY vec_id"""
+
   val oracles: Map[String, String] = Map(
     "q_embed_pca" -> pcaSql,
+    "q_pca_explained" -> pcaExplainedSql,
+    "q_embed_pca_project" -> pcaProjectSql,
     "q_kmeans_2step" -> twoStepSql,
     // Twin of the k-center seeding: the same unrolled farthest-first
     // rounds — LIMIT-1 argmax per round (dmin DESC, vec_id ASC ≡ the

@@ -728,6 +728,34 @@ object Dedup {
         .orderBy("canon_url")
     }),
 
+    // Per-DOMAIN crawl census — the blocklist-candidate artifact crawl
+    // ops maintain (a domain with high dup_rate is boilerplate/mirror
+    // farm; high gopher-drop share is template spam): URL canonical-
+    // ization AND the Gopher quality gate composed at a NEW grain.
+    // Scale shape: everything is a scan-side codegen projection (URL
+    // synth + canonicalizer regexp chain + the per-doc higher-order
+    // array ratios) feeding ONE domain-keyed aggregate — zero Spark
+    // joins; domains are a bounded dimension so the exchange is tiny
+    // and countDistinct's expand stays per-domain. The DuckDB twin
+    // reuses urlCanonCtes + gopherCtes joined on doc_id (the oracle
+    // may join; the plan does not).
+    "q_domain_stats" -> ((s, dir) => {
+      val canon = canonicalizeUrl(Tables(s, dir, "documents")
+        .withColumn("h", md5(col("text")))
+        .withColumn("url", expr(urlSynthSql)))
+      graft.ops.TextOps.gopherFlagsOn(canon
+          .withColumn("t", expr("filter(split(text, ' '), x -> x <> '')"))
+          .filter(size(col("t")) > 0))
+        .groupBy(col("host_l").as("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("canon")).as("n_pages"),
+          round((count(lit(1)) - countDistinct(col("canon"))).cast("double")
+            / count(lit(1)).cast("double"), 4).cast("double").as("dup_rate"),
+          sum(when(!col("keep"), 1L).otherwise(0L)).as("n_gopher_drop"),
+          sum(col("n_tokens").cast("long")).as("n_tokens"))
+        .orderBy("domain")
+    }),
+
     // The OPERATING CURVE behind q_dedup_shard_loss: missed-removal
     // fraction at 2/4/8/16 rendezvous shards, all four placements from
     // ONE 16-way generate (restricting the argmax to s < S re-derives
@@ -1480,6 +1508,22 @@ object Dedup {
       SELECT canon AS canon_url, min(doc_id) AS keeper,
              count(*) AS n_copies, count(DISTINCT url) AS n_raw_forms
       FROM c GROUP BY 1 ORDER BY canon_url""",
+    "q_domain_stats" -> s"""
+      WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+      u AS (SELECT doc_id, $urlSynthSql AS url FROM hx),
+      ${urlCanonCtes()},
+      ${graft.ops.TextOps.gopherCtes},
+      dj AS (SELECT regexp_extract(canon, '^[a-z]+://([^/:?#]+)', 1) AS domain,
+               c.canon, g.n_tokens, g.keep
+             FROM c JOIN gkp g ON c.doc_id = g.doc_id)
+      SELECT domain, count(*) AS n_docs,
+             count(DISTINCT canon) AS n_pages,
+             CAST(round(CAST(count(*) - count(DISTINCT canon) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 4) AS DOUBLE) AS dup_rate,
+             CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gopher_drop,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM dj GROUP BY domain ORDER BY domain""",
     // Shard-local vs global dedup loss — THE practical 100 TB dedup
     // design question: a shard-local pass is embarrassingly parallel
     // (no cross-shard shuffle) but misses every duplicate group that

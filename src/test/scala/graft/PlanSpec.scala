@@ -687,6 +687,19 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_domain_stats is one scan, one aggregate, zero joins") {
+    // the whole census (URL synth + canonicalizer regexps + gopher
+    // array ratios) must stay a codegen projection on the single
+    // corpus scan feeding one domain-keyed aggregate; the DuckDB twin
+    // joins gopher flags back by doc_id, the plan must NOT
+    val p = plan("q_domain_stats")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 scan, got $scans")
+    assert(!p.contains("Join"), s"plan must be join-free:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 3,
+      "countDistinct must expand to the (domain, canon) pre-aggregate")
+  }
+
   test("q_embed_pca report reads only the materialized 64-row rounds") {
     // three power iterations = exactly three corpus scans AT
     // CONSTRUCTION (each round's 64-row c frame localCheckpoints);

@@ -322,6 +322,38 @@ object Clustering {
             .as("explained_ratio"))
     }),
 
+    // SECOND principal component by DEFLATION — orthogonalized power
+    // iteration, completing the top-2 whitening/visualization basis:
+    // each round applies C (one corpus scan, the shared pcaIter),
+    // micro-normalizes, then Gram–Schmidt-deflates against the
+    // CONVERGED first component with the division-free form
+    // w′ = (v·v)·w − v·(v·w) — exact integers, so orthogonality is
+    // arithmetic, not approximation (the loadings are re-normalized
+    // from the DEFLATED vector, guaranteeing ⊥v₁ up to the final
+    // 6-dp print). Start vector alternates ±10⁶ so it is never
+    // parallel to v₁. Six corpus scans total (3 per component) —
+    // the honest two-eigenvector power-iteration cost.
+    "q_embed_pca2" -> ((s, dir) => {
+      val qe = Dedup.quantized(s, dir)
+      val c1 = pcaIter(qe, pcaV0(s))
+      val c2 = pcaIter(qe, pcaVrow(c1))
+      val v1row = pcaVrow(pcaIter(qe, pcaVrow(c2))).localCheckpoint()
+      val v1j = pcaUnpack(v1row)
+      val u0 = s.range(1).select(expr("transform(sequence(1, 64), " +
+        "i -> cast(if(i % 2 = 0, -1000000, 1000000) as bigint))").as("varr"))
+      var urow = u0
+      val rounds = (1 to 3).map { k =>
+        val cu = pcaIter(qe, urow)
+        val defl = pcaDeflate(pcaMicro(cu), v1j).localCheckpoint()
+        urow = pcaPack(pcaMicro(defl))
+        defl.crossJoin(broadcast(defl.agg(max(abs(col("c"))).as("g"))))
+          .select(lit(k).as("iter"), col("j"),
+            round(col("c").cast("double") / col("g").cast("double"), 6)
+              .cast("double").as("loading"))
+      }
+      rounds.reduce(_.unionByName(_)).orderBy("iter", "j")
+    }),
+
     // The component APPLIED — per-vector PC1 score, the projection
     // column pipelines materialize beside the corpus (embedding-drift
     // monitors chart its distribution; MRL-style triage thresholds
@@ -458,6 +490,36 @@ object Clustering {
         round(col("c").cast("double") / col("g").cast("double"), 6)
           .cast("double").as("loading"))
 
+  /** Micro-normalize a 64-row (j, c) frame: w_j = round(c/max|c|·10⁶)
+    * — one IEEE chain rounded once, the micro-unit direction. */
+  private def pcaMicro(cf: DataFrame): DataFrame =
+    cf.crossJoin(broadcast(cf.agg(max(abs(col("c"))).as("g"))))
+      .select(col("j"), expr("cast(round(" +
+        "cast(c as double) / cast(g as double) * 1000000) as bigint)").as("wj"))
+
+  /** Deflate w against the fixed component v (64-row (j, vj)): the
+    * division-free Gram–Schmidt w′ = (v·v)·w − v·(v·w) — exact
+    * integers (≤ 1.3·10²⁰, DECIMAL-carried), direction preserved. */
+  private def pcaDeflate(w: DataFrame, v1j: DataFrame): DataFrame = {
+    val dots = w.join(v1j, "j")
+      .agg(sum(col("vj").cast("decimal(38,0)") * col("wj")).as("d1"),
+        sum(col("vj").cast("decimal(38,0)") * col("vj")).as("b"))
+    w.join(v1j, "j").crossJoin(broadcast(dots))
+      .select(col("j"),
+        (col("b") * col("wj") - col("vj").cast("decimal(38,0)") * col("d1"))
+          .as("c"))
+  }
+
+  /** Pack a 64-row (j, wj) micro-unit frame into the 1-row v array. */
+  private def pcaPack(w: DataFrame): DataFrame =
+    w.agg(expr("transform(array_sort(collect_list(struct(j, wj))), p -> p.wj)")
+      .as("varr"))
+
+  /** Explode a 1-row v array to 64 (j, vj) rows. */
+  private def pcaUnpack(vrow: DataFrame): DataFrame =
+    vrow.select(posexplode(col("varr")).as(Seq("j0", "vj")))
+      .select((col("j0") + 1).as("j"), col("vj"))
+
   /** One DuckDB power-iteration round: v-array CTE `va$k` in, centered
     * Gram application `c$k` + next-round array `va${k+1}` out — the
     * same dot / posexplode-aggregate / N·s − m·t / max|c| chain, in
@@ -518,6 +580,55 @@ object Clustering {
                / CAST(tr AS DOUBLE), 6) + 0.0 AS DOUBLE) AS explained_ratio
       FROM pax"""
 
+  /** One deflated round for the SECOND component: apply C (the
+    * pcaStepCtes chain under y-names), micro-normalize, Gram–Schmidt
+    * against v1j with the division-free (v·v)·w − v·(v·w), then
+    * re-normalize into the next round's array. */
+  private def pca2StepCtes(k: Int): String = s"""
+      yd$k AS (SELECT vec_id, q,
+                 CAST(list_sum(list_transform(generate_series(1, 64),
+                   i -> q[i] * varr[i])) AS BIGINT) AS dot
+               FROM qn, ya$k),
+      ye$k AS (SELECT j, q[j] AS x, dot
+               FROM yd$k, UNNEST(generate_series(1, 64)) AS u(j)),
+      ys$k AS (SELECT j, sum(CAST(x * dot AS HUGEINT)) AS s,
+                 sum(CAST(x AS HUGEINT)) AS m,
+                 sum(CAST(dot AS HUGEINT)) AS t,
+                 CAST(count(*) AS HUGEINT) AS n
+               FROM ye$k GROUP BY j),
+      yc$k AS (SELECT j, n * s - m * t AS c FROM ys$k),
+      yg$k AS (SELECT max(abs(c)) AS g FROM yc$k),
+      yw$k AS (SELECT j, CAST(round(CAST(c AS DOUBLE) / CAST(g AS DOUBLE)
+                 * 1000000) AS BIGINT) AS wj
+               FROM yc$k, yg$k),
+      yx$k AS (SELECT sum(CAST(vj AS HUGEINT) * wj) AS d1,
+                 sum(CAST(vj AS HUGEINT) * vj) AS b
+               FROM yw$k JOIN v1j USING (j)),
+      yo$k AS (SELECT j, b * wj - CAST(vj AS HUGEINT) * d1 AS c
+               FROM yw$k JOIN v1j USING (j) CROSS JOIN yx$k),
+      yh$k AS (SELECT max(abs(c)) AS g FROM yo$k),
+      ya${k + 1} AS (SELECT list(CAST(round(CAST(c AS DOUBLE) /
+                   CAST(g AS DOUBLE) * 1000000) AS BIGINT) ORDER BY j) AS varr
+               FROM yo$k, yh$k)"""
+
+  private def pca2Load(k: Int): String = s"""
+      SELECT $k AS iter, CAST(j AS INT) AS j,
+             CAST(round(CAST(c AS DOUBLE) / CAST(g AS DOUBLE), 6) + 0.0
+               AS DOUBLE) AS loading
+      FROM yo$k, yh$k"""
+
+  private lazy val pca2Sql = s"""
+      $pcaPrefix,
+      v1j AS (SELECT j, varr[j] AS vj
+              FROM va4, UNNEST(generate_series(1, 64)) AS u(j)),
+      ya1 AS (SELECT list_transform(generate_series(1, 64),
+                i -> CAST(CASE WHEN i % 2 = 0 THEN -1000000
+                          ELSE 1000000 END AS BIGINT)) AS varr),
+      ${pca2StepCtes(1)}, ${pca2StepCtes(2)}, ${pca2StepCtes(3)}
+      SELECT * FROM (${pca2Load(1)} UNION ALL ${pca2Load(2)}
+        UNION ALL ${pca2Load(3)})
+      ORDER BY iter, j"""
+
   private lazy val pcaProjectSql = s"""
       $pcaPrefix,
       pj AS (SELECT vec_id,
@@ -540,6 +651,7 @@ object Clustering {
   val oracles: Map[String, String] = Map(
     "q_embed_pca" -> pcaSql,
     "q_pca_explained" -> pcaExplainedSql,
+    "q_embed_pca2" -> pca2Sql,
     "q_embed_pca_project" -> pcaProjectSql,
     "q_kmeans_2step" -> twoStepSql,
     // Twin of the k-center seeding: the same unrolled farthest-first

@@ -72,6 +72,16 @@ class ClusteringSpec extends SparkSuite {
     assert(math.abs(it3(2)) > 0.0 && math.abs(it3(2)) < 0.05,
       s"coupled loading: ${it3(2)}")
     (3 to 64).foreach(j => assert(it3(j) == 0.0, s"dim $j: ${it3(j)}"))
+
+    // deflation on the same corpus: PC2 must land on the residual
+    // dim-2 variance — saturated there, small on the deflated dim 1,
+    // exact integer zero elsewhere
+    val rows2 = Clustering.queries("q_embed_pca2")(spark, d)
+      .as[(Int, Int, Double)].collect().toSeq
+    val p2 = rows2.filter(_._1 == 3).map(r => r._2 -> r._3).toMap
+    assert(math.abs(p2(2)) == 1.0, s"pc2 dominant loading: ${p2(2)}")
+    assert(math.abs(p2(1)) < 0.2, s"pc2 deflated dim: ${p2(1)}")
+    (3 to 64).foreach(j => assert(p2(j) == 0.0, s"pc2 dim $j: ${p2(j)}"))
   }
 
   test("k-center seeding: distinct centers, non-increasing max-min radius") {

@@ -481,6 +481,28 @@ object TextAnalysis {
       rows.reduce(_.unionByName(_)).orderBy("step")
     }),
 
+    // The trained WordPiece tokenizer APPLIED per document — closing
+    // the train→apply loop for the third family exactly as
+    // q_bpe_tokenize / q_ulm_tokenize do for the other two: the
+    // 3-round likelihood-merge chain collapses to a vocab-bounded
+    // per-word unit table, the corpus joins against it shuffle_hash,
+    // output is the per-doc token-budget row.
+    "q_wordpiece_tokenize" -> ((s, dir) => {
+      var cur = bpeSymbolsOf(Tables(s, dir, "documents")).localCheckpoint()
+      (1 to 3).foreach { _ => cur = wordpieceStep(cur)._2.localCheckpoint() }
+      val seg = cur.groupBy(col("w")).agg(count(lit(1)).as("n_units"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+        .join(seg.hint("shuffle_hash"), "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_units")).as("n_wp_units"),
+          round(sum(col("n_units")).cast("double") / count(lit(1)), 4)
+            .cast("double").as("units_per_word"))
+        .orderBy("doc_id")
+    }),
+
     // WordPiece fertility by source — beside q_bpe_fertility /
     // q_ulm_fertility this completes the three-family tokenizer
     // bake-off at equal training budget (3 merges / 2 EM rounds).
@@ -1612,6 +1634,7 @@ object TextAnalysis {
       FROM surp GROUP BY doc_id ORDER BY doc_id""",
     "q_bpe_train" -> bpeSql,
     "q_wordpiece_train" -> wpSql,
+    "q_wordpiece_tokenize" -> wpTokenizeSql,
     "q_wordpiece_fertility" -> wpFertilitySql,
     "q_bpe_tokenize" -> (bpeCtes + """,
       seg AS (SELECT w, count(*) AS n_units FROM s4 GROUP BY w),
@@ -1877,6 +1900,19 @@ object TextAnalysis {
         SELECT 3, lft, rgt, pair_cnt, score,
                (SELECT count(*) FROM vs4) FROM vb3)
       ORDER BY step"""
+
+  private lazy val wpTokenizeSql = wpCtes + """,
+      wseg AS (SELECT w, count(*) AS n_units FROM vs4 GROUP BY w),
+      wtok AS (SELECT doc_id, w FROM
+                 (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+               WHERE regexp_full_match(w, '[a-z]+'))
+      SELECT doc_id, count(*) AS n_words,
+             CAST(sum(n_units) AS BIGINT) AS n_wp_units,
+             CAST(round(CAST(sum(n_units) AS DOUBLE) / count(*), 4)
+               AS DOUBLE) AS units_per_word
+      FROM wtok JOIN wseg USING (w)
+      GROUP BY doc_id ORDER BY doc_id"""
 
   private lazy val wpFertilitySql = wpCtes + """,
       wseg AS (SELECT w, count(*) AS n_units FROM vs4 GROUP BY w),

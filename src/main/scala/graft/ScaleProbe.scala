@@ -733,6 +733,38 @@ object ScaleProbe {
       docs.unpersist(false)
     }
 
+    // PCA probe: power iteration on a replicated corpus. Replication
+    // scales every per-dimension aggregate by r (so c = N·s − m·t by
+    // r²) — the normalized loadings must be BIT-IDENTICAL at every
+    // multiplier, while wall tracks scan volume (3 scans, linear).
+    // A loading drift here means an overflow or a rounding-order
+    // dependence crept into the chain.
+    if (want("pca"))
+    locally {
+      val qe = graft.llm.Dedup.quantized(spark, sfDir).persist()
+      val nVec = qe.count()
+      val stride = qe.agg(max(col("vec_id"))).head().getLong(0) + 1L
+      def timedPca(mult: Int): Unit = {
+        val scaled = qe
+          .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
+            col("vec_id"), col("label"), col("q"), col("norm"))
+          .select((col("vec_id") + col("i") * lit(stride)).as("vec_id"),
+            col("label"), col("q"), col("norm"))
+        val t0 = System.nanoTime()
+        val rows = graft.llm.Clustering.pcaLoadingsOn(spark, scaled)
+          .filter(col("iter") === 3).collect()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val top = rows.maxBy(r => math.abs(r.getAs[Double]("loading")))
+        val hash = rows.sortBy(_.getAs[Int]("j"))
+          .map(_.getAs[Double]("loading")).mkString(",").hashCode
+        println(f"""{"probe":"pca_${mult}x","vecs":${nVec * mult},"top_dim":${top.getAs[Int]("j")},"top_loading":${top.getAs[Double]("loading")},"loadings_hash":$hash,"sec":$dt%.2f}""")
+      }
+      timedPca(1)
+      timedPca(4)
+      timedPca(16)
+      qe.unpersist(false)
+    }
+
     // Hot-key dedup probe: ONE content hash (the crawl boilerplate
     // page) duplicated 10⁴–10⁶×, unioned with the real corpus. The
     // keeper election as a min-keyed HASH AGGREGATE partial-aggregates

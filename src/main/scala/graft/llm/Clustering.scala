@@ -282,15 +282,7 @@ object Clustering {
     // exactly three corpus scans, and the report reads only
     // materialized frames. Output: (iter, j, loading) — the unit-free
     // loadings per round; iteration 3's column is the component.
-    "q_embed_pca" -> ((s, dir) => {
-      val qe = Dedup.quantized(s, dir)
-      val c1 = pcaIter(qe, pcaV0(s))
-      val c2 = pcaIter(qe, pcaVrow(c1))
-      val c3 = pcaIter(qe, pcaVrow(c2))
-      pcaLoadings(1, c1).unionByName(pcaLoadings(2, c2))
-        .unionByName(pcaLoadings(3, c3))
-        .orderBy("iter", "j")
-    }),
+    "q_embed_pca" -> ((s, dir) => pcaLoadingsOn(s, Dedup.quantized(s, dir))),
 
     // EXPLAINED-VARIANCE ratio of the converged component — the
     // "is one direction dominating my embedding space" drift number
@@ -489,6 +481,19 @@ object Clustering {
       .select(lit(k).as("iter"), col("j"),
         round(col("c").cast("double") / col("g").cast("double"), 6)
           .cast("double").as("loading"))
+
+  /** Frame-taking q_embed_pca body (ScaleProbe's pca section runs it
+    * on a replicated corpus: loadings must be IDENTICAL — replication
+    * scales every c exactly ×r², so the normalized direction is
+    * invariant — while wall tracks scan volume). */
+  private[graft] def pcaLoadingsOn(s: SparkSession, qe: DataFrame): DataFrame = {
+    val c1 = pcaIter(qe, pcaV0(s))
+    val c2 = pcaIter(qe, pcaVrow(c1))
+    val c3 = pcaIter(qe, pcaVrow(c2))
+    pcaLoadings(1, c1).unionByName(pcaLoadings(2, c2))
+      .unionByName(pcaLoadings(3, c3))
+      .orderBy("iter", "j")
+  }
 
   /** Micro-normalize a 64-row (j, c) frame: w_j = round(c/max|c|·10⁶)
     * — one IEEE chain rounded once, the micro-unit direction. */

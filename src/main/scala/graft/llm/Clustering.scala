@@ -309,8 +309,9 @@ object Clustering {
           sum(col("trj")).as("tr"),
           min(when(abs(col("vj")) === 1000000L, col("j"))).as("top_dim"))
         .select(col("top_dim"),
-          round(col("a").cast("double") / col("b").cast("double")
-            / col("tr").cast("double"), 6).cast("double")
+          when(col("b") === 0 || col("tr") === 0, lit(0.0)).otherwise(
+            round(col("a").cast("double") / col("b").cast("double")
+              / col("tr").cast("double"), 6)).cast("double")
             .as("explained_ratio"))
     }),
 
@@ -340,7 +341,8 @@ object Clustering {
         urow = pcaPack(pcaMicro(defl))
         defl.crossJoin(broadcast(defl.agg(max(abs(col("c"))).as("g"))))
           .select(lit(k).as("iter"), col("j"),
-            round(col("c").cast("double") / col("g").cast("double"), 6)
+            when(col("g") === 0, lit(0.0)).otherwise(
+              round(col("c").cast("double") / col("g").cast("double"), 6))
               .cast("double").as("loading"))
       }
       rounds.reduce(_.unionByName(_)).orderBy("iter", "j")
@@ -368,9 +370,10 @@ object Clustering {
         max(col("b")).as("bb"))
       dotted.crossJoin(broadcast(stats))
         .select(col("vec_id"),
-          round((col("n") * col("dot") - col("t")).cast("double")
+          when(col("bb") === 0, lit(0.0)).otherwise(
+            round((col("n") * col("dot") - col("t")).cast("double")
               / col("n").cast("double") / sqrt(col("bb").cast("double"))
-              / lit(10000.0), 4)
+              / lit(10000.0), 4))
             .cast("double").as("pc1"))
         .orderBy("vec_id")
     }))
@@ -467,8 +470,9 @@ object Clustering {
     cf.agg(max(abs(col("c"))).as("g"),
         expr("transform(array_sort(collect_list(struct(j, c))), p -> p.c)")
           .as("cs"))
-      .select(expr("transform(cs, c -> cast(round(" +
-        "cast(c as double) / cast(g as double) * 1000000) as bigint))")
+      .select(expr("transform(cs, c -> if(g = 0, cast(0 as bigint), " +
+        "cast(round(" +
+        "cast(c as double) / cast(g as double) * 1000000) as bigint)))")
         .as("varr"))
 
   /** Deterministic all-ones micro-unit start vector. */
@@ -479,7 +483,10 @@ object Clustering {
   private def pcaLoadings(k: Int, cf: DataFrame): DataFrame =
     cf.crossJoin(broadcast(cf.agg(max(abs(col("c"))).as("g"))))
       .select(lit(k).as("iter"), col("j"),
-        round(col("c").cast("double") / col("g").cast("double"), 6)
+        // g = 0 (zero residual variance — a degenerate or fully
+        // deflated corpus) leaves the component undefined: report 0.0
+        when(col("g") === 0, lit(0.0)).otherwise(
+          round(col("c").cast("double") / col("g").cast("double"), 6))
           .cast("double").as("loading"))
 
   /** Frame-taking q_embed_pca body (ScaleProbe's pca section runs it
@@ -499,8 +506,8 @@ object Clustering {
     * — one IEEE chain rounded once, the micro-unit direction. */
   private def pcaMicro(cf: DataFrame): DataFrame =
     cf.crossJoin(broadcast(cf.agg(max(abs(col("c"))).as("g"))))
-      .select(col("j"), expr("cast(round(" +
-        "cast(c as double) / cast(g as double) * 1000000) as bigint)").as("wj"))
+      .select(col("j"), expr("if(g = 0, cast(0 as bigint), cast(round(" +
+        "cast(c as double) / cast(g as double) * 1000000) as bigint))").as("wj"))
 
   /** Deflate w against the fixed component v (64-row (j, vj)): the
     * division-free Gram–Schmidt w′ = (v·v)·w − v·(v·w) — exact
@@ -546,13 +553,16 @@ object Clustering {
       pc$k AS (SELECT j, n * s - m * t AS c, n * x2s - m * m AS trj
                FROM ps$k),
       pg$k AS (SELECT max(abs(c)) AS g FROM pc$k),
-      va${k + 1} AS (SELECT list(CAST(round(CAST(c AS DOUBLE) /
-                   CAST(g AS DOUBLE) * 1000000) AS BIGINT) ORDER BY j) AS varr
+      va${k + 1} AS (SELECT list(CASE WHEN g = 0 THEN CAST(0 AS BIGINT)
+                   ELSE CAST(round(CAST(c AS DOUBLE) /
+                   CAST(g AS DOUBLE) * 1000000) AS BIGINT) END
+                   ORDER BY j) AS varr
                FROM pc$k, pg$k)"""
 
   private def pcaLoad(k: Int): String = s"""
       SELECT $k AS iter, CAST(j AS INT) AS j,
-             CAST(round(CAST(c AS DOUBLE) / CAST(g AS DOUBLE), 6) + 0.0
+             CAST(CASE WHEN g = 0 THEN 0.0
+               ELSE round(CAST(c AS DOUBLE) / CAST(g AS DOUBLE), 6) + 0.0 END
                AS DOUBLE) AS loading
       FROM pc$k, pg$k"""
 
@@ -581,8 +591,10 @@ object Clustering {
                 min(CASE WHEN abs(vj) = 1000000 THEN j END) AS top_dim
               FROM pc4 JOIN pv USING (j))
       SELECT CAST(top_dim AS INT) AS top_dim,
-             CAST(round(CAST(a AS DOUBLE) / CAST(b AS DOUBLE)
-               / CAST(tr AS DOUBLE), 6) + 0.0 AS DOUBLE) AS explained_ratio
+             CAST(CASE WHEN b = 0 OR tr = 0 THEN 0.0
+               ELSE round(CAST(a AS DOUBLE) / CAST(b AS DOUBLE)
+               / CAST(tr AS DOUBLE), 6) + 0.0 END AS DOUBLE)
+               AS explained_ratio
       FROM pax"""
 
   /** One deflated round for the SECOND component: apply C (the
@@ -603,8 +615,9 @@ object Clustering {
                FROM ye$k GROUP BY j),
       yc$k AS (SELECT j, n * s - m * t AS c FROM ys$k),
       yg$k AS (SELECT max(abs(c)) AS g FROM yc$k),
-      yw$k AS (SELECT j, CAST(round(CAST(c AS DOUBLE) / CAST(g AS DOUBLE)
-                 * 1000000) AS BIGINT) AS wj
+      yw$k AS (SELECT j, CASE WHEN g = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(round(CAST(c AS DOUBLE) / CAST(g AS DOUBLE)
+                 * 1000000) AS BIGINT) END AS wj
                FROM yc$k, yg$k),
       yx$k AS (SELECT sum(CAST(vj AS HUGEINT) * wj) AS d1,
                  sum(CAST(vj AS HUGEINT) * vj) AS b
@@ -612,13 +625,16 @@ object Clustering {
       yo$k AS (SELECT j, b * wj - CAST(vj AS HUGEINT) * d1 AS c
                FROM yw$k JOIN v1j USING (j) CROSS JOIN yx$k),
       yh$k AS (SELECT max(abs(c)) AS g FROM yo$k),
-      ya${k + 1} AS (SELECT list(CAST(round(CAST(c AS DOUBLE) /
-                   CAST(g AS DOUBLE) * 1000000) AS BIGINT) ORDER BY j) AS varr
+      ya${k + 1} AS (SELECT list(CASE WHEN g = 0 THEN CAST(0 AS BIGINT)
+                   ELSE CAST(round(CAST(c AS DOUBLE) /
+                   CAST(g AS DOUBLE) * 1000000) AS BIGINT) END
+                   ORDER BY j) AS varr
                FROM yo$k, yh$k)"""
 
   private def pca2Load(k: Int): String = s"""
       SELECT $k AS iter, CAST(j AS INT) AS j,
-             CAST(round(CAST(c AS DOUBLE) / CAST(g AS DOUBLE), 6) + 0.0
+             CAST(CASE WHEN g = 0 THEN 0.0
+               ELSE round(CAST(c AS DOUBLE) / CAST(g AS DOUBLE), 6) + 0.0 END
                AS DOUBLE) AS loading
       FROM yo$k, yh$k"""
 
@@ -648,8 +664,9 @@ object Clustering {
              -- + 0.0 canonicalizes IEEE -0.0 (the q_ngram_pmi idiom):
              -- Spark's BigDecimal round never emits -0.0, DuckDB's
              -- round preserves the sign of a tiny negative
-             CAST(round(CAST(n * dot - t AS DOUBLE) / CAST(n AS DOUBLE)
-               / sqrt(CAST(bb AS DOUBLE)) / CAST(10000 AS DOUBLE), 4) + 0.0
+             CAST(CASE WHEN bb = 0 THEN 0.0
+               ELSE round(CAST(n * dot - t AS DOUBLE) / CAST(n AS DOUBLE)
+               / sqrt(CAST(bb AS DOUBLE)) / CAST(10000 AS DOUBLE), 4) + 0.0 END
                AS DOUBLE) AS pc1
       FROM pj, pst ORDER BY vec_id"""
 

@@ -3,6 +3,7 @@ package graft.ops
 import graft.{Num, Tables}
 import graft.clients.Search
 import graft.functions.GraftFunctions
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text/token operators over `documents` — the reference model's home
@@ -524,6 +525,97 @@ object TextOps {
     // masked text ships as its md5: the hash gate then proves the two
     // engines produced IDENTICAL redacted bytes, not just identical
     // counts (Spark's regexp_replace is global; the twin passes 'g').
+    // C4 cleaning recipe (Raffel et al. 2020 §2.2) — the NAMED
+    // line-rule pipeline, run end-to-end with per-rule attribution:
+    // (1) line split (10-word pseudo-lines; the fixture has no
+    // newlines, so line structure and the terminal-punctuation signal
+    // are synthesized from each line's md5 — the piiSynthSql
+    // discipline: both engines derive identical structure), (2) line
+    // RULES — the punctuation arm (~25% drop) and the ≥5-word rule
+    // (the genuinely-short last line), (3) page rule — the brace/
+    // lorem-ipsum arm off the doc hash (1/16 of pages), (4) C4's
+    // distinctive GLOBAL dedup at THREE-LINE-SPAN grain: any 3
+    // consecutive surviving lines whose concatenation repeats
+    // anywhere in the corpus keeps its first occurrence only
+    // (doc_id, position order), later occurrences excised line-wise,
+    // (5) the ≥3-surviving-lines page gate, (6) reassembly with the
+    // content pinned by md5. Scale: line explode is a scan-side
+    // generator; the ONLY global exchange is the span-hash window
+    // (WindowGroupLimit-friendly rn=1 shape); removal is a keyed
+    // left-anti self-join on (doc, position); everything else is
+    // doc-keyed. Output: the per-doc funnel — the cleaning-ops
+    // artifact C4's §2.2 describes in prose.
+    "q_c4_clean" -> ((s, dir) => {
+      val L = 10
+      def lhd(i: Int) =
+        s"(ascii(substr(lh, $i, 1)) - (CASE WHEN substr(lh, $i, 1) >= 'a' THEN 87 ELSE 48 END))"
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("ridx"))
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("t"))
+        .withColumn("n_lines",
+          expr(s"cast(ceil(size(t) / cast($L as double)) as int)"))
+        .withColumn("page_bad", expr(s"${hd(24)} = 0"))
+      val lines = docs
+        .select(col("doc_id"), col("page_bad"), col("n_lines"),
+          posexplode(expr(s"CASE WHEN n_lines >= 1 THEN " +
+            s"transform(sequence(0, n_lines - 1), " +
+            s"i -> concat_ws(' ', slice(t, i * $L + 1, $L))) " +
+            s"ELSE array() END")))
+        .select(col("doc_id"), col("page_bad"), col("n_lines"),
+          col("pos").as("lno"), col("col").as("ltext"))
+        .withColumn("nw", size(split(col("ltext"), " ")))
+        .withColumn("lh", md5(col("ltext")))
+        .withColumn("rule_ok",
+          expr(s"${lhd(1)} % 4 != 0") && col("nw") >= 5)
+      // the span-dedup flows as ONE LINEAR window chain — no self-join
+      // back, no removal-set materialization: the duplicate-START flag
+      // computed under the global span-hash window is carried back to
+      // the doc window, where "this line is covered by a duplicated
+      // span" is just dup OR lag(dup,1) OR lag(dup,2). A line with no
+      // complete span gets a per-line unique hash (rn = 1, harmless)
+      // instead of a NULL span key — NULLs would funnel every tail
+      // line in the corpus through one window partition.
+      val surv = lines.filter(!col("page_bad") && col("rule_ok"))
+        .withColumn("ridx", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("lno"))))
+        .select(col("doc_id"), col("ridx"), col("ltext"))
+      val chain = surv
+        .withColumn("l2", lead(col("ltext"), 1).over(wDoc))
+        .withColumn("l3", lead(col("ltext"), 2).over(wDoc))
+        .withColumn("sh", when(col("l3").isNotNull,
+            md5(concat_ws(" ", col("ltext"), col("l2"), col("l3"))))
+          .otherwise(concat(lit("tail:"), col("doc_id"), lit(":"), col("ridx"))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("sh")).orderBy(col("doc_id"), col("ridx"))))
+        .withColumn("dup", col("l3").isNotNull && col("rn") > 1)
+        .withColumn("removed", col("dup") ||
+          lag(col("dup"), 1, false).over(wDoc) ||
+          lag(col("dup"), 2, false).over(wDoc))
+      val kept = chain.filter(!col("removed"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(concat_ws(" ", expr(
+            "transform(sort_array(collect_list(struct(ridx, ltext))), x -> x.ltext)")))
+            .as("ch"))
+      lines.groupBy(col("doc_id"))
+        .agg(max(col("n_lines")).as("n_lines"),
+          max(col("page_bad").cast("int")).as("pb"),
+          sum(when(!col("page_bad") && !col("rule_ok"), 1L).otherwise(0L))
+            .as("n_drop_rule"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"), col("n_drop_rule"),
+          when(col("pb") === 1, 0L).otherwise(
+            col("n_lines") - col("n_drop_rule") - coalesce(col("n_kept"), lit(0L)))
+            .cast("long").as("n_drop_span"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("pb") === 0 && coalesce(col("n_kept"), lit(0L)) >= 3)
+            .as("page_kept"),
+          when(col("pb") === 0 && coalesce(col("n_kept"), lit(0L)) >= 3,
+            col("ch")).otherwise(md5(lit(""))).as("clean_hash"))
+        .orderBy("doc_id")
+    }),
+
     "q_pii_scrub" -> ((s, dir) => {
       val masked = piiMaskExpr("pii")
       Tables(s, dir, "documents")
@@ -1268,6 +1360,64 @@ object TextOps {
       SELECT doc_id, n_tokens, top_word_frac, dup_2gram_frac, dup_3gram_frac,
              keep
       FROM gkp ORDER BY doc_id"""),
+    "q_c4_clean" -> s"""
+      WITH d0 AS (SELECT doc_id, md5(text) AS h,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+             FROM documents),
+      d1 AS (SELECT doc_id, h, t,
+               CAST(ceil(len(t) / 10.0) AS INT) AS n_lines,
+               (${hd(24)} = 0) AS page_bad
+             FROM d0),
+      ln0 AS (SELECT doc_id, page_bad, n_lines, i AS lno,
+                array_to_string(t[(i * 10) + 1 : (i + 1) * 10], ' ') AS ltext
+              FROM d1, UNNEST(generate_series(0, n_lines - 1)) AS u(i)),
+      ln1 AS (SELECT *, len(string_split(ltext, ' ')) AS nw,
+                md5(ltext) AS lh
+              FROM ln0),
+      ln2 AS (SELECT *,
+                ((ascii(substr(lh, 1, 1)) - (CASE WHEN substr(lh, 1, 1) >= 'a'
+                    THEN 87 ELSE 48 END)) % 4 != 0 AND nw >= 5) AS rule_ok
+              FROM ln1),
+      sv AS (SELECT doc_id, ltext,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY lno)
+                 AS INT) AS ridx
+             FROM ln2 WHERE NOT page_bad AND rule_ok),
+      sp AS (SELECT doc_id, ridx,
+               md5(ltext || ' ' || l2 || ' ' || l3) AS sh
+             FROM (SELECT doc_id, ridx, ltext,
+                     lead(ltext, 1) OVER w AS l2, lead(ltext, 2) OVER w AS l3
+                   FROM sv
+                   WINDOW w AS (PARTITION BY doc_id ORDER BY ridx))
+             WHERE l3 IS NOT NULL),
+      dup AS (SELECT doc_id, ridx FROM (
+                SELECT doc_id, ridx,
+                  row_number() OVER (PARTITION BY sh
+                                     ORDER BY doc_id, ridx) AS rn
+                FROM sp) WHERE rn > 1),
+      rm AS (SELECT DISTINCT doc_id, ridx + k AS ridx
+             FROM dup, UNNEST(generate_series(0, 2)) AS g(k)),
+      kp AS (SELECT sv.doc_id, sv.ridx, sv.ltext
+             FROM sv LEFT JOIN rm
+               ON sv.doc_id = rm.doc_id AND sv.ridx = rm.ridx
+             WHERE rm.doc_id IS NULL),
+      ka AS (SELECT doc_id, count(*) AS n_kept,
+               md5(string_agg(ltext, ' ' ORDER BY ridx)) AS ch
+             FROM kp GROUP BY doc_id),
+      rl AS (SELECT doc_id, max(n_lines) AS n_lines,
+               max(CASE WHEN page_bad THEN 1 ELSE 0 END) AS pb,
+               CAST(sum(CASE WHEN NOT page_bad AND NOT rule_ok
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_rule
+             FROM ln2 GROUP BY doc_id)
+      SELECT rl.doc_id, CAST(n_lines AS INT) AS n_lines, n_drop_rule,
+             CAST(CASE WHEN pb = 1 THEN 0
+               ELSE n_lines - n_drop_rule - coalesce(n_kept, 0) END
+               AS BIGINT) AS n_drop_span,
+             CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+             (pb = 0 AND coalesce(n_kept, 0) >= 3) AS page_kept,
+             CASE WHEN pb = 0 AND coalesce(n_kept, 0) >= 3 THEN ch
+                  ELSE md5('') END AS clean_hash
+      FROM rl LEFT JOIN ka ON rl.doc_id = ka.doc_id
+      ORDER BY rl.doc_id""",
     "q_pii_scrub" -> s"""
       WITH hx AS (SELECT doc_id, text, md5(text) AS h FROM documents),
       p AS (SELECT doc_id, $piiSynthSql AS pii FROM hx),

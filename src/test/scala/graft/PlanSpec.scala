@@ -687,6 +687,21 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_c4_clean runs the span dedup as one linear window chain") {
+    // two pruned scans (rule census + the survivor chain) and NO
+    // self-join back: the duplicate-span removal is dup OR lag(dup)
+    // OR lag(dup,2) carried between the span-hash window and the doc
+    // window. A third scan or an anti-join means the chain was broken
+    // back into the 9-scan branch shape this pin exists to prevent.
+    val p = plan("q_c4_clean")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+    assert(scans == 2, s"expected 2 scans, got $scans")
+    assert(!p.contains("LeftAnti"), "span removal must not self-join")
+    assert("""\(\d+\) Window""".r.findAllIn(p).size == 4,
+      "ridx + lead + span-rn + lag windows")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_domain_stats is one scan, one aggregate, zero joins") {
     // the whole census (URL synth + canonicalizer regexps + gopher
     // array ratios) must stay a codegen projection on the single

@@ -508,6 +508,73 @@ object Similarity {
     * reachability (HNSW's M link budget), not edge parsimony. */
   private val GraphSearchDegree = 8
 
+  /** HIERARCHICAL graph search (the full HNSW shape, Malkov &
+    * Yashunin 2018): a sparse UPPER layer (deterministic 1-in-8 node
+    * subset, degree 4) descends from ONE GLOBAL entry point to a
+    * per-query layer-0 entry, then the layer-0 beam walk proceeds as
+    * in [[graphSearchTop]]. The structural difference from
+    * q_knn_graph_search: entry comes from GRAPH DESCENT, not the
+    * trained coarse cell — the pure-graph-index property (HNSW needs
+    * no quantizer at query time; the cells here only build the
+    * neighbor lists, the role a construction-time candidate generator
+    * plays in any HNSW build). Walk budgets: 2 hops × beam 4 upper,
+    * then the SAME 5-hop × beam-8 lower walk as q_knn_graph_search —
+    * so the recall pair isolates exactly ONE variable, the entry
+    * strategy. Same checkpointed standing-index
+    * discipline; every frontier is panel-bounded and broadcast. */
+  private def hnswTop(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val cells = ivfCells(s, dir)
+    val g0 = knnGraphFrom(cells, k = GraphSearchDegree)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .localCheckpoint(true)
+    val up = cells.filter(col("vec_id") % 8 === 0)
+    val g1 = knnGraphFrom(up, k = 4)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .localCheckpoint(true)
+    val corpus = cells
+      .select(col("vec_id").as("cand"), col("q").as("qb"), col("norm").as("nb"))
+      .localCheckpoint(true)
+    def withScore(c: DataFrame): DataFrame =
+      corpus.join(broadcast(c), "cand")
+        .withColumn("dot", expr(Dedup.dotExpr))
+        .withColumn("cosine", Dedup.cosine())
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand").asc)
+    val queriesDf = cells
+      .filter(col("vec_id") % 5 === 0 && col("vec_id") < 1000)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"), col("norm").as("na"))
+    def walk(graph: DataFrame, f0: DataFrame, hops: Int, beam: Int): DataFrame = {
+      var frontier = f0.localCheckpoint(true)
+      var visited = frontier
+      for (_ <- 1 to hops) {
+        val expanded = graph
+          .join(broadcast(frontier), col("cand") === col("src"))
+          .select(col("query_id"), col("qa"), col("na"), col("dst").as("cand"))
+          .dropDuplicates("query_id", "cand")
+          .localCheckpoint(true)
+        visited = visited.unionByName(expanded)
+        frontier = withScore(expanded)
+          .withColumn("rn", row_number().over(rankW))
+          .filter(col("rn") <= beam)
+          .select(col("query_id"), col("qa"), col("na"), col("cand"))
+      }
+      visited.dropDuplicates("query_id", "cand")
+    }
+    // every query starts at the SAME global entry (HNSW's top layer)
+    val h0 = queriesDf.crossJoin(broadcast(up.agg(min(col("vec_id")).as("cand"))))
+    val upVisited = walk(g1, h0, hops = 2, beam = 4)
+    val l0Entry = withScore(upVisited)
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("qa"), col("na"), col("cand"))
+    withScore(walk(g0, l0Entry, hops = 5, beam = 8))
+      .filter(col("cand") =!= col("query_id"))
+      .withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"),
+        col("cand").as("neighbor_id"), col("cosine"))
+  }
+
   /** 1-bit binary-quantized top-k: sign codes scan-side, Hamming
     * ranking (ties: lower neighbor id). All-integer — hash-exact. */
   private def bqTop(s: SparkSession, dir: String, qmax: Int, k: Int): DataFrame = {
@@ -1364,6 +1431,22 @@ object Similarity {
           .select(col("query_id"), col("neighbor_id")),
         k = 3)),
 
+    // The full HIERARCHICAL shape — upper-layer descent to a
+    // per-query entry, then the layer-0 beam walk; entry by graph,
+    // not by quantizer (see hnswTop).
+    "q_knn_hnsw" -> ((s, dir) =>
+      hnswTop(s, dir, k = 3).orderBy("query_id", "rnk")),
+
+    // Recall@3 on the shared bounded panel — prices the hierarchical
+    // entry against the cell-seeded walk (q_knn_graph_search_recall)
+    // and exact truth.
+    "q_knn_hnsw_recall" -> ((s, dir) =>
+      recallOf(
+        bruteGraphSampled(s, dir, k = 3),
+        hnswTop(s, dir, k = 3)
+          .select(col("query_id"), col("neighbor_id")),
+        k = 3)),
+
     // BINARY quantization — the 1-bit leg completing the compression
     // ladder (float → SQ8 → PQ4 → BQ1; FAISS IndexBinaryFlat): each
     // dimension collapses to its sign bit, ranking is Hamming distance
@@ -1608,6 +1691,8 @@ object Similarity {
     "q_knn_graph" -> knnGraphSql,
     "q_knn_graph_recall" -> knnGraphRecallSql,
     "q_knn_graph_search" -> knnGraphSearchSql,
+    "q_knn_hnsw" -> knnHnswSql,
+    "q_knn_hnsw_recall" -> knnHnswRecallSql,
     "q_knn_graph_search_recall" -> knnGraphSearchRecallSql,
     "q_knn_graph_mutual" -> knnGraphMutualSql,
     "q_graph_communities" -> graphCommunitiesSql,
@@ -2393,6 +2478,97 @@ object Similarity {
               FROM fs)"""
     sb.toString
   }
+
+  /** Prefix-parameterized beam-walk CTE generator (the hnsw twin runs
+    * TWO walks in one statement): frontier CTE `${p}f0` must exist;
+    * emits `${p}e$h`/`${p}s$h`/`${p}f$h` per hop and the deduped
+    * visited set `${p}vis`. */
+  private def prefixedWalkCtes(p: String, graphCte: String,
+      hops: Int, beam: Int): String = {
+    val sb = new StringBuilder
+    for (h <- 1 to hops) {
+      sb ++= s""",
+      ${p}e$h AS (SELECT DISTINCT query_id, qa, na, dst AS cand
+              FROM ${p}f${h - 1} JOIN $graphCte
+                ON ${p}f${h - 1}.cand = $graphCte.src),
+      ${p}s$h AS (SELECT query_id, qa, na, ${p}e$h.cand AS cand,
+                round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+              FROM ${p}e$h JOIN (SELECT vec_id, q AS qb2, norm AS nb FROM qn) b
+                ON ${p}e$h.cand = b.vec_id),
+      ${p}f$h AS (SELECT query_id, qa, na, cand FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, cand ASC) AS rn FROM ${p}s$h) WHERE rn <= $beam)"""
+    }
+    val unions = (1 to hops).map(h => s"SELECT * FROM ${p}e$h").mkString(" UNION ALL ")
+    sb ++= s""",
+      ${p}vis AS (SELECT DISTINCT query_id, qa, na, cand FROM (
+                SELECT * FROM ${p}f0 UNION ALL $unions))"""
+    sb.toString
+  }
+
+  /** Hierarchical twin: upper-layer graph over the 1-in-8 subset
+    * (degree 4), global-entry descent (2 hops, beam 4) to a per-query
+    * entry, then the layer-0 walk (4 hops, beam 8) and exact rerank. */
+  private lazy val knnHnswCtes = knnGraphCtes + s""",
+      g AS (SELECT vec_id AS src, neighbor_id AS dst FROM rk WHERE rnk <= 8),
+      hup AS (SELECT * FROM ivcell WHERE vec_id % 8 = 0),
+      hpr AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+              FROM hup a JOIN hup b
+                ON b.cell IN (a.cell, a.cell2) AND a.vec_id <> b.vec_id),
+      hcs AS (SELECT vec_id, neighbor_id,
+                round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+              FROM hpr),
+      hrk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM hcs),
+      g1 AS (SELECT vec_id AS src, neighbor_id AS dst FROM hrk WHERE rnk <= 4),
+      hqp AS (SELECT vec_id AS query_id, q AS qa, norm AS na
+              FROM qn WHERE vec_id % 5 = 0 AND vec_id < 1000),
+      uf0 AS (SELECT query_id, qa, na, cand
+              FROM hqp, (SELECT min(vec_id) AS cand FROM hup))
+      ${prefixedWalkCtes("u", "g1", hops = 2, beam = 4)},
+      uet AS (SELECT query_id, qa, na, cand FROM (
+                SELECT uvis.query_id, uvis.qa, uvis.na, uvis.cand,
+                  row_number() OVER (PARTITION BY query_id ORDER BY
+                    round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) DESC,
+                    uvis.cand ASC) AS rn
+                FROM uvis JOIN (SELECT vec_id, q AS qb2, norm AS nb FROM qn) b
+                  ON uvis.cand = b.vec_id) WHERE rn = 1),
+      zf0 AS (SELECT query_id, qa, na, cand FROM uet)
+      ${prefixedWalkCtes("z", "g", hops = 5, beam = 8)},
+      zfs AS (SELECT query_id, zvis.cand AS cand,
+               round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+             FROM zvis JOIN (SELECT vec_id, q AS qb2, norm AS nb FROM qn) b
+               ON zvis.cand = b.vec_id
+             WHERE zvis.cand <> zvis.query_id),
+      zrk AS (SELECT query_id, cand AS neighbor_id, cosine,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, cand ASC) AS INT) AS rnk
+              FROM zfs)"""
+
+  private lazy val knnHnswSql = knnHnswCtes + s"""
+      SELECT query_id, rnk, neighbor_id, cosine FROM zrk WHERE rnk <= 3
+      ORDER BY query_id, rnk"""
+
+  private lazy val knnHnswRecallSql = knnHnswCtes + s""",
+      hap AS (SELECT query_id, neighbor_id FROM zrk WHERE rnk <= 3),
+      hbp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+              FROM qn a JOIN qn b
+                ON a.vec_id % 5 = 0 AND a.vec_id < 1000 AND a.vec_id <> b.vec_id),
+      hbc AS (SELECT query_id, neighbor_id,
+                round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+              FROM hbp),
+      hbr AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM hbc),
+      hbt AS (SELECT query_id, neighbor_id FROM hbr WHERE rnk <= 3)
+      SELECT b.query_id,
+             round(CAST(count(a.neighbor_id) AS DOUBLE) / 3.0, 4) AS recall_at_3
+      FROM hbt b LEFT JOIN hap a
+        ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+      GROUP BY b.query_id ORDER BY b.query_id"""
 
   private lazy val knnGraphSearchCtes =
     knnGraphCtes + graphSearchWalkCtes(beam = 8, hops = 5, deg = 8)

@@ -369,6 +369,58 @@ object Aggregates {
             .as("ratio"))
     }),
 
+    // Sketch-based SET INTERSECTION — the audience-overlap /
+    // cross-shard-vocabulary question sketches exist to answer at
+    // 100 TB: |A∩B| ≈ est(A) + est(B) − est(A∪B) (inclusion-
+    // exclusion), where the UNION sketch is the register-wise max —
+    // the SAME mergeability that carries one sketch across the
+    // exchange composes two sketches into their union for free. A is the
+    // urgent-order customer set, B the low-priority one — a genuinely
+    // PARTIAL data-driven overlap (customers with both); ONE tag-exploded scan builds
+    // both register vectors AND the exact three-way census (the
+    // ≤2·256-row sketch exchange vs the distinct-scale exact one —
+    // the trade the estimate row quantifies). est arithmetic is the
+    // q_hll_estimate exact-integer chain ×3; the intersection
+    // estimate can be legitimately negative on tiny overlaps — it is
+    // reported signed, as the raw inclusion-exclusion value.
+    "q_hll_intersect" -> ((s, dir) => {
+      val tagged = Tables(s, dir, "orders")
+        .select(col("o_custkey").cast("string").as("w"),
+          explode(expr(
+            "filter(array(CASE WHEN o_orderpriority = '1-URGENT' " +
+              "THEN 'a' END, " +
+              "CASE WHEN o_orderpriority = '5-LOW' THEN 'b' END), " +
+              "x -> x is not null)")).as("tag"))
+      val regs = tagged
+        .select(col("tag"), expr(s"cast($hllReg as int)").as("reg"),
+          expr(s"cast($hllRho as int)").as("rho"))
+        .groupBy(col("tag"), col("reg")).agg(max(col("rho")).as("m"))
+        .localCheckpoint() // ≤512 rows; three est consumers below
+      def estOf(rf: org.apache.spark.sql.DataFrame, out: String) = {
+        val grid = s.range(0, 256).select(col("id").cast("int").as("reg"))
+        grid.join(rf, Seq("reg"), "left")
+          .select(coalesce(col("m"), lit(0)).as("m"))
+          .agg(sum(expr("cast(power(2, 53 - m) as decimal(38,0))")).as("hsum"))
+          .select(expr(s"cast(($hllEstNum) div (2570790 * hsum) as bigint)")
+            .as(out))
+      }
+      val ea = estOf(regs.filter(col("tag") === "a").select("reg", "m"), "ea4")
+      val eb = estOf(regs.filter(col("tag") === "b").select("reg", "m"), "eb4")
+      val eu = estOf(regs.groupBy(col("reg")).agg(max(col("m")).as("m")), "eu4")
+      val exact = tagged.groupBy(col("w"))
+        .agg(max(when(col("tag") === "a", 1L).otherwise(0L)).as("ia"),
+          max(when(col("tag") === "b", 1L).otherwise(0L)).as("ib"))
+        .agg(sum(col("ia")).as("exact_a"), sum(col("ib")).as("exact_b"),
+          sum(col("ia") * col("ib")).as("exact_intersect"))
+      exact.crossJoin(broadcast(ea)).crossJoin(broadcast(eb))
+        .crossJoin(broadcast(eu))
+        .select(col("exact_a"), col("exact_b"), col("exact_intersect"),
+          (col("ea4").cast("double") / 10000.0).as("est_a"),
+          (col("eb4").cast("double") / 10000.0).as("est_b"),
+          ((col("ea4") + col("eb4") - col("eu4")).cast("double") / 10000.0)
+            .as("est_intersect"))
+    }),
+
     // HLL register-count tuning row: the estimate at m = 64/256/1024
     // from ONE register build — the error-vs-exchange-size trade a
     // pipeline tunes against (same pattern as q_knn_recall for nprobe).
@@ -739,6 +791,56 @@ object Aggregates {
              CAST(est4 AS DOUBLE) / 10000.0 AS est,
              CAST(est4 // exact_distinct AS DOUBLE) / 10000.0 AS ratio
       FROM e CROSS JOIN ex""",
+    "q_hll_intersect" -> """
+      WITH t AS (SELECT CAST(o_custkey AS VARCHAR) AS w, o_orderpriority
+                 FROM orders),
+      tg AS (SELECT w, tag FROM (
+               SELECT w, unnest([
+                 CASE WHEN o_orderpriority = '1-URGENT' THEN 'a' END,
+                 CASE WHEN o_orderpriority = '5-LOW' THEN 'b' END])
+                 AS tag
+               FROM t) WHERE tag IS NOT NULL),
+      h AS (SELECT tag,
+                   CAST(('0x' || substr(md5(w), 1, 8))::BIGINT % 256 AS INT) AS reg,
+                   ('0x' || substr(md5(w), 9, 13))::BIGINT AS x
+            FROM tg),
+      r AS (SELECT tag, reg, max(CASE WHEN x = 0 THEN 53
+                                      ELSE 53 - length(bin(x)) END) AS m
+            FROM h GROUP BY tag, reg),
+      grid AS (SELECT unnest(generate_series(0, 255)) AS reg),
+      fa AS (SELECT coalesce(r.m, 0) AS m FROM grid
+             LEFT JOIN (SELECT reg, m FROM r WHERE tag = 'a') r
+               ON grid.reg = r.reg),
+      ea AS (SELECT CAST((7213::HUGEINT * 16777216 * 10000 * 9007199254740992)
+               // (2570790::HUGEINT * CAST(sum(CAST(power(2, 53 - m)
+               AS DECIMAL(38,0))) AS HUGEINT)) AS BIGINT) AS ea4
+             FROM fa),
+      fb AS (SELECT coalesce(r.m, 0) AS m FROM grid
+             LEFT JOIN (SELECT reg, m FROM r WHERE tag = 'b') r
+               ON grid.reg = r.reg),
+      eb AS (SELECT CAST((7213::HUGEINT * 16777216 * 10000 * 9007199254740992)
+               // (2570790::HUGEINT * CAST(sum(CAST(power(2, 53 - m)
+               AS DECIMAL(38,0))) AS HUGEINT)) AS BIGINT) AS eb4
+             FROM fb),
+      ru AS (SELECT reg, max(m) AS m FROM r GROUP BY reg),
+      fu AS (SELECT coalesce(ru.m, 0) AS m FROM grid
+             LEFT JOIN ru ON grid.reg = ru.reg),
+      eu AS (SELECT CAST((7213::HUGEINT * 16777216 * 10000 * 9007199254740992)
+               // (2570790::HUGEINT * CAST(sum(CAST(power(2, 53 - m)
+               AS DECIMAL(38,0))) AS HUGEINT)) AS BIGINT) AS eu4
+             FROM fu),
+      ex AS (SELECT CAST(sum(ia) AS BIGINT) AS exact_a,
+                    CAST(sum(ib) AS BIGINT) AS exact_b,
+                    CAST(sum(ia * ib) AS BIGINT) AS exact_intersect
+             FROM (SELECT w,
+                     max(CASE WHEN tag = 'a' THEN 1 ELSE 0 END) AS ia,
+                     max(CASE WHEN tag = 'b' THEN 1 ELSE 0 END) AS ib
+                   FROM tg GROUP BY w))
+      SELECT exact_a, exact_b, exact_intersect,
+             CAST(ea4 AS DOUBLE) / 10000.0 AS est_a,
+             CAST(eb4 AS DOUBLE) / 10000.0 AS est_b,
+             CAST(ea4 + eb4 - eu4 AS DOUBLE) / 10000.0 AS est_intersect
+      FROM ex CROSS JOIN ea CROSS JOIN eb CROSS JOIN eu""",
     // Per-m twin of q_hll_tuning: register index recomputed directly as
     // hb % m (identical to folding — (x mod 1024) mod m = x mod m);
     // HUGEINT division mirrors the Spark decimal `div` exactly.

@@ -187,6 +187,41 @@ object TextAnalysis {
         .orderBy("source", "bin")
     }),
 
+    // Packed-bin ATTENTION-BOUNDARY manifest — the cu_seqlens
+    // artifact a varlen data loader (FlashAttention-style) consumes
+    // beside q_pack_bins' fill manifest: for every bin, the
+    // (start:len) segment list saying where each document's tokens
+    // sit, so attention can reset at document boundaries inside the
+    // packed sequence. Concat-and-cut straddling is handled exactly —
+    // a doc spanning bins contributes a clipped segment to each
+    // (scan-side sequence explode over its spanned bin range, pure
+    // integer arithmetic). Same scale shape as q_pack_bins: ONE
+    // per-source window exchange, then a (source, bin) aggregate.
+    "q_pack_cu_seqlens" -> ((s, dir) => {
+      val B = 256
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("s0", col("cum") - col("n_tok"))
+        .select(col("source"), col("n_tok"), col("s0"),
+          explode(expr(s"sequence(s0 div $B, (s0 + n_tok - 1) div $B)"))
+            .as("bin"))
+        .withColumn("seg_start", expr(s"greatest(s0, bin * $B) - bin * $B"))
+        .withColumn("seg_len",
+          expr(s"least((bin + 1) * $B, s0 + n_tok) - greatest(s0, bin * $B)"))
+        .groupBy(col("source"), col("bin").cast("int").as("bin"))
+        .agg(count(lit(1)).as("n_segs"),
+          sum(col("seg_len")).as("bin_tokens"),
+          expr("concat_ws(',', transform(" +
+            "sort_array(collect_list(struct(seg_start, seg_len))), " +
+            "x -> concat(cast(x.seg_start as string), ':', " +
+            "cast(x.seg_len as string))))").as("cu_seqlens"))
+        .orderBy("source", "bin")
+    }),
+
     // Packing QUALITY row — best-fit-decreasing vs arrival-order
     // next-fit, per shard (Johnson 1973: BFD ≤ 11/9·OPT + 4 bins,
     // next-fit ≤ 2·OPT; the delta is what the bound buys when docs
@@ -1491,6 +1526,29 @@ object TextAnalysis {
              CAST(len(c) AS INT) AS chunk_tokens,
              md5(array_to_string(c, ' ')) AS chunk_hash
       FROM ch ORDER BY doc_id, chunk_idx""",
+    "q_pack_cu_seqlens" -> """
+      WITH d AS (SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                 FROM documents),
+      c AS (SELECT *, CAST(sum(n_tok) OVER (PARTITION BY source
+              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS BIGINT) AS cum
+            FROM d),
+      e AS (SELECT source, n_tok, cum - n_tok AS s0 FROM c),
+      x AS (SELECT source, n_tok, s0, b AS bin
+            FROM e, UNNEST(generate_series(s0 // 256,
+              (s0 + n_tok - 1) // 256)) AS u(b)),
+      g AS (SELECT source, bin,
+              greatest(s0, bin * 256) - bin * 256 AS seg_start,
+              least((bin + 1) * 256, s0 + n_tok) - greatest(s0, bin * 256)
+                AS seg_len
+            FROM x)
+      SELECT source, CAST(bin AS INT) AS bin, count(*) AS n_segs,
+             CAST(sum(seg_len) AS BIGINT) AS bin_tokens,
+             string_agg(CAST(seg_start AS VARCHAR) || ':' ||
+               CAST(seg_len AS VARCHAR), ',' ORDER BY seg_start)
+               AS cu_seqlens
+      FROM g GROUP BY source, bin ORDER BY source, bin""",
     // Per-source running sum, bin = where the doc's first token falls.
     "q_pack_bins" -> """
       WITH d AS (SELECT doc_id, source,

@@ -115,6 +115,36 @@ object TextOps {
     * token array `t`: ADDS the ratio/keep columns (and drops the
     * g2/g3 scratch) so a composed pipeline can gate mid-stream
     * without a join back. */
+  /** The C4 LINE-RULE stage as an IN-ROW projection (no explode, no
+    * aggregate): line split, both line rules, and the page arm
+    * re-expressed with higher-order array functions so the gate is a
+    * pure scan-side pass — the form [[graft.streaming.Streams.c4Gate]]
+    * streams unchanged (the span dedup stays batch-only: it is a
+    * GLOBAL window, the same reasoning as the funnel's keeper swap).
+    * Rule arithmetic is IDENTICAL to q_c4_clean's exploded form;
+    * StreamsSpec pins per-doc agreement and the exchange-free plan. */
+  private[graft] def c4LineGateOn(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val lineRule = "(ascii(substr(md5(l), 1, 1)) - " +
+      "(CASE WHEN substr(md5(l), 1, 1) >= 'a' THEN 87 ELSE 48 END)) % 4 != 0" +
+      " AND size(split(l, ' ')) >= 5"
+    docs
+      .withColumn("h", md5(col("text")))
+      .withColumn("t", expr("filter(split(text, ' '), x -> x <> '')"))
+      .withColumn("n_lines",
+        expr("cast(ceil(size(t) / cast(10 as double)) as int)"))
+      .withColumn("lines", expr(
+        "CASE WHEN n_lines >= 1 THEN transform(sequence(0, n_lines - 1), " +
+          "i -> concat_ws(' ', slice(t, i * 10 + 1, 10))) " +
+          "ELSE array() END"))
+      .withColumn("page_bad", expr(s"${hd(24)} = 0"))
+      .withColumn("kept", expr(s"filter(lines, l -> $lineRule)"))
+      .select(col("doc_id"), col("n_lines"),
+        (col("n_lines") - size(col("kept"))).cast("long").as("n_drop_rule"),
+        col("page_bad"),
+        md5(concat_ws(" ", col("kept"))).as("keep_hash"))
+  }
+
   private[graft] def gopherFlagsOn(
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     def dupFrac(n: Int) =

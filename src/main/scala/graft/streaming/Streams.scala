@@ -259,6 +259,18 @@ object Streams {
   def lrGate(delta: DataFrame, weights: Seq[Long]): DataFrame =
     graft.llm.TextAnalysis.lrGateOn(delta, weights)
 
+  /** The C4 LINE-RULE stage streamed — the crawl front-door cleaning
+    * a continuous ingest runs per document: line split + both line
+    * rules + the page arm as ONE in-row higher-order-array projection
+    * ([[graft.ops.TextOps.c4LineGateOn]]; identical rule arithmetic
+    * to q_c4_clean). Stateless and exchange-free, so it streams
+    * unchanged; the three-line-span GLOBAL dedup stays batch-only —
+    * the same window-needs-the-whole-key-group reasoning as the
+    * funnel's keeper swap. StreamsSpec pins batch parity and the
+    * plan shape. */
+  def c4Gate(delta: DataFrame): DataFrame =
+    graft.ops.TextOps.c4LineGateOn(delta)
+
   /** The q_pipeline_chunks funnel run INCREMENTALLY — the shape a
     * production ingest schedules continuously: the same scan-side
     * language/quality features and filters (literally the same

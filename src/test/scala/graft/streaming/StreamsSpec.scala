@@ -462,6 +462,46 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("C4 line gate streams the rule stage statelessly and agrees with the batch recipe") {
+    // the in-row form must (1) plan with no Exchange, (2) stream with
+    // no state and exact batch parity, and (3) agree per-doc with
+    // q_c4_clean's exploded n_drop_rule on page-ok docs (the batch
+    // recipe reports rule drops only for surviving pages)
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val batchDf = Streams.c4Gate(docs)
+    assert(!batchDf.queryExecution.executedPlan.toString.contains("Exchange"),
+      "gate must be a pure scan-side projection")
+    val batch = batchDf.select("doc_id", "n_drop_rule", "page_bad")
+      .as[(Long, Long, Boolean)].collect()
+    val full = graft.ops.TextOps.queries("q_c4_clean")(spark, sf)
+      .select("doc_id", "n_drop_rule")
+      .as[(Long, Long)].collect().toMap
+    batch.filter(!_._3).foreach { case (id, nd, _) =>
+      assert(full(id) == nd, s"doc $id: gate $nd vs recipe ${full(id)}")
+    }
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.c4Gate(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("c4gate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val rows = docs.select("doc_id", "text")
+        .as[(Long, String)].collect().take(40)
+      in.addData(rows.take(15).toSeq: _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(15).toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("c4gate")
+        .select("doc_id", "n_drop_rule", "page_bad")
+        .as[(Long, Long, Boolean)].collect()
+      assert(got.length == 40)
+      val want = batch.map(r => r._1 -> r).toMap
+      got.foreach(r => assert(want(r._1) === r, s"stream mismatch: $r"))
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("LR gate streams the standing-weight scoring statelessly") {
     // train in batch on the separable corpus (aa=en / bb=de — the
     // TextAnalysisSpec fixture), redeploy the 17-long artifact on a

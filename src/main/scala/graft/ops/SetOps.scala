@@ -69,6 +69,50 @@ object SetOps {
         .orderBy("o_orderstatus")
     }),
 
+    // Sampling ERROR BOUND — the statistical-guarantee row that makes
+    // a hash sample trustworthy at 100 TB (the "is a 1/16 scan enough
+    // to estimate this" answer, priced): the 1-in-16 q_sample_hash
+    // slice estimates the mean order price, the CLT 95% half-width
+    // 1.96·s/√n rides beside it, and within_ci verifies the exact
+    // full-scan mean falls inside. Numerics: prices as exact integer
+    // CENTS (the quantile-sketch idiom), so n·Σx² − (Σx)² is exact
+    // DECIMAL(38,0); the only doubles are the final sqrt/divide chain
+    // rounded once, and the 1.96 enters as CAST(196)/10⁴ (a bare 1.96
+    // literal is DECIMAL(3,2) in DuckDB). Degenerate-guarded at
+    // n < 2. Scale: two aggregates over one pushed scan each — the
+    // sample side reads 1/16 of the data at any SF.
+    "q_sample_ci" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("v"))
+      val samp = o
+        .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "7")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(38,0)")).as("sx"),
+          sum(expr("cast(v * v as decimal(38,0))")).as("sx2"))
+      val exact = o.agg(count(lit(1)).as("na"),
+        sum(col("v").cast("decimal(38,0)")).as("sxa"))
+      samp.crossJoin(broadcast(exact))
+        .withColumn("est_c", expr(
+          "CASE WHEN n = 0 THEN cast(0.0 as double) " +
+            "ELSE cast(sx as double) / cast(n as double) END"))
+        .withColumn("exact_c", expr(
+          "CASE WHEN na = 0 THEN cast(0.0 as double) " +
+            "ELSE cast(sxa as double) / cast(na as double) END"))
+        .withColumn("hw_c", expr(
+          "CASE WHEN n < 2 THEN cast(0.0 as double) " +
+            "ELSE cast(196 as double) * " +
+            "sqrt(cast(cast(n as decimal(38,0)) * sx2 - sx * sx as double) " +
+            "/ cast(n * (n - 1) as double)) / sqrt(cast(n as double)) " +
+            "/ cast(100 as double) END")) // /100: the 1.96 rode in as 196
+        .select(col("n").as("n_sample"), col("na").as("n_total"),
+          expr("cast(round(est_c / 100, 4) as double)").as("est_mean"),
+          expr("cast(round(hw_c / 100, 4) as double)").as("half_width"),
+          expr("cast(round(exact_c / 100, 4) as double)").as("exact_mean"),
+          expr("CASE WHEN n < 2 THEN false " +
+            "ELSE abs(est_c - exact_c) <= hw_c END").as("within_ci"))
+    }),
+
     // Mixture weighting — per-source sampling RATES (the data-mixing
     // knob of a pre-training recipe: upsample books, downsample web).
     // Keep rate per source via a deterministic hash threshold: the
@@ -253,6 +297,36 @@ object SetOps {
         SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
       WHERE l_orderkey < 100
       ORDER BY l_orderkey, l_linenumber, metric""",
+    "q_sample_ci" -> """
+      WITH o AS (SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS v
+                 FROM orders),
+      sp AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(v AS HUGEINT)) AS sx,
+               sum(CAST(v * v AS HUGEINT)) AS sx2
+             FROM o
+             WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '7'),
+      ex AS (SELECT CAST(count(*) AS BIGINT) AS na,
+               sum(CAST(v AS HUGEINT)) AS sxa
+             FROM o),
+      m AS (SELECT n, na,
+              CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) END AS est_c,
+              CASE WHEN na = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) END AS exact_c,
+              CASE WHEN n < 2 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(196 AS DOUBLE) *
+                  sqrt(CAST(CAST(n AS HUGEINT) * sx2 - sx * sx AS DOUBLE)
+                    / CAST(n * (n - 1) AS DOUBLE))
+                  / sqrt(CAST(n AS DOUBLE)) / CAST(100 AS DOUBLE) END AS hw_c
+            FROM sp CROSS JOIN ex)
+      SELECT n AS n_sample, na AS n_total,
+             CAST(round(est_c / 100, 4) AS DOUBLE) AS est_mean,
+             CAST(round(hw_c / 100, 4) AS DOUBLE) AS half_width,
+             CAST(round(exact_c / 100, 4) AS DOUBLE) AS exact_mean,
+             CASE WHEN n < 2 THEN false
+               ELSE abs(est_c - exact_c) <= hw_c END AS within_ci
+      FROM m""",
     "q_sample_hash" -> """
       SELECT o_orderstatus, count(*) AS n,
         CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_price

@@ -47,6 +47,11 @@ case class WavMeta(doc_id: Long, status: String,
   * (height always positive — `top_down` carries the sign bit), exact
   * per-channel sums over the LOGICAL image, and the top-row checksum
   * that makes row order observable in the hash gate. */
+case class TiffMeta(doc_id: Long, status: String,
+    byte_order: Option[String], width: Option[Int], height: Option[Int],
+    px_sum: Option[Long], px_min: Option[Int], px_max: Option[Int],
+    top_row_sum: Option[Long])
+
 case class BmpMeta(doc_id: Long, status: String,
     width: Option[Int], height: Option[Int], bpp: Option[Int],
     top_down: Option[Int], r_sum: Option[Long], g_sum: Option[Long],
@@ -556,6 +561,137 @@ object Multimodal {
       // per-partition decode-buffer allocation would go here
       rows.map(d => parseBmp(d.doc_id, d.payload))
     }
+  }
+
+  /** Synthesize a REAL baseline TIFF (TIFF 6.0, Adobe 1992 — the
+    * first DIRECTORY format in the decode family: where every other
+    * format streams, TIFF is a byte-order mark + a table of
+    * (tag, type, count, value) entries with offset indirection):
+    * 8-byte header in EITHER byte order (the md5 picks II or MM —
+    * one decoder must handle both), an 8-entry IFD (width / length /
+    * bits=8 / compression=1 / photometric=1 / strip offset / rows-
+    * per-strip / strip byte count, tags ascending per spec, SHORT
+    * values left-justified in their 4-byte slot — the classic TIFF
+    * writer bug), and one uncompressed grayscale strip whose pixel
+    * (y·w + x) is the md5 byte (y·w + x) mod 16. Arms: bad byte-order
+    * mark (~6%), strip truncated one byte (~12.5%), and the II/MM
+    * split itself (~25% MM). */
+  private[graft] def tiffBytes(h: String): Array[Byte] = {
+    val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
+    val badMagic = b(12) % 16 == 0
+    val bigEnd = b(13) % 4 == 0
+    val trunc = b(15) % 8 == 2
+    val w = 1 + b(0) % 4
+    val ht = 1 + b(1) % 4
+    val out = new java.io.ByteArrayOutputStream(160)
+    def w16(v: Int): Unit =
+      if (bigEnd) { out.write((v >> 8) & 255); out.write(v & 255) }
+      else { out.write(v & 255); out.write((v >> 8) & 255) }
+    def w32(v: Int): Unit =
+      if (bigEnd) { out.write((v >>> 24) & 255); out.write((v >>> 16) & 255)
+        out.write((v >>> 8) & 255); out.write(v & 255) }
+      else { out.write(v & 255); out.write((v >> 8) & 255)
+        out.write((v >> 16) & 255); out.write((v >>> 24) & 255) }
+    if (badMagic) { out.write('X'); out.write('X') }
+    else if (bigEnd) { out.write('M'); out.write('M') }
+    else { out.write('I'); out.write('I') }
+    w16(42); w32(8)
+    val stripOff = 8 + 2 + 8 * 12 + 4
+    def entryShort(tag: Int, v: Int): Unit = {
+      w16(tag); w16(3); w32(1); w16(v); w16(0) // SHORT left-justified
+    }
+    def entryLong(tag: Int, v: Int): Unit = { w16(tag); w16(4); w32(1); w32(v) }
+    w16(8)
+    entryShort(256, w); entryShort(257, ht); entryShort(258, 8)
+    entryShort(259, 1); entryShort(262, 1)
+    entryLong(273, stripOff); entryShort(278, ht); entryLong(279, w * ht)
+    w32(0)
+    var i = 0
+    while (i < w * ht) { out.write(b(i % 16)); i += 1 }
+    val full = out.toByteArray
+    if (trunc) full.dropRight(1) else full
+  }
+
+  /** REAL from-scratch TIFF parser — the EIGHTH decode path and the
+    * directory-format one: byte-order mark dispatches every
+    * subsequent 16/32-bit read (one parser, both endiannesses), magic
+    * 42, IFD walk with bounds-checked entry reads (a type-3 SHORT
+    * reads the first two bytes of its value slot, a type-4 LONG all
+    * four), baseline validation (8-bit, uncompressed, grayscale),
+    * declared-vs-available strip check, then the single-strip pixel
+    * walk with exact integer stats. Dimension caps keep a fuzzed
+    * 2³²-pixel claim from walking off the end (DecoderFuzzSpec runs
+    * arbitrary bytes through this — total, never a throw). */
+  private[llm] def parseTiff(id: Long, p: Array[Byte]): TiffMeta = {
+    val none =
+      TiffMeta(id, "bad_magic", None, None, None, None, None, None, None)
+    if (p == null || p.length < 8) return none
+    val big = p(0) == 'M' && p(1) == 'M'
+    val lit = p(0) == 'I' && p(1) == 'I'
+    if (!big && !lit) return none
+    def u16(i: Long): Int =
+      if (i < 0 || i + 1 >= p.length) -1
+      else if (big) ((p(i.toInt) & 0xff) << 8) | (p(i.toInt + 1) & 0xff)
+      else (p(i.toInt) & 0xff) | ((p(i.toInt + 1) & 0xff) << 8)
+    def u32(i: Long): Long =
+      if (i < 0 || i + 3 >= p.length) -1L
+      else if (big) ((p(i.toInt) & 0xffL) << 24) | ((p(i.toInt + 1) & 0xffL) << 16) |
+        ((p(i.toInt + 2) & 0xffL) << 8) | (p(i.toInt + 3) & 0xffL)
+      else (p(i.toInt) & 0xffL) | ((p(i.toInt + 1) & 0xffL) << 8) |
+        ((p(i.toInt + 2) & 0xffL) << 16) | ((p(i.toInt + 3) & 0xffL) << 24)
+    if (u16(2) != 42) return none
+    val hdr = none.copy(status = "bad_header",
+      byte_order = Some(if (big) "MM" else "II"))
+    val ifd = u32(4)
+    if (ifd < 0 || ifd > p.length.toLong - 2) return hdr
+    val n = u16(ifd)
+    if (n <= 0 || ifd + 2 + n.toLong * 12 + 4 > p.length) return hdr
+    var w = -1L; var htL = -1L; var bits = 1L; var comp = 1L
+    var photo = 0L; var so = -1L; var sbc = -1L
+    var e = 0
+    while (e < n) {
+      val off = ifd + 2 + e * 12
+      val tag = u16(off); val typ = u16(off + 2); val cnt = u32(off + 4)
+      val v: Long = if (typ == 3) u16(off + 8).toLong else u32(off + 8)
+      if (cnt == 1) tag match {
+        case 256 => w = v
+        case 257 => htL = v
+        case 258 => bits = v
+        case 259 => comp = v
+        case 262 => photo = v
+        case 273 => so = v
+        case 279 => sbc = v
+        case _ => ()
+      }
+      e += 1
+    }
+    if (w <= 0 || htL <= 0 || so < 0 || sbc < 0) return hdr
+    if (w > (1 << 20) || htL > (1 << 20))
+      return hdr.copy(status = "unsupported")
+    val meta = hdr.copy(width = Some(w.toInt), height = Some(htL.toInt))
+    if (bits != 8 || comp != 1 || photo > 1)
+      return meta.copy(status = "unsupported")
+    val need = w * htL
+    if (sbc < need) return meta.copy(status = "bad_header")
+    if (so + need > p.length) return meta.copy(status = "truncated")
+    var sum = 0L; var trs = 0L; var mn = 255; var mx = 0
+    var i = 0L
+    while (i < need) {
+      val px = p((so + i).toInt) & 0xff
+      sum += px
+      if (i < w) trs += px
+      if (px < mn) mn = px
+      if (px > mx) mx = px
+      i += 1
+    }
+    meta.copy(status = "ok", px_sum = Some(sum), px_min = Some(mn),
+      px_max = Some(mx), top_row_sum = Some(trs))
+  }
+
+  /** The typed TIFF decode stage over [[parseTiff]]. */
+  def decodeTiff(ds: Dataset[BinaryDoc]): Dataset[TiffMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(d => parseTiff(d.doc_id, d.payload)))
   }
 
   /** Synthesize a REAL QOI image (qoiformat.org spec — public domain)
@@ -2051,6 +2187,21 @@ object Multimodal {
       decodeBmp(payloads).toDF().orderBy("doc_id")
     }),
 
+    // The EIGHTH real decode path and the first DIRECTORY format:
+    // synthesized dual-endian baseline TIFFs (see tiffBytes) decoded
+    // by the one byte-order-dispatching parser; the oracle recomputes
+    // stats from the md5 digits in logical pixel space and never sees
+    // the IFD, so an entry-layout, endianness, or left-justification
+    // bug breaks the hash gate.
+    "q_multimodal_decode_tiff" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Tables(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, h) => BinaryDoc(id, tiffBytes(h)) })
+      decodeTiff(payloads).toDF().orderBy("doc_id")
+    }),
+
     // The fourth REAL decode path and the first over a COMPRESSED
     // stream (QOI needs no codec library, but its stream is genuinely
     // entropy-reduced): synthesized QOI files — big-endian header +
@@ -2477,6 +2628,36 @@ object Multimodal {
              CASE WHEN badmagic OR trunc THEN NULL ELSE CAST(list_min(smp) AS INT) END AS s_min,
              CASE WHEN badmagic OR trunc THEN NULL ELSE CAST(list_max(smp) AS INT) END AS s_max,
              CASE WHEN badmagic OR trunc THEN NULL ELSE CAST(len(list_filter(smp, x -> x = 0 OR x = 255)) AS BIGINT) END AS n_clip
+      FROM r ORDER BY doc_id""",
+    "q_multimodal_decode_tiff" -> s"""
+      WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+      b AS (SELECT doc_id, h, ${byteAt(0)} AS b0, ${byteAt(1)} AS b1,
+                   ${byteAt(12)} AS b12, ${byteAt(13)} AS b13,
+                   ${byteAt(15)} AS b15
+            FROM hx),
+      d AS (SELECT doc_id, h, b12 % 16 = 0 AS badmagic, b13 % 4 = 0 AS bigend,
+                   b15 % 8 = 2 AS trunc, 1 + b0 % 4 AS w, 1 + b1 % 4 AS hh
+            FROM b),
+      r AS (SELECT doc_id, badmagic, bigend, trunc, w, hh,
+              list_transform(generate_series(0, w * hh - 1), i ->
+                (ascii(substr(h, 2*(i%16)+1, 1)) - (CASE WHEN substr(h, 2*(i%16)+1, 1) >= 'a' THEN 87 ELSE 48 END)) * 16 +
+                (ascii(substr(h, 2*(i%16)+2, 1)) - (CASE WHEN substr(h, 2*(i%16)+2, 1) >= 'a' THEN 87 ELSE 48 END))) AS pxs
+            FROM d)
+      SELECT doc_id,
+             CASE WHEN badmagic THEN 'bad_magic'
+                  WHEN trunc THEN 'truncated' ELSE 'ok' END AS status,
+             CASE WHEN badmagic THEN NULL
+                  WHEN bigend THEN 'MM' ELSE 'II' END AS byte_order,
+             CASE WHEN badmagic THEN NULL ELSE CAST(w AS INT) END AS width,
+             CASE WHEN badmagic THEN NULL ELSE CAST(hh AS INT) END AS height,
+             CASE WHEN badmagic OR trunc THEN NULL
+               ELSE CAST(list_sum(pxs) AS BIGINT) END AS px_sum,
+             CASE WHEN badmagic OR trunc THEN NULL
+               ELSE CAST(list_min(pxs) AS INT) END AS px_min,
+             CASE WHEN badmagic OR trunc THEN NULL
+               ELSE CAST(list_max(pxs) AS INT) END AS px_max,
+             CASE WHEN badmagic OR trunc THEN NULL
+               ELSE CAST(list_sum(pxs[1:w]) AS BIGINT) END AS top_row_sum
       FROM r ORDER BY doc_id""",
     "q_multimodal_decode_bmp" -> s"""
       WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),

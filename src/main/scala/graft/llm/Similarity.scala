@@ -390,11 +390,20 @@ object Similarity {
     * K = 4 cells is fixture-scaled: a real deployment trains
     * K ∝ √N cells, so the cell-keyed join's parallelism grows with
     * the corpus, and per-cell candidate blocks stay ~√N-sized. */
-  private[graft] def knnGraphFrom(cells: DataFrame, k: Int): DataFrame = {
-    val probes = cells.select(col("vec_id"),
+  private[graft] def knnGraphFrom(cells: DataFrame, k: Int): DataFrame =
+    knnGraphBetween(cells, cells, k)
+
+  /** Two-frame generalization: probe-side nodes pick top-k neighbors
+    * among CORPUS-side nodes through the shared coarse cells — the
+    * self-join form builds the full graph; an asymmetric call is the
+    * ADD-ONLY ingest (q_knn_graph_ingest: delta probes the standing
+    * index without touching its edges). */
+  private[graft] def knnGraphBetween(probeCells: DataFrame,
+      corpusCells: DataFrame, k: Int): DataFrame = {
+    val probes = probeCells.select(col("vec_id"),
       explode(array_distinct(array(col("cell"), col("cell2")))).as("probe"),
       col("q").as("qa"), col("norm").as("na"))
-    val corpus = cells.select(col("vec_id").as("neighbor_id"),
+    val corpus = corpusCells.select(col("vec_id").as("neighbor_id"),
       col("cell").as("ncell"), col("q").as("qb"), col("norm").as("nb"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -1403,6 +1412,29 @@ object Similarity {
     "q_knn_graph" -> ((s, dir) =>
       knnGraphFrom(ivfCells(s, dir), k = 3).orderBy("vec_id", "rnk")),
 
+    // ADD-ONLY graph-index maintenance — the graph analog of
+    // q_knn_ivf_incremental (the FAISS add contract): a delta of new
+    // vectors (vec_id % 10 = 7, the incremental-family slice) links
+    // into the STANDING graph by probing its coarse cells — the
+    // standing nodes' edge lists are untouched, old edges never
+    // recompute, cost ∝ |delta|·cell-density. in_rebuild flags each
+    // ingested edge against what a FULL rebuild would give the same
+    // node: the misses are exactly the delta-delta neighborhoods
+    // add-only cannot see — the measured price of skipping the
+    // rebuild (HNSW deployments pay the same gap until re-index).
+    "q_knn_graph_ingest" -> ((s, dir) => {
+      val cells = ivfCells(s, dir)
+      val delta = cells.filter(col("vec_id") % 10 === 7)
+      val standing = cells.filter(col("vec_id") % 10 =!= 7)
+      val inc = knnGraphBetween(delta, standing, k = 3)
+      val full = knnGraphBetween(delta, cells, k = 3)
+        .select(col("vec_id"), col("neighbor_id"), lit(1).as("hit"))
+      inc.join(full, Seq("vec_id", "neighbor_id"), "left")
+        .select(col("vec_id"), col("rnk"), col("neighbor_id"), col("cosine"),
+          coalesce(col("hit"), lit(0)).cast("int").as("in_rebuild"))
+        .orderBy("vec_id", "rnk")
+    }),
+
     // Graph recall@3, estimated on the deterministic bounded node
     // panel against the brute-force graph rows for those nodes.
     "q_knn_graph_recall" -> ((s, dir) =>
@@ -1690,6 +1722,7 @@ object Similarity {
     "q_knn_ivf_recall_grid" -> ivfRecallGridSql,
     "q_knn_graph" -> knnGraphSql,
     "q_knn_graph_recall" -> knnGraphRecallSql,
+    "q_knn_graph_ingest" -> knnGraphIngestSql,
     "q_knn_graph_search" -> knnGraphSearchSql,
     "q_knn_hnsw" -> knnHnswSql,
     "q_knn_hnsw_recall" -> knnHnswRecallSql,
@@ -2361,6 +2394,41 @@ object Similarity {
               FROM pairs),
       rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rnk
              FROM cos)"""
+
+  /** Add-only ingest twin: delta probes the standing cells for its
+    * edges; the rebuild flag joins the full-probe top-3. */
+  private lazy val knnGraphIngestSql =
+    "WITH " + Dedup.QE + "," + Clustering.assignCtes + "," + ivfCte + s""",
+      gdl AS (SELECT * FROM ivcell WHERE vec_id % 10 = 7),
+      gst AS (SELECT * FROM ivcell WHERE vec_id % 10 <> 7),
+      gip AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+                a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+              FROM gdl a JOIN gst b
+                ON b.cell IN (a.cell, a.cell2) AND a.vec_id <> b.vec_id),
+      gic AS (SELECT vec_id, neighbor_id,
+                round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+              FROM gip),
+      gie AS (SELECT vec_id, rnk, neighbor_id, cosine FROM (
+                SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+                  ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rnk
+                FROM gic) WHERE rnk <= 3),
+      gfp AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+                a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+              FROM gdl a JOIN ivcell b
+                ON b.cell IN (a.cell, a.cell2) AND a.vec_id <> b.vec_id),
+      gfc AS (SELECT vec_id, neighbor_id,
+                round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+              FROM gfp),
+      gfe AS (SELECT vec_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+                FROM gfc) WHERE rnk <= 3)
+      SELECT gie.vec_id, gie.rnk, gie.neighbor_id, gie.cosine,
+             CAST(CASE WHEN gfe.neighbor_id IS NULL THEN 0 ELSE 1 END AS INT)
+               AS in_rebuild
+      FROM gie LEFT JOIN gfe
+        ON gie.vec_id = gfe.vec_id AND gie.neighbor_id = gfe.neighbor_id
+      ORDER BY gie.vec_id, gie.rnk"""
 
   private lazy val knnGraphSql = knnGraphCtes + s"""
       SELECT vec_id, rnk, neighbor_id, cosine FROM rk WHERE rnk <= 3

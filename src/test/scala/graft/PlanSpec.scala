@@ -652,8 +652,8 @@ class PlanSpec extends SparkSuite {
     // a join or aggregate appearing here would mean the decode stage
     // grew a shuffle it doesn't need at 100 TB
     for (q <- Seq("q_multimodal_decode_gif", "q_multimodal_decode_png",
-        "q_multimodal_decode_gzip", "q_multimodal_resize_real",
-        "q_audio_features")) {
+        "q_multimodal_decode_gzip", "q_multimodal_decode_tiff",
+        "q_multimodal_resize_real", "q_audio_features")) {
       val p = plan(q)
       val scanIds = """\((\d+)\) Scan parquet""".r
         .findAllMatchIn(p).map(_.group(1)).toSet
@@ -746,6 +746,46 @@ class PlanSpec extends SparkSuite {
     val single = "SinglePartition".r.findAllIn(p).size
     assert(single == 1, s"only the 32-row offsets frame may single-partition, got $single:\n$p")
     assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_hll_intersect builds three estimates off one tag-exploded scan pair") {
+    // the checkpointed <=512-row register table feeds all three est
+    // branches; only TWO parquet scans may exist (the sketch build at
+    // construction is the first; the exact census the second) and the
+    // 1-row est frames ride as broadcast crosses
+    val p = plan("q_hll_intersect")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+    assert(scans <= 2, s"expected <=2 scans, got $scans:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin Cross BuildRight"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_sample_ci is two aggregates over pruned scans, no join but the 1-row cross") {
+    val p = plan("q_sample_ci")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+    assert(scans == 2, s"expected 2 scans, got $scans")
+    assert(p.contains("BroadcastNestedLoopJoin Cross BuildRight"))
+    assert(p.contains("partial_count"), "both sides must map-side combine")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_pack_cu_seqlens is one scan, one window exchange, zero joins") {
+    val p = plan("q_pack_cu_seqlens")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 scan, got $scans")
+    assert(!p.contains("Join"), s"manifest must be join-free:\n$p")
+    assert("""\(\d+\) Window""".r.findAllIn(p).size == 1,
+      "exactly the per-source running-sum window")
+  }
+
+  test("q_knn_graph_ingest probes the standing index shuffled-hash, never all-pairs") {
+    // both the ingest arm and the rebuild flag are cell-keyed
+    // ShuffledHashJoins; the delta never cross-joins the corpus
+    val p = plan("q_knn_graph_ingest")
+    assert("ShuffledHashJoin Inner BuildRight".r.findAllIn(p).size >= 2,
+      s"cell-keyed probes must hash-join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin Inner"))
   }
 
   test("q_wordpiece_train reads only the materialized dict-bounded rounds") {

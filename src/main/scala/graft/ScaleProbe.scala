@@ -739,6 +739,51 @@ object ScaleProbe {
     // multiplier, while wall tracks scan volume (3 scans, linear).
     // A loading drift here means an overflow or a rounding-order
     // dependence crept into the chain.
+    // Global-ID probe: the scalable zipWithIndex on an N×-replicated
+    // corpus. The offsets frame stays S rows at any multiplier (the
+    // claim the SinglePartition pin guards), ids stay a dense
+    // permutation of 0..N·docs−1, and wall tracks the two pruned
+    // scans — the per-shard window sorts are the only O(N) work.
+    if (want("gid"))
+    locally {
+      val docs = Tables(spark, sfDir, "documents")
+        .select(col("doc_id")).persist()
+      val nDocs = docs.count()
+      val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      def timedGid(mult: Int): Unit = {
+        val scaled = docs
+          .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
+            col("doc_id"))
+          .select((col("doc_id") + col("i") * lit(stride)).as("doc_id"))
+        val t0 = System.nanoTime()
+        val ids = scaled
+          .withColumn("shard", pmod(col("doc_id"), lit(32L)))
+          .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("shard")).orderBy(col("doc_id"))))
+        val offs = scaled.groupBy(pmod(col("doc_id"), lit(32L)).as("shard"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("off", coalesce(sum(col("c")).over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("shard"))
+              .rowsBetween(Long.MinValue, -1)), lit(0L)))
+        val res = ids.join(broadcast(offs.select(col("shard"), col("off"))), Seq("shard"))
+          .select((col("off") + col("rn") - 1L).as("gid"))
+          .agg(count(lit(1)).as("n"), min(col("gid")).as("mn"),
+            max(col("gid")).as("mx"),
+            countDistinct(col("gid")).as("nd"))
+          .head()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val n = res.getAs[Long]("n")
+        val dense = res.getAs[Long]("mn") == 0L &&
+          res.getAs[Long]("mx") == n - 1 && res.getAs[Long]("nd") == n
+        println(f"""{"probe":"gid_${mult}x","docs":$n,"dense_permutation":$dense,"sec":$dt%.2f}""")
+      }
+      timedGid(1)
+      timedGid(10)
+      timedGid(100)
+      docs.unpersist(false)
+    }
+
     if (want("pca"))
     locally {
       val qe = graft.llm.Dedup.quantized(spark, sfDir).persist()

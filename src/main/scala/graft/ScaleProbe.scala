@@ -739,6 +739,41 @@ object ScaleProbe {
     // multiplier, while wall tracks scan volume (3 scans, linear).
     // A loading drift here means an overflow or a rounding-order
     // dependence crept into the chain.
+    // C4-recipe probe: the cleaning funnel on an N×-replicated corpus.
+    // Every replica's 3-line spans duplicate the original's, so the
+    // GLOBAL span dedup must remove (almost) all replica lines —
+    // n_drop_span exploding with N is the DESIGNED behavior (C4's
+    // dedup exists for mirror-heavy crawls), while rule drops scale
+    // exactly ×N (they are per-doc) and wall tracks the one global
+    // span-hash exchange.
+    if (want("c4"))
+    locally {
+      val docs = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text")).persist()
+      val nDocs = docs.count()
+      val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      def timedC4(mult: Int): Unit = {
+        val scaled = docs
+          .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
+            col("doc_id"), col("text"))
+          .select((col("doc_id") + col("i") * lit(stride)).as("doc_id"),
+            col("text"))
+        val t0 = System.nanoTime()
+        val r = graft.ops.TextOps.c4CleanOn(scaled)
+          .agg(sum(col("n_lines")).as("lines"),
+            sum(col("n_drop_rule")).as("rule"),
+            sum(col("n_drop_span")).as("span"),
+            sum(col("n_kept")).as("kept"))
+          .head()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"c4_${mult}x","docs":${nDocs * mult},"lines":${r.getAs[Long]("lines")},"rule_drop":${r.getAs[Long]("rule")},"span_drop":${r.getAs[Long]("span")},"kept":${r.getAs[Long]("kept")},"sec":$dt%.2f}""")
+      }
+      timedC4(1)
+      timedC4(4)
+      timedC4(16)
+      docs.unpersist(false)
+    }
+
     // Global-ID probe: the scalable zipWithIndex on an N×-replicated
     // corpus. The offsets frame stays S rows at any multiplier (the
     // claim the SinglePartition pin guards), ids stay a dense

@@ -145,6 +145,83 @@ object TextOps {
         md5(concat_ws(" ", col("kept"))).as("keep_hash"))
   }
 
+
+  /** Frame-taking q_c4_clean body (ScaleProbe's c4 section replicates
+    * the corpus through it: every replica's 3-line spans duplicate
+    * the original's, so span-dedup removals EXPLODE by design — the
+    * mirror-heavy-crawl behavior C4's global dedup exists for). */
+  private[graft] def c4CleanOn(
+      src: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val L = 10
+      def lhd(i: Int) =
+        s"(ascii(substr(lh, $i, 1)) - (CASE WHEN substr(lh, $i, 1) >= 'a' THEN 87 ELSE 48 END))"
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("ridx"))
+      val docs = src
+        .select(col("doc_id"), md5(col("text")).as("h"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("t"))
+        .withColumn("n_lines",
+          expr(s"cast(ceil(size(t) / cast($L as double)) as int)"))
+        .withColumn("page_bad", expr(s"${hd(24)} = 0"))
+      val lines = docs
+        .select(col("doc_id"), col("page_bad"), col("n_lines"),
+          posexplode(expr(s"CASE WHEN n_lines >= 1 THEN " +
+            s"transform(sequence(0, n_lines - 1), " +
+            s"i -> concat_ws(' ', slice(t, i * $L + 1, $L))) " +
+            s"ELSE array() END")))
+        .select(col("doc_id"), col("page_bad"), col("n_lines"),
+          col("pos").as("lno"), col("col").as("ltext"))
+        .withColumn("nw", size(split(col("ltext"), " ")))
+        .withColumn("lh", md5(col("ltext")))
+        .withColumn("rule_ok",
+          expr(s"${lhd(1)} % 4 != 0") && col("nw") >= 5)
+      // the span-dedup flows as ONE LINEAR window chain — no self-join
+      // back, no removal-set materialization: the duplicate-START flag
+      // computed under the global span-hash window is carried back to
+      // the doc window, where "this line is covered by a duplicated
+      // span" is just dup OR lag(dup,1) OR lag(dup,2). A line with no
+      // complete span gets a per-line unique hash (rn = 1, harmless)
+      // instead of a NULL span key — NULLs would funnel every tail
+      // line in the corpus through one window partition.
+      val surv = lines.filter(!col("page_bad") && col("rule_ok"))
+        .withColumn("ridx", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("lno"))))
+        .select(col("doc_id"), col("ridx"), col("ltext"))
+      val chain = surv
+        .withColumn("l2", lead(col("ltext"), 1).over(wDoc))
+        .withColumn("l3", lead(col("ltext"), 2).over(wDoc))
+        .withColumn("sh", when(col("l3").isNotNull,
+            md5(concat_ws(" ", col("ltext"), col("l2"), col("l3"))))
+          .otherwise(concat(lit("tail:"), col("doc_id"), lit(":"), col("ridx"))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("sh")).orderBy(col("doc_id"), col("ridx"))))
+        .withColumn("dup", col("l3").isNotNull && col("rn") > 1)
+        .withColumn("removed", col("dup") ||
+          lag(col("dup"), 1, false).over(wDoc) ||
+          lag(col("dup"), 2, false).over(wDoc))
+      val kept = chain.filter(!col("removed"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(concat_ws(" ", expr(
+            "transform(sort_array(collect_list(struct(ridx, ltext))), x -> x.ltext)")))
+            .as("ch"))
+      lines.groupBy(col("doc_id"))
+        .agg(max(col("n_lines")).as("n_lines"),
+          max(col("page_bad").cast("int")).as("pb"),
+          sum(when(!col("page_bad") && !col("rule_ok"), 1L).otherwise(0L))
+            .as("n_drop_rule"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"), col("n_drop_rule"),
+          when(col("pb") === 1, 0L).otherwise(
+            col("n_lines") - col("n_drop_rule") - coalesce(col("n_kept"), lit(0L)))
+            .cast("long").as("n_drop_span"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("pb") === 0 && coalesce(col("n_kept"), lit(0L)) >= 3)
+            .as("page_kept"),
+          when(col("pb") === 0 && coalesce(col("n_kept"), lit(0L)) >= 3,
+            col("ch")).otherwise(md5(lit(""))).as("clean_hash"))
+        .orderBy("doc_id")
+  }
+
   private[graft] def gopherFlagsOn(
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     def dupFrac(n: Int) =
@@ -575,76 +652,7 @@ object TextOps {
     // left-anti self-join on (doc, position); everything else is
     // doc-keyed. Output: the per-doc funnel — the cleaning-ops
     // artifact C4's §2.2 describes in prose.
-    "q_c4_clean" -> ((s, dir) => {
-      val L = 10
-      def lhd(i: Int) =
-        s"(ascii(substr(lh, $i, 1)) - (CASE WHEN substr(lh, $i, 1) >= 'a' THEN 87 ELSE 48 END))"
-      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("ridx"))
-      val docs = Tables(s, dir, "documents")
-        .select(col("doc_id"), md5(col("text")).as("h"),
-          expr("filter(split(text, ' '), x -> x <> '')").as("t"))
-        .withColumn("n_lines",
-          expr(s"cast(ceil(size(t) / cast($L as double)) as int)"))
-        .withColumn("page_bad", expr(s"${hd(24)} = 0"))
-      val lines = docs
-        .select(col("doc_id"), col("page_bad"), col("n_lines"),
-          posexplode(expr(s"CASE WHEN n_lines >= 1 THEN " +
-            s"transform(sequence(0, n_lines - 1), " +
-            s"i -> concat_ws(' ', slice(t, i * $L + 1, $L))) " +
-            s"ELSE array() END")))
-        .select(col("doc_id"), col("page_bad"), col("n_lines"),
-          col("pos").as("lno"), col("col").as("ltext"))
-        .withColumn("nw", size(split(col("ltext"), " ")))
-        .withColumn("lh", md5(col("ltext")))
-        .withColumn("rule_ok",
-          expr(s"${lhd(1)} % 4 != 0") && col("nw") >= 5)
-      // the span-dedup flows as ONE LINEAR window chain — no self-join
-      // back, no removal-set materialization: the duplicate-START flag
-      // computed under the global span-hash window is carried back to
-      // the doc window, where "this line is covered by a duplicated
-      // span" is just dup OR lag(dup,1) OR lag(dup,2). A line with no
-      // complete span gets a per-line unique hash (rn = 1, harmless)
-      // instead of a NULL span key — NULLs would funnel every tail
-      // line in the corpus through one window partition.
-      val surv = lines.filter(!col("page_bad") && col("rule_ok"))
-        .withColumn("ridx", row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("lno"))))
-        .select(col("doc_id"), col("ridx"), col("ltext"))
-      val chain = surv
-        .withColumn("l2", lead(col("ltext"), 1).over(wDoc))
-        .withColumn("l3", lead(col("ltext"), 2).over(wDoc))
-        .withColumn("sh", when(col("l3").isNotNull,
-            md5(concat_ws(" ", col("ltext"), col("l2"), col("l3"))))
-          .otherwise(concat(lit("tail:"), col("doc_id"), lit(":"), col("ridx"))))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("sh")).orderBy(col("doc_id"), col("ridx"))))
-        .withColumn("dup", col("l3").isNotNull && col("rn") > 1)
-        .withColumn("removed", col("dup") ||
-          lag(col("dup"), 1, false).over(wDoc) ||
-          lag(col("dup"), 2, false).over(wDoc))
-      val kept = chain.filter(!col("removed"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_kept"),
-          md5(concat_ws(" ", expr(
-            "transform(sort_array(collect_list(struct(ridx, ltext))), x -> x.ltext)")))
-            .as("ch"))
-      lines.groupBy(col("doc_id"))
-        .agg(max(col("n_lines")).as("n_lines"),
-          max(col("page_bad").cast("int")).as("pb"),
-          sum(when(!col("page_bad") && !col("rule_ok"), 1L).otherwise(0L))
-            .as("n_drop_rule"))
-        .join(kept, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_lines"), col("n_drop_rule"),
-          when(col("pb") === 1, 0L).otherwise(
-            col("n_lines") - col("n_drop_rule") - coalesce(col("n_kept"), lit(0L)))
-            .cast("long").as("n_drop_span"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          (col("pb") === 0 && coalesce(col("n_kept"), lit(0L)) >= 3)
-            .as("page_kept"),
-          when(col("pb") === 0 && coalesce(col("n_kept"), lit(0L)) >= 3,
-            col("ch")).otherwise(md5(lit(""))).as("clean_hash"))
-        .orderBy("doc_id")
-    }),
+    "q_c4_clean" -> ((s, dir) => c4CleanOn(Tables(s, dir, "documents"))),
 
     "q_pii_scrub" -> ((s, dir) => {
       val masked = piiMaskExpr("pii")

@@ -348,6 +348,50 @@ object Clustering {
       rounds.reduce(_.unionByName(_)).orderBy("iter", "j")
     }),
 
+    // The 2-D EXPORT — both trained components applied per vector,
+    // the scatter/atlas artifact embedding dashboards chart (and the
+    // 2-D input cluster-labeling UIs consume): train v₁ (3 rounds),
+    // deflate to v₂ (3 more), then ONE corpus pass scores both axes
+    // (two codegen dot_longs against the broadcast directions; the
+    // 1-row stats aggregate is the second scan). Per-axis arithmetic
+    // is exactly q_embed_pca_project's centered chain.
+    "q_embed_pca_scatter" -> ((s, dir) => {
+      val qe = Dedup.quantized(s, dir)
+      val c1 = pcaIter(qe, pcaV0(s))
+      val c2 = pcaIter(qe, pcaVrow(c1))
+      val v1 = pcaVrow(pcaIter(qe, pcaVrow(c2))).localCheckpoint()
+      val v1j = pcaUnpack(v1)
+      var urow = s.range(1).select(expr("transform(sequence(1, 64), " +
+        "i -> cast(if(i % 2 = 0, -1000000, 1000000) as bigint))").as("varr"))
+      (1 to 3).foreach { _ =>
+        val defl = pcaDeflate(pcaMicro(pcaIter(qe, urow)), v1j).localCheckpoint()
+        urow = pcaPack(pcaMicro(defl))
+      }
+      val v2 = urow.localCheckpoint()
+      val dotted = qe
+        .crossJoin(broadcast(v1.select(col("varr").as("w1"))))
+        .crossJoin(broadcast(v2.select(col("varr").as("w2"))))
+        .withColumn("dot1", expr("dot_long(q, w1)"))
+        .withColumn("dot2", expr("dot_long(q, w2)"))
+        .withColumn("bb1", expr("dot_long(w1, w1)"))
+        .withColumn("bb2", expr("dot_long(w2, w2)"))
+      val stats = dotted.agg(
+        sum(col("dot1").cast("decimal(38,0)")).as("t1"),
+        sum(col("dot2").cast("decimal(38,0)")).as("t2"),
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        max(col("bb1")).as("b1"), max(col("bb2")).as("b2"))
+      def axis(dot: String, t: String, b: String) =
+        when(col(b) === 0, lit(0.0)).otherwise(
+          round((col("n") * col(dot) - col(t)).cast("double")
+            / col("n").cast("double") / sqrt(col(b).cast("double"))
+            / lit(10000.0), 4)).cast("double")
+      dotted.crossJoin(broadcast(stats))
+        .select(col("vec_id"),
+          axis("dot1", "t1", "b1").as("pc1"),
+          axis("dot2", "t2", "b2").as("pc2"))
+        .orderBy("vec_id")
+    }),
+
     // The component APPLIED — per-vector PC1 score, the projection
     // column pipelines materialize beside the corpus (embedding-drift
     // monitors chart its distribution; MRL-style triage thresholds
@@ -650,6 +694,43 @@ object Clustering {
         UNION ALL ${pca2Load(3)})
       ORDER BY iter, j"""
 
+  /** 2-D scatter twin: va4 (= v₁) and ya4 (= the deflated v₂ after
+    * round 3) both project in one qn pass; per-axis chain identical
+    * to the 1-D projection twin, −0.0-canonicalized, zero-guarded. */
+  private lazy val pcaScatterSql = {
+    def axisSql(d: String, t: String, b: String) = s"""
+             CAST(CASE WHEN $b = 0 THEN 0.0
+               ELSE round(CAST(n * $d - $t AS DOUBLE) / CAST(n AS DOUBLE)
+               / sqrt(CAST($b AS DOUBLE)) / CAST(10000 AS DOUBLE), 4) + 0.0 END
+               AS DOUBLE)"""
+    s"""
+      $pcaPrefix,
+      v1j AS (SELECT j, varr[j] AS vj
+              FROM va4, UNNEST(generate_series(1, 64)) AS u(j)),
+      ya1 AS (SELECT list_transform(generate_series(1, 64),
+                i -> CAST(CASE WHEN i % 2 = 0 THEN -1000000
+                          ELSE 1000000 END AS BIGINT)) AS varr),
+      ${pca2StepCtes(1)}, ${pca2StepCtes(2)}, ${pca2StepCtes(3)},
+      sj2 AS (SELECT vec_id,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                 i -> q[i] * a.w1[i])) AS BIGINT) AS dot1,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                 i -> q[i] * b.w2[i])) AS BIGINT) AS dot2,
+               CAST(list_sum(list_transform(a.w1, x -> x * x)) AS BIGINT) AS bb1,
+               CAST(list_sum(list_transform(b.w2, x -> x * x)) AS BIGINT) AS bb2
+             FROM qn, (SELECT varr AS w1 FROM va4) a,
+                  (SELECT varr AS w2 FROM ya4) b),
+      st2 AS (SELECT sum(CAST(dot1 AS HUGEINT)) AS t1,
+                sum(CAST(dot2 AS HUGEINT)) AS t2,
+                CAST(count(*) AS HUGEINT) AS n,
+                max(bb1) AS b1, max(bb2) AS b2
+              FROM sj2)
+      SELECT vec_id,
+             ${axisSql("dot1", "t1", "b1")} AS pc1,
+             ${axisSql("dot2", "t2", "b2")} AS pc2
+      FROM sj2, st2 ORDER BY vec_id"""
+  }
+
   private lazy val pcaProjectSql = s"""
       $pcaPrefix,
       pj AS (SELECT vec_id,
@@ -674,6 +755,7 @@ object Clustering {
     "q_embed_pca" -> pcaSql,
     "q_pca_explained" -> pcaExplainedSql,
     "q_embed_pca2" -> pca2Sql,
+    "q_embed_pca_scatter" -> pcaScatterSql,
     "q_embed_pca_project" -> pcaProjectSql,
     "q_kmeans_2step" -> twoStepSql,
     // Twin of the k-center seeding: the same unrolled farthest-first

@@ -788,6 +788,19 @@ class PlanSpec extends SparkSuite {
       !p.contains("BroadcastNestedLoopJoin Inner"))
   }
 
+  test("q_embed_pca_scatter scores off materialized directions, bounded scans") {
+    // training (6 rounds, both components) happens at construction
+    // into checkpointed 64-row/1-row frames; the report may scan the
+    // corpus only for the scoring pass and its 1-row stats aggregate
+    // (each crossJoin arm re-plans the scan — ≤4 total), with every
+    // direction arriving as ExistingRDD broadcast
+    val p = plan("q_embed_pca_scatter")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+    assert(scans <= 4, s"scoring must not re-run training scans, got $scans")
+    assert(p.contains("ExistingRDD"), "directions must be materialized")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_wordpiece_train reads only the materialized dict-bounded rounds") {
     // each round consumes its symbol table three ways (pairs, unigram
     // counts, merge), so the table localCheckpoints per round — the

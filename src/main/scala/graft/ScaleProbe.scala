@@ -695,7 +695,16 @@ object ScaleProbe {
         val rows = graft.llm.Multimodal.crawlFunnel(scaled)
           .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
         val dt = (System.nanoTime() - t0) / 1e9
-        println(f"""{"probe":"crawlpipe_${mult}x","docs":${nDocs * mult},"decoded":${rows("decoded")},"gopher_keep":${rows("gopher_keep")},"url_unique":${rows("url_unique")},"exact_unique":${rows("exact_unique")},"chunks":${rows("chunks")},"sec":$dt%.2f}""")
+        // NULL-key census (hot-key pin for the salted keeper windows):
+        // ~25% of docs fail decode, leaving canon/chash NULL — raw,
+        // they'd all land in ONE window partition (max_raw grows ×N);
+        // salted with fail:<doc_id> each failure is its own singleton,
+        // so max_salted tracks only the honest duplicate-echo group.
+        val staged = graft.llm.Multimodal.crawlStaged(scaled)
+        val Array(maxRaw, maxSalted) = Seq("canon", "k_url").map { k =>
+          staged.groupBy(col(k)).count().agg(max("count")).head().getLong(0)
+        }.toArray
+        println(f"""{"probe":"crawlpipe_${mult}x","docs":${nDocs * mult},"decoded":${rows("decoded")},"gopher_keep":${rows("gopher_keep")},"url_unique":${rows("url_unique")},"exact_unique":${rows("exact_unique")},"chunks":${rows("chunks")},"max_nullkey_raw":$maxRaw,"max_key_salted":$maxSalted,"sec":$dt%.2f}""")
       }
       timedCrawl(1)
       timedCrawl(10)

@@ -294,6 +294,13 @@ object Clustering {
     // division chain rounded once. Four corpus scans total (three
     // iterations + the Rayleigh application). top_dim is the argmax
     // loading dimension (|v_j| saturates at exactly 10⁶ there).
+    // Overflow boundary — TIGHTER than the pcaIter family's: the
+    // numerator multiplies the micro-unit v_j (≤10⁶) into c, so the
+    // DECIMAL(38,0)/HUGEINT headroom binds at |c| ≈ 10³² here, not
+    // 10³⁸ — with c ∝ N², that is ~3×10⁸ rows instead of ~10⁹. Past
+    // that, pre-scale c by a fixed power of ten before the dot and
+    // multiply the printed ratio back (a is linear in c; b, tr are
+    // untouched) — the ratio itself is exact either way.
     "q_pca_explained" -> ((s, dir) => {
       val qe = Dedup.quantized(s, dir)
       val c1 = pcaIter(qe, pcaV0(s))

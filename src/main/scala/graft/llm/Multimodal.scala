@@ -2056,6 +2056,39 @@ object Multimodal {
     * text, hence md5, hence URL: keeper/chunk stages must stay FLAT
     * while fetched grows — the honest-keeper echo). */
   def crawlFunnel(docs: DataFrame): DataFrame = {
+    val staged = crawlStaged(docs)
+    staged.agg(
+        count(lit(1)).as("fetched"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("decoded"),
+        sum(when(col("ok") && col("n_red") > 0, 1L).otherwise(0L))
+          .as("pii_docs"),
+        sum(when(col("s_gopher"), 1L).otherwise(0L)).as("gopher_keep"),
+        sum(when(col("s_url"), 1L).otherwise(0L)).as("url_unique"),
+        sum(when(col("s_exact"), 1L).otherwise(0L)).as("exact_unique"),
+        sum(col("n_chunks")).as("chunks"))
+      .select(explode(array(
+        struct(lit(1).as("stage_no"), lit("fetched").as("stage"),
+          col("fetched").as("n_docs")),
+        struct(lit(2).as("stage_no"), lit("decoded").as("stage"),
+          col("decoded").as("n_docs")),
+        struct(lit(3).as("stage_no"), lit("pii_docs").as("stage"),
+          col("pii_docs").as("n_docs")),
+        struct(lit(4).as("stage_no"), lit("gopher_keep").as("stage"),
+          col("gopher_keep").as("n_docs")),
+        struct(lit(5).as("stage_no"), lit("url_unique").as("stage"),
+          col("url_unique").as("n_docs")),
+        struct(lit(6).as("stage_no"), lit("exact_unique").as("stage"),
+          col("exact_unique").as("n_docs")),
+        struct(lit(7).as("stage_no"), lit("chunks").as("stage"),
+          col("chunks").as("n_docs")))).as("s"))
+      .select(col("s.stage_no"), col("s.stage"), col("s.n_docs"))
+      .orderBy("stage_no")
+  }
+
+  /** The per-doc staged frame behind [[crawlFunnel]] — exposed so the
+    * ScaleProbe can census the window-key distribution (the NULL-key
+    * salt below is exactly what it measures). */
+  def crawlStaged(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     locally {
       val C = 16
@@ -2076,45 +2109,30 @@ object Multimodal {
         .withColumn("body_m", when(col("ok"), expr(T.piiMaskExpr("body"))))
         .withColumn("t",
           expr("filter(split(coalesce(body_m, ''), ' '), x -> x <> '')")))
-      val wUrl = Window.partitionBy(col("canon"))
+      // canon and chash are NULL for every failed-decode row (~25% of
+      // the corpus by the md5 arms) — partitioning on them raw would
+      // funnel ALL failures through ONE window partition per exchange
+      // (the NULL-key collapse c4CleanOn guards against). Salt the
+      // NULL keys with a per-doc unique value: rn = 1 trivially for
+      // each failed row, and s_url/s_exact already require ok, so the
+      // outputs are bit-identical while the skew wall disappears.
+      val wUrl = Window.partitionBy(col("k_url"))
         .orderBy(col("s_gopher").desc, col("doc_id"))
-      val wTxt = Window.partitionBy(col("chash"))
+      val wTxt = Window.partitionBy(col("k_txt"))
         .orderBy(col("s_url").desc, col("doc_id"))
-      val staged = Dedup.canonicalizeUrl(gop)
+      Dedup.canonicalizeUrl(gop)
         .withColumn("s_gopher", col("ok") && coalesce(col("keep"), lit(false)))
         .withColumn("chash", md5(col("body_m")))
+        .withColumn("k_url",
+          coalesce(col("canon"), concat(lit("fail:"), col("doc_id"))))
+        .withColumn("k_txt",
+          coalesce(col("chash"), concat(lit("fail:"), col("doc_id"))))
         .withColumn("rn_url", row_number().over(wUrl))
         .withColumn("s_url", col("s_gopher") && col("rn_url") === 1)
         .withColumn("rn_txt", row_number().over(wTxt))
         .withColumn("s_exact", col("s_url") && col("rn_txt") === 1)
         .withColumn("n_chunks", when(col("s_exact"),
           expr(s"cast((n_tokens + ${C - 1}) div $C as bigint)")).otherwise(0L))
-      staged.agg(
-          count(lit(1)).as("fetched"),
-          sum(when(col("ok"), 1L).otherwise(0L)).as("decoded"),
-          sum(when(col("ok") && col("n_red") > 0, 1L).otherwise(0L))
-            .as("pii_docs"),
-          sum(when(col("s_gopher"), 1L).otherwise(0L)).as("gopher_keep"),
-          sum(when(col("s_url"), 1L).otherwise(0L)).as("url_unique"),
-          sum(when(col("s_exact"), 1L).otherwise(0L)).as("exact_unique"),
-          sum(col("n_chunks")).as("chunks"))
-        .select(explode(array(
-          struct(lit(1).as("stage_no"), lit("fetched").as("stage"),
-            col("fetched").as("n_docs")),
-          struct(lit(2).as("stage_no"), lit("decoded").as("stage"),
-            col("decoded").as("n_docs")),
-          struct(lit(3).as("stage_no"), lit("pii_docs").as("stage"),
-            col("pii_docs").as("n_docs")),
-          struct(lit(4).as("stage_no"), lit("gopher_keep").as("stage"),
-            col("gopher_keep").as("n_docs")),
-          struct(lit(5).as("stage_no"), lit("url_unique").as("stage"),
-            col("url_unique").as("n_docs")),
-          struct(lit(6).as("stage_no"), lit("exact_unique").as("stage"),
-            col("exact_unique").as("n_docs")),
-          struct(lit(7).as("stage_no"), lit("chunks").as("stage"),
-            col("chunks").as("n_docs")))).as("s"))
-        .select(col("s.stage_no"), col("s.stage"), col("s.n_docs"))
-        .orderBy("stage_no")
     }
   }
 
@@ -2538,10 +2556,12 @@ object Multimodal {
               md5(body_m) AS chash, url
             FROM gsc),
       ${Dedup.urlCanonCtes(", ok, n_red, n_tokens, s_gopher, chash")},
-      r1 AS (SELECT *, CAST(row_number() OVER (PARTITION BY canon
+      r1 AS (SELECT *, CAST(row_number() OVER (
+               PARTITION BY coalesce(canon, 'fail:' || doc_id)
                ORDER BY s_gopher DESC, doc_id) AS INT) AS rn_url FROM c),
       r2 AS (SELECT *, (s_gopher AND rn_url = 1) AS s_url FROM r1),
-      r3 AS (SELECT *, CAST(row_number() OVER (PARTITION BY chash
+      r3 AS (SELECT *, CAST(row_number() OVER (
+               PARTITION BY coalesce(chash, 'fail:' || doc_id)
                ORDER BY s_url DESC, doc_id) AS INT) AS rn_txt FROM r2),
       r4 AS (SELECT *, (s_url AND rn_txt = 1) AS s_exact,
                CASE WHEN s_url AND rn_txt = 1

@@ -2576,7 +2576,7 @@ object Similarity {
 
   /** Hierarchical twin: upper-layer graph over the 1-in-8 subset
     * (degree 4), global-entry descent (2 hops, beam 4) to a per-query
-    * entry, then the layer-0 walk (4 hops, beam 8) and exact rerank. */
+    * entry, then the layer-0 walk (5 hops, beam 8) and exact rerank. */
   private lazy val knnHnswCtes = knnGraphCtes + s""",
       g AS (SELECT vec_id AS src, neighbor_id AS dst FROM rk WHERE rnk <= 8),
       hup AS (SELECT * FROM ivcell WHERE vec_id % 8 = 0),

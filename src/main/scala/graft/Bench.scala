@@ -121,6 +121,9 @@ object Bench {
     // ~2 KB stdout tail truncates the full line above mid-JSON (possible
     // as the query count grows), this one still parses on its own.
     println(s"""{"metric":"total","value":${fmt(total, "%.3f")},"unit":"sec","sf":"$sfName","reps":$reps,"errors":$errors}""")
+    // Explicit release of the memoized standing-index frames
+    // (graph family + PCA converged direction) before shutdown.
+    graft.llm.Similarity.releaseStandingIndexes()
     spark.stop()
   }
 }

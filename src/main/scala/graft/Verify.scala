@@ -62,6 +62,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Explicit release of the memoized standing-index frames
+    // (graph family + PCA converged direction) before shutdown.
+    graft.llm.Similarity.releaseStandingIndexes()
     spark.stop()
   }
 }

@@ -303,10 +303,7 @@ object Clustering {
     // untouched) — the ratio itself is exact either way.
     "q_pca_explained" -> ((s, dir) => {
       val qe = Dedup.quantized(s, dir)
-      val c1 = pcaIter(qe, pcaV0(s))
-      val c2 = pcaIter(qe, pcaVrow(c1))
-      val c3 = pcaIter(qe, pcaVrow(c2))
-      val v3 = pcaVrow(c3).localCheckpoint()
+      val v3 = pcaV1(s, dir)
       val c4 = pcaIter(qe, v3)
       val vj = v3.select(posexplode(col("varr")).as(Seq("j0", "vj")))
         .select((col("j0") + 1).as("j"), col("vj"))
@@ -335,10 +332,7 @@ object Clustering {
     // the honest two-eigenvector power-iteration cost.
     "q_embed_pca2" -> ((s, dir) => {
       val qe = Dedup.quantized(s, dir)
-      val c1 = pcaIter(qe, pcaV0(s))
-      val c2 = pcaIter(qe, pcaVrow(c1))
-      val v1row = pcaVrow(pcaIter(qe, pcaVrow(c2))).localCheckpoint()
-      val v1j = pcaUnpack(v1row)
+      val v1j = pcaUnpack(pcaV1(s, dir))
       val u0 = s.range(1).select(expr("transform(sequence(1, 64), " +
         "i -> cast(if(i % 2 = 0, -1000000, 1000000) as bigint))").as("varr"))
       var urow = u0
@@ -364,9 +358,7 @@ object Clustering {
     // is exactly q_embed_pca_project's centered chain.
     "q_embed_pca_scatter" -> ((s, dir) => {
       val qe = Dedup.quantized(s, dir)
-      val c1 = pcaIter(qe, pcaV0(s))
-      val c2 = pcaIter(qe, pcaVrow(c1))
-      val v1 = pcaVrow(pcaIter(qe, pcaVrow(c2))).localCheckpoint()
+      val v1 = pcaV1(s, dir)
       val v1j = pcaUnpack(v1)
       var urow = s.range(1).select(expr("transform(sequence(1, 64), " +
         "i -> cast(if(i % 2 = 0, -1000000, 1000000) as bigint))").as("varr"))
@@ -409,9 +401,7 @@ object Clustering {
     // two corpus scans (score + the 1-row stats aggregate).
     "q_embed_pca_project" -> ((s, dir) => {
       val qe = Dedup.quantized(s, dir)
-      val c1 = pcaIter(qe, pcaV0(s))
-      val c2 = pcaIter(qe, pcaVrow(c1))
-      val v3 = pcaVrow(pcaIter(qe, pcaVrow(c2))).localCheckpoint()
+      val v3 = pcaV1(s, dir)
       val dotted = qe.crossJoin(broadcast(v3))
         .withColumn("dot", expr("dot_long(q, varr)"))
         .withColumn("b", expr("dot_long(varr, varr)"))
@@ -530,6 +520,27 @@ object Clustering {
   private def pcaV0(s: SparkSession): DataFrame =
     s.range(1).select(
       expr("transform(sequence(1, 64), i -> cast(1000000 as bigint))").as("varr"))
+
+  /** The CONVERGED first principal direction per (session, dir) — the
+    * identical 3-iteration power chain that q_pca_explained,
+    * q_embed_pca2, q_embed_pca_project and q_embed_pca_scatter each
+    * re-derived (3 corpus scans apiece). Same standing-index
+    * discipline as the graph-walk family (Similarity.standing): on a
+    * cluster the trained direction is a persisted 64-int artifact
+    * built once; here the memoized CHECKPOINTED 1-row frame makes the
+    * family pay training once per process. Contents are deterministic
+    * exact-integer arithmetic, so every consumer stays hash-identical
+    * to its train-it-itself form at any dop. Cleared by
+    * [[Similarity.releaseStandingIndexes]]. */
+  private[llm] val v1Cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def pcaV1(s: SparkSession, dir: String): DataFrame =
+    v1Cache.computeIfAbsent((s, dir), _ => {
+      val qe = Dedup.quantized(s, dir)
+      val c1 = pcaIter(qe, pcaV0(s))
+      val c2 = pcaIter(qe, pcaVrow(c1))
+      pcaVrow(pcaIter(qe, pcaVrow(c2))).localCheckpoint()
+    })
 
   private def pcaLoadings(k: Int, cf: DataFrame): DataFrame =
     cf.crossJoin(broadcast(cf.agg(max(abs(col("c"))).as("g"))))

@@ -65,6 +65,27 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Brute-force truth restricted to the filtered-ANN predicate's
+    * passing corpus — the exact denominator for the filtered recall
+    * row ("which k nearest PASSING vectors exist"). Same plan as
+    * [[bruteTopWhere]] with the corpus side pre-filtered. */
+  private def bruteFilteredTop(s: SparkSession, dir: String,
+      qmax: Int, k: Int): DataFrame = {
+    val qe = Dedup.quantized(s, dir)
+    val queriesDf = qe.filter(col("vec_id") < qmax)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"), col("norm").as("na"))
+    val corpus = qe.filter(filteredPred(col("label")))
+      .select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("norm").as("nb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    corpus.join(broadcast(queriesDf), col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", expr(Dedup.dotExpr))
+      .withColumn("cosine", Dedup.cosine())
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+  }
+
   /** 4 × 64 ±1 hyperplanes for sign-random-projection LSH (Charikar,
     * STOC 2002): P[bit differs] = angle/π, so near-cosine neighbors
     * share cells with high probability — far better balanced than the
@@ -320,7 +341,12 @@ object Similarity {
       .withColumn("cell2",
         if (m == 1) lit(0)
         else expr(Similarity.secondCase("cell", cond, m)))
-      .select(col("vec_id"), col("q"), col("norm"), col("cell"), col("cell2"))
+      // label rides along when the source carries it (the filtered-ANN
+      // predicate column); consumers that ignore it see it pruned out
+      // of the scan by Catalyst, so label-free plans are unchanged.
+      .select(Seq(col("vec_id"), col("q"), col("norm"), col("cell"),
+        col("cell2")) ++
+        (if (apply.columns.contains("label")) Seq(col("label")) else Nil): _*)
   }
 
   /** IVF top-k: queries probe their own trained cell (nprobe = 1) or
@@ -369,6 +395,68 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("cell"), col("rnk"),
         col("neighbor_id"), col("cosine"))
+  }
+
+  /** Corpus-side predicate of the FILTERED-ANN rows — a ~30%-selective
+    * metadata constraint (labels 0–2 of the 10), the FAISS IDSelector /
+    * vector-DB `filter=` parameter. */
+  private def filteredPred(
+      labelCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    labelCol < 3
+
+  /** FILTERED ANN — metadata-constrained top-k (the production
+    * vector-DB feature: FAISS IDSelector semantics — results must
+    * satisfy a predicate on an attribute column; queries are
+    * unconstrained). Both strategies the literature prices, side by
+    * side in one output frame:
+    *
+    *  - `pre`  (pre-filtering): the predicate is FUSED INTO the
+    *    candidate side of the cell join BEFORE ranking — the rank
+    *    window only ever sees passing vectors, so k survivors are
+    *    returned whenever the probed cells hold k. At 100 TB this is
+    *    a pushed scan filter: candidates shrink BEFORE any shuffle.
+    *  - `post` (post-filtering): the UNfiltered ranking runs at an
+    *    INFLATED budget (4·k), then non-passing rows are dropped and
+    *    the survivors re-ranked in original rank order — the cheap
+    *    strategy for rare/ad-hoc predicates against a standing
+    *    unfiltered index, but it can come back SHORT when fewer than
+    *    k of the 4·k inflated window pass (exactly what the recall
+    *    row beside this measures).
+    *
+    * Same scale shape as [[ivfTopOn]]: broadcast query panel, cell-
+    * equality candidate join (never corpus×panel), per-query
+    * WindowGroupLimit. */
+  private def filteredTop(s: SparkSession, dir: String,
+      qmax: Int, k: Int): DataFrame = {
+    val cells = ivfCells(s, dir)
+    val queriesDf = cells.filter(col("vec_id") < qmax)
+      .select(col("vec_id").as("query_id"),
+        explode(array_distinct(array(col("cell"), col("cell2")))).as("probe"),
+        col("q").as("qa"), col("norm").as("na"))
+    val corpus = cells.select(col("vec_id").as("neighbor_id"),
+      col("label").as("nlabel"), col("cell").as("ncell"),
+      col("q").as("qb"), col("norm").as("nb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    def ranked(c: DataFrame): DataFrame =
+      broadcast(queriesDf).join(c, col("probe") === col("ncell") &&
+          col("query_id") =!= col("neighbor_id"))
+        .withColumn("dot", expr(Dedup.dotExpr))
+        .withColumn("cosine", Dedup.cosine())
+        .withColumn("rnk0", row_number().over(w))
+    val pre = ranked(corpus.filter(filteredPred(col("nlabel"))))
+      .filter(col("rnk0") <= k)
+      .select(lit("pre").as("strategy"), col("query_id"),
+        col("rnk0").as("rnk"), col("neighbor_id"), col("cosine"))
+    val post = ranked(corpus)
+      .filter(col("rnk0") <= 4 * k)
+      .filter(filteredPred(col("nlabel")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("rnk0").asc)))
+      .filter(col("rnk") <= k)
+      .select(lit("post").as("strategy"), col("query_id"),
+        col("rnk"), col("neighbor_id"), col("cosine"))
+    pre.unionByName(post)
   }
 
   /** k-NN GRAPH — EVERY corpus vector gets its top-k neighbors, the
@@ -1275,6 +1363,45 @@ object Similarity {
     "q_knn_ivf" -> ((s, dir) =>
       ivfTop(s, dir, qmax = 50, k = 3).orderBy("query_id", "rnk")),
 
+    // FILTERED ANN, both strategies in one frame — see [[filteredTop]].
+    "q_knn_filtered" -> ((s, dir) =>
+      filteredTop(s, dir, qmax = 50, k = 3)
+        .orderBy("strategy", "query_id", "rnk")),
+
+    // The strategy shoot-out: recall@3 of each filtered-ANN strategy
+    // against the FILTERED brute truth (exact top-3 among passing
+    // vectors only) on the shared panel — the number that prices
+    // post-filtering's inflation gamble (it returns SHORT whenever
+    // < k of the 4·k unfiltered window pass) against pre-filtering's
+    // fused-predicate scan. n_short counts queries the strategy
+    // answered with fewer than k results — the vector-DB SLA metric.
+    "q_knn_filtered_recall" -> ((s, dir) => {
+      val truth = bruteFilteredTop(s, dir, qmax = 50, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val both = filteredTop(s, dir, qmax = 50, k = 3)
+      // every panel query has 3 truth rows (the passing corpus is far
+      // larger than k), so the truth's distinct query set IS the panel
+      val panel = truth.select(col("query_id").as("pq")).distinct()
+      Seq("pre", "post").map { strat =>
+        val leg = both.filter(col("strategy") === strat)
+          .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+        // anchored on the PANEL so a query the strategy answered with
+        // ZERO rows still counts as short
+        val short = panel.join(leg.groupBy(col("aq")).count(),
+            col("pq") === col("aq"), "left")
+          .agg(sum(when(coalesce(col("count"), lit(0L)) < 3, 1L)
+            .otherwise(0L)).as("n_short"))
+        truth.join(leg,
+            col("query_id") === col("aq") && col("neighbor_id") === col("an"),
+            "left")
+          .agg(count(lit(1)).as("n_true"), count(col("an")).as("n_found"))
+          .crossJoin(broadcast(short))
+          .select(lit(strat).as("strategy"), col("n_true"), col("n_found"),
+            round(col("n_found").cast("double") / col("n_true"), 4)
+              .as("recall"), col("n_short"))
+      }.reduce(_.unionByName(_)).orderBy("strategy")
+    }),
+
     // IVF quality metric: recall@3 of the trained-cell candidate cut vs
     // the exact top-3 — read against q_knn_recall (the untrained SRP
     // cells at the same nprobe = 1) it measures what TRAINING the
@@ -1758,6 +1885,48 @@ object Similarity {
         ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
       GROUP BY b.query_id ORDER BY b.query_id"""),
     "q_knn_ivf" -> ivfSql(multi = false),
+    "q_knn_filtered" -> (filteredCtes + s"""
+      SELECT 'pre' AS strategy, query_id, rnk, neighbor_id, cosine FROM fpre
+      UNION ALL
+      SELECT 'post' AS strategy, query_id, rnk, neighbor_id, cosine FROM fpost
+      ORDER BY strategy, query_id, rnk"""),
+    "q_knn_filtered_recall" -> (filteredCtes + s""",
+      tbp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+              FROM qn a JOIN qn b ON a.vec_id < 50 AND a.vec_id <> b.vec_id
+                AND b.label < 3),
+      tcos AS (SELECT query_id, neighbor_id,
+                 round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+               FROM tbp),
+      trk AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM tcos),
+      truth AS (SELECT query_id, neighbor_id FROM trk WHERE rnk <= 3),
+      fpanel AS (SELECT DISTINCT query_id FROM truth),
+      prefnd AS (SELECT count(*) AS n_true, count(a.neighbor_id) AS n_found
+                 FROM truth t LEFT JOIN fpre a
+                   ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id),
+      precnt AS (SELECT p.query_id, count(a.neighbor_id) AS c
+                 FROM fpanel p LEFT JOIN fpre a ON p.query_id = a.query_id
+                 GROUP BY 1),
+      preshort AS (SELECT CAST(sum(CASE WHEN c < 3 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_short FROM precnt),
+      postfnd AS (SELECT count(*) AS n_true, count(a.neighbor_id) AS n_found
+                  FROM truth t LEFT JOIN fpost a
+                    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id),
+      postcnt AS (SELECT p.query_id, count(a.neighbor_id) AS c
+                  FROM fpanel p LEFT JOIN fpost a ON p.query_id = a.query_id
+                  GROUP BY 1),
+      postshort AS (SELECT CAST(sum(CASE WHEN c < 3 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_short FROM postcnt)
+      SELECT 'pre' AS strategy, n_true, n_found,
+             round(CAST(n_found AS DOUBLE) / n_true, 4) AS recall, n_short
+      FROM prefnd, preshort
+      UNION ALL
+      SELECT 'post' AS strategy, n_true, n_found,
+             round(CAST(n_found AS DOUBLE) / n_true, 4) AS recall, n_short
+      FROM postfnd, postshort
+      ORDER BY strategy"""),
     "q_knn_ivf_recall" -> ivfRecallSql(multi = false),
     "q_knn_ivf_incremental" -> ivfIncrementalSql,
     "q_knn_ivf_mp" -> ivfSql(multi = true),
@@ -2235,6 +2404,35 @@ object Similarity {
   /** Twin of the IVF probe condition: own cell, or the two nearest. */
   private def ivfProbeCond(multi: Boolean): String =
     if (multi) "b.cell IN (a.cell, a.cell2)" else "a.cell = b.cell"
+
+  /** Shared CTE block of the filtered-ANN twins: the multiprobe pair
+    * join with the neighbor's label re-attached from `qn` (ivcell does
+    * not carry it), then BOTH strategies ranked — `fpre` filters the
+    * predicate BEFORE its rank window, `fpost` ranks unfiltered to the
+    * 4·k inflated budget, filters, and re-ranks in original order —
+    * mirroring [[filteredTop]] stage for stage. */
+  private lazy val filteredCtes: String =
+    "WITH " + Dedup.QE + "," + Clustering.assignCtes + "," + ivfCte + s""",
+      fpr AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                nl.label AS nlabel,
+                a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+              FROM ivcell a JOIN ivcell b
+                ON b.cell IN (a.cell, a.cell2)
+                AND a.vec_id < 50 AND a.vec_id <> b.vec_id
+              JOIN qn nl ON nl.vec_id = b.vec_id),
+      fcos AS (SELECT query_id, neighbor_id, nlabel,
+                 round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+               FROM fpr),
+      fpre0 AS (SELECT query_id, neighbor_id, cosine,
+                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rnk
+                FROM fcos WHERE nlabel < 3),
+      fpre AS (SELECT * FROM fpre0 WHERE rnk <= 3),
+      fpost0 AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk0
+                 FROM fcos),
+      fpost1 AS (SELECT query_id, neighbor_id, cosine,
+                   CAST(row_number() OVER (PARTITION BY query_id ORDER BY rnk0 ASC) AS INT) AS rnk
+                 FROM fpost0 WHERE rnk0 <= 12 AND nlabel < 3),
+      fpost AS (SELECT * FROM fpost1 WHERE rnk <= 3)"""
 
   /** Twin of the (K, nprobe) operating-point grid: ONE brute ranking
     * and one IVF ranking per nprobe; each grid row just re-filters the

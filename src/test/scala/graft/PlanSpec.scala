@@ -272,6 +272,22 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q_knn_filtered: pre-filter predicate pushed to the corpus scan, panel broadcast, no corpus x panel") {
+    val p = plan("q_knn_filtered")
+    // both strategies keep the ivfTopOn shape: bounded query panel
+    // broadcast, cell-equality candidate join — never a product
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin Inner BuildLeft"),
+      "query panel must be the broadcast side")
+    // pre-filtering's entire point: the label predicate reaches the
+    // parquet scan (candidates shrink BEFORE the join/shuffle), not a
+    // post-join residual
+    assert(p.contains("LessThan(label,3)"),
+      "pre-filter predicate must be pushed into the scan:\n" +
+        p.linesIterator.filter(_.contains("PushedFilters"))
+          .mkString("\n"))
+  }
+
   test("q_join_fuzzy_seg: hinted SHJ on the segment keys, five exchanges, no broadcast of the fan-out") {
     // the segment join's scale shape (r8): probe-side candidate dedup
     // is map-side (array_distinct on the ≤5-string window array — the

@@ -439,6 +439,79 @@ object TextOps {
         .orderBy("system")
     }),
 
+    // Late-interaction MaxSim ranking — see [[maxsimScored]] (the
+    // ColBERT scoring shape over hash token embeddings). Top-3 per
+    // query on the exact integer score, doc_id tiebreak.
+    "q_maxsim" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rw = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      maxsimScored(s, dir).withColumn("rank", row_number().over(rw))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("n_qtok"), col("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // MaxSim QUALITY row — the three-way shoot-out on the shared %61
+    // truth panel (the q_rrf_fusion_recall pattern): recall@3 of
+    // lexical BM25, late-interaction MaxSim, and RRF(bm25 top-10,
+    // maxsim top-10) against the exact brute-cosine truth. On these
+    // fixtures text and embeddings are independent, so both text legs
+    // score ~0 against cosine truth and the row demonstrates the same
+    // RRF robustness property as q_rrf_fusion_recall — on real
+    // corpora the identical three rows surface the late-interaction
+    // lift over bag-of-words. Every leg reuses its production plan;
+    // the metric is one tag-exploded (system, query, doc) join.
+    "q_maxsim_recall" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pred = col("vec_id") % 61 === 0
+      val truth = graft.llm.Similarity.bruteTopWhere(s, dir, pred, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val aw = Window.partitionBy(col("query_id"))
+        .orderBy(col("s6").desc, col("doc_id"))
+      val bm10 = bm25Scored(s, dir)
+        .withColumn("rank_a", row_number().over(aw))
+        .filter(col("rank_a") <= 10)
+        .select(col("query_id"), col("doc_id"), col("rank_a"))
+      val mw = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      val mx10 = maxsimScored(s, dir)
+        .withColumn("rank_b", row_number().over(mw))
+        .filter(col("rank_b") <= 10)
+        .select(col("query_id"), col("doc_id"), col("rank_b"))
+      val fw = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+      val fused = bm10
+        .join(mx10, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          expr("cast(coalesce(round(1.0 / (60 + rank_a), 6), 0.0) as decimal(38,6))") +
+            expr("cast(coalesce(round(1.0 / (60 + rank_b), 6), 0.0) as decimal(38,6))"))
+        .withColumn("rank", row_number().over(fw))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("doc_id"))
+      val preds = bm10.filter(col("rank_a") <= 3)
+        .select(col("query_id"), col("doc_id"))
+        .withColumn("system", lit("bm25"))
+        .unionByName(mx10.filter(col("rank_b") <= 3)
+          .select(col("query_id"), col("doc_id"))
+          .withColumn("system", lit("maxsim")))
+        .unionByName(fused.withColumn("system", lit("rrf_fused")))
+      truth
+        .withColumn("system",
+          explode(array(lit("bm25"), lit("maxsim"), lit("rrf_fused"))))
+        .join(preds.select(col("system").as("ps"),
+            col("query_id").as("aq"), col("doc_id").as("an")),
+          col("system") === col("ps") && col("query_id") === col("aq") &&
+            col("neighbor_id") === col("an"), "left")
+        .groupBy(col("system"))
+        .agg(count(lit(1)).as("n_true"), count(col("an")).as("n_found"))
+        .select(col("system"), col("n_true"), col("n_found"),
+          round(col("n_found").cast("double") / col("n_true").cast("double"), 4)
+            .as("recall_at_3"))
+        .orderBy("system")
+    }),
+
     // Distinct-n n-gram diversity (the distinct-1/2/3 metric of Li et
     // al. 2016) per source — the generation-quality / memorization
     // screen a corpus report carries: a crawl slice whose trigram
@@ -993,6 +1066,61 @@ object TextOps {
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
 
+  /** 8-dim integer dot product between two tokens' md5 hex strings
+    * (columns `a`, `b`): dimension i is hex byte i recentred to
+    * [−128, 127] — a deterministic hash embedding standing in for a
+    * learned per-token encoder (none ships in this sandbox), exact in
+    * both engines via the shared ascii/substr/CASE dialect (the
+    * q_multimodal_sniff idiom), so MaxSim scores are hash-gated
+    * integers. */
+  private def tokDot(a: String, b: String): String = {
+    def hv(v: String, pos: Int) =
+      s"(ascii(substr($v, $pos, 1)) - (CASE WHEN substr($v, $pos, 1) >= 'a' THEN 87 ELSE 48 END))"
+    def byte(v: String, i: Int) =
+      s"(${hv(v, 2 * i + 1)} * 16 + ${hv(v, 2 * i + 2)})"
+    (0 until 8).map(i =>
+      s"cast(${byte(a, i)} - 128 as bigint) * cast(${byte(b, i)} - 128 as bigint)")
+      .mkString(" + ")
+  }
+
+  /** LATE-INTERACTION retrieval scores (Khattab & Zaharia 2020,
+    * ColBERT's MaxSim): score(q, d) = Σ over the query's token
+    * vectors of the MAX dot product against any of the doc's token
+    * vectors — the fourth retrieval paradigm beside BM25 (one score
+    * per matching term), dense single-vector cosine, and RRF. Token
+    * vectors are the [[tokDot]] hash embeddings; the query panel is
+    * the SAME data-derived %61 term set as BM25, so the quality row
+    * can fuse the two legs. Scale shape: the per-doc token set stays
+    * IN-ROW (array_distinct over the tokenize split — never a token
+    * explode), the ≤ 3·|panel|-row query-token table broadcasts, and
+    * each (doc, query-token) row computes its max via one in-row
+    * `aggregate` fold — so the corpus is scanned ONCE, nothing
+    * corpus-sized shuffles, and the only exchange is the partial-
+    * aggregated (query, doc) sum (≤ |panel|·|docs| rows). */
+  private def maxsimScored(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qw = Window.partitionBy(col("query_id")).orderBy(col("word"))
+    val qterms = termFreqs(s, dir)
+      .filter(col("doc_id") % 61 === 0 && length(col("word")) >= 4)
+      .select(col("doc_id").as("query_id"), col("word"))
+      .withColumn("rn", row_number().over(qw))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), md5(col("word")).as("qh"))
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), expr(
+        "transform(array_distinct(filter(split(text, ' '), x -> x <> '')), " +
+          "x -> md5(x))").as("hs"))
+      .filter(size(col("hs")) >= 1)
+    docs.crossJoin(broadcast(qterms))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("ms", expr(
+        "aggregate(hs, cast(-1000000000 as bigint), " +
+          s"(acc, h) -> greatest(acc, ${tokDot("h", "qh")}))"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_qtok"), sum(col("ms")).as("score"))
+  }
+
   /** The tf-idf operator tree over a term-frequency table (lazy). */
   private def tfidfTree(s: org.apache.spark.sql.SparkSession, dir: String,
       tfAll: org.apache.spark.sql.DataFrame) = {
@@ -1051,7 +1179,81 @@ object TextOps {
                     sum(term_score) AS s6
              FROM ts GROUP BY 1, 2)"""
 
+  /** MaxSim twin tail over [[bm25Ctes]]'s `toks`/`qt`: per-doc
+    * distinct-token md5 lists, the hashed query-term panel, the
+    * in-list MaxSim fold ([[tokDot]] shared VERBATIM with the Spark
+    * lambda), and the (query, doc) score aggregate `mag`. */
+  private lazy val maxsimTail: String = s""",
+      mh AS (SELECT doc_id, list(DISTINCT md5(word)) AS hs
+             FROM toks WHERE word <> '' GROUP BY doc_id),
+      mqt AS (SELECT query_id, md5(word) AS qh FROM qt),
+      mps AS (SELECT q.query_id, d.doc_id,
+                list_max(list_transform(d.hs, h -> ${tokDot("h", "q.qh")})) AS ms
+              FROM mh d CROSS JOIN mqt q WHERE d.doc_id <> q.query_id),
+      mag AS (SELECT query_id, doc_id, CAST(count(*) AS INT) AS n_qtok,
+                CAST(sum(ms) AS BIGINT) AS score
+              FROM mps GROUP BY 1, 2)"""
+
   val oracles: Map[String, String] = Map(
+    "q_maxsim" -> (bm25Ctes + maxsimTail + """,
+      mrk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, doc_id) AS INT) AS rank
+              FROM mag)
+      SELECT query_id, rank, doc_id, n_qtok, score FROM mrk WHERE rank <= 3
+      ORDER BY query_id, rank"""),
+    "q_maxsim_recall" -> (bm25Ctes + "," + graft.llm.Dedup.QE +
+      maxsimTail + s""",
+      pan AS (SELECT vec_id, q, norm FROM qn WHERE vec_id % 61 = 0),
+      tp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+             FROM pan a JOIN qn b ON a.vec_id <> b.vec_id),
+      tcos AS (SELECT query_id, neighbor_id,
+                 round(CAST(${graft.llm.Similarity.dot2} AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+               FROM tp),
+      trk AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+              FROM tcos),
+      truth AS (SELECT query_id, neighbor_id FROM trk WHERE rnk <= 3),
+      bq10 AS (SELECT query_id, doc_id, rank_a FROM (
+                 SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY s6 DESC, doc_id) AS rank_a
+                 FROM ag) WHERE rank_a <= 10),
+      mx10 AS (SELECT query_id, doc_id, rank_b FROM (
+                 SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, doc_id) AS rank_b
+                 FROM mag) WHERE rank_b <= 10),
+      fu2 AS (SELECT coalesce(a.query_id, b.query_id) AS query_id,
+                     coalesce(a.doc_id, b.doc_id) AS doc_id,
+                     CAST(coalesce(round(1.0 / (60 + a.rank_a), 6), 0.0)
+                       AS DECIMAL(38,6)) +
+                     CAST(coalesce(round(1.0 / (60 + b.rank_b), 6), 0.0)
+                       AS DECIMAL(38,6)) AS rrf
+              FROM bq10 a FULL OUTER JOIN mx10 b
+                ON a.query_id = b.query_id AND a.doc_id = b.doc_id),
+      fr2 AS (SELECT query_id, doc_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY rrf DESC, doc_id) AS rank
+              FROM fu2),
+      fused AS (SELECT query_id, doc_id FROM fr2 WHERE rank <= 3),
+      bm3 AS (SELECT query_id, doc_id FROM bq10 WHERE rank_a <= 3),
+      mx3 AS (SELECT query_id, doc_id FROM mx10 WHERE rank_b <= 3),
+      m AS (
+        SELECT 'bm25' AS system, count(*) AS n_true, count(a.doc_id) AS n_found
+        FROM truth t LEFT JOIN bm3 a
+          ON t.query_id = a.query_id AND t.neighbor_id = a.doc_id
+        UNION ALL
+        SELECT 'maxsim', count(*), count(a.doc_id)
+        FROM truth t LEFT JOIN mx3 a
+          ON t.query_id = a.query_id AND t.neighbor_id = a.doc_id
+        UNION ALL
+        SELECT 'rrf_fused', count(*), count(a.doc_id)
+        FROM truth t LEFT JOIN fused a
+          ON t.query_id = a.query_id AND t.neighbor_id = a.doc_id)
+      SELECT system, n_true, n_found,
+             CAST(round(CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE), 4) AS DOUBLE) AS recall_at_3
+      FROM m ORDER BY system"""),
     "q_search" -> """
       SELECT p_name FROM part WHERE p_name LIKE '%wid%' ORDER BY p_name""",
     "q_wordcount" -> """

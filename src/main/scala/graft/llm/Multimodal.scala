@@ -125,6 +125,19 @@ case class WarcMeta(doc_id: Long, status: String, url: Option[String],
 case class WarcDoc(doc_id: Long, status: String, url: Option[String],
     body: Option[String])
 
+/** One row of the ZIP archive ingest — the decode family's first
+  * 1→N container: a healthy archive yields one row PER MEMBER
+  * (`member` 0..n-1) with the member's central-directory identity
+  * (name, method) and exact text-ingest stats over its decompressed
+  * payload; an archive that fails before the member walk yields ONE
+  * row with `member` = -1 and the failure status (`truncated` /
+  * `bad_eocd` / `bad_cd`). A member whose payload fails its CRC-32
+  * or size check keeps its identity with NULL stats (`bad_data`) —
+  * the per-member funnel a crawl's archive blobs need. */
+case class ZipMember(doc_id: Long, member: Int, status: String,
+    name: Option[String], method: Option[String], n_bytes: Option[Int],
+    sum_bytes: Option[Long], n_sep: Option[Long])
+
 /** Multimodal-column plumbing: media as opaque `binary` columns with
   * typed, schema'd metadata extraction (north-star extension — the
   * reference has nothing beyond strings).
@@ -1961,6 +1974,184 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // ZIP (PKWARE APPNOTE): the archive CONTAINER — the first 1→N
+  // decoder: one blob carries many members, the many-files-per-blob
+  // shape crawl dumps and dataset drops actually arrive in. Local
+  // file headers + central directory + EOCD, stored and DEFLATE
+  // members through the shared [[inflate]], CRC-32 per member.
+  // ---------------------------------------------------------------------
+
+  /** Synthesize a REAL ZIP archive from a doc's md5: n ∈ 1..3 members,
+    * each `(h ++ ":" ++ m ++ " ") × k` text (k ∈ 1..3 — repetition
+    * makes the DEFLATE members' LZ77 back-references genuinely fire),
+    * stored-vs-deflate per member (md5-driven), true CRC-32s, a full
+    * central directory, and a comment-free EOCD. Arms: archive
+    * truncation below the EOCD minimum (~12.5% → `truncated`),
+    * corrupted EOCD signature (~6% → `bad_eocd`), EOCD entry count
+    * inflated by one so the CD walk runs off its end (~12.5% →
+    * `bad_cd`), member-0 CRC corrupted in BOTH the local header and
+    * the CD so only the DATA check can catch it (~12.5% → that one
+    * member `bad_data`, its siblings still `ok`). */
+  private[llm] def zipBytes(h: String): Array[Byte] = {
+    val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
+    val n = 1 + b(0) % 3
+    val trunc = b(12) % 8 == 6
+    val badEocd = b(11) % 16 == 3
+    val badCd = b(13) % 8 == 2
+    val badData = b(14) % 8 == 1
+    val out = new java.io.ByteArrayOutputStream(512)
+    def le16(v: Int): Unit = { out.write(v & 255); out.write((v >>> 8) & 255) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    final case class Ent(name: Array[Byte], method: Int, crc: Int,
+        csize: Int, usize: Int, off: Int)
+    val entries = (0 until n).map { m =>
+      val k = 1 + b(5 + m) % 3
+      val defl = b(2 + m) % 2 == 1
+      val data = ((h + ":" + m + " ") * k).getBytes("US-ASCII")
+      val comp = if (defl) deflateFixed(data) else data
+      val crc0 = crc32Png(data)
+      val crc = if (badData && m == 0) crc0 ^ 0x55 else crc0
+      val name = s"m$m.txt".getBytes("US-ASCII")
+      val off = out.size()
+      le32(0x04034b50) // local file header signature "PK\3\4"
+      le16(20); le16(0) // version needed, flags
+      le16(if (defl) 8 else 0)
+      le16(b(3) | (b(4) << 8)); le16(b(5) | (b(6) << 8)) // mod time/date
+      le32(crc); le32(comp.length); le32(data.length)
+      le16(name.length); le16(0) // name len, extra len
+      out.write(name, 0, name.length)
+      out.write(comp, 0, comp.length)
+      Ent(name, if (defl) 8 else 0, crc, comp.length, data.length, off)
+    }
+    val cdOff = out.size()
+    entries.foreach { e =>
+      le32(0x02014b50) // central directory signature "PK\1\2"
+      le16(20); le16(20); le16(0) // made-by, needed, flags
+      le16(e.method)
+      le16(b(3) | (b(4) << 8)); le16(b(5) | (b(6) << 8))
+      le32(e.crc); le32(e.csize); le32(e.usize)
+      le16(e.name.length); le16(0); le16(0) // name/extra/comment len
+      le16(0); le16(0); le32(0) // disk start, internal + external attrs
+      le32(e.off)
+      out.write(e.name, 0, e.name.length)
+    }
+    val cdSize = out.size() - cdOff
+    le32(if (badEocd) 0x07054b50 else 0x06054b50) // EOCD "PK\5\6"
+    le16(0); le16(0) // disk numbers
+    val cnt = if (badCd) n + 1 else n
+    le16(cnt); le16(cnt)
+    le32(cdSize); le32(cdOff)
+    le16(0) // comment length
+    val full = out.toByteArray
+    // deterministically below the 22-byte EOCD minimum, so the arm is
+    // `truncated` for EVERY doc (the gzipBytes reasoning)
+    if (trunc) full.take(12) else full
+  }
+
+  /** REAL from-scratch ZIP walk — the archive-ingest stage: EOCD
+    * located by backward scan with the spec's comment-length
+    * disambiguation (a candidate signature is real only if its
+    * comment field spans exactly to end-of-file — a spurious match
+    * inside compressed member bytes fails it), central-directory walk
+    * cross-checked against each local file header, stored + DEFLATE
+    * members through the shared [[inflate]], CRC-32 and size verified
+    * per member, then exact text-ingest stats. Malformed input
+    * degrades to STATUS ROWS, never a throw (decode-family contract);
+    * a healthy archive is the family's first 1→N generator. */
+  private[graft] def parseZip(id: Long, p: Array[Byte]): Seq[ZipMember] = {
+    def fail(st: String) =
+      Seq(ZipMember(id, -1, st, None, None, None, None, None))
+    if (p == null || p.length < 22) return fail("truncated")
+    def u16(i: Int) = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+    def u32(i: Int) = (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+      ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+    var e = p.length - 22
+    val lo = math.max(0, p.length - 22 - 65535)
+    var eocd = -1
+    while (e >= lo && eocd < 0) {
+      if (u32(e) == 0x06054b50L && u16(e + 20) == p.length - (e + 22))
+        eocd = e
+      e -= 1
+    }
+    if (eocd < 0) return fail("bad_eocd")
+    val n = u16(eocd + 10)
+    val cdOff = u32(eocd + 16).toInt
+    val members = scala.collection.mutable.ArrayBuffer[ZipMember]()
+    var pos = cdOff
+    var m = 0
+    while (m < n) {
+      if (pos < 0 || pos + 46 > p.length || u32(pos) != 0x02014b50L)
+        return fail("bad_cd")
+      val method = u16(pos + 10)
+      val crc = u32(pos + 16)
+      val csize = u32(pos + 20).toInt
+      val usize = u32(pos + 24).toInt
+      val nameLen = u16(pos + 28)
+      val extraLen = u16(pos + 30)
+      val cmtLen = u16(pos + 32)
+      val lhOff = u32(pos + 42).toInt
+      if (pos + 46 + nameLen > p.length) return fail("bad_cd")
+      val name = new String(p, pos + 46, nameLen, "US-ASCII")
+      val mstr = if (method == 8) "deflate" else "stored"
+      members +=
+        (if (lhOff < 0 || lhOff + 30 > p.length ||
+            u32(lhOff) != 0x04034b50L || u16(lhOff + 8) != method)
+          ZipMember(id, m, "bad_local", Some(name), None, None, None, None)
+        else {
+          val dataStart = lhOff + 30 + u16(lhOff + 26) + u16(lhOff + 28)
+          // usize bounds the inflate buffer; sanity-capped so a
+          // corrupt field can't allocate unbounded memory
+          if (csize < 0 || usize < 0 || usize > (1 << 24) ||
+              dataStart < 0 || dataStart + csize > p.length)
+            ZipMember(id, m, "bad_data", Some(name), Some(mstr),
+              None, None, None)
+          else try {
+            val data = method match {
+              case 0 =>
+                if (csize != usize) throw PngBad
+                java.util.Arrays.copyOfRange(p, dataStart, dataStart + csize)
+              case 8 => inflate(p, dataStart, dataStart + csize, usize)
+              case _ => throw PngBad
+            }
+            if (data.length != usize ||
+                (crc32Png(data) & 0xffffffffL) != crc)
+              ZipMember(id, m, "bad_data", Some(name), Some(mstr),
+                None, None, None)
+            else {
+              var sum = 0L; var seps = 0L; var j = 0
+              while (j < data.length) {
+                val v = data(j) & 0xff
+                sum += v
+                if (v == ' ') seps += 1
+                j += 1
+              }
+              ZipMember(id, m, "ok", Some(name), Some(mstr),
+                Some(data.length), Some(sum), Some(seps))
+            }
+          } catch {
+            case ex: RuntimeException if (ex eq PngBad) || (ex eq PngTrunc) =>
+              ZipMember(id, m, "bad_data", Some(name), Some(mstr),
+                None, None, None)
+          }
+        })
+      pos += 46 + nameLen + extraLen + cmtLen
+      m += 1
+    }
+    members.toSeq
+  }
+
+  /** The typed 1→N archive-ingest stage over [[parseZip]]: one input
+    * blob row fans out to one row per member — `flatMap` inside the
+    * per-partition batch, so the generator fuses into the scan. */
+  def decodeZip(ds: Dataset[BinaryDoc]): Dataset[ZipMember] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      // per-partition decode-buffer allocation would go here
+      rows.flatMap(d => parseZip(d.doc_id, d.payload))
+    }
+  }
+
   /** The frame-taking WARC ingest funnel over any (doc_id, text) frame
     * — shared by the registered query and the ScaleProbe replication
     * harness. One scan, fused synthesize+decode MapPartitions, the URL
@@ -2288,6 +2479,28 @@ object Multimodal {
       decodeGzip(payloads).toDF().orderBy("doc_id")
     }),
 
+    // The archive CONTAINER ingest — the decode family's first 1→N
+    // generator: synthesized genuine ZIP archives (1–3 members each,
+    // stored + DEFLATE through the shared inflate, real CRC-32s, full
+    // central directory + EOCD) fan out to one row PER MEMBER via a
+    // flatMap fused into the scan's MapPartitions. The md5-driven
+    // arms exercise the container-level failure paths (truncation,
+    // corrupt EOCD, a CD walk that runs off its end) and the
+    // member-level one (a CRC corrupted consistently in BOTH header
+    // copies, so only genuinely decompressing the data catches it).
+    // The oracle recomputes member count, identity, and text stats
+    // from the md5 pure functions and never sees the archive bytes —
+    // a hash-green row set proves the EOCD scan, CD walk, local-
+    // header cross-check, and per-member inflate+CRC all round-trip.
+    "q_archive_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Tables(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, h) => BinaryDoc(id, zipBytes(h)) })
+      decodeZip(payloads).toDF().orderBy("doc_id", "member")
+    }),
+
     // The crawl FRONT-DOOR, end to end in one plan: WARC-shaped gzip
     // records (REAL RFC 1952 members, synthesized with genuine failure
     // arms) → the shared gunzip walk → WARC-Target-URI extraction →
@@ -2467,6 +2680,56 @@ object Multimodal {
              CASE WHEN badmagic OR trunc OR badcrc THEN NULL
                   ELSE ascii(substr(h, 1, 1)) END AS first_byte
       FROM d ORDER BY doc_id""",
+    // ZIP twin: the member fan-out recomputed from the md5 pure
+    // functions — member count n = 1 + b0 % 3, per-member text
+    // (h ++ ':' ++ m ++ ' ') × k gives n_bytes = 35k, sum =
+    // k·(Σascii(h) + 138 + m), seps = k; the failure arms from the
+    // same bytes the synthesizer uses. The oracle never sees the
+    // archive bytes, so a hash match proves the whole container walk.
+    "q_archive_ingest" -> s"""
+      WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+      b AS (SELECT doc_id, h, ${byteAt(0)} AS b0, ${byteAt(2)} AS b2,
+              ${byteAt(3)} AS b3, ${byteAt(4)} AS b4, ${byteAt(5)} AS b5,
+              ${byteAt(6)} AS b6, ${byteAt(7)} AS b7, ${byteAt(11)} AS b11,
+              ${byteAt(12)} AS b12, ${byteAt(13)} AS b13, ${byteAt(14)} AS b14
+            FROM hx),
+      d AS (SELECT doc_id, 1 + b0 % 3 AS n,
+              b12 % 8 = 6 AS trunc, b11 % 16 = 3 AS badeocd,
+              b13 % 8 = 2 AS badcd, b14 % 8 = 1 AS baddata,
+              [1 + b5 % 3, 1 + b6 % 3, 1 + b7 % 3] AS ks,
+              [b2 % 2, b3 % 2, b4 % 2] AS ms,
+              list_sum(list_transform(generate_series(1, 32),
+                i -> ascii(substr(h, i, 1)))) AS hsum
+            FROM b),
+      fail AS (SELECT doc_id, CAST(-1 AS INT) AS member,
+                 CASE WHEN trunc THEN 'truncated'
+                      WHEN badeocd THEN 'bad_eocd'
+                      ELSE 'bad_cd' END AS status,
+                 CAST(NULL AS VARCHAR) AS name,
+                 CAST(NULL AS VARCHAR) AS method,
+                 CAST(NULL AS INT) AS n_bytes,
+                 CAST(NULL AS BIGINT) AS sum_bytes,
+                 CAST(NULL AS BIGINT) AS n_sep
+               FROM d WHERE trunc OR badeocd OR badcd),
+      ex AS (SELECT doc_id, baddata, ks, ms, hsum,
+               unnest(generate_series(0, n - 1)) AS m
+             FROM d WHERE NOT (trunc OR badeocd OR badcd)),
+      mem AS (SELECT doc_id, CAST(m AS INT) AS member,
+                CASE WHEN baddata AND m = 0 THEN 'bad_data'
+                     ELSE 'ok' END AS status,
+                'm' || m || '.txt' AS name,
+                CASE WHEN ms[m + 1] = 1 THEN 'deflate'
+                     ELSE 'stored' END AS method,
+                CASE WHEN baddata AND m = 0 THEN NULL
+                     ELSE CAST(35 * ks[m + 1] AS INT) END AS n_bytes,
+                CASE WHEN baddata AND m = 0 THEN NULL
+                     ELSE CAST(ks[m + 1] * (hsum + 138 + m) AS BIGINT)
+                     END AS sum_bytes,
+                CASE WHEN baddata AND m = 0 THEN NULL
+                     ELSE CAST(ks[m + 1] AS BIGINT) END AS n_sep
+              FROM ex)
+      SELECT * FROM fail UNION ALL SELECT * FROM mem
+      ORDER BY doc_id, member""",
     // WARC-ingest twin: the funnel recomputed entirely from the md5
     // pure functions — decode arms from the failure bits, the URL from
     // the SHARED synth SQL, canonicalization by the q_dedup_url rules.

@@ -24,7 +24,9 @@ object DecoderFuzzProps extends Properties("Multimodal.decoders") {
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte),
     Array(0x1f, 0x8b, 8).map(_.toByte),
     Array[Byte]('I', 'I', 42, 0),
-    Array[Byte]('M', 'M', 0, 42))
+    Array[Byte]('M', 'M', 0, 42),
+    Array[Byte]('P', 'K', 3, 4),
+    Array[Byte]('P', 'K', 5, 6))
 
   private val garbage: Gen[Array[Byte]] = for {
     n <- Gen.chooseNum(0, 512)
@@ -44,6 +46,8 @@ object DecoderFuzzProps extends Properties("Multimodal.decoders") {
       Multimodal.parseGzip(1L, bs).status.nonEmpty &&
       Multimodal.parseWarc(1L, bs).status.nonEmpty &&
       Multimodal.parseTiff(1L, bs).status.nonEmpty &&
+      Multimodal.parseZip(1L, bs).forall(_.status.nonEmpty) &&
+      Multimodal.parseZip(1L, bs).nonEmpty &&
       Multimodal.resizePpm(1L, bs, 2, 2).status.nonEmpty
   }
 }
@@ -52,19 +56,22 @@ object DecoderFuzzProps extends Properties("Multimodal.decoders") {
   * valid malformed input — the mid-flight-truncation class a crawl
   * actually produces — and nulls are rows too. */
 class DecoderTruncationSpec extends org.scalatest.funsuite.AnyFunSuite {
-  test("gzip/warc/tiff decoders are total on null and on all truncations") {
+  test("gzip/warc/tiff/zip decoders are total on null and on all truncations") {
     assert(Multimodal.parseGzip(1L, null).status == "bad_magic")
     assert(Multimodal.parseWarc(1L, null).status == "bad_magic")
     assert(Multimodal.parseTiff(1L, null).status == "bad_magic")
+    assert(Multimodal.parseZip(1L, null).head.status == "truncated")
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest("fuzz-truncate".getBytes("US-ASCII"))
       .map("%02x".format(_)).mkString
     for (full <- Seq(Multimodal.gzipBytes(h), Multimodal.warcBytes(h),
-           Multimodal.tiffBytes(h));
+           Multimodal.tiffBytes(h), Multimodal.zipBytes(h));
          n <- 0 to full.length) {
       assert(Multimodal.parseGzip(1L, full.take(n)).status.nonEmpty)
       assert(Multimodal.parseWarc(1L, full.take(n)).status.nonEmpty)
       assert(Multimodal.parseTiff(1L, full.take(n)).status.nonEmpty)
+      val zm = Multimodal.parseZip(1L, full.take(n))
+      assert(zm.nonEmpty && zm.forall(_.status.nonEmpty))
     }
   }
 }

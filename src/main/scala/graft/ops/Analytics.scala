@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Num, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -229,23 +230,9 @@ object Analytics {
     // offset(shard) + rn − 1 is contiguous and deterministic; the
     // shard function (doc_id % S) is plain arithmetic so both
     // engines derive identical ids, not merely a permutation.
-    "q_global_ids" -> ((s, dir) => {
-      val S = 32
-      val d = Tables(s, dir, "documents")
-        .select(col("doc_id"), pmod(col("doc_id"), lit(S.toLong)).as("shard"))
-      val offsets = d.groupBy(col("shard"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("off", coalesce(
-          sum(col("c")).over(Window.orderBy(col("shard"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("shard"), col("off"))
-      d.withColumn("rn",
-          row_number().over(Window.partitionBy(col("shard")).orderBy(col("doc_id"))))
-        .join(broadcast(offsets), Seq("shard"))
-        .select(col("doc_id"), col("shard"),
-          (col("off") + col("rn") - 1L).as("gid"))
-        .orderBy("doc_id")
-    }),
+    "q_global_ids" -> ((s, dir) =>
+      globalIdsOn(Tables(s, dir, "documents").select(col("doc_id")))
+        .orderBy("doc_id")),
 
     "q_merge_upsert" -> ((s, dir) => {
       val base = Tables(s, dir, "orders")
@@ -267,6 +254,30 @@ object Analytics {
             .otherwise(col("o_orderstatus")).as("status"))
         .orderBy("o_orderkey")
     }))
+
+  /** Frame-taking contiguous-ID assigner (the q_global_ids body,
+    * shared with the streaming ingest): any frame with a `doc_id`
+    * column gets (doc_id, shard, gid) with gid dense 0..N−1. The
+    * two-pass shape documented on the query: per-shard counts prefix-
+    * summed over the S-row frame (the one SinglePartition exchange),
+    * per-SHARD row_number (S independent partition sorts, never a
+    * global one), broadcast offsets join. Deterministic in the input
+    * SET — both engines and every dop derive identical ids. */
+  private[graft] def globalIdsOn(docs: DataFrame, S: Int = 32): DataFrame = {
+    val d = docs.select(col("doc_id"),
+      pmod(col("doc_id"), lit(S.toLong)).as("shard"))
+    val offsets = d.groupBy(col("shard"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum(col("c")).over(Window.orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col("off"))
+    d.withColumn("rn",
+        row_number().over(Window.partitionBy(col("shard")).orderBy(col("doc_id"))))
+      .join(broadcast(offsets), Seq("shard"))
+      .select(col("doc_id"), col("shard"),
+        (col("off") + col("rn") - 1L).as("gid"))
+  }
 
   val oracles: Map[String, String] = Map(
     "q_global_ids" -> """

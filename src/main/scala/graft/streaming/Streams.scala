@@ -247,6 +247,25 @@ object Streams {
       parts: Seq[(Long, Seq[Long], BigInt)]): DataFrame =
     graft.llm.Similarity.ivfAssignWith(parts, delta)
 
+  /** The q_global_ids assignment run INCREMENTALLY — each arriving
+    * micro-batch of documents assigned dense contiguous IDs above a
+    * STANDING max-ID watermark, with the EXACT batch plan
+    * ([[graft.ops.Analytics.globalIdsOn]]: per-shard row_number +
+    * prefix-summed S-row offsets broadcast — never a global sort) run
+    * on the delta and every gid lifted by `base`. Dense-ID assignment
+    * needs the batch-complete offsets prefix sum, so unlike
+    * [[ivfIngest]] it cannot be a stateless per-row projection — the
+    * production shape is `foreachBatch` (StreamsSpec drives it so):
+    * run the batch plan on the delta, advance the watermark to
+    * base + |delta|. Restart safety comes from deriving `base` from
+    * DURABLE state (the sink's max gid) instead of driver memory, and
+    * replay safety from the idempotence the spec pins: the assignment
+    * is deterministic in (delta set, base), so a replayed batch with
+    * its recorded base re-derives byte-identical rows. */
+  def globalIdIngest(delta: DataFrame, base: Long, S: Int = 32): DataFrame =
+    graft.ops.Analytics.globalIdsOn(delta, S)
+      .select(col("doc_id"), col("shard"), (col("gid") + base).as("gid"))
+
   /** The q_lr_quality gate run CONTINUOUSLY — arriving documents
     * scored under the STANDING trained micro-unit weights
     * ([[graft.llm.TextAnalysis.lrTrainedWeights]], the 17-long

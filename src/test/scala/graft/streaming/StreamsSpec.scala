@@ -462,6 +462,89 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("global-ID ingest assigns dense IDs above the standing watermark per micro-batch") {
+    // q_global_ids run incrementally: each micro-batch goes through
+    // the EXACT batch plan (per-shard row_number + prefix-summed
+    // offsets broadcast) with gids lifted above a standing watermark.
+    // Pins: (1) exchange profile matches the batch query — ONE
+    // SinglePartition exchange (the 32-row offsets window), never a
+    // global corpus sort; (2) micro-batch 1 is row-identical to the
+    // batch assignment (determinism in (delta, base)); (3) the union
+    // across batches stays dense 0..N−1.
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(7L, 3L, 64L, 35L, 12L)
+    val b2 = Seq(99L, 5L, 40L)
+    val batchDf = Streams.globalIdIngest(b1.toDF("doc_id"), 0L)
+    val p = batchDf.queryExecution.executedPlan.toString
+    assert("SinglePartition".r.findAllIn(p).size == 1,
+      s"offsets prefix sum must be the ONE single-partition exchange:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      "the S-row offsets frame must broadcast, not shuffle the delta")
+    val batch = batchDf.select("doc_id", "gid")
+      .as[(Long, Long)].collect().toSet
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    var standingMax = -1L
+    val in = MemoryStream[Long]
+    val q = in.toDF().toDF("doc_id").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = Streams.globalIdIngest(df, standingMax + 1)
+          .select("doc_id", "gid").as[(Long, Long)].collect()
+        if (rows.nonEmpty) {
+          got ++= rows
+          standingMax = math.max(standingMax, rows.map(_._2).max)
+        }
+      }
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      assert(got.toSet === batch,
+        "micro-batch 1 must equal the batch assignment row for row")
+      in.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.map(_._1).sorted.toSeq === (b1 ++ b2).sorted,
+      "every arriving doc gets exactly one id")
+    assert(got.map(_._2).sorted.toSeq === (0L until (b1.size + b2.size)).toSeq,
+      "ids stay dense across micro-batches")
+  }
+
+  test("global-ID ingest watermark survives a restart (sink-derived base)") {
+    // The standing max must come from DURABLE state, not driver
+    // memory: base = max gid already in the parquet sink. A restart
+    // from the checkpoint then continues the dense sequence instead
+    // of re-issuing ids from 0 — the deploy-safe contract.
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_gid_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_gid_out").toString
+    val in = MemoryStream[Long]
+    def start() = in.toDF().toDF("doc_id").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val base = 1L + (scala.util.Try(spark.read.parquet(out)
+          .agg(max(col("gid"))).as[Option[Long]].head)
+          .getOrElse(None): Option[Long]).getOrElse(-1L)
+        Streams.globalIdIngest(df, base)
+          .write.mode("append").parquet(out)
+      }
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    try {
+      in.addData(10L, 20L, 30L)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start() // restart from the same checkpoint
+    try {
+      in.addData(40L, 50L)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val sink = spark.read.parquet(out).select("doc_id", "gid")
+      .as[(Long, Long)].collect()
+    assert(sink.map(_._1).sorted.toSeq === Seq(10L, 20L, 30L, 40L, 50L))
+    assert(sink.map(_._2).sorted.toSeq === (0L until 5L).toSeq,
+      "post-restart ids must continue the dense sequence, not restart at 0")
+  }
+
   test("C4 line gate streams the rule stage statelessly and agrees with the batch recipe") {
     // the in-row form must (1) plan with no Exchange, (2) stream with
     // no state and exact batch parity, and (3) agree per-doc with

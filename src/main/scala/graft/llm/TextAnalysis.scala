@@ -393,6 +393,39 @@ object TextAnalysis {
         .orderBy("corpus_doc", "bench_doc")
     }),
 
+    // Contamination swept to the SOURCE grain — the datasheet row a
+    // curator reads before a run: WHICH subcorpus leaks eval data,
+    // how much of it, and how hot the worst docs are. Composes the
+    // q_contamination machinery (winnowing fingerprints, broadcast
+    // benchmark set) with a per-source census over ALL corpus docs —
+    // sources whose docs never fingerprint (short docs) still count
+    // in the denominator, so rates are comparable across sources.
+    // Scale shape: the benchmark fp set broadcasts; the corpus makes
+    // one fingerprint pass reduced doc-keyed (partial agg); the
+    // doc-keyed attach join builds on the contamination-bounded hits
+    // side (SHJ hint, the q_doc_surprisal rule); the final aggregate
+    // is source-bounded.
+    "q_contamination_by_source" -> ((s, dir) => {
+      val bench = fingerprints(s, dir, col("doc_id") < 10)
+        .select(col("fp")).distinct()
+      val hits = fingerprints(s, dir, col("doc_id") >= 10)
+        .join(broadcast(bench), "fp")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      val contaminated = sum(when(col("n_shared").isNotNull, 1L)
+        .otherwise(0L))
+      Tables(s, dir, "documents").filter(col("doc_id") >= 10)
+        .select(col("doc_id"), col("source"))
+        .join(hits.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          contaminated.as("n_contaminated"),
+          round(contaminated.cast("double") / count(lit(1)), 4)
+            .cast("double").as("contamination_rate"),
+          sum(coalesce(col("n_shared"), lit(0L))).as("n_shared_fps"),
+          max(coalesce(col("n_shared"), lit(0L))).as("max_shared_fps"))
+        .orderBy("source")
+    }),
+
     // Per-document surprisal under the corpus unigram LM — the
     // cheapest "perplexity-ish" quality signal a pre-training filter
     // uses (rare-token-heavy docs score high, boilerplate scores
@@ -555,6 +588,42 @@ object TextAnalysis {
           round(sum(col("n_units")).cast("double") / count(lit(1)), 4)
             .cast("double").as("fertility"))
         .orderBy("source")
+    }),
+
+    // Tokenizer vocab-size OPERATING CURVE — fertility vs merge
+    // budget (3/6/9 merges) for BPE and WordPiece, each family folded
+    // from ONE trained chain (the q_hll_tuning / q_dedup_lsh_tuning
+    // fold-from-one discipline): train 9 rounds once, snapshot the
+    // symbol table at each budget. Fertility is read DICT-SIDE —
+    // Σ_w f(w)·|units(w)| / Σ_w f(w) is exactly the corpus-occurrence
+    // fertility the apply-side queries compute (f IS the corpus
+    // frequency), without a second corpus scan. The published
+    // tokenizer-design artifact: fertility descends monotonically in
+    // the merge budget, at family-specific rates (frequency- vs
+    // likelihood-argmax pick different merges). Scale shape: ONE
+    // corpus scan total (both chains start from the same checkpointed
+    // round-0 symbols); every round's dict-bounded table is
+    // localCheckpoint-materialized (the q_wordpiece_train discipline —
+    // 18 chained window rounds would otherwise compound lineage).
+    "q_tokenizer_curve" -> ((s, dir) => {
+      val s0 = bpeSymbolsOf(Tables(s, dir, "documents")).localCheckpoint()
+      def curveOf(fam: String,
+          step: DataFrame => (DataFrame, DataFrame)): Seq[DataFrame] = {
+        var cur = s0
+        (1 to 9).flatMap { k =>
+          cur = step(cur)._2.localCheckpoint()
+          if (k % 3 == 0) Some(
+            cur.agg(sum(col("f")).as("units"),
+                sum(when(col("i") === 1, col("f"))).as("words"))
+              .select(lit(fam).as("family"), lit(k).as("merges"),
+                col("units").as("n_units"),
+                round(col("units").cast("double") / col("words"), 4)
+                  .cast("double").as("fertility")))
+          else None
+        }
+      }
+      (curveOf("bpe", bpeStep) ++ curveOf("wordpiece", wordpieceStep))
+        .reduce(_.unionByName(_)).orderBy("family", "merges")
     }),
 
     // Tokenizer FERTILITY by source — the tokenizer-qualification
@@ -1673,6 +1742,25 @@ object TextAnalysis {
       FROM fps c JOIN fps b ON c.fp = b.fp
       WHERE c.doc_id >= 10 AND b.doc_id < 10
       GROUP BY 1, 2 ORDER BY corpus_doc, bench_doc"""),
+    // Source-grain twin: distinct benchmark fps, per-corpus-doc shared
+    // counts, then the census over ALL corpus docs (short docs join
+    // nothing and land in the denominator only).
+    "q_contamination_by_source" -> (FpCte + """,
+      bfp AS (SELECT DISTINCT fp FROM fps WHERE doc_id < 10),
+      hits AS (SELECT c.doc_id, count(*) AS n_shared
+               FROM fps c JOIN bfp USING (fp) WHERE c.doc_id >= 10
+               GROUP BY c.doc_id)
+      SELECT d.source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN h.n_shared IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_contaminated,
+             CAST(round(CAST(sum(CASE WHEN h.n_shared IS NOT NULL
+                 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+               AS DOUBLE) AS contamination_rate,
+             CAST(sum(coalesce(h.n_shared, 0)) AS BIGINT) AS n_shared_fps,
+             CAST(max(coalesce(h.n_shared, 0)) AS BIGINT) AS max_shared_fps
+      FROM documents d LEFT JOIN hits h USING (doc_id)
+      WHERE d.doc_id >= 10
+      GROUP BY d.source ORDER BY source"""),
     "q_doc_surprisal" -> """
       WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
                     FROM documents),
@@ -1694,6 +1782,7 @@ object TextAnalysis {
     "q_wordpiece_train" -> wpSql,
     "q_wordpiece_tokenize" -> wpTokenizeSql,
     "q_wordpiece_fertility" -> wpFertilitySql,
+    "q_tokenizer_curve" -> curveSql,
     "q_bpe_tokenize" -> (bpeCtes + """,
       seg AS (SELECT w, count(*) AS n_units FROM s4 GROUP BY w),
       dtok AS (SELECT doc_id, w FROM
@@ -1991,6 +2080,32 @@ object TextAnalysis {
                     (SELECT unnest(string_split(text, ' ')) AS word
                      FROM documents)
                   WHERE regexp_full_match(word, '[a-z]+') GROUP BY word)"""
+
+  /** The 9-round operating-curve twin: both families' merge chains
+    * unrolled to depth 9 off the SAME wd/s1 prefix (vs1 aliases s1 —
+    * one dictionary, as the Spark side shares the checkpointed
+    * round-0 symbols), fertility read dict-side at each budget. */
+  private lazy val curveSql = {
+    def rowAt(fam: String, k: Int, tbl: String) =
+      s"""SELECT '$fam' AS family, $k AS merges,
+           CAST(sum(f) AS BIGINT) AS n_units,
+           CAST(round(CAST(sum(f) AS DOUBLE) /
+             sum(CASE WHEN i = 1 THEN f END), 4) AS DOUBLE) AS fertility
+         FROM $tbl"""
+    s"""
+      WITH $wdCte,
+      s1 AS (SELECT w, f, CAST(i AS INT) AS i, substr(w, CAST(i AS INT), 1) AS s
+             FROM wd, UNNEST(generate_series(1, len(w))) AS u(i)),
+      ${(1 to 9).map(bpeStepCtes).mkString(",")},
+      vs1 AS (SELECT * FROM s1),
+      ${(1 to 9).map(wpStepCtes).mkString(",")}
+      ${Seq(("bpe", 3, "s4"), ("bpe", 6, "s7"), ("bpe", 9, "s10"),
+          ("wordpiece", 3, "vs4"), ("wordpiece", 6, "vs7"),
+          ("wordpiece", 9, "vs10"))
+        .map { case (f, k, t) => rowAt(f, k, t) }
+        .mkString(" UNION ALL ")}
+      ORDER BY family, merges"""
+  }
 
   /** Shared CTE prefix: dictionary, round-0 symbols, and the three
     * chained merge rounds ending in `s4` — the trained tokenizer. */

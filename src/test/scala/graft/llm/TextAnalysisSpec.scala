@@ -193,6 +193,40 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got == Seq(("src", 5L, 5L, 5L, 1.0, 1.0)))
   }
 
+  test("q_tokenizer_curve: fertility descends in merges; budget 3 matches the fertility queries") {
+    // The operating curve folds budgets 3/6/9 from ONE 9-round chain
+    // per family. Pins: row grid complete; fertility weakly monotone
+    // descending per family with a strict drop 3→9 (later rounds keep
+    // merging on this corpus); and the budget-3 rows agree EXACTLY
+    // with the standalone 3-merge fertility queries (single source,
+    // dict-side Σf·units / Σf = apply-side mean units per occurrence).
+    val dir = java.nio.file.Files.createTempDirectory("tokcurve").toString
+    Seq((1L, "the cat sat on the mat the cat ran"),
+        (2L, "a hat and a bat and a rat sat"),
+        (3L, "the rain in spain stays mainly in the plain"),
+        (4L, "singing ringing winging things bring kings"))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.queries("q_tokenizer_curve")(spark, dir)
+      .as[(String, Int, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq(("bpe", 3), ("bpe", 6),
+      ("bpe", 9), ("wordpiece", 3), ("wordpiece", 6), ("wordpiece", 9)))
+    for (fam <- Seq("bpe", "wordpiece")) {
+      val fs = got.filter(_._1 == fam).sortBy(_._2).map(_._4)
+      assert(fs.zip(fs.tail).forall { case (a, b) => b <= a },
+        s"$fam fertility must not rise with budget: $fs")
+      assert(fs.last < fs.head,
+        s"$fam must keep merging between budgets 3 and 9: $fs")
+    }
+    val bpe3 = TextAnalysis.queries("q_bpe_fertility")(spark, dir)
+      .select("fertility").as[Double].head()
+    assert(got.find(r => r._1 == "bpe" && r._2 == 3).get._4 == bpe3)
+    val wp3 = TextAnalysis.queries("q_wordpiece_fertility")(spark, dir)
+      .select("fertility").as[Double].head()
+    assert(got.find(r => r._1 == "wordpiece" && r._2 == 3).get._4 == wp3)
+  }
+
   test("LR quality filter separates a separable corpus; logloss descends") {
     // en says only "aa" (hash dim 11), de only "bb" (dim 12) — no
     // feature collision, so two GD steps in micro-units must separate

@@ -626,6 +626,45 @@ object ScaleProbe {
       docs.unpersist(false)
     }
 
+    // ZIP container probe: N× the blobs (same md5 per replica) through
+    // synthesize→EOCD backward scan→CD walk→per-member inflate+CRC.
+    // The whole walk is a flatMap fused into the scan (map-only, zero
+    // joins), so every census number must scale EXACTLY ×N and wall
+    // stays ~linear; the only exchange is the status census aggregate.
+    // The fan-out is the probe's extra claim: member rows out ≈ 2×
+    // blobs in, independent of N.
+    if (want("zip"))
+    locally {
+      import spark.implicits._
+      val docs = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h")).persist()
+      val nDocs = docs.count()
+      val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      def timedZip(mult: Int): Unit = {
+        val scaled = docs
+          .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
+            col("doc_id"), col("h"))
+          .select((col("doc_id") + col("i") * lit(stride)).as("doc_id"),
+            col("h"))
+        val t0 = System.nanoTime()
+        val census = graft.llm.Multimodal.decodeZip(
+            scaled.as[(Long, String)].mapPartitions(_.map { case (id, h) =>
+              graft.llm.BinaryDoc(id, graft.llm.Multimodal.zipBytes(h)) }))
+          .groupBy(col("status")).agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val dt = (System.nanoTime() - t0) / 1e9
+        val ok = census.getOrElse("ok", 0L)
+        val badData = census.getOrElse("bad_data", 0L)
+        val contFail = Seq("truncated", "bad_eocd", "bad_cd")
+          .map(census.getOrElse(_, 0L)).sum
+        println(f"""{"probe":"zip_${mult}x","blobs":${nDocs * mult},"ok_members":$ok,"bad_data":$badData,"container_fail":$contFail,"member_rows":${census.values.sum},"sec":$dt%.2f}""")
+      }
+      timedZip(1)
+      timedZip(10)
+      timedZip(100)
+      docs.unpersist(false)
+    }
+
     // Shard-loss probe: replicate the corpus (ids shift, text — and so
     // canonical URL — repeats), re-run the 4-shard loss query. Each
     // replica deepens every URL-duplicate group ×N, and the measured

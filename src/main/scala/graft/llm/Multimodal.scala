@@ -1993,7 +1993,7 @@ object Multimodal {
     * `bad_cd`), member-0 CRC corrupted in BOTH the local header and
     * the CD so only the DATA check can catch it (~12.5% → that one
     * member `bad_data`, its siblings still `ok`). */
-  private[llm] def zipBytes(h: String): Array[Byte] = {
+  private[graft] def zipBytes(h: String): Array[Byte] = {
     val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
     val n = 1 + b(0) % 3
     val trunc = b(12) % 8 == 6

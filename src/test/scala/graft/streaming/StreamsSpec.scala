@@ -758,4 +758,40 @@ class StreamedDecodeSpec extends graft.SparkSuite {
       assert(got.exists(_.status != "ok"), "no failure arm in the panel")
     } finally q.stop()
   }
+
+  test("streamed ZIP archive ingest equals the batch member fan-out, arm for arm") {
+    // The 1→N container walk is a stateless per-partition flatMap, so
+    // the SAME decodeZip runs unchanged on a stream — each arriving
+    // archive blob fans out to one row PER MEMBER inside its
+    // micro-batch; parity covers healthy multi-member archives and
+    // every container- and member-level failure arm.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val hexes = (0 until 48).map { i =>
+      (i.toLong, java.security.MessageDigest.getInstance("MD5")
+        .digest(s"zip-stream-$i".getBytes("US-ASCII"))
+        .map("%02x".format(_)).mkString)
+    }
+    val batch = hexes.flatMap { case (id, h) =>
+      Multimodal.parseZip(id, Multimodal.zipBytes(h))
+    }.toSet
+    val in = MemoryStream[(Long, String)]
+    val q = Multimodal.decodeZip(
+        in.toDS().map { case (id, h) => BinaryDoc(id, Multimodal.zipBytes(h)) })
+      .writeStream.format("memory").queryName("zip_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(hexes.take(24): _*); q.processAllAvailable()
+      in.addData(hexes.drop(24): _*); q.processAllAvailable()
+      val got = spark.table("zip_stream")
+        .as[graft.llm.ZipMember].collect()
+      assert(got.length == got.toSet.size, "fan-out must not replay-duplicate")
+      assert(got.toSet == batch)
+      assert(got.exists(m => m.status == "ok" && m.member >= 1),
+        "no multi-member archive in the panel")
+      assert(got.exists(_.member == -1), "no container-level failure arm")
+      assert(got.exists(m => m.status == "bad_data" && m.member >= 0),
+        "no member-level CRC arm")
+    } finally q.stop()
+  }
 }

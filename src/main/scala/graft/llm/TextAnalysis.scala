@@ -763,6 +763,58 @@ object TextAnalysis {
             .as("lr_accuracy"))
     }),
 
+    // The agreement 2×2 drilled to PER-RULE attribution — when the
+    // heuristic gate and the learned filter disagree, WHICH Gopher
+    // rule is responsible? Every gopher-dropped doc carries the three
+    // rules' fire bits; restricted to the disagreement set (gopher
+    // drops, LR keeps = "overruled") the census says which heuristic
+    // the learned filter effectively vetoes. Rules co-fire, so the
+    // overrule shares can sum past 1 — the sole-fire column (exactly
+    // one rule fired) is the clean single-rule attribution. Scale
+    // shape: the q_lr_gopher_agree join plan plus a 3-wide in-row
+    // explode, a 3-row aggregate, and the broadcast 1-row
+    // disagreement total (the aggregate-row pattern).
+    "q_lr_gopher_rules" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val (_, ws) = lrChain(s, docs)
+      // EVERY doc, not the held-out quarter: this is the corpus
+      // datasheet row (the quality-vector discipline), and the
+      // disagreement set is near-empty on the eval slice alone.
+      val scored = lrScore(lrFeatsWhere(docs, lit(true)), ws(2))
+        .select(col("doc_id"), (col("p_u") >= 500000L).as("lr_keep"))
+      val gop = graft.ops.TextOps.gopherFlags(docs)
+        .select(col("doc_id"), col("keep"),
+          (col("top_word_frac") > 0.2).as("f1"),
+          (col("dup_2gram_frac") > 0.2).as("f2"),
+          (col("dup_3gram_frac") > 0.2).as("f3"))
+      val j = scored.join(gop.hint("shuffle_hash"), "doc_id")
+        .withColumn("nfd", col("f1").cast("int") + col("f2").cast("int") +
+          col("f3").cast("int"))
+      val totals = j.agg(sum(when(!col("keep") && col("lr_keep"), 1L)
+        .otherwise(0L)).as("n_disagree"))
+      j.select(col("lr_keep"), col("keep"), col("nfd"), explode(array(
+          struct(lit("dup_2gram_frac").as("rule"), col("f2").as("fired")),
+          struct(lit("dup_3gram_frac").as("rule"), col("f3").as("fired")),
+          struct(lit("top_word_frac").as("rule"), col("f1").as("fired"))))
+          .as("e"))
+        .select(col("e.rule").as("rule"), col("e.fired").as("fired"),
+          col("lr_keep"), col("keep"), col("nfd"))
+        .groupBy(col("rule"))
+        .agg(sum(when(col("fired"), 1L).otherwise(0L)).as("n_fired"),
+          sum(when(col("fired") && !col("keep") && col("lr_keep"), 1L)
+            .otherwise(0L)).as("n_overruled"),
+          sum(when(col("fired") && col("nfd") === 1 && col("lr_keep"), 1L)
+            .otherwise(0L)).as("n_overruled_sole"))
+        .crossJoin(broadcast(totals))
+        .select(col("rule"), col("n_fired"), col("n_overruled"),
+          col("n_overruled_sole"),
+          when(col("n_disagree") === 0L, lit(0.0)).otherwise(
+            round(col("n_overruled").cast("double") /
+              col("n_disagree").cast("double"), 4))
+            .cast("double").as("overrule_share"))
+        .orderBy("rule")
+    }),
+
     // The per-doc QUALITY VECTOR — every filter signal this library
     // computes, materialized ONCE as one wide row per document (the
     // artifact real pipelines write next to the corpus and threshold
@@ -1820,6 +1872,7 @@ object TextAnalysis {
     // IEEE double expressions rounded once.
     "q_lr_quality" -> lrQualitySql,
     "q_lr_gopher_agree" -> lrGopherAgreeSql,
+    "q_lr_gopher_rules" -> lrGopherRulesSql,
     "q_doc_quality_vector" -> docQualityVectorSql,
     // Twin of the DSIR selector: same 64 hashed buckets (the CMS/HLL
     // hex-prefix idiom), same add-1 bucket LMs and 6-dp log-ratio
@@ -2313,6 +2366,43 @@ object TextAnalysis {
              CAST(round(CAST(sum(CASE WHEN lr_keep = (y = 1) THEN 1 ELSE 0 END) AS DOUBLE) /
                CAST(count(*) AS DOUBLE), 4) AS DOUBLE) AS lr_accuracy
       FROM mp JOIN gkp USING (doc_id)"""
+
+  /** Per-rule drill-down twin: the agree CTEs plus fire bits, a 3-way
+    * UNION ALL explode, and the scalar disagreement total. */
+  private lazy val lrGopherRulesSql = "WITH " + lrTrainCtes + "," +
+    lrFeatsCteWhere("m", "TRUE") + "," +
+    graft.ops.TextOps.gopherCtes + s""",
+      ms AS (SELECT f.*, $lrZExpr AS z_u FROM mf f, lw2),
+      mp AS (SELECT doc_id, ($lrPExpr >= 500000) AS lr_keep FROM ms),
+      jj AS (SELECT mp.doc_id, lr_keep, keep,
+               (top_word_frac > 0.2) AS f1,
+               (dup_2gram_frac > 0.2) AS f2,
+               (dup_3gram_frac > 0.2) AS f3,
+               CAST(top_word_frac > 0.2 AS INT) +
+                 CAST(dup_2gram_frac > 0.2 AS INT) +
+                 CAST(dup_3gram_frac > 0.2 AS INT) AS nfd
+             FROM mp JOIN gkp USING (doc_id)),
+      tot AS (SELECT sum(CASE WHEN NOT keep AND lr_keep THEN 1 ELSE 0 END)
+                AS n_disagree FROM jj),
+      ex AS (SELECT 'top_word_frac' AS rule, f1 AS fired, lr_keep, keep, nfd
+               FROM jj
+             UNION ALL
+             SELECT 'dup_2gram_frac', f2, lr_keep, keep, nfd FROM jj
+             UNION ALL
+             SELECT 'dup_3gram_frac', f3, lr_keep, keep, nfd FROM jj)
+      SELECT rule,
+             CAST(sum(CASE WHEN fired THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fired,
+             CAST(sum(CASE WHEN fired AND NOT keep AND lr_keep
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_overruled,
+             CAST(sum(CASE WHEN fired AND nfd = 1 AND lr_keep
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_overruled_sole,
+             CAST(CASE WHEN (SELECT n_disagree FROM tot) = 0 THEN 0.0
+               ELSE round(CAST(sum(CASE WHEN fired AND NOT keep AND lr_keep
+                 THEN 1 ELSE 0 END) AS DOUBLE) /
+                 CAST((SELECT n_disagree FROM tot) AS DOUBLE), 4)
+               END AS DOUBLE) AS overrule_share
+      FROM ex GROUP BY rule ORDER BY rule"""
 
   /** Quality-vector twin: the pipeline/gopher/PII/surprisal/LR CTEs
     * composed and left-joined on doc_id — each block the verbatim

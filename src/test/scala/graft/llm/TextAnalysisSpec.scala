@@ -252,6 +252,33 @@ class TextAnalysisSpec extends SparkSuite {
     assert(agree == ((2L, 1L, 0L, 1L, 0.5, 1.0)))
   }
 
+  test("q_lr_gopher_rules attributes each overruled drop to the rule(s) that fired") {
+    // Engineered disagreement set: doc 9 fires ONLY top_word (aa×3 in
+    // 10 tokens = 0.3; dup2 = 1/9, dup3 = 0), doc 10 fires all three
+    // (aa×3 + the aa-cc alternation pushes dup2 to 3/9 and dup3 to
+    // 2/8). Both are all-en-vocab docs, so the trained LR keeps them
+    // — two overrules, one of them sole-attributed to top_word. The
+    // de docs ("bb bb bb") fire top_word + dup2 but the LR drops them
+    // too (agreement, not overrule), and the varied en docs fire
+    // nothing.
+    val dir = java.nio.file.Files.createTempDirectory("lrrules").toString
+    val en = "aa cc dd ee ff gg hh ii jj kk"
+    val docs = Seq(
+      (1L, en, "en"), (2L, en, "en"), (3L, en, "en"), (4L, en, "en"),
+      (5L, "bb bb bb", "de"), (6L, "bb bb bb", "de"), (7L, "bb bb bb", "de"),
+      (9L, "aa aa aa cc dd ee ff gg hh ii", "en"),
+      (10L, "aa cc aa cc aa cc dd ee ff gg", "en"))
+    docs.map { case (id, t, l) => (id, t, l, "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.queries("q_lr_gopher_rules")(spark, dir)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("dup_2gram_frac", 4L, 1L, 0L, 0.5),
+      ("dup_3gram_frac", 1L, 1L, 0L, 0.5),
+      ("top_word_frac", 5L, 2L, 1L, 1.0)))
+  }
+
   test("q_nb_classify separates a separable corpus perfectly") {
     // Train (doc_id % 4 != 0): class x says only "aa", class y only
     // "bb". Test (doc_id % 4 == 0): 4 is pure-x text, 8 pure-y.

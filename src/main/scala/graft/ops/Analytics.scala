@@ -89,6 +89,54 @@ object Analytics {
         .orderBy("file_id")
     }),
 
+    // The pruning-effectiveness row BEHIND q_zorder_layout — the
+    // number that justifies paying the z-order write: for one fixed
+    // two-dimensional predicate (user bucket 64–79 AND day 10–19),
+    // how many "files" do the per-file min/max envelopes let a scan
+    // SKIP under the natural day-partitioned layout vs the z-ordered
+    // one? The day layout prunes perfectly on day and not at all on
+    // user (every surviving file is read whole); the Morton layout
+    // prunes on BOTH, so its scanned-row fraction approaches the true
+    // selectivity. Exact integers end to end; both censuses are
+    // second aggregates over file-count-bounded frames off one events
+    // scan each, and the exact-match count rides as a broadcast 1-row
+    // aggregate.
+    "q_zorder_prune" -> ((s, dir) => {
+      val x = "pmod(user_id, 256)"
+      val y = "cast(datediff(to_date(ts), date'2024-01-01') as bigint)"
+      val z = (0 until 8).map(i =>
+        s"shiftleft(shiftright($x, $i) & 1, ${2 * i}) + " +
+          s"shiftleft(shiftright($y, $i) & 1, ${2 * i + 1})")
+        .mkString(" + ")
+      val e = Tables.events(s, dir)
+        .select(expr(x).as("xb"), expr(y).as("yb"), expr(z).as("z"))
+      def census(layout: String, fileExpr: String) =
+        e.withColumn("file_id", expr(fileExpr))
+          .groupBy(col("file_id"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("xb")).as("mnx"), max(col("xb")).as("mxx"),
+            min(col("yb")).as("mny"), max(col("yb")).as("mxy"))
+          .select(col("n_rows"),
+            (col("mxx") >= 64 && col("mnx") <= 79 &&
+              col("mxy") >= 10 && col("mny") <= 19).as("kept"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_files_kept"),
+            sum(col("n_rows")).as("n_rows_total"),
+            sum(when(col("kept"), col("n_rows")).otherwise(0L))
+              .as("n_rows_scanned"))
+          .select(lit(layout).as("layout"), col("n_files"),
+            col("n_files_kept"), col("n_rows_total"), col("n_rows_scanned"),
+            round(col("n_rows_scanned").cast("double") /
+              col("n_rows_total").cast("double"), 4).cast("double")
+              .as("scan_frac"))
+      val exact = e
+        .filter(col("xb").between(64, 79) && col("yb").between(10, 19))
+        .agg(count(lit(1)).as("n_rows_match"))
+      census("linear_day", "yb").unionByName(census("zorder", "z div 512"))
+        .crossJoin(broadcast(exact))
+        .orderBy("layout")
+    }),
+
     // Per-user daily-volume anomaly screen — the observability query a
     // pipeline runs over its own event stream (bot spikes, stuck
     // producers): each user's daily counts z-scored against their own
@@ -355,6 +403,44 @@ object Analytics {
              min(xb) AS min_user, max(xb) AS max_user,
              min(yb) AS min_day, max(yb) AS max_day
       FROM f GROUP BY 1 ORDER BY file_id"""
+    },
+    "q_zorder_prune" -> {
+      val x = "(user_id % 256)"
+      val y = "datediff('day', DATE '2024-01-01', CAST(ts AS DATE))"
+      val z = (0 until 8).map(i =>
+        s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      def census(layout: String, stats: String) = s"""
+        SELECT '$layout' AS layout,
+               count(*) AS n_files,
+               CAST(sum(CASE WHEN mxx >= 64 AND mnx <= 79 AND mxy >= 10
+                 AND mny <= 19 THEN 1 ELSE 0 END) AS BIGINT) AS n_files_kept,
+               CAST(sum(n_rows) AS BIGINT) AS n_rows_total,
+               CAST(sum(CASE WHEN mxx >= 64 AND mnx <= 79 AND mxy >= 10
+                 AND mny <= 19 THEN n_rows ELSE 0 END) AS BIGINT)
+                 AS n_rows_scanned,
+               CAST(round(CAST(sum(CASE WHEN mxx >= 64 AND mnx <= 79
+                   AND mxy >= 10 AND mny <= 19 THEN n_rows ELSE 0 END)
+                   AS DOUBLE) / CAST(sum(n_rows) AS DOUBLE), 4)
+                 AS DOUBLE) AS scan_frac
+        FROM $stats"""
+      s"""
+      WITH e AS (SELECT $x AS xb, $y AS yb, ($z) AS z FROM events),
+      lin AS (SELECT yb AS file_id, count(*) AS n_rows,
+                min(xb) AS mnx, max(xb) AS mxx,
+                min(yb) AS mny, max(yb) AS mxy
+              FROM e GROUP BY 1),
+      zor AS (SELECT z // 512 AS file_id, count(*) AS n_rows,
+                min(xb) AS mnx, max(xb) AS mxx,
+                min(yb) AS mny, max(yb) AS mxy
+              FROM e GROUP BY 1),
+      m AS (SELECT count(*) AS n_rows_match FROM e
+            WHERE xb BETWEEN 64 AND 79 AND yb BETWEEN 10 AND 19)
+      SELECT layout, n_files, n_files_kept, n_rows_total, n_rows_scanned,
+             scan_frac, n_rows_match
+      FROM ((${census("linear_day", "lin")})
+            UNION ALL (${census("zorder", "zor")})) CROSS JOIN m
+      ORDER BY layout"""
     },
     "q_profile" -> """
       WITH s AS (

@@ -695,6 +695,18 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("ShuffledHashJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q_zorder_prune joins only the broadcast 1-row match aggregate") {
+    // three event scans (two file-stats censuses + the exact match
+    // count), the single join a Cross BNLJ of the broadcast 1-row
+    // aggregate onto the two census rows — a shuffled or cartesian
+    // join here would mean a census grew corpus-sized
+    val p = plan("q_zorder_prune")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+    assert(scans == 3, s"expected 3 scans, got $scans")
+    assert(p.contains("BroadcastNestedLoopJoin Cross BuildRight"))
+    assert(!p.contains("ShuffledHashJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("q_bpe_fertility joins corpus words to the dict-bounded segmentation shuffled-hash") {
     // the trained segmentation is the GBs-at-100TB build side — it
     // must stay a ShuffledHashJoin build, never a corpus broadcast or

@@ -137,6 +137,65 @@ object Analytics {
         .orderBy("layout")
     }),
 
+    // Distribution DRIFT between two corpus windows — the PSI
+    // (population stability index) monitor every production feature
+    // store runs before trusting a retrain: token-length distribution
+    // of the "current" half (odd doc_ids) against the "reference"
+    // half (even), 8 fixed-width bins, add-1 smoothing so empty bins
+    // contribute a finite term, PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref)
+    // with the standard 0.1 / 0.25 verdict thresholds. Numerics (the
+    // q_doc_surprisal discipline): probabilities in exact integer
+    // micro-units (BIGINT div), each ln over ONE double ratio of
+    // exactly-converted integers rounded to 6 dp as DECIMAL(18,6),
+    // term = exact integer diff × that decimal — so the 8-term sum is
+    // an exact decimal in any order, and both engines derive the
+    // identical PSI. Scale shape: one scan-side projection → one
+    // 8-row aggregate; the dense bin grid and the 1-row totals ride
+    // as broadcast frames; the psi_total window runs over the 8-row
+    // frame (bounded by construction).
+    "q_drift_psi" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir, "documents")
+        .select((col("doc_id") % 2 === 0).as("is_ref"), expr(
+          "least(7, size(filter(split(text, ' '), x -> x <> '')) div 16)")
+          .as("bin"))
+      val counts = d.groupBy(col("bin"))
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_cur"))
+      val tot = counts.agg(sum(col("c_ref")).as("n_ref"),
+        sum(col("c_cur")).as("n_cur"))
+      val grid = s.range(8).select(col("id").as("bin"))
+      grid.join(broadcast(counts), Seq("bin"), "left")
+        .select(col("bin"), coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+          coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+        .crossJoin(broadcast(tot))
+        // micro-unit probabilities and the 6-dp-rounded log ratio:
+        // ln over one double ratio of exactly-converted BIGINTs
+        // (products stay in double — BIGINT products would overflow
+        // first at ~1e12-doc windows)
+        .withColumn("p_ref_u",
+          expr("((c_ref + 1) * 1000000) div (n_ref + 8)"))
+        .withColumn("p_cur_u",
+          expr("((c_cur + 1) * 1000000) div (n_cur + 8)"))
+        .withColumn("lnr", expr(
+          "cast(round(ln((cast(c_cur + 1 as double) * cast(n_ref + 8 as double)) / " +
+            "(cast(c_ref + 1 as double) * cast(n_cur + 8 as double))), 6) " +
+            "as decimal(18,6))"))
+        .withColumn("term", expr(
+          "cast(p_cur_u - p_ref_u as decimal(18,0)) * lnr"))
+        .withColumn("psi_u",
+          sum(col("term")).over(Window.partitionBy(lit(1))))
+        .select(col("bin"), col("c_ref"), col("c_cur"),
+          expr("cast(round(cast(term as double) / 1e6, 6) as double)")
+            .as("psi_term"),
+          expr("cast(round(cast(psi_u as double) / 1e6, 6) as double)")
+            .as("psi_total"),
+          expr("""CASE WHEN psi_u < 100000 THEN 'stable'
+                      WHEN psi_u < 250000 THEN 'moderate'
+                      ELSE 'shifted' END""").as("verdict"))
+        .orderBy("bin")
+    }),
+
     // Per-user daily-volume anomaly screen — the observability query a
     // pipeline runs over its own event stream (bot spikes, stuck
     // producers): each user's daily counts z-scored against their own
@@ -442,6 +501,46 @@ object Analytics {
             UNION ALL (${census("zorder", "zor")})) CROSS JOIN m
       ORDER BY layout"""
     },
+    // PSI twin: identical micro-unit arithmetic — integer div
+    // probabilities, ONE double-ratio ln rounded to 6 dp, exact
+    // decimal terms summed over the dense 8-bin grid.
+    "q_drift_psi" -> """
+      WITH d AS (SELECT (doc_id % 2 = 0) AS is_ref,
+                   least(7, len(list_filter(string_split(text, ' '),
+                     x -> x <> '')) // 16) AS bin
+                 FROM documents),
+      cnt AS (SELECT bin,
+                CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+                  AS c_ref,
+                CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT)
+                  AS c_cur
+              FROM d GROUP BY bin),
+      tot AS (SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref,
+                     CAST(sum(c_cur) AS BIGINT) AS n_cur FROM cnt),
+      g AS (SELECT i AS bin FROM UNNEST(generate_series(0, 7)) AS u(i)),
+      j AS (SELECT g.bin, coalesce(cnt.c_ref, 0) AS c_ref,
+              coalesce(cnt.c_cur, 0) AS c_cur, n_ref, n_cur
+            FROM g LEFT JOIN cnt USING (bin) CROSS JOIN tot),
+      t AS (SELECT bin, c_ref, c_cur,
+              ((c_ref + 1) * 1000000) // (n_ref + 8) AS p_ref_u,
+              ((c_cur + 1) * 1000000) // (n_cur + 8) AS p_cur_u,
+              CAST(round(ln((CAST(c_cur + 1 AS DOUBLE) *
+                  CAST(n_ref + 8 AS DOUBLE)) /
+                (CAST(c_ref + 1 AS DOUBLE) * CAST(n_cur + 8 AS DOUBLE))), 6)
+                AS DECIMAL(18,6)) AS lnr
+            FROM j),
+      tt AS (SELECT bin, c_ref, c_cur,
+               CAST(p_cur_u - p_ref_u AS DECIMAL(18,0)) * lnr AS term
+             FROM t),
+      w AS (SELECT *, sum(term) OVER () AS psi_u FROM tt)
+      SELECT bin, c_ref, c_cur,
+             CAST(round(CAST(term AS DOUBLE) / 1e6, 6) AS DOUBLE) AS psi_term,
+             CAST(round(CAST(psi_u AS DOUBLE) / 1e6, 6) AS DOUBLE)
+               AS psi_total,
+             CASE WHEN psi_u < 100000 THEN 'stable'
+                  WHEN psi_u < 250000 THEN 'moderate'
+                  ELSE 'shifted' END AS verdict
+      FROM w ORDER BY bin""",
     "q_profile" -> """
       WITH s AS (
         SELECT count(*) AS n,

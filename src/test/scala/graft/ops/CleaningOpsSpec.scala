@@ -18,6 +18,24 @@ class CleaningOpsSpec extends SparkSuite {
     dir
   }
 
+  test("q_drift_psi flags an engineered length shift and stays stable on identical halves") {
+    // Shifted: every even doc is short (bin 0), every odd doc long
+    // (bin 3) — disjoint mass, PSI far past 0.25. Stable: identical
+    // halves → every per-bin term is exactly 0.
+    val shortT = (1 to 5).map(i => s"s$i").mkString(" ")
+    val longT = (1 to 60).map(i => s"l$i").mkString(" ")
+    val shifted = docsDir((0L until 40L).map(i =>
+      (i, if (i % 2 == 0) shortT else longT)))
+    val g1 = Analytics.queries("q_drift_psi")(spark, shifted)
+      .select("verdict").distinct().as[String].collect().toSeq
+    assert(g1 == Seq("shifted"), s"disjoint halves must flag: $g1")
+    val stable = docsDir((0L until 40L).map(i => (i, longT)))
+    val g2 = Analytics.queries("q_drift_psi")(spark, stable)
+      .as[(Long, Long, Long, Double, Double, String)].collect().toSeq
+    assert(g2.forall(_._4 == 0.0), s"identical halves must have zero terms: $g2")
+    assert(g2.forall(_._6 == "stable"))
+  }
+
   test("pii scrub detects hand-written emails, phones, and IPs in the text") {
     val dir = docsDir(Seq(
       (1L, "contact bob1@mail2.com or 555-0142 at 10.1.2.3 today"),

@@ -1465,6 +1465,30 @@ object Similarity {
         .orderBy("stage_no")
     }),
 
+    // INDEX STALENESS — the retrain trigger an ANN deployment polls
+    // (FAISS's "retrain when the distribution moves" guidance made a
+    // number): train the coarse quantizer on the standing half (even
+    // vec_ids), assign BOTH halves against those frozen cell stats,
+    // and PSI the per-cell population shares of arriving vectors
+    // against the training distribution ([[graft.ops.Analytics.psiOf]]
+    // — same micro-unit arithmetic as q_drift_psi, grid = the trained
+    // cell set). A 'shifted' verdict means the arriving vectors no
+    // longer land where the quantizer was balanced — cells skew, probe
+    // recall decays, retrain. Scale shape: scan-side assignment
+    // against literal cell stats (the q_knn_ivf_incremental plan),
+    // one cell-bounded aggregate, the bounded PSI tail.
+    "q_ivf_drift" -> ((s, dir) => {
+      val qe = Dedup.quantized(s, dir)
+      val parts = ivfTrainStats(qe.filter(col("vec_id") % 2 === 0))
+      val counts = ivfAssignWith(parts, qe)
+        .groupBy(col("cell").cast("long").as("bin"))
+        .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("c_ref"),
+          sum(when(col("vec_id") % 2 =!= 0, 1L).otherwise(0L)).as("c_cur"))
+      graft.ops.Analytics.psiOf(s, counts, parts.size)
+        .withColumnRenamed("bin", "cell")
+        .orderBy("cell")
+    }),
+
     // The K × nprobe OPERATING-POINT GRID (the q_dedup_lsh_tuning /
     // q_hll_tuning pattern applied to the IVF index): aggregate
     // recall@K over all 50 queries at every (K, nprobe) ∈ {3,10}×{1,2}
@@ -1929,6 +1953,7 @@ object Similarity {
       ORDER BY strategy"""),
     "q_knn_ivf_recall" -> ivfRecallSql(multi = false),
     "q_knn_ivf_incremental" -> ivfIncrementalSql,
+    "q_ivf_drift" -> ivfDriftSql,
     "q_knn_ivf_mp" -> ivfSql(multi = true),
     "q_knn_ivf_mp_recall" -> ivfRecallSql(multi = true),
     "q_knn_ivf_recall_grid" -> ivfRecallGridSql,
@@ -2976,6 +3001,49 @@ object Similarity {
     * assigns EVERY vector to those standing cells, and the before
     * ranking is the after ranking with delta candidates filtered out
     * — mirroring the Spark side's single assignment projection. */
+  /** Index-staleness twin: train on the even half (assignCtesOn),
+    * assign all (ivfCteOn), per-cell half counts, then the exact
+    * micro-unit PSI arithmetic over the trained cell grid (ivm) with
+    * the smoothing constant the data-derived cell count — the same
+    * value the Spark side passes as parts.size. */
+  private lazy val ivfDriftSql =
+    "WITH " + Dedup.QE + s""",
+      qnref AS (SELECT * FROM qn WHERE vec_id % 2 = 0),""" +
+      Clustering.assignCtesOn("qnref") + "," + ivfCteOn("qn") + s""",
+      dcnt AS (SELECT CAST(cell AS BIGINT) AS bin,
+                 CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c_ref,
+                 CAST(sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c_cur
+               FROM ivcell GROUP BY 1),
+      db AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM ivm),
+      dg AS (SELECT CAST(k AS BIGINT) AS bin FROM ivm),
+      dj AS (SELECT dg.bin, coalesce(dcnt.c_ref, 0) AS c_ref,
+               coalesce(dcnt.c_cur, 0) AS c_cur
+             FROM dg LEFT JOIN dcnt USING (bin)),
+      dtot AS (SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref,
+                      CAST(sum(c_cur) AS BIGINT) AS n_cur FROM dj),
+      dt AS (SELECT bin, c_ref, c_cur,
+               ((c_ref + 1) * 1000000) // (n_ref + nb) AS p_ref_u,
+               ((c_cur + 1) * 1000000) // (n_cur + nb) AS p_cur_u,
+               CAST(round(ln((CAST(c_cur + 1 AS DOUBLE) *
+                   CAST(n_ref + nb AS DOUBLE)) /
+                 (CAST(c_ref + 1 AS DOUBLE) * CAST(n_cur + nb AS DOUBLE))),
+                 6) AS DECIMAL(18,6)) AS lnr
+             FROM dj CROSS JOIN dtot CROSS JOIN db),
+      dtt AS (SELECT bin AS cell, c_ref, c_cur,
+                CAST(p_cur_u - p_ref_u AS DECIMAL(18,0)) * lnr AS term
+              FROM dt),
+      dw AS (SELECT *, sum(term) OVER () AS psi_u FROM dtt)
+      SELECT cell, c_ref, c_cur,
+             CAST(round(CAST(term AS DOUBLE) / 1e6, 6) AS DOUBLE) AS psi_term,
+             CAST(round(CAST(psi_u AS DOUBLE) / 1e6, 6) AS DOUBLE)
+               AS psi_total,
+             CASE WHEN psi_u < 100000 THEN 'stable'
+                  WHEN psi_u < 250000 THEN 'moderate'
+                  ELSE 'shifted' END AS verdict
+      FROM dw ORDER BY cell"""
+
   private lazy val ivfIncrementalSql = {
     def leg(sfx: String, candFilter: String): String = s"""
       ap$sfx AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

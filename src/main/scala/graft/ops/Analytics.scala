@@ -156,44 +156,12 @@ object Analytics {
     "q_drift_psi" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val d = Tables(s, dir, "documents")
-        .select((col("doc_id") % 2 === 0).as("is_ref"), expr(
-          "least(7, size(filter(split(text, ' '), x -> x <> '')) div 16)")
-          .as("bin"))
+        .select((col("doc_id") % 2 === 0).as("is_ref"),
+          expr(psiTokenBin).as("bin"))
       val counts = d.groupBy(col("bin"))
         .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
           sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_cur"))
-      val tot = counts.agg(sum(col("c_ref")).as("n_ref"),
-        sum(col("c_cur")).as("n_cur"))
-      val grid = s.range(8).select(col("id").as("bin"))
-      grid.join(broadcast(counts), Seq("bin"), "left")
-        .select(col("bin"), coalesce(col("c_ref"), lit(0L)).as("c_ref"),
-          coalesce(col("c_cur"), lit(0L)).as("c_cur"))
-        .crossJoin(broadcast(tot))
-        // micro-unit probabilities and the 6-dp-rounded log ratio:
-        // ln over one double ratio of exactly-converted BIGINTs
-        // (products stay in double — BIGINT products would overflow
-        // first at ~1e12-doc windows)
-        .withColumn("p_ref_u",
-          expr("((c_ref + 1) * 1000000) div (n_ref + 8)"))
-        .withColumn("p_cur_u",
-          expr("((c_cur + 1) * 1000000) div (n_cur + 8)"))
-        .withColumn("lnr", expr(
-          "cast(round(ln((cast(c_cur + 1 as double) * cast(n_ref + 8 as double)) / " +
-            "(cast(c_ref + 1 as double) * cast(n_cur + 8 as double))), 6) " +
-            "as decimal(18,6))"))
-        .withColumn("term", expr(
-          "cast(p_cur_u - p_ref_u as decimal(18,0)) * lnr"))
-        .withColumn("psi_u",
-          sum(col("term")).over(Window.partitionBy(lit(1))))
-        .select(col("bin"), col("c_ref"), col("c_cur"),
-          expr("cast(round(cast(term as double) / 1e6, 6) as double)")
-            .as("psi_term"),
-          expr("cast(round(cast(psi_u as double) / 1e6, 6) as double)")
-            .as("psi_total"),
-          expr("""CASE WHEN psi_u < 100000 THEN 'stable'
-                      WHEN psi_u < 250000 THEN 'moderate'
-                      ELSE 'shifted' END""").as("verdict"))
-        .orderBy("bin")
+      psiOf(s, counts, 8).orderBy("bin")
     }),
 
     // Per-user daily-volume anomaly screen — the observability query a
@@ -361,6 +329,57 @@ object Analytics {
             .otherwise(col("o_orderstatus")).as("status"))
         .orderBy("o_orderkey")
     }))
+
+  /** The PSI core shared by the corpus-drift row, the streamed
+    * monitor, and the IVF index-staleness row: sparse per-bin
+    * (bin, c_ref, c_cur) counts → one term row per bin of the dense
+    * 0..nBins−1 grid plus the total and the standard 0.1/0.25
+    * verdict. Numerics (the q_doc_surprisal discipline): add-1
+    * smoothed probabilities in exact integer micro-units (BIGINT
+    * div by n + nBins), ONE double-ratio ln per bin over
+    * exactly-converted integers rounded to 6 dp as DECIMAL(18,6),
+    * term = exact integer diff × that decimal — so the sum is an
+    * exact decimal in any order and both engines derive the
+    * identical PSI. The grid and 1-row totals ride broadcast; the
+    * psi_total window covers the nBins-row frame (bounded by
+    * construction). */
+  private[graft] def psiOf(s: org.apache.spark.sql.SparkSession,
+      counts: DataFrame, nBins: Int): DataFrame = {
+    val tot = counts.agg(sum(col("c_ref")).as("n_ref"),
+      sum(col("c_cur")).as("n_cur"))
+    val grid = s.range(nBins).select(col("id").as("bin"))
+    grid.join(broadcast(counts), Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+      .crossJoin(broadcast(tot))
+      // ln products stay in double — BIGINT products would overflow
+      // first at ~1e12-row windows
+      .withColumn("p_ref_u",
+        expr(s"((c_ref + 1) * 1000000) div (n_ref + $nBins)"))
+      .withColumn("p_cur_u",
+        expr(s"((c_cur + 1) * 1000000) div (n_cur + $nBins)"))
+      .withColumn("lnr", expr(
+        s"cast(round(ln((cast(c_cur + 1 as double) * cast(n_ref + $nBins as double)) / " +
+          s"(cast(c_ref + 1 as double) * cast(n_cur + $nBins as double))), 6) " +
+          "as decimal(18,6))"))
+      .withColumn("term", expr(
+        "cast(p_cur_u - p_ref_u as decimal(18,0)) * lnr"))
+      .withColumn("psi_u",
+        sum(col("term")).over(Window.partitionBy(lit(1))))
+      .select(col("bin"), col("c_ref"), col("c_cur"),
+        expr("cast(round(cast(term as double) / 1e6, 6) as double)")
+          .as("psi_term"),
+        expr("cast(round(cast(psi_u as double) / 1e6, 6) as double)")
+          .as("psi_total"),
+        expr("""CASE WHEN psi_u < 100000 THEN 'stable'
+                    WHEN psi_u < 250000 THEN 'moderate'
+                    ELSE 'shifted' END""").as("verdict"))
+  }
+
+  /** The token-length drift bin — shared by the batch row and the
+    * streamed monitor so their binning can never diverge. */
+  private[graft] val psiTokenBin: String =
+    "least(7, size(filter(split(text, ' '), x -> x <> '')) div 16)"
 
   /** Frame-taking contiguous-ID assigner (the q_global_ids body,
     * shared with the streaming ingest): any frame with a `doc_id`

@@ -266,6 +266,29 @@ object Streams {
     graft.ops.Analytics.globalIdsOn(delta, S)
       .select(col("doc_id"), col("shard"), (col("gid") + base).as("gid"))
 
+  /** The q_drift_psi monitor run CONTINUOUSLY — each arriving
+    * micro-batch of documents PSI-scored against a STANDING reference
+    * histogram (the artifact a deployment trains once and reloads,
+    * like [[ivfIngest]]'s cell stats and [[lrGate]]'s weights): the
+    * batch query's exact binning ([[graft.ops.Analytics.psiTokenBin]])
+    * and micro-unit term arithmetic ([[graft.ops.Analytics.psiOf]]),
+    * with c_ref literal. PSI needs the whole batch's totals, so like
+    * [[globalIdIngest]] the production shape is `foreachBatch` (the
+    * spec drives it so) — each batch emits its own 8-row drift table
+    * and verdict, the retrain/alert trigger a continuous ingest
+    * polls. */
+  def psiMonitor(delta: DataFrame, ref: Seq[(Long, Long)]): DataFrame = {
+    val s = delta.sparkSession
+    val refDf = s.createDataFrame(ref).toDF("bin", "c_ref")
+    val cur = delta
+      .select(expr(graft.ops.Analytics.psiTokenBin).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("c_cur"))
+    val counts = refDf.join(cur, Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+    graft.ops.Analytics.psiOf(s, counts, 8)
+  }
+
   /** The q_lr_quality gate run CONTINUOUSLY — arriving documents
     * scored under the STANDING trained micro-unit weights
     * ([[graft.llm.TextAnalysis.lrTrainedWeights]], the 17-long

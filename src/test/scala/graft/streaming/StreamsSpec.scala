@@ -545,6 +545,47 @@ class StreamsSpec extends SparkSuite {
       "post-restart ids must continue the dense sequence, not restart at 0")
   }
 
+  test("PSI monitor scores each micro-batch against the standing reference histogram") {
+    // The q_drift_psi arithmetic run per micro-batch against a
+    // standing (literal) reference histogram — PSI needs whole-batch
+    // totals, so the production shape is foreachBatch (the
+    // globalIdIngest pattern). Pins: batch parity (a micro-batch
+    // scores identically to the same frame through the batch path),
+    // and the verdict flips when a batch's length distribution
+    // genuinely shifts.
+    implicit val sqlCtx = spark.sqlContext
+    def text(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val refCounts = Seq.tabulate(24)(i => text(10 + (i % 5) * 16))
+      .toDF("text")
+      .select(expr(graft.ops.Analytics.psiTokenBin).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("c_ref"))
+      .as[(Long, Long)].collect().toSeq
+    val b1 = Seq.tabulate(12)(i => text(10 + (i % 5) * 16)) // ref-shaped
+    val b2 = Seq.fill(12)(text(120))                        // all bin 7
+    val batch1 = Streams.psiMonitor(b1.toDF("text"), refCounts)
+      .orderBy("bin").as[(Long, Long, Long, Double, Double, String)]
+      .collect().toSeq
+    val results = scala.collection.mutable
+      .Map[Long, Seq[(Long, Long, Long, Double, Double, String)]]()
+    val in = MemoryStream[String]
+    val q = in.toDF().toDF("text").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        results(id) = Streams.psiMonitor(df, refCounts)
+          .orderBy("bin").as[(Long, Long, Long, Double, Double, String)]
+          .collect().toSeq
+      }
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(results(0) == batch1, "micro-batch must score exactly as batch")
+    assert(results(0).forall(_._6 == "stable"),
+      s"a ref-shaped batch must read stable: ${results(0)}")
+    assert(results(1).forall(_._6 == "shifted"),
+      s"an all-long batch must flag: ${results(1)}")
+  }
+
   test("C4 line gate streams the rule stage statelessly and agrees with the batch recipe") {
     // the in-row form must (1) plan with no Exchange, (2) stream with
     // no state and exact batch parity, and (3) agree per-doc with

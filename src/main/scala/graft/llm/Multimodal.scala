@@ -138,6 +138,16 @@ case class ZipMember(doc_id: Long, member: Int, status: String,
     name: Option[String], method: Option[String], n_bytes: Option[Int],
     sum_bytes: Option[Long], n_sep: Option[Long])
 
+/** One SAMPLED (or failed) frame of the video frame-sampling stage —
+  * the fps-reduction op a multimodal pipeline runs before feature
+  * extraction: a healthy F-frame stream yields one row per KEPT frame
+  * (every k-th), a mid-stream failure yields its frame's status row
+  * and stops the walk (positional container — no resync without a
+  * magic scan). */
+case class VideoFrame(doc_id: Long, frame: Int, status: String,
+    width: Option[Int], height: Option[Int],
+    r_sum: Option[Long], g_sum: Option[Long], b_sum: Option[Long])
+
 /** Multimodal-column plumbing: media as opaque `binary` columns with
   * typed, schema'd metadata extraction (north-star extension — the
   * reference has nothing beyond strings).
@@ -2152,6 +2162,98 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // VIDEO as a frame stream (netpbm ppm_pipe — ffmpeg image2pipe's
+  // rawvideo-adjacent format IS concatenated P6 frames): the
+  // frame-SAMPLING op a multimodal pipeline runs before feature
+  // extraction. The walk reuses the single-image [[ppmHeader]] per
+  // frame — one parser, two containers.
+  // ---------------------------------------------------------------------
+
+  /** Synthesize a REAL ppm_pipe stream from a doc's md5: F ∈ 2..9
+    * genuine P6 frames back to back, per-frame dimensions from the
+    * md5 bytes (w_f = 1 + b[(f+1)%16] % 4 etc. — dimensions CHANGE
+    * mid-stream, so the sampler must re-parse every header), raster
+    * byte j of frame f = b[(f+j)%16]. Arms (mutually exclusive):
+    * frame 1's magic corrupted (~6% → the walk stops with a
+    * `bad_magic` row mid-stream, frame 0 already emitted), or the
+    * LAST frame's raster cut 2 bytes short (~12.5% → its `truncated`
+    * row closes the stream). */
+  private[graft] def videoBytes(h: String): Array[Byte] = {
+    val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
+    val fCnt = 2 + b(0) % 8
+    val badmid = b(13) % 16 == 4
+    val trunc = !badmid && b(14) % 8 == 3
+    val out = new java.io.ByteArrayOutputStream(512)
+    for (f <- 0 until fCnt) {
+      val w = 1 + b((f + 1) % 16) % 4
+      val hh = 1 + b((f + 2) % 16) % 4
+      val magic = if (badmid && f == 1) "X6" else "P6"
+      out.write(s"$magic\n$w $hh\n255\n".getBytes("US-ASCII"))
+      val need = w * hh * 3
+      val cut = if (trunc && f == fCnt - 1) 2 else 0
+      var j = 0
+      while (j < need - cut) { out.write(b((f + j) % 16)); j += 1 }
+    }
+    out.toByteArray
+  }
+
+  /** REAL frame-sampling walk: parse each frame's header with the
+    * SHARED [[ppmHeader]], hop the raster, keep every k-th frame with
+    * exact per-channel sums. A failed frame emits its status row and
+    * STOPS — ppm_pipe is positional, and guessing a resync point
+    * would attribute one frame's bytes to another. Total on arbitrary
+    * bytes (DecoderFuzzSpec): failure is a row, never a throw, and
+    * every iteration either stops or advances past a non-empty
+    * raster. */
+  private[graft] def sampleVideo(id: Long, p: Array[Byte],
+      k: Int = 2): Seq[VideoFrame] = {
+    if (p == null || p.isEmpty)
+      return Seq(VideoFrame(id, 0, "bad_magic", None, None, None, None, None))
+    val out = scala.collection.mutable.ArrayBuffer[VideoFrame]()
+    var pos = 0
+    var f = 0
+    while (pos < p.length) {
+      val slice = java.util.Arrays.copyOfRange(p, pos, p.length)
+      val (st, w, hh, _, off) = ppmHeader(slice)
+      if (st != "ok") {
+        out += VideoFrame(id, f, st,
+          if (w > 0) Some(w) else None, if (hh > 0) Some(hh) else None,
+          None, None, None)
+        return out.toSeq
+      }
+      val need = (w.toLong * hh * 3).toInt // fits: ppmHeader bounded it
+      if (f % k == 0) {
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var j = 0
+        while (j < need) {
+          val v = slice(off + j) & 0xff
+          (j % 3: @annotation.switch) match {
+            case 0 => rs += v
+            case 1 => gs += v
+            case _ => bs += v
+          }
+          j += 1
+        }
+        out += VideoFrame(id, f, "ok", Some(w), Some(hh),
+          Some(rs), Some(gs), Some(bs))
+      }
+      pos += off + need
+      f += 1
+    }
+    out.toSeq
+  }
+
+  /** The typed 1→N frame-sampling stage over [[sampleVideo]] — the
+    * [[decodeZip]] shape: flatMap fused into the scan. */
+  def decodeVideo(ds: Dataset[BinaryDoc], k: Int = 2): Dataset[VideoFrame] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      // per-partition decode-buffer allocation would go here
+      rows.flatMap(d => sampleVideo(d.doc_id, d.payload, k))
+    }
+  }
+
   /** The frame-taking WARC ingest funnel over any (doc_id, text) frame
     * — shared by the registered query and the ScaleProbe replication
     * harness. One scan, fused synthesize+decode MapPartitions, the URL
@@ -2241,6 +2343,13 @@ object Multimodal {
   private def hv(pos: Int) =
     s"(ascii(substr(h, $pos, 1)) - (CASE WHEN substr(h, $pos, 1) >= 'a' THEN 87 ELSE 48 END))"
   private def byteAt(i: Int) = s"(${hv(2 * i + 1)} * 16 + ${hv(2 * i + 2)})"
+  /** [[hv]]/[[byteAt]] with a COMPUTED md5-byte index (SQL expression,
+    * e.g. a lambda variable) — the video twin's per-frame raster
+    * bytes depend on the frame number. */
+  private def hvE(pos: String) =
+    s"(ascii(substr(h, $pos, 1)) - (CASE WHEN substr(h, $pos, 1) >= 'a' THEN 87 ELSE 48 END))"
+  private def byteAtE(idx: String) =
+    s"(${hvE(s"2 * (($idx) % 16) + 1")} * 16 + ${hvE(s"2 * (($idx) % 16) + 2")})"
 
   /** Frame-taking crawl-to-chunks funnel — shared by the registered
     * query and the ScaleProbe replication harness (replicas share
@@ -2501,6 +2610,23 @@ object Multimodal {
       decodeZip(payloads).toDF().orderBy("doc_id", "member")
     }),
 
+    // VIDEO frame-sampling — the fps-reduction op, over genuine
+    // ppm_pipe streams (2–9 concatenated P6 frames with per-frame
+    // dimensions, so the sampler genuinely re-parses every header):
+    // keep every 2nd frame with exact channel sums, stop-with-a-row
+    // on the mid-stream corrupt-magic and truncated-tail arms. Same
+    // 1→N scan-fused flatMap shape as the archive ingest; the oracle
+    // recomputes kept frames, per-frame dimensions, and channel sums
+    // from the md5 pure functions without seeing the stream bytes.
+    "q_video_framesample" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Tables(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, h) => BinaryDoc(id, videoBytes(h)) })
+      decodeVideo(payloads).toDF().orderBy("doc_id", "frame")
+    }),
+
     // The crawl FRONT-DOOR, end to end in one plan: WARC-shaped gzip
     // records (REAL RFC 1952 members, synthesized with genuine failure
     // arms) → the shared gunzip walk → WARC-Target-URI extraction →
@@ -2730,6 +2856,49 @@ object Multimodal {
               FROM ex)
       SELECT * FROM fail UNION ALL SELECT * FROM mem
       ORDER BY doc_id, member""",
+    // Video twin: kept frames, per-frame dimensions, and channel sums
+    // recomputed from the md5 pure functions (raster byte j of frame
+    // f = b[(f+j)%16], so r_sum folds bytes at f+3p). The oracle
+    // never sees the stream, so a hash match proves the per-frame
+    // header re-parse, the raster hop arithmetic, and both
+    // stop-with-a-row arms.
+    "q_video_framesample" -> s"""
+      WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+      b AS (SELECT doc_id, h, ${byteAt(0)} AS b0, ${byteAt(13)} AS b13,
+              ${byteAt(14)} AS b14 FROM hx),
+      d AS (SELECT doc_id, h, 2 + b0 % 8 AS nf,
+              b13 % 16 = 4 AS badmid,
+              (b13 % 16 <> 4) AND b14 % 8 = 3 AS trunc
+            FROM b),
+      fr AS (SELECT doc_id, h, nf, badmid, trunc,
+               unnest(generate_series(0, nf - 1)) AS f FROM d),
+      g AS (SELECT doc_id, h, nf, badmid, trunc, CAST(f AS INT) AS f,
+              1 + ${byteAtE("f + 1")} % 4 AS w,
+              1 + ${byteAtE("f + 2")} % 4 AS hh
+            FROM fr),
+      kept AS (SELECT *,
+          CASE WHEN badmid AND f = 1 THEN 'bad_magic'
+               WHEN trunc AND f = nf - 1 THEN 'truncated'
+               ELSE 'ok' END AS status
+        FROM g
+        WHERE (badmid AND f <= 1)
+           OR (trunc AND (f = nf - 1 OR (f % 2 = 0 AND f < nf - 1)))
+           OR (NOT badmid AND NOT trunc AND f % 2 = 0))
+      SELECT doc_id, f AS frame, status,
+        CASE WHEN status = 'bad_magic' THEN NULL
+             ELSE CAST(w AS INT) END AS width,
+        CASE WHEN status = 'bad_magic' THEN NULL
+             ELSE CAST(hh AS INT) END AS height,
+        CASE WHEN status = 'ok' THEN CAST(list_sum(list_transform(
+          generate_series(0, w * hh - 1), p -> ${byteAtE("f + 3 * p")}))
+          AS BIGINT) END AS r_sum,
+        CASE WHEN status = 'ok' THEN CAST(list_sum(list_transform(
+          generate_series(0, w * hh - 1), p -> ${byteAtE("f + 3 * p + 1")}))
+          AS BIGINT) END AS g_sum,
+        CASE WHEN status = 'ok' THEN CAST(list_sum(list_transform(
+          generate_series(0, w * hh - 1), p -> ${byteAtE("f + 3 * p + 2")}))
+          AS BIGINT) END AS b_sum
+      FROM kept ORDER BY doc_id, frame""",
     // WARC-ingest twin: the funnel recomputed entirely from the md5
     // pure functions — decode arms from the failure bits, the URL from
     // the SHARED synth SQL, canonicalization by the q_dedup_url rules.

@@ -465,7 +465,9 @@ object TextOps {
     // the metric is one tag-exploded (system, query, doc) join.
     "q_maxsim_recall" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val pred = col("vec_id") % 61 === 0
+      // truth panel bounded like the maxsim leg's (≤ 50 queries at
+      // any SF) — the %-only panel made the MaxSim grid quadratic
+      val pred = col("vec_id") % 61 === 0 && col("vec_id") < 3050
       val truth = graft.llm.Similarity.bruteTopWhere(s, dir, pred, k = 3)
         .select(col("query_id"), col("neighbor_id"))
       val aw = Window.partitionBy(col("query_id"))
@@ -1097,26 +1099,47 @@ object TextOps {
     * `aggregate` fold — so the corpus is scanned ONCE, nothing
     * corpus-sized shuffles, and the only exchange is the partial-
     * aggregated (query, doc) sum (≤ |panel|·|docs| rows). */
+  /** The 8-dim centered-byte token embedding as a PRECOMPUTED
+    * array<bigint> — exactly the values [[tokDot]] folds, but
+    * extracted from the md5 hex ONCE per token instead of inside the
+    * per-(doc, query-token) MaxSim lambda. Higher-order lambdas are
+    * INTERPRETED in Spark, so the old in-lambda form paid ~32 string
+    * ops × |doc tokens| × |panel tokens| per doc — measured 368 s at
+    * sf0.1 (the whole bench's top line); with the embeddings
+    * materialized scan-side the hot fold is one native `dot_long`
+    * per element. `h` is any SQL expression yielding an md5 hex. */
+  private def tokEmb(h: String): String =
+    s"transform(sequence(0, 7), i -> cast(" +
+      s"(ascii(substr($h, 2*i+1, 1)) - (CASE WHEN substr($h, 2*i+1, 1) >= 'a' THEN 87 ELSE 48 END)) * 16 + " +
+      s"(ascii(substr($h, 2*i+2, 1)) - (CASE WHEN substr($h, 2*i+2, 1) >= 'a' THEN 87 ELSE 48 END)) - 128 as bigint))"
+
   private def maxsimScored(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(s)
+    // The panel is BOUNDED (≤ 50 queries at ANY corpus size), like
+    // every other recall panel in the repo: a %-of-corpus panel made
+    // the pair grid quadratic in N — the late-interaction scale
+    // failure a production deployment avoids by scoring a candidate
+    // set, and the bench avoids by fixing the evaluation panel.
     val qw = Window.partitionBy(col("query_id")).orderBy(col("word"))
     val qterms = termFreqs(s, dir)
-      .filter(col("doc_id") % 61 === 0 && length(col("word")) >= 4)
+      .filter(col("doc_id") % 61 === 0 && col("doc_id") < 3050 &&
+        length(col("word")) >= 4)
       .select(col("doc_id").as("query_id"), col("word"))
       .withColumn("rn", row_number().over(qw))
       .filter(col("rn") <= 3)
-      .select(col("query_id"), md5(col("word")).as("qh"))
+      .select(col("query_id"), expr(tokEmb("md5(word)")).as("qe"))
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"), expr(
-        "transform(array_distinct(filter(split(text, ' '), x -> x <> '')), " +
-          "x -> md5(x))").as("hs"))
-      .filter(size(col("hs")) >= 1)
+        "transform(transform(array_distinct(filter(split(text, ' '), " +
+          s"x -> x <> '')), x -> md5(x)), h -> ${tokEmb("h")})").as("es"))
+      .filter(size(col("es")) >= 1)
     docs.crossJoin(broadcast(qterms))
       .filter(col("doc_id") =!= col("query_id"))
       .withColumn("ms", expr(
-        "aggregate(hs, cast(-1000000000 as bigint), " +
-          s"(acc, h) -> greatest(acc, ${tokDot("h", "qh")}))"))
+        "aggregate(es, cast(-1000000000 as bigint), " +
+          "(acc, e) -> greatest(acc, dot_long(e, qe)))"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).cast("int").as("n_qtok"), sum(col("ms")).as("score"))
   }
@@ -1186,7 +1209,8 @@ object TextOps {
   private lazy val maxsimTail: String = s""",
       mh AS (SELECT doc_id, list(DISTINCT md5(word)) AS hs
              FROM toks WHERE word <> '' GROUP BY doc_id),
-      mqt AS (SELECT query_id, md5(word) AS qh FROM qt),
+      mqt AS (SELECT query_id, md5(word) AS qh FROM qt
+              WHERE query_id < 3050),
       mps AS (SELECT q.query_id, d.doc_id,
                 list_max(list_transform(d.hs, h -> ${tokDot("h", "q.qh")})) AS ms
               FROM mh d CROSS JOIN mqt q WHERE d.doc_id <> q.query_id),
@@ -1203,7 +1227,8 @@ object TextOps {
       ORDER BY query_id, rank"""),
     "q_maxsim_recall" -> (bm25Ctes + "," + graft.llm.Dedup.QE +
       maxsimTail + s""",
-      pan AS (SELECT vec_id, q, norm FROM qn WHERE vec_id % 61 = 0),
+      pan AS (SELECT vec_id, q, norm FROM qn
+              WHERE vec_id % 61 = 0 AND vec_id < 3050),
       tp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                 a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
              FROM pan a JOIN qn b ON a.vec_id <> b.vec_id),

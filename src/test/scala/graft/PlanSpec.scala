@@ -696,6 +696,21 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("ShuffledHashJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q_maxsim never shuffles the corpus: panel broadcast, tokens in-row") {
+    // the late-interaction score folds each doc's in-row token-hash
+    // array against the broadcast ≤3-token query panel — a shuffled
+    // or sort-merge join here means the corpus token set exploded
+    // into a corpus-sized exchange, the ColBERT scale failure
+    val p = plan("q_maxsim")
+    assert(!p.contains("ShuffledHashJoin") && !p.contains("SortMergeJoin"),
+      s"corpus must not shuffle-join:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the bounded query panel must broadcast onto the corpus scan")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("WindowGroupLimit"),
+      "top-3 per query must bound rows before the final exchange")
+  }
+
   test("q_zorder_prune joins only the broadcast 1-row match aggregate") {
     // three event scans (two file-stats censuses + the exact match
     // count), the single join a Cross BNLJ of the broadcast 1-row

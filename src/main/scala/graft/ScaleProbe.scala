@@ -675,6 +675,46 @@ object ScaleProbe {
     // groups are caught by shard-local dedup anyway — what the global
     // shuffle buys is the LONG TAIL of size-2 groups (the dominant
     // shape in a real crawl), exactly the regime of the 1× row.
+    // MaxSim probe: N× the corpus against the FIXED ≤50-query panel
+    // (replica ids shift past the 3050 panel bound, so no replica can
+    // join the panel). The scored pair grid is panel × docs — rows
+    // out scale ×N and wall must stay ~LINEAR in N. This pins the r14
+    // fix: the original %-of-corpus panel made the grid quadratic
+    // (368 s at sf0.1), and a regression back to it reads here as a
+    // superlinear wall long before the bench total moves.
+    if (want("maxsim"))
+    locally {
+      val docs = Tables(spark, sfDir, "documents").persist()
+      val nDocs = docs.count()
+      val stride = math.max(
+        docs.agg(max(col("doc_id"))).head().getLong(0) + 1L, 3050L)
+      def timedMaxsim(mult: Int): Unit = {
+        val scaled = docs
+          .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
+            col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"))
+          .select((col("doc_id") + col("i") * lit(stride)).as("doc_id"),
+            col("text"), col("lang"), col("source"), col("n_chars"))
+        val dirPath = java.nio.file.Files.createTempDirectory("mxs")
+        val dir = dirPath.toString
+        try {
+          scaled.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+          val t0 = System.nanoTime()
+          val rows = SparkEntry.queries("q_maxsim")(spark, dir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"""{"probe":"maxsim_${mult}x","docs":${nDocs * mult},"topk_rows":$rows,"sec":$dt%.2f}""")
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+      timedMaxsim(1)
+      timedMaxsim(4)
+      timedMaxsim(16)
+      docs.unpersist(false)
+    }
+
     if (want("shardloss"))
     locally {
       val docs = Tables(spark, sfDir, "documents")

@@ -345,13 +345,19 @@ object Analytics {
     * construction). */
   private[graft] def psiOf(s: org.apache.spark.sql.SparkSession,
       counts: DataFrame, nBins: Int): DataFrame = {
-    val tot = counts.agg(sum(col("c_ref")).as("n_ref"),
-      sum(col("c_cur")).as("n_cur"))
     val grid = s.range(nBins).select(col("id").as("bin"))
+    val all = Window.partitionBy(lit(1))
     grid.join(broadcast(counts), Seq("bin"), "left")
       .select(col("bin"), coalesce(col("c_ref"), lit(0L)).as("c_ref"),
         coalesce(col("c_cur"), lit(0L)).as("c_cur"))
-      .crossJoin(broadcast(tot))
+      // totals via windows over the DENSE nBins-row frame (every bin
+      // value lands on the grid by construction, so these equal the
+      // sparse-count sums) — a totals AGGREGATE here re-planned the
+      // whole counts subtree and re-scanned the corpus (measured: 2
+      // scans in the q_drift_psi plan); the window costs one bounded
+      // single-partition pass over ≤ nBins rows instead
+      .withColumn("n_ref", sum(col("c_ref")).over(all))
+      .withColumn("n_cur", sum(col("c_cur")).over(all))
       // ln products stay in double — BIGINT products would overflow
       // first at ~1e12-row windows
       .withColumn("p_ref_u",

@@ -696,6 +696,17 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("ShuffledHashJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q_contamination_by_source broadcasts the bench fps, SHJ-attaches the hits") {
+    // the benchmark fingerprint set is tiny → broadcast onto the
+    // corpus fingerprint pass; the doc-keyed census attach builds on
+    // the contamination-bounded hits side — a sort-merge or cartesian
+    // here means a corpus-sized side got sorted or multiplied
+    val p = plan("q_contamination_by_source")
+    assert(p.contains("BroadcastHashJoin"), "bench fp set must broadcast")
+    assert(p.contains("ShuffledHashJoin"), "hits attach must stay SHJ")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
   test("q_maxsim never shuffles the corpus: panel broadcast, tokens in-row") {
     // the late-interaction score folds each doc's in-row token-hash
     // array against the broadcast ≤3-token query panel — a shuffled

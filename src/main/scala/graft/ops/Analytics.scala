@@ -309,6 +309,44 @@ object Analytics {
       globalIdsOn(Tables(s, dir, "documents").select(col("doc_id")))
         .orderBy("doc_id")),
 
+    // Snapshot DIFF census — the change-data-feed audit beside
+    // q_merge_upsert's MERGE: given two table versions, report per
+    // change class (inserted / deleted / updated / unchanged) the row
+    // count and the exact net value delta — the reconciliation row a
+    // data-ops team reads after every pipeline run. The "current"
+    // snapshot is derived deterministically from the base (urgent
+    // rows price-bumped in exact integer cents, 5-LOW finished rows
+    // deleted, pending rows cloned under key −k — negative keys can
+    // never collide with the base's). Scale shape: ONE full-outer
+    // join on the key (the honest CDC shuffle both sides pay) into a
+    // 4-row census; deltas are exact BIGINT cents so the census
+    // hashes identically at any dop.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val base = Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("v"),
+          col("o_orderstatus").as("st"), col("o_orderpriority").as("pr"))
+      val current = base
+        .withColumn("v", when(col("pr") === "1-URGENT",
+          expr("(v * 11) div 10")).otherwise(col("v")))
+        .filter(!(col("pr") === "5-LOW" && col("st") === "F"))
+        .unionByName(base.filter(col("st") === "P")
+          .select((-col("k")).as("k"), col("v"), col("st"), col("pr")))
+      base.select(col("k"), col("v").as("v_a"))
+        .join(current.select(col("k"), col("v").as("v_b")), Seq("k"),
+          "full_outer")
+        .withColumn("change",
+          when(col("v_a").isNull, "inserted")
+            .when(col("v_b").isNull, "deleted")
+            .when(col("v_a") =!= col("v_b"), "updated")
+            .otherwise("unchanged"))
+        .groupBy(col("change"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(coalesce(col("v_b"), lit(0L)) - coalesce(col("v_a"), lit(0L)))
+            .as("net_delta_cents"))
+        .orderBy("change")
+    }),
+
     "q_merge_upsert" -> ((s, dir) => {
       val base = Tables(s, dir, "orders")
         .select(col("o_orderkey"), col("o_totalprice"),
@@ -602,6 +640,28 @@ object Analytics {
       SELECT user_id, version, event_type, us AS valid_from_us,
              valid_to AS valid_to_us, valid_to IS NULL AS is_current
       FROM h ORDER BY user_id, version""",
+    // Snapshot-diff twin: identical derived "current" snapshot and
+    // the same full-outer classification, all in exact integer cents.
+    "q_snapshot_diff" -> """
+      WITH base AS (SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+               o_orderstatus AS st, o_orderpriority AS pr
+             FROM orders),
+      cur AS (SELECT k,
+                CASE WHEN pr = '1-URGENT' THEN (v * 11) // 10 ELSE v END AS v
+              FROM base WHERE NOT (pr = '5-LOW' AND st = 'F')
+              UNION ALL
+              SELECT -k, v FROM base WHERE st = 'P'),
+      j AS (SELECT coalesce(b.k, c.k) AS k, b.v AS v_a, c.v AS v_b
+            FROM base b FULL OUTER JOIN cur c ON b.k = c.k)
+      SELECT CASE WHEN v_a IS NULL THEN 'inserted'
+                  WHEN v_b IS NULL THEN 'deleted'
+                  WHEN v_a <> v_b THEN 'updated'
+                  ELSE 'unchanged' END AS change,
+             count(*) AS n_rows,
+             CAST(sum(coalesce(v_b, 0) - coalesce(v_a, 0)) AS BIGINT)
+               AS net_delta_cents
+      FROM j GROUP BY 1 ORDER BY change""",
     "q_merge_upsert" -> """
       WITH changes AS (
         SELECT o_orderkey,

@@ -665,16 +665,6 @@ object ScaleProbe {
       docs.unpersist(false)
     }
 
-    // Shard-loss probe: replicate the corpus (ids shift, text — and so
-    // canonical URL — repeats), re-run the 4-shard loss query. Each
-    // replica deepens every URL-duplicate group ×N, and the measured
-    // missed_frac FALLS (0.78 → 0.57 → 0.19 at 1×/4×/16×): a group of
-    // size m touching s of the 4 shards loses only s−1 ≤ 3 removals to
-    // locality while its global removable grows as m−1. The probe's
-    // honest lesson INVERTS the naive intuition: deep boilerplate
-    // groups are caught by shard-local dedup anyway — what the global
-    // shuffle buys is the LONG TAIL of size-2 groups (the dominant
-    // shape in a real crawl), exactly the regime of the 1× row.
     // MaxSim probe: N× the corpus against the FIXED ≤50-query panel
     // (replica ids shift past the 3050 panel bound, so no replica can
     // join the panel). The scored pair grid is panel × docs — rows
@@ -715,6 +705,16 @@ object ScaleProbe {
       docs.unpersist(false)
     }
 
+    // Shard-loss probe: replicate the corpus (ids shift, text — and so
+    // canonical URL — repeats), re-run the 4-shard loss query. Each
+    // replica deepens every URL-duplicate group ×N, and the measured
+    // missed_frac FALLS (0.78 → 0.57 → 0.19 at 1×/4×/16×): a group of
+    // size m touching s of the 4 shards loses only s−1 ≤ 3 removals to
+    // locality while its global removable grows as m−1. The probe's
+    // honest lesson INVERTS the naive intuition: deep boilerplate
+    // groups are caught by shard-local dedup anyway — what the global
+    // shuffle buys is the LONG TAIL of size-2 groups (the dominant
+    // shape in a real crawl), exactly the regime of the 1× row.
     if (want("shardloss"))
     locally {
       val docs = Tables(spark, sfDir, "documents")

@@ -2086,42 +2086,56 @@ object Multimodal {
     }
     if (eocd < 0) return fail("bad_eocd")
     val n = u16(eocd + 10)
-    val cdOff = u32(eocd + 16).toInt
+    // a legal EOCD-only archive (n == 0) still yields one row — the
+    // decode-family "failure is a row, never silent" accounting holds
+    // for EVERY input blob, empty archives included
+    if (n == 0)
+      return Seq(ZipMember(id, -1, "empty", None, None, None, None, None))
+    // offsets stay Long until bounds-validated: a crafted u32 near
+    // 2^31 would wrap an Int comparison negative and bypass the guard
+    val cdOff = u32(eocd + 16)
     val members = scala.collection.mutable.ArrayBuffer[ZipMember]()
-    var pos = cdOff
+    var pos: Long = cdOff
     var m = 0
     while (m < n) {
-      if (pos < 0 || pos + 46 > p.length || u32(pos) != 0x02014b50L)
+      if (pos < 0 || pos + 46 > p.length || u32(pos.toInt) != 0x02014b50L)
         return fail("bad_cd")
-      val method = u16(pos + 10)
-      val crc = u32(pos + 16)
-      val csize = u32(pos + 20).toInt
-      val usize = u32(pos + 24).toInt
-      val nameLen = u16(pos + 28)
-      val extraLen = u16(pos + 30)
-      val cmtLen = u16(pos + 32)
-      val lhOff = u32(pos + 42).toInt
+      val cd = pos.toInt // validated above: 0 <= pos <= p.length - 46
+      val method = u16(cd + 10)
+      val crc = u32(cd + 16)
+      val csizeL = u32(cd + 20)
+      val usizeL = u32(cd + 24)
+      val nameLen = u16(cd + 28)
+      val extraLen = u16(cd + 30)
+      val cmtLen = u16(cd + 32)
+      val lhOffL = u32(cd + 42)
       if (pos + 46 + nameLen > p.length) return fail("bad_cd")
-      val name = new String(p, pos + 46, nameLen, "US-ASCII")
+      val name = new String(p, cd + 46, nameLen, "US-ASCII")
       val mstr = if (method == 8) "deflate" else "stored"
       members +=
-        (if (lhOff < 0 || lhOff + 30 > p.length ||
-            u32(lhOff) != 0x04034b50L || u16(lhOff + 8) != method)
+        (if (lhOffL < 0 || lhOffL + 30 > p.length ||
+            u32(lhOffL.toInt) != 0x04034b50L ||
+            u16(lhOffL.toInt + 8) != method)
           ZipMember(id, m, "bad_local", Some(name), None, None, None, None)
         else {
-          val dataStart = lhOff + 30 + u16(lhOff + 26) + u16(lhOff + 28)
+          val lhOff = lhOffL.toInt // validated: 0 <= lhOff <= len - 30
+          val dataStart: Long =
+            lhOffL + 30 + u16(lhOff + 26) + u16(lhOff + 28)
+          val csize = csizeL.toInt; val usize = usizeL.toInt
           // usize bounds the inflate buffer; sanity-capped so a
-          // corrupt field can't allocate unbounded memory
-          if (csize < 0 || usize < 0 || usize > (1 << 24) ||
-              dataStart < 0 || dataStart + csize > p.length)
+          // corrupt field can't allocate unbounded memory (the Long
+          // comparisons reject any u32 a .toInt would have wrapped)
+          if (csizeL > Int.MaxValue || usizeL > (1 << 24) ||
+              dataStart + csizeL > p.length)
             ZipMember(id, m, "bad_data", Some(name), Some(mstr),
               None, None, None)
           else try {
+            val d0 = dataStart.toInt // validated: dataStart + csize <= len
             val data = method match {
               case 0 =>
                 if (csize != usize) throw PngBad
-                java.util.Arrays.copyOfRange(p, dataStart, dataStart + csize)
-              case 8 => inflate(p, dataStart, dataStart + csize, usize)
+                java.util.Arrays.copyOfRange(p, d0, d0 + csize)
+              case 8 => inflate(p, d0, d0 + csize, usize)
               case _ => throw PngBad
             }
             if (data.length != usize ||

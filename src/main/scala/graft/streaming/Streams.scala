@@ -278,6 +278,14 @@ object Streams {
     * and verdict, the retrain/alert trigger a continuous ingest
     * polls. */
   def psiMonitor(delta: DataFrame, ref: Seq[(Long, Long)]): DataFrame = {
+    // the ref histogram is a CALLER-supplied artifact: a bin outside
+    // the dense 0..7 grid would silently vanish from psiOf's grid
+    // join (its mass dropped from every probability) — fail loudly
+    // instead, the malformed-artifact contract
+    val bad = ref.collect { case (b, _) if b < 0 || b > 7 => b }
+    require(bad.isEmpty,
+      s"psiMonitor: reference histogram bins outside the 0..7 grid: " +
+        bad.mkString(", "))
     val s = delta.sparkSession
     val refDf = s.createDataFrame(ref).toDF("bin", "c_ref")
     val cur = delta

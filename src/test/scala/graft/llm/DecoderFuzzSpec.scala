@@ -80,4 +80,13 @@ class DecoderTruncationSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(vf.nonEmpty && vf.forall(_.status.nonEmpty))
     }
   }
+
+  test("a legal EOCD-only empty ZIP yields one sentinel row, not silence") {
+    // the 22-byte minimum archive: PK\5\6, zero disks, zero entries,
+    // zero-size CD at offset 0, zero-length comment
+    val eocd = Array[Byte](0x50, 0x4b, 0x05, 0x06) ++ Array.fill[Byte](18)(0)
+    val rows = Multimodal.parseZip(7L, eocd)
+    assert(rows == Seq(graft.llm.ZipMember(7L, -1, "empty",
+      None, None, None, None, None)))
+  }
 }

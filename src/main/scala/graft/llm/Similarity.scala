@@ -397,6 +397,19 @@ object Similarity {
         col("neighbor_id"), col("cosine"))
   }
 
+  /** Candidate GENERATION for two-stage retrieval (the ColBERTv2/PLAID
+    * production shape: a cheap ANN first stage shortlists, an
+    * expensive late-interaction stage reranks ONLY the shortlist):
+    * the trained-IVF ranking ([[ivfTopOn]], nprobe configurable) on an
+    * arbitrary query-panel predicate, surfaced for the MaxSim rerank
+    * in [[graft.ops.TextOps]]. Returns (query_id, neighbor_id) pairs,
+    * ≤ k per panel query — the bounded frame the rerank joins, never
+    * the corpus. */
+  private[graft] def ivfCandidatesWhere(s: SparkSession, dir: String,
+      qpred: org.apache.spark.sql.Column, k: Int, nprobe: Int): DataFrame =
+    ivfTopOn(ivfCells(s, dir), qpred, k, nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+
   /** Corpus-side predicate of the FILTERED-ANN rows — a ~30%-selective
     * metadata constraint (labels 0–2 of the 10), the FAISS IDSelector /
     * vector-DB `filter=` parameter. */
@@ -2645,6 +2658,30 @@ object Similarity {
              FROM cos)
       SELECT query_id, cell, rnk, neighbor_id, cosine FROM rk WHERE rnk <= 3
       ORDER BY query_id, rnk"""
+
+  /** Oracle CTE chain for the two-stage rerank's CANDIDATE stage:
+    * renders `cand` = (query_id, doc_id), the nprobe-2 trained-IVF
+    * top-`k` per panel query (vec_id % 61 = 0 AND vec_id < 3050 — the
+    * MaxSim evaluation panel). Prepend [[Dedup.QE]]; the caller's
+    * rerank tail joins `cand` against its own scoring CTEs. Twin of
+    * [[ivfCandidatesWhere]] with the same ranking arithmetic as
+    * [[ivfSql]]. */
+  private[graft] def ivfCandCtes(k: Int): String =
+    Clustering.assignCtes + "," + ivfCte + s""",
+      cpair AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                  a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+                FROM ivcell a JOIN ivcell b
+                  ON b.cell IN (a.cell, a.cell2)
+                 AND a.vec_id % 61 = 0 AND a.vec_id < 3050
+                 AND a.vec_id <> b.vec_id),
+      ccos AS (SELECT query_id, neighbor_id,
+                 round(CAST($dot2 AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4) AS cosine
+               FROM cpair),
+      cand AS (SELECT query_id, neighbor_id AS doc_id FROM (
+                 SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+                 FROM ccos) WHERE rnk <= $k)"""
 
   /** DuckDB twin of the k-NN graph: [[ivfSql]]'s multiprobe pair join
     * with the query-batch filter dropped — every node is a query.

@@ -453,6 +453,58 @@ object TextOps {
         .orderBy("query_id", "rank")
     }),
 
+    // TWO-STAGE retrieval — see [[maxsimTwoStage]] (IVF candidates →
+    // MaxSim rerank, the ColBERTv2/PLAID production shape; the
+    // exhaustive q_maxsim grid is the thing this plan never builds).
+    "q_maxsim_twostage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rw = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      maxsimTwoStage(s, dir, cand = 20)
+        .withColumn("rank", row_number().over(rw))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("n_qtok"), col("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // What the candidate cut COSTS in MaxSim order: overlap@3 of the
+    // two-stage top-3 against the exhaustive q_maxsim top-3 on the
+    // queries the two-stage leg answers (panel ∩ embedded vectors) —
+    // the ColBERTv2 quality-vs-cost number. n_short counts two-stage
+    // queries answered with < 3 docs (a 20-candidate shortlist can
+    // run short only when the probed cells hold < 20 scoreable docs).
+    // On these fixtures text and embeddings are INDEPENDENT (the
+    // q_maxsim_recall note), so the dense candidate stage barely
+    // intersects the text-derived MaxSim order (measured 0.037) — on a
+    // real corpus, where the doc's single vector summarizes its token
+    // vectors, this is the high-overlap number that licenses the cut.
+    "q_maxsim_twostage_agree" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rw = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      def top3(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("rank", row_number().over(rw))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("doc_id"))
+      val ts = top3(maxsimTwoStage(s, dir, cand = 20))
+      val ex = top3(maxsimScored(s, dir))
+      val qs = ts.select(col("query_id")).distinct()
+      val short = qs.join(ts.groupBy(col("query_id")).count(),
+          Seq("query_id"), "left")
+        .agg(sum(when(coalesce(col("count"), lit(0L)) < 3, 1L)
+          .otherwise(0L)).as("n_short"))
+      ex.join(qs, "query_id")
+        .join(ts.select(col("query_id").as("aq"), col("doc_id").as("an")),
+          col("query_id") === col("aq") && col("doc_id") === col("an"),
+          "left")
+        .agg(count(lit(1)).as("n_true"), count(col("an")).as("n_found"))
+        .crossJoin(broadcast(short))
+        .select(col("n_true"), col("n_found"),
+          round(col("n_found").cast("double") / col("n_true").cast("double"),
+            4).as("overlap_at_3"), col("n_short"))
+    }),
+
     // MaxSim QUALITY row — the three-way shoot-out on the shared %61
     // truth panel (the q_rrf_fusion_recall pattern): recall@3 of
     // lexical BM25, late-interaction MaxSim, and RRF(bm25 top-10,
@@ -1113,35 +1165,73 @@ object TextOps {
       s"(ascii(substr($h, 2*i+1, 1)) - (CASE WHEN substr($h, 2*i+1, 1) >= 'a' THEN 87 ELSE 48 END)) * 16 + " +
       s"(ascii(substr($h, 2*i+2, 1)) - (CASE WHEN substr($h, 2*i+2, 1) >= 'a' THEN 87 ELSE 48 END)) - 128 as bigint))"
 
-  private def maxsimScored(s: org.apache.spark.sql.SparkSession,
+  /** The bounded MaxSim query panel (≤ 50 queries at ANY corpus size,
+    * like every other recall panel in the repo — a %-of-corpus panel
+    * made the pair grid quadratic in N): the 3 alphabetically-first
+    * length-≥4 terms of each %61 panel doc, each as its precomputed
+    * [[tokEmb]] token embedding. */
+  private def maxsimQTerms(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    GraftFunctions.register(s)
-    // The panel is BOUNDED (≤ 50 queries at ANY corpus size), like
-    // every other recall panel in the repo: a %-of-corpus panel made
-    // the pair grid quadratic in N — the late-interaction scale
-    // failure a production deployment avoids by scoring a candidate
-    // set, and the bench avoids by fixing the evaluation panel.
     val qw = Window.partitionBy(col("query_id")).orderBy(col("word"))
-    val qterms = termFreqs(s, dir)
+    termFreqs(s, dir)
       .filter(col("doc_id") % 61 === 0 && col("doc_id") < 3050 &&
         length(col("word")) >= 4)
       .select(col("doc_id").as("query_id"), col("word"))
       .withColumn("rn", row_number().over(qw))
       .filter(col("rn") <= 3)
       .select(col("query_id"), expr(tokEmb("md5(word)")).as("qe"))
-    val docs = Tables(s, dir, "documents")
+  }
+
+  /** Per-doc distinct-token embedding sets, materialized SCAN-SIDE
+    * (the r14 lesson: the fold body must be one native call over
+    * pre-extracted arrays, never per-element string ops). */
+  private def maxsimDocEmb(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables(s, dir, "documents")
       .select(col("doc_id"), expr(
         "transform(transform(array_distinct(filter(split(text, ' '), " +
           s"x -> x <> '')), x -> md5(x)), h -> ${tokEmb("h")})").as("es"))
       .filter(size(col("es")) >= 1)
-    docs.crossJoin(broadcast(qterms))
-      .filter(col("doc_id") =!= col("query_id"))
+
+  /** The MaxSim aggregate over (query_id, doc_id, qe, es) pair rows:
+    * per-pair max dot via one native `dot_long` fold, then the
+    * per-(query, doc) score sum. */
+  private def maxsimAgg(
+      pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    pairs
       .withColumn("ms", expr(
         "aggregate(es, cast(-1000000000 as bigint), " +
           "(acc, e) -> greatest(acc, dot_long(e, qe)))"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).cast("int").as("n_qtok"), sum(col("ms")).as("score"))
+
+  private def maxsimScored(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    GraftFunctions.register(s)
+    maxsimAgg(maxsimDocEmb(s, dir).crossJoin(broadcast(maxsimQTerms(s, dir)))
+      .filter(col("doc_id") =!= col("query_id")))
+  }
+
+  /** TWO-STAGE late-interaction retrieval (Santhanam et al. 2022,
+    * ColBERTv2/PLAID; the production shape): a cheap trained-IVF ANN
+    * stage shortlists `cand` candidates per query (nprobe = 2 over the
+    * dense single-vector index — the q_knn_ivf plan), then MaxSim
+    * scores ONLY the shortlist. The rerank join is keyed — candidates
+    * × query-terms (≤ 3·cand·|panel| rows) broadcast onto the doc-
+    * embedding scan — so unlike [[maxsimScored]]'s exhaustive grid
+    * NOTHING corpus×panel ever materializes: at 100 TB the first
+    * stage's cell join bounds all downstream work. Top-3 per query on
+    * the exact integer MaxSim score, doc_id tiebreak. */
+  private def maxsimTwoStage(s: org.apache.spark.sql.SparkSession,
+      dir: String, cand: Int): org.apache.spark.sql.DataFrame = {
+    GraftFunctions.register(s)
+    val cands = graft.llm.Similarity.ivfCandidatesWhere(s, dir,
+        col("vec_id") % 61 === 0 && col("vec_id") < 3050,
+        k = cand, nprobe = 2)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"))
+    maxsimAgg(maxsimDocEmb(s, dir).join(
+      broadcast(cands.join(maxsimQTerms(s, dir), "query_id")), "doc_id"))
   }
 
   /** The tf-idf operator tree over a term-frequency table (lazy). */
@@ -1206,17 +1296,34 @@ object TextOps {
     * distinct-token md5 lists, the hashed query-term panel, the
     * in-list MaxSim fold ([[tokDot]] shared VERBATIM with the Spark
     * lambda), and the (query, doc) score aggregate `mag`. */
-  private lazy val maxsimTail: String = s""",
+  private lazy val maxsimEmbCtes: String = """,
       mh AS (SELECT doc_id, list(DISTINCT md5(word)) AS hs
              FROM toks WHERE word <> '' GROUP BY doc_id),
       mqt AS (SELECT query_id, md5(word) AS qh FROM qt
-              WHERE query_id < 3050),
+              WHERE query_id < 3050)"""
+
+  private lazy val maxsimTail: String = maxsimEmbCtes + s""",
       mps AS (SELECT q.query_id, d.doc_id,
                 list_max(list_transform(d.hs, h -> ${tokDot("h", "q.qh")})) AS ms
               FROM mh d CROSS JOIN mqt q WHERE d.doc_id <> q.query_id),
       mag AS (SELECT query_id, doc_id, CAST(count(*) AS INT) AS n_qtok,
                 CAST(sum(ms) AS BIGINT) AS score
               FROM mps GROUP BY 1, 2)"""
+
+  /** Rerank tail of the two-stage twin: MaxSim over ONLY the `cand`
+    * pairs ([[graft.llm.Similarity.ivfCandCtes]]); expects `mh`/`mqt`
+    * ([[maxsimEmbCtes]]) in scope. */
+  private lazy val maxsimRerankCtes: String = s""",
+      rps AS (SELECT c.query_id, c.doc_id,
+                list_max(list_transform(d.hs, h -> ${tokDot("h", "q.qh")})) AS ms
+              FROM cand c JOIN mqt q ON c.query_id = q.query_id
+                   JOIN mh d ON c.doc_id = d.doc_id),
+      rag AS (SELECT query_id, doc_id, CAST(count(*) AS INT) AS n_qtok,
+                CAST(sum(ms) AS BIGINT) AS score
+              FROM rps GROUP BY 1, 2),
+      rrk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, doc_id) AS INT) AS rank
+              FROM rag)"""
 
   val oracles: Map[String, String] = Map(
     "q_maxsim" -> (bm25Ctes + maxsimTail + """,
@@ -1225,6 +1332,30 @@ object TextOps {
               FROM mag)
       SELECT query_id, rank, doc_id, n_qtok, score FROM mrk WHERE rank <= 3
       ORDER BY query_id, rank"""),
+    "q_maxsim_twostage" -> (bm25Ctes + "," + graft.llm.Dedup.QE + "," +
+      graft.llm.Similarity.ivfCandCtes(20) + maxsimEmbCtes +
+      maxsimRerankCtes + """
+      SELECT query_id, rank, doc_id, n_qtok, score FROM rrk WHERE rank <= 3
+      ORDER BY query_id, rank"""),
+    "q_maxsim_twostage_agree" -> (bm25Ctes + "," + graft.llm.Dedup.QE + "," +
+      graft.llm.Similarity.ivfCandCtes(20) + maxsimTail +
+      maxsimRerankCtes + """,
+      ts3 AS (SELECT query_id, doc_id FROM rrk WHERE rank <= 3),
+      exrk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id) AS rank
+               FROM mag),
+      ex3 AS (SELECT query_id, doc_id FROM exrk WHERE rank <= 3),
+      qs AS (SELECT DISTINCT query_id FROM ts3),
+      sh AS (SELECT CAST(sum(CASE WHEN coalesce(c.cnt, 0) < 3
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+             FROM qs LEFT JOIN (SELECT query_id, count(*) AS cnt
+                                FROM ts3 GROUP BY 1) c USING (query_id))
+      SELECT count(*) AS n_true, count(t.doc_id) AS n_found,
+             CAST(round(CAST(count(t.doc_id) AS DOUBLE) /
+               CAST(count(*) AS DOUBLE), 4) AS DOUBLE) AS overlap_at_3,
+             (SELECT n_short FROM sh) AS n_short
+      FROM ex3 e JOIN qs USING (query_id)
+      LEFT JOIN ts3 t ON e.query_id = t.query_id AND e.doc_id = t.doc_id"""),
     "q_maxsim_recall" -> (bm25Ctes + "," + graft.llm.Dedup.QE +
       maxsimTail + s""",
       pan AS (SELECT vec_id, q, norm FROM qn

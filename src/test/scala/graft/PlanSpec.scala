@@ -722,6 +722,23 @@ class PlanSpec extends SparkSuite {
       "top-3 per query must bound rows before the final exchange")
   }
 
+  test("q_maxsim_twostage reranks only the candidate shortlist, never panel x corpus") {
+    // the production ColBERT shape this query exists for: stage 1's
+    // IVF cell join and stage 2's candidate-keyed rerank are both
+    // BROADCAST HASH joins of bounded frames onto corpus scans — a
+    // BroadcastNestedLoopJoin is the exhaustive panel x corpus grid
+    // (q_maxsim's shape, the thing two-stage must never build), and a
+    // shuffled/sort-merge join means a corpus-sized side exchanged
+    val p = plan("q_maxsim_twostage")
+    assert(p.contains("BroadcastHashJoin"),
+      "candidates and cell probes must broadcast onto corpus scans")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"rerank must never build the exhaustive grid:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    assert(p.contains("WindowGroupLimit"),
+      "both stage ranks must bound rows before their exchanges")
+  }
+
   test("q_zorder_prune joins only the broadcast 1-row match aggregate") {
     // three event scans (two file-stats censuses + the exact match
     // count), the single join a Cross BNLJ of the broadcast 1-row

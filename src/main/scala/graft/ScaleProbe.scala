@@ -665,6 +665,42 @@ object ScaleProbe {
       docs.unpersist(false)
     }
 
+    // TAR container probe: the zip probe's claim for the second 1→N
+    // container — synthesize→512-byte header walk→checksum→stats is
+    // map-only, so censuses scale EXACTLY ×N and wall stays ~linear.
+    if (want("tar"))
+    locally {
+      import spark.implicits._
+      val docs = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h")).persist()
+      val nDocs = docs.count()
+      val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      def timedTar(mult: Int): Unit = {
+        val scaled = docs
+          .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
+            col("doc_id"), col("h"))
+          .select((col("doc_id") + col("i") * lit(stride)).as("doc_id"),
+            col("h"))
+        val t0 = System.nanoTime()
+        val census = graft.llm.Multimodal.decodeTar(
+            scaled.as[(Long, String)].mapPartitions(_.map { case (id, h) =>
+              graft.llm.BinaryDoc(id, graft.llm.Multimodal.tarBytes(h)) }))
+          .groupBy(col("status")).agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val dt = (System.nanoTime() - t0) / 1e9
+        val ok = census.getOrElse("ok", 0L)
+        val stopRows = Seq("bad_checksum", "short_data", "bad_header")
+          .map(census.getOrElse(_, 0L)).sum
+        val contFail = Seq("truncated", "empty", "bad_magic")
+          .map(census.getOrElse(_, 0L)).sum
+        println(f"""{"probe":"tar_${mult}x","blobs":${nDocs * mult},"ok_members":$ok,"stop_rows":$stopRows,"container_fail":$contFail,"member_rows":${census.values.sum},"sec":$dt%.2f}""")
+      }
+      timedTar(1)
+      timedTar(10)
+      timedTar(100)
+      docs.unpersist(false)
+    }
+
     // MaxSim probe: N× the corpus against the FIXED ≤50-query panel
     // (replica ids shift past the 3050 panel bound, so no replica can
     // join the panel). The scored pair grid is panel × docs — rows

@@ -138,6 +138,21 @@ case class ZipMember(doc_id: Long, member: Int, status: String,
     name: Option[String], method: Option[String], n_bytes: Option[Int],
     sum_bytes: Option[Long], n_sep: Option[Long])
 
+/** One row of the TAR archive ingest — the decode family's SECOND
+  * 1→N container, and the distribution unit public corpora actually
+  * ship as (The Pile / RedPajama tarballs): a healthy archive yields
+  * one row per member with its ustar identity (prefix-joined name)
+  * and exact text-ingest stats; container-level failures (`truncated`
+  * / `empty` / `bad_magic`) yield ONE `member` = -1 row. TAR is a
+  * POSITIONAL container (no central directory to cross-check), so
+  * header-level failures stop the walk WITH a row — `bad_checksum`
+  * (the header can't be trusted, including its size field, so no
+  * resync is possible), `bad_header` (unparseable size octal), and
+  * `short_data` (the archive ends inside the member's data). */
+case class TarMember(doc_id: Long, member: Int, status: String,
+    name: Option[String], n_bytes: Option[Int],
+    sum_bytes: Option[Long], n_sep: Option[Long])
+
 /** One SAMPLED (or failed) frame of the video frame-sampling stage —
   * the fps-reduction op a multimodal pipeline runs before feature
   * extraction: a healthy F-frame stream yields one row per KEPT frame
@@ -2177,6 +2192,168 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------------
+  // TAR (POSIX ustar) — the SECOND 1→N container, and the shape public
+  // corpora are actually distributed in (The Pile / RedPajama
+  // tarballs): fixed 512-byte headers with octal size fields and a
+  // space-normalized header checksum, data padded to 512-byte blocks,
+  // terminated by two zero blocks. Positional like ppm_pipe — there is
+  // no central directory to cross-check, so header failures stop the
+  // walk with a row.
+  // ---------------------------------------------------------------------
+
+  /** Synthesize a REAL ustar archive from a doc's md5: n ∈ 1..3
+    * members, member m's payload `(h ++ ":" ++ m ++ " ") × k`
+    * (k ∈ 1..3 — the SAME text shape as [[zipBytes]], so both
+    * containers share the oracle's stats arithmetic), genuine header
+    * checksums, member 1 exercising the ustar prefix field (~25% —
+    * name split as `d<digit>/m1.txt`). Arms (container precedence):
+    * archive truncated below one header block (~12.5% → `truncated`),
+    * member-0 header checksum corrupted (~6% → `bad_checksum`, walk
+    * stops), LAST member's data cut mid-payload with the trailer
+    * dropped (~12.5% → `short_data` on that member, earlier members
+    * still `ok`). */
+  private[graft] def tarBytes(h: String): Array[Byte] = {
+    val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
+    val n = 1 + b(0) % 3
+    val trunc = b(12) % 8 == 6
+    val badChk = b(11) % 16 == 3
+    val shortData = b(14) % 8 == 1
+    val usePfx = b(15) % 4 == 0
+    val out = new java.io.ByteArrayOutputStream(2048)
+    def field(dst: Array[Byte], off: Int, s: String): Unit = {
+      val bs = s.getBytes("US-ASCII")
+      System.arraycopy(bs, 0, dst, off, math.min(bs.length, 99))
+    }
+    def octal(dst: Array[Byte], off: Int, len: Int, v: Long): Unit =
+      field(dst, off, ("%0" + (len - 1) + "o").format(v))
+    var cut = -1
+    (0 until n).foreach { m =>
+      val k = 1 + b(5 + m) % 3
+      val data = ((h + ":" + m + " ") * k).getBytes("US-ASCII")
+      val hdr = new Array[Byte](512)
+      if (m == 1 && usePfx) {
+        field(hdr, 0, "m1.txt")
+        field(hdr, 345, "d" + (b(15) % 10))
+      } else field(hdr, 0, s"m$m.txt")
+      octal(hdr, 100, 8, 420) // mode 0644
+      octal(hdr, 108, 8, 0); octal(hdr, 116, 8, 0) // uid, gid
+      octal(hdr, 124, 12, data.length.toLong)
+      octal(hdr, 136, 12, (b(3) | (b(4) << 8)).toLong) // mtime
+      hdr(156) = '0' // typeflag: regular file
+      field(hdr, 257, "ustar"); hdr(263) = 0
+      hdr(264) = '0'; hdr(265) = '0' // version "00"
+      java.util.Arrays.fill(hdr, 148, 156, ' '.toByte)
+      var sum = 0; var i = 0
+      while (i < 512) { sum += hdr(i) & 0xff; i += 1 }
+      octal(hdr, 148, 7, (if (badChk && m == 0) sum + 1 else sum).toLong)
+      hdr(155) = ' '
+      out.write(hdr, 0, 512)
+      if (shortData && m == n - 1) {
+        cut = out.size() + (data.length + 1) / 2
+        out.write(data, 0, data.length)
+      } else {
+        out.write(data, 0, data.length)
+        val pad = (512 - data.length % 512) % 512
+        out.write(new Array[Byte](pad), 0, pad)
+      }
+    }
+    if (cut < 0) out.write(new Array[Byte](1024), 0, 1024) // end blocks
+    val full = out.toByteArray
+    if (trunc) full.take(100)
+    else if (cut >= 0) full.take(cut)
+    else full
+  }
+
+  /** REAL from-scratch ustar walk — see [[TarMember]] for the row
+    * contract. All offsets and sizes stay Long until bounds-validated
+    * (the [[parseZip]] overflow rule); a size octal that fails to
+    * parse is `bad_header`, a checksum mismatch is `bad_checksum` —
+    * both STOP the walk with their row, because a positional
+    * container with an untrusted header has no resync point. Spec:
+    * POSIX.1-1988 ustar (header layout, space-normalized checksum,
+    * two-zero-block trailer). */
+  private[graft] def parseTar(id: Long, p: Array[Byte]): Seq[TarMember] = {
+    def one(m: Int, st: String, name: Option[String] = None) =
+      Seq(TarMember(id, m, st, name, None, None, None))
+    if (p == null || p.length < 512) return one(-1, "truncated")
+    val members = scala.collection.mutable.ArrayBuffer[TarMember]()
+    var pos: Long = 0
+    var m = 0
+    while (true) {
+      if (pos + 512 > p.length)
+        return (members += TarMember(id, m, "truncated",
+          None, None, None, None)).toSeq
+      val h0 = pos.toInt // validated: pos <= p.length - 512
+      var allZero = true
+      var i = 0
+      while (allZero && i < 512) { if (p(h0 + i) != 0) allZero = false; i += 1 }
+      if (allZero) // trailer (second zero block not required to parse)
+        return if (members.isEmpty) one(-1, "empty") else members.toSeq
+      if (!(p(h0 + 257) == 'u' && p(h0 + 258) == 's' && p(h0 + 259) == 't' &&
+          p(h0 + 260) == 'a' && p(h0 + 261) == 'r'))
+        return (members += TarMember(id, m, "bad_magic",
+          None, None, None, None)).toSeq
+      // space-normalized checksum: stored octal vs sum with the
+      // checksum field itself read as 8 spaces
+      var sum = 0L; i = 0
+      while (i < 512) {
+        sum += (if (i >= 148 && i < 156) ' '.toInt else p(h0 + i) & 0xff)
+        i += 1
+      }
+      def octalAt(off: Int, len: Int): Long = {
+        var v = 0L; var j = off; var seen = false
+        while (j < off + len && p(h0 + j) != 0 && p(h0 + j) != ' ') {
+          val c = p(h0 + j) - '0'
+          if (c < 0 || c > 7 || v > (Long.MaxValue >> 3)) return -1L
+          v = (v << 3) + c; seen = true; j += 1
+        }
+        if (seen) v else -1L
+      }
+      if (octalAt(148, 8) != sum)
+        return (members += TarMember(id, m, "bad_checksum",
+          None, None, None, None)).toSeq
+      val size = octalAt(124, 12)
+      if (size < 0)
+        return (members += TarMember(id, m, "bad_header",
+          None, None, None, None)).toSeq
+      def str(off: Int, len: Int): String = {
+        var e = off
+        while (e < off + len && p(h0 + e) != 0) e += 1
+        new String(p, h0 + off, e - off, "US-ASCII")
+      }
+      val nm = str(0, 100)
+      val pfx = str(345, 155)
+      val name = if (pfx.isEmpty) nm else pfx + "/" + nm
+      if (pos + 512 + size > p.length)
+        return (members += TarMember(id, m, "short_data",
+          Some(name), None, None, None)).toSeq
+      val d0 = (pos + 512).toInt // validated: d0 + size <= p.length
+      var bsum = 0L; var seps = 0L
+      var j = 0
+      while (j < size) {
+        val v = p(d0 + j) & 0xff
+        bsum += v
+        if (v == ' ') seps += 1
+        j += 1
+      }
+      members += TarMember(id, m, "ok", Some(name),
+        Some(size.toInt), Some(bsum), Some(seps))
+      pos += 512 + ((size + 511) / 512) * 512
+      m += 1
+    }
+    members.toSeq // unreachable
+  }
+
+  /** The typed 1→N TAR ingest stage — same scan-fused flatMap shape
+    * as [[decodeZip]]. */
+  def decodeTar(ds: Dataset[BinaryDoc]): Dataset[TarMember] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.flatMap(d => parseTar(d.doc_id, d.payload))
+    }
+  }
+
+  // ---------------------------------------------------------------------
   // VIDEO as a frame stream (netpbm ppm_pipe — ffmpeg image2pipe's
   // rawvideo-adjacent format IS concatenated P6 frames): the
   // frame-SAMPLING op a multimodal pipeline runs before feature
@@ -2624,6 +2801,20 @@ object Multimodal {
       decodeZip(payloads).toDF().orderBy("doc_id", "member")
     }),
 
+    // TAR member fan-out — the SECOND 1→N container ([[parseTar]]):
+    // genuine ustar blocks (octal sizes, space-normalized header
+    // checksums, prefix-joined names, two-zero-block trailer) walked
+    // positionally; header-level failures stop with a row. Same
+    // scan-fused map-only shape as q_archive_ingest.
+    "q_archive_ingest_tar" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Tables(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, h) => BinaryDoc(id, tarBytes(h)) })
+      decodeTar(payloads).toDF().orderBy("doc_id", "member")
+    }),
+
     // VIDEO frame-sampling — the fps-reduction op, over genuine
     // ppm_pipe streams (2–9 concatenated P6 frames with per-frame
     // dimensions, so the sampler genuinely re-parses every header):
@@ -2866,6 +3057,52 @@ object Multimodal {
                      ELSE CAST(ks[m + 1] * (hsum + 138 + m) AS BIGINT)
                      END AS sum_bytes,
                 CASE WHEN baddata AND m = 0 THEN NULL
+                     ELSE CAST(ks[m + 1] AS BIGINT) END AS n_sep
+              FROM ex)
+      SELECT * FROM fail UNION ALL SELECT * FROM mem
+      ORDER BY doc_id, member""",
+    // TAR twin: the member census re-derived from the md5 pure
+    // functions (the archive-ingest oracle discipline — the oracle
+    // never sees the bytes, so a hash match proves the real 512-byte
+    // header walk, checksum arithmetic, octal parse, prefix join, and
+    // both stop-with-a-row arms). Same payload-text stats arithmetic
+    // as the ZIP twin (35k bytes, k·(hsum+138+m) sum, k separators).
+    "q_archive_ingest_tar" -> s"""
+      WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+      b AS (SELECT doc_id, h, ${byteAt(0)} AS b0, ${byteAt(5)} AS b5,
+              ${byteAt(6)} AS b6, ${byteAt(7)} AS b7, ${byteAt(11)} AS b11,
+              ${byteAt(12)} AS b12, ${byteAt(14)} AS b14, ${byteAt(15)} AS b15
+            FROM hx),
+      d AS (SELECT doc_id, 1 + b0 % 3 AS n,
+              b12 % 8 = 6 AS trunc, b11 % 16 = 3 AS badchk,
+              b14 % 8 = 1 AS shortd, b15 % 4 = 0 AS pfx, b15 % 10 AS pdig,
+              [1 + b5 % 3, 1 + b6 % 3, 1 + b7 % 3] AS ks,
+              list_sum(list_transform(generate_series(1, 32),
+                i -> ascii(substr(h, i, 1)))) AS hsum
+            FROM b),
+      fail AS (SELECT doc_id,
+                 CAST(CASE WHEN trunc THEN -1 ELSE 0 END AS INT) AS member,
+                 CASE WHEN trunc THEN 'truncated'
+                      ELSE 'bad_checksum' END AS status,
+                 CAST(NULL AS VARCHAR) AS name,
+                 CAST(NULL AS INT) AS n_bytes,
+                 CAST(NULL AS BIGINT) AS sum_bytes,
+                 CAST(NULL AS BIGINT) AS n_sep
+               FROM d WHERE trunc OR badchk),
+      ex AS (SELECT doc_id, n, shortd, pfx, pdig, ks, hsum,
+               unnest(generate_series(0, n - 1)) AS m
+             FROM d WHERE NOT trunc AND NOT badchk),
+      mem AS (SELECT doc_id, CAST(m AS INT) AS member,
+                CASE WHEN shortd AND m = n - 1 THEN 'short_data'
+                     ELSE 'ok' END AS status,
+                CASE WHEN m = 1 AND pfx THEN 'd' || pdig || '/m1.txt'
+                     ELSE 'm' || m || '.txt' END AS name,
+                CASE WHEN shortd AND m = n - 1 THEN NULL
+                     ELSE CAST(35 * ks[m + 1] AS INT) END AS n_bytes,
+                CASE WHEN shortd AND m = n - 1 THEN NULL
+                     ELSE CAST(ks[m + 1] * (hsum + 138 + m) AS BIGINT)
+                     END AS sum_bytes,
+                CASE WHEN shortd AND m = n - 1 THEN NULL
                      ELSE CAST(ks[m + 1] AS BIGINT) END AS n_sep
               FROM ex)
       SELECT * FROM fail UNION ALL SELECT * FROM mem

@@ -48,6 +48,8 @@ object DecoderFuzzProps extends Properties("Multimodal.decoders") {
       Multimodal.parseTiff(1L, bs).status.nonEmpty &&
       Multimodal.parseZip(1L, bs).forall(_.status.nonEmpty) &&
       Multimodal.parseZip(1L, bs).nonEmpty &&
+      Multimodal.parseTar(1L, bs).forall(_.status.nonEmpty) &&
+      Multimodal.parseTar(1L, bs).nonEmpty &&
       Multimodal.sampleVideo(1L, bs).forall(_.status.nonEmpty) &&
       Multimodal.sampleVideo(1L, bs).nonEmpty &&
       Multimodal.resizePpm(1L, bs, 2, 2).status.nonEmpty
@@ -63,22 +65,32 @@ class DecoderTruncationSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Multimodal.parseWarc(1L, null).status == "bad_magic")
     assert(Multimodal.parseTiff(1L, null).status == "bad_magic")
     assert(Multimodal.parseZip(1L, null).head.status == "truncated")
+    assert(Multimodal.parseTar(1L, null).head.status == "truncated")
     assert(Multimodal.sampleVideo(1L, null).head.status == "bad_magic")
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest("fuzz-truncate".getBytes("US-ASCII"))
       .map("%02x".format(_)).mkString
     for (full <- Seq(Multimodal.gzipBytes(h), Multimodal.warcBytes(h),
            Multimodal.tiffBytes(h), Multimodal.zipBytes(h),
-           Multimodal.videoBytes(h));
+           Multimodal.tarBytes(h), Multimodal.videoBytes(h));
          n <- 0 to full.length) {
       assert(Multimodal.parseGzip(1L, full.take(n)).status.nonEmpty)
       assert(Multimodal.parseWarc(1L, full.take(n)).status.nonEmpty)
       assert(Multimodal.parseTiff(1L, full.take(n)).status.nonEmpty)
       val zm = Multimodal.parseZip(1L, full.take(n))
       assert(zm.nonEmpty && zm.forall(_.status.nonEmpty))
+      val tm = Multimodal.parseTar(1L, full.take(n))
+      assert(tm.nonEmpty && tm.forall(_.status.nonEmpty))
       val vf = Multimodal.sampleVideo(1L, full.take(n))
       assert(vf.nonEmpty && vf.forall(_.status.nonEmpty))
     }
+  }
+
+  test("an end-blocks-only empty TAR yields one sentinel row, not silence") {
+    // the smallest legal archive: two 512-byte zero blocks
+    val rows = Multimodal.parseTar(7L, new Array[Byte](1024))
+    assert(rows == Seq(graft.llm.TarMember(7L, -1, "empty",
+      None, None, None, None)))
   }
 
   test("a legal EOCD-only empty ZIP yields one sentinel row, not silence") {

@@ -835,4 +835,40 @@ class StreamedDecodeSpec extends graft.SparkSuite {
         "no member-level CRC arm")
     } finally q.stop()
   }
+
+  test("streamed TAR archive ingest equals the batch member fan-out, arm for arm") {
+    // Second 1→N container, same stateless-flatMap contract as the
+    // ZIP twin: decodeTar runs unchanged per micro-batch; parity
+    // covers multi-member archives, the prefix-joined ustar name, and
+    // the container- and header-level stop-with-a-row arms.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val hexes = (0 until 48).map { i =>
+      (i.toLong, java.security.MessageDigest.getInstance("MD5")
+        .digest(s"tar-stream-$i".getBytes("US-ASCII"))
+        .map("%02x".format(_)).mkString)
+    }
+    val batch = hexes.flatMap { case (id, h) =>
+      Multimodal.parseTar(id, Multimodal.tarBytes(h))
+    }.toSet
+    val in = MemoryStream[(Long, String)]
+    val q = Multimodal.decodeTar(
+        in.toDS().map { case (id, h) => BinaryDoc(id, Multimodal.tarBytes(h)) })
+      .writeStream.format("memory").queryName("tar_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(hexes.take(24): _*); q.processAllAvailable()
+      in.addData(hexes.drop(24): _*); q.processAllAvailable()
+      val got = spark.table("tar_stream")
+        .as[graft.llm.TarMember].collect()
+      assert(got.length == got.toSet.size, "fan-out must not replay-duplicate")
+      assert(got.toSet == batch)
+      assert(got.exists(m => m.status == "ok" && m.member >= 1),
+        "no multi-member archive in the panel")
+      assert(got.exists(m => m.status == "ok" && m.name.exists(_.contains("/"))),
+        "no prefix-joined ustar name in the panel")
+      assert(got.exists(m => m.member == -1 || m.status == "bad_checksum" ||
+        m.status == "short_data"), "no failure arm in the panel")
+    } finally q.stop()
+  }
 }

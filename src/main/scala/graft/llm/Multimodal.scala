@@ -199,8 +199,13 @@ object Multimodal {
     * (`X6`, ~6%), a comment line in the header (~25%), and a raster
     * truncated 2 bytes short (~12.5%). Dimensions are 1..4 so the
     * raster never outruns `repeat(h, 3)`'s 48 bytes. */
-  def ppmPayload(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), md5(col("text")).as("h"))
+  def ppmPayload(docs: DataFrame): DataFrame = ppmPayloadKeep(docs, Nil)
+
+  /** [[ppmPayload]] with passthrough columns — the cross-modal gate
+    * carries `source` beside the payload so the whole synth+decode
+    * stays one scan. */
+  def ppmPayloadKeep(docs: DataFrame, keep: Seq[String]): DataFrame =
+    docs.select(col("doc_id") +: keep.map(col) :+ md5(col("text")).as("h"): _*)
       .withColumn("b0", expr(byteAt(0)))
       .withColumn("b1", expr(byteAt(1)))
       .withColumn("b13", expr(byteAt(13)))
@@ -215,8 +220,8 @@ object Multimodal {
         "concat(CASE WHEN b13 % 16 = 0 THEN 'X6' ELSE 'P6' END, '\n', " +
           "CASE WHEN b14 % 4 = 0 THEN '# synthetic fixture\n' ELSE '' END, " +
           "cast(w AS string), ' ', cast(hh AS string), '\n255\n')"))
-      .select(col("doc_id"),
-        concat(encode(col("hdr"), "UTF-8"), unhex(col("rhex"))).as("payload"))
+      .select(col("doc_id") +: keep.map(col) :+
+        concat(encode(col("hdr"), "UTF-8"), unhex(col("rhex"))).as("payload"): _*)
 
   /** REAL from-scratch P6 PPM parser — the honest decode path the
     * stubs below can't be (no codec library in the container, but
@@ -2815,6 +2820,69 @@ object Multimodal {
       decodeTar(payloads).toDF().orderBy("doc_id", "member")
     }),
 
+    // CROSS-MODAL ALIGNMENT GATE — the LAION recipe (Schuhmann et al.
+    // 2021): score each doc's image against its text embedding with a
+    // cosine, gate at τ, report the kept/dropped funnel per source.
+    // This is the one composition the multimodal and embedding
+    // families hadn't made yet: the image side is a GENUINE decode
+    // (the P6 payload parsed by parsePpm, its exact per-channel sums
+    // as a 3-dim feature vector — a CLIP image tower stands in as a
+    // stub by necessity, the *plumbing* is the real thing), the text
+    // side is the doc's quantized embedding folded to 3 block sums,
+    // and the score is the repo's exact 4-dp cosine discipline.
+    // Scale shape: decode is scan-fused (one documents pass carrying
+    // `source`), the embedding side is a scan-side projection, and
+    // the ONLY exchange is the doc-keyed SHUFFLE-HASH join (both
+    // sides corpus-sized — the genuine co-keyed join a 100 TB
+    // text+image corpus pays; never all-pairs) plus the tiny
+    // per-source aggregate. Gate τ = 0.1 on the 4-dp cosine.
+    "q_clip_filter" -> ((s, dir) => {
+      import s.implicits._
+      val img = ppmPayloadKeep(Tables(s, dir, "documents"), Seq("source"))
+        .as[(Long, String, Array[Byte])]
+        .mapPartitions(_.map { case (id, src, pay) =>
+          val m = parsePpm(id, pay)
+          (id, src, m.status, m.r_sum, m.g_sum, m.b_sum)
+        })
+        .toDF("doc_id", "source", "status", "r_sum", "g_sum", "b_sum")
+      val txt = Dedup.quantized(s, dir).select(col("vec_id"),
+        expr("aggregate(slice(q, 1, 21), cast(0 as bigint), (a, x) -> a + x)")
+          .as("t1"),
+        expr("aggregate(slice(q, 22, 21), cast(0 as bigint), (a, x) -> a + x)")
+          .as("t2"),
+        expr("aggregate(slice(q, 43, 22), cast(0 as bigint), (a, x) -> a + x)")
+          .as("t3"))
+      img.join(txt.hint("shuffle_hash"),
+          col("doc_id") === col("vec_id"), "left")
+        .withColumn("in2",
+          expr("r_sum * r_sum + g_sum * g_sum + b_sum * b_sum"))
+        .withColumn("tn2", expr("t1 * t1 + t2 * t2 + t3 * t3"))
+        .withColumn("scorable", expr(
+          "status = 'ok' AND vec_id IS NOT NULL AND in2 > 0 AND tn2 > 0"))
+        .withColumn("cos_u", expr(
+          "CASE WHEN scorable THEN cast(round(round(" +
+            "(r_sum * t1 + g_sum * t2 + b_sum * t3) / " +
+            "sqrt(cast(in2 as double)) / sqrt(cast(tn2 as double)), 4) " +
+            "* 10000.0) as bigint) END"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("status") === "ok", 1L).otherwise(0L)).as("n_img_ok"),
+          sum(when(col("scorable"), 1L).otherwise(0L)).as("n_scored"),
+          sum(when(col("scorable") && col("cos_u") >= 1000, 1L)
+            .otherwise(0L)).as("n_kept"),
+          sum(when(col("scorable"), col("cos_u")).otherwise(0L))
+            .as("cos_sum_u"))
+        .select(col("source"), col("n_docs"), col("n_img_ok"),
+          col("n_scored"), col("n_kept"),
+          when(col("n_scored") > 0,
+            round(col("n_kept").cast("double") /
+              col("n_scored").cast("double"), 4)).as("kept_frac"),
+          when(col("n_scored") > 0,
+            round(col("cos_sum_u").cast("double") /
+              col("n_scored").cast("double") / 10000.0, 4)).as("mean_cos"))
+        .orderBy("source")
+    }),
+
     // VIDEO frame-sampling — the fps-reduction op, over genuine
     // ppm_pipe streams (2–9 concatenated P6 frames with per-frame
     // dimensions, so the sampler genuinely re-parses every header):
@@ -3107,6 +3175,61 @@ object Multimodal {
               FROM ex)
       SELECT * FROM fail UNION ALL SELECT * FROM mem
       ORDER BY doc_id, member""",
+    // CLIP-gate twin: the image side re-derived from the md5 pure
+    // functions (the PPM oracle's raster arithmetic), the text side
+    // the shared quantized-embedding CTE folded to 3 block sums, the
+    // same 4-dp cosine and micro-unit mean discipline.
+    "q_clip_filter" -> ("WITH " + Dedup.QE + s""",
+      hx AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+      cb AS (SELECT doc_id, source, h, ${byteAt(0)} AS b0, ${byteAt(1)} AS b1,
+                    ${byteAt(13)} AS b13, ${byteAt(15)} AS b15
+             FROM hx),
+      cd AS (SELECT doc_id, source, h, b13 % 16 = 0 AS badmagic,
+                    b15 % 8 = 0 AS trunc, 1 + b0 % 4 AS w, 1 + b1 % 4 AS hh
+             FROM cb),
+      cr AS (SELECT doc_id, source, badmagic, trunc, w, hh,
+               list_transform(generate_series(0, w * hh * 3 - 1), i ->
+                 (ascii(substr(h, 2*(i%16)+1, 1)) - (CASE WHEN substr(h, 2*(i%16)+1, 1) >= 'a' THEN 87 ELSE 48 END)) * 16 +
+                 (ascii(substr(h, 2*(i%16)+2, 1)) - (CASE WHEN substr(h, 2*(i%16)+2, 1) >= 'a' THEN 87 ELSE 48 END))) AS raster
+             FROM cd),
+      ci AS (SELECT doc_id, source,
+               CASE WHEN badmagic THEN 'bad_magic'
+                    WHEN trunc THEN 'truncated' ELSE 'ok' END AS status,
+               CASE WHEN badmagic OR trunc THEN NULL ELSE CAST(list_sum(
+                 list_transform(generate_series(0, w * hh - 1), p -> raster[3*p+1])) AS BIGINT) END AS r_sum,
+               CASE WHEN badmagic OR trunc THEN NULL ELSE CAST(list_sum(
+                 list_transform(generate_series(0, w * hh - 1), p -> raster[3*p+2])) AS BIGINT) END AS g_sum,
+               CASE WHEN badmagic OR trunc THEN NULL ELSE CAST(list_sum(
+                 list_transform(generate_series(0, w * hh - 1), p -> raster[3*p+3])) AS BIGINT) END AS b_sum
+             FROM cr),
+      ct AS (SELECT vec_id,
+               CAST(list_sum(list_transform(generate_series(1, 21), i -> q[i])) AS BIGINT) AS t1,
+               CAST(list_sum(list_transform(generate_series(22, 42), i -> q[i])) AS BIGINT) AS t2,
+               CAST(list_sum(list_transform(generate_series(43, 64), i -> q[i])) AS BIGINT) AS t3
+             FROM qn),
+      cj AS (SELECT ci.*, ct.vec_id, ct.t1, ct.t2, ct.t3,
+               ci.r_sum * ci.r_sum + ci.g_sum * ci.g_sum + ci.b_sum * ci.b_sum AS in2,
+               ct.t1 * ct.t1 + ct.t2 * ct.t2 + ct.t3 * ct.t3 AS tn2
+             FROM ci LEFT JOIN ct ON ci.doc_id = ct.vec_id),
+      cs AS (SELECT *,
+               (status = 'ok' AND vec_id IS NOT NULL AND in2 > 0 AND tn2 > 0) AS scorable
+             FROM cj),
+      cu AS (SELECT *, CASE WHEN scorable THEN CAST(round(round(
+               CAST(r_sum * t1 + g_sum * t2 + b_sum * t3 AS DOUBLE) /
+               sqrt(CAST(in2 AS DOUBLE)) / sqrt(CAST(tn2 AS DOUBLE)), 4)
+               * 10000.0) AS BIGINT) END AS cos_u
+             FROM cs)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN status = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_img_ok,
+             CAST(sum(CASE WHEN scorable THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+             CAST(sum(CASE WHEN scorable AND cos_u >= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CASE WHEN sum(CASE WHEN scorable THEN 1 ELSE 0 END) > 0 THEN
+               round(CAST(sum(CASE WHEN scorable AND cos_u >= 1000 THEN 1 ELSE 0 END) AS DOUBLE) /
+                     CAST(sum(CASE WHEN scorable THEN 1 ELSE 0 END) AS DOUBLE), 4) END AS kept_frac,
+             CASE WHEN sum(CASE WHEN scorable THEN 1 ELSE 0 END) > 0 THEN
+               round(CAST(sum(CASE WHEN scorable THEN cos_u ELSE 0 END) AS DOUBLE) /
+                     CAST(sum(CASE WHEN scorable THEN 1 ELSE 0 END) AS DOUBLE) / 10000.0, 4) END AS mean_cos
+      FROM cu GROUP BY source ORDER BY source"""),
     // Video twin: kept frames, per-frame dimensions, and channel sums
     // recomputed from the md5 pure functions (raster byte j of frame
     // f = b[(f+j)%16], so r_sum folds bytes at f+3p). The oracle

@@ -740,6 +740,20 @@ class PlanSpec extends SparkSuite {
       "both stage ranks must bound rows before their exchanges")
   }
 
+  test("q_clip_filter joins the two modalities doc-keyed, never all-pairs") {
+    // the cross-modal gate is ONE keyed join of two corpus-sized
+    // sides (decoded image features x embedding block sums) — at
+    // 100 TB that is a genuine co-keyed shuffle-hash join; a
+    // broadcast of either side, a cartesian, or a sort-merge fallback
+    // means a corpus-sized side was mis-sized or multiplied
+    val p = plan("q_clip_filter")
+    assert(p.contains("ShuffledHashJoin"),
+      "modality join must stay a doc-keyed SHJ")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin"))
+    assert(p.contains("MapPartitions"), "image decode must stay scan-fused")
+  }
+
   test("q_zorder_prune joins only the broadcast 1-row match aggregate") {
     // three event scans (two file-stats censuses + the exact match
     // count), the single join a Cross BNLJ of the broadcast 1-row

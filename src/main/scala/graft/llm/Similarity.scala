@@ -188,19 +188,24 @@ object Similarity {
   }
 
   /** Symmetric (code-to-code) top-k by SQ8 L2² — broadcast queries,
-    * codegen dot_long on the code difference, WindowGroupLimit keeps
-    * local top-k exactly like the exact brute path. */
+    * WindowGroupLimit keeps local top-k exactly like the exact brute
+    * path. The distance is the expanded identity |a−b|² =
+    * ⟨a,a⟩ + ⟨b,b⟩ − 2⟨a,b⟩ with both self-norms computed SCAN-SIDE
+    * (per row, once) so the per-PAIR hot path is ONE native
+    * `dot_long` — the r14 standing rule: a `zip_with` diff lambda
+    * here ran interpreted per pair element. */
   private def sq8Top(s: SparkSession, dir: String, qmax: Int, k: Int): DataFrame = {
     val codes = sq8Codes(s, dir)
     val queriesDf = codes.filter(col("vec_id") < qmax)
-      .select(col("vec_id").as("query_id"), col("c").as("ca"))
+      .select(col("vec_id").as("query_id"), col("c").as("ca"),
+        expr("dot_long(c, c)").as("nca"))
     val corpus = codes
-      .select(col("vec_id").as("neighbor_id"), col("c").as("cb"))
+      .select(col("vec_id").as("neighbor_id"), col("c").as("cb"),
+        expr("dot_long(c, c)").as("ncb"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist").asc, col("neighbor_id").asc)
     corpus.join(broadcast(queriesDf), col("query_id") =!= col("neighbor_id"))
-      .withColumn("diff", expr("zip_with(ca, cb, (x, y) -> x - y)"))
-      .withColumn("dist", expr("dot_long(diff, diff)"))
+      .withColumn("dist", expr("nca + ncb - 2 * dot_long(ca, cb)"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("dist"))
@@ -225,20 +230,23 @@ object Similarity {
     val qe = Dedup.quantized(s, dir)
     val queriesDf = qe.filter(col("vec_id") < qmax)
       .withColumn("mn", expr(s"cast(array($mns) as array<bigint>)"))
-      .select(col("vec_id").as("query_id"),
-        expr("transform(sequence(0, size(q) - 1), i -> (q[i] - mn[i]) * 255)")
-          .as("da"))
+      .withColumn("da",
+        expr("transform(sequence(0, size(q) - 1), i -> (q[i] - mn[i]) * 255)"))
+      .select(col("vec_id").as("query_id"), col("da"),
+        expr("dot_long(da, da)").as("nda"))
     val corpus = sq8CodesFrom(qe, mns, mxs)
       .withColumn("mn", expr(s"cast(array($mns) as array<bigint>)"))
       .withColumn("mx", expr(s"cast(array($mxs) as array<bigint>)"))
-      .select(col("vec_id").as("neighbor_id"),
-        expr("transform(sequence(0, size(c) - 1), i -> c[i] * (mx[i] - mn[i]))")
-          .as("db"))
+      .withColumn("db",
+        expr("transform(sequence(0, size(c) - 1), i -> c[i] * (mx[i] - mn[i]))"))
+      .select(col("vec_id").as("neighbor_id"), col("db"),
+        expr("dot_long(db, db)").as("ndb"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist").asc, col("neighbor_id").asc)
+    // |a−b|² expanded: self-norms scan-side, ONE native dot per pair
+    // (the r14 standing rule — the zip_with diff ran interpreted)
     corpus.join(broadcast(queriesDf), col("query_id") =!= col("neighbor_id"))
-      .withColumn("diff", expr("zip_with(da, db, (x, y) -> x - y)"))
-      .withColumn("dist", expr("dot_long(diff, diff)"))
+      .withColumn("dist", expr("nda + ndb - 2 * dot_long(da, db)"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("dist"))
@@ -729,11 +737,15 @@ object Similarity {
   }
 
   /** 1-bit binary-quantized top-k: sign codes scan-side, Hamming
-    * ranking (ties: lower neighbor id). All-integer — hash-exact. */
+    * ranking (ties: lower neighbor id). All-integer — hash-exact.
+    * Signs are ±1 so the per-PAIR Hamming reduces to ONE native dot:
+    * matching dims contribute +1, differing −1, hence hamming =
+    * (d − ⟨sa,sb⟩)/2 (the r14 standing rule — the zip_with equality
+    * fold here ran interpreted per pair element). */
   private def bqTop(s: SparkSession, dir: String, qmax: Int, k: Int): DataFrame = {
     val signs = Dedup.quantized(s, dir)
       .select(col("vec_id"),
-        expr("transform(q, x -> case when x >= 0 then 1 else 0 end)").as("sg"))
+        expr("transform(q, x -> case when x >= 0 then 1L else -1L end)").as("sg"))
     val queriesDf = signs.filter(col("vec_id") < qmax)
       .select(col("vec_id").as("query_id"), col("sg").as("sa"))
     val corpus = signs
@@ -742,7 +754,7 @@ object Similarity {
       .orderBy(col("hamming").asc, col("neighbor_id").asc)
     corpus.join(broadcast(queriesDf), col("query_id") =!= col("neighbor_id"))
       .withColumn("hamming", expr(
-        "aggregate(zip_with(sa, sb, (x, y) -> case when x = y then 0L else 1L end), 0L, (a, v) -> a + v)"))
+        "(cast(size(sa) as bigint) - dot_long(sa, sb)) div 2"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("hamming"))
@@ -824,27 +836,31 @@ object Similarity {
       qmax: Int, k: Int, nprobe: Int): DataFrame = {
     val queriesDf = cells.filter(col("vec_id") < qmax)
       .withColumn("mn", expr(s"cast(array($mns) as array<bigint>)"))
+      .withColumn("da",
+        expr("transform(sequence(0, size(q) - 1), i -> (q[i] - mn[i]) * 255)"))
       .select(col("vec_id").as("query_id"), col("cell"),
         // array_distinct: degenerate single-cell index has cell2 == cell
         explode(if (nprobe >= 2)
           array_distinct(array(col("cell"), col("cell2")))
         else array(col("cell"))).as("probe"),
-        expr("transform(sequence(0, size(q) - 1), i -> (q[i] - mn[i]) * 255)")
-          .as("da"))
+        col("da"), expr("dot_long(da, da)").as("nda"))
     val corpus = cells
       .withColumn("mn", expr(s"cast(array($mns) as array<bigint>)"))
       .withColumn("mx", expr(s"cast(array($mxs) as array<bigint>)"))
-      .select(col("vec_id").as("neighbor_id"), col("cell").as("ncell"),
+      .withColumn("db",
         expr("""transform(sequence(0, size(q) - 1),
           |  i -> case when mx[i] = mn[i] then cast(0 as bigint)
           |            else ((q[i] - mn[i]) * 255 div (mx[i] - mn[i])) * (mx[i] - mn[i]) end)"""
-          .stripMargin).as("db"))
+          .stripMargin))
+      .select(col("vec_id").as("neighbor_id"), col("cell").as("ncell"),
+        col("db"), expr("dot_long(db, db)").as("ndb"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist").asc, col("neighbor_id").asc)
+    // |a−b|² expanded: self-norms scan-side, ONE native dot per pair
+    // (the r14 standing rule — the zip_with diff ran interpreted)
     broadcast(queriesDf).join(corpus, col("probe") === col("ncell") &&
         col("query_id") =!= col("neighbor_id"))
-      .withColumn("diff", expr("zip_with(da, db, (x, y) -> x - y)"))
-      .withColumn("dist", expr("dot_long(diff, diff)"))
+      .withColumn("dist", expr("nda + ndb - 2 * dot_long(da, db)"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("cell"), col("rnk"),

@@ -815,6 +815,36 @@ object TextAnalysis {
         .orderBy("rule")
     }),
 
+    // RELIABILITY DIAGRAM for the trained quality filter — the eval
+    // artifact that decides a learned gate's threshold: the HELD-OUT
+    // quarter scored under the trained weights, predicted probability
+    // bucketed into 32 equal micro-unit bins (the q_quantile_sketch
+    // integer-histogram discipline), per-bin exact counts + mean
+    // predicted p + observed label rate + the calibration gap
+    // (obs − pred, from the exact integer sums — a well-calibrated
+    // filter reads gap ≈ 0 in every populated bin; a consistently
+    // positive gap says the gate under-claims and the threshold can
+    // drop). Scale shape: the q_lr_quality training chain (broadcast
+    // 1-row weights, corpus scanned per pass, nothing shuffles by
+    // feature) + one ≤32-key aggregate.
+    "q_lr_calibration" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val (_, ws) = lrChain(s, docs)
+      lrScore(lrFeats(docs, train = false), ws(2))
+        .withColumn("bin", expr("cast(least(p_u div 31250, 31) as int)"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+          sum(col("p_u")).as("p_sum_u"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          round(col("p_sum_u").cast("double") / col("n").cast("double") /
+            1000000.0, 4).as("mean_p"),
+          round(col("n_pos").cast("double") / col("n").cast("double"), 4)
+            .as("obs_rate"),
+          round((col("n_pos") * 1000000L - col("p_sum_u")).cast("double") /
+            col("n").cast("double") / 1000000.0, 4).as("gap"))
+        .orderBy("bin")
+    }),
+
     // The per-doc QUALITY VECTOR — every filter signal this library
     // computes, materialized ONCE as one wide row per document (the
     // artifact real pipelines write next to the corpus and threshold
@@ -1873,6 +1903,7 @@ object TextAnalysis {
     "q_lr_quality" -> lrQualitySql,
     "q_lr_gopher_agree" -> lrGopherAgreeSql,
     "q_lr_gopher_rules" -> lrGopherRulesSql,
+    "q_lr_calibration" -> lrCalibrationSql,
     "q_doc_quality_vector" -> docQualityVectorSql,
     // Twin of the DSIR selector: same 64 hashed buckets (the CMS/HLL
     // hex-prefix idiom), same add-1 bucket LMs and 6-dp log-ratio
@@ -2366,6 +2397,24 @@ object TextAnalysis {
              CAST(round(CAST(sum(CASE WHEN lr_keep = (y = 1) THEN 1 ELSE 0 END) AS DOUBLE) /
                CAST(count(*) AS DOUBLE), 4) AS DOUBLE) AS lr_accuracy
       FROM mp JOIN gkp USING (doc_id)"""
+
+  /** Calibration twin: held-out scores under lw2, 32 equal micro-unit
+    * bins, exact integer sums for every reported ratio. */
+  private lazy val lrCalibrationSql = "WITH " + lrTrainCtes + "," +
+    lrFeatsCte("m", train = false) + s""",
+      ms AS (SELECT f.*, $lrZExpr AS z_u FROM mf f, lw2),
+      mp AS (SELECT doc_id, y, $lrPExpr AS p_u FROM ms),
+      mb AS (SELECT CAST(least(p_u // 31250, 31) AS INT) AS bin, y, p_u
+             FROM mp)
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(round(CAST(sum(p_u) AS DOUBLE) / CAST(count(*) AS DOUBLE) /
+               1000000.0, 4) AS DOUBLE) AS mean_p,
+             CAST(round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+               AS DOUBLE) AS obs_rate,
+             CAST(round(CAST(sum(y) * 1000000 - sum(p_u) AS DOUBLE) /
+               CAST(count(*) AS DOUBLE) / 1000000.0, 4) AS DOUBLE) AS gap
+      FROM mb GROUP BY bin ORDER BY bin"""
 
   /** Per-rule drill-down twin: the agree CTEs plus fire bits, a 3-way
     * UNION ALL explode, and the scalar disagreement total. */

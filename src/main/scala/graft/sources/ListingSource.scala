@@ -5,10 +5,11 @@ import java.util.{Map => JMap}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, StringContains, StringEndsWith, StringStartsWith}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -80,10 +81,14 @@ private class ListingTable(paths: String) extends Table with SupportsRead {
 
 private class ListingScanBuilder(paths: Array[String])
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = ListingSource.Schema
+  // pushed aggregate functions as a serializable spec: (op, column),
+  // op ∈ count_star / count / min / max — the AggregateFunc objects
+  // themselves never cross the driver boundary
+  private var aggSpec: Array[(String, String)] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, rest) =
@@ -96,7 +101,39 @@ private class ListingScanBuilder(paths: Array[String])
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new ListingScan(paths, pushed, required)
+  /** COUNT/MIN/MAX absorb into the listing walk itself — the directory
+    * census never materializes one row per entry (the engine-native
+    * depth step past filter pushdown + column pruning: a `count(*)`
+    * over a 10⁹-file listing returns one partial row PER DIRECTORY).
+    * Partial pushdown contract (`supportCompletePushDown` stays
+    * false): each input partition emits its own partial count /
+    * min / max and Spark's final merge sums / folds them — correct at
+    * any partition count, no global state in the source. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (aggregation.groupByExpressions.nonEmpty) return false
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 &&
+          (nr.fieldNames()(0) == "dir" || nr.fieldNames()(0) == "name") =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    val specs = aggregation.aggregateExpressions.map {
+      case _: CountStar => Some(("count_star", ""))
+      case c: Count if !c.isDistinct =>
+        colOf(c.column).map(("count", _))
+      case m: Min => colOf(m.column).map(("min", _))
+      case m: Max => colOf(m.column).map(("max", _))
+      case _ => None
+    }
+    if (specs.exists(_.isEmpty)) return false
+    aggSpec = specs.map(_.get)
+    true
+  }
+
+  override def build(): Scan =
+    if (aggSpec.nonEmpty) new ListingAggScan(paths, pushed, aggSpec)
+    else new ListingScan(paths, pushed, required)
 }
 
 private case class ListingPartition(dir: String) extends InputPartition
@@ -113,6 +150,68 @@ private class ListingScan(paths: Array[String], filters: Array[Filter],
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ListingReaderFactory(filters, required.fieldNames)
+}
+
+/** Aggregate-pushdown scan: one PARTIAL row per directory partition,
+  * schema = one field per pushed function (count → long, min/max →
+  * string, matching V2ScanRelationPushDown's partial-agg contract). */
+private class ListingAggScan(paths: Array[String], filters: Array[Filter],
+    aggSpec: Array[(String, String)]) extends Scan with Batch {
+  override def readSchema(): StructType = StructType(aggSpec.zipWithIndex.map {
+    case ((op, c), i) => op match {
+      case "count_star" | "count" => StructField(s"agg$i", LongType, nullable = false)
+      case _ => StructField(s"agg$i", StringType, nullable = true)
+    }
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ListingAggScan(paths=${paths.length}, pushed=${filters.mkString(",")}, " +
+      s"PushedAggregates=[${aggSpec.map { case (o, c) => s"$o($c)" }.mkString(",")}])"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    paths.map(ListingPartition(_): InputPartition)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ListingAggReaderFactory(filters, aggSpec)
+}
+
+private class ListingAggReaderFactory(filters: Array[Filter],
+    aggSpec: Array[(String, String)]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val dir = p.asInstanceOf[ListingPartition].dir
+    val preds = filters.flatMap(ListingSource.compile)
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = !done
+      override def get(): InternalRow = {
+        done = true
+        // ONE pass over the filtered listing computes every partial
+        var n = 0L
+        var minD: String = null; var maxD: String = null
+        var minN: String = null; var maxN: String = null
+        val it = Option(new File(dir).list()).getOrElse(Array.empty[String])
+          .iterator.filter(nm => preds.forall(_(dir, nm)))
+        while (it.hasNext) {
+          val nm = it.next()
+          n += 1
+          if (minN == null || nm < minN) minN = nm
+          if (maxN == null || nm > maxN) maxN = nm
+          if (minD == null || dir < minD) minD = dir
+          if (maxD == null || dir > maxD) maxD = dir
+        }
+        def s(v: String) = if (v == null) null else UTF8String.fromString(v)
+        InternalRow.fromSeq(aggSpec.toSeq.map {
+          case ("count_star", _) | ("count", _) => n
+          case ("min", "dir") => s(minD)
+          case ("max", "dir") => s(maxD)
+          case ("min", "name") => s(minN)
+          case ("max", "name") => s(maxN)
+          case other => sys.error(s"unreachable agg spec $other")
+        })
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private class ListingReaderFactory(filters: Array[Filter],

@@ -76,4 +76,61 @@ class ListingSourceSpec extends SparkSuite {
     assert(!scanLine.contains("dir#"),
       s"dir survived pruning in the scan node: $scanLine")
   }
+
+  test("count(*) is absorbed into the scan — no listing rows surface") {
+    // the engine-native depth step past filter pushdown: the scan node
+    // must be the AGGREGATE scan (one partial row per directory, the
+    // pushed functions in its description) and its numOutputRows must
+    // be the PARTITION count (2 dirs), never the entry count (5) —
+    // while the value matches the unpushed plan exactly
+    val q = read().agg(count(lit(1)))
+    val got = q.collect().head.getLong(0)
+    assert(got === 5L, "pushed count disagrees with the listing")
+    // the agg plan carries an exchange, so AQE wraps it and the
+    // executed tree's leaves are QueryStageExec wrappers — unwrap
+    // recursively to reach the BatchScanExec and its metric
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case qs: QueryStageExec => qs +: nodes(qs.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val all = nodes(q.queryExecution.executedPlan)
+    val scanLine = q.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("ListingAggScan")).getOrElse(
+        fail("no ListingAggScan node — aggregate not pushed:\n" +
+          q.queryExecution.executedPlan.toString))
+    assert(scanLine.contains("PushedAggregates=[count_star()]"), scanLine)
+    val scan = all.find(p =>
+        p.isInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] &&
+        p.toString.contains("ListingAggScan"))
+      .getOrElse(fail("no BatchScan leaf"))
+    assert(scan.metrics("numOutputRows").value === 2,
+      "scan surfaced listing rows instead of per-partition partials")
+  }
+
+  test("pushed min/max/count match the unpushed values, filters compose") {
+    val q = read().filter(col("name").contains("needle"))
+      .agg(count(lit(1)).as("n"), min(col("name")).as("mn"),
+        max(col("name")).as("mx"))
+    val r = q.collect().head
+    assert((r.getLong(0), r.getString(1), r.getString(2)) ===
+      ((3L, "alpha_needle", "delta_needle")))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ListingAggScan") && plan.contains("min(name)") &&
+      plan.contains("max(name)") && plan.contains("StringContains"),
+      s"aggregate + filter must both reach the scan:\n$plan")
+  }
+
+  test("a group-by or distinct count falls back to the row scan") {
+    // groupBy(dir) and count(DISTINCT) are NOT pushable — the source
+    // must refuse and the plain row scan must carry the query
+    val q = read().groupBy(col("dir")).agg(count(lit(1)).as("n"))
+    assert(q.collect().map(_.getLong(1)).sorted.toSeq === Seq(2L, 3L))
+    assert(!q.queryExecution.executedPlan.toString.contains("ListingAggScan"))
+    val qd = read().agg(countDistinct(col("name")).as("n"))
+    assert(qd.collect().head.getLong(0) === 4L)
+    assert(!qd.queryExecution.executedPlan.toString.contains("ListingAggScan"))
+  }
 }

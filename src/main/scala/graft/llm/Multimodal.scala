@@ -153,6 +153,12 @@ case class TarMember(doc_id: Long, member: Int, status: String,
     name: Option[String], n_bytes: Option[Int],
     sum_bytes: Option[Long], n_sep: Option[Long])
 
+/** The member grain WITH its decoded text — what the archive-member
+  * dedup screen consumes: one row per member row of [[parseZip]],
+  * `text` present exactly on `ok` members. */
+case class ZipTextMember(doc_id: Long, member: Int, status: String,
+    text: Option[String])
+
 /** One SAMPLED (or failed) frame of the video frame-sampling stage —
   * the fps-reduction op a multimodal pipeline runs before feature
   * extraction: a healthy F-frame stream yields one row per KEPT frame
@@ -2089,9 +2095,18 @@ object Multimodal {
     * per member, then exact text-ingest stats. Malformed input
     * degrades to STATUS ROWS, never a throw (decode-family contract);
     * a healthy archive is the family's first 1→N generator. */
-  private[graft] def parseZip(id: Long, p: Array[Byte]): Seq[ZipMember] = {
+  private[graft] def parseZip(id: Long, p: Array[Byte]): Seq[ZipMember] =
+    zipWalk(id, p).map(_._1)
+
+  /** [[parseZip]] with the decoded member TEXT kept (ok members only)
+    * — the member grain the streamed archive dedup screens. */
+  private[graft] def parseZipText(id: Long, p: Array[Byte]): Seq[ZipTextMember] =
+    zipWalk(id, p).map { case (zm, t) =>
+      ZipTextMember(zm.doc_id, zm.member, zm.status, Option(t)) }
+
+  private def zipWalk(id: Long, p: Array[Byte]): Seq[(ZipMember, String)] = {
     def fail(st: String) =
-      Seq(ZipMember(id, -1, st, None, None, None, None, None))
+      Seq((ZipMember(id, -1, st, None, None, None, None, None), null: String))
     if (p == null || p.length < 22) return fail("truncated")
     def u16(i: Int) = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
     def u32(i: Int) = (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
@@ -2110,11 +2125,12 @@ object Multimodal {
     // decode-family "failure is a row, never silent" accounting holds
     // for EVERY input blob, empty archives included
     if (n == 0)
-      return Seq(ZipMember(id, -1, "empty", None, None, None, None, None))
+      return Seq((ZipMember(id, -1, "empty", None, None, None, None, None),
+        null: String))
     // offsets stay Long until bounds-validated: a crafted u32 near
     // 2^31 would wrap an Int comparison negative and bypass the guard
     val cdOff = u32(eocd + 16)
-    val members = scala.collection.mutable.ArrayBuffer[ZipMember]()
+    val members = scala.collection.mutable.ArrayBuffer[(ZipMember, String)]()
     var pos: Long = cdOff
     var m = 0
     while (m < n) {
@@ -2136,7 +2152,8 @@ object Multimodal {
         (if (lhOffL < 0 || lhOffL + 30 > p.length ||
             u32(lhOffL.toInt) != 0x04034b50L ||
             u16(lhOffL.toInt + 8) != method)
-          ZipMember(id, m, "bad_local", Some(name), None, None, None, None)
+          (ZipMember(id, m, "bad_local", Some(name), None, None, None, None),
+            null: String)
         else {
           val lhOff = lhOffL.toInt // validated: 0 <= lhOff <= len - 30
           val dataStart: Long =
@@ -2147,8 +2164,8 @@ object Multimodal {
           // comparisons reject any u32 a .toInt would have wrapped)
           if (csizeL > Int.MaxValue || usizeL > (1 << 24) ||
               dataStart + csizeL > p.length)
-            ZipMember(id, m, "bad_data", Some(name), Some(mstr),
-              None, None, None)
+            (ZipMember(id, m, "bad_data", Some(name), Some(mstr),
+              None, None, None), null: String)
           else try {
             val d0 = dataStart.toInt // validated: dataStart + csize <= len
             val data = method match {
@@ -2160,8 +2177,8 @@ object Multimodal {
             }
             if (data.length != usize ||
                 (crc32Png(data) & 0xffffffffL) != crc)
-              ZipMember(id, m, "bad_data", Some(name), Some(mstr),
-                None, None, None)
+              (ZipMember(id, m, "bad_data", Some(name), Some(mstr),
+                None, None, None), null: String)
             else {
               var sum = 0L; var seps = 0L; var j = 0
               while (j < data.length) {
@@ -2170,13 +2187,14 @@ object Multimodal {
                 if (v == ' ') seps += 1
                 j += 1
               }
-              ZipMember(id, m, "ok", Some(name), Some(mstr),
-                Some(data.length), Some(sum), Some(seps))
+              (ZipMember(id, m, "ok", Some(name), Some(mstr),
+                Some(data.length), Some(sum), Some(seps)),
+                new String(data, "US-ASCII"))
             }
           } catch {
             case ex: RuntimeException if (ex eq PngBad) || (ex eq PngTrunc) =>
-              ZipMember(id, m, "bad_data", Some(name), Some(mstr),
-                None, None, None)
+              (ZipMember(id, m, "bad_data", Some(name), Some(mstr),
+                None, None, None), null: String)
           }
         })
       pos += 46 + nameLen + extraLen + cmtLen
@@ -2193,6 +2211,16 @@ object Multimodal {
     ds.mapPartitions { rows =>
       // per-partition decode-buffer allocation would go here
       rows.flatMap(d => parseZip(d.doc_id, d.payload))
+    }
+  }
+
+  /** The text-bearing member fan-out — same scan-fused stateless
+    * flatMap, feeding the member grain into downstream text stages
+    * (the archive-member dedup screen). */
+  def decodeZipText(ds: Dataset[BinaryDoc]): Dataset[ZipTextMember] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.flatMap(d => parseZipText(d.doc_id, d.payload))
     }
   }
 
@@ -2820,6 +2848,33 @@ object Multimodal {
       decodeTar(payloads).toDF().orderBy("doc_id", "member")
     }),
 
+    // ARCHIVE-MEMBER DEDUP census — the crawl-shaped funnel at the
+    // MEMBER grain ([[parseZipText]]): blobs fan out to members, ok
+    // members carry their decoded text, and the exact-dup census runs
+    // across ALL archives (documents sharing text synthesize
+    // byte-identical archives, so their members collide — exactly the
+    // duplicated-distribution-unit shape public corpora exhibit). One
+    // scan, map-only fan-out, one aggregate; the STREAMED form
+    // (Streams.archiveMemberScreen) runs the full exact+LSH screen
+    // per arriving container against the standing index.
+    "q_archive_member_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = Tables(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, h) => BinaryDoc(id, zipBytes(h)) })
+      decodeZipText(blobs).toDF()
+        .agg(countDistinct(col("doc_id")).as("n_blobs"),
+          count(lit(1)).as("n_member_rows"),
+          sum(when(col("status") === "ok", 1L).otherwise(0L))
+            .as("n_ok_members"),
+          countDistinct(col("text")).as("n_distinct_texts"))
+        .select(col("n_blobs"), col("n_member_rows"), col("n_ok_members"),
+          col("n_distinct_texts"),
+          (col("n_ok_members") - col("n_distinct_texts"))
+            .as("n_dup_members"))
+    }),
+
     // CROSS-MODAL ALIGNMENT GATE — the LAION recipe (Schuhmann et al.
     // 2021): score each doc's image against its text embedding with a
     // cosine, gate at τ, report the kept/dropped funnel per source.
@@ -3175,6 +3230,40 @@ object Multimodal {
               FROM ex)
       SELECT * FROM fail UNION ALL SELECT * FROM mem
       ORDER BY doc_id, member""",
+    // Member-dedup twin: the member census re-derived from md5 pure
+    // functions, the member TEXT reconstructed literally (repeat of
+    // h:m — the zipBytes payload), so the distinct-text census pins
+    // the real inflate round trip byte for byte.
+    "q_archive_member_dedup" -> s"""
+      WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+      b AS (SELECT doc_id, h, ${byteAt(0)} AS b0, ${byteAt(5)} AS b5,
+              ${byteAt(6)} AS b6, ${byteAt(7)} AS b7, ${byteAt(11)} AS b11,
+              ${byteAt(12)} AS b12, ${byteAt(13)} AS b13, ${byteAt(14)} AS b14
+            FROM hx),
+      d AS (SELECT doc_id, h, 1 + b0 % 3 AS n,
+              b12 % 8 = 6 AS trunc, b11 % 16 = 3 AS badeocd,
+              b13 % 8 = 2 AS badcd, b14 % 8 = 1 AS baddata,
+              [1 + b5 % 3, 1 + b6 % 3, 1 + b7 % 3] AS ks
+            FROM b),
+      fail AS (SELECT doc_id, CAST(NULL AS VARCHAR) AS text, 0 AS ok
+               FROM d WHERE trunc OR badeocd OR badcd),
+      ex AS (SELECT doc_id, h, baddata, ks,
+               unnest(generate_series(0, n - 1)) AS m
+             FROM d WHERE NOT (trunc OR badeocd OR badcd)),
+      mem AS (SELECT doc_id,
+                CASE WHEN baddata AND m = 0 THEN NULL
+                     ELSE repeat(h || ':' || CAST(m AS VARCHAR) || ' ',
+                            ks[m + 1]) END AS text,
+                CASE WHEN baddata AND m = 0 THEN 0 ELSE 1 END AS ok
+              FROM ex),
+      a AS (SELECT * FROM fail UNION ALL SELECT * FROM mem)
+      SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_blobs,
+             CAST(count(*) AS BIGINT) AS n_member_rows,
+             CAST(sum(ok) AS BIGINT) AS n_ok_members,
+             CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+             CAST(sum(ok) AS BIGINT) - CAST(count(DISTINCT text) AS BIGINT)
+               AS n_dup_members
+      FROM a""",
     // CLIP-gate twin: the image side re-derived from the md5 pure
     // functions (the PPM oracle's raster arithmetic), the text side
     // the shared quantized-embedding CTE folded to 3 block sums, the

@@ -233,6 +233,28 @@ object Streams {
       coalesce(col("exact_match"), nearMatch).as("match_id"))
   }
 
+  /** Archive blobs → member fan-out → the FULL dedup screen, in ONE
+    * stateless stream: [[graft.llm.Multimodal.decodeZipText]]'s
+    * scan-fused flatMap feeds each ok member's decoded text straight
+    * into [[incrementalScreen]]'s exact-hash + LSH band stream-static
+    * joins against the standing corpus index — the crawl front door
+    * for corpora that arrive as archives (tarballs/zips of documents):
+    * every member is screened against the corpus the moment its
+    * container lands, no unpack-to-storage staging step. Member
+    * identity is doc_id·2¹⁶ + member (the CD entry count is a u16, so
+    * the packing is collision-free). Stateless end to end — the
+    * fan-out is a flatMap, the screen is stream-static joins — so the
+    * plan streams unchanged and cost per micro-batch is ∝ member
+    * rows alone (StreamsSpec pins batch parity and zero state). */
+  def archiveMemberScreen(blobs: org.apache.spark.sql.Dataset[graft.llm.BinaryDoc],
+      exactIndex: DataFrame, bandIndex: DataFrame): DataFrame =
+    incrementalScreen(
+      graft.llm.Multimodal.decodeZipText(blobs).toDF()
+        .filter(col("status") === "ok")
+        .select((col("doc_id") * 65536L + col("member")).as("doc_id"),
+          col("text")),
+      exactIndex, bandIndex)
+
   /** The q_knn_ivf_incremental ingest run CONTINUOUSLY — arriving
     * vectors assigned to the STANDING trained IVF cells. The
     * assignment ([[graft.llm.Similarity.ivfAssignWith]]) is a pure

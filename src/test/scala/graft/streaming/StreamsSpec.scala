@@ -836,6 +836,57 @@ class StreamedDecodeSpec extends graft.SparkSuite {
     } finally q.stop()
   }
 
+  test("archive-member dedup screen: container fan-out + full screen, stateless batch parity") {
+    // The composed crawl front door: archive blobs fan out to member
+    // texts (decodeZipText's flatMap) which flow straight through the
+    // exact + LSH screen's stream-static joins against the standing
+    // corpus index — one stateless stream, no unpack staging. The
+    // standing index holds the members of the first 20 archives; the
+    // stream replays archives 10..39, so members 10..19 must come back
+    // exact_dup and the rest new — with row-level batch parity.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val hexes = (0 until 40).map { i =>
+      (i.toLong, java.security.MessageDigest.getInstance("MD5")
+        .digest(s"amd-stream-$i".getBytes("US-ASCII"))
+        .map("%02x".format(_)).mkString)
+    }
+    val corpus = hexes.take(20).flatMap { case (id, h) =>
+      Multimodal.parseZipText(id, Multimodal.zipBytes(h))
+    }.collect { case m if m.status == "ok" =>
+      (m.doc_id * 65536L + m.member, m.text.get)
+    }.toDF("doc_id", "text")
+    val exactIdx = corpus.groupBy(md5(col("text")).as("chash"))
+      .agg(min(col("doc_id")).as("exact_match"))
+    val bandIdx = graft.llm.Dedup.bandsAt(graft.llm.Dedup.shinglesOf(corpus), 4)
+      .groupBy(col("band"), col("bkey"))
+      .agg(min(col("doc_id")).as("cdoc"))
+    val streamed = hexes.drop(10)
+    val batch = Streams.archiveMemberScreen(
+        streamed.toDF("doc_id", "h").as[(Long, String)]
+          .map { case (id, h) => BinaryDoc(id, Multimodal.zipBytes(h)) },
+        exactIdx, bandIdx)
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(batch.exists(_._2 == "exact_dup"), "no exact arm in the panel")
+    assert(batch.exists(_._2 == "new"), "no new arm in the panel")
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.archiveMemberScreen(
+        in.toDS().map { case (id, h) => BinaryDoc(id, Multimodal.zipBytes(h)) },
+        exactIdx, bandIdx)
+      .writeStream.format("memory").queryName("amd_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(streamed.take(15): _*); q.processAllAvailable()
+      in.addData(streamed.drop(15): _*); q.processAllAvailable()
+      val got = spark.table("amd_stream")
+        .as[(Long, String, Option[Long])].collect()
+      assert(got.length == got.toSet.size, "fan-out must not replay-duplicate")
+      assert(got.toSet == batch)
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "the composed screen must hold no stream state")
+    } finally q.stop()
+  }
+
   test("streamed TAR archive ingest equals the batch member fan-out, arm for arm") {
     // Second 1→N container, same stateless-flatMap contract as the
     // ZIP twin: decodeTar runs unchanged per micro-batch; parity

@@ -1518,6 +1518,51 @@ object Similarity {
         .orderBy("cell")
     }),
 
+    // IVF REBALANCE — the ACTION the q_ivf_drift trigger fires: the
+    // cell with the largest ARRIVING population gets SPLIT in place
+    // (FAISS's reclustering maintenance / the k-means bisecting step):
+    // its members re-train a K = 2 sub-quantizer (fixed seed pair →
+    // divisionless argmin → ONE exact (n, Σv) refinement — the
+    // ivfTrainStats discipline in miniature) and reassign to the
+    // refined sub-cells. Output: the post-rebalance cell table — the
+    // untouched cells plus the two children of the hot cell, one row
+    // each. Scale shape: everything through the driver is index
+    // METADATA (K-row populations, 2×65 sub-stats); the corpus is
+    // scanned by scan-side projections only, and the hot-cell member
+    // subset is a pushed filter on the assignment — never a shuffle.
+    "q_ivf_rebalance" -> ((s, dir) => {
+      val qe = Dedup.quantized(s, dir)
+      val parts = ivfTrainStats(qe.filter(col("vec_id") % 2 === 0))
+      val cells = ivfAssignWith(parts, qe)
+      val pops = cells.groupBy(col("cell"))
+        .agg(sum(when(col("vec_id") % 2 =!= 0, 1L).otherwise(0L)).as("cur"))
+        .collect().map(r => (r.getAs[Int]("cell"), r.getAs[Long]("cur")))
+      val hot = pops.sortBy { case (c, cur) => (-cur, c) }.head._1
+      val hotMembers = cells.filter(col("cell") === hot)
+        .select(col("vec_id"), col("q"), col("norm"))
+      val seeds = Clustering.centroids.take(2).map(_.map(_.toLong))
+      val byK = Clustering.assign(hotMembers, seeds)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"), expr("vec_sum(q, 64)").as("sv"))
+        .collect().map(r => r.getAs[Int]("cluster") -> r).toMap
+      val subParts = byK.keys.toSeq.sorted.map { k =>
+        val r = byK(k)
+        val n = r.getAs[Long]("n")
+        val sv = r.getAs[scala.collection.Seq[Long]]("sv").toSeq
+        (n, sv, sv.map(v => BigInt(v) * BigInt(v)).sum)
+      }
+      val sub = ivfAssignWith(subParts, hotMembers)
+      val untouched = cells.filter(col("cell") =!= hot)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+        .select(col("cell").cast("string").as("cell_label"),
+          col("n_vectors"), lit(0).as("split"))
+      val splits = sub.groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+        .select(concat(lit(hot.toString), lit("."),
+          col("cell").cast("string")).as("cell_label"),
+          col("n_vectors"), lit(1).as("split"))
+      untouched.unionByName(splits).orderBy("cell_label")
+    }),
+
     // The K × nprobe OPERATING-POINT GRID (the q_dedup_lsh_tuning /
     // q_hll_tuning pattern applied to the IVF index): aggregate
     // recall@K over all 50 queries at every (K, nprobe) ∈ {3,10}×{1,2}
@@ -1983,6 +2028,7 @@ object Similarity {
     "q_knn_ivf_recall" -> ivfRecallSql(multi = false),
     "q_knn_ivf_incremental" -> ivfIncrementalSql,
     "q_ivf_drift" -> ivfDriftSql,
+    "q_ivf_rebalance" -> ivfRebalanceSql,
     "q_knn_ivf_mp" -> ivfSql(multi = true),
     "q_knn_ivf_mp_recall" -> ivfRecallSql(multi = true),
     "q_knn_ivf_recall_grid" -> ivfRecallGridSql,
@@ -2412,40 +2458,48 @@ object Similarity {
     * query renders — over the full corpus or, for the incremental
     * ingest twin, the standing subset), while `applySrc` is the set of
     * vectors assigned to the trained cells (`ivcell`). */
-  private[llm] def ivfCteOn(applySrc: String): String = s"""
-      ivn AS (SELECT cluster, count(*) AS n FROM iva GROUP BY 1),
-      ivs AS (SELECT cluster, i, CAST(sum(q[i]) AS BIGINT) AS si
-              FROM iva, UNNEST(generate_series(1, 64)) AS u(i)
+  private[llm] def ivfCteOn(applySrc: String): String =
+    ivfCtePrefixed("iv", "iva", applySrc)
+
+  /** [[ivfCteOn]] with every CTE name prefixed and the TRAINING source
+    * parameterized too — lets a second trained quantizer (the
+    * rebalance row's within-cell sub-split) coexist in one twin
+    * without name collisions. Emits `${pfx}cell`. */
+  private[llm] def ivfCtePrefixed(pfx: String, trainSrc: String,
+      applySrc: String): String = s"""
+      ${pfx}n AS (SELECT cluster, count(*) AS n FROM $trainSrc GROUP BY 1),
+      ${pfx}s AS (SELECT cluster, i, CAST(sum(q[i]) AS BIGINT) AS si
+              FROM $trainSrc, UNNEST(generate_series(1, 64)) AS u(i)
               GROUP BY 1, 2),
-      ivv AS (SELECT cluster, list(si ORDER BY i) AS sv FROM ivs GROUP BY 1),
-      ivm AS (SELECT cluster,
+      ${pfx}v AS (SELECT cluster, list(si ORDER BY i) AS sv FROM ${pfx}s GROUP BY 1),
+      ${pfx}m AS (SELECT cluster,
                 CAST(dense_rank() OVER (ORDER BY cluster) - 1 AS INTEGER) AS k
-              FROM ivn),
-      ivc AS (SELECT ivn.cluster, ivn.n, ivv.sv,
+              FROM ${pfx}n),
+      ${pfx}c AS (SELECT ${pfx}n.cluster, ${pfx}n.n, ${pfx}v.sv,
                 CAST(list_sum(list_transform(generate_series(1, 64),
                   i -> CAST(sv[i] AS HUGEINT) * sv[i])) AS HUGEINT) AS s2
-              FROM ivn JOIN ivv ON ivn.cluster = ivv.cluster),
-      ivu AS (SELECT qs.vec_id, ivm.k, CAST(ivc.n AS HUGEINT) AS n,
-                ivc.s2 - 2 * ivc.n * CAST(list_sum(list_transform(
-                  generate_series(1, 64), i -> qs.q[i] * ivc.sv[i])) AS HUGEINT) AS u
-              FROM $applySrc qs, ivc JOIN ivm ON ivc.cluster = ivm.cluster),
-      ivlose AS (SELECT a.vec_id, a.k,
+              FROM ${pfx}n JOIN ${pfx}v ON ${pfx}n.cluster = ${pfx}v.cluster),
+      ${pfx}u AS (SELECT qs.vec_id, ${pfx}m.k, CAST(${pfx}c.n AS HUGEINT) AS n,
+                ${pfx}c.s2 - 2 * ${pfx}c.n * CAST(list_sum(list_transform(
+                  generate_series(1, 64), i -> qs.q[i] * ${pfx}c.sv[i])) AS HUGEINT) AS u
+              FROM $applySrc qs, ${pfx}c JOIN ${pfx}m ON ${pfx}c.cluster = ${pfx}m.cluster),
+      ${pfx}lose AS (SELECT a.vec_id, a.k,
                    count(CASE WHEN a.n * a.n * b.u < b.n * b.n * a.u THEN 1 END) AS losses
-                 FROM ivu a JOIN ivu b ON a.vec_id = b.vec_id
+                 FROM ${pfx}u a JOIN ${pfx}u b ON a.vec_id = b.vec_id
                  GROUP BY a.vec_id, a.k),
-      ivcp AS (SELECT vec_id, min(k) AS cell FROM ivlose
+      ${pfx}cp AS (SELECT vec_id, min(k) AS cell FROM ${pfx}lose
                WHERE losses = 0 GROUP BY vec_id),
-      ivlose2 AS (SELECT a.vec_id, a.k,
+      ${pfx}lose2 AS (SELECT a.vec_id, a.k,
                     count(CASE WHEN a.n * a.n * b.u < b.n * b.n * a.u THEN 1 END) AS losses
-                  FROM ivu a JOIN ivcp c ON a.vec_id = c.vec_id AND a.k <> c.cell
-                       JOIN ivu b ON a.vec_id = b.vec_id AND b.k <> c.cell
+                  FROM ${pfx}u a JOIN ${pfx}cp c ON a.vec_id = c.vec_id AND a.k <> c.cell
+                       JOIN ${pfx}u b ON a.vec_id = b.vec_id AND b.k <> c.cell
                   GROUP BY a.vec_id, a.k),
-      ivsec AS (SELECT vec_id, min(k) AS cell2 FROM ivlose2
+      ${pfx}sec AS (SELECT vec_id, min(k) AS cell2 FROM ${pfx}lose2
                 WHERE losses = 0 GROUP BY vec_id),
-      ivcell AS (SELECT qs.vec_id, qs.q, qs.norm, ivcp.cell,
-                   coalesce(ivsec.cell2, ivcp.cell) AS cell2
-                 FROM $applySrc qs JOIN ivcp ON qs.vec_id = ivcp.vec_id
-                      LEFT JOIN ivsec ON qs.vec_id = ivsec.vec_id)"""
+      ${pfx}cell AS (SELECT qs.vec_id, qs.q, qs.norm, ${pfx}cp.cell,
+                   coalesce(${pfx}sec.cell2, ${pfx}cp.cell) AS cell2
+                 FROM $applySrc qs JOIN ${pfx}cp ON qs.vec_id = ${pfx}cp.vec_id
+                      LEFT JOIN ${pfx}sec ON qs.vec_id = ${pfx}sec.vec_id)"""
 
   /** SQL renderer of the cross-multiplied closeness comparison over
     * pivoted (uₖ, nₖ) columns — still the [[Clustering]] two-step
@@ -3096,6 +3150,48 @@ object Similarity {
                   WHEN psi_u < 250000 THEN 'moderate'
                   ELSE 'shifted' END AS verdict
       FROM dw ORDER BY cell"""
+
+  /** Rebalance twin: the drift twin's half-trained standing cells,
+    * the hot-cell election, a 2-seed sub-assignment (same literal
+    * seed pair as the Spark side), and the prefixed refinement
+    * template ([[ivfCtePrefixed]]) for the sub-split. */
+  private lazy val ivfRebalanceSql = {
+    def seedDot(k: Int) = {
+      val w = Clustering.centroids(k).mkString("[", ",", "]")
+      s"CAST(list_sum(list_transform(generate_series(1, 64), i -> q[i] * ($w)[i])) AS BIGINT)"
+    }
+    def seedNorm(k: Int) =
+      Clustering.centroids(k).map(v => BigInt(v) * BigInt(v)).sum.toString
+    "WITH " + Dedup.QE + s""",
+      qnref AS (SELECT * FROM qn WHERE vec_id % 2 = 0),""" +
+      Clustering.assignCtesOn("qnref") + "," + ivfCteOn("qn") + s""",
+      hotc AS (SELECT cell FROM (
+                 SELECT cell,
+                   sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS cur
+                 FROM ivcell GROUP BY 1)
+               ORDER BY cur DESC, cell ASC LIMIT 1),
+      hm AS (SELECT vec_id, q, norm FROM ivcell
+             WHERE cell = (SELECT cell FROM hotc)),
+      sbd AS (SELECT vec_id, q, norm,
+                norm - 2 * ${seedDot(0)} + ${seedNorm(0)} AS d0,
+                norm - 2 * ${seedDot(1)} + ${seedNorm(1)} AS d1
+              FROM hm),
+      sba AS (SELECT vec_id, q, norm,
+                CASE WHEN d0 <= d1 THEN 0 ELSE 1 END AS cluster
+              FROM sbd),""" +
+      ivfCtePrefixed("sb", "sba", "hm") + s""",
+      unt AS (SELECT CAST(cell AS VARCHAR) AS cell_label,
+                CAST(count(*) AS BIGINT) AS n_vectors, 0 AS split
+              FROM ivcell WHERE cell <> (SELECT cell FROM hotc)
+              GROUP BY cell),
+      spl AS (SELECT CAST((SELECT cell FROM hotc) AS VARCHAR) || '.' ||
+                  CAST(cell AS VARCHAR) AS cell_label,
+                CAST(count(*) AS BIGINT) AS n_vectors, 1 AS split
+              FROM sbcell GROUP BY cell)
+      SELECT cell_label, n_vectors, CAST(split AS INT) AS split
+      FROM (SELECT * FROM unt UNION ALL SELECT * FROM spl)
+      ORDER BY cell_label"""
+  }
 
   private lazy val ivfIncrementalSql = {
     def leg(sfx: String, candFilter: String): String = s"""

@@ -834,15 +834,21 @@ object Similarity {
     * against the same frames. */
   private def ivfAdcTopFrom(cells: DataFrame, mns: String, mxs: String,
       qmax: Int, k: Int, nprobe: Int): DataFrame = {
+    // probe explode FIRST, then the da/nda projection: computing da
+    // before a Project that also carries the explode tripped an
+    // attribute-binding INTERNAL_ERROR on degenerate single-cell
+    // corpora (cell2 constant-folds and column pruning lost da)
     val queriesDf = cells.filter(col("vec_id") < qmax)
       .withColumn("mn", expr(s"cast(array($mns) as array<bigint>)"))
-      .withColumn("da",
-        expr("transform(sequence(0, size(q) - 1), i -> (q[i] - mn[i]) * 255)"))
       .select(col("vec_id").as("query_id"), col("cell"),
         // array_distinct: degenerate single-cell index has cell2 == cell
         explode(if (nprobe >= 2)
           array_distinct(array(col("cell"), col("cell2")))
         else array(col("cell"))).as("probe"),
+        col("q"), col("mn"))
+      .withColumn("da",
+        expr("transform(sequence(0, size(q) - 1), i -> (q[i] - mn[i]) * 255)"))
+      .select(col("query_id"), col("cell"), col("probe"),
         col("da"), expr("dot_long(da, da)").as("nda"))
     val corpus = cells
       .withColumn("mn", expr(s"cast(array($mns) as array<bigint>)"))

@@ -2386,6 +2386,65 @@ object Multimodal {
     }
   }
 
+  /** Synthesize a REAL `.tar.gz` from a doc's md5: the ustar archive
+    * from [[tarBytes]] (its arms intact — the two layers compose)
+    * wrapped in an RFC 1952 member with genuine CRC-32 and ISIZE over
+    * the INNER archive bytes. Outer arms live on md5 bytes the tar
+    * synth leaves free: gzip magic corrupted (b8 % 16 == 5 → one
+    * `gzip_bad_magic` row, the wrapper never opens), gzip CRC-32
+    * corrupted (b9 % 16 == 7 → `gzip_bad_data` — the body inflates
+    * cleanly and only the footer check catches it), stored- vs
+    * fixed-Huffman DEFLATE (b10 % 2, both through the shared
+    * encoders). */
+  private[graft] def tgzBytes(h: String): Array[Byte] = {
+    val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
+    val inner = tarBytes(h)
+    val badMagic = b(8) % 16 == 5
+    val badCrc = b(9) % 16 == 7
+    val fixedHuff = b(10) % 2 == 1
+    val out = new java.io.ByteArrayOutputStream(inner.length + 32)
+    out.write(if (badMagic) 0x2f else 0x1f); out.write(0x8b)
+    out.write(8) // CM = deflate
+    out.write(0) // FLG = 0: tarball producers rarely set name fields
+    out.write(b(3)); out.write(b(4)); out.write(b(5)); out.write(b(6))
+    out.write(0); out.write(255) // XFL, OS = unknown
+    val defl = if (fixedHuff) deflateFixed(inner) else deflateStored(inner)
+    out.write(defl, 0, defl.length)
+    val crc = crc32Png(inner)
+    def le32(v: Int): Unit = {
+      out.write(v & 255); out.write((v >>> 8) & 255)
+      out.write((v >>> 16) & 255); out.write((v >>> 24) & 255)
+    }
+    le32(if (badCrc) crc ^ 0x330000 else crc)
+    le32(inner.length)
+    out.toByteArray
+  }
+
+  /** The layered `.tar.gz` walk — decompress-then-walk, the exact
+    * order a corpus consumer runs (tar never sees compressed bytes).
+    * A gzip-layer failure is ONE `member = -1` row carrying the gzip
+    * status behind a `gzip_` prefix, so the census can attribute the
+    * loss to the transport layer vs the container layer; a healthy
+    * wrapper hands the inflated bytes to the UNCHANGED [[parseTar]].
+    * Total on arbitrary bytes (DecoderFuzzSpec) because both layers
+    * are. */
+  private[graft] def parseTgz(id: Long, p: Array[Byte]): Seq[TarMember] =
+    gunzip(p) match {
+      case (st, _, None) =>
+        Seq(TarMember(id, -1, "gzip_" + st, None, None, None, None))
+      case (_, _, Some(raw)) => parseTar(id, raw)
+    }
+
+  /** The typed 1→N `.tar.gz` ingest stage — same scan-fused flatMap
+    * shape as [[decodeTar]]; the inflate runs inside the same task as
+    * the walk, so the uncompressed archive never crosses a shuffle. */
+  def decodeTgz(ds: Dataset[BinaryDoc]): Dataset[TarMember] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.flatMap(d => parseTgz(d.doc_id, d.payload))
+    }
+  }
+
   // ---------------------------------------------------------------------
   // VIDEO as a frame stream (netpbm ppm_pipe — ffmpeg image2pipe's
   // rawvideo-adjacent format IS concatenated P6 frames): the
@@ -2848,6 +2907,22 @@ object Multimodal {
       decodeTar(payloads).toDF().orderBy("doc_id", "member")
     }),
 
+    // .tar.gz ingest — the two container layers COMPOSED the way
+    // public corpora actually ship (gzip transport around a ustar
+    // archive): inflate through the shared RFC 1952 walk, then the
+    // UNCHANGED 512-byte header walk over the inflated bytes, all
+    // inside one task ([[parseTgz]]). Gzip-layer failures surface as
+    // one gzip_-prefixed row so the census separates transport loss
+    // from container loss.
+    "q_archive_ingest_tgz" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Tables(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, h) => BinaryDoc(id, tgzBytes(h)) })
+      decodeTgz(payloads).toDF().orderBy("doc_id", "member")
+    }),
+
     // ARCHIVE-MEMBER DEDUP census — the crawl-shaped funnel at the
     // MEMBER grain ([[parseZipText]]): blobs fan out to members, ok
     // members carry their decoded text, and the exact-dup census runs
@@ -3229,6 +3304,64 @@ object Multimodal {
                      ELSE CAST(ks[m + 1] AS BIGINT) END AS n_sep
               FROM ex)
       SELECT * FROM fail UNION ALL SELECT * FROM mem
+      ORDER BY doc_id, member""",
+    // .tar.gz twin: the tar member census behind the two gzip-layer
+    // arm predicates (magic read first, so it wins over the CRC arm).
+    // The oracle never sees compressed OR inflated bytes — a hash
+    // match proves the gzip header walk, the DEFLATE round trip over
+    // the whole archive, the CRC-32/ISIZE footer checks, AND the
+    // unchanged ustar walk beneath them.
+    "q_archive_ingest_tgz" -> s"""
+      WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+      b AS (SELECT doc_id, h, ${byteAt(0)} AS b0, ${byteAt(5)} AS b5,
+              ${byteAt(6)} AS b6, ${byteAt(7)} AS b7, ${byteAt(8)} AS b8,
+              ${byteAt(9)} AS b9, ${byteAt(11)} AS b11, ${byteAt(12)} AS b12,
+              ${byteAt(14)} AS b14, ${byteAt(15)} AS b15
+            FROM hx),
+      d AS (SELECT doc_id, 1 + b0 % 3 AS n,
+              b8 % 16 = 5 AS gbad, b9 % 16 = 7 AS gcrc,
+              b12 % 8 = 6 AS trunc, b11 % 16 = 3 AS badchk,
+              b14 % 8 = 1 AS shortd, b15 % 4 = 0 AS pfx, b15 % 10 AS pdig,
+              [1 + b5 % 3, 1 + b6 % 3, 1 + b7 % 3] AS ks,
+              list_sum(list_transform(generate_series(1, 32),
+                i -> ascii(substr(h, i, 1)))) AS hsum
+            FROM b),
+      gfail AS (SELECT doc_id, CAST(-1 AS INT) AS member,
+                  CASE WHEN gbad THEN 'gzip_bad_magic'
+                       ELSE 'gzip_bad_data' END AS status,
+                  CAST(NULL AS VARCHAR) AS name,
+                  CAST(NULL AS INT) AS n_bytes,
+                  CAST(NULL AS BIGINT) AS sum_bytes,
+                  CAST(NULL AS BIGINT) AS n_sep
+                FROM d WHERE gbad OR gcrc),
+      t AS (SELECT * FROM d WHERE NOT gbad AND NOT gcrc),
+      fail AS (SELECT doc_id,
+                 CAST(CASE WHEN trunc THEN -1 ELSE 0 END AS INT) AS member,
+                 CASE WHEN trunc THEN 'truncated'
+                      ELSE 'bad_checksum' END AS status,
+                 CAST(NULL AS VARCHAR) AS name,
+                 CAST(NULL AS INT) AS n_bytes,
+                 CAST(NULL AS BIGINT) AS sum_bytes,
+                 CAST(NULL AS BIGINT) AS n_sep
+               FROM t WHERE trunc OR badchk),
+      ex AS (SELECT doc_id, n, shortd, pfx, pdig, ks, hsum,
+               unnest(generate_series(0, n - 1)) AS m
+             FROM t WHERE NOT trunc AND NOT badchk),
+      mem AS (SELECT doc_id, CAST(m AS INT) AS member,
+                CASE WHEN shortd AND m = n - 1 THEN 'short_data'
+                     ELSE 'ok' END AS status,
+                CASE WHEN m = 1 AND pfx THEN 'd' || pdig || '/m1.txt'
+                     ELSE 'm' || m || '.txt' END AS name,
+                CASE WHEN shortd AND m = n - 1 THEN NULL
+                     ELSE CAST(35 * ks[m + 1] AS INT) END AS n_bytes,
+                CASE WHEN shortd AND m = n - 1 THEN NULL
+                     ELSE CAST(ks[m + 1] * (hsum + 138 + m) AS BIGINT)
+                     END AS sum_bytes,
+                CASE WHEN shortd AND m = n - 1 THEN NULL
+                     ELSE CAST(ks[m + 1] AS BIGINT) END AS n_sep
+              FROM ex)
+      SELECT * FROM gfail UNION ALL SELECT * FROM fail
+      UNION ALL SELECT * FROM mem
       ORDER BY doc_id, member""",
     // Member-dedup twin: the member census re-derived from md5 pure
     // functions, the member TEXT reconstructed literally (repeat of

@@ -50,6 +50,8 @@ object DecoderFuzzProps extends Properties("Multimodal.decoders") {
       Multimodal.parseZip(1L, bs).nonEmpty &&
       Multimodal.parseTar(1L, bs).forall(_.status.nonEmpty) &&
       Multimodal.parseTar(1L, bs).nonEmpty &&
+      Multimodal.parseTgz(1L, bs).forall(_.status.nonEmpty) &&
+      Multimodal.parseTgz(1L, bs).nonEmpty &&
       Multimodal.sampleVideo(1L, bs).forall(_.status.nonEmpty) &&
       Multimodal.sampleVideo(1L, bs).nonEmpty &&
       Multimodal.resizePpm(1L, bs, 2, 2).status.nonEmpty
@@ -81,8 +83,37 @@ class DecoderTruncationSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(zm.nonEmpty && zm.forall(_.status.nonEmpty))
       val tm = Multimodal.parseTar(1L, full.take(n))
       assert(tm.nonEmpty && tm.forall(_.status.nonEmpty))
+      val gm = Multimodal.parseTgz(1L, full.take(n))
+      assert(gm.nonEmpty && gm.forall(_.status.nonEmpty))
       val vf = Multimodal.sampleVideo(1L, full.take(n))
       assert(vf.nonEmpty && vf.forall(_.status.nonEmpty))
+    }
+  }
+
+  test("tgz layering: healthy wrapper is transparent, arms attribute the layer") {
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("US-ASCII")).map("%02x".format(_)).mkString
+    // sweep salts until the md5 draws each arm combination of interest
+    val hs = (0 until 4096).map(i => md5(s"tgz-layer-$i"))
+    def b(h: String, i: Int) = Integer.parseInt(h.substring(2 * i, 2 * i + 2), 16)
+    val clean = hs.filter(h => b(h, 8) % 16 != 5 && b(h, 9) % 16 != 7)
+    assert(clean.size >= 100)
+    // a healthy gzip layer reproduces the inner tar walk EXACTLY
+    // (including the inner truncated/bad_checksum/short_data arms)
+    clean.take(200).foreach { h =>
+      assert(Multimodal.parseTgz(3L, Multimodal.tgzBytes(h)) ==
+        Multimodal.parseTar(3L, Multimodal.tarBytes(h)))
+    }
+    val gbad = hs.find(h => b(h, 8) % 16 == 5).get
+    assert(Multimodal.parseTgz(3L, Multimodal.tgzBytes(gbad)).map(_.status) ==
+      Seq("gzip_bad_magic"))
+    val gcrc = hs.find(h => b(h, 9) % 16 == 7 && b(h, 8) % 16 != 5).get
+    assert(Multimodal.parseTgz(3L, Multimodal.tgzBytes(gcrc)).map(_.status) ==
+      Seq("gzip_bad_data"))
+    // truncation sweep over a genuine .tar.gz — totality at every cut
+    for (n <- 0 to Multimodal.tgzBytes(clean.head).length) {
+      val gm = Multimodal.parseTgz(1L, Multimodal.tgzBytes(clean.head).take(n))
+      assert(gm.nonEmpty && gm.forall(_.status.nonEmpty))
     }
   }
 

@@ -8,6 +8,13 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+/** One row of the suffix-automaton substring census: exact counts of
+  * distinct and repeated substrings plus the longest repeated
+  * substring length, per document — the all-lengths generalization of
+  * the fixed-W window census ([[Dedup]] q_dedup_substring_rep). */
+case class SamCensus(doc_id: Long, n_chars: Int, n_distinct: Long,
+  n_rep_distinct: Long, lrs_len: Int)
+
 /** Deduplication operators over `documents` — the north-star
   * training-data-pipeline extensions (BASELINE.json; SURVEY.md §2c last
   * row). The reference has no dedup, but each of these is a canonical
@@ -530,6 +537,76 @@ object Dedup {
     * r = 4 is the production default shared by q_dedup_minhash,
     * q_dedup_lsh_recall and q_dedup_minhash_est; the other grid points
     * exist for q_dedup_lsh_tuning's S-curve row. */
+  /** Build the suffix automaton of `t` and fold it straight into the
+    * census row — O(n) states/transitions (≤ 2n−1 states; Blumer et
+    * al. 1985). Endpos counts seed 1 on primary states, 0 on clones,
+    * then propagate up suffix links in decreasing-len order, so
+    * cnt(v) is EXACTLY the number of occurrences of every substring
+    * in v's class. Pure function of the string — the DuckDB twin
+    * cross-checks it by brute-force substring enumeration. */
+  private[graft] def samCensus(id: Long, t: String): SamCensus = {
+    val n = t.length
+    val m = 2 * n + 2
+    val len = new Array[Int](m)
+    val link = new Array[Int](m)
+    val cnt = new Array[Long](m)
+    val trans = Array.fill(m)(new java.util.HashMap[Character, Integer]())
+    var size = 1
+    var last = 0
+    link(0) = -1
+    var i = 0
+    while (i < n) {
+      val c: Character = t.charAt(i)
+      val cur = size; size += 1
+      len(cur) = len(last) + 1
+      cnt(cur) = 1L
+      var p = last
+      while (p != -1 && !trans(p).containsKey(c)) {
+        trans(p).put(c, cur); p = link(p)
+      }
+      if (p == -1) link(cur) = 0
+      else {
+        val q: Int = trans(p).get(c)
+        if (len(p) + 1 == len(q)) link(cur) = q
+        else {
+          val clone = size; size += 1
+          len(clone) = len(p) + 1
+          link(clone) = link(q)
+          trans(clone).putAll(trans(q))
+          cnt(clone) = 0L // clone owns no endpos of its own
+          while (p != -1 && {
+              val g = trans(p).get(c); g != null && g.intValue == q }) {
+            trans(p).put(c, clone); p = link(p)
+          }
+          link(q) = clone
+          link(cur) = clone
+        }
+      }
+      last = cur
+      i += 1
+    }
+    // counting sort by len (len ≤ n) replaces the comparison sort —
+    // the propagation must visit children before parents
+    val byLen = Array.fill(n + 1)(List.empty[Int])
+    var v = 1
+    while (v < size) { byLen(len(v)) ::= v; v += 1 }
+    var l = n
+    while (l >= 1) {
+      // every v ≥ 1 has link(v) ≥ 0 (only the root links to -1)
+      byLen(l).foreach(v => cnt(link(v)) += cnt(v))
+      l -= 1
+    }
+    var nDistinct = 0L; var nRep = 0L; var lrs = 0
+    v = 1
+    while (v < size) {
+      val span = (len(v) - len(link(v))).toLong
+      nDistinct += span
+      if (cnt(v) >= 2L) { nRep += span; if (len(v) > lrs) lrs = len(v) }
+      v += 1
+    }
+    SamCensus(id, n, nDistinct, nRep, lrs)
+  }
+
   /** (doc_id, band, bkey) banding table at r rows per band — the
     * materialized LSH index artifact a standing corpus keeps. */
   private[graft] def bandsAt(sh: DataFrame, r: Int): DataFrame = {
@@ -1263,6 +1340,27 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // SUFFIX-AUTOMATON substring census — the all-lengths view the
+    // fixed-W window family cannot give: exact distinct-substring
+    // count, repeated-substring count, and the longest repeated
+    // substring per document, from ONE linear pass (Blumer et al.
+    // 1985's suffix automaton: n_distinct = Σ_v len(v) − len(link(v));
+    // a state's substrings repeat iff its endpos count ≥ 2, clone
+    // states seeded 0 so counts are exact). The automaton is O(n) per
+    // doc and scan-fused — at 100 TB it runs uncapped; the 64-char cap
+    // here exists ONLY because the DuckDB twin must enumerate all
+    // O(n²) substrings to cross-check it, and 64 chars keeps that
+    // honest oracle tractable while still exercising clones, nested
+    // repeats, and the full arm surface of real text.
+    "q_dedup_substring_sam" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 64).as("t"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) => samCensus(id, t) })
+        .toDF().orderBy("doc_id")
+    }),
+
     // Span EXCISION — the artifact the whole substring-dedup chain
     // exists to produce: every token covered by a duplicated span
     // ([[substringSpans]]) is removed and the survivors reassembled,
@@ -1811,6 +1909,31 @@ object Dedup {
              CAST(max(pos) - min(pos) + 8 AS INT) AS span_len
       FROM isl GROUP BY doc_id, grp
       ORDER BY doc_id, span_start""",
+    // SAM-census twin: BRUTE-FORCE substring enumeration — all
+    // O(n²) (i, l) substrings of the capped text, grouped to
+    // occurrence counts. count(*) of the groups is the distinct-
+    // substring count, the cnt ≥ 2 groups are the repeated ones, and
+    // their max l is the LRS. Independent algorithm, same answer —
+    // exactly what a from-scratch suffix automaton needs as its gate.
+    "q_dedup_substring_sam" -> """
+      WITH d AS (SELECT doc_id, substr(text, 1, 64) AS t FROM documents),
+      pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+              FROM d),
+      subs AS (SELECT doc_id, l, substr(t, i, l) AS s
+               FROM (SELECT doc_id, t, i,
+                       unnest(generate_series(1, len(t) - i + 1)) AS l
+                     FROM pos)),
+      g AS (SELECT doc_id, l, s, count(*) AS c FROM subs GROUP BY 1, 2, 3),
+      a AS (SELECT doc_id, count(*) AS n_distinct,
+                   sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS n_rep_distinct,
+                   max(CASE WHEN c >= 2 THEN l END) AS lrs_len
+            FROM g GROUP BY doc_id)
+      SELECT d.doc_id, CAST(len(d.t) AS INT) AS n_chars,
+             CAST(a.n_distinct AS BIGINT) AS n_distinct,
+             CAST(a.n_rep_distinct AS BIGINT) AS n_rep_distinct,
+             CAST(coalesce(a.lrs_len, 0) AS INT) AS lrs_len
+      FROM d JOIN a ON d.doc_id = a.doc_id
+      ORDER BY d.doc_id""",
     // Total-occurrence variant: sum(k) OVER whash (all occurrences,
     // incl. within-doc) replaces the cross-doc row count.
     "q_dedup_substring_rep" -> """

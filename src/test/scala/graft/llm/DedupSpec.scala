@@ -326,4 +326,31 @@ class DedupSpec extends SparkSuite {
     // the synthesis arms guarantee every canon starts with http(s)://
     assert(got.forall(_._1.matches("^https?://ex[0-7]\\.com.*")))
   }
+
+  test("suffix-automaton census matches brute-force substring enumeration") {
+    // independent O(n³) witness: enumerate every (i, l) substring
+    def brute(t: String): (Long, Long, Int) = {
+      val occ = scala.collection.mutable.Map.empty[String, Int]
+      for (i <- 0 until t.length; l <- 1 to t.length - i)
+        occ.updateWith(t.substring(i, i + l))(c => Some(c.getOrElse(0) + 1))
+      val rep = occ.filter(_._2 >= 2)
+      (occ.size.toLong, rep.size.toLong,
+        if (rep.isEmpty) 0 else rep.keysIterator.map(_.length).max)
+    }
+    // crafted shapes: clone-inducing (abcbc), periodic, unary runs,
+    // no-repeat, empty, and the fixture corpus' own token style
+    val crafted = Seq("", "a", "aa", "aaaa", "ab", "abab", "ababab",
+      "abcbc", "banana", "mississippi", "abcabcabcabc",
+      "the cat the cat sat", "xyxyxyxzyx")
+    val rnd = new scala.util.Random(421)
+    val random = Seq.fill(60)(
+      (0 until (1 + rnd.nextInt(48))).map(_ => ('a' + rnd.nextInt(3)).toChar)
+        .mkString) // 3-letter alphabet → dense repeats and clones
+    (crafted ++ random).foreach { t =>
+      val got = Dedup.samCensus(9L, t)
+      val (nd, nr, lrs) = brute(t)
+      assert((got.n_chars, got.n_distinct, got.n_rep_distinct, got.lrs_len) ==
+        ((t.length, nd, nr, lrs)), s"text '$t'")
+    }
+  }
 }

@@ -845,6 +845,35 @@ object TextAnalysis {
         .orderBy("bin")
     }),
 
+    // EXACT AUC for the trained quality filter — the threshold-free
+    // companion of the calibration row: the Mann–Whitney rank-sum
+    // form with exact tie handling (tied pos/neg pairs count ½),
+    // kept integer to the last step — 2U = Σ_s np(s)·(2·nn_below(s)
+    // + nn(s)) over the distinct micro-unit scores, auc = 2U /
+    // (2·n_pos·n_neg), ONE double division (the [[Num]] discipline).
+    // Scale shape: the training chain + one groupBy on the bounded
+    // micro-unit score domain (≤ 1e6+1 keys, in practice far fewer)
+    // + one single-partition window over those score GROUPS — the
+    // q_drift_psi bounded-grid window pattern, never a per-row sort.
+    "q_lr_auc" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val (_, ws) = lrChain(s, docs)
+      val byScore = lrScore(lrFeats(docs, train = false), ws(2))
+        .groupBy(col("p_u"))
+        .agg(sum(col("y")).as("np"),
+          (count(lit(1)) - sum(col("y"))).as("nn"))
+      val w = Window.orderBy(col("p_u"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byScore
+        .withColumn("nn_below", sum(col("nn")).over(w) - col("nn"))
+        .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+          sum(col("np") * (lit(2L) * col("nn_below") + col("nn"))).as("u2"),
+          sum(col("np") * col("nn")).as("n_tied_pairs"))
+        .select(col("n_pos"), col("n_neg"), col("u2"), col("n_tied_pairs"),
+          round(col("u2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 4).as("auc"))
+    }),
+
     // The per-doc QUALITY VECTOR — every filter signal this library
     // computes, materialized ONCE as one wide row per document (the
     // artifact real pipelines write next to the corpus and threshold
@@ -1904,6 +1933,7 @@ object TextAnalysis {
     "q_lr_gopher_agree" -> lrGopherAgreeSql,
     "q_lr_gopher_rules" -> lrGopherRulesSql,
     "q_lr_calibration" -> lrCalibrationSql,
+    "q_lr_auc" -> lrAucSql,
     "q_doc_quality_vector" -> docQualityVectorSql,
     // Twin of the DSIR selector: same 64 hashed buckets (the CMS/HLL
     // hex-prefix idiom), same add-1 bucket LMs and 6-dp log-ratio
@@ -2415,6 +2445,27 @@ object TextAnalysis {
              CAST(round(CAST(sum(y) * 1000000 - sum(p_u) AS DOUBLE) /
                CAST(count(*) AS DOUBLE) / 1000000.0, 4) AS DOUBLE) AS gap
       FROM mb GROUP BY bin ORDER BY bin"""
+
+  /** AUC twin: held-out scores under lw2 grouped by exact micro-unit
+    * score, the tie-aware rank-sum kept integer until the one final
+    * division. */
+  private lazy val lrAucSql = "WITH " + lrTrainCtes + "," +
+    lrFeatsCte("m", train = false) + s""",
+      ms AS (SELECT f.*, $lrZExpr AS z_u FROM mf f, lw2),
+      mp AS (SELECT y, $lrPExpr AS p_u FROM ms),
+      g AS (SELECT p_u, sum(y) AS np, count(*) - sum(y) AS nn
+            FROM mp GROUP BY p_u),
+      c AS (SELECT np, nn,
+              sum(nn) OVER (ORDER BY p_u ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) - nn AS nn_below
+            FROM g)
+      SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+             CAST(sum(nn) AS BIGINT) AS n_neg,
+             CAST(sum(np * (2 * nn_below + nn)) AS BIGINT) AS u2,
+             CAST(sum(np * nn) AS BIGINT) AS n_tied_pairs,
+             CAST(round(CAST(sum(np * (2 * nn_below + nn)) AS DOUBLE) /
+               (2.0 * sum(np) * sum(nn)), 4) AS DOUBLE) AS auc
+      FROM c"""
 
   /** Per-rule drill-down twin: the agree CTEs plus fire bits, a 3-way
     * UNION ALL explode, and the scalar disagreement total. */

@@ -25,6 +25,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    reference evaluated it post-shuffle in Reduce, SearchMRC.cpp:87);
   *  - **column pruning** (`SupportsPushDownRequiredColumns`): a
   *    `select(name)` reads no dir column;
+  *  - **aggregate pushdown** (`SupportsPushDownAggregates`):
+  *    COUNT/MIN/MAX absorb into the walk, one partial row per
+  *    directory;
+  *  - **limit pushdown** (`SupportsPushDownLimit`): `limit k` bounds
+  *    each directory partition's walk at k matching entries;
   *  - **one input partition per directory**: listing parallelism scales
   *    with the path list, and each task touches only its own dirs.
   *
@@ -81,7 +86,8 @@ private class ListingTable(paths: String) extends Table with SupportsRead {
 
 private class ListingScanBuilder(paths: Array[String])
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = ListingSource.Schema
@@ -89,6 +95,16 @@ private class ListingScanBuilder(paths: Array[String])
   // op ∈ count_star / count / min / max — the AggregateFunc objects
   // themselves never cross the driver boundary
   private var aggSpec: Array[(String, String)] = Array.empty
+  private var limit: Int = -1
+
+  /** LIMIT stops the listing walk itself: each directory partition
+    * emits at most `limit` entries and stops calling list-iteration
+    * past that point — a `limit 10` over a 10⁹-file listing reads 10
+    * names per directory, not the directory. PARTIAL pushdown
+    * (isPartiallyPushed stays true): every partition honors the bound
+    * locally and Spark's own GlobalLimit still merges across
+    * partitions — correct at any partition count. */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, rest) =
@@ -133,23 +149,24 @@ private class ListingScanBuilder(paths: Array[String])
 
   override def build(): Scan =
     if (aggSpec.nonEmpty) new ListingAggScan(paths, pushed, aggSpec)
-    else new ListingScan(paths, pushed, required)
+    else new ListingScan(paths, pushed, required, limit)
 }
 
 private case class ListingPartition(dir: String) extends InputPartition
 
 private class ListingScan(paths: Array[String], filters: Array[Filter],
-    required: StructType) extends Scan with Batch {
+    required: StructType, limit: Int) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"ListingScan(paths=${paths.length}, pushed=${filters.mkString(",")})"
+    s"ListingScan(paths=${paths.length}, pushed=${filters.mkString(",")}" +
+      (if (limit >= 0) s", PushedLimit=$limit" else "") + ")"
 
   override def planInputPartitions(): Array[InputPartition] =
     paths.map(ListingPartition(_): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ListingReaderFactory(filters, required.fieldNames)
+    new ListingReaderFactory(filters, required.fieldNames, limit)
 }
 
 /** Aggregate-pushdown scan: one PARTIAL row per directory partition,
@@ -215,12 +232,17 @@ private class ListingAggReaderFactory(filters: Array[Filter],
 }
 
 private class ListingReaderFactory(filters: Array[Filter],
-    columns: Array[String]) extends PartitionReaderFactory {
+    columns: Array[String], limit: Int) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val dir = p.asInstanceOf[ListingPartition].dir
     val preds = filters.flatMap(ListingSource.compile)
-    val entries = Option(new File(dir).list()).getOrElse(Array.empty[String])
+    val base = Option(new File(dir).list()).getOrElse(Array.empty[String])
       .iterator.filter(n => preds.forall(_(dir, n)))
+    // partial limit: stop the walk after `limit` matching entries —
+    // the filter runs BEFORE the take, so a pushed predicate + limit
+    // returns the first `limit` MATCHES, not matches within the
+    // first `limit` entries
+    val entries = if (limit >= 0) base.take(limit) else base
     new PartitionReader[InternalRow] {
       private var cur: String = _
       override def next(): Boolean =

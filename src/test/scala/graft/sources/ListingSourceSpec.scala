@@ -123,6 +123,40 @@ class ListingSourceSpec extends SparkSuite {
       s"aggregate + filter must both reach the scan:\n$plan")
   }
 
+  test("limit is pushed into the scan and bounds each partition's walk") {
+    // plan pin: the scan node itself must print PushedLimit — and the
+    // scan's own output must be bounded per PARTITION (2 dirs × ≤3),
+    // never the full 5-row listing, while the global limit still
+    // produces exactly 3 rows from the 5-entry listing
+    val q = read().limit(3)
+    val rows = q.collect()
+    assert(rows.length === 3)
+    val full = read().collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows.map(r => (r.getString(0), r.getString(1))).forall(full.contains))
+    val scanLine = q.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("ListingScan")).getOrElse(fail("no ListingScan node"))
+    assert(scanLine.contains("PushedLimit=3"),
+      s"limit missing from the scan node: $scanLine")
+    val scan = q.queryExecution.executedPlan.collectLeaves()
+      .find(_.toString.contains("ListingScan"))
+      .getOrElse(fail("no BatchScan leaf"))
+    assert(scan.metrics("numOutputRows").value <= 6,
+      "scan ignored the pushed per-partition bound")
+  }
+
+  test("limit composes with a pushed filter: first-k MATCHES, not k entries") {
+    // the filter runs before the take inside the reader — with only 3
+    // matching entries across both dirs, limit(2) must return 2
+    // genuine matches
+    val q = read().filter(col("name").contains("needle")).limit(2)
+    val names = q.collect().map(_.getString(1))
+    assert(names.length === 2 && names.forall(_.contains("needle")))
+    val scanLine = q.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("ListingScan")).getOrElse(fail("no ListingScan node"))
+    assert(scanLine.contains("PushedLimit=2") &&
+      scanLine.contains("StringContains"), scanLine)
+  }
+
   test("a group-by or distinct count falls back to the row scan") {
     // groupBy(dir) and count(DISTINCT) are NOT pushable — the source
     // must refuse and the plain row scan must carry the query

@@ -701,6 +701,77 @@ object ScaleProbe {
       docs.unpersist(false)
     }
 
+    // TGZ layered-container probe: gzip inflate + ustar walk in ONE
+    // task — map-only like tar, so every census class scales EXACTLY
+    // ×N and wall stays ~linear; a superlinear wall here would mean
+    // the inflated bytes started crossing a shuffle.
+    if (want("tgz"))
+    locally {
+      import spark.implicits._
+      val docs = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h")).persist()
+      val nDocs = docs.count()
+      val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      def timedTgz(mult: Int): Unit = {
+        val scaled = docs
+          .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
+            col("doc_id"), col("h"))
+          .select((col("doc_id") + col("i") * lit(stride)).as("doc_id"),
+            col("h"))
+        val t0 = System.nanoTime()
+        val census = graft.llm.Multimodal.decodeTgz(
+            scaled.as[(Long, String)].mapPartitions(_.map { case (id, h) =>
+              graft.llm.BinaryDoc(id, graft.llm.Multimodal.tgzBytes(h)) }))
+          .groupBy(col("status")).agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val dt = (System.nanoTime() - t0) / 1e9
+        val ok = census.getOrElse("ok", 0L)
+        val gzipFail = census.view.filterKeys(_.startsWith("gzip_")).values.sum
+        val tarFail = census.view
+          .filterKeys(k => k != "ok" && !k.startsWith("gzip_")).values.sum
+        println(f"""{"probe":"tgz_${mult}x","blobs":${nDocs * mult},"ok_members":$ok,"gzip_fail":$gzipFail,"tar_fail":$tarFail,"member_rows":${census.values.sum},"sec":$dt%.2f}""")
+      }
+      timedTgz(1)
+      timedTgz(10)
+      timedTgz(100)
+      docs.unpersist(false)
+    }
+
+    // Suffix-automaton census probe: the O(n)-per-doc claim — the
+    // automaton is scan-fused and in-row bounded, so totals scale
+    // EXACTLY ×N and wall stays ~linear in corpus size.
+    if (want("sam"))
+    locally {
+      import spark.implicits._
+      val docs = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text")).persist()
+      val nDocs = docs.count()
+      val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      def timedSam(mult: Int): Unit = {
+        val scaled = docs
+          .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
+            col("doc_id"), col("text"))
+          .select((col("doc_id") + col("i") * lit(stride)).as("doc_id"),
+            // probe runs the automaton UNCAPPED (full text) — the cap
+            // in the registered query exists only for its O(n²) oracle
+            col("text"))
+        val t0 = System.nanoTime()
+        val r = scaled.as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) =>
+            graft.llm.Dedup.samCensus(id, t) })
+          .toDF()
+          .agg(count(lit(1)).as("docs"), sum(col("n_distinct")).as("nd"),
+            sum(col("n_rep_distinct")).as("nr"), max(col("lrs_len")).as("lrs"))
+          .head()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"sam_${mult}x","docs":${r.getLong(0)},"n_distinct":${r.getLong(1)},"n_rep":${r.getLong(2)},"max_lrs":${r.getInt(3)},"sec":$dt%.2f}""")
+      }
+      timedSam(1)
+      timedSam(10)
+      timedSam(100)
+      docs.unpersist(false)
+    }
+
     // MaxSim probe: N× the corpus against the FIXED ≤50-query panel
     // (replica ids shift past the 3050 panel bound, so no replica can
     // join the panel). The scored pair grid is panel × docs — rows

@@ -28,6 +28,13 @@ case class ResizedRealMeta(doc_id: Long, status: String,
     out_h: Option[Int], r_sum: Option[Long], g_sum: Option[Long],
     b_sum: Option[Long], top_left: Option[Long])
 
+/** Typed output of the perceptual-hash stage: dHash over genuinely
+  * decoded P6 pixels, packed as two 32-bit halves (hi = comparison
+  * bits 32..63, lo = 0..31) so the DuckDB twin can rebuild each half
+  * with shifts that never touch the BIGINT sign bit. */
+case class PhashMeta(doc_id: Long, status: String,
+    dhash_hi: Option[Long], dhash_lo: Option[Long])
+
 /** Typed output of the REAL (non-stub) PPM decode: parse status,
   * header fields, and exact raster stats. Nullable fields are None
   * wherever the parse did not get far enough to produce them. */
@@ -334,6 +341,41 @@ object Multimodal {
     }
     ResizedRealMeta(id, "ok", Some(w), Some(h), Some(ow), Some(oh),
       Some(rs), Some(gs), Some(bs), Some(tl))
+  }
+
+  /** dHash (difference hash) over genuinely decoded P6 pixels — the
+    * perceptual fingerprint image-dedup pipelines key on (the LAION
+    * recipe's cheap tier; Krawetz 2013 popularized the algorithm):
+    * nearest-neighbor sample an 8×9 gray grid (gray = exact channel
+    * sum — monotone in luma, integer-exact), then 64 bits, bit
+    * (r,c) = gray(r,c) < gray(r,c+1), packed into two 32-bit halves.
+    * Same index-map convention as [[resizePpm]] (src = out·in div
+    * out_dim), so one rounding discipline covers both stages. */
+  private[llm] def dhashPpm(id: Long, p: Array[Byte]): PhashMeta = {
+    val (st, w, h, _, off) = ppmHeader(p)
+    if (st != "ok") return PhashMeta(id, st, None, None)
+    val grays = new Array[Int](8 * 9)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 9) {
+        val base = off + ((r * h / 8) * w + (c * w / 9)) * 3
+        grays(r * 9 + c) = (p(base) & 0xff) + (p(base + 1) & 0xff) +
+          (p(base + 2) & 0xff)
+        c += 1
+      }
+      r += 1
+    }
+    var lo = 0L; var hi = 0L
+    var k = 0
+    while (k < 64) {
+      val rr = k / 8; val cc = k % 8
+      if (grays(rr * 9 + cc) < grays(rr * 9 + cc + 1)) {
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+      }
+      k += 1
+    }
+    PhashMeta(id, "ok", Some(hi), Some(lo))
   }
 
   /** The typed decode stage over [[parsePpm]] — same per-partition
@@ -3077,6 +3119,34 @@ object Multimodal {
       }.toDF().orderBy("doc_id")
     }),
 
+    // PERCEPTUAL image dedup — dHash over genuinely decoded pixels,
+    // then the exact-dedup keeper census keyed on the 64-bit hash
+    // (the LAION image-dedup recipe's cheap tier). Scale shape: the
+    // decode+hash is scan-fused map-only; the census is ONE window
+    // over the hash key — the q_dedup_exact plan on a 16-byte key,
+    // shuffle-balanced because hashes are near-uniform. Docs sharing
+    // text synthesize identical images, so their hashes collide by
+    // construction; tiny same-dimension images collide naturally —
+    // both land in the same keeper election, exactly the production
+    // behavior (perceptual dedup trades precision for recall).
+    "q_dedup_image_phash" -> ((s, dir) => {
+      import s.implicits._
+      val metas = ppmPayload(Tables(s, dir, "documents")).as[BinaryDoc]
+        .mapPartitions(_.map(d => dhashPpm(d.doc_id, d.payload))).toDF()
+      val w = Window.partitionBy(col("status"), col("dhash_hi"),
+        col("dhash_lo"))
+      metas
+        .withColumn("n_copies", when(col("status") === "ok",
+          count(lit(1)).over(w)).otherwise(lit(null).cast("long")))
+        .withColumn("keeper", when(col("status") === "ok",
+          min(col("doc_id")).over(w)).otherwise(lit(null).cast("long")))
+        .withColumn("keep",
+          col("status") === "ok" && col("doc_id") === col("keeper"))
+        .select(col("doc_id"), col("status"), col("dhash_hi"),
+          col("dhash_lo"), col("n_copies"), col("keeper"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
     // Format sniffing + byte-level QA stats — the one multimodal stage
     // that needs NO codec and is therefore fully real here: magic-byte
     // classification (the dispatch step that routes a payload to the
@@ -3652,6 +3722,55 @@ object Multimodal {
                CAST(raster[1] * 65536 + raster[2] * 256 + raster[3] AS BIGINT)
              END AS top_left
       FROM sm ORDER BY doc_id""",
+    // dHash twin: raster rebuilt from the md5 pure functions, the 8×9
+    // gray grid via the SAME out·in div out_dim index map, both hash
+    // halves packed with sub-sign-bit shifts, and the keeper census
+    // as a window over (status, hash) — the whole decode→hash→dedup
+    // chain pinned value-exact without the oracle ever seeing bytes.
+    "q_dedup_image_phash" -> s"""
+      WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+      b AS (SELECT doc_id, h, ${byteAt(0)} AS b0, ${byteAt(1)} AS b1,
+                   ${byteAt(13)} AS b13, ${byteAt(15)} AS b15
+            FROM hx),
+      d AS (SELECT doc_id, h, b13 % 16 = 0 AS badmagic, b15 % 8 = 0 AS trunc,
+                   1 + b0 % 4 AS w, 1 + b1 % 4 AS hh
+            FROM b),
+      r AS (SELECT doc_id, badmagic, trunc, w, hh,
+              list_transform(generate_series(0, w * hh * 3 - 1), i ->
+                (ascii(substr(h, 2*(i%16)+1, 1)) - (CASE WHEN substr(h, 2*(i%16)+1, 1) >= 'a' THEN 87 ELSE 48 END)) * 16 +
+                (ascii(substr(h, 2*(i%16)+2, 1)) - (CASE WHEN substr(h, 2*(i%16)+2, 1) >= 'a' THEN 87 ELSE 48 END))) AS raster
+            FROM d),
+      g AS (SELECT doc_id, badmagic, trunc,
+              list_transform(generate_series(0, 71), k ->
+                raster[3*(((k // 9) * hh // 8) * w + ((k % 9) * w // 9)) + 1]
+                + raster[3*(((k // 9) * hh // 8) * w + ((k % 9) * w // 9)) + 2]
+                + raster[3*(((k // 9) * hh // 8) * w + ((k % 9) * w // 9)) + 3]
+              ) AS grays
+            FROM r),
+      p AS (SELECT doc_id,
+              CASE WHEN badmagic THEN 'bad_magic'
+                   WHEN trunc THEN 'truncated' ELSE 'ok' END AS status,
+              CASE WHEN badmagic OR trunc THEN NULL ELSE
+                CAST(list_sum(list_transform(generate_series(32, 63), k ->
+                  CASE WHEN grays[(k // 8) * 9 + (k % 8) + 1] <
+                            grays[(k // 8) * 9 + (k % 8) + 2]
+                       THEN (1::BIGINT << (k - 32)) ELSE 0 END)) AS BIGINT)
+              END AS dhash_hi,
+              CASE WHEN badmagic OR trunc THEN NULL ELSE
+                CAST(list_sum(list_transform(generate_series(0, 31), k ->
+                  CASE WHEN grays[(k // 8) * 9 + (k % 8) + 1] <
+                            grays[(k // 8) * 9 + (k % 8) + 2]
+                       THEN (1::BIGINT << k) ELSE 0 END)) AS BIGINT)
+              END AS dhash_lo
+            FROM g)
+      SELECT doc_id, status, dhash_hi, dhash_lo,
+             CASE WHEN status = 'ok' THEN count(*) OVER
+               (PARTITION BY status, dhash_hi, dhash_lo) END AS n_copies,
+             CASE WHEN status = 'ok' THEN min(doc_id) OVER
+               (PARTITION BY status, dhash_hi, dhash_lo) END AS keeper,
+             status = 'ok' AND doc_id = (min(doc_id) OVER
+               (PARTITION BY status, dhash_hi, dhash_lo)) AS keep
+      FROM p ORDER BY doc_id""",
     "q_multimodal_decode_wav" -> s"""
       WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
       b AS (SELECT doc_id, h, ${byteAt(2)} AS b2, ${byteAt(3)} AS b3,

@@ -870,8 +870,13 @@ object TextAnalysis {
           sum(col("np") * (lit(2L) * col("nn_below") + col("nn"))).as("u2"),
           sum(col("np") * col("nn")).as("n_tied_pairs"))
         .select(col("n_pos"), col("n_neg"), col("u2"), col("n_tied_pairs"),
-          round(col("u2").cast("double") /
-            (lit(2.0) * col("n_pos") * col("n_neg")), 4).as("auc"))
+          // one-class eval split (degenerate corpora): AUC is
+          // undefined — NULL, never a division by zero (Spark's ANSI
+          // Divide raises even for doubles)
+          when(col("n_pos") === 0L || col("n_neg") === 0L,
+            lit(null).cast("double"))
+            .otherwise(round(col("u2").cast("double") /
+              (lit(2.0) * col("n_pos") * col("n_neg")), 4)).as("auc"))
     }),
 
     // The per-doc QUALITY VECTOR — every filter signal this library
@@ -2463,8 +2468,9 @@ object TextAnalysis {
              CAST(sum(nn) AS BIGINT) AS n_neg,
              CAST(sum(np * (2 * nn_below + nn)) AS BIGINT) AS u2,
              CAST(sum(np * nn) AS BIGINT) AS n_tied_pairs,
-             CAST(round(CAST(sum(np * (2 * nn_below + nn)) AS DOUBLE) /
-               (2.0 * sum(np) * sum(nn)), 4) AS DOUBLE) AS auc
+             CAST(CASE WHEN sum(np) = 0 OR sum(nn) = 0 THEN NULL
+               ELSE round(CAST(sum(np * (2 * nn_below + nn)) AS DOUBLE) /
+                 (2.0 * sum(np) * sum(nn)), 4) END AS DOUBLE) AS auc
       FROM c"""
 
   /** Per-rule drill-down twin: the agree CTEs plus fire bits, a 3-way

@@ -646,7 +646,9 @@ object Similarity {
     * release. */
   private val standingIdx = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), DataFrame]()
-  private def standing(s: SparkSession, dir: String, tag: String)
+  // private[graft]: the MaxSim family (ops/TextOps) memoizes its
+  // exhaustive scored frame through the same cache + release point
+  private[graft] def standing(s: SparkSession, dir: String, tag: String)
       (build: => DataFrame): DataFrame =
     standingIdx.computeIfAbsent((s, dir, tag), _ => build)
 

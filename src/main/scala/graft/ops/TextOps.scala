@@ -1206,12 +1206,31 @@ object TextOps {
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).cast("int").as("n_qtok"), sum(col("ms")).as("score"))
 
-  private def maxsimScored(s: org.apache.spark.sql.SparkSession,
+  /** The exhaustive scored frame is a STANDING EVAL ARTIFACT — the
+    * truth table q_maxsim, q_maxsim_recall, q_rrf_fusion's dense leg,
+    * and q_maxsim_twostage_agree all rank against. On a cluster it is
+    * a persisted table built once per corpus snapshot; here it
+    * memoizes through the graph family's standing-index cache
+    * (per-(session, dir), explicit release) as a localCheckpoint of
+    * the bounded (≤ panel·|docs| rows, 4 columns) score table —
+    * contents are deterministic exact integers, so every consumer
+    * stays hash-identical to its build-it-itself form at any dop. */
+  /** The lazy build tree, exposed so PlanSpec can pin the BUILD shape
+    * (panel broadcast onto one corpus scan, never a corpus shuffle)
+    * independently of the memoized artifact the consumers read. */
+  private[graft] def maxsimScoredBuild(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     GraftFunctions.register(s)
-    maxsimAgg(maxsimDocEmb(s, dir).crossJoin(broadcast(maxsimQTerms(s, dir)))
+    maxsimAgg(maxsimDocEmb(s, dir)
+      .crossJoin(broadcast(maxsimQTerms(s, dir)))
       .filter(col("doc_id") =!= col("query_id")))
   }
+
+  private def maxsimScored(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.llm.Similarity.standing(s, dir, "maxsim_scored") {
+      maxsimScoredBuild(s, dir).localCheckpoint()
+    }
 
   /** TWO-STAGE late-interaction retrieval (Santhanam et al. 2022,
     * ColBERTv2/PLAID; the production shape): a cheap trained-IVF ANN

@@ -711,16 +711,28 @@ class PlanSpec extends SparkSuite {
   }
 
   test("q_maxsim never shuffles the corpus: panel broadcast, tokens in-row") {
-    // the late-interaction score folds each doc's in-row token-hash
-    // array against the broadcast ≤3-token query panel — a shuffled
-    // or sort-merge join here means the corpus token set exploded
-    // into a corpus-sized exchange, the ColBERT scale failure
-    val p = plan("q_maxsim")
-    assert(!p.contains("ShuffledHashJoin") && !p.contains("SortMergeJoin"),
-      s"corpus must not shuffle-join:\n$p")
-    assert(p.contains("BroadcastNestedLoopJoin"),
+    // two pins, one per lifecycle stage of the standing eval artifact:
+    // 1. the BUILD tree (run once per (session, dir), then memoized
+    //    as a localCheckpoint like the graph family's indexes) folds
+    //    each doc's in-row token-embedding array against the
+    //    broadcast ≤3-token query panel — a shuffled or sort-merge
+    //    join here means the corpus token set exploded into a
+    //    corpus-sized exchange, the ColBERT scale failure
+    val b = graft.ops.TextOps
+      .maxsimScoredBuild(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!b.contains("ShuffledHashJoin") && !b.contains("SortMergeJoin"),
+      s"corpus must not shuffle-join in the build:\n$b")
+    assert(b.contains("BroadcastNestedLoopJoin"),
       "the bounded query panel must broadcast onto the corpus scan")
-    assert(!p.contains("CartesianProduct"))
+    assert(!b.contains("CartesianProduct"))
+    // 2. the CONSUMER rank reads ONLY the materialized artifact — a
+    //    parquet scan here means the memo lost its checkpoint and
+    //    every ranking row re-pays the panel×corpus build
+    val p = plan("q_maxsim")
+    assert(!p.contains("Scan parquet"),
+      s"rank must read the standing artifact, not rebuild it:\n$p")
+    assert(p.contains("ExistingRDD"), "scored frame must be materialized")
     assert(p.contains("WindowGroupLimit"),
       "top-3 per query must bound rows before the final exchange")
   }

@@ -28,6 +28,14 @@ case class ResizedRealMeta(doc_id: Long, status: String,
     out_h: Option[Int], r_sum: Option[Long], g_sum: Option[Long],
     b_sum: Option[Long], top_left: Option[Long])
 
+/** One row of the HTML text-extraction stage: parse status (`ok` /
+  * `truncated` — EOF before the html close tag / `no_markup` — a
+  * plain-text payload routed around the tag walk), block census, and
+  * the md5 of the boilerplate-filtered kept text (NULL when nothing
+  * survives the filter). */
+case class HtmlExtract(doc_id: Long, status: String, n_blocks: Int,
+    n_kept: Int, n_script: Int, kept_hash: Option[String])
+
 /** Typed output of the perceptual-hash stage: dHash over genuinely
   * decoded P6 pixels, packed as two 32-bit halves (hi = comparison
   * bits 32..63, lo = 0..31) so the DuckDB twin can rebuild each half
@@ -2488,6 +2496,149 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------------
+  // HTML text extraction — the crawl stage BETWEEN the WARC record and
+  // the text pipeline (trafilatura/jusText's job): strip markup with a
+  // real tag/script/comment state machine, decode entities, cut text
+  // into block-level chunks, and drop boilerplate blocks (title, nav
+  // links, footers) by the short-block rule, keeping the main content.
+  // The synthesized pages are genuine HTML (doctype, head/title,
+  // scripts whose bodies contain tags, comments containing tags, nav
+  // anchors with attributes, the doc's text split across two <p>
+  // blocks, footer) so a hash-green kept text proves the walk really
+  // skipped script/comment content and reassembled the content blocks.
+  // ---------------------------------------------------------------------
+
+  private def md5hex(t: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Synthesize a REAL HTML page around a doc's text, md5-driven:
+    * title + nav + footer boilerplate (all < 5 words — the filter's
+    * prey), the text split at the token midpoint across two <p>
+    * blocks inside the main div, a `<script>` whose BODY contains
+    * `<p>` (~25% — the tag walk must not resurface it), an HTML
+    * comment containing tags (~25% — same), a plain-text payload
+    * with no markup at all (~12.5% — the dispatch arm), and a page
+    * cut mid-footer with every close tag missing (~12.5% →
+    * `truncated`, kept text unaffected because the footer is
+    * boilerplate anyway — the arm isolates STATUS, not content). */
+  private[graft] def htmlOf(text: String, h: String): String = {
+    val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
+    if (b(8) % 8 == 3) return text // plain-text payload, no markup
+    val trunc = b(12) % 8 == 7
+    val hasScript = b(9) % 4 == 1
+    val hasComment = b(10) % 4 == 2
+    val toks = text.split(" ").filter(_.nonEmpty)
+    val n1 = (toks.length + 1) / 2
+    val p1 = toks.take(n1).mkString(" ")
+    val p2 = toks.drop(n1).mkString(" ")
+    val sb = new StringBuilder(text.length + 256)
+    sb ++= "<!DOCTYPE html><html><head><title>First &amp; Title</title>"
+    if (hasScript) sb ++= "<script>var x = 'not <p> text';</script>"
+    sb ++= "</head><body><nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>"
+    if (hasComment) sb ++= "<!-- hidden <p>comment</p> -->"
+    sb ++= "<div class=\"main\"><p>" + p1 + "</p><p>" + p2 + "</p></div>"
+    if (trunc) sb ++= "<footer>Copyright 20"
+    else sb ++= "<footer>Copyright 2026 corp</footer></body></html>"
+    sb.toString
+  }
+
+  /** Block-level elements: opening OR closing one flushes the current
+    * text block. Inline elements (a, b, i, span, em, …) do not — nav
+    * anchor texts join into one block, exactly what the boilerplate
+    * filter needs to see. */
+  private val HtmlBlockTags = Set("p", "div", "nav", "footer", "title",
+    "head", "body", "html", "article", "section", "li", "ul", "ol",
+    "table", "tr", "td", "br", "h1", "h2", "h3", "h4", "h5", "h6",
+    "!doctype")
+
+  /** REAL from-scratch HTML text extraction: a character state machine
+    * over TEXT / TAG / SCRIPT / STYLE / COMMENT (script and style
+    * bodies skipped to their close tag — markup inside them must
+    * never resurface as text; comments skipped to `-->`), a named-
+    * entity subset decoded in text, text cut into blocks at block-
+    * level tag boundaries with whitespace normalized, then the
+    * boilerplate filter: blocks under 5 words (titles, nav link rows,
+    * footers) drop, the survivors rejoin as the page's content.
+    * Total on arbitrary strings: EOF inside any construct degrades to
+    * `truncated` with everything collected so far; a payload with no
+    * markup routes around the walk as `no_markup`. */
+  private[graft] def parseHtml(id: Long, s: String): HtmlExtract = {
+    if (s == null || !s.contains('<')) {
+      val t = if (s == null) ""
+        else s.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      val nb = if (t.nonEmpty) 1 else 0
+      val keep = nb == 1 && t.split(' ').length >= 5
+      return HtmlExtract(id, "no_markup", nb, if (keep) 1 else 0, 0,
+        if (keep) Some(md5hex(t)) else None)
+    }
+    val blocks = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var nScript = 0
+    var sawHtmlClose = false
+    var truncated = false
+    def flush(): Unit = {
+      val t = cur.toString.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      if (t.nonEmpty) blocks += t
+      cur.clear()
+    }
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (s.startsWith("<!--", i)) {
+          val e = s.indexOf("-->", i + 4)
+          if (e < 0) { truncated = true; i = n } else i = e + 3
+        } else {
+          val e = s.indexOf('>', i + 1)
+          if (e < 0) { truncated = true; i = n }
+          else {
+            val inner = s.substring(i + 1, e)
+            val isClose = inner.startsWith("/")
+            val name = (if (isClose) inner.substring(1) else inner)
+              .takeWhile(ch => !ch.isWhitespace && ch != '/')
+              .toLowerCase(java.util.Locale.ROOT)
+            if (HtmlBlockTags.contains(name)) flush()
+            if (isClose && name == "html") sawHtmlClose = true
+            i = e + 1
+            if (!isClose && (name == "script" || name == "style")) {
+              if (name == "script") nScript += 1
+              val close = "</" + name
+              val se = s.indexOf(close, i)
+              if (se < 0) { truncated = true; i = n }
+              else {
+                val se2 = s.indexOf('>', se + close.length)
+                if (se2 < 0) { truncated = true; i = n } else i = se2 + 1
+              }
+            }
+          }
+        }
+      } else if (c == '&') {
+        val ent = Seq("&amp;" -> '&', "&lt;" -> '<', "&gt;" -> '>',
+          "&quot;" -> '"', "&#39;" -> '\'', "&nbsp;" -> ' ')
+          .find { case (e, _) => s.startsWith(e, i) }
+        ent match {
+          case Some((e, ch)) => cur += ch; i += e.length
+          case None => cur += '&'; i += 1
+        }
+      } else { cur += c; i += 1 }
+    }
+    flush()
+    val kept = blocks.filter(_.split(' ').length >= 5)
+    HtmlExtract(id,
+      if (truncated || !sawHtmlClose) "truncated" else "ok",
+      blocks.length, kept.length, nScript,
+      if (kept.isEmpty) None else Some(md5hex(kept.mkString(" "))))
+  }
+
+  /** The typed extraction stage — scan-fused like every decode. */
+  def extractHtml(ds: Dataset[(Long, String)]): Dataset[HtmlExtract] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { case (id, page) => parseHtml(id, page) })
+  }
+
+  // ---------------------------------------------------------------------
   // VIDEO as a frame stream (netpbm ppm_pipe — ffmpeg image2pipe's
   // rawvideo-adjacent format IS concatenated P6 frames): the
   // frame-SAMPLING op a multimodal pipeline runs before feature
@@ -3119,6 +3270,21 @@ object Multimodal {
       }.toDF().orderBy("doc_id")
     }),
 
+    // HTML text extraction — the crawl stage between the WARC record
+    // and the text pipeline: real tag/script/comment state machine,
+    // entity decode, block-level cuts, boilerplate filter (see
+    // [[parseHtml]]). Map-only, scan-fused; a hash-green kept text
+    // proves script/comment bodies never resurfaced and the content
+    // blocks reassembled byte-exact.
+    "q_html_extract" -> ((s, dir) => {
+      import s.implicits._
+      val pages = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+        .as[(Long, String, String)]
+        .mapPartitions(_.map { case (id, t, h) => (id, htmlOf(t, h)) })
+      extractHtml(pages).toDF().orderBy("doc_id")
+    }),
+
     // PERCEPTUAL image dedup — dHash over genuinely decoded pixels,
     // then the exact-dedup keeper census keyed on the 64-bit hash
     // (the LAION image-dedup recipe's cheap tier). Scale shape: the
@@ -3722,6 +3888,50 @@ object Multimodal {
                CAST(raster[1] * 65536 + raster[2] * 256 + raster[3] AS BIGINT)
              END AS top_left
       FROM sm ORDER BY doc_id""",
+    // HTML-extraction twin: the block census and kept text re-derived
+    // from (text, md5 bits) pure functions — boilerplate blocks are
+    // all < 5 words by construction, so kept text is exactly the
+    // ≥5-word halves of the token-midpoint split; the oracle never
+    // sees the page, so a hash match proves the tag walk, the
+    // script/comment skips, the entity decode, and the block
+    // reassembly all round-trip.
+    "q_html_extract" -> s"""
+      WITH hx AS (SELECT doc_id, text, md5(text) AS h FROM documents),
+      b AS (SELECT doc_id, text, ${byteAt(8)} AS b8, ${byteAt(9)} AS b9,
+                   ${byteAt(12)} AS b12
+            FROM hx),
+      d AS (SELECT doc_id,
+              array_to_string(list_filter(string_split(text, ' '),
+                x -> x <> ''), ' ') AS t,
+              b8 % 8 = 3 AS plain, b12 % 8 = 7 AS trunc,
+              b9 % 4 = 1 AS scr
+            FROM b),
+      e AS (SELECT doc_id, plain, trunc, scr, t,
+              len(string_split(t, ' ')) AS nw,
+              (len(string_split(t, ' ')) + 1) // 2 AS n1
+            FROM d),
+      f AS (SELECT doc_id, plain, trunc, scr, t, nw, n1, nw - n1 AS n2,
+              array_to_string(string_split(t, ' ')[1:n1], ' ') AS p1,
+              array_to_string(string_split(t, ' ')[n1+1:nw], ' ') AS p2
+            FROM e)
+      SELECT doc_id,
+        CASE WHEN plain THEN 'no_markup'
+             WHEN trunc THEN 'truncated' ELSE 'ok' END AS status,
+        CAST(CASE WHEN plain THEN CASE WHEN nw > 0 THEN 1 ELSE 0 END
+             ELSE 4 + (CASE WHEN n2 > 0 THEN 1 ELSE 0 END) END AS INT)
+          AS n_blocks,
+        CAST(CASE WHEN plain THEN CASE WHEN nw >= 5 THEN 1 ELSE 0 END
+             ELSE (CASE WHEN n1 >= 5 THEN 1 ELSE 0 END) +
+                  (CASE WHEN n2 >= 5 THEN 1 ELSE 0 END) END AS INT)
+          AS n_kept,
+        CAST(CASE WHEN NOT plain AND scr THEN 1 ELSE 0 END AS INT)
+          AS n_script,
+        CASE WHEN plain THEN (CASE WHEN nw >= 5 THEN md5(t) END)
+             WHEN n1 >= 5 AND n2 >= 5 THEN md5(t)
+             WHEN n1 >= 5 THEN md5(p1)
+             WHEN n2 >= 5 THEN md5(p2)
+             END AS kept_hash
+      FROM f ORDER BY doc_id""",
     // dHash twin: raster rebuilt from the md5 pure functions, the 8×9
     // gray grid via the SAME out·in div out_dim index map, both hash
     // halves packed with sub-sign-bit shifts, and the keeper census

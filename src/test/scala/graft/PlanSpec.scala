@@ -673,6 +673,7 @@ class PlanSpec extends SparkSuite {
         "q_archive_ingest_tar", // second 1→N container, same contract
         "q_archive_ingest_tgz", // layered gzip→tar walk, one task, no shuffle
         "q_dedup_substring_sam", // per-doc O(n) automaton, scan-fused
+        "q_html_extract", // synth+tag-walk+boilerplate filter, one task
         "q_video_framesample", // 1→N frame fan-out, same contract
         "q_multimodal_resize_real", "q_audio_features")) {
       val p = plan(q)

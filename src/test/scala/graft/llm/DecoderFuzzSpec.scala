@@ -35,6 +35,20 @@ object DecoderFuzzProps extends Properties("Multimodal.decoders") {
     prefix <- Gen.oneOf(Gen.const(Array.emptyByteArray), Gen.oneOf(magics))
   } yield prefix ++ bs
 
+  private val htmlGarbage: Gen[String] = for {
+    n <- Gen.chooseNum(0, 200)
+    cs <- Gen.listOfN(n, Gen.frequency(
+      5 -> Gen.alphaNumChar, 2 -> Gen.oneOf('<', '>', '&', '/', '!', '-',
+        ' ', '"'), 1 -> Gen.oneOf("script style p nav -->".toSeq)))
+    pre <- Gen.oneOf("", "<", "<!--", "<script>", "<p>", "&am")
+  } yield pre + cs.mkString
+
+  property("parseHtml is total on arbitrary markup-shaped strings") =
+    forAll(htmlGarbage) { s =>
+      val r = Multimodal.parseHtml(1L, s)
+      r.status.nonEmpty && r.n_kept <= r.n_blocks
+    }
+
   property("every decoder is total on arbitrary bytes") = forAll(garbage) {
     bs =>
       Multimodal.parsePpm(1L, bs).status.nonEmpty &&
@@ -115,6 +129,35 @@ class DecoderTruncationSpec extends org.scalatest.funsuite.AnyFunSuite {
       val gm = Multimodal.parseTgz(1L, Multimodal.tgzBytes(clean.head).take(n))
       assert(gm.nonEmpty && gm.forall(_.status.nonEmpty))
     }
+  }
+
+  test("parseHtml skips script/comment bodies, decodes entities, filters boilerplate") {
+    val page = "<!DOCTYPE html><html><head><title>Tiny &amp; Title</title>" +
+      "<script>var hidden = '<p>leak leak leak leak leak</p>';</script>" +
+      "</head><body><nav><a href=\"/\">Home</a> <a href=\"/x\">About</a></nav>" +
+      "<!-- <p>comment should vanish entirely</p> -->" +
+      "<div><p>alpha beta gamma delta epsilon</p><p>tiny</p></div>" +
+      "<footer>by corp</footer></body></html>"
+    val r = Multimodal.parseHtml(5L, page)
+    assert(r.status == "ok" && r.n_script == 1)
+    // blocks: title(3w) nav(2w) p1(5w) p2(1w) footer(2w) — only p1 kept
+    assert(r.n_blocks == 5 && r.n_kept == 1)
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest("alpha beta gamma delta epsilon".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(r.kept_hash.contains(want),
+      "script/comment content leaked into the kept text")
+    // unterminated script: truncated, nothing after it resurfaces
+    val cut = page.substring(0, page.indexOf("</script>"))
+    val rc = Multimodal.parseHtml(5L, cut)
+    assert(rc.status == "truncated" && rc.kept_hash.isEmpty)
+    // entity decode lands in block text: 'A <b> c d e' = 5 words kept
+    val re = Multimodal.parseHtml(5L,
+      "<html><body><p>A &lt;b&gt; c d e</p></body></html>")
+    assert(re.status == "ok" && re.n_kept == 1)
+    val wantE = java.security.MessageDigest.getInstance("MD5")
+      .digest("A <b> c d e".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(re.kept_hash.contains(wantE), "entities must decode as text")
   }
 
   test("an end-blocks-only empty TAR yields one sentinel row, not silence") {

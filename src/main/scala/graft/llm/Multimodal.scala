@@ -3285,6 +3285,39 @@ object Multimodal {
       extractHtml(pages).toDF().orderBy("doc_id")
     }),
 
+    // The crawl front door at FULL fidelity — WARC record → gunzip →
+    // HTML page → extraction → content gate, the four stages a real
+    // crawl consumer runs, composed in ONE task (the record BODY is a
+    // genuine HTML page around the doc's text, so both layers' arms
+    // fire independently). The census separates transport loss (gzip
+    // arms) from markup state (ok / no_markup / truncated) from the
+    // content verdict — and html-TRUNCATED pages still yield content
+    // when their <p> blocks landed before the cut, exactly the
+    // salvage a block-wise extractor exists to make.
+    "q_crawl_html_funnel" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+        .as[(Long, String, String)]
+        .mapPartitions(_.map { case (id, t, h) =>
+          val wd = parseWarcDoc(id, warcMemberBytes(h, htmlOf(t, h)))
+          val he = wd.body.map(b => parseHtml(id, b))
+          (id, wd.status, he.map(_.status).orNull,
+            he.map(_.n_kept).getOrElse(0))
+        }).toDF("doc_id", "warc_status", "html_status", "n_kept")
+        .agg(count(lit(1)).as("n_fetched"),
+          sum(when(col("warc_status") === "ok", 1L).otherwise(0L))
+            .as("n_decoded"),
+          sum(when(col("html_status") === "ok", 1L).otherwise(0L))
+            .as("n_html_ok"),
+          sum(when(col("html_status") === "no_markup", 1L).otherwise(0L))
+            .as("n_no_markup"),
+          sum(when(col("html_status") === "truncated", 1L).otherwise(0L))
+            .as("n_html_truncated"),
+          sum(when(col("n_kept") >= 1, 1L).otherwise(0L))
+            .as("n_with_content"))
+    }),
+
     // PERCEPTUAL image dedup — dHash over genuinely decoded pixels,
     // then the exact-dedup keeper census keyed on the 64-bit hash
     // (the LAION image-dedup recipe's cheap tier). Scale shape: the
@@ -3932,6 +3965,37 @@ object Multimodal {
              WHEN n2 >= 5 THEN md5(p2)
              END AS kept_hash
       FROM f ORDER BY doc_id""",
+    // Full-fidelity funnel twin: both layers' arm predicates plus the
+    // token-split content rule, re-derived from (text, md5) pure
+    // functions — the oracle never sees compressed bytes OR markup.
+    "q_crawl_html_funnel" -> s"""
+      WITH hx AS (SELECT doc_id, text, md5(text) AS h FROM documents),
+      b AS (SELECT doc_id, text, ${byteAt(8)} AS b8, ${byteAt(12)} AS b12,
+                   ${byteAt(14)} AS b14, ${byteAt(15)} AS b15
+            FROM hx),
+      d AS (SELECT doc_id,
+              NOT (b12 % 16 = 1) AND NOT (b14 % 8 = 5)
+                AND NOT (b15 % 16 = 9) AS decoded,
+              b8 % 8 = 3 AS plain, b12 % 8 = 7 AS htrunc,
+              len(list_filter(string_split(text, ' '), x -> x <> ''))
+                AS nw
+            FROM b),
+      e AS (SELECT doc_id, decoded, plain, htrunc, nw,
+              (nw + 1) // 2 AS n1, nw - (nw + 1) // 2 AS n2
+            FROM d)
+      SELECT CAST(count(*) AS BIGINT) AS n_fetched,
+        CAST(sum(CASE WHEN decoded THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_decoded,
+        CAST(sum(CASE WHEN decoded AND NOT plain AND NOT htrunc
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_html_ok,
+        CAST(sum(CASE WHEN decoded AND plain THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_no_markup,
+        CAST(sum(CASE WHEN decoded AND NOT plain AND htrunc
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_html_truncated,
+        CAST(sum(CASE WHEN decoded AND ((plain AND nw >= 5) OR
+          (NOT plain AND (n1 >= 5 OR n2 >= 5))) THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_with_content
+      FROM e""",
     // dHash twin: raster rebuilt from the md5 pure functions, the 8×9
     // gray grid via the SAME out·in div out_dim index map, both hash
     // halves packed with sub-sign-bit shifts, and the keeper census

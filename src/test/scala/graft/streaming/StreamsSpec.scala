@@ -800,6 +800,40 @@ class StreamedDecodeSpec extends graft.SparkSuite {
     } finally q.stop()
   }
 
+  test("streamed HTML extraction equals the batch extraction, arm for arm") {
+    // the WARC-to-text markup strip is a stateless per-row map, so the
+    // SAME parseHtml runs unchanged on a stream — continuous crawl
+    // ingest extracts content without a batch re-run; parity covers
+    // the script/comment skips, the no_markup dispatch, the truncation
+    // arm, and the boilerplate filter's kept-hash
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = (0 until 40).map { i =>
+      val t = (0 to i % 9).map(j => s"w$j$i").mkString(" ")
+      (i.toLong, t, java.security.MessageDigest.getInstance("MD5")
+        .digest(s"html-stream-$i".getBytes("US-ASCII"))
+        .map("%02x".format(_)).mkString)
+    }
+    val batch = rows.map { case (id, t, h) =>
+      Multimodal.parseHtml(id, Multimodal.htmlOf(t, h))
+    }.toSet
+    val in = MemoryStream[(Long, String, String)]
+    val q = in.toDS()
+      .map { case (id, t, h) =>
+        Multimodal.parseHtml(id, Multimodal.htmlOf(t, h)) }
+      .writeStream.format("memory").queryName("html_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(rows.take(20): _*); q.processAllAvailable()
+      in.addData(rows.drop(20): _*); q.processAllAvailable()
+      val got = spark.table("html_stream")
+        .as[graft.llm.HtmlExtract].collect().toSet
+      assert(got == batch)
+      assert(got.exists(r => r.status == "ok" && r.kept_hash.isDefined))
+      assert(got.exists(_.n_kept == 0), "no boilerplate-only page in the panel")
+    } finally q.stop()
+  }
+
   test("streamed ZIP archive ingest equals the batch member fan-out, arm for arm") {
     // The 1→N container walk is a stateless per-partition flatMap, so
     // the SAME decodeZip runs unchanged on a stream — each arriving

@@ -2604,8 +2604,16 @@ object Multimodal {
             i = e + 1
             if (!isClose && (name == "script" || name == "style")) {
               if (name == "script") nScript += 1
+              // close-tag search is CASE-INSENSITIVE (</SCRIPT> is
+              // legal HTML) — a case-sensitive scan would mark real
+              // pages truncated and drop their tail
               val close = "</" + name
-              val se = s.indexOf(close, i)
+              var se = -1
+              var j = i
+              while (se < 0 && j <= n - close.length) {
+                if (s.regionMatches(true, j, close, 0, close.length)) se = j
+                else j += 1
+              }
               if (se < 0) { truncated = true; i = n }
               else {
                 val se2 = s.indexOf('>', se + close.length)

@@ -105,6 +105,10 @@ private class ListingScanBuilder(paths: Array[String])
     * locally and Spark's own GlobalLimit still merges across
     * partitions — correct at any partition count. */
   override def pushLimit(l: Int): Boolean = { limit = l; true }
+  // explicit, though it is the interface default: each partition only
+  // bounds its OWN walk, so Spark must keep its GlobalLimit — claiming
+  // complete pushdown with >1 directory would return up to paths×k rows
+  override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, rest) =

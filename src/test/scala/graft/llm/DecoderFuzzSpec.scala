@@ -68,7 +68,8 @@ object DecoderFuzzProps extends Properties("Multimodal.decoders") {
       Multimodal.parseTgz(1L, bs).nonEmpty &&
       Multimodal.sampleVideo(1L, bs).forall(_.status.nonEmpty) &&
       Multimodal.sampleVideo(1L, bs).nonEmpty &&
-      Multimodal.resizePpm(1L, bs, 2, 2).status.nonEmpty
+      Multimodal.resizePpm(1L, bs, 2, 2).status.nonEmpty &&
+      Multimodal.dhashPpm(1L, bs).status.nonEmpty
   }
 }
 
@@ -151,6 +152,11 @@ class DecoderTruncationSpec extends org.scalatest.funsuite.AnyFunSuite {
     val cut = page.substring(0, page.indexOf("</script>"))
     val rc = Multimodal.parseHtml(5L, cut)
     assert(rc.status == "truncated" && rc.kept_hash.isEmpty)
+    // uppercase close tags are legal HTML: </SCRIPT> must end the skip
+    val up = Multimodal.parseHtml(5L,
+      "<html><body><script>var t='<p>x</p>';</SCRIPT>" +
+        "<p>one two three four five</p></body></html>")
+    assert(up.status == "ok" && up.n_kept == 1 && up.n_script == 1)
     // entity decode lands in block text: 'A <b> c d e' = 5 words kept
     val re = Multimodal.parseHtml(5L,
       "<html><body><p>A &lt;b&gt; c d e</p></body></html>")

@@ -737,6 +737,46 @@ object ScaleProbe {
       docs.unpersist(false)
     }
 
+    // HTML extraction probe: synth page + tag walk + boilerplate
+    // filter are one stateless map — census classes scale EXACTLY ×N
+    // and wall stays ~linear; a superlinear wall would mean the page
+    // text started crossing a shuffle.
+    if (want("html"))
+    locally {
+      import spark.implicits._
+      val docs = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+        .persist()
+      val nDocs = docs.count()
+      val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      def timedHtml(mult: Int): Unit = {
+        val scaled = docs
+          .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
+            col("doc_id"), col("text"), col("h"))
+          .select((col("doc_id") + col("i") * lit(stride)).as("doc_id"),
+            col("text"), col("h"))
+        val t0 = System.nanoTime()
+        val census = scaled.as[(Long, String, String)]
+          .mapPartitions(_.map { case (id, t, h) =>
+            graft.llm.Multimodal.parseHtml(id,
+              graft.llm.Multimodal.htmlOf(t, h)) })
+          .toDF()
+          .groupBy(col("status")).agg(count(lit(1)).as("c"),
+            sum(col("n_kept").cast("long")).as("kept"))
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+        val dt = (System.nanoTime() - t0) / 1e9
+        val ok = census.getOrElse("ok", (0L, 0L))
+        val tr = census.getOrElse("truncated", (0L, 0L))
+        val nm = census.getOrElse("no_markup", (0L, 0L))
+        println(f"""{"probe":"html_${mult}x","docs":${nDocs * mult},"ok":${ok._1},"truncated":${tr._1},"no_markup":${nm._1},"kept_blocks":${ok._2 + tr._2 + nm._2},"sec":$dt%.2f}""")
+      }
+      timedHtml(1)
+      timedHtml(10)
+      timedHtml(100)
+      docs.unpersist(false)
+    }
+
     // Suffix-automaton census probe: the O(n)-per-doc claim — the
     // automaton is scan-fused and in-row bounded, so totals scale
     // EXACTLY ×N and wall stays ~linear in corpus size.

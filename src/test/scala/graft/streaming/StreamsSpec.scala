@@ -956,4 +956,38 @@ class StreamedDecodeSpec extends graft.SparkSuite {
         m.status == "short_data"), "no failure arm in the panel")
     } finally q.stop()
   }
+
+  test("streamed .tar.gz ingest equals the batch layered walk, arm for arm") {
+    // the LAYERED container (gzip transport around ustar) is still one
+    // stateless flatMap — inflate and walk run inside the same task
+    // per micro-batch, so the plan streams unchanged; parity covers
+    // the gzip_-prefixed transport arms AND the inner tar arms
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val hexes = (0 until 48).map { i =>
+      (i.toLong, java.security.MessageDigest.getInstance("MD5")
+        .digest(s"tgz-stream-$i".getBytes("US-ASCII"))
+        .map("%02x".format(_)).mkString)
+    }
+    val batch = hexes.flatMap { case (id, h) =>
+      Multimodal.parseTgz(id, Multimodal.tgzBytes(h))
+    }.toSet
+    val in = MemoryStream[(Long, String)]
+    val q = Multimodal.decodeTgz(
+        in.toDS().map { case (id, h) => BinaryDoc(id, Multimodal.tgzBytes(h)) })
+      .writeStream.format("memory").queryName("tgz_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(hexes.take(24): _*); q.processAllAvailable()
+      in.addData(hexes.drop(24): _*); q.processAllAvailable()
+      val got = spark.table("tgz_stream")
+        .as[graft.llm.TarMember].collect()
+      assert(got.length == got.toSet.size, "fan-out must not replay-duplicate")
+      assert(got.toSet == batch)
+      assert(got.exists(m => m.status == "ok" && m.member >= 1),
+        "no multi-member archive in the panel")
+      assert(got.exists(_.status.startsWith("gzip_")),
+        "no transport-layer arm in the panel")
+    } finally q.stop()
+  }
 }

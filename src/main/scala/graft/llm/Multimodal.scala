@@ -3354,6 +3354,59 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // PERCEPTUAL image NEAR-dup — the Hamming tier above the exact
+    // phash census (together they are the LAION image-dedup recipe):
+    // the 64-bit dHash splits into four 16-bit bands, band-equality
+    // generates candidates, an exact popcount verifies Hamming ≤ 8 —
+    // the q_dedup_simhash shape at image grain. Pigeonhole GUARANTEES
+    // pairs at distance ≤ 3 (four bands can't all absorb ≤ 3 flipped
+    // bits); above that, band sharing is the standard LSH heuristic
+    // and the oracle mirrors the same candidate rule, so the gate
+    // pins the screen's actual semantics, not an idealized recall.
+    // Output is the bounded per-image census (degree + lowest peer),
+    // never the pair list — at 100 TB a heavy bucket's pair set is
+    // quadratic, the census row is one per image.
+    "q_dedup_image_phash_near" -> ((s, dir) => {
+      import s.implicits._
+      val metas = ppmPayload(Tables(s, dir, "documents")).as[BinaryDoc]
+        .mapPartitions(_.map(d => dhashPpm(d.doc_id, d.payload))).toDF()
+        .filter(col("status") === "ok")
+        .select(col("doc_id"), col("dhash_hi"), col("dhash_lo"))
+      val banded = metas.select(col("doc_id"), col("dhash_hi"),
+          col("dhash_lo"), explode(array(
+            struct(lit(0).as("band"), (col("dhash_lo") % 65536L).as("bkey")),
+            struct(lit(1).as("band"),
+              expr("shiftright(dhash_lo, 16)").as("bkey")),
+            struct(lit(2).as("band"), (col("dhash_hi") % 65536L).as("bkey")),
+            struct(lit(3).as("band"),
+              expr("shiftright(dhash_hi, 16)").as("bkey")))).as("b"))
+        .select(col("doc_id"), col("dhash_hi"), col("dhash_lo"),
+          col("b.band").as("band"), col("b.bkey").as("bkey"))
+      // band self-join sits under the explode → junk size estimates;
+      // force SHJ and let AQE pick build sides from runtime bytes
+      val pairs = banded.as("a")
+        .join(banded.as("c").hint("shuffle_hash"),
+          col("a.band") === col("c.band") && col("a.bkey") === col("c.bkey")
+            && col("a.doc_id") < col("c.doc_id"))
+        .select(col("a.doc_id").as("da"), col("c.doc_id").as("db"),
+          col("a.dhash_hi").as("ha"), col("a.dhash_lo").as("la"),
+          col("c.dhash_hi").as("hb"), col("c.dhash_lo").as("lb"))
+        .distinct() // a pair can match in up to 4 bands
+        .withColumn("hamming", expr(
+          "bit_count(la ^ lb) + bit_count(ha ^ hb)"))
+        .filter(col("hamming") <= 8)
+      val deg = pairs.select(col("da").as("doc_id"), col("db").as("peer"))
+        .unionByName(pairs.select(col("db").as("doc_id"),
+          col("da").as("peer")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_near"), min(col("peer")).as("min_peer"))
+      metas.select(col("doc_id"))
+        .join(deg.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_near"), lit(0L)).as("n_near"),
+          col("min_peer"))
+        .orderBy("doc_id")
+    }),
+
     // Format sniffing + byte-level QA stats — the one multimodal stage
     // that needs NO codec and is therefore fully real here: magic-byte
     // classification (the dispatch step that routes a payload to the
@@ -4004,6 +4057,60 @@ object Multimodal {
           (NOT plain AND (n1 >= 5 OR n2 >= 5))) THEN 1 ELSE 0 END)
           AS BIGINT) AS n_with_content
       FROM e""",
+    // Near-dup twin: the phash CTE chain, the SAME four-band candidate
+    // rule, xor/bit_count verify, and the per-image degree census.
+    "q_dedup_image_phash_near" -> s"""
+      WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+      b AS (SELECT doc_id, h, ${byteAt(0)} AS b0, ${byteAt(1)} AS b1,
+                   ${byteAt(13)} AS b13, ${byteAt(15)} AS b15
+            FROM hx),
+      d AS (SELECT doc_id, h, b13 % 16 = 0 AS badmagic, b15 % 8 = 0 AS trunc,
+                   1 + b0 % 4 AS w, 1 + b1 % 4 AS hh
+            FROM b WHERE NOT (b13 % 16 = 0) AND NOT (b15 % 8 = 0)),
+      r AS (SELECT doc_id, w, hh,
+              list_transform(generate_series(0, w * hh * 3 - 1), i ->
+                (ascii(substr(h, 2*(i%16)+1, 1)) - (CASE WHEN substr(h, 2*(i%16)+1, 1) >= 'a' THEN 87 ELSE 48 END)) * 16 +
+                (ascii(substr(h, 2*(i%16)+2, 1)) - (CASE WHEN substr(h, 2*(i%16)+2, 1) >= 'a' THEN 87 ELSE 48 END))) AS raster
+            FROM d),
+      g AS (SELECT doc_id,
+              list_transform(generate_series(0, 71), k ->
+                raster[3*(((k // 9) * hh // 8) * w + ((k % 9) * w // 9)) + 1]
+                + raster[3*(((k // 9) * hh // 8) * w + ((k % 9) * w // 9)) + 2]
+                + raster[3*(((k // 9) * hh // 8) * w + ((k % 9) * w // 9)) + 3]
+              ) AS grays
+            FROM r),
+      p AS (SELECT doc_id,
+              CAST(list_sum(list_transform(generate_series(32, 63), k ->
+                CASE WHEN grays[(k // 8) * 9 + (k % 8) + 1] <
+                          grays[(k // 8) * 9 + (k % 8) + 2]
+                     THEN (1::BIGINT << (k - 32)) ELSE 0 END)) AS BIGINT)
+                AS hi,
+              CAST(list_sum(list_transform(generate_series(0, 31), k ->
+                CASE WHEN grays[(k // 8) * 9 + (k % 8) + 1] <
+                          grays[(k // 8) * 9 + (k % 8) + 2]
+                     THEN (1::BIGINT << k) ELSE 0 END)) AS BIGINT) AS lo
+            FROM g),
+      bands AS (SELECT doc_id, hi, lo, band,
+                  CASE band WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+                            WHEN 2 THEN hi % 65536 ELSE hi // 65536
+                  END AS bkey
+                FROM p, (SELECT unnest(generate_series(0, 3)) AS band)),
+      pr AS (SELECT DISTINCT a.doc_id AS da, c.doc_id AS db,
+                    a.hi AS ha, a.lo AS la, c.hi AS hb, c.lo AS lb
+             FROM bands a JOIN bands c
+               ON a.band = c.band AND a.bkey = c.bkey
+                  AND a.doc_id < c.doc_id),
+      np AS (SELECT da, db FROM pr
+             WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 8),
+      deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near,
+                     CAST(min(peer) AS BIGINT) AS min_peer
+              FROM (SELECT da AS doc_id, db AS peer FROM np
+                    UNION ALL SELECT db, da FROM np)
+              GROUP BY doc_id)
+      SELECT p.doc_id, CAST(coalesce(deg.n_near, 0) AS BIGINT) AS n_near,
+             deg.min_peer
+      FROM p LEFT JOIN deg ON p.doc_id = deg.doc_id
+      ORDER BY p.doc_id""",
     // dHash twin: raster rebuilt from the md5 pure functions, the 8×9
     // gray grid via the SAME out·in div out_dim index map, both hash
     // halves packed with sub-sign-bit shifts, and the keeper census

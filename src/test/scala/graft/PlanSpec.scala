@@ -755,6 +755,18 @@ class PlanSpec extends SparkSuite {
       "both stage ranks must bound rows before their exchanges")
   }
 
+  test("q_dedup_image_phash_near candidates come from the band join, never all-pairs") {
+    // the LSH discipline at image grain: the self-join must be an
+    // equality SHJ on (band, bkey) — a cartesian or BNLJ here is the
+    // all-pairs Hamming scan this screen exists to avoid
+    val p = plan("q_dedup_image_phash_near")
+    assert(p.contains("ShuffledHashJoin"),
+      "band candidates must equality-join shuffle-hash")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"near-dup screen built an all-pairs join:\n$p")
+  }
+
   test("q_clip_filter joins the two modalities doc-keyed, never all-pairs") {
     // the cross-modal gate is ONE keyed join of two corpus-sized
     // sides (decoded image features x embedding block sums) — at

@@ -2384,7 +2384,12 @@ object Multimodal {
         i += 1
       }
       def octalAt(off: Int, len: Int): Long = {
-        var v = 0L; var j = off; var seen = false
+        var j = off
+        // historic/BSD tar writers pad octal fields with LEADING
+        // spaces ("  1750 ") — skip them, then stop at the first
+        // trailing space/NUL (GNU/libarchive parse discipline)
+        while (j < off + len && p(h0 + j) == ' ') j += 1
+        var v = 0L; var seen = false
         while (j < off + len && p(h0 + j) != 0 && p(h0 + j) != ' ') {
           val c = p(h0 + j) - '0'
           if (c < 0 || c > 7 || v > (Long.MaxValue >> 3)) return -1L
@@ -2392,7 +2397,15 @@ object Multimodal {
         }
         if (seen) v else -1L
       }
-      if (octalAt(148, 8) != sum)
+      // Pre-POSIX tars summed header bytes as SIGNED chars; accept
+      // that sum as a fallback the way GNU tar and libarchive do.
+      var ssum = 0L; i = 0
+      while (i < 512) {
+        ssum += (if (i >= 148 && i < 156) ' '.toInt else p(h0 + i).toLong)
+        i += 1
+      }
+      val stored = octalAt(148, 8)
+      if (stored != sum && stored != ssum)
         return (members += TarMember(id, m, "bad_checksum",
           None, None, None, None)).toSeq
       val size = octalAt(124, 12)
@@ -2524,14 +2537,26 @@ object Multimodal {
     * boilerplate anyway — the arm isolates STATUS, not content). */
   private[graft] def htmlOf(text: String, h: String): String = {
     val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
+    // Plain-text arm PRECONDITION: the doc text must not contain '<'
+    // — parseHtml dispatches on that char, so a '<' here would route
+    // a "plain" payload into the tag walk and diverge from the twin
+    // (which branches on the md5 arm alone). The fixture corpus is
+    // alphanumeric+space text, so the precondition holds; a real
+    // crawler resolves this with the Content-Type header, which this
+    // synthesized corpus doesn't model.
     if (b(8) % 8 == 3) return text // plain-text payload, no markup
     val trunc = b(12) % 8 == 7
     val hasScript = b(9) % 4 == 1
     val hasComment = b(10) % 4 == 2
+    // Markup arm: escape '&' then '<' when embedding — parseHtml's
+    // entity decode maps them back, so extraction round-trips to the
+    // verbatim doc text even if it carries markup chars, and the
+    // pass-through oracle twins stay correct with no precondition.
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
     val toks = text.split(" ").filter(_.nonEmpty)
     val n1 = (toks.length + 1) / 2
-    val p1 = toks.take(n1).mkString(" ")
-    val p2 = toks.drop(n1).mkString(" ")
+    val p1 = esc(toks.take(n1).mkString(" "))
+    val p2 = esc(toks.drop(n1).mkString(" "))
     val sb = new StringBuilder(text.length + 256)
     sb ++= "<!DOCTYPE html><html><head><title>First &amp; Title</title>"
     if (hasScript) sb ++= "<script>var x = 'not <p> text';</script>"

@@ -500,9 +500,14 @@ object TextOps {
           "left")
         .agg(count(lit(1)).as("n_true"), count(col("an")).as("n_found"))
         .crossJoin(broadcast(short))
+        // n_true can be 0 on a degenerate corpus where the two-stage leg
+        // answers no queries — ANSI Divide would raise (the q_lr_auc
+        // one-class failure class); NULL is the defined no-data answer.
         .select(col("n_true"), col("n_found"),
-          round(col("n_found").cast("double") / col("n_true").cast("double"),
-            4).as("overlap_at_3"), col("n_short"))
+          when(col("n_true") > 0,
+            round(col("n_found").cast("double") / col("n_true").cast("double"),
+              4)).otherwise(lit(null).cast("double")).as("overlap_at_3"),
+          col("n_short"))
     }),
 
     // MaxSim QUALITY row — the three-way shoot-out on the shared %61
@@ -1370,8 +1375,10 @@ object TextOps {
              FROM qs LEFT JOIN (SELECT query_id, count(*) AS cnt
                                 FROM ts3 GROUP BY 1) c USING (query_id))
       SELECT count(*) AS n_true, count(t.doc_id) AS n_found,
-             CAST(round(CAST(count(t.doc_id) AS DOUBLE) /
-               CAST(count(*) AS DOUBLE), 4) AS DOUBLE) AS overlap_at_3,
+             CASE WHEN count(*) > 0 THEN
+               CAST(round(CAST(count(t.doc_id) AS DOUBLE) /
+                 CAST(count(*) AS DOUBLE), 4) AS DOUBLE)
+             ELSE NULL END AS overlap_at_3,
              (SELECT n_short FROM sh) AS n_short
       FROM ex3 e JOIN qs USING (query_id)
       LEFT JOIN ts3 t ON e.query_id = t.query_id AND e.doc_id = t.doc_id"""),

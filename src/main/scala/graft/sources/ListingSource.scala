@@ -131,6 +131,12 @@ private class ListingScanBuilder(paths: Array[String])
     * any partition count, no global state in the source. */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     if (aggregation.groupByExpressions.nonEmpty) return false
+    // NON-NULL INVARIANT: count(col) below reuses the same partial row
+    // count as count(*), which is correct ONLY because every column in
+    // this accept-list is non-nullable by construction (a filesystem
+    // entry always has a dir and a name). Any column added here must
+    // either keep that invariant or make the reader count only its
+    // non-null values — otherwise the pushed count(col) over-counts.
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 &&

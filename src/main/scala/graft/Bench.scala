@@ -117,9 +117,24 @@ object Bench {
     // keeping the one-line JSON inside the harness's 2 KB log tail.
     val sfName = new java.io.File(sfDir).getName
     println(s"""{"queries":$qs,"sf":"$sfName","reps":$reps,"errors":$errors,"metric":"total","unit":"sec","value":${fmt(total, "%.3f")}}""")
-    // Second, SHORT line with just the headline fields: if the harness's
+    // LIKE-FOR-LIKE subset totals (BASELINE.md rule, machine-reported
+    // since r16): the raw total grows with every added query, so the
+    // only number comparable across rounds is the sum over a FROZEN
+    // query set. subset_r1 is the original 51-query baseline
+    // inventory (BENCH_r01); subset_r12 the 206-query r12 surface
+    // (CORRECTNESS_r12). Each line carries how many of the frozen set
+    // ran (n) so a renamed/retired query shows as n < frozen size,
+    // never as a silent speedup.
+    for ((label, frozen) <- Seq("subset_r1" -> BenchSubsets.r1,
+        "subset_r12" -> BenchSubsets.r12)) {
+      val rows = results.filter { case (k, _, ok) => ok && frozen(k) }
+      val sub = rows.map(_._2).sum
+      println(s"""{"metric":"$label","value":${fmt(sub, "%.3f")},"unit":"sec","n":${rows.size},"frozen_n":${frozen.size},"sf":"$sfName"}""")
+    }
+    // FINAL, SHORT line with just the headline fields: if the harness's
     // ~2 KB stdout tail truncates the full line above mid-JSON (possible
-    // as the query count grows), this one still parses on its own.
+    // as the query count grows), this one still parses on its own — and
+    // it stays LAST so the driver's single-line parse reads the total.
     println(s"""{"metric":"total","value":${fmt(total, "%.3f")},"unit":"sec","sf":"$sfName","reps":$reps,"errors":$errors}""")
     // Explicit release of the memoized standing-index frames
     // (graph family + PCA converged direction) before shutdown.

@@ -1111,7 +1111,9 @@ object Dedup {
     // or renormalize sv by a shared shift, exactly as the n⁴ note on
     // the IVF comparison prescribes (Similarity.ivfCellsFrom).
     "q_dedup_semantic" -> ((s, dir) => {
-      val cells = Similarity.ivfCellsFrom(quantized(s, dir))
+      // r16: reads the PERSISTED canonical IVF assignment (IndexStore)
+      // instead of retraining per query — same exact integers.
+      val cells = Similarity.ivfCells(s, dir)
         .select(col("vec_id"), col("q"), col("norm"), col("cell"))
       // K-row per-cell stats (K = trained cell count ≤ 4): broadcast is
       // size-safe at ANY corpus scale — the frame is K rows by
@@ -1165,7 +1167,7 @@ object Dedup {
     // it; the train side streams. Output: per train vector, the
     // verdict + the closest matching benchmark id.
     "q_decontaminate_semantic" -> ((s, dir) => {
-      val cells = Similarity.ivfCellsFrom(quantized(s, dir))
+      val cells = Similarity.ivfCells(s, dir)
         .select(col("vec_id"), col("q"), col("norm"),
           col("cell"), col("cell2"))
       val bench = cells.filter(col("vec_id") % 10 === 0)

@@ -650,6 +650,96 @@ object TextAnalysis {
         .orderBy("source")
     }),
 
+    // BYTE-LEVEL BPE training (Radford et al. 2019 — the GPT-2/
+    // tiktoken production tokenizer shape): merges learned over UTF-8
+    // BYTES, so every token of every language participates and there
+    // is no OOV by construction — the property char-BPE's [a-z]+ gate
+    // gives up on day one of non-English data. The merge ALGEBRA is
+    // the shared bpeStep/mergeApply chain (symbol-type-agnostic);
+    // what changes is the round-0 alphabet (≤256 hex-rendered byte
+    // symbols, [[bpeBytesSymbolsOf]]) and the domain (ALL words).
+    // Output per round: the learned merge as hex byte strings, its
+    // weighted pair count, surviving symbol instances.
+    "q_bpe_bytes_train" -> ((s, dir) => {
+      var cur = bpeBytesSymbolsOf(Tables(s, dir, "documents"))
+      val rows = (1 to 3).map { k =>
+        val (best, next) = bpeStep(cur)
+        cur = next
+        best.select(lit(k).as("step"), col("lft"), col("rgt"),
+            col("pair_cnt"))
+          .crossJoin(broadcast(next.agg(count(lit(1)).as("n_syms_after"))))
+      }
+      rows.reduce(_.unionByName(_)).orderBy("step")
+    }),
+
+    // The trained BYTE tokenizer APPLIED + the ROUND-TRIP PROOF: each
+    // word's final symbols, concatenated in order, are re-decoded and
+    // md5'd per doc (`rebuilt_md5`); the DuckDB twin computes the
+    // SAME md5 from the RAW word bytes directly — so a hash match
+    // proves decode(encode(x)) == x as BYTES for every word of every
+    // document, cross-engine. That is the no-OOV guarantee byte-level
+    // BPE exists for, pinned as data rather than asserted in prose.
+    // Scale shape = q_bpe_tokenize: the vocab-bounded segmentation is
+    // the shuffle_hash build side; the corpus never re-runs merges.
+    "q_bpe_bytes_tokenize" -> ((s, dir) => {
+      var cur = bpeBytesSymbolsOf(Tables(s, dir, "documents"))
+      (1 to 3).foreach { _ => cur = bpeStep(cur)._2 }
+      val seg = cur.groupBy(col("w")).agg(count(lit(1)).as("n_units"),
+        expr("array_join(transform(array_sort(collect_list(struct(i, s)))," +
+          " x -> x.s), '')").as("rebuilt"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .filter(col("word") =!= "")
+        .select(col("doc_id"), col("pos"),
+          expr("upper(hex(encode(word, 'UTF-8')))").as("w"))
+        .join(seg.hint("shuffle_hash"), "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_units")).as("n_byte_units"),
+          round(sum(col("n_units")).cast("double") / count(lit(1)), 4)
+            .cast("double").as("units_per_word"),
+          md5(expr("array_join(transform(array_sort(" +
+            "collect_list(struct(pos, rebuilt))), x -> x.rebuilt), '')"))
+            .as("rebuilt_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // BYTE vs CHAR BPE fertility — the comparison row: the same
+    // corpus under both families at the same merge budget, each over
+    // its admissible domain. n_words exposes the COVERAGE gap (bytes
+    // admit every token; char-BPE only [a-z]+ words), fertility the
+    // price per covered word — the classic byte-level trade (Radford
+    // et al.: slightly more units/word, zero unknowns).
+    "q_bpe_bytes_fertility" -> ((s, dir) => {
+      var cc = bpeSymbolsOf(Tables(s, dir, "documents"))
+      (1 to 3).foreach { _ => cc = bpeStep(cc)._2 }
+      val cseg = cc.groupBy(col("w")).agg(count(lit(1)).as("n_units"))
+      val charRow = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+        .join(cseg.hint("shuffle_hash"), "w")
+        .agg(count(lit(1)).as("n_words"), sum(col("n_units")).as("n_units"),
+          round(sum(col("n_units")).cast("double") / count(lit(1)), 4)
+            .cast("double").as("fertility"))
+        .select(lit("bpe_chars").as("family"), col("n_words"),
+          col("n_units"), col("fertility"))
+      var bc = bpeBytesSymbolsOf(Tables(s, dir, "documents"))
+      (1 to 3).foreach { _ => bc = bpeStep(bc)._2 }
+      val bseg = bc.groupBy(col("w")).agg(count(lit(1)).as("n_units"))
+      val byteRow = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .select(expr("upper(hex(encode(word, 'UTF-8')))").as("w"))
+        .join(bseg.hint("shuffle_hash"), "w")
+        .agg(count(lit(1)).as("n_words"), sum(col("n_units")).as("n_units"),
+          round(sum(col("n_units")).cast("double") / count(lit(1)), 4)
+            .cast("double").as("fertility"))
+        .select(lit("bpe_bytes").as("family"), col("n_words"),
+          col("n_units"), col("fertility"))
+      byteRow.unionByName(charRow).orderBy("family")
+    }),
+
     // Unigram-LM tokenizer trainer (Kudo 2018 — the SentencePiece
     // family; see the helper block's algorithm note). Two EM rounds
     // over the distinct-word dictionary: round 1 segments under the
@@ -1170,6 +1260,26 @@ object TextAnalysis {
       .select(col("w"), col("f"),
         explode(expr("sequence(1, length(w))")).as("i"))
       .withColumn("s", expr("substring(w, i, 1)"))
+
+  /** Round-0 BYTE-level symbol table (the GPT-2/tiktoken production
+    * shape, Radford et al. 2019): EVERY whitespace token participates
+    * — no lowercase-alpha gate, because the byte alphabet has no OOV;
+    * any UTF-8 string (any language, emoji, binary-ish junk) is a
+    * byte sequence. The word key and the symbols live in HEX (2
+    * chars/byte, upper-cased on both engines), so the char-BPE merge
+    * machinery applies unchanged — merges concatenate hex pairs, and
+    * any trained symbol decodes back to bytes with unhex, which is
+    * what makes decode(encode(x)) == x provable by md5
+    * (q_bpe_bytes_tokenize's rebuilt_md5 column). */
+  private def bpeBytesSymbolsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(expr("upper(hex(encode(word, 'UTF-8')))").as("w"))
+      .agg(count(lit(1)).as("f"))
+      .select(col("w"), col("f"),
+        explode(expr("sequence(1, length(w) div 2)")).as("i"))
+      .withColumn("s", expr("substring(w, 2 * i - 1, 2)"))
 
   /** Frame-taking trainer: 3 merge rounds over `docs`, one output row
     * per learned merge — ScaleProbe drives this on replicated corpora
@@ -1895,6 +2005,9 @@ object TextAnalysis {
           / count(surp), 4) AS DOUBLE) AS avg_surp
       FROM surp GROUP BY doc_id ORDER BY doc_id""",
     "q_bpe_train" -> bpeSql,
+    "q_bpe_bytes_train" -> bpeBytesSql,
+    "q_bpe_bytes_tokenize" -> bpeBytesTokenizeSql,
+    "q_bpe_bytes_fertility" -> bpeBytesFertilitySql,
     "q_wordpiece_train" -> wpSql,
     "q_wordpiece_tokenize" -> wpTokenizeSql,
     "q_wordpiece_fertility" -> wpFertilitySql,
@@ -2591,6 +2704,97 @@ object TextAnalysis {
                AS DOUBLE) AS fertility_ulm
       FROM dtok JOIN bseg USING (w) JOIN useg USING (w)
       GROUP BY source ORDER BY source"""
+
+  /** One byte-BPE round — [[bpeStepCtes]] with `bp/bb/bs` names so
+    * the byte chain coexists with the char chain in one twin. */
+  private def bbStepCtes(k: Int): String = s"""
+      bp$k AS (SELECT w, f, i, s,
+                lead(s) OVER (PARTITION BY w ORDER BY i) AS r
+              FROM bs$k),
+      bb$k AS (SELECT s AS lft, r AS rgt, CAST(sum(f) AS BIGINT) AS pair_cnt
+              FROM bp$k WHERE r IS NOT NULL GROUP BY s, r
+              ORDER BY pair_cnt DESC, lft, rgt LIMIT 1),
+      ${mergeChainCtes(s"bp$k", s"bb$k", s"bs${k + 1}")}"""
+
+  /** Byte-level dictionary + round-0 symbols: every non-empty token,
+    * keyed by its upper-hex UTF-8 byte rendering, one 2-hex-char
+    * symbol per byte — the [[bpeBytesSymbolsOf]] mirror. */
+  private lazy val bwdCte =
+    """bwd AS (SELECT upper(hex(encode(word))) AS w, count(*) AS f FROM
+                    (SELECT unnest(string_split(text, ' ')) AS word
+                     FROM documents)
+                  WHERE word <> '' GROUP BY 1)"""
+
+  private lazy val bbCtes = s"""
+      WITH $bwdCte,
+      bs1 AS (SELECT w, f, CAST(i AS INT) AS i,
+                substr(w, 2 * CAST(i AS INT) - 1, 2) AS s
+             FROM bwd, UNNEST(generate_series(1, len(w) // 2)) AS u(i)),
+      ${bbStepCtes(1)}, ${bbStepCtes(2)}, ${bbStepCtes(3)}"""
+
+  private lazy val bpeBytesSql = bbCtes + s"""
+      SELECT * FROM (
+        SELECT 1 AS step, lft, rgt, pair_cnt,
+               (SELECT count(*) FROM bs2) AS n_syms_after FROM bb1
+        UNION ALL
+        SELECT 2, lft, rgt, pair_cnt,
+               (SELECT count(*) FROM bs3) FROM bb2
+        UNION ALL
+        SELECT 3, lft, rgt, pair_cnt,
+               (SELECT count(*) FROM bs4) FROM bb3)
+      ORDER BY step"""
+
+  /** Round-trip twin: rebuilt_md5 comes from the RAW word bytes
+    * (`w` IS the raw hex), not from the segmentation — a hash match
+    * against the Spark side's symbol-rebuilt md5 therefore PROVES
+    * decode(encode(x)) == x for every word, cross-engine. */
+  private lazy val bpeBytesTokenizeSql = bbCtes + """,
+      bseg AS (SELECT w, CAST(count(*) AS BIGINT) AS n_units FROM bs4
+               GROUP BY w),
+      bwords AS (SELECT doc_id, CAST(i AS INT) AS pos,
+                   upper(hex(encode(parts[CAST(i AS INT)]))) AS w
+                 FROM (SELECT doc_id, string_split(text, ' ') AS parts
+                       FROM documents),
+                      UNNEST(generate_series(1, len(parts))) AS u(i)
+                 WHERE parts[CAST(i AS INT)] <> '')
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(n_units) AS BIGINT) AS n_byte_units,
+             CAST(round(CAST(sum(n_units) AS DOUBLE) / count(*), 4)
+               AS DOUBLE) AS units_per_word,
+             md5(string_agg(w, '' ORDER BY pos)) AS rebuilt_md5
+      FROM bwords JOIN bseg USING (w)
+      GROUP BY doc_id ORDER BY doc_id"""
+
+  private lazy val bpeBytesFertilitySql = bbCtes + s""",
+      $wdCte,
+      s1 AS (SELECT w, f, CAST(i AS INT) AS i, substr(w, CAST(i AS INT), 1) AS s
+             FROM wd, UNNEST(generate_series(1, len(w))) AS u(i)),
+      ${bpeStepCtes(1)}, ${bpeStepCtes(2)}, ${bpeStepCtes(3)},
+      fcseg AS (SELECT w, CAST(count(*) AS BIGINT) AS n_units FROM s4
+                GROUP BY w),
+      fbseg AS (SELECT w, CAST(count(*) AS BIGINT) AS n_units FROM bs4
+                GROUP BY w),
+      fcw AS (SELECT word AS w FROM
+                (SELECT unnest(string_split(text, ' ')) AS word
+                 FROM documents)
+              WHERE regexp_full_match(word, '[a-z]+')),
+      fbw AS (SELECT upper(hex(encode(word))) AS w FROM
+                (SELECT unnest(string_split(text, ' ')) AS word
+                 FROM documents)
+              WHERE word <> ''),
+      fm AS (
+        SELECT 'bpe_bytes' AS family, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(n_units) AS BIGINT) AS n_units,
+               CAST(round(CAST(sum(n_units) AS DOUBLE) / count(*), 4)
+                 AS DOUBLE) AS fertility
+        FROM fbw JOIN fbseg USING (w)
+        UNION ALL
+        SELECT 'bpe_chars', CAST(count(*) AS BIGINT),
+               CAST(sum(n_units) AS BIGINT),
+               CAST(round(CAST(sum(n_units) AS DOUBLE) / count(*), 4)
+                 AS DOUBLE)
+        FROM fcw JOIN fcseg USING (w))
+      SELECT family, n_words, n_units, fertility FROM fm ORDER BY family"""
 
   private lazy val bpeSql = bpeCtes + s"""
       SELECT * FROM (

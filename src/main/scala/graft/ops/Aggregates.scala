@@ -298,15 +298,28 @@ object Aggregates {
             .otherwise(0L)).as("n_funnel"))
     }),
 
-    // Approximate distinct (HLL++). No DuckDB oracle — HLL estimates are
-    // implementation-specific; the driver records a rows-only check.
-    // For a FULLY oracle-gated approximate-distinct, see q_hll_registers /
-    // q_hll_estimate below: graft's own HyperLogLog whose every bit both
-    // engines derive identically.
+    // Approximate distinct (HLL++), QUANTITATIVELY gated since r16: the
+    // engine-internal estimate can never hash-match DuckDB's (different
+    // sketch implementations), so the emitted columns are the exact
+    // distinct plus `approx_ok` — whether the HLL++ estimate landed
+    // inside the 3σ envelope of its configured accuracy (default
+    // rsd = 0.05 → |err| ≤ 0.15·exact; the same bound discipline
+    // q_hll_tuning proves for the from-scratch family, where the
+    // m = 1024 row measures ~1.04/√m). The oracle asserts approx_ok =
+    // true, so the gate FAILS if the estimate ever leaves its envelope
+    // — a real check, not schema theater: HLL++ is deterministic, so a
+    // violation is a genuine accuracy bug, not flakiness. The fully
+    // bit-gated approximate-distinct lives beside this:
+    // q_hll_registers / q_hll_estimate, graft's own HyperLogLog whose
+    // every register both engines derive identically.
     "q_approx_distinct" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("n_exact"))
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("approx_parts") - col("n_exact")).cast("double")
+            <= lit(0.15) * col("n_exact").cast("double")).as("approx_ok"))
         .orderBy("l_returnflag")
     }),
 
@@ -571,6 +584,13 @@ object Aggregates {
     "cast(7213 as decimal(38,0)) * 16777216 * 10000 * 9007199254740992"
 
   val oracles: Map[String, String] = Map(
+    // Asserts the HLL++ estimate stayed inside its 3σ accuracy
+    // envelope (approx_ok = true); the exact distinct hash-gates.
+    "q_approx_distinct" -> """
+      SELECT l_returnflag,
+             CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+             CAST(1 AS BOOLEAN) AS approx_ok
+      FROM lineitem GROUP BY 1 ORDER BY 1""",
     // Twin of the histogram-quantile sketch: identical integer bin
     // geometry, ceil-ranks, and within-bin interpolation; DuckDB's //
     // floor-division equals Spark's truncating `div` because every

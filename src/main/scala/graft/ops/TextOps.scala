@@ -1231,10 +1231,24 @@ object TextOps {
       .filter(col("doc_id") =!= col("query_id")))
   }
 
+  /** The persisted exhaustive-MaxSim artifact, exposed for
+    * q_index_persist's census row. */
+  private[graft] def maxsimScoredArtifact(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = maxsimScored(s, dir)
+
   private def maxsimScored(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
+    // r16: the standing eval artifact is DISK-durable (IndexStore —
+    // the FAISS write_index lifecycle): built once per corpus
+    // snapshot, loaded by every later session/process; the in-session
+    // memo on top keeps one process from re-opening the parquet per
+    // consumer. Contents are exact integers, so every consumer stays
+    // hash-identical to its build-it-itself form at any dop.
     graft.llm.Similarity.standing(s, dir, "maxsim_scored") {
-      maxsimScoredBuild(s, dir).localCheckpoint()
+      graft.llm.IndexStore.durableFrame(s, dir, "maxsim_scored") {
+        maxsimScoredBuild(s, dir)
+      }
     }
 
   /** TWO-STAGE late-interaction retrieval (Santhanam et al. 2022,
@@ -1287,7 +1301,7 @@ object TextOps {
     * (doc_id % 61 = 0, 3 longest-sorted terms of length >= 4 per query).
     * Callers append their own ranking tail with `bm25Ctes + ", rk AS (...)"`.
     */
-  private val bm25Ctes: String = """
+  private[graft] val bm25Ctes: String = """
       WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
                     FROM documents),
       tf AS (SELECT doc_id, word, count(*) AS tf FROM toks
@@ -1326,7 +1340,7 @@ object TextOps {
       mqt AS (SELECT query_id, md5(word) AS qh FROM qt
               WHERE query_id < 3050)"""
 
-  private lazy val maxsimTail: String = maxsimEmbCtes + s""",
+  private[graft] lazy val maxsimTail: String = maxsimEmbCtes + s""",
       mps AS (SELECT q.query_id, d.doc_id,
                 list_max(list_transform(d.hs, h -> ${tokDot("h", "q.qh")})) AS ms
               FROM mh d CROSS JOIN mqt q WHERE d.doc_id <> q.query_id),

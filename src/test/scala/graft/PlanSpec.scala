@@ -365,6 +365,47 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("NestedLoop"), "screen fell back to a nested loop")
   }
 
+  test("q_index_persist reads every census from the LOADED artifact parquet") {
+    // the persisted-index lifecycle's whole point: once the store is
+    // warm (any earlier family query built it), the census plan is
+    // six aggregates over flat graft-index scans — NO training
+    // subtree, NO join anywhere. A join here means some artifact
+    // frame silently fell back to its build tree.
+    val p = plan("q_index_persist")
+    assert(p.contains("graft-index"),
+      s"census must scan the persisted artifacts:\n$p")
+    assert(!p.contains("Join"),
+      s"census must not rebuild any artifact (no join expected):\n$p")
+  }
+
+  test("q_index_staleness assigns the corpus scan-side against loaded literal stats") {
+    // the q_knn_ivf_incremental discipline against the PERSISTED
+    // stats: the live corpus is re-assigned by scan-side literal dot
+    // products (cost ∝ corpus, no training pass), and the only joins
+    // are the ≤K-row ref/current count frames and the PSI grid — a
+    // sort-merge or nested-loop join means a corpus-sized side leaked
+    // into the metadata tail.
+    // (the ≤K-row ref/current FULL OUTER count join cannot broadcast
+    // — Spark has no broadcast full-outer — so a sort-merge join on
+    // those bounded frames is fine; only product shapes are banned)
+    val p = plan("q_index_staleness")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"staleness tail must stay on bounded frames:\n$p")
+    assert(p.contains("dot_long"),
+      "re-assignment must be the scan-side literal-stats projection")
+  }
+
+  test("q_knn_ivf_retrain keeps q_knn_ivf's shape: query batch broadcasts") {
+    // the fresh-train leg of the load/retrain split must plan the
+    // SAME search as the loaded-index leg — only the cells source
+    // differs (training subtree vs artifact scan)
+    val p = plan("q_knn_ivf_retrain")
+    assert(p.contains("BroadcastHashJoin Inner BuildLeft"),
+      s"retrain leg must broadcast the query side:\n$p")
+    assert(!p.contains("graft-index"),
+      "retrain leg must NOT read the store — it exists to bypass it")
+  }
+
   test("q_knn_graph stays a cell-keyed hash join: no broadcast, no all-pairs") {
     // The graph's query side IS the corpus, so the ivfTop rule
     // (broadcast the bounded query batch) cannot apply: a broadcast of
@@ -727,13 +768,17 @@ class PlanSpec extends SparkSuite {
     assert(b.contains("BroadcastNestedLoopJoin"),
       "the bounded query panel must broadcast onto the corpus scan")
     assert(!b.contains("CartesianProduct"))
-    // 2. the CONSUMER rank reads ONLY the materialized artifact — a
-    //    parquet scan here means the memo lost its checkpoint and
-    //    every ranking row re-pays the panel×corpus build
+    // 2. the CONSUMER rank reads ONLY the PERSISTED artifact (r16:
+    //    disk-durable through IndexStore — the FAISS read_index
+    //    side): the plan must be a flat scan of the graft-index
+    //    parquet, with NO join anywhere — a join means the memo lost
+    //    its artifact and the rank is re-paying the panel×corpus
+    //    build inline
     val p = plan("q_maxsim")
-    assert(!p.contains("Scan parquet"),
-      s"rank must read the standing artifact, not rebuild it:\n$p")
-    assert(p.contains("ExistingRDD"), "scored frame must be materialized")
+    assert(p.contains("graft-index"),
+      s"rank must read the persisted standing artifact:\n$p")
+    assert(!p.contains("Join"),
+      s"rank must not rebuild the scored frame (no join expected):\n$p")
     assert(p.contains("WindowGroupLimit"),
       "top-3 per query must bound rows before the final exchange")
   }

@@ -293,4 +293,42 @@ class TextAnalysisSpec extends SparkSuite {
       .select("doc_id", "pred").as[(Long, String)].collect().toMap
     assert(preds == Map(4L -> "x", 8L -> "y"))
   }
+
+  test("byte-level BPE round-trips NON-ASCII text exactly (UTF-8 bytes, md5-proven)") {
+    // The no-OOV property byte-level BPE exists for: emoji, CJK,
+    // accents, and mixed-script tokens — none admissible to the
+    // char-BPE [a-z]+ gate — must all segment and re-decode to their
+    // exact original bytes. rebuilt_md5 is computed from the trained
+    // SEGMENTATION; the expectation below from the raw words
+    // directly, so equality proves decode(encode(x)) == x per doc.
+    val dir = java.nio.file.Files.createTempDirectory("bpebytes").toString
+    val rows = Seq(
+      (0L, "caf\u00e9 na\u00efve \u00fcber"),
+      (1L, "\u65e5\u672c\u8a9e \u30c6\u30b9\u30c8 \ud83d\ude00\ud83d\ude00"),
+      (2L, "mixed ascii \u0438 \u043a\u0438\u0440\u0438\u043b\u043b\u0438\u0446\u0430"),
+      (3L, "plain ascii words only"))
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.queries("q_bpe_bytes_tokenize")(spark, dir)
+      .select("doc_id", "n_words", "rebuilt_md5")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    def md5hex(b: Array[Byte]): String = {
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map(x => f"${x & 0xff}%02x").mkString
+    }
+    rows.foreach { case (id, text) =>
+      val words = text.split(" ").filter(_.nonEmpty)
+      val rawHex = words.map(_.getBytes("UTF-8")
+        .map(b => f"${b & 0xff}%02X").mkString).mkString("")
+      val (nWords, gotMd5) = got(id)
+      assert(nWords == words.length, s"doc $id word count")
+      assert(gotMd5 == md5hex(rawHex.getBytes("UTF-8")),
+        s"doc $id: segment-rebuilt bytes must equal the original bytes")
+    }
+    // and the trainer runs: 3 merge rows, hex-pair symbols
+    val tr = TextAnalysis.queries("q_bpe_bytes_train")(spark, dir).collect()
+    assert(tr.length == 3)
+    assert(tr.forall(r => r.getAs[String]("lft").length % 2 == 0 &&
+      r.getAs[String]("rgt").length % 2 == 0))
+  }
 }

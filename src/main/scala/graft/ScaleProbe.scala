@@ -595,6 +595,37 @@ object ScaleProbe {
       docs.unpersist(false)
     }
 
+    // JPEG decode probe — same contract as the PNG probe (map-only,
+    // stats ×N exact, ~linear wall) over the full marker-walk →
+    // entropy-decode → IDCT → YCbCr chain, the heaviest per-row
+    // decode in the family (64-term fixed-point IDCT per block).
+    if (want("jpeg"))
+    locally {
+      val docs = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text")).persist()
+      val nDocs = docs.count()
+      val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      def timedJpeg(mult: Int): Unit = {
+        val scaled = docs
+          .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
+            col("doc_id"), col("text"))
+          .select((col("doc_id") + col("i") * lit(stride)).as("doc_id"),
+            col("text"))
+        val t0 = System.nanoTime()
+        val r = graft.llm.Multimodal.jpegDecodeStats(scaled)
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CASE WHEN status = 'ok' THEN 1L ELSE 0L END")).as("ok"),
+            sum(coalesce(col("r_sum"), lit(0L))).as("rsum"))
+          .head()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"jpeg_${mult}x","docs":${nDocs * mult},"ok":${r.getLong(1)},"r_sum":${r.getLong(2)},"sec":$dt%.2f}""")
+      }
+      timedJpeg(1)
+      timedJpeg(10)
+      timedJpeg(100)
+      docs.unpersist(false)
+    }
+
     // WARC funnel probe: N× the crawl (same text, shifted ids) through
     // synthesize→gunzip→URI-extract→canonicalize→funnel. Replicas share
     // their md5, so fetched/decoded/min_length must scale EXACTLY ×N

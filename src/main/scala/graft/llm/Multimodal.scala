@@ -120,6 +120,20 @@ case class PngMeta(doc_id: Long, status: String,
     b_sum: Option[Long], px_min: Option[Int], px_max: Option[Int],
     row0_sum: Option[Long])
 
+/** Typed output of the REAL baseline-JPEG decode (ITU-T T.81 SOF0) —
+  * the image format that dominates real crawls, and the family's
+  * first full transform codec: marker walk, DQT/DHT table parsing,
+  * MSB-first entropy decode with FF00 unstuffing, dequantization,
+  * de-zigzag, fixed-point 8×8 IDCT, level shift, and the JFIF
+  * integer YCbCr→RGB. Columns follow the [[PngMeta]] discipline:
+  * exact per-channel sums over the DECODED RGB pixels, min/max, and
+  * a top-row checksum that pins MCU raster order and the block
+  * layout. `n_blocks` = total 8×8 blocks entropy-decoded. */
+case class JpegMeta(doc_id: Long, status: String,
+    width: Option[Int], height: Option[Int], n_blocks: Option[Int],
+    r_sum: Option[Long], g_sum: Option[Long], b_sum: Option[Long],
+    px_min: Option[Int], px_max: Option[Int], row0_sum: Option[Long])
+
 /** Typed output of the REAL gzip decode — the crawl-decompression
   * stage (RFC 1952; WARC payloads arrive as gzip members): status,
   * the FNAME-flag evidence the optional-field walk ran, and exact
@@ -359,7 +373,7 @@ object Multimodal {
     * (r,c) = gray(r,c) < gray(r,c+1), packed into two 32-bit halves.
     * Same index-map convention as [[resizePpm]] (src = out·in div
     * out_dim), so one rounding discipline covers both stages. */
-  private[llm] def dhashPpm(id: Long, p: Array[Byte]): PhashMeta = {
+  private[graft] def dhashPpm(id: Long, p: Array[Byte]): PhashMeta = {
     val (st, w, h, _, off) = ppmHeader(p)
     if (st != "ok") return PhashMeta(id, st, None, None)
     val grays = new Array[Int](8 * 9)
@@ -2449,6 +2463,503 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // BASELINE JPEG (ITU-T T.81, SOF0) — the image format that dominates
+  // real crawls, and this family's first full TRANSFORM codec: marker
+  // walk, DQT/DHT parsing, MSB-first Huffman entropy decode with FF00
+  // byte unstuffing, dequantization, de-zigzag, a fixed-point 8×8
+  // IDCT, level shift, and the JFIF integer YCbCr→RGB.
+  //
+  // Exactness design (the QOI/PNG oracle discipline adapted to a
+  // LOSSY codec): the fixture generator picks each 8×8 block's
+  // content IN THE FREQUENCY DOMAIN — only the DC coefficient and the
+  // (4,4) AC coefficient are non-zero, both multiples of 8. For that
+  // coefficient pair the true IDCT is exactly integer-valued:
+  // s(x,y) = S00/8 + (S44/8)·σ(x)σ(y), with σ = [+,−,−,+,+,−,−,+]
+  // (cos((2x+1)π/4) = σ(x)/√2, and C(4)=1, so the two 1/√2 factors
+  // square to 1/2). The decoder still runs a GENERIC 64-term
+  // fixed-point IDCT (13-bit StrictMath cos table, 2^28 final scale);
+  // on these inputs its absolute error is < 0.01 ≪ 0.5, so rounding
+  // recovers the exact integers and the DuckDB twin can recompute the
+  // pixels as a pure md5 function without ever running an IDCT. On
+  // real JPEGs the same IDCT is a standard approximate integer IDCT.
+  // ---------------------------------------------------------------------
+
+  /** Zigzag position k → natural raster index (v·8 + u) of the 8×8
+    * coefficient array (T.81 Figure A.6). */
+  private val JpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Zigzag index of the (u=4, v=4) coefficient (natural 36). */
+  private val JpegZ44: Int = JpegZigzag.indexOf(36)
+
+  /** cos table: idctT(x)(u) = round(C(u)·cos((2x+1)uπ/16)·8192),
+    * C(0) = 1/√2 — StrictMath for bit-identical values on any JVM. */
+  private lazy val jpegIdctT: Array[Array[Long]] = Array.tabulate(8, 8) {
+    (x, u) =>
+      val c = if (u == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0
+      StrictMath.round(
+        StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0) * c * 8192.0)
+  }
+
+  private object JpegTrunc extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+  private object JpegBad extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  /** MSB-first entropy-segment bit writer with T.81 byte stuffing
+    * (an 0xFF data byte is followed by 0x00) and 1-padding flush. */
+  private final class JpegBitWriter {
+    private val out = new java.io.ByteArrayOutputStream(256)
+    private var acc = 0; private var n = 0
+    def bits(v: Int, k: Int): Unit = {
+      var i = k - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1); n += 1
+        if (n == 8) {
+          out.write(acc & 255)
+          if ((acc & 255) == 0xff) out.write(0)
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (n > 0) {
+      while (n < 8) { acc = (acc << 1) | 1; n += 1 }
+      out.write(acc & 255)
+      if ((acc & 255) == 0xff) out.write(0)
+      acc = 0; n = 0
+    }
+    def result(): Array[Byte] = out.toByteArray
+  }
+
+  /** MSB-first entropy-segment bit reader: unstuffs FF00, signals
+    * [[JpegTrunc]] at EOF and [[JpegBad]] on a bare marker mid-scan
+    * (no DRI is ever emitted, so a restart marker is corruption). */
+  private final class JpegBitReader(p: Array[Byte], var pos: Int) {
+    private var acc = 0; private var n = 0
+    def bit(): Int = {
+      if (n == 0) {
+        if (pos >= p.length) throw JpegTrunc
+        val v = p(pos) & 0xff; pos += 1
+        if (v == 0xff) {
+          if (pos >= p.length) throw JpegTrunc
+          if ((p(pos) & 0xff) == 0) pos += 1 else throw JpegBad
+        }
+        acc = v; n = 8
+      }
+      n -= 1
+      (acc >> n) & 1
+    }
+    def bits(k: Int): Int = {
+      var v = 0; var i = 0
+      while (i < k) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+  }
+
+  /** Canonical JPEG Huffman decoder from a DHT's BITS/HUFFVAL —
+    * the same first-code/count walk as the DEFLATE decoder, fed
+    * MSB-first. */
+  private final class JpegHuff(bits: Array[Int], vals: Array[Int]) {
+    def decode(br: JpegBitReader): Int = {
+      var code = 0; var first = 0; var index = 0
+      var len = 1
+      while (len <= 16) {
+        code |= br.bit()
+        val c = bits(len)
+        if (code - first < c) return vals(index + (code - first))
+        index += c
+        first = (first + c) << 1
+        code <<= 1
+        len += 1
+      }
+      throw JpegBad
+    }
+  }
+
+  /** Magnitude category of a DC diff / AC value (T.81 F.1.2.1.1). */
+  private def jpegCat(v: Int): Int =
+    if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** Extend a `t`-bit received magnitude to its signed value. */
+  private def jpegExtend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  /** JFIF integer YCbCr→RGB (the libjpeg 2^16 fixed-point constants),
+    * written as round-half-up FLOOR division with a 2^30 offset so
+    * the DuckDB twin's `//` (truncating, and floor on the always-
+    * positive offset operand) computes the identical integer. */
+  private def jpegYcc2Rgb(yv: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+    def fd(x: Long): Int =
+      (((x + 32768L + (1L << 30)) >> 16) - 16384L).toInt
+    def cl(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+    (cl(yv + fd(91881L * (cr - 128))),
+      cl(yv - fd(22554L * (cb - 128) + 46802L * (cr - 128))),
+      cl(yv + fd(116130L * (cb - 128))))
+  }
+
+  /** Per-doc block content — the md5-pure "logical pixels" both the
+    * encoder and the DuckDB twin derive: component `c`'s block `bi`
+    * decodes to 128 + d0 + d4·σ(x)σ(y). */
+  private def jpegD0(b: Array[Int], c: Int, bi: Int): Int =
+    b((2 + 3 * c + bi) % 16) % 48 - 24
+  private def jpegD4(b: Array[Int], c: Int, bi: Int): Int =
+    b((7 + 2 * c + bi) % 16) % 32 - 16
+
+  /** Synthesize a REAL baseline JPEG from a doc's md5: SOI, one DQT
+    * segment carrying BOTH quant tables (luma 0, chroma 1 — the
+    * multi-table walk), SOF0 (8-bit, 3 components, 4:4:4), one DHT
+    * segment with optimized DC+AC tables (two-pass, canonical — the
+    * real optimized-Huffman encoder shape), SOS, the stuffed entropy
+    * segment, EOI. Dimensions 8 or 16 per axis (1–4 MCUs). Arms:
+    * corrupted SOI (~6% → `bad_magic`), progressive SOF2 frame (~6% →
+    * `unsupported`, dims still read — the libjpeg header-probe
+    * behavior), file cut 3 bytes short (~12.5% → `truncated`). */
+  private[llm] def jpegBytes(h: String): Array[Byte] = {
+    val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
+    val badMagic = b(11) % 16 == 9
+    val prog = !badMagic && b(12) % 16 == 11
+    val trunc = !badMagic && !prog && b(13) % 8 == 5
+    val w = 8 * (1 + b(0) % 2); val hgt = 8 * (1 + b(1) % 2)
+    val nbx = w / 8; val nb = nbx * (hgt / 8)
+    // zigzag-order quant tables: DC and the (4,4) slot divide the
+    // fixture coefficients exactly; every other slot is a plausible
+    // 16 (its coefficient is always 0)
+    val q0 = Array.fill(64)(16); q0(0) = 2; q0(JpegZ44) = 4
+    val q1 = Array.fill(64)(16); q1(0) = 4; q1(JpegZ44) = 8
+    def qdc(c: Int, bi: Int) =
+      8 * jpegD0(b, c, bi) / (if (c == 0) q0(0) else q1(0))
+    def qac(c: Int, bi: Int) =
+      8 * jpegD4(b, c, bi) / (if (c == 0) q0(JpegZ44) else q1(JpegZ44))
+    // pass 1: collect the emitted symbol alphabets (optimized tables)
+    val dcSyms = scala.collection.mutable.SortedSet[Int]()
+    val acSyms = scala.collection.mutable.SortedSet[Int]()
+    val pred = new Array[Int](3)
+    for (bi <- 0 until nb; c <- 0 to 2) {
+      val diff = qdc(c, bi) - pred(c); pred(c) = qdc(c, bi)
+      dcSyms += jpegCat(diff)
+      val ac = qac(c, bi)
+      if (ac != 0) {
+        acSyms += 0xF0
+        acSyms += (((JpegZ44 - 1) % 16) << 4) | jpegCat(ac)
+      }
+      acSyms += 0x00 // EOB always follows (z44 < 63)
+    }
+    // canonical single-length tables: n symbols at length L with
+    // 2^L > n (code space never full — the all-ones code stays free)
+    def table(syms: Seq[Int]): (Array[Int], Map[Int, (Int, Int)]) = {
+      var l = 1
+      while ((1 << l) <= syms.size) l += 1
+      val bitsArr = new Array[Int](17); bitsArr(l) = syms.size
+      (bitsArr, syms.zipWithIndex.map { case (s, i) => s -> (i, l) }.toMap)
+    }
+    val (dcBits, dcCode) = table(dcSyms.toSeq)
+    val (acBits, acCode) = table(acSyms.toSeq)
+    // pass 2: the entropy segment
+    val bw = new JpegBitWriter
+    java.util.Arrays.fill(pred, 0)
+    for (bi <- 0 until nb; c <- 0 to 2) {
+      val diff = qdc(c, bi) - pred(c); pred(c) = qdc(c, bi)
+      val t = jpegCat(diff)
+      val (dc, dl) = dcCode(t)
+      bw.bits(dc, dl)
+      if (t > 0) bw.bits(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+      val ac = qac(c, bi)
+      if (ac != 0) {
+        // JpegZ44 − 1 zeros precede the coded slot: ⌊run/16⌋ ZRLs,
+        // then the residual run rides in the coefficient's symbol
+        val run = JpegZ44 - 1
+        val (zc, zl) = acCode(0xF0)
+        (1 to run / 16).foreach(_ => bw.bits(zc, zl))
+        val s = jpegCat(ac)
+        val (cc, cl) = acCode(((run % 16) << 4) | s)
+        bw.bits(cc, cl)
+        bw.bits(if (ac < 0) ac + (1 << s) - 1 else ac, s)
+      }
+      val (ec, el) = acCode(0x00)
+      bw.bits(ec, el) // EOB
+    }
+    bw.flush()
+    val scan = bw.result()
+    val out = new java.io.ByteArrayOutputStream(512)
+    def u8(v: Int): Unit = out.write(v & 255)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(if (badMagic) 0x88 else 0xd8) // SOI
+    marker(0xdb); u16(2 + 2 * 65)        // DQT: both tables, one segment
+    u8(0x00); q0.foreach(u8)             // Pq=0 (8-bit), Tq=0
+    u8(0x01); q1.foreach(u8)
+    marker(if (prog) 0xc2 else 0xc0)     // SOF0 (or the SOF2 arm)
+    u16(8 + 3 * 3); u8(8); u16(hgt); u16(w); u8(3)
+    u8(1); u8(0x11); u8(0)               // Y: 1×1 sampling, qtable 0
+    u8(2); u8(0x11); u8(1)               // Cb: qtable 1
+    u8(3); u8(0x11); u8(1)               // Cr: qtable 1
+    def dht(tcth: Int, bitsArr: Array[Int], syms: Seq[Int]): Unit = {
+      u8(tcth); (1 to 16).foreach(l => u8(bitsArr(l))); syms.foreach(u8)
+    }
+    val dcS = dcSyms.toSeq; val acS = acSyms.toSeq
+    marker(0xc4); u16(2 + (1 + 16 + dcS.size) + (1 + 16 + acS.size))
+    dht(0x00, dcBits, dcS)               // DC table 0
+    dht(0x10, acBits, acS)               // AC table 0
+    marker(0xda); u16(6 + 2 * 3); u8(3)  // SOS
+    u8(1); u8(0x00); u8(2); u8(0x00); u8(3); u8(0x00)
+    u8(0); u8(63); u8(0)                 // Ss, Se, Ah/Al (baseline)
+    out.write(scan, 0, scan.length)
+    marker(0xd9)                         // EOI
+    val full = out.toByteArray
+    if (trunc) full.dropRight(3) else full
+  }
+
+  /** REAL from-scratch baseline-JPEG decode — see [[JpegMeta]] for
+    * the row contract. Total on arbitrary bytes (DecoderFuzzSpec):
+    * failure is always a status row, never a throw. Baseline only:
+    * SOF2 (progressive) reports `unsupported` with the header dims
+    * (the libjpeg header-probe behavior); any non-1×1 sampling or
+    * non-8-bit precision likewise. */
+  private[graft] def parseJpeg(id: Long, p: Array[Byte]): JpegMeta = {
+    def fail(st: String, w: Option[Int] = None, h: Option[Int] = None) =
+      JpegMeta(id, st, w, h, None, None, None, None, None, None, None)
+    if (p == null || p.length < 4 ||
+        (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8)
+      return fail("bad_magic")
+    try {
+      var pos = 2
+      def u8(): Int = {
+        if (pos >= p.length) throw JpegTrunc
+        val v = p(pos) & 0xff; pos += 1; v
+      }
+      def u16(): Int = { val a = u8(); (a << 8) | u8() }
+      val qt = Array.ofDim[Int](4, 64)
+      val dcH = new Array[JpegHuff](4)
+      val acH = new Array[JpegHuff](4)
+      var width = -1; var height = -1
+      // per component: (qTable, dcTable, acTable)
+      var compQ: Array[Int] = null
+      var compDc: Array[Int] = null
+      var compAc: Array[Int] = null
+      var inScan = false
+      while (!inScan) {
+        if (u8() != 0xff) throw JpegBad
+        var m = u8()
+        while (m == 0xff) m = u8() // fill bytes are legal
+        m match {
+          case 0xd9 => throw JpegBad // EOI before any scan
+          case 0xdb =>
+            val len = u16() // read BEFORE pos is captured for `end`
+            val end = pos + len - 2
+            if (end > p.length) throw JpegTrunc
+            while (pos < end) {
+              val pqtq = u8()
+              if ((pqtq >> 4) != 0) throw JpegBad // 16-bit tables: out of scope
+              val tq = pqtq & 15
+              var k = 0
+              while (k < 64) { qt(tq)(k) = u8(); k += 1 }
+            }
+          case 0xc4 =>
+            val len = u16()
+            val end = pos + len - 2
+            if (end > p.length) throw JpegTrunc
+            while (pos < end) {
+              val tcth = u8()
+              val bits = new Array[Int](17)
+              var n = 0
+              var l = 1
+              while (l <= 16) { bits(l) = u8(); n += bits(l); l += 1 }
+              val vals = Array.fill(n)(u8())
+              val hd = new JpegHuff(bits, vals)
+              if ((tcth >> 4) == 0) dcH(tcth & 15) = hd
+              else acH(tcth & 15) = hd
+            }
+          case 0xc0 | 0xc2 =>
+            val len = u16()
+            val end = pos + len - 2
+            val prec = u8()
+            height = u16(); width = u16()
+            val nc = u8()
+            if (m == 0xc2)
+              return fail("unsupported", Some(width), Some(height))
+            if (prec != 8 || nc != 3) throw JpegBad
+            compQ = new Array[Int](nc)
+            var c = 0
+            while (c < nc) {
+              u8() // component id (1-based by convention; order is positional)
+              if (u8() != 0x11)
+                return fail("unsupported", Some(width), Some(height))
+              compQ(c) = u8() & 3
+              c += 1
+            }
+            if (pos != end) throw JpegBad
+          case 0xda =>
+            u16()
+            val ns = u8()
+            if (ns != 3 || width < 0) throw JpegBad
+            compDc = new Array[Int](ns); compAc = new Array[Int](ns)
+            var c = 0
+            while (c < ns) {
+              u8() // component selector (positional order)
+              val t = u8()
+              compDc(c) = (t >> 4) & 3; compAc(c) = t & 3
+              c += 1
+            }
+            u8(); u8(); u8() // Ss, Se, AhAl — baseline fixed
+            inScan = true
+          case x if x >= 0xd0 && x <= 0xd7 => throw JpegBad // stray RSTn
+          case _ => // APPn / COM / DRI / anything length-framed: skip
+            val len = u16()
+            if (len < 2 || pos + len - 2 > p.length) throw JpegTrunc
+            pos += len - 2
+        }
+      }
+      if (width <= 0 || height <= 0 || width % 8 != 0 || height % 8 != 0)
+        return fail("unsupported", Some(width), Some(height))
+      val nbx = width / 8; val nby = height / 8
+      val br = new JpegBitReader(p, pos)
+      val pred = new Array[Int](3)
+      val coef = new Array[Int](64) // natural order
+      val blockPx = Array.ofDim[Int](3, 64)
+      var rSum = 0L; var gSum = 0L; var bSum = 0L; var row0 = 0L
+      var pxMin = 255; var pxMax = 0
+      var nBlocks = 0
+      var my = 0
+      while (my < nby) {
+        var mx = 0
+        while (mx < nbx) {
+          var c = 0
+          while (c < 3) {
+            java.util.Arrays.fill(coef, 0)
+            val q = qt(compQ(c))
+            val t = dcH(compDc(c)).decode(br)
+            pred(c) += jpegExtend(br.bits(t), t)
+            coef(0) = pred(c) * q(0)
+            var k = 1
+            var eob = false
+            while (!eob && k <= 63) {
+              val rs = acH(compAc(c)).decode(br)
+              if (rs == 0) eob = true
+              else if (rs == 0xF0) k += 16
+              else {
+                k += (rs >> 4)
+                if (k > 63) throw JpegBad
+                coef(JpegZigzag(k)) =
+                  jpegExtend(br.bits(rs & 15), rs & 15) * q(k)
+                k += 1
+              }
+            }
+            // fixed-point IDCT + level shift + clamp
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                var acc = 0L
+                var v = 0
+                while (v < 8) {
+                  var u = 0
+                  while (u < 8) {
+                    val s = coef(v * 8 + u)
+                    if (s != 0) acc += s * jpegIdctT(x)(u) * jpegIdctT(y)(v)
+                    u += 1
+                  }
+                  v += 1
+                }
+                val px = (((acc + (1L << 27)) >> 28) + 128L).toInt
+                blockPx(c)(y * 8 + x) =
+                  if (px < 0) 0 else if (px > 255) 255 else px
+                x += 1
+              }
+              y += 1
+            }
+            nBlocks += 1
+            c += 1
+          }
+          // combine the MCU's three blocks into RGB and accumulate
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val i = y * 8 + x
+              val (r, g, bb) =
+                jpegYcc2Rgb(blockPx(0)(i), blockPx(1)(i), blockPx(2)(i))
+              rSum += r; gSum += g; bSum += bb
+              val mn = math.min(r, math.min(g, bb))
+              val mxv = math.max(r, math.max(g, bb))
+              if (mn < pxMin) pxMin = mn
+              if (mxv > pxMax) pxMax = mxv
+              if (my == 0 && y == 0) row0 += r + g + bb
+              x += 1
+            }
+            y += 1
+          }
+          mx += 1
+        }
+        my += 1
+      }
+      // a well-formed stream ends with EOI right after the (padded)
+      // entropy segment — its absence is a truncation
+      if (br.pos + 1 >= p.length || (p(br.pos) & 0xff) != 0xff ||
+          (p(br.pos + 1) & 0xff) != 0xd9)
+        return fail("truncated", Some(width), Some(height))
+      JpegMeta(id, "ok", Some(width), Some(height), Some(nBlocks),
+        Some(rSum), Some(gSum), Some(bSum), Some(pxMin), Some(pxMax),
+        Some(row0))
+    } catch {
+      case JpegTrunc => fail("truncated",
+        if (pDims(p)._1 > 0) Some(pDims(p)._1) else None,
+        if (pDims(p)._2 > 0) Some(pDims(p)._2) else None)
+      case JpegBad => fail("bad_data")
+      case _: ArrayIndexOutOfBoundsException => fail("bad_data")
+    }
+  }
+
+  /** Best-effort dims re-probe for the truncation row: a cheap
+    * side-effect-free SOF scan (a truncated file's header is usually
+    * intact — report what a header probe knows, the libjpeg shape). */
+  private def pDims(p: Array[Byte]): (Int, Int) = {
+    var pos = 2
+    while (pos + 9 < p.length) {
+      if ((p(pos) & 0xff) == 0xff) {
+        val m = p(pos + 1) & 0xff
+        if (m == 0xc0 || m == 0xc2) {
+          val h = ((p(pos + 5) & 0xff) << 8) | (p(pos + 6) & 0xff)
+          val w = ((p(pos + 7) & 0xff) << 8) | (p(pos + 8) & 0xff)
+          return (w, h)
+        }
+        if (m >= 0xc0 && m != 0xff && m != 0xd8 && m != 0x01 &&
+            !(m >= 0xd0 && m <= 0xd9)) {
+          val len = ((p(pos + 2) & 0xff) << 8) | (p(pos + 3) & 0xff)
+          pos += 2 + len
+        } else pos += 2
+      } else pos += 1
+    }
+    (-1, -1)
+  }
+
+  /** The typed JPEG decode stage — scan-fused like every decoder. */
+  def decodeJpeg(ds: Dataset[BinaryDoc]): Dataset[JpegMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(d => parseJpeg(d.doc_id, d.payload)))
+  }
+
+  /** Frame-taking synthesize→decode chain — the [[pngDecodeStats]]
+    * shape, shared by the registered query and ScaleProbe. */
+  def jpegDecodeStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val payloads = docs
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, h) => BinaryDoc(id, jpegBytes(h)) })
+    decodeJpeg(payloads).toDF()
+  }
+
   /** Synthesize a REAL `.tar.gz` from a doc's md5: the ustar archive
     * from [[tarBytes]] (its arms intact — the two layers compose)
     * wrapped in an RFC 1952 member with genuine CRC-32 and ISIZE over
@@ -3087,6 +3598,18 @@ object Multimodal {
 
     "q_multimodal_decode_png" -> ((s, dir) =>
       pngDecodeStats(Tables(s, dir, "documents")).orderBy("doc_id")),
+
+    // REAL baseline-JPEG decode — see the codec block at [[jpegBytes]]
+    // / [[parseJpeg]]: the dominant real-crawl image format, synthesized
+    // spec-faithfully per doc (optimized canonical Huffman tables, two
+    // DQT tables, byte stuffing) and decoded from scratch (marker walk,
+    // DHT/DQT, MSB entropy decode, dequantize, de-zigzag, fixed-point
+    // IDCT, integer YCbCr→RGB). The twin recomputes the pixels as a
+    // pure md5 function (the frequency-domain fixture design makes the
+    // lossy codec exactly invertible), so the hash gate proves the
+    // whole decode chain end to end.
+    "q_multimodal_decode_jpeg" -> ((s, dir) =>
+      jpegDecodeStats(Tables(s, dir, "documents")).orderBy("doc_id")),
 
     "q_multimodal_decode_gzip" -> ((s, dir) => {
       import s.implicits._
@@ -4388,6 +4911,66 @@ object Multimodal {
     // hash-green row proves the chunk walk + inflate + unfilter chain
     // round-trips bit-exact. Arm precedence mirrors the decoder's
     // check order: signature, IHDR CRC, chunk-walk truncation, adler32.
+    // JPEG twin: pixels recomputed as the pure md5 function the
+    // frequency-domain fixture encodes (128 + d0 + d4·σσ per
+    // component), then the SAME offset-floor-div integer YCbCr→RGB as
+    // the decoder — never an IDCT, never the bytes.
+    "q_multimodal_decode_jpeg" -> s"""
+      WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+      jb AS (SELECT doc_id, h, ${byteAt(0)} AS b0, ${byteAt(1)} AS b1,
+               ${byteAt(11)} AS b11, ${byteAt(12)} AS b12,
+               ${byteAt(13)} AS b13
+             FROM hx),
+      jd AS (SELECT doc_id, h,
+               b11 % 16 = 9 AS badmagic,
+               b11 % 16 <> 9 AND b12 % 16 = 11 AS prog,
+               b11 % 16 <> 9 AND b12 % 16 <> 11 AND b13 % 8 = 5 AS trunc,
+               8 * (1 + b0 % 2) AS w, 8 * (1 + b1 % 2) AS hh
+             FROM jb),
+      jpx AS (SELECT doc_id, h, w, i % w AS x, i // w AS y,
+                ((i // w) // 8) * (w // 8) + (i % w) // 8 AS bi,
+                (list_value(1,-1,-1,1,1,-1,-1,1)[(i % w) % 8 + 1] *
+                 list_value(1,-1,-1,1,1,-1,-1,1)[(i // w) % 8 + 1]) AS sg
+              FROM jd, UNNEST(generate_series(0, w * hh - 1)) AS u(i)
+              WHERE NOT badmagic AND NOT prog AND NOT trunc),
+      jv AS (SELECT doc_id, x, y,
+               128 + (${byteAtE("2 + 3 * 0 + bi")} % 48 - 24) +
+                 (${byteAtE("7 + 2 * 0 + bi")} % 32 - 16) * sg AS yv,
+               128 + (${byteAtE("2 + 3 * 1 + bi")} % 48 - 24) +
+                 (${byteAtE("7 + 2 * 1 + bi")} % 32 - 16) * sg AS cb,
+               128 + (${byteAtE("2 + 3 * 2 + bi")} % 48 - 24) +
+                 (${byteAtE("7 + 2 * 2 + bi")} % 32 - 16) * sg AS cr
+             FROM jpx),
+      jr AS (SELECT doc_id, x, y,
+               least(255, greatest(0, yv +
+                 ((91881 * (cr - 128) + 32768 + 1073741824) // 65536)
+                 - 16384)) AS r,
+               least(255, greatest(0, yv -
+                 ((22554 * (cb - 128) + 46802 * (cr - 128) + 32768
+                   + 1073741824) // 65536) + 16384)) AS g,
+               least(255, greatest(0, yv +
+                 ((116130 * (cb - 128) + 32768 + 1073741824) // 65536)
+                 - 16384)) AS bb
+             FROM jv),
+      jst AS (SELECT doc_id, CAST(sum(r) AS BIGINT) AS r_sum,
+                CAST(sum(g) AS BIGINT) AS g_sum,
+                CAST(sum(bb) AS BIGINT) AS b_sum,
+                CAST(least(min(r), min(g), min(bb)) AS INT) AS px_min,
+                CAST(greatest(max(r), max(g), max(bb)) AS INT) AS px_max,
+                CAST(sum(CASE WHEN y = 0 THEN r + g + bb ELSE 0 END)
+                  AS BIGINT) AS row0_sum
+              FROM jr GROUP BY doc_id)
+      SELECT jd.doc_id,
+             CASE WHEN badmagic THEN 'bad_magic'
+                  WHEN prog THEN 'unsupported'
+                  WHEN trunc THEN 'truncated' ELSE 'ok' END AS status,
+             CASE WHEN badmagic THEN NULL ELSE CAST(w AS INT) END AS width,
+             CASE WHEN badmagic THEN NULL ELSE CAST(hh AS INT) END AS height,
+             CASE WHEN badmagic OR prog OR trunc THEN NULL
+                  ELSE CAST((w // 8) * (hh // 8) * 3 AS INT) END AS n_blocks,
+             r_sum, g_sum, b_sum, px_min, px_max, row0_sum
+      FROM jd LEFT JOIN jst USING (doc_id)
+      ORDER BY jd.doc_id""",
     "q_multimodal_decode_png" -> s"""
       WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
       b AS (SELECT doc_id, ${byteAt(0)} AS b0, ${byteAt(1)} AS b1,

@@ -255,6 +255,84 @@ object Streams {
           col("text")),
       exactIndex, bandIndex)
 
+  /** The standing IMAGE band index — the artifact the batch
+    * q_dedup_image_phash_near census materializes, exposed for the
+    * streamed screen: every ok-decoded corpus image exploded into its
+    * 4×16-bit dHash bands, (band, bkey, cdoc, chi, clo). The band
+    * split MUST match the batch tier's (Multimodal.scala, the
+    * `banded` frame): lo%2¹⁶, lo>>16, hi%2¹⁶, hi>>16. */
+  def imageBandIndex(
+      images: org.apache.spark.sql.Dataset[graft.llm.BinaryDoc]): DataFrame = {
+    import images.sparkSession.implicits._
+    images.mapPartitions(_.map(d =>
+        graft.llm.Multimodal.dhashPpm(d.doc_id, d.payload))).toDF()
+      .filter(col("status") === "ok")
+      .select(col("doc_id").as("cdoc"), col("dhash_hi").as("chi"),
+        col("dhash_lo").as("clo"), explode(array(
+          struct(lit(0).as("band"), (col("dhash_lo") % 65536L).as("bkey")),
+          struct(lit(1).as("band"),
+            expr("shiftright(dhash_lo, 16)").as("bkey")),
+          struct(lit(2).as("band"), (col("dhash_hi") % 65536L).as("bkey")),
+          struct(lit(3).as("band"),
+            expr("shiftright(dhash_hi, 16)").as("bkey")))).as("b"))
+      .select(col("b.band").as("band"), col("b.bkey").as("bkey"),
+        col("cdoc"), col("chi"), col("clo"))
+  }
+
+  /** The q_dedup_image_phash_near band screen run CONTINUOUSLY over
+    * ARRIVING IMAGES — the crawl-time perceptual-dedup gate: each
+    * micro-batch of image blobs decodes scan-side (the full P6 walk +
+    * 8×9 gray grid of [[graft.llm.Multimodal.dhashPpm]]), derives the
+    * same 4×16-bit band keys as the batch tier, and probes each band
+    * STREAM-STATIC against the standing [[imageBandIndex]]; candidates
+    * verify on exact Hamming ≤ 8. Pigeonhole recall guarantee is the
+    * batch tier's: any corpus image within 3 bits shares ≥ 1 band.
+    *
+    * Output grain (stateless by design): one EVIDENCE row per
+    * (arriving image, band, verified corpus match) — a pair matching
+    * in k bands emits k rows, attribution included — plus one status
+    * row per undecodable blob. A per-image census (dedupe + degree) is
+    * aggregation and stays the batch tier's job; the stream's job is
+    * the low-latency flag. Stateless end to end: a map decode + 4
+    * stream-static joins with the DELTA as the bounded SHJ build side
+    * (the incrementalScreen rule) — per-micro-batch cost ∝ |delta|
+    * whatever the corpus, and the deployed index is a table bucketed
+    * on (band, bkey), so its exchange is storage-side. */
+  def imageNearDupScreen(
+      images: org.apache.spark.sql.Dataset[graft.llm.BinaryDoc],
+      bandIndex: DataFrame): DataFrame = {
+    import images.sparkSession.implicits._
+    val metas = images.mapPartitions(_.map(d =>
+      graft.llm.Multimodal.dhashPpm(d.doc_id, d.payload))).toDF()
+    val ok = metas.filter(col("status") === "ok")
+    def bkey(g: Int) = g match {
+      case 0 => col("dhash_lo") % 65536L
+      case 1 => expr("shiftright(dhash_lo, 16)")
+      case 2 => col("dhash_hi") % 65536L
+      case _ => expr("shiftright(dhash_hi, 16)")
+    }
+    val evidence = (0 to 3).map { g =>
+      ok.select(col("doc_id"), col("dhash_hi"), col("dhash_lo"),
+          bkey(g).as("bkey"))
+        .hint("shuffle_hash")
+        .join(bandIndex.filter(col("band") === g)
+            .select(col("bkey"), col("band"), col("cdoc"), col("chi"),
+              col("clo")),
+          Seq("bkey"))
+        .withColumn("hamming", expr(
+          "cast(bit_count(dhash_lo ^ clo) + bit_count(dhash_hi ^ chi) as int)"))
+        .filter(col("hamming") <= 8 && col("doc_id") =!= col("cdoc"))
+        .select(col("doc_id"), lit("near_dup").as("status"), col("band"),
+          col("cdoc").as("match_id"), col("hamming"))
+    }.reduce(_.unionByName(_))
+    metas.filter(col("status") =!= "ok")
+      .select(col("doc_id"), col("status"),
+        lit(null).cast("int").as("band"),
+        lit(null).cast("long").as("match_id"),
+        lit(null).cast("int").as("hamming"))
+      .unionByName(evidence)
+  }
+
   /** The q_knn_ivf_incremental ingest run CONTINUOUSLY — arriving
     * vectors assigned to the STANDING trained IVF cells. The
     * assignment ([[graft.llm.Similarity.ivfAssignWith]]) is a pure

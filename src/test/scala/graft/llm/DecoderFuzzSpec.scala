@@ -26,7 +26,8 @@ object DecoderFuzzProps extends Properties("Multimodal.decoders") {
     Array[Byte]('I', 'I', 42, 0),
     Array[Byte]('M', 'M', 0, 42),
     Array[Byte]('P', 'K', 3, 4),
-    Array[Byte]('P', 'K', 5, 6))
+    Array[Byte]('P', 'K', 5, 6),
+    Array(0xff, 0xd8, 0xff).map(_.toByte))
 
   private val garbage: Gen[Array[Byte]] = for {
     n <- Gen.chooseNum(0, 512)
@@ -69,7 +70,8 @@ object DecoderFuzzProps extends Properties("Multimodal.decoders") {
       Multimodal.sampleVideo(1L, bs).forall(_.status.nonEmpty) &&
       Multimodal.sampleVideo(1L, bs).nonEmpty &&
       Multimodal.resizePpm(1L, bs, 2, 2).status.nonEmpty &&
-      Multimodal.dhashPpm(1L, bs).status.nonEmpty
+      Multimodal.dhashPpm(1L, bs).status.nonEmpty &&
+      Multimodal.parseJpeg(1L, bs).status.nonEmpty
   }
 }
 
@@ -84,6 +86,7 @@ class DecoderTruncationSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Multimodal.parseZip(1L, null).head.status == "truncated")
     assert(Multimodal.parseTar(1L, null).head.status == "truncated")
     assert(Multimodal.sampleVideo(1L, null).head.status == "bad_magic")
+    assert(Multimodal.parseJpeg(1L, null).status == "bad_magic")
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest("fuzz-truncate".getBytes("US-ASCII"))
       .map("%02x".format(_)).mkString
@@ -103,6 +106,10 @@ class DecoderTruncationSpec extends org.scalatest.funsuite.AnyFunSuite {
       val vf = Multimodal.sampleVideo(1L, full.take(n))
       assert(vf.nonEmpty && vf.forall(_.status.nonEmpty))
     }
+    // JPEG: totality at every prefix of a genuine baseline file
+    val jfull = Multimodal.jpegBytes(h)
+    for (n <- 0 to jfull.length)
+      assert(Multimodal.parseJpeg(1L, jfull.take(n)).status.nonEmpty)
   }
 
   test("tgz layering: healthy wrapper is transparent, arms attribute the layer") {

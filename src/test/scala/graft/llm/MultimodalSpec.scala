@@ -534,4 +534,61 @@ class MultimodalSpec extends graft.SparkSuite {
     val st = Multimodal.parsePng(95L, flipped).status
     assert(st == "bad_data" || st == "bad_header", st)
   }
+
+  test("JPEG sweep: 300 synthesized files match the independent pixel model") {
+    // Independent model: the frequency-domain fixture decodes EXACTLY
+    // to 128 + d0 + d4*sigma(x)*sigma(y) per component (see the codec
+    // block note) — recompute pixels + the integer YCbCr->RGB here,
+    // with none of the decoder's machinery, and compare every stat.
+    val sig = Array(1, -1, -1, 1, 1, -1, -1, 1)
+    def fd(x: Long): Int = (((x + 32768L + (1L << 30)) >> 16) - 16384L).toInt
+    def cl(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+    var oks = 0; var arms = Map.empty[String, Int].withDefaultValue(0)
+    for (i <- 0 until 300) {
+      val h = md5hex(s"jpeg-sweep-$i")
+      val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
+      val badMagic = b(11) % 16 == 9
+      val prog = !badMagic && b(12) % 16 == 11
+      val trunc = !badMagic && !prog && b(13) % 8 == 5
+      val w = 8 * (1 + b(0) % 2); val hgt = 8 * (1 + b(1) % 2)
+      val m = Multimodal.parseJpeg(i.toLong, Multimodal.jpegBytes(h))
+      val expected =
+        if (badMagic) "bad_magic"
+        else if (prog) "unsupported"
+        else if (trunc) "truncated" else "ok"
+      assert(m.status == expected, s"$h: ${m.status} != $expected")
+      if (expected == "ok") {
+        oks += 1
+        assert(m.width.contains(w) && m.height.contains(hgt))
+        assert(m.n_blocks.contains((w / 8) * (hgt / 8) * 3))
+        var rs = 0L; var gs = 0L; var bs = 0L; var r0 = 0L
+        var mn = 255; var mx = 0
+        for (y <- 0 until hgt; x <- 0 until w) {
+          val bi = (y / 8) * (w / 8) + x / 8
+          val sg = sig(x % 8) * sig(y % 8)
+          def v(c: Int) = 128 + (b((2 + 3 * c + bi) % 16) % 48 - 24) +
+            (b((7 + 2 * c + bi) % 16) % 32 - 16) * sg
+          val (yv, cb, cr) = (v(0), v(1), v(2))
+          val r = cl(yv + fd(91881L * (cr - 128)))
+          val g = cl(yv - fd(22554L * (cb - 128) + 46802L * (cr - 128)))
+          val bb = cl(yv + fd(116130L * (cb - 128)))
+          rs += r; gs += g; bs += bb
+          mn = math.min(mn, math.min(r, math.min(g, bb)))
+          mx = math.max(mx, math.max(r, math.max(g, bb)))
+          if (y == 0) r0 += r + g + bb
+        }
+        assert(m.r_sum.contains(rs) && m.g_sum.contains(gs) &&
+          m.b_sum.contains(bs), s"$h sums")
+        assert(m.px_min.contains(mn) && m.px_max.contains(mx))
+        assert(m.row0_sum.contains(r0))
+      } else {
+        arms += expected -> (arms(expected) + 1)
+        if (expected != "bad_magic") // header probe still reports dims
+          assert(m.width.contains(w) && m.height.contains(hgt), s"$h dims")
+      }
+    }
+    assert(oks > 100, s"only $oks ok fixtures")
+    for (st <- Seq("bad_magic", "unsupported", "truncated"))
+      assert(arms(st) > 0, s"arm $st never fired in the sweep")
+  }
 }

@@ -990,4 +990,110 @@ class StreamedDecodeSpec extends graft.SparkSuite {
         "no transport-layer arm in the panel")
     } finally q.stop()
   }
+
+  test("streamed image near-dup screen: batch parity, independent model, stateless") {
+    // decode -> dHash -> band probe -> Hamming verify, stream-static
+    // against the standing band index. The expectation is computed by
+    // an INDEPENDENT local model (dhashPpm + the band split + the
+    // Hamming rule in plain Scala), so parity covers the whole
+    // composed screen, not just stream-vs-batch plumbing.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ppm(seed: Int): Array[Byte] = {
+      val hdr = "P6\n4 4\n255\n".getBytes("US-ASCII")
+      hdr ++ Array.tabulate(4 * 4 * 3)(i => ((seed * 7 + i * 13) % 256).toByte)
+    }
+    val corpus = (0L until 20L).map(id => BinaryDoc(id, ppm(id.toInt)))
+    val bandIdx = Streams.imageBandIndex(corpus.toDS()).persist()
+    bandIdx.count()
+    // delta: one exact copy, one near copy (single pixel nudged), one
+    // fresh image, one undecodable blob
+    val nearBytes = ppm(5).clone(); nearBytes(20) = (nearBytes(20) + 40).toByte
+    val delta = Seq(
+      BinaryDoc(103L, ppm(3)),
+      BinaryDoc(105L, nearBytes),
+      BinaryDoc(110L, ppm(110)),
+      BinaryDoc(120L, "notappm".getBytes("US-ASCII")))
+    // independent model
+    def bands(hi: Long, lo: Long): Seq[Long] =
+      Seq(lo % 65536L, lo >> 16, hi % 65536L, hi >> 16)
+    val corpusH = corpus.map(d => Multimodal.dhashPpm(d.doc_id, d.payload))
+      .filter(_.status == "ok")
+    val expected: Set[(Long, String, Option[Int], Option[Long], Option[Int])] =
+      delta.flatMap { d =>
+        val m = Multimodal.dhashPpm(d.doc_id, d.payload)
+        if (m.status != "ok")
+          Seq((d.doc_id, m.status, None, None, None))
+        else for {
+          c <- corpusH
+          g <- 0 to 3
+          if bands(m.dhash_hi.get, m.dhash_lo.get)(g) ==
+            bands(c.dhash_hi.get, c.dhash_lo.get)(g)
+          hd = java.lang.Long.bitCount(m.dhash_lo.get ^ c.dhash_lo.get) +
+            java.lang.Long.bitCount(m.dhash_hi.get ^ c.dhash_hi.get)
+          if hd <= 8 && d.doc_id != c.doc_id
+        } yield (d.doc_id, "near_dup", Some(g), Some(c.doc_id), Some(hd))
+      }.toSet
+    assert(expected.exists(e => e._1 == 103L && e._5.contains(0)),
+      "the exact copy must verify at hamming 0")
+    assert(expected.exists(_._2 == "bad_magic"), "undecodable arm missing")
+    val batch = Streams.imageNearDupScreen(delta.toDS(), bandIdx)
+      .as[(Long, String, Option[Int], Option[Long], Option[Int])]
+      .collect().toSet
+    assert(batch == expected, s"batch screen != model:\n$batch\n$expected")
+    val in = MemoryStream[Long]
+    val byId = delta.map(d => d.doc_id -> d).toMap
+    val q = Streams.imageNearDupScreen(in.toDS().map(byId(_)), bandIdx)
+      .writeStream.format("memory").queryName("img_near_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(103L, 105L); q.processAllAvailable()
+      in.addData(110L, 120L); q.processAllAvailable()
+      val got = spark.table("img_near_stream")
+        .as[(Long, String, Option[Int], Option[Long], Option[Int])]
+        .collect()
+      assert(got.length == got.toSet.size, "no replay duplicates")
+      assert(got.toSet == expected)
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "the screen must hold no stream state")
+    } finally q.stop()
+    bandIdx.unpersist(false)
+  }
+
+  test("streamed image near-dup screen continues across a restart (checkpointed)") {
+    // stop after chunk 1, restart from the same checkpoint, feed
+    // chunk 2: the parquet sink must hold each chunk's evidence
+    // exactly once — no replays, no losses.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ppm(seed: Int): Array[Byte] = {
+      val hdr = "P6\n4 4\n255\n".getBytes("US-ASCII")
+      hdr ++ Array.tabulate(4 * 4 * 3)(i => ((seed * 7 + i * 13) % 256).toByte)
+    }
+    val corpus = (0L until 10L).map(id => BinaryDoc(id, ppm(id.toInt)))
+    val bandIdx = Streams.imageBandIndex(corpus.toDS())
+    val byId = (100L to 103L).map(id =>
+      id -> BinaryDoc(id, ppm((id % 10L).toInt))).toMap
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_img_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_img_out").toString
+    val in = MemoryStream[Long]
+    def start() = Streams.imageNearDupScreen(in.toDS().map(byId(_)), bandIdx)
+      .writeStream.option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    try { in.addData(100L, 101L); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try { in.addData(102L, 103L); q2.processAllAvailable() } finally q2.stop()
+    val sink = spark.read.parquet(out)
+      .as[(Long, String, Option[Int], Option[Long], Option[Int])]
+      .collect()
+    val batch = Streams.imageNearDupScreen(
+        byId.values.toSeq.toDS(), bandIdx)
+      .as[(Long, String, Option[Int], Option[Long], Option[Int])]
+      .collect().toSet
+    assert(sink.length == sink.toSet.size, "restart must not replay evidence")
+    assert(sink.toSet == batch,
+      "post-restart union must equal the batch screen of all chunks")
+  }
 }

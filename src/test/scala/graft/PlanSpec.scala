@@ -480,7 +480,10 @@ class PlanSpec extends SparkSuite {
     // into the per-broadcast-row inner loop, so an un-materialized
     // code table re-encodes the corpus once per (row × query) pair
     // (measured 5.4 s vs 0.6 s at sf0.1).
-    for (q <- Seq("q_knn_pq", "q_knn_ivf_pq", "q_knn_ivf_pq_res")) {
+    // q_knn_opq_pq: the rotated space must not change the IndexPQ
+    // plan shape — the rotation is a scan-side projection
+    for (q <- Seq("q_knn_pq", "q_knn_ivf_pq", "q_knn_ivf_pq_res",
+        "q_knn_opq_pq")) {
       val p = plan(q)
       val bcasts = p.linesIterator.filter(_.contains("BroadcastExchange")).toSeq
       assert(bcasts.nonEmpty, s"$q must broadcast the bounded query batch")

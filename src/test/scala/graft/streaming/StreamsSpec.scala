@@ -991,6 +991,39 @@ class StreamedDecodeSpec extends graft.SparkSuite {
     } finally q.stop()
   }
 
+  test("streamed JPEG decode equals the batch decode, arm for arm") {
+    // Eleventh decoder under the same stateless-mapPartitions
+    // contract: parseJpeg runs unchanged per micro-batch; parity
+    // covers ok (exact sums), bad_magic, unsupported (SOF2 with
+    // header dims), and truncated arms.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val hexes = (0 until 48).map { i =>
+      (i.toLong, java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jpeg-stream-$i".getBytes("US-ASCII"))
+        .map("%02x".format(_)).mkString)
+    }
+    val batch = hexes.map { case (id, h) =>
+      Multimodal.parseJpeg(id, Multimodal.jpegBytes(h))
+    }.toSet
+    assert(batch.map(_.status).intersect(
+      Set("ok", "bad_magic", "unsupported", "truncated")).size >= 3,
+      s"panel arms too thin: ${batch.map(_.status)}")
+    val in = MemoryStream[(Long, String)]
+    val q = Multimodal.decodeJpeg(
+        in.toDS().map { case (id, h) => BinaryDoc(id, Multimodal.jpegBytes(h)) })
+      .writeStream.format("memory").queryName("jpeg_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(hexes.take(24): _*); q.processAllAvailable()
+      in.addData(hexes.drop(24): _*); q.processAllAvailable()
+      val got = spark.table("jpeg_stream")
+        .as[graft.llm.JpegMeta].collect()
+      assert(got.toSet == batch)
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("streamed image near-dup screen: batch parity, independent model, stateless") {
     // decode -> dHash -> band probe -> Hamming verify, stream-static
     // against the standing band index. The expectation is computed by

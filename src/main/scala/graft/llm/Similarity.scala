@@ -164,13 +164,26 @@ object Similarity {
     * L2² distances hash-match the oracle. Embeddings are unit-norm, so
     * L2 ranking is cosine ranking and recall@k against the exact top-k
     * measures precisely the quantization loss. */
-  private def sq8Stats(s: SparkSession, dir: String): (String, String) = {
-    val st = Dedup.quantized(s, dir)
-      .select(posexplode(col("q")).as(Seq("i", "v")))
-      .groupBy(col("i")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
-      .orderBy(col("i")).collect()
-    (st.map(_.getLong(1)).mkString(","), st.map(_.getLong(2)).mkString(","))
-  }
+  private val sq8Memo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, String)]()
+
+  /** The persisted SQ8 per-dimension min/max frame (i, mn, mx). */
+  private def sq8StatsFrameDurable(s: SparkSession, dir: String): DataFrame =
+    IndexStore.durableFrame(s, dir, "sq8_stats") {
+      Dedup.quantized(s, dir)
+        .select(posexplode(col("q")).as(Seq("i", "v")))
+        .groupBy(col("i"))
+        .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    }
+
+  private def sq8Stats(s: SparkSession, dir: String): (String, String) =
+    // r16: the 2×64-long stats are a PERSISTED artifact (IndexStore) —
+    // trained once per corpus, loaded thereafter; memoized in-session.
+    sq8Memo.computeIfAbsent((s, dir), _ => {
+      val st = sq8StatsFrameDurable(s, dir).orderBy(col("i")).collect()
+      (st.map(_.getAs[Long]("mn")).mkString(","),
+        st.map(_.getAs[Long]("mx")).mkString(","))
+    })
 
   private def sq8CodesFrom(qe: DataFrame, mns: String, mxs: String): DataFrame =
     qe
@@ -993,6 +1006,23 @@ object Similarity {
   private val pqBooksMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), Seq[Seq[Seq[Long]]]]()
 
+  private val pqResMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[Seq[Seq[Long]]]]()
+
+  /** The persisted residual-PQ training stats (g, cl, n, sv) over
+    * v − coarse_centroid — centroids from the persisted IVF stats,
+    * residuals off the persisted assignment. */
+  private def pqResStatsFrameDurable(s: SparkSession,
+      dir: String): DataFrame =
+    IndexStore.durableFrame(s, dir, "pq_res_stats") {
+      val cents = ivfStats(s, dir).map { case (n, sv, _) => sv.map(_ / n) }
+      val centsLit = "cast(array(" +
+        cents.map(c => s"array(${c.mkString(",")})").mkString(",") +
+        ") as array<array<bigint>>)"
+      pqStatsFrame(ivfCells(s, dir).select(col("vec_id"),
+        expr(s"zip_with(q, $centsLit[cell], (x, c) -> x - c)").as("q")))
+    }
+
   /** The persisted PQ training-stats frame (g, cl, n, sv). */
   private def pqStatsFrameDurable(s: SparkSession, dir: String): DataFrame =
     IndexStore.durableFrame(s, dir, "pq_stats") {
@@ -1245,7 +1275,10 @@ object Similarity {
     def residual(cellCol: String) =
       expr(s"zip_with(q, $centsLit[$cellCol], (x, c) -> x - c)")
     val res = cells.withColumn("rq", residual("cell"))
-    val cb = pqCodebooksFrom(res.select(col("vec_id"), col("rq").as("q")))
+    // r16: the residual-PQ training stats persist like every other
+    // trained artifact (tag pq_res_stats); memoized in-session
+    val cb = pqResMemo.computeIfAbsent((s, dir),
+      _ => pqCodebooksOf(pqResStatsFrameDurable(s, dir).collect()))
     // Same materialized code table as [[ivfPqTop]]: keyed by vector id
     // (not the ≤4 cell keys — dop preserved), one exchange, and the
     // stage break stops the BNLJ from re-encoding per pair.
@@ -1674,9 +1707,14 @@ object Similarity {
           graft.ops.TextOps.maxsimScoredArtifact(s, dir),
           col("query_id") * 31L + col("doc_id") + col("n_qtok")
             + col("score")))
+        .unionByName(census("pq_res_stats", pqResStatsFrameDurable(s, dir),
+          (col("g") * 16 + col("cl") + 1).cast("long")
+            * (col("n") + svTotal)))
         .unionByName(census("pq_stats", pqStatsFrameDurable(s, dir),
           (col("g") * 16 + col("cl") + 1).cast("long")
             * (col("n") + svTotal)))
+        .unionByName(census("sq8_stats", sq8StatsFrameDurable(s, dir),
+          (col("i") + 1).cast("long") * (col("mn") + lit(2) * col("mx"))))
         .unionByName(census("upper4", durableUpper4(s, dir),
           col("src") * 31L + col("dst")))
         .orderBy("artifact")
@@ -3489,7 +3527,7 @@ object Similarity {
       .mkString("\n            UNION ALL ")
     graft.ops.TextOps.bm25Ctes + graft.ops.TextOps.maxsimTail + "," +
       Dedup.QE + "," + Clustering.assignCtes + "," + ivfCte + "," +
-      pqCtes + s""",
+      pqCtes + "," + resPqCtes + s""",
       ipg AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
                 a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
               FROM ivcell a JOIN ivcell b
@@ -3537,6 +3575,16 @@ object Similarity {
         SELECT 'pq_stats', CAST(count(*) AS BIGINT),
                coalesce(CAST(sum(term) AS BIGINT), 0)
         FROM ($pqTerms)
+        UNION ALL
+        SELECT 'pq_res_stats', CAST(count(*) AS BIGINT),
+               coalesce(CAST(sum(term) AS BIGINT), 0)
+        FROM (SELECT (0 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM rpqt0 UNION ALL SELECT (1 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM rpqt1 UNION ALL SELECT (2 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM rpqt2 UNION ALL SELECT (3 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM rpqt3 UNION ALL SELECT (4 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM rpqt4 UNION ALL SELECT (5 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM rpqt5 UNION ALL SELECT (6 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM rpqt6 UNION ALL SELECT (7 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM rpqt7 UNION ALL SELECT (8 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM rpqt8 UNION ALL SELECT (9 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM rpqt9 UNION ALL SELECT (10 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM rpqt10 UNION ALL SELECT (11 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM rpqt11 UNION ALL SELECT (12 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM rpqt12 UNION ALL SELECT (13 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM rpqt13 UNION ALL SELECT (14 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM rpqt14 UNION ALL SELECT (15 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM rpqt15)
+        UNION ALL
+        SELECT 'sq8_stats', CAST(count(*) AS BIGINT),
+               coalesce(CAST(sum(i * (mn + 2 * mx)) AS BIGINT), 0)
+        FROM (SELECT i, CAST(min(q[i]) AS BIGINT) AS mn,
+                     CAST(max(q[i]) AS BIGINT) AS mx
+              FROM qn, UNNEST(generate_series(1, 64)) AS u(i) GROUP BY i)
         UNION ALL
         SELECT 'upper4', CAST(count(*) AS BIGINT),
                coalesce(CAST(sum(vec_id * 31 + neighbor_id) AS BIGINT), 0)

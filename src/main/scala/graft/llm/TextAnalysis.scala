@@ -506,9 +506,7 @@ object TextAnalysis {
     // merge logic). Output is the per-doc token-budget row a pipeline
     // actually consumes: word count, BPE unit count, units/word.
     "q_bpe_tokenize" -> ((s, dir) => {
-      var cur = bpeSymbolsOf(Tables(s, dir, "documents"))
-      (1 to 3).foreach { _ => cur = bpeStep(cur)._2 }
-      val seg = cur.groupBy(col("w")).agg(count(lit(1)).as("n_units"))
+      val seg = bpeSegDurable(s, dir) // r16: loads the stored artifact
       Tables(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .filter(col("w").rlike("^[a-z]+$"))
@@ -556,9 +554,7 @@ object TextAnalysis {
     // per-word unit table, the corpus joins against it shuffle_hash,
     // output is the per-doc token-budget row.
     "q_wordpiece_tokenize" -> ((s, dir) => {
-      var cur = bpeSymbolsOf(Tables(s, dir, "documents")).localCheckpoint()
-      (1 to 3).foreach { _ => cur = wordpieceStep(cur)._2.localCheckpoint() }
-      val seg = cur.groupBy(col("w")).agg(count(lit(1)).as("n_units"))
+      val seg = wpSegDurable(s, dir) // r16: loads the stored artifact
       Tables(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .filter(col("w").rlike("^[a-z]+$"))
@@ -575,9 +571,7 @@ object TextAnalysis {
     // q_ulm_fertility this completes the three-family tokenizer
     // bake-off at equal training budget (3 merges / 2 EM rounds).
     "q_wordpiece_fertility" -> ((s, dir) => {
-      var cur = bpeSymbolsOf(Tables(s, dir, "documents")).localCheckpoint()
-      (1 to 3).foreach { _ => cur = wordpieceStep(cur)._2.localCheckpoint() }
-      val seg = cur.groupBy(col("w")).agg(count(lit(1)).as("n_units"))
+      val seg = wpSegDurable(s, dir) // r16: loads the stored artifact
       Tables(s, dir, "documents")
         .select(col("source"), explode(split(col("text"), " ")).as("w"))
         .filter(col("w").rlike("^[a-z]+$"))
@@ -635,9 +629,7 @@ object TextAnalysis {
     // aggregate keyed by SOURCE instead of doc: same dict-bounded
     // build side, one keyed exchange, a |sources|-row result.
     "q_bpe_fertility" -> ((s, dir) => {
-      var cur = bpeSymbolsOf(Tables(s, dir, "documents"))
-      (1 to 3).foreach { _ => cur = bpeStep(cur)._2 }
-      val seg = cur.groupBy(col("w")).agg(count(lit(1)).as("n_units"))
+      val seg = bpeSegDurable(s, dir)
       Tables(s, dir, "documents")
         .select(col("source"), explode(split(col("text"), " ")).as("w"))
         .filter(col("w").rlike("^[a-z]+$"))
@@ -682,11 +674,7 @@ object TextAnalysis {
     // Scale shape = q_bpe_tokenize: the vocab-bounded segmentation is
     // the shuffle_hash build side; the corpus never re-runs merges.
     "q_bpe_bytes_tokenize" -> ((s, dir) => {
-      var cur = bpeBytesSymbolsOf(Tables(s, dir, "documents"))
-      (1 to 3).foreach { _ => cur = bpeStep(cur)._2 }
-      val seg = cur.groupBy(col("w")).agg(count(lit(1)).as("n_units"),
-        expr("array_join(transform(array_sort(collect_list(struct(i, s)))," +
-          " x -> x.s), '')").as("rebuilt"))
+      val seg = bpeBytesSegDurable(s, dir)
       Tables(s, dir, "documents")
         .select(col("doc_id"),
           posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
@@ -712,9 +700,7 @@ object TextAnalysis {
     // price per covered word — the classic byte-level trade (Radford
     // et al.: slightly more units/word, zero unknowns).
     "q_bpe_bytes_fertility" -> ((s, dir) => {
-      var cc = bpeSymbolsOf(Tables(s, dir, "documents"))
-      (1 to 3).foreach { _ => cc = bpeStep(cc)._2 }
-      val cseg = cc.groupBy(col("w")).agg(count(lit(1)).as("n_units"))
+      val cseg = bpeSegDurable(s, dir)
       val charRow = Tables(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("w"))
         .filter(col("w").rlike("^[a-z]+$"))
@@ -724,9 +710,7 @@ object TextAnalysis {
             .cast("double").as("fertility"))
         .select(lit("bpe_chars").as("family"), col("n_words"),
           col("n_units"), col("fertility"))
-      var bc = bpeBytesSymbolsOf(Tables(s, dir, "documents"))
-      (1 to 3).foreach { _ => bc = bpeStep(bc)._2 }
-      val bseg = bc.groupBy(col("w")).agg(count(lit(1)).as("n_units"))
+      val bseg = bpeBytesSegDurable(s, dir).select(col("w"), col("n_units"))
       val byteRow = Tables(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("word"))
         .filter(col("word") =!= "")
@@ -738,6 +722,32 @@ object TextAnalysis {
         .select(lit("bpe_bytes").as("family"), col("n_words"),
           col("n_units"), col("fertility"))
       byteRow.unionByName(charRow).orderBy("family")
+    }),
+
+    // PERSISTED-TOKENIZER census (the q_index_persist discipline for
+    // the trained-tokenizer artifacts): each LOADED segmentation
+    // table's row count, total units, and an exact-integer checksum
+    // over (word, n_units) — the byte family's checksum runs over the
+    // SYMBOL-REBUILT key, so it additionally re-pins rebuilt == raw.
+    // The twin retrains all three chains from base tables, proving
+    // train → write → publish → load content-exact per family.
+    "q_tokenizer_persist" -> ((s, dir) => {
+      def census(name: String, df: DataFrame,
+          term: org.apache.spark.sql.Column): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("n_units")), lit(0L)).as("n_units_total"),
+            coalesce(sum(term), lit(0L)).as("checksum"))
+          .select(lit(name).as("artifact"), col("n_rows"),
+            col("n_units_total"), col("checksum"))
+      def wterm(c: org.apache.spark.sql.Column) =
+        col("n_units") * (length(c) * lit(31) + ascii(c)).cast("long")
+      census("bpe_bytes_seg3", bpeBytesSegDurable(s, dir),
+          wterm(col("rebuilt")))
+        .unionByName(census("bpe_seg3", bpeSegDurable(s, dir),
+          wterm(col("w"))))
+        .unionByName(census("wp_seg3", wpSegDurable(s, dir),
+          wterm(col("w"))))
+        .orderBy("artifact")
     }),
 
     // Unigram-LM tokenizer trainer (Kudo 2018 — the SentencePiece
@@ -789,9 +799,8 @@ object TextAnalysis {
       val docs = Tables(s, dir, "documents")
       val (_, _, _, seg2) = ulmChain(docs)
       val ulmSeg = seg2.select(col("w"), size(col("ks")).as("n_ulm"))
-      var cur = bpeSymbolsOf(docs)
-      (1 to 3).foreach { _ => cur = bpeStep(cur)._2 }
-      val bpeSeg = cur.groupBy(col("w")).agg(count(lit(1)).as("n_bpe"))
+      val bpeSeg = bpeSegDurable(s, dir)
+        .withColumnRenamed("n_units", "n_bpe")
       docs.select(col("source"), explode(split(col("text"), " ")).as("w"))
         .filter(col("w").rlike("^[a-z]+$"))
         .join(bpeSeg.hint("shuffle_hash"), "w")
@@ -1280,6 +1289,42 @@ object TextAnalysis {
       .select(col("w"), col("f"),
         explode(expr("sequence(1, length(w) div 2)")).as("i"))
       .withColumn("s", expr("substring(w, 2 * i - 1, 2)"))
+
+
+  // ---- PERSISTED tokenizer artifacts (IndexStore; the r16 lifecycle
+  // extended to the trained-tokenizer family): the apply-side queries
+  // LOAD the stored segmentation table instead of re-running the merge
+  // chain per query/session/process; the *_train queries remain the
+  // fresh-train oracles, and every consumer's DuckDB twin retrains in
+  // SQL, so load == train is re-gated each round exactly like the ANN
+  // artifacts. ----
+
+  /** The stored char-BPE segmentation (3 merges): w → unit count. */
+  private def bpeSegDurable(s: SparkSession, dir: String): DataFrame =
+    IndexStore.durableFrame(s, dir, "bpe_seg3") {
+      var cur = bpeSymbolsOf(Tables(s, dir, "documents"))
+      (1 to 3).foreach { _ => cur = bpeStep(cur)._2 }
+      cur.groupBy(col("w")).agg(count(lit(1)).as("n_units"))
+    }
+
+  /** The stored WordPiece segmentation (3 likelihood merges). */
+  private def wpSegDurable(s: SparkSession, dir: String): DataFrame =
+    IndexStore.durableFrame(s, dir, "wp_seg3") {
+      var cur = bpeSymbolsOf(Tables(s, dir, "documents"))
+      (1 to 3).foreach { _ => cur = wordpieceStep(cur)._2 }
+      cur.groupBy(col("w")).agg(count(lit(1)).as("n_units"))
+    }
+
+  /** The stored byte-BPE segmentation, with the symbol-rebuilt hex
+    * (the round-trip witness) persisted beside the unit count. */
+  private def bpeBytesSegDurable(s: SparkSession, dir: String): DataFrame =
+    IndexStore.durableFrame(s, dir, "bpe_bytes_seg3") {
+      var cur = bpeBytesSymbolsOf(Tables(s, dir, "documents"))
+      (1 to 3).foreach { _ => cur = bpeStep(cur)._2 }
+      cur.groupBy(col("w")).agg(count(lit(1)).as("n_units"),
+        expr("array_join(transform(array_sort(collect_list(struct(i, s)))," +
+          " x -> x.s), '')").as("rebuilt"))
+    }
 
   /** Frame-taking trainer: 3 merge rounds over `docs`, one output row
     * per learned merge — ScaleProbe drives this on replicated corpora
@@ -2006,6 +2051,7 @@ object TextAnalysis {
       FROM surp GROUP BY doc_id ORDER BY doc_id""",
     "q_bpe_train" -> bpeSql,
     "q_bpe_bytes_train" -> bpeBytesSql,
+    "q_tokenizer_persist" -> tokenizerPersistSql,
     "q_bpe_bytes_tokenize" -> bpeBytesTokenizeSql,
     "q_bpe_bytes_fertility" -> bpeBytesFertilitySql,
     "q_wordpiece_train" -> wpSql,
@@ -2731,6 +2777,45 @@ object TextAnalysis {
                 substr(w, 2 * CAST(i AS INT) - 1, 2) AS s
              FROM bwd, UNNEST(generate_series(1, len(w) // 2)) AS u(i)),
       ${bbStepCtes(1)}, ${bbStepCtes(2)}, ${bbStepCtes(3)}"""
+
+  /** Twin of q_tokenizer_persist: all three merge chains retrained
+    * from base tables off ONE shared char dictionary (the curveSql
+    * aliasing trick: vs1 = s1) plus the byte chain, censused with the
+    * identical (len·31 + ascii) checksum — the byte row checksums the
+    * RAW word key, matching the Spark side's symbol-rebuilt key iff
+    * the segmentation round-trips. */
+  private lazy val tokenizerPersistSql = s"""
+      WITH $wdCte,
+      s1 AS (SELECT w, f, CAST(i AS INT) AS i, substr(w, CAST(i AS INT), 1) AS s
+             FROM wd, UNNEST(generate_series(1, len(w))) AS u(i)),
+      ${bpeStepCtes(1)}, ${bpeStepCtes(2)}, ${bpeStepCtes(3)},
+      vs1 AS (SELECT * FROM s1),
+      ${wpStepCtes(1)}, ${wpStepCtes(2)}, ${wpStepCtes(3)},
+      $bwdCte,
+      bs1 AS (SELECT w, f, CAST(i AS INT) AS i,
+                substr(w, 2 * CAST(i AS INT) - 1, 2) AS s
+             FROM bwd, UNNEST(generate_series(1, len(w) // 2)) AS u(i)),
+      ${bbStepCtes(1)}, ${bbStepCtes(2)}, ${bbStepCtes(3)},
+      tcs AS (
+        SELECT 'bpe_bytes_seg3' AS artifact, CAST(count(*) AS BIGINT) AS n_rows,
+               coalesce(CAST(sum(n_units) AS BIGINT), 0) AS n_units_total,
+               coalesce(CAST(sum(n_units * (length(w) * 31 + ascii(w)))
+                 AS BIGINT), 0) AS checksum
+        FROM (SELECT w, CAST(count(*) AS BIGINT) AS n_units FROM bs4 GROUP BY w)
+        UNION ALL
+        SELECT 'bpe_seg3', CAST(count(*) AS BIGINT),
+               coalesce(CAST(sum(n_units) AS BIGINT), 0),
+               coalesce(CAST(sum(n_units * (length(w) * 31 + ascii(w)))
+                 AS BIGINT), 0)
+        FROM (SELECT w, CAST(count(*) AS BIGINT) AS n_units FROM s4 GROUP BY w)
+        UNION ALL
+        SELECT 'wp_seg3', CAST(count(*) AS BIGINT),
+               coalesce(CAST(sum(n_units) AS BIGINT), 0),
+               coalesce(CAST(sum(n_units * (length(w) * 31 + ascii(w)))
+                 AS BIGINT), 0)
+        FROM (SELECT w, CAST(count(*) AS BIGINT) AS n_units FROM vs4 GROUP BY w))
+      SELECT artifact, n_rows, n_units_total, checksum FROM tcs
+      ORDER BY artifact"""
 
   private lazy val bpeBytesSql = bbCtes + s"""
       SELECT * FROM (

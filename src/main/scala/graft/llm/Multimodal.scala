@@ -134,6 +134,18 @@ case class JpegMeta(doc_id: Long, status: String,
     r_sum: Option[Long], g_sum: Option[Long], b_sum: Option[Long],
     px_min: Option[Int], px_max: Option[Int], row0_sum: Option[Long])
 
+/** Typed output of the JPEG APP1/Exif METADATA extraction — the
+  * orientation/camera pass a real image pipeline runs before any
+  * pixel work (EXIF orientation decides whether the decoded raster
+  * needs a rotate; composed decoders: the JPEG marker walk around a
+  * dual-endian TIFF IFD). `n_ifd` = IFD0 entry count; width/height
+  * come from the SOF header past the APP1, proving the walk
+  * continues through the metadata segment. */
+case class ExifMeta(doc_id: Long, status: String,
+    byte_order: Option[String], orientation: Option[Int],
+    make: Option[String], n_ifd: Option[Int],
+    width: Option[Int], height: Option[Int])
+
 /** Typed output of the REAL gzip decode — the crawl-decompression
   * stage (RFC 1952; WARC payloads arrive as gzip members): status,
   * the FNAME-flag evidence the optional-field walk ran, and exact
@@ -2720,6 +2732,147 @@ object Multimodal {
     if (trunc) full.dropRight(3) else full
   }
 
+  /** Synthesize [[jpegBytes]]'s file with an APP1/Exif segment
+    * inserted after SOI (~87.5% of docs): "Exif  " around a
+    * genuine TIFF block — II or MM byte order (~50/50, the dual-endian
+    * walk witnessed), magic 42, IFD0 at offset 8 with two entries:
+    * Make (ASCII, count 4 = 3 chars + NUL, inline — the ≤4-byte
+    * inline-value rule) and Orientation (SHORT 1..8). Arms: no APP1
+    * (~12.5% → `no_exif`), corrupt TIFF byte-order mark inside an
+    * APP1 (~12.5% → `bad_exif`); the base JPEG's own arms compose
+    * (bad SOI stays `bad_magic`; the SOF2/truncation arms don't touch
+    * the header region, so Exif still reads). */
+  private[graft] def jpegExifBytes(h: String): Array[Byte] = {
+    val base = jpegBytes(h)
+    val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
+    if (b(6) % 8 == 1) return base // no-APP1 arm
+    val badTiff = b(5) % 8 == 2
+    val big = b(4) % 2 == 0
+    val orient = 1 + b(3) % 8
+    val make3 = h.substring(0, 3).toUpperCase(java.util.Locale.ROOT)
+    val t = new java.io.ByteArrayOutputStream(64)
+    def u16(v: Int): Unit =
+      if (big) { t.write(v >> 8); t.write(v & 255) }
+      else { t.write(v & 255); t.write(v >> 8) }
+    def u32(v: Int): Unit =
+      if (big) { t.write(v >>> 24); t.write((v >> 16) & 255)
+        t.write((v >> 8) & 255); t.write(v & 255) }
+      else { t.write(v & 255); t.write((v >> 8) & 255)
+        t.write((v >> 16) & 255); t.write(v >>> 24) }
+    if (badTiff) { t.write('X'); t.write('X') }
+    else if (big) { t.write('M'); t.write('M') }
+    else { t.write('I'); t.write('I') }
+    u16(42); u32(8) // magic, IFD0 offset
+    u16(2)          // two entries
+    u16(271); u16(2); u32(4) // Make, ASCII, count 4 → inline
+    t.write(make3.charAt(0)); t.write(make3.charAt(1))
+    t.write(make3.charAt(2)); t.write(0)
+    u16(274); u16(3); u32(1) // Orientation, SHORT, count 1
+    // a SHORT value sits LEFT-JUSTIFIED in its 4-byte slot (the
+    // classic writer rule the TIFF decoder already pins)
+    if (big) { t.write(0); t.write(orient); t.write(0); t.write(0) }
+    else { t.write(orient); t.write(0); t.write(0); t.write(0) }
+    u32(0) // next-IFD pointer: none
+    val tiff = t.toByteArray
+    val out = new java.io.ByteArrayOutputStream(base.length + 80)
+    out.write(base, 0, 2) // SOI (or the corrupted-magic arm bytes)
+    out.write(0xff); out.write(0xe1)
+    val len = 2 + 6 + tiff.length
+    out.write(len >> 8); out.write(len & 255)
+    out.write("Exif".getBytes("US-ASCII")); out.write(0); out.write(0)
+    out.write(tiff, 0, tiff.length)
+    out.write(base, 2, base.length - 2)
+    out.toByteArray
+  }
+
+  /** REAL Exif extraction — the metadata pass before pixel decode:
+    * marker walk to APP1 ("Exif  " payloads only; other
+    * APP1s skip like any APPn), a dual-endian TIFF IFD0 walk reading
+    * Make (inline ASCII) and Orientation (left-justified SHORT), then
+    * onward to the first SOF for dimensions. Never decodes entropy
+    * data — the cheap pass that decides rotation before the expensive
+    * one. Total on arbitrary bytes: status rows, never throws. */
+  private[graft] def parseJpegExif(id: Long, p: Array[Byte]): ExifMeta = {
+    def fail(st: String) =
+      ExifMeta(id, st, None, None, None, None, None, None)
+    if (p == null || p.length < 4 ||
+        (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8)
+      return fail("bad_magic")
+    var pos = 2
+    var exifStatus = "no_exif"
+    var bo: Option[String] = None
+    var orient: Option[Int] = None
+    var make: Option[String] = None
+    var nIfd: Option[Int] = None
+    def parseTiffBlock(t0: Int, tEnd: Int): Unit = {
+      val big = t0 + 1 < tEnd && p(t0) == 'M' && p(t0 + 1) == 'M'
+      val lit = t0 + 1 < tEnd && p(t0) == 'I' && p(t0 + 1) == 'I'
+      def u16(i: Int): Int =
+        if (i < t0 || i + 1 >= tEnd) -1
+        else if (big) ((p(i) & 0xff) << 8) | (p(i + 1) & 0xff)
+        else (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+      def u32(i: Int): Long =
+        if (i < t0 || i + 3 >= tEnd) -1L
+        else if (big) ((p(i) & 0xffL) << 24) | ((p(i + 1) & 0xffL) << 16) |
+          ((p(i + 2) & 0xffL) << 8) | (p(i + 3) & 0xffL)
+        else (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+          ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+      if ((!big && !lit) || u16(t0 + 2) != 42) { exifStatus = "bad_exif"; return }
+      val ifd = u32(t0 + 4)
+      if (ifd < 0 || t0 + ifd + 2 > tEnd) { exifStatus = "bad_exif"; return }
+      val n = u16(t0 + ifd.toInt)
+      if (n < 0 || t0 + ifd + 2 + n * 12L > tEnd) {
+        exifStatus = "bad_exif"; return
+      }
+      var e = 0
+      while (e < n) {
+        val off = t0 + ifd.toInt + 2 + e * 12
+        val tag = u16(off); val typ = u16(off + 2); val cnt = u32(off + 4)
+        if (tag == 274 && typ == 3 && cnt == 1)
+          orient = Some(u16(off + 8))
+        if (tag == 271 && typ == 2 && cnt >= 1 && cnt <= 4) {
+          // inline ASCII value, NUL-terminated within the 4-byte slot
+          val bs = (0 until cnt.toInt)
+            .map(j => p(off + 8 + j)).takeWhile(_ != 0)
+          make = Some(new String(bs.toArray, "US-ASCII"))
+        }
+        e += 1
+      }
+      bo = Some(if (big) "MM" else "II")
+      nIfd = Some(n)
+      exifStatus = "ok"
+    }
+    try {
+      while (true) {
+        if (pos + 1 >= p.length) return fail("truncated")
+        if ((p(pos) & 0xff) != 0xff) return fail("bad_data")
+        var m = p(pos + 1) & 0xff; pos += 2
+        while (m == 0xff) { if (pos >= p.length) return fail("truncated")
+          m = p(pos) & 0xff; pos += 1 }
+        if (m == 0xd9 || m == 0xda) // EOI / SOS before any SOF
+          return fail("bad_data")
+        if (pos + 1 >= p.length) return fail("truncated")
+        val len = ((p(pos) & 0xff) << 8) | (p(pos + 1) & 0xff)
+        if (len < 2 || pos + len > p.length) return fail("truncated")
+        if (m == 0xe1 && len >= 8 &&
+            p(pos + 2) == 'E' && p(pos + 3) == 'x' && p(pos + 4) == 'i' &&
+            p(pos + 5) == 'f' && p(pos + 6) == 0 && p(pos + 7) == 0)
+          parseTiffBlock(pos + 8, pos + len)
+        else if (m >= 0xc0 && m <= 0xc3) {
+          // SOF0..SOF3: dims end the metadata pass
+          val h0 = ((p(pos + 3) & 0xff) << 8) | (p(pos + 4) & 0xff)
+          val w0 = ((p(pos + 5) & 0xff) << 8) | (p(pos + 6) & 0xff)
+          return ExifMeta(id, exifStatus, bo, orient, make, nIfd,
+            Some(w0), Some(h0))
+        }
+        pos += len
+      }
+      fail("truncated") // unreachable
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => fail("bad_data")
+    }
+  }
+
   /** REAL from-scratch baseline-JPEG decode — see [[JpegMeta]] for
     * the row contract. Total on arbitrary bytes (DecoderFuzzSpec):
     * failure is always a status row, never a throw. Baseline only:
@@ -3610,6 +3763,23 @@ object Multimodal {
     // whole decode chain end to end.
     "q_multimodal_decode_jpeg" -> ((s, dir) =>
       jpegDecodeStats(Tables(s, dir, "documents")).orderBy("doc_id")),
+
+    // JPEG APP1/Exif metadata extraction — see [[parseJpegExif]]: the
+    // orientation/camera pass an image pipeline runs BEFORE pixel
+    // decode, composed from the JPEG marker walk and a dual-endian
+    // TIFF IFD0 walk (Make inline-ASCII, Orientation left-justified
+    // SHORT). Map-only single scan like every decode stage.
+    "q_jpeg_exif" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, h) =>
+          val p = jpegExifBytes(h)
+          parseJpegExif(id, p)
+        })
+        .toDF().orderBy("doc_id")
+    }),
 
     "q_multimodal_decode_gzip" -> ((s, dir) => {
       import s.implicits._
@@ -4911,6 +5081,38 @@ object Multimodal {
     // hash-green row proves the chunk walk + inflate + unfilter chain
     // round-trips bit-exact. Arm precedence mirrors the decoder's
     // check order: signature, IHDR CRC, chunk-walk truncation, adler32.
+    // Exif twin: every field a pure md5 function of the synth arms.
+    "q_jpeg_exif" -> s"""
+      WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+      xb AS (SELECT doc_id, h, ${byteAt(0)} AS b0, ${byteAt(1)} AS b1,
+               ${byteAt(3)} AS b3, ${byteAt(4)} AS b4, ${byteAt(5)} AS b5,
+               ${byteAt(6)} AS b6, ${byteAt(11)} AS b11
+             FROM hx),
+      xd AS (SELECT doc_id,
+               b11 % 16 = 9 AS badmagic,
+               b6 % 8 = 1 AS noexif,
+               b6 % 8 <> 1 AND b5 % 8 = 2 AS badtiff,
+               b4 % 2 = 0 AS big,
+               1 + b3 % 8 AS orient,
+               upper(substr(h, 1, 3)) AS mk,
+               8 * (1 + b0 % 2) AS w, 8 * (1 + b1 % 2) AS hh
+             FROM xb)
+      SELECT doc_id,
+             CASE WHEN badmagic THEN 'bad_magic'
+                  WHEN badtiff THEN 'bad_exif'
+                  WHEN noexif THEN 'no_exif' ELSE 'ok' END AS status,
+             CASE WHEN NOT badmagic AND NOT badtiff AND NOT noexif
+                  THEN (CASE WHEN big THEN 'MM' ELSE 'II' END)
+                  END AS byte_order,
+             CASE WHEN NOT badmagic AND NOT badtiff AND NOT noexif
+                  THEN CAST(orient AS INT) END AS orientation,
+             CASE WHEN NOT badmagic AND NOT badtiff AND NOT noexif
+                  THEN mk END AS make,
+             CASE WHEN NOT badmagic AND NOT badtiff AND NOT noexif
+                  THEN CAST(2 AS INT) END AS n_ifd,
+             CASE WHEN badmagic THEN NULL ELSE CAST(w AS INT) END AS width,
+             CASE WHEN badmagic THEN NULL ELSE CAST(hh AS INT) END AS height
+      FROM xd ORDER BY doc_id""",
     // JPEG twin: pixels recomputed as the pure md5 function the
     // frequency-domain fixture encodes (128 + d0 + d4·σσ per
     // component), then the SAME offset-floor-div integer YCbCr→RGB as

@@ -713,6 +713,7 @@ class PlanSpec extends SparkSuite {
     // grew a shuffle it doesn't need at 100 TB
     for (q <- Seq("q_multimodal_decode_gif", "q_multimodal_decode_png",
         "q_multimodal_decode_jpeg", // full transform codec, still one task
+        "q_jpeg_exif", // metadata pass: marker walk + TIFF IFD, one task
         "q_multimodal_decode_gzip", "q_multimodal_decode_tiff",
         "q_archive_ingest", // 1→N member fan-out still fuses into the scan
         "q_archive_ingest_tar", // second 1→N container, same contract

@@ -71,7 +71,8 @@ object DecoderFuzzProps extends Properties("Multimodal.decoders") {
       Multimodal.sampleVideo(1L, bs).nonEmpty &&
       Multimodal.resizePpm(1L, bs, 2, 2).status.nonEmpty &&
       Multimodal.dhashPpm(1L, bs).status.nonEmpty &&
-      Multimodal.parseJpeg(1L, bs).status.nonEmpty
+      Multimodal.parseJpeg(1L, bs).status.nonEmpty &&
+      Multimodal.parseJpegExif(1L, bs).status.nonEmpty
   }
 }
 
@@ -110,6 +111,10 @@ class DecoderTruncationSpec extends org.scalatest.funsuite.AnyFunSuite {
     val jfull = Multimodal.jpegBytes(h)
     for (n <- 0 to jfull.length)
       assert(Multimodal.parseJpeg(1L, jfull.take(n)).status.nonEmpty)
+    assert(Multimodal.parseJpegExif(1L, null).status == "bad_magic")
+    val xfull = Multimodal.jpegExifBytes(h)
+    for (n <- 0 to xfull.length)
+      assert(Multimodal.parseJpegExif(1L, xfull.take(n)).status.nonEmpty)
   }
 
   test("tgz layering: healthy wrapper is transparent, arms attribute the layer") {

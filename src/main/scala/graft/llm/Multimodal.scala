@@ -2551,6 +2551,11 @@ object Multimodal {
       if ((acc & 255) == 0xff) out.write(0)
       acc = 0; n = 0
     }
+    /** Byte-align, then emit RSTm — markers are raw, never stuffed. */
+    def restartMarker(m: Int): Unit = {
+      flush()
+      out.write(0xff); out.write(0xd0 + (m & 7))
+    }
     def result(): Array[Byte] = out.toByteArray
   }
 
@@ -2576,6 +2581,18 @@ object Multimodal {
       var v = 0; var i = 0
       while (i < k) { v = (v << 1) | bit(); i += 1 }
       v
+    }
+    /** Consume an expected RSTm at an MCU-restart boundary: drop the
+      * current byte's padding bits, read the raw FF Dm pair, return m
+      * (0..7). Anything else is corruption. */
+    def restart(): Int = {
+      n = 0 // discard 1-padding to the byte boundary
+      if (pos + 1 >= p.length) throw JpegTrunc
+      if ((p(pos) & 0xff) != 0xff) throw JpegBad
+      val m = p(pos + 1) & 0xff
+      if (m < 0xd0 || m > 0xd7) throw JpegBad
+      pos += 2
+      m - 0xd0
     }
   }
 
@@ -2642,6 +2659,13 @@ object Multimodal {
     val badMagic = b(11) % 16 == 9
     val prog = !badMagic && b(12) % 16 == 11
     val trunc = !badMagic && !prog && b(13) % 8 == 5
+    // RESTART-INTERVAL arm (~25%): DRI with Ri = 1 MCU, an RSTm
+    // between consecutive MCUs, DC predictors reset at each — the
+    // shape real camera JPEGs ship. Pixels are unchanged, so the
+    // oracle is unchanged: a hash-green row proves the restart
+    // machinery (byte realign, modulo-8 sequence, predictor reset)
+    // decodes to identical stats.
+    val dri = b(10) % 4 == 3
     val w = 8 * (1 + b(0) % 2); val hgt = 8 * (1 + b(1) % 2)
     val nbx = w / 8; val nb = nbx * (hgt / 8)
     // zigzag-order quant tables: DC and the (4,4) slot divide the
@@ -2657,15 +2681,18 @@ object Multimodal {
     val dcSyms = scala.collection.mutable.SortedSet[Int]()
     val acSyms = scala.collection.mutable.SortedSet[Int]()
     val pred = new Array[Int](3)
-    for (bi <- 0 until nb; c <- 0 to 2) {
-      val diff = qdc(c, bi) - pred(c); pred(c) = qdc(c, bi)
-      dcSyms += jpegCat(diff)
-      val ac = qac(c, bi)
-      if (ac != 0) {
-        acSyms += 0xF0
-        acSyms += (((JpegZ44 - 1) % 16) << 4) | jpegCat(ac)
+    for (bi <- 0 until nb) {
+      if (dri && bi > 0) java.util.Arrays.fill(pred, 0) // restart resets DC
+      for (c <- 0 to 2) {
+        val diff = qdc(c, bi) - pred(c); pred(c) = qdc(c, bi)
+        dcSyms += jpegCat(diff)
+        val ac = qac(c, bi)
+        if (ac != 0) {
+          acSyms += 0xF0
+          acSyms += (((JpegZ44 - 1) % 16) << 4) | jpegCat(ac)
+        }
+        acSyms += 0x00 // EOB always follows (z44 < 63)
       }
-      acSyms += 0x00 // EOB always follows (z44 < 63)
     }
     // canonical single-length tables: n symbols at length L with
     // 2^L > n (code space never full — the all-ones code stays free)
@@ -2680,26 +2707,32 @@ object Multimodal {
     // pass 2: the entropy segment
     val bw = new JpegBitWriter
     java.util.Arrays.fill(pred, 0)
-    for (bi <- 0 until nb; c <- 0 to 2) {
-      val diff = qdc(c, bi) - pred(c); pred(c) = qdc(c, bi)
-      val t = jpegCat(diff)
-      val (dc, dl) = dcCode(t)
-      bw.bits(dc, dl)
-      if (t > 0) bw.bits(if (diff < 0) diff + (1 << t) - 1 else diff, t)
-      val ac = qac(c, bi)
-      if (ac != 0) {
-        // JpegZ44 − 1 zeros precede the coded slot: ⌊run/16⌋ ZRLs,
-        // then the residual run rides in the coefficient's symbol
-        val run = JpegZ44 - 1
-        val (zc, zl) = acCode(0xF0)
-        (1 to run / 16).foreach(_ => bw.bits(zc, zl))
-        val s = jpegCat(ac)
-        val (cc, cl) = acCode(((run % 16) << 4) | s)
-        bw.bits(cc, cl)
-        bw.bits(if (ac < 0) ac + (1 << s) - 1 else ac, s)
+    for (bi <- 0 until nb) {
+      if (dri && bi > 0) {
+        bw.restartMarker((bi - 1) % 8)
+        java.util.Arrays.fill(pred, 0)
       }
-      val (ec, el) = acCode(0x00)
-      bw.bits(ec, el) // EOB
+      for (c <- 0 to 2) {
+        val diff = qdc(c, bi) - pred(c); pred(c) = qdc(c, bi)
+        val t = jpegCat(diff)
+        val (dc, dl) = dcCode(t)
+        bw.bits(dc, dl)
+        if (t > 0) bw.bits(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+        val ac = qac(c, bi)
+        if (ac != 0) {
+          // JpegZ44 − 1 zeros precede the coded slot: ⌊run/16⌋ ZRLs,
+          // then the residual run rides in the coefficient's symbol
+          val run = JpegZ44 - 1
+          val (zc, zl) = acCode(0xF0)
+          (1 to run / 16).foreach(_ => bw.bits(zc, zl))
+          val s = jpegCat(ac)
+          val (cc, cl) = acCode(((run % 16) << 4) | s)
+          bw.bits(cc, cl)
+          bw.bits(if (ac < 0) ac + (1 << s) - 1 else ac, s)
+        }
+        val (ec, el) = acCode(0x00)
+        bw.bits(ec, el) // EOB
+      }
     }
     bw.flush()
     val scan = bw.result()
@@ -2723,6 +2756,7 @@ object Multimodal {
     marker(0xc4); u16(2 + (1 + 16 + dcS.size) + (1 + 16 + acS.size))
     dht(0x00, dcBits, dcS)               // DC table 0
     dht(0x10, acBits, acS)               // AC table 0
+    if (dri) { marker(0xdd); u16(4); u16(1) } // DRI: restart every MCU
     marker(0xda); u16(6 + 2 * 3); u8(3)  // SOS
     u8(1); u8(0x00); u8(2); u8(0x00); u8(3); u8(0x00)
     u8(0); u8(63); u8(0)                 // Ss, Se, Ah/Al (baseline)
@@ -2900,6 +2934,7 @@ object Multimodal {
       var compQ: Array[Int] = null
       var compDc: Array[Int] = null
       var compAc: Array[Int] = null
+      var restartInterval = 0
       var inScan = false
       while (!inScan) {
         if (u8() != 0xff) throw JpegBad
@@ -2966,6 +3001,9 @@ object Multimodal {
             }
             u8(); u8(); u8() // Ss, Se, AhAl — baseline fixed
             inScan = true
+          case 0xdd => // DRI: restart interval in MCUs
+            if (u16() != 4) throw JpegBad
+            restartInterval = u16()
           case x if x >= 0xd0 && x <= 0xd7 => throw JpegBad // stray RSTn
           case _ => // APPn / COM / DRI / anything length-framed: skip
             val len = u16()
@@ -2983,10 +3021,20 @@ object Multimodal {
       var rSum = 0L; var gSum = 0L; var bSum = 0L; var row0 = 0L
       var pxMin = 255; var pxMax = 0
       var nBlocks = 0
+      var mcuIdx = 0
       var my = 0
       while (my < nby) {
         var mx = 0
         while (mx < nbx) {
+          // restart boundary BEFORE this MCU (T.81 E.2.4): byte
+          // realign, consume RSTm, verify the modulo-8 sequence,
+          // reset every DC predictor
+          if (restartInterval > 0 && mcuIdx > 0 &&
+              mcuIdx % restartInterval == 0) {
+            val m = br.restart()
+            if (m != (mcuIdx / restartInterval - 1) % 8) throw JpegBad
+            java.util.Arrays.fill(pred, 0)
+          }
           var c = 0
           while (c < 3) {
             java.util.Arrays.fill(coef, 0)
@@ -3052,6 +3100,7 @@ object Multimodal {
             }
             y += 1
           }
+          mcuIdx += 1
           mx += 1
         }
         my += 1

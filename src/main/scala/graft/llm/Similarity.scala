@@ -1105,8 +1105,13 @@ object Similarity {
     * search — over whatever quantized frame the caller supplies;
     * [[graft.ScaleProbe]] drives this on replicated corpora. */
   private[graft] def pqAdcTopFrom(qe: DataFrame, qmax: Int, k: Int,
-      seedScale: Long = 1L): DataFrame = {
-    val cb = pqCodebooksFrom(qe, seedScale)
+      seedScale: Long = 1L): DataFrame =
+    pqAdcTopWith(qe, pqCodebooksFrom(qe, seedScale), qmax, k)
+
+  /** Codebooks-taking tail — lets a caller supply PERSISTED books
+    * (the OPQ leg) instead of retraining in-call. */
+  private def pqAdcTopWith(qe: DataFrame, cb: Seq[Seq[Seq[Long]]],
+      qmax: Int, k: Int): DataFrame = {
     // The code table goes through an explicit exchange: (1) it IS the
     // stored index a production PQ deployment materializes at ingest —
     // 16 ints/row, so even a 10⁹-row corpus shuffles ~100 GB once;
@@ -1143,12 +1148,19 @@ object Similarity {
     * aggregate; the 64-row collect is index metadata (the codebook
     * discipline), never data. An empty corpus returns the frame
     * unrotated — downstream rankings are empty either way. */
-  private def opqRotate(qe: DataFrame): DataFrame = {
-    val stats = qe.select(posexplode(col("q")).as(Seq("i", "x")))
+  private def opqRotate(qe: DataFrame): DataFrame =
+    opqRotateWith(qe, opqVarFrame(qe).collect())
+
+  /** The per-dimension variance stats frame (n, s, s2 per dim) —
+    * the persistable form of the rotation's training pass. */
+  private def opqVarFrame(qe: DataFrame): DataFrame =
+    qe.select(posexplode(col("q")).as(Seq("i", "x")))
       .groupBy(col("i"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
         sum(col("x") * col("x")).as("s2"))
-      .collect() // ≤64 rows of exact ints — rotation params, never data
+
+  private def opqRotateWith(qe: DataFrame,
+      stats: Array[org.apache.spark.sql.Row]): DataFrame = {
     if (stats.isEmpty) return qe
     // scale-free variance numerator n·Σx² − (Σx)², exact in BigInt
     val ranked = stats.map { r =>
@@ -1168,6 +1180,37 @@ object Similarity {
       }
     }: _*)
     qe.withColumn("q", rot).withColumn("norm", expr("dot_long(q, q)"))
+  }
+
+  private val opqMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Array[org.apache.spark.sql.Row],
+      Seq[Seq[Seq[Long]]])]()
+
+  /** PERSISTED OPQ artifacts (IndexStore): the 64-row variance stats
+    * (tag `opq_var`, the rotation's training pass) and the PQ books
+    * over the ROTATED space (tag `opq_pq_stats`, ×5 seeds). The
+    * canonical (session, dir) OPQ queries train once per corpus and
+    * load thereafter like every other family. */
+  private def opqArtifacts(s: SparkSession, dir: String)
+      : (Array[org.apache.spark.sql.Row], Seq[Seq[Seq[Long]]]) =
+    opqMemo.computeIfAbsent((s, dir), _ => {
+      val stats = IndexStore.durableFrame(s, dir, "opq_var") {
+        opqVarFrame(Dedup.quantized(s, dir))
+      }.collect()
+      val books = pqCodebooksOf(IndexStore.durableFrame(s, dir,
+        "opq_pq_stats") {
+        pqStatsFrame(opqRotateWith(Dedup.quantized(s, dir), stats),
+          scale = 5L)
+      }.collect(), scale = 5L)
+      (stats, books)
+    })
+
+  /** The OPQ ranking off the persisted artifacts. */
+  private def opqAdcTop(s: SparkSession, dir: String,
+      qmax: Int, k: Int): DataFrame = {
+    val (stats, books) = opqArtifacts(s, dir)
+    pqAdcTopWith(opqRotateWith(Dedup.quantized(s, dir), stats),
+      books, qmax, k)
   }
 
   /** Exact re-rank of the PQ shortlist — the FAISS refine step
@@ -1707,6 +1750,20 @@ object Similarity {
           graft.ops.TextOps.maxsimScoredArtifact(s, dir),
           col("query_id") * 31L + col("doc_id") + col("n_qtok")
             + col("score")))
+        .unionByName(census("opq_pq_stats",
+          IndexStore.durableFrame(s, dir, "opq_pq_stats") {
+            pqStatsFrame(opqRotateWith(Dedup.quantized(s, dir),
+              IndexStore.durableFrame(s, dir, "opq_var") {
+                opqVarFrame(Dedup.quantized(s, dir))
+              }.collect()), scale = 5L)
+          },
+          (col("g") * 16 + col("cl") + 1).cast("long")
+            * (col("n") + svTotal)))
+        .unionByName(census("opq_var",
+          IndexStore.durableFrame(s, dir, "opq_var") {
+            opqVarFrame(Dedup.quantized(s, dir))
+          },
+          (col("i") + 1).cast("long") * (col("n") + col("s") + col("s2"))))
         .unionByName(census("pq_res_stats", pqResStatsFrameDurable(s, dir),
           (col("g") * 16 + col("cl") + 1).cast("long")
             * (col("n") + svTotal)))
@@ -1867,8 +1924,7 @@ object Similarity {
     // the variance-balanced space. Same codebook budget as q_knn_pq
     // by construction — only the rotation differs.
     "q_knn_opq_pq" -> ((s, dir) =>
-      pqAdcTopFrom(opqRotate(Dedup.quantized(s, dir)), qmax = 50, k = 3,
-        seedScale = 5L).orderBy("query_id", "rnk")),
+      opqAdcTop(s, dir, qmax = 50, k = 3).orderBy("query_id", "rnk")),
 
     // The lift row: recall@3 of rotated vs raw PQ on the SHARED brute
     // truth (rotation is orthogonal up to a uniform scale, so the
@@ -1895,9 +1951,7 @@ object Similarity {
               round(col("n_found").cast("double") /
                 col("n_true").cast("double"), 4))
               .otherwise(lit(null).cast("double")).as("recall_at_3"))
-      leg("opq_pq",
-          pqAdcTopFrom(opqRotate(Dedup.quantized(s, dir)), qmax = 50, k = 3,
-            seedScale = 5L))
+      leg("opq_pq", opqAdcTop(s, dir, qmax = 50, k = 3))
         .unionByName(leg("pq", pqAdcTop(s, dir, qmax = 50, k = 3)))
         .orderBy("family")
     }),
@@ -3527,7 +3581,8 @@ object Similarity {
       .mkString("\n            UNION ALL ")
     graft.ops.TextOps.bm25Ctes + graft.ops.TextOps.maxsimTail + "," +
       Dedup.QE + "," + Clustering.assignCtes + "," + ivfCte + "," +
-      pqCtes + "," + resPqCtes + s""",
+      pqCtes + "," + resPqCtes + "," + opqCtes + "," +
+      pqCtesOn("oqn", "opq", seedScale = 5L) + s""",
       ipg AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
                 a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
               FROM ivcell a JOIN ivcell b
@@ -3575,6 +3630,17 @@ object Similarity {
         SELECT 'pq_stats', CAST(count(*) AS BIGINT),
                coalesce(CAST(sum(term) AS BIGINT), 0)
         FROM ($pqTerms)
+        UNION ALL
+        SELECT 'opq_pq_stats', CAST(count(*) AS BIGINT),
+               coalesce(CAST(sum(term) AS BIGINT), 0)
+        FROM (SELECT (0 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM opqt0 UNION ALL SELECT (1 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM opqt1 UNION ALL SELECT (2 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM opqt2 UNION ALL SELECT (3 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM opqt3 UNION ALL SELECT (4 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM opqt4 UNION ALL SELECT (5 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM opqt5 UNION ALL SELECT (6 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM opqt6 UNION ALL SELECT (7 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM opqt7 UNION ALL SELECT (8 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM opqt8 UNION ALL SELECT (9 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM opqt9 UNION ALL SELECT (10 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM opqt10 UNION ALL SELECT (11 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM opqt11 UNION ALL SELECT (12 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM opqt12 UNION ALL SELECT (13 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM opqt13 UNION ALL SELECT (14 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM opqt14 UNION ALL SELECT (15 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM opqt15)
+        UNION ALL
+        SELECT 'opq_var', CAST(count(*) AS BIGINT),
+               coalesce(CAST(sum(i * (n + s + s2)) AS BIGINT), 0)
+        FROM (SELECT i, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(q[i]) AS BIGINT) AS s,
+                     CAST(sum(q[i] * q[i]) AS BIGINT) AS s2
+              FROM qn, UNNEST(generate_series(1, 64)) AS u(i) GROUP BY i)
         UNION ALL
         SELECT 'pq_res_stats', CAST(count(*) AS BIGINT),
                coalesce(CAST(sum(term) AS BIGINT), 0)

@@ -591,4 +591,30 @@ class MultimodalSpec extends graft.SparkSuite {
     for (st <- Seq("bad_magic", "unsupported", "truncated"))
       assert(arms(st) > 0, s"arm $st never fired in the sweep")
   }
+
+  test("JPEG restart intervals: DRI fixtures carry RSTm and decode identically") {
+    // find a multi-MCU DRI-armed fixture; its bytes must carry the DRI
+    // segment and at least one restart marker, decode 'ok', and a
+    // corrupted restart SEQUENCE must fail as bad_data (the modulo-8
+    // check), never silently mis-decode.
+    def b(h: String, i: Int) = Integer.parseInt(h.substring(2 * i, 2 * i + 2), 16)
+    val h = (0 until 4096).map(i => md5hex(s"jpeg-dri-$i")).find { h =>
+      b(h, 10) % 4 == 3 && b(h, 11) % 16 != 9 && b(h, 12) % 16 != 11 &&
+        b(h, 13) % 8 != 5 && (b(h, 0) % 2 == 1 || b(h, 1) % 2 == 1) // >1 MCU
+    }.get
+    val bytes = Multimodal.jpegBytes(h)
+    def hasSeq(a: Array[Byte], m0: Int, m1: Int): Boolean =
+      a.indices.dropRight(1).exists(i =>
+        (a(i) & 0xff) == m0 && (a(i + 1) & 0xff) == m1)
+    assert(hasSeq(bytes, 0xff, 0xdd), "DRI segment missing")
+    assert(hasSeq(bytes, 0xff, 0xd0), "no RST0 between MCUs")
+    val m = Multimodal.parseJpeg(1L, bytes)
+    assert(m.status == "ok", m.status)
+    // corrupt the first RST0 -> RST5: the modulo-8 sequence check must
+    // reject it as corruption
+    val i0 = bytes.indices.dropRight(1)
+      .find(i => (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xd0).get
+    val bad = bytes.clone(); bad(i0 + 1) = 0xd5.toByte
+    assert(Multimodal.parseJpeg(2L, bad).status == "bad_data")
+  }
 }

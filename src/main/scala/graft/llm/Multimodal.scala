@@ -2666,8 +2666,32 @@ object Multimodal {
     // machinery (byte realign, modulo-8 sequence, predictor reset)
     // decodes to identical stats.
     val dri = b(10) % 4 == 3
-    val w = 8 * (1 + b(0) % 2); val hgt = 8 * (1 + b(1) % 2)
+    // COLOR-STRUCTURE arms: grayscale (1 component, ~12.5%) and 4:2:0
+    // chroma subsampling (~22%: Y at 2×2, chroma 1×1 per MCU — the
+    // layout real camera JPEGs dominate in; dims scale ×2 so every
+    // axis is a whole number of 16-px MCUs). Content stays the same
+    // pure md5 function per block, so the oracle follows exactly.
+    val gray = b(9) % 8 == 6
+    val sub420 = !gray && b(8) % 4 == 2
+    val dimScale = if (sub420) 16 else 8
+    val w = dimScale * (1 + b(0) % 2); val hgt = dimScale * (1 + b(1) % 2)
     val nbx = w / 8; val nb = nbx * (hgt / 8)
+    val nComps = if (gray) 1 else 3
+    val mcuBlocksPerRow = if (sub420) w / 16 else nbx
+    val nMcu = if (sub420) (w / 16) * (hgt / 16) else nb
+    /** MCU m → its (component, image-grain block index) sequence in
+      * interleaved scan order. Y's index is the IMAGE block raster
+      * (so pixel content is layout-independent); chroma's is the MCU
+      * index (one chroma block covers the whole MCU). */
+    def mcuBlocks(m: Int): Seq[(Int, Int)] =
+      if (gray) Seq((0, m))
+      else if (!sub420) (0 to 2).map(c => (c, m))
+      else {
+        val mrow = m / mcuBlocksPerRow; val mcol = m % mcuBlocksPerRow
+        (for (by <- 0 to 1; bx <- 0 to 1)
+          yield (0, (mrow * 2 + by) * nbx + (mcol * 2 + bx))) ++
+          Seq((1, m), (2, m))
+      }
     // zigzag-order quant tables: DC and the (4,4) slot divide the
     // fixture coefficients exactly; every other slot is a plausible
     // 16 (its coefficient is always 0)
@@ -2681,9 +2705,9 @@ object Multimodal {
     val dcSyms = scala.collection.mutable.SortedSet[Int]()
     val acSyms = scala.collection.mutable.SortedSet[Int]()
     val pred = new Array[Int](3)
-    for (bi <- 0 until nb) {
-      if (dri && bi > 0) java.util.Arrays.fill(pred, 0) // restart resets DC
-      for (c <- 0 to 2) {
+    for (m <- 0 until nMcu) {
+      if (dri && m > 0) java.util.Arrays.fill(pred, 0) // restart resets DC
+      for ((c, bi) <- mcuBlocks(m)) {
         val diff = qdc(c, bi) - pred(c); pred(c) = qdc(c, bi)
         dcSyms += jpegCat(diff)
         val ac = qac(c, bi)
@@ -2707,12 +2731,12 @@ object Multimodal {
     // pass 2: the entropy segment
     val bw = new JpegBitWriter
     java.util.Arrays.fill(pred, 0)
-    for (bi <- 0 until nb) {
-      if (dri && bi > 0) {
-        bw.restartMarker((bi - 1) % 8)
+    for (m <- 0 until nMcu) {
+      if (dri && m > 0) {
+        bw.restartMarker((m - 1) % 8)
         java.util.Arrays.fill(pred, 0)
       }
-      for (c <- 0 to 2) {
+      for ((c, bi) <- mcuBlocks(m)) {
         val diff = qdc(c, bi) - pred(c); pred(c) = qdc(c, bi)
         val t = jpegCat(diff)
         val (dc, dl) = dcCode(t)
@@ -2745,10 +2769,12 @@ object Multimodal {
     u8(0x00); q0.foreach(u8)             // Pq=0 (8-bit), Tq=0
     u8(0x01); q1.foreach(u8)
     marker(if (prog) 0xc2 else 0xc0)     // SOF0 (or the SOF2 arm)
-    u16(8 + 3 * 3); u8(8); u16(hgt); u16(w); u8(3)
-    u8(1); u8(0x11); u8(0)               // Y: 1×1 sampling, qtable 0
-    u8(2); u8(0x11); u8(1)               // Cb: qtable 1
-    u8(3); u8(0x11); u8(1)               // Cr: qtable 1
+    u16(8 + 3 * nComps); u8(8); u16(hgt); u16(w); u8(nComps)
+    u8(1); u8(if (sub420) 0x22 else 0x11); u8(0) // Y, qtable 0
+    if (!gray) {
+      u8(2); u8(0x11); u8(1)             // Cb: qtable 1
+      u8(3); u8(0x11); u8(1)             // Cr: qtable 1
+    }
     def dht(tcth: Int, bitsArr: Array[Int], syms: Seq[Int]): Unit = {
       u8(tcth); (1 to 16).foreach(l => u8(bitsArr(l))); syms.foreach(u8)
     }
@@ -2757,8 +2783,9 @@ object Multimodal {
     dht(0x00, dcBits, dcS)               // DC table 0
     dht(0x10, acBits, acS)               // AC table 0
     if (dri) { marker(0xdd); u16(4); u16(1) } // DRI: restart every MCU
-    marker(0xda); u16(6 + 2 * 3); u8(3)  // SOS
-    u8(1); u8(0x00); u8(2); u8(0x00); u8(3); u8(0x00)
+    marker(0xda); u16(6 + 2 * nComps); u8(nComps) // SOS
+    u8(1); u8(0x00)
+    if (!gray) { u8(2); u8(0x00); u8(3); u8(0x00) }
     u8(0); u8(63); u8(0)                 // Ss, Se, Ah/Al (baseline)
     out.write(scan, 0, scan.length)
     marker(0xd9)                         // EOI
@@ -2932,6 +2959,8 @@ object Multimodal {
       var width = -1; var height = -1
       // per component: (qTable, dcTable, acTable)
       var compQ: Array[Int] = null
+      var compH: Array[Int] = null
+      var compV: Array[Int] = null
       var compDc: Array[Int] = null
       var compAc: Array[Int] = null
       var restartInterval = 0
@@ -2976,12 +3005,18 @@ object Multimodal {
             val nc = u8()
             if (m == 0xc2)
               return fail("unsupported", Some(width), Some(height))
-            if (prec != 8 || nc != 3) throw JpegBad
+            if (prec != 8 || (nc != 1 && nc != 3)) throw JpegBad
             compQ = new Array[Int](nc)
+            compH = new Array[Int](nc); compV = new Array[Int](nc)
             var c = 0
             while (c < nc) {
               u8() // component id (1-based by convention; order is positional)
-              if (u8() != 0x11)
+              val hv = u8()
+              compH(c) = (hv >> 4) & 15; compV(c) = hv & 15
+              // baseline surface: 1×1 everywhere (4:4:4 / grayscale)
+              // or Y at 2×2 with 1×1 chroma (4:2:0)
+              if (!((compH(c) == 1 && compV(c) == 1) ||
+                  (c == 0 && compH(c) == 2 && compV(c) == 2)))
                 return fail("unsupported", Some(width), Some(height))
               compQ(c) = u8() & 3
               c += 1
@@ -2990,7 +3025,8 @@ object Multimodal {
           case 0xda =>
             u16()
             val ns = u8()
-            if (ns != 3 || width < 0) throw JpegBad
+            if (width < 0 || compQ == null || ns != compQ.length)
+              throw JpegBad
             compDc = new Array[Int](ns); compAc = new Array[Int](ns)
             var c = 0
             while (c < ns) {
@@ -3011,21 +3047,27 @@ object Multimodal {
             pos += len - 2
         }
       }
-      if (width <= 0 || height <= 0 || width % 8 != 0 || height % 8 != 0)
+      val nc = compQ.length
+      val maxH = compH.max; val maxV = compV.max
+      val mcuW = 8 * maxH; val mcuH = 8 * maxV
+      if (width <= 0 || height <= 0 ||
+          width % mcuW != 0 || height % mcuH != 0)
         return fail("unsupported", Some(width), Some(height))
-      val nbx = width / 8; val nby = height / 8
+      val nmx = width / mcuW; val nmy = height / mcuH
       val br = new JpegBitReader(p, pos)
-      val pred = new Array[Int](3)
+      val pred = new Array[Int](nc)
       val coef = new Array[Int](64) // natural order
-      val blockPx = Array.ofDim[Int](3, 64)
+      // per-comp block buffers for ONE MCU: compV(c)·compH(c) blocks
+      val blocks = Array.tabulate(nc)(c =>
+        Array.ofDim[Int](compV(c) * compH(c), 64))
       var rSum = 0L; var gSum = 0L; var bSum = 0L; var row0 = 0L
       var pxMin = 255; var pxMax = 0
       var nBlocks = 0
       var mcuIdx = 0
       var my = 0
-      while (my < nby) {
+      while (my < nmy) {
         var mx = 0
-        while (mx < nbx) {
+        while (mx < nmx) {
           // restart boundary BEFORE this MCU (T.81 E.2.4): byte
           // realign, consume RSTm, verify the modulo-8 sequence,
           // reset every DC predictor
@@ -3036,60 +3078,73 @@ object Multimodal {
             java.util.Arrays.fill(pred, 0)
           }
           var c = 0
-          while (c < 3) {
-            java.util.Arrays.fill(coef, 0)
-            val q = qt(compQ(c))
-            val t = dcH(compDc(c)).decode(br)
-            pred(c) += jpegExtend(br.bits(t), t)
-            coef(0) = pred(c) * q(0)
-            var k = 1
-            var eob = false
-            while (!eob && k <= 63) {
-              val rs = acH(compAc(c)).decode(br)
-              if (rs == 0) eob = true
-              else if (rs == 0xF0) k += 16
-              else {
-                k += (rs >> 4)
-                if (k > 63) throw JpegBad
-                coef(JpegZigzag(k)) =
-                  jpegExtend(br.bits(rs & 15), rs & 15) * q(k)
-                k += 1
-              }
-            }
-            // fixed-point IDCT + level shift + clamp
-            var y = 0
-            while (y < 8) {
-              var x = 0
-              while (x < 8) {
-                var acc = 0L
-                var v = 0
-                while (v < 8) {
-                  var u = 0
-                  while (u < 8) {
-                    val s = coef(v * 8 + u)
-                    if (s != 0) acc += s * jpegIdctT(x)(u) * jpegIdctT(y)(v)
-                    u += 1
-                  }
-                  v += 1
+          while (c < nc) {
+            var bIdx = 0
+            while (bIdx < compV(c) * compH(c)) {
+              val out = blocks(c)(bIdx)
+              java.util.Arrays.fill(coef, 0)
+              val q = qt(compQ(c))
+              val t = dcH(compDc(c)).decode(br)
+              pred(c) += jpegExtend(br.bits(t), t)
+              coef(0) = pred(c) * q(0)
+              var k = 1
+              var eob = false
+              while (!eob && k <= 63) {
+                val rs = acH(compAc(c)).decode(br)
+                if (rs == 0) eob = true
+                else if (rs == 0xF0) k += 16
+                else {
+                  k += (rs >> 4)
+                  if (k > 63) throw JpegBad
+                  coef(JpegZigzag(k)) =
+                    jpegExtend(br.bits(rs & 15), rs & 15) * q(k)
+                  k += 1
                 }
-                val px = (((acc + (1L << 27)) >> 28) + 128L).toInt
-                blockPx(c)(y * 8 + x) =
-                  if (px < 0) 0 else if (px > 255) 255 else px
-                x += 1
               }
-              y += 1
+              // fixed-point IDCT + level shift + clamp
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  var acc = 0L
+                  var v = 0
+                  while (v < 8) {
+                    var u = 0
+                    while (u < 8) {
+                      val sv = coef(v * 8 + u)
+                      if (sv != 0)
+                        acc += sv * jpegIdctT(x)(u) * jpegIdctT(y)(v)
+                      u += 1
+                    }
+                    v += 1
+                  }
+                  val px = (((acc + (1L << 27)) >> 28) + 128L).toInt
+                  out(y * 8 + x) =
+                    if (px < 0) 0 else if (px > 255) 255 else px
+                  x += 1
+                }
+                y += 1
+              }
+              nBlocks += 1
+              bIdx += 1
             }
-            nBlocks += 1
             c += 1
           }
-          // combine the MCU's three blocks into RGB and accumulate
+          // combine the MCU's blocks into RGB with per-component
+          // nearest (floor-map) upsampling — sample (x,y) of comp c
+          // sits at (x·h/maxH, y·v/maxV) of its block grid
+          def sample(c: Int, x: Int, y: Int): Int = {
+            val sx = x * compH(c) / maxH; val sy = y * compV(c) / maxV
+            blocks(c)((sy / 8) * compH(c) + (sx / 8))((sy % 8) * 8 + (sx % 8))
+          }
           var y = 0
-          while (y < 8) {
+          while (y < mcuH) {
             var x = 0
-            while (x < 8) {
-              val i = y * 8 + x
+            while (x < mcuW) {
+              val yv = sample(0, x, y)
               val (r, g, bb) =
-                jpegYcc2Rgb(blockPx(0)(i), blockPx(1)(i), blockPx(2)(i))
+                if (nc == 1) jpegYcc2Rgb(yv, 128, 128)
+                else jpegYcc2Rgb(yv, sample(1, x, y), sample(2, x, y))
               rSum += r; gSum += g; bSum += bb
               val mn = math.min(r, math.min(g, bb))
               val mxv = math.max(r, math.max(g, bb))
@@ -5135,7 +5190,8 @@ object Multimodal {
       WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
       xb AS (SELECT doc_id, h, ${byteAt(0)} AS b0, ${byteAt(1)} AS b1,
                ${byteAt(3)} AS b3, ${byteAt(4)} AS b4, ${byteAt(5)} AS b5,
-               ${byteAt(6)} AS b6, ${byteAt(11)} AS b11
+               ${byteAt(6)} AS b6, ${byteAt(8)} AS b8, ${byteAt(9)} AS b9,
+               ${byteAt(11)} AS b11
              FROM hx),
       xd AS (SELECT doc_id,
                b11 % 16 = 9 AS badmagic,
@@ -5144,7 +5200,10 @@ object Multimodal {
                b4 % 2 = 0 AS big,
                1 + b3 % 8 AS orient,
                upper(substr(h, 1, 3)) AS mk,
-               8 * (1 + b0 % 2) AS w, 8 * (1 + b1 % 2) AS hh
+               (CASE WHEN b9 % 8 <> 6 AND b8 % 4 = 2 THEN 16 ELSE 8 END)
+                 * (1 + b0 % 2) AS w,
+               (CASE WHEN b9 % 8 <> 6 AND b8 % 4 = 2 THEN 16 ELSE 8 END)
+                 * (1 + b1 % 2) AS hh
              FROM xb)
       SELECT doc_id,
              CASE WHEN badmagic THEN 'bad_magic'
@@ -5169,6 +5228,7 @@ object Multimodal {
     "q_multimodal_decode_jpeg" -> s"""
       WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
       jb AS (SELECT doc_id, h, ${byteAt(0)} AS b0, ${byteAt(1)} AS b1,
+               ${byteAt(8)} AS b8, ${byteAt(9)} AS b9,
                ${byteAt(11)} AS b11, ${byteAt(12)} AS b12,
                ${byteAt(13)} AS b13
              FROM hx),
@@ -5176,21 +5236,44 @@ object Multimodal {
                b11 % 16 = 9 AS badmagic,
                b11 % 16 <> 9 AND b12 % 16 = 11 AS prog,
                b11 % 16 <> 9 AND b12 % 16 <> 11 AND b13 % 8 = 5 AS trunc,
-               8 * (1 + b0 % 2) AS w, 8 * (1 + b1 % 2) AS hh
+               b9 % 8 = 6 AS gray,
+               b9 % 8 <> 6 AND b8 % 4 = 2 AS sub420,
+               (CASE WHEN b9 % 8 <> 6 AND b8 % 4 = 2 THEN 16 ELSE 8 END)
+                 * (1 + b0 % 2) AS w,
+               (CASE WHEN b9 % 8 <> 6 AND b8 % 4 = 2 THEN 16 ELSE 8 END)
+                 * (1 + b1 % 2) AS hh
              FROM jb),
-      jpx AS (SELECT doc_id, h, w, i % w AS x, i // w AS y,
+      jpx AS (SELECT doc_id, h, gray, sub420, w, i % w AS x, i // w AS y,
                 ((i // w) // 8) * (w // 8) + (i % w) // 8 AS bi,
+                -- 4:2:0 chroma grain: one block per 16×16 MCU, sampled
+                -- at the floor-mapped (x/2, y/2) within-MCU position
+                ((i // w) // 16) * (w // 16) + (i % w) // 16 AS bic,
                 (list_value(1,-1,-1,1,1,-1,-1,1)[(i % w) % 8 + 1] *
-                 list_value(1,-1,-1,1,1,-1,-1,1)[(i // w) % 8 + 1]) AS sg
+                 list_value(1,-1,-1,1,1,-1,-1,1)[(i // w) % 8 + 1]) AS sg,
+                (list_value(1,-1,-1,1,1,-1,-1,1)[((i % w) % 16) // 2 + 1] *
+                 list_value(1,-1,-1,1,1,-1,-1,1)[((i // w) % 16) // 2 + 1])
+                  AS sgc
               FROM jd, UNNEST(generate_series(0, w * hh - 1)) AS u(i)
               WHERE NOT badmagic AND NOT prog AND NOT trunc),
       jv AS (SELECT doc_id, x, y,
                128 + (${byteAtE("2 + 3 * 0 + bi")} % 48 - 24) +
                  (${byteAtE("7 + 2 * 0 + bi")} % 32 - 16) * sg AS yv,
-               128 + (${byteAtE("2 + 3 * 1 + bi")} % 48 - 24) +
-                 (${byteAtE("7 + 2 * 1 + bi")} % 32 - 16) * sg AS cb,
-               128 + (${byteAtE("2 + 3 * 2 + bi")} % 48 - 24) +
-                 (${byteAtE("7 + 2 * 2 + bi")} % 32 - 16) * sg AS cr
+               CASE WHEN gray THEN 128
+                    WHEN sub420 THEN
+                      128 + (${byteAtE("2 + 3 * 1 + bic")} % 48 - 24) +
+                        (${byteAtE("7 + 2 * 1 + bic")} % 32 - 16) * sgc
+                    ELSE
+                      128 + (${byteAtE("2 + 3 * 1 + bi")} % 48 - 24) +
+                        (${byteAtE("7 + 2 * 1 + bi")} % 32 - 16) * sg
+                    END AS cb,
+               CASE WHEN gray THEN 128
+                    WHEN sub420 THEN
+                      128 + (${byteAtE("2 + 3 * 2 + bic")} % 48 - 24) +
+                        (${byteAtE("7 + 2 * 2 + bic")} % 32 - 16) * sgc
+                    ELSE
+                      128 + (${byteAtE("2 + 3 * 2 + bi")} % 48 - 24) +
+                        (${byteAtE("7 + 2 * 2 + bi")} % 32 - 16) * sg
+                    END AS cr
              FROM jpx),
       jr AS (SELECT doc_id, x, y,
                least(255, greatest(0, yv +
@@ -5218,6 +5301,9 @@ object Multimodal {
              CASE WHEN badmagic THEN NULL ELSE CAST(w AS INT) END AS width,
              CASE WHEN badmagic THEN NULL ELSE CAST(hh AS INT) END AS height,
              CASE WHEN badmagic OR prog OR trunc THEN NULL
+                  WHEN gray THEN CAST((w // 8) * (hh // 8) AS INT)
+                  WHEN sub420 THEN CAST((w // 8) * (hh // 8)
+                    + 2 * (w // 16) * (hh // 16) AS INT)
                   ELSE CAST((w // 8) * (hh // 8) * 3 AS INT) END AS n_blocks,
              r_sum, g_sum, b_sum, px_min, px_max, row0_sum
       FROM jd LEFT JOIN jst USING (doc_id)

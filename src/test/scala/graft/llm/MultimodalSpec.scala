@@ -544,13 +544,17 @@ class MultimodalSpec extends graft.SparkSuite {
     def fd(x: Long): Int = (((x + 32768L + (1L << 30)) >> 16) - 16384L).toInt
     def cl(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
     var oks = 0; var arms = Map.empty[String, Int].withDefaultValue(0)
+    var grayOks = 0; var subOks = 0; var driOks = 0
     for (i <- 0 until 300) {
       val h = md5hex(s"jpeg-sweep-$i")
       val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
       val badMagic = b(11) % 16 == 9
       val prog = !badMagic && b(12) % 16 == 11
       val trunc = !badMagic && !prog && b(13) % 8 == 5
-      val w = 8 * (1 + b(0) % 2); val hgt = 8 * (1 + b(1) % 2)
+      val gray = b(9) % 8 == 6
+      val sub420 = !gray && b(8) % 4 == 2
+      val scale = if (sub420) 16 else 8
+      val w = scale * (1 + b(0) % 2); val hgt = scale * (1 + b(1) % 2)
       val m = Multimodal.parseJpeg(i.toLong, Multimodal.jpegBytes(h))
       val expected =
         if (badMagic) "bad_magic"
@@ -560,7 +564,11 @@ class MultimodalSpec extends graft.SparkSuite {
       if (expected == "ok") {
         oks += 1
         assert(m.width.contains(w) && m.height.contains(hgt))
-        assert(m.n_blocks.contains((w / 8) * (hgt / 8) * 3))
+        val nb = (w / 8) * (hgt / 8)
+        assert(m.n_blocks.contains(
+          if (gray) nb
+          else if (sub420) nb + 2 * (w / 16) * (hgt / 16)
+          else nb * 3))
         var rs = 0L; var gs = 0L; var bs = 0L; var r0 = 0L
         var mn = 255; var mx = 0
         for (y <- 0 until hgt; x <- 0 until w) {
@@ -568,7 +576,16 @@ class MultimodalSpec extends graft.SparkSuite {
           val sg = sig(x % 8) * sig(y % 8)
           def v(c: Int) = 128 + (b((2 + 3 * c + bi) % 16) % 48 - 24) +
             (b((7 + 2 * c + bi) % 16) % 32 - 16) * sg
-          val (yv, cb, cr) = (v(0), v(1), v(2))
+          // 4:2:0 chroma: one block per 16x16 MCU, floor-mapped x/2,y/2
+          val bic = (y / 16) * (w / 16) + x / 16
+          val sgc = sig((x % 16) / 2) * sig((y % 16) / 2)
+          def vc(c: Int) = 128 + (b((2 + 3 * c + bic) % 16) % 48 - 24) +
+            (b((7 + 2 * c + bic) % 16) % 32 - 16) * sgc
+          val yv = v(0)
+          val (cb, cr) =
+            if (gray) (128, 128)
+            else if (sub420) (vc(1), vc(2))
+            else (v(1), v(2))
           val r = cl(yv + fd(91881L * (cr - 128)))
           val g = cl(yv - fd(22554L * (cb - 128) + 46802L * (cr - 128)))
           val bb = cl(yv + fd(116130L * (cb - 128)))
@@ -581,6 +598,9 @@ class MultimodalSpec extends graft.SparkSuite {
           m.b_sum.contains(bs), s"$h sums")
         assert(m.px_min.contains(mn) && m.px_max.contains(mx))
         assert(m.row0_sum.contains(r0))
+        if (gray) grayOks += 1
+        if (sub420) subOks += 1
+        if (b(10) % 4 == 3) driOks += 1
       } else {
         arms += expected -> (arms(expected) + 1)
         if (expected != "bad_magic") // header probe still reports dims
@@ -590,6 +610,11 @@ class MultimodalSpec extends graft.SparkSuite {
     assert(oks > 100, s"only $oks ok fixtures")
     for (st <- Seq("bad_magic", "unsupported", "truncated"))
       assert(arms(st) > 0, s"arm $st never fired in the sweep")
+    // the color-structure and restart arms must each be exercised on
+    // the exact-match path, not just exist in the synth
+    assert(grayOks > 5, s"grayscale arm thin: $grayOks")
+    assert(subOks > 5, s"4:2:0 arm thin: $subOks")
+    assert(driOks > 5, s"restart-interval arm thin: $driOks")
   }
 
   test("JPEG restart intervals: DRI fixtures carry RSTm and decode identically") {

@@ -2651,21 +2651,37 @@ object Multimodal {
     * segment with optimized DC+AC tables (two-pass, canonical — the
     * real optimized-Huffman encoder shape), SOS, the stuffed entropy
     * segment, EOI. Dimensions 8 or 16 per axis (1–4 MCUs). Arms:
-    * corrupted SOI (~6% → `bad_magic`), progressive SOF2 frame (~6% →
-    * `unsupported`, dims still read — the libjpeg header-probe
-    * behavior), file cut 3 bytes short (~12.5% → `truncated`). */
+    * corrupted SOI (~6% → `bad_magic`), REAL progressive SOF2 frame
+    * (~6% → fully decoded, see the scan-plan note below), 12-bit
+    * precision (~12.5% → `unsupported`, dims still read — the
+    * libjpeg header-probe behavior), file cut 3 bytes short
+    * (~12.5% → `truncated`). */
   private[graft] def jpegBytes(h: String): Array[Byte] = {
     val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
     val badMagic = b(11) % 16 == 9
+    // PROGRESSIVE arm (~6%): a REAL multi-scan SOF2 stream — DC first
+    // pass (Al=1, interleaved) → DC refinement (raw bits) → per
+    // component: the 1..20 spectral band (pure EOBRUN), the 21..63
+    // band at Al=1, and its Al=0 refinement (correction bits, newly
+    // nonzero values, buffered-bit EOB runs). The FINAL coefficients
+    // equal the baseline arm's, so the pixel oracle is unchanged — a
+    // hash-green row proves the whole successive-approximation chain.
     val prog = !badMagic && b(12) % 16 == 11
+    // 12-BIT PRECISION arm (~12.5%): SOF precision 12 (the extended
+    // DCT shape medical/scientific JPEGs ship) — out of the 8-bit
+    // decode surface, reported `unsupported` with the header dims.
+    val prec12 = !badMagic && b(7) % 8 == 3
     val trunc = !badMagic && !prog && b(13) % 8 == 5
     // RESTART-INTERVAL arm (~25%): DRI with Ri = 1 MCU, an RSTm
     // between consecutive MCUs, DC predictors reset at each — the
     // shape real camera JPEGs ship. Pixels are unchanged, so the
     // oracle is unchanged: a hash-green row proves the restart
     // machinery (byte realign, modulo-8 sequence, predictor reset)
-    // decodes to identical stats.
-    val dri = b(10) % 4 == 3
+    // decodes to identical stats. Baseline-only: the progressive
+    // arm's scans carry no restarts (Ri composes per scan there and
+    // the decoder supports it, but the fixture keeps the two arms
+    // orthogonal).
+    val dri = !prog && b(10) % 4 == 3
     // COLOR-STRUCTURE arms: grayscale (1 component, ~12.5%) and 4:2:0
     // chroma subsampling (~22%: Y at 2×2, chroma 1×1 per MCU — the
     // layout real camera JPEGs dominate in; dims scale ×2 so every
@@ -2701,11 +2717,97 @@ object Multimodal {
       8 * jpegD0(b, c, bi) / (if (c == 0) q0(0) else q1(0))
     def qac(c: Int, bi: Int) =
       8 * jpegD4(b, c, bi) / (if (c == 0) q0(JpegZ44) else q1(JpegZ44))
+    // PROGRESSIVE scan plan (T.81 Annex G): two interleaved DC scans
+    // (first pass Al=1, then the one-raw-bit refinement), then per
+    // component three non-interleaved AC scans — the all-zero 1..20
+    // band (pure EOBRUN), the 21..63 band at Al=1, and its Al=0
+    // refinement. (comps, Ss, Se, Ah, Al, comp-for-AC)
+    val progPlan: Seq[(Seq[Int], Int, Int, Int, Int)] =
+      if (!prog) Nil
+      else Seq((0 until nComps: Seq[Int], 0, 0, 0, 1),
+        (0 until nComps: Seq[Int], 0, 0, 1, 0)) ++
+        (0 until nComps).flatMap(c => Seq(
+          (Seq(c), 1, 20, 0, 0), (Seq(c), 21, 63, 0, 1),
+          (Seq(c), 21, 63, 1, 0)))
+    /** Blocks of component c in non-interleaved raster order — the
+      * content index IS the raster index for every layout (Y's grain
+      * is the image block raster; chroma's is the MCU raster). */
+    def compBlockCount(c: Int): Int =
+      if (c == 0) nb else if (sub420) nMcu else nb
+    /** One scan's entropy coding, parameterized over the symbol/bit
+      * sinks so pass 1 (alphabet collection) and pass 2 (emission)
+      * run the identical walk. */
+    def runProgScan(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int,
+        sym: (Boolean, Int) => Unit, put: (Int, Int) => Unit): Unit = {
+      if (ss == 0 && ah == 0) { // DC first pass: diffs of dc >> Al
+        val pr = new Array[Int](3)
+        for (m <- 0 until nMcu; (c, bi) <- mcuBlocks(m)) {
+          val v = qdc(c, bi) >> al
+          val diff = v - pr(c); pr(c) = v
+          val t = jpegCat(diff); sym(true, t)
+          if (t > 0) put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+        }
+      } else if (ss == 0) { // DC refinement: one raw bit per block
+        for (m <- 0 until nMcu; (c, bi) <- mcuBlocks(m))
+          put((qdc(c, bi) >> al) & 1, 1)
+      } else { // AC band scan over ONE component (T.81: ns must be 1)
+        val c = comps.head
+        var eobrun = 0
+        val pending = scala.collection.mutable.ArrayBuffer.empty[Int]
+        def flushEob(): Unit = if (eobrun > 0) {
+          var r = 0
+          while ((2 << r) <= eobrun) r += 1
+          sym(false, r << 4)
+          if (r > 0) put(eobrun - (1 << r), r)
+          pending.foreach(put(_, 1)); pending.clear()
+          eobrun = 0
+        }
+        val inBand = ss <= JpegZ44 && JpegZ44 <= se
+        val run = JpegZ44 - ss // zero slots before the coefficient
+        for (bi <- 0 until compBlockCount(c)) {
+          val a = if (inBand) qac(c, bi) else 0
+          if (ah == 0) { // first pass: code a >> Al (toward zero)
+            val a1 = if (a < 0) -((-a) >> al) else a >> al
+            if (a1 == 0) eobrun += 1
+            else {
+              flushEob()
+              (1 to run / 16).foreach(_ => sym(false, 0xF0))
+              val s = jpegCat(a1)
+              sym(false, ((run % 16) << 4) | s)
+              put(if (a1 < 0) a1 + (1 << s) - 1 else a1, s)
+              eobrun += 1 // the zero tail after the coefficient
+            }
+          } else { // refinement at Al
+            val av = math.abs(a)
+            if ((av >> al) == 0) eobrun += 1 // zero at this precision
+            else if ((av >> (al + 1)) != 0) {
+              // history nonzero: one buffered correction bit, read
+              // back during the decoder's EOB sweep of this block
+              pending += (av >> al) & 1; eobrun += 1
+            } else {
+              // newly nonzero at this Al: run over zero-history slots
+              flushEob()
+              (1 to run / 16).foreach(_ => sym(false, 0xF0))
+              sym(false, ((run % 16) << 4) | 1)
+              put(if (a > 0) 1 else 0, 1)
+              eobrun += 1
+            }
+          }
+        }
+        flushEob()
+      }
+    }
     // pass 1: collect the emitted symbol alphabets (optimized tables)
     val dcSyms = scala.collection.mutable.SortedSet[Int]()
     val acSyms = scala.collection.mutable.SortedSet[Int]()
     val pred = new Array[Int](3)
-    for (m <- 0 until nMcu) {
+    if (prog)
+      progPlan.foreach { case (cs, ss, se, ah, al) =>
+        runProgScan(cs, ss, se, ah, al,
+          (d, s) => { if (d) dcSyms += s else acSyms += s; () },
+          (_, _) => ())
+      }
+    else for (m <- 0 until nMcu) {
       if (dri && m > 0) java.util.Arrays.fill(pred, 0) // restart resets DC
       for ((c, bi) <- mcuBlocks(m)) {
         val diff = qdc(c, bi) - pred(c); pred(c) = qdc(c, bi)
@@ -2718,6 +2820,7 @@ object Multimodal {
         acSyms += 0x00 // EOB always follows (z44 < 63)
       }
     }
+    if (prog && acSyms.isEmpty) acSyms += 0x00 // a DHT needs ≥1 symbol
     // canonical single-length tables: n symbols at length L with
     // 2^L > n (code space never full — the all-ones code stays free)
     def table(syms: Seq[Int]): (Array[Int], Map[Int, (Int, Int)]) = {
@@ -2728,10 +2831,20 @@ object Multimodal {
     }
     val (dcBits, dcCode) = table(dcSyms.toSeq)
     val (acBits, acCode) = table(acSyms.toSeq)
-    // pass 2: the entropy segment
+    // pass 2: the entropy segment(s)
+    val progBodies: Seq[Array[Byte]] = progPlan.map {
+      case (cs, ss, se, ah, al) =>
+        val pbw = new JpegBitWriter
+        runProgScan(cs, ss, se, ah, al,
+          (d, s) => { val (c, l) = if (d) dcCode(s) else acCode(s)
+            pbw.bits(c, l) },
+          (v, k) => pbw.bits(v, k))
+        pbw.flush()
+        pbw.result()
+    }
     val bw = new JpegBitWriter
     java.util.Arrays.fill(pred, 0)
-    for (m <- 0 until nMcu) {
+    if (!prog) for (m <- 0 until nMcu) {
       if (dri && m > 0) {
         bw.restartMarker((m - 1) % 8)
         java.util.Arrays.fill(pred, 0)
@@ -2769,7 +2882,8 @@ object Multimodal {
     u8(0x00); q0.foreach(u8)             // Pq=0 (8-bit), Tq=0
     u8(0x01); q1.foreach(u8)
     marker(if (prog) 0xc2 else 0xc0)     // SOF0 (or the SOF2 arm)
-    u16(8 + 3 * nComps); u8(8); u16(hgt); u16(w); u8(nComps)
+    u16(8 + 3 * nComps); u8(if (prec12) 12 else 8); u16(hgt); u16(w)
+    u8(nComps)
     u8(1); u8(if (sub420) 0x22 else 0x11); u8(0) // Y, qtable 0
     if (!gray) {
       u8(2); u8(0x11); u8(1)             // Cb: qtable 1
@@ -2783,11 +2897,22 @@ object Multimodal {
     dht(0x00, dcBits, dcS)               // DC table 0
     dht(0x10, acBits, acS)               // AC table 0
     if (dri) { marker(0xdd); u16(4); u16(1) } // DRI: restart every MCU
-    marker(0xda); u16(6 + 2 * nComps); u8(nComps) // SOS
-    u8(1); u8(0x00)
-    if (!gray) { u8(2); u8(0x00); u8(3); u8(0x00) }
-    u8(0); u8(63); u8(0)                 // Ss, Se, Ah/Al (baseline)
-    out.write(scan, 0, scan.length)
+    if (prog) {
+      // one SOS header + entropy segment per planned scan
+      progPlan.zip(progBodies).foreach {
+        case ((cs, ss, se, ah, al), body) =>
+          marker(0xda); u16(6 + 2 * cs.size); u8(cs.size)
+          cs.foreach { c => u8(c + 1); u8(0x00) }
+          u8(ss); u8(se); u8((ah << 4) | al)
+          out.write(body, 0, body.length)
+      }
+    } else {
+      marker(0xda); u16(6 + 2 * nComps); u8(nComps) // SOS
+      u8(1); u8(0x00)
+      if (!gray) { u8(2); u8(0x00); u8(3); u8(0x00) }
+      u8(0); u8(63); u8(0)               // Ss, Se, Ah/Al (baseline)
+      out.write(scan, 0, scan.length)
+    }
     marker(0xd9)                         // EOI
     val full = out.toByteArray
     if (trunc) full.dropRight(3) else full
@@ -2934,12 +3059,19 @@ object Multimodal {
     }
   }
 
-  /** REAL from-scratch baseline-JPEG decode — see [[JpegMeta]] for
-    * the row contract. Total on arbitrary bytes (DecoderFuzzSpec):
-    * failure is always a status row, never a throw. Baseline only:
-    * SOF2 (progressive) reports `unsupported` with the header dims
-    * (the libjpeg header-probe behavior); any non-1×1 sampling or
-    * non-8-bit precision likewise. */
+  /** REAL from-scratch JPEG decode, baseline (SOF0) AND progressive
+    * (SOF2) — see [[JpegMeta]] for the row contract. Total on
+    * arbitrary bytes (DecoderFuzzSpec): failure is always a status
+    * row, never a throw. Progressive runs the full T.81 Annex G
+    * machinery: multi-scan walk, DC first/refinement passes, AC
+    * spectral-selection bands with EOBRUN, successive-approximation
+    * refinement with correction bits — accumulated in a whole-image
+    * zigzag coefficient store and transformed once at EOI (the
+    * standard progressive memory cost, bounded here like a production
+    * decoder bounds decode memory). Non-8-bit precision reports
+    * `unsupported` with the header dims (the libjpeg header-probe
+    * behavior); any sampling beyond 4:4:4 / 4:2:0 / grayscale
+    * likewise stays out of the decode surface. */
   private[graft] def parseJpeg(id: Long, p: Array[Byte]): JpegMeta = {
     def fail(st: String, w: Option[Int] = None, h: Option[Int] = None) =
       JpegMeta(id, st, w, h, None, None, None, None, None, None, None)
@@ -2957,20 +3089,194 @@ object Multimodal {
       val dcH = new Array[JpegHuff](4)
       val acH = new Array[JpegHuff](4)
       var width = -1; var height = -1
-      // per component: (qTable, dcTable, acTable)
+      // per component: id, (qTable, sampling, dcTable, acTable)
+      var compId: Array[Int] = null
       var compQ: Array[Int] = null
       var compH: Array[Int] = null
       var compV: Array[Int] = null
       var compDc: Array[Int] = null
       var compAc: Array[Int] = null
       var restartInterval = 0
-      var inScan = false
-      while (!inScan) {
+      var progressive = false
+      // geometry, validated at the FIRST SOS (shared by both modes)
+      var maxH = 1; var maxV = 1; var mcuW = 8; var mcuH = 8
+      var nmx = 0; var nmy = 0
+      var compBW: Array[Int] = null
+      // progressive whole-image coefficient store (zigzag order)
+      var pCoefs: Array[Array[Array[Int]]] = null
+      var sawScan = false
+      var inScan = false // baseline: the walk stops at its single SOS
+      var eoi = false    // progressive: the walk stops at EOI
+      def geometry(): Option[JpegMeta] = {
+        maxH = compH.max; maxV = compV.max
+        mcuW = 8 * maxH; mcuH = 8 * maxV
+        if (width <= 0 || height <= 0 ||
+            width % mcuW != 0 || height % mcuH != 0)
+          return Some(fail("unsupported", Some(width), Some(height)))
+        nmx = width / mcuW; nmy = height / mcuH
+        val nc = compQ.length
+        compBW = Array.tabulate(nc)(c => nmx * compH(c))
+        if (progressive) {
+          // every coefficient is held until EOI — bound the buffer
+          // the way a production decoder bounds per-image memory
+          var tot = 0L
+          var c = 0
+          while (c < nc) {
+            tot += compBW(c).toLong * (nmy * compV(c)); c += 1
+          }
+          if (tot > (1L << 16))
+            return Some(fail("unsupported", Some(width), Some(height)))
+          pCoefs = Array.tabulate(nc)(c =>
+            Array.ofDim[Int](compBW(c) * nmy * compV(c), 64))
+        }
+        None
+      }
+      /** One progressive scan (T.81 G.1.2): `scomp` are component
+        * indexes in scan order; `sDc`/`sAc` the scan's table ids. */
+      def decodeProgScan(scomp: Array[Int], sDc: Array[Int],
+          sAc: Array[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+        if (ss > se || se > 63 || al > 13) throw JpegBad
+        if (ss == 0 && se != 0) throw JpegBad // DC scans carry DC only
+        if (ss > 0 && scomp.length != 1) throw JpegBad
+        val br = new JpegBitReader(p, pos)
+        val pred = new Array[Int](compQ.length)
+        var eobrun = 0
+        var unit = 0 // MCUs (interleaved) or blocks (single component)
+        def maybeRestart(): Unit =
+          if (restartInterval > 0 && unit > 0 &&
+              unit % restartInterval == 0) {
+            val m = br.restart()
+            if (m != (unit / restartInterval - 1) % 8) throw JpegBad
+            java.util.Arrays.fill(pred, 0); eobrun = 0
+          }
+        def dcBlock(c: Int, huff: JpegHuff, arr: Array[Int]): Unit =
+          if (ah == 0) {
+            val t = huff.decode(br)
+            pred(c) += jpegExtend(br.bits(t), t)
+            arr(0) = pred(c) << al
+          } else if (br.bit() == 1) arr(0) |= (1 << al) // raw-bit refine
+        def acFirst(huff: JpegHuff, arr: Array[Int]): Unit = {
+          if (eobrun > 0) { eobrun -= 1; return }
+          var k = ss
+          while (k <= se) {
+            val rs = huff.decode(br)
+            val r = rs >> 4; val s = rs & 15
+            if (s != 0) {
+              k += r
+              if (k > se) throw JpegBad
+              arr(k) = jpegExtend(br.bits(s), s) << al
+              k += 1
+            } else if (r == 15) k += 16 // ZRL
+            else {
+              eobrun = (1 << r) - 1
+              if (r > 0) eobrun += br.bits(r)
+              return // this block's tail is the run's first member
+            }
+          }
+        }
+        def acRefine(huff: JpegHuff, arr: Array[Int]): Unit = {
+          val p1 = 1 << al; val m1 = -1 << al
+          var k = ss
+          def correct(kk: Int): Unit =
+            if (br.bit() == 1 && (arr(kk) & p1) == 0)
+              arr(kk) += (if (arr(kk) >= 0) p1 else m1)
+          if (eobrun == 0) {
+            var brk = false
+            while (!brk && k <= se) {
+              val rs = huff.decode(br)
+              var r = rs >> 4; val s = rs & 15
+              var newval = 0
+              if (s != 0) {
+                if (s != 1) throw JpegBad // refinement codes ±1 only
+                newval = if (br.bit() == 1) p1 else m1
+              } else if (r != 15) {
+                eobrun = 1 << r
+                if (r > 0) eobrun += br.bits(r)
+                brk = true
+              }
+              if (!brk) {
+                // advance over r zero-HISTORY slots, reading one
+                // correction bit at every nonzero-history slot passed
+                var adv = true
+                while (adv && k <= se) {
+                  if (arr(k) != 0) { correct(k); k += 1 }
+                  else {
+                    r -= 1
+                    if (r < 0) adv = false else k += 1
+                  }
+                }
+                if (s != 0) {
+                  if (adv || k > se) throw JpegBad
+                  arr(k) = newval
+                }
+                k += 1
+              }
+            }
+          }
+          if (eobrun > 0) { // EOB sweep: corrections only
+            while (k <= se) { if (arr(k) != 0) correct(k); k += 1 }
+            eobrun -= 1
+          }
+        }
+        def block(c: Int, dh: JpegHuff, ach: JpegHuff, idx: Int): Unit = {
+          val arr = pCoefs(c)(idx)
+          if (ss == 0) dcBlock(c, dh, arr)
+          else if (ah == 0) acFirst(ach, arr)
+          else acRefine(ach, arr)
+        }
+        if (scomp.length == 1) { // non-interleaved: component raster
+          val c = scomp(0)
+          val dh = if (ss == 0 && ah == 0) dcH(sDc(0)) else null
+          val ach = if (ss > 0) acH(sAc(0)) else null
+          if ((ss == 0 && ah == 0 && dh == null) ||
+              (ss > 0 && ach == null)) throw JpegBad
+          val n = compBW(c) * (nmy * compV(c))
+          var bi = 0
+          while (bi < n) {
+            maybeRestart()
+            block(c, dh, ach, bi)
+            unit += 1; bi += 1
+          }
+        } else { // interleaved (DC scans): MCU order
+          val dhs = Array.tabulate(scomp.length)(i =>
+            if (ah == 0) dcH(sDc(i)) else null)
+          if (ah == 0 && dhs.exists(_ == null)) throw JpegBad
+          var my = 0
+          while (my < nmy) {
+            var mx = 0
+            while (mx < nmx) {
+              maybeRestart()
+              var i = 0
+              while (i < scomp.length) {
+                val c = scomp(i)
+                var by = 0
+                while (by < compV(c)) {
+                  var bx = 0
+                  while (bx < compH(c)) {
+                    block(c, dhs(i), null,
+                      (my * compV(c) + by) * compBW(c) +
+                        (mx * compH(c) + bx))
+                    bx += 1
+                  }
+                  by += 1
+                }
+                i += 1
+              }
+              unit += 1
+              mx += 1
+            }
+            my += 1
+          }
+        }
+        pos = br.pos
+      }
+      while (!inScan && !eoi) {
         if (u8() != 0xff) throw JpegBad
         var m = u8()
         while (m == 0xff) m = u8() // fill bytes are legal
         m match {
-          case 0xd9 => throw JpegBad // EOI before any scan
+          case 0xd9 => // EOI: ends a progressive file, else premature
+            if (progressive && sawScan) eoi = true else throw JpegBad
           case 0xdb =>
             val len = u16() // read BEFORE pos is captured for `end`
             val end = pos + len - 2
@@ -3003,17 +3309,18 @@ object Multimodal {
             val prec = u8()
             height = u16(); width = u16()
             val nc = u8()
-            if (m == 0xc2)
+            progressive = m == 0xc2
+            if (prec != 8) // 12-bit extended DCT: out of the surface
               return fail("unsupported", Some(width), Some(height))
-            if (prec != 8 || (nc != 1 && nc != 3)) throw JpegBad
-            compQ = new Array[Int](nc)
+            if (nc != 1 && nc != 3) throw JpegBad
+            compId = new Array[Int](nc); compQ = new Array[Int](nc)
             compH = new Array[Int](nc); compV = new Array[Int](nc)
             var c = 0
             while (c < nc) {
-              u8() // component id (1-based by convention; order is positional)
+              compId(c) = u8()
               val hv = u8()
               compH(c) = (hv >> 4) & 15; compV(c) = hv & 15
-              // baseline surface: 1×1 everywhere (4:4:4 / grayscale)
+              // decode surface: 1×1 everywhere (4:4:4 / grayscale)
               // or Y at 2×2 with 1×1 chroma (4:2:0)
               if (!((compH(c) == 1 && compV(c) == 1) ||
                   (c == 0 && compH(c) == 2 && compV(c) == 2)))
@@ -3025,146 +3332,210 @@ object Multimodal {
           case 0xda =>
             u16()
             val ns = u8()
-            if (width < 0 || compQ == null || ns != compQ.length)
-              throw JpegBad
-            compDc = new Array[Int](ns); compAc = new Array[Int](ns)
-            var c = 0
-            while (c < ns) {
-              u8() // component selector (positional order)
-              val t = u8()
-              compDc(c) = (t >> 4) & 3; compAc(c) = t & 3
-              c += 1
+            if (width < 0 || compQ == null) throw JpegBad
+            if (!progressive) {
+              if (ns != compQ.length) throw JpegBad
+              compDc = new Array[Int](ns); compAc = new Array[Int](ns)
+              var c = 0
+              while (c < ns) {
+                u8() // component selector (positional order)
+                val t = u8()
+                compDc(c) = (t >> 4) & 3; compAc(c) = t & 3
+                c += 1
+              }
+              u8(); u8(); u8() // Ss, Se, Ah/Al — baseline fixed
+              geometry() match {
+                case Some(r) => return r
+                case None =>
+              }
+              inScan = true
+            } else {
+              if (ns < 1 || ns > compQ.length) throw JpegBad
+              val scomp = new Array[Int](ns)
+              val sDc = new Array[Int](ns); val sAc = new Array[Int](ns)
+              var i = 0
+              while (i < ns) {
+                val ci = compId.indexOf(u8()) // selector is an id
+                if (ci < 0) throw JpegBad
+                scomp(i) = ci
+                val t = u8(); sDc(i) = (t >> 4) & 3; sAc(i) = t & 3
+                i += 1
+              }
+              val ss = u8(); val se = u8()
+              val ahal = u8()
+              if (!sawScan) geometry() match {
+                case Some(r) => return r
+                case None =>
+              }
+              decodeProgScan(scomp, sDc, sAc, ss, se,
+                (ahal >> 4) & 15, ahal & 15)
+              sawScan = true
             }
-            u8(); u8(); u8() // Ss, Se, AhAl — baseline fixed
-            inScan = true
           case 0xdd => // DRI: restart interval in MCUs
             if (u16() != 4) throw JpegBad
             restartInterval = u16()
           case x if x >= 0xd0 && x <= 0xd7 => throw JpegBad // stray RSTn
-          case _ => // APPn / COM / DRI / anything length-framed: skip
+          case _ => // APPn / COM / anything length-framed: skip
             val len = u16()
             if (len < 2 || pos + len - 2 > p.length) throw JpegTrunc
             pos += len - 2
         }
       }
       val nc = compQ.length
-      val maxH = compH.max; val maxV = compV.max
-      val mcuW = 8 * maxH; val mcuH = 8 * maxV
-      if (width <= 0 || height <= 0 ||
-          width % mcuW != 0 || height % mcuH != 0)
-        return fail("unsupported", Some(width), Some(height))
-      val nmx = width / mcuW; val nmy = height / mcuH
-      val br = new JpegBitReader(p, pos)
-      val pred = new Array[Int](nc)
-      val coef = new Array[Int](64) // natural order
+      val coef = new Array[Int](64) // natural order, one block at a time
       // per-comp block buffers for ONE MCU: compV(c)·compH(c) blocks
       val blocks = Array.tabulate(nc)(c =>
         Array.ofDim[Int](compV(c) * compH(c), 64))
       var rSum = 0L; var gSum = 0L; var bSum = 0L; var row0 = 0L
       var pxMin = 255; var pxMax = 0
       var nBlocks = 0
-      var mcuIdx = 0
-      var my = 0
-      while (my < nmy) {
-        var mx = 0
-        while (mx < nmx) {
-          // restart boundary BEFORE this MCU (T.81 E.2.4): byte
-          // realign, consume RSTm, verify the modulo-8 sequence,
-          // reset every DC predictor
-          if (restartInterval > 0 && mcuIdx > 0 &&
-              mcuIdx % restartInterval == 0) {
-            val m = br.restart()
-            if (m != (mcuIdx / restartInterval - 1) % 8) throw JpegBad
-            java.util.Arrays.fill(pred, 0)
-          }
-          var c = 0
-          while (c < nc) {
-            var bIdx = 0
-            while (bIdx < compV(c) * compH(c)) {
-              val out = blocks(c)(bIdx)
-              java.util.Arrays.fill(coef, 0)
-              val q = qt(compQ(c))
-              val t = dcH(compDc(c)).decode(br)
-              pred(c) += jpegExtend(br.bits(t), t)
-              coef(0) = pred(c) * q(0)
-              var k = 1
-              var eob = false
-              while (!eob && k <= 63) {
-                val rs = acH(compAc(c)).decode(br)
-                if (rs == 0) eob = true
-                else if (rs == 0xF0) k += 16
-                else {
-                  k += (rs >> 4)
-                  if (k > 63) throw JpegBad
-                  coef(JpegZigzag(k)) =
-                    jpegExtend(br.bits(rs & 15), rs & 15) * q(k)
-                  k += 1
-                }
+      /** Fixed-point IDCT + level shift + clamp of `coef` into `out`. */
+      def idctInto(out: Array[Int]): Unit = {
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            var acc = 0L
+            var v = 0
+            while (v < 8) {
+              var u = 0
+              while (u < 8) {
+                val sv = coef(v * 8 + u)
+                if (sv != 0)
+                  acc += sv * jpegIdctT(x)(u) * jpegIdctT(y)(v)
+                u += 1
               }
-              // fixed-point IDCT + level shift + clamp
-              var y = 0
-              while (y < 8) {
-                var x = 0
-                while (x < 8) {
-                  var acc = 0L
-                  var v = 0
-                  while (v < 8) {
-                    var u = 0
-                    while (u < 8) {
-                      val sv = coef(v * 8 + u)
-                      if (sv != 0)
-                        acc += sv * jpegIdctT(x)(u) * jpegIdctT(y)(v)
-                      u += 1
-                    }
-                    v += 1
-                  }
-                  val px = (((acc + (1L << 27)) >> 28) + 128L).toInt
-                  out(y * 8 + x) =
-                    if (px < 0) 0 else if (px > 255) 255 else px
-                  x += 1
-                }
-                y += 1
-              }
-              nBlocks += 1
-              bIdx += 1
+              v += 1
             }
-            c += 1
+            val px = (((acc + (1L << 27)) >> 28) + 128L).toInt
+            out(y * 8 + x) =
+              if (px < 0) 0 else if (px > 255) 255 else px
+            x += 1
           }
-          // combine the MCU's blocks into RGB with per-component
-          // nearest (floor-map) upsampling — sample (x,y) of comp c
-          // sits at (x·h/maxH, y·v/maxV) of its block grid
-          def sample(c: Int, x: Int, y: Int): Int = {
-            val sx = x * compH(c) / maxH; val sy = y * compV(c) / maxV
-            blocks(c)((sy / 8) * compH(c) + (sx / 8))((sy % 8) * 8 + (sx % 8))
-          }
-          var y = 0
-          while (y < mcuH) {
-            var x = 0
-            while (x < mcuW) {
-              val yv = sample(0, x, y)
-              val (r, g, bb) =
-                if (nc == 1) jpegYcc2Rgb(yv, 128, 128)
-                else jpegYcc2Rgb(yv, sample(1, x, y), sample(2, x, y))
-              rSum += r; gSum += g; bSum += bb
-              val mn = math.min(r, math.min(g, bb))
-              val mxv = math.max(r, math.max(g, bb))
-              if (mn < pxMin) pxMin = mn
-              if (mxv > pxMax) pxMax = mxv
-              if (my == 0 && y == 0) row0 += r + g + bb
-              x += 1
-            }
-            y += 1
-          }
-          mcuIdx += 1
-          mx += 1
+          y += 1
         }
-        my += 1
       }
-      // a well-formed stream ends with EOI right after the (padded)
-      // entropy segment — its absence is a truncation
-      if (br.pos + 1 >= p.length || (p(br.pos) & 0xff) != 0xff ||
-          (p(br.pos + 1) & 0xff) != 0xd9)
-        return fail("truncated", Some(width), Some(height))
+      // combine one MCU's blocks into RGB with per-component nearest
+      // (floor-map) upsampling — sample (x,y) of comp c sits at
+      // (x·h/maxH, y·v/maxV) of its block grid
+      def sample(c: Int, x: Int, y: Int): Int = {
+        val sx = x * compH(c) / maxH; val sy = y * compV(c) / maxV
+        blocks(c)((sy / 8) * compH(c) + (sx / 8))((sy % 8) * 8 + (sx % 8))
+      }
+      def emitMcu(my: Int): Unit = {
+        var y = 0
+        while (y < mcuH) {
+          var x = 0
+          while (x < mcuW) {
+            val yv = sample(0, x, y)
+            val (r, g, bb) =
+              if (nc == 1) jpegYcc2Rgb(yv, 128, 128)
+              else jpegYcc2Rgb(yv, sample(1, x, y), sample(2, x, y))
+            rSum += r; gSum += g; bSum += bb
+            val mn = math.min(r, math.min(g, bb))
+            val mxv = math.max(r, math.max(g, bb))
+            if (mn < pxMin) pxMin = mn
+            if (mxv > pxMax) pxMax = mxv
+            if (my == 0 && y == 0) row0 += r + g + bb
+            x += 1
+          }
+          y += 1
+        }
+      }
+      if (!eoi) {
+        // BASELINE: stream the single scan MCU by MCU
+        val br = new JpegBitReader(p, pos)
+        val pred = new Array[Int](nc)
+        var mcuIdx = 0
+        var my = 0
+        while (my < nmy) {
+          var mx = 0
+          while (mx < nmx) {
+            // restart boundary BEFORE this MCU (T.81 E.2.4): byte
+            // realign, consume RSTm, verify the modulo-8 sequence,
+            // reset every DC predictor
+            if (restartInterval > 0 && mcuIdx > 0 &&
+                mcuIdx % restartInterval == 0) {
+              val m = br.restart()
+              if (m != (mcuIdx / restartInterval - 1) % 8) throw JpegBad
+              java.util.Arrays.fill(pred, 0)
+            }
+            var c = 0
+            while (c < nc) {
+              var bIdx = 0
+              while (bIdx < compV(c) * compH(c)) {
+                java.util.Arrays.fill(coef, 0)
+                val q = qt(compQ(c))
+                val t = dcH(compDc(c)).decode(br)
+                pred(c) += jpegExtend(br.bits(t), t)
+                coef(0) = pred(c) * q(0)
+                var k = 1
+                var eob = false
+                while (!eob && k <= 63) {
+                  val rs = acH(compAc(c)).decode(br)
+                  if (rs == 0) eob = true
+                  else if (rs == 0xF0) k += 16
+                  else {
+                    k += (rs >> 4)
+                    if (k > 63) throw JpegBad
+                    coef(JpegZigzag(k)) =
+                      jpegExtend(br.bits(rs & 15), rs & 15) * q(k)
+                    k += 1
+                  }
+                }
+                idctInto(blocks(c)(bIdx))
+                nBlocks += 1
+                bIdx += 1
+              }
+              c += 1
+            }
+            emitMcu(my)
+            mcuIdx += 1
+            mx += 1
+          }
+          my += 1
+        }
+        // a well-formed stream ends with EOI right after the (padded)
+        // entropy segment — its absence is a truncation
+        if (br.pos + 1 >= p.length || (p(br.pos) & 0xff) != 0xff ||
+            (p(br.pos + 1) & 0xff) != 0xd9)
+          return fail("truncated", Some(width), Some(height))
+      } else {
+        // PROGRESSIVE: dequantize the accumulated store → IDCT → emit
+        var my = 0
+        while (my < nmy) {
+          var mx = 0
+          while (mx < nmx) {
+            var c = 0
+            while (c < nc) {
+              var by = 0
+              while (by < compV(c)) {
+                var bx = 0
+                while (bx < compH(c)) {
+                  val src = pCoefs(c)(
+                    (my * compV(c) + by) * compBW(c) + (mx * compH(c) + bx))
+                  java.util.Arrays.fill(coef, 0)
+                  val q = qt(compQ(c))
+                  var k = 0
+                  while (k < 64) {
+                    val v = src(k)
+                    if (v != 0) coef(JpegZigzag(k)) = v * q(k)
+                    k += 1
+                  }
+                  idctInto(blocks(c)(by * compH(c) + bx))
+                  nBlocks += 1
+                  bx += 1
+                }
+                by += 1
+              }
+              c += 1
+            }
+            emitMcu(my)
+            mx += 1
+          }
+          my += 1
+        }
+      }
       JpegMeta(id, "ok", Some(width), Some(height), Some(nBlocks),
         Some(rSum), Some(gSum), Some(bSum), Some(pxMin), Some(pxMax),
         Some(row0))
@@ -5228,13 +5599,16 @@ object Multimodal {
     "q_multimodal_decode_jpeg" -> s"""
       WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
       jb AS (SELECT doc_id, h, ${byteAt(0)} AS b0, ${byteAt(1)} AS b1,
-               ${byteAt(8)} AS b8, ${byteAt(9)} AS b9,
+               ${byteAt(7)} AS b7, ${byteAt(8)} AS b8, ${byteAt(9)} AS b9,
                ${byteAt(11)} AS b11, ${byteAt(12)} AS b12,
                ${byteAt(13)} AS b13
              FROM hx),
       jd AS (SELECT doc_id, h,
                b11 % 16 = 9 AS badmagic,
-               b11 % 16 <> 9 AND b12 % 16 = 11 AS prog,
+               -- the progressive arm decodes to the SAME pixels, so it
+               -- needs no status column; 12-bit precision is the one
+               -- remaining header-probe-only arm
+               b11 % 16 <> 9 AND b7 % 8 = 3 AS prec12,
                b11 % 16 <> 9 AND b12 % 16 <> 11 AND b13 % 8 = 5 AS trunc,
                b9 % 8 = 6 AS gray,
                b9 % 8 <> 6 AND b8 % 4 = 2 AS sub420,
@@ -5254,7 +5628,7 @@ object Multimodal {
                  list_value(1,-1,-1,1,1,-1,-1,1)[((i // w) % 16) // 2 + 1])
                   AS sgc
               FROM jd, UNNEST(generate_series(0, w * hh - 1)) AS u(i)
-              WHERE NOT badmagic AND NOT prog AND NOT trunc),
+              WHERE NOT badmagic AND NOT prec12 AND NOT trunc),
       jv AS (SELECT doc_id, x, y,
                128 + (${byteAtE("2 + 3 * 0 + bi")} % 48 - 24) +
                  (${byteAtE("7 + 2 * 0 + bi")} % 32 - 16) * sg AS yv,
@@ -5296,11 +5670,11 @@ object Multimodal {
               FROM jr GROUP BY doc_id)
       SELECT jd.doc_id,
              CASE WHEN badmagic THEN 'bad_magic'
-                  WHEN prog THEN 'unsupported'
+                  WHEN prec12 THEN 'unsupported'
                   WHEN trunc THEN 'truncated' ELSE 'ok' END AS status,
              CASE WHEN badmagic THEN NULL ELSE CAST(w AS INT) END AS width,
              CASE WHEN badmagic THEN NULL ELSE CAST(hh AS INT) END AS height,
-             CASE WHEN badmagic OR prog OR trunc THEN NULL
+             CASE WHEN badmagic OR prec12 OR trunc THEN NULL
                   WHEN gray THEN CAST((w // 8) * (hh // 8) AS INT)
                   WHEN sub420 THEN CAST((w // 8) * (hh // 8)
                     + 2 * (w // 16) * (hh // 16) AS INT)

@@ -544,12 +544,13 @@ class MultimodalSpec extends graft.SparkSuite {
     def fd(x: Long): Int = (((x + 32768L + (1L << 30)) >> 16) - 16384L).toInt
     def cl(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
     var oks = 0; var arms = Map.empty[String, Int].withDefaultValue(0)
-    var grayOks = 0; var subOks = 0; var driOks = 0
+    var grayOks = 0; var subOks = 0; var driOks = 0; var progOks = 0
     for (i <- 0 until 300) {
       val h = md5hex(s"jpeg-sweep-$i")
       val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
       val badMagic = b(11) % 16 == 9
       val prog = !badMagic && b(12) % 16 == 11
+      val prec12 = !badMagic && b(7) % 8 == 3
       val trunc = !badMagic && !prog && b(13) % 8 == 5
       val gray = b(9) % 8 == 6
       val sub420 = !gray && b(8) % 4 == 2
@@ -558,7 +559,7 @@ class MultimodalSpec extends graft.SparkSuite {
       val m = Multimodal.parseJpeg(i.toLong, Multimodal.jpegBytes(h))
       val expected =
         if (badMagic) "bad_magic"
-        else if (prog) "unsupported"
+        else if (prec12) "unsupported" // 12-bit precision, SOF-probed
         else if (trunc) "truncated" else "ok"
       assert(m.status == expected, s"$h: ${m.status} != $expected")
       if (expected == "ok") {
@@ -600,7 +601,8 @@ class MultimodalSpec extends graft.SparkSuite {
         assert(m.row0_sum.contains(r0))
         if (gray) grayOks += 1
         if (sub420) subOks += 1
-        if (b(10) % 4 == 3) driOks += 1
+        if (!prog && b(10) % 4 == 3) driOks += 1
+        if (prog) progOks += 1
       } else {
         arms += expected -> (arms(expected) + 1)
         if (expected != "bad_magic") // header probe still reports dims
@@ -610,11 +612,53 @@ class MultimodalSpec extends graft.SparkSuite {
     assert(oks > 100, s"only $oks ok fixtures")
     for (st <- Seq("bad_magic", "unsupported", "truncated"))
       assert(arms(st) > 0, s"arm $st never fired in the sweep")
-    // the color-structure and restart arms must each be exercised on
-    // the exact-match path, not just exist in the synth
+    // the color-structure, restart, and progressive arms must each be
+    // exercised on the exact-match path, not just exist in the synth
     assert(grayOks > 5, s"grayscale arm thin: $grayOks")
     assert(subOks > 5, s"4:2:0 arm thin: $subOks")
     assert(driOks > 5, s"restart-interval arm thin: $driOks")
+    assert(progOks > 5, s"progressive arm thin: $progOks")
+  }
+
+  test("JPEG progressive: multi-scan SOF2 streams decode exactly; scans carry real bits") {
+    def b(h: String, i: Int) =
+      Integer.parseInt(h.substring(2 * i, 2 * i + 2), 16)
+    // a color, multi-MCU, progressive, no-other-arm fixture
+    val h = (0 until 4096).map(i => md5hex(s"jpeg-prog-$i")).find { h =>
+      b(h, 11) % 16 != 9 && b(h, 12) % 16 == 11 && b(h, 7) % 8 != 3 &&
+        b(h, 9) % 8 != 6 && (b(h, 0) % 2 == 1 || b(h, 1) % 2 == 1)
+    }.get
+    val bytes = Multimodal.jpegBytes(h)
+    def offsets(m: Int): Seq[Int] = bytes.indices.dropRight(1).filter(i =>
+      (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == m)
+    // structure: an SOF2 frame and the full 11-scan plan (2 DC scans +
+    // 3 AC band scans × 3 components), each its own SOS — byte
+    // stuffing guarantees FFDA can't appear inside entropy data
+    assert(offsets(0xc2).size == 1, "SOF2 missing")
+    assert(offsets(0xc0).isEmpty, "baseline SOF0 in a progressive arm")
+    val sos = offsets(0xda)
+    assert(sos.size == 11, s"expected 11 scans, got ${sos.size}")
+    val m = Multimodal.parseJpeg(1L, bytes)
+    assert(m.status == "ok", m.status)
+    // the sweep test proves pixel exactness; here prove the LAST
+    // refinement scan carries real information: decoding the stream
+    // with that scan dropped (a legal progressive prefix + EOI) must
+    // change the pixels for some fixture in the family
+    val anyDiff = (0 until 64).exists { j =>
+      val hh = Iterator.from(j * 977).map(i => md5hex(s"jpeg-prog-$i"))
+        .find(x => b(x, 11) % 16 != 9 && b(x, 12) % 16 == 11 &&
+          b(x, 7) % 8 != 3).get
+      val full = Multimodal.jpegBytes(hh)
+      val so = full.indices.dropRight(1).filter(i =>
+        (full(i) & 0xff) == 0xff && (full(i + 1) & 0xff) == 0xda)
+      val cut = full.take(so.last) ++ Array[Byte](0xff.toByte, 0xd9.toByte)
+      val fullM = Multimodal.parseJpeg(2L, full)
+      val cutM = Multimodal.parseJpeg(3L, cut)
+      cutM.status == "ok" && fullM.r_sum != cutM.r_sum
+    }
+    assert(anyDiff, "dropping the last refinement scan never moved a pixel")
+    // truncation mid-scan is still a status row
+    assert(Multimodal.parseJpeg(4L, bytes.dropRight(5)).status == "truncated")
   }
 
   test("JPEG restart intervals: DRI fixtures carry RSTm and decode identically") {

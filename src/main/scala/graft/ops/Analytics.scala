@@ -309,6 +309,56 @@ object Analytics {
       globalIdsOn(Tables(s, dir, "documents").select(col("doc_id")))
         .orderBy("doc_id")),
 
+    // PageRank over the clickstream transition graph — the classic
+    // link-analysis quality signal a crawl pipeline computes to rank
+    // pages before sampling training data. Nodes are the event
+    // payload's page ids (props.k), edges the per-user consecutive
+    // transitions (lag over the session order), weighted by count;
+    // pages with src % 7 == 0 keep no out-edges (terminal/checkout
+    // pages) so the DANGLING-mass redistribution — the path the real
+    // web graph exercises massively — is genuinely computed, not
+    // dead code. Numerics: exact integer arithmetic end to end (the
+    // repo discipline) — ranks in 1e12 scale units, per-edge flow
+    // r·w div out_w, damping (15·base + 85·(inflow + dangling/n))
+    // div 100, all BIGINT floor ops, so three unrolled iterations
+    // hash-match DuckDB exactly. Scale shape: ONE event-scale window
+    // pass (the q_sessionize exchange) collapses the stream into a
+    // V²-bounded edge census; every iteration after that is keyed
+    // joins over V-sized frames (at web scale V is data-sized and
+    // the same keyed-join plan shuffles on node id — no per-iteration
+    // event rescan because the census is checkpointed once).
+    "q_pagerank" -> ((s, dir) => {
+      val (nodes, edges, outw, ranks) = pagerankFrames(s, dir)
+      val inw = edges.groupBy(col("dst").as("node"))
+        .agg(sum(col("w")).as("in_w"))
+      nodes
+        .join(ranks.last, Seq("node"))
+        .join(outw.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .join(inw, Seq("node"), "left")
+        .select(col("node"), col("rank"),
+          coalesce(col("ow"), lit(0L)).as("out_w"),
+          coalesce(col("in_w"), lit(0L)).as("in_w"))
+        .orderBy(col("rank").desc, col("node"))
+    }),
+
+    // PageRank mass ledger — per iteration the total rank mass and
+    // the share parked on dangling nodes. Mass is conserved up to
+    // the documented floor losses (every div drops < 1 unit), so the
+    // totals are a cross-engine-exact audit of the iteration
+    // internals, not a float eyeball; the dangling share shows the
+    // redistribution actually moving mass back into the graph.
+    "q_pagerank_mass" -> ((s, dir) => {
+      val (_, _, outw, ranks) = pagerankFrames(s, dir)
+      ranks.zipWithIndex.map { case (r, i) =>
+        r.join(outw, r("node") === outw("src"), "left")
+          .agg(sum(col("rank")).as("total_rank"),
+            coalesce(sum(when(col("ow").isNull, col("rank"))
+              .otherwise(lit(0L))), lit(0L)).as("dangling_mass"))
+          .select(lit(i).as("iter"), col("total_rank"),
+            col("dangling_mass"))
+      }.reduce(_ unionAll _).orderBy("iter")
+    }),
+
     // Snapshot DIFF census — the change-data-feed audit beside
     // q_merge_upsert's MERGE: given two table versions, report per
     // change class (inserted / deleted / updated / unchanged) the row
@@ -449,7 +499,123 @@ object Analytics {
         (col("off") + col("rn") - 1L).as("gid"))
   }
 
+  /** The PageRank stage shared by the rank row and the mass ledger:
+    * clickstream → edge census → three exact-integer damped
+    * iterations. Returns (nodes, edges, out-weights, ranks r0..r3).
+    * The edge census is localCheckpoint-ed (eager): it is V²-bounded
+    * — the transition ALPHABET, not the event stream — and every
+    * iteration re-reads it, so the one event-scale window pass must
+    * run exactly once (the q_dedup_cluster lineage-cut pattern). */
+  private def pagerankFrames(s: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) = {
+    val scale = 1000000000000L // 1e12 rank units
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val edges = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .where(col("k").isNotNull)
+      .withColumn("src", lag(col("k"), 1).over(w))
+      .where(col("src").isNotNull && col("src") % 7 =!= 0)
+      .groupBy(col("src"), col("k").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+      .localCheckpoint(true)
+    // 1-row frames: node count and the uniform base share — joined in
+    // by a broadcast cross join, never collected
+    val nnDf = nodes.agg(count(lit(1)).as("nn"))
+      // CASE-guarded: a degenerate corpus with no transitions has
+      // nn = 0 and ANSI integral divide would raise at build time
+      .withColumn("base",
+        expr(s"case when nn = 0 then cast(0 as bigint) " +
+          s"else $scale div nn end"))
+      .localCheckpoint(true)
+    val r0 = nodes.crossJoin(nnDf).select(col("node"),
+      col("base").as("rank"))
+    val ranks = (1 to 3).scanLeft(r0) { case (r, _) =>
+      val contrib = edges
+        .join(r.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outw, Seq("src"))
+        .select(col("dst").as("node"),
+          expr("(rank * w) div ow").as("flow"))
+        .groupBy(col("node")).agg(sum(col("flow")).as("inflow"))
+      val dang = r.join(outw, r("node") === outw("src"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
+        .crossJoin(nnDf)
+        .select(expr("case when nn = 0 then cast(0 as bigint) " +
+          "else dm div nn end").as("dshare"))
+      nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(dang).crossJoin(nnDf)
+        .select(col("node"), expr(
+          "(15 * base + 85 * (coalesce(inflow, 0L) + dshare)) div 100")
+          .as("rank"))
+    }
+    (nodes, edges, outw, ranks)
+  }
+
+  /** Shared CTE chain of the PageRank twins: the same edge census and
+    * the three exact-integer iterations, unrolled (DuckDB HUGEINT
+    * sums are CAST back to BIGINT so both engines stay in the same
+    * 64-bit floor arithmetic). */
+  private val pagerankCtes: String = {
+    val iters = (1 to 3).map(i => s"""
+      i$i AS (SELECT e.dst AS node,
+               CAST(sum((r.rank * e.w) // o.ow) AS BIGINT) AS inflow
+             FROM edges e JOIN r${i - 1} r ON r.node = e.src
+             JOIN outw o ON o.src = e.src GROUP BY 1),
+      d$i AS (SELECT CAST(CASE WHEN (SELECT n FROM nn) = 0 THEN 0
+               ELSE coalesce(sum(rank), 0) // (SELECT n FROM nn) END
+               AS BIGINT) AS dshare
+             FROM r${i - 1} WHERE node NOT IN (SELECT src FROM edges)),
+      r$i AS (SELECT nd.node,
+               CAST((15 * (SELECT base FROM nn) + 85 *
+                 (coalesce(i$i.inflow, 0) + (SELECT dshare FROM d$i)))
+                 // 100 AS BIGINT) AS rank
+             FROM nodes nd LEFT JOIN i$i USING (node))""").mkString(",")
+    s"""
+      WITH ev AS (SELECT user_id, ts, event_id,
+             CAST(json_extract_string(props, '$$.k') AS INT) AS k
+           FROM events
+           WHERE CAST(json_extract_string(props, '$$.k') AS INT)
+             IS NOT NULL),
+      tr AS (SELECT lag(k) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS src, k AS dst
+             FROM ev),
+      edges AS (SELECT src, dst, count(*) AS w FROM tr
+                WHERE src IS NOT NULL AND src % 7 <> 0 GROUP BY 1, 2),
+      nodes AS (SELECT DISTINCT node FROM
+                 (SELECT src AS node FROM edges
+                  UNION ALL SELECT dst FROM edges)),
+      outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow
+               FROM edges GROUP BY 1),
+      nn AS (SELECT count(*) AS n,
+               CASE WHEN count(*) = 0 THEN 0
+                    ELSE 1000000000000 // count(*) END AS base
+             FROM nodes),
+      r0 AS (SELECT node, CAST(base AS BIGINT) AS rank FROM nodes, nn),$iters"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_pagerank" -> s"""$pagerankCtes
+      SELECT r3.node, r3.rank,
+             coalesce(o.ow, 0) AS out_w,
+             coalesce(i.in_w, 0) AS in_w
+      FROM r3 LEFT JOIN outw o ON o.src = r3.node
+      LEFT JOIN (SELECT dst AS node, CAST(sum(w) AS BIGINT) AS in_w
+                 FROM edges GROUP BY 1) i USING (node)
+      ORDER BY r3.rank DESC, r3.node""",
+    "q_pagerank_mass" -> s"""$pagerankCtes
+      ${(0 to 3).map(i => s"""
+      SELECT $i AS iter,
+             (SELECT CAST(sum(rank) AS BIGINT) FROM r$i) AS total_rank,
+             (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) FROM r$i
+              WHERE node NOT IN (SELECT src FROM edges)) AS dangling_mass
+      """).mkString(" UNION ALL ")}
+      ORDER BY iter""",
     "q_global_ids" -> """
       WITH d AS (SELECT doc_id, doc_id % 32 AS shard FROM documents),
       c AS (SELECT shard, count(*) AS c FROM d GROUP BY shard),

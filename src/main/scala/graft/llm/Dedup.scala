@@ -728,7 +728,87 @@ object Dedup {
           count(lit(1)).cast("double"), 4).as("precision"))
   }
 
+  /** Content-defined chunks of a (doc_id, text) frame at word grain —
+    * the LBFS/backup-CAS chunking (Muthitacharoen et al., SOSP'01)
+    * every content-addressed store and sub-document dedup tier runs:
+    * a boundary lands after word i whenever the 4-word window ending
+    * at i hashes to 0 mod 16 (avg chunk ≈ 16 words), plus the forced
+    * final cut. Boundaries depend only on LOCAL window content, so an
+    * insertion re-chunks O(1) chunks instead of shifting every block —
+    * the property q_dedup_cdc_shift measures against fixed blocks.
+    * Map-only single scan (higher-order array ops per doc, no
+    * exchange); the md5-window hash is the engine-wide conv idiom so
+    * the DuckDB twin recomputes boundaries exactly. */
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"), expr(
+        "concat(case when size(t) >= 5 then filter(transform(" +
+          "sequence(3, size(t) - 2), i -> if(cast(conv(substring(md5(" +
+          "concat_ws(' ', t[i-3], t[i-2], t[i-1], t[i])), 1, 8), 16, 10)" +
+          " as bigint) % 16 = 0, i + 1, -1)), x -> x != -1) " +
+          "else cast(array() as array<int>) end, array(size(t)))")
+        .as("cuts"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(cuts) - 1), j -> concat_ws(' ', " +
+          "slice(t, if(j = 0, 0, cuts[j-1]) + 1, " +
+          "cuts[j] - if(j = 0, 0, cuts[j-1]))))")).as("chunk"))
+
   val queries: Map[String, Q] = Map(
+    // Content-defined-chunking census — the storage-level dedup tier
+    // (CAS shards, WARC stores, checkpoint dedup) below the document
+    // tiers above: chunk every doc at content-defined boundaries,
+    // group chunks by content, and report per copy-count the distinct
+    // chunk count plus stored (unique) vs logical bytes — the dedup
+    // ratio a storage planner reads. Scale shape: map-only chunking
+    // fused into the scan, ONE chunk-keyed exchange with map-side
+    // partial aggregation, then a copies-bounded census.
+    "q_dedup_cdc" -> ((s, dir) =>
+      cdcChunks(Tables(s, dir, "documents"))
+        .groupBy(col("chunk"))
+        .agg(count(lit(1)).as("copies"))
+        .select(col("copies"), length(col("chunk")).as("bytes"))
+        .groupBy(col("copies"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("bytes")).as("stored_bytes"),
+          sum(col("bytes") * col("copies")).as("logical_bytes"))
+        .orderBy("copies")),
+
+    // WHY content-defined: prepend one word to every doc and re-chunk.
+    // CDC boundaries are local-window functions, so only the chunks
+    // overlapping the insertion change and the rest of each doc's
+    // chunk set survives byte-identically; fixed 16-word blocks all
+    // shift by one word and survive only by coincidence. The row pair
+    // (surviving, total, survival basis points) is the measured form
+    // of that argument — the reason every CAS dedup uses CDC. Scale
+    // shape: two map-only chunk scans per method and one chunk-keyed
+    // equi join; survival is exact integer bp (the Num discipline).
+    "q_dedup_cdc_shift" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val shifted = docs.select(col("doc_id"),
+        concat(lit("PAD "), col("text")).as("text"))
+      def fixedChunks(d: DataFrame): DataFrame = d
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, (size(t) - 1) div 16), " +
+            "j -> concat_ws(' ', slice(t, j * 16 + 1, 16)))")).as("chunk"))
+      def survival(method: String, base: DataFrame, shift: DataFrame) = {
+        val b = base.distinct()
+        b.join(shift.distinct(), Seq("doc_id", "chunk"), "left_semi")
+          .agg(count(lit(1)).as("surviving"))
+          .crossJoin(b.agg(count(lit(1)).as("total_chunks")))
+          .select(lit(method).as("method"), col("total_chunks"),
+            col("surviving"),
+            expr("case when total_chunks = 0 then cast(0 as bigint) " +
+              "else (surviving * 10000) div total_chunks end")
+              .as("survival_bp"))
+      }
+      survival("cdc", cdcChunks(docs), cdcChunks(shifted))
+        .unionAll(
+          survival("fixed16", fixedChunks(docs), fixedChunks(shifted)))
+        .orderBy("method")
+    }),
+
     // Exact dedup: group by content digest, elect min-id keeper.
     // One hash-aggregate; at 100 TB the digest is computed in the scan
     // projection and the exchange carries (digest, id) only.
@@ -1570,7 +1650,66 @@ object Dedup {
       SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS keeper
       FROM r GROUP BY a ORDER BY doc_id"""
 
+  /** The CDC chunker twin over a (doc_id, text) source — identical
+    * window hash (the '0x'||md5 idiom), identical boundary rule, 1-
+    * based DuckDB list ops mirroring the 0-based Spark arrays. */
+  private def cdcChunksSql(src: String): String = s"""
+      (SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(cuts)), j ->
+           array_to_string(t[(CASE WHEN j = 1 THEN 1
+                              ELSE cuts[j-1] + 1 END):cuts[j]], ' ')))
+           AS chunk
+       FROM (SELECT doc_id, t, list_concat(
+               list_filter(list_transform(generate_series(4, len(t) - 1),
+                 i -> CASE WHEN ('0x' || substr(md5(
+                        array_to_string(t[i-3:i], ' ')), 1, 8))::BIGINT
+                        % 16 = 0 THEN i ELSE NULL END),
+                 x -> x IS NOT NULL),
+               [len(t)]) AS cuts
+             FROM (SELECT doc_id, string_split(text, ' ') AS t
+                   FROM $src)))"""
+
+  /** Fixed 16-word blocks twin (the q_dedup_cdc_shift strawman). */
+  private def fixedChunksSql(src: String): String = s"""
+      (SELECT doc_id,
+         unnest(list_transform(generate_series(0, greatest(len(t) - 1, 0) // 16),
+           j -> array_to_string(t[(j * 16 + 1):((j + 1) * 16)], ' ')))
+           AS chunk
+       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $src))"""
+
   val oracles: Map[String, String] = Map(
+    "q_dedup_cdc" -> s"""
+      WITH ch AS ${cdcChunksSql("documents")},
+      per AS (SELECT chunk, count(*) AS copies FROM ch GROUP BY 1)
+      SELECT copies, count(*) AS n_chunks,
+             CAST(sum(length(chunk)) AS BIGINT) AS stored_bytes,
+             CAST(sum(length(chunk) * copies) AS BIGINT) AS logical_bytes
+      FROM per GROUP BY 1 ORDER BY copies""",
+    "q_dedup_cdc_shift" -> s"""
+      WITH shifted AS (SELECT doc_id, 'PAD ' || text AS text
+                       FROM documents),
+      bc AS (SELECT DISTINCT doc_id, chunk
+             FROM ${cdcChunksSql("documents")} x),
+      sc AS (SELECT DISTINCT doc_id, chunk
+             FROM ${cdcChunksSql("shifted")} x),
+      fb AS (SELECT DISTINCT doc_id, chunk
+             FROM ${fixedChunksSql("documents")} x),
+      fs AS (SELECT DISTINCT doc_id, chunk
+             FROM ${fixedChunksSql("shifted")} x)
+      SELECT method, total_chunks, surviving,
+             CAST(CASE WHEN total_chunks = 0 THEN 0
+                  ELSE (surviving * 10000) // total_chunks END AS BIGINT)
+               AS survival_bp
+      FROM (
+        SELECT 'cdc' AS method,
+               (SELECT count(*) FROM bc) AS total_chunks,
+               (SELECT count(*) FROM bc JOIN sc USING (doc_id, chunk))
+                 AS surviving
+        UNION ALL
+        SELECT 'fixed16',
+               (SELECT count(*) FROM fb),
+               (SELECT count(*) FROM fb JOIN fs USING (doc_id, chunk)))
+      ORDER BY method""",
     "q_dedup_exact" -> """
       SELECT md5(text) AS content_hash, min(doc_id) AS keeper,
              count(*) AS n_copies

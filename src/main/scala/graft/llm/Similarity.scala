@@ -427,17 +427,28 @@ object Similarity {
     * vectors, against both the before- and after-ingest cell sets. */
   private def ivfTopOn(cells: DataFrame,
       qpred: org.apache.spark.sql.Column, k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int): DataFrame =
+    ivfTopBetween(cells.filter(qpred), cells, k, nprobe)
+
+  /** Two-frame form of the IVF ranking — assigned QUERY cells on one
+    * side, the standing corpus cells on the other. This is the
+    * serving split ([[graft.streaming.Streams.annServe]] probes a
+    * micro-batch of arriving queries against the persisted index);
+    * the one-frame [[ivfTopOn]] is the special case queries ⊆ corpus.
+    * Self-matches are excluded by vec_id, so a query that IS a corpus
+    * vector ranks identically through either form. */
+  private[graft] def ivfTopBetween(queryCells: DataFrame,
+      corpusCells: DataFrame, k: Int, nprobe: Int): DataFrame = {
     // array_distinct: with a degenerate single-cell index cell2 == cell
     // and a duplicate probe would double every candidate row
     val probeCols =
       if (nprobe >= 2) array_distinct(array(col("cell"), col("cell2")))
       else array(col("cell"))
-    val queriesDf = cells.filter(qpred)
+    val queriesDf = queryCells
       .select(col("vec_id").as("query_id"), col("cell"),
         explode(probeCols).as("probe"),
         col("q").as("qa"), col("norm").as("na"))
-    val corpus = cells.select(col("vec_id").as("neighbor_id"),
+    val corpus = corpusCells.select(col("vec_id").as("neighbor_id"),
       col("cell").as("ncell"), col("q").as("qb"), col("norm").as("nb"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)

@@ -462,6 +462,61 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("ANN serving ranks arriving queries against the standing index per micro-batch") {
+    // The query side of the IVF lifecycle: the index (coarse stats +
+    // cell-bucketed corpus) is the only standing artifact; each
+    // micro-batch of query vectors is assigned and ranked through the
+    // exact batch plan via foreachBatch (per-query top-k needs a rank
+    // window, which append-mode streaming forbids — the
+    // globalIdIngest production shape). Pins: (1) the streamed union
+    // equals the one-shot batch ranking row for row; (2) replaying a
+    // micro-batch re-derives byte-identical rows (no hidden state);
+    // (3) every served query returns exactly k neighbors.
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    def vec(seed: Int): Seq[Long] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(64)((r.nextInt(4001) - 2000).toLong)
+    }
+    val corpus = (0 until 20).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "q").withColumn("norm", expr("dot_long(q, q)"))
+    val parts = graft.llm.Similarity.ivfTrainStats(corpus)
+    val cells = graft.llm.Similarity.ivfAssignWith(parts, corpus)
+      .localCheckpoint(true) // the standing index, built once
+    val panel = (100 until 106).map(i => (i.toLong, vec(i * 31)))
+    def df(rows: Seq[(Long, Seq[Long])]) = rows.toDF("vec_id", "q")
+      .withColumn("norm", expr("dot_long(q, q)"))
+    def collectServe(
+        d: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long, Double)] =
+      Streams.annServe(d, parts, cells, k = 3, nprobe = 2)
+        .select("query_id", "rnk", "neighbor_id", "cosine")
+        .as[(Long, Int, Long, Double)].collect().toSeq
+    val batch = collectServe(df(panel)).toSet
+    assert(batch.groupBy(_._1).forall(_._2.size == 3),
+      "every query must return exactly k neighbors")
+    // replay determinism: the same micro-batch serves identical rows
+    assert(collectServe(df(panel.take(3))).toSet ===
+      collectServe(df(panel.take(3))).toSet)
+    val got =
+      scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Double)]()
+    val in = MemoryStream[(Long, Seq[Long])]
+    val q = in.toDF().toDF("vec_id", "q").writeStream
+      .foreachBatch { (d: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= collectServe(d.withColumn("norm", expr("dot_long(q, q)")))
+        ()
+      }
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(panel.take(3): _*)
+      q.processAllAvailable()
+      in.addData(panel.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.size == batch.size, s"${got.size} vs ${batch.size}")
+    assert(got.toSet === batch,
+      "streamed serving must equal the one-shot batch ranking")
+  }
+
   test("global-ID ingest assigns dense IDs above the standing watermark per micro-batch") {
     // q_global_ids run incrementally: each micro-batch goes through
     // the EXACT batch plan (per-shard row_number + prefix-summed

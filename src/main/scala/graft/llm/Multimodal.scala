@@ -2682,32 +2682,43 @@ object Multimodal {
     // the decoder supports it, but the fixture keeps the two arms
     // orthogonal).
     val dri = !prog && b(10) % 4 == 3
-    // COLOR-STRUCTURE arms: grayscale (1 component, ~12.5%) and 4:2:0
+    // COLOR-STRUCTURE arms: grayscale (1 component, ~12.5%), 4:2:0
     // chroma subsampling (~22%: Y at 2×2, chroma 1×1 per MCU — the
     // layout real camera JPEGs dominate in; dims scale ×2 so every
-    // axis is a whole number of 16-px MCUs). Content stays the same
-    // pure md5 function per block, so the oracle follows exactly.
+    // axis is a whole number of 16-px MCUs), and 4:2:2 (~19%: Y at
+    // 2×1, chroma halved horizontally only — the broadcast/video
+    // production layout; width scales ×2, height stays 8-granular).
+    // Content stays the same pure md5 function per block, so the
+    // oracle follows exactly.
     val gray = b(9) % 8 == 6
     val sub420 = !gray && b(8) % 4 == 2
-    val dimScale = if (sub420) 16 else 8
-    val w = dimScale * (1 + b(0) % 2); val hgt = dimScale * (1 + b(1) % 2)
+    val sub422 = !gray && !sub420 && b(8) % 4 == 1
+    val wScale = if (sub420 || sub422) 16 else 8
+    val hScale = if (sub420) 16 else 8
+    val w = wScale * (1 + b(0) % 2); val hgt = hScale * (1 + b(1) % 2)
     val nbx = w / 8; val nb = nbx * (hgt / 8)
     val nComps = if (gray) 1 else 3
-    val mcuBlocksPerRow = if (sub420) w / 16 else nbx
-    val nMcu = if (sub420) (w / 16) * (hgt / 16) else nb
+    val mcuBlocksPerRow = if (sub420 || sub422) w / 16 else nbx
+    val nMcu =
+      if (sub420) (w / 16) * (hgt / 16)
+      else if (sub422) (w / 16) * (hgt / 8)
+      else nb
     /** MCU m → its (component, image-grain block index) sequence in
       * interleaved scan order. Y's index is the IMAGE block raster
       * (so pixel content is layout-independent); chroma's is the MCU
       * index (one chroma block covers the whole MCU). */
     def mcuBlocks(m: Int): Seq[(Int, Int)] =
       if (gray) Seq((0, m))
-      else if (!sub420) (0 to 2).map(c => (c, m))
-      else {
+      else if (sub420) {
         val mrow = m / mcuBlocksPerRow; val mcol = m % mcuBlocksPerRow
         (for (by <- 0 to 1; bx <- 0 to 1)
           yield (0, (mrow * 2 + by) * nbx + (mcol * 2 + bx))) ++
           Seq((1, m), (2, m))
-      }
+      } else if (sub422) {
+        val mrow = m / mcuBlocksPerRow; val mcol = m % mcuBlocksPerRow
+        (0 to 1).map(bx => (0, mrow * nbx + mcol * 2 + bx)) ++
+          Seq((1, m), (2, m))
+      } else (0 to 2).map(c => (c, m))
     // zigzag-order quant tables: DC and the (4,4) slot divide the
     // fixture coefficients exactly; every other slot is a plausible
     // 16 (its coefficient is always 0)
@@ -2731,9 +2742,9 @@ object Multimodal {
           (Seq(c), 21, 63, 1, 0)))
     /** Blocks of component c in non-interleaved raster order — the
       * content index IS the raster index for every layout (Y's grain
-      * is the image block raster; chroma's is the MCU raster). */
-    def compBlockCount(c: Int): Int =
-      if (c == 0) nb else if (sub420) nMcu else nb
+      * is the image block raster; chroma's is the MCU raster, which
+      * equals the block raster at 4:4:4). */
+    def compBlockCount(c: Int): Int = if (c == 0) nb else nMcu
     /** One scan's entropy coding, parameterized over the symbol/bit
       * sinks so pass 1 (alphabet collection) and pass 2 (emission)
       * run the identical walk. */
@@ -2884,7 +2895,9 @@ object Multimodal {
     marker(if (prog) 0xc2 else 0xc0)     // SOF0 (or the SOF2 arm)
     u16(8 + 3 * nComps); u8(if (prec12) 12 else 8); u16(hgt); u16(w)
     u8(nComps)
-    u8(1); u8(if (sub420) 0x22 else 0x11); u8(0) // Y, qtable 0
+    u8(1)
+    u8(if (sub420) 0x22 else if (sub422) 0x21 else 0x11) // Y sampling
+    u8(0)                                // Y, qtable 0
     if (!gray) {
       u8(2); u8(0x11); u8(1)             // Cb: qtable 1
       u8(3); u8(0x11); u8(1)             // Cr: qtable 1
@@ -3320,10 +3333,12 @@ object Multimodal {
               compId(c) = u8()
               val hv = u8()
               compH(c) = (hv >> 4) & 15; compV(c) = hv & 15
-              // decode surface: 1×1 everywhere (4:4:4 / grayscale)
-              // or Y at 2×2 with 1×1 chroma (4:2:0)
+              // decode surface: 1×1 everywhere (4:4:4 / grayscale),
+              // Y at 2×2 (4:2:0), or Y at 2×1 (4:2:2) — the nearest
+              // (floor-map) upsampler handles any of these grids
               if (!((compH(c) == 1 && compV(c) == 1) ||
-                  (c == 0 && compH(c) == 2 && compV(c) == 2)))
+                  (c == 0 && compH(c) == 2 &&
+                    (compV(c) == 2 || compV(c) == 1))))
                 return fail("unsupported", Some(width), Some(height))
               compQ(c) = u8() & 3
               c += 1
@@ -5571,8 +5586,10 @@ object Multimodal {
                b4 % 2 = 0 AS big,
                1 + b3 % 8 AS orient,
                upper(substr(h, 1, 3)) AS mk,
-               (CASE WHEN b9 % 8 <> 6 AND b8 % 4 = 2 THEN 16 ELSE 8 END)
-                 * (1 + b0 % 2) AS w,
+               -- dims follow the base synth's color-structure arms:
+               -- width doubles at 4:2:0 AND 4:2:2, height only at 4:2:0
+               (CASE WHEN b9 % 8 <> 6 AND b8 % 4 IN (1, 2) THEN 16
+                     ELSE 8 END) * (1 + b0 % 2) AS w,
                (CASE WHEN b9 % 8 <> 6 AND b8 % 4 = 2 THEN 16 ELSE 8 END)
                  * (1 + b1 % 2) AS hh
              FROM xb)
@@ -5612,21 +5629,28 @@ object Multimodal {
                b11 % 16 <> 9 AND b12 % 16 <> 11 AND b13 % 8 = 5 AS trunc,
                b9 % 8 = 6 AS gray,
                b9 % 8 <> 6 AND b8 % 4 = 2 AS sub420,
-               (CASE WHEN b9 % 8 <> 6 AND b8 % 4 = 2 THEN 16 ELSE 8 END)
-                 * (1 + b0 % 2) AS w,
+               b9 % 8 <> 6 AND b8 % 4 = 1 AS sub422,
+               (CASE WHEN b9 % 8 <> 6 AND b8 % 4 IN (1, 2) THEN 16
+                     ELSE 8 END) * (1 + b0 % 2) AS w,
                (CASE WHEN b9 % 8 <> 6 AND b8 % 4 = 2 THEN 16 ELSE 8 END)
                  * (1 + b1 % 2) AS hh
              FROM jb),
-      jpx AS (SELECT doc_id, h, gray, sub420, w, i % w AS x, i // w AS y,
+      jpx AS (SELECT doc_id, h, gray, sub420, sub422, w,
+                i % w AS x, i // w AS y,
                 ((i // w) // 8) * (w // 8) + (i % w) // 8 AS bi,
                 -- 4:2:0 chroma grain: one block per 16×16 MCU, sampled
                 -- at the floor-mapped (x/2, y/2) within-MCU position
                 ((i // w) // 16) * (w // 16) + (i % w) // 16 AS bic,
+                -- 4:2:2 chroma grain: one block per 16×8 MCU, halved
+                -- horizontally only — floor-mapped (x/2, y)
+                ((i // w) // 8) * (w // 16) + (i % w) // 16 AS bic2,
                 (list_value(1,-1,-1,1,1,-1,-1,1)[(i % w) % 8 + 1] *
                  list_value(1,-1,-1,1,1,-1,-1,1)[(i // w) % 8 + 1]) AS sg,
                 (list_value(1,-1,-1,1,1,-1,-1,1)[((i % w) % 16) // 2 + 1] *
                  list_value(1,-1,-1,1,1,-1,-1,1)[((i // w) % 16) // 2 + 1])
-                  AS sgc
+                  AS sgc,
+                (list_value(1,-1,-1,1,1,-1,-1,1)[((i % w) % 16) // 2 + 1] *
+                 list_value(1,-1,-1,1,1,-1,-1,1)[(i // w) % 8 + 1]) AS sgc2
               FROM jd, UNNEST(generate_series(0, w * hh - 1)) AS u(i)
               WHERE NOT badmagic AND NOT prec12 AND NOT trunc),
       jv AS (SELECT doc_id, x, y,
@@ -5636,6 +5660,9 @@ object Multimodal {
                     WHEN sub420 THEN
                       128 + (${byteAtE("2 + 3 * 1 + bic")} % 48 - 24) +
                         (${byteAtE("7 + 2 * 1 + bic")} % 32 - 16) * sgc
+                    WHEN sub422 THEN
+                      128 + (${byteAtE("2 + 3 * 1 + bic2")} % 48 - 24) +
+                        (${byteAtE("7 + 2 * 1 + bic2")} % 32 - 16) * sgc2
                     ELSE
                       128 + (${byteAtE("2 + 3 * 1 + bi")} % 48 - 24) +
                         (${byteAtE("7 + 2 * 1 + bi")} % 32 - 16) * sg
@@ -5644,6 +5671,9 @@ object Multimodal {
                     WHEN sub420 THEN
                       128 + (${byteAtE("2 + 3 * 2 + bic")} % 48 - 24) +
                         (${byteAtE("7 + 2 * 2 + bic")} % 32 - 16) * sgc
+                    WHEN sub422 THEN
+                      128 + (${byteAtE("2 + 3 * 2 + bic2")} % 48 - 24) +
+                        (${byteAtE("7 + 2 * 2 + bic2")} % 32 - 16) * sgc2
                     ELSE
                       128 + (${byteAtE("2 + 3 * 2 + bi")} % 48 - 24) +
                         (${byteAtE("7 + 2 * 2 + bi")} % 32 - 16) * sg
@@ -5678,6 +5708,8 @@ object Multimodal {
                   WHEN gray THEN CAST((w // 8) * (hh // 8) AS INT)
                   WHEN sub420 THEN CAST((w // 8) * (hh // 8)
                     + 2 * (w // 16) * (hh // 16) AS INT)
+                  WHEN sub422 THEN CAST((w // 8) * (hh // 8)
+                    + 2 * (w // 16) * (hh // 8) AS INT)
                   ELSE CAST((w // 8) * (hh // 8) * 3 AS INT) END AS n_blocks,
              r_sum, g_sum, b_sum, px_min, px_max, row0_sum
       FROM jd LEFT JOIN jst USING (doc_id)

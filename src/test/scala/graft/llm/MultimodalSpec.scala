@@ -544,7 +544,8 @@ class MultimodalSpec extends graft.SparkSuite {
     def fd(x: Long): Int = (((x + 32768L + (1L << 30)) >> 16) - 16384L).toInt
     def cl(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
     var oks = 0; var arms = Map.empty[String, Int].withDefaultValue(0)
-    var grayOks = 0; var subOks = 0; var driOks = 0; var progOks = 0
+    var grayOks = 0; var subOks = 0; var sub422Oks = 0
+    var driOks = 0; var progOks = 0
     for (i <- 0 until 300) {
       val h = md5hex(s"jpeg-sweep-$i")
       val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
@@ -554,8 +555,10 @@ class MultimodalSpec extends graft.SparkSuite {
       val trunc = !badMagic && !prog && b(13) % 8 == 5
       val gray = b(9) % 8 == 6
       val sub420 = !gray && b(8) % 4 == 2
-      val scale = if (sub420) 16 else 8
-      val w = scale * (1 + b(0) % 2); val hgt = scale * (1 + b(1) % 2)
+      val sub422 = !gray && !sub420 && b(8) % 4 == 1
+      val wScale = if (sub420 || sub422) 16 else 8
+      val hScale = if (sub420) 16 else 8
+      val w = wScale * (1 + b(0) % 2); val hgt = hScale * (1 + b(1) % 2)
       val m = Multimodal.parseJpeg(i.toLong, Multimodal.jpegBytes(h))
       val expected =
         if (badMagic) "bad_magic"
@@ -569,6 +572,7 @@ class MultimodalSpec extends graft.SparkSuite {
         assert(m.n_blocks.contains(
           if (gray) nb
           else if (sub420) nb + 2 * (w / 16) * (hgt / 16)
+          else if (sub422) nb + 2 * (w / 16) * (hgt / 8)
           else nb * 3))
         var rs = 0L; var gs = 0L; var bs = 0L; var r0 = 0L
         var mn = 255; var mx = 0
@@ -582,10 +586,16 @@ class MultimodalSpec extends graft.SparkSuite {
           val sgc = sig((x % 16) / 2) * sig((y % 16) / 2)
           def vc(c: Int) = 128 + (b((2 + 3 * c + bic) % 16) % 48 - 24) +
             (b((7 + 2 * c + bic) % 16) % 32 - 16) * sgc
+          // 4:2:2 chroma: one block per 16x8 MCU, floor-mapped x/2
+          val bic2 = (y / 8) * (w / 16) + x / 16
+          val sgc2 = sig((x % 16) / 2) * sig(y % 8)
+          def vc2(c: Int) = 128 + (b((2 + 3 * c + bic2) % 16) % 48 - 24) +
+            (b((7 + 2 * c + bic2) % 16) % 32 - 16) * sgc2
           val yv = v(0)
           val (cb, cr) =
             if (gray) (128, 128)
             else if (sub420) (vc(1), vc(2))
+            else if (sub422) (vc2(1), vc2(2))
             else (v(1), v(2))
           val r = cl(yv + fd(91881L * (cr - 128)))
           val g = cl(yv - fd(22554L * (cb - 128) + 46802L * (cr - 128)))
@@ -601,6 +611,7 @@ class MultimodalSpec extends graft.SparkSuite {
         assert(m.row0_sum.contains(r0))
         if (gray) grayOks += 1
         if (sub420) subOks += 1
+        if (sub422) sub422Oks += 1
         if (!prog && b(10) % 4 == 3) driOks += 1
         if (prog) progOks += 1
       } else {
@@ -616,6 +627,7 @@ class MultimodalSpec extends graft.SparkSuite {
     // exercised on the exact-match path, not just exist in the synth
     assert(grayOks > 5, s"grayscale arm thin: $grayOks")
     assert(subOks > 5, s"4:2:0 arm thin: $subOks")
+    assert(sub422Oks > 5, s"4:2:2 arm thin: $sub422Oks")
     assert(driOks > 5, s"restart-interval arm thin: $driOks")
     assert(progOks > 5, s"progressive arm thin: $progOks")
   }

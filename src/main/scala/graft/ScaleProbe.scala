@@ -626,6 +626,43 @@ object ScaleProbe {
       docs.unpersist(false)
     }
 
+    // PageRank probe: N× the clickstream with SHIFTED user ids — every
+    // per-user transition sequence replicates, so each edge weight
+    // scales exactly ×N while the graph (nodes, edges) stays fixed.
+    // floor(r·Nw / (N·ow)) = floor(r·w / ow), so all three iterations
+    // must return BIT-IDENTICAL ranks at every multiplier (the PCA
+    // determinism echo) — any drift means the integer chain leaked a
+    // scale dependence. Wall must track the one event-scale window
+    // pass; the iterations run on V-sized frames whatever N is.
+    if (want("pagerank"))
+    locally {
+      val ev = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("props"))
+        .persist()
+      val nEv = ev.count()
+      val stride = ev.agg(max(col("user_id"))).head().getLong(0) + 1L
+      def timedPr(mult: Int): Unit = {
+        val scaled = ev
+          .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
+            col("user_id"), col("ts"), col("event_id"), col("props"))
+          .select((col("user_id") + col("i") * lit(stride)).as("user_id"),
+            col("ts"), col("event_id"), col("props"))
+        val t0 = System.nanoTime()
+        val (_, _, _, ranks) =
+          graft.ops.Analytics.pagerankFramesOn(scaled)
+        val r = ranks.last
+          .agg(count(lit(1)).as("n"), sum(col("rank")).as("mass"),
+            expr("bit_xor(xxhash64(node, rank))").as("h"))
+          .head()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"pagerank_${mult}x","events":${nEv * mult},"nodes":${r.getLong(0)},"mass":${r.getLong(1)},"ranks_hash":${r.getLong(2)},"sec":$dt%.2f}""")
+      }
+      timedPr(1)
+      timedPr(10)
+      timedPr(100)
+      ev.unpersist(false)
+    }
+
     // WARC funnel probe: N× the crawl (same text, shifted ids) through
     // synthesize→gunzip→URI-extract→canonicalize→funnel. Replicas share
     // their md5, so fetched/decoded/min_length must scale EXACTLY ×N

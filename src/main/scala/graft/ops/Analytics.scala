@@ -341,6 +341,49 @@ object Analytics {
         .orderBy(col("rank").desc, col("node"))
     }),
 
+    // PERSONALIZED PageRank (TrustRank shape): the teleport vector
+    // concentrates on a trusted seed set (node % 10 == 0) instead of
+    // the uniform base — the crawl-frontier prioritization and spam-
+    // demotion variant: rank now measures proximity to the seeds, and
+    // dangling mass teleports back to the seeds too. Same exact
+    // integer chain and the same checkpointed graph census; only the
+    // teleport terms change, so the twin mirrors it CASE for CASE.
+    "q_pagerank_seeded" -> ((s, dir) => {
+      val (nodes0, edges, outw) = clickGraph(Tables.events(s, dir))
+      val nodes = nodes0.withColumn("seed", col("node") % 10 === 0)
+      val nsDf = nodes
+        .agg(sum(when(col("seed"), lit(1L)).otherwise(lit(0L))).as("ns"))
+        .withColumn("sbase",
+          expr("case when ns = 0 then cast(0 as bigint) " +
+            "else 1000000000000 div ns end"))
+        .localCheckpoint(true)
+      val r0 = nodes.crossJoin(nsDf).select(col("node"), col("seed"),
+        expr("case when seed then sbase else cast(0 as bigint) end")
+          .as("rank"))
+      val r3 = (1 to 3).foldLeft(r0) { case (r, _) =>
+        val contrib = edges
+          .join(r.select(col("node").as("src"), col("rank")), Seq("src"))
+          .join(outw, Seq("src"))
+          .select(col("dst").as("node"),
+            expr("(rank * w) div ow").as("flow"))
+          .groupBy(col("node")).agg(sum(col("flow")).as("inflow"))
+        val dang = r.join(outw, r("node") === outw("src"), "left_anti")
+          .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
+          .crossJoin(nsDf)
+          .select(expr("case when ns = 0 then cast(0 as bigint) " +
+            "else dm div ns end").as("dshare"))
+        nodes.join(contrib, Seq("node"), "left")
+          .crossJoin(dang).crossJoin(nsDf)
+          .select(col("node"), col("seed"), expr(
+            "(15 * (case when seed then sbase else cast(0 as bigint) " +
+              "end) + 85 * (coalesce(inflow, 0) + (case when seed " +
+              "then dshare else cast(0 as bigint) end))) div 100")
+            .as("rank"))
+      }
+      r3.select(col("node"), col("seed").as("is_seed"), col("rank"))
+        .orderBy(col("rank").desc, col("node"))
+    }),
+
     // PageRank mass ledger — per iteration the total rank mass and
     // the share parked on dangling nodes. Mass is conserved up to
     // the documented floor losses (every div drops < 1 unit), so the
@@ -507,11 +550,23 @@ object Analytics {
     * iteration re-reads it, so the one event-scale window pass must
     * run exactly once (the q_dedup_cluster lineage-cut pattern). */
   private def pagerankFrames(s: org.apache.spark.sql.SparkSession,
-      dir: String): (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) = {
-    val scale = 1000000000000L // 1e12 rank units
+      dir: String): (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) =
+    pagerankFramesOn(Tables.events(s, dir))
+
+  /** Frame-taking form — ScaleProbe drives this on replicated event
+    * streams (replication multiplies every edge weight by N and
+    * floor(r·Nw / N·ow) = floor(r·w / ow), so the ranks must come
+    * back BIT-IDENTICAL at any multiplier — the PCA-probe
+    * determinism-echo pattern). */
+  /** The clickstream transition graph shared by the PageRank family:
+    * ONE event-scale window pass (lag over the per-user session
+    * order) collapsed into the checkpointed V²-bounded edge census,
+    * its node set, and per-source out-weights. */
+  private def clickGraph(events: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val edges = Tables.events(s, dir)
+    val edges = events
       .select(col("user_id"), col("ts"), col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .where(col("k").isNotNull)
@@ -525,6 +580,13 @@ object Analytics {
       .localCheckpoint(true)
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
       .localCheckpoint(true)
+    (nodes, edges, outw)
+  }
+
+  private[graft] def pagerankFramesOn(events: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) = {
+    val scale = 1000000000000L // 1e12 rank units
+    val (nodes, edges, outw) = clickGraph(events)
     // 1-row frames: node count and the uniform base share — joined in
     // by a broadcast cross join, never collected
     val nnDf = nodes.agg(count(lit(1)).as("nn"))
@@ -599,7 +661,45 @@ object Analytics {
       r0 AS (SELECT node, CAST(base AS BIGINT) AS rank FROM nodes, nn),$iters"""
   }
 
+  /** Seeded-variant CTE suffix — appended to [[pagerankCtes]] (the
+    * shared graph census; the uniform r-chain CTEs ride along unused,
+    * which DuckDB tolerates). */
+  private val pagerankSeededCtes: String = {
+    val iters = (1 to 3).map(i => s"""
+      si$i AS (SELECT e.dst AS node,
+               CAST(sum((r.rank * e.w) // o.ow) AS BIGINT) AS inflow
+             FROM edges e JOIN s${i - 1} r ON r.node = e.src
+             JOIN outw o ON o.src = e.src GROUP BY 1),
+      sd$i AS (SELECT CAST(CASE WHEN (SELECT ns FROM nn2) = 0 THEN 0
+               ELSE coalesce(sum(rank), 0) // (SELECT ns FROM nn2) END
+               AS BIGINT) AS dshare
+             FROM s${i - 1} WHERE node NOT IN (SELECT src FROM edges)),
+      s$i AS (SELECT n2.node, n2.seed,
+               CAST((15 * (CASE WHEN n2.seed
+                     THEN (SELECT sbase FROM nn2) ELSE 0 END) + 85 *
+                 (coalesce(si$i.inflow, 0) + (CASE WHEN n2.seed
+                     THEN (SELECT dshare FROM sd$i) ELSE 0 END)))
+                 // 100 AS BIGINT) AS rank
+             FROM nodes2 n2 LEFT JOIN si$i USING (node))""").mkString(",")
+    s""",
+      nodes2 AS (SELECT node, node % 10 = 0 AS seed FROM nodes),
+      nn2 AS (SELECT CAST(sum(CASE WHEN seed THEN 1 ELSE 0 END)
+                AS BIGINT) AS ns,
+               CAST(CASE WHEN sum(CASE WHEN seed THEN 1 ELSE 0 END) = 0
+                 THEN 0 ELSE 1000000000000 //
+                   sum(CASE WHEN seed THEN 1 ELSE 0 END) END
+                 AS BIGINT) AS sbase
+             FROM nodes2),
+      s0 AS (SELECT node, seed,
+               CAST(CASE WHEN seed THEN sbase ELSE 0 END AS BIGINT)
+                 AS rank
+             FROM nodes2, nn2),$iters"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_pagerank_seeded" -> s"""$pagerankCtes$pagerankSeededCtes
+      SELECT node, seed AS is_seed, rank
+      FROM s3 ORDER BY rank DESC, node""",
     "q_pagerank" -> s"""$pagerankCtes
       SELECT r3.node, r3.rank,
              coalesce(o.ow, 0) AS out_w,

@@ -31,6 +31,21 @@ class PageRankSpec extends SparkSuite {
     rows.foreach(r => assert(r.getAs[Long]("dangling_mass") > 0L))
   }
 
+  test("personalized ranks concentrate on the seed teleport set") {
+    val pr = Analytics.queries("q_pagerank_seeded")(spark, dir).collect()
+    val (seeds, rest) = pr.partition(_.getAs[Boolean]("is_seed"))
+    assert(seeds.nonEmpty && rest.nonEmpty)
+    assert(seeds.forall(_.getAs[Int]("node") % 10 == 0))
+    // teleport mass makes the average seed outrank the average
+    // non-seed, while propagation still reaches non-seeds
+    def avg(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Long]("rank")).sum / rs.length
+    assert(avg(seeds) > avg(rest),
+      s"seed avg ${avg(seeds)} <= rest avg ${avg(rest)}")
+    assert(rest.count(_.getAs[Long]("rank") > 0L) > rest.length / 2,
+      "propagation never reached most non-seeds")
+  }
+
   test("dangling set is exactly the masked terminal pages; ranks differ from uniform") {
     val pr = Analytics.queries("q_pagerank")(spark, dir).collect()
     val dangling = pr.filter(_.getAs[Long]("out_w") == 0L)

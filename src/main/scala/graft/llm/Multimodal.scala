@@ -2677,11 +2677,13 @@ object Multimodal {
     // shape real camera JPEGs ship. Pixels are unchanged, so the
     // oracle is unchanged: a hash-green row proves the restart
     // machinery (byte realign, modulo-8 sequence, predictor reset)
-    // decodes to identical stats. Baseline-only: the progressive
-    // arm's scans carry no restarts (Ri composes per scan there and
-    // the decoder supports it, but the fixture keeps the two arms
-    // orthogonal).
-    val dri = !prog && b(10) % 4 == 3
+    // decodes to identical stats. Composes with the progressive arm:
+    // there Ri applies PER SCAN — restarts land between MCUs in the
+    // interleaved DC scans and between BLOCKS in the non-interleaved
+    // AC scans, the modulo-8 counter resets at each scan start, and
+    // an EOB run (with its buffered correction bits) flushes before
+    // every restart boundary (T.81 E.2.4 applied to Annex G scans).
+    val dri = b(10) % 4 == 3
     // COLOR-STRUCTURE arms: grayscale (1 component, ~12.5%), 4:2:0
     // chroma subsampling (~22%: Y at 2×2, chroma 1×1 per MCU — the
     // layout real camera JPEGs dominate in; dims scale ×2 so every
@@ -2749,18 +2751,27 @@ object Multimodal {
       * sinks so pass 1 (alphabet collection) and pass 2 (emission)
       * run the identical walk. */
     def runProgScan(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int,
-        sym: (Boolean, Int) => Unit, put: (Int, Int) => Unit): Unit = {
+        sym: (Boolean, Int) => Unit, put: (Int, Int) => Unit,
+        rst: Int => Unit): Unit = {
       if (ss == 0 && ah == 0) { // DC first pass: diffs of dc >> Al
         val pr = new Array[Int](3)
-        for (m <- 0 until nMcu; (c, bi) <- mcuBlocks(m)) {
-          val v = qdc(c, bi) >> al
-          val diff = v - pr(c); pr(c) = v
-          val t = jpegCat(diff); sym(true, t)
-          if (t > 0) put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+        for (m <- 0 until nMcu) {
+          // restart between MCUs (Ri = 1): predictors reset per T.81
+          // E.2.4 — the marker itself is emitted by the sink (no-op
+          // in the collect pass)
+          if (dri && m > 0) { rst((m - 1) % 8); java.util.Arrays.fill(pr, 0) }
+          for ((c, bi) <- mcuBlocks(m)) {
+            val v = qdc(c, bi) >> al
+            val diff = v - pr(c); pr(c) = v
+            val t = jpegCat(diff); sym(true, t)
+            if (t > 0) put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+          }
         }
       } else if (ss == 0) { // DC refinement: one raw bit per block
-        for (m <- 0 until nMcu; (c, bi) <- mcuBlocks(m))
-          put((qdc(c, bi) >> al) & 1, 1)
+        for (m <- 0 until nMcu) {
+          if (dri && m > 0) rst((m - 1) % 8) // realign only; no predictor
+          for ((c, bi) <- mcuBlocks(m)) put((qdc(c, bi) >> al) & 1, 1)
+        }
       } else { // AC band scan over ONE component (T.81: ns must be 1)
         val c = comps.head
         var eobrun = 0
@@ -2776,6 +2787,10 @@ object Multimodal {
         val inBand = ss <= JpegZ44 && JpegZ44 <= se
         val run = JpegZ44 - ss // zero slots before the coefficient
         for (bi <- 0 until compBlockCount(c)) {
+          // non-interleaved scans restart between BLOCKS; an EOB run
+          // (and its buffered correction bits) must not span a
+          // restart boundary, so flush first
+          if (dri && bi > 0) { flushEob(); rst((bi - 1) % 8) }
           val a = if (inBand) qac(c, bi) else 0
           if (ah == 0) { // first pass: code a >> Al (toward zero)
             val a1 = if (a < 0) -((-a) >> al) else a >> al
@@ -2816,7 +2831,7 @@ object Multimodal {
       progPlan.foreach { case (cs, ss, se, ah, al) =>
         runProgScan(cs, ss, se, ah, al,
           (d, s) => { if (d) dcSyms += s else acSyms += s; () },
-          (_, _) => ())
+          (_, _) => (), _ => ())
       }
     else for (m <- 0 until nMcu) {
       if (dri && m > 0) java.util.Arrays.fill(pred, 0) // restart resets DC
@@ -2849,7 +2864,8 @@ object Multimodal {
         runProgScan(cs, ss, se, ah, al,
           (d, s) => { val (c, l) = if (d) dcCode(s) else acCode(s)
             pbw.bits(c, l) },
-          (v, k) => pbw.bits(v, k))
+          (v, k) => pbw.bits(v, k),
+          m => pbw.restartMarker(m))
         pbw.flush()
         pbw.result()
     }

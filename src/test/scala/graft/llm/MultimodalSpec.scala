@@ -545,7 +545,7 @@ class MultimodalSpec extends graft.SparkSuite {
     def cl(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
     var oks = 0; var arms = Map.empty[String, Int].withDefaultValue(0)
     var grayOks = 0; var subOks = 0; var sub422Oks = 0
-    var driOks = 0; var progOks = 0
+    var driOks = 0; var progOks = 0; var progDriOks = 0
     for (i <- 0 until 300) {
       val h = md5hex(s"jpeg-sweep-$i")
       val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
@@ -612,8 +612,9 @@ class MultimodalSpec extends graft.SparkSuite {
         if (gray) grayOks += 1
         if (sub420) subOks += 1
         if (sub422) sub422Oks += 1
-        if (!prog && b(10) % 4 == 3) driOks += 1
+        if (b(10) % 4 == 3) driOks += 1
         if (prog) progOks += 1
+        if (prog && b(10) % 4 == 3) progDriOks += 1
       } else {
         arms += expected -> (arms(expected) + 1)
         if (expected != "bad_magic") // header probe still reports dims
@@ -630,6 +631,8 @@ class MultimodalSpec extends graft.SparkSuite {
     assert(sub422Oks > 5, s"4:2:2 arm thin: $sub422Oks")
     assert(driOks > 5, s"restart-interval arm thin: $driOks")
     assert(progOks > 5, s"progressive arm thin: $progOks")
+    // the COMPOSED progressive+restart arm must fire on the exact path
+    assert(progDriOks > 0, s"progressive+DRI never composed: $progDriOks")
   }
 
   test("JPEG progressive: multi-scan SOF2 streams decode exactly; scans carry real bits") {

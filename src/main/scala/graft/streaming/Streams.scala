@@ -363,6 +363,34 @@ object Streams {
     * batches re-derive byte-identical rows (StreamsSpec pins batch
     * parity and the exactly-once union). Cost per batch: |delta| ×
     * (corpus/K cells) — the probed slice, never the corpus. */
+  /** Standing chunk store of the CDC tier — the distinct chunk set a
+    * content-addressed store already holds (built once in batch from
+    * the corpus; at deployment a bucketed table on chunk). */
+  def cdcChunkIndex(corpus: DataFrame): DataFrame =
+    graft.llm.Dedup.cdcChunks(corpus).select(col("chunk")).distinct()
+
+  /** Streamed CDC INGEST screen — the q_dedup_cdc tier run at the
+    * front door: each arriving doc is chunked at content-defined
+    * boundaries (map-only, fused into the micro-batch scan) and every
+    * chunk probes the standing store, emitting (doc_id, chunk, known).
+    * `known = true` chunks need no storage write — the dedup-on-ingest
+    * decision a CAS makes, and CDC's locality (q_dedup_cdc_shift)
+    * is exactly why edits to known docs still mostly hit. Stateless:
+    * chunking is a projection, the screen is ONE stream-static left
+    * join with the DELTA as the hinted build side (the
+    * incrementalScreen rule — a 100 TB standing store is never the
+    * broadcast/build side), and no aggregation runs in-stream, so the
+    * plan streams unchanged in append mode; the per-doc reuse rollup
+    * is the consumer's one-line groupBy. StreamsSpec pins batch
+    * parity, zero state, and flag correctness against an independent
+    * set model. */
+  def cdcIngestScreen(delta: DataFrame, chunkIndex: DataFrame): DataFrame =
+    graft.llm.Dedup.cdcChunks(delta)
+      .hint("shuffle_hash")
+      .join(chunkIndex.withColumn("known", lit(true)), Seq("chunk"), "left")
+      .select(col("doc_id"), col("chunk"),
+        coalesce(col("known"), lit(false)).as("known"))
+
   def annServe(deltaQueries: DataFrame,
       parts: Seq[(Long, Seq[Long], BigInt)], corpusCells: DataFrame,
       k: Int = 3, nprobe: Int = 2): DataFrame =

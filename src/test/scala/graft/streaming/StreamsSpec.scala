@@ -462,6 +462,54 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("CDC ingest screen flags known chunks statelessly per micro-batch") {
+    // Standing chunk store built once in batch; arriving docs chunk
+    // and probe it. Pins: (1) streamed union == batch rows; (2) zero
+    // stream state; (3) the known flags match an independent set
+    // model (corpus chunk set recomputed here with collect, none of
+    // the screen's join machinery).
+    implicit val sqlCtx = spark.sqlContext
+    val corpusDocs = (0 until 8).map(i =>
+      (i.toLong, (0 until 120).map(j => s"c${(i * 131 + j * 7) % 97}")
+        .mkString(" ")))
+    val corpus = corpusDocs.toDF("doc_id", "text")
+    val index = Streams.cdcChunkIndex(corpus).localCheckpoint(true)
+    // delta: one doc recycling corpus text with a prefix edit (CDC
+    // locality → mostly known), one novel doc (all new)
+    val delta = Seq(
+      (100L, "PAD " + corpusDocs(3)._2),
+      (101L, (0 until 90).map(j => s"n$j").mkString(" ")))
+    val batch = Streams.cdcIngestScreen(delta.toDF("doc_id", "text"), index)
+      .as[(Long, String, Boolean)].collect().toSet
+    // independent model: chunk set membership
+    val corpusChunks = graft.llm.Dedup.cdcChunks(corpus)
+      .select("chunk").as[String].collect().toSet
+    assert(batch.forall { case (_, ch, known) =>
+      known == corpusChunks.contains(ch) })
+    val recycled = batch.filter(_._1 == 100L)
+    assert(recycled.count(_._3) * 10 > recycled.size * 5,
+      s"CDC locality lost: only ${recycled.count(_._3)}/${recycled.size} known")
+    assert(batch.filter(_._1 == 101L).forall(!_._3),
+      "novel doc must be all-new chunks")
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.cdcIngestScreen(
+        in.toDF().toDF("doc_id", "text"), index)
+      .writeStream.format("memory").queryName("cdcscreen")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(delta.head)
+      q.processAllAvailable()
+      in.addData(delta(1))
+      q.processAllAvailable()
+      val got = spark.table("cdcscreen")
+        .as[(Long, String, Boolean)].collect()
+      assert(got.length == batch.size) // exactly-once, no replay dup
+      assert(got.toSet === batch)      // row-level batch parity
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "the screen must hold no stream state")
+    } finally q.stop()
+  }
+
   test("ANN serving ranks arriving queries against the standing index per micro-batch") {
     // The query side of the IVF lifecycle: the index (coarse stats +
     // cell-bucketed corpus) is the only standing artifact; each

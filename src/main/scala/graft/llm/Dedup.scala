@@ -176,6 +176,10 @@ object Dedup {
     * default), strip the trailing slash off a non-root path, drop the
     * fragment, drop utm_* params and sort the survivors. Pure
     * regexp/array built-ins — all codegen'd in the scan projection. */
+  /** The q_url_filter deny list — static operator config (the UT1
+    * role), one literal shared by the plan and its twin. */
+  private val urlBlocklistSql: String = "'ex1.com', 'ex5.com'"
+
   private[graft] def canonicalizeUrl(df: DataFrame): DataFrame =
     df
       .withColumn("scheme_l",
@@ -883,6 +887,35 @@ object Dedup {
           count(lit(1)).as("n_copies"),
           countDistinct(col("url")).as("n_raw_forms"))
         .orderBy("canon_url")
+    }),
+
+    // URL FILTER gate — the crawl-frontier stage UPSTREAM of even the
+    // URL dedup (CCNet/RefinedWeb run it first; UT1-style lists are
+    // static operator config): every candidate URL is canonicalized
+    // and routed to the FIRST matching rule — deny-listed domain,
+    // non-default port (the classic trap/mirror signal a crawler
+    // skips), over-parameterized query string (session/trap URLs) —
+    // or kept. Output is the per-reason census with distinct-URL
+    // counts, the number a crawl op reads to see what each rule
+    // costs. Scale shape: the synth + canonicalizer + rule CASE are
+    // one codegen scan projection feeding a 4-row aggregate — zero
+    // joins (the deny list is a literal IN; a file-fed list would be
+    // a broadcast semi join, same plan class).
+    "q_url_filter" -> ((s, dir) => {
+      val canon = canonicalizeUrl(Tables(s, dir, "documents")
+        .withColumn("h", md5(col("text")))
+        .withColumn("url", expr(urlSynthSql)))
+      canon
+        .withColumn("reason", expr(
+          s"case when host_l in ($urlBlocklistSql) then 'blocked_domain' " +
+            "when port not in ('', '80', '443') then 'trap_port' " +
+            "when (case when params = '' then 0 " +
+            "else size(split(params, '&')) end) >= 2 then 'trap_params' " +
+            "else 'kept' end"))
+        .groupBy(col("reason"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("canon")).as("n_urls"))
+        .orderBy("reason")
     }),
 
     // Per-DOMAIN crawl census — the blocklist-candidate artifact crawl
@@ -1747,6 +1780,23 @@ object Dedup {
       SELECT canon AS canon_url, min(doc_id) AS keeper,
              count(*) AS n_copies, count(DISTINCT url) AS n_raw_forms
       FROM c GROUP BY 1 ORDER BY canon_url""",
+    "q_url_filter" -> s"""
+      WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+      u AS (SELECT doc_id, $urlSynthSql AS url FROM hx),
+      ${urlCanonCtes()},
+      f AS (SELECT c.doc_id, c.canon, p3.host_l, p3.port, p3.params
+            FROM c JOIN p3 USING (doc_id)),
+      r AS (SELECT canon,
+              CASE WHEN host_l IN ($urlBlocklistSql) THEN 'blocked_domain'
+                   WHEN port NOT IN ('', '80', '443') THEN 'trap_port'
+                   WHEN (CASE WHEN params = '' THEN 0
+                         ELSE len(string_split(params, '&')) END) >= 2
+                     THEN 'trap_params'
+                   ELSE 'kept' END AS reason
+            FROM f)
+      SELECT reason, count(*) AS n_docs,
+             count(DISTINCT canon) AS n_urls
+      FROM r GROUP BY 1 ORDER BY reason""",
     "q_domain_stats" -> s"""
       WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
       u AS (SELECT doc_id, $urlSynthSql AS url FROM hx),

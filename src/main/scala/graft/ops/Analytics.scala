@@ -341,6 +341,52 @@ object Analytics {
         .orderBy(col("rank").desc, col("node"))
     }),
 
+    // HITS hubs & authorities (Kleinberg) — the second classic
+    // link-analysis pair beside PageRank: a page is a good AUTHORITY
+    // if good hubs point at it, a good HUB if it points at good
+    // authorities — the navigational-vs-content split a crawl
+    // pipeline uses to separate index/portal pages from destination
+    // pages. Two mutual-reinforcement iterations over the same
+    // checkpointed edge census, weighted by transition counts, in
+    // exact integer arithmetic: scores normalize by total-sum (the
+    // 1-norm variant) via the two-step floor division
+    // a ÷ (Σa div SCALE), so both engines derive identical BIGINTs.
+    // Overflow bound: Σ w·score ≤ totalWeight·SCALE must fit int64 —
+    // safe through ~9M transitions (documented; production SF routes
+    // the product through DECIMAL(38,0)).
+    "q_hits" -> ((s, dir) => {
+      val scale = 1000000000000L
+      val (nodes, edges, _) = clickGraph(Tables.events(s, dir))
+      val nnDf = nodes.agg(count(lit(1)).as("nn"))
+        .withColumn("base", expr("case when nn = 0 then " +
+          s"cast(0 as bigint) else $scale div nn end"))
+        .localCheckpoint(true)
+      def norm(scored: DataFrame, cname: String, out: String) = {
+        val tot = scored.agg(
+          coalesce(sum(col(cname)), lit(0L)).as("tot"))
+        nodes.join(scored, Seq("node"), "left").crossJoin(tot)
+          .select(col("node"), expr(
+            s"case when tot < $scale then coalesce($cname, 0) " +
+              s"else coalesce($cname, 0) div (tot div $scale) end")
+            .as(out))
+      }
+      val init = nodes.crossJoin(nnDf).select(col("node"),
+        col("base").as("hub"), col("base").as("auth"))
+      val fin = (1 to 2).foldLeft(init) { case (r, _) =>
+        val aN = norm(edges
+          .join(r.select(col("node").as("src"), col("hub")), Seq("src"))
+          .select(col("dst").as("node"), (col("w") * col("hub")).as("p"))
+          .groupBy(col("node")).agg(sum(col("p")).as("a1")), "a1", "auth")
+        val hN = norm(edges
+          .join(aN.select(col("node").as("dst"), col("auth")), Seq("dst"))
+          .select(col("src").as("node"), (col("w") * col("auth")).as("p"))
+          .groupBy(col("node")).agg(sum(col("p")).as("h1")), "h1", "hub")
+        hN.join(aN, Seq("node"))
+      }
+      fin.select(col("node"), col("hub"), col("auth").as("authority"))
+        .orderBy(col("authority").desc, col("node"))
+    }),
+
     // PERSONALIZED PageRank (TrustRank shape): the teleport vector
     // concentrates on a trusted seed set (node % 10 == 0) instead of
     // the uniform base — the crawl-frontier prioritization and spam-
@@ -696,7 +742,43 @@ object Analytics {
              FROM nodes2, nn2),$iters"""
   }
 
+  /** HITS twin suffix — two unrolled mutual-reinforcement rounds over
+    * the shared graph census, same two-step floor normalization. */
+  private val hitsCtes: String = {
+    val iters = (1 to 2).map(i => s"""
+      a1_$i AS (SELECT e.dst AS node, CAST(sum(e.w * r.hub) AS BIGINT) AS a1
+             FROM edges e JOIN hs${i - 1} r ON r.node = e.src GROUP BY 1),
+      at_$i AS (SELECT CAST(coalesce(sum(a1), 0) AS BIGINT) AS atot
+             FROM a1_$i),
+      an_$i AS (SELECT n.node,
+               CAST(CASE WHEN (SELECT atot FROM at_$i) < 1000000000000
+                 THEN coalesce(a1, 0)
+                 ELSE coalesce(a1, 0) //
+                   ((SELECT atot FROM at_$i) // 1000000000000) END
+                 AS BIGINT) AS auth
+             FROM nodes n LEFT JOIN a1_$i USING (node)),
+      h1_$i AS (SELECT e.src AS node, CAST(sum(e.w * r.auth) AS BIGINT) AS h1
+             FROM edges e JOIN an_$i r ON r.node = e.dst GROUP BY 1),
+      ht_$i AS (SELECT CAST(coalesce(sum(h1), 0) AS BIGINT) AS htot
+             FROM h1_$i),
+      hn_$i AS (SELECT n.node,
+               CAST(CASE WHEN (SELECT htot FROM ht_$i) < 1000000000000
+                 THEN coalesce(h1, 0)
+                 ELSE coalesce(h1, 0) //
+                   ((SELECT htot FROM ht_$i) // 1000000000000) END
+                 AS BIGINT) AS hub
+             FROM nodes n LEFT JOIN h1_$i USING (node)),
+      hs$i AS (SELECT hn.node, hn.hub, an.auth
+             FROM hn_$i hn JOIN an_$i an USING (node))""").mkString(",")
+    s""",
+      hs0 AS (SELECT node, CAST(base AS BIGINT) AS hub,
+                CAST(base AS BIGINT) AS auth FROM nodes, nn),$iters"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_hits" -> s"""$pagerankCtes$hitsCtes
+      SELECT node, hub, auth AS authority
+      FROM hs2 ORDER BY authority DESC, node""",
     "q_pagerank_seeded" -> s"""$pagerankCtes$pagerankSeededCtes
       SELECT node, seed AS is_seed, rank
       FROM s3 ORDER BY rank DESC, node""",

@@ -46,6 +46,22 @@ class PageRankSpec extends SparkSuite {
       "propagation never reached most non-seeds")
   }
 
+  test("HITS: terminal pages are zero-hub but ranked authorities") {
+    val rows = Analytics.queries("q_hits")(spark, dir).collect()
+    val pr = Analytics.queries("q_pagerank")(spark, dir).collect()
+    val terminal = pr.filter(_.getAs[Long]("out_w") == 0L)
+      .map(_.getAs[Int]("node")).toSet
+    assert(terminal.nonEmpty)
+    val byNode = rows.map(r => r.getAs[Int]("node") ->
+      (r.getAs[Long]("hub"), r.getAs[Long]("authority"))).toMap
+    terminal.foreach { n =>
+      assert(byNode(n)._1 == 0L, s"terminal $n has hub ${byNode(n)._1}")
+      assert(byNode(n)._2 > 0L, s"terminal $n unreachable as authority")
+    }
+    assert(rows.map(_.getAs[Long]("authority")).distinct.length > 1,
+      "authorities all equal — iterations are dead code")
+  }
+
   test("dangling set is exactly the masked terminal pages; ranks differ from uniform") {
     val pr = Analytics.queries("q_pagerank")(spark, dir).collect()
     val dangling = pr.filter(_.getAs[Long]("out_w") == 0L)

@@ -626,6 +626,40 @@ object ScaleProbe {
       docs.unpersist(false)
     }
 
+    // CDC probe: N× the documents with SHIFTED ids and IDENTICAL text
+    // — the chunk DICTIONARY is replication-invariant, so stored
+    // (unique) bytes must stay FLAT while logical bytes scale exactly
+    // ×N: the content-addressed-store claim measured. Wall must track
+    // the map-only chunking scan (the census exchange carries the
+    // bounded dictionary).
+    if (want("cdc"))
+    locally {
+      val docs = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text")).persist()
+      val nDocs = docs.count()
+      val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      def timedCdc(mult: Int): Unit = {
+        val scaled = docs
+          .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
+            col("doc_id"), col("text"))
+          .select((col("doc_id") + col("i") * lit(stride)).as("doc_id"),
+            col("text"))
+        val t0 = System.nanoTime()
+        val r = Dedup.cdcChunks(scaled)
+          .groupBy(col("chunk")).agg(count(lit(1)).as("copies"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(length(col("chunk"))).as("stored"),
+            sum(length(col("chunk")) * col("copies")).as("logical"))
+          .head()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"cdc_${mult}x","docs":${nDocs * mult},"chunks":${r.getLong(0)},"stored":${r.getLong(1)},"logical":${r.getLong(2)},"sec":$dt%.2f}""")
+      }
+      timedCdc(1)
+      timedCdc(10)
+      timedCdc(100)
+      docs.unpersist(false)
+    }
+
     // PageRank probe: N× the clickstream with SHIFTED user ids — every
     // per-user transition sequence replicates, so each edge weight
     // scales exactly ×N while the graph (nodes, edges) stays fixed.

@@ -1076,4 +1076,31 @@ class PlanSpec extends SparkSuite {
       p.contains("BroadcastNestedLoopJoin Inner BuildRight"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q_url_filter routes URLs join-free: the deny list is a literal, not a table") {
+    // synth + canonicalizer + rule CASE must all live in the scan
+    // projection; the only operators after it are the census
+    // aggregates (countDistinct's Expand included)
+    val p = plan("q_url_filter")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    assert(p.contains("partial_count"),
+      "census must partial-aggregate map-side")
+  }
+
+  test("q_dedup_cdc chunks map-only; the census partial-aggregates map-side") {
+    // content-defined chunking is per-doc higher-order array work
+    // fused into the scan — the ONLY exchanges are the chunk-keyed
+    // census aggregates; no join may appear at any scale
+    val p = plan("q_dedup_cdc")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    assert(p.contains("partial_count"),
+      "chunk census must partial-aggregate map-side")
+  }
+
+  test("q_dedup_cdc_shift survival joins stay chunk-keyed, never all-pairs") {
+    val p = plan("q_dedup_cdc_shift")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin Inner"),
+      s"survival must be keyed joins:\n$p")
+  }
 }

@@ -180,6 +180,25 @@ object Dedup {
     * role), one literal shared by the plan and its twin. */
   private val urlBlocklistSql: String = "'ex1.com', 'ex5.com'"
 
+  /** The robots.txt `User-agent: *` section parser as a higher-order
+    * aggregate over a `robots` string column — a real line-state
+    * machine (section opens on the star agent, closes on any other
+    * agent line, Disallow values collect only while open), surfaced
+    * for RobotsSpec to drive on adversarial bodies. */
+  private[graft] val robotsParseExpr: String =
+    "aggregate(split(robots, '\n'), " +
+      "named_struct('instar', false, " +
+      "'p', cast(array() as array<string>)), " +
+      "(st, l) -> case " +
+      "when l = 'User-agent: *' then " +
+      "named_struct('instar', true, 'p', st.p) " +
+      "when substring(l, 1, 11) = 'User-agent:' then " +
+      "named_struct('instar', false, 'p', st.p) " +
+      "when st.instar and substring(l, 1, 9) = 'Disallow:' then " +
+      "named_struct('instar', true, " +
+      "'p', array_append(st.p, trim(substring(l, 10)))) " +
+      "else st end, st -> st.p)"
+
   private[graft] def canonicalizeUrl(df: DataFrame): DataFrame =
     df
       .withColumn("scheme_l",
@@ -916,6 +935,49 @@ object Dedup {
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("canon")).as("n_urls"))
         .orderBy("reason")
+    }),
+
+    // ROBOTS.TXT gate — the crawl-politeness stage between the URL
+    // filter and the fetch: each domain's robots.txt is PARSED for
+    // real (sectioned, order-sensitive: a `User-agent: *` section
+    // opens collection, any other User-agent line closes it, Disallow
+    // values accumulate only inside the open section — the aggregate
+    // lambda is a genuine line-state machine, not a regexp grep), and
+    // every URL's canonical path prefix-matches the collected
+    // disallow set (robots prefix semantics: /p1 blocks /p1 AND
+    // /p10../p15). The fixture robots carries a DECOY section
+    // (`User-agent: GoodBot` with its own Disallow) that must NOT
+    // leak into the `*` rules — the disallow column in the output is
+    // the parsed rule list, so the hash gate fails on any section
+    // bleed. Twin discipline = the decoders': DuckDB recomputes the
+    // rules from the md5 model and never parses. Scale shape: the
+    // robots synth + parser + prefix match are scan-side projections;
+    // ONE domain-keyed aggregate ends the plan (at deployment robots
+    // bodies come from a fetched side table — a broadcast join by
+    // domain, same plan class).
+    "q_robots_filter" -> ((s, dir) => {
+      val canon = canonicalizeUrl(Tables(s, dir, "documents")
+        .withColumn("h", md5(col("text")))
+        .withColumn("url", expr(urlSynthSql)))
+      canon
+        .withColumn("hh", md5(col("host_l")))
+        .withColumn("robots", expr(
+          "concat('User-agent: GoodBot\nDisallow: /p', " +
+            "cast(conv(substring(hh, 3, 1), 16, 10) as int), " +
+            "'\nUser-agent: *\nDisallow: /p', " +
+            "cast(conv(substring(hh, 1, 1), 16, 10) as int), " +
+            "'\nDisallow: /p', " +
+            "cast(conv(substring(hh, 2, 1), 16, 10) as int), " +
+            "'\nCrawl-delay: 1\n')"))
+        .withColumn("pfx", expr(robotsParseExpr))
+        .withColumn("blocked",
+          expr("exists(pfx, p -> startswith(path, p))"))
+        .groupBy(col("host_l").as("domain"),
+          expr("array_join(pfx, ',')").as("disallow"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked"),
+          sum(when(!col("blocked"), 1L).otherwise(0L)).as("n_allowed"))
+        .orderBy("domain")
     }),
 
     // Per-DOMAIN crawl census — the blocklist-candidate artifact crawl
@@ -1780,6 +1842,29 @@ object Dedup {
       SELECT canon AS canon_url, min(doc_id) AS keeper,
              count(*) AS n_copies, count(DISTINCT url) AS n_raw_forms
       FROM c GROUP BY 1 ORDER BY canon_url""",
+    // Robots twin: the rules are recomputed from the md5 MODEL (first
+    // two hex digits of md5(host)), never parsed — the decoder-twin
+    // discipline; the Spark side's real sectioned parse must land on
+    // exactly these rules or the disallow column hash-fails.
+    "q_robots_filter" -> s"""
+      WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+      u AS (SELECT doc_id, $urlSynthSql AS url FROM hx),
+      ${urlCanonCtes()},
+      rb AS (SELECT c.doc_id, p3.host_l, p3.path,
+               ('0x' || substr(md5(p3.host_l), 1, 1))::BIGINT AS d1,
+               ('0x' || substr(md5(p3.host_l), 2, 1))::BIGINT AS d2
+             FROM c JOIN p3 USING (doc_id)),
+      rr AS (SELECT doc_id, host_l, path,
+               concat('/p', d1, ',/p', d2) AS disallow,
+               (starts_with(path, concat('/p', d1))
+                OR starts_with(path, concat('/p', d2))) AS blocked
+             FROM rb)
+      SELECT host_l AS domain, disallow, count(*) AS n_docs,
+             CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_blocked,
+             CAST(sum(CASE WHEN blocked THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_allowed
+      FROM rr GROUP BY 1, 2 ORDER BY domain""",
     "q_url_filter" -> s"""
       WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
       u AS (SELECT doc_id, $urlSynthSql AS url FROM hx),

@@ -144,7 +144,8 @@ case class JpegMeta(doc_id: Long, status: String,
 case class ExifMeta(doc_id: Long, status: String,
     byte_order: Option[String], orientation: Option[Int],
     make: Option[String], n_ifd: Option[Int],
-    width: Option[Int], height: Option[Int])
+    width: Option[Int], height: Option[Int],
+    gps_lat_mas: Option[Long])
 
 /** Typed output of the REAL gzip decode — the crawl-decompression
   * stage (RFC 1952; WARC payloads arrive as gzip members): status,
@@ -2964,6 +2965,15 @@ object Multimodal {
     val badTiff = b(5) % 8 == 2
     val big = b(4) % 2 == 0
     val orient = 1 + b(3) % 8
+    // GPS arm (~50%): a GPSInfo sub-IFD pointer (tag 0x8825) whose IFD
+    // carries GPSLatitude as RATIONAL×3 — 24 bytes, so the entry's
+    // 4-byte slot holds an OFFSET (the out-of-line value rule real
+    // Exif exercises constantly) and the walk must chase BOTH
+    // indirections. Denominators are drawn from {1,2,4,5} so the
+    // milli-arcsecond conversion is exact integer division.
+    val hasGps = b(7) % 2 == 0
+    val gpsDeg = b(0) % 90; val gpsMin = b(1) % 60
+    val gpsSecN = b(2); val gpsSecD = Seq(1, 2, 4, 5)(b(3) % 4)
     val make3 = h.substring(0, 3).toUpperCase(java.util.Locale.ROOT)
     val t = new java.io.ByteArrayOutputStream(64)
     def u16(v: Int): Unit =
@@ -2978,7 +2988,8 @@ object Multimodal {
     else if (big) { t.write('M'); t.write('M') }
     else { t.write('I'); t.write('I') }
     u16(42); u32(8) // magic, IFD0 offset
-    u16(2)          // two entries
+    val nEntries = if (hasGps) 3 else 2
+    u16(nEntries)
     u16(271); u16(2); u32(4) // Make, ASCII, count 4 → inline
     t.write(make3.charAt(0)); t.write(make3.charAt(1))
     t.write(make3.charAt(2)); t.write(0)
@@ -2987,7 +2998,17 @@ object Multimodal {
     // classic writer rule the TIFF decoder already pins)
     if (big) { t.write(0); t.write(orient); t.write(0); t.write(0) }
     else { t.write(orient); t.write(0); t.write(0); t.write(0) }
-    u32(0) // next-IFD pointer: none
+    if (hasGps) {
+      val gpsIfd = 8 + 2 + 3 * 12 + 4 // right after IFD0's next ptr
+      u16(0x8825); u16(4); u32(1); u32(gpsIfd) // GPSInfo sub-IFD ptr
+      u32(0) // IFD0 next-IFD pointer: none
+      u16(1) // GPS IFD: one entry
+      val dataOff = gpsIfd + 2 + 12 + 4
+      u16(2); u16(5); u32(3); u32(dataOff) // GPSLatitude RATIONAL×3
+      u32(0) // GPS IFD next pointer
+      u32(gpsDeg); u32(1); u32(gpsMin); u32(1) // deg/1, min/1
+      u32(gpsSecN); u32(gpsSecD)               // sec as num/den
+    } else u32(0) // next-IFD pointer: none
     val tiff = t.toByteArray
     val out = new java.io.ByteArrayOutputStream(base.length + 80)
     out.write(base, 0, 2) // SOI (or the corrupted-magic arm bytes)
@@ -3009,7 +3030,7 @@ object Multimodal {
     * one. Total on arbitrary bytes: status rows, never throws. */
   private[graft] def parseJpegExif(id: Long, p: Array[Byte]): ExifMeta = {
     def fail(st: String) =
-      ExifMeta(id, st, None, None, None, None, None, None)
+      ExifMeta(id, st, None, None, None, None, None, None, None)
     if (p == null || p.length < 4 ||
         (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8)
       return fail("bad_magic")
@@ -3019,6 +3040,7 @@ object Multimodal {
     var orient: Option[Int] = None
     var make: Option[String] = None
     var nIfd: Option[Int] = None
+    var gpsLat: Option[Long] = None
     def parseTiffBlock(t0: Int, tEnd: Int): Unit = {
       val big = t0 + 1 < tEnd && p(t0) == 'M' && p(t0 + 1) == 'M'
       val lit = t0 + 1 < tEnd && p(t0) == 'I' && p(t0 + 1) == 'I'
@@ -3051,6 +3073,31 @@ object Multimodal {
             .map(j => p(off + 8 + j)).takeWhile(_ != 0)
           make = Some(new String(bs.toArray, "US-ASCII"))
         }
+        if (tag == 0x8825 && typ == 4 && cnt == 1) {
+          // GPSInfo sub-IFD pointer: chase it, then the latitude
+          // entry's RATIONAL×3 value — 24 bytes, so the slot holds an
+          // OFFSET (both offsets relative to the TIFF header, the
+          // out-of-line rule). A malformed sub-IFD degrades to a
+          // missing GPS value, never a throw — the libexif shape.
+          val g = u32(off + 8)
+          val gn = if (g < 0) -1 else u16(t0 + g.toInt)
+          var ge = 0
+          while (ge < gn) {
+            val goff = t0 + g.toInt + 2 + ge * 12
+            if (u16(goff) == 2 && u16(goff + 2) == 5 &&
+                u32(goff + 4) == 3) {
+              val d = u32(goff + 8)
+              if (d >= 0) {
+                val vs = (0 until 6).map(j => u32(t0 + d.toInt + 4 * j))
+                if (vs.forall(_ >= 0) && vs(1) > 0 && vs(3) > 0 &&
+                    vs(5) > 0)
+                  gpsLat = Some(vs(0) * 3600000L / vs(1) +
+                    vs(2) * 60000L / vs(3) + vs(4) * 1000L / vs(5))
+              }
+            }
+            ge += 1
+          }
+        }
         e += 1
       }
       bo = Some(if (big) "MM" else "II")
@@ -3078,7 +3125,7 @@ object Multimodal {
           val h0 = ((p(pos + 3) & 0xff) << 8) | (p(pos + 4) & 0xff)
           val w0 = ((p(pos + 5) & 0xff) << 8) | (p(pos + 6) & 0xff)
           return ExifMeta(id, exifStatus, bo, orient, make, nIfd,
-            Some(w0), Some(h0))
+            Some(w0), Some(h0), gpsLat)
         }
         pos += len
       }
@@ -5591,8 +5638,9 @@ object Multimodal {
     "q_jpeg_exif" -> s"""
       WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
       xb AS (SELECT doc_id, h, ${byteAt(0)} AS b0, ${byteAt(1)} AS b1,
-               ${byteAt(3)} AS b3, ${byteAt(4)} AS b4, ${byteAt(5)} AS b5,
-               ${byteAt(6)} AS b6, ${byteAt(8)} AS b8, ${byteAt(9)} AS b9,
+               ${byteAt(2)} AS b2, ${byteAt(3)} AS b3, ${byteAt(4)} AS b4,
+               ${byteAt(5)} AS b5, ${byteAt(6)} AS b6, ${byteAt(7)} AS b7,
+               ${byteAt(8)} AS b8, ${byteAt(9)} AS b9,
                ${byteAt(11)} AS b11
              FROM hx),
       xd AS (SELECT doc_id,
@@ -5601,6 +5649,13 @@ object Multimodal {
                b6 % 8 <> 1 AND b5 % 8 = 2 AS badtiff,
                b4 % 2 = 0 AS big,
                1 + b3 % 8 AS orient,
+               b7 % 2 = 0 AS hasgps,
+               -- GPS latitude in exact milli-arcseconds: the RATIONAL
+               -- triple the out-of-line walk reads, recomputed from
+               -- the md5 model (dens {1,2,4,5} divide the scalers)
+               (b0 % 90) * 3600000 + (b1 % 60) * 60000
+                 + (b2 * 1000) // (CASE b3 % 4 WHEN 0 THEN 1
+                     WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 5 END) AS gpsmas,
                upper(substr(h, 1, 3)) AS mk,
                -- dims follow the base synth's color-structure arms:
                -- width doubles at 4:2:0 AND 4:2:2, height only at 4:2:0
@@ -5621,9 +5676,13 @@ object Multimodal {
              CASE WHEN NOT badmagic AND NOT badtiff AND NOT noexif
                   THEN mk END AS make,
              CASE WHEN NOT badmagic AND NOT badtiff AND NOT noexif
-                  THEN CAST(2 AS INT) END AS n_ifd,
+                  THEN CAST(CASE WHEN hasgps THEN 3 ELSE 2 END AS INT)
+                  END AS n_ifd,
              CASE WHEN badmagic THEN NULL ELSE CAST(w AS INT) END AS width,
-             CASE WHEN badmagic THEN NULL ELSE CAST(hh AS INT) END AS height
+             CASE WHEN badmagic THEN NULL ELSE CAST(hh AS INT) END AS height,
+             CASE WHEN NOT badmagic AND NOT badtiff AND NOT noexif
+                    AND hasgps
+                  THEN CAST(gpsmas AS BIGINT) END AS gps_lat_mas
       FROM xd ORDER BY doc_id""",
     // JPEG twin: pixels recomputed as the pure md5 function the
     // frequency-domain fixture encodes (128 + d0 + d4·σσ per

@@ -790,7 +790,10 @@ object Dedup {
       cdcChunks(Tables(s, dir, "documents"))
         .groupBy(col("chunk"))
         .agg(count(lit(1)).as("copies"))
-        .select(col("copies"), length(col("chunk")).as("bytes"))
+        // octet_length, not length: the metric is BYTES (what the
+        // storage layer actually holds), so multibyte text must count
+        // octets — both engines use the byte-counting form.
+        .select(col("copies"), octet_length(col("chunk")).as("bytes"))
         .groupBy(col("copies"))
         .agg(count(lit(1)).as("n_chunks"),
           sum(col("bytes")).as("stored_bytes"),
@@ -1777,8 +1780,9 @@ object Dedup {
       WITH ch AS ${cdcChunksSql("documents")},
       per AS (SELECT chunk, count(*) AS copies FROM ch GROUP BY 1)
       SELECT copies, count(*) AS n_chunks,
-             CAST(sum(length(chunk)) AS BIGINT) AS stored_bytes,
-             CAST(sum(length(chunk) * copies) AS BIGINT) AS logical_bytes
+             CAST(sum(strlen(chunk)) AS BIGINT) AS stored_bytes,
+             CAST(sum(strlen(chunk) * copies) AS BIGINT)
+               AS logical_bytes
       FROM per GROUP BY 1 ORDER BY copies""",
     "q_dedup_cdc_shift" -> s"""
       WITH shifted AS (SELECT doc_id, 'PAD ' || text AS text

@@ -2880,6 +2880,14 @@ object Similarity {
     * seed cells are inhabited. */
   private[llm] lazy val ivfCte = ivfCteOn("qn")
 
+  /** Full twin prefix of the persisted-IVF index — quantized corpus
+    * (qe/qn), seed assignment, trained cells — ending at `ivcell`.
+    * Exposed for cross-package twins: q_rrf_fusion's production dense
+    * leg (ops/TextOps.scala) ranks against this index, so its oracle
+    * must render the same trained cells. */
+  private[graft] lazy val ivfIndexCtes: String =
+    Dedup.QE + "," + Clustering.assignCtes + "," + ivfCte
+
   /** [[ivfCte]] with the ASSIGNMENT source parameterized: training
     * always reads `iva` (the seed-centroid assignment the enclosing
     * query renders — over the full corpus or, for the incremental

@@ -351,41 +351,14 @@ object Analytics {
     // exact integer arithmetic: scores normalize by total-sum (the
     // 1-norm variant) via the two-step floor division
     // a ÷ (Σa div SCALE), so both engines derive identical BIGINTs.
-    // Overflow bound: Σ w·score ≤ totalWeight·SCALE must fit int64 —
-    // safe through ~9M transitions (documented; production SF routes
-    // the product through DECIMAL(38,0)).
-    "q_hits" -> ((s, dir) => {
-      val scale = 1000000000000L
-      val (nodes, edges, _) = clickGraph(Tables.events(s, dir))
-      val nnDf = nodes.agg(count(lit(1)).as("nn"))
-        .withColumn("base", expr("case when nn = 0 then " +
-          s"cast(0 as bigint) else $scale div nn end"))
-        .localCheckpoint(true)
-      def norm(scored: DataFrame, cname: String, out: String) = {
-        val tot = scored.agg(
-          coalesce(sum(col(cname)), lit(0L)).as("tot"))
-        nodes.join(scored, Seq("node"), "left").crossJoin(tot)
-          .select(col("node"), expr(
-            s"case when tot < $scale then coalesce($cname, 0) " +
-              s"else coalesce($cname, 0) div (tot div $scale) end")
-            .as(out))
-      }
-      val init = nodes.crossJoin(nnDf).select(col("node"),
-        col("base").as("hub"), col("base").as("auth"))
-      val fin = (1 to 2).foldLeft(init) { case (r, _) =>
-        val aN = norm(edges
-          .join(r.select(col("node").as("src"), col("hub")), Seq("src"))
-          .select(col("dst").as("node"), (col("w") * col("hub")).as("p"))
-          .groupBy(col("node")).agg(sum(col("p")).as("a1")), "a1", "auth")
-        val hN = norm(edges
-          .join(aN.select(col("node").as("dst"), col("auth")), Seq("dst"))
-          .select(col("src").as("node"), (col("w") * col("auth")).as("p"))
-          .groupBy(col("node")).agg(sum(col("p")).as("h1")), "h1", "hub")
-        hN.join(aN, Seq("node"))
-      }
-      fin.select(col("node"), col("hub"), col("auth").as("authority"))
-        .orderBy(col("authority").desc, col("node"))
-    }),
+    // Overflow routing: the per-edge product w·score and its sum run
+    // in DECIMAL(38,0) on the Spark side and HUGEINT on the DuckDB
+    // side, so Σ w·score ≤ totalWeight·SCALE is safe to 1e26
+    // transitions (vs the old int64 ~9M cliff, where Spark's BIGINT
+    // sum wrapped silently while DuckDB errored — the engines now
+    // agree far past any realistic graph). Normalized scores are
+    // ≤ SCALE by construction, so they cast back to BIGINT losslessly.
+    "q_hits" -> ((s, dir) => hitsOn(Tables.events(s, dir))),
 
     // PERSONALIZED PageRank (TrustRank shape): the teleport vector
     // concentrates on a trusted seed set (node % 10 == 0) instead of
@@ -599,11 +572,6 @@ object Analytics {
       dir: String): (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) =
     pagerankFramesOn(Tables.events(s, dir))
 
-  /** Frame-taking form — ScaleProbe drives this on replicated event
-    * streams (replication multiplies every edge weight by N and
-    * floor(r·Nw / N·ow) = floor(r·w / ow), so the ranks must come
-    * back BIT-IDENTICAL at any multiplier — the PCA-probe
-    * determinism-echo pattern). */
   /** The clickstream transition graph shared by the PageRank family:
     * ONE event-scale window pass (lag over the per-user session
     * order) collapsed into the checkpointed V²-bounded edge census,
@@ -629,6 +597,11 @@ object Analytics {
     (nodes, edges, outw)
   }
 
+  /** Frame-taking form — ScaleProbe drives this on replicated event
+    * streams (replication multiplies every edge weight by N and
+    * floor(r·Nw / N·ow) = floor(r·w / ow), so the ranks must come
+    * back BIT-IDENTICAL at any multiplier — the PCA-probe
+    * determinism-echo pattern). */
   private[graft] def pagerankFramesOn(events: DataFrame)
       : (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) = {
     val scale = 1000000000000L // 1e12 rank units
@@ -663,6 +636,47 @@ object Analytics {
           .as("rank"))
     }
     (nodes, edges, outw, ranks)
+  }
+
+  /** Frame-taking HITS (body of q_hits) — ScaleProbe drives this on
+    * replicated event streams past the OLD int64 Σw·score cliff (~9M
+    * transitions) to prove the DECIMAL(38,0) product routing: scores
+    * must stay non-negative and 1-norm ≈ SCALE at every multiplier
+    * (a silent int64 wrap would surface as negative sums). */
+  private[graft] def hitsOn(events: DataFrame): DataFrame = {
+    val scale = 1000000000000L
+    val (nodes, edges, _) = clickGraph(events)
+    val nnDf = nodes.agg(count(lit(1)).as("nn"))
+      .withColumn("base", expr("case when nn = 0 then " +
+        s"cast(0 as bigint) else $scale div nn end"))
+      .localCheckpoint(true)
+    def norm(scored: DataFrame, cname: String, out: String) = {
+      val tot = scored.agg(coalesce(sum(col(cname)), lit(0L))
+        .cast("decimal(38,0)").as("tot"))
+      nodes.join(scored, Seq("node"), "left").crossJoin(tot)
+        .select(col("node"), expr(
+          s"cast(case when tot < $scale then coalesce($cname, 0) " +
+            s"else coalesce($cname, 0) div (tot div $scale) end " +
+            "as bigint)")
+          .as(out))
+    }
+    val init = nodes.crossJoin(nnDf).select(col("node"),
+      col("base").as("hub"), col("base").as("auth"))
+    val fin = (1 to 2).foldLeft(init) { case (r, _) =>
+      val aN = norm(edges
+        .join(r.select(col("node").as("src"), col("hub")), Seq("src"))
+        .select(col("dst").as("node"),
+          (col("w").cast("decimal(38,0)") * col("hub")).as("p"))
+        .groupBy(col("node")).agg(sum(col("p")).as("a1")), "a1", "auth")
+      val hN = norm(edges
+        .join(aN.select(col("node").as("dst"), col("auth")), Seq("dst"))
+        .select(col("src").as("node"),
+          (col("w").cast("decimal(38,0)") * col("auth")).as("p"))
+        .groupBy(col("node")).agg(sum(col("p")).as("h1")), "h1", "hub")
+      hN.join(aN, Seq("node"))
+    }
+    fin.select(col("node"), col("hub"), col("auth").as("authority"))
+      .orderBy(col("authority").desc, col("node"))
   }
 
   /** Shared CTE chain of the PageRank twins: the same edge census and
@@ -743,12 +757,17 @@ object Analytics {
   }
 
   /** HITS twin suffix — two unrolled mutual-reinforcement rounds over
-    * the shared graph census, same two-step floor normalization. */
+    * the shared graph census, same two-step floor normalization. The
+    * w·score products and their sums run in HUGEINT, mirroring the
+    * Spark side's DECIMAL(38,0) routing — both engines stay exact far
+    * past the old int64 Σw·score cliff; only the ≤-SCALE normalized
+    * scores cast back to BIGINT. */
   private val hitsCtes: String = {
     val iters = (1 to 2).map(i => s"""
-      a1_$i AS (SELECT e.dst AS node, CAST(sum(e.w * r.hub) AS BIGINT) AS a1
+      a1_$i AS (SELECT e.dst AS node,
+               sum(CAST(e.w AS HUGEINT) * r.hub) AS a1
              FROM edges e JOIN hs${i - 1} r ON r.node = e.src GROUP BY 1),
-      at_$i AS (SELECT CAST(coalesce(sum(a1), 0) AS BIGINT) AS atot
+      at_$i AS (SELECT coalesce(sum(a1), 0) AS atot
              FROM a1_$i),
       an_$i AS (SELECT n.node,
                CAST(CASE WHEN (SELECT atot FROM at_$i) < 1000000000000
@@ -757,9 +776,10 @@ object Analytics {
                    ((SELECT atot FROM at_$i) // 1000000000000) END
                  AS BIGINT) AS auth
              FROM nodes n LEFT JOIN a1_$i USING (node)),
-      h1_$i AS (SELECT e.src AS node, CAST(sum(e.w * r.auth) AS BIGINT) AS h1
+      h1_$i AS (SELECT e.src AS node,
+               sum(CAST(e.w AS HUGEINT) * r.auth) AS h1
              FROM edges e JOIN an_$i r ON r.node = e.dst GROUP BY 1),
-      ht_$i AS (SELECT CAST(coalesce(sum(h1), 0) AS BIGINT) AS htot
+      ht_$i AS (SELECT coalesce(sum(h1), 0) AS htot
              FROM h1_$i),
       hn_$i AS (SELECT n.node,
                CAST(CASE WHEN (SELECT htot FROM ht_$i) < 1000000000000

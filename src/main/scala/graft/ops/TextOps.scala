@@ -322,38 +322,38 @@ object TextOps {
 
     // Hybrid retrieval by RECIPROCAL RANK FUSION (Cormack, Clarke &
     // Büttcher 2009, k = 60) — the modern search stack's default way
-    // to combine lexical and dense rankers: BM25 top-10 and embedding
-    // cosine top-10 (documents ↔ vectors share ids in the fixtures,
-    // the usual doc-store layout), fused as Σ 1/(60 + rank) over the
+    // to combine lexical and dense rankers: BM25 top-10 and dense
+    // top-10 (documents ↔ vectors share ids in the fixtures, the
+    // usual doc-store layout), fused as Σ 1/(60 + rank) over the
     // systems that returned the doc, re-ranked on the EXACT decimal
-    // fusion score. Both source rankers reuse their production plans
-    // (the BM25 posting probe; the broadcast-query brute scan) — the
-    // fusion itself is one (query, doc)-keyed full outer join and a
-    // WindowGroupLimit, the cheap part by design. in_bm25/in_knn make
-    // each system's contribution visible in the hash gate.
+    // fusion score. PRODUCTION configuration (r17): the dense leg is
+    // the PERSISTED trained-IVF index (IndexStore — the same flat-
+    // parquet artifact every q_knn_ivf consumer loads), probed
+    // nprobe = 2, and the query panel is ABSOLUTELY bounded (≤ 50
+    // rows at ANY corpus size, the recall-panel discipline), so the
+    // ivfTopBetween query broadcast is fixed-size and the candidate
+    // work is panel × probed-cells — never panel × corpus. The twin
+    // renders the identical trained cells via ivfIndexCtes, so the
+    // row stays hash-gated; the EXACT brute dense leg survives as
+    // truth inside q_rrf_fusion_recall. The fusion itself is one
+    // (query, doc)-keyed full outer join and a WindowGroupLimit, the
+    // cheap part by design. in_bm25/in_knn make each system's
+    // contribution visible in the hash gate.
     "q_rrf_fusion" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val aw = Window.partitionBy(col("query_id"))
         .orderBy(col("s6").desc, col("doc_id"))
       val ranksA = bm25Scored(s, dir)
+        .filter(col("query_id") < 3050)
         .withColumn("rank_a", row_number().over(aw))
         .filter(col("rank_a") <= 10)
         .select(col("query_id"), col("doc_id"), col("rank_a"))
-      val qe = graft.llm.Dedup.quantized(s, dir)
-      val kq = qe.filter(col("vec_id") % 61 === 0)
-        .select(col("vec_id").as("query_id"), col("q").as("qa"),
-          col("norm").as("na"))
-      val bw = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("doc_id"))
-      val ranksB = qe
-        .select(col("vec_id").as("doc_id"), col("q").as("qb"),
-          col("norm").as("nb"))
-        .join(broadcast(kq), col("query_id") =!= col("doc_id"))
-        .withColumn("cosine", expr("round(cast(dot_long(qa, qb) as double) " +
-          "/ sqrt(cast(na as double)) / sqrt(cast(nb as double)), 4)"))
-        .withColumn("rank_b", row_number().over(bw))
-        .filter(col("rank_b") <= 10)
-        .select(col("query_id"), col("doc_id"), col("rank_b"))
+      val cells = graft.llm.Similarity.ivfCells(s, dir)
+      val ranksB = graft.llm.Similarity.ivfTopBetween(
+          cells.filter(col("vec_id") % 61 === 0 && col("vec_id") < 3050),
+          cells, k = 10, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rnk").as("rank_b"))
       val fused = ranksA
         .join(ranksB, Seq("query_id", "doc_id"), "full_outer")
         .withColumn("rrf",
@@ -1485,27 +1485,23 @@ object TextOps {
              CAST(round(s6, 4) AS DOUBLE) AS score
       FROM rk WHERE rank <= 3
       ORDER BY query_id, rank"""),
-    "q_rrf_fusion" -> (bm25Ctes + """,
+    "q_rrf_fusion" -> (bm25Ctes + "," +
+      graft.llm.Similarity.ivfIndexCtes + s""",
       ra AS (SELECT query_id, doc_id,
                     row_number() OVER (PARTITION BY query_id
                       ORDER BY s6 DESC, doc_id) AS rank_a
-             FROM ag QUALIFY rank_a <= 10),
-      qe2 AS (SELECT vec_id,
-                list_transform(embedding, x ->
-                  CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
-              FROM embeddings),
-      qn2 AS (SELECT * FROM (
-                SELECT vec_id, q,
-                  CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS norm
-                FROM qe2) WHERE norm > 0),
-      kq AS (SELECT vec_id AS query_id, q AS qa, norm AS na
-             FROM qn2 WHERE vec_id % 61 = 0),
-      kp AS (SELECT kq.query_id, b.vec_id AS doc_id,
-               round(CAST(list_sum(list_transform(generate_series(1, len(qa)),
-                   i -> qa[i] * b.q[i])) AS BIGINT)::DOUBLE /
-                 sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(b.norm AS DOUBLE)), 4)
+             FROM ag WHERE query_id < 3050 QUALIFY rank_a <= 10),
+      pan AS (SELECT vec_id, q, norm, cell, cell2 FROM ivcell
+              WHERE vec_id % 61 = 0 AND vec_id < 3050),
+      kpr AS (SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+                a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
+              FROM pan a JOIN ivcell b
+                ON b.cell IN (a.cell, a.cell2) AND a.vec_id <> b.vec_id),
+      kp AS (SELECT query_id, doc_id,
+               round(CAST(${graft.llm.Similarity.dot2} AS DOUBLE) /
+                 sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)), 4)
                  AS cosine
-             FROM kq JOIN qn2 b ON b.vec_id <> kq.query_id),
+             FROM kpr),
       rb AS (SELECT query_id, doc_id,
                     row_number() OVER (PARTITION BY query_id
                       ORDER BY cosine DESC, doc_id) AS rank_b

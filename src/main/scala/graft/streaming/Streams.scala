@@ -347,22 +347,6 @@ object Streams {
       parts: Seq[(Long, Seq[Long], BigInt)]): DataFrame =
     graft.llm.Similarity.ivfAssignWith(parts, delta)
 
-  /** Streamed ANN SERVING — the query side of the lifecycle
-    * [[ivfIngest]] covers for the corpus side: each arriving
-    * micro-batch of query vectors (vec_id, q, norm) is assigned to
-    * its trained cells (the same stateless scan-side projection) and
-    * ranked against the STANDING cell-bucketed corpus — top-k by
-    * exact integer cosine, nprobe-configurable, identical arithmetic
-    * to the batch q_knn_ivf ranking. The per-query top-k needs a rank
-    * window, which append-mode streaming forbids, so the production
-    * shape is `foreachBatch` (the [[globalIdIngest]] precedent):
-    * per micro-batch the query set is complete — ANN requests are
-    * one-shot — and the batch planner runs the exact serving plan.
-    * Stateless across batches by construction (no standing operator
-    * state; the index is the only standing artifact), so replayed
-    * batches re-derive byte-identical rows (StreamsSpec pins batch
-    * parity and the exactly-once union). Cost per batch: |delta| ×
-    * (corpus/K cells) — the probed slice, never the corpus. */
   /** Standing chunk store of the CDC tier — the distinct chunk set a
     * content-addressed store already holds (built once in batch from
     * the corpus; at deployment a bucketed table on chunk). */
@@ -391,6 +375,22 @@ object Streams {
       .select(col("doc_id"), col("chunk"),
         coalesce(col("known"), lit(false)).as("known"))
 
+  /** Streamed ANN SERVING — the query side of the lifecycle
+    * [[ivfIngest]] covers for the corpus side: each arriving
+    * micro-batch of query vectors (vec_id, q, norm) is assigned to
+    * its trained cells (the same stateless scan-side projection) and
+    * ranked against the STANDING cell-bucketed corpus — top-k by
+    * exact integer cosine, nprobe-configurable, identical arithmetic
+    * to the batch q_knn_ivf ranking. The per-query top-k needs a rank
+    * window, which append-mode streaming forbids, so the production
+    * shape is `foreachBatch` (the [[globalIdIngest]] precedent):
+    * per micro-batch the query set is complete — ANN requests are
+    * one-shot — and the batch planner runs the exact serving plan.
+    * Stateless across batches by construction (no standing operator
+    * state; the index is the only standing artifact), so replayed
+    * batches re-derive byte-identical rows (StreamsSpec pins batch
+    * parity and the exactly-once union). Cost per batch: |delta| ×
+    * (corpus/K cells) — the probed slice, never the corpus. */
   def annServe(deltaQueries: DataFrame,
       parts: Seq[(Long, Seq[Long], BigInt)], corpusCells: DataFrame,
       k: Int = 3, nprobe: Int = 2): DataFrame =

@@ -650,13 +650,19 @@ class PlanSpec extends SparkSuite {
     // both ranker legs must pre-limit per query (WindowGroupLimit)
     // before fusion, and the fusion itself is a keyed FULL OUTER join
     // on (query, doc) — never a re-rank over an unlimited product.
-    // Allowed nested loops: the 1-row BM25 corpus-stats broadcast and
-    // the bounded dense query panel (the deliberate brute leg)
+    // r17 production config: the dense leg is the PERSISTED IVF index,
+    // so its candidate join must be the CELL-KEYED BroadcastHashJoin
+    // (bounded panel broadcast, corpus streamed) — the panel×corpus
+    // brute nested loop moved to q_rrf_fusion_recall's truth leg. The
+    // only nested loop left is the 1-row BM25 corpus-stats broadcast.
     val p = plan("q_rrf_fusion")
     assert(p.contains("FullOuter"), "fusion must be a full outer join")
     assert(p.contains("WindowGroupLimit"), "legs must pre-limit top-10")
+    assert(p.contains("BroadcastHashJoin"),
+      "dense leg must probe the index cell-keyed")
     val bnlj = """(?m)^\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size
-    assert(bnlj <= 2, s"unexpected nested loops:\n$p")
+    assert(bnlj <= 1,
+      s"only the 1-row BM25 stats broadcast may nested-loop:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 

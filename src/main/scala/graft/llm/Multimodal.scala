@@ -147,6 +147,19 @@ case class ExifMeta(doc_id: Long, status: String,
     width: Option[Int], height: Option[Int],
     gps_lat_mas: Option[Long])
 
+/** Typed output of the ORIENTED decode — the rotate/flip stage every
+  * image pipeline runs between Exif read and pixel work (dHash,
+  * resize): the Exif Orientation tag (default 1 when absent or
+  * unreadable) applied to the decoded raster as an exact index map.
+  * `o_checksum` / `o_row0_wsum` are position-weighted sums over the
+  * ORIENTED coordinates, so every one of the 8 tag values yields a
+  * distinct, hash-gateable value on generic content (plain channel
+  * sums are rotation/flip-invariant and could not prove the transform
+  * ran); `r_sum` ties the row back to the un-oriented decode. */
+case class JpegOriented(doc_id: Long, status: String, orientation: Int,
+    ow: Option[Int], oh: Option[Int], o_checksum: Option[Long],
+    o_row0_wsum: Option[Long], r_sum: Option[Long])
+
 /** Typed output of the REAL gzip decode — the crawl-decompression
   * stage (RFC 1952; WARC payloads arrive as gzip members): status,
   * the FNAME-flag evidence the optional-field walk ran, and exact
@@ -3080,7 +3093,13 @@ object Multimodal {
           // out-of-line rule). A malformed sub-IFD degrades to a
           // missing GPS value, never a throw — the libexif shape.
           val g = u32(off + 8)
-          val gn = if (g < 0) -1 else u16(t0 + g.toInt)
+          // Mirror the IFD0 guard: the sub-IFD's entry table must fit
+          // inside the APP1 payload, else skip the walk entirely (a
+          // malformed count could otherwise drive up to 65535 wasted,
+          // bounds-checked-but-pointless iterations per document).
+          val gn0 = if (g < 0) -1 else u16(t0 + g.toInt)
+          val gn =
+            if (gn0 < 0 || t0 + g + 2 + gn0 * 12L > tEnd) -1 else gn0
           var ge = 0
           while (ge < gn) {
             val goff = t0 + g.toInt + 2 + ge * 12
@@ -3135,6 +3154,66 @@ object Multimodal {
     }
   }
 
+  /** Decode → APPLY Exif orientation — the rotate/flip stage between
+    * metadata read and pixel work (q_jpeg_exif only EXTRACTS the tag;
+    * real pipelines must act on it before dHash/resize or mirrored
+    * shots dodge dedup). The 8 tag values are exact index maps from
+    * stored (x, y) to displayed (x', y') (TIFF 6.0 §Orientation /
+    * the libexif convention):
+    *   1 identity · 2 flip-H · 3 rot180 · 4 flip-V · 5 transpose ·
+    *   6 rot90 CW · 7 transverse · 8 rot270 CW (5-8 swap the dims).
+    * The transform is fused into the decode's pixel stream via
+    * [[JpegPixelSink]] — one pass, no raster buffer, the oriented
+    * position-weighted sums folding as pixels arrive. Orientation
+    * defaults to 1 when the tag is absent or the TIFF block is
+    * unreadable (every viewer's behavior). Total on arbitrary bytes:
+    * both underlying walks are. */
+  private[graft] def parseJpegOriented(id: Long,
+      p: Array[Byte]): JpegOriented = {
+    val orient = parseJpegExif(id, p).orientation.getOrElse(1)
+    var w0 = 0; var h0 = 0
+    var chk = 0L; var row0w = 0L
+    val sink = new JpegPixelSink {
+      def dims(w: Int, h: Int): Unit = { w0 = w; h0 = h }
+      def emit(x: Int, y: Int, r: Int, g: Int, b: Int): Unit = {
+        val ox = orient match {
+          case 2 | 3 => w0 - 1 - x
+          case 5 | 8 => y
+          case 6 | 7 => h0 - 1 - y
+          case _ => x
+        }
+        val oy = orient match {
+          case 3 | 4 => h0 - 1 - y
+          case 5 | 6 => x
+          case 7 | 8 => w0 - 1 - x
+          case _ => y
+        }
+        val ow = if (orient >= 5) h0 else w0
+        chk += (r + 2L * g + 3L * b) * ((oy.toLong * ow + ox) % 997L)
+        if (oy == 0) row0w += (ox + 1L) * (r + g + b)
+      }
+    }
+    val m = parseJpeg(id, p, sink)
+    val oriented = m.status == "ok"
+    JpegOriented(id, m.status, orient,
+      if (orient >= 5) m.height else m.width,
+      if (orient >= 5) m.width else m.height,
+      if (oriented) Some(chk) else None,
+      if (oriented) Some(row0w) else None,
+      if (oriented) m.r_sum else None)
+  }
+
+  /** Optional per-pixel tap on the JPEG decode — `dims` fires once
+    * (post-SOF, pre-pixels), then `emit` once per ABSOLUTE (x, y) in
+    * decode order. O(1) added state: the consumer folds pixels as
+    * they stream (q_jpeg_oriented's position-weighted sums), the
+    * raster is never materialized — the same streaming discipline as
+    * the decoder's own stats. */
+  private[graft] trait JpegPixelSink {
+    def dims(w: Int, h: Int): Unit
+    def emit(x: Int, y: Int, r: Int, g: Int, b: Int): Unit
+  }
+
   /** REAL from-scratch JPEG decode, baseline (SOF0) AND progressive
     * (SOF2) — see [[JpegMeta]] for the row contract. Total on
     * arbitrary bytes (DecoderFuzzSpec): failure is always a status
@@ -3148,7 +3227,8 @@ object Multimodal {
     * `unsupported` with the header dims (the libjpeg header-probe
     * behavior); any sampling beyond 4:4:4 / 4:2:0 / grayscale
     * likewise stays out of the decode surface. */
-  private[graft] def parseJpeg(id: Long, p: Array[Byte]): JpegMeta = {
+  private[graft] def parseJpeg(id: Long, p: Array[Byte],
+      sink: JpegPixelSink = null): JpegMeta = {
     def fail(st: String, w: Option[Int] = None, h: Option[Int] = None) =
       JpegMeta(id, st, w, h, None, None, None, None, None, None, None)
     if (p == null || p.length < 4 ||
@@ -3500,7 +3580,7 @@ object Multimodal {
         val sx = x * compH(c) / maxH; val sy = y * compV(c) / maxV
         blocks(c)((sy / 8) * compH(c) + (sx / 8))((sy % 8) * 8 + (sx % 8))
       }
-      def emitMcu(my: Int): Unit = {
+      def emitMcu(mx: Int, my: Int): Unit = {
         var y = 0
         while (y < mcuH) {
           var x = 0
@@ -3515,11 +3595,14 @@ object Multimodal {
             if (mn < pxMin) pxMin = mn
             if (mxv > pxMax) pxMax = mxv
             if (my == 0 && y == 0) row0 += r + g + bb
+            if (sink != null)
+              sink.emit(mx * mcuW + x, my * mcuH + y, r, g, bb)
             x += 1
           }
           y += 1
         }
       }
+      if (sink != null) sink.dims(width, height)
       if (!eoi) {
         // BASELINE: stream the single scan MCU by MCU
         val br = new JpegBitReader(p, pos)
@@ -3567,7 +3650,7 @@ object Multimodal {
               }
               c += 1
             }
-            emitMcu(my)
+            emitMcu(mx, my)
             mcuIdx += 1
             mx += 1
           }
@@ -3608,7 +3691,7 @@ object Multimodal {
               }
               c += 1
             }
-            emitMcu(my)
+            emitMcu(mx, my)
             mx += 1
           }
           my += 1
@@ -4334,6 +4417,23 @@ object Multimodal {
         .toDF().orderBy("doc_id")
     }),
 
+    // APPLIED Exif orientation — see [[parseJpegOriented]]: the
+    // decode→orient composition (all 8 tag values exercised across
+    // the fixture arms), oriented position-weighted sums folded in
+    // ONE pass through the pixel-sink tap. Map-only single scan like
+    // every decode stage; closes the decode→orient→dHash chain real
+    // image dedup runs.
+    "q_jpeg_oriented" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, h) =>
+          parseJpegOriented(id, jpegExifBytes(h))
+        })
+        .toDF().orderBy("doc_id")
+    }),
+
     "q_multimodal_decode_gzip" -> ((s, dir) => {
       import s.implicits._
       val payloads = Tables(s, dir, "documents")
@@ -4728,6 +4828,89 @@ object Multimodal {
         .select(col("doc_id"), col("frame"), col("checksum"))
         .orderBy("doc_id", "frame")
     }))
+
+  /** Shared pixel-model prefix (hx→jr) of the JPEG twins: the
+    * frequency-domain fixture decoded as a pure md5 function per
+    * (x, y) — doc arms in `jd`, per-pixel RGB in `jr`. Shared by
+    * q_multimodal_decode_jpeg and q_jpeg_oriented so the oriented
+    * row provably reads the SAME pixels the decode row gates. */
+  private lazy val jpegPixelCtes: String = s"""
+      WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+      jb AS (SELECT doc_id, h, ${byteAt(0)} AS b0, ${byteAt(1)} AS b1,
+               ${byteAt(7)} AS b7, ${byteAt(8)} AS b8, ${byteAt(9)} AS b9,
+               ${byteAt(11)} AS b11, ${byteAt(12)} AS b12,
+               ${byteAt(13)} AS b13
+             FROM hx),
+      jd AS (SELECT doc_id, h,
+               b11 % 16 = 9 AS badmagic,
+               -- the progressive arm decodes to the SAME pixels, so it
+               -- needs no status column; 12-bit precision is the one
+               -- remaining header-probe-only arm
+               b11 % 16 <> 9 AND b7 % 8 = 3 AS prec12,
+               b11 % 16 <> 9 AND b12 % 16 <> 11 AND b13 % 8 = 5 AS trunc,
+               b9 % 8 = 6 AS gray,
+               b9 % 8 <> 6 AND b8 % 4 = 2 AS sub420,
+               b9 % 8 <> 6 AND b8 % 4 = 1 AS sub422,
+               (CASE WHEN b9 % 8 <> 6 AND b8 % 4 IN (1, 2) THEN 16
+                     ELSE 8 END) * (1 + b0 % 2) AS w,
+               (CASE WHEN b9 % 8 <> 6 AND b8 % 4 = 2 THEN 16 ELSE 8 END)
+                 * (1 + b1 % 2) AS hh
+             FROM jb),
+      jpx AS (SELECT doc_id, h, gray, sub420, sub422, w,
+                i % w AS x, i // w AS y,
+                ((i // w) // 8) * (w // 8) + (i % w) // 8 AS bi,
+                -- 4:2:0 chroma grain: one block per 16×16 MCU, sampled
+                -- at the floor-mapped (x/2, y/2) within-MCU position
+                ((i // w) // 16) * (w // 16) + (i % w) // 16 AS bic,
+                -- 4:2:2 chroma grain: one block per 16×8 MCU, halved
+                -- horizontally only — floor-mapped (x/2, y)
+                ((i // w) // 8) * (w // 16) + (i % w) // 16 AS bic2,
+                (list_value(1,-1,-1,1,1,-1,-1,1)[(i % w) % 8 + 1] *
+                 list_value(1,-1,-1,1,1,-1,-1,1)[(i // w) % 8 + 1]) AS sg,
+                (list_value(1,-1,-1,1,1,-1,-1,1)[((i % w) % 16) // 2 + 1] *
+                 list_value(1,-1,-1,1,1,-1,-1,1)[((i // w) % 16) // 2 + 1])
+                  AS sgc,
+                (list_value(1,-1,-1,1,1,-1,-1,1)[((i % w) % 16) // 2 + 1] *
+                 list_value(1,-1,-1,1,1,-1,-1,1)[(i // w) % 8 + 1]) AS sgc2
+              FROM jd, UNNEST(generate_series(0, w * hh - 1)) AS u(i)
+              WHERE NOT badmagic AND NOT prec12 AND NOT trunc),
+      jv AS (SELECT doc_id, x, y,
+               128 + (${byteAtE("2 + 3 * 0 + bi")} % 48 - 24) +
+                 (${byteAtE("7 + 2 * 0 + bi")} % 32 - 16) * sg AS yv,
+               CASE WHEN gray THEN 128
+                    WHEN sub420 THEN
+                      128 + (${byteAtE("2 + 3 * 1 + bic")} % 48 - 24) +
+                        (${byteAtE("7 + 2 * 1 + bic")} % 32 - 16) * sgc
+                    WHEN sub422 THEN
+                      128 + (${byteAtE("2 + 3 * 1 + bic2")} % 48 - 24) +
+                        (${byteAtE("7 + 2 * 1 + bic2")} % 32 - 16) * sgc2
+                    ELSE
+                      128 + (${byteAtE("2 + 3 * 1 + bi")} % 48 - 24) +
+                        (${byteAtE("7 + 2 * 1 + bi")} % 32 - 16) * sg
+                    END AS cb,
+               CASE WHEN gray THEN 128
+                    WHEN sub420 THEN
+                      128 + (${byteAtE("2 + 3 * 2 + bic")} % 48 - 24) +
+                        (${byteAtE("7 + 2 * 2 + bic")} % 32 - 16) * sgc
+                    WHEN sub422 THEN
+                      128 + (${byteAtE("2 + 3 * 2 + bic2")} % 48 - 24) +
+                        (${byteAtE("7 + 2 * 2 + bic2")} % 32 - 16) * sgc2
+                    ELSE
+                      128 + (${byteAtE("2 + 3 * 2 + bi")} % 48 - 24) +
+                        (${byteAtE("7 + 2 * 2 + bi")} % 32 - 16) * sg
+                    END AS cr
+             FROM jpx),
+      jr AS (SELECT doc_id, x, y,
+               least(255, greatest(0, yv +
+                 ((91881 * (cr - 128) + 32768 + 1073741824) // 65536)
+                 - 16384)) AS r,
+               least(255, greatest(0, yv -
+                 ((22554 * (cb - 128) + 46802 * (cr - 128) + 32768
+                   + 1073741824) // 65536) + 16384)) AS g,
+               least(255, greatest(0, yv +
+                 ((116130 * (cb - 128) + 32768 + 1073741824) // 65536)
+                 - 16384)) AS bb
+             FROM jv)"""
 
   val oracles: Map[String, String] = Map(
     "q_multimodal_decode" -> s"""
@@ -5688,83 +5871,7 @@ object Multimodal {
     // frequency-domain fixture encodes (128 + d0 + d4·σσ per
     // component), then the SAME offset-floor-div integer YCbCr→RGB as
     // the decoder — never an IDCT, never the bytes.
-    "q_multimodal_decode_jpeg" -> s"""
-      WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
-      jb AS (SELECT doc_id, h, ${byteAt(0)} AS b0, ${byteAt(1)} AS b1,
-               ${byteAt(7)} AS b7, ${byteAt(8)} AS b8, ${byteAt(9)} AS b9,
-               ${byteAt(11)} AS b11, ${byteAt(12)} AS b12,
-               ${byteAt(13)} AS b13
-             FROM hx),
-      jd AS (SELECT doc_id, h,
-               b11 % 16 = 9 AS badmagic,
-               -- the progressive arm decodes to the SAME pixels, so it
-               -- needs no status column; 12-bit precision is the one
-               -- remaining header-probe-only arm
-               b11 % 16 <> 9 AND b7 % 8 = 3 AS prec12,
-               b11 % 16 <> 9 AND b12 % 16 <> 11 AND b13 % 8 = 5 AS trunc,
-               b9 % 8 = 6 AS gray,
-               b9 % 8 <> 6 AND b8 % 4 = 2 AS sub420,
-               b9 % 8 <> 6 AND b8 % 4 = 1 AS sub422,
-               (CASE WHEN b9 % 8 <> 6 AND b8 % 4 IN (1, 2) THEN 16
-                     ELSE 8 END) * (1 + b0 % 2) AS w,
-               (CASE WHEN b9 % 8 <> 6 AND b8 % 4 = 2 THEN 16 ELSE 8 END)
-                 * (1 + b1 % 2) AS hh
-             FROM jb),
-      jpx AS (SELECT doc_id, h, gray, sub420, sub422, w,
-                i % w AS x, i // w AS y,
-                ((i // w) // 8) * (w // 8) + (i % w) // 8 AS bi,
-                -- 4:2:0 chroma grain: one block per 16×16 MCU, sampled
-                -- at the floor-mapped (x/2, y/2) within-MCU position
-                ((i // w) // 16) * (w // 16) + (i % w) // 16 AS bic,
-                -- 4:2:2 chroma grain: one block per 16×8 MCU, halved
-                -- horizontally only — floor-mapped (x/2, y)
-                ((i // w) // 8) * (w // 16) + (i % w) // 16 AS bic2,
-                (list_value(1,-1,-1,1,1,-1,-1,1)[(i % w) % 8 + 1] *
-                 list_value(1,-1,-1,1,1,-1,-1,1)[(i // w) % 8 + 1]) AS sg,
-                (list_value(1,-1,-1,1,1,-1,-1,1)[((i % w) % 16) // 2 + 1] *
-                 list_value(1,-1,-1,1,1,-1,-1,1)[((i // w) % 16) // 2 + 1])
-                  AS sgc,
-                (list_value(1,-1,-1,1,1,-1,-1,1)[((i % w) % 16) // 2 + 1] *
-                 list_value(1,-1,-1,1,1,-1,-1,1)[(i // w) % 8 + 1]) AS sgc2
-              FROM jd, UNNEST(generate_series(0, w * hh - 1)) AS u(i)
-              WHERE NOT badmagic AND NOT prec12 AND NOT trunc),
-      jv AS (SELECT doc_id, x, y,
-               128 + (${byteAtE("2 + 3 * 0 + bi")} % 48 - 24) +
-                 (${byteAtE("7 + 2 * 0 + bi")} % 32 - 16) * sg AS yv,
-               CASE WHEN gray THEN 128
-                    WHEN sub420 THEN
-                      128 + (${byteAtE("2 + 3 * 1 + bic")} % 48 - 24) +
-                        (${byteAtE("7 + 2 * 1 + bic")} % 32 - 16) * sgc
-                    WHEN sub422 THEN
-                      128 + (${byteAtE("2 + 3 * 1 + bic2")} % 48 - 24) +
-                        (${byteAtE("7 + 2 * 1 + bic2")} % 32 - 16) * sgc2
-                    ELSE
-                      128 + (${byteAtE("2 + 3 * 1 + bi")} % 48 - 24) +
-                        (${byteAtE("7 + 2 * 1 + bi")} % 32 - 16) * sg
-                    END AS cb,
-               CASE WHEN gray THEN 128
-                    WHEN sub420 THEN
-                      128 + (${byteAtE("2 + 3 * 2 + bic")} % 48 - 24) +
-                        (${byteAtE("7 + 2 * 2 + bic")} % 32 - 16) * sgc
-                    WHEN sub422 THEN
-                      128 + (${byteAtE("2 + 3 * 2 + bic2")} % 48 - 24) +
-                        (${byteAtE("7 + 2 * 2 + bic2")} % 32 - 16) * sgc2
-                    ELSE
-                      128 + (${byteAtE("2 + 3 * 2 + bi")} % 48 - 24) +
-                        (${byteAtE("7 + 2 * 2 + bi")} % 32 - 16) * sg
-                    END AS cr
-             FROM jpx),
-      jr AS (SELECT doc_id, x, y,
-               least(255, greatest(0, yv +
-                 ((91881 * (cr - 128) + 32768 + 1073741824) // 65536)
-                 - 16384)) AS r,
-               least(255, greatest(0, yv -
-                 ((22554 * (cb - 128) + 46802 * (cr - 128) + 32768
-                   + 1073741824) // 65536) + 16384)) AS g,
-               least(255, greatest(0, yv +
-                 ((116130 * (cb - 128) + 32768 + 1073741824) // 65536)
-                 - 16384)) AS bb
-             FROM jv),
+    "q_multimodal_decode_jpeg" -> (jpegPixelCtes + s""",
       jst AS (SELECT doc_id, CAST(sum(r) AS BIGINT) AS r_sum,
                 CAST(sum(g) AS BIGINT) AS g_sum,
                 CAST(sum(bb) AS BIGINT) AS b_sum,
@@ -5788,7 +5895,51 @@ object Multimodal {
                   ELSE CAST((w // 8) * (hh // 8) * 3 AS INT) END AS n_blocks,
              r_sum, g_sum, b_sum, px_min, px_max, row0_sum
       FROM jd LEFT JOIN jst USING (doc_id)
-      ORDER BY jd.doc_id""",
+      ORDER BY jd.doc_id"""),
+    // Oriented twin: the SAME pixel model, with the Exif-fixture's
+    // orientation byte model (1 + b3 % 8; default 1 on the no-APP1 /
+    // bad-TIFF / bad-magic arms) applied as the 8 exact index maps,
+    // then the position-weighted sums over ORIENTED coordinates.
+    "q_jpeg_oriented" -> (jpegPixelCtes + s""",
+      ob AS (SELECT doc_id, ${byteAt(3)} AS ob3, ${byteAt(5)} AS ob5,
+               ${byteAt(6)} AS ob6
+             FROM hx),
+      ori AS (SELECT jd.doc_id, w, hh, badmagic, prec12, trunc,
+                CASE WHEN NOT badmagic AND ob6 % 8 <> 1 AND ob5 % 8 <> 2
+                     THEN 1 + ob3 % 8 ELSE 1 END AS orient
+              FROM jd JOIN ob USING (doc_id)),
+      opx AS (SELECT jr.doc_id, orient,
+                CASE WHEN orient IN (2, 3) THEN w - 1 - x
+                     WHEN orient IN (5, 8) THEN y
+                     WHEN orient IN (6, 7) THEN hh - 1 - y
+                     ELSE x END AS ox,
+                CASE WHEN orient IN (3, 4) THEN hh - 1 - y
+                     WHEN orient IN (5, 6) THEN x
+                     WHEN orient IN (7, 8) THEN w - 1 - x
+                     ELSE y END AS oy,
+                CASE WHEN orient >= 5 THEN hh ELSE w END AS ow,
+                r, g, bb
+              FROM jr JOIN ori USING (doc_id)),
+      ost AS (SELECT doc_id,
+                CAST(sum((r + 2 * g + 3 * bb) *
+                  ((oy * ow + ox) % 997)) AS BIGINT) AS o_checksum,
+                CAST(sum(CASE WHEN oy = 0
+                  THEN (ox + 1) * (r + g + bb) ELSE 0 END)
+                  AS BIGINT) AS o_row0_wsum,
+                CAST(sum(r) AS BIGINT) AS r_sum
+              FROM opx GROUP BY doc_id)
+      SELECT ori.doc_id,
+             CASE WHEN badmagic THEN 'bad_magic'
+                  WHEN prec12 THEN 'unsupported'
+                  WHEN trunc THEN 'truncated' ELSE 'ok' END AS status,
+             CAST(orient AS INT) AS orientation,
+             CASE WHEN badmagic THEN NULL WHEN orient >= 5
+                  THEN CAST(hh AS INT) ELSE CAST(w AS INT) END AS ow,
+             CASE WHEN badmagic THEN NULL WHEN orient >= 5
+                  THEN CAST(w AS INT) ELSE CAST(hh AS INT) END AS oh,
+             o_checksum, o_row0_wsum, r_sum
+      FROM ori LEFT JOIN ost USING (doc_id)
+      ORDER BY ori.doc_id"""),
     "q_multimodal_decode_png" -> s"""
       WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
       b AS (SELECT doc_id, ${byteAt(0)} AS b0, ${byteAt(1)} AS b1,

@@ -72,7 +72,8 @@ object DecoderFuzzProps extends Properties("Multimodal.decoders") {
       Multimodal.resizePpm(1L, bs, 2, 2).status.nonEmpty &&
       Multimodal.dhashPpm(1L, bs).status.nonEmpty &&
       Multimodal.parseJpeg(1L, bs).status.nonEmpty &&
-      Multimodal.parseJpegExif(1L, bs).status.nonEmpty
+      Multimodal.parseJpegExif(1L, bs).status.nonEmpty &&
+      Multimodal.parseJpegOriented(1L, bs).status.nonEmpty
   }
 }
 
@@ -113,8 +114,11 @@ class DecoderTruncationSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(Multimodal.parseJpeg(1L, jfull.take(n)).status.nonEmpty)
     assert(Multimodal.parseJpegExif(1L, null).status == "bad_magic")
     val xfull = Multimodal.jpegExifBytes(h)
-    for (n <- 0 to xfull.length)
+    for (n <- 0 to xfull.length) {
       assert(Multimodal.parseJpegExif(1L, xfull.take(n)).status.nonEmpty)
+      assert(Multimodal.parseJpegOriented(1L, xfull.take(n)).status.nonEmpty)
+    }
+    assert(Multimodal.parseJpegOriented(1L, null).status == "bad_magic")
   }
 
   test("tgz layering: healthy wrapper is transparent, arms attribute the layer") {

@@ -676,6 +676,99 @@ class MultimodalSpec extends graft.SparkSuite {
     assert(Multimodal.parseJpeg(4L, bytes.dropRight(5)).status == "truncated")
   }
 
+  test("JPEG oriented sweep: 300 Exif files match the independent oriented model") {
+    // Independent model: the SAME per-pixel recomputation as the JPEG
+    // sweep, composed with the Exif fixture's orientation byte model
+    // (1 + b3 % 8; default 1 on the no-APP1 / bad-TIFF arms) applied
+    // as the 8 index maps — none of the decoder's or the sink's
+    // machinery. Every one of the 8 tag values must fire on the
+    // exact-match path, or the map for that value is untested.
+    val sig = Array(1, -1, -1, 1, 1, -1, -1, 1)
+    def fd(x: Long): Int = (((x + 32768L + (1L << 30)) >> 16) - 16384L).toInt
+    def cl(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+    var oks = 0
+    val orientOks = new Array[Int](9)
+    for (i <- 0 until 300) {
+      val h = md5hex(s"jpeg-osweep-$i")
+      val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
+      val badMagic = b(11) % 16 == 9
+      val prog = !badMagic && b(12) % 16 == 11
+      val prec12 = !badMagic && b(7) % 8 == 3
+      val trunc = !badMagic && !prog && b(13) % 8 == 5
+      val gray = b(9) % 8 == 6
+      val sub420 = !gray && b(8) % 4 == 2
+      val sub422 = !gray && !sub420 && b(8) % 4 == 1
+      val wScale = if (sub420 || sub422) 16 else 8
+      val hScale = if (sub420) 16 else 8
+      val w = wScale * (1 + b(0) % 2); val hgt = hScale * (1 + b(1) % 2)
+      val orient =
+        if (badMagic || b(6) % 8 == 1 || b(5) % 8 == 2) 1
+        else 1 + b(3) % 8
+      val m = Multimodal.parseJpegOriented(
+        i.toLong, Multimodal.jpegExifBytes(h))
+      val expected =
+        if (badMagic) "bad_magic"
+        else if (prec12) "unsupported"
+        else if (trunc) "truncated" else "ok"
+      assert(m.status == expected, s"$h: ${m.status} != $expected")
+      assert(m.orientation == orient, s"$h orient")
+      if (expected != "bad_magic") {
+        assert(m.ow.contains(if (orient >= 5) hgt else w), s"$h ow")
+        assert(m.oh.contains(if (orient >= 5) w else hgt), s"$h oh")
+      }
+      if (expected == "ok") {
+        oks += 1; orientOks(orient) += 1
+        var chk = 0L; var row0w = 0L; var rs = 0L
+        for (y <- 0 until hgt; x <- 0 until w) {
+          val bi = (y / 8) * (w / 8) + x / 8
+          val sg = sig(x % 8) * sig(y % 8)
+          def v(c: Int) = 128 + (b((2 + 3 * c + bi) % 16) % 48 - 24) +
+            (b((7 + 2 * c + bi) % 16) % 32 - 16) * sg
+          val bic = (y / 16) * (w / 16) + x / 16
+          val sgc = sig((x % 16) / 2) * sig((y % 16) / 2)
+          def vc(c: Int) = 128 + (b((2 + 3 * c + bic) % 16) % 48 - 24) +
+            (b((7 + 2 * c + bic) % 16) % 32 - 16) * sgc
+          val bic2 = (y / 8) * (w / 16) + x / 16
+          val sgc2 = sig((x % 16) / 2) * sig(y % 8)
+          def vc2(c: Int) = 128 + (b((2 + 3 * c + bic2) % 16) % 48 - 24) +
+            (b((7 + 2 * c + bic2) % 16) % 32 - 16) * sgc2
+          val yv = v(0)
+          val (cb, cr) =
+            if (gray) (128, 128)
+            else if (sub420) (vc(1), vc(2))
+            else if (sub422) (vc2(1), vc2(2))
+            else (v(1), v(2))
+          val r = cl(yv + fd(91881L * (cr - 128)))
+          val g = cl(yv - fd(22554L * (cb - 128) + 46802L * (cr - 128)))
+          val bb = cl(yv + fd(116130L * (cb - 128)))
+          val ox = orient match {
+            case 2 | 3 => w - 1 - x
+            case 5 | 8 => y
+            case 6 | 7 => hgt - 1 - y
+            case _ => x
+          }
+          val oy = orient match {
+            case 3 | 4 => hgt - 1 - y
+            case 5 | 6 => x
+            case 7 | 8 => w - 1 - x
+            case _ => y
+          }
+          val ow = if (orient >= 5) hgt else w
+          chk += (r + 2L * g + 3L * bb) * ((oy.toLong * ow + ox) % 997L)
+          if (oy == 0) row0w += (ox + 1L) * (r + g + bb)
+          rs += r
+        }
+        assert(m.o_checksum.contains(chk), s"$h checksum")
+        assert(m.o_row0_wsum.contains(row0w), s"$h row0")
+        assert(m.r_sum.contains(rs), s"$h r_sum")
+      } else
+        assert(m.o_checksum.isEmpty && m.o_row0_wsum.isEmpty, s"$h arm")
+    }
+    assert(oks > 100, s"only $oks ok fixtures")
+    for (o <- 1 to 8)
+      assert(orientOks(o) > 0, s"orientation $o never fired on the ok path")
+  }
+
   test("JPEG restart intervals: DRI fixtures carry RSTm and decode identically") {
     // find a multi-MCU DRI-armed fixture; its bytes must carry the DRI
     // segment and at least one restart marker, decode 'ok', and a

@@ -225,6 +225,49 @@ object Dedup {
         " THEN concat(':', port) ELSE '' END, path, " +
         "CASE WHEN params != '' THEN concat('?', params) ELSE '' END)"))
 
+  /** Per-doc URL-FILTER routing decision (doc_id, url, canon, reason)
+    * — the stateless scan projection under q_url_filter's census:
+    * synth + canonicalizer + first-matching-rule CASE, zero joins.
+    * Frame-taking so [[graft.streaming.Streams.urlFilterGate]] runs
+    * the IDENTICAL projection per micro-batch; the census is the
+    * consumer's one-line groupBy. */
+  private[graft] def urlFilterDecisionsOn(docs: DataFrame): DataFrame =
+    canonicalizeUrl(docs
+      .withColumn("h", md5(col("text")))
+      .withColumn("url", expr(urlSynthSql)))
+      .withColumn("reason", expr(
+        s"case when host_l in ($urlBlocklistSql) then 'blocked_domain' " +
+          "when port not in ('', '80', '443') then 'trap_port' " +
+          "when (case when params = '' then 0 " +
+          "else size(split(params, '&')) end) >= 2 then 'trap_params' " +
+          "else 'kept' end"))
+      .select(col("doc_id"), col("url"), col("canon"), col("reason"))
+
+  /** Per-doc ROBOTS decision (doc_id, domain, path, disallow,
+    * blocked) — the stateless scan projection under q_robots_filter's
+    * census: robots synth + the sectioned line-state parser + the
+    * prefix match, zero joins. Frame-taking for
+    * [[graft.streaming.Streams.robotsGate]] (same contract as
+    * [[urlFilterDecisionsOn]]). */
+  private[graft] def robotsDecisionsOn(docs: DataFrame): DataFrame =
+    canonicalizeUrl(docs
+      .withColumn("h", md5(col("text")))
+      .withColumn("url", expr(urlSynthSql)))
+      .withColumn("hh", md5(col("host_l")))
+      .withColumn("robots", expr(
+        "concat('User-agent: GoodBot\nDisallow: /p', " +
+          "cast(conv(substring(hh, 3, 1), 16, 10) as int), " +
+          "'\nUser-agent: *\nDisallow: /p', " +
+          "cast(conv(substring(hh, 1, 1), 16, 10) as int), " +
+          "'\nDisallow: /p', " +
+          "cast(conv(substring(hh, 2, 1), 16, 10) as int), " +
+          "'\nCrawl-delay: 1\n')"))
+      .withColumn("pfx", expr(robotsParseExpr))
+      .withColumn("blocked",
+        expr("exists(pfx, p -> startswith(path, p))"))
+      .select(col("doc_id"), col("host_l").as("domain"), col("path"),
+        expr("array_join(pfx, ',')").as("disallow"), col("blocked"))
+
   /** Exact integer dot product of two quantized vectors — graft's
     * native codegen expression (functions/ArrayNumeric.scala). */
   private[llm] val dotExpr = "dot_long(qa, qb)"
@@ -923,22 +966,12 @@ object Dedup {
     // one codegen scan projection feeding a 4-row aggregate — zero
     // joins (the deny list is a literal IN; a file-fed list would be
     // a broadcast semi join, same plan class).
-    "q_url_filter" -> ((s, dir) => {
-      val canon = canonicalizeUrl(Tables(s, dir, "documents")
-        .withColumn("h", md5(col("text")))
-        .withColumn("url", expr(urlSynthSql)))
-      canon
-        .withColumn("reason", expr(
-          s"case when host_l in ($urlBlocklistSql) then 'blocked_domain' " +
-            "when port not in ('', '80', '443') then 'trap_port' " +
-            "when (case when params = '' then 0 " +
-            "else size(split(params, '&')) end) >= 2 then 'trap_params' " +
-            "else 'kept' end"))
+    "q_url_filter" -> ((s, dir) =>
+      urlFilterDecisionsOn(Tables(s, dir, "documents"))
         .groupBy(col("reason"))
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("canon")).as("n_urls"))
-        .orderBy("reason")
-    }),
+        .orderBy("reason")),
 
     // ROBOTS.TXT gate — the crawl-politeness stage between the URL
     // filter and the fetch: each domain's robots.txt is PARSED for
@@ -958,30 +991,13 @@ object Dedup {
     // ONE domain-keyed aggregate ends the plan (at deployment robots
     // bodies come from a fetched side table — a broadcast join by
     // domain, same plan class).
-    "q_robots_filter" -> ((s, dir) => {
-      val canon = canonicalizeUrl(Tables(s, dir, "documents")
-        .withColumn("h", md5(col("text")))
-        .withColumn("url", expr(urlSynthSql)))
-      canon
-        .withColumn("hh", md5(col("host_l")))
-        .withColumn("robots", expr(
-          "concat('User-agent: GoodBot\nDisallow: /p', " +
-            "cast(conv(substring(hh, 3, 1), 16, 10) as int), " +
-            "'\nUser-agent: *\nDisallow: /p', " +
-            "cast(conv(substring(hh, 1, 1), 16, 10) as int), " +
-            "'\nDisallow: /p', " +
-            "cast(conv(substring(hh, 2, 1), 16, 10) as int), " +
-            "'\nCrawl-delay: 1\n')"))
-        .withColumn("pfx", expr(robotsParseExpr))
-        .withColumn("blocked",
-          expr("exists(pfx, p -> startswith(path, p))"))
-        .groupBy(col("host_l").as("domain"),
-          expr("array_join(pfx, ',')").as("disallow"))
+    "q_robots_filter" -> ((s, dir) =>
+      robotsDecisionsOn(Tables(s, dir, "documents"))
+        .groupBy(col("domain"), col("disallow"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked"),
           sum(when(!col("blocked"), 1L).otherwise(0L)).as("n_allowed"))
-        .orderBy("domain")
-    }),
+        .orderBy("domain")),
 
     // Per-DOMAIN crawl census — the blocklist-candidate artifact crawl
     // ops maintain (a domain with high dup_rate is boilerplate/mirror
@@ -1151,6 +1167,36 @@ object Dedup {
       val pairs = jaccardFinish(bruteInter(sh), sh, 0.8)
         .select(col("d1"), col("d2"))
       keepers(pairs).orderBy("doc_id") // eager: loop ran when this returns
+    }),
+
+    // DELETION PROPAGATION (right-to-be-forgotten) — the compliance
+    // op every production corpus store needs: tombstone a doc set
+    // (doc_id % 17 = 0 — at deployment the list arrives as a table)
+    // and PROPAGATE through the near-dup cluster layer: pairs
+    // touching a tombstone drop, keepers re-elect over the surviving
+    // graph, and the census classifies every before-cluster by what
+    // the deletion did to it — gone (no survivors), dissolved
+    // (survivors but no surviving pairs), split (the forgotten doc
+    // was a bridge), keeper_reelected (the old keeper was
+    // tombstoned), shrunk, unchanged. n_docs_before/after make the
+    // doc-level cost visible. Index artifacts need no explicit
+    // invalidation: the post-delete corpus has a NEW IndexStore
+    // content fingerprint, so every dependent artifact is
+    // structurally missing and rebuilds (IndexStoreSpec pins this).
+    // Scale shape: the pair pipeline runs ONCE (persisted), both
+    // keeper elections are the CC loop over pair-sized frames, and
+    // the census is two keeper-keyed aggregates.
+    "q_forget_docs" -> ((s, dir) => {
+      val sh = shingles(s, dir)
+      val pairs = jaccardFinish(bruteInter(sh), sh, 0.8)
+        .select(col("d1"), col("d2")).persist(StorageLevel.MEMORY_AND_DISK)
+      pairs.count() // run the verify tree once, at full parallelism
+      val before = keepers(pairs).withColumnRenamed("keeper", "kb")
+      val after = keepers(pairs
+          .filter(col("d1") % 17 =!= 0 && col("d2") % 17 =!= 0))
+        .withColumnRenamed("keeper", "ka")
+      pairs.unpersist(false)
+      forgetCensus(before, after)
     }),
 
     // Same clusters via large-star/small-star contraction — the
@@ -1748,6 +1794,79 @@ object Dedup {
       SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS keeper
       FROM r GROUP BY a ORDER BY doc_id"""
 
+  /** Classification census of [[queries]]' q_forget_docs given the
+    * before (doc_id, kb) and after (doc_id, ka) keeper frames — split
+    * out so DedupClusterSpec can drive ALL SIX change classes through
+    * synthetic keeper tables (the real fixtures' near-dup clusters
+    * are mostly pairs, which can never split or re-elect). */
+  private[graft] def forgetCensus(before: DataFrame,
+      after: DataFrame): DataFrame =
+    before.join(after, Seq("doc_id"), "left")
+      .groupBy(col("kb"))
+      .agg(count(lit(1)).as("n_b"),
+        sum(when(col("doc_id") % 17 =!= 0, 1L).otherwise(0L))
+          .as("n_surv"),
+        count(col("ka")).as("n_after"),
+        countDistinct(col("ka")).as("n_ka"),
+        min(col("ka")).as("new_k"))
+      .withColumn("change_class", expr(
+        "case when n_surv = 0 then 'gone' " +
+          "when n_after = 0 then 'dissolved' " +
+          "when n_ka >= 2 then 'split' " +
+          "when new_k <> kb then 'keeper_reelected' " +
+          "when n_after < n_b then 'shrunk' " +
+          "else 'unchanged' end"))
+      .groupBy(col("change_class"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("n_b")).as("n_docs_before"),
+        sum(col("n_after")).as("n_docs_after"))
+      .orderBy("change_class")
+
+  /** Deletion-propagation twin ([[clusterSql]]'s recursive transitive
+    * closure run TWICE — full pair set and survivor-filtered pair
+    * set), then the per-before-cluster classification census. */
+  private lazy val forgetSql: String =
+    "WITH RECURSIVE " + SH.stripPrefix("WITH ") + """,
+      inter AS (SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS inter
+                FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      pairs AS (SELECT d1, d2 FROM inter
+                JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+                WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.8),
+      sym AS (SELECT d1 AS a, d2 AS b FROM pairs
+              UNION SELECT d2, d1 FROM pairs),
+      r(a, b) AS (SELECT DISTINCT a, a FROM sym
+                  UNION
+                  SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a),
+      bk AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS kb
+             FROM r GROUP BY a),
+      pairs2 AS (SELECT d1, d2 FROM pairs
+                 WHERE d1 % 17 <> 0 AND d2 % 17 <> 0),
+      sym2 AS (SELECT d1 AS a, d2 AS b FROM pairs2
+               UNION SELECT d2, d1 FROM pairs2),
+      r2(a, b) AS (SELECT DISTINCT a, a FROM sym2
+                   UNION
+                   SELECT r2.a, s.b FROM r2 JOIN sym2 s ON r2.b = s.a),
+      ak AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS ka
+             FROM r2 GROUP BY a),
+      cl AS (SELECT kb, count(*) AS n_b,
+               sum(CASE WHEN doc_id % 17 <> 0 THEN 1 ELSE 0 END) AS n_surv,
+               count(ka) AS n_after, count(DISTINCT ka) AS n_ka,
+               min(ka) AS new_k
+             FROM bk LEFT JOIN ak USING (doc_id) GROUP BY kb),
+      cls AS (SELECT CASE WHEN n_surv = 0 THEN 'gone'
+                   WHEN n_after = 0 THEN 'dissolved'
+                   WHEN n_ka >= 2 THEN 'split'
+                   WHEN new_k <> kb THEN 'keeper_reelected'
+                   WHEN n_after < n_b THEN 'shrunk'
+                   ELSE 'unchanged' END AS change_class, n_b, n_after
+             FROM cl)
+      SELECT change_class, count(*) AS n_clusters,
+             CAST(sum(n_b) AS BIGINT) AS n_docs_before,
+             CAST(sum(n_after) AS BIGINT) AS n_docs_after
+      FROM cls GROUP BY 1 ORDER BY change_class"""
+
   /** The CDC chunker twin over a (doc_id, text) source — identical
     * window hash (the '0x'||md5 idiom), identical boundary rule, 1-
     * based DuckDB list ops mirroring the 0-based Spark arrays. */
@@ -2025,6 +2144,7 @@ object Dedup {
       FROM tp LEFT JOIN cand c ON tp.d1 = c.d1 AND tp.d2 = c.d2"""),
     "q_dedup_lsh_tuning" -> lshTuningSql,
     "q_dedup_cluster" -> clusterSql,
+    "q_forget_docs" -> forgetSql,
     // identical expected output — the two CC algorithms must agree
     "q_dedup_cluster_bigstar" -> clusterSql,
     "q_dedup_simhash" -> (SH + simhashCtes + """

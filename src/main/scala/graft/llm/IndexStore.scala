@@ -107,6 +107,15 @@ object IndexStore {
     f.delete(); ()
   }
 
+  /** Probe: is `tag` already PUBLISHED for this corpus's CURRENT
+    * content fingerprint? Deletion propagation relies on this reading
+    * false after any corpus change (tombstoned docs included) — the
+    * artifact for the new fingerprint is structurally missing, so
+    * dependent indexes rebuild instead of serving deleted content
+    * (IndexStoreSpec's right-to-be-forgotten case). */
+  private[llm] def has(s: SparkSession, dir: String, tag: String): Boolean =
+    published(artifactDir(s, dir, tag))
+
   /** Load-or-build: returns the artifact as a parquet-backed frame.
     * `build` runs at most once per missing artifact; every other call
     * (and every other process — Verify, Bench, the driver's dop probe)

@@ -421,6 +421,10 @@ object Analytics {
       }.reduce(_ unionAll _).orderBy("iter")
     }),
 
+    // PageRank to CONVERGENCE — see [[pagerankConverged]].
+    "q_pagerank_converged" -> ((s, dir) =>
+      pagerankConverged(Tables.events(s, dir))),
+
     // Snapshot DIFF census — the change-data-feed audit beside
     // q_merge_upsert's MERGE: given two table versions, report per
     // change class (inserted / deleted / updated / unchanged) the row
@@ -618,24 +622,80 @@ object Analytics {
     val r0 = nodes.crossJoin(nnDf).select(col("node"),
       col("base").as("rank"))
     val ranks = (1 to 3).scanLeft(r0) { case (r, _) =>
-      val contrib = edges
-        .join(r.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outw, Seq("src"))
-        .select(col("dst").as("node"),
-          expr("(rank * w) div ow").as("flow"))
-        .groupBy(col("node")).agg(sum(col("flow")).as("inflow"))
-      val dang = r.join(outw, r("node") === outw("src"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
-        .crossJoin(nnDf)
-        .select(expr("case when nn = 0 then cast(0 as bigint) " +
-          "else dm div nn end").as("dshare"))
-      nodes.join(contrib, Seq("node"), "left")
-        .crossJoin(dang).crossJoin(nnDf)
-        .select(col("node"), expr(
-          "(15 * base + 85 * (coalesce(inflow, 0L) + dshare)) div 100")
-          .as("rank"))
+      prRound(nodes, edges, outw, nnDf, r)
     }
     (nodes, edges, outw, ranks)
+  }
+
+  /** ONE damped exact-integer PageRank round (shared by the fixed
+    * 3-iteration family and the iterate-until-ε loop): per-edge flow
+    * (rank·w) div ow, dangling mass redistributed uniformly, damping
+    * (15·base + 85·(inflow + dshare)) div 100 — all BIGINT floors. */
+  private def prRound(nodes: DataFrame, edges: DataFrame,
+      outw: DataFrame, nnDf: DataFrame, r: DataFrame): DataFrame = {
+    val contrib = edges
+      .join(r.withColumnRenamed("node", "src"), Seq("src"))
+      .join(outw, Seq("src"))
+      .select(col("dst").as("node"),
+        expr("(rank * w) div ow").as("flow"))
+      .groupBy(col("node")).agg(sum(col("flow")).as("inflow"))
+    val dang = r.join(outw, r("node") === outw("src"), "left_anti")
+      .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
+      .crossJoin(nnDf)
+      .select(expr("case when nn = 0 then cast(0 as bigint) " +
+        "else dm div nn end").as("dshare"))
+    nodes.join(contrib, Seq("node"), "left")
+      .crossJoin(dang).crossJoin(nnDf)
+      .select(col("node"), expr(
+        "(15 * base + 85 * (coalesce(inflow, 0L) + dshare)) div 100")
+        .as("rank"))
+  }
+
+  /** Iteration cap and ε of the CONVERGED PageRank row — shared by the
+    * Spark loop and the unrolled twin so both stop at the same round.
+    * ε = 1% of the 1e12 total mass: the damped residual decays ~0.85×
+    * per round, so convergence lands near round 25 at any SF (the cap
+    * is headroom, not the expected exit). */
+  private[graft] val PrEps = 10000000000L
+  private[graft] val PrCap = 40
+
+  /** PageRank to CONVERGENCE — the production form of the fixed-round
+    * family: iterate [[prRound]] until the L1 residual Σ|rᵢ − rᵢ₋₁|
+    * drops to ε (or the cap), then report every node's converged rank
+    * WITH the executed round count and the final residual. Loop
+    * discipline = the CC keeper election (Dedup.keepers): each round
+    * localCheckpoints (lineage cut — plan stays linear in rounds) and
+    * the convergence check reads ONE driver scalar per round (control
+    * flow, not data collection). The twin unrolls the cap and selects
+    * the first ε-round, so the gate pins rank vector AND round count.
+    * At 100 TB: the event-scale window pass runs once (checkpointed
+    * census); every round after is keyed joins over V-sized frames. */
+  private[graft] def pagerankConverged(events: DataFrame): DataFrame = {
+    val scale = 1000000000000L
+    val (nodes, edges, outw) = clickGraph(events)
+    val nnDf = nodes.agg(count(lit(1)).as("nn"))
+      .withColumn("base",
+        expr(s"case when nn = 0 then cast(0 as bigint) " +
+          s"else $scale div nn end"))
+      .localCheckpoint(true)
+    var r = nodes.crossJoin(nnDf)
+      .select(col("node"), col("base").as("rank"))
+      .localCheckpoint(true)
+    var iter = 0
+    var residual = Long.MaxValue
+    while (iter < PrCap && residual > PrEps) {
+      val next = prRound(nodes, edges, outw, nnDf, r).localCheckpoint(true)
+      residual = next
+        .join(r.withColumnRenamed("rank", "prev"), Seq("node"))
+        .agg(coalesce(sum(abs(col("rank") - col("prev"))), lit(0L)))
+        .head().getLong(0)
+      r = next
+      iter += 1
+    }
+    r.select(col("node"), col("rank"),
+        lit(iter).cast("int").as("n_iter"),
+        lit(residual).as("residual"))
+      .orderBy(col("rank").desc, col("node"))
   }
 
   /** Frame-taking HITS (body of q_hits) — ScaleProbe drives this on
@@ -719,6 +779,47 @@ object Analytics {
                     ELSE 1000000000000 // count(*) END AS base
              FROM nodes),
       r0 AS (SELECT node, CAST(base AS BIGINT) AS rank FROM nodes, nn),$iters"""
+  }
+
+  /** Converged-variant CTE suffix — appended to [[pagerankCtes]]: the
+    * SAME damped round unrolled to the CAP with an L1 residual per
+    * round, then the FIRST ε-round is selected — the twin of the
+    * Spark side's data-driven loop exit (the prefix-parameterized
+    * generator pattern: rounds past convergence compute harmlessly
+    * in the twin; the selection pins the same round the loop stopped
+    * at). cr$$i frames are ≤ V rows, so the cap-40 unroll stays tiny
+    * next to the one event-scale census they all share. */
+  private val pagerankConvergedCtes: String = {
+    val rounds = (1 to PrCap).map(i => s"""
+      ci$i AS (SELECT e.dst AS node,
+               CAST(sum((r.rank * e.w) // o.ow) AS BIGINT) AS inflow
+             FROM edges e JOIN cr${i - 1} r ON r.node = e.src
+             JOIN outw o ON o.src = e.src GROUP BY 1),
+      cd$i AS (SELECT CAST(CASE WHEN (SELECT n FROM nn) = 0 THEN 0
+               ELSE coalesce(sum(rank), 0) // (SELECT n FROM nn) END
+               AS BIGINT) AS dshare
+             FROM cr${i - 1} WHERE node NOT IN (SELECT src FROM edges)),
+      cr$i AS (SELECT nd.node,
+               CAST((15 * (SELECT base FROM nn) + 85 *
+                 (coalesce(ci$i.inflow, 0) + (SELECT dshare FROM cd$i)))
+                 // 100 AS BIGINT) AS rank
+             FROM nodes nd LEFT JOIN ci$i USING (node)),
+      cres$i AS (SELECT CAST(coalesce(sum(abs(a.rank - b.rank)), 0)
+                 AS BIGINT) AS res
+             FROM cr$i a JOIN cr${i - 1} b ON a.node = b.node)""")
+      .mkString(",")
+    val resRows = (1 to PrCap)
+      .map(i => s"SELECT $i AS i, (SELECT res FROM cres$i) AS res")
+      .mkString(" UNION ALL ")
+    val rankRows = (1 to PrCap)
+      .map(i => s"SELECT $i AS i, node, rank FROM cr$i")
+      .mkString(" UNION ALL ")
+    s""",
+      cr0 AS (SELECT node, rank FROM r0),$rounds,
+      crs AS ($resRows),
+      cpick AS (SELECT CAST(coalesce(min(i), $PrCap) AS INT) AS n_iter
+                FROM crs WHERE res <= $PrEps),
+      call AS ($rankRows)"""
   }
 
   /** Seeded-variant CTE suffix — appended to [[pagerankCtes]] (the
@@ -810,6 +911,12 @@ object Analytics {
       LEFT JOIN (SELECT dst AS node, CAST(sum(w) AS BIGINT) AS in_w
                  FROM edges GROUP BY 1) i USING (node)
       ORDER BY r3.rank DESC, r3.node""",
+    "q_pagerank_converged" -> s"""$pagerankCtes$pagerankConvergedCtes
+      SELECT a.node, a.rank, p.n_iter,
+             CAST(s.res AS BIGINT) AS residual
+      FROM call a JOIN cpick p ON a.i = p.n_iter
+      JOIN crs s ON s.i = p.n_iter
+      ORDER BY a.rank DESC, a.node""",
     "q_pagerank_mass" -> s"""$pagerankCtes
       ${(0 to 3).map(i => s"""
       SELECT $i AS iter,

@@ -472,6 +472,28 @@ object Streams {
   def c4Gate(delta: DataFrame): DataFrame =
     graft.ops.TextOps.c4LineGateOn(delta)
 
+  /** The URL-FILTER frontier gate streamed — the routing decision a
+    * continuous crawl makes per candidate URL BEFORE fetching:
+    * synth + canonicalizer + first-matching-rule CASE, all one
+    * codegen scan projection ([[graft.llm.Dedup.urlFilterDecisionsOn]]
+    * — identical rule arithmetic to q_url_filter). Stateless and
+    * exchange-free, so it streams unchanged in append mode; the
+    * per-reason census is the consumer's one-line groupBy.
+    * StreamsSpec pins batch parity, zero state, and the plan shape. */
+  def urlFilterGate(delta: DataFrame): DataFrame =
+    graft.llm.Dedup.urlFilterDecisionsOn(delta)
+
+  /** The ROBOTS politeness gate streamed — per-URL robots.txt parse
+    * (the real sectioned line-state machine) + disallow prefix match
+    * ([[graft.llm.Dedup.robotsDecisionsOn]] — identical to
+    * q_robots_filter's scan stage). Stateless and exchange-free like
+    * [[urlFilterGate]]; at deployment the robots body joins in from a
+    * fetched side table by domain (broadcast, same plan class) —
+    * the fixture synthesizes it scan-side, keeping the streamed plan
+    * join-free. StreamsSpec pins parity, zero state, plan shape. */
+  def robotsGate(delta: DataFrame): DataFrame =
+    graft.llm.Dedup.robotsDecisionsOn(delta)
+
   /** The q_pipeline_chunks funnel run INCREMENTALLY — the shape a
     * production ingest schedules continuously: the same scan-side
     * language/quality features and filters (literally the same

@@ -85,4 +85,38 @@ class DedupClusterSpec extends SparkSuite {
     val got = Dedup.keepers(noisy).as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
+
+  test("forget census classifies all six deletion outcomes") {
+    // synthetic before/after keeper frames (tombstone rule: % 17 = 0)
+    // exercising every change class, including the two the parquet
+    // fixtures' pair-dominated clusters can't produce — split (the
+    // tombstoned doc was a bridge) and keeper re-election:
+    //   unchanged: {1,2} kb=1, intact
+    //   shrunk:    {3,4,34} kb=3, 34 forgotten, keeper survives
+    //   reelected: {17,18,19} kb=17 forgotten, 18-19 re-pair under 18
+    //   gone:      {51,68} both forgotten
+    //   dissolved: {5,85} 85 forgotten, 5 left unpaired
+    //   split:     {6,7,8,9,102} kb=6, bridge 102 forgotten,
+    //              survivors split into {6,7} and {8,9}
+    val before = Seq(
+      1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 34L -> 3L,
+      17L -> 17L, 18L -> 17L, 19L -> 17L, 51L -> 51L, 68L -> 51L,
+      5L -> 5L, 85L -> 5L,
+      6L -> 6L, 7L -> 6L, 8L -> 6L, 9L -> 6L, 102L -> 6L)
+      .toDF("doc_id", "kb")
+    val after = Seq(
+      1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L,
+      18L -> 18L, 19L -> 18L,
+      6L -> 6L, 7L -> 6L, 8L -> 8L, 9L -> 8L)
+      .toDF("doc_id", "ka")
+    val got = Dedup.forgetCensus(before, after)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("dissolved", 1L, 2L, 0L),
+      ("gone", 1L, 2L, 0L),
+      ("keeper_reelected", 1L, 3L, 2L),
+      ("shrunk", 1L, 3L, 2L),
+      ("split", 1L, 5L, 4L),
+      ("unchanged", 1L, 2L, 2L)), s"census: $got")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.llm
 
 import graft.SparkSuite
+import org.apache.spark.sql.functions.{col, md5}
 
 /** Protocol tests for the persisted-index store: build-once-load-many
   * semantics, content round-trip, and the content-fingerprint key
@@ -67,5 +68,48 @@ class IndexStoreSpec extends SparkSuite {
       built3 = true; Seq(43L).toDF("a")
     }.collect()
     assert(built3, "changed corpus content must MISS the store and rebuild")
+  }
+
+  test("deletion propagation: a post-delete corpus misses the old artifact and rebuilds") {
+    // right-to-be-forgotten at the index layer (the q_forget_docs
+    // companion): artifacts are keyed by the corpus CONTENT
+    // fingerprint, so deleting documents changes the key — every
+    // dependent artifact is structurally missing for the post-delete
+    // corpus (no invalidation step to forget) and a rebuild over the
+    // survivors can never serve the deleted content. The pre-delete
+    // artifact stays published under its own fingerprint (audit
+    // trail; an actual purge is one directory delete).
+    val full = writeCorpus("forget-full")
+    val tag = "forget_probe"
+    var builds = 0
+    IndexStore.durableFrame(spark, full, tag) {
+      builds += 1
+      spark.read.parquet(s"$full/documents.parquet")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+    }.collect()
+    assert(builds == 1 && IndexStore.has(spark, full, tag))
+    // tombstone doc 1 — the SALTED doc 0 survives, so the post-delete
+    // corpus content (hence its fingerprint) is unique to this run and
+    // a previous test run's rebuild artifact can't alias it
+    val deleted = java.nio.file.Files
+      .createTempDirectory("graft_idx_del").toString
+    spark.read.parquet(s"$full/documents.parquet")
+      .filter(col("doc_id") =!= 1L)
+      .write.mode("overwrite").parquet(s"$deleted/documents.parquet")
+    spark.read.parquet(s"$full/embeddings.parquet")
+      .filter(col("vec_id") =!= 1L)
+      .write.mode("overwrite").parquet(s"$deleted/embeddings.parquet")
+    assert(!IndexStore.has(spark, deleted, tag),
+      "post-delete corpus must structurally MISS the old artifact")
+    val rebuilt = IndexStore.durableFrame(spark, deleted, tag) {
+      builds += 1
+      spark.read.parquet(s"$deleted/documents.parquet")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+    }.collect()
+    assert(builds == 2, "the survivor corpus must REBUILD, not load")
+    assert(rebuilt.map(_.getLong(0)).toSet == Set(0L),
+      "the rebuilt artifact must carry survivors only")
+    assert(IndexStore.has(spark, full, tag),
+      "the pre-delete artifact stays under its own fingerprint")
   }
 }

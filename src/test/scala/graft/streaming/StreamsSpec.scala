@@ -729,6 +729,63 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("URL-filter and robots gates stream statelessly and agree with the batch census") {
+    // both crawl-frontier gates must (1) plan with no Exchange (pure
+    // scan projections), (2) stream with no state and exact per-doc
+    // batch parity, and (3) roll up to exactly the registered census
+    // rows when the consumer groupBys the streamed decisions
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val urlBatch = Streams.urlFilterGate(docs)
+    val robBatch = Streams.robotsGate(docs)
+    for ((df, n) <- Seq((urlBatch, "url"), (robBatch, "robots")))
+      assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+        s"$n gate must be a pure scan-side projection")
+    // census parity: consumer rollup == the registered gated queries
+    val urlCensus = urlBatch.groupBy("reason")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canon")).as("n_urls"))
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    val urlWant = graft.llm.Dedup.queries("q_url_filter")(spark, sf)
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(urlCensus.toSeq == urlWant.toSeq, "url census mismatch")
+    val urlRows = urlBatch.select("doc_id", "reason")
+      .as[(Long, String)].collect().toMap
+    val robRows = robBatch.select("doc_id", "domain", "disallow", "blocked")
+      .as[(Long, String, String, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    val in = MemoryStream[(Long, String)]
+    val src = in.toDF().toDF("doc_id", "text")
+    val qu = Streams.urlFilterGate(src)
+      .writeStream.format("memory").queryName("urlgate")
+      .outputMode(OutputMode.Append()).start()
+    val qr = Streams.robotsGate(src)
+      .writeStream.format("memory").queryName("robgate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val rows = docs.select("doc_id", "text")
+        .as[(Long, String)].collect().take(40)
+      in.addData(rows.take(15).toSeq: _*)
+      qu.processAllAvailable(); qr.processAllAvailable()
+      in.addData(rows.drop(15).toSeq: _*)
+      qu.processAllAvailable(); qr.processAllAvailable()
+      val gotU = spark.table("urlgate").select("doc_id", "reason")
+        .as[(Long, String)].collect()
+      assert(gotU.length == 40)
+      gotU.foreach { case (id, r) =>
+        assert(urlRows(id) == r, s"url stream mismatch: doc $id") }
+      val gotR = spark.table("robgate")
+        .select("doc_id", "domain", "disallow", "blocked")
+        .as[(Long, String, String, Boolean)].collect()
+      assert(gotR.length == 40)
+      gotR.foreach(r =>
+        assert(robRows(r._1) == r, s"robots stream mismatch: doc ${r._1}"))
+      assert(qu.lastProgress.stateOperators.isEmpty)
+      assert(qr.lastProgress.stateOperators.isEmpty)
+    } finally { qu.stop(); qr.stop() }
+  }
+
   test("LR gate streams the standing-weight scoring statelessly") {
     // train in batch on the separable corpus (aa=en / bb=de — the
     // TextAnalysisSpec fixture), redeploy the 17-long artifact on a

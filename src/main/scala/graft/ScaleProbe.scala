@@ -626,6 +626,38 @@ object ScaleProbe {
       docs.unpersist(false)
     }
 
+    // PDF probe: N× the documents with shifted ids — a map-only
+    // synthesize→xref-walk→inflate→tokenize codec, so extraction
+    // censuses must scale ×N EXACTLY (ok count, total chars) while
+    // wall tracks the one scan; any superlinearity means the decode
+    // stage grew cross-row state it must not have.
+    if (want("pdf"))
+    locally {
+      val docs = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text")).persist()
+      val nDocs = docs.count()
+      val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      def timedPdf(mult: Int): Unit = {
+        val scaled = docs
+          .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
+            col("doc_id"), col("text"))
+          .select((col("doc_id") + col("i") * lit(stride)).as("doc_id"),
+            col("text"))
+        val t0 = System.nanoTime()
+        val r = graft.llm.Multimodal.pdfExtractStats(scaled)
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CASE WHEN status = 'ok' THEN 1L ELSE 0L END")).as("ok"),
+            sum(coalesce(col("n_chars").cast("long"), lit(0L))).as("chars"))
+          .head()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"pdf_${mult}x","docs":${nDocs * mult},"ok":${r.getLong(1)},"chars":${r.getLong(2)},"sec":$dt%.2f}""")
+      }
+      timedPdf(1)
+      timedPdf(10)
+      timedPdf(100)
+      docs.unpersist(false)
+    }
+
     // CDC probe: N× the documents with SHIFTED ids and IDENTICAL text
     // — the chunk DICTIONARY is replication-invariant, so stored
     // (unique) bytes must stay FLAT while logical bytes scale exactly

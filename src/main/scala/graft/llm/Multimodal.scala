@@ -160,6 +160,16 @@ case class JpegOriented(doc_id: Long, status: String, orientation: Int,
     ow: Option[Int], oh: Option[Int], o_checksum: Option[Long],
     o_row0_wsum: Option[Long], r_sum: Option[Long])
 
+/** Typed output of the REAL PDF text extraction — the crawl format
+  * every Common-Crawl-scale pipeline carries beside HTML: per-doc
+  * page census (xref → catalog → pages → kids walk), object count,
+  * text-showing operator count (Tj + TJ), and the extracted text's
+  * exact length + md5 — the dedup/quality key downstream stages use.
+  * Malformed input degrades to a status row, never a throw. */
+case class PdfMeta(doc_id: Long, status: String, n_pages: Option[Int],
+    n_objects: Option[Int], n_text_ops: Option[Int],
+    n_chars: Option[Int], text_md5: Option[String])
+
 /** Typed output of the REAL gzip decode — the crawl-decompression
   * stage (RFC 1952; WARC payloads arrive as gzip members): status,
   * the FNAME-flag evidence the optional-field walk ran, and exact
@@ -2670,6 +2680,330 @@ object Multimodal {
     * precision (~12.5% → `unsupported`, dims still read — the
     * libjpeg header-probe behavior), file cut 3 bytes short
     * (~12.5% → `truncated`). */
+  private object PdfBad extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+  private object PdfObjBad extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  /** Spec-faithful PDF 1.4 fixture from a doc's md5: %PDF header,
+    * catalog → pages → per-page /Contents graph, zlib-wrapped
+    * FlateDecode content streams (the [[deflateFixed]]/[[adler32]]
+    * machinery PNG/gzip already exercise) carrying `BT … (…) Tj ET`
+    * and `BT [ (…) kern (…) ] TJ ET` text operators, a byte-exact
+    * xref table (20-byte entries), trailer, startxref. Arms
+    * (exclusive, precedence order): corrupted header magic; file
+    * truncation that cuts the trailer (the mid-flight crawl shape —
+    * a PDF reader finds no startxref); startxref pointing into junk;
+    * a corrupt CATALOG xref entry (offset off by 2 — the object
+    * header check must catch it); a reserved-BTYPE Flate first byte
+    * (detected unconditionally — a random bit-flip could silently
+    * decode to wrong text and break the oracle). The independent
+    * escape arm embeds `\(`, `\)`, `\\` in a literal string. */
+  private[graft] def pdfBytes(h: String): Array[Byte] = {
+    val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
+    val badMagic = b(11) % 16 == 7
+    val trunc = !badMagic && b(13) % 8 == 6
+    val badXref = !badMagic && !trunc && b(12) % 8 == 5
+    val badObj = !badMagic && !trunc && !badXref && b(15) % 8 == 1
+    val badFlate = !badMagic && !trunc && !badXref && !badObj &&
+      b(14) % 8 == 3
+    val esc = b(10) % 4 == 1
+    val nPages = 1 + b(0) % 2
+    def pageOps(pg: Int): String = {
+      val s1 = s"Page $pg: ${h.substring(2 * pg, 2 * pg + 8)}" +
+        (if (esc) " \\(\\)\\\\" else "")
+      val p1 = h.substring(8, 12); val p2 = h.substring(12, 16)
+      s"BT /F1 12 Tf 72 720 Td ($s1) Tj ET\n" +
+        s"BT [ ($p1) -250 ($p2) ] TJ ET\n"
+    }
+    val out = new java.io.ByteArrayOutputStream(1024)
+    def wr(str: String): Unit = out.write(str.getBytes("ISO-8859-1"))
+    wr(if (badMagic) "%QDF-1.4\n" else "%PDF-1.4\n")
+    val nObj = 3 + 2 * nPages
+    val offs = new Array[Int](nObj + 1)
+    def obj(n: Int)(body: => Unit): Unit = {
+      offs(n) = out.size()
+      wr(s"$n 0 obj\n"); body; wr("endobj\n")
+    }
+    obj(1) { wr("<< /Type /Catalog /Pages 2 0 R >>\n") }
+    obj(2) {
+      val kids = (0 until nPages).map(i => s"${3 + 2 * i} 0 R")
+        .mkString(" ")
+      wr(s"<< /Type /Pages /Kids [ $kids ] /Count $nPages >>\n")
+    }
+    for (i <- 0 until nPages) {
+      obj(3 + 2 * i) {
+        wr(s"<< /Type /Page /Parent 2 0 R /Contents ${4 + 2 * i} 0 R >>\n")
+      }
+      val raw = pageOps(i).getBytes("ISO-8859-1")
+      val defl = deflateFixed(raw)
+      val ad = adler32(raw)
+      val z = new Array[Byte](2 + defl.length + 4)
+      z(0) = 0x78.toByte; z(1) = 0x01
+      System.arraycopy(defl, 0, z, 2, defl.length)
+      z(defl.length + 2) = ((ad >>> 24) & 255).toByte
+      z(defl.length + 3) = ((ad >>> 16) & 255).toByte
+      z(defl.length + 4) = ((ad >>> 8) & 255).toByte
+      z(defl.length + 5) = (ad & 255).toByte
+      if (badFlate && i == 0) z(2) = 0x06.toByte // BFINAL=0, BTYPE=3
+      obj(4 + 2 * i) {
+        wr(s"<< /Length ${z.length} /Filter /FlateDecode >>\nstream\n")
+        out.write(z, 0, z.length)
+        wr("\nendstream\n")
+      }
+    }
+    val xrefOff = out.size()
+    wr(s"xref\n0 ${nObj + 1}\n")
+    wr("0000000000 65535 f \n")
+    for (n <- 1 to nObj) {
+      val o = if (badObj && n == 1) offs(n) + 2 else offs(n)
+      wr(f"$o%010d 00000 n \n")
+    }
+    wr(s"trailer\n<< /Size ${nObj + 1} /Root 1 0 R >>\n")
+    wr(s"startxref\n${if (badXref) xrefOff + 3 else xrefOff}\n%%EOF\n")
+    val full = out.toByteArray
+    if (trunc) full.take(full.length * 3 / 5) else full
+  }
+
+  /** REAL from-scratch PDF text extraction — the twelfth decoder and
+    * the biggest remaining real-crawl format beside HTML: header
+    * check, startxref scan in the document tail, xref-table walk
+    * (20-byte entries, free/in-use types), trailer /Root, then the
+    * catalog → /Pages → /Kids → /Contents object graph, each content
+    * stream inflated through the SHARED RFC 1950/1951 machinery
+    * ([[zlibInflate]] — the same code path PNG and gzip gate), and a
+    * genuine content-stream tokenizer: literal strings with escape
+    * sequences (\( \) \\ \n \r \t \b \f, octal \ddd, line
+    * continuations, balanced nested parens), arrays, BT/ET text
+    * blocks, and the Tj / TJ show operators. Statuses: bad_magic,
+    * truncated (no trailer in the tail), bad_xref, bad_object (xref
+    * points at a non-object), bad_flate (stream fails to inflate or
+    * its adler32 lies), unsupported (a non-Flate filter), bad_data
+    * (anything else malformed). Total on arbitrary bytes
+    * (DecoderFuzzSpec). Map-only, scan-fused like every decoder. */
+  private[graft] def parsePdf(id: Long, p: Array[Byte]): PdfMeta = {
+    def fail(st: String, np: Option[Int] = None, no: Option[Int] = None) =
+      PdfMeta(id, st, np, no, None, None, None)
+    var nPages: Option[Int] = None
+    var nObjects: Option[Int] = None
+    try {
+      if (p == null || p.length < 16) return fail("bad_magic")
+      val hdr = "%PDF-"
+      var k = 0
+      while (k < 5) {
+        if ((p(k) & 0xff) != hdr.charAt(k)) return fail("bad_magic")
+        k += 1
+      }
+      val s = new String(p, "ISO-8859-1")
+      // startxref lives in the document tail (readers scan the last
+      // ~1 KiB); its absence is the torn-download shape
+      val tailFrom = math.max(0, s.length - 2048)
+      val sxAt = s.lastIndexOf("startxref")
+      if (sxAt < tailFrom) return fail("truncated")
+      val xrefOff = ("""startxref\s+(\d{1,9})""".r
+        .findFirstMatchIn(s.substring(sxAt)) match {
+        case Some(m) => m.group(1).toInt
+        case None => return fail("truncated")
+      })
+      if (xrefOff < 0 || xrefOff >= s.length ||
+          !s.startsWith("xref", xrefOff)) return fail("bad_xref")
+      var pos = xrefOff + 4
+      def skipWs(): Unit =
+        while (pos < s.length && " \r\n\t".indexOf(s.charAt(pos)) >= 0)
+          pos += 1
+      def readInt(): Int = {
+        skipWs(); var v = 0L; var any = false
+        while (pos < s.length && s.charAt(pos).isDigit) {
+          v = v * 10 + (s.charAt(pos) - '0'); pos += 1; any = true
+          if (v > Int.MaxValue) throw PdfBad
+        }
+        if (!any) throw PdfBad
+        v.toInt
+      }
+      val first = readInt(); val cnt = readInt()
+      if (first != 0 || cnt < 1 || cnt > 100000) return fail("bad_xref")
+      skipWs()
+      val offs = new Array[Int](cnt)
+      var e = 0
+      while (e < cnt) {
+        if (pos + 20 > s.length) return fail("bad_xref")
+        val off = s.substring(pos, pos + 10)
+        if (!off.forall(_.isDigit)) return fail("bad_xref")
+        val typ = s.charAt(pos + 17)
+        if (typ != 'n' && typ != 'f') return fail("bad_xref")
+        val ov = off.toLong
+        if (ov > Int.MaxValue) return fail("bad_xref")
+        offs(e) = ov.toInt
+        pos += 20
+        e += 1
+      }
+      skipWs()
+      if (!s.startsWith("trailer", pos)) return fail("bad_xref")
+      val trailer = s.substring(pos,
+        math.min(s.length, pos + 400))
+      def dictRef(d: String, key: String): Option[Int] =
+        (key + """\s+(\d{1,9})\s+0\s+R""").r.findFirstMatchIn(d)
+          .map(_.group(1).toInt)
+      def dictInt(d: String, key: String): Option[Int] =
+        (key + """\s+(\d{1,9})""").r.findFirstMatchIn(d)
+          .map(_.group(1).toInt)
+      val root = dictRef(trailer, "/Root") match {
+        case Some(r) => r
+        case None => return fail("bad_xref")
+      }
+      val size = dictInt(trailer, "/Size") match {
+        case Some(v) => v
+        case None => return fail("bad_xref")
+      }
+      nObjects = Some(size - 1) // object 0 is the free-list head
+      /** The dict of object `num` at its xref offset: the `N 0 obj`
+        * header must sit exactly there (a misaligned entry is a
+        * bad_object, the arm the off-by-2 fixture pins). */
+      def dictAt(num: Int): (String, Int) = {
+        if (num <= 0 || num >= cnt) throw PdfObjBad
+        val o = offs(num)
+        if (o < 0 || o >= s.length || !s.startsWith(s"$num 0 obj", o))
+          throw PdfObjBad
+        val d0 = s.indexOf("<<", o)
+        val d1 = if (d0 < 0) -1 else s.indexOf(">>", d0)
+        if (d0 < 0 || d1 < 0 || d0 > o + 40) throw PdfObjBad
+        (s.substring(d0, d1 + 2), d1 + 2)
+      }
+      val (cat, _) = dictAt(root)
+      val pagesRef = dictRef(cat, "/Pages").getOrElse(throw PdfObjBad)
+      val (pagesD, _) = dictAt(pagesRef)
+      val kidsStr = """/Kids\s*\[([^\]]*)\]""".r
+        .findFirstMatchIn(pagesD).map(_.group(1))
+        .getOrElse(throw PdfObjBad)
+      val kids = """(\d{1,9})\s+0\s+R""".r.findAllMatchIn(kidsStr)
+        .map(_.group(1).toInt).toSeq
+      val count = dictInt(pagesD, "/Count").getOrElse(throw PdfObjBad)
+      if (count != kids.length) throw PdfObjBad
+      nPages = Some(count)
+      var ops = 0
+      val doc = new StringBuilder
+      var pg = 0
+      for (kid <- kids) {
+        val (pageD, _) = dictAt(kid)
+        val cRef = dictRef(pageD, "/Contents").getOrElse(throw PdfObjBad)
+        val (contD, dEnd) = dictAt(cRef)
+        val len = dictInt(contD, "/Length").getOrElse(throw PdfObjBad)
+        if (!contD.contains("/FlateDecode"))
+          return fail("unsupported", nPages, nObjects)
+        var st = s.indexOf("stream", dEnd)
+        if (st < 0 || st > dEnd + 8) throw PdfObjBad
+        st += 6
+        if (st < s.length && s.charAt(st) == '\r') st += 1
+        if (st < s.length && s.charAt(st) == '\n') st += 1
+        if (len < 0 || st + len > p.length)
+          return fail("truncated", nPages, nObjects)
+        val (raw, adOk) =
+          try zlibInflate(p, st, st + len, 1 << 16)
+          catch {
+            case PngBad | PngTrunc =>
+              return fail("bad_flate", nPages, nObjects)
+          }
+        if (!adOk) return fail("bad_flate", nPages, nObjects)
+        val (pOps, pText) = pdfTextOps(new String(raw, "ISO-8859-1"))
+        ops += pOps
+        if (pg > 0) doc.append('\n')
+        doc.append(pText)
+        pg += 1
+      }
+      val txt = doc.toString
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(txt.getBytes("ISO-8859-1"))
+        .map(x => f"${x & 0xff}%02x").mkString
+      PdfMeta(id, "ok", nPages, nObjects, Some(ops),
+        Some(txt.length), Some(md))
+    } catch {
+      case PdfObjBad => fail("bad_object", nPages, nObjects)
+      case PdfBad => fail("bad_xref", nPages, nObjects)
+      case _: IndexOutOfBoundsException => fail("bad_data")
+      case _: NumberFormatException => fail("bad_data")
+    }
+  }
+
+  /** Content-stream text-operator scan: (n_show_ops, extracted text).
+    * Tokenizes literal strings (escapes, octal, continuations,
+    * balanced nested parens), `[ … ]` arrays, and the BT/ET/Tj/TJ
+    * operators; strings shown outside a BT…ET block are ignored (the
+    * spec makes them meaningless there). */
+  private def pdfTextOps(c: String): (Int, String) = {
+    val out = new StringBuilder
+    var ops = 0
+    var i = 0
+    var inBT = false
+    var pendStr: String = null   // last literal string (Tj operand)
+    var arr: StringBuilder = null // accumulating [ … ] string parts
+    def readString(from: Int): (String, Int) = {
+      val sb = new StringBuilder
+      var j = from
+      var depth = 1
+      while (j < c.length && depth > 0) {
+        val ch = c.charAt(j)
+        if (ch == '\\' && j + 1 < c.length) {
+          val n = c.charAt(j + 1)
+          n match {
+            case 'n' => sb.append('\n'); j += 2
+            case 'r' => sb.append('\r'); j += 2
+            case 't' => sb.append('\t'); j += 2
+            case 'b' => sb.append('\b'); j += 2
+            case 'f' => sb.append('\f'); j += 2
+            case '(' => sb.append('('); j += 2
+            case ')' => sb.append(')'); j += 2
+            case '\\' => sb.append('\\'); j += 2
+            case '\n' => j += 2 // line continuation
+            case '\r' =>
+              j += 2; if (j < c.length && c.charAt(j) == '\n') j += 1
+            case d if d >= '0' && d <= '7' =>
+              var v = 0; var nd = 0; j += 1
+              while (nd < 3 && j < c.length && c.charAt(j) >= '0' &&
+                  c.charAt(j) <= '7') {
+                v = v * 8 + (c.charAt(j) - '0'); j += 1; nd += 1
+              }
+              sb.append((v & 0xff).toChar)
+            case other => sb.append(other); j += 2 // spec: drop the \
+          }
+        } else if (ch == '(') { depth += 1; sb.append(ch); j += 1 }
+        else if (ch == ')') {
+          depth -= 1; if (depth > 0) sb.append(ch); j += 1
+        } else { sb.append(ch); j += 1 }
+      }
+      (sb.toString, j)
+    }
+    def isReg(ch: Char): Boolean =
+      !(" \t\r\n()[]<>/%".indexOf(ch) >= 0)
+    while (i < c.length) {
+      val ch = c.charAt(i)
+      if (ch == '(') {
+        val (str, ni) = readString(i + 1)
+        if (arr != null) arr.append(str) else pendStr = str
+        i = ni
+      } else if (ch == '[') { arr = new StringBuilder; i += 1 }
+      else if (ch == ']') { i += 1 }
+      else if (isReg(ch)) {
+        var j = i
+        while (j < c.length && isReg(c.charAt(j))) j += 1
+        c.substring(i, j) match {
+          case "BT" => inBT = true; pendStr = null; arr = null
+          case "ET" => inBT = false; pendStr = null; arr = null
+          case "Tj" =>
+            if (inBT && pendStr != null) { out.append(pendStr); ops += 1 }
+            pendStr = null
+          case "TJ" =>
+            if (inBT && arr != null) { out.append(arr); ops += 1 }
+            arr = null
+          case _ => // Tf/Td/numbers/names: not text-showing
+        }
+        i = j
+      } else i += 1
+    }
+    (ops, out.toString)
+  }
+
   private[graft] def jpegBytes(h: String): Array[Byte] = {
     val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
     val badMagic = b(11) % 16 == 9
@@ -3738,6 +4072,18 @@ object Multimodal {
     ds.mapPartitions(_.map(d => parseJpeg(d.doc_id, d.payload)))
   }
 
+  /** Frame-taking synthesize→extract chain for the PDF row — the
+    * [[jpegDecodeStats]] shape, shared by the registered query and
+    * ScaleProbe's pdf_{1,10,100}x replication harness. */
+  def pdfExtractStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, h) => parsePdf(id, pdfBytes(h)) })
+      .toDF()
+  }
+
   /** Frame-taking synthesize→decode chain — the [[pngDecodeStats]]
     * shape, shared by the registered query and ScaleProbe. */
   def jpegDecodeStats(docs: DataFrame): DataFrame = {
@@ -4433,6 +4779,14 @@ object Multimodal {
         })
         .toDF().orderBy("doc_id")
     }),
+
+    // PDF text extraction — see [[parsePdf]] / [[pdfBytes]]: the
+    // twelfth decoder (xref walk → object graph → FlateDecode content
+    // streams through the shared inflate → Tj/TJ tokenizer). Map-only
+    // single scan like every decode stage; the oracle recomputes the
+    // embedded text as a pure md5 function and never parses a byte.
+    "q_pdf_extract" -> ((s, dir) =>
+      pdfExtractStats(Tables(s, dir, "documents")).orderBy("doc_id")),
 
     "q_multimodal_decode_gzip" -> ((s, dir) => {
       import s.implicits._
@@ -5818,6 +6172,57 @@ object Multimodal {
     // round-trips bit-exact. Arm precedence mirrors the decoder's
     // check order: signature, IHDR CRC, chunk-walk truncation, adler32.
     // Exif twin: every field a pure md5 function of the synth arms.
+    // PDF twin: statuses from the arm bytes, the extracted text
+    // recomputed as the SAME pure md5 function the fixture embedded
+    // (page strings + TJ parts, escape-arm chars included), then
+    // DuckDB's own md5/length — extraction must be lossless for the
+    // hashes to meet.
+    "q_pdf_extract" -> s"""
+      WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+      fb AS (SELECT doc_id, h, ${byteAt(0)} AS b0, ${byteAt(10)} AS b10,
+               ${byteAt(11)} AS b11, ${byteAt(12)} AS b12,
+               ${byteAt(13)} AS b13, ${byteAt(14)} AS b14,
+               ${byteAt(15)} AS b15
+             FROM hx),
+      fd AS (SELECT doc_id, h,
+               b11 % 16 = 7 AS badmagic,
+               b11 % 16 <> 7 AND b13 % 8 = 6 AS trunc,
+               b11 % 16 <> 7 AND b13 % 8 <> 6 AND b12 % 8 = 5 AS badxref,
+               b11 % 16 <> 7 AND b13 % 8 <> 6 AND b12 % 8 <> 5
+                 AND b15 % 8 = 1 AS badobj,
+               b11 % 16 <> 7 AND b13 % 8 <> 6 AND b12 % 8 <> 5
+                 AND b15 % 8 <> 1 AND b14 % 8 = 3 AS badflate,
+               b10 % 4 = 1 AS esc,
+               1 + b0 % 2 AS np
+             FROM fb),
+      ft AS (SELECT doc_id,
+               'Page 0: ' || substr(h, 1, 8) ||
+                 (CASE WHEN esc THEN ' ()\\' ELSE '' END) ||
+                 substr(h, 9, 4) || substr(h, 13, 4) ||
+                 (CASE WHEN np = 2 THEN chr(10) || 'Page 1: ' ||
+                    substr(h, 3, 8) ||
+                    (CASE WHEN esc THEN ' ()\\' ELSE '' END) ||
+                    substr(h, 9, 4) || substr(h, 13, 4)
+                  ELSE '' END) AS txt
+             FROM fd)
+      SELECT fd.doc_id,
+             CASE WHEN badmagic THEN 'bad_magic'
+                  WHEN trunc THEN 'truncated'
+                  WHEN badxref THEN 'bad_xref'
+                  WHEN badobj THEN 'bad_object'
+                  WHEN badflate THEN 'bad_flate' ELSE 'ok' END AS status,
+             CASE WHEN badmagic OR trunc OR badxref OR badobj THEN NULL
+                  ELSE CAST(np AS INT) END AS n_pages,
+             CASE WHEN badmagic OR trunc OR badxref THEN NULL
+                  ELSE CAST(3 + 2 * np AS INT) END AS n_objects,
+             CASE WHEN badmagic OR trunc OR badxref OR badobj OR badflate
+                  THEN NULL ELSE CAST(2 * np AS INT) END AS n_text_ops,
+             CASE WHEN badmagic OR trunc OR badxref OR badobj OR badflate
+                  THEN NULL ELSE CAST(length(txt) AS INT) END AS n_chars,
+             CASE WHEN badmagic OR trunc OR badxref OR badobj OR badflate
+                  THEN NULL ELSE md5(txt) END AS text_md5
+      FROM fd JOIN ft USING (doc_id)
+      ORDER BY fd.doc_id""",
     "q_jpeg_exif" -> s"""
       WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
       xb AS (SELECT doc_id, h, ${byteAt(0)} AS b0, ${byteAt(1)} AS b1,

@@ -73,7 +73,8 @@ object DecoderFuzzProps extends Properties("Multimodal.decoders") {
       Multimodal.dhashPpm(1L, bs).status.nonEmpty &&
       Multimodal.parseJpeg(1L, bs).status.nonEmpty &&
       Multimodal.parseJpegExif(1L, bs).status.nonEmpty &&
-      Multimodal.parseJpegOriented(1L, bs).status.nonEmpty
+      Multimodal.parseJpegOriented(1L, bs).status.nonEmpty &&
+      Multimodal.parsePdf(1L, bs).status.nonEmpty
   }
 }
 
@@ -119,6 +120,11 @@ class DecoderTruncationSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(Multimodal.parseJpegOriented(1L, xfull.take(n)).status.nonEmpty)
     }
     assert(Multimodal.parseJpegOriented(1L, null).status == "bad_magic")
+    // PDF: totality at null and at every prefix of a genuine file
+    assert(Multimodal.parsePdf(1L, null).status == "bad_magic")
+    val pfull = Multimodal.pdfBytes(h)
+    for (n <- 0 to pfull.length)
+      assert(Multimodal.parsePdf(1L, pfull.take(n)).status.nonEmpty)
   }
 
   test("tgz layering: healthy wrapper is transparent, arms attribute the layer") {

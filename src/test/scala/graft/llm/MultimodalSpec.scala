@@ -676,6 +676,69 @@ class MultimodalSpec extends graft.SparkSuite {
     assert(Multimodal.parseJpeg(4L, bytes.dropRight(5)).status == "truncated")
   }
 
+  test("PDF sweep: 300 synthesized files match the independent text model") {
+    // Independent model: statuses from the arm bytes, the embedded
+    // text rebuilt directly from the md5 hex (never via pdfBytes'
+    // internals), md5 recomputed here — a green sweep proves header,
+    // xref, object graph, inflate, and the string/Tj/TJ tokenizer
+    // round-trip the text losslessly, escapes included.
+    var oks = 0; var escOks = 0; var twoPageOks = 0
+    var arms = Map.empty[String, Int].withDefaultValue(0)
+    for (i <- 0 until 300) {
+      val h = md5hex(s"pdf-sweep-$i")
+      val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
+      val badMagic = b(11) % 16 == 7
+      val trunc = !badMagic && b(13) % 8 == 6
+      val badXref = !badMagic && !trunc && b(12) % 8 == 5
+      val badObj = !badMagic && !trunc && !badXref && b(15) % 8 == 1
+      val badFlate = !badMagic && !trunc && !badXref && !badObj &&
+        b(14) % 8 == 3
+      val esc = b(10) % 4 == 1
+      val np = 1 + b(0) % 2
+      val expected =
+        if (badMagic) "bad_magic"
+        else if (trunc) "truncated"
+        else if (badXref) "bad_xref"
+        else if (badObj) "bad_object"
+        else if (badFlate) "bad_flate" else "ok"
+      val m = Multimodal.parsePdf(i.toLong, Multimodal.pdfBytes(h))
+      assert(m.status == expected, s"$h: ${m.status} != $expected")
+      if (expected == "ok") {
+        oks += 1
+        if (esc) escOks += 1
+        if (np == 2) twoPageOks += 1
+        def page(pg: Int): String =
+          s"Page $pg: ${h.substring(2 * pg, 2 * pg + 8)}" +
+            (if (esc) " ()\\" else "") +
+            h.substring(8, 12) + h.substring(12, 16)
+        val txt = (0 until np).map(page).mkString("\n")
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(txt.getBytes("ISO-8859-1"))
+          .map(x => f"${x & 0xff}%02x").mkString
+        assert(m.n_pages.contains(np) && m.n_objects.contains(3 + 2 * np),
+          s"$h census")
+        assert(m.n_text_ops.contains(2 * np), s"$h ops")
+        assert(m.n_chars.contains(txt.length), s"$h chars")
+        assert(m.text_md5.contains(md), s"$h md5")
+      } else {
+        arms += expected -> (arms(expected) + 1)
+        if (expected == "bad_flate")
+          assert(m.n_pages.contains(np) && m.n_objects.contains(3 + 2 * np),
+            s"$h flate-arm census")
+        if (expected == "bad_object")
+          assert(m.n_pages.isEmpty && m.n_objects.contains(3 + 2 * np),
+            s"$h obj-arm census")
+        assert(m.text_md5.isEmpty, s"$h arm must not extract")
+      }
+    }
+    assert(oks > 100, s"only $oks ok fixtures")
+    for (st <- Seq("bad_magic", "truncated", "bad_xref", "bad_object",
+        "bad_flate"))
+      assert(arms(st) > 0, s"arm $st never fired in the sweep")
+    assert(escOks > 5, s"escape arm thin on the exact path: $escOks")
+    assert(twoPageOks > 5, s"two-page arm thin: $twoPageOks")
+  }
+
   test("JPEG oriented sweep: 300 Exif files match the independent oriented model") {
     // Independent model: the SAME per-pixel recomputation as the JPEG
     // sweep, composed with the Exif fixture's orientation byte model

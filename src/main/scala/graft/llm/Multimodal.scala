@@ -5051,6 +5051,50 @@ object Multimodal {
             .as("n_with_content"))
     }),
 
+    // MIXED-FORMAT crawl front door — the router a real pipeline runs
+    // BEFORE any extractor: a third of the corpus arrives as PDF
+    // (with pdfBytes' own failure arms riding along), a third as HTML
+    // (htmlOf's plain-text arm mislabels some — exactly the
+    // Content-Type lies crawls see), a third as plain text. The
+    // router sniffs the FIRST byte ('%' → the PDF extractor, '<' →
+    // the HTML state machine, else the plain-text gate) and each
+    // route runs its REAL extractor — corrupt-magic PDFs route to the
+    // PDF arm and fail there (the libmagic behavior), mislabeled
+    // plain HTML lands in the text gate. Census per route: docs,
+    // extraction successes, docs yielding content. ONE task: synth +
+    // sniff + all three extractors fuse into the scan; the census is
+    // a 3-row aggregate with map-side partials.
+    "q_crawl_mixed_funnel" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+        .as[(Long, String, String)]
+        .mapPartitions(_.map { case (id, t, h) =>
+          val fmt = Integer.parseInt(h.substring(14, 16), 16) % 3
+          val payload: Array[Byte] =
+            if (fmt == 0) pdfBytes(h)
+            else if (fmt == 1) htmlOf(t, h).getBytes("ISO-8859-1")
+            else t.getBytes("ISO-8859-1")
+          val c0 = if (payload.isEmpty) ' ' else (payload(0) & 0xff).toChar
+          if (c0 == '%') {
+            val m = parsePdf(id, payload)
+            (id, "pdf", if (m.status == "ok") 1L else 0L,
+              if (m.n_chars.exists(_ >= 1)) 1L else 0L)
+          } else if (c0 == '<') {
+            val m = parseHtml(id, new String(payload, "ISO-8859-1"))
+            (id, "html", if (m.status == "ok") 1L else 0L,
+              if (m.n_kept >= 1) 1L else 0L)
+          } else {
+            val nw = t.split(" ").count(_.nonEmpty)
+            (id, "text", 1L, if (nw >= 5) 1L else 0L)
+          }
+        }).toDF("doc_id", "route", "ok", "has_content")
+        .groupBy(col("route"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ok")).as("n_ok"),
+          sum(col("has_content")).as("n_content"))
+        .orderBy("route")
+    }),
+
     // PERCEPTUAL image dedup — dHash over genuinely decoded pixels,
     // then the exact-dedup keeper census keyed on the 64-bit hash
     // (the LAION image-dedup recipe's cheap tier). Scale shape: the
@@ -5837,6 +5881,50 @@ object Multimodal {
     // Full-fidelity funnel twin: both layers' arm predicates plus the
     // token-split content rule, re-derived from (text, md5) pure
     // functions — the oracle never sees compressed bytes OR markup.
+    // Mixed-funnel twin: routes and per-route verdicts recomputed
+    // from the arm bytes and the doc text's word count alone — the
+    // PDF arm chain mirrors the q_pdf_extract model, the HTML side
+    // the q_crawl_html_funnel model, and mislabeled plain pages fall
+    // into the text gate exactly as the first-byte sniff dictates.
+    "q_crawl_mixed_funnel" -> s"""
+      WITH hx AS (SELECT doc_id, text, md5(text) AS h FROM documents),
+      mb AS (SELECT doc_id, text, ${byteAt(7)} AS b7, ${byteAt(8)} AS b8,
+               ${byteAt(11)} AS b11, ${byteAt(12)} AS b12,
+               ${byteAt(13)} AS b13, ${byteAt(14)} AS b14,
+               ${byteAt(15)} AS b15
+             FROM hx),
+      md AS (SELECT doc_id, b7 % 3 AS fmt,
+               b11 % 16 = 7 OR (b11 % 16 <> 7 AND b13 % 8 = 6)
+                 OR (b11 % 16 <> 7 AND b13 % 8 <> 6 AND b12 % 8 = 5)
+                 OR (b11 % 16 <> 7 AND b13 % 8 <> 6 AND b12 % 8 <> 5
+                     AND b15 % 8 = 1)
+                 OR (b11 % 16 <> 7 AND b13 % 8 <> 6 AND b12 % 8 <> 5
+                     AND b15 % 8 <> 1 AND b14 % 8 = 3) AS pdfbad,
+               b8 % 8 = 3 AS hplain, b12 % 8 = 7 AS htrunc,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS nw
+             FROM mb),
+      mr AS (SELECT doc_id,
+               CASE WHEN fmt = 0 THEN 'pdf'
+                    WHEN fmt = 1 AND NOT hplain THEN 'html'
+                    ELSE 'text' END AS route,
+               CASE WHEN fmt = 0 THEN
+                      CASE WHEN pdfbad THEN 0 ELSE 1 END
+                    WHEN fmt = 1 AND NOT hplain THEN
+                      CASE WHEN htrunc THEN 0 ELSE 1 END
+                    ELSE 1 END AS ok,
+               CASE WHEN fmt = 0 THEN
+                      CASE WHEN pdfbad THEN 0 ELSE 1 END
+                    WHEN fmt = 1 AND NOT hplain THEN
+                      CASE WHEN (nw + 1) // 2 >= 5
+                           OR nw - (nw + 1) // 2 >= 5 THEN 1 ELSE 0 END
+                    ELSE CASE WHEN nw >= 5 THEN 1 ELSE 0 END
+               END AS has_content
+             FROM md)
+      SELECT route, count(*) AS n_docs,
+             CAST(sum(ok) AS BIGINT) AS n_ok,
+             CAST(sum(has_content) AS BIGINT) AS n_content
+      FROM mr GROUP BY 1 ORDER BY route""",
     "q_crawl_html_funnel" -> s"""
       WITH hx AS (SELECT doc_id, text, md5(text) AS h FROM documents),
       b AS (SELECT doc_id, text, ${byteAt(8)} AS b8, ${byteAt(12)} AS b12,

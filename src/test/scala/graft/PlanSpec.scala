@@ -1095,6 +1095,21 @@ class PlanSpec extends SparkSuite {
       "census must partial-aggregate map-side")
   }
 
+  test("q_crawl_mixed_funnel routes and extracts in one task") {
+    // synth + first-byte sniff + all three extractors fuse into the
+    // scan's MapPartitions; the only operators after it are the 3-row
+    // route census aggregates — a join or second scan would mean the
+    // router materialized a payload table it must not need
+    val p = plan("q_crawl_mixed_funnel")
+    val scanIds = """\((\d+)\) Scan parquet""".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(scanIds.size == 1, s"expected one scan node, got $scanIds")
+    assert(p.contains("MapPartitions"), "extractors must stay scan-fused")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    assert(p.contains("partial_count"),
+      "route census must partial-aggregate map-side")
+  }
+
   test("q_dedup_cdc chunks map-only; the census partial-aggregates map-side") {
     // content-defined chunking is per-doc higher-order array work
     // fused into the scan — the ONLY exchanges are the chunk-keyed

@@ -927,6 +927,36 @@ class StreamedDecodeSpec extends graft.SparkSuite {
     } finally q.stop()
   }
 
+  test("streamed PDF extraction equals the batch extraction, arm for arm") {
+    // the twelfth decoder streams like the rest: synth + xref walk +
+    // inflate + Tj/TJ tokenizer are one stateless mapPartitions, so
+    // pdfExtractStats runs UNCHANGED per micro-batch — parity covers
+    // every failure arm and the extracted-text md5s
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().take(40)
+    val batch = Multimodal.pdfExtractStats(
+        docs.toSeq.toDF("doc_id", "text"))
+      .as[graft.llm.PdfMeta].collect().toSet
+    val in = MemoryStream[(Long, String)]
+    val q = Multimodal.pdfExtractStats(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("pdf_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(docs.take(15).toSeq: _*); q.processAllAvailable()
+      in.addData(docs.drop(15).toSeq: _*); q.processAllAvailable()
+      val got = spark.table("pdf_stream")
+        .as[graft.llm.PdfMeta].collect().toSet
+      assert(got.size == 40)
+      assert(got == batch)
+      assert(got.exists(_.status == "ok") &&
+        got.exists(_.status != "ok"), "arms must be represented")
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("streamed WARC record parse equals the batch parse, URIs included") {
     // the crawl front-door's decode+extract stage is stateless, so the
     // SAME parseWarc runs unchanged on a stream — incremental ingest of

@@ -2767,6 +2767,62 @@ object Multimodal {
     if (trunc) full.take(full.length * 3 / 5) else full
   }
 
+  /** CONTENT-carrying PDF: the same spec-faithful structure as
+    * [[pdfBytes]] but embedding the DOC'S OWN TEXT — one paragraph
+    * per page (the [[htmlOf]] word-halves split, so the same article
+    * rendered as PDF and as HTML extracts to the same blocks), each
+    * a literal Tj string with `\ ( )` escaped. No failure arms: this
+    * is the post-front-door payload cross-format dedup consumes. */
+  private[graft] def pdfBytesOf(text: String, h: String): Array[Byte] = {
+    val toks = text.split(" ").filter(_.nonEmpty)
+    val n1 = (toks.length + 1) / 2
+    val paras = Seq(toks.take(n1).mkString(" "), toks.drop(n1).mkString(" "))
+    def escPdf(s: String): String = s.replace("\\", "\\\\")
+      .replace("(", "\\(").replace(")", "\\)")
+    val out = new java.io.ByteArrayOutputStream(text.length + 1024)
+    def wr(str: String): Unit = out.write(str.getBytes("ISO-8859-1"))
+    wr("%PDF-1.4\n")
+    val nObj = 3 + 2 * paras.length
+    val offs = new Array[Int](nObj + 1)
+    def obj(n: Int)(body: => Unit): Unit = {
+      offs(n) = out.size()
+      wr(s"$n 0 obj\n"); body; wr("endobj\n")
+    }
+    obj(1) { wr("<< /Type /Catalog /Pages 2 0 R >>\n") }
+    obj(2) {
+      val kids = paras.indices.map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+      wr(s"<< /Type /Pages /Kids [ $kids ] /Count ${paras.length} >>\n")
+    }
+    for ((para, i) <- paras.zipWithIndex) {
+      obj(3 + 2 * i) {
+        wr(s"<< /Type /Page /Parent 2 0 R /Contents ${4 + 2 * i} 0 R >>\n")
+      }
+      val raw = s"BT /F1 12 Tf 72 720 Td (${escPdf(para)}) Tj ET\n"
+        .getBytes("ISO-8859-1")
+      val defl = deflateFixed(raw)
+      val ad = adler32(raw)
+      val z = new Array[Byte](2 + defl.length + 4)
+      z(0) = 0x78.toByte; z(1) = 0x01
+      System.arraycopy(defl, 0, z, 2, defl.length)
+      z(defl.length + 2) = ((ad >>> 24) & 255).toByte
+      z(defl.length + 3) = ((ad >>> 16) & 255).toByte
+      z(defl.length + 4) = ((ad >>> 8) & 255).toByte
+      z(defl.length + 5) = (ad & 255).toByte
+      obj(4 + 2 * i) {
+        wr(s"<< /Length ${z.length} /Filter /FlateDecode >>\nstream\n")
+        out.write(z, 0, z.length)
+        wr("\nendstream\n")
+      }
+    }
+    val xrefOff = out.size()
+    wr(s"xref\n0 ${nObj + 1}\n")
+    wr("0000000000 65535 f \n")
+    for (n <- 1 to nObj) wr(f"${offs(n)}%010d 00000 n \n")
+    wr(s"trailer\n<< /Size ${nObj + 1} /Root 1 0 R >>\n")
+    wr(s"startxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** REAL from-scratch PDF text extraction — the twelfth decoder and
     * the biggest remaining real-crawl format beside HTML: header
     * check, startxref scan in the document tail, xref-table walk
@@ -2783,7 +2839,19 @@ object Multimodal {
     * its adler32 lies), unsupported (a non-Flate filter), bad_data
     * (anything else malformed). Total on arbitrary bytes
     * (DecoderFuzzSpec). Map-only, scan-fused like every decoder. */
-  private[graft] def parsePdf(id: Long, p: Array[Byte]): PdfMeta = {
+  /** [[parsePdf]] + the extracted text itself (`None` unless status
+    * is "ok") — the form content-keyed consumers use
+    * (q_dedup_cross_format's canonicalizer needs the blocks, not just
+    * their md5). */
+  private[graft] def parsePdfText(id: Long,
+      p: Array[Byte]): (PdfMeta, Option[String]) = {
+    val sink = new StringBuilder
+    val m = parsePdf(id, p, sink)
+    (m, if (m.status == "ok") Some(sink.toString) else None)
+  }
+
+  private[graft] def parsePdf(id: Long, p: Array[Byte],
+      textSink: StringBuilder = null): PdfMeta = {
     def fail(st: String, np: Option[Int] = None, no: Option[Int] = None) =
       PdfMeta(id, st, np, no, None, None, None)
     var nPages: Option[Int] = None
@@ -2913,6 +2981,7 @@ object Multimodal {
         pg += 1
       }
       val txt = doc.toString
+      if (textSink != null) textSink.append(txt)
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(txt.getBytes("ISO-8859-1"))
         .map(x => f"${x & 0xff}%02x").mkString
@@ -5095,6 +5164,68 @@ object Multimodal {
         .orderBy("route")
     }),
 
+    // CROSS-FORMAT content dedup — the syndication case URL and
+    // per-format content dedup both miss: the same article arriving
+    // once in its native format and again REPUBLISHED in another
+    // (PDF ⇄ HTML). Per doc: the native payload (pdf/html/plain by
+    // the mixed-funnel arm) plus, on the ~25% syndication arm, a
+    // second payload of the SAME text in the other format. Every
+    // record runs its REAL extractor (parsePdfText / parseHtml), then
+    // ONE shared canonicalizer (≥5-word blocks joined by a space,
+    // md5 — parseHtml's kept rule) turns format-specific block
+    // structure into a format-free content key; the census counts
+    // clusters that span FORMATS — exactly the dups a per-format pass
+    // cannot see. Scale shape: synth + extract + canonicalize fuse
+    // into the scan's flatMap; ONE key-grouped aggregate with
+    // map-side partials feeding the 1-row census.
+    "q_dedup_cross_format" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+        .as[(Long, String, String)]
+        .mapPartitions(_.flatMap { case (id, t, h) =>
+          val fmt = Integer.parseInt(h.substring(14, 16), 16) % 3
+          val synd = Integer.parseInt(h.substring(12, 14), 16) % 4 == 1
+          def canon(blocks: Seq[String]): Option[String] = {
+            val kept = blocks.filter(_.split(' ').length >= 5)
+            if (kept.isEmpty) None else Some(md5hex(kept.mkString(" ")))
+          }
+          def pdfKey: Option[String] =
+            parsePdfText(id, pdfBytesOf(t, h))._2
+              .flatMap(tx => canon(tx.split('\n').toSeq))
+          def htmlKey: Option[String] =
+            parseHtml(id, htmlOf(t, h)).kept_hash
+          def textKey: Option[String] = parseHtml(id, t).kept_hash
+          val native = fmt match {
+            case 0 => ("pdf", pdfKey)
+            case 1 => ("html", htmlKey)
+            case _ => ("text", textKey)
+          }
+          val copy =
+            if (!synd) Nil
+            else if (fmt == 0) Seq(("html", htmlKey))
+            else Seq(("pdf", pdfKey))
+          (Seq(native) ++ copy).map { case (route, k) =>
+            (id, route, k.orNull)
+          }
+        }).toDF("doc_id", "route", "ckey")
+      // ONE extraction pass: keyless records survive the key census as
+      // the NULL group (a separate record-count branch would re-run
+      // the whole synth+extract scan — PlanSpec pins against it)
+      recs.groupBy(col("ckey"))
+        .agg(count(lit(1)).as("c"), countDistinct(col("route")).as("nr"))
+        .agg(coalesce(sum(col("c")), lit(0L)).as("n_records"),
+          coalesce(sum(when(col("ckey").isNotNull, col("c"))
+            .otherwise(0L)), lit(0L)).as("n_keyed"),
+          count(when(col("ckey").isNotNull, 1)).as("n_clusters"),
+          coalesce(sum(when(col("ckey").isNotNull && col("c") >= 2, 1L)
+            .otherwise(0L)), lit(0L)).as("n_multi_clusters"),
+          coalesce(sum(when(col("ckey").isNotNull && col("nr") >= 2, 1L)
+            .otherwise(0L)), lit(0L)).as("n_cross_format_clusters"),
+          coalesce(sum(when(col("ckey").isNotNull && col("c") >= 2,
+            col("c")).otherwise(0L)), lit(0L)).as("n_dup_records"))
+    }),
+
     // PERCEPTUAL image dedup — dHash over genuinely decoded pixels,
     // then the exact-dedup keeper census keyed on the 64-bit hash
     // (the LAION image-dedup recipe's cheap tier). Scale shape: the
@@ -6311,6 +6442,66 @@ object Multimodal {
                   THEN NULL ELSE md5(txt) END AS text_md5
       FROM fd JOIN ft USING (doc_id)
       ORDER BY fd.doc_id""",
+    // Cross-format twin: per-record content keys re-derived from the
+    // kept-block rule over the normalized word halves (the
+    // q_html_extract model), the PDF copy sharing the paragraph key
+    // by construction — the gate proves both real extractors
+    // round-trip to the SAME canonical form.
+    "q_dedup_cross_format" -> s"""
+      WITH hx AS (SELECT doc_id, text, md5(text) AS h FROM documents),
+      xb AS (SELECT doc_id, text, ${byteAt(6)} AS b6, ${byteAt(7)} AS b7,
+               ${byteAt(8)} AS b8
+             FROM hx),
+      xd AS (SELECT doc_id,
+               array_to_string(list_filter(string_split(text, ' '),
+                 x -> x <> ''), ' ') AS t,
+               b7 % 3 AS fmt, b6 % 4 = 1 AS synd, b8 % 8 = 3 AS plain
+             FROM xb),
+      xe AS (SELECT doc_id, fmt, synd, plain, t,
+               len(string_split(t, ' ')) AS nw,
+               (len(string_split(t, ' ')) + 1) // 2 AS n1
+             FROM xd),
+      xf AS (SELECT doc_id, fmt, synd, plain, t, nw, n1, nw - n1 AS n2,
+               array_to_string(string_split(t, ' ')[1:n1], ' ') AS p1,
+               array_to_string(string_split(t, ' ')[n1+1:nw], ' ') AS p2
+             FROM xe),
+      xk AS (SELECT doc_id, fmt, synd,
+               CASE WHEN n1 >= 5 AND n2 >= 5 THEN md5(t)
+                    WHEN n1 >= 5 THEN md5(p1)
+                    WHEN n2 >= 5 THEN md5(p2) END AS parakey,
+               CASE WHEN plain THEN (CASE WHEN nw >= 5 THEN md5(t) END)
+                    WHEN n1 >= 5 AND n2 >= 5 THEN md5(t)
+                    WHEN n1 >= 5 THEN md5(p1)
+                    WHEN n2 >= 5 THEN md5(p2) END AS htmlkey,
+               CASE WHEN nw >= 5 THEN md5(t) END AS textkey
+             FROM xf),
+      recs AS (
+        SELECT doc_id,
+               CASE fmt WHEN 0 THEN 'pdf' WHEN 1 THEN 'html'
+                 ELSE 'text' END AS route,
+               CASE fmt WHEN 0 THEN parakey WHEN 1 THEN htmlkey
+                 ELSE textkey END AS ckey
+        FROM xk
+        UNION ALL
+        SELECT doc_id,
+               CASE WHEN fmt = 0 THEN 'html' ELSE 'pdf' END AS route,
+               CASE WHEN fmt = 0 THEN htmlkey ELSE parakey END AS ckey
+        FROM xk WHERE synd),
+      ckf AS (SELECT ckey, count(*) AS c, count(DISTINCT route) AS nr
+              FROM recs GROUP BY 1)
+      SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_records,
+             CAST(coalesce(sum(CASE WHEN ckey IS NOT NULL THEN c
+               ELSE 0 END), 0) AS BIGINT) AS n_keyed,
+             CAST(count(CASE WHEN ckey IS NOT NULL THEN 1 END) AS BIGINT)
+               AS n_clusters,
+             CAST(coalesce(sum(CASE WHEN ckey IS NOT NULL AND c >= 2
+               THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_multi_clusters,
+             CAST(coalesce(sum(CASE WHEN ckey IS NOT NULL AND nr >= 2
+               THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_cross_format_clusters,
+             CAST(coalesce(sum(CASE WHEN ckey IS NOT NULL AND c >= 2
+               THEN c ELSE 0 END), 0) AS BIGINT) AS n_dup_records
+      FROM ckf""",
     "q_jpeg_exif" -> s"""
       WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
       xb AS (SELECT doc_id, h, ${byteAt(0)} AS b0, ${byteAt(1)} AS b1,

@@ -1110,6 +1110,22 @@ class PlanSpec extends SparkSuite {
       "route census must partial-aggregate map-side")
   }
 
+  test("q_dedup_cross_format extracts scan-fused and aggregates once on the key") {
+    // synth + both real extractors + the shared canonicalizer fuse
+    // into the scan's flatMap, and the whole census hangs off ONE
+    // ckey-grouped aggregate (keyless records ride as the NULL group)
+    // — a SECOND scan node would mean the record census re-ran the
+    // extraction pass, a join would mean it materialized a table
+    val p = plan("q_dedup_cross_format")
+    val scanIds = """\((\d+)\) Scan parquet""".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(scanIds.size == 1, s"expected one scan node, got $scanIds")
+    assert(p.contains("MapPartitions"), "extractors must stay scan-fused")
+    assert(p.contains("partial_count"),
+      "key census must partial-aggregate map-side")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+  }
+
   test("q_dedup_cdc chunks map-only; the census partial-aggregates map-side") {
     // content-defined chunking is per-doc higher-order array work
     // fused into the scan — the ONLY exchanges are the chunk-keyed

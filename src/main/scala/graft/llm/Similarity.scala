@@ -1783,6 +1783,10 @@ object Similarity {
             * (col("n") + svTotal)))
         .unionByName(census("sq8_stats", sq8StatsFrameDurable(s, dir),
           (col("i") + 1).cast("long") * (col("mn") + lit(2) * col("mx"))))
+        .unionByName(census("term_freqs",
+          graft.ops.TextOps.termFreqsArtifact(s, dir),
+          col("doc_id") * 31L + col("tf") * 7L
+            + length(col("word")).cast("long")))
         .unionByName(census("upper4", durableUpper4(s, dir),
           col("src") * 31L + col("dst")))
         .orderBy("artifact")
@@ -3653,6 +3657,11 @@ object Similarity {
         SELECT 'opq_pq_stats', CAST(count(*) AS BIGINT),
                coalesce(CAST(sum(term) AS BIGINT), 0)
         FROM (SELECT (0 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM opqt0 UNION ALL SELECT (1 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM opqt1 UNION ALL SELECT (2 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM opqt2 UNION ALL SELECT (3 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM opqt3 UNION ALL SELECT (4 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM opqt4 UNION ALL SELECT (5 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM opqt5 UNION ALL SELECT (6 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM opqt6 UNION ALL SELECT (7 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM opqt7 UNION ALL SELECT (8 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM opqt8 UNION ALL SELECT (9 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM opqt9 UNION ALL SELECT (10 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM opqt10 UNION ALL SELECT (11 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM opqt11 UNION ALL SELECT (12 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM opqt12 UNION ALL SELECT (13 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM opqt13 UNION ALL SELECT (14 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM opqt14 UNION ALL SELECT (15 * 16 + cl + 1) * (n + s1 + s2 + s3 + s4) AS term FROM opqt15)
+        UNION ALL
+        SELECT 'term_freqs', CAST(count(*) AS BIGINT),
+               coalesce(CAST(sum(doc_id * 31 + tf * 7 + length(word))
+                 AS BIGINT), 0)
+        FROM tf
         UNION ALL
         SELECT 'opq_var', CAST(count(*) AS BIGINT),
                coalesce(CAST(sum(i * (n + s + s2)) AS BIGINT), 0)

@@ -1118,12 +1118,28 @@ object TextOps {
         sum(col("term_score")).as("s6"))
   }
 
+  /** The (doc_id, word, tf) term-frequency table — the base every
+    * lexical index derives from (BM25 postings, df, tf-idf, the
+    * MaxSim query panel). r17: a PERSISTED IndexStore artifact, like
+    * every other trained/derived index — a search deployment builds
+    * its inverted index once per corpus snapshot and serves from the
+    * stored form; consumers here read ONE flat parquet scan instead
+    * of re-running tokenize+aggregate per query. Exact integer
+    * contents, so every consumer is hash-identical to its
+    * build-it-yourself form (the q_index_persist census row gates
+    * the artifact itself). */
+  private[graft] def termFreqsArtifact(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.llm.IndexStore.durableFrame(s, dir, "term_freqs") {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+    }
+
   private def termFreqs(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("tf"))
+    termFreqsArtifact(s, dir)
 
   /** 8-dim integer dot product between two tokens' md5 hex strings
     * (columns `a`, `b`): dimension i is hex byte i recentred to

@@ -2699,8 +2699,11 @@ object Multimodal {
     * a corrupt CATALOG xref entry (offset off by 2 — the object
     * header check must catch it); a reserved-BTYPE Flate first byte
     * (detected unconditionally — a random bit-flip could silently
-    * decode to wrong text and break the oracle). The independent
-    * escape arm embeds `\(`, `\)`, `\\` in a literal string. */
+    * decode to wrong text and break the oracle); a genuinely
+    * hex-encoded /ASCIIHexDecode stream (a real filter outside the
+    * decode surface → `unsupported`). The independent escape arm
+    * embeds `\(`, `\)`, `\\` in a literal string; the TJ array's
+    * -250 kern is a word break the extractor must reproduce. */
   private[graft] def pdfBytes(h: String): Array[Byte] = {
     val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
     val badMagic = b(11) % 16 == 7
@@ -2709,6 +2712,11 @@ object Multimodal {
     val badObj = !badMagic && !trunc && !badXref && b(15) % 8 == 1
     val badFlate = !badMagic && !trunc && !badXref && !badObj &&
       b(14) % 8 == 3
+    // A real-but-unimplemented filter (ASCIIHexDecode, genuinely
+    // hex-encoded) — the extractor must report `unsupported` with the
+    // census it already walked, never misread the bytes.
+    val hexFilter = !badMagic && !trunc && !badXref && !badObj &&
+      !badFlate && b(9) % 8 == 2
     val esc = b(10) % 4 == 1
     val nPages = 1 + b(0) % 2
     def pageOps(pg: Int): String = {
@@ -2748,7 +2756,16 @@ object Multimodal {
       z(defl.length + 4) = ((ad >>> 8) & 255).toByte
       z(defl.length + 5) = (ad & 255).toByte
       if (badFlate && i == 0) z(2) = 0x06.toByte // BFINAL=0, BTYPE=3
-      obj(4 + 2 * i) {
+      if (hexFilter && i == 0) {
+        val hex = (raw.map(x => f"${x & 0xff}%02x").mkString + ">")
+          .getBytes("ISO-8859-1")
+        obj(4 + 2 * i) {
+          wr(s"<< /Length ${hex.length} /Filter /ASCIIHexDecode >>" +
+            "\nstream\n")
+          out.write(hex, 0, hex.length)
+          wr("\nendstream\n")
+        }
+      } else obj(4 + 2 * i) {
         wr(s"<< /Length ${z.length} /Filter /FlateDecode >>\nstream\n")
         out.write(z, 0, z.length)
         wr("\nendstream\n")
@@ -3065,7 +3082,16 @@ object Multimodal {
           case "TJ" =>
             if (inBT && arr != null) { out.append(arr); ops += 1 }
             arr = null
-          case _ => // Tf/Td/numbers/names: not text-showing
+          case t if arr != null && t.length > 1 && t.charAt(0) == '-' &&
+              t.drop(1).forall(_.isDigit) &&
+              t.drop(1).length < 10 && t.drop(1).toLong >= 180 =>
+            // TJ kerning: a large negative displacement between array
+            // strings is a WORD BREAK (the pdftotext/pdfminer rule;
+            // threshold 180 thousandths of an em) — without it,
+            // kerned words would concatenate and the extracted text
+            // would diverge from what the page displays
+            arr.append(' ')
+          case _ => // Tf/Td/positive numbers/names: not text-showing
         }
         i = j
       } else i += 1
@@ -6020,6 +6046,7 @@ object Multimodal {
     "q_crawl_mixed_funnel" -> s"""
       WITH hx AS (SELECT doc_id, text, md5(text) AS h FROM documents),
       mb AS (SELECT doc_id, text, ${byteAt(7)} AS b7, ${byteAt(8)} AS b8,
+               ${byteAt(9)} AS b9,
                ${byteAt(11)} AS b11, ${byteAt(12)} AS b12,
                ${byteAt(13)} AS b13, ${byteAt(14)} AS b14,
                ${byteAt(15)} AS b15
@@ -6030,7 +6057,10 @@ object Multimodal {
                  OR (b11 % 16 <> 7 AND b13 % 8 <> 6 AND b12 % 8 <> 5
                      AND b15 % 8 = 1)
                  OR (b11 % 16 <> 7 AND b13 % 8 <> 6 AND b12 % 8 <> 5
-                     AND b15 % 8 <> 1 AND b14 % 8 = 3) AS pdfbad,
+                     AND b15 % 8 <> 1 AND b14 % 8 = 3)
+                 OR (b11 % 16 <> 7 AND b13 % 8 <> 6 AND b12 % 8 <> 5
+                     AND b15 % 8 <> 1 AND b14 % 8 <> 3 AND b9 % 8 = 2)
+                 AS pdfbad,
                b8 % 8 = 3 AS hplain, b12 % 8 = 7 AS htrunc,
                len(list_filter(string_split(text, ' '), x -> x <> ''))
                  AS nw
@@ -6398,7 +6428,8 @@ object Multimodal {
     // hashes to meet.
     "q_pdf_extract" -> s"""
       WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
-      fb AS (SELECT doc_id, h, ${byteAt(0)} AS b0, ${byteAt(10)} AS b10,
+      fb AS (SELECT doc_id, h, ${byteAt(0)} AS b0, ${byteAt(9)} AS b9,
+               ${byteAt(10)} AS b10,
                ${byteAt(11)} AS b11, ${byteAt(12)} AS b12,
                ${byteAt(13)} AS b13, ${byteAt(14)} AS b14,
                ${byteAt(15)} AS b15
@@ -6411,17 +6442,20 @@ object Multimodal {
                  AND b15 % 8 = 1 AS badobj,
                b11 % 16 <> 7 AND b13 % 8 <> 6 AND b12 % 8 <> 5
                  AND b15 % 8 <> 1 AND b14 % 8 = 3 AS badflate,
+               b11 % 16 <> 7 AND b13 % 8 <> 6 AND b12 % 8 <> 5
+                 AND b15 % 8 <> 1 AND b14 % 8 <> 3 AND b9 % 8 = 2
+                 AS unsup,
                b10 % 4 = 1 AS esc,
                1 + b0 % 2 AS np
              FROM fb),
       ft AS (SELECT doc_id,
                'Page 0: ' || substr(h, 1, 8) ||
                  (CASE WHEN esc THEN ' ()\\' ELSE '' END) ||
-                 substr(h, 9, 4) || substr(h, 13, 4) ||
+                 substr(h, 9, 4) || ' ' || substr(h, 13, 4) ||
                  (CASE WHEN np = 2 THEN chr(10) || 'Page 1: ' ||
                     substr(h, 3, 8) ||
                     (CASE WHEN esc THEN ' ()\\' ELSE '' END) ||
-                    substr(h, 9, 4) || substr(h, 13, 4)
+                    substr(h, 9, 4) || ' ' || substr(h, 13, 4)
                   ELSE '' END) AS txt
              FROM fd)
       SELECT fd.doc_id,
@@ -6429,16 +6463,20 @@ object Multimodal {
                   WHEN trunc THEN 'truncated'
                   WHEN badxref THEN 'bad_xref'
                   WHEN badobj THEN 'bad_object'
-                  WHEN badflate THEN 'bad_flate' ELSE 'ok' END AS status,
+                  WHEN badflate THEN 'bad_flate'
+                  WHEN unsup THEN 'unsupported' ELSE 'ok' END AS status,
              CASE WHEN badmagic OR trunc OR badxref OR badobj THEN NULL
                   ELSE CAST(np AS INT) END AS n_pages,
              CASE WHEN badmagic OR trunc OR badxref THEN NULL
                   ELSE CAST(3 + 2 * np AS INT) END AS n_objects,
              CASE WHEN badmagic OR trunc OR badxref OR badobj OR badflate
+                  OR unsup
                   THEN NULL ELSE CAST(2 * np AS INT) END AS n_text_ops,
              CASE WHEN badmagic OR trunc OR badxref OR badobj OR badflate
+                  OR unsup
                   THEN NULL ELSE CAST(length(txt) AS INT) END AS n_chars,
              CASE WHEN badmagic OR trunc OR badxref OR badobj OR badflate
+                  OR unsup
                   THEN NULL ELSE md5(txt) END AS text_md5
       FROM fd JOIN ft USING (doc_id)
       ORDER BY fd.doc_id""",

@@ -350,6 +350,34 @@ object Similarity {
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n"), expr("vec_sum(q, 64)").as("sv"))
 
+  /** Merge per-shard training-stats frames into one trained quantizer:
+    * per seed cluster, counts and Σv add exactly (the aggregate is
+    * distributive over any partition of the corpus), so the merged
+    * parts equal a full train bit for bit — `q_knn_ivf_merge` gates
+    * that equality through q_knn_ivf's own oracle. Driver-side merge
+    * of ≤K rows per shard (index METADATA, never data). */
+  private[graft] def ivfStatsMergeParts(
+      frames: Seq[DataFrame]): Seq[(Long, Seq[Long], BigInt)] = {
+    val byK = scala.collection.mutable.Map.empty[Int, (Long, Array[Long])]
+    for (f <- frames; r <- f.collect()) {
+      val k = r.getAs[Int]("cluster")
+      val n = r.getAs[Long]("n")
+      val sv = r.getAs[scala.collection.Seq[Long]]("sv").toArray
+      byK.get(k) match {
+        case Some((n0, s0)) =>
+          var i = 0
+          while (i < s0.length) { s0(i) += sv(i); i += 1 }
+          byK(k) = (n0 + n, s0)
+        case None => byK(k) = (n, sv.clone())
+      }
+    }
+    require(byK.nonEmpty, "IVF merge: empty corpus")
+    byK.keys.toSeq.sorted.map { k =>
+      val (n, sv) = byK(k)
+      (n, sv.toSeq, sv.map(v => BigInt(v) * BigInt(v)).sum)
+    }
+  }
+
   private def partsOfStats(collected: Array[org.apache.spark.sql.Row])
       : Seq[(Long, Seq[Long], BigInt)] = {
     val byK = collected.map(r => r.getAs[Int]("cluster") -> r).toMap
@@ -1607,6 +1635,25 @@ object Similarity {
     "q_knn_ivf" -> ((s, dir) =>
       ivfTop(s, dir, qmax = 50, k = 3).orderBy("query_id", "rnk")),
 
+    // DISTRIBUTED index build — train the coarse quantizer PER SHARD
+    // and MERGE (the FAISS merge_into / multi-node build story): the
+    // training aggregate is a per-seed-cluster (count, Σv) over a
+    // FIXED seed assignment, so shard stats are exactly additive and
+    // the merged index is ALGEBRAICALLY the full-train index — this
+    // row shares q_knn_ivf's oracle, so the gate proves
+    // merged-shards search == full-train search at the result level
+    // every round (the q_knn_ivf_retrain discipline, now across the
+    // shard boundary). At 100 TB: each shard trains where its data
+    // lives; the merge moves 2 × K×65 ints, never data.
+    "q_knn_ivf_merge" -> ((s, dir) => {
+      val qe = Dedup.quantized(s, dir)
+      val parts = ivfStatsMergeParts(Seq(
+        ivfTrainStatsFrame(qe.filter(col("vec_id") % 2 === 0)),
+        ivfTrainStatsFrame(qe.filter(col("vec_id") % 2 =!= 0))))
+      ivfTopOn(ivfAssignWith(parts, qe), col("vec_id") < 50,
+        k = 3, nprobe = 1).orderBy("query_id", "rnk")
+    }),
+
     // FILTERED ANN, both strategies in one frame — see [[filteredTop]].
     "q_knn_filtered" -> ((s, dir) =>
       filteredTop(s, dir, qmax = 50, k = 3)
@@ -2332,6 +2379,8 @@ object Similarity {
         ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
       GROUP BY b.query_id ORDER BY b.query_id"""),
     "q_knn_ivf" -> ivfSql(multi = false),
+    // merged-shards build must equal the full train bit for bit
+    "q_knn_ivf_merge" -> ivfSql(multi = false),
     "q_knn_filtered" -> (filteredCtes + s"""
       SELECT 'pre' AS strategy, query_id, rnk, neighbor_id, cosine FROM fpre
       UNION ALL

@@ -3632,6 +3632,60 @@ object Multimodal {
       if (oriented) m.r_sum else None)
   }
 
+  /** Decode → orient → dHash, the full chain real image dedup runs
+    * (mirrored/rotated re-uploads normalize to one hash BEFORE the
+    * perceptual compare — without the orient step every flipped copy
+    * dodges dedup): the raster collects through [[JpegPixelSink]],
+    * the Exif tag's INVERSE index map samples the 9×8 dHash grid in
+    * ORIENTED coordinates (nearest sample — the [[dhashPpm]] rule),
+    * and the 64 horizontal comparisons pack as the usual two 32-bit
+    * halves. Raster memory is O(W·H) — the same order the decode
+    * itself holds (a progressive file's coefficient store), and what
+    * any dHash implementation keeps anyway. */
+  private[graft] def jpegOrientedDhash(id: Long,
+      p: Array[Byte]): PhashMeta = {
+    val orient = parseJpegExif(id, p).orientation.getOrElse(1)
+    var w0 = 0; var h0 = 0
+    var gray: Array[Int] = null
+    val sink = new JpegPixelSink {
+      def dims(w: Int, h: Int): Unit = {
+        w0 = w; h0 = h; gray = new Array[Int](w * h)
+      }
+      def emit(x: Int, y: Int, r: Int, g: Int, b: Int): Unit =
+        gray(y * w0 + x) = r + g + b
+    }
+    val m = parseJpeg(id, p, sink)
+    if (m.status != "ok") return PhashMeta(id, m.status, None, None)
+    val ow = if (orient >= 5) h0 else w0
+    val oh = if (orient >= 5) w0 else h0
+    def og(ox: Int, oy: Int): Int = {
+      val sx = orient match {
+        case 2 | 3 => w0 - 1 - ox
+        case 5 | 6 => oy
+        case 7 | 8 => w0 - 1 - oy
+        case _ => ox
+      }
+      val sy = orient match {
+        case 3 | 4 => h0 - 1 - oy
+        case 5 | 8 => ox
+        case 6 | 7 => h0 - 1 - ox
+        case _ => oy
+      }
+      gray(sy * w0 + sx)
+    }
+    val gs = Array.tabulate(72)(k => og((k % 9) * ow / 9, (k / 9) * oh / 8))
+    var hi = 0L; var lo = 0L
+    var k = 0
+    while (k < 64) {
+      val r = k / 8; val c = k % 8
+      if (gs(r * 9 + c) < gs(r * 9 + c + 1)) {
+        if (k >= 32) hi |= 1L << (k - 32) else lo |= 1L << k
+      }
+      k += 1
+    }
+    PhashMeta(id, "ok", Some(hi), Some(lo))
+  }
+
   /** Optional per-pixel tap on the JPEG decode — `dims` fires once
     * (post-SOF, pre-pixels), then `emit` once per ABSOLUTE (x, y) in
     * decode order. O(1) added state: the consumer folds pixels as
@@ -5252,6 +5306,36 @@ object Multimodal {
             col("c")).otherwise(0L)), lit(0L)).as("n_dup_records"))
     }),
 
+    // ORIENTATION-NORMALIZED perceptual dedup — the decode→orient→
+    // dHash composition closed end to end (see [[jpegOrientedDhash]]):
+    // without the orient step, every mirrored/rotated re-upload of an
+    // image dodges perceptual dedup because dHash is computed over
+    // raw storage order. Same keeper census as q_dedup_image_phash,
+    // over the JPEG+Exif payloads with the tag's inverse index map
+    // applied at the sampling grid. Scale shape identical: scan-fused
+    // decode+hash, one hash-keyed window census.
+    "q_dedup_image_phash_oriented" -> ((s, dir) => {
+      import s.implicits._
+      val metas = Tables(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, h) =>
+          jpegOrientedDhash(id, jpegExifBytes(h))
+        }).toDF()
+      val w = Window.partitionBy(col("status"), col("dhash_hi"),
+        col("dhash_lo"))
+      metas
+        .withColumn("n_copies", when(col("status") === "ok",
+          count(lit(1)).over(w)).otherwise(lit(null).cast("long")))
+        .withColumn("keeper", when(col("status") === "ok",
+          min(col("doc_id")).over(w)).otherwise(lit(null).cast("long")))
+        .withColumn("keep",
+          col("status") === "ok" && col("doc_id") === col("keeper"))
+        .select(col("doc_id"), col("status"), col("dhash_hi"),
+          col("dhash_lo"), col("n_copies"), col("keeper"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
     // PERCEPTUAL image dedup — dHash over genuinely decoded pixels,
     // then the exact-dedup keeper census keyed on the 64-bit hash
     // (the LAION image-dedup recipe's cheap tier). Scale shape: the
@@ -6173,6 +6257,64 @@ object Multimodal {
     // halves packed with sub-sign-bit shifts, and the keeper census
     // as a window over (status, hash) — the whole decode→hash→dedup
     // chain pinned value-exact without the oracle ever seeing bytes.
+    // Oriented-dHash twin: the shared per-pixel JPEG model, the Exif
+    // orientation byte model, the INVERSE index maps at the 9×8
+    // sampling grid, then the same bit packing and keeper census.
+    "q_dedup_image_phash_oriented" -> (jpegPixelCtes + s""",
+      ob2 AS (SELECT doc_id, ${byteAt(3)} AS ob3, ${byteAt(5)} AS ob5,
+               ${byteAt(6)} AS ob6
+             FROM hx),
+      ori2 AS (SELECT jd.doc_id, w, hh, badmagic, prec12, trunc,
+                CASE WHEN NOT badmagic AND ob6 % 8 <> 1 AND ob5 % 8 <> 2
+                     THEN 1 + ob3 % 8 ELSE 1 END AS orient
+              FROM jd JOIN ob2 USING (doc_id)),
+      od AS (SELECT doc_id, orient, w, hh,
+               CASE WHEN orient >= 5 THEN hh ELSE w END AS ow,
+               CASE WHEN orient >= 5 THEN w ELSE hh END AS ohh
+             FROM ori2 WHERE NOT badmagic AND NOT prec12 AND NOT trunc),
+      ogrid AS (SELECT doc_id, orient, w, hh, k,
+                 (k % 9) * ow // 9 AS ox, (k // 9) * ohh // 8 AS oy
+               FROM od, UNNEST(generate_series(0, 71)) AS u(k)),
+      oinv AS (SELECT doc_id, k,
+                 CASE WHEN orient IN (2, 3) THEN w - 1 - ox
+                      WHEN orient IN (5, 6) THEN oy
+                      WHEN orient IN (7, 8) THEN w - 1 - oy
+                      ELSE ox END AS sx,
+                 CASE WHEN orient IN (3, 4) THEN hh - 1 - oy
+                      WHEN orient IN (5, 8) THEN ox
+                      WHEN orient IN (6, 7) THEN hh - 1 - ox
+                      ELSE oy END AS sy
+               FROM ogrid),
+      ogg AS (SELECT o.doc_id, o.k, jr.r + jr.g + jr.bb AS gray
+              FROM oinv o JOIN jr ON jr.doc_id = o.doc_id
+                AND jr.x = o.sx AND jr.y = o.sy),
+      ogl AS (SELECT doc_id, list(gray ORDER BY k) AS gs
+              FROM ogg GROUP BY 1),
+      oph0 AS (SELECT doc_id,
+                CAST(list_sum(list_transform(generate_series(32, 63), k ->
+                  CASE WHEN gs[(k // 8) * 9 + (k % 8) + 1] <
+                            gs[(k // 8) * 9 + (k % 8) + 2]
+                       THEN (1::BIGINT << (k - 32)) ELSE 0 END))
+                  AS BIGINT) AS hi,
+                CAST(list_sum(list_transform(generate_series(0, 31), k ->
+                  CASE WHEN gs[(k // 8) * 9 + (k % 8) + 1] <
+                            gs[(k // 8) * 9 + (k % 8) + 2]
+                       THEN (1::BIGINT << k) ELSE 0 END)) AS BIGINT) AS lo
+              FROM ogl),
+      oph AS (SELECT ori2.doc_id,
+                CASE WHEN badmagic THEN 'bad_magic'
+                     WHEN prec12 THEN 'unsupported'
+                     WHEN trunc THEN 'truncated' ELSE 'ok' END AS status,
+                hi AS dhash_hi, lo AS dhash_lo
+              FROM ori2 LEFT JOIN oph0 USING (doc_id))
+      SELECT doc_id, status, dhash_hi, dhash_lo,
+             CASE WHEN status = 'ok' THEN count(*) OVER
+               (PARTITION BY status, dhash_hi, dhash_lo) END AS n_copies,
+             CASE WHEN status = 'ok' THEN min(doc_id) OVER
+               (PARTITION BY status, dhash_hi, dhash_lo) END AS keeper,
+             status = 'ok' AND doc_id = (min(doc_id) OVER
+               (PARTITION BY status, dhash_hi, dhash_lo)) AS keep
+      FROM oph ORDER BY doc_id"""),
     "q_dedup_image_phash" -> s"""
       WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
       b AS (SELECT doc_id, h, ${byteAt(0)} AS b0, ${byteAt(1)} AS b1,

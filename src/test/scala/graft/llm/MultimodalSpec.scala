@@ -837,6 +837,98 @@ class MultimodalSpec extends graft.SparkSuite {
       assert(orientOks(o) > 0, s"orientation $o never fired on the ok path")
   }
 
+  test("oriented dHash matches the independent oriented-raster model; orientation matters") {
+    // Independent model: rebuild the gray raster per pixel (the JPEG
+    // sweep arithmetic), apply the inverse orientation map at the 9×8
+    // sampling grid, pack the 64 comparisons — none of the sink or
+    // decoder machinery. The `differs` counter pins the CLAIM of the
+    // operator: for some non-identity orientations the oriented hash
+    // must differ from the raw storage-order hash (otherwise the
+    // orient step would be dead code and mirrored re-uploads would
+    // still dodge dedup).
+    val sig = Array(1, -1, -1, 1, 1, -1, -1, 1)
+    def fd(x: Long): Int = (((x + 32768L + (1L << 30)) >> 16) - 16384L).toInt
+    def cl(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+    var checked = 0; var differs = 0
+    for (i <- 0 until 150) {
+      val h = md5hex(s"jpeg-ophash-$i")
+      val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
+      val m = Multimodal.jpegOrientedDhash(
+        i.toLong, Multimodal.jpegExifBytes(h))
+      if (m.status == "ok") {
+        checked += 1
+        val gray = b(9) % 8 == 6
+        val sub420 = !gray && b(8) % 4 == 2
+        val sub422 = !gray && !sub420 && b(8) % 4 == 1
+        val wScale = if (sub420 || sub422) 16 else 8
+        val hScale = if (sub420) 16 else 8
+        val w = wScale * (1 + b(0) % 2); val hgt = hScale * (1 + b(1) % 2)
+        val orient =
+          if (b(6) % 8 == 1 || b(5) % 8 == 2) 1 else 1 + b(3) % 8
+        val g2 = Array.ofDim[Int](hgt, w)
+        for (y <- 0 until hgt; x <- 0 until w) {
+          val bi = (y / 8) * (w / 8) + x / 8
+          val sg = sig(x % 8) * sig(y % 8)
+          def v(c: Int) = 128 + (b((2 + 3 * c + bi) % 16) % 48 - 24) +
+            (b((7 + 2 * c + bi) % 16) % 32 - 16) * sg
+          val bic = (y / 16) * (w / 16) + x / 16
+          val sgc = sig((x % 16) / 2) * sig((y % 16) / 2)
+          def vc(c: Int) = 128 + (b((2 + 3 * c + bic) % 16) % 48 - 24) +
+            (b((7 + 2 * c + bic) % 16) % 32 - 16) * sgc
+          val bic2 = (y / 8) * (w / 16) + x / 16
+          val sgc2 = sig((x % 16) / 2) * sig(y % 8)
+          def vc2(c: Int) = 128 + (b((2 + 3 * c + bic2) % 16) % 48 - 24) +
+            (b((7 + 2 * c + bic2) % 16) % 32 - 16) * sgc2
+          val yv = v(0)
+          val (cb, cr) =
+            if (gray) (128, 128)
+            else if (sub420) (vc(1), vc(2))
+            else if (sub422) (vc2(1), vc2(2))
+            else (v(1), v(2))
+          g2(y)(x) = cl(yv + fd(91881L * (cr - 128))) +
+            cl(yv - fd(22554L * (cb - 128) + 46802L * (cr - 128))) +
+            cl(yv + fd(116130L * (cb - 128)))
+        }
+        def hashFor(o: Int): (Long, Long) = {
+          val ow = if (o >= 5) hgt else w
+          val oh = if (o >= 5) w else hgt
+          def og(ox: Int, oy: Int): Int = {
+            val sx = o match {
+              case 2 | 3 => w - 1 - ox
+              case 5 | 6 => oy
+              case 7 | 8 => w - 1 - oy
+              case _ => ox
+            }
+            val sy = o match {
+              case 3 | 4 => hgt - 1 - oy
+              case 5 | 8 => ox
+              case 6 | 7 => hgt - 1 - ox
+              case _ => oy
+            }
+            g2(sy)(sx)
+          }
+          val gs = Array.tabulate(72)(k =>
+            og((k % 9) * ow / 9, (k / 9) * oh / 8))
+          var hi = 0L; var lo = 0L
+          for (k <- 0 until 64) {
+            val r = k / 8; val c = k % 8
+            if (gs(r * 9 + c) < gs(r * 9 + c + 1)) {
+              if (k >= 32) hi |= 1L << (k - 32) else lo |= 1L << k
+            }
+          }
+          (hi, lo)
+        }
+        val (ehi, elo) = hashFor(orient)
+        assert(m.dhash_hi.contains(ehi) && m.dhash_lo.contains(elo),
+          s"$h orient=$orient hash")
+        if (orient != 1 && (ehi, elo) != hashFor(1)) differs += 1
+      }
+    }
+    assert(checked > 50, s"only $checked ok fixtures")
+    assert(differs > 0,
+      "no non-identity orientation ever changed the hash — dead orient step")
+  }
+
   test("JPEG restart intervals: DRI fixtures carry RSTm and decode identically") {
     // find a multi-MCU DRI-armed fixture; its bytes must carry the DRI
     // segment and at least one restart marker, decode 'ok', and a

@@ -375,6 +375,40 @@ object Streams {
       .select(col("doc_id"), col("chunk"),
         coalesce(col("known"), lit(false)).as("known"))
 
+  /** Standing PURGE INDEX of the deletion screen — per doc its
+    * content hash, exact-dedup keeper, and copy count, built once in
+    * batch over the corpus (at deployment a bucketed table on
+    * doc_id). The doc-keyed lookup side [[forgetScreen]] probes. */
+  def forgetIndex(corpus: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("content_hash"))
+    corpus.select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+  }
+
+  /** Streamed RIGHT-TO-BE-FORGOTTEN screen — deletion requests arrive
+    * continuously (the GDPR/takedown queue): each micro-batch of
+    * tombstoned doc_ids probes the standing [[forgetIndex]] and emits
+    * what the deletion TOUCHES — whether the id exists, its content
+    * hash (the blob the store must purge), its exact-dedup keeper and
+    * copy count, and `was_keeper` (the cluster now needs re-election
+    * — the batch re-election itself is q_forget_docs' job: a window
+    * over the whole cluster, batch-only by the keeper-swap
+    * reasoning). Stateless: ONE stream-static left join with the
+    * tombstone DELTA as the hinted build side (the incrementalScreen
+    * rule — a 100 TB standing index is never the build side), no
+    * aggregation in-stream, so the plan streams unchanged in append
+    * mode. StreamsSpec pins batch parity, zero state, and flag
+    * correctness. */
+  def forgetScreen(tombstones: DataFrame, index: DataFrame): DataFrame =
+    tombstones.hint("shuffle_hash")
+      .join(index.withColumn("known", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("known"), lit(false)).as("known"),
+        col("content_hash"), col("keeper"), col("n_copies"),
+        coalesce(col("doc_id") === col("keeper"), lit(false))
+          .as("was_keeper"))
+
   /** Streamed ANN SERVING — the query side of the lifecycle
     * [[ivfIngest]] covers for the corpus side: each arriving
     * micro-batch of query vectors (vec_id, q, norm) is assigned to

@@ -462,6 +462,45 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("forget screen resolves tombstones against the standing purge index statelessly") {
+    // Standing (content_hash, keeper, n_copies) index built once in
+    // batch; deletion requests stream against it. Pins: (1) streamed
+    // union == batch rows; (2) zero stream state; (3) flags match an
+    // independent map model — unknown ids surface known=false (the
+    // idempotent-delete contract), tombstoned keepers flag
+    // was_keeper so the cluster re-election (q_forget_docs) triggers.
+    implicit val sqlCtx = spark.sqlContext
+    // docs 0/1 share text (keeper 0), 2 is unique
+    val corpus = Seq((0L, "alpha beta gamma"), (1L, "alpha beta gamma"),
+      (2L, "delta epsilon")).toDF("doc_id", "text")
+    val index = Streams.forgetIndex(corpus).localCheckpoint(true)
+    val tombs = Seq(Tuple1(0L), Tuple1(2L), Tuple1(99L))
+    val batch = Streams.forgetScreen(tombs.toDF("doc_id"), index)
+      .as[(Long, Boolean, Option[String], Option[Long], Option[Long],
+        Boolean)].collect().toSet
+    val byId = batch.map(r => r._1 -> r).toMap
+    assert(byId(0L)._2 && byId(0L)._6 && byId(0L)._5.contains(2L),
+      s"doc 0 is a known 2-copy keeper: ${byId(0L)}")
+    assert(byId(2L)._2 && byId(2L)._6 && byId(2L)._5.contains(1L))
+    assert(!byId(99L)._2 && !byId(99L)._6 && byId(99L)._3.isEmpty,
+      "unknown id must resolve known=false with no payload")
+    val in = MemoryStream[Tuple1[Long]]
+    val q = Streams.forgetScreen(in.toDF().toDF("doc_id"), index)
+      .writeStream.format("memory").queryName("forgetscreen")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(tombs.take(2): _*)
+      q.processAllAvailable()
+      in.addData(tombs.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("forgetscreen")
+        .as[(Long, Boolean, Option[String], Option[Long], Option[Long],
+          Boolean)].collect().toSet
+      assert(got == batch, "streamed union must equal the batch screen")
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("CDC ingest screen flags known chunks statelessly per micro-batch") {
     // Standing chunk store built once in batch; arriving docs chunk
     // and probe it. Pins: (1) streamed union == batch rows; (2) zero

@@ -199,6 +199,24 @@ object Dedup {
       "'p', array_append(st.p, trim(substring(l, 10)))) " +
       "else st end, st -> st.p)"
 
+  /** Crawl-delay from the ACTIVE (`User-agent: *`) section only — the
+    * same sectioned line-state machine as [[robotsParseExpr]] with
+    * the collected value swapped: a decoy section's delay must NOT
+    * leak (the fixture plants one). Missing → the politeness default
+    * 1 s. */
+  private[graft] val robotsDelayExpr: String =
+    "aggregate(split(robots, '\n'), " +
+      "named_struct('instar', false, 'd', 1), " +
+      "(st, l) -> case " +
+      "when l = 'User-agent: *' then " +
+      "named_struct('instar', true, 'd', st.d) " +
+      "when substring(l, 1, 11) = 'User-agent:' then " +
+      "named_struct('instar', false, 'd', st.d) " +
+      "when st.instar and substring(l, 1, 12) = 'Crawl-delay:' then " +
+      "named_struct('instar', true, " +
+      "'d', cast(trim(substring(l, 13)) as int)) " +
+      "else st end, st -> st.d)"
+
   private[graft] def canonicalizeUrl(df: DataFrame): DataFrame =
     df
       .withColumn("scheme_l",
@@ -254,19 +272,25 @@ object Dedup {
       .withColumn("h", md5(col("text")))
       .withColumn("url", expr(urlSynthSql)))
       .withColumn("hh", md5(col("host_l")))
+      // the DECOY section carries its own Crawl-delay (9) that must
+      // never leak into the star section's parsed value
       .withColumn("robots", expr(
         "concat('User-agent: GoodBot\nDisallow: /p', " +
           "cast(conv(substring(hh, 3, 1), 16, 10) as int), " +
+          "'\nCrawl-delay: 9', " +
           "'\nUser-agent: *\nDisallow: /p', " +
           "cast(conv(substring(hh, 1, 1), 16, 10) as int), " +
           "'\nDisallow: /p', " +
           "cast(conv(substring(hh, 2, 1), 16, 10) as int), " +
-          "'\nCrawl-delay: 1\n')"))
+          "'\nCrawl-delay: ', " +
+          "cast(conv(substring(hh, 4, 1), 16, 10) as int) % 5 + 1, " +
+          "'\n')"))
       .withColumn("pfx", expr(robotsParseExpr))
       .withColumn("blocked",
         expr("exists(pfx, p -> startswith(path, p))"))
       .select(col("doc_id"), col("host_l").as("domain"), col("path"),
-        expr("array_join(pfx, ',')").as("disallow"), col("blocked"))
+        expr("array_join(pfx, ',')").as("disallow"), col("blocked"),
+        expr(robotsDelayExpr).as("delay"))
 
   /** Exact integer dot product of two quantized vectors — graft's
     * native codegen expression (functions/ArrayNumeric.scala). */
@@ -998,6 +1022,24 @@ object Dedup {
           sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked"),
           sum(when(!col("blocked"), 1L).otherwise(0L)).as("n_allowed"))
         .orderBy("domain")),
+
+    // CRAWL-POLITENESS schedule — the planning row between the robots
+    // gate and the fetcher: per domain, the ACTIVE section's
+    // Crawl-delay (the decoy section plants its own delay, so the
+    // parsed value also gates section scoping), the allowed-URL count
+    // after the disallow prefix match, and the serialized fetch
+    // makespan n_allowed · delay — the number that sizes per-host
+    // queues and names the domains that bound the crawl's wall clock.
+    // Scale shape: the same scan-side synth+parse projection as
+    // q_robots_filter into ONE domain-keyed aggregate.
+    "q_crawl_schedule" -> ((s, dir) =>
+      robotsDecisionsOn(Tables(s, dir, "documents"))
+        .groupBy(col("domain"))
+        .agg(max(col("delay")).as("crawl_delay"),
+          sum(when(!col("blocked"), 1L).otherwise(0L)).as("n_allowed"))
+        .withColumn("makespan_s",
+          col("crawl_delay").cast("long") * col("n_allowed"))
+        .orderBy(col("makespan_s").desc, col("domain"))),
 
     // Per-DOMAIN crawl census — the blocklist-candidate artifact crawl
     // ops maintain (a domain with high dup_rate is boilerplate/mirror
@@ -1988,6 +2030,28 @@ object Dedup {
              CAST(sum(CASE WHEN blocked THEN 0 ELSE 1 END) AS BIGINT)
                AS n_allowed
       FROM rr GROUP BY 1, 2 ORDER BY domain""",
+    "q_crawl_schedule" -> s"""
+      WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+      u AS (SELECT doc_id, $urlSynthSql AS url FROM hx),
+      ${urlCanonCtes()},
+      sb AS (SELECT c.doc_id, p3.host_l, p3.path,
+               ('0x' || substr(md5(p3.host_l), 1, 1))::BIGINT AS d1,
+               ('0x' || substr(md5(p3.host_l), 2, 1))::BIGINT AS d2,
+               ('0x' || substr(md5(p3.host_l), 4, 1))::BIGINT % 5 + 1
+                 AS delay
+             FROM c JOIN p3 USING (doc_id)),
+      sr AS (SELECT doc_id, host_l, delay,
+               (starts_with(path, concat('/p', d1))
+                OR starts_with(path, concat('/p', d2))) AS blocked
+             FROM sb),
+      sg AS (SELECT host_l AS domain,
+               CAST(max(delay) AS INT) AS crawl_delay,
+               CAST(sum(CASE WHEN blocked THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_allowed
+             FROM sr GROUP BY 1)
+      SELECT domain, crawl_delay, n_allowed,
+             CAST(crawl_delay * n_allowed AS BIGINT) AS makespan_s
+      FROM sg ORDER BY makespan_s DESC, domain""",
     "q_url_filter" -> s"""
       WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
       u AS (SELECT doc_id, $urlSynthSql AS url FROM hx),

@@ -40,4 +40,26 @@ class RobotsSpec extends SparkSuite {
         "User-agent: *\nDisallow: /b\n"))
     assert(p == Seq("/a", "/b"), p.toString)
   }
+
+  test("Crawl-delay parses from the star section only; missing defaults to 1") {
+    def delays(bodies: Seq[String]): Seq[Int] =
+      bodies.toDF("robots")
+        .select(expr(Dedup.robotsDelayExpr).as("d"))
+        .as[Int].collect().toSeq
+    val Seq(a, b, c, d) = delays(Seq(
+      // decoy section's delay must not leak; star's wins
+      "User-agent: GoodBot\nCrawl-delay: 9\n" +
+        "User-agent: *\nDisallow: /a\nCrawl-delay: 4\n",
+      // delay only in a decoy section: the default stands
+      "User-agent: GoodBot\nCrawl-delay: 9\nUser-agent: *\nDisallow: /a\n",
+      // no delay anywhere: default
+      "User-agent: *\nDisallow: /a\n",
+      // later star value overrides (last write wins, trimmed)
+      "User-agent: *\nCrawl-delay:  2 \nUser-agent: X\nCrawl-delay: 7\n" +
+        "User-agent: *\nCrawl-delay: 5\n"))
+    assert(a == 4, s"decoy delay leaked: $a")
+    assert(b == 1, s"decoy-only delay leaked: $b")
+    assert(c == 1, s"default broke: $c")
+    assert(d == 5, s"reopened-section override broke: $d")
+  }
 }

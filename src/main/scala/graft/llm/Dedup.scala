@@ -243,6 +243,20 @@ object Dedup {
         " THEN concat(':', port) ELSE '' END, path, " +
         "CASE WHEN params != '' THEN concat('?', params) ELSE '' END)"))
 
+  /** The VERIFIED Jaccard-≥0.8 near-dup pair list as a persisted
+    * [[IndexStore]] artifact — the dedup service's standing verdict
+    * table: the exact shingle pipeline runs once per corpus snapshot;
+    * every keeper-election consumer (q_dedup_cluster, the big-star
+    * variant, q_forget_docs) loads the flat parquet. q_dedup_jaccard
+    * keeps building fresh — it gates the pipeline itself, and the
+    * q_index_persist census row gates the stored pairs. */
+  private[graft] def jaccardPairsDurable(s: SparkSession,
+      dir: String): DataFrame =
+    IndexStore.durableFrame(s, dir, "jaccard_pairs") {
+      val sh = shingles(s, dir)
+      jaccardFinish(bruteInter(sh), sh, 0.8).select(col("d1"), col("d2"))
+    }
+
   /** Per-doc URL-FILTER routing decision (doc_id, url, canon, reason)
     * — the stateless scan projection under q_url_filter's census:
     * synth + canonicalizer + first-matching-rule CASE, zero joins.
@@ -1199,17 +1213,10 @@ object Dedup {
 
     // Near-dup CLUSTERS: Jaccard ≥ 0.8 pairs → connected components →
     // min-id keeper per component ([[keepers]]). Oracle: recursive-CTE
-    // transitive closure over the same pair set. `keepers` materializes
-    // the pair pipeline eagerly (one pass), so the shingle cache can be
-    // dropped before the label loop starts.
-    "q_dedup_cluster" -> ((s, dir) => {
-      // No shingle persist: keepers() caches-and-counts the pair set as
-      // its first step, so the whole verify pipeline evaluates ONCE.
-      val sh = shingles(s, dir)
-      val pairs = jaccardFinish(bruteInter(sh), sh, 0.8)
-        .select(col("d1"), col("d2"))
-      keepers(pairs).orderBy("doc_id") // eager: loop ran when this returns
-    }),
+    // transitive closure over the same pair set. r17: the pair list
+    // loads from the persisted artifact ([[jaccardPairsDurable]]).
+    "q_dedup_cluster" -> ((s, dir) =>
+      keepers(jaccardPairsDurable(s, dir)).orderBy("doc_id")),
 
     // DELETION PROPAGATION (right-to-be-forgotten) — the compliance
     // op every production corpus store needs: tombstone a doc set
@@ -1229,10 +1236,9 @@ object Dedup {
     // keeper elections are the CC loop over pair-sized frames, and
     // the census is two keeper-keyed aggregates.
     "q_forget_docs" -> ((s, dir) => {
-      val sh = shingles(s, dir)
-      val pairs = jaccardFinish(bruteInter(sh), sh, 0.8)
-        .select(col("d1"), col("d2")).persist(StorageLevel.MEMORY_AND_DISK)
-      pairs.count() // run the verify tree once, at full parallelism
+      val pairs = jaccardPairsDurable(s, dir)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      pairs.count()
       val before = keepers(pairs).withColumnRenamed("keeper", "kb")
       val after = keepers(pairs
           .filter(col("d1") % 17 =!= 0 && col("d2") % 17 =!= 0))
@@ -1245,10 +1251,9 @@ object Dedup {
     // diameter-proof path, oracle-gated against the SAME recursive-CTE
     // transitive closure as q_dedup_cluster (both must agree exactly).
     "q_dedup_cluster_bigstar" -> ((s, dir) => {
-      val sh = shingles(s, dir)
-      val pairs = jaccardFinish(bruteInter(sh), sh, 0.8)
-        .select(col("d1"), col("d2")).persist(StorageLevel.MEMORY_AND_DISK)
-      pairs.count() // run the verify tree once, at full parallelism
+      val pairs = jaccardPairsDurable(s, dir)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      pairs.count()
       val result = keepersBigStar(pairs)
       pairs.unpersist(false)
       result.orderBy("doc_id")

@@ -1834,6 +1834,9 @@ object Similarity {
           graft.ops.TextOps.termFreqsArtifact(s, dir),
           col("doc_id") * 31L + col("tf") * 7L
             + length(col("word")).cast("long")))
+        .unionByName(census("jaccard_pairs",
+          Dedup.jaccardPairsDurable(s, dir),
+          col("d1") * 31L + col("d2")))
         .unionByName(census("upper4", durableUpper4(s, dir),
           col("src") * 31L + col("dst")))
         .orderBy("artifact")
@@ -3677,6 +3680,22 @@ object Similarity {
       ipur AS (SELECT vec_id, neighbor_id,
                  row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
                FROM ipuc),
+      ipjs AS (SELECT DISTINCT doc_id,
+                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+               FROM (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents) tt,
+               UNNEST(generate_series(1, greatest(len(t) - 2, 0)))
+                 AS u(i)),
+      ipji AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+               FROM ipjs a JOIN ipjs b
+                 ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+      ipjz AS (SELECT doc_id, count(*) AS n FROM ipjs GROUP BY 1),
+      ipjp AS (SELECT d1, d2 FROM ipji
+               JOIN ipjz s1 ON d1 = s1.doc_id
+               JOIN ipjz s2 ON d2 = s2.doc_id
+               WHERE CAST(inter AS DOUBLE) /
+                     CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.8),
       ipm AS (
         SELECT 'graph8' AS artifact, CAST(count(*) AS BIGINT) AS n_rows,
                coalesce(CAST(sum(vec_id * 31 + neighbor_id) AS BIGINT), 0)
@@ -3711,6 +3730,10 @@ object Similarity {
                coalesce(CAST(sum(doc_id * 31 + tf * 7 + length(word))
                  AS BIGINT), 0)
         FROM tf
+        UNION ALL
+        SELECT 'jaccard_pairs', CAST(count(*) AS BIGINT),
+               coalesce(CAST(sum(d1 * 31 + d2) AS BIGINT), 0)
+        FROM ipjp
         UNION ALL
         SELECT 'opq_var', CAST(count(*) AS BIGINT),
                coalesce(CAST(sum(i * (n + s + s2)) AS BIGINT), 0)

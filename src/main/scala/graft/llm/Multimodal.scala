@@ -3391,7 +3391,7 @@ object Multimodal {
   }
 
   /** Synthesize [[jpegBytes]]'s file with an APP1/Exif segment
-    * inserted after SOI (~87.5% of docs): "Exif  " around a
+    * inserted after SOI (~87.5% of docs): "Exif\\0\\0" around a
     * genuine TIFF block — II or MM byte order (~50/50, the dual-endian
     * walk witnessed), magic 42, IFD0 at offset 8 with two entries:
     * Make (ASCII, count 4 = 3 chars + NUL, inline — the ≤4-byte
@@ -3464,7 +3464,7 @@ object Multimodal {
   }
 
   /** REAL Exif extraction — the metadata pass before pixel decode:
-    * marker walk to APP1 ("Exif  " payloads only; other
+    * marker walk to APP1 ("Exif\\0\\0" payloads only; other
     * APP1s skip like any APPn), a dual-endian TIFF IFD0 walk reading
     * Make (inline ASCII) and Orientation (left-justified SHORT), then
     * onward to the first SOF for dimensions. Never decodes entropy

@@ -222,6 +222,87 @@ object TextAnalysis {
         .orderBy("source", "bin")
     }),
 
+    // TRAINING-ORDER SHARD EMISSION — the last mile after the packers:
+    // a training launcher consumes packed sequences in a SEEDED,
+    // DETERMINISTIC global order, cut into fixed-size shards, each
+    // with a manifest row (shard id, n_seqs, n_tokens, content md5)
+    // it can checksum on load. The permutation is hash-based (md5 of
+    // seed|source|bin — the q_sample_hash discipline: reproducible
+    // across engines, retries, and stages, unlike rand()), and the
+    // GLOBAL rank is computed scale-safely: bucket by the hash's
+    // first hex digit, count the 16 buckets, turn the 16-row count
+    // frame into exclusive prefix offsets with a 16-row window, and
+    // broadcast-join the offsets back — rank = bucket offset +
+    // within-bucket row_number. That is the production two-pass
+    // global-index pattern (zipWithIndex's partition-offset trick in
+    // plan form): NO single-partition window over the corpus ever
+    // exists; the only serial structure is the 16-row offset frame.
+    // Each sequence's content hash is the md5 of its exact clipped
+    // token text (the q_pack_cu_seqlens straddle arithmetic), and the
+    // shard md5 chains the sequence hashes IN PERMUTED ORDER — so a
+    // twin match pins assignment, intra-shard order, and content at
+    // once. Shards are exactly SeqsPerShard sequences (last one
+    // ragged), the fixed-size contract a data loader's seek map needs.
+    "q_train_shards" -> ((s, dir) => {
+      val B = 256 // tokens per packed sequence (q_pack_bins' budget)
+      val S = 32  // sequences per shard
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val seqs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+        .withColumn("n_tok", size(col("t")).cast("long"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("s0", col("cum") - col("n_tok"))
+        .select(col("source"), col("t"), col("n_tok"), col("s0"),
+          explode(expr(s"sequence(s0 div $B, (s0 + n_tok - 1) div $B)"))
+            .as("bin"))
+        .withColumn("gstart", expr(s"greatest(s0, bin * $B)"))
+        .withColumn("seg_len",
+          expr(s"least((bin + 1) * $B, s0 + n_tok) - gstart"))
+        .withColumn("part", expr(
+          "concat_ws(' ', slice(t, cast(gstart - s0 as int) + 1, " +
+            "cast(seg_len as int)))"))
+        .groupBy(col("source"), col("bin"))
+        .agg(sum(col("seg_len")).as("seq_tokens"),
+          md5(expr("array_join(transform(array_sort(" +
+            "collect_list(struct(gstart, part))), x -> x.part), ' ')"))
+            .as("seq_hash"))
+        .withColumn("h",
+          md5(concat_ws("|", lit("graft18"), col("source"), col("bin"))))
+        .withColumn("bkt", expr("cast(conv(substring(h, 1, 1), 16, 10) as int)"))
+        // Materialize the sequence MANIFEST (hash + three ints per
+        // sequence — corpus/256 rows at ~60 B, 3 orders of magnitude
+        // under the token text) before the rank pass: the bucket
+        // census and the rank join both read it, and without the cut
+        // each branch re-scans and re-windows the whole corpus
+        // (column pruning specializes the two subtrees, so
+        // ReuseExchange cannot dedup them — measured on the plan).
+        // This IS the production two-job shape: emit manifest, then
+        // permute the manifest. Construction-time eagerness per the
+        // CC-loop discipline (SparkEntry.plans note).
+        .localCheckpoint()
+      // 16-row bucket census → exclusive prefix offsets (lowercase hex
+      // sorts digits-before-letters in both engines, so bucket order
+      // IS hash order); the window runs over 16 rows, never the data.
+      val off = seqs.groupBy(col("bkt")).agg(count(lit(1)).as("bn"))
+        .withColumn("boff", coalesce(sum(col("bn")).over(
+          Window.orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bkt").as("obkt"), col("boff"))
+      val rn = Window.partitionBy(col("bkt"))
+        .orderBy(col("h"), col("source"), col("bin"))
+      seqs.join(broadcast(off), col("bkt") === col("obkt"))
+        .withColumn("rank", col("boff") + row_number().over(rn) - 1)
+        .withColumn("shard", expr(s"cast(rank div $S as int)"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_seqs"),
+          sum(col("seq_tokens")).as("n_tokens"),
+          md5(expr("array_join(transform(array_sort(" +
+            "collect_list(struct(rank, seq_hash))), x -> x.seq_hash), '')"))
+            .as("shard_md5"))
+        .orderBy("shard")
+    }),
+
     // Packing QUALITY row — best-fit-decreasing vs arrival-order
     // next-fit, per shard (Johnson 1973: BFD ≤ 11/9·OPT + 4 bins,
     // next-fit ≤ 2·OPT; the delta is what the bound buys when docs
@@ -660,6 +741,56 @@ object TextAnalysis {
         best.select(lit(k).as("step"), col("lft"), col("rgt"),
             col("pair_cnt"))
           .crossJoin(broadcast(next.agg(count(lit(1)).as("n_syms_after"))))
+      }
+      rows.reduce(_.unionByName(_)).orderBy("step")
+    }),
+
+    // DISTRIBUTED tokenizer train — per-shard sufficient statistics
+    // MERGED equal the full-corpus round, bit for bit (the
+    // q_knn_ivf_merge discipline extended to the text leg): BPE's
+    // per-round statistic is the adjacent-pair count Σ_w f_w ·
+    // cnt_pair(w), which is ADDITIVE across content shards because
+    // (a) f_w sums across shards and (b) every shard segments a word
+    // identically — the merge sequence is global and mergeApply is
+    // deterministic per word. So each round trains as: per-shard pair
+    // counts (each shard scans only its own docs) → key-merged sum →
+    // ONE global argmax → the winning merge applied to each shard's
+    // own symbol table. This row shares q_bpe_bytes_train's oracle,
+    // so the gate proves sharded-train == full-train at the learned-
+    // merge level every round. n_syms_after dedups (w, i) across
+    // shards — identical segmentation makes the distinct set exactly
+    // the full-train symbol table. At 100 TB: each shard trains where
+    // its data lives; the merge moves one dict-bounded pair-count
+    // frame per round, never corpus text.
+    "q_bpe_merge_train" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      var shards = Seq(
+        bpeBytesSymbolsOf(docs.filter(col("doc_id") % 2 === 0)),
+        bpeBytesSymbolsOf(docs.filter(col("doc_id") % 2 =!= 0)))
+      val rows = (1 to 3).map { k =>
+        val parts = shards.map { sy =>
+          val byPos = Window.partitionBy(col("w")).orderBy(col("i"))
+          sy.withColumn("r", lead(col("s"), 1).over(byPos))
+            .filter(col("r").isNotNull)
+            .groupBy(col("s").as("lft"), col("r").as("rgt"))
+            .agg(sum(col("f")).as("pc"))
+        }
+        val best = parts.reduce(_.unionByName(_))
+          .groupBy(col("lft"), col("rgt"))
+          .agg(sum(col("pc")).as("pair_cnt"))
+          .orderBy(col("pair_cnt").desc, col("lft"), col("rgt"))
+          .limit(1)
+        shards = shards.map { sy =>
+          val byPos = Window.partitionBy(col("w")).orderBy(col("i"))
+          mergeApply(sy.withColumn("r", lead(col("s"), 1).over(byPos)), best)
+            .localCheckpoint() // two shards × 3 rounds of window chains
+        }
+        val nAfter = shards.map(_.select(col("w"), col("i")))
+          .reduce(_.unionByName(_)).distinct()
+          .agg(count(lit(1)).as("n_syms_after"))
+        best.select(lit(k).as("step"), col("lft"), col("rgt"),
+            col("pair_cnt"))
+          .crossJoin(broadcast(nAfter))
       }
       rows.reduce(_.unionByName(_)).orderBy("step")
     }),
@@ -1889,6 +2020,45 @@ object TextAnalysis {
                CAST(seg_len AS VARCHAR), ',' ORDER BY seg_start)
                AS cu_seqlens
       FROM g GROUP BY source, bin ORDER BY source, bin""",
+    // Twin computes the same seeded permutation with a plain global
+    // row_number — single-node DuckDB needs no two-pass rank; the
+    // ORDER BY (h, source, bin) is exactly the Spark side's
+    // (bucket offset, within-bucket order) composite.
+    "q_train_shards" -> """
+      WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                 FROM documents),
+      c AS (SELECT *, CAST(sum(n_tok) OVER (PARTITION BY source
+              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS BIGINT) AS cum
+            FROM d),
+      e AS (SELECT source, t, n_tok, cum - n_tok AS s0 FROM c),
+      x AS (SELECT source, t, n_tok, s0, b AS bin
+            FROM e, UNNEST(generate_series(s0 // 256,
+              (s0 + n_tok - 1) // 256)) AS u(b)),
+      g AS (SELECT source, bin, greatest(s0, bin * 256) AS gstart,
+              least((bin + 1) * 256, s0 + n_tok) - greatest(s0, bin * 256)
+                AS seg_len,
+              array_to_string(t[CAST(greatest(s0, bin * 256) - s0 AS INT) + 1 :
+                CAST(greatest(s0, bin * 256) - s0 +
+                  least((bin + 1) * 256, s0 + n_tok) -
+                  greatest(s0, bin * 256) AS INT)], ' ') AS part
+            FROM x),
+      seqs AS (SELECT source, bin,
+                 CAST(sum(seg_len) AS BIGINT) AS seq_tokens,
+                 md5(string_agg(part, ' ' ORDER BY gstart)) AS seq_hash
+               FROM g GROUP BY source, bin),
+      perm AS (SELECT seq_tokens, seq_hash,
+                 md5('graft18' || '|' || source || '|' ||
+                   CAST(bin AS VARCHAR)) AS h,
+                 row_number() OVER (ORDER BY
+                   md5('graft18' || '|' || source || '|' ||
+                     CAST(bin AS VARCHAR)), source, bin) - 1 AS rank
+               FROM seqs)
+      SELECT CAST(rank // 32 AS INT) AS shard, count(*) AS n_seqs,
+             CAST(sum(seq_tokens) AS BIGINT) AS n_tokens,
+             md5(string_agg(seq_hash, '' ORDER BY rank)) AS shard_md5
+      FROM perm GROUP BY 1 ORDER BY shard""",
     // Per-source running sum, bin = where the doc's first token falls.
     "q_pack_bins" -> """
       WITH d AS (SELECT doc_id, source,
@@ -2051,6 +2221,9 @@ object TextAnalysis {
       FROM surp GROUP BY doc_id ORDER BY doc_id""",
     "q_bpe_train" -> bpeSql,
     "q_bpe_bytes_train" -> bpeBytesSql,
+    // The sharded train shares the full train's oracle — the gate IS
+    // the merged-stats == full-corpus proof (see the query's note).
+    "q_bpe_merge_train" -> bpeBytesSql,
     "q_tokenizer_persist" -> tokenizerPersistSql,
     "q_bpe_bytes_tokenize" -> bpeBytesTokenizeSql,
     "q_bpe_bytes_fertility" -> bpeBytesFertilitySql,

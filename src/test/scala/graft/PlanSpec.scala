@@ -951,6 +951,22 @@ class PlanSpec extends SparkSuite {
       "exactly the per-source running-sum window")
   }
 
+  test("q_train_shards ranks the materialized manifest — no corpus re-scan, broadcast offsets") {
+    // The two-pass global rank must read the checkpointed sequence
+    // manifest on BOTH branches (zero parquet scans downstream), and
+    // the 16-row bucket-offset frame must come back as a broadcast
+    // hash join — a single-partition global window or a corpus
+    // re-scan here is exactly the de-optimization this pins against.
+    val p = plan("q_train_shards")
+    assert(!p.contains("Scan parquet"),
+      s"rank pass must read the manifest, not re-scan the corpus:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket offsets must attach via broadcast")
+    // exactly two windows survive: the 16-row offset cumsum and the
+    // per-bucket row_number — never a global-order window over data
+    assert("""\(\d+\) Window""".r.findAllIn(p).size == 2, p)
+  }
+
   test("q_knn_graph_ingest probes the standing index shuffled-hash, never all-pairs") {
     // both the ingest arm and the rebuild flag are cell-keyed
     // ShuffledHashJoins; the delta never cross-joins the corpus

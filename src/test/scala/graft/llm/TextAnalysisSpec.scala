@@ -331,4 +331,42 @@ class TextAnalysisSpec extends SparkSuite {
     assert(tr.forall(r => r.getAs[String]("lft").length % 2 == 0 &&
       r.getAs[String]("rgt").length % 2 == 0))
   }
+
+  test("q_bpe_merge_train: sharded sufficient-statistics train == full train, bit for bit") {
+    // The additive-statistics claim, asserted at the value level on
+    // real data: every learned merge, its weighted pair count, and
+    // the surviving symbol census must match the full-corpus trainer
+    // exactly (the oracle gate re-proves this vs DuckDB every round;
+    // this spec pins Spark-vs-Spark so a refactor of either path
+    // can't drift silently).
+    val sf = "/root/testdata/sf0.001"
+    val full = TextAnalysis.queries("q_bpe_bytes_train")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val merged = TextAnalysis.queries("q_bpe_merge_train")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(merged === full)
+  }
+
+  test("q_train_shards: fixed-size seeded shards — exact sizes, conserved totals, deterministic") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.queries("q_train_shards")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    // shard ids are dense from 0; every shard but the last holds
+    // exactly 32 sequences (the fixed-size loader contract)
+    assert(rows.map(_._1) == rows.indices.toSeq)
+    assert(rows.dropRight(1).forall(_._2 == 32L),
+      "non-tail shards must hold exactly 32 sequences")
+    assert(rows.last._2 >= 1L && rows.last._2 <= 32L)
+    // token conservation: shard totals re-add to the corpus total
+    val corpusTokens = graft.Tables(spark, sf, "documents")
+      .selectExpr("sum(size(split(text, ' ')))").head().getLong(0)
+    assert(rows.map(_._3).sum == corpusTokens)
+    // the seeded permutation is engine-stable: a second run emits
+    // identical manifests (md5s included)
+    val again = TextAnalysis.queries("q_train_shards")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    assert(again === rows)
+  }
 }

@@ -2699,9 +2699,13 @@ object Multimodal {
     * a corrupt CATALOG xref entry (offset off by 2 — the object
     * header check must catch it); a reserved-BTYPE Flate first byte
     * (detected unconditionally — a random bit-flip could silently
-    * decode to wrong text and break the oracle); a genuinely
-    * hex-encoded /ASCIIHexDecode stream (a real filter outside the
-    * decode surface → `unsupported`). The independent escape arm
+    * decode to wrong text and break the oracle); a SUPPORTED
+    * /ASCIIHexDecode stream (whitespace + odd-final-digit rules
+    * exercised); a SUPPORTED [/AHx /Fl] filter CHAIN (the zlib bytes
+    * hex-wrapped, aliases accepted, filters applied in listed
+    * order); a genuinely ASCII85-encoded /ASCII85Decode stream (a
+    * real filter outside the decode surface → `unsupported`). The
+    * independent escape arm
     * embeds `\(`, `\)`, `\\` in a literal string; the TJ array's
     * -250 kern is a word break the extractor must reproduce. */
   private[graft] def pdfBytes(h: String): Array[Byte] = {
@@ -2712,11 +2716,22 @@ object Multimodal {
     val badObj = !badMagic && !trunc && !badXref && b(15) % 8 == 1
     val badFlate = !badMagic && !trunc && !badXref && !badObj &&
       b(14) % 8 == 3
-    // A real-but-unimplemented filter (ASCIIHexDecode, genuinely
-    // hex-encoded) — the extractor must report `unsupported` with the
-    // census it already walked, never misread the bytes.
+    // SUPPORTED §7.4.2 single filter (r18): page 0's raw ops
+    // hex-encoded — whitespace inside the hex run and an odd final
+    // digit (the implied-trailing-0 rule) both exercised.
     val hexFilter = !badMagic && !trunc && !badXref && !badObj &&
       !badFlate && b(9) % 8 == 2
+    // FILTER CHAIN [/AHx /Fl] — the §7.4 composition real PDFs ship
+    // (filters applied in listed order): the zlib stream hex-encoded,
+    // spelled with the inline-image ALIASES to pin alias acceptance.
+    val hexFlateChain = !badMagic && !trunc && !badXref && !badObj &&
+      !badFlate && b(9) % 8 == 4
+    // The honest `unsupported` arm, moved to a genuinely
+    // unimplemented filter: real ASCII85 bytes (4→5 base-85 groups,
+    // 'z' zero shorthand, ~> EOD) — the extractor must gate on the
+    // NAME and never misread the bytes.
+    val a85Filter = !badMagic && !trunc && !badXref && !badObj &&
+      !badFlate && b(9) % 8 == 5
     val esc = b(10) % 4 == 1
     val nPages = 1 + b(0) % 2
     def pageOps(pg: Int): String = {
@@ -2757,12 +2772,32 @@ object Multimodal {
       z(defl.length + 5) = (ad & 255).toByte
       if (badFlate && i == 0) z(2) = 0x06.toByte // BFINAL=0, BTYPE=3
       if (hexFilter && i == 0) {
-        val hex = (raw.map(x => f"${x & 0xff}%02x").mkString + ">")
-          .getBytes("ISO-8859-1")
+        // raw ops as hex pairs, a line break every 64 digits, and the
+        // final byte emitted as ONE odd digit ("2" → 0x20 under the
+        // implied-trailing-0 rule: a harmless content-stream space)
+        val hex = (raw.map(x => f"${x & 0xff}%02x").mkString
+          .grouped(64).mkString("\n") + "\n2>").getBytes("ISO-8859-1")
         obj(4 + 2 * i) {
           wr(s"<< /Length ${hex.length} /Filter /ASCIIHexDecode >>" +
             "\nstream\n")
           out.write(hex, 0, hex.length)
+          wr("\nendstream\n")
+        }
+      } else if (hexFlateChain && i == 0) {
+        val hex = (z.map(x => f"${x & 0xff}%02x").mkString + ">")
+          .getBytes("ISO-8859-1")
+        obj(4 + 2 * i) {
+          wr(s"<< /Length ${hex.length} /Filter [ /AHx /Fl ] >>" +
+            "\nstream\n")
+          out.write(hex, 0, hex.length)
+          wr("\nendstream\n")
+        }
+      } else if (a85Filter && i == 0) {
+        val a85 = ascii85(raw).getBytes("ISO-8859-1")
+        obj(4 + 2 * i) {
+          wr(s"<< /Length ${a85.length} /Filter /ASCII85Decode >>" +
+            "\nstream\n")
+          out.write(a85, 0, a85.length)
           wr("\nendstream\n")
         }
       } else obj(4 + 2 * i) {
@@ -2782,6 +2817,60 @@ object Multimodal {
     wr(s"startxref\n${if (badXref) xrefOff + 3 else xrefOff}\n%%EOF\n")
     val full = out.toByteArray
     if (trunc) full.take(full.length * 3 / 5) else full
+  }
+
+  /** Genuine ASCII85 (§7.4.3) for the unsupported-filter arm: 4-byte
+    * big-endian groups to 5 base-85 chars (+33), 'z' for an all-zero
+    * full group, partial tails emit n+1 chars, `~>` EOD — honest
+    * bytes for a filter the decode surface intentionally gates on. */
+  private def ascii85(data: Array[Byte]): String = {
+    val sb = new StringBuilder(data.length * 5 / 4 + 4)
+    var i = 0
+    while (i < data.length) {
+      val n = math.min(4, data.length - i)
+      var v = 0L
+      var j = 0
+      while (j < 4) {
+        v = (v << 8) | (if (i + j < data.length) data(i + j) & 0xff else 0)
+        j += 1
+      }
+      if (n == 4 && v == 0L) sb.append('z')
+      else {
+        val cs = new Array[Char](5)
+        var x = v
+        var k = 4
+        while (k >= 0) { cs(k) = ((x % 85) + 33).toChar; x /= 85; k -= 1 }
+        sb.appendAll(cs, 0, n + 1)
+      }
+      i += 4
+    }
+    sb.append("~>").toString
+  }
+
+  /** §7.4.2 ASCIIHexDecode: hex digit pairs with PDF whitespace
+    * skipped anywhere, `>` EOD (required — a hex stream that runs out
+    * without it is malformed), an odd final digit carrying an implied
+    * trailing 0 nibble. None on any non-hex non-whitespace byte. */
+  private def asciiHexDecode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 1)
+    var hi = -1
+    var i = 0
+    while (i < data.length) {
+      val c = data(i) & 0xff
+      if (c == '>') {
+        if (hi >= 0) out.write(hi << 4)
+        return Some(out.toByteArray)
+      }
+      if (c != ' ' && c != '\n' && c != '\r' && c != '\t' &&
+          c != '\f' && c != 0) {
+        val v = Character.digit(c, 16)
+        if (v < 0) return None
+        if (hi < 0) hi = v
+        else { out.write((hi << 4) | v); hi = -1 }
+      }
+      i += 1
+    }
+    None
   }
 
   /** CONTENT-carrying PDF: the same spec-faithful structure as
@@ -2853,8 +2942,11 @@ object Multimodal {
     * blocks, and the Tj / TJ show operators. Statuses: bad_magic,
     * truncated (no trailer in the tail), bad_xref, bad_object (xref
     * points at a non-object), bad_flate (stream fails to inflate or
-    * its adler32 lies), unsupported (a non-Flate filter), bad_data
-    * (anything else malformed). Total on arbitrary bytes
+    * its adler32 lies), unsupported (a filter name outside
+    * {FlateDecode/Fl, ASCIIHexDecode/AHx} — gated on the NAME before
+    * any byte work; chains apply in listed §7.4 order), bad_data
+    * (anything else malformed, incl. a corrupt hex stream). Total on
+    * arbitrary bytes
     * (DecoderFuzzSpec). Map-only, scan-fused like every decoder. */
   /** [[parsePdf]] + the extracted text itself (`None` unless status
     * is "ok") — the form content-keyed consumers use
@@ -2975,7 +3067,21 @@ object Multimodal {
         val cRef = dictRef(pageD, "/Contents").getOrElse(throw PdfObjBad)
         val (contD, dEnd) = dictAt(cRef)
         val len = dictInt(contD, "/Length").getOrElse(throw PdfObjBad)
-        if (!contD.contains("/FlateDecode"))
+        // /Filter: a single name or an array of names applied in
+        // listed order (§7.4); the inline-image aliases /Fl and /AHx
+        // are accepted beside the full names. A name outside the
+        // decode surface gates the page BEFORE any byte work.
+        val filters: Seq[String] =
+          """/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)""".r
+            .findFirstMatchIn(contD).map(_.group(1)) match {
+            case None => Seq.empty // raw (unfiltered) stream
+            case Some(x) if x.startsWith("[") =>
+              """/([A-Za-z0-9]+)""".r.findAllMatchIn(x)
+                .map(_.group(1)).toSeq
+            case Some(x) => Seq(x.drop(1))
+          }
+        if (filters.exists(f => f != "FlateDecode" && f != "Fl" &&
+            f != "ASCIIHexDecode" && f != "AHx"))
           return fail("unsupported", nPages, nObjects)
         var st = s.indexOf("stream", dEnd)
         if (st < 0 || st > dEnd + 8) throw PdfObjBad
@@ -2984,14 +3090,24 @@ object Multimodal {
         if (st < s.length && s.charAt(st) == '\n') st += 1
         if (len < 0 || st + len > p.length)
           return fail("truncated", nPages, nObjects)
-        val (raw, adOk) =
-          try zlibInflate(p, st, st + len, 1 << 16)
-          catch {
-            case PngBad | PngTrunc =>
-              return fail("bad_flate", nPages, nObjects)
-          }
-        if (!adOk) return fail("bad_flate", nPages, nObjects)
-        val (pOps, pText) = pdfTextOps(new String(raw, "ISO-8859-1"))
+        var data = java.util.Arrays.copyOfRange(p, st, st + len)
+        for (f <- filters) f match {
+          case "FlateDecode" | "Fl" =>
+            val (raw, adOk) =
+              try zlibInflate(data, 0, data.length, 1 << 16)
+              catch {
+                case PngBad | PngTrunc =>
+                  return fail("bad_flate", nPages, nObjects)
+              }
+            if (!adOk) return fail("bad_flate", nPages, nObjects)
+            data = raw
+          case _ => // ASCIIHexDecode | AHx
+            data = asciiHexDecode(data) match {
+              case Some(d) => d
+              case None => return fail("bad_data", nPages, nObjects)
+            }
+        }
+        val (pOps, pText) = pdfTextOps(new String(data, "ISO-8859-1"))
         ops += pOps
         if (pg > 0) doc.append('\n')
         doc.append(pText)
@@ -6143,7 +6259,7 @@ object Multimodal {
                  OR (b11 % 16 <> 7 AND b13 % 8 <> 6 AND b12 % 8 <> 5
                      AND b15 % 8 <> 1 AND b14 % 8 = 3)
                  OR (b11 % 16 <> 7 AND b13 % 8 <> 6 AND b12 % 8 <> 5
-                     AND b15 % 8 <> 1 AND b14 % 8 <> 3 AND b9 % 8 = 2)
+                     AND b15 % 8 <> 1 AND b14 % 8 <> 3 AND b9 % 8 = 5)
                  AS pdfbad,
                b8 % 8 = 3 AS hplain, b12 % 8 = 7 AS htrunc,
                len(list_filter(string_split(text, ' '), x -> x <> ''))
@@ -6585,7 +6701,7 @@ object Multimodal {
                b11 % 16 <> 7 AND b13 % 8 <> 6 AND b12 % 8 <> 5
                  AND b15 % 8 <> 1 AND b14 % 8 = 3 AS badflate,
                b11 % 16 <> 7 AND b13 % 8 <> 6 AND b12 % 8 <> 5
-                 AND b15 % 8 <> 1 AND b14 % 8 <> 3 AND b9 % 8 = 2
+                 AND b15 % 8 <> 1 AND b14 % 8 <> 3 AND b9 % 8 = 5
                  AS unsup,
                b10 % 4 = 1 AS esc,
                1 + b0 % 2 AS np

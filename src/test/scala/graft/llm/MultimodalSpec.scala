@@ -683,6 +683,7 @@ class MultimodalSpec extends graft.SparkSuite {
     // xref, object graph, inflate, and the string/Tj/TJ tokenizer
     // round-trip the text losslessly, escapes included.
     var oks = 0; var escOks = 0; var twoPageOks = 0
+    var hexOks = 0; var chainOks = 0
     var arms = Map.empty[String, Int].withDefaultValue(0)
     for (i <- 0 until 300) {
       val h = md5hex(s"pdf-sweep-$i")
@@ -693,8 +694,13 @@ class MultimodalSpec extends graft.SparkSuite {
       val badObj = !badMagic && !trunc && !badXref && b(15) % 8 == 1
       val badFlate = !badMagic && !trunc && !badXref && !badObj &&
         b(14) % 8 == 3
-      val hexFilter = !badMagic && !trunc && !badXref && !badObj &&
-        !badFlate && b(9) % 8 == 2
+      val armsClear = !badMagic && !trunc && !badXref && !badObj &&
+        !badFlate
+      // r18: b9%8==2 (single AHx) and ==4 ([/AHx /Fl] chain) are
+      // SUPPORTED ok paths now; only the genuine ASCII85 arm gates
+      val hexFilter = armsClear && b(9) % 8 == 2
+      val hexFlateChain = armsClear && b(9) % 8 == 4
+      val a85Filter = armsClear && b(9) % 8 == 5
       val esc = b(10) % 4 == 1
       val np = 1 + b(0) % 2
       val expected =
@@ -703,13 +709,15 @@ class MultimodalSpec extends graft.SparkSuite {
         else if (badXref) "bad_xref"
         else if (badObj) "bad_object"
         else if (badFlate) "bad_flate"
-        else if (hexFilter) "unsupported" else "ok"
+        else if (a85Filter) "unsupported" else "ok"
       val m = Multimodal.parsePdf(i.toLong, Multimodal.pdfBytes(h))
       assert(m.status == expected, s"$h: ${m.status} != $expected")
       if (expected == "ok") {
         oks += 1
         if (esc) escOks += 1
         if (np == 2) twoPageOks += 1
+        if (hexFilter) hexOks += 1
+        if (hexFlateChain) chainOks += 1
         // the -250 TJ kern between the two array strings is a WORD
         // BREAK (>= the 180-milli-em threshold) — one space
         def page(pg: Int): String =
@@ -742,6 +750,25 @@ class MultimodalSpec extends graft.SparkSuite {
       assert(arms(st) > 0, s"arm $st never fired in the sweep")
     assert(escOks > 5, s"escape arm thin on the exact path: $escOks")
     assert(twoPageOks > 5, s"two-page arm thin: $twoPageOks")
+    // both hex paths must land on the EXACT text path (hash-checked
+    // above), or the filter dispatch / chain order is untested
+    assert(hexOks > 5, s"single-AHx arm thin on the exact path: $hexOks")
+    assert(chainOks > 5, s"[/AHx /Fl] chain arm thin: $chainOks")
+    // corrupt-hex negative: a non-hex byte inside an AHx stream (or
+    // its missing `>` EOD) must land on bad_data, never extract
+    val hh = Iterator.from(0).map(i => md5hex(s"pdf-hexbad-$i")).find { x =>
+      val bb = x.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
+      bb(11) % 16 != 7 && bb(13) % 8 != 6 && bb(12) % 8 != 5 &&
+        bb(15) % 8 != 1 && bb(14) % 8 != 3 && bb(9) % 8 == 2
+    }.get
+    val good = Multimodal.pdfBytes(hh)
+    val sAt = new String(good, "ISO-8859-1").indexOf("stream\n",
+      new String(good, "ISO-8859-1").indexOf("/ASCIIHexDecode")) + 7
+    val corrupt = good.clone(); corrupt(sAt + 3) = 'q'.toByte
+    assert(Multimodal.parsePdf(9L, corrupt).status == "bad_data")
+    val noEod = good.clone(); noEod(new String(good, "ISO-8859-1")
+      .indexOf(">", sAt)) = ' '.toByte
+    assert(Multimodal.parsePdf(9L, noEod).status == "bad_data")
   }
 
   test("JPEG oriented sweep: 300 Exif files match the independent oriented model") {

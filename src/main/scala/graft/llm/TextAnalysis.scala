@@ -1857,11 +1857,14 @@ object TextAnalysis {
     * (pushed down to the parquet scan): md5 per 3-shingle, min per
     * complete 4-window, deduped — all array ops inside whole-stage
     * codegen. */
-  private def fingerprints(s: org.apache.spark.sql.SparkSession,
-      dir: String,
-      docPred: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
-    Tables(s, dir, "documents")
-      .filter(docPred)
+  /** Frame-taking winnowing fingerprints — (doc_id, fp) rows, already
+    * distinct WITHIN each doc (the array_distinct runs in-row), no
+    * cross-row operator at all: the form the STREAMED contamination
+    * screen needs (a trailing distinct would be stateful in append
+    * mode, and is a no-op on per-doc-distinct pairs anyway). */
+  private[graft] def fingerprintsOn(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 6) // m = size-2 shingles; need m ≥ 4
       .select(col("doc_id"), expr(
@@ -1870,6 +1873,11 @@ object TextAnalysis {
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(0, size(hs) - 4), " +
           "i -> array_min(slice(hs, i + 1, 4))))")).as("fp"))
+
+  private def fingerprints(s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      docPred: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+    fingerprintsOn(Tables(s, dir, "documents").filter(docPred))
       .distinct()
 
 

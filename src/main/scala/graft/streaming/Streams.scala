@@ -528,6 +528,26 @@ object Streams {
   def robotsGate(delta: DataFrame): DataFrame =
     graft.llm.Dedup.robotsDecisionsOn(delta)
 
+  /** Streamed CONTAMINATION screen — q_contamination's benchmark
+    * fingerprint set as the textbook stream-static broadcast: each
+    * arriving document fingerprints IN-ROW (the winnowing transform
+    * is one generate inside the scan — [[graft.llm.TextAnalysis
+    * .fingerprintsOn]], per-doc-distinct by construction so no
+    * stateful cross-row distinct exists), then inner-joins the
+    * STANDING benchmark fingerprints (tiny — eval suites, broadcast
+    * build side; the corpus stream never shuffles, exactly the batch
+    * query's scale shape). Emits one row per (doc, shared fp) hit —
+    * the quarantine feed a continuous ingest acts on; the per-doc
+    * census is the consumer's one-line groupBy. Zero state, no
+    * watermark, stream-static inner joins are append-mode native, so
+    * replayed batches re-derive identical rows. StreamsSpec pins
+    * batch parity, zero state, the no-shuffle plan, and a
+    * checkpointed restart. */
+  def contaminationScreen(delta: DataFrame, benchFps: DataFrame): DataFrame =
+    graft.llm.TextAnalysis.fingerprintsOn(delta)
+      .join(broadcast(benchFps.select(col("fp"))), Seq("fp"))
+      .select(col("doc_id"), col("fp"))
+
   /** The q_pipeline_chunks funnel run INCREMENTALLY — the shape a
     * production ingest schedules continuously: the same scan-side
     * language/quality features and filters (literally the same

@@ -918,6 +918,59 @@ class StreamsSpec extends SparkSuite {
       assert(last === Map(1L -> 3L, 2L -> 1L))
     } finally q.stop()
   }
+
+  test("contamination screen: stream-static broadcast over standing benchmark fps, zero state, checkpointed restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables(spark, sf, "documents")
+    // the standing artifact: benchmark fps computed once in batch and
+    // LOADED (a local frame here — at deployment a read of the stored
+    // table); only then is the stream side provably shuffle-free
+    val bench = graft.llm.TextAnalysis.fingerprintsOn(
+      docs.filter(col("doc_id") < 10)).select("fp").distinct()
+      .as[String].collect().toSeq.toDF("fp")
+    val corpus = docs.filter(col("doc_id") >= 10).select("doc_id", "text")
+    val batchDf = Streams.contaminationScreen(corpus, bench)
+    // scale shape: the corpus side must never shuffle — the benchmark
+    // fingerprint set is the broadcast build side, the fingerprint
+    // generate stays fused into the scan
+    val ep = batchDf.queryExecution.executedPlan.toString
+    assert(!ep.contains("Exchange hashpartitioning"),
+      s"corpus side must not shuffle:\n$ep")
+    assert(ep.contains("BroadcastHashJoin"))
+    val want = batchDf.as[(Long, String)].collect().toSet
+    assert(want.nonEmpty, "fixture must contain contaminated docs")
+    // the screen's doc set IS the registered report's corpus_doc set
+    val reportDocs = graft.llm.TextAnalysis
+      .queries("q_contamination")(spark, sf)
+      .select("corpus_doc").distinct().as[Long].collect().toSet
+    assert(want.map(_._1) == reportDocs,
+      "screen hits must flag exactly the q_contamination docs")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_contam_ckpt").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_contam_out").toString
+    val in = MemoryStream[(Long, String)]
+    def start() = Streams.contaminationScreen(
+        in.toDF().toDF("doc_id", "text"), bench)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val rows = corpus.as[(Long, String)].collect()
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    val q1 = start()
+    try {
+      in.addData(h1.toSeq: _*); q1.processAllAvailable()
+      assert(q1.lastProgress.stateOperators.isEmpty, "zero state")
+    } finally q1.stop()
+    val q2 = start() // restart from the same checkpoint
+    try { in.addData(h2.toSeq: _*); q2.processAllAvailable() }
+    finally q2.stop()
+    val got = spark.read.parquet(out).as[(Long, String)].collect()
+    assert(got.length == want.size,
+      "exactly-once across the restart — no replay doubling")
+    assert(got.toSet == want, "streamed hits == batch hits row for row")
+  }
 }
 
 object StreamsSpec {

@@ -658,6 +658,37 @@ object ScaleProbe {
       docs.unpersist(false)
     }
 
+    // zstd probe: same replication scheme over the transport decoder —
+    // a map-only synthesize→frame-walk codec (FSE/Huffman/sequences/
+    // xxh64), so ok count and total decoded bytes must scale ×N
+    // EXACTLY while wall tracks the one scan.
+    if (want("zstd"))
+    locally {
+      val docs = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text")).persist()
+      val nDocs = docs.count()
+      val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      def timedZstd(mult: Int): Unit = {
+        val scaled = docs
+          .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
+            col("doc_id"), col("text"))
+          .select((col("doc_id") + col("i") * lit(stride)).as("doc_id"),
+            col("text"))
+        val t0 = System.nanoTime()
+        val r = graft.llm.Multimodal.zstdIngestStats(scaled)
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CASE WHEN status = 'ok' THEN 1L ELSE 0L END")).as("ok"),
+            sum(coalesce(col("n_bytes").cast("long"), lit(0L))).as("bytes"))
+          .head()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"zstd_${mult}x","docs":${nDocs * mult},"ok":${r.getLong(1)},"bytes":${r.getLong(2)},"sec":$dt%.2f}""")
+      }
+      timedZstd(1)
+      timedZstd(10)
+      timedZstd(100)
+      docs.unpersist(false)
+    }
+
     // CDC probe: N× the documents with SHIFTED ids and IDENTICAL text
     // — the chunk DICTIONARY is replication-invariant, so stored
     // (unique) bytes must stay FLAT while logical bytes scale exactly

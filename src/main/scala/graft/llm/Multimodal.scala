@@ -4349,6 +4349,22 @@ object Multimodal {
       .toDF()
   }
 
+  /** Frame-taking synthesize→decode chain for the zstd transport —
+    * the [[pdfExtractStats]] shape, shared by the registered query,
+    * the streamed parity spec, and ScaleProbe. Unlike the md5-only
+    * fixtures this one carries the TEXT into the synthesizer (the
+    * frame content is the doc itself), still one scan-fused map. */
+  def zstdIngestStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, text, h) =>
+        Zstd.parseZstd(id, Zstd.zstdBytes(text, h))
+      })
+      .toDF()
+  }
+
   /** Frame-taking synthesize→decode chain — the [[pngDecodeStats]]
     * shape, shared by the registered query and ScaleProbe. */
   def jpegDecodeStats(docs: DataFrame): DataFrame = {
@@ -5053,6 +5069,17 @@ object Multimodal {
     "q_pdf_extract" -> ((s, dir) =>
       pdfExtractStats(Tables(s, dir, "documents")).orderBy("doc_id")),
 
+    // zstd transport ingest — see [[Zstd]]/[[zstdIngestStats]]: the
+    // THIRTEENTH decoder (RFC 8878 frame walk → FSE/Huffman →
+    // sequences with repeat-offset history → xxh64 check), the
+    // `.jsonl.zst` front door. Map-only single scan like every decode
+    // stage; the oracle recomputes content as pure text functions
+    // (the encoding modes vary by hash, the CONTENT they must decode
+    // to does not) and never parses a byte. Spec fidelity is pinned
+    // both directions against zstd v1.5.7 in ZstdSpec.
+    "q_zstd_ingest" -> ((s, dir) =>
+      zstdIngestStats(Tables(s, dir, "documents")).orderBy("doc_id")),
+
     "q_multimodal_decode_gzip" -> ((s, dir) => {
       import s.implicits._
       val payloads = Tables(s, dir, "documents")
@@ -5721,6 +5748,58 @@ object Multimodal {
     // sum = k·(2·Σascii(h) + 64), seps = 2k. The oracle never sees the
     // DEFLATE bits or the CRC/ISIZE footer; a hash-green row proves
     // the header walk + inflate + footer verification round-trips.
+    // zstd twin: statuses from the arm bytes, the decoded content
+    // recomputed as PURE TEXT functions (the hash only picks the
+    // ENCODING mode; what it must decode to is t, t·2/t·3 space-
+    // joined, t·2 unspaced, or a char run), then DuckDB's own
+    // md5/length — so a hash-green row set proves the whole frame
+    // walk (FSE tables, Huffman trees, backward bitstreams, repeat
+    // offsets, checksums) reproduces every document byte-exactly.
+    "q_zstd_ingest" -> s"""
+      WITH hx AS (SELECT doc_id, text, md5(text) AS h FROM documents),
+      zb AS (SELECT doc_id, text, ${byteAt(2)} AS b2, ${byteAt(3)} AS b3,
+               ${byteAt(8)} AS b8, ${byteAt(9)} AS b9,
+               ${byteAt(11)} AS b11, ${byteAt(12)} AS b12,
+               ${byteAt(13)} AS b13, ${byteAt(14)} AS b14,
+               ${byteAt(15)} AS b15
+             FROM hx),
+      zd AS (SELECT doc_id, text, b2, b3,
+               b11 % 16 = 4 AS badmagic,
+               b11 % 16 <> 4 AND b12 % 8 = 3 AS dict,
+               b11 % 16 <> 4 AND b12 % 8 <> 3 AND b13 % 8 = 6 AS trunc,
+               b11 % 16 <> 4 AND b12 % 8 <> 3 AND b13 % 8 <> 6
+                 AND b15 % 8 = 2 AS badsum,
+               b11 % 16 <> 4 AND b12 % 8 <> 3 AND b13 % 8 <> 6
+                 AND b15 % 8 <> 2 AND b14 % 8 = 5 AS reserved,
+               CASE WHEN length(text) < 3 THEN 0 ELSE b9 % 8 END AS mode,
+               b8 % 2 = 0 AS hassum
+             FROM zb),
+      zc AS (SELECT *,
+               NOT (badmagic OR dict OR trunc OR badsum OR reserved)
+                 AS isok,
+               CASE mode
+                 WHEN 1 THEN repeat(chr(97 + b2 % 26), 5 + b3)
+                 WHEN 2 THEN text || ' ' || text
+                 WHEN 4 THEN text || ' ' || text
+                 WHEN 3 THEN text || ' ' || text || ' ' || text
+                 WHEN 5 THEN text || ' ' || text || ' ' || text
+                 WHEN 6 THEN text || text
+                 ELSE text END AS content
+             FROM zd)
+      SELECT doc_id,
+             CASE WHEN badmagic THEN 'bad_magic'
+                  WHEN dict THEN 'unsupported'
+                  WHEN trunc THEN 'truncated'
+                  WHEN badsum OR reserved THEN 'bad_data'
+                  ELSE 'ok' END AS status,
+             CASE WHEN isok THEN CAST(CASE WHEN mode = 6 THEN 2 ELSE 1
+               END AS INT) END AS n_blocks,
+             CASE WHEN isok THEN CAST(CASE WHEN hassum THEN 1 ELSE 0
+               END AS INT) END AS has_checksum,
+             CASE WHEN isok THEN CAST(length(content) AS INT)
+               END AS n_bytes,
+             CASE WHEN isok THEN md5(content) END AS content_md5
+      FROM zc ORDER BY doc_id""",
     "q_multimodal_decode_gzip" -> s"""
       WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
       b AS (SELECT doc_id, h, ${byteAt(2)} AS b2, ${byteAt(9)} AS b9,

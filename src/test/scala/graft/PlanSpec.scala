@@ -722,6 +722,7 @@ class PlanSpec extends SparkSuite {
         "q_jpeg_exif", // metadata pass: marker walk + TIFF IFD, one task
         "q_jpeg_oriented", // decode + Exif orientation applied, one task
         "q_pdf_extract", // xref walk + inflate + Tj/TJ scan, one task
+        "q_zstd_ingest", // RFC 8878 frame walk, one task, no shuffle
         "q_multimodal_decode_gzip", "q_multimodal_decode_tiff",
         "q_archive_ingest", // 1→N member fan-out still fuses into the scan
         "q_archive_ingest_tar", // second 1→N container, same contract

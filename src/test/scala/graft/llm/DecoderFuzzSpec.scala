@@ -74,7 +74,8 @@ object DecoderFuzzProps extends Properties("Multimodal.decoders") {
       Multimodal.parseJpeg(1L, bs).status.nonEmpty &&
       Multimodal.parseJpegExif(1L, bs).status.nonEmpty &&
       Multimodal.parseJpegOriented(1L, bs).status.nonEmpty &&
-      Multimodal.parsePdf(1L, bs).status.nonEmpty
+      Multimodal.parsePdf(1L, bs).status.nonEmpty &&
+      Zstd.parseZstd(1L, bs).status.nonEmpty
   }
 }
 
@@ -125,6 +126,19 @@ class DecoderTruncationSpec extends org.scalatest.funsuite.AnyFunSuite {
     val pfull = Multimodal.pdfBytes(h)
     for (n <- 0 to pfull.length)
       assert(Multimodal.parsePdf(1L, pfull.take(n)).status.nonEmpty)
+    // zstd: totality at null and at every prefix of every encoding
+    // mode (the hash byte 9 selects the mode; ZstdSpec holds the
+    // content/round-trip and reference-CLI interop pins)
+    assert(Zstd.parseZstd(1L, null).status == "bad_magic")
+    for (m <- 0 until 8) {
+      val zfull = Zstd.zstdBytes("the quick brown fox jumps over dogs",
+        "00" * 9 + f"0$m" + "00" * 6)
+      for (n <- 0 to zfull.length) {
+        val st = Zstd.parseZstd(1L, zfull.take(n)).status
+        assert(st.nonEmpty && (n == zfull.length || st != "ok"),
+          s"mode $m prefix $n: $st")
+      }
+    }
   }
 
   test("tgz layering: healthy wrapper is transparent, arms attribute the layer") {

@@ -1,0 +1,235 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The zstd codec pinned three ways: (1) fixture round-trips across
+  * every encoding mode and failure arm; (2) INTEROP — real frames
+  * produced by the reference `zstd` CLI (v1.5, embedded as hex) must
+  * decode to their known content, so the bitstream conventions match
+  * the spec's own implementation, not merely ourselves; (3) totality
+  * fuzz (arbitrary bytes and every truncation prefix return a status,
+  * never a throw). */
+class ZstdSpec extends AnyFunSuite {
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(x => f"${x & 0xff}%02x").mkString
+
+  private val sampleTexts = Seq(
+    "the quick brown fox jumps over the lazy dog near the river bank",
+    "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp qq rr ss tt",
+    "einmal ist keinmal zweimal ist einmal und so weiter und so fort",
+    "data pipeline shards tokens packed into fixed size training bins")
+
+  test("fixture round-trip: every encoding mode reproduces its content model") {
+    var modesHit = Set.empty[Int]
+    var armsHit = Set.empty[String]
+    for (i <- 0 until 400) {
+      val text = sampleTexts(i % sampleTexts.length) + s" tail$i"
+      val h = md5hex(s"zstd-rt-$i")
+      val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
+      val p = Zstd.zstdBytes(text, h)
+      val (status, content, nBlocks, _) = Zstd.decode(p)
+      val badMagic = b(11) % 16 == 4
+      val dict = !badMagic && b(12) % 8 == 3
+      val trunc = !badMagic && !dict && b(13) % 8 == 6
+      val badSum = !badMagic && !dict && !trunc && b(15) % 8 == 2
+      val reserved = !badMagic && !dict && !trunc && !badSum &&
+        b(14) % 8 == 5
+      val expected =
+        if (badMagic) "bad_magic"
+        else if (dict) "unsupported"
+        else if (trunc) "truncated"
+        else if (badSum) "bad_data"
+        else if (reserved) "bad_data"
+        else "ok"
+      assert(status == expected, s"$h: $status != $expected")
+      if (expected == "ok") {
+        val mode = b(9) % 8
+        modesHit += mode
+        val t = text
+        val want = mode match {
+          case 0 | 7 => t
+          case 1 => ("" + ('a' + b(2) % 26).toChar) * (5 + b(3))
+          case 2 | 4 => t + " " + t
+          case 3 | 5 => t + " " + t + " " + t
+          case 6 => t + t
+        }
+        assert(new String(content, "ISO-8859-1") == want,
+          s"$h mode $mode content mismatch")
+        assert(nBlocks == (if (mode == 6) 2 else 1))
+      } else armsHit += expected
+    }
+    assert(modesHit == (0 until 8).toSet, s"modes thin: $modesHit")
+    assert(armsHit == Set("bad_magic", "unsupported", "truncated",
+      "bad_data"), s"arms thin: $armsHit")
+  }
+
+  // ---- INTEROP: frames produced by the reference CLI (zstd v1.5.7,
+  // `zstd --single-thread <level> <check>`), embedded as hex. Between
+  // them they cover: Huffman literals with FSE-COMPRESSED weights and
+  // the 4-stream split (c3), FSE_Compressed sequence tables (c1-c3),
+  // a sequence consuming the INITIAL repeat-offset history (c4's
+  // offset_value 1 against rep1 = 1), a raw block (c5), a multi-block
+  // frame with treeless/repeat reuse (c6), and xxh64 content
+  // checksums (c2, c3, c5, c6). ----
+
+  private val c1Frame =
+    "28b52ffd6008009d02002205111690b56d880849a45f76bfdb64ffb71bfdffff78fe2b07" +
+    "6c1239be76e239ed689f4f217b4b44b6b886f0d60935170c08ba5d3f1940cf6ba8e2011d" +
+    "9e4b93f053501db7eb0300a92d104852ed8509130a"
+
+  private val c2Frame =
+    "28b52ffd6408007502003285101290cf0160834d90c1066b01f0fffff1fa831c87e30103" +
+    "df919d43c6a9e36112a09dd951dc4e63750c7de9717b813a9bf8c7b30fdb92e8b5c919ed" +
+    "179ec491ee6c6202006a6d815e583ba10e4dd051"
+
+  private val c3Frame =
+    "28b52ffd64d006353d000a7d841e2b50f0036f3710a18c31ad2873b7b916056b7d2a2360" +
+    "bc120b7d8b0d29185d750b0000000000000000000080db01dc01dd01872373c847449235" +
+    "3a02fc347b11e90b6f2197ae7eddc73fcb09d89d839f74519816ba4f1bdf59641d22d5b6" +
+    "1ddd5ec3e7b7a880a087738036646c0b2a41a1be40eede0f0ab408c1828c4c78c587a980" +
+    "7db5bb191f1034b8ff5e8392108839466bfb6986046fc06546bfbac1ad3a59fb2fe4d0da" +
+    "b1b937acace79fe657d64ca61b957a59c643749e75f60a9cbc92973104b589092d5827de" +
+    "00374959ee5109f92c0c3a2c89c78b1ddfec09cc72cae9bbfb28a0b8ac8fc9eb20f3017d" +
+    "c1d93c926c74fd4514156b0745483c52855aaf8222f850b0ba312e6c6f8ab763be90bf0f" +
+    "df41715bfaa104cb65f2854265dd411839ec8f81616c6353a0c15896c8936182c036ca51" +
+    "15c60f73f74193428b687d8755a9fcf948ad0c3ecd9156e61009d0705851b4b5a51e216f" +
+    "db15a0a3347627676e439c6e575dd6533165ae9afd2ea9898e3ea9e497eb3b9373f2798f" +
+    "ba630be772fa608289741992ee2841976b8d71641443f24251c78e196a0fe0d760229aca" +
+    "38f9924b70515b8a25607f5b68d6ca4222dc632f270d7b9e9ef9ce4883e286e542c1fb65" +
+    "6f6278a034f6df2e0dbded9468cf9781b5f7a788866a601bc094924a00e2f2130e18c54a" +
+    "ca97622386a063714f2dfbd1d21f93ac8862fe40b33afe1c2fc8d3084a1b824f89bcf36b" +
+    "9eb9b7e7fe61d526dd5f7a9a25f68c99d41e7d47acef19d2f4862384b46c60760fe48a71" +
+    "0869770fd5f8e9ac1c60ac4fd55cb8867a407dce84044391dafd12700b4349a8ce57ab26" +
+    "829458ec15f10570dfe747d6102cef1b068c22580b476ef17cf3d8c4019d22f098f6dc1c" +
+    "187a0015fccaa0208156d9fcb97af65d6f3a46c5c08881aee5f52bca6b2b53b249a97f61" +
+    "6340d77307443afb0e43a816bdcffabb741a1a85d344daa4aad44122d63d7b0d7c468482" +
+    "37efdd900e28e71f94f3f7efcb21e72bbb38ca5163b004aad2f3f7eaa38541364e3e2856" +
+    "4212c8d4509ba93fe6eb2af47b1d371b78e84356910797096c1c59418c3e830e75debfb4" +
+    "10cb0e4a48c86deb0d53dfd80f74d175f1f6c4b1242d9dbf9cd732d7bf5e88d17cab70b9" +
+    "d00195d5cc7ca28533309ae699e0f2ceabfe5000c1775fb7f152d60fdce8b9b6954e4c18" +
+    "f853341a0679c9b637d73faae80131406b2a10ef5e354e400a4139417c1a9d45bcd88b7d" +
+    "296ad99e4d18a633f1cdc471d818ab24f5141df61fa2407d7d2805fbe974e6a843e70c35" +
+    "07106b272283f51486408e92d6ac135f0a6a8978000320d43a75629b0b6de1d200c22c75" +
+    "b52862196eac919dc367027edb8c6f810d8892a51b26b5cfc24ba938a65c3c06dbeedc0e" +
+    "ae09c10ce9390255580b735a0948924015910ba5e73ded409881727f4c600020f1f68c4c" +
+    "ac9ee5aebd0a4ee0636551a84dfd1a5a20e34e8f27c1ca5dd72c9de965b1d53ca5931ebe" +
+    "3c3a59f9389d0225d97a1dcd35e0c452db0983a42b7753eb84f3d031e7609f2736548cf1" +
+    "2e69d9a5bc9f83c657ea6ef9971832c41b408dd374e119a0770a5294d31f3a90ef06141a" +
+    "e5715f379b0af7d60c8fe217001455e73032fc53f2c7ab5439453758c72b728c962580d1" +
+    "e910860b6c161572f8c9163748ebf31818a128b8a59b7368f2d0eeca9acecbf3824ecb5c" +
+    "f3a876c12d5213b5c150f95076203bb5919f336663f52d41c17eee82b3350b71081fbc9a" +
+    "56a2dcb729f326e77d5a672b7a18b543290dd244cb928dff36534768cbe34c7807f6144f" +
+    "b2a3a79046b78e097d3a34869221b6639944980b33625f81ba6518496894725092f36415" +
+    "3b5c6b84700544dddc0736d4484df13bcd997a41cf61218dcd19d7742a9e6298cafd3919" +
+    "60ebe8c22ac37059834554703e1979298ad6c3b0d3705d49a80cbf75a84c99a3d38db758" +
+    "f99b737e31c1882204bbff700330335d3a4e4e0dcbe518849e918b5b99ef4e0537a4d0be" +
+    "1395279d8bb9eddf4b8f7f9ad78af3ce091ee7d5b8f40298e1ca20520950ea8844080722" +
+    "5041a6af003d928b5cc577adb2f0cb1b6a70f91093399967ecb775ea9b9bbe4f642496fb" +
+    "6d0a2e18e6d5a69279fcba377863f20f5da8ae9147447b35b97b4051142bf64fbab51587" +
+    "a6297131455269496263e5da53f0a5076aa6401cd57f9155296bd85510094f5d6ac5c78b" +
+    "408698edb66200d5ccaf003efad02cba662aa14bacd6091eecf1d7092064ea414338b883" +
+    "cc4cc136f002da98cc66b33e6079149219c48c3a8f8cc4c3470f44617aa49c0292a892b7" +
+    "18d187e3b927e430195d53f4c6b45a7aef9b150ff80d1b42bd2fc9cf8d01e99aa32e009a" +
+    "ecc1b07bd71f8605bba2be71b9b6d976594a2878dba6ea0cfeb0e23d54fba7e5b0cf3b21" +
+    "29433b6c3df78a6b90a6ae779fa9906e59f73168510f2877377de5ecc91b0061c1ea23bd" +
+    "55f0aa6c92c60a82c72735ca561a03e763d29b4b9b7434cd352c5fa922cbe41cdaeb29de" +
+    "c70e1d0d97dacca93c965537478979544759a51334a9b4f3f3ea3b2018ad0e3330832d51" +
+    "60c62418f644caa16381aee57b5ee9b013ab87d0721366315e4ee5043a24c10e4cae1bab" +
+    "da7e06f8010e5de12a78aaca88ff8d4ab67f990471baf7128c1edf221e44a305d18ee245" +
+    "7ca121aef6aa46f3cb20b8ec54c9c02167e767aa4dc7c00ff0781a6e1626f65388e089c7" +
+    "f1747661bcd1a15d3808eac49b3455f49169c70f3f66010067dc600a"
+
+  private val c4Frame =
+    "28b52ffd60f4004d00001071710100ef2ac002"
+
+  private val c5Frame =
+    "28b52ffd6400010110009923a26bb3a1b57dc372e0b6d6c113d2cdeb0a50da31cf825e1b" +
+    "17e4844b304ff2f5a38dde108370dc9f705cf21ae1e218a4a83326d09a68ecea129d4c0a" +
+    "1b335b5bdbd57ce361c0a2f36cfff9351a30145d1ffc8bc3cbdabf039614c1c54fa56717" +
+    "bf24cd184f2099a194cfa9114d33955bd2a4736b0a9409b3ffe0fc893e1dadf6401dafe1" +
+    "9e7aef3989c608e459730540eed9048a5fa3cd43e9230e21d312110b86abf9ab32c7e985" +
+    "a4c6e3c8dc02fa8465c5c39cbe7f8f1840eec10017ab9c72280762ae505fd8ea5048d1e7" +
+    "18684372604faf990f9a884ee327dbb561f2c988e439ddf8e5d48542e078b42b60227aa9" +
+    "42e2e849b67953d5b5ecd9d0f79056a9db217cfd4f432a3befdfb96bfc8f171318b5cc0f" +
+    "9e471f0d397a365640fc976d47fad4a2a72bda303189d813966cfd66988a9a33c0ec62e7" +
+    "ac922ba963334569b761d7c889c1788cd1a3d95622c3912195f795b42d9e087c9d5cedf9" +
+    "78ead264c4d73d5d5ec526a148abcfda45624406ff2b9e9298fd253006ce6f2c2f46361b" +
+    "4fc85de724d8370bb6091fe341d4a91c54315d9c5c9f264ce492a64ff612427c33119691" +
+    "b64d9d85bc3efd035cce05269fb6debd082d821a52664684a66f7161870128b79986df50" +
+    "d5836f45cb2b5fa5ec4fb1c767f3e8842107076aa70e3bd04fe39ef740c285072ff0cdd9" +
+    "185f1052483e8fc309f9f72ff093630fa0e1b755003b"
+
+  private val c6Frame =
+    "28b52ffda4007102008400004061626364656667680100f5fff3cb05450000000100fdf0" +
+    "f6020476375ade"
+
+  private def unhex(s: String): Array[Byte] =
+    s.sliding(2, 2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  private def lcgBytes(n: Int, alphaLo: Int, alphaN: Int): Array[Byte] = {
+    var x = 88172645463325252L
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      out(i) = (alphaLo + ((x >>> 33) % alphaN)).toByte
+      i += 1
+    }
+    out
+  }
+
+  private val sentence = ("the quick brown fox jumps over the lazy dog " +
+    "while the pipeline packs tokens into shards ") * 3
+
+  test("interop: reference-CLI frames decode to their exact content") {
+    val cases = Seq(
+      ("c1", c1Frame, sentence.getBytes("ISO-8859-1"), false),
+      ("c2", c2Frame, sentence.getBytes("ISO-8859-1"), true),
+      ("c3", c3Frame, lcgBytes(2000, 32, 200), true),
+      ("c4", c4Frame, Array.fill(500)('q'.toByte), false),
+      ("c5", c5Frame, lcgBytes(512, 0, 256), true),
+      ("c6", c6Frame, Array.fill(20000)("abcdefgh").flatMap(
+        _.getBytes("ISO-8859-1")), true))
+    for ((name, hx, want, sum) <- cases) {
+      val (status, content, nBlocks, hasSum) = Zstd.decode(unhex(hx))
+      assert(status == "ok", s"$name: $status")
+      assert(hasSum == sum, s"$name checksum flag")
+      assert(java.util.Arrays.equals(content, want),
+        s"$name content mismatch (${content.length} vs ${want.length})")
+      if (name == "c6") assert(nBlocks >= 2, "c6 must be multi-block")
+    }
+  }
+
+  test("a flipped checksum bit is caught (xxh64 verified, not skipped)") {
+    val f = unhex(c2Frame)
+    f(f.length - 1) = (f(f.length - 1) ^ 0x01).toByte
+    assert(Zstd.decode(f)._1 == "bad_data")
+  }
+
+  test("totality: arbitrary bytes and every truncation prefix return a status") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 2000) {
+      val junk = Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      assert(Zstd.decode(junk)._1.nonEmpty)
+    }
+    // bit flips over a valid frame
+    val base = unhex(c2Frame)
+    for (k <- base.indices; bit <- Seq(1, 16)) {
+      val f = base.clone(); f(k) = (f(k) ^ bit).toByte
+      assert(Zstd.decode(f)._1.nonEmpty)
+    }
+    for (hx <- Seq(c1Frame, c3Frame, c4Frame, c6Frame)) {
+      val full = unhex(hx)
+      for (n <- 0 until full.length)
+        assert(Zstd.decode(full.take(n))._1 != "ok",
+          s"prefix $n of ${full.length} decoded ok")
+    }
+    // fixture frames under every prefix too
+    val h = md5hex("zstd-prefix")
+    val p = Zstd.zstdBytes(sampleTexts.head, "00" * 9 + "03" + "00" * 6)
+    for (n <- 0 until p.length)
+      assert(Zstd.decode(p.take(n))._1 != "ok")
+  }
+}

@@ -1049,6 +1049,36 @@ class StreamedDecodeSpec extends graft.SparkSuite {
     } finally q.stop()
   }
 
+  test("streamed zstd ingest equals the batch ingest, arm for arm") {
+    // the thirteenth decoder streams like the rest: synth + frame
+    // walk (FSE/Huffman/sequences/xxh64) are one stateless
+    // mapPartitions, so zstdIngestStats runs UNCHANGED per
+    // micro-batch — parity covers every failure arm and content md5s
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().take(40)
+    val batch = Multimodal.zstdIngestStats(
+        docs.toSeq.toDF("doc_id", "text"))
+      .as[graft.llm.ZstdMeta].collect().toSet
+    val in = MemoryStream[(Long, String)]
+    val q = Multimodal.zstdIngestStats(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("zstd_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(docs.take(15).toSeq: _*); q.processAllAvailable()
+      in.addData(docs.drop(15).toSeq: _*); q.processAllAvailable()
+      val got = spark.table("zstd_stream")
+        .as[graft.llm.ZstdMeta].collect().toSet
+      assert(got.size == 40)
+      assert(got == batch)
+      assert(got.exists(_.status == "ok") &&
+        got.exists(_.status != "ok"), "arms must be represented")
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("streamed WARC record parse equals the batch parse, URIs included") {
     // the crawl front-door's decode+extract stage is stateless, so the
     // SAME parseWarc runs unchanged on a stream — incremental ingest of

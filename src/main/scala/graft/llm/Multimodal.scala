@@ -5080,6 +5080,48 @@ object Multimodal {
     "q_zstd_ingest" -> ((s, dir) =>
       zstdIngestStats(Tables(s, dir, "documents")).orderBy("doc_id")),
 
+    // .jsonl.zst FRONT DOOR — the exact file shape public corpora
+    // ship (RedPajama/Dolma/FineWeb), composed end to end: the
+    // MULTI-FRAME walk (Zstd.decodeFrames — pzstd-style skippable
+    // seek-table frames skipped, data frames concatenated) → JSONL
+    // line split → per-record JSON field extraction (codegen
+    // get_json_object) → doc census. The 1→N record fan-out fuses
+    // into the scan (archive-ingest shape); the one exchange is the
+    // doc-keyed census aggregate (partial+final). rebuilt_md5
+    // re-joins the JSON-extracted texts IN JSON-ID ORDER and must
+    // equal md5 of the original text — transport framing, LZ
+    // back-references, line framing, and JSON round-trip pinned in
+    // one hash per document.
+    "q_zstd_jsonl" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+        .as[(Long, String, String)]
+        .mapPartitions(_.flatMap { case (id, text, h) =>
+          val (st, content, nf) =
+            Zstd.decodeFrames(Zstd.zstdJsonlBytes(text, h))
+          if (st == "ok")
+            new String(content, "ISO-8859-1").split("\n").iterator
+              .filter(_.nonEmpty).map(l => (id, st, nf, l))
+          else Iterator((id, st, nf, null: String))
+        })
+        .toDF("doc_id", "status", "nf", "line")
+        .withColumn("rid",
+          expr("cast(get_json_object(line, '$.id') as int)"))
+        .withColumn("rtext", expr("get_json_object(line, '$.text')"))
+        .groupBy(col("doc_id"), col("status"))
+        .agg(max(col("nf")).as("nfx"),
+          count(col("line")).as("n_records"),
+          md5(expr("array_join(transform(array_sort(" +
+            "collect_list(struct(rid, rtext))), x -> x.rtext), ' ')"))
+            .as("md"))
+        .select(col("doc_id"), col("status"),
+          when(col("status") === "ok", col("nfx")).as("n_frames"),
+          col("n_records"),
+          when(col("status") === "ok", col("md")).as("rebuilt_md5"))
+        .orderBy("doc_id")
+    }),
+
     "q_multimodal_decode_gzip" -> ((s, dir) => {
       import s.implicits._
       val payloads = Tables(s, dir, "documents")
@@ -5800,6 +5842,29 @@ object Multimodal {
                END AS n_bytes,
              CASE WHEN isok THEN md5(content) END AS content_md5
       FROM zc ORDER BY doc_id""",
+    // .jsonl.zst twin: k, the skippable flag, and the truncation arm
+    // from the hash bytes; the rebuilt text is the original text by
+    // construction (contiguous word chunks re-joined in id order), so
+    // the hash gate proves the whole transport+JSON round trip.
+    "q_zstd_jsonl" -> s"""
+      WITH hx AS (SELECT doc_id, text, md5(text) AS h FROM documents),
+      jb AS (SELECT doc_id, text, ${byteAt(1)} AS b1, ${byteAt(7)} AS b7,
+               ${byteAt(10)} AS b10
+             FROM hx),
+      jd AS (SELECT doc_id, text,
+               least(2 + b1 % 3,
+                 greatest(1, len(string_split(text, ' ')))) AS k,
+               b7 % 2 = 0 AS sk, b10 % 8 = 1 AS trunc
+             FROM jb)
+      SELECT doc_id,
+             CASE WHEN trunc THEN 'truncated' ELSE 'ok' END AS status,
+             CASE WHEN trunc THEN NULL
+                  ELSE CAST(CASE WHEN sk THEN 2 ELSE 1 END AS INT)
+                  END AS n_frames,
+             CAST(CASE WHEN trunc THEN 0 ELSE k END AS BIGINT)
+               AS n_records,
+             CASE WHEN trunc THEN NULL ELSE md5(text) END AS rebuilt_md5
+      FROM jd ORDER BY doc_id""",
     "q_multimodal_decode_gzip" -> s"""
       WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
       b AS (SELECT doc_id, h, ${byteAt(2)} AS b2, ${byteAt(9)} AS b9,

@@ -470,19 +470,61 @@ private[llm] object Zstd {
   // Frame decode
   // ------------------------------------------------------------------
   /** (status, content, nBlocks, hasChecksum); content non-null iff
-    * status == "ok". Total on arbitrary bytes. */
+    * status == "ok". Total on arbitrary bytes. Single frame, trailing
+    * bytes ignored — [[decodeFrames]] is the whole-file walk. */
   private[llm] def decode(p: Array[Byte],
       maxOut: Int = 1 << 24): (String, Array[Byte], Int, Boolean) = {
+    val (st, c, nb, hs, _) = decodeFrame(p, 0, maxOut)
+    (st, c, nb, hs)
+  }
+
+  /** Whole-file walk — what a `.zst` on disk actually is: one or more
+    * data frames CONCATENATED, with skippable frames (pzstd seek
+    * tables, padding) interleaved anywhere. Content is the data
+    * frames' contents in order; nFrames counts both kinds. */
+  private[llm] def decodeFrames(p: Array[Byte],
+      maxOut: Int = 1 << 24): (String, Array[Byte], Int) = {
+    if (p == null || p.length == 0) return ("bad_magic", null, 0)
+    var off = 0
+    var n = 0
+    val out = new java.io.ByteArrayOutputStream(1024)
+    while (off < p.length) {
+      if (off + 4 > p.length) return ("truncated", null, n)
+      val magic = (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
+        ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
+      if (magic >= 0x184D2A50L && magic <= 0x184D2A5FL) {
+        if (off + 8 > p.length) return ("truncated", null, n)
+        val sz = (p(off + 4) & 0xffL) | ((p(off + 5) & 0xffL) << 8) |
+          ((p(off + 6) & 0xffL) << 16) | ((p(off + 7) & 0xffL) << 24)
+        if (sz > p.length - off - 8) return ("truncated", null, n)
+        off += 8 + sz.toInt
+        n += 1
+      } else {
+        val (st, c, _, _, end) = decodeFrame(p, off, maxOut)
+        if (st != "ok") return (st, null, n)
+        if (out.size() + c.length > maxOut) return ("bad_data", null, n)
+        out.write(c, 0, c.length)
+        off = end
+        n += 1
+      }
+    }
+    ("ok", out.toByteArray, n)
+  }
+
+  /** One frame starting at `start`; last element = end offset. */
+  private def decodeFrame(p: Array[Byte], start: Int,
+      maxOut: Int = 1 << 24): (String, Array[Byte], Int, Boolean, Int) = {
     var nBlocks = 0
     var hasSum = false
     try {
-      if (p == null || p.length < 4) return ("bad_magic", null, 0, false)
-      val magic = (p(0) & 0xffL) | ((p(1) & 0xffL) << 8) |
-        ((p(2) & 0xffL) << 16) | ((p(3) & 0xffL) << 24)
+      if (p == null || p.length - start < 4)
+        return ("bad_magic", null, 0, false, start)
+      val magic = (p(start) & 0xffL) | ((p(start + 1) & 0xffL) << 8) |
+        ((p(start + 2) & 0xffL) << 16) | ((p(start + 3) & 0xffL) << 24)
       if (magic >= 0x184D2A50L && magic <= 0x184D2A5FL)
-        return ("unsupported", null, 0, false) // skippable frame
-      if (magic != 0xFD2FB528L) return ("bad_magic", null, 0, false)
-      var i = 4
+        return ("unsupported", null, 0, false, start) // skippable frame
+      if (magic != 0xFD2FB528L) return ("bad_magic", null, 0, false, start)
+      var i = start + 4
       def need(n: Int): Unit = if (i + n > p.length) throw Trunc
       need(1)
       val fhd = p(i) & 0xff; i += 1
@@ -490,7 +532,7 @@ private[llm] object Zstd {
       val singleSeg = (fhd & 0x20) != 0
       hasSum = (fhd & 0x04) != 0
       if ((fhd & 0x08) != 0) throw Bad // reserved bit
-      if ((fhd & 0x03) != 0) return ("unsupported", null, 0, hasSum) // dict
+      if ((fhd & 0x03) != 0) return ("unsupported", null, 0, hasSum, i) // dict
       if (!singleSeg) { need(1); i += 1 } // window descriptor
       val fcsBytes = fcsFlag match {
         case 0 => if (singleSeg) 1 else 0
@@ -507,7 +549,7 @@ private[llm] object Zstd {
         if (fcsBytes == 2) fcs += 256
         i += fcsBytes
       }
-      if (fcs > maxOut) return ("unsupported", null, 0, hasSum)
+      if (fcs > maxOut) return ("unsupported", null, 0, hasSum, i)
       // flat output array: match copies address the FULL decoded
       // history (cross-block offsets) by plain index
       var out = new Array[Byte](math.max(1024, fcs.toInt + 1))
@@ -755,19 +797,19 @@ private[llm] object Zstd {
           ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
         i += 4
         if ((xxh64(content) & 0xffffffffL) != want)
-          return ("bad_data", null, nBlocks, hasSum)
+          return ("bad_data", null, nBlocks, hasSum, i)
       }
       if (fcs >= 0 && content.length != fcs)
-        return ("bad_data", null, nBlocks, hasSum)
-      ("ok", content, nBlocks, hasSum)
+        return ("bad_data", null, nBlocks, hasSum, i)
+      ("ok", content, nBlocks, hasSum, i)
     } catch {
-      case Trunc => ("truncated", null, nBlocks, hasSum)
-      case Bad => ("bad_data", null, nBlocks, hasSum)
-      case Unsup => ("unsupported", null, nBlocks, hasSum)
+      case Trunc => ("truncated", null, nBlocks, hasSum, start)
+      case Bad => ("bad_data", null, nBlocks, hasSum, start)
+      case Unsup => ("unsupported", null, nBlocks, hasSum, start)
       case _: IndexOutOfBoundsException =>
-        ("bad_data", null, nBlocks, hasSum)
+        ("bad_data", null, nBlocks, hasSum, start)
       case _: NegativeArraySizeException =>
-        ("bad_data", null, nBlocks, hasSum)
+        ("bad_data", null, nBlocks, hasSum, start)
     }
   }
 
@@ -1209,7 +1251,61 @@ private[llm] object Zstd {
     else frameOf(blocks, content, hasSum)
   }
 
-/** Per-doc census row — the decode-family contract: malformed
+  /** `.jsonl.zst` fixture — the file shape public corpora actually
+    * ship: the doc's words chunked into k contiguous JSON records
+    * ({"id":j,"text":"…"}, newline-delimited), the JSONL bytes in ONE
+    * data frame whose sequence parse is a GENUINE LZ match list (each
+    * line after the first back-references the previous line's 6-byte
+    * `{"id":` record prefix — k−1 predefined-table sequences with
+    * varying literal lengths and offsets, the state-update path over
+    * non-constant codes), preceded ~50% of the time by a SKIPPABLE
+    * frame (the pzstd seek-table shape [[decodeFrames]] must skip).
+    * Truncation arm cuts to 60%. Checksummed always. */
+  private[llm] def zstdJsonlBytes(text: String, h: String): Array[Byte] = {
+    val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
+    val words = text.split(" ").filter(_.nonEmpty)
+    val k = math.min(2 + b(1) % 3, math.max(1, words.length))
+    val lines = (0 until k).map { j =>
+      val lo = j * words.length / k
+      val hi = (j + 1) * words.length / k
+      s"""{"id":$j,"text":"${words.slice(lo, hi).mkString(" ")}"}""" + "\n"
+    }
+    val content = lines.mkString.getBytes("ISO-8859-1")
+    val pfx = 6 // the shared `{"id":` record head
+    val seqs = (1 until k).map { j =>
+      val ll = if (j == 1) lines(0).length else lines(j - 1).length - pfx
+      Sq(ll, pfx, lines(j - 1).length + 3L)
+    }.toArray
+    val data =
+      if (seqs.isEmpty)
+        frameOf(Seq((0, 0, content)), content, withSum = true)
+      else {
+        val lits = (lines.head + lines.tail.map(_.drop(pfx)).mkString)
+          .getBytes("ISO-8859-1")
+        val payload =
+          literalsSection(lits, huf = false, fourStream = false) ++
+            sequencesSection(seqs, 0, 0, 0)
+        // what a real encoder does: emit the compressed block only
+        // when it genuinely undercuts the content (k=2 docs save one
+        // 6-byte match — less than the sequence-section overhead —
+        // and the reference rejects expanding blocks, see decode)
+        if (payload.length < content.length)
+          frameOf(Seq((2, 0, payload)), content, withSum = true)
+        else frameOf(Seq((0, 0, content)), content, withSum = true)
+      }
+    val skip =
+      if (b(7) % 2 != 0) Array.emptyByteArray
+      else {
+        val magic = 0x184D2A50L + b(6) % 16
+        Array[Byte]((magic & 0xff).toByte, ((magic >> 8) & 0xff).toByte,
+          ((magic >> 16) & 0xff).toByte, ((magic >> 24) & 0xff).toByte,
+          4, 0, 0, 0, b(2).toByte, b(3).toByte, b(4).toByte, b(5).toByte)
+      }
+    val full = skip ++ data
+    if (b(10) % 8 == 1) full.take(full.length * 3 / 5) else full
+  }
+
+  /** Per-doc census row — the decode-family contract: malformed
     * transport degrades to a status row, never a throw. Census
     * columns report only on "ok" rows so the twin never has to model
     * how far a torn frame got. */

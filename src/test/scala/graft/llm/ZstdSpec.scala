@@ -232,4 +232,52 @@ class ZstdSpec extends AnyFunSuite {
     for (n <- 0 until p.length)
       assert(Zstd.decode(p.take(n))._1 != "ok")
   }
+
+  test("jsonl multi-frame walk: skippable frames skipped, LZ record prefixes fire, truncation total") {
+    var sk = 0; var plain = 0; var compressed = 0; var trunc = 0
+    for (i <- 0 until 200) {
+      val text = (sampleTexts(i % sampleTexts.length) + s" extra$i word")
+      val h = md5hex(s"zstd-jsonl-$i")
+      val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
+      val p = Zstd.zstdJsonlBytes(text, h)
+      val (st, content, nf) = Zstd.decodeFrames(p)
+      if (b(10) % 8 == 1) {
+        assert(st != "ok", s"$h: truncated frame decoded ok")
+        trunc += 1
+      } else {
+        assert(st == "ok", s"$h: $st")
+        val skippable = b(7) % 2 == 0
+        assert(nf == (if (skippable) 2 else 1))
+        if (skippable) sk += 1 else plain += 1
+        val lines = new String(content, "ISO-8859-1").split("\n")
+          .filter(_.nonEmpty)
+        val words = text.split(" ").filter(_.nonEmpty)
+        val k = math.min(2 + b(1) % 3, words.length)
+        assert(lines.length == k)
+        val rebuilt = lines.map { l =>
+          val m = """"text":"([^"]*)"""".r.findFirstMatchIn(l).get
+          m.group(1)
+        }.mkString(" ")
+        assert(rebuilt == words.mkString(" "), s"$h rebuild")
+        // the LZ path (compressed block) must fire when it wins:
+        // detect by total frame size undercutting a raw-block frame
+        val dataLen = p.length - (if (skippable) 12 else 0)
+        if (dataLen < content.length + 12) compressed += 1
+      }
+    }
+    assert(sk > 20 && plain > 20 && trunc > 10,
+      s"arms thin: sk=$sk plain=$plain trunc=$trunc")
+    assert(compressed > 20, s"LZ path thin: $compressed")
+  }
+
+  test("decodeFrames: concatenated frames concatenate, junk between frames is an error") {
+    val t1 = sampleTexts(0); val t2 = sampleTexts(1)
+    val f1 = Zstd.zstdBytes(t1, "00" * 9 + "02" + "00" * 6)
+    val f2 = Zstd.zstdBytes(t2, "00" * 9 + "00" + "00" * 6)
+    val (st, c, nf) = Zstd.decodeFrames(f1 ++ f2)
+    assert(st == "ok" && nf == 2)
+    assert(new String(c, "ISO-8859-1") == t1 + " " + t1 + t2)
+    val (st2, _, _) = Zstd.decodeFrames(f1 ++ Array(9.toByte) ++ f2)
+    assert(st2 != "ok", "junk between frames must not decode ok")
+  }
 }

@@ -689,6 +689,39 @@ object ScaleProbe {
       docs.unpersist(false)
     }
 
+    // train-shards probe: N× the documents (ids shifted, sources kept,
+    // so per-source packing windows genuinely deepen ×N). Fixed-size
+    // shards mean the SHARD COUNT grows ×N while total tokens scale
+    // ×N EXACTLY; wall must track the two passes (manifest scan +
+    // bucket-ranked aggregate) — a superlinearity here would mean the
+    // global rank degenerated into a single-partition sort.
+    if (want("shards"))
+    locally {
+      val docs = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("source"), col("text")).persist()
+      val nDocs = docs.count()
+      val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      def timedShards(mult: Int): Unit = {
+        val scaled = docs
+          .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
+            col("doc_id"), col("source"), col("text"))
+          .select((col("doc_id") + col("i") * lit(stride)).as("doc_id"),
+            col("source"), col("text"))
+        val t0 = System.nanoTime()
+        val r = graft.llm.TextAnalysis.trainShardsOn(scaled)
+          .agg(count(lit(1)).as("n_shards"),
+            sum(col("n_seqs")).as("n_seqs"),
+            sum(col("n_tokens")).as("tokens"))
+          .head()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"shards_${mult}x","docs":${nDocs * mult},"n_shards":${r.getLong(0)},"n_seqs":${r.getLong(1)},"tokens":${r.getLong(2)},"sec":$dt%.2f}""")
+      }
+      timedShards(1)
+      timedShards(10)
+      timedShards(100)
+      docs.unpersist(false)
+    }
+
     // CDC probe: N× the documents with SHIFTED ids and IDENTICAL text
     // — the chunk DICTIONARY is replication-invariant, so stored
     // (unique) bytes must stay FLAT while logical bytes scale exactly

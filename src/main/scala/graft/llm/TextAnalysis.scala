@@ -243,65 +243,9 @@ object TextAnalysis {
     // twin match pins assignment, intra-shard order, and content at
     // once. Shards are exactly SeqsPerShard sequences (last one
     // ragged), the fixed-size contract a data loader's seek map needs.
-    "q_train_shards" -> ((s, dir) => {
-      val B = 256 // tokens per packed sequence (q_pack_bins' budget)
-      val S = 32  // sequences per shard
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val seqs = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
-        .withColumn("n_tok", size(col("t")).cast("long"))
-        .withColumn("cum", sum(col("n_tok")).over(w))
-        .withColumn("s0", col("cum") - col("n_tok"))
-        .select(col("source"), col("t"), col("n_tok"), col("s0"),
-          explode(expr(s"sequence(s0 div $B, (s0 + n_tok - 1) div $B)"))
-            .as("bin"))
-        .withColumn("gstart", expr(s"greatest(s0, bin * $B)"))
-        .withColumn("seg_len",
-          expr(s"least((bin + 1) * $B, s0 + n_tok) - gstart"))
-        .withColumn("part", expr(
-          "concat_ws(' ', slice(t, cast(gstart - s0 as int) + 1, " +
-            "cast(seg_len as int)))"))
-        .groupBy(col("source"), col("bin"))
-        .agg(sum(col("seg_len")).as("seq_tokens"),
-          md5(expr("array_join(transform(array_sort(" +
-            "collect_list(struct(gstart, part))), x -> x.part), ' ')"))
-            .as("seq_hash"))
-        .withColumn("h",
-          md5(concat_ws("|", lit("graft18"), col("source"), col("bin"))))
-        .withColumn("bkt", expr("cast(conv(substring(h, 1, 1), 16, 10) as int)"))
-        // Materialize the sequence MANIFEST (hash + three ints per
-        // sequence — corpus/256 rows at ~60 B, 3 orders of magnitude
-        // under the token text) before the rank pass: the bucket
-        // census and the rank join both read it, and without the cut
-        // each branch re-scans and re-windows the whole corpus
-        // (column pruning specializes the two subtrees, so
-        // ReuseExchange cannot dedup them — measured on the plan).
-        // This IS the production two-job shape: emit manifest, then
-        // permute the manifest. Construction-time eagerness per the
-        // CC-loop discipline (SparkEntry.plans note).
-        .localCheckpoint()
-      // 16-row bucket census → exclusive prefix offsets (lowercase hex
-      // sorts digits-before-letters in both engines, so bucket order
-      // IS hash order); the window runs over 16 rows, never the data.
-      val off = seqs.groupBy(col("bkt")).agg(count(lit(1)).as("bn"))
-        .withColumn("boff", coalesce(sum(col("bn")).over(
-          Window.orderBy(col("bkt"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("bkt").as("obkt"), col("boff"))
-      val rn = Window.partitionBy(col("bkt"))
-        .orderBy(col("h"), col("source"), col("bin"))
-      seqs.join(broadcast(off), col("bkt") === col("obkt"))
-        .withColumn("rank", col("boff") + row_number().over(rn) - 1)
-        .withColumn("shard", expr(s"cast(rank div $S as int)"))
-        .groupBy(col("shard"))
-        .agg(count(lit(1)).as("n_seqs"),
-          sum(col("seq_tokens")).as("n_tokens"),
-          md5(expr("array_join(transform(array_sort(" +
-            "collect_list(struct(rank, seq_hash))), x -> x.seq_hash), '')"))
-            .as("shard_md5"))
-        .orderBy("shard")
-    }),
+    "q_train_shards" -> ((s, dir) =>
+      trainShardsOn(Tables(s, dir, "documents"))),
+
 
     // Packing QUALITY row — best-fit-decreasing vs arrival-order
     // next-fit, per shard (Johnson 1973: BFD ≤ 11/9·OPT + 4 bins,
@@ -1392,6 +1336,69 @@ object TextAnalysis {
   /** The round-0 BPE symbol table: the distinct-word dictionary of
     * the lowercase-alpha corpus words, exploded to one row per
     * (word, freq, position, single-char symbol). */
+  /** Frame-taking shard emitter — shared by the registered query and
+    * ScaleProbe (which replicates the corpus ×N to prove the two-pass
+    * global rank stays scan-shaped). */
+  private[graft] def trainShardsOn(docs: DataFrame): DataFrame = {
+    val B = 256 // tokens per packed sequence (q_pack_bins' budget)
+    val S = 32  // sequences per shard
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seqs = docs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+      .withColumn("n_tok", size(col("t")).cast("long"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("s0", col("cum") - col("n_tok"))
+      .select(col("source"), col("t"), col("n_tok"), col("s0"),
+        explode(expr(s"sequence(s0 div $B, (s0 + n_tok - 1) div $B)"))
+          .as("bin"))
+      .withColumn("gstart", expr(s"greatest(s0, bin * $B)"))
+      .withColumn("seg_len",
+        expr(s"least((bin + 1) * $B, s0 + n_tok) - gstart"))
+      .withColumn("part", expr(
+        "concat_ws(' ', slice(t, cast(gstart - s0 as int) + 1, " +
+          "cast(seg_len as int)))"))
+      .groupBy(col("source"), col("bin"))
+      .agg(sum(col("seg_len")).as("seq_tokens"),
+        md5(expr("array_join(transform(array_sort(" +
+          "collect_list(struct(gstart, part))), x -> x.part), ' ')"))
+          .as("seq_hash"))
+      .withColumn("h",
+        md5(concat_ws("|", lit("graft18"), col("source"), col("bin"))))
+      .withColumn("bkt", expr("cast(conv(substring(h, 1, 1), 16, 10) as int)"))
+      // Materialize the sequence MANIFEST (hash + three ints per
+      // sequence — corpus/256 rows at ~60 B, 3 orders of magnitude
+      // under the token text) before the rank pass: the bucket
+      // census and the rank join both read it, and without the cut
+      // each branch re-scans and re-windows the whole corpus
+      // (column pruning specializes the two subtrees, so
+      // ReuseExchange cannot dedup them — measured on the plan).
+      // This IS the production two-job shape: emit manifest, then
+      // permute the manifest. Construction-time eagerness per the
+      // CC-loop discipline (SparkEntry.plans note).
+      .localCheckpoint()
+    // 16-row bucket census → exclusive prefix offsets (lowercase hex
+    // sorts digits-before-letters in both engines, so bucket order
+    // IS hash order); the window runs over 16 rows, never the data.
+    val off = seqs.groupBy(col("bkt")).agg(count(lit(1)).as("bn"))
+      .withColumn("boff", coalesce(sum(col("bn")).over(
+        Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt").as("obkt"), col("boff"))
+    val rn = Window.partitionBy(col("bkt"))
+      .orderBy(col("h"), col("source"), col("bin"))
+    seqs.join(broadcast(off), col("bkt") === col("obkt"))
+      .withColumn("rank", col("boff") + row_number().over(rn) - 1)
+      .withColumn("shard", expr(s"cast(rank div $S as int)"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("seq_tokens")).as("n_tokens"),
+        md5(expr("array_join(transform(array_sort(" +
+          "collect_list(struct(rank, seq_hash))), x -> x.seq_hash), '')"))
+          .as("shard_md5"))
+    .orderBy("shard")
+  }
+
   private def bpeSymbolsOf(docs: DataFrame): DataFrame =
     docs
       .select(explode(split(col("text"), " ")).as("word"))

@@ -1070,13 +1070,16 @@ private[llm] object Zstd {
         require(codes.distinct.length == 1, "RLE mode needs one code")
         out.write(codes(0))
         new FseTable(0, Array(codes(0)), Array(0), Array(0))
-      case _ =>
+      case 2 =>
         val norm = customNorm(codes, accLog)
         val fw = new FwdWriter
         fseWriteNCount(norm, accLog, fw)
         val d = fw.bytes
         out.write(d, 0, d.length)
         fseBuild(norm, accLog)
+      case _ => // Repeat: zero bytes; the PREVIOUS block's table —
+        // the caller guarantees that was `default` (predefined)
+        default
     }
     // table descriptions appear in LL, OF, ML order (§3.1.1.4)
     val llT = mkTable(llMode, llCodes, LlTable, 6)
@@ -1249,6 +1252,59 @@ private[llm] object Zstd {
     } else if (badSum)
       frameOf(blocks, content, withSum = true, flipSum = true)
     else frameOf(blocks, content, hasSum)
+  }
+
+  /** Treeless literals section (type 3): encode with the PREVIOUS
+    * block's Huffman table, no tree bytes — the real-encoder steady
+    * state on multi-block files. */
+  private def literalsTreeless(lits: Array[Byte],
+      tbl: HufTable): Array[Byte] = {
+    val bw = new BackWriter
+    lits.foreach { b =>
+      val c = b & 0xff
+      bw.put(tbl.codes(c), tbl.lens(c))
+    }
+    val body = bw.bytes
+    val regen = lits.length
+    val cmp = body.length
+    require(regen <= 1023 && cmp <= 1023)
+    val out = new java.io.ByteArrayOutputStream(cmp + 3)
+    val v = regen | (cmp << 10)
+    out.write(3 | (0 << 2) | ((v & 0xf) << 4))
+    out.write((v >> 4) & 0xff)
+    out.write((v >> 12) & 0xff)
+    out.write(body, 0, body.length)
+    out.toByteArray
+  }
+
+  /** Two-block frame exercising the FRAME-SCOPED reuse paths the
+    * md5-arm fixture can't reach deterministically: block 2 reuses
+    * block 1's Huffman tree (TREELESS literals) and its sequence
+    * tables (REPEAT mode, here repeating the predefined set), plus a
+    * cross-block match. Returns (frame, expected content). */
+  private[llm] def treelessDemoFrame(
+      text: String): (Array[Byte], Array[Byte]) = {
+    val t = text.getBytes("ISO-8859-1")
+    val L = t.length
+    require(L >= 12 && t.distinct.length >= 2)
+    val sp = ' '.toByte
+    val lits1 = t :+ sp
+    val c1 = (t :+ sp) ++ t
+    val tbl = hufBuild(hufWeights(lits1.groupBy(b => b & 0xff)
+      .map { case (k, xs) => k -> xs.length.toLong }))
+    val p1 = literalsSection(lits1, huf = true, fourStream = false) ++
+      sequencesSection(Array(Sq(L + 1, L, L + 4L)), 0, 0, 0)
+    // block 2: lits = ' '+t (symbols ⊆ block 1's tree), then a match
+    // copying the t just emitted (offset L → ofVal L+3)
+    val lits2 = sp +: t
+    val c2 = (sp +: t) ++ t
+    val p2 = literalsTreeless(lits2, tbl) ++
+      sequencesSection(Array(Sq(L + 1, L, L + 3L)), 3, 3, 3)
+    val content = c1 ++ c2
+    require(p1.length < c1.length + c2.length &&
+      p2.length < c2.length, "demo blocks must genuinely compress")
+    (frameOf(Seq((2, 0, p1), (2, 0, p2)), content, withSum = true),
+      content)
   }
 
   /** `.jsonl.zst` fixture — the file shape public corpora actually

@@ -280,4 +280,17 @@ class ZstdSpec extends AnyFunSuite {
     val (st2, _, _) = Zstd.decodeFrames(f1 ++ Array(9.toByte) ++ f2)
     assert(st2 != "ok", "junk between frames must not decode ok")
   }
+
+  test("treeless literals + Repeat-mode tables decode across blocks (frame-scoped reuse)") {
+    for (text <- sampleTexts) {
+      val (frame, want) = Zstd.treelessDemoFrame(text)
+      val (st, c, nb, _) = Zstd.decode(frame)
+      assert(st == "ok", s"$st")
+      assert(nb == 2)
+      assert(java.util.Arrays.equals(c, want), "content mismatch")
+      // and totality over its prefixes, like every other fixture
+      for (n <- 0 until frame.length)
+        assert(Zstd.decode(frame.take(n))._1 != "ok")
+    }
+  }
 }

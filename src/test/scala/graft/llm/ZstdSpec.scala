@@ -161,6 +161,14 @@ class ZstdSpec extends AnyFunSuite {
     "d5836f45cb2b5fa5ec4fb1c767f3e8842107076aa70e3bd04fe39ef740c285072ff0cdd9" +
     "185f1052483e8fc309f9f72ff093630fa0e1b755003b"
 
+  // WINDOWED frame (`--no-content-size`): NOT single-segment — a
+  // window descriptor byte and no FCS field, the streaming-writer
+  // header shape (fhd 0x04)
+  private val c7Frame =
+    "28b52ffd04009d02002205111690b56d880849a45f76bfdb64ffb71bfdffff78fe2b076c" +
+    "1239be76e239ed689f4f217b4b44b6b886f0d60935170c08ba5d3f1940cf6ba8e2011d9e" +
+    "4b93f053501db7eb0300a92d104852ed8509130a0e4dd051"
+
   private val c6Frame =
     "28b52ffda4007102008400004061626364656667680100f5fff3cb05450000000100fdf0" +
     "f6020476375ade"
@@ -191,7 +199,8 @@ class ZstdSpec extends AnyFunSuite {
       ("c4", c4Frame, Array.fill(500)('q'.toByte), false),
       ("c5", c5Frame, lcgBytes(512, 0, 256), true),
       ("c6", c6Frame, Array.fill(20000)("abcdefgh").flatMap(
-        _.getBytes("ISO-8859-1")), true))
+        _.getBytes("ISO-8859-1")), true),
+      ("c7", c7Frame, sentence.getBytes("ISO-8859-1"), true))
     for ((name, hx, want, sum) <- cases) {
       val (status, content, nBlocks, hasSum) = Zstd.decode(unhex(hx))
       assert(status == "ok", s"$name: $status")

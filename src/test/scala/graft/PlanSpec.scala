@@ -698,6 +698,20 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q_zstd_jsonl: scan-fused record fan-out, one census aggregate, no join") {
+    // the .jsonl.zst front door: decodeFrames + line split fuse into
+    // the scan's MapPartitions (the archive-ingest 1→N contract); the
+    // JSON field extraction is scan-side codegen; the ONLY exchanges
+    // are the doc-keyed partial+final census and the display sort
+    val p = plan("q_zstd_jsonl")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 scan, got $scans")
+    assert(p.contains("MapPartitions"))
+    assert(!p.contains("Join"), "the ingest must not join")
+    assert(p.linesIterator.count(_.contains("- Exchange")) <= 2,
+      s"census must be one keyed exchange plus the sort:\n$p")
+  }
+
   test("q_warc_ingest runs the whole crawl funnel join-free on one scan") {
     // synthesize+decode fuse into the scan's MapPartitions, the URL
     // canonicalizer is scan-side projection, and the funnel reduces

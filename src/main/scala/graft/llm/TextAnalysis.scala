@@ -727,7 +727,13 @@ object TextAnalysis {
         shards = shards.map { sy =>
           val byPos = Window.partitionBy(col("w")).orderBy(col("i"))
           mergeApply(sy.withColumn("r", lead(col("s"), 1).over(byPos)), best)
-            .localCheckpoint() // two shards × 3 rounds of window chains
+            // per-round materialization is LOAD-BEARING here, unlike
+            // the full trainer: each round reads its shard table
+            // three times (pair counts, merge apply, the nAfter
+            // dedup), so a lazy chain recomputes earlier rounds
+            // multiplicatively — measured 2.26 s checkpointed vs
+            // 23.3 s lazy at sf0.1 (the CC-loop discipline)
+            .localCheckpoint()
         }
         val nAfter = shards.map(_.select(col("w"), col("i")))
           .reduce(_.unionByName(_)).distinct()

@@ -1837,6 +1837,11 @@ object Similarity {
         .unionByName(census("jaccard_pairs",
           Dedup.jaccardPairsDurable(s, dir),
           col("d1") * 31L + col("d2")))
+        .unionByName(census("train_shards",
+          TextAnalysis.trainShardsDurable(s, dir),
+          (col("shard") + 1).cast("long") *
+            (col("n_seqs") * 31L + col("n_tokens")) +
+            ascii(substring(col("shard_md5"), 1, 1)).cast("long")))
         .unionByName(census("upper4", durableUpper4(s, dir),
           col("src") * 31L + col("dst")))
         .orderBy("artifact")
@@ -3657,7 +3662,8 @@ object Similarity {
     graft.ops.TextOps.bm25Ctes + graft.ops.TextOps.maxsimTail + "," +
       Dedup.QE + "," + Clustering.assignCtes + "," + ivfCte + "," +
       pqCtes + "," + resPqCtes + "," + opqCtes + "," +
-      pqCtesOn("oqn", "opq", seedScale = 5L) + s""",
+      pqCtesOn("oqn", "opq", seedScale = 5L) + "," +
+      TextAnalysis.trainShardsCtes + s""",
       ipg AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
                 a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
               FROM ivcell a JOIN ivcell b
@@ -3734,6 +3740,11 @@ object Similarity {
         SELECT 'jaccard_pairs', CAST(count(*) AS BIGINT),
                coalesce(CAST(sum(d1 * 31 + d2) AS BIGINT), 0)
         FROM ipjp
+        UNION ALL
+        SELECT 'train_shards', CAST(count(*) AS BIGINT),
+               coalesce(CAST(sum((shard + 1) * (n_seqs * 31 + n_tokens)
+                 + ascii(substr(shard_md5, 1, 1))) AS BIGINT), 0)
+        FROM tsm
         UNION ALL
         SELECT 'opq_var', CAST(count(*) AS BIGINT),
                coalesce(CAST(sum(i * (n + s + s2)) AS BIGINT), 0)

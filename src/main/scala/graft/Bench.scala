@@ -131,6 +131,14 @@ object Bench {
       val sub = rows.map(_._2).sum
       println(s"""{"metric":"$label","value":${fmt(sub, "%.3f")},"unit":"sec","n":${rows.size},"frozen_n":${frozen.size},"sf":"$sfName"}""")
     }
+    // Host-load line (BASELINE.md r18 watch item): the bench host is
+    // co-tenanted and two consecutive driver runs read hot; recording
+    // the 1-min load average next to the timings lets the ledger
+    // label ambient-inflated totals with DATA instead of inferring
+    // the co-tenant signature from diffuse per-query drift.
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    println(s"""{"metric":"load_avg_1m","value":${fmt(loadAvg, "%.2f")},"unit":"load","cpus":"$cpus"}""")
     // FINAL, SHORT line with just the headline fields: if the harness's
     // ~2 KB stdout tail truncates the full line above mid-JSON (possible
     // as the query count grows), this one still parses on its own — and

@@ -719,6 +719,27 @@ object ScaleProbe {
       timedShards(1)
       timedShards(10)
       timedShards(100)
+      // skew leg: collapse 90% of docs onto ONE source at 10×. With
+      // the int-only manifest window (r19 fix), the skewed source's
+      // window task sorts 3 scalars/doc — its wall must stay in the
+      // same band as the balanced 10× run, not scale with that
+      // source's share of the corpus TEXT (which now moves only
+      // through the fully parallel doc-keyed rejoin).
+      locally {
+        val skewed = docs
+          .select(explode(expr("sequence(0, 9)")).as("i"),
+            col("doc_id"), col("source"), col("text"))
+          .select((col("doc_id") + col("i") * lit(stride)).as("doc_id"),
+            when(col("doc_id") % 10 < 9, lit("s_heavy"))
+              .otherwise(col("source")).as("source"),
+            col("text"))
+        val t0 = System.nanoTime()
+        val r = graft.llm.TextAnalysis.trainShardsOn(skewed)
+          .agg(count(lit(1)).as("n_shards"), sum(col("n_tokens")).as("tokens"))
+          .head()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"shards_skew90_10x","docs":${nDocs * 10},"n_shards":${r.getLong(0)},"tokens":${r.getLong(1)},"sec":$dt%.2f}""")
+      }
       docs.unpersist(false)
     }
 

@@ -3071,8 +3071,14 @@ object Multimodal {
         // listed order (§7.4); the inline-image aliases /Fl and /AHx
         // are accepted beside the full names. A name outside the
         // decode surface gates the page BEFORE any byte work.
+        // Anchored at a PDF name boundary (§7.3.5: names end at a
+        // delimiter or whitespace): the lookbehind rejects a key like
+        // /MyFilter, and \b stops /Filterette matching — without the
+        // anchors the FIRST substring hit anywhere in the dict
+        // (including inside a nested value) would be misparsed as
+        // the page's filter list on real-world PDFs.
         val filters: Seq[String] =
-          """/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)""".r
+          """(?<![A-Za-z0-9#])/Filter\b\s*(\[[^\]]*\]|/[A-Za-z0-9]+)""".r
             .findFirstMatchIn(contD).map(_.group(1)) match {
             case None => Seq.empty // raw (unfiltered) stream
             case Some(x) if x.startsWith("[") =>
@@ -5853,7 +5859,8 @@ object Multimodal {
              FROM hx),
       jd AS (SELECT doc_id, text,
                least(2 + b1 % 3,
-                 greatest(1, len(string_split(text, ' ')))) AS k,
+                 greatest(1, len(list_filter(string_split(text, ' '),
+                   x -> x <> '')))) AS k,
                b7 % 2 = 0 AS sk, b10 % 8 = 1 AS trunc
              FROM jb)
       SELECT doc_id,

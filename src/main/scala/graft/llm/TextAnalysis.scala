@@ -1392,19 +1392,30 @@ object TextAnalysis {
       trainShardsOn(Tables(s, dir, "documents"))
     }
 
-  /** Frame-taking shard emitter — shared by the registered query and
-    * ScaleProbe (which replicates the corpus ×N to prove the two-pass
-    * global rank stays scan-shaped). */
-  private[graft] def trainShardsOn(docs: DataFrame): DataFrame = {
-    val B = 256 // tokens per packed sequence (q_pack_bins' budget)
-    val S = 32  // sequences per shard
+  /** The sequence-manifest builder (everything upstream of the rank
+    * pass), factored out so PlanSpec can pin its window stage. Scale
+    * shape (the r18 verdict's one weak, fixed): the per-source
+    * prefix-sum window runs over an INT-ONLY projection (doc_id,
+    * source, n_tok) — the q_pack_cu_seqlens precedent — so the
+    * per-source exchange+sort moves three scalars per doc, never the
+    * token array. The text rejoins BY doc_id afterward: a fully
+    * parallel doc-keyed hash exchange with no skew exposure (doc_id
+    * is unique), after which the bin explode and slice run map-side.
+    * A 90%-one-source corpus therefore costs the window task
+    * 3 ints/doc, not that source's share of the corpus text
+    * (ScaleProbe `shards` skew leg measures this). */
+  private[graft] def trainShardsSeqFrame(docs: DataFrame, B: Int): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val seqs = docs
-      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
-      .withColumn("n_tok", size(col("t")).cast("long"))
+    val manifest = docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
       .withColumn("cum", sum(col("n_tok")).over(w))
       .withColumn("s0", col("cum") - col("n_tok"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("s0"))
+    manifest
+      .join(docs.select(col("doc_id").as("tdid"),
+        split(col("text"), " ").as("t")), col("doc_id") === col("tdid"))
       .select(col("source"), col("t"), col("n_tok"), col("s0"),
         explode(expr(s"sequence(s0 div $B, (s0 + n_tok - 1) div $B)"))
           .as("bin"))
@@ -1422,6 +1433,14 @@ object TextAnalysis {
       .withColumn("h",
         md5(concat_ws("|", lit("graft18"), col("source"), col("bin"))))
       .withColumn("bkt", expr("cast(conv(substring(h, 1, 1), 16, 10) as int)"))
+  }
+
+  /** Frame-taking shard emitter — shared by the registered query and
+    * ScaleProbe (which replicates the corpus ×N to prove the two-pass
+    * global rank stays scan-shaped). */
+  private[graft] def trainShardsOn(docs: DataFrame): DataFrame = {
+    val S = 32 // sequences per shard
+    val seqs = trainShardsSeqFrame(docs, B = 256)
       // Materialize the sequence MANIFEST (hash + three ints per
       // sequence — corpus/256 rows at ~60 B, 3 orders of magnitude
       // under the token text) before the rank pass: the bucket

@@ -957,7 +957,15 @@ private[llm] object Zstd {
   }
 
   /** Literals section: raw (size-format 1) or Huffman-compressed with
-    * a DIRECT weight table, 1 stream (sf 0) or 4 streams (sf 2). */
+    * a DIRECT weight table, 1 stream (sf 0) or 4 streams (sf 2).
+    * TOTAL on any lits < 4096 (r18 advice): the Huffman arm silently
+    * degrades to the raw form when the direct weight header can't
+    * express the alphabet (headerByte = 127 + N caps the last present
+    * symbol at 128 — any literal byte ≥ 129 would wrap it past 255
+    * and misread as FSE-compressed weights) or when the encoded
+    * section would overflow its size-format caps (regen/cmp ≤ 1023
+    * single-stream, ≤ 16383 four-stream) — an executor must degrade,
+    * never throw, when the corpus outgrows the fixture assumptions. */
   private def literalsSection(lits: Array[Byte], huf: Boolean,
       fourStream: Boolean): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(lits.length + 16)
@@ -968,6 +976,8 @@ private[llm] object Zstd {
       out.write(lits, 0, lits.length)
       return out.toByteArray
     }
+    if (lits.exists(b => (b & 0xff) > 128))
+      return literalsSection(lits, huf = false, fourStream = false)
     val freq = lits.groupBy(b => b & 0xff)
       .map { case (s, xs) => s -> xs.length.toLong }
     val ws = hufWeights(freq)
@@ -1009,14 +1019,15 @@ private[llm] object Zstd {
     }
     val cmp = tree.size() + body.size()
     val regen = lits.length
+    if ((!fourStream && (regen > 1023 || cmp > 1023)) ||
+        (fourStream && (regen > 16383 || cmp > 16383)))
+      return literalsSection(lits, huf = false, fourStream = false)
     if (!fourStream) {
-      require(regen <= 1023 && cmp <= 1023)
       val v = regen | (cmp << 10)
       out.write(2 | (0 << 2) | ((v & 0xf) << 4))
       out.write((v >> 4) & 0xff)
       out.write((v >> 12) & 0xff)
     } else {
-      require(regen <= 16383 && cmp <= 16383)
       val v = regen.toLong | (cmp.toLong << 14)
       out.write(2 | (2 << 2) | ((v & 0xf) << 4).toInt)
       out.write(((v >> 4) & 0xff).toInt)
@@ -1125,14 +1136,23 @@ private[llm] object Zstd {
     val out = new java.io.ByteArrayOutputStream(
       content.length + 64)
     out.write(0x28); out.write(0xb5); out.write(0x2f); out.write(0xfd)
-    val fcsFlag = if (content.length < 256) 0 else 1
+    // FCS field size by magnitude (RFC 8878 §3.1.1.1.1): 1 byte to
+    // 255, 2 bytes (value − 256) to 65791, 4 bytes beyond — so the
+    // synthesizer stays total on multi-MB docs instead of silently
+    // wrapping the 2-byte field.
+    val fcsFlag = if (content.length < 256) 0
+      else if (content.length < 65792) 1 else 2
     out.write((fcsFlag << 6) | 0x20 | (if (withSum) 4 else 0) |
       (if (dictId) 1 else 0))
     if (dictId) out.write(7) // 1-byte dictionary id
     if (fcsFlag == 0) out.write(content.length)
-    else {
+    else if (fcsFlag == 1) {
       val v = content.length - 256
       out.write(v & 0xff); out.write((v >> 8) & 0xff)
+    } else {
+      val v = content.length
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
     }
     blocks.zipWithIndex.foreach { case ((btype, size, payload), k) =>
       val bsize = if (btype == 1) size else payload.length
@@ -1180,8 +1200,31 @@ private[llm] object Zstd {
     val hasSum = badSum || b(8) % 2 == 0
     val sp = ' '.toByte
     def hufOk(xs: Array[Byte]) = xs.distinct.length >= 2
+    // Block-level totality (r18 advice): the entropy-coded block
+    // shapes cap their raw-literals fallback at 4095 bytes
+    // (size-format 1's 12-bit field), so a doc too long for its
+    // mode's literals emits the SAME content as one raw block per
+    // content piece instead of throwing in an executor. Twin-
+    // invisible: content and block count are unchanged (the census
+    // never sees the encoding). Raw block sizes carry 21 bits — the
+    // one hard format bound left, asserted here with the doc id-free
+    // content length so an over-bound corpus fails loudly at synth,
+    // not as a corrupt frame downstream.
+    val entropyOk = L + 2 < 4096
+    require(3 * L + 2 < (1 << 21), s"doc of $L bytes exceeds the " +
+      "single-raw-block fixture bound (~2 MiB content); chunked-block " +
+      "synthesis not implemented")
     val (content, blocks): (Array[Byte], Seq[(Int, Int, Array[Byte])]) =
       mode match {
+        case m if m >= 2 && !entropyOk =>
+          val c: Array[Byte] = m match {
+            case 2 | 4 => (t :+ sp) ++ t
+            case 3 | 5 => (t :+ sp) ++ (t :+ sp) ++ t
+            case 6 => t ++ t
+            case _ => t
+          }
+          if (m == 6) (c, Seq((0, 0, t), (0, 0, t)))
+          else (c, Seq((0, 0, c)))
         case 0 => (t, Seq((0, 0, t)))
         case 1 =>
           val ch = ('a' + b(2) % 26).toByte
@@ -1316,7 +1359,17 @@ private[llm] object Zstd {
     * varying literal lengths and offsets, the state-update path over
     * non-constant codes), preceded ~50% of the time by a SKIPPABLE
     * frame (the pzstd seek-table shape [[decodeFrames]] must skip).
-    * Truncation arm cuts to 60%. Checksummed always. */
+    * Truncation arm cuts to 60%. Checksummed always.
+    *
+    * INPUT DOMAIN (r18 advice, shared with the DuckDB twin): the doc
+    * text must be JSON-safe (no `"`, `\`, or control chars — the
+    * records embed it unescaped) and single-space separated (the
+    * rebuilt text re-joins words with one space, and the twin's
+    * rebuilt_md5 == md5(text) gate assumes the re-join is lossless).
+    * The documents fixture satisfies both; a dirtier corpus needs an
+    * escaping pass here AND a twin that models it. The word count is
+    * empty-token-filtered on BOTH sides (Spark filter(_.nonEmpty) ↔
+    * twin list_filter(..., x -> x <> '')). */
   private[llm] def zstdJsonlBytes(text: String, h: String): Array[Byte] = {
     val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
     val words = text.split(" ").filter(_.nonEmpty)

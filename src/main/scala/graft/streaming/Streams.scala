@@ -545,7 +545,14 @@ object Streams {
     * checkpointed restart. */
   def contaminationScreen(delta: DataFrame, benchFps: DataFrame): DataFrame =
     graft.llm.TextAnalysis.fingerprintsOn(delta)
-      .join(broadcast(benchFps.select(col("fp"))), Seq("fp"))
+      // distinct ON THE STATIC SIDE: fingerprintsOn is per-doc
+      // distinct only, so a multi-document benchmark artifact repeats
+      // shared fps across its docs — without the dedup each repeat
+      // would emit a duplicate (doc_id, fp) hit, violating the
+      // one-row-per-shared-fp contract. The build side is the tiny
+      // broadcast frame and the dedup is static-side, so the stream
+      // stays stateless/append-native.
+      .join(broadcast(benchFps.select(col("fp")).distinct()), Seq("fp"))
       .select(col("doc_id"), col("fp"))
 
   /** The q_pipeline_chunks funnel run INCREMENTALLY — the shape a

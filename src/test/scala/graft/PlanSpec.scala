@@ -982,6 +982,27 @@ class PlanSpec extends SparkSuite {
     assert("""\(\d+\) Window""".r.findAllIn(p).size == 2, p)
   }
 
+  test("q_train_shards manifest window moves ints only — no token array in the per-source exchange") {
+    // The r18 verdict's one weak: the per-source prefix-sum window
+    // used to run over a frame still carrying the full token array,
+    // hash-partitioning corpus TEXT through ~20 window tasks at
+    // scale. The fixed shape windows over (doc_id, source, n_tok)
+    // and rejoins the text by doc_id afterward — pin that no
+    // WindowExec in the manifest builder's plan has an array-typed
+    // input column, and that exactly one data window exists.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.types.ArrayType
+    val f = graft.llm.TextAnalysis.trainShardsSeqFrame(
+      Tables(spark, sf, "documents"), B = 256)
+    val wins = f.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(wins.size == 1, s"expected the one per-source cumsum window, got ${wins.size}")
+    wins.foreach { w =>
+      val arrs = w.child.output.filter(_.dataType.isInstanceOf[ArrayType])
+      assert(arrs.isEmpty,
+        s"window input must be int-only, carries arrays: ${arrs.map(_.name).mkString(",")}")
+    }
+  }
+
   test("q_knn_graph_ingest probes the standing index shuffled-hash, never all-pairs") {
     // both the ingest arm and the rebuild flag are cell-keyed
     // ShuffledHashJoins; the delta never cross-joins the corpus

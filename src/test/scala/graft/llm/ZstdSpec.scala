@@ -191,6 +191,45 @@ class ZstdSpec extends AnyFunSuite {
   private val sentence = ("the quick brown fox jumps over the lazy dog " +
     "while the pipeline packs tokens into shards ") * 3
 
+  test("totality fallbacks: high-byte and oversized docs synth to decodable frames in every mode") {
+    // r18 advice: the direct weight header caps the last Huffman
+    // symbol at 128 and the literals size-formats cap regen/cmp —
+    // docs beyond the fixture assumptions must DEGRADE to raw
+    // encodings (twin-invisible: same content, same block count),
+    // never throw in an executor.
+    val dirty = "café résumé über straße " * 3 // bytes ≥ 0xE9 > 128
+    val big = (0 until 900).map(i => s"w$i").mkString(" ")   // L+2 > 1023
+    val huge = (0 until 1200).map(i => s"word$i").mkString(" ") // L+2 > 4096
+    for ((text, tag) <- Seq((dirty.trim, "dirty"), (big, "big"), (huge, "huge"));
+         i <- 0 until 64) {
+      val h = md5hex(s"zstd-total-$tag-$i")
+      val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
+      val p = Zstd.zstdBytes(text, h)
+      val (status, content, nBlocks, _) = Zstd.decode(p)
+      val badMagic = b(11) % 16 == 4
+      val dict = !badMagic && b(12) % 8 == 3
+      val trunc = !badMagic && !dict && b(13) % 8 == 6
+      val badSum = !badMagic && !dict && !trunc && b(15) % 8 == 2
+      val reserved = !badMagic && !dict && !trunc && !badSum && b(14) % 8 == 5
+      if (!badMagic && !dict && !trunc && !badSum && !reserved) {
+        assert(status == "ok", s"$tag $h: $status")
+        val t = text
+        val mode = b(9) % 8
+        val want = mode match {
+          case 0 | 7 => t
+          case 1 => ("" + ('a' + b(2) % 26).toChar) * (5 + b(3))
+          case 2 | 4 => t + " " + t
+          case 3 | 5 => t + " " + t + " " + t
+          case 6 => t + t
+        }
+        assert(new String(content, "ISO-8859-1") == want,
+          s"$tag $h mode $mode content mismatch")
+        assert(nBlocks == (if (mode == 6) 2 else 1),
+          s"$tag $h mode $mode block count must be twin-invisible")
+      } else assert(status.nonEmpty)
+    }
+  }
+
   test("interop: reference-CLI frames decode to their exact content") {
     val cases = Seq(
       ("c1", c1Frame, sentence.getBytes("ISO-8859-1"), false),

@@ -925,19 +925,33 @@ class StreamsSpec extends SparkSuite {
     val docs = graft.Tables(spark, sf, "documents")
     // the standing artifact: benchmark fps computed once in batch and
     // LOADED (a local frame here — at deployment a read of the stored
-    // table); only then is the stream side provably shuffle-free
+    // table); only then is the stream side provably shuffle-free.
+    // Deliberately NOT deduped: fingerprintsOn is per-doc distinct
+    // only, so this multi-doc artifact repeats shared fps — the
+    // screen's own static-side distinct must absorb them to keep the
+    // one-row-per-shared-fp contract (r18 advice finding).
     val bench = graft.llm.TextAnalysis.fingerprintsOn(
-      docs.filter(col("doc_id") < 10)).select("fp").distinct()
+      docs.filter(col("doc_id") < 10)).select("fp")
       .as[String].collect().toSeq.toDF("fp")
+    assert(bench.count() > bench.distinct().count(),
+      "fixture must contain duplicate benchmark fps to exercise the screen's dedup")
     val corpus = docs.filter(col("doc_id") >= 10).select("doc_id", "text")
     val batchDf = Streams.contaminationScreen(corpus, bench)
-    // scale shape: the corpus side must never shuffle — the benchmark
-    // fingerprint set is the broadcast build side, the fingerprint
+    // scale shape: the CORPUS side must never shuffle — the benchmark
+    // fingerprint set is the broadcast build side (whose static-side
+    // distinct may exchange its own tiny frame), the fingerprint
     // generate stays fused into the scan
-    val ep = batchDf.queryExecution.executedPlan.toString
-    assert(!ep.contains("Exchange hashpartitioning"),
-      s"corpus side must not shuffle:\n$ep")
-    assert(ep.contains("BroadcastHashJoin"))
+    locally {
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val sp = batchDf.queryExecution.sparkPlan
+      val bhj = sp.collectFirst { case j: BroadcastHashJoinExec => j }
+      assert(bhj.nonEmpty, s"screen must broadcast the benchmark side:\n$sp")
+      val streamShuffles =
+        bhj.get.left.collect { case e: ShuffleExchangeExec => e }
+      assert(streamShuffles.isEmpty,
+        s"corpus side must not shuffle:\n$sp")
+    }
     val want = batchDf.as[(Long, String)].collect().toSet
     assert(want.nonEmpty, "fixture must contain contaminated docs")
     // the screen's doc set IS the registered report's corpus_doc set

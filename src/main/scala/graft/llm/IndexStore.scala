@@ -42,8 +42,10 @@ object IndexStore {
 
   /** Bump when any artifact's SEMANTICS change (quantizer arithmetic,
     * graph degree, scoring) — old artifacts become unreachable
-    * instead of silently wrong. */
-  private val FormatVersion = 1
+    * instead of silently wrong. v2: bpe_bytes_seg3 trains over GPT-2
+    * regex pre-tokens (leading-space attachment) instead of
+    * space-split words. */
+  private val FormatVersion = 2
 
   private def root: java.io.File =
     new java.io.File(sys.env.getOrElse("GRAFT_INDEX_DIR",

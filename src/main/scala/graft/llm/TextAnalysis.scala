@@ -746,19 +746,22 @@ object TextAnalysis {
     }),
 
     // The trained BYTE tokenizer APPLIED + the ROUND-TRIP PROOF: each
-    // word's final symbols, concatenated in order, are re-decoded and
-    // md5'd per doc (`rebuilt_md5`); the DuckDB twin computes the
-    // SAME md5 from the RAW word bytes directly — so a hash match
-    // proves decode(encode(x)) == x as BYTES for every word of every
-    // document, cross-engine. That is the no-OOV guarantee byte-level
-    // BPE exists for, pinned as data rather than asserted in prose.
-    // Scale shape = q_bpe_tokenize: the vocab-bounded segmentation is
-    // the shuffle_hash build side; the corpus never re-runs merges.
+    // pre-token's final symbols, concatenated in order, are re-decoded
+    // and md5'd per doc (`rebuilt_md5`); the DuckDB twin computes the
+    // SAME md5 from the RAW pre-token bytes directly — so a hash match
+    // proves decode(encode(x)) == x as BYTES, cross-engine. Because
+    // GPT-2 pre-tokens PARTITION the text (spaces ride inside the
+    // tokens), the concatenation equals the WHOLE original text, so
+    // the gate additionally pins that pre-tokenization loses no bytes.
+    // That is the no-OOV guarantee byte-level BPE exists for, pinned
+    // as data rather than asserted in prose. Scale shape =
+    // q_bpe_tokenize: the vocab-bounded segmentation is the
+    // shuffle_hash build side; the corpus never re-runs merges.
     "q_bpe_bytes_tokenize" -> ((s, dir) => {
       val seg = bpeBytesSegDurable(s, dir)
       Tables(s, dir, "documents")
         .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+          posexplode(gpt2PreTokens(col("text"))).as(Seq("pos", "word")))
         .filter(col("word") =!= "")
         .select(col("doc_id"), col("pos"),
           expr("upper(hex(encode(word, 'UTF-8')))").as("w"))
@@ -776,10 +779,12 @@ object TextAnalysis {
 
     // BYTE vs CHAR BPE fertility — the comparison row: the same
     // corpus under both families at the same merge budget, each over
-    // its admissible domain. n_words exposes the COVERAGE gap (bytes
-    // admit every token; char-BPE only [a-z]+ words), fertility the
-    // price per covered word — the classic byte-level trade (Radford
-    // et al.: slightly more units/word, zero unknowns).
+    // its admissible domain (byte family: GPT-2 pre-tokens, spaces
+    // riding inside tokens; char family: bare [a-z]+ words).
+    // n_words exposes the COVERAGE gap (bytes admit every pre-token;
+    // char-BPE only [a-z]+ words), fertility the price per covered
+    // unit — the classic byte-level trade (Radford et al.: slightly
+    // more units/word, zero unknowns).
     "q_bpe_bytes_fertility" -> ((s, dir) => {
       val cseg = bpeSegDurable(s, dir)
       val charRow = Tables(s, dir, "documents")
@@ -793,7 +798,7 @@ object TextAnalysis {
           col("n_units"), col("fertility"))
       val bseg = bpeBytesSegDurable(s, dir).select(col("w"), col("n_units"))
       val byteRow = Tables(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("word"))
+        .select(explode(gpt2PreTokens(col("text"))).as("word"))
         .filter(col("word") =!= "")
         .select(expr("upper(hex(encode(word, 'UTF-8')))").as("w"))
         .join(bseg.hint("shuffle_hash"), "w")
@@ -1483,8 +1488,37 @@ object TextAnalysis {
         explode(expr("sequence(1, length(w))")).as("i"))
       .withColumn("s", expr("substring(w, i, 1)"))
 
+  /** The GPT-2 pre-tokenization pattern (Radford et al. 2019 §2.2 —
+    * the r50k/tiktoken production input segmentation): contraction
+    * suffixes, then letter / digit / punctuation RUNS each optionally
+    * absorbing ONE leading space, then whitespace — where
+    * `\s+(?!\S)` makes a whitespace run yield its LAST space to the
+    * following token (the "leading-space attachment" that lets one
+    * token ` the` exist instead of `the` + stray spaces). Matches
+    * PARTITION the text: concatenating the pre-tokens in order
+    * restores every byte, so the byte-BPE round-trip gate upgrades
+    * from per-word to md5-of-the-whole-text exact.
+    *
+    * The DuckDB twin can't run this pattern (RE2 has no lookahead);
+    * it gets the provably-equivalent two-step form — split the text
+    * before each whitespace run's final space (`regexp_replace
+    * '(\s)(\S)' → chr(1)-separator`), then the SAME alternation
+    * minus the lookahead arm per segment (bwdCte below). Equivalence
+    * over contractions/CJK/digits/punct/multi-space/newline inputs is
+    * pinned in TokenizeSpec, and every gated q_bpe_bytes_* row
+    * re-proves it corpus-wide each round. */
+  private[graft] val Gpt2PreTokenRe =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
+
+  /** GPT-2 pre-tokens of a text column, in order. */
+  private[graft] def gpt2PreTokens(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    regexp_extract_all(c, lit(Gpt2PreTokenRe), lit(0))
+
   /** Round-0 BYTE-level symbol table (the GPT-2/tiktoken production
-    * shape, Radford et al. 2019): EVERY whitespace token participates
+    * shape, Radford et al. 2019): the domain is the GPT-2 PRE-TOKENS
+    * ([[Gpt2PreTokenRe]] — contraction/letter-run/digit-run/punct-run
+    * with leading-space attachment), and every pre-token participates
     * — no lowercase-alpha gate, because the byte alphabet has no OOV;
     * any UTF-8 string (any language, emoji, binary-ish junk) is a
     * byte sequence. The word key and the symbols live in HEX (2
@@ -1495,7 +1529,7 @@ object TextAnalysis {
     * (q_bpe_bytes_tokenize's rebuilt_md5 column). */
   private def bpeBytesSymbolsOf(docs: DataFrame): DataFrame =
     docs
-      .select(explode(split(col("text"), " ")).as("word"))
+      .select(explode(gpt2PreTokens(col("text"))).as("word"))
       .filter(col("word") =!= "")
       .groupBy(expr("upper(hex(encode(word, 'UTF-8')))").as("w"))
       .agg(count(lit(1)).as("f"))
@@ -2993,12 +3027,26 @@ object TextAnalysis {
               ORDER BY pair_cnt DESC, lft, rgt LIMIT 1),
       ${mergeChainCtes(s"bp$k", s"bb$k", s"bs${k + 1}")}"""
 
-  /** Byte-level dictionary + round-0 symbols: every non-empty token,
+  /** RE2 (DuckDB) has no lookahead, so the GPT-2 pattern's
+    * `\s+(?!\S)` arm (whitespace run yields its last space to the
+    * following token) is emulated in two steps: a chr(1) separator
+    * inserted before each run's FINAL space+nonspace boundary, then
+    * the same alternation minus the lookahead arm per segment.
+    * Equivalence to [[Gpt2PreTokenRe]] is pinned in TokenizeSpec. */
+  private lazy val gpt2Re2Pat =
+    """''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+  private def gpt2PreTokensSql(textExpr: String): String =
+    s"""flatten(list_transform(
+          string_split(regexp_replace($textExpr, '(\\s)(\\S)',
+            chr(1) || '\\1\\2', 'g'), chr(1)),
+          seg -> regexp_extract_all(seg, '$gpt2Re2Pat')))"""
+
+  /** Byte-level dictionary + round-0 symbols: every GPT-2 pre-token,
     * keyed by its upper-hex UTF-8 byte rendering, one 2-hex-char
     * symbol per byte — the [[bpeBytesSymbolsOf]] mirror. */
   private lazy val bwdCte =
-    """bwd AS (SELECT upper(hex(encode(word))) AS w, count(*) AS f FROM
-                    (SELECT unnest(string_split(text, ' ')) AS word
+    s"""bwd AS (SELECT upper(hex(encode(word))) AS w, count(*) AS f FROM
+                    (SELECT unnest(${gpt2PreTokensSql("text")}) AS word
                      FROM documents)
                   WHERE word <> '' GROUP BY 1)"""
 
@@ -3060,16 +3108,17 @@ object TextAnalysis {
                (SELECT count(*) FROM bs4) FROM bb3)
       ORDER BY step"""
 
-  /** Round-trip twin: rebuilt_md5 comes from the RAW word bytes
+  /** Round-trip twin: rebuilt_md5 comes from the RAW pre-token bytes
     * (`w` IS the raw hex), not from the segmentation — a hash match
     * against the Spark side's symbol-rebuilt md5 therefore PROVES
-    * decode(encode(x)) == x for every word, cross-engine. */
-  private lazy val bpeBytesTokenizeSql = bbCtes + """,
+    * decode(encode(x)) == x cross-engine, and since GPT-2 pre-tokens
+    * partition the text, that the pre-tokenization loses no bytes. */
+  private lazy val bpeBytesTokenizeSql = bbCtes + s""",
       bseg AS (SELECT w, CAST(count(*) AS BIGINT) AS n_units FROM bs4
                GROUP BY w),
       bwords AS (SELECT doc_id, CAST(i AS INT) AS pos,
                    upper(hex(encode(parts[CAST(i AS INT)]))) AS w
-                 FROM (SELECT doc_id, string_split(text, ' ') AS parts
+                 FROM (SELECT doc_id, ${gpt2PreTokensSql("text")} AS parts
                        FROM documents),
                       UNNEST(generate_series(1, len(parts))) AS u(i)
                  WHERE parts[CAST(i AS INT)] <> '')
@@ -3095,7 +3144,7 @@ object TextAnalysis {
                  FROM documents)
               WHERE regexp_full_match(word, '[a-z]+')),
       fbw AS (SELECT upper(hex(encode(word))) AS w FROM
-                (SELECT unnest(string_split(text, ' ')) AS word
+                (SELECT unnest(${gpt2PreTokensSql("text")}) AS word
                  FROM documents)
               WHERE word <> ''),
       fm AS (

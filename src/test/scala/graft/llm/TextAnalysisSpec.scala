@@ -1,6 +1,7 @@
 package graft.llm
 
 import graft.SparkSuite
+import org.apache.spark.sql.functions.col
 
 /** Pins the compression-ratio quality signal: repetitive text
   * compresses far better than varied text, ratios are in (0, ~1.2],
@@ -118,6 +119,32 @@ class TextAnalysisSpec extends SparkSuite {
     val got = TextAnalysis.queries("q_bpe_tokenize")(spark, dir)
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(got == Seq((1L, 3L, 3L, 1.0)))
+  }
+
+  test("GPT-2 pre-tokenization: contractions, CJK, digits, punct, leading-space attachment") {
+    // the production input segmentation (Radford et al. 2019 §2.2)
+    // pinned case by case; every case also pins the partition
+    // property (concat(pre-tokens) == text — no byte lost), which is
+    // what upgrades q_bpe_bytes_tokenize's gate to md5(text)-exact.
+    val cases: Seq[(String, Seq[String])] = Seq(
+      "don't stop" -> Seq("don", "'t", " stop"),
+      "it's we're I'll they'd" ->
+        Seq("it", "'s", " we", "'re", " I", "'ll", " they", "'d"),
+      "hello  world" -> Seq("hello", " ", " world"), // run yields last space
+      "a   b" -> Seq("a", "  ", " b"),
+      "foo-bar! 123" -> Seq("foo", "-", "bar", "!", " 123"),
+      "42km x2" -> Seq("42", "km", " x", "2"),      // digit/letter runs split
+      "汉字 and English" -> Seq("汉字", " and", " English"),
+      "  leading" -> Seq(" ", " leading"),
+      "trail  " -> Seq("trail", "  "),               // trailing run keeps both
+      "x\n\ny" -> Seq("x", "\n", "\n", "y"))         // \n is not ' ': no attach
+    val got = TextAnalysis.gpt2PreTokens(col("text"))
+    val out = cases.map(_._1).toDF("text").select(got.as("toks"))
+      .as[Seq[String]].collect()
+    cases.zip(out).foreach { case ((text, want), toks) =>
+      assert(toks == want, s"[$text] got $toks want $want")
+      assert(toks.mkString == text, s"[$text] pre-tokens must partition the text")
+    }
   }
 
   test("q_wordpiece_train diverges from BPE exactly as the likelihood score dictates") {

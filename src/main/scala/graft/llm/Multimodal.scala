@@ -5806,6 +5806,7 @@ object Multimodal {
     "q_zstd_ingest" -> s"""
       WITH hx AS (SELECT doc_id, text, md5(text) AS h FROM documents),
       zb AS (SELECT doc_id, text, ${byteAt(2)} AS b2, ${byteAt(3)} AS b3,
+               ${byteAt(4)} AS b4,
                ${byteAt(8)} AS b8, ${byteAt(9)} AS b9,
                ${byteAt(11)} AS b11, ${byteAt(12)} AS b12,
                ${byteAt(13)} AS b13, ${byteAt(14)} AS b14,
@@ -5813,7 +5814,8 @@ object Multimodal {
              FROM hx),
       zd AS (SELECT doc_id, text, b2, b3,
                b11 % 16 = 4 AS badmagic,
-               b11 % 16 <> 4 AND b12 % 8 = 3 AS dict,
+               b11 % 16 <> 4 AND b12 % 8 = 3 AND b4 % 2 = 0 AS dictok,
+               b11 % 16 <> 4 AND b12 % 8 = 3 AND b4 % 2 = 1 AS dictunk,
                b11 % 16 <> 4 AND b12 % 8 <> 3 AND b13 % 8 = 6 AS trunc,
                b11 % 16 <> 4 AND b12 % 8 <> 3 AND b13 % 8 <> 6
                  AND b15 % 8 = 2 AS badsum,
@@ -5823,25 +5825,27 @@ object Multimodal {
                b8 % 2 = 0 AS hassum
              FROM zb),
       zc AS (SELECT *,
-               NOT (badmagic OR dict OR trunc OR badsum OR reserved)
+               NOT (badmagic OR dictunk OR trunc OR badsum OR reserved)
                  AS isok,
-               CASE mode
-                 WHEN 1 THEN repeat(chr(97 + b2 % 26), 5 + b3)
-                 WHEN 2 THEN text || ' ' || text
-                 WHEN 4 THEN text || ' ' || text
-                 WHEN 3 THEN text || ' ' || text || ' ' || text
-                 WHEN 5 THEN text || ' ' || text || ' ' || text
-                 WHEN 6 THEN text || text
-                 ELSE text END AS content
+               CASE WHEN dictok
+                    THEN 'the shared dict prefix24' || text
+                    ELSE CASE mode
+                      WHEN 1 THEN repeat(chr(97 + b2 % 26), 5 + b3)
+                      WHEN 2 THEN text || ' ' || text
+                      WHEN 4 THEN text || ' ' || text
+                      WHEN 3 THEN text || ' ' || text || ' ' || text
+                      WHEN 5 THEN text || ' ' || text || ' ' || text
+                      WHEN 6 THEN text || text
+                      ELSE text END END AS content
              FROM zd)
       SELECT doc_id,
              CASE WHEN badmagic THEN 'bad_magic'
-                  WHEN dict THEN 'unsupported'
+                  WHEN dictunk THEN 'unsupported'
                   WHEN trunc THEN 'truncated'
                   WHEN badsum OR reserved THEN 'bad_data'
                   ELSE 'ok' END AS status,
-             CASE WHEN isok THEN CAST(CASE WHEN mode = 6 THEN 2 ELSE 1
-               END AS INT) END AS n_blocks,
+             CASE WHEN isok THEN CAST(CASE WHEN dictok THEN 1
+               WHEN mode = 6 THEN 2 ELSE 1 END AS INT) END AS n_blocks,
              CASE WHEN isok THEN CAST(CASE WHEN hassum THEN 1 ELSE 0
                END AS INT) END AS has_checksum,
              CASE WHEN isok THEN CAST(length(content) AS INT)

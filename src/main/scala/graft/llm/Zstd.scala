@@ -473,17 +473,67 @@ private[llm] object Zstd {
     * status == "ok". Total on arbitrary bytes. Single frame, trailing
     * bytes ignored — [[decodeFrames]] is the whole-file walk. */
   private[llm] def decode(p: Array[Byte],
-      maxOut: Int = 1 << 24): (String, Array[Byte], Int, Boolean) = {
-    val (st, c, nb, hs, _) = decodeFrame(p, 0, maxOut)
+      maxOut: Int = 1 << 24,
+      dicts: Map[Long, ZDict] = Map.empty)
+      : (String, Array[Byte], Int, Boolean) = {
+    val (st, c, nb, hs, _) = decodeFrame(p, 0, maxOut, dicts)
     (st, c, nb, hs)
   }
+
+  /** Parsed dictionary (RFC 8878 §5): the entropy tables seed the
+    * frame's Repeat/Treeless state, `rep` seeds the offset history
+    * (replacing {1,4,8}), and `content` is the virtual PAST a match
+    * may reach behind the frame's own output. */
+  private[llm] final case class ZDict(id: Long, huf: HufTable,
+      ofT: FseTable, mlT: FseTable, llT: FseTable,
+      rep: (Int, Int, Int), content: Array[Byte])
+
+  /** Dictionary parser: magic 0xEC30A437, 4-byte ID, entropy tables
+    * in Huffman/OF/ML/LL order (§5 — same encodings as in-frame
+    * tables), three 4-byte little-endian initial repeat offsets, then
+    * the content. Returns None on any malformation — a bad dictionary
+    * must fail at REGISTRATION, not as bad_data on every frame. */
+  private[llm] def parseDict(p: Array[Byte]): Option[ZDict] = try {
+    if (p == null || p.length < 8) return None
+    val magic = (p(0) & 0xffL) | ((p(1) & 0xffL) << 8) |
+      ((p(2) & 0xffL) << 16) | ((p(3) & 0xffL) << 24)
+    if (magic != 0xEC30A437L) return None
+    val id = (p(4) & 0xffL) | ((p(5) & 0xffL) << 8) |
+      ((p(6) & 0xffL) << 16) | ((p(7) & 0xffL) << 24)
+    var i = 8
+    val (huf, hufUsed) = hufReadTree(p, i, p.length)
+    i += hufUsed
+    def fse(maxSym: Int, maxLog: Int): FseTable = {
+      val br = new BitsFwd(p, i, p.length)
+      val (norm, accLog) = fseReadNCount(br, maxSym, maxLog)
+      i += br.bytesConsumed
+      fseBuild(norm, accLog)
+    }
+    val ofT = fse(31, 8)
+    val mlT = fse(52, 9)
+    val llT = fse(35, 9)
+    if (i + 12 > p.length) return None
+    def le32(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) |
+      ((p(o + 2) & 0xff) << 16) | ((p(o + 3) & 0xff) << 24)
+    val r1 = le32(i); val r2 = le32(i + 4); val r3 = le32(i + 8)
+    i += 12
+    val content = java.util.Arrays.copyOfRange(p, i, p.length)
+    // reference check: every initial repeat offset must point inside
+    // the dictionary content (an out-of-range rep would alias
+    // arbitrary memory in the C decoder; here it would throw later)
+    if (r1 <= 0 || r2 <= 0 || r3 <= 0 || r1 > content.length ||
+        r2 > content.length || r3 > content.length) return None
+    Some(ZDict(id, huf, ofT, mlT, llT, (r1, r2, r3), content))
+  } catch { case Trunc | Bad | Unsup => None
+    case _: IndexOutOfBoundsException => None }
 
   /** Whole-file walk — what a `.zst` on disk actually is: one or more
     * data frames CONCATENATED, with skippable frames (pzstd seek
     * tables, padding) interleaved anywhere. Content is the data
     * frames' contents in order; nFrames counts both kinds. */
   private[llm] def decodeFrames(p: Array[Byte],
-      maxOut: Int = 1 << 24): (String, Array[Byte], Int) = {
+      maxOut: Int = 1 << 24,
+      dicts: Map[Long, ZDict] = Map.empty): (String, Array[Byte], Int) = {
     if (p == null || p.length == 0) return ("bad_magic", null, 0)
     var off = 0
     var n = 0
@@ -500,7 +550,7 @@ private[llm] object Zstd {
         off += 8 + sz.toInt
         n += 1
       } else {
-        val (st, c, _, _, end) = decodeFrame(p, off, maxOut)
+        val (st, c, _, _, end) = decodeFrame(p, off, maxOut, dicts)
         if (st != "ok") return (st, null, n)
         if (out.size() + c.length > maxOut) return ("bad_data", null, n)
         out.write(c, 0, c.length)
@@ -513,7 +563,9 @@ private[llm] object Zstd {
 
   /** One frame starting at `start`; last element = end offset. */
   private def decodeFrame(p: Array[Byte], start: Int,
-      maxOut: Int = 1 << 24): (String, Array[Byte], Int, Boolean, Int) = {
+      maxOut: Int = 1 << 24,
+      dicts: Map[Long, ZDict] = Map.empty)
+      : (String, Array[Byte], Int, Boolean, Int) = {
     var nBlocks = 0
     var hasSum = false
     try {
@@ -532,8 +584,25 @@ private[llm] object Zstd {
       val singleSeg = (fhd & 0x20) != 0
       hasSum = (fhd & 0x04) != 0
       if ((fhd & 0x08) != 0) throw Bad // reserved bit
-      if ((fhd & 0x03) != 0) return ("unsupported", null, 0, hasSum, i) // dict
-      if (!singleSeg) { need(1); i += 1 } // window descriptor
+      // Dictionary_ID field (§3.1.1.1.3): 1/2/4 bytes by flag value.
+      // A frame naming a dictionary we don't hold stays the honest
+      // `unsupported` arm — decoding it as dict-less would produce
+      // wrong bytes, the one thing a decoder must never do.
+      var dict: ZDict = null
+      if ((fhd & 0x03) != 0) {
+        val didBytes = (fhd & 0x03) match {
+          case 1 => 1; case 2 => 2; case _ => 4
+        }
+        // window descriptor precedes the DID field in the header
+        if (!singleSeg) { need(1); i += 1 }
+        need(didBytes)
+        var did = 0L
+        var k = didBytes - 1
+        while (k >= 0) { did = (did << 8) | (p(i + k) & 0xffL); k -= 1 }
+        i += didBytes
+        dict = dicts.getOrElse(did, null)
+        if (dict == null) return ("unsupported", null, 0, hasSum, i)
+      } else if (!singleSeg) { need(1); i += 1 } // window descriptor
       val fcsBytes = fcsFlag match {
         case 0 => if (singleSeg) 1 else 0
         case 1 => 2
@@ -560,12 +629,23 @@ private[llm] object Zstd {
           out = java.util.Arrays.copyOf(out,
             math.max(out.length * 2, outLen + extra))
       }
-      // frame-scoped repeated state: offsets, Huffman tree, FSE tables
+      // frame-scoped repeated state: offsets, Huffman tree, FSE
+      // tables. A dictionary SEEDS all of it (§5): its entropy tables
+      // are the "previous" tables the first block's Treeless/Repeat
+      // modes reference, its offsets replace {1,4,8}, and its content
+      // is the history a match may reach behind the frame's output.
       var rep1 = 1; var rep2 = 4; var rep3 = 8
       var lastHuf: HufTable = null
       var llPrev: FseTable = null
       var ofPrev: FseTable = null
       var mlPrev: FseTable = null
+      var hist: Array[Byte] = Array.emptyByteArray
+      if (dict != null) {
+        rep1 = dict.rep._1; rep2 = dict.rep._2; rep3 = dict.rep._3
+        lastHuf = dict.huf
+        llPrev = dict.llT; ofPrev = dict.ofT; mlPrev = dict.mlT
+        hist = dict.content
+      }
       var lastBlock = false
       while (!lastBlock) {
         need(3)
@@ -768,10 +848,13 @@ private[llm] object Zstd {
                 System.arraycopy(lits, litPos, out, outLen, ll)
                 litPos += ll; outLen += ll
                 val src = outLen - offset
-                if (src < 0 || ml < 0) throw Bad
+                if (ml < 0 || src + hist.length < 0) throw Bad
                 var k = 0
                 while (k < ml) { // byte-wise: overlap is the LZ idiom
-                  out(outLen) = out(src + k); outLen += 1; k += 1
+                  val s = src + k
+                  out(outLen) =
+                    if (s < 0) hist(hist.length + s) else out(s)
+                  outLen += 1; k += 1
                 }
                 if (seq < nbSeq - 1) {
                   llSt = llT.baseline(llSt) + bb.read(llT.nbBits(llSt))
@@ -956,6 +1039,25 @@ private[llm] object Zstd {
     ws
   }
 
+  /** Direct Huffman weight-table description (§4.2.1 headerByte ≥
+    * 128): weights for symbols 0..last−1 as nibbles, the last present
+    * symbol's weight implied. Shared by the literals writer and the
+    * dictionary builder. */
+  private def hufWriteTreeDesc(ws: Array[Int]): Array[Byte] = {
+    val lastSym = ws.length - 1
+    val tree = new java.io.ByteArrayOutputStream(80)
+    tree.write(127 + lastSym) // Number_of_Weights = lastSym
+    var k = 0
+    var cur = 0
+    while (k < lastSym) {
+      if (k % 2 == 0) cur = ws(k) << 4
+      else { cur |= ws(k); tree.write(cur); cur = 0 }
+      k += 1
+    }
+    if (lastSym % 2 == 1) tree.write(cur)
+    tree.toByteArray
+  }
+
   /** Literals section: raw (size-format 1) or Huffman-compressed with
     * a DIRECT weight table, 1 stream (sf 0) or 4 streams (sf 2).
     * TOTAL on any lits < 4096 (r18 advice): the Huffman arm silently
@@ -984,17 +1086,9 @@ private[llm] object Zstd {
     val tbl = hufBuild(ws)
     // direct tree description: weights for symbols 0..last−1, the
     // last present symbol's weight implied
-    val lastSym = ws.length - 1
+    val treeB = hufWriteTreeDesc(ws)
     val tree = new java.io.ByteArrayOutputStream(80)
-    tree.write(127 + lastSym) // Number_of_Weights = lastSym
-    var k = 0
-    var cur = 0
-    while (k < lastSym) {
-      if (k % 2 == 0) cur = ws(k) << 4
-      else { cur |= ws(k); tree.write(cur); cur = 0 }
-      k += 1
-    }
-    if (lastSym % 2 == 1) tree.write(cur)
+    tree.write(treeB, 0, treeB.length)
     def stream(part: Array[Byte]): Array[Byte] = {
       val bw = new BackWriter
       part.foreach { b =>
@@ -1132,7 +1226,8 @@ private[llm] object Zstd {
     * run length; for raw/compressed the size is payload.length. */
   private def frameOf(blocks: Seq[(Int, Int, Array[Byte])],
       content: Array[Byte], withSum: Boolean,
-      dictId: Boolean = false, flipSum: Boolean = false): Array[Byte] = {
+      dictId: Option[Long] = None, flipSum: Boolean = false)
+      : Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(
       content.length + 64)
     out.write(0x28); out.write(0xb5); out.write(0x2f); out.write(0xfd)
@@ -1143,8 +1238,8 @@ private[llm] object Zstd {
     val fcsFlag = if (content.length < 256) 0
       else if (content.length < 65792) 1 else 2
     out.write((fcsFlag << 6) | 0x20 | (if (withSum) 4 else 0) |
-      (if (dictId) 1 else 0))
-    if (dictId) out.write(7) // 1-byte dictionary id
+      (if (dictId.nonEmpty) 1 else 0))
+    dictId.foreach(d => out.write((d & 0xff).toInt)) // 1-byte DID
     if (fcsFlag == 0) out.write(content.length)
     else if (fcsFlag == 1) {
       val v = content.length - 256
@@ -1172,9 +1267,60 @@ private[llm] object Zstd {
     out.toByteArray
   }
 
+  /** Dictionary WRITER (§5 layout): magic 0xEC30A437, 4-byte ID,
+    * entropy tables (Huffman direct weights, then OF/ML/LL FSE
+    * NCounts — small valid equi-distributed tables; the fixture
+    * frames reference only the content + offsets, but a conformant
+    * decoder must parse the tables to FIND the content), 3 × 4-byte
+    * initial repeat offsets, then the content (the virtual history).
+    */
+  private[llm] def buildDict(id: Long,
+      content: Array[Byte]): Array[Byte] = {
+    require(content.length >= 8, "dict content seeds rep offsets")
+    val out = new java.io.ByteArrayOutputStream(content.length + 64)
+    out.write(0x37); out.write(0xA4); out.write(0x30); out.write(0xEC)
+    (0 until 4).foreach(k => out.write(((id >> (8 * k)) & 0xff).toInt))
+    // Huffman over {' ','a','e','t'} with distinct weights
+    val hw = hufWriteTreeDesc(
+      hufWeights(Map(32 -> 8L, 97 -> 4L, 101 -> 2L, 116 -> 1L)))
+    out.write(hw, 0, hw.length)
+    def writeFse(nCodes: Int, accLog: Int): Unit = {
+      val norm = Array.fill(nCodes)((1 << accLog) / nCodes)
+      val fw = new FwdWriter
+      fseWriteNCount(norm, accLog, fw)
+      val d = fw.bytes
+      out.write(d, 0, d.length)
+    }
+    writeFse(8, 5) // OF
+    writeFse(8, 6) // ML
+    writeFse(8, 6) // LL
+    for (r <- Seq(1, 4, 8); k <- 0 until 4)
+      out.write((r >> (8 * k)) & 0xff)
+    out.write(content, 0, content.length)
+    out.toByteArray
+  }
+
+  /** The corpus fixture dictionary: its content's LAST 24 BYTES are
+    * the shared prefix every dict-arm frame's first sequence copies
+    * out of the history, so the twin can state the decoded content
+    * as a string literal. */
+  private[llm] val FixtureDictId = 7L
+  private[llm] val FixtureDictContent: Array[Byte] =
+    "graft fixture dictionary the shared dict prefix24"
+      .getBytes("ISO-8859-1")
+  private[llm] lazy val fixtureDictBytes: Array[Byte] =
+    buildDict(FixtureDictId, FixtureDictContent)
+  private[llm] lazy val fixtureDicts: Map[Long, ZDict] =
+    Map(FixtureDictId -> parseDict(fixtureDictBytes).getOrElse(
+      sys.error("fixture dictionary must parse")))
+
   /** Synthesize a REAL zstd frame from a doc's (text, md5). Arms
-    * (exclusive, precedence order): corrupted magic; a dictionary-ID
-    * frame (→ `unsupported`); truncation to 60% (mid-block — the torn
+    * (exclusive, precedence order): corrupted magic; a DICTIONARY
+    * frame — DID known (the fixture dictionary: first sequence copies
+    * the dictionary content's last 24 bytes from history, so content
+    * = that prefix + text → `ok`) or DID unknown (→ the honest
+    * `unsupported`: decoding without the named dictionary would
+    * produce wrong bytes); truncation to 60% (mid-block — the torn
     * download); a flipped xxh64 checksum (→ `bad_data`); a reserved
     * block type (→ `bad_data`). Ok frames pick one of 8 encoding
     * modes from the hash: raw block / RLE block / predefined-FSE
@@ -1286,8 +1432,27 @@ private[llm] object Zstd {
       val f = frameOf(blocks, content, hasSum)
       f(1) = 0x77.toByte
       f
-    } else if (dict) frameOf(blocks, content, hasSum, dictId = true)
-    else if (reservedBlk)
+    } else if (dict) {
+      if (b(4) % 2 == 0) {
+        // known-DID arm: ll=0 + match(24 @ offset 24) reaches 24
+        // bytes INTO the dictionary content (frame output is empty at
+        // that point), then the text rides as leftover literals —
+        // content = dict-suffix ++ text, one block. Oversized docs
+        // degrade to one raw block of the same content (the dict is
+        // then unused but the frame stays a valid dictionary frame).
+        val d24 = FixtureDictContent.takeRight(24)
+        val c = d24 ++ t
+        if (entropyOk) {
+          val payload =
+            literalsSection(t, huf = false, fourStream = false) ++
+              sequencesSection(Array(Sq(0, 24, 27L)), 0, 0, 0)
+          frameOf(Seq((2, 0, payload)), c, hasSum,
+            dictId = Some(FixtureDictId))
+        } else frameOf(Seq((0, 0, c)), c, hasSum,
+          dictId = Some(FixtureDictId))
+      } else // unknown-DID arm: the honest `unsupported`
+        frameOf(Seq((0, 0, t)), t, hasSum, dictId = Some(9L))
+    } else if (reservedBlk)
       frameOf(Seq((3, 0, Array.emptyByteArray)), content, hasSum)
     else if (trunc) {
       val f = frameOf(Seq((0, 0, t)), t, withSum = true)
@@ -1419,7 +1584,8 @@ private[llm] object Zstd {
     * columns report only on "ok" rows so the twin never has to model
     * how far a torn frame got. */
   private[llm] def parseZstd(id: Long, p: Array[Byte]): ZstdMeta = {
-    val (status, content, nBlocks, hasSum) = decode(p)
+    val (status, content, nBlocks, hasSum) = decode(p,
+      dicts = fixtureDicts)
     if (status == "ok") {
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(content).map(x => f"${x & 0xff}%02x").mkString

@@ -29,40 +29,51 @@ class ZstdSpec extends AnyFunSuite {
       val h = md5hex(s"zstd-rt-$i")
       val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
       val p = Zstd.zstdBytes(text, h)
-      val (status, content, nBlocks, _) = Zstd.decode(p)
+      val (status, content, nBlocks, _) =
+        Zstd.decode(p, dicts = Zstd.fixtureDicts)
       val badMagic = b(11) % 16 == 4
       val dict = !badMagic && b(12) % 8 == 3
+      val dictOk = dict && b(4) % 2 == 0
       val trunc = !badMagic && !dict && b(13) % 8 == 6
       val badSum = !badMagic && !dict && !trunc && b(15) % 8 == 2
       val reserved = !badMagic && !dict && !trunc && !badSum &&
         b(14) % 8 == 5
       val expected =
         if (badMagic) "bad_magic"
-        else if (dict) "unsupported"
+        else if (dict && !dictOk) "unsupported"
         else if (trunc) "truncated"
         else if (badSum) "bad_data"
         else if (reserved) "bad_data"
         else "ok"
       assert(status == expected, s"$h: $status != $expected")
+      if (dictOk) armsHit += "dict_ok"
       if (expected == "ok") {
-        val mode = b(9) % 8
-        modesHit += mode
         val t = text
-        val want = mode match {
-          case 0 | 7 => t
-          case 1 => ("" + ('a' + b(2) % 26).toChar) * (5 + b(3))
-          case 2 | 4 => t + " " + t
-          case 3 | 5 => t + " " + t + " " + t
-          case 6 => t + t
-        }
+        val want =
+          if (dictOk) "the shared dict prefix24" + t
+          else {
+            val mode = b(9) % 8
+            modesHit += mode
+            mode match {
+              case 0 | 7 => t
+              case 1 => ("" + ('a' + b(2) % 26).toChar) * (5 + b(3))
+              case 2 | 4 => t + " " + t
+              case 3 | 5 => t + " " + t + " " + t
+              case 6 => t + t
+            }
+          }
         assert(new String(content, "ISO-8859-1") == want,
-          s"$h mode $mode content mismatch")
-        assert(nBlocks == (if (mode == 6) 2 else 1))
+          s"$h content mismatch")
+        assert(nBlocks ==
+          (if (!dictOk && b(9) % 8 == 6) 2 else 1))
+        // a dict frame decoded WITHOUT its dictionary must stay
+        // unsupported, never silently wrong bytes
+        if (dictOk) assert(Zstd.decode(p)._1 == "unsupported")
       } else armsHit += expected
     }
     assert(modesHit == (0 until 8).toSet, s"modes thin: $modesHit")
     assert(armsHit == Set("bad_magic", "unsupported", "truncated",
-      "bad_data"), s"arms thin: $armsHit")
+      "bad_data", "dict_ok"), s"arms thin: $armsHit")
   }
 
   // ---- INTEROP: frames produced by the reference CLI (zstd v1.5.7,
@@ -248,6 +259,102 @@ class ZstdSpec extends AnyFunSuite {
         s"$name content mismatch (${content.length} vs ${want.length})")
       if (name == "c6") assert(nBlocks >= 2, "c6 must be multi-block")
     }
+  }
+
+  // ---- DICTIONARY interop (RFC 8878 §5): a dictionary TRAINED by
+  // the reference CLI (`zstd --train --maxdict=512` over 60 synthetic
+  // samples) and two frames compressed against it (`zstd -9 -D` with
+  // checksum; `zstd -19 --no-check -D`), embedded as hex. The
+  // trained dictionary exercises the full §5 surface our fixture
+  // builder doesn't: FSE-COMPRESSED Huffman weights, real trained
+  // OF/ML/LL tables, 369 bytes of raw content — and the frames
+  // resolve history matches INTO that content. Reverse direction
+  // (our fixture dictionary + dict-arm frames decoded by the CLI
+  // byte-exactly) verified against zstd v1.5.7 in dev. ----
+
+  private val cliDict =
+    "37a430ec74906a592a10503d1dc0ebf03abc0eafc3ebf03abc0eafc34b781e9e87e7e1" +
+    "79781eee26654a29a5a44f87374ed802d322100804023d9f2b49920e3460c080812310" +
+    "12050b034e160303030303030305030303030303030303038341d16730689f31666666" +
+    "66b66db496a31b866118638c31c618638c31c698999999d9b601010000000400000008" +
+    "0000006572626174696d2c207061797320766572626174696d2c207061796c6f61643d" +
+    "37373134333331390a6772616674207265636f726420333a2074686520637665726261" +
+    "74696d2c207061796c6f61643d333038353732313237360a6772616674207265636f72" +
+    "642031373a2074686520766572626174696d2c207061796c6f61643d31313232303834" +
+    "36340a6772616674207265636f72642035353a207468652063766572626174696d2c20" +
+    "7061796c6f61643d3130353139353433350a6772616674207265636f72642033393a20" +
+    "74686520636572626174696d2c207061796c6f61643d333932373238313632340a6772" +
+    "616674207265636f72642033373a20746865206320766572626174696d2c207061796c" +
+    "6f61643d3233383434323938360a6772616674207265636f726420343a207468652063" +
+    "6572626174696d2c207061796c6f61643d323532343638313034340a67726166742072" +
+    "65636f72642032303a2074686520636572626174696d"
+
+  private val m1Frame = // zstd -9 -D cli.dict (xxh64 checksum)
+    "28b52ffd2774906a5967150200e2030d13c0a50d0d74cbf2ee2e2c592d11ffb3b3ae7f" +
+    "02c4d2f16915308f588f59dbf1da4b2057fc008bd4457eb88173bed08dedaa6e8c03cc" +
+    "abbb610593e088da121676b994"
+  private val m1Text =
+    "graft record 777: the common header of every sample document in " +
+    "this corpus repeats verbatim, payload=x"
+  private val m2Frame = // zstd -19 --no-check -D cli.dict
+    "28b52ffd2374906a594715020022440e11a06f58bbf3cd933600407ffd0d872a560309" +
+    "1d53c8100174a62a4af7cbb1f6eeb6bf7ff7ba3a55adf6abf6fdd8bf9f5b193b3f7f7f" +
+    "13ca150100ed822a03"
+  private val m2Text =
+    "completely novel text that shares little with the dictionary 0123456789"
+
+  test("dictionary interop: CLI-trained dict parses; CLI -D frames decode exactly") {
+    val zd = Zstd.parseDict(unhex(cliDict))
+    assert(zd.nonEmpty, "trained dictionary must parse")
+    val d = zd.get
+    assert(d.content.length == 369 && d.rep == ((1, 4, 8)))
+    for ((fx, want, sum) <- Seq((m1Frame, m1Text, true),
+        (m2Frame, m2Text, false))) {
+      val (st, c, nb, hs) = Zstd.decode(unhex(fx),
+        dicts = Map(d.id -> d))
+      assert(st == "ok" && nb == 1 && hs == sum, s"$st/$nb/$hs")
+      assert(new String(c, "ISO-8859-1") == want)
+      // without the dictionary the same frame is honestly unsupported
+      assert(Zstd.decode(unhex(fx))._1 == "unsupported")
+    }
+  }
+
+  test("dictionary frames: truncation and bit-flip totality") {
+    val d = Zstd.fixtureDicts
+    // a dict-arm fixture frame (deterministic hash hunt, the dev
+    // harness discipline): every prefix and every low-order bit flip
+    // must return a status — never a throw, never wrong bytes
+    val h = Iterator.from(0).map(i => md5hex(s"seed$i")).find { h =>
+      val b = h.sliding(2, 2).map(Integer.parseInt(_, 16)).toArray
+      b(11) % 16 != 4 && b(12) % 8 == 3 && b(4) % 2 == 0
+    }.get
+    val t = "dictionary truncation sweep text"
+    val f = Zstd.zstdBytes(t, h)
+    val want = "the shared dict prefix24" + t
+    assert(new String(Zstd.decode(f, dicts = d)._2,
+      "ISO-8859-1") == want)
+    for (n <- 1 until f.length)
+      assert(Zstd.decode(f.take(n), dicts = d)._1 != "ok",
+        s"prefix $n must not read ok")
+    for (bit <- 0 until math.min(f.length * 8, 256)) {
+      val g = f.clone()
+      g(bit / 8) = (g(bit / 8) ^ (1 << (bit % 8))).toByte
+      val (st, c, _, _) = Zstd.decode(g, dicts = d)
+      assert(st.nonEmpty)
+      // frames carrying a checksum may only read ok if content held
+      if (st == "ok" && (f(4) & 0x04) != 0)
+        assert(new String(c, "ISO-8859-1") == want)
+    }
+    // CLI dict frame prefixes too (trained tables mid-parse)
+    val cf = unhex(m1Frame)
+    val cd = Zstd.parseDict(unhex(cliDict)).get
+    for (n <- 1 until cf.length)
+      assert(Zstd.decode(cf.take(n),
+        dicts = Map(cd.id -> cd))._1 != "ok")
+    // dictionary parser totality: every prefix of the dict blob
+    // parses to None or a smaller-content dict, never a throw
+    val db = unhex(cliDict)
+    for (n <- 1 until db.length) Zstd.parseDict(db.take(n))
   }
 
   test("a flipped checksum bit is caught (xxh64 verified, not skipped)") {

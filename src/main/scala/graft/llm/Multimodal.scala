@@ -2324,6 +2324,33 @@ object Multimodal {
     }
   }
 
+  /** `.jsonl.zst` blob → record fan-out — the transport stage of
+    * q_zstd_jsonl, factored so the streamed front door
+    * ([[graft.streaming.Streams.zstdJsonlIngest]]) runs the SAME
+    * function per micro-batch: the multi-frame walk (skippable
+    * frames skipped, dictionary frames resolved against the fixture
+    * registry), the JSONL line split, and codegen JSON field
+    * extraction. One row per record on ok blobs; one null-line
+    * status row on malformed transport (decode-family contract).
+    * Stateless — a flatMap fused into the scan, so the plan streams
+    * unchanged. */
+  def zstdJsonlFanout(blobs: Dataset[BinaryDoc]): DataFrame = {
+    import blobs.sparkSession.implicits._
+    blobs
+      .mapPartitions(_.flatMap { bd =>
+        val (st, content, nf) =
+          Zstd.decodeFrames(bd.payload, dicts = Zstd.fixtureDicts)
+        if (st == "ok")
+          new String(content, "ISO-8859-1").split("\n").iterator
+            .filter(_.nonEmpty).map(l => (bd.doc_id, st, nf, l))
+        else Iterator((bd.doc_id, st, nf, null: String))
+      })
+      .toDF("doc_id", "status", "nf", "line")
+      .withColumn("rid",
+        expr("cast(get_json_object(line, '$.id') as int)"))
+      .withColumn("rtext", expr("get_json_object(line, '$.text')"))
+  }
+
   // ---------------------------------------------------------------------
   // TAR (POSIX ustar) — the SECOND 1→N container, and the shape public
   // corpora are actually distributed in (The Pile / RedPajama
@@ -4360,6 +4387,13 @@ object Multimodal {
     * the streamed parity spec, and ScaleProbe. Unlike the md5-only
     * fixtures this one carries the TEXT into the synthesizer (the
     * frame content is the doc itself), still one scan-fused map. */
+  /** Fixture `.jsonl.zst` blob for a (text, md5) pair — the
+    * [[graft.llm.Zstd.zstdJsonlBytes]] synthesizer exposed at graft
+    * scope so the streaming spec can feed the streamed front door
+    * the exact transport bytes the batch query reads. */
+  private[graft] def zstdJsonlBlob(text: String, h: String): Array[Byte] =
+    Zstd.zstdJsonlBytes(text, h)
+
   def zstdIngestStats(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs
@@ -5100,21 +5134,12 @@ object Multimodal {
     // one hash per document.
     "q_zstd_jsonl" -> ((s, dir) => {
       import s.implicits._
-      Tables(s, dir, "documents")
+      val blobs = Tables(s, dir, "documents")
         .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
         .as[(Long, String, String)]
-        .mapPartitions(_.flatMap { case (id, text, h) =>
-          val (st, content, nf) =
-            Zstd.decodeFrames(Zstd.zstdJsonlBytes(text, h))
-          if (st == "ok")
-            new String(content, "ISO-8859-1").split("\n").iterator
-              .filter(_.nonEmpty).map(l => (id, st, nf, l))
-          else Iterator((id, st, nf, null: String))
-        })
-        .toDF("doc_id", "status", "nf", "line")
-        .withColumn("rid",
-          expr("cast(get_json_object(line, '$.id') as int)"))
-        .withColumn("rtext", expr("get_json_object(line, '$.text')"))
+        .mapPartitions(_.map { case (id, text, h) =>
+          BinaryDoc(id, Zstd.zstdJsonlBytes(text, h)) })
+      zstdJsonlFanout(blobs)
         .groupBy(col("doc_id"), col("status"))
         .agg(max(col("nf")).as("nfx"),
           count(col("line")).as("n_records"),

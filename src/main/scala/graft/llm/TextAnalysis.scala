@@ -246,6 +246,42 @@ object TextAnalysis {
     "q_train_shards" -> ((s, dir) =>
       trainShardsOn(Tables(s, dir, "documents"))),
 
+    // MID-EPOCH RESUME manifest — the companion artifact a training
+    // launcher consults on restart: checkpoint steps (one step
+    // consumes one packed sequence; a checkpoint every 10 steps)
+    // resolved to (shard, seq_index within the shard, the epoch
+    // token offset where the shard starts, the shard's content
+    // hash). The launcher seeks to the shard, skips seq_index
+    // sequences locally, and verifies shard_md5 before resuming —
+    // restart cost is one manifest read, never a corpus rescan.
+    // Scale shape: ONE flat scan of the PERSISTED train_shards
+    // manifest (IndexStore lifecycle — built once per corpus, loaded
+    // here), a prefix-sum window over the SHARD-GRAIN rows (corpus /
+    // 8192 rows at ~40 B — the 16-row-census precedent: the window
+    // orders the manifest, never the data), then a scan-side
+    // checkpoint-step explode. No join, no corpus scan.
+    "q_train_resume" -> ((s, dir) => {
+      val K = 10 // steps per checkpoint
+      val w = Window.orderBy(col("shard"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      trainShardsDurable(s, dir)
+        .withColumn("start_step",
+          coalesce(sum(col("n_seqs")).over(w), lit(0L)))
+        .withColumn("start_token",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("ck0",
+          expr(s"cast(ceil(start_step / $K.0) as bigint) * $K"))
+        .filter(col("ck0") <= col("start_step") + col("n_seqs") - 1)
+        .select(col("shard"), col("start_step"), col("start_token"),
+          col("shard_md5"),
+          explode(expr(s"sequence(ck0, start_step + n_seqs - 1, $K)"))
+            .as("step"))
+        .select(col("step"), col("shard"),
+          (col("step") - col("start_step")).as("seq_index"),
+          col("start_token").as("shard_start_token"), col("shard_md5"))
+        .orderBy("step")
+    }),
+
 
     // Packing QUALITY row — best-fit-decreasing vs arrival-order
     // next-fit, per shard (Johnson 1973: BFD ≤ 11/9·OPT + 4 bins,
@@ -2151,6 +2187,25 @@ object TextAnalysis {
     "q_train_shards" ->
       (s"WITH $trainShardsCtes SELECT shard, n_seqs, n_tokens, " +
         "shard_md5 FROM tsm ORDER BY shard"),
+    // Resume twin: retrains the shard manifest (load == train is the
+    // artifact gate), then the same shard-grain prefix sums and
+    // checkpoint-step fan-out.
+    "q_train_resume" -> (s"WITH $trainShardsCtes," + """
+      tsr AS (SELECT shard, n_seqs, n_tokens, shard_md5,
+                coalesce(CAST(sum(n_seqs) OVER (ORDER BY shard
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT), 0) AS start_step,
+                coalesce(CAST(sum(n_tokens) OVER (ORDER BY shard
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT), 0) AS start_token
+              FROM tsm)
+      SELECT CAST(u.step AS BIGINT) AS step, shard,
+             CAST(u.step - start_step AS BIGINT) AS seq_index,
+             start_token AS shard_start_token, shard_md5
+      FROM tsr, UNNEST(generate_series(
+             CAST(ceil(start_step / 10.0) * 10 AS BIGINT),
+             start_step + n_seqs - 1, 10)) AS u(step)
+      ORDER BY step"""),
     // Per-source running sum, bin = where the doc's first token falls.
     "q_pack_bins" -> """
       WITH d AS (SELECT doc_id, source,

@@ -528,6 +528,23 @@ object Streams {
   def robotsGate(delta: DataFrame): DataFrame =
     graft.llm.Dedup.robotsDecisionsOn(delta)
 
+  /** Streamed `.jsonl.zst` front door — q_zstd_jsonl's transport
+    * stage run per micro-batch: arriving compressed-JSONL blobs
+    * (the RedPajama/Dolma/FineWeb shipping shape) fan out to one row
+    * per JSON record through the SAME scan-fused flatMap the batch
+    * query uses ([[graft.llm.Multimodal.zstdJsonlFanout]] — the
+    * multi-frame walk with skippable frames skipped and dictionary
+    * frames resolved, the JSONL split, codegen JSON extraction), so
+    * records flow into downstream screens the moment a blob lands —
+    * no decompress-to-storage staging. Stateless end to end (no
+    * watermark, no state store), append-mode native, replay-safe;
+    * StreamsSpec pins batch parity, zero state, and a checkpointed
+    * restart. */
+  def zstdJsonlIngest(
+      blobs: org.apache.spark.sql.Dataset[graft.llm.BinaryDoc])
+      : DataFrame =
+    graft.llm.Multimodal.zstdJsonlFanout(blobs)
+
   /** Streamed CONTAMINATION screen — q_contamination's benchmark
     * fingerprint set as the textbook stream-static broadcast: each
     * arriving document fingerprints IN-ROW (the winnowing transform

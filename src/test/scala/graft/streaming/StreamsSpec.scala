@@ -919,6 +919,61 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streamed .jsonl.zst ingest equals the batch record fan-out, zero state, checkpointed restart") {
+    // the compressed-JSONL front door streamed: blobs fan out to JSON
+    // records through the same stateless flatMap as q_zstd_jsonl's
+    // transport stage — parity covers multi-record fan-out, the
+    // skippable-frame walk, and the truncation arm; the checkpointed
+    // restart pins exactly-once across a stop/start.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.llm.{BinaryDoc, Multimodal}
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "one two three four five six seven eight nine ten",
+      "packed records ride compressed jsonl shards end to end")
+    val blobsData = (0 until 36).map { i =>
+      val t = texts(i % texts.length) + s" tail$i"
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jz-stream-$i".getBytes("US-ASCII"))
+        .map("%02x".format(_)).mkString
+      (i.toLong, Multimodal.zstdJsonlBlob(t, h))
+    }
+    val batch = Multimodal.zstdJsonlFanout(
+        blobsData.toDF("doc_id", "payload").as[BinaryDoc])
+      .as[(Long, String, Int, Option[String], Option[Int], Option[String])]
+      .collect().toSet
+    assert(batch.exists(_._2 == "truncated"), "no truncation arm")
+    assert(batch.exists(_._3 == 2), "no skippable-frame blob")
+    assert(batch.groupBy(_._1).exists(_._2.size >= 2),
+      "no multi-record fan-out")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_jz_ckpt").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_jz_out").toString
+    val in = MemoryStream[(Long, Array[Byte])]
+    def start() = Streams.zstdJsonlIngest(
+        in.toDS().map { case (id, p) => BinaryDoc(id, p) })
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val (h1, h2) = blobsData.splitAt(18)
+    val q1 = start()
+    try {
+      in.addData(h1: _*); q1.processAllAvailable()
+      assert(q1.lastProgress.stateOperators.isEmpty, "zero state")
+    } finally q1.stop()
+    val q2 = start() // restart from the same checkpoint
+    try { in.addData(h2: _*); q2.processAllAvailable() }
+    finally q2.stop()
+    val got = spark.read.parquet(out)
+      .as[(Long, String, Int, Option[String], Option[Int], Option[String])]
+      .collect()
+    assert(got.length == batch.size,
+      "exactly-once across the restart — no replay doubling")
+    assert(got.toSet == batch, "streamed records == batch records row for row")
+  }
+
   test("contamination screen: stream-static broadcast over standing benchmark fps, zero state, checkpointed restart") {
     implicit val sqlCtx = spark.sqlContext
     val sf = "/root/testdata/sf0.001"

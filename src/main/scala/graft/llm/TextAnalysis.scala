@@ -608,6 +608,73 @@ object TextAnalysis {
       rows.reduce(_.unionByName(_)).orderBy("step")
     }),
 
+    // DISTRIBUTED WordPiece train — the THIRD tokenizer family's
+    // sharded-train proof (q_bpe_merge_train's discipline with the
+    // likelihood argmax): WordPiece's round statistics are the
+    // adjacent-pair counts AND the unigram symbol counts, BOTH
+    // additive across content shards — f sums across shards, and
+    // every shard segments a word identically because the merge
+    // sequence is global and mergeApply deterministic per word — so
+    // the score log(pair) − log(cl) − log(cr) computed from the
+    // key-merged sums is bit-identical to the full-corpus round's
+    // (same longs in, same double ops). Each round: per-shard pair +
+    // unigram counts (each shard scans only its own symbol table) →
+    // key-merged sums → ONE global argmax → the winning merge applied
+    // shard-locally. Gated through q_wordpiece_train's own oracle so
+    // sharded == full is re-proven every round; the spec additionally
+    // pins Spark-vs-Spark bit equality. At 100 TB: each shard trains
+    // where its data lives; the merge moves two dict-bounded count
+    // frames per round, never corpus text.
+    "q_wordpiece_merge_train" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      var shards = Seq(
+        bpeSymbolsOf(docs.filter(col("doc_id") % 2 === 0))
+          .localCheckpoint(),
+        bpeSymbolsOf(docs.filter(col("doc_id") % 2 =!= 0))
+          .localCheckpoint())
+      val rows = (1 to 3).map { k =>
+        val byPos = Window.partitionBy(col("w")).orderBy(col("i"))
+        val pairParts = shards.map { sy =>
+          sy.withColumn("r", lead(col("s"), 1).over(byPos))
+            .filter(col("r").isNotNull)
+            .groupBy(col("s").as("lft"), col("r").as("rgt"))
+            .agg(sum(col("f")).as("pc"))
+        }
+        val symCnt = shards
+          .map(_.groupBy(col("s")).agg(sum(col("f")).as("c0")))
+          .reduce(_.unionByName(_))
+          .groupBy(col("s")).agg(sum(col("c0")).as("cnt"))
+        val best = pairParts.reduce(_.unionByName(_))
+          .groupBy(col("lft"), col("rgt"))
+          .agg(sum(col("pc")).as("pair_cnt"))
+          .join(symCnt.select(col("s").as("lft"), col("cnt").as("cl")),
+            "lft")
+          .join(symCnt.select(col("s").as("rgt"), col("cnt").as("cr")),
+            "rgt")
+          .withColumn("score",
+            round(log(col("pair_cnt").cast("double")) -
+              log(col("cl").cast("double")) -
+              log(col("cr").cast("double")), 6).cast("double"))
+          .orderBy(col("score").desc, col("lft"), col("rgt"))
+          .limit(1)
+          .select(col("lft"), col("rgt"), col("pair_cnt"), col("score"))
+        shards = shards.map { sy =>
+          // per-round materialization is load-bearing exactly as in
+          // q_bpe_merge_train: each round reads its shard table three
+          // ways (pairs, unigram counts, merge apply)
+          mergeApply(sy.withColumn("r", lead(col("s"), 1).over(byPos)),
+            best).localCheckpoint()
+        }
+        val nAfter = shards.map(_.select(col("w"), col("i")))
+          .reduce(_.unionByName(_)).distinct()
+          .agg(count(lit(1)).as("n_syms_after"))
+        best.select(lit(k).as("step"), col("lft"), col("rgt"),
+            col("pair_cnt"), col("score"))
+          .crossJoin(broadcast(nAfter))
+      }
+      rows.reduce(_.unionByName(_)).orderBy("step")
+    }),
+
     // The trained WordPiece tokenizer APPLIED per document — closing
     // the train→apply loop for the third family exactly as
     // q_bpe_tokenize / q_ulm_tokenize do for the other two: the
@@ -2375,6 +2442,9 @@ object TextAnalysis {
     "q_bpe_bytes_tokenize" -> bpeBytesTokenizeSql,
     "q_bpe_bytes_fertility" -> bpeBytesFertilitySql,
     "q_wordpiece_train" -> wpSql,
+    // The sharded trainer shares the FULL trainer's oracle — the gate
+    // IS the sharded == full proof, re-run every round.
+    "q_wordpiece_merge_train" -> wpSql,
     "q_wordpiece_tokenize" -> wpTokenizeSql,
     "q_wordpiece_fertility" -> wpFertilitySql,
     "q_tokenizer_curve" -> curveSql,

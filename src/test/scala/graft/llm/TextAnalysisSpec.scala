@@ -374,6 +374,19 @@ class TextAnalysisSpec extends SparkSuite {
     assert(merged === full)
   }
 
+  test("q_wordpiece_merge_train: sharded likelihood train == full train, bit for bit") {
+    // the third family's additive-statistics claim: pair counts AND
+    // unigram counts merge across shards, so the likelihood score and
+    // every learned merge must equal the full-corpus trainer exactly —
+    // score doubles included (same longs in, same ops).
+    val sf = "/root/testdata/sf0.001"
+    val full = TextAnalysis.queries("q_wordpiece_train")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val merged = TextAnalysis.queries("q_wordpiece_merge_train")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(merged === full)
+  }
+
   test("q_train_shards: fixed-size seeded shards — exact sizes, conserved totals, deterministic") {
     val sf = "/root/testdata/sf0.001"
     val rows = TextAnalysis.queries("q_train_shards")(spark, sf)

@@ -344,11 +344,20 @@ class TextAnalysisSpec extends SparkSuite {
         .map(x => f"${x & 0xff}%02x").mkString
     }
     rows.foreach { case (id, text) =>
-      val words = text.split(" ").filter(_.nonEmpty)
-      val rawHex = words.map(_.getBytes("UTF-8")
+      // expectation via a direct Java-regex application of the GPT-2
+      // pattern: the pre-tokens partition the text, so the
+      // segment-rebuilt hex must equal the WHOLE document's UTF-8
+      // bytes — spaces included (stronger than the pre-r19 per-word
+      // form, which dropped them)
+      val m = java.util.regex.Pattern
+        .compile(TextAnalysis.Gpt2PreTokenRe).matcher(text)
+      val toks = Iterator.continually(m)
+        .takeWhile(_.find()).map(_.group()).toList
+      assert(toks.mkString == text, s"doc $id: partition property")
+      val rawHex = toks.map(_.getBytes("UTF-8")
         .map(b => f"${b & 0xff}%02X").mkString).mkString("")
       val (nWords, gotMd5) = got(id)
-      assert(nWords == words.length, s"doc $id word count")
+      assert(nWords == toks.length, s"doc $id pre-token count")
       assert(gotMd5 == md5hex(rawHex.getBytes("UTF-8")),
         s"doc $id: segment-rebuilt bytes must equal the original bytes")
     }

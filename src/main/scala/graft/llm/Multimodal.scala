@@ -4394,6 +4394,63 @@ object Multimodal {
   private[graft] def zstdJsonlBlob(text: String, h: String): Array[Byte] =
     Zstd.zstdJsonlBytes(text, h)
 
+  // ---------------------------------------------------------------------
+  // DICTIONARY TRAINING — the build side of the RFC 8878 §5 support:
+  // real pipelines compress small-doc corpora with dictionaries
+  // TRAINED on the corpus (`zstd --train`), so the engine must be able
+  // to produce one, not just consume one. The trainer here is the
+  // frequency-cover shape (the idea under zstd's cover/fastcover
+  // algorithms, Collet's public design notes): the corpus's most
+  // frequent k-grams become the dictionary content, ordered most
+  // frequent LAST so the hottest bytes sit nearest the window edge
+  // where back-reference offsets are cheapest.
+  // ---------------------------------------------------------------------
+
+  /** Top-16 8-byte grams by (count desc, gram asc) — the dictionary
+    * candidate census. Scale shape: one corpus scan with the gram
+    * explode fused into it, ONE gram-keyed partial+final aggregate,
+    * TakeOrdered(16) — the wordcount shape, safe at any corpus size;
+    * the result is an absolutely bounded 16-row frame. */
+  private[llm] def zstdDictGrams(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(expr(
+        "case when length(text) >= 8 then transform(" +
+          "sequence(1, length(text) - 7), i -> substring(text, i, 8)) " +
+          "else array() end")).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram")).limit(16)
+
+  /** The PERSISTED trained dictionary — the 14th IndexStore artifact:
+    * one row holding the dictionary identity (dict_id, gram count,
+    * content length, content md5) plus the full §5 dictionary bytes
+    * as hex (magic, entropy tables, repeat offsets, content — built
+    * with [[Zstd.buildDict]], parseable by [[Zstd.parseDict]] and by
+    * the reference CLI). The ≤16-row collect is bounded driver
+    * metadata (the DSIR ≤64-row precedent). q_zstd_dict_train stays
+    * the fresh-train oracle; q_index_persist censuses this stored
+    * copy each round, so train → publish → load stays content-exact
+    * like every artifact. */
+  private[graft] val ZstdDictId = 7002L
+  private[graft] def zstdDictDurable(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    IndexStore.durableFrame(s, dir, "zstd_dict") {
+      import s.implicits._
+      val grams = zstdDictGrams(Tables(s, dir, "documents"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      // most frequent LAST: ascending count, gram as the tiebreak
+      val content = grams.sortBy { case (g, c) => (c, g) }
+        .map(_._1).mkString
+      val dict = Zstd.buildDict(ZstdDictId, content.getBytes("ISO-8859-1"))
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      def hex(b: Array[Byte]): String =
+        b.map(x => f"${x & 0xff}%02x").mkString
+      Seq((ZstdDictId, grams.length.toLong, content.length.toLong,
+        hex(md5.digest(content.getBytes("ISO-8859-1"))),
+        hex(dict)))
+        .toDF("dict_id", "n_grams", "content_len", "content_md5",
+          "dict_hex")
+    }
+
   def zstdIngestStats(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs
@@ -5120,6 +5177,36 @@ object Multimodal {
     "q_zstd_ingest" -> ((s, dir) =>
       zstdIngestStats(Tables(s, dir, "documents")).orderBy("doc_id")),
 
+    // DICTIONARY TRAINING census — the fresh-train oracle for the
+    // persisted zstd_dict artifact (the q_train_shards discipline):
+    // the top-gram selection, the content identity (length + md5 in
+    // the most-frequent-last order), and the corpus COVERAGE the
+    // dictionary buys (docs containing at least one trained gram —
+    // the number that says whether small-doc compression will find
+    // history to reference). Plan: the gram census is one scan + one
+    // keyed aggregate + TakeOrdered(16); coverage is a second scan
+    // left-semi-joined against the BROADCAST 16-row gram frame with
+    // the contains predicate evaluated scan-side; three 1-row frames
+    // cross-join into the report row. Never a doc×doc or gram×gram
+    // product.
+    "q_zstd_dict_train" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val grams = zstdDictGrams(docs).localCheckpoint()
+      val meta = grams.agg(
+        count(lit(1)).as("n_grams"),
+        sum(col("cnt")).as("gram_occurrences"),
+        (count(lit(1)) * 8).as("content_len"),
+        md5(expr("array_join(transform(array_sort(" +
+          "collect_list(struct(cnt, gram))), x -> x.gram), '')"))
+          .as("content_md5"))
+      val cov = docs
+        .join(broadcast(grams.select(col("gram"))),
+          expr("contains(text, gram)"), "leftsemi")
+        .agg(count(lit(1)).as("coverage_docs"))
+      val tot = docs.agg(count(lit(1)).as("n_docs"))
+      meta.crossJoin(broadcast(cov)).crossJoin(broadcast(tot))
+    }),
+
     // .jsonl.zst FRONT DOOR — the exact file shape public corpora
     // ship (RedPajama/Dolma/FineWeb), composed end to end: the
     // MULTI-FRAME walk (Zstd.decodeFrames — pzstd-style skippable
@@ -5767,6 +5854,20 @@ object Multimodal {
                  - 16384)) AS bb
              FROM jv)"""
 
+  /** Shared trained-dictionary CTE chain (z-prefixed so it composes
+    * into q_index_persist's combined twin): ztop = the corpus's
+    * top-16 8-byte grams by (count desc, gram asc) — the exact
+    * selection [[zstdDictGrams]] makes. */
+  private[llm] val zstdDictCtes: String = """
+      zg0 AS (SELECT substr(text, CAST(i AS INT), 8) AS gram
+              FROM documents,
+                   UNNEST(generate_series(1,
+                     greatest(length(text) - 7, 0))) AS u(i)),
+      zg1 AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+              FROM zg0 GROUP BY 1),
+      ztop AS (SELECT gram, cnt FROM zg1
+               ORDER BY cnt DESC, gram LIMIT 16)"""
+
   val oracles: Map[String, String] = Map(
     "q_multimodal_decode" -> s"""
       WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
@@ -5828,6 +5929,23 @@ object Multimodal {
     // md5/length — so a hash-green row set proves the whole frame
     // walk (FSE tables, Huffman trees, backward bitstreams, repeat
     // offsets, checksums) reproduces every document byte-exactly.
+    "q_zstd_dict_train" -> s"""
+      WITH $zstdDictCtes,
+      zmeta AS (SELECT CAST(count(*) AS BIGINT) AS n_grams,
+                  CAST(sum(cnt) AS BIGINT) AS gram_occurrences,
+                  CAST(8 * count(*) AS BIGINT) AS content_len,
+                  md5(string_agg(gram, '' ORDER BY cnt ASC, gram ASC))
+                    AS content_md5
+                FROM ztop),
+      zcov AS (SELECT CAST(count(*) AS BIGINT) AS coverage_docs
+               FROM documents d
+               WHERE EXISTS (SELECT 1 FROM ztop t
+                             WHERE contains(d.text, t.gram))),
+      ztot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+      SELECT n_grams, gram_occurrences, content_len, content_md5,
+             coverage_docs, n_docs
+      FROM zmeta, zcov, ztot""",
+
     "q_zstd_ingest" -> s"""
       WITH hx AS (SELECT doc_id, text, md5(text) AS h FROM documents),
       zb AS (SELECT doc_id, text, ${byteAt(2)} AS b2, ${byteAt(3)} AS b3,

@@ -1844,6 +1844,14 @@ object Similarity {
             ascii(substring(col("shard_md5"), 1, 1)).cast("long")))
         .unionByName(census("upper4", durableUpper4(s, dir),
           col("src") * 31L + col("dst")))
+        .unionByName(census("zstd_dict",
+          Multimodal.zstdDictDurable(s, dir),
+          // dict_hex (the binary §5 bytes) is deliberately outside
+          // the checksum: the twin cannot re-derive FSE/Huffman table
+          // bytes in SQL; its fidelity is spec-pinned via parseDict
+          // round-trip instead
+          col("dict_id") + col("n_grams") * 7L + col("content_len") * 31L
+            + ascii(substring(col("content_md5"), 1, 1)).cast("long")))
         .orderBy("artifact")
     }),
 
@@ -3663,7 +3671,8 @@ object Similarity {
       Dedup.QE + "," + Clustering.assignCtes + "," + ivfCte + "," +
       pqCtes + "," + resPqCtes + "," + opqCtes + "," +
       pqCtesOn("oqn", "opq", seedScale = 5L) + "," +
-      TextAnalysis.trainShardsCtes + s""",
+      TextAnalysis.trainShardsCtes + "," +
+      Multimodal.zstdDictCtes + s""",
       ipg AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
                 a.q AS qa, b.q AS qb2, a.norm AS na, b.norm AS nb
               FROM ivcell a JOIN ivcell b
@@ -3765,7 +3774,14 @@ object Similarity {
         UNION ALL
         SELECT 'upper4', CAST(count(*) AS BIGINT),
                coalesce(CAST(sum(vec_id * 31 + neighbor_id) AS BIGINT), 0)
-        FROM ipur WHERE rnk <= 4)
+        FROM ipur WHERE rnk <= 4
+        UNION ALL
+        SELECT 'zstd_dict', 1,
+               7002 + CAST(count(*) AS BIGINT) * 7
+                 + CAST(8 * count(*) AS BIGINT) * 31
+                 + ascii(substr(md5(string_agg(gram, ''
+                     ORDER BY cnt ASC, gram ASC)), 1, 1))
+        FROM ztop)
       SELECT artifact, n_rows, checksum FROM ipm ORDER BY artifact"""
   }
 

@@ -1237,9 +1237,18 @@ private[llm] object Zstd {
     // wrapping the 2-byte field.
     val fcsFlag = if (content.length < 256) 0
       else if (content.length < 65792) 1 else 2
-    out.write((fcsFlag << 6) | 0x20 | (if (withSum) 4 else 0) |
-      (if (dictId.nonEmpty) 1 else 0))
-    dictId.foreach(d => out.write((d & 0xff).toInt)) // 1-byte DID
+    // DID field size by magnitude (§3.1.1.1.3 flag values 1/2/3)
+    val didFlag = dictId match {
+      case None => 0
+      case Some(d) if d < 256 => 1
+      case Some(d) if d < 65536 => 2
+      case _ => 3
+    }
+    out.write((fcsFlag << 6) | 0x20 | (if (withSum) 4 else 0) | didFlag)
+    dictId.foreach { d =>
+      val n = if (didFlag == 1) 1 else if (didFlag == 2) 2 else 4
+      (0 until n).foreach(k => out.write(((d >> (8 * k)) & 0xff).toInt))
+    }
     if (fcsFlag == 0) out.write(content.length)
     else if (fcsFlag == 1) {
       val v = content.length - 256
@@ -1298,6 +1307,25 @@ private[llm] object Zstd {
       out.write((r >> (8 * k)) & 0xff)
     out.write(content, 0, content.length)
     out.toByteArray
+  }
+
+  /** A frame that back-references `dict`'s content: ll=0 + match(m @
+    * offset m) reaching m bytes into the dictionary history, then the
+    * text as leftover literals — the shape a real dictionary
+    * compressor emits for a doc sharing a prefix with the dictionary.
+    * Returns (frame, expected content). Used by the trained-dictionary
+    * lifecycle spec (any parseable dictionary, not just the fixture
+    * one). */
+  private[llm] def dictDemoFrame(dictBytes: Array[Byte], text: String,
+      m: Int = 24): (Array[Byte], Array[Byte]) = {
+    val d = parseDict(dictBytes).getOrElse(sys.error("dict must parse"))
+    require(d.content.length >= m)
+    val t = text.getBytes("ISO-8859-1")
+    val c = d.content.takeRight(m) ++ t
+    val payload = literalsSection(t, huf = false, fourStream = false) ++
+      sequencesSection(Array(Sq(0, m, m + 3L)), 0, 0, 0)
+    (frameOf(Seq((2, 0, payload)), c, withSum = true,
+      dictId = Some(d.id)), c)
   }
 
   /** The corpus fixture dictionary: its content's LAST 24 BYTES are

@@ -981,4 +981,38 @@ class MultimodalSpec extends graft.SparkSuite {
     val bad = bytes.clone(); bad(i0 + 1) = 0xd5.toByte
     assert(Multimodal.parseJpeg(2L, bad).status == "bad_data")
   }
+  test("trained zstd dictionary lifecycle: census-exact content, parseable bytes, frames decode against it") {
+    // the build side of the RFC 8878 section-5 support: the persisted
+    // zstd_dict artifact's binary bytes must (a) parse back to exactly
+    // the content the gated census describes, and (b) serve as real
+    // decode history for a frame that back-references it — the two
+    // properties the DuckDB twin cannot check (it cannot re-derive
+    // FSE/Huffman table bytes in SQL).
+    val sf = "/root/testdata/sf0.001"
+    val row = Multimodal.zstdDictDurable(spark, sf).head()
+    val dictBytes = row.getAs[String]("dict_hex").sliding(2, 2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+    val zd = Zstd.parseDict(dictBytes)
+    assert(zd.nonEmpty, "trained dictionary must parse")
+    val d = zd.get
+    assert(d.id == Multimodal.ZstdDictId)
+    assert(d.content.length == row.getAs[Long]("content_len"))
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.content).map(x => f"${x & 0xff}%02x").mkString
+    assert(md5 == row.getAs[String]("content_md5"),
+      "parsed content must equal the census content")
+    // a frame back-referencing the trained history decodes exactly,
+    // with the trained dict registered — and stays honestly
+    // unsupported without it
+    val (frame, want) = Zstd.dictDemoFrame(dictBytes,
+      " and some fresh document text")
+    val (st, c, nb, _) = Zstd.decode(frame, dicts = Map(d.id -> d))
+    assert(st == "ok" && nb == 1)
+    assert(java.util.Arrays.equals(c, want))
+    assert(Zstd.decode(frame)._1 == "unsupported")
+    // every truncation prefix stays total
+    for (n <- 1 until frame.length)
+      assert(Zstd.decode(frame.take(n), dicts = Map(d.id -> d))._1 != "ok")
+  }
+
 }

@@ -686,6 +686,29 @@ object ScaleProbe {
       timedZstd(1)
       timedZstd(10)
       timedZstd(100)
+      // dictionary-train leg: the trained dictionary is
+      // REPLICATION-INVARIANT (same text → same top grams → same
+      // content md5) while gram occurrences scale ×N exactly — the
+      // content-addressed-training claim measured; wall tracks the
+      // one gram scan + bounded aggregate.
+      def timedDict(mult: Int): Unit = {
+        val scaled = docs
+          .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
+            col("text"))
+          .select(col("text"))
+        val t0 = System.nanoTime()
+        val g = graft.llm.Multimodal.zstdDictGrams(
+            scaled.withColumn("doc_id", lit(0L)))
+          .agg(count(lit(1)).as("n"), sum(col("cnt")).as("occ"),
+            md5(expr("array_join(transform(array_sort(" +
+              "collect_list(struct(cnt, gram))), x -> x.gram), '')"))
+              .as("md"))
+          .head()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"zstddict_${mult}x","docs":${nDocs * mult},"n_grams":${g.getLong(0)},"occurrences":${g.getLong(1)},"content_md5":"${g.getString(2)}","sec":$dt%.2f}""")
+      }
+      timedDict(1)
+      timedDict(10)
       docs.unpersist(false)
     }
 

@@ -4411,7 +4411,7 @@ object Multimodal {
     * explode fused into it, ONE gram-keyed partial+final aggregate,
     * TakeOrdered(16) — the wordcount shape, safe at any corpus size;
     * the result is an absolutely bounded 16-row frame. */
-  private[llm] def zstdDictGrams(docs: DataFrame): DataFrame =
+  private[graft] def zstdDictGrams(docs: DataFrame): DataFrame =
     docs
       .select(explode(expr(
         "case when length(text) >= 8 then transform(" +

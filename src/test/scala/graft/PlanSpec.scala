@@ -982,6 +982,34 @@ class PlanSpec extends SparkSuite {
     assert("""\(\d+\) Window""".r.findAllIn(p).size == 2, p)
   }
 
+  test("q_train_resume reads the stored manifest flat — no corpus scan, no join") {
+    // restart cost must be one manifest read: the only parquet scan
+    // is the loaded train_shards ARTIFACT (shard-grain rows), never
+    // the documents table; the prefix-sum window orders that bounded
+    // manifest; the checkpoint-step fan-out is a scan-side generate.
+    val p = plan("q_train_resume")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 scan (the stored manifest), got $scans:\n$p")
+    assert(!p.toLowerCase.contains("documents"),
+      "resume must never rescan the corpus")
+    assert(!p.contains("Join"), "resume is join-free")
+    assert("""\(\d+\) Window""".r.findAllIn(p).size == 1,
+      "exactly the shard-grain prefix-sum window")
+    assert(p.contains("Generate"), "checkpoint steps fan out scan-side")
+  }
+
+  test("q_zstd_dict_train: gram census + broadcast coverage, never a product") {
+    // the trainer is the wordcount shape: ONE documents scan feeds
+    // the gram aggregate, a SECOND scan probes coverage against the
+    // broadcast 16-row gram frame — a BroadcastNestedLoopJoin
+    // LeftSemi on the contains predicate is the bounded-build-side
+    // shape (16 rows), a CartesianProduct is not
+    val p = plan("q_zstd_dict_train")
+    assert(p.contains("BroadcastNestedLoopJoin LeftSemi"),
+      s"coverage must probe the broadcast gram frame:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_train_shards manifest window moves ints only — no token array in the per-source exchange") {
     // The r18 verdict's one weak: the per-source prefix-sum window
     // used to run over a frame still carrying the full token array,

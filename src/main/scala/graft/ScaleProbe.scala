@@ -709,6 +709,32 @@ object ScaleProbe {
       }
       timedDict(1)
       timedDict(10)
+      // compressor leg: per-doc ratio is replication-invariant (same
+      // texts → same frames), total compressed bytes scale ×N exactly,
+      // and wall tracks the map-only compress+decode scan.
+      def timedComp(mult: Int): Unit = {
+        import spark.implicits._
+        val scaled = docs
+          .select(explode(expr(s"sequence(0, ${mult - 1})")).as("i"),
+            col("doc_id"), col("text"))
+          .select((col("doc_id") + col("i") * lit(stride)).as("doc_id"),
+            col("text"))
+        val t0 = System.nanoTime()
+        val r = scaled.select(col("text")).as[String]
+          .mapPartitions(_.map { t =>
+            val raw = t.getBytes("ISO-8859-1")
+            val f = graft.llm.Multimodal.zstdCompressBytes(raw)
+            (raw.length.toLong, f.length.toLong)
+          })
+          .toDF("orig", "comp")
+          .agg(sum(col("orig")).as("orig"), sum(col("comp")).as("comp"))
+          .head()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val ratio = r.getLong(1).toDouble / r.getLong(0)
+        println(f"""{"probe":"zstdc_${mult}x","docs":${nDocs * mult},"orig":${r.getLong(0)},"comp":${r.getLong(1)},"ratio":$ratio%.4f,"sec":$dt%.2f}""")
+      }
+      timedComp(1)
+      timedComp(10)
       docs.unpersist(false)
     }
 

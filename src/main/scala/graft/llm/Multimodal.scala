@@ -4394,6 +4394,11 @@ object Multimodal {
   private[graft] def zstdJsonlBlob(text: String, h: String): Array[Byte] =
     Zstd.zstdJsonlBytes(text, h)
 
+  /** The general-purpose compressor exposed at graft scope (the
+    * ScaleProbe ratio leg). */
+  private[graft] def zstdCompressBytes(b: Array[Byte]): Array[Byte] =
+    Zstd.compress(b)
+
   // ---------------------------------------------------------------------
   // DICTIONARY TRAINING — the build side of the RFC 8878 §5 support:
   // real pipelines compress small-doc corpora with dictionaries
@@ -5177,6 +5182,36 @@ object Multimodal {
     "q_zstd_ingest" -> ((s, dir) =>
       zstdIngestStats(Tables(s, dir, "documents")).orderBy("doc_id")),
 
+    // COMPRESSION round trip — the transport's WRITE side as an
+    // operator: each document compressed by the general-purpose
+    // hash-chain LZ encoder (real multi-block frames, Huffman-or-raw
+    // literals, predefined-FSE sequences, cross-block matches,
+    // expanding blocks degraded to raw per the reference rule) and
+    // immediately decoded by the full decoder; rebuilt_md5 must equal
+    // md5(text), so the gate proves decode(compress(x)) == x per
+    // document cross-engine — the twin never models the encoder, it
+    // just hashes the original text. Compression EFFECT is pinned in
+    // ZstdSpec (repetitive text shrinks) and the zstdc probe (corpus
+    // ratio, stable under replication); frame fidelity against the
+    // reference CLI (zstd -d reads our frames byte-exactly) is
+    // dev-verified. Map-only: synthesize+decode fuse into the scan.
+    "q_zstd_compress" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val raw = text.getBytes("ISO-8859-1")
+          val (st, c, _, _) = Zstd.decode(Zstd.compress(raw))
+          val md = if (st == "ok")
+            java.security.MessageDigest.getInstance("MD5").digest(c)
+              .map(x => f"${x & 0xff}%02x").mkString
+          else null
+          (id, st, raw.length.toLong, md)
+        })
+        .toDF("doc_id", "status", "orig_bytes", "rebuilt_md5")
+        .orderBy("doc_id")
+    }),
+
     // DICTIONARY TRAINING census — the fresh-train oracle for the
     // persisted zstd_dict artifact (the q_train_shards discipline):
     // the top-gram selection, the content identity (length + md5 in
@@ -5929,6 +5964,15 @@ object Multimodal {
     // md5/length — so a hash-green row set proves the whole frame
     // walk (FSE tables, Huffman trees, backward bitstreams, repeat
     // offsets, checksums) reproduces every document byte-exactly.
+    // Round-trip twin: the encoder is never modeled — md5(text) IS
+    // the expected rebuilt hash, so a match proves the whole
+    // compress→decode loop reproduced every byte.
+    "q_zstd_compress" -> """
+      SELECT doc_id, 'ok' AS status,
+             CAST(length(text) AS BIGINT) AS orig_bytes,
+             md5(text) AS rebuilt_md5
+      FROM documents ORDER BY doc_id""",
+
     "q_zstd_dict_train" -> s"""
       WITH $zstdDictCtes,
       zmeta AS (SELECT CAST(count(*) AS BIGINT) AS n_grams,

@@ -1309,6 +1309,100 @@ private[llm] object Zstd {
     out.toByteArray
   }
 
+  /** GENERAL-PURPOSE compressor — the WRITE side of the transport:
+    * greedy hash-chain LZ77 (LZ4-style single-entry last-occurrence
+    * table over 4-byte keys, matches extended maximally and capped at
+    * the ML code range) emitted as REAL multi-block frames through
+    * the same section writers the fixtures use: raw-or-Huffman
+    * literals (whichever is shorter; the Huffman arm degrades
+    * gracefully past its caps) + predefined-FSE sequences, blocks
+    * flushed at 127 sequences / ~3.5 KiB literals, matches free to
+    * reach across block boundaries. Honors the reference's
+    * expanding-block rule: any block whose compressed payload would
+    * not undercut its content is emitted as a raw block instead, so
+    * `compress` never produces a frame the reference CLI rejects —
+    * output verified against `zstd -d` (v1.5.7) in dev. Frames are
+    * single-segment with content size and an xxh64 checksum, so
+    * decode(compress(x)) == x is the full-frame gate. */
+  private[llm] def compress(data: Array[Byte],
+      withSum: Boolean = true): Array[Byte] = {
+    val n = data.length
+    val blocks = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Array[Byte])]
+    if (n < 8) { // too short to match: one raw block
+      return frameOf(Seq((0, 0, data)), data, withSum)
+    }
+    val MaxMl = 131074 // MlBase(52) + 16 extra bits
+    val MaxLits = 3500 // under the 4096 raw-literals cap with margin
+    val head = new java.util.HashMap[Int, Int](1 << 12)
+    def key(p: Int): Int =
+      (data(p) & 0xff) | ((data(p + 1) & 0xff) << 8) |
+        ((data(p + 2) & 0xff) << 16) | ((data(p + 3) & 0xff) << 24)
+    val lits = new java.io.ByteArrayOutputStream(1024)
+    val seqs = scala.collection.mutable.ArrayBuffer.empty[Sq]
+    var blockFrom = 0 // content offset where the open block starts
+    var litPtr = 0    // first unconsumed literal
+    // close the open block at content position `upto` (== litPtr or
+    // the end of the last match): sequences + leftover literals,
+    // falling back to raw when the payload would not undercut the
+    // content (the reference rejects expanding compressed blocks)
+    def flush(upto: Int): Unit = {
+      val leftover = upto - litPtr
+      if (leftover > 0) lits.write(data, litPtr, leftover)
+      litPtr = upto
+      val content = upto - blockFrom
+      if (content == 0) { /* nothing buffered */ }
+      else if (seqs.isEmpty) {
+        // literal-only stretch: raw block(s)
+        var o = blockFrom
+        while (o < upto) {
+          val len = math.min(upto - o, 1 << 17)
+          blocks += ((0, 0,
+            java.util.Arrays.copyOfRange(data, o, o + len)))
+          o += len
+        }
+      } else {
+        val l = lits.toByteArray
+        val rawLits = literalsSection(l, huf = false, fourStream = false)
+        val hufLits =
+          if (l.length >= 16 && l.distinct.length >= 2)
+            literalsSection(l, huf = true, fourStream = false)
+          else rawLits
+        val payload = (if (hufLits.length < rawLits.length) hufLits
+          else rawLits) ++ sequencesSection(seqs.toArray, 0, 0, 0)
+        if (payload.length <= content)
+          blocks += ((2, 0, payload))
+        else blocks += ((0, 0,
+          java.util.Arrays.copyOfRange(data, blockFrom, upto)))
+      }
+      lits.reset(); seqs.clear(); blockFrom = upto
+    }
+    var i = 0
+    while (i < n - 3) {
+      val k = key(i)
+      val cand = head.getOrDefault(k, -1)
+      head.put(k, i)
+      if (cand >= 0 && key(cand) == k) {
+        // extend the guaranteed-4 match
+        var ml = 4
+        while (i + ml < n && ml < MaxMl &&
+            data(cand + ml) == data(i + ml)) ml += 1
+        val ll = i - litPtr
+        if (ll > 0) lits.write(data, litPtr, ll)
+        seqs += Sq(ll, ml, (i - cand) + 3L)
+        i += ml
+        litPtr = i
+        if (seqs.length == 127 || lits.size() >= MaxLits) flush(i)
+      } else {
+        i += 1
+        // a long literal-only stretch must not blow the caps
+        if (i - litPtr >= MaxLits) flush(i)
+      }
+    }
+    flush(n)
+    frameOf(blocks.toSeq, data, withSum)
+  }
+
   /** A frame that back-references `dict`'s content: ll=0 + match(m @
     * offset m) reaching m bytes into the dictionary history, then the
     * text as leftover literals — the shape a real dictionary

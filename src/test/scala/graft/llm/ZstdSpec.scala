@@ -261,6 +261,55 @@ class ZstdSpec extends AnyFunSuite {
     }
   }
 
+  test("general-purpose compressor: round trip, genuine compression, multi-block, fuzz totality") {
+    def rt(b: Array[Byte]): Array[Byte] = {
+      val f = Zstd.compress(b)
+      val (st, c, _, hs) = Zstd.decode(f)
+      assert(st == "ok" && hs, s"round trip failed: $st")
+      c
+    }
+    // corpus-like and repetitive strings round-trip byte-exactly
+    for (t <- sampleTexts) {
+      val b = t.getBytes("ISO-8859-1")
+      assert(java.util.Arrays.equals(rt(b), b))
+    }
+    // repetition genuinely compresses (the LZ matches fire)
+    val rep = ("the same eight words repeat here again and again " * 120)
+      .getBytes("ISO-8859-1")
+    val repF = Zstd.compress(rep)
+    assert(repF.length < rep.length / 4,
+      s"repetitive text must shrink 4x+: ${repF.length} vs ${rep.length}")
+    assert(java.util.Arrays.equals(rt(rep), rep))
+    // a large mixed input crosses block boundaries (127-seq / literal
+    // caps) and matches reach across them
+    val big = (0 until 3000).map(i =>
+      if (i % 7 == 0) "shared boilerplate segment" else s"unique$i")
+      .mkString(" ").getBytes("ISO-8859-1")
+    val bigF = Zstd.compress(big)
+    val (stB, cB, nbB, _) = Zstd.decode(bigF)
+    assert(stB == "ok" && nbB > 1, s"expected multi-block, got $nbB")
+    assert(java.util.Arrays.equals(cB, big))
+    // fuzz: deterministic pseudo-random bytes (high bytes included —
+    // the Huffman fallback path) round-trip; incompressible input may
+    // grow only by frame overhead
+    for (seed <- 0 until 40) {
+      var x = seed * 2654435761L + 1
+      val b = Array.fill(1 + (seed * 37) % 5000) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        (x >>> 32).toByte
+      }
+      assert(java.util.Arrays.equals(rt(b), b), s"seed $seed")
+      assert(Zstd.compress(b).length <= b.length + 64 + b.length / 1000,
+        s"seed $seed: pathological expansion")
+    }
+    // empty and tiny inputs are legal frames
+    assert(rt(Array.emptyByteArray).length == 0)
+    assert(java.util.Arrays.equals(rt("ab".getBytes), "ab".getBytes))
+    // truncation totality over a compressed frame
+    for (n <- 1 until math.min(repF.length, 400))
+      assert(Zstd.decode(repF.take(n))._1 != "ok")
+  }
+
   // ---- DICTIONARY interop (RFC 8878 §5): a dictionary TRAINED by
   // the reference CLI (`zstd --train --maxdict=512` over 60 synthetic
   // samples) and two frames compressed against it (`zstd -9 -D` with

@@ -3098,14 +3098,16 @@ object Multimodal {
         // listed order (§7.4); the inline-image aliases /Fl and /AHx
         // are accepted beside the full names. A name outside the
         // decode surface gates the page BEFORE any byte work.
-        // Anchored at a PDF name boundary (§7.3.5: names end at a
-        // delimiter or whitespace): the lookbehind rejects a key like
-        // /MyFilter, and \b stops /Filterette matching — without the
-        // anchors the FIRST substring hit anywhere in the dict
-        // (including inside a nested value) would be misparsed as
-        // the page's filter list on real-world PDFs.
+        // Name-boundary anchored (§7.3.5): the trailing \b stops a
+        // LONGER key like /Filterette from matching as /Filter. No
+        // lookbehind before the solidus — '/' is itself a delimiter,
+        // so `8 0 R/Filter` and `/Length 12/Filter` are valid common
+        // dicts a preceding-alnum guard would silently break (the
+        // substring '/Filter' can never occur inside another NAME,
+        // because a name's own solidus terminates the previous
+        // token).
         val filters: Seq[String] =
-          """(?<![A-Za-z0-9#])/Filter\b\s*(\[[^\]]*\]|/[A-Za-z0-9]+)""".r
+          """/Filter\b\s*(\[[^\]]*\]|/[A-Za-z0-9]+)""".r
             .findFirstMatchIn(contD).map(_.group(1)) match {
             case None => Seq.empty // raw (unfiltered) stream
             case Some(x) if x.startsWith("[") =>
@@ -4445,12 +4447,20 @@ object Multimodal {
       // most frequent LAST: ascending count, gram as the tiebreak
       val content = grams.sortBy { case (g, c) => (c, g) }
         .map(_._1).mkString
-      val dict = Zstd.buildDict(ZstdDictId, content.getBytes("ISO-8859-1"))
+      // UTF-8 on BOTH hashes: Spark's md5() and DuckDB's md5() hash
+      // UTF-8 bytes, so the artifact's identity must too (ISO-8859-1
+      // would silently diverge on the first non-ASCII gram); content
+      // bytes in the dictionary are the same UTF-8 rendering, and
+      // content_len records BYTES
+      require(grams.nonEmpty, "dictionary training needs at least " +
+        "one 8-char gram in the corpus (every doc shorter than 8?)")
+      val contentB = content.getBytes("UTF-8")
+      val dict = Zstd.buildDict(ZstdDictId, contentB)
       val md5 = java.security.MessageDigest.getInstance("MD5")
       def hex(b: Array[Byte]): String =
         b.map(x => f"${x & 0xff}%02x").mkString
-      Seq((ZstdDictId, grams.length.toLong, content.length.toLong,
-        hex(md5.digest(content.getBytes("ISO-8859-1"))),
+      Seq((ZstdDictId, grams.length.toLong, contentB.length.toLong,
+        hex(md5.digest(contentB)),
         hex(dict)))
         .toDF("dict_id", "n_grams", "content_len", "content_md5",
           "dict_hex")
@@ -5230,7 +5240,10 @@ object Multimodal {
       val meta = grams.agg(
         count(lit(1)).as("n_grams"),
         sum(col("cnt")).as("gram_occurrences"),
-        (count(lit(1)) * 8).as("content_len"),
+        // BYTES (octet_length), matching the stored artifact's UTF-8
+        // content — 8*count would be chars and diverge on non-ASCII
+        coalesce(sum(expr("octet_length(gram)")), lit(0L))
+          .as("content_len"),
         md5(expr("array_join(transform(array_sort(" +
           "collect_list(struct(cnt, gram))), x -> x.gram), '')"))
           .as("content_md5"))
@@ -5977,7 +5990,8 @@ object Multimodal {
       WITH $zstdDictCtes,
       zmeta AS (SELECT CAST(count(*) AS BIGINT) AS n_grams,
                   CAST(sum(cnt) AS BIGINT) AS gram_occurrences,
-                  CAST(8 * count(*) AS BIGINT) AS content_len,
+                  coalesce(CAST(sum(octet_length(encode(gram))) AS BIGINT), 0)
+                    AS content_len,
                   md5(string_agg(gram, '' ORDER BY cnt ASC, gram ASC))
                     AS content_md5
                 FROM ztop),

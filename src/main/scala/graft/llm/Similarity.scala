@@ -3778,7 +3778,7 @@ object Similarity {
         UNION ALL
         SELECT 'zstd_dict', 1,
                7002 + CAST(count(*) AS BIGINT) * 7
-                 + CAST(8 * count(*) AS BIGINT) * 31
+                 + coalesce(CAST(sum(octet_length(encode(gram))) AS BIGINT), 0) * 31
                  + ascii(substr(md5(string_agg(gram, ''
                      ORDER BY cnt ASC, gram ASC)), 1, 1))
         FROM ztop)

@@ -656,12 +656,22 @@ private[llm] object Zstd {
         val btype = (bh >> 1) & 3
         val bsize = bh >> 3
         nBlocks += 1
+        // Block_Maximum_Size (§3.1.1.2.3): no block may REGENERATE
+        // more than min(window, 128 KiB) — the reference rejects
+        // oversized blocks, so accepting them would let our decoder
+        // read frames the ecosystem cannot (the inverse of the
+        // expanding-block rule pinned in r18)
+        val blockOut0 = outLen
+        def blockCap(): Unit =
+          if (outLen - blockOut0 > (1 << 17)) throw Bad
         btype match {
           case 0 => // raw
+            if (bsize > (1 << 17)) throw Bad
             need(bsize); ensure(bsize)
             System.arraycopy(p, i, out, outLen, bsize)
             outLen += bsize; i += bsize
           case 1 => // RLE: one byte repeated bsize times
+            if (bsize > (1 << 17)) throw Bad
             need(1); ensure(bsize)
             java.util.Arrays.fill(out, outLen, outLen + bsize, p(i))
             outLen += bsize; i += 1
@@ -781,6 +791,7 @@ private[llm] object Zstd {
               ensure(lits.length)
               System.arraycopy(lits, 0, out, outLen, lits.length)
               outLen += lits.length
+              blockCap()
             } else {
               needB(1)
               val modes = p(i) & 0xff; i += 1
@@ -868,6 +879,7 @@ private[llm] object Zstd {
               ensure(rest)
               System.arraycopy(lits, litPos, out, outLen, rest)
               outLen += rest
+              blockCap()
               i = blockEnd
             }
           case _ => throw Bad // reserved block type
@@ -1086,9 +1098,7 @@ private[llm] object Zstd {
     val tbl = hufBuild(ws)
     // direct tree description: weights for symbols 0..last−1, the
     // last present symbol's weight implied
-    val treeB = hufWriteTreeDesc(ws)
-    val tree = new java.io.ByteArrayOutputStream(80)
-    tree.write(treeB, 0, treeB.length)
+    val tree = hufWriteTreeDesc(ws)
     def stream(part: Array[Byte]): Array[Byte] = {
       val bw = new BackWriter
       part.foreach { b =>
@@ -1111,7 +1121,7 @@ private[llm] object Zstd {
       }
       enc.foreach(e => body.write(e, 0, e.length))
     }
-    val cmp = tree.size() + body.size()
+    val cmp = tree.length + body.size()
     val regen = lits.length
     if ((!fourStream && (regen > 1023 || cmp > 1023)) ||
         (fourStream && (regen > 16383 || cmp > 16383)))
@@ -1128,7 +1138,7 @@ private[llm] object Zstd {
       out.write(((v >> 12) & 0xff).toInt)
       out.write(((v >> 20) & 0xff).toInt)
     }
-    tree.writeTo(out)
+    out.write(tree, 0, tree.length)
     body.writeTo(out)
     out.toByteArray
   }
@@ -1332,8 +1342,9 @@ private[llm] object Zstd {
     if (n < 8) { // too short to match: one raw block
       return frameOf(Seq((0, 0, data)), data, withSum)
     }
-    val MaxMl = 131074 // MlBase(52) + 16 extra bits
-    val MaxLits = 3500 // under the 4096 raw-literals cap with margin
+    val MaxMl = 131074  // MlBase(52) + 16 extra bits
+    val MaxLits = 3500  // under the 4096 raw-literals cap with margin
+    val MaxBlock = 1 << 17 // Block_Maximum_Size (§3.1.1.2.3): 128 KiB
     val head = new java.util.HashMap[Int, Int](1 << 12)
     def key(p: Int): Int =
       (data(p) & 0xff) | ((data(p + 1) & 0xff) << 8) |
@@ -1383,20 +1394,33 @@ private[llm] object Zstd {
       val cand = head.getOrDefault(k, -1)
       head.put(k, i)
       if (cand >= 0 && key(cand) == k) {
-        // extend the guaranteed-4 match
+        // the pending literal run must fit the raw-literals section
+        // TOGETHER with what the block already buffered (the two caps
+        // compose — checking either alone can overflow the 4096
+        // size-format limit), and a sequence must leave block budget
+        if (lits.size() + (i - litPtr) > MaxLits ||
+            i - blockFrom >= MaxBlock - 4) flush(i)
+        // extend the guaranteed-4 match, capped by the ML code range
+        // AND the 128 KiB block budget (§3.1.1.2.3 — the reference
+        // rejects blocks regenerating more than Block_Maximum_Size,
+        // so a long run spans sequences in consecutive blocks)
+        val budget = MaxBlock - (i - blockFrom) - (i - litPtr)
         var ml = 4
-        while (i + ml < n && ml < MaxMl &&
+        val mlCap = math.min(MaxMl, budget)
+        while (i + ml < n && ml < mlCap &&
             data(cand + ml) == data(i + ml)) ml += 1
         val ll = i - litPtr
         if (ll > 0) lits.write(data, litPtr, ll)
         seqs += Sq(ll, ml, (i - cand) + 3L)
         i += ml
         litPtr = i
-        if (seqs.length == 127 || lits.size() >= MaxLits) flush(i)
+        if (seqs.length == 127 || lits.size() >= MaxLits ||
+            i - blockFrom >= MaxBlock - 4) flush(i)
       } else {
         i += 1
-        // a long literal-only stretch must not blow the caps
-        if (i - litPtr >= MaxLits) flush(i)
+        // a long literal-only stretch must not blow the caps — the
+        // pending run counts TOGETHER with already-buffered literals
+        if (lits.size() + (i - litPtr) >= MaxLits) flush(i)
       }
     }
     flush(n)
@@ -1479,9 +1503,10 @@ private[llm] object Zstd {
     // content length so an over-bound corpus fails loudly at synth,
     // not as a corrupt frame downstream.
     val entropyOk = L + 2 < 4096
-    require(3 * L + 2 < (1 << 21), s"doc of $L bytes exceeds the " +
-      "single-raw-block fixture bound (~2 MiB content); chunked-block " +
-      "synthesis not implemented")
+    require(3 * L + 2 <= (1 << 17), s"doc of $L bytes exceeds the " +
+      "single-block fixture bound (Block_Maximum_Size = 128 KiB, " +
+      "§3.1.1.2.3); the twin's n_blocks contract fixes the block " +
+      "count per arm, so chunked synthesis is out of scope")
     val (content, blocks): (Array[Byte], Seq[(Int, Int, Array[Byte])]) =
       mode match {
         case m if m >= 2 && !entropyOk =>

@@ -302,6 +302,17 @@ class ZstdSpec extends AnyFunSuite {
       assert(Zstd.compress(b).length <= b.length + 64 + b.length / 1000,
         s"seed $seed: pathological expansion")
     }
+    // a >128 KiB long-run input: every block must stay under
+    // Block_Maximum_Size (§3.1.1.2.3 — matches are split across
+    // blocks), and our own decoder now REJECTS oversized blocks the
+    // way the reference does
+    val run = ("z" * 300000).getBytes("ISO-8859-1")
+    val runF = Zstd.compress(run)
+    val (stR, cR, nbR, _) = Zstd.decode(runF)
+    assert(stR == "ok" && nbR >= 3,
+      s"300 KB run must span 3+ capped blocks, got $nbR")
+    assert(java.util.Arrays.equals(cR, run))
+    assert(runF.length < 200, s"a pure run must compress tiny: ${runF.length}")
     // empty and tiny inputs are legal frames
     assert(rt(Array.emptyByteArray).length == 0)
     assert(java.util.Arrays.equals(rt("ab".getBytes), "ab".getBytes))
